@@ -1,0 +1,198 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core utilities for the graft engine.
+  *
+  * Set-oriented re-expression of the reference's row helpers
+  * (reference: pygrametl/__init__.py). A pygrametl "row" is a dict; here the
+  * unit of data is a whole DataFrame and every helper is a plan transform, so
+  * Catalyst can push filters/prune columns across them.
+  */
+object Nm {
+
+  /** Pervasive logical->physical column renaming ("namemapping").
+    *
+    * Reference: pygrametl/tables.py:8-19 — every method call resolves
+    * `row[nm.get(att, att)]`. Set-wise: a single `select` renaming the mapped
+    * physical columns back to logical names. Columns not mentioned pass
+    * through unchanged.
+    */
+  def applyMapping(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    if (mapping.isEmpty) df
+    else {
+      val physToLogical = mapping.map(_.swap)
+      val cols = df.columns.flatMap { c =>
+        physToLogical.get(c) match {
+          case Some(logical) => Some(col(c).as(logical))
+          case None if mapping.contains(c) => None // physical source of a rename; drop
+          case None => Some(col(c))
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }
+  }
+
+  /** project: subset + rename (reference: pygrametl/__init__.py:106-127). */
+  def project(df: DataFrame, atts: Seq[String], renaming: Map[String, String] = Map.empty): DataFrame =
+    df.select(atts.map(a => col(renaming.getOrElse(a, a)).as(a)): _*)
+
+  /** copy with newname=oldname renames; an old column may fan out to several
+    * new ones (reference: pygrametl/__init__.py:130-156).
+    */
+  def copy(df: DataFrame, renaming: (String, String)*): DataFrame = {
+    val extra = renaming.map { case (newName, oldName) => col(oldName).as(newName) }
+    df.select(df.columns.map(col).toSeq ++ extra: _*)
+  }
+
+  /** rename columns from->to (reference: pygrametl/__init__.py:159-175). */
+  def renameFromTo(df: DataFrame, renaming: Map[String, String]): DataFrame =
+    renaming.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** setdefaults: fill NULLs with per-column defaults, never overwriting
+    * non-null values (reference: pygrametl/__init__.py:356-382; the row-world
+    * "missing attribute" maps to NULL in a fixed schema).
+    */
+  def setDefaults(df: DataFrame, defaults: Map[String, Any]): DataFrame = {
+    val cols = df.columns.map { c =>
+      defaults.get(c) match {
+        case Some(d) => coalesce(col(c), lit(d)).as(c)
+        case None => col(c)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
+
+/** Failable type converters — cast-or-default semantics.
+  *
+  * Reference: pygrametl/__init__.py:190-337 (`getint`, `getfloat`, `getstr`,
+  * `getbool`, `getdate`, `gettimestamp`, ...): each returns `default` when the
+  * conversion fails. Spark-first: `try_cast` + `coalesce` — codegen'd, no UDFs.
+  */
+object Converters {
+  import org.apache.spark.sql.types._
+
+  private def tryTo(c: Column, t: DataType, default: Column): Column =
+    coalesce(c.try_cast(t), default)
+
+  def getInt(c: Column, default: Column = lit(null)): Column = tryTo(c, IntegerType, default)
+  def getLong(c: Column, default: Column = lit(null)): Column = tryTo(c, LongType, default)
+  def getFloat(c: Column, default: Column = lit(null)): Column = tryTo(c, DoubleType, default)
+  def getStr(c: Column, default: Column = lit(null)): Column = tryTo(c, StringType, default)
+
+  /** str + trim, default on failure (reference: pygrametl/__init__.py:214-223). */
+  def getStrippedStr(c: Column, default: Column = lit(null)): Column =
+    coalesce(trim(c.try_cast(StringType)), default)
+
+  /** configurable truthy/falsy value sets (reference: pygrametl/__init__.py:272-289). */
+  def getBool(c: Column,
+              default: Column = lit(null),
+              trues: Seq[Any] = Seq(true, 1, "1", "t", "true", "True"),
+              falses: Seq[Any] = Seq(false, 0, "0", "f", "false", "False")): Column = {
+    val s = c.cast(StringType)
+    when(s.isin(trues.map(_.toString): _*), lit(true))
+      .when(s.isin(falses.map(_.toString): _*), lit(false))
+      .otherwise(default)
+  }
+
+  /** None->nullsubst, bool->'1'/'0', else str (reference: pygrametl/__init__.py:226-243). */
+  def getDbFriendlyStr(c: Column, nullSubst: String = "NULL"): Column = {
+    val s = c.cast(StringType)
+    coalesce(
+      when(s === "true", "1").when(s === "false", "0").otherwise(s),
+      lit(nullSubst))
+  }
+
+  /** None->nullvalue else str (reference: pygrametl/__init__.py:261-269). */
+  def getStrOrNullValue(c: Column, nullValue: String): Column =
+    coalesce(c.cast(StringType), lit(nullValue))
+
+  /** parse 'yyyy-MM-dd', default on failure (reference: pygrametl/__init__.py:292-313). */
+  def getDate(c: Column, default: Column = lit(null)): Column =
+    coalesce(try_to_timestamp(c.cast(StringType), lit("yyyy-MM-dd")).cast(DateType), default)
+
+  /** parse 'yyyy-MM-dd HH:mm:ss', default on failure (reference: pygrametl/__init__.py:316-337). */
+  def getTimestamp(c: Column, default: Column = lit(null)): Column =
+    coalesce(try_to_timestamp(c.cast(StringType), lit("yyyy-MM-dd HH:mm:ss")), default)
+
+  /** ymdparser: str/date -> date, NULL passes through (reference: pygrametl/__init__.py:475-495). */
+  def ymd(c: Column): Column = c.cast(DateType)
+
+  /** ymdhmsparser (reference: pygrametl/__init__.py:498-516). */
+  def ymdhms(c: Column): Column = c.cast(TimestampType)
+
+  /** case normalization used when comparing lookup values
+    * (reference: pygrametl/__init__.py:633-642).
+    */
+  val toUpper: Column => Column = upper(_)
+  val toLower: Column => Column = lower(_)
+  val keepAsIs: Column => Column = identity
+}
+
+/** Date-dimension row generator.
+  *
+  * Reference: `datespan` (pygrametl/__init__.py:561-630) — yields one row per
+  * day with an int key `yyyyMMdd` plus formatted/int attributes. Spark-first:
+  * `explode(sequence(...))` — a distributed generator, not a driver loop.
+  */
+object DateSpan {
+  def apply(spark: SparkSession, fromDate: String, toDate: String,
+            key: String = "dateid"): DataFrame = {
+    val d = explode(sequence(
+      lit(fromDate).cast(org.apache.spark.sql.types.DateType),
+      lit(toDate).cast(org.apache.spark.sql.types.DateType),
+      expr("interval 1 day"))).as("d")
+    spark.range(1).select(d).select(
+      date_format(col("d"), "yyyyMMdd").cast("int").as(key),
+      date_format(col("d"), "yyyy-MM-dd").as("date"),
+      year(col("d")).as("year"),
+      month(col("d")).as("month"),
+      dayofmonth(col("d")).as("day"),
+      dayofweek(col("d")).as("weekday"),
+      quarter(col("d")).as("quarter"))
+  }
+}
+
+/** An ETL session: wraps SparkSession, freezes `today`/`now` at construction
+  * (reference: pygrametl/__init__.py:451-472 — the load-wide frozen clock;
+  * Spark's `current_date()` is per-query, ours must be per-session), owns the
+  * table registry and dependency-ordered `commit()`
+  * (reference: `endload`, pygrametl/__init__.py:442-448, 971-974).
+  */
+final class EtlSession(val spark: SparkSession) {
+  val now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+  val today: java.sql.Date = java.sql.Date.valueOf(now.toLocalDateTime.toLocalDate)
+
+  /** frozen-now literals for use inside plans */
+  def nowLit: Column = lit(now)
+  def todayLit: Column = lit(today)
+
+  private val registry = scala.collection.mutable.LinkedHashMap[String, graft.tables.ManagedTable]()
+
+  def register(t: graft.tables.ManagedTable): Unit = registry(t.name) = t
+
+  /** Dependency-ordered atomic publish: dimensions before facts, respecting
+    * `dependson` (reference: tables.py:2651-2652 flush ordering). Each table
+    * writes to a versioned path then swaps; Spark's write is all-or-nothing
+    * per table.
+    */
+  def commit(baseDir: String): Unit = {
+    val ordered = topoSort(registry.values.toSeq)
+    ordered.foreach(t => t.save(s"$baseDir/${t.name}"))
+  }
+
+  private def topoSort(ts: Seq[graft.tables.ManagedTable]): Seq[graft.tables.ManagedTable] = {
+    val byName = ts.map(t => t.name -> t).toMap
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(t: graft.tables.ManagedTable): Unit = {
+      if (!visited.contains(t.name)) {
+        t.dependsOn.flatMap(byName.get).foreach(visit)
+        visited += t.name
+      }
+    }
+    ts.foreach(visit)
+    visited.toSeq.map(byName)
+  }
+}

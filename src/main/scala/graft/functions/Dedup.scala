@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is shuffle-partitioned on a bucket key
+  * (fingerprint / LSH band / simhash chunk), so candidate generation is a
+  * hash-shuffle + within-bucket pair join — never an all-pairs cross join.
+  * All hashing is `xxhash64` (codegen'd Catalyst expression); signatures are
+  * array columns built with `transform`/`aggregate` higher-order functions,
+  * so the whole signature computation stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** word n-gram shingles of the normalized text (distinct) */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact dedup: keep the first document (min orderCol) per identical
+    * normalized content; hash-groupBy on the md5 fingerprint — one shuffle
+    * keyed by digest, no skew (digests are uniform).
+    */
+  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(orderCol).asc)
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash signature: k permutations approximated by k seeded hashes;
+    * sig[i] = min over shingles of xxhash64(shingle, i). One pass, pure
+    * higher-order functions.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices. Two
+    * docs sharing any band key are candidates. b bands of r rows tune the
+    * S-curve: p(candidate) = 1-(1-j^r)^b.
+    */
+  def lshBandKeys(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * rows + 1, lit(rows))))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * Pipeline: shingle → signature → explode band keys → shuffle on
+    * (band, key) → within-bucket id-ordered pair join → distinct candidate
+    * pairs → verify true Jaccard on the shingle sets.
+    *
+    * Returns (idA, idB, jaccard) with idA < idB and jaccard >= threshold.
+    *
+    * 100 TB notes: the bucket join is an equi shuffle join on the band key;
+    * huge buckets (degenerate content) are capped by `maxBucket` to bound
+    * the quadratic pair blow-up — the classic guard in web-scale dedup.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame = {
+    val rows = k / bands
+    val withSig = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
+
+    val exploded = withSig.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
+
+    val bucketed = exploded
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"), col("__bk"))))
+      .filter(col("__cnt") <= maxBucket)
+
+    val a = bucketed.select(col("__b"), col("__bk"), col(idCol).as("__ida"))
+    val b = bucketed.select(col("__b"), col("__bk"), col(idCol).as("__idb"))
+    val candidates = a.join(b, Seq("__b", "__bk"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb")).distinct()
+
+    val sh = withSig.select(col(idCol), col("__sh"))
+    val verified = candidates
+      .join(sh.select(col(idCol).as("__ida"), col("__sh").as("__sha")), Seq("__ida"))
+      .join(sh.select(col(idCol).as("__idb"), col("__sh").as("__shb")), Seq("__idb"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+
+    verified.select(col("__ida").as("id_a"), col("__idb").as("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Each token votes ±1 on
+    * every bit of its xxhash64; the sign of each bit-sum is the fingerprint
+    * bit. Built entirely from `aggregate`/`zip_with`/`transform` — single
+    * pass, no explode, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    // assemble MSB-first: acc*2 + bit
+    aggregate(reverse(votes), lit(0L), (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+  }
+
+  /** Hamming distance between two simhashes via their bit expansion. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks — any
+    * pair within `maxHamming` (< 4) must share at least one exact chunk
+    * (pigeonhole), so bucketing on chunks finds all of them with an equi
+    * shuffle join; verify with bit_count.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol), simhash(col(textCol)).as("__fp"))
+    val chunks = withFp.select(col(idCol), col("__fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("__fp"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("__c", "__ck")))
+    val a = chunks.select(col("__c"), col("__ck"), col(idCol).as("__ida"), col("__fp").as("__fpa"))
+    val b = chunks.select(col("__c"), col("__ck"), col(idCol).as("__idb"), col("__fp").as("__fpb"))
+    a.join(b, Seq("__c", "__ck"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        hamming64(col("__fpa"), col("__fpb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity of two text columns (exact, symmetric). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Brute force within LSH buckets:
+    * random-hyperplane signs (deterministic seeded planes) bucket the
+    * vectors; pairs within a bucket are verified by exact cosine. At 100 TB
+    * this is the standard sign-LSH: one shuffle on the bucket id.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__bucket", Vectors.signLshBucket(col("__v"), planes))
+    val a = bucketed.select(col("__bucket"), col(idCol).as("__ida"), col("__v").as("__va"))
+    val b = bucketed.select(col("__bucket"), col(idCol).as("__idb"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), round(col("cosine"), 4).as("cosine"))
+      .distinct()
+  }
+}

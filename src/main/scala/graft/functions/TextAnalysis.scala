@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines.
+  *
+  * All pure column expressions over `functions._` builtins — codegen'd,
+  * whole-stage-compatible, no UDFs — so they run at scan speed over 100 TB of
+  * documents. Every function is deterministic and (where claimed) mirrored by
+  * an ANSI-SQL oracle in SparkEntry.oracleSql.
+  */
+object TextAnalysis {
+
+  /** lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** whitespace tokens of the normalized text */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** token count (0 for empty/blank text) */
+  def tokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** A BPE-ish sub-word unit estimate: alpha runs, digit runs and punctuation
+    * each count as units, long words count extra units per 4 chars (the
+    * common ~4-chars-per-token heuristic).
+    */
+  def tokenEstimate(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[ ]", ""))) + // spaces ~ word separators
+      ceil(length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double") / 4).cast("long")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "y", "las", "una"))
+
+  private def stopCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit(_)): _*)))
+
+  /** n-gram-heuristic language id: score each candidate language by its
+    * stopword hits among the tokens; highest count wins, ties break
+    * alphabetically, zero hits → 'und' (undetermined). Deterministic by
+    * construction — the SQL oracle reproduces it bit-for-bit.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, stopCount(text, ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight so the alphabetically-first language is the outermost `when`,
+    // giving alphabetical tie-break priority
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** quality score in [0,1]: 0.4·length-score + 0.3·stopword-ratio-score +
+    * 0.3·(1 − punctuation-ratio). A classic cheap document-quality heuristic
+    * (length, function-word density, punctuation noise).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val toks = tokenCount(text).cast("double")
+    val stopRatio = when(toks === 0, 0.0)
+      .otherwise(least(stopCount(text, stopwords("en")).cast("double") * 5.0 / toks, lit(1.0)))
+    val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val punctRatio = when(length(text) === 0, 1.0)
+      .otherwise(punct.cast("double") / length(text).cast("double"))
+    round(lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3, 4)
+  }
+
+  /** content fingerprint: md5 of the normalized text — the exact-dedup key.
+    * (md5 rather than xxhash64 so external engines can reproduce it.)
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling-style fingerprint for in-engine use (faster than md5,
+    * codegen'd): xxhash64 of the normalized text.
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+}

@@ -1,0 +1,157 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A table managed by the engine: holds current state as a DataFrame and
+  * persists on `save`. Mutating operators (`update`, `scdensure`, merges) are
+  * expressed as full-table recomputes of a new immutable DataFrame — the
+  * copy-on-write answer to the reference's in-place SQL UPDATEs.
+  */
+trait ManagedTable {
+  def name: String
+  def dependsOn: Seq[String] = Nil
+  def current: DataFrame
+  def save(path: String): Unit = current.write.mode("overwrite").parquet(path)
+}
+
+/** Dimension table: surrogate `key`, non-key `attributes`, `lookupatts`
+  * identifying a member.
+  *
+  * Reference: pygrametl/tables.py:128-199 (class Dimension). The reference
+  * operates one row dict at a time (`lookup` = a SELECT per row,
+  * tables.py:245-264; `ensure` = lookup-or-insert, tables.py:374-398). Here
+  * every operation is set-oriented: `lookup` is a left join, `ensure` is an
+  * anti-join + key assignment + union — same semantics, one shuffle instead
+  * of N round trips, and the dimension side is broadcast when small.
+  *
+  * Caching subsumption: `CachedDimension`/`BulkDimension`'s FIFO caches
+  * (tables.py:549-616, 2777-2984) map to `.cache()` + broadcast joins — set
+  * `broadcastLookups=true` (default) for the classic small-dim case.
+  */
+class Dimension(
+    val name: String,
+    val key: String,
+    val attributes: Seq[String],
+    val lookupatts: Seq[String],
+    val defaultIdValue: Long = -1L,
+    val keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner,
+    val broadcastLookups: Boolean = true,
+    val cacheState: Boolean = false
+) extends ManagedTable {
+
+  protected var state: DataFrame = _
+
+  def allColumns: Seq[String] = key +: attributes
+
+  /** Initialize from existing content (schema must contain key + attributes). */
+  def init(df: DataFrame): this.type = {
+    state = df.select(allColumns.map(col): _*)
+    if (cacheState) state = state.cache()
+    this
+  }
+
+  def initEmpty(spark: SparkSession, schemaFrom: DataFrame): this.type =
+    init(schemaFrom.select(allColumns.map(col): _*).limit(0))
+
+  def current: DataFrame = state
+
+  protected def dimForJoin: DataFrame = if (broadcastLookups) broadcast(state) else state
+
+  /** Bulk lookup: resolve the surrogate key for every input row by equi-join
+    * on lookupatts; misses get `defaultIdValue`.
+    * Reference: tables.py:245-264 (one SELECT per row; cache probe first).
+    * The broadcast join IS the cache — shipped once per executor.
+    */
+  def lookup(df: DataFrame, namemapping: Map[String, String] = Map.empty): DataFrame = {
+    val in = graft.core.Nm.applyMapping(df, namemapping)
+    val dimSide = dimForJoin.select((key +: lookupatts).map(col): _*)
+    in.join(dimSide, lookupatts, "left")
+      .withColumn(key, coalesce(col(key), lit(defaultIdValue)))
+  }
+
+  /** getbykey: full dimension row by key; misses yield all-NULL attributes
+    * (left-join native). Reference: tables.py:272-287.
+    */
+  def getByKey(df: DataFrame): DataFrame =
+    df.join(dimForJoin, Seq(key), "left")
+
+  /** getbyvals: all dimension rows matching a partial attribute conjunction.
+    * Reference: tables.py:295-327.
+    */
+  def getByVals(vals: Map[String, Any]): DataFrame =
+    vals.foldLeft(state) { case (d, (a, v)) => d.filter(col(a) === lit(v)) }
+
+  /** insert: append new member rows, assigning surrogate keys.
+    * Reference: tables.py:400-425 (INSERT + idfinder max+1 counter).
+    */
+  def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
+    val in = graft.core.Nm.applyMapping(df, namemapping).select(attributes.map(col): _*)
+    val maxKey = currentMaxKey
+    val keyed = keyAssigner.assign(in, key, maxKey, lookupatts.map(col))
+    state = state.unionByName(keyed.select(allColumns.map(col): _*))
+    this
+  }
+
+  /** update: overwrite attribute values for matching keys; only non-NULL
+    * update columns overwrite (SET only what the row carries).
+    * Reference: tables.py:335-366.
+    */
+  def update(updates: DataFrame): this.type = {
+    val u = updates.select((key +: updates.columns.filter(attributes.contains).toSeq).distinct.map(col): _*)
+    val renamed = u.columns.filterNot(_ == key).foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val merged = state.join(broadcast(renamed), Seq(key), "left")
+    val cols = allColumns.map { c =>
+      if (renamed.columns.contains(s"__u_$c")) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
+    }
+    state = merged.select(cols: _*)
+    this
+  }
+
+  protected def currentMaxKey: Long = {
+    val r = state.agg(max(col(key))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** ensure: bulk lookup-or-insert. New members (anti-join on lookupatts,
+    * first occurrence per member wins) are optionally enriched by
+    * `rowexpander` — applied ONLY to the new-member set, preserving the
+    * reference's lazy-expansion optimization (tables.py:374-398: rowexpander
+    * runs only on cache/DB misses) — then key-assigned and unioned in.
+    * Returns the input with the resolved key column.
+    *
+    * Order-dependence note (SURVEY §7.3): the reference processes rows
+    * sequentially so the first occurrence of a member supplies its non-lookup
+    * attributes; we reproduce that with a row_number window over `orderCol`
+    * (caller-supplied stable order, e.g. a source row id).
+    */
+  def ensure(df: DataFrame,
+             namemapping: Map[String, String] = Map.empty,
+             rowexpander: DataFrame => DataFrame = identity,
+             orderCol: Option[Column] = None): DataFrame = {
+    val in = graft.core.Nm.applyMapping(df, namemapping)
+
+    val candidateCols = in.columns.filter(c => attributes.contains(c)).map(col)
+    val firstPerMember = orderCol match {
+      case Some(o) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lookupatts.map(col): _*).orderBy(o.asc)
+        in.select(candidateCols.toSeq :+ o.as("__ord"): _*)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__ord")
+      case None =>
+        in.select(candidateCols.toSeq: _*).dropDuplicates(lookupatts)
+    }
+
+    val newMembers = firstPerMember.join(dimForJoin.select(lookupatts.map(col): _*), lookupatts, "left_anti")
+    val expanded = rowexpander(newMembers)
+    val maxKey = currentMaxKey
+    val keyed = keyAssigner.assign(expanded, key, maxKey, lookupatts.map(col))
+
+    state = state.unionByName(keyed.select(allColumns.map(col): _*))
+    if (cacheState) state = state.cache()
+
+    // resolve keys for the full input (hits old + new members)
+    in.join(dimForJoin.select((key +: lookupatts).map(col): _*), lookupatts, "left")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Surrogate-key assignment strategies.
+  *
+  * Reference: the default `idfinder` is a sequential MAX(key)+1 counter
+  * (pygrametl/tables.py:234-243, 460-462) and the parallel variant hands out
+  * integer ranges per worker (`getsharedsequencefactory`,
+  * pygrametl/parallel.py:1121-1177). The idfinder contract is "any unique
+  * value" — density is not required — which is what makes a distributed
+  * assigner legal.
+  */
+trait KeyAssigner extends Serializable {
+
+  /** Add column `keyCol` with unique values > maxExisting to `newMembers`. */
+  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame
+}
+
+/** maxExisting + row_number() ordered by the lookup attributes: dense,
+  * deterministic keys. The window is single-partition, which is fine when the
+  * per-batch *new member* set is small (the common dimensional case) — the
+  * big input has already been deduplicated/anti-joined down before this runs.
+  * For huge new-member sets use [[PartitionRangeAssigner]].
+  */
+object MaxPlusRowNumberAssigner extends KeyAssigner {
+  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    newMembers.withColumn(keyCol, row_number().over(w).cast("long") + lit(maxExisting))
+  }
+}
+
+/** Distributed key assignment without a global window: each partition gets a
+  * disjoint id range (`partitionId * stride + rowInPartition`), the set-wise
+  * form of the reference's shared-sequence interval scheme
+  * (pygrametl/parallel.py:1121-1177). Keys are unique but sparse — allowed by
+  * the idfinder contract. 100 TB-safe: no shuffle, no single partition.
+  */
+final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner {
+  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame = {
+    // monotonically_increasing_id = partitionId(31 bits) << 33 | rowInPartition
+    val base = ((maxExisting / stride) + 1) * stride
+    newMembers.withColumn(keyCol, monotonically_increasing_id() + lit(base))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Type-1 slowly changing dimension: overwrite in place.
+  *
+  * Reference: pygrametl/tables.py:689-902 (`TypeOneSlowlyChangingDimension
+  * .scdensure`): lookup; on miss insert; else UPDATE only the changed type-1
+  * attributes (lookupatts immutable). Set-wise: latest update per member wins
+  * (window), existing members get `coalesce(new, old)` per type-1 column, new
+  * members are ensured in.
+  */
+class TypeOneScdDimension(
+    name: String,
+    key: String,
+    attributes: Seq[String],
+    lookupatts: Seq[String],
+    val type1atts: Seq[String],
+    defaultIdValue: Long = -1L,
+    keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner
+) extends Dimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner) {
+
+  /** scdensure: apply a batch of updates; `orderCol` decides which update is
+    * "latest" per member (the reference's sequential order). Returns the
+    * keyed input.
+    */
+  def scdensure(updates: DataFrame, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(orderCol.desc)
+    val latest = updates
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+
+    // new members: plain ensure (first=latest occurrence supplies attributes)
+    ensure(latest)
+
+    // existing members: overwrite type-1 attributes with latest values
+    val upd = latest.select((lookupatts ++ type1atts).map(col): _*)
+    val renamed = type1atts.foldLeft(upd)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val merged = state.join(broadcast(renamed), lookupatts, "left")
+    val cols = allColumns.map { c =>
+      if (type1atts.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
+    }
+    state = merged.select(cols: _*)
+    lookup(updates)
+  }
+}
+
+/** Type-2 slowly changing dimension: row versioning with `versionatt`,
+  * `fromatt`, `toatt`, `maxTo` open-interval marker.
+  *
+  * Reference: pygrametl/tables.py:904-1711 (`SlowlyChangingDimension`).
+  * `scdensure` (tables.py:1274-1421) processes one row at a time: look up the
+  * newest version (ORDER BY orderingatt DESC, tables.py:1104-1109), compare
+  * attributes, and either do nothing, apply type-1 overwrites, or insert a
+  * new version and close the old one.
+  *
+  * Set-wise batch algorithm (one plan, no per-row round trips):
+  *  1. order the incoming changes per member (window by lookupatts, from);
+  *  2. drop consecutive no-change rows (lag compare, null-safe) and rows
+  *     equal to the member's current version;
+  *  3. assign version numbers = current max version + running row_number;
+  *  4. `toatt` of each new version = lead(from), last = maxTo; close the
+  *     previously-open current version at the first new `from`;
+  *  5. union surviving old rows + closed rows + new versions; assign keys to
+  *     new rows only.
+  */
+class ScdDimension(
+    name: String,
+    key: String,
+    attributes: Seq[String],
+    lookupatts: Seq[String],
+    val versionatt: String,
+    val fromatt: String,
+    val toatt: String,
+    val maxTo: Column = lit(null),
+    val type1atts: Seq[String] = Nil,
+    defaultIdValue: Long = -1L,
+    keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner
+) extends Dimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner) {
+
+  /** attributes versioned under type-2 semantics */
+  def type2atts: Seq[String] =
+    attributes.filterNot(a => a == versionatt || a == fromatt || a == toatt || type1atts.contains(a))
+
+  private def neqNullSafe(a: Column, b: Column): Column = !(a <=> b)
+
+  /** Batch scdensure. `updates` must carry lookupatts, type2atts, type1atts
+    * and a change timestamp selected by `fromCol` (the reference's
+    * `fromfinder`/`srcdateatt`, tables.py:1306-1326, 1349-1368).
+    */
+  def scdensure(updates: DataFrame, fromCol: Column): DataFrame = {
+    val lk = lookupatts.map(col)
+    val valueAtts = type2atts ++ type1atts
+
+    val in = updates.select((lookupatts ++ valueAtts).map(col) :+ fromCol.as(fromatt): _*)
+
+    val wAsc = Window.partitionBy(lk: _*).orderBy(col(fromatt).asc)
+
+    // 2a. drop consecutive duplicates within the batch (type-2 atts unchanged)
+    val changeFlag = type2atts
+      .map(a => neqNullSafe(col(a), lag(col(a), 1).over(wAsc)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val deduped = in
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__chg", col("__rn") === 1 || changeFlag)
+      .filter(col("__chg")).drop("__chg")
+
+    // current version per member in the existing dimension
+    val wCur = Window.partitionBy(lk: _*).orderBy(col(versionatt).desc)
+    val dimCur = state
+      .withColumn("__crn", row_number().over(wCur)).filter(col("__crn") === 1).drop("__crn")
+    val curSide = dimCur.select(
+      lk ++ type2atts.map(a => col(a).as(s"__cur_$a")) :+
+        col(versionatt).as("__cur_ver") :+ col(toatt).as("__cur_to"): _*)
+
+    // 2b. drop the first batch row when equal to the member's current version
+    //     (a manually-closed current version — toatt != maxTo — always forces
+    //     a new version, reference tables.py:1340-1344)
+    val sameAsCur = type2atts
+      .map(a => col(a) <=> col(s"__cur_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val newRows = deduped.join(curSide, lookupatts, "left")
+      .filter(col("__cur_ver").isNull || col("__rn") > 1 ||
+        !(sameAsCur && col("__cur_to") <=> maxTo))
+
+    // 3+4. version numbers and validity intervals for the new rows
+    val wNew = Window.partitionBy(lk: _*).orderBy(col(fromatt).asc)
+    val versioned = newRows
+      .withColumn(versionatt, coalesce(col("__cur_ver"), lit(0)) + row_number().over(wNew))
+      .withColumn(toatt, coalesce(lead(col(fromatt), 1).over(wNew), maxTo))
+      .withColumn("__first_from", first(col(fromatt)).over(
+        wNew.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+
+    val firstNewFrom = versioned
+      .groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
+
+    // 5a. close previously-open current versions of changed members
+    val oldRows = state.join(broadcast(firstNewFrom), lookupatts, "left")
+    val closed = oldRows.select(allColumns.map {
+      case `toatt` =>
+        when(col("__new_from").isNotNull && col(toatt) <=> maxTo &&
+             col(versionatt) === max(col(versionatt)).over(
+               Window.partitionBy(lk: _*)), col("__new_from"))
+          .otherwise(col(toatt)).as(toatt)
+      case c => col(c).as(c)
+    }: _*)
+
+    // 5b. key the new versions and union
+    val newClean = versioned.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
+    val maxKey = currentMaxKey
+    val keyed = keyAssigner.assign(newClean, key, maxKey, lk :+ col(versionatt))
+
+    var next = closed.unionByName(keyed.select(allColumns.map(col): _*))
+
+    // type-1 attributes: latest value propagates to ALL versions
+    // (reference tables.py:1486-1528; "all versions" flag semantics)
+    if (type1atts.nonEmpty) {
+      val wLatest = Window.partitionBy(lk: _*).orderBy(col(versionatt).desc)
+      val latest = next
+        .withColumn("__lrn", row_number().over(wLatest)).filter(col("__lrn") === 1)
+        .select(lk ++ type1atts.map(a => col(a).as(s"__t1_$a")): _*)
+      val j = next.join(broadcast(latest), lookupatts, "left")
+      next = j.select(allColumns.map { c =>
+        if (type1atts.contains(c)) col(s"__t1_$c").as(c) else col(c)
+      }: _*)
+    }
+
+    state = next
+    this.current
+  }
+
+  /** closecurrent: set the newest version's `toatt` to `end` iff still open.
+    * Reference: tables.py:1530-1553.
+    */
+  def closeCurrent(end: Column): this.type = {
+    val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(col(versionatt).desc)
+    state = state
+      .withColumn("__rn", row_number().over(w))
+      .withColumn(toatt,
+        when(col("__rn") === 1 && col(toatt) <=> maxTo, end).otherwise(col(toatt)))
+      .drop("__rn")
+    this
+  }
+
+  /** lookupasof: temporal point-in-interval join — for each input row find
+    * the version valid at `whenCol`. Reference: tables.py:1555-1711
+    * (`lookupasof`), with configurable interval-endpoint inclusivity and
+    * NULL from/to treated as open-ended. Ties resolve to the newest version.
+    *
+    * Scale note: the predicate join is planned by Catalyst as a broadcast
+    * nested-loop when the dimension is small (the normal case). For large
+    * dimensions pre-filter with an equi-join on lookupatts first — which is
+    * exactly what this does: equi keys + interval predicate in one join
+    * condition, so it stays a hash join on lookupatts.
+    */
+  def lookupAsOf(df: DataFrame, whenCol: Column,
+                 fromInclusive: Boolean = true, toInclusive: Boolean = false): DataFrame = {
+    val dim = dimForJoin.select(
+      (key +: lookupatts).map(col) ++
+        Seq(col(fromatt).as("__from"), col(toatt).as("__to"), col(versionatt).as("__ver")): _*)
+    val fromOk = col("__from").isNull ||
+      (if (fromInclusive) col("__from") <= whenCol else col("__from") < whenCol)
+    val toOk = col("__to").isNull || col("__to") <=> maxTo ||
+      (if (toInclusive) whenCol <= col("__to") else whenCol < col("__to"))
+    val joinCond = lookupatts.map(a => df(a) <=> dim(a)).reduce(_ && _) && fromOk && toOk
+    val joined = df.join(dim, joinCond, "left").drop(dim.columns.filter(lookupatts.contains): _*)
+    // newest matching version wins on overlap
+    val w = Window.partitionBy(df.columns.map(df(_)): _*).orderBy(col("__ver").desc_nulls_last)
+    joined.withColumn("__arn", row_number().over(w)).filter(col("__arn") === 1)
+      .drop("__arn", "__from", "__to", "__ver")
+      .withColumn(key, coalesce(col(key), lit(defaultIdValue)))
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 import graft.core.{Converters, DateSpan, Nm}
 import graft.functions.{Dedup, TextAnalysis, Vectors}
@@ -10,22 +11,57 @@ import graft.sources.Sources
 import graft.tables._
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with a DuckDB-runnable oracle in `oracleSql` where the
-  * semantics are SQL-expressible (non-SQL-expressible ops get a rows-only
-  * check and a ScalaTest spec instead).
+  * SURVEY.md §2 plus the training-data operators, each with a DuckDB-runnable
+  * oracle in `oracleSql` where the semantics are SQL-expressible
+  * (hash-seeded ops — minhash/simhash/sign-LSH — get a rows-only check and a
+  * ScalaTest spec instead).
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and convert to a micros timestamp (matching
+    * DuckDB's own nanos->micros truncation). Integer DIV keeps full
+    * precision — a double division would lose bits above 2^53.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Exact decimal money sums: per-row products of 2dp prices and 2dp rates
+    * are exact 4dp decimals, so summing in DECIMAL(18,4) is exact and both
+    * engines round identically — double sums differ in final-ulp by
+    * summation order, which flips round() at boundaries.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))), scale).cast(DoubleType)
+
+  /** decimal-staged rounding for derived doubles: canonicalizes the value at
+    * 8 decimal places before rounding so Spark and external engines agree at
+    * the rounding boundary.
+    */
+  private def dround(c: Column, scale: Int): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(18, 8)), scale).cast(DoubleType)
+
+  /** normalized-token helper reused by several text queries */
+  private def docsNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("fact_load")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- queries
+  // =================================================================
+  // queries
+  // =================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ tableQueries ++ trainingQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.8 aggregations: the reference's Sum/Count/CountDistinct/Avg/Max/Min
     // (pygrametl/aggregators.py) as one grouped plan (TPC-H Q1 shape).
@@ -34,10 +70,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"),
           count_distinct(col("l_orderkey")).as("distinct_orders"),
           round(max(col("l_extendedprice")), 2).as("max_price"),
@@ -45,25 +82,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // §7.5 flagship star-schema load: ensure dims, resolve keys, aggregate.
+    // §7.5 flagship star-schema load: resolve keys through dims, aggregate.
     "fact_load" -> ((s, dir) => {
       val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
       val orders = t(s, dir, "orders"); val lineitem = t(s, dir, "lineitem")
-
-      // customer dimension snowflaked onto nation (broadcast both: small dims)
       val custDim = customer.join(broadcast(nation),
         customer("c_nationkey") === nation("n_nationkey"))
         .select(col("c_custkey"), col("n_name"))
-
       val facts = lineitem
         .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
         .join(broadcast(custDim), orders("o_custkey") === custDim("c_custkey"))
         .select(col("n_name").as("nation"),
           year(col("o_orderdate")).as("year"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-
       facts.groupBy(col("nation"), col("year"))
-        .agg(round(sum(col("revenue")), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(dsum(col("revenue")).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("nation"), col("year"))
     }),
 
@@ -107,14 +140,66 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // §2.3 MappingSource: per-column functions (datasources.py:404-427)
+    "src_mapping" -> ((s, dir) => {
+      Sources.mapping(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        Map("c_name" -> (c => upper(c)),
+            "c_acctbal" -> (c => round(c * 2, 2))))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.3 ValueMappingStep: dictionary translation (steps.py:207-256)
+    "src_valuemapping" -> ((s, dir) => {
+      Sources.valueMapping(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "status_name", "o_orderstatus",
+        Map("O" -> "open", "F" -> "finished", "P" -> "pending"), "other")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.8 UnionSource with differing schemas (datasources.py:689-705)
     "src_union" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val hi = c.filter(col("c_acctbal") >= 5000)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val lo = c.filter(col("c_acctbal") < 5000)
-        .select(col("c_custkey"), col("c_name")) // missing column → NULL
+        .select(col("c_custkey"), col("c_name"))
       Sources.union(hi, lo).orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 RoundRobinSource: interleave == union + round-robin repartition
+    // (datasources.py:708-738; row order is not semantic in a set engine)
+    "src_roundrobin" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Sources.roundRobin(8,
+        o.filter(col("o_orderstatus") === "O"),
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "P"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.8 SQLTransformingSource: stage + declarative SQL (datasources.py:451-606)
+    "src_sqltransforming" -> ((s, dir) => {
+      Sources.sqlTransforming(t(s, dir, "lineitem"), "staged_lineitem",
+        """SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+             count(*) AS n
+           FROM staged_lineitem WHERE l_discount > 0.02
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // §2.8 CrossTabbingSource: pivot (datasources.py:609-665). Explicit pivot
+    // values keep the plan single-pass (no distinct pre-scan) — required at scale.
+    "src_crosstab" -> ((s, dir) => {
+      Sources.crossTab(t(s, dir, "orders")
+            .withColumn("o_totalprice", col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4))),
+          "o_orderpriority", "o_orderstatus", "o_totalprice", colValues = Seq("F", "O", "P"))
+        .select(col("o_orderpriority"),
+          round(col("F"), 2).cast(DoubleType).as("F"),
+          round(col("O"), 2).cast(DoubleType).as("O"),
+          round(col("P"), 2).cast(DoubleType).as("P"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // §2.5 HashJoiningSource: broadcast inner equi join, src2 wins collisions
@@ -129,9 +214,10 @@ object SparkEntry {
 
     // §2.5 MergeJoiningSource: large-large sort-merge join (datasources.py:335-401)
     "join_merge" -> ((s, dir) => {
-      Sources.mergeJoining(t(s, dir, "lineitem"), t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+      Sources.mergeJoining(t(s, dir, "lineitem"),
+          t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
         .groupBy(col("o_orderstatus"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("price_sum"), count(lit(1)).as("n"))
+        .agg(dsum(col("l_extendedprice")).as("price_sum"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -147,6 +233,56 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
     }),
+
+    // §2.8 top-k per group (window row_number <= k)
+    "agg_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
+    // §2.11 custom Aggregator[IN,BUF,OUT] extension point (geometric mean)
+    "agg_geomean" -> ((s, dir) => {
+      val gm = udaf(graft.functions.GeometricMean)
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(gm(col("o_totalprice")), 2).as("geo_mean"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // scalar JSON access over the events props column
+    "fn_json" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.9→extension: event-time tumbling window aggregation (the batch form
+    // of the Structured Streaming windowed agg; same plan shape)
+    "stream_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("value_sum"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // session windows (gap-based) — streaming-capable sessionization
+    "stream_sessionize" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("value_sum"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+  )
+
+  private def tableQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.6 Dimension.ensure: seeded dim + bulk lookup-or-insert with
     // MAX(key)+1-style key assignment (tables.py:374-425, 234-243)
@@ -166,39 +302,243 @@ object SparkEntry {
       val dim = new Dimension("cust_dim", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
       dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      dim.lookup(t(s, dir, "customer").select(col("c_name").as("name"))
-          .withColumnRenamed("name", "c_name"))
+      dim.lookup(t(s, dir, "customer").select(col("c_name")))
         .select(col("c_name"), col("c_custkey"))
         .orderBy(col("c_name"))
     }),
 
-    // training-data op: exact dedup (hash-groupBy on content fingerprint)
+    // §2.7 SCD type 1: two-phase load — seed from the first half of the
+    // events stream, then scdensure the second half (overwrites + inserts)
+    // (tables.py:689-902)
+    "dim_scd1" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = new TypeOneScdDimension("user_dim", "user_key",
+        Seq("user_id", "event_type"), Seq("user_id"), Seq("event_type"))
+      dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type")).limit(0))
+      val half = 5000L
+      dim.scdensure(ev.filter(col("event_id") < half)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id")))
+      dim.scdensure(ev.filter(col("event_id") >= half)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id")))
+      dim.current.orderBy(col("user_key"))
+    }),
+
+    // §2.7 SCD type 2: full version history from the events stream in one
+    // batch scdensure (multi-change-per-member batches supported)
+    // (tables.py:904-1711)
+    "dim_scd2" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = scd2UserDim(s, dir)
+      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
+        .orderBy(col("user_key"))
+    }),
+
+    // §2.5 as-of (temporal point-in-interval) join: find the version valid
+    // at probe time (tables.py:1555-1711 lookupasof)
+    "scd_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = scd2UserDim(s, dir)
+      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
+      val probe = ev.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+      dim.lookupAsOf(probe, col("pts"))
+        .select(col("event_id"), col("user_key"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.6 SnowflakedDimension: topological bulk ensure through
+    // region←nation←customer (tables.py:1721-2133)
+    "snowflake_ensure" -> ((s, dir) => {
+      val input = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
+      val regionDim = new Dimension("region_dim", "r_key", Seq("r_name"), Seq("r_name"))
+      val nationDim = new Dimension("nation_dim", "n_key", Seq("n_name", "r_key"), Seq("n_name"))
+      val custDim = new Dimension("cust_dim2", "cu_key", Seq("c_name", "n_key"), Seq("c_name"))
+      regionDim.init(input.select(lit(0L).as("r_key"), col("r_name")).limit(0))
+      nationDim.init(input.select(lit(0L).as("n_key"), col("n_name"), lit(0L).as("r_key")).limit(0))
+      custDim.init(input.select(lit(0L).as("cu_key"), col("c_name"), lit(0L).as("n_key")).limit(0))
+      val flake = new SnowflakedDimension(Seq(
+        custDim -> Seq(nationDim), nationDim -> Seq(regionDim)))
+      flake.ensure(input)
+        .select(col("c_name"), col("cu_key"), col("n_key"), col("r_key"))
+        .orderBy(col("cu_key"))
+    }),
+
+    // §2.6 FactTable.ensure with compare=true validation (tables.py:2238-2271)
+    "fact_ensure" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+      val fact = new FactTable("order_rev", Seq("l_orderkey"), Seq("revenue", "n_lines"))
+      fact.init(rev.filter(col("l_orderkey") % 3 === 0))
+      fact.ensure(rev, compare = true)
+      fact.current.orderBy(col("l_orderkey"))
+    }),
+
+    // §2.6 AccumulatingSnapshotFactTable: MERGE-style upsert where incoming
+    // NULLs never clobber stored values (tables.py:2359-2505)
+    "fact_accumulating" -> ((s, dir) => {
+      val fact = new AccumulatingSnapshotFactTable("order_progress",
+        Seq("o_orderkey"), Seq("ship_year"), Seq("total", "line_rev"))
+      fact.init(t(s, dir, "orders").select(col("o_orderkey"),
+        lit(null).cast(IntegerType).as("ship_year"),
+        col("o_totalprice").as("total"),
+        lit(null).cast(DoubleType).as("line_rev")))
+      val updates = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(year(max(col("l_shipdate"))).as("ship_year"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("line_rev"))
+        .withColumn("total", lit(null).cast(DoubleType))
+      fact.merge(updates)
+      fact.current.orderBy(col("o_orderkey"))
+    })
+  )
+
+  private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup (hash-groupBy on content fingerprint)
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
-    // training-data op: token counting
+    // MinHash+LSH near-dup pairs, verified by exact Jaccard — the oracle is
+    // the exact n-gram-Jaccard pair set (LSH recall at j>=0.8 with 32 bands
+    // of 2 rows is 1-(1-j²)³² ≈ 1-1e-14: exhaustive on this S-curve)
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (hamming <= 3 via 4x16-bit chunk pigeonhole).
+    // xxhash64-seeded — not oracle-expressible; rows-only + ScalaTest spec.
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding-cosine near-dup pairs: exact brute-force (oracle baseline)
+    "dedup_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("id_a"), col("id_b"), dround(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // sign-LSH bucketed cosine near-dup — the 100 TB scale path (one shuffle
+    // on the bucket id). Hash-seeded planes → rows-only + recall spec.
+    "dedup_cosine_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Dedup.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.4, planes = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k similarity search (ANN exactness baseline)
+    "sim_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN top-k (multi-probe) — scale path; rows-only + spec
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.annTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
+        k = 5, planes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // language id (stopword n-gram heuristic)
+    "text_langid" -> ((s, dir) => {
+      docsNorm(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document quality scoring (length / stopword density / punctuation)
+    "text_quality" -> ((s, dir) => {
+      docsNorm(s, dir).select(col("doc_id"),
+          dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting (whitespace + BPE-ish estimate)
     "text_tokens" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      docsNorm(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est"))
         .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary media column + deterministic stub decode
+    // (real decode libs absent in this container — see graft.multimodal)
+    "mm_features" -> ((s, dir) => {
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
     })
   )
 
-  // ------------------------------------------------------------- oracle SQL
+  /** SCD2 user dimension over the events table (shared by dim_scd2/scd_asof) */
+  private def scd2UserDim(s: SparkSession, dir: String): ScdDimension = {
+    val ev = events(s, dir)
+    val dim = new ScdDimension("user_scd", "user_key",
+      Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
+      Seq("user_id"), "version", "valid_from", "valid_to",
+      maxTo = lit(null).cast(TimestampType))
+    dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
+      lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
+    dim
+  }
+
+  // =================================================================
+  // oracle SQL (DuckDB)
+  // =================================================================
+
+  /** normalized-token SQL fragment shared by the text oracles */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** SCD2-from-events SQL fragment shared by dim_scd2/scd_asof oracles */
+  private val scd2Sql =
+    """dedup AS (
+         SELECT user_id, event_type, ts,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+           row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       kept AS (SELECT user_id, event_type, ts FROM dedup WHERE rn = 1 OR chg = 1),
+       ver AS (
+         SELECT user_id, event_type,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to
+         FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
+       keyed AS (
+         SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, *
+         FROM ver)"""
 
   def oracleSql: Map[String, String] = Map(
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+         round(sum(CAST(l_discount AS DECIMAL(18,4)))::DOUBLE / count(*), 6) AS avg_disc,
          count(*) AS count_order,
          count(DISTINCT l_orderkey) AS distinct_orders,
          round(max(l_extendedprice), 2) AS max_price,
@@ -208,7 +548,7 @@ object SparkEntry {
 
     "fact_load" ->
       """SELECT n.n_name AS nation, year(o.o_orderdate) AS year,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
          count(*) AS n_items
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
@@ -247,11 +587,36 @@ object SparkEntry {
          WHERE l_quantity > 30 AND l_discount <= 0.05
          ORDER BY l_orderkey, l_linenumber""",
 
+    "src_mapping" ->
+      """SELECT c_custkey, upper(c_name) AS c_name, round(c_acctbal * 2, 2) AS c_acctbal
+         FROM customer ORDER BY c_custkey""",
+
+    "src_valuemapping" ->
+      """SELECT o_orderkey, o_orderstatus,
+         coalesce(CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                  WHEN 'P' THEN 'pending' END, 'other') AS status_name
+         FROM orders ORDER BY o_orderkey""",
+
     "src_union" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 5000
          UNION ALL
          SELECT c_custkey, c_name, NULL FROM customer WHERE c_acctbal < 5000
          ORDER BY c_custkey""",
+
+    "src_roundrobin" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""",
+
+    "src_sqltransforming" ->
+      """SELECT l_returnflag, round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty, count(*) AS n
+         FROM lineitem WHERE l_discount > 0.02
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "src_crosstab" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "F",
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "O",
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "join_hash" ->
       """SELECT c.c_custkey, c.c_name, n.n_name, n.n_regionkey
@@ -259,7 +624,7 @@ object SparkEntry {
          ORDER BY c.c_custkey""",
 
     "join_merge" ->
-      """SELECT o.o_orderstatus, round(sum(l.l_extendedprice), 2) AS price_sum, count(*) AS n
+      """SELECT o.o_orderstatus, round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS price_sum, count(*) AS n
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY 1""",
 
@@ -273,6 +638,40 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
          ORDER BY c_custkey""",
+
+    "agg_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+         FROM orders QUALIFY rank <= 3 ORDER BY o_orderpriority, rank""",
+
+    "agg_geomean" ->
+      """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geo_mean
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "fn_json" ->
+      """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
+         FROM events ORDER BY event_id""",
+
+    "stream_window_agg" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+         count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  >= INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
+         FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     "dim_ensure" ->
       """WITH seed AS (
@@ -297,21 +696,172 @@ object SparkEntry {
            ON c.c_name = d.c_name
          ORDER BY c.c_name""",
 
+    "dim_scd1" ->
+      """WITH p1 AS (
+           SELECT user_id, event_type FROM events WHERE event_id < 5000
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         seed AS (
+           SELECT row_number() OVER (ORDER BY user_id) AS user_key, user_id, event_type FROM p1),
+         p2 AS (
+           SELECT user_id, event_type FROM events WHERE event_id >= 5000
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         newm AS (
+           SELECT user_id, event_type FROM p2
+           WHERE user_id NOT IN (SELECT user_id FROM seed)),
+         newk AS (
+           SELECT (SELECT coalesce(max(user_key), 0) FROM seed)
+             + row_number() OVER (ORDER BY user_id) AS user_key, user_id, event_type
+           FROM newm),
+         dim AS (SELECT * FROM seed UNION ALL SELECT * FROM newk)
+         SELECT d.user_key, d.user_id, coalesce(p2.event_type, d.event_type) AS event_type
+         FROM dim d LEFT JOIN p2 ON d.user_id = p2.user_id
+         ORDER BY d.user_key""",
+
+    "dim_scd2" ->
+      s"""WITH $scd2Sql
+         SELECT user_key, user_id, event_type, version, valid_from, valid_to
+         FROM keyed ORDER BY user_key""",
+
+    "scd_asof" ->
+      s"""WITH $scd2Sql,
+         probe AS (
+           SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS pts
+           FROM events WHERE event_id % 7 = 0)
+         SELECT p.event_id, coalesce(k.user_key, -1) AS user_key
+         FROM probe p LEFT JOIN keyed k ON p.user_id = k.user_id
+           AND k.valid_from <= p.pts AND (k.valid_to IS NULL OR p.pts < k.valid_to)
+         QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY k.version DESC NULLS LAST) = 1
+         ORDER BY p.event_id""",
+
+    "snowflake_ensure" ->
+      """WITH input AS (
+           SELECT c.c_name, c.c_acctbal, n.n_name, r.r_name
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey),
+         rk AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS r_key
+                FROM (SELECT DISTINCT r_name FROM input)),
+         nk AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS n_key
+                FROM (SELECT DISTINCT n_name FROM input)),
+         ck AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS cu_key
+                FROM (SELECT DISTINCT c_name FROM input))
+         SELECT i.c_name, ck.cu_key, nk.n_key, rk.r_key
+         FROM input i JOIN ck USING (c_name) JOIN nk USING (n_name) JOIN rk USING (r_name)
+         ORDER BY ck.cu_key""",
+
+    "fact_ensure" ->
+      """SELECT l_orderkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+         count(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "fact_accumulating" ->
+      """WITH init AS (
+           SELECT o_orderkey, CAST(NULL AS INTEGER) AS ship_year,
+             o_totalprice AS total, CAST(NULL AS DOUBLE) AS line_rev
+           FROM orders),
+         upd AS (
+           SELECT l_orderkey AS o_orderkey, year(max(l_shipdate)) AS ship_year,
+             CAST(NULL AS DOUBLE) AS total,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS line_rev
+           FROM lineitem GROUP BY 1)
+         SELECT coalesce(i.o_orderkey, u.o_orderkey) AS o_orderkey,
+           coalesce(u.ship_year, i.ship_year) AS ship_year,
+           coalesce(u.total, i.total) AS total,
+           coalesce(u.line_rev, i.line_rev) AS line_rev
+         FROM init i FULL OUTER JOIN upd u ON i.o_orderkey = u.o_orderkey
+         ORDER BY 1""",
+
     "dedup_exact" ->
-      """WITH fp AS (
-           SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
-             row_number() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn
+      s"""WITH fp AS (
+           SELECT doc_id, md5($normSql) AS fp,
+             row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
            FROM documents)
          SELECT doc_id, fp FROM fp WHERE rn = 1 ORDER BY doc_id""",
 
-    "text_tokens" ->
-      """WITH norm AS (
-           SELECT doc_id, text,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
-           FROM documents)
+    "dedup_minhash" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard
+         FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+
+    "dedup_cosine" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
+         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "sim_bruteforce" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         p AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    "text_langid" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
+           FROM norm)
          SELECT doc_id,
-           CASE WHEN length(nt) = 0 THEN 0 ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM sc ORDER BY doc_id""",
+
+    "text_quality" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm)
+         SELECT doc_id,
+           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE npunct::DOUBLE / length(text) END) * 0.3 AS DECIMAL(18,8)), 4)::DOUBLE AS quality
+         FROM c ORDER BY doc_id""",
+
+    "text_tokens" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, $normSql AS nt FROM documents)
+         SELECT doc_id,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
            (length(text) - length(replace(text, ' ', ''))) +
              CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_est
          FROM norm ORDER BY doc_id"""

@@ -69,9 +69,18 @@ object Dedup {
                    n: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame = {
     val rows = k / bands
+    // Signatures are consumed by three downstream plans (banding, and both
+    // sides of the verification join): persist so the (HOF-interpreted,
+    // non-codegen) signature computation runs exactly once per document.
+    // The repartition also breaks single-file inputs into parallel tasks —
+    // signature cost is per-row CPU, so spread it across all cores.
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism * 2
     val withSig = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .repartition(parallelism, col(idCol))
       .withColumn("__sig", minhashSignature(col("__sh"), k))
       .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
+      .persist()
 
     val exploded = withSig.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
 
@@ -109,8 +118,10 @@ object Dedup {
         transform(sequence(lit(0), lit(63)),
           j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
         (x, y) => x + y))
-    // assemble MSB-first: acc*2 + bit
-    aggregate(reverse(votes), lit(0L), (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+    // assemble MSB-first with shiftleft (no ANSI overflow check — the sign
+    // bit is data here, not magnitude)
+    aggregate(reverse(votes), lit(0L),
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
   }
 
   /** Hamming distance between two simhashes via their bit expansion. */
@@ -124,7 +135,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
     val withFp = df.select(col(idCol), simhash(col(textCol)).as("__fp"))
+      .repartition(spark.sparkContext.defaultParallelism * 2, col(idCol))
+      .persist()
     val chunks = withFp.select(col(idCol), col("__fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("__fp"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("__c", "__ck")))
@@ -152,7 +166,9 @@ object Dedup {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, planes: Int = 8): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol).as("__v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
       .withColumn("__bucket", Vectors.signLshBucket(col("__v"), planes))
+      .persist() // consumed by both sides of the pair join
     val a = bucketed.select(col("__bucket"), col(idCol).as("__ida"), col("__v").as("__va"))
     val b = bucketed.select(col("__bucket"), col(idCol).as("__idb"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))

@@ -59,7 +59,10 @@ object TextAnalysis {
     * 0.3·(1 − punctuation-ratio). A classic cheap document-quality heuristic
     * (length, function-word density, punctuation noise).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
+
+  /** unrounded quality score (callers pick their own rounding/canonicalization) */
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val toks = tokenCount(text).cast("double")
     val stopRatio = when(toks === 0, 0.0)
@@ -67,7 +70,7 @@ object TextAnalysis {
     val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
     val punctRatio = when(length(text) === 0, 1.0)
       .otherwise(punct.cast("double") / length(text).cast("double"))
-    round(lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3, 4)
+    lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
   }
 
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.

@@ -32,14 +32,17 @@ object Vectors {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val joined = queries.select(col(qId), col(qVec))
-      .crossJoin(broadcast(corpus.select(col(cId), col(cVec))))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
+    val q = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+    val joined = q.crossJoin(broadcast(c))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("__rn").as("rank"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"),
+        col("__rn").as("rank"))
   }
 
   /** Deterministic pseudo-random hyperplane component: plane p, dim d →
@@ -72,10 +75,10 @@ object Vectors {
   def annTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val cB = corpus.select(col(cId), col(cVec))
-      .withColumn("__bucket", signLshBucket(col(cVec), planes))
-    val qBase = queries.select(col(qId), col(qVec))
-      .withColumn("__b0", signLshBucket(col(qVec), planes))
+    val cB = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+      .withColumn("__bucket", signLshBucket(col("__cv"), planes))
+    val qBase = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
+      .withColumn("__b0", signLshBucket(col("__qv"), planes))
     // multi-probe: also probe the `planes` buckets at hamming distance 1
     val qB =
       if (!multiProbe) qBase.withColumn("__bucket", col("__b0"))
@@ -85,12 +88,14 @@ object Vectors {
             i => col("__b0").bitwiseXOR(pow(lit(2.0), i).cast("long"))))))
 
     val joined = qB.join(cB, Seq("__bucket"))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
-    joined.select(col(qId), col(cId), col("cosine")).distinct()
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)
+    joined.select(col("__qid"), col("__cid"), col("cosine")).distinct()
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("__rn").as("rank"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"),
+        col("__rn").as("rank"))
   }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming semantics (SURVEY §2.9) — its pipelines are
+  * finite iterators. This module is the additive streaming extension: the
+  * batch operators re-expressed over unbounded input with watermarks, plus
+  * `foreachBatch` bridges so the dimensional operators (ensure/scdensure —
+  * inherently stateful merges) run per micro-batch.
+  */
+object Streaming {
+
+  /** Windowed event-time aggregation with late-data handling: the streaming
+    * twin of the `stream_window_agg` batch query (same plan shape, plus
+    * watermark state eviction).
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, watermark: String,
+                  window_ : String, groupCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart") +: groupCols.map(col) :+
+        col("n") :+ col("value_sum"): _*)
+
+  /** Gap-based sessionization on a stream (session_window + watermark). */
+  def sessionize(events: DataFrame, tsCol: String, watermark: String,
+                 gap: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+
+  /** Run a dimensional merge per micro-batch: the streaming form of
+    * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
+    * foreachBatch). `merge` receives each micro-batch DataFrame; dimension
+    * state lives in the table object across batches.
+    */
+  def foreachBatchMerge(stream: DataFrame, merge: DataFrame => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], _: Long) => merge(batch))
+
+  /** Drive a streaming query over a bounded source to completion (test/batch
+    * replay harness): process everything available, then stop.
+    */
+  def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

@@ -204,7 +204,7 @@ class ScdDimension(
     val toOk = col("__to").isNull || col("__to") <=> maxTo ||
       (if (toInclusive) whenCol <= col("__to") else whenCol < col("__to"))
     val joinCond = lookupatts.map(a => df(a) <=> dim(a)).reduce(_ && _) && fromOk && toOk
-    val joined = df.join(dim, joinCond, "left").drop(dim.columns.filter(lookupatts.contains): _*)
+    val joined = lookupatts.foldLeft(df.join(dim, joinCond, "left"))((d, a) => d.drop(dim(a)))
     // newest matching version wins on overlap
     val w = Window.partitionBy(df.columns.map(df(_)): _*).orderBy(col("__ver").desc_nulls_last)
     joined.withColumn("__arn", row_number().over(w)).filter(col("__arn") === 1)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, TextAnalysis, Vectors}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = table("documents").cache()
+
+  test("exact dedup keeps lowest doc_id per duplicate group") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  World!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L)) // 2 is a normalized duplicate of 1
+  }
+
+  test("minhash pairs == exact jaccard pairs at threshold (high-recall bands)") {
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: brute-force 3-gram jaccard
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+    val exact = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("s").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash: identical docs collide, near-identical docs are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about database engines and queries"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 3)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash near-dup detection on the corpus approximates jaccard dups") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+    val strong = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("s").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("j") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // strong near-dups should mostly be caught (recall >= 0.7 on this corpus)
+    if (strong.nonEmpty) {
+      val recall = strong.count(pairs.contains).toDouble / strong.size
+      assert(recall >= 0.7, s"simhash recall $recall too low")
+    }
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    import spark.implicits._
+    val df = Seq(("a b c d e", "a b c d e", "v w x y z")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.ngramJaccard(col("t1"), col("t2")).as("same"),
+      Dedup.ngramJaccard(col("t1"), col("t3")).as("diff")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("cosine LSH near-dup pairs are a subset of brute-force pairs") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val lsh = Dedup.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.95, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("c", Vectors.cosine(col("va"), col("vb")))
+      .filter(col("c") >= 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // LSH has exact verification -> perfect precision
+    if (brute.nonEmpty) {
+      val recall = brute.count(lsh.contains).toDouble / brute.size
+      assert(recall >= 0.4, s"sign-LSH recall $recall too low for 4 planes")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  /** events with micros timestamps staged to a local dir for readStream */
+  private lazy val stagedDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed agg equals the batch windowed agg") {
+    val batch = spark.read.parquet(stagedDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(stagedDir)
+
+    val agg = Streaming.windowedAgg(stream, "ts", "10 minutes", "1 hour", Seq("event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // with AvailableNow the final watermark closes all windows except the
+    // last ones; compare on the windows the stream emitted
+    val streamed = spark.table("stream_out")
+      .select("wstart", "event_type", "n", "value_sum").collect()
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("value_sum"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    assert(streamed.nonEmpty, "stream emitted no finalized windows")
+    streamed.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      assert(expected.contains(key), s"unexpected window $key")
+      assert(expected(key)._1 == r.getLong(2), s"count mismatch for $key")
+    }
+  }
+
+  test("foreachBatch scdensure merges micro-batches into the dimension") {
+    import graft.tables._
+    val batchDf = spark.read.parquet(stagedDir)
+    val dim = new ScdDimension("stream_scd", "user_key",
+      Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
+      Seq("user_id"), "version", "valid_from", "valid_to",
+      maxTo = lit(null).cast("timestamp"))
+    dim.init(batchDf.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
+      lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
+
+    val stream = spark.readStream.schema(batchDf.schema).parquet(stagedDir)
+    val writer = Streaming.foreachBatchMerge(
+      stream.select(col("user_id"), col("event_type"), col("ts")),
+      batch => if (!batch.isEmpty) { dim.scdensure(batch, col("ts")); () })
+    Streaming.runToCompletion(writer)
+
+    val d = dim.current
+    assert(d.count() > 0)
+    assert(d.filter(col("valid_to").isNull).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+class VectorsSpec extends SparkSpec {
+
+  test("dot / norm / cosine match manual computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(col("a"), col("b")).as("d"),
+      Vectors.norm(col("a")).as("n"),
+      Vectors.cosine(col("a"), col("b")).as("c"),
+      Vectors.euclidean(col("a"), col("b")).as("e")).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(27.0)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = Vectors.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "v", "vec_id", "v", k = 3).cache()
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
+    // ranks are 1..3 and cosine non-increasing within query
+    val bad = out.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx")).filter(col("mn") =!= 1 || col("mx") =!= 3)
+    assert(bad.count() == 0)
+  }
+
+  test("ANN top-1 recall vs brute force is usable (multi-probe sign-LSH)") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 50)
+    val brute = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Vectors.annTopK(q, e, "vec_id", "v", "vec_id", "v", k = 1, planes = 4)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (qid, nid) => ann.get(qid).contains(nid) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN top-1 recall $recall too low")
+  }
+}

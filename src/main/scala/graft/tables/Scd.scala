@@ -196,19 +196,26 @@ class ScdDimension(
     */
   def lookupAsOf(df: DataFrame, whenCol: Column,
                  fromInclusive: Boolean = true, toInclusive: Boolean = false): DataFrame = {
+    // Rename the dimension's join columns so probe and dimension attributes
+    // can never collide — the probe may itself derive from this dimension
+    // (self-join lineage). A synthetic row id keys the newest-version window
+    // (cheaper than partitioning by every probe column, and unambiguous).
+    val in = df.withColumn("__rowid", monotonically_increasing_id())
     val dim = dimForJoin.select(
-      (key +: lookupatts).map(col) ++
-        Seq(col(fromatt).as("__from"), col(toatt).as("__to"), col(versionatt).as("__ver")): _*)
+      col(key).as("__asof_key") +:
+        lookupatts.map(a => col(a).as(s"__lk_$a")) :+
+        col(fromatt).as("__from") :+ col(toatt).as("__to") :+ col(versionatt).as("__ver"): _*)
     val fromOk = col("__from").isNull ||
       (if (fromInclusive) col("__from") <= whenCol else col("__from") < whenCol)
     val toOk = col("__to").isNull || col("__to") <=> maxTo ||
       (if (toInclusive) whenCol <= col("__to") else whenCol < col("__to"))
-    val joinCond = lookupatts.map(a => df(a) <=> dim(a)).reduce(_ && _) && fromOk && toOk
-    val joined = lookupatts.foldLeft(df.join(dim, joinCond, "left"))((d, a) => d.drop(dim(a)))
+    val joinCond = lookupatts.map(a => in(a) <=> col(s"__lk_$a")).reduce(_ && _) && fromOk && toOk
+    val joined = in.join(dim, joinCond, "left")
     // newest matching version wins on overlap
-    val w = Window.partitionBy(df.columns.map(df(_)): _*).orderBy(col("__ver").desc_nulls_last)
+    val w = Window.partitionBy(col("__rowid")).orderBy(col("__ver").desc_nulls_last)
     joined.withColumn("__arn", row_number().over(w)).filter(col("__arn") === 1)
-      .drop("__arn", "__from", "__to", "__ver")
-      .withColumn(key, coalesce(col(key), lit(defaultIdValue)))
+      .withColumn(key, coalesce(col("__asof_key"), lit(defaultIdValue)))
+      .drop("__arn", "__from", "__to", "__ver", "__rowid", "__asof_key")
+      .drop(lookupatts.map(a => s"__lk_$a"): _*)
   }
 }

@@ -428,9 +428,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .withColumn("na", Vectors.norm(col("va")))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nb", Vectors.norm(col("vb")))
       a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+        .withColumn("cosine", Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)
         .select(col("id_a"), col("id_b"), dround(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))

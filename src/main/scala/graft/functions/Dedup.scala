@@ -42,8 +42,7 @@ object Dedup {
     * higher-order functions.
     */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    graft.plans.NativeFunctions.minhashSignature(shingleCol, k)
 
   /** LSH band keys: hash each of `bands` contiguous signature slices. Two
     * docs sharing any band key are candidates. b bands of r rows tune the
@@ -111,18 +110,8 @@ object Dedup {
     * bit. Built entirely from `aggregate`/`zip_with`/`transform` — single
     * pass, no explode, no shuffle.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (x, y) => x + y))
-    // assemble MSB-first with shiftleft (no ANSI overflow check — the sign
-    // bit is data here, not magnitude)
-    aggregate(reverse(votes), lit(0L),
-      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
-  }
+  def simhash(text: Column): Column =
+    graft.plans.NativeFunctions.simhash64(TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhashes via their bit expansion. */
   def hamming64(a: Column, b: Column): Column =

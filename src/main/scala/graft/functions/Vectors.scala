@@ -14,12 +14,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Native codegen'd dot product (graft.plans.DotProduct) — identical
+    * left-to-right accumulation to the HOF formulation it replaces.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.NativeFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** cosine with precomputed norms: mathematically and bit-identically the
+    * same as [[cosine]] (sqrt(dot(v,v)) is the same double whether computed
+    * inline or staged in a column), but O(pairs) work drops to one dot.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = dot(a, b) / (na * nb)
 
   def euclidean(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, v) => s + v))
@@ -33,10 +41,12 @@ object Vectors {
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
     val q = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val joined = q.crossJoin(broadcast(c))
       .filter(col("__qid") =!= col("__cid"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
@@ -76,8 +86,10 @@ object Vectors {
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val cB = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
       .withColumn("__bucket", signLshBucket(col("__cv"), planes))
     val qBase = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
       .withColumn("__b0", signLshBucket(col("__qv"), planes))
     // multi-probe: also probe the `planes` buckets at hamming distance 1
     val qB =
@@ -89,7 +101,7 @@ object Vectors {
 
     val joined = qB.join(cB, Seq("__bucket"))
       .filter(col("__qid") =!= col("__cid"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)
     joined.select(col("__qid"), col("__cid"), col("cosine")).distinct()
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * The higher-order-function formulations (`aggregate`/`zip_with`/
+  * `transform`) are interpreted per element — fine for plumbing, ruinous in
+  * an O(pairs) similarity join. These expressions evaluate as tight Java
+  * loops (DotProduct additionally generates code into the whole-stage-codegen
+  * pipeline) while producing bit-identical results to the HOF versions they
+  * replace, so DuckDB-oracle parity is preserved.
+  */
+
+/** Left-to-right dot product over two array<double> columns — identical
+  * accumulation order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature: sig[i] = min over shingles s of xxhash64(s, i) — the
+  * native form of `transform(sequence(0,k-1), i -> array_min(transform(sh,
+  * s -> xxhash64(s, i))))`, hashing each shingle once and updating all k
+  * minima in a single pass (k× fewer UTF8 hashes than the HOF version).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      // xxhash64(s, i) == hash(i, IntegerType, hash(s, StringType, 42))
+      val base = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+      var i = 0
+      while (i < k) {
+        val h = XxHash64Function.hash(i, IntegerType, base)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash: 64-bit fingerprint where bit j is the sign of the ±1 votes of
+  * bit j of each token's xxhash64 — native form of the aggregate/zip_with
+  * vote accumulation, one hash per token.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < m) {
+      val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var res = 0L
+    var j = 63
+    while (j >= 0) {
+      res = (res << 1) | (if (votes(j) > 0) 1L else 0L)
+      j -= 1
+    }
+    res
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column wrappers + SQL registration. */
+object NativeFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** inputs are cast to array<double> here — the expression itself assumes
+    * its operand types (no ImplicitCastInputTypes: AbstractDataType is
+    * private[sql])
+    */
+  def dot(a: Column, b: Column): Column =
+    col(DotProduct(expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
+  def minhashSignature(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+
+  /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_dot",
+      es => DotProduct(es.head, es(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "built-in")
+  }
+}

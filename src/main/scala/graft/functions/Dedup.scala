@@ -16,14 +16,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** word n-gram shingles of the normalized text (distinct) */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** word n-gram shingles of the normalized text (distinct; native one-pass
+    * expression — see graft.plans.NgramShingles)
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.NativeFunctions.ngramShingles(TextAnalysis.tokens(text), n)
 
   /** Exact dedup: keep the first document (min orderCol) per identical
     * normalized content; hash-groupBy on the md5 fingerprint — one shuffle
@@ -93,10 +90,15 @@ object Dedup {
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida"), col("__idb")).distinct()
 
-    val sh = withSig.select(col(idCol), col("__sh"))
+    // Verification prefilter: the signature match fraction is an unbiased
+    // estimate of Jaccard with sd <= 1/(2*sqrt(k)); cutting at threshold/2
+    // keeps every true pair (>= 6 sigma at k=64) while skipping the exact
+    // shingle-set intersection for the hopeless bulk of candidates.
+    val sh = withSig.select(col(idCol), col("__sh"), col("__sig"))
     val verified = candidates
-      .join(sh.select(col(idCol).as("__ida"), col("__sh").as("__sha")), Seq("__ida"))
-      .join(sh.select(col(idCol).as("__idb"), col("__sh").as("__shb")), Seq("__idb"))
+      .join(sh.select(col(idCol).as("__ida"), col("__sh").as("__sha"), col("__sig").as("__siga")), Seq("__ida"))
+      .join(sh.select(col(idCol).as("__idb"), col("__sh").as("__shb"), col("__sig").as("__sigb")), Seq("__idb"))
+      .filter(graft.plans.NativeFunctions.sigMatchFraction(col("__siga"), col("__sigb")) >= threshold / 2)
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
           size(array_union(col("__sha"), col("__shb"))).cast("double"))

@@ -128,6 +128,69 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles over a token array: shingle i = tokens[i..i+n-1]
+  * joined by a single space; if fewer than n tokens, one shingle of all
+  * tokens. Distinct, order-preserving on first occurrence — identical to the
+  * HOF `transform(sequence, i -> concat_ws(" ", slice(...)))` +
+  * `array_distinct` chain it replaces, evaluated as one pass.
+  */
+case class NgramShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = toks.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+    } else {
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays agree — the
+  * signature-similarity estimate used to prefilter MinHash candidate pairs
+  * before the exact (expensive) shingle-set Jaccard.
+  */
+case class SigMatchFraction(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sigmatch"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers + SQL registration. */
 object NativeFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -142,6 +205,8 @@ object NativeFunctions {
     col(DotProduct(expr(a.cast("array<double>")), expr(b.cast("array<double>"))))
   def minhashSignature(shingles: Column, k: Int): Column = col(MinHashSignature(expr(shingles), k))
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+  def ngramShingles(tokens: Column, n: Int): Column = col(NgramShingles(expr(tokens), n))
+  def sigMatchFraction(a: Column, b: Column): Column = col(SigMatchFraction(expr(a), expr(b)))
 
   /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
   def register(spark: SparkSession): Unit = {

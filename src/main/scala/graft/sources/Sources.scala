@@ -27,8 +27,9 @@ object Sources {
     * casts; cast failure → NULL (the reference's cast-or-default, default
     * handled by Converters downstream).
     */
-  def typedCsv(spark: SparkSession, path: String, schema: StructType, delimiter: String = ","): DataFrame =
-    spark.read.option("header", "true").option("delimiter", delimiter)
+  def typedCsv(spark: SparkSession, path: String, schema: StructType,
+               delimiter: String = ",", header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("delimiter", delimiter)
       .option("mode", "PERMISSIVE").schema(schema).csv(path)
 
   /** SQLSource (reference: datasources.py:135-217): one SQL query as a source

@@ -1,0 +1,41 @@
+package graft.steps
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Step-pipeline combinators.
+  *
+  * Reference: pygrametl/steps.py — a push-based row pipeline where each
+  * `Step` processes one row and forwards it. In a lazy plan engine the
+  * pipeline IS the plan: chaining transformations composes steps, and the
+  * runtime plumbing (`Step`/`connectsteps`/`_redirect`, steps.py:51-169)
+  * disappears. What remains semantically is routing and fan-out.
+  */
+object Steps {
+
+  /** ConditionalStep (steps.py:390-422): route rows into a true branch and a
+    * false branch (the reference can discard the false branch — just drop it).
+    */
+  def conditional(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!pred))
+
+  /** CopyStep (steps.py:425-461): feed the same rows to several downstream
+    * pipelines. Lazy plans share the scan for free; cache when more than two
+    * consumers would otherwise rescan an expensive upstream.
+    */
+  def copyTo(df: DataFrame, consumers: Seq[DataFrame => DataFrame],
+             cache: Boolean = false): Seq[DataFrame] = {
+    val src = if (cache) df.cache() else df
+    consumers.map(f => f(src))
+  }
+
+  /** MappingStep with requiretargets=false tolerance (steps.py:172-204):
+    * apply per-column fns, skipping columns the frame doesn't have.
+    */
+  def mapping(df: DataFrame, fns: Map[String, Column => Column]): DataFrame =
+    fns.filter { case (c, _) => df.columns.contains(c) }
+      .foldLeft(df) { case (d, (c, f)) => d.withColumn(c, f(org.apache.spark.sql.functions.col(c))) }
+
+  /** chain of whole-frame transforms (the pipeline itself) */
+  def pipeline(df: DataFrame, steps: (DataFrame => DataFrame)*): DataFrame =
+    steps.foldLeft(df)((d, f) => f(d))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Sources, Writers}
+import graft.steps.Steps
+import graft.tables.Partitioners
+
+class StepsWritersSpec extends SparkSpec {
+
+  test("conditional step routes rows to true/false branches") {
+    val (hi, lo) = Steps.conditional(table("orders"), col("o_totalprice") > 250000)
+    assert(hi.count() + lo.count() == table("orders").count())
+    assert(hi.filter(col("o_totalprice") <= 250000).count() == 0)
+  }
+
+  test("copy step fans out to multiple consumers") {
+    val outs = Steps.copyTo(table("nation"), Seq(
+      _.select("n_name"),
+      _.groupBy("n_regionkey").count()))
+    assert(outs(0).count() == 25 || outs(0).count() > 0)
+    assert(outs(1).columns.contains("count"))
+  }
+
+  test("mapping step skips absent columns (requiretargets=false)") {
+    val out = Steps.mapping(table("nation"),
+      Map("n_name" -> (c => lower(c)), "absent_col" -> (c => c)))
+    assert(out.filter(col("n_name") =!= lower(col("n_name"))).count() == 0)
+  }
+
+  test("csv round trip: bulkCsv write + typedCsv read") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString + "/out"
+    val src = table("nation")
+    Writers.bulkCsv(src, dir, fieldSep = ";")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = Sources.typedCsv(spark, dir, schema, delimiter = ";", header = false)
+    assert(back.count() == src.count())
+    assert(back.select(sum("n_nationkey")).head().getLong(0) ==
+      src.select(sum("n_nationkey")).head().getLong(0))
+  }
+
+  test("delimited rendering uses fieldsep and nullsubst") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("a", "b")
+    val lines = Writers.delimited(df, "|", "NULLSUB").collect().map(_.getString(0)).toSet
+    assert(lines == Set("1|NULLSUB", "2|x"))
+  }
+
+  test("foreachPartition sink consumes every row") {
+    val acc = spark.sparkContext.longAccumulator("rows")
+    Writers.foreachPartitionSink(table("customer"))(it => it.foreach(_ => acc.add(1)))
+    assert(acc.value == table("customer").count())
+  }
+
+  test("partitioners co-locate by key") {
+    val df = Partitioners.byLookupAtts(table("orders"), Seq("o_custkey"), 8)
+    assert(df.rdd.getNumPartitions == 8)
+    // all rows of one key land in one partition
+    val parts = df.select(col("o_custkey"), spark_partition_id().as("p"))
+      .groupBy("o_custkey").agg(count_distinct(col("p")).as("np"))
+      .filter(col("np") =!= 1).count()
+    assert(parts == 0)
+  }
+
+  test("salted partitioner bounds each salt bucket") {
+    val salted = Partitioners.salted(table("lineitem"), "l_returnflag", 8)
+    assert(salted.select("__salt").distinct().count() <= 8)
+  }
+}

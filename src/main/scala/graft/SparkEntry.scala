@@ -289,9 +289,10 @@ object SparkEntry {
     "dim_ensure" -> ((s, dir) => {
       val part = t(s, dir, "part")
       val dim = new Dimension("brand_dim", "brand_key", Seq("p_brand"), Seq("p_brand"))
-      val seed = part.filter(col("p_size") < 25).select(col("p_brand")).distinct()
-        .withColumn("brand_key", dense_rank().over(Window.orderBy(col("p_brand"))).cast("long"))
-      dim.init(seed.select(col("brand_key"), col("p_brand")))
+      dim.init(part.select(lit(0L).as("brand_key"), col("p_brand")).limit(0))
+      // seed batch, then the full load — two sequential ensures; keys stay
+      // dense in p_brand order (dense_rank equivalence on distinct members)
+      dim.ensure(part.filter(col("p_size") < 25).select(col("p_brand")))
       dim.ensure(part.select(col("p_partkey"), col("p_brand")))
         .select(col("p_partkey"), col("brand_key"), col("p_brand"))
         .orderBy(col("p_partkey"))

@@ -90,13 +90,16 @@ object Sources {
   /** HashJoiningSource (reference: datasources.py:296-332): equi inner join,
     * `src2`'s columns overwrite `src1`'s on name collision. The reference
     * builds an in-memory hash multimap of src2 — the broadcast hash join is
-    * the distributed form of exactly that.
+    * the distributed form of exactly that, but only when src2 is actually
+    * small (size-gated; an unbounded src2 takes a shuffle join, which the
+    * reference's in-memory multimap simply could not do).
     */
   def hashJoining(src1: DataFrame, key1: String, src2: DataFrame, key2: String): DataFrame = {
     val overlap = src2.columns.toSet.intersect(src1.columns.toSet) - key1
     val left = overlap.foldLeft(src1)((d, c) => d.drop(c)) // src2 wins on collision
-    if (key1 == key2) left.join(broadcast(src2), Seq(key1), "inner")
-    else left.join(broadcast(src2), left(key1) === src2(key2), "inner")
+    val right = graft.core.Joins.maybeBroadcast(src2)
+    if (key1 == key2) left.join(right, Seq(key1), "inner")
+    else left.join(right, left(key1) === src2(key2), "inner")
   }
 
   /** MergeJoiningSource (reference: datasources.py:335-401): equi join of two

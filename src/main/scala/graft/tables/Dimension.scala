@@ -23,11 +23,28 @@ trait ManagedTable {
   * tables.py:245-264; `ensure` = lookup-or-insert, tables.py:374-398). Here
   * every operation is set-oriented: `lookup` is a left join, `ensure` is an
   * anti-join + key assignment + union — same semantics, one shuffle instead
-  * of N round trips, and the dimension side is broadcast when small.
+  * of N round trips.
+  *
+  * Scale design:
+  *  - Lookup joins broadcast the dimension only when Catalyst's size estimate
+  *    is under [[graft.core.Joins.BroadcastThresholdBytes]]; larger dims take
+  *    a shuffle hash/sort-merge join (AQE may still convert at runtime).
+  *  - Mutations materialize their state via `localCheckpoint` (when
+  *    `autoCheckpoint`, the default): append paths checkpoint only the keyed
+  *    delta, rewrite paths checkpoint the new state. Without this, K
+  *    sequential ensure/scdensure batches stack K plan layers and every
+  *    `currentMaxKey` action re-executes the whole lineage — O(K²) work (the
+  *    steady state of a streaming foreachBatch merge). With it each batch
+  *    costs O(delta) or O(state). For durability across executor loss use
+  *    `save()`/`init()` parquet swaps at commit points — localCheckpoint
+  *    trades fault-tolerance for speed, exactly right for intra-load state.
+  *  - `currentMaxKey` is tracked incrementally: key assignment bumps it from
+  *    the materialized delta instead of re-scanning (let alone re-computing)
+  *    the full table.
   *
   * Caching subsumption: `CachedDimension`/`BulkDimension`'s FIFO caches
-  * (tables.py:549-616, 2777-2984) map to `.cache()` + broadcast joins — set
-  * `broadcastLookups=true` (default) for the classic small-dim case.
+  * (tables.py:549-616, 2777-2984) map to materialized state + (size-aware)
+  * broadcast joins.
   */
 class Dimension(
     val name: String,
@@ -35,12 +52,14 @@ class Dimension(
     val attributes: Seq[String],
     val lookupatts: Seq[String],
     val defaultIdValue: Long = -1L,
-    val keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner,
+    val keyAssigner: KeyAssigner = DistributedDenseAssigner,
     val broadcastLookups: Boolean = true,
-    val cacheState: Boolean = false
+    val cacheState: Boolean = false,
+    val autoCheckpoint: Boolean = true
 ) extends ManagedTable {
 
   protected var state: DataFrame = _
+  protected var knownMaxKey: Option[Long] = None
 
   def allColumns: Seq[String] = key +: attributes
 
@@ -48,6 +67,7 @@ class Dimension(
   def init(df: DataFrame): this.type = {
     state = df.select(allColumns.map(col): _*)
     if (cacheState) state = state.cache()
+    knownMaxKey = None
     this
   }
 
@@ -56,12 +76,19 @@ class Dimension(
 
   def current: DataFrame = state
 
-  protected def dimForJoin: DataFrame = if (broadcastLookups) broadcast(state) else state
+  /** Materialize a mutation product, truncating lineage (no-op when
+    * autoCheckpoint is off — then the caller owns persistence).
+    */
+  protected def materialize(df: DataFrame): DataFrame =
+    if (autoCheckpoint) df.localCheckpoint(true) else df
+
+  protected def dimForJoin: DataFrame =
+    if (broadcastLookups) graft.core.Joins.maybeBroadcast(state) else state
 
   /** Bulk lookup: resolve the surrogate key for every input row by equi-join
     * on lookupatts; misses get `defaultIdValue`.
     * Reference: tables.py:245-264 (one SELECT per row; cache probe first).
-    * The broadcast join IS the cache — shipped once per executor.
+    * The (size-gated) broadcast join IS the cache — shipped once per executor.
     */
   def lookup(df: DataFrame, namemapping: Map[String, String] = Map.empty): DataFrame = {
     val in = graft.core.Nm.applyMapping(df, namemapping)
@@ -88,8 +115,10 @@ class Dimension(
   def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
     val in = graft.core.Nm.applyMapping(df, namemapping).select(attributes.map(col): _*)
     val maxKey = currentMaxKey
-    val keyed = keyAssigner.assign(in, key, maxKey, lookupatts.map(col))
-    state = state.unionByName(keyed.select(allColumns.map(col): _*))
+    val keyed = materialize(
+      keyAssigner.assign(in, key, maxKey, lookupatts.map(col)).select(allColumns.map(col): _*))
+    state = state.unionByName(keyed)
+    bumpMaxKey(keyed)
     this
   }
 
@@ -100,17 +129,32 @@ class Dimension(
   def update(updates: DataFrame): this.type = {
     val u = updates.select((key +: updates.columns.filter(attributes.contains).toSeq).distinct.map(col): _*)
     val renamed = u.columns.filterNot(_ == key).foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
-    val merged = state.join(broadcast(renamed), Seq(key), "left")
+    val merged = state.join(graft.core.Joins.maybeBroadcast(renamed), Seq(key), "left")
     val cols = allColumns.map { c =>
       if (renamed.columns.contains(s"__u_$c")) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
     }
-    state = merged.select(cols: _*)
+    state = materialize(merged.select(cols: _*)) // keys unchanged: knownMaxKey stands
     this
   }
 
-  protected def currentMaxKey: Long = {
-    val r = state.agg(max(col(key))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+  /** Max assigned key. Tracked incrementally across mutations; the fallback
+    * scan runs over materialized (checkpointed) state, never a stacked
+    * lineage.
+    */
+  protected def currentMaxKey: Long = knownMaxKey.getOrElse {
+    val r = state.agg(max(col(key).cast("long"))).head()
+    val m = if (r.isNullAt(0)) 0L else r.getLong(0)
+    knownMaxKey = Some(m)
+    m
+  }
+
+  /** All assigners hand out keys strictly above maxExisting, so the new
+    * global max is the delta's max (delta is materialized → cheap scan).
+    */
+  protected def bumpMaxKey(keyedDelta: DataFrame): Unit = {
+    val r = keyedDelta.agg(max(col(key).cast("long"))).head()
+    if (!r.isNullAt(0))
+      knownMaxKey = Some(math.max(knownMaxKey.getOrElse(0L), r.getLong(0)))
   }
 
   /** ensure: bulk lookup-or-insert. New members (anti-join on lookupatts,
@@ -146,10 +190,11 @@ class Dimension(
     val newMembers = firstPerMember.join(dimForJoin.select(lookupatts.map(col): _*), lookupatts, "left_anti")
     val expanded = rowexpander(newMembers)
     val maxKey = currentMaxKey
-    val keyed = keyAssigner.assign(expanded, key, maxKey, lookupatts.map(col))
+    val keyed = materialize(
+      keyAssigner.assign(expanded, key, maxKey, lookupatts.map(col)).select(allColumns.map(col): _*))
 
-    state = state.unionByName(keyed.select(allColumns.map(col): _*))
-    if (cacheState) state = state.cache()
+    state = state.unionByName(keyed)
+    bumpMaxKey(keyed)
 
     // resolve keys for the full input (hits old + new members)
     in.join(dimForJoin.select((key +: lookupatts).map(col): _*), lookupatts, "left")

@@ -45,3 +45,28 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
     newMembers.withColumn(keyCol, monotonically_increasing_id() + lit(base))
   }
 }
+
+/** Dense, deterministic keys WITHOUT the single-partition window: range-
+  * repartition on `orderBy`, sort within partitions (global order), then
+  * `zipWithIndex` — key = maxExisting + 1 + global position. Produces exactly
+  * the keys `MaxPlusRowNumberAssigner` would (row_number over the global
+  * order) but stays parallel: zipWithIndex runs one lightweight count job per
+  * batch instead of funnelling every row through one WindowExec partition.
+  * This is the default assigner — dense like the reference's MAX(key)+1
+  * counter (pygrametl/tables.py:234-243), scale-safe like its interval scheme.
+  */
+object DistributedDenseAssigner extends KeyAssigner {
+  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame = {
+    val spark = newMembers.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = newMembers.repartitionByRange(parts, orderBy.map(_.asc): _*)
+      .sortWithinPartitions(orderBy.map(_.asc): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxExisting + i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Joins
+
 /** Type-1 slowly changing dimension: overwrite in place.
   *
   * Reference: pygrametl/tables.py:689-902 (`TypeOneSlowlyChangingDimension
@@ -19,7 +21,7 @@ class TypeOneScdDimension(
     lookupatts: Seq[String],
     val type1atts: Seq[String],
     defaultIdValue: Long = -1L,
-    keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner
+    keyAssigner: KeyAssigner = DistributedDenseAssigner
 ) extends Dimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner) {
 
   /** scdensure: apply a batch of updates; `orderCol` decides which update is
@@ -37,11 +39,11 @@ class TypeOneScdDimension(
     // existing members: overwrite type-1 attributes with latest values
     val upd = latest.select((lookupatts ++ type1atts).map(col): _*)
     val renamed = type1atts.foldLeft(upd)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
-    val merged = state.join(broadcast(renamed), lookupatts, "left")
+    val merged = state.join(Joins.maybeBroadcast(renamed), lookupatts, "left")
     val cols = allColumns.map { c =>
       if (type1atts.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
     }
-    state = merged.select(cols: _*)
+    state = materialize(merged.select(cols: _*)) // keys unchanged
     lookup(updates)
   }
 }
@@ -64,6 +66,18 @@ class TypeOneScdDimension(
   *     previously-open current version at the first new `from`;
   *  5. union surviving old rows + closed rows + new versions; assign keys to
   *     new rows only.
+  *
+  * Fidelity knobs (reference tables.py:1046-1109, 1274-1421, 1486-1528):
+  *  - `orderingatt`: explicit newest-version ordering override; the reference
+  *    falls back versionatt → toatt → fromatt, with NULL ranked greatest for
+  *    toatt (open interval = newest) and smallest for fromatt.
+  *  - `minFrom`: the first version of a brand-new member gets this as its
+  *    `fromatt` instead of its change time (the reference's `minfrom`,
+  *    tables.py:1311-1318; pass `Some(lit(null))` for the `(None,)` hack).
+  *  - `type1LatestOnly`: type-1 attributes whose updates touch only the
+  *    newest version (the reference's `(att, False)` tuples feeding
+  *    `type1attsupdateall`, tables.py:1076-1085, 1486-1508); all other
+  *    type1atts propagate to every version of the member.
   */
 class ScdDimension(
     name: String,
@@ -76,7 +90,10 @@ class ScdDimension(
     val maxTo: Column = lit(null),
     val type1atts: Seq[String] = Nil,
     defaultIdValue: Long = -1L,
-    keyAssigner: KeyAssigner = MaxPlusRowNumberAssigner
+    keyAssigner: KeyAssigner = DistributedDenseAssigner,
+    val orderingatt: Option[String] = None,
+    val minFrom: Option[Column] = None,
+    val type1LatestOnly: Set[String] = Set.empty
 ) extends Dimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner) {
 
   /** attributes versioned under type-2 semantics */
@@ -85,11 +102,28 @@ class ScdDimension(
 
   private def neqNullSafe(a: Column, b: Column): Column = !(a <=> b)
 
+  /** Newest-version ordering (reference keylookupsql ORDER BY,
+    * tables.py:1104-1109): orderingatt override with the reference's NULL
+    * ranking, else versionatt descending.
+    */
+  protected def newestFirst(c: String => Column): Column = orderingatt match {
+    case Some(a) if a == toatt   => c(a).desc_nulls_first // NULL to = open = newest
+    case Some(a) if a == fromatt => c(a).desc_nulls_last
+    case Some(a)                 => c(a).desc
+    case None                    => c(versionatt).desc
+  }
+
   /** Batch scdensure. `updates` must carry lookupatts, type2atts, type1atts
     * and a change timestamp selected by `fromCol` (the reference's
     * `fromfinder`/`srcdateatt`, tables.py:1306-1326, 1349-1368).
+    *
+    * `newVersionOnNewFrom` reproduces the reference's `srcdateatt` semantics
+    * (tables.py:1349-1368): when set, a row whose `fromCol` differs from the
+    * current version's `fromatt` forces a new version even if every compared
+    * attribute is unchanged (a new source date IS a change).
     */
-  def scdensure(updates: DataFrame, fromCol: Column): DataFrame = {
+  def scdensure(updates: DataFrame, fromCol: Column,
+                newVersionOnNewFrom: Boolean = false): DataFrame = {
     val lk = lookupatts.map(col)
     val valueAtts = type2atts ++ type1atts
 
@@ -97,29 +131,36 @@ class ScdDimension(
 
     val wAsc = Window.partitionBy(lk: _*).orderBy(col(fromatt).asc)
 
-    // 2a. drop consecutive duplicates within the batch (type-2 atts unchanged)
-    val changeFlag = type2atts
-      .map(a => neqNullSafe(col(a), lag(col(a), 1).over(wAsc)))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // 2a. drop consecutive duplicates within the batch (type-2 atts unchanged;
+    //     under srcdate semantics a changed from-date is itself a change)
+    val type2Flags = type2atts.map(a => neqNullSafe(col(a), lag(col(a), 1).over(wAsc)))
+    val fromFlag = if (newVersionOnNewFrom)
+      Seq(neqNullSafe(col(fromatt), lag(col(fromatt), 1).over(wAsc))) else Nil
+    val changeFlag = (type2Flags ++ fromFlag).reduceOption(_ || _).getOrElse(lit(false))
     val deduped = in
       .withColumn("__rn", row_number().over(wAsc))
       .withColumn("__chg", col("__rn") === 1 || changeFlag)
       .filter(col("__chg")).drop("__chg")
 
     // current version per member in the existing dimension
-    val wCur = Window.partitionBy(lk: _*).orderBy(col(versionatt).desc)
+    val wCur = Window.partitionBy(lk: _*).orderBy(newestFirst(col))
     val dimCur = state
       .withColumn("__crn", row_number().over(wCur)).filter(col("__crn") === 1).drop("__crn")
     val curSide = dimCur.select(
       lk ++ type2atts.map(a => col(a).as(s"__cur_$a")) :+
-        col(versionatt).as("__cur_ver") :+ col(toatt).as("__cur_to"): _*)
+        col(versionatt).as("__cur_ver") :+ col(toatt).as("__cur_to") :+
+        col(fromatt).as("__cur_from"): _*)
 
     // 2b. drop the first batch row when equal to the member's current version
     //     (a manually-closed current version — toatt != maxTo — always forces
-    //     a new version, reference tables.py:1340-1344)
-    val sameAsCur = type2atts
+    //     a new version, reference tables.py:1340-1344; under srcdate
+    //     semantics a differing from-date also forces one)
+    val sameType2 = type2atts
       .map(a => col(a) <=> col(s"__cur_$a"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    val sameAsCur =
+      if (newVersionOnNewFrom) sameType2 && (col(fromatt) <=> col("__cur_from"))
+      else sameType2
     val newRows = deduped.join(curSide, lookupatts, "left")
       .filter(col("__cur_ver").isNull || col("__rn") > 1 ||
         !(sameAsCur && col("__cur_to") <=> maxTo))
@@ -129,14 +170,22 @@ class ScdDimension(
     val versioned = newRows
       .withColumn(versionatt, coalesce(col("__cur_ver"), lit(0)) + row_number().over(wNew))
       .withColumn(toatt, coalesce(lead(col(fromatt), 1).over(wNew), maxTo))
-      .withColumn("__first_from", first(col(fromatt)).over(
-        wNew.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+
+    // minfrom: a brand-new member's first version opens at minFrom, not at its
+    // change time (tables.py:1311-1318). Applied after interval computation so
+    // the NEXT version still closes at the real change time.
+    val withMin = minFrom match {
+      case Some(mf) => versioned.withColumn(fromatt,
+        when(col(versionatt) === 1, mf.cast(versioned.schema(fromatt).dataType))
+          .otherwise(col(fromatt)))
+      case None => versioned
+    }
 
     val firstNewFrom = versioned
       .groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
 
     // 5a. close previously-open current versions of changed members
-    val oldRows = state.join(broadcast(firstNewFrom), lookupatts, "left")
+    val oldRows = state.join(Joins.maybeBroadcast(firstNewFrom), lookupatts, "left")
     val closed = oldRows.select(allColumns.map {
       case `toatt` =>
         when(col("__new_from").isNotNull && col(toatt) <=> maxTo &&
@@ -147,26 +196,38 @@ class ScdDimension(
     }: _*)
 
     // 5b. key the new versions and union
-    val newClean = versioned.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
+    val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
     val maxKey = currentMaxKey
     val keyed = keyAssigner.assign(newClean, key, maxKey, lk :+ col(versionatt))
 
     var next = closed.unionByName(keyed.select(allColumns.map(col): _*))
 
-    // type-1 attributes: latest value propagates to ALL versions
-    // (reference tables.py:1486-1528; "all versions" flag semantics)
+    // type-1 attributes: the batch's LATEST value per member propagates to all
+    // versions (reference tables.py:1486-1528 `updateall=True`), or to the
+    // newest version only for atts in `type1LatestOnly` (`updateall=False`).
+    // Values come from the incoming batch, so members with type-1-only changes
+    // (no new version inserted) still get updated — as in the reference.
     if (type1atts.nonEmpty) {
-      val wLatest = Window.partitionBy(lk: _*).orderBy(col(versionatt).desc)
-      val latest = next
-        .withColumn("__lrn", row_number().over(wLatest)).filter(col("__lrn") === 1)
-        .select(lk ++ type1atts.map(a => col(a).as(s"__t1_$a")): _*)
-      val j = next.join(broadcast(latest), lookupatts, "left")
+      val wIn = Window.partitionBy(lk: _*).orderBy(col(fromatt).desc)
+      val t1vals = in.withColumn("__t1rn", row_number().over(wIn)).filter(col("__t1rn") === 1)
+        .select(lk ++ type1atts.map(a => col(a).as(s"__t1_$a")) :+ lit(true).as("__t1m"): _*)
+      val wLatest = Window.partitionBy(lk: _*).orderBy(newestFirst(col))
+      val flagged = next.withColumn("__lrn", row_number().over(wLatest))
+      val j = flagged.join(Joins.maybeBroadcast(t1vals), lookupatts, "left")
       next = j.select(allColumns.map { c =>
-        if (type1atts.contains(c)) col(s"__t1_$c").as(c) else col(c)
+        if (type1atts.contains(c)) {
+          val incoming = when(col("__t1m").isNotNull, col(s"__t1_$c")).otherwise(col(c))
+          val updated =
+            if (type1LatestOnly.contains(c))
+              when(col("__lrn") === 1, incoming).otherwise(col(c))
+            else incoming
+          updated.as(c)
+        } else col(c)
       }: _*)
     }
 
-    state = next
+    state = materialize(next)
+    knownMaxKey = None // recomputed lazily over the materialized state
     this.current
   }
 
@@ -174,12 +235,12 @@ class ScdDimension(
     * Reference: tables.py:1530-1553.
     */
   def closeCurrent(end: Column): this.type = {
-    val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(col(versionatt).desc)
-    state = state
+    val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(newestFirst(col))
+    state = materialize(state
       .withColumn("__rn", row_number().over(w))
       .withColumn(toatt,
         when(col("__rn") === 1 && col(toatt) <=> maxTo, end).otherwise(col(toatt)))
-      .drop("__rn")
+      .drop("__rn"))
     this
   }
 

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snowflaked dimension: a tree of Dimension objects linked by FK references
@@ -48,12 +48,31 @@ class SnowflakedDimension(val references: Seq[(Dimension, Seq[Dimension])]) exte
       dim.ensure(work.select(work.columns.distinct.map(col): _*))
     }
 
+  /** scdensure: ensure every non-root level (leaves first, attaching each
+    * level's surrogate key to the working rows), then SCD2-ensure at the
+    * root — the reference supports SCD only at the root of the snowflake
+    * (tables.py:2105-2133, "we require that only the root is a
+    * SlowlyChangingDimension"). Returns the root dimension's new state.
+    */
+  def scdensure(df: DataFrame, fromCol: Column,
+                newVersionOnNewFrom: Boolean = false): DataFrame = {
+    val scdRoot = root match {
+      case s: ScdDimension => s
+      case other => throw new IllegalArgumentException(
+        s"scdensure requires the snowflake root (${other.name}) to be an ScdDimension")
+    }
+    val ensured = levelOrder.filterNot(_ eq root).foldLeft(df) { (work, dim) =>
+      dim.ensure(work.select(work.columns.distinct.map(col): _*))
+    }
+    scdRoot.scdensure(ensured, fromCol, newVersionOnNewFrom)
+  }
+
   /** lookup: NATURAL-JOIN-style full-row fetch across all snowflake tables.
     * Reference: tables.py:1811-1883 — chained equi joins root→leaves on the
-    * shared key names.
+    * shared key names. Each level broadcasts only when small (size-gated).
     */
   def lookupFullRow(keys: DataFrame): DataFrame =
     levelOrder.reverse.foldLeft(keys) { (work, dim) =>
-      work.join(broadcast(dim.current), Seq(dim.key), "left")
+      work.join(graft.core.Joins.maybeBroadcast(dim.current), Seq(dim.key), "left")
     }
 }

@@ -370,6 +370,42 @@ object SparkEntry {
         .orderBy(col("cu_key"))
     }),
 
+    // §2.6/2.7 SnowflakedDimension.scdensure: ensure the non-root levels
+    // (event-type dim), then SCD2 at the snowflake root keyed by the child's
+    // surrogate key (tables.py:2105-2133 — SCD only at the root)
+    "snowflake_scdensure" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val etypeDim = new Dimension("etype_dim", "etype_key", Seq("event_type"), Seq("event_type"))
+      etypeDim.init(ev.select(lit(0L).as("etype_key"), col("event_type")).limit(0))
+      val rootScd = new ScdDimension("user_scd_sf", "user_key",
+        Seq("user_id", "etype_key", "version", "valid_from", "valid_to"),
+        Seq("user_id"), "version", "valid_from", "valid_to",
+        maxTo = lit(null).cast(TimestampType))
+      rootScd.init(ev.select(lit(0L).as("user_key"), col("user_id"), lit(0L).as("etype_key"),
+        lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
+      val flake = new SnowflakedDimension(Seq(rootScd -> Seq(etypeDim)))
+      flake.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
+        .orderBy(col("user_key"))
+    }),
+
+    // §2.7 SCD2 srcdate semantics (tables.py:1349-1368): a changed source
+    // date forces a new version even when attributes are unchanged; plus
+    // minfrom=(None,) — the first version of a member opens at NULL
+    // (tables.py:1311-1318)
+    "dim_scd2_srcdate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = new ScdDimension("user_scd_sd", "user_key",
+        Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
+        Seq("user_id"), "version", "valid_from", "valid_to",
+        maxTo = lit(null).cast(TimestampType),
+        minFrom = Some(lit(null)))
+      dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
+        lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
+      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"),
+        newVersionOnNewFrom = true)
+        .orderBy(col("user_key"))
+    }),
+
     // §2.6 FactTable.ensure with compare=true validation (tables.py:2238-2271)
     "fact_ensure" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
@@ -735,6 +771,37 @@ object SparkEntry {
            AND k.valid_from <= p.pts AND (k.valid_to IS NULL OR p.pts < k.valid_to)
          QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY k.version DESC NULLS LAST) = 1
          ORDER BY p.event_id""",
+
+    "snowflake_scdensure" ->
+      """WITH ek AS (
+           SELECT event_type, row_number() OVER (ORDER BY event_type) AS etype_key
+           FROM (SELECT DISTINCT event_type FROM events)),
+         ev2 AS (SELECT e.user_id, ek.etype_key, e.ts FROM events e JOIN ek USING (event_type)),
+         dedup AS (
+           SELECT user_id, etype_key, ts,
+             CASE WHEN lag(etype_key) OVER w IS DISTINCT FROM etype_key THEN 1 ELSE 0 END AS chg,
+             row_number() OVER w AS rn
+           FROM ev2 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         kept AS (SELECT user_id, etype_key, ts FROM dedup WHERE rn = 1 OR chg = 1),
+         ver AS (
+           SELECT user_id, etype_key,
+             CAST(row_number() OVER w2 AS INTEGER) AS version,
+             ts AS valid_from, lead(ts) OVER w2 AS valid_to
+           FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
+         keyed AS (SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, * FROM ver)
+         SELECT user_key, user_id, etype_key, version, valid_from, valid_to
+         FROM keyed ORDER BY user_key""",
+
+    "dim_scd2_srcdate" ->
+      """WITH ver AS (
+           SELECT user_id, event_type,
+             CAST(row_number() OVER w AS INTEGER) AS version,
+             CASE WHEN row_number() OVER w = 1 THEN NULL ELSE ts END AS valid_from,
+             lead(ts) OVER w AS valid_to
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         keyed AS (SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, * FROM ver)
+         SELECT user_key, user_id, event_type, version, valid_from, valid_to
+         FROM keyed ORDER BY user_key""",
 
     "snowflake_ensure" ->
       """WITH input AS (

@@ -184,13 +184,17 @@ class ScdDimension(
     val firstNewFrom = versioned
       .groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
 
-    // 5a. close previously-open current versions of changed members
+    // 5a. close previously-open current versions of changed members. "Current"
+    // is decided by the same newest-first ordering as the lookup (NOT a bare
+    // max(versionatt) — with orderingatt=toatt the open row may carry any
+    // version number).
+    val wCurAll = Window.partitionBy(lk: _*).orderBy(newestFirst(col))
     val oldRows = state.join(Joins.maybeBroadcast(firstNewFrom), lookupatts, "left")
+      .withColumn("__cr", row_number().over(wCurAll))
     val closed = oldRows.select(allColumns.map {
       case `toatt` =>
-        when(col("__new_from").isNotNull && col(toatt) <=> maxTo &&
-             col(versionatt) === max(col(versionatt)).over(
-               Window.partitionBy(lk: _*)), col("__new_from"))
+        when(col("__new_from").isNotNull && col(toatt) <=> maxTo && col("__cr") === 1,
+          col("__new_from"))
           .otherwise(col(toatt)).as(toatt)
       case c => col(c).as(c)
     }: _*)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables._
+
+/** Scale-behavior contracts: these assert the PLAN SHAPE the engine must
+  * keep at 100 TB, not just small-data results.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("size-aware policy: large dimension takes a shuffle join, small one broadcasts") {
+    val big = spark.range(0, 4000000).select(
+      col("id").as("k"), concat(lit("member_"), col("id")).as("name"),
+      repeat(lit("x"), 64).as("pad"))
+    val dim = new Dimension("bigdim", "k", Seq("name", "pad"), Seq("name"),
+      autoCheckpoint = false)
+    dim.init(big)
+    val probe = spark.range(0, 100).select(concat(lit("member_"), col("id")).as("name"))
+    val bigPlan = dim.lookup(probe).queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin"),
+      "an unbounded dimension side must not be broadcast")
+    assert(bigPlan.contains("SortMergeJoin") || bigPlan.contains("ShuffledHashJoin"))
+
+    val sdim = new Dimension("smalldim", "k", Seq("name", "pad"), Seq("name"))
+    sdim.init(spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("member_"), col("id")).as("name"), lit("p").as("pad")))
+    val smallPlan = sdim.lookup(probe).queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"))
+  }
+
+  test("distributed dense assigner: keys dense, deterministic, no global window") {
+    val d = new Dimension("d", "key", Seq("name"), Seq("name"))
+    d.init(spark.range(0).select(col("id").as("key"), lit("").as("name")).limit(0))
+    val in = spark.range(0, 5000)
+      .select(concat(lit("n"), format_string("%05d", col("id"))).as("name"))
+    d.ensure(in)
+    val keys = d.current.orderBy("name").select("key").collect().map(_.getLong(0)).toSeq
+    assert(keys == (1L to 5000L), "keys must be maxExisting + rank in lookupatt order")
+    // second batch continues densely above the first
+    d.ensure(spark.range(5000, 6000)
+      .select(concat(lit("n"), format_string("%05d", col("id"))).as("name")))
+    val keys2 = d.current.orderBy("name").select("key").collect().map(_.getLong(0)).toSeq
+    assert(keys2 == (1L to 6000L))
+    // no WindowExec anywhere in the assignment path
+    assert(!d.current.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("checkpointed state: K scdensure batches keep a flat plan (no lineage growth)") {
+    import org.apache.spark.sql.types.TimestampType
+    val scd = new ScdDimension("users", "user_key",
+      Seq("user_id", "status", "version", "vfrom", "vto"), Seq("user_id"),
+      "version", "vfrom", "vto", maxTo = lit(null).cast(TimestampType))
+    scd.init(spark.range(0).select(col("id").as("user_key"),
+      lit("u").as("user_id"), lit("s").as("status"), lit(1).as("version"),
+      current_timestamp().as("vfrom"), current_timestamp().as("vto")).limit(0))
+    def planSize = scd.current.queryExecution.optimizedPlan.collect { case p => p }.size
+    var sizes = Vector.empty[Int]
+    (1 to 10).foreach { b =>
+      val batch = spark.range(0, 200).select(
+        concat(lit("u"), col("id") % 50).as("user_id"),
+        concat(lit("s"), lit(b)).as("status"),
+        (lit(b * 1000000L) + col("id")).cast("timestamp").as("ts"))
+      scd.scdensure(batch, col("ts"))
+      sizes :+= planSize
+    }
+    // the rewrite path re-materializes: plan node count must not grow with K
+    assert(sizes.distinct.size == 1,
+      s"state plan must stay flat across batches, got $sizes")
+    // correctness across the 10 batches: each member has 10 versions
+    val counts = scd.current.groupBy("user_id").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(10L))
+    // keys unique across all batches
+    assert(scd.current.select("user_key").distinct().count() == scd.current.count())
+  }
+
+  test("append-only ensure: delta checkpoint keeps plan growth linear and bounded") {
+    val d = new Dimension("inc", "key", Seq("name"), Seq("name"))
+    d.init(spark.range(0).select(col("id").as("key"), lit("").as("name")).limit(0))
+    (1 to 8).foreach { b =>
+      d.ensure(spark.range(b * 1000, b * 1000 + 100)
+        .select(concat(lit("m"), col("id")).as("name")))
+    }
+    // each delta is a materialized leaf: the union tree has 8 scan leaves, no
+    // nested window/join/zip lineage
+    val leaves = d.current.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 9, s"expected materialized union leaves, got ${leaves.size}")
+    assert(d.current.count() == 800)
+  }
+}

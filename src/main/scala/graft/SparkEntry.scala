@@ -454,7 +454,8 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs (hamming <= 3 via 4x16-bit chunk pigeonhole).
-    // xxhash64-seeded — not oracle-expressible; rows-only + ScalaTest spec.
+    // md5-derived 60-bit hashes — the oracle reproduces the fingerprints and
+    // verifies by exhaustive bit_count(xor) over all pairs.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -476,7 +477,8 @@ object SparkEntry {
     }),
 
     // sign-LSH bucketed cosine near-dup — the 100 TB scale path (one shuffle
-    // on the bucket id). Hash-seeded planes → rows-only + recall spec.
+    // on the bucket id). md5-derived planes → the oracle reproduces buckets
+    // AND the exact cosine verification.
     "dedup_cosine_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -492,7 +494,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN top-k (multi-probe) — scale path; rows-only + spec
+    // LSH-bucketed ANN top-k (multi-probe) — scale path; md5-derived planes
+    // make the whole pipeline (buckets, probes, ranks) oracle-reproducible
     "sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -875,6 +878,76 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "dedup_simhash" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+           FROM norm),
+         fp AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN list_sum(list_transform(hs, hh ->
+                      CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << j::INTEGER) ELSE 0::BIGINT END)) AS BIGINT) AS f
+           FROM h)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "dedup_cosine_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         w AS (
+           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
+             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
+               / 10000.0 - 0.5)) AS wv
+           FROM range(0, 4) t(p)),
+         b AS (
+           SELECT vec_id, v,
+             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
+                          THEN (1::BIGINT << (3 - w.p)::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
+              FROM w) AS bucket
+           FROM e e2),
+         p AS (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
+         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "sim_ann_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         w AS (
+           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
+             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
+               / 10000.0 - 0.5)) AS wv
+           FROM range(0, 8) t(p)),
+         cb AS (
+           SELECT e2.vec_id, e2.v, tt.t,
+             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
+                          THEN (1::BIGINT << (3 - (w.p - tt.t * 4))::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
+              FROM w WHERE w.p >= tt.t * 4 AND w.p < tt.t * 4 + 4) AS bucket
+           FROM e e2 CROSS JOIN range(0, 2) tt(t)),
+         probes AS (
+           SELECT q.vec_id, q.v, q.t,
+             unnest(list_distinct(list_concat([q.bucket],
+               list_transform(range(0, 4), i -> xor(q.bucket, (1::BIGINT << i::INTEGER)))))) AS bucket
+           FROM cb q WHERE q.vec_id < 10),
+         j AS (
+           SELECT DISTINCT p2.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p2.v, c.v)
+               / (sqrt(list_dot_product(p2.v, p2.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM probes p2 JOIN cb c ON p2.t = c.t AND p2.bucket = c.bucket AND p2.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
     "sim_bruteforce" ->
       """WITH e AS (

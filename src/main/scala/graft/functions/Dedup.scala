@@ -10,9 +10,9 @@ import org.apache.spark.sql.expressions.Window
   * Scale design: every variant is shuffle-partitioned on a bucket key
   * (fingerprint / LSH band / simhash chunk), so candidate generation is a
   * hash-shuffle + within-bucket pair join — never an all-pairs cross join.
-  * All hashing is `xxhash64` (codegen'd Catalyst expression); signatures are
-  * array columns built with `transform`/`aggregate` higher-order functions,
-  * so the whole signature computation stays inside whole-stage codegen.
+  * Hot-path hashing runs in native Catalyst expressions
+  * (graft.plans.NativeExpressions); SimHash and sign-LSH derive from md5
+  * prefixes so the external DuckDB oracle reproduces them exactly.
   */
 object Dedup {
 
@@ -72,11 +72,15 @@ object Dedup {
     // signature cost is per-row CPU, so spread it across all cores.
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism * 2
+    // localCheckpoint (not persist): materializes once for the three
+    // downstream consumers AND releases its blocks when the DataFrame is
+    // garbage-collected — .persist() here leaked storage across queries in
+    // long-running sessions.
     val withSig = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
       .repartition(parallelism, col(idCol))
       .withColumn("__sig", minhashSignature(col("__sh"), k))
       .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
-      .persist()
+      .localCheckpoint()
 
     val exploded = withSig.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
 
@@ -107,10 +111,10 @@ object Dedup {
     verified.select(col("__ida").as("id_a"), col("__idb").as("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint. Each token votes ±1 on
-    * every bit of its xxhash64; the sign of each bit-sum is the fingerprint
-    * bit. Built entirely from `aggregate`/`zip_with`/`transform` — single
-    * pass, no explode, no shuffle.
+  /** SimHash: 60-bit locality-sensitive fingerprint. Each token votes ±1 on
+    * every bit of its md5-derived 60-bit hash; the sign of each bit-sum is
+    * the fingerprint bit. Native single-pass expression — no explode, no
+    * shuffle — and md5-based, so the SQL oracle reproduces it.
     */
   def simhash(text: Column): Column =
     graft.plans.NativeFunctions.simhash64(TextAnalysis.tokens(text))
@@ -129,7 +133,7 @@ object Dedup {
     val spark = df.sparkSession
     val withFp = df.select(col(idCol), simhash(col(textCol)).as("__fp"))
       .repartition(spark.sparkContext.defaultParallelism * 2, col(idCol))
-      .persist()
+      .localCheckpoint() // GC-released, unlike persist (see minhashPairs)
     val chunks = withFp.select(col(idCol), col("__fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("__fp"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("__c", "__ck")))
@@ -156,17 +160,22 @@ object Dedup {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    // No materialization: the bucket expression is a native cached-weight
+    // dot product, so recomputing the scan for each join side is cheaper
+    // than checkpointing (and leak-free) — column pruning keeps both scans
+    // to (id, vec).
     val bucketed = df.select(col(idCol), col(vecCol).as("__v"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
       .withColumn("__bucket", Vectors.signLshBucket(col("__v"), planes))
-      .persist() // consumed by both sides of the pair join
     val a = bucketed.select(col("__bucket"), col(idCol).as("__ida"), col("__v").as("__va"))
     val b = bucketed.select(col("__bucket"), col(idCol).as("__idb"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
       .filter(col("__ida") < col("__idb"))
       .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        // decimal-staged rounding so external engines agree at the boundary
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"))
       .distinct()
   }
 }

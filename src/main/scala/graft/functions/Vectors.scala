@@ -55,51 +55,51 @@ object Vectors {
         col("__rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane p, dim d →
-    * a value in [-0.5, 0.5) derived from xxhash64 — reproducible across
-    * runs/engines without RNG state.
+  /** Sign-LSH bucket id: the sign bits of `planes` pseudo-random-hyperplane
+    * dot products, packed into a long. Similar vectors (small angle) collide
+    * with high probability. Native expression with a cached md5-derived
+    * weight matrix (graft.plans.SignLshBucket) — deterministic across
+    * runs/engines without RNG state, and oracle-reproducible in DuckDB.
     */
-  private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(10000L)).cast("double") / 10000.0) - 0.5
+  def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    graft.plans.NativeFunctions.signLshBucket(vec, planes, offset)
 
-  /** Sign-LSH bucket id: the sign bits of `planes` random-hyperplane dot
-    * products, packed into a long. Similar vectors (small angle) collide
-    * with high probability.
-    */
-  def signLshBucket(vec: Column, planes: Int): Column = {
-    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val d = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
-          (x, w) => x * w),
-        lit(0.0), (s, v) => s + v)
-      when(d >= 0, 1L).otherwise(0L)
-    })
-    aggregate(signs, lit(0L), (acc, s) => acc * 2 + s)
-  }
-
-  /** ANN top-k via sign-LSH with multi-probe: queries join the corpus only
-    * within their bucket (plus optionally neighboring 1-bit-flip buckets for
-    * recall), then exact cosine + window top-k. One equi shuffle on the
-    * bucket id instead of a cross join — the scale path.
+  /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
+    * independent plane sets (offsets t·planes into the shared md5 plane
+    * derivation) each bucket the corpus; queries probe their bucket per
+    * table plus the `planes` 1-bit-flip neighbors, candidates union across
+    * tables, then exact cosine + window top-k. Equi shuffle on
+    * (table, bucket) instead of a cross join — the scale path; recall
+    * compounds across tables: 1-(1-r₁)^L.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+              k: Int, planes: Int = 8, multiProbe: Boolean = true,
+              tables: Int = 2): DataFrame = {
+    val ts = 0 until tables
+    val cBuckets = array(ts.map(t => signLshBucket(col("__cv"), planes, t * planes)): _*)
     val cB = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__bucket", signLshBucket(col("__cv"), planes))
-    val qBase = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__b0", signLshBucket(col("__qv"), planes))
-    // multi-probe: also probe the `planes` buckets at hamming distance 1
-    val qB =
-      if (!multiProbe) qBase.withColumn("__bucket", col("__b0"))
-      else qBase.withColumn("__bucket",
-        explode(array_union(array(col("__b0")),
-          transform(sequence(lit(0), lit(planes - 1)),
-            i => col("__b0").bitwiseXOR(pow(lit(2.0), i).cast("long"))))))
+      .select(col("__cid"), col("__cv"), col("__cn"),
+        posexplode(cBuckets).as(Seq("__t", "__bucket")))
 
-    val joined = qB.join(cB, Seq("__bucket"))
+    // per table: the query's own bucket plus (optionally) its 1-bit flips
+    def probesFor(t: Int): Column = {
+      val b0 = signLshBucket(col("__qv"), planes, t * planes)
+      val buckets =
+        if (!multiProbe) array(b0)
+        else array_union(array(b0),
+          transform(sequence(lit(0), lit(planes - 1)),
+            i => b0.bitwiseXOR(pow(lit(2.0), i).cast("long"))))
+      transform(buckets, b => struct(lit(t).as("__t"), b.as("__bucket")))
+    }
+    val qB = queries.select(col(qId).as("__qid"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__probe", explode(flatten(array(ts.map(probesFor): _*))))
+      .select(col("__qid"), col("__qv"), col("__qn"),
+        col("__probe.__t").as("__t"), col("__probe.__bucket").as("__bucket"))
+
+    val joined = qB.join(cB, Seq("__t", "__bucket"))
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)

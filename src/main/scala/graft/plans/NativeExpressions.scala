@@ -91,9 +91,39 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** SimHash: 64-bit fingerprint where bit j is the sign of the ±1 votes of
-  * bit j of each token's xxhash64 — native form of the aggregate/zip_with
-  * vote accumulation, one hash per token.
+/** md5-prefix hashing shared by the locality-sensitive expressions.
+  *
+  * Why md5 and not xxhash64: the first 15 hex chars of the md5 digest parse
+  * to the SAME 60-bit integer in any engine with an md5 function — DuckDB:
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT` — which makes every
+  * hash-seeded operator (SimHash, sign-LSH buckets) fully reproducible by
+  * the external SQL oracle, not just spec-tested. 60 bits (not 64) so the
+  * value is always positive and fits a signed BIGINT in both engines.
+  */
+object Md5Util {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** value of the first 15 hex chars of md5(bytes): 7 full bytes + the high
+    * nibble of byte 7 — identical to parseLong(hex.substring(0,15), 16).
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = tl.get(); md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >> 4)
+  }
+
+  def hash60(s: UTF8String): Long = hash60(s.getBytes)
+}
+
+/** SimHash: 60-bit fingerprint where bit j is the sign of the ±1 votes of
+  * bit j of each token's 60-bit md5 hash — one digest per token, native
+  * vote loop. Oracle-reproducible (see Md5Util).
   */
 case class SimHash64(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -104,24 +134,74 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var t = 0
     while (t < m) {
-      val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      val h = Md5Util.hash60(arr.getUTF8String(t))
       var j = 0
-      while (j < 64) {
+      while (j < 60) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
       t += 1
     }
     var res = 0L
-    var j = 63
+    var j = 59
     while (j >= 0) {
       res = (res << 1) | (if (votes(j) > 0) 1L else 0L)
       j -= 1
     }
     res
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sign-LSH bucket id over an array<double> vector: bit p of the bucket is
+  * the sign of the dot product with pseudo-random hyperplane p, whose
+  * components derive from md5("p_d") (Md5Util.hash60 % 10000 / 10000 - 0.5,
+  * a value in [-0.5, 0.5)). The weight matrix is computed once per
+  * (executor, dimension) and cached — the previous higher-order-function
+  * formulation re-derived every component per row per plane (two xxhash64
+  * expression-tree evaluations each), the dominant cost of the LSH paths.
+  * Dot products accumulate left-to-right: bit-identical to
+  * `list_dot_product` in the DuckDB oracle.
+  */
+case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_lsh"
+
+  @transient private lazy val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  // `offset` shifts the global plane index: independent LSH tables reuse the
+  // same derivation with offset = tableNo * planes (multi-table LSH).
+  private def weights(dims: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent(dims, _ => {
+      Array.tabulate(planes, dims) { (p, d) =>
+        val h = Md5Util.hash60(s"${offset + p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (h % 10000L).toDouble / 10000.0 - 0.5
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = weights(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = w(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += arr.getDouble(d) * wp(d); d += 1 }
+      bucket = (bucket << 1) | (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -207,6 +287,8 @@ object NativeFunctions {
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def ngramShingles(tokens: Column, n: Int): Column = col(NgramShingles(expr(tokens), n))
   def sigMatchFraction(a: Column, b: Column): Column = col(SigMatchFraction(expr(a), expr(b)))
+  def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    col(SignLshBucket(expr(vec.cast("array<double>")), planes, offset))
 
   /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
   def register(spark: SparkSession): Unit = {

@@ -526,8 +526,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal plumbing: binary media column + deterministic stub decode
-    // (real decode libs absent in this container — see graft.multimodal)
+    // multimodal: REAL decode of real containers (ImageIO BMP, AudioSystem
+    // WAV, demuxed frame container) synthesized deterministically per row —
+    // the oracle recomputes every decoded feature from the generation rule,
+    // so a wrong header offset / row padding / sample width fails the match
     "mm_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
@@ -961,6 +963,35 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    "mm_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+         img AS (
+           SELECT doc_id, list_transform(range(0, 64),
+             i -> (doc_id*31 + (i%8)*7 + (i//8)*13) % 256) AS g
+           FROM d WHERE m = 0),
+         aud AS (
+           SELECT doc_id, list_transform(range(0, 256),
+             i -> (doc_id*7 + i*3) % 256) AS s
+           FROM d WHERE m = 1),
+         vid AS (
+           SELECT doc_id, list_transform(range(0, 4), f ->
+             list_sum(list_transform(range(0, 64),
+               i -> (doc_id*31 + f*17 + (i%8)*7 + (i//8)*13) % 256)) / 64.0 / 255.0) AS fm
+           FROM d WHERE m = 2),
+         u AS (
+           SELECT doc_id, 'image' AS kind, 246 AS n_bytes, 8.0 AS f0, 8.0 AS f1,
+             list_sum(g)/64.0/255.0 AS f2, list_max(g)/255.0 AS f3 FROM img
+           UNION ALL
+           SELECT doc_id, 'audio', 300, 8000.0, 256.0,
+             list_sum(s)/256.0/255.0, list_max(s)/255.0 FROM aud
+           UNION ALL
+           SELECT doc_id, 'video', 1008, 4.0, 8.0,
+             fm[1], (fm[1]+fm[2]+fm[3]+fm[4])/4.0 FROM vid)
+         SELECT doc_id, kind, CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+           CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3
+         FROM u ORDER BY doc_id""",
 
     "text_langid" ->
       s"""WITH norm AS (

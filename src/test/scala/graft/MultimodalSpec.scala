@@ -12,21 +12,50 @@ class MultimodalSpec extends SparkSpec {
     assert(m.select("kind").distinct().count() == 3)
   }
 
-  test("stub feature extraction is deterministic and batch-shaped") {
+  test("containers are REAL: JDK codecs decode them (round trip vs generation rule)") {
+    // image: ImageIO parses the BMP and gives back exactly the generated grays
+    val px = Multimodal.decodeImage(Multimodal.encodeBmp(42L, 0))
+    assert(px.length == Multimodal.ImgH && px.head.length == Multimodal.ImgW)
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      assert(px(y)(x) == Multimodal.gray(42L, 0, x, y), s"pixel ($x,$y) mismatch")
+    // audio: AudioSystem parses the WAV header + unsigned PCM samples
+    val (rate, samples) = Multimodal.decodeAudio(Multimodal.encodeWav(43L))
+    assert(rate == Multimodal.WavRate.toFloat)
+    assert(samples.length == Multimodal.WavSamples)
+    assert(samples.zipWithIndex.forall { case (v, i) => v == Multimodal.sample(43L, i) })
+    // video: demux + per-frame ImageIO decode
+    val frames = Multimodal.decodeVideo(Multimodal.encodeVideo(44L))
+    assert(frames.length == Multimodal.VideoFrames)
+    assert(frames(2)(1)(3) == Multimodal.gray(44L, 2, 3, 1))
+  }
+
+  test("feature extraction decodes for real, deterministic and batch-shaped") {
     val m = Multimodal.mediaTable(table("documents"))
     val f1 = Multimodal.extractFeatures(m).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(m, batchSize = 7).orderBy("doc_id").collect()
     assert(f1.sameElements(f2)) // batch size must not change results
-    assert(f1.forall(r => (0 to 3).forall(i => {
-      val v = r.getDouble(3 + i); v >= 0.0 && v < 1.0
-    })))
+    // image/audio dims come from the decoded containers
+    assert(f1.filter(_.getString(1) == "image").forall(r =>
+      r.getDouble(3) == 8.0 && r.getDouble(4) == 8.0 && r.getInt(2) == 246))
+    assert(f1.filter(_.getString(1) == "audio").forall(r =>
+      r.getDouble(3) == 8000.0 && r.getDouble(4) == 256.0 && r.getInt(2) == 300))
+    assert(f1.filter(_.getString(1) == "video").forall(r =>
+      r.getDouble(3) == 4.0 && r.getInt(2) == 1008))
+    // normalized means/maxima live in (0, 1]
+    assert(f1.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 &&
+      r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0))
   }
 
-  test("frame sampling explodes video rows only") {
+  test("frame sampling yields decodable frames for video rows only") {
     val m = Multimodal.mediaTable(table("documents"))
     val frames = Multimodal.sampleFrames(m)
     val videoIds = m.filter(col("kind") === "video").select("doc_id").distinct().count()
     assert(frames.select("doc_id").distinct().count() == videoIds)
     assert(frames.filter(col("frame_bytes").isNull).count() == 0)
+    // a sampled frame is itself a decodable BMP matching its generation rule
+    val one = frames.filter(col("frame_no") === 2).limit(1).collect().head
+    val docId = one.getLong(0)
+    val px = Multimodal.decodeImage(one.getAs[Array[Byte]]("frame_bytes"))
+    assert(px(5)(6) == Multimodal.gray(docId, 2, 6, 5))
   }
 }

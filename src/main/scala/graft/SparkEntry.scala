@@ -132,6 +132,16 @@ object SparkEntry {
     // §2.4 datespan date-dimension generator (pygrametl/__init__.py:561-630)
     "fn_datespan" -> ((s, dir) => DateSpan(s, "1995-01-01", "1995-12-31").orderBy(col("dateid"))),
 
+    // §2.4 datespan configurability: strings/ints dicts + expander callback
+    // (pygrametl/__init__.py:561-630 — `strings`, `ints`, `expander`)
+    "fn_datespan_custom" -> ((s, dir) => {
+      DateSpan(s, "1997-06-01", "1997-08-31",
+        strings = Seq("date" -> "yyyy-MM-dd", "monthname" -> "MMMM"),
+        ints = Seq("year" -> (year(_)), "month" -> (month(_))),
+        expander = Some((d, df) => df.withColumn("is_weekend", dayofweek(d).isin(1, 7))))
+        .orderBy(col("dateid"))
+    }),
+
     // §2.3 FilteringSource (datasources.py:668-686)
     "src_filtering" -> ((s, dir) => {
       Sources.filtering(t(s, dir, "lineitem"),
@@ -624,6 +634,14 @@ object SparkEntry {
          year(d) AS year, month(d) AS month, day(d) AS day,
          dayofweek(d) + 1 AS weekday, quarter(d) AS quarter
          FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)
+         ORDER BY dateid""",
+
+    "fn_datespan_custom" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS dateid,
+         strftime(d, '%Y-%m-%d') AS date, strftime(d, '%B') AS monthname,
+         year(d) AS year, month(d) AS month,
+         dayofweek(d) IN (0, 6) AS is_weekend
+         FROM (SELECT unnest(generate_series(DATE '1997-06-01', DATE '1997-08-31', INTERVAL 1 DAY))::DATE AS d)
          ORDER BY dateid""",
 
     "src_filtering" ->

@@ -134,24 +134,40 @@ object Converters {
 /** Date-dimension row generator.
   *
   * Reference: `datespan` (pygrametl/__init__.py:561-630) — yields one row per
-  * day with an int key `yyyyMMdd` plus formatted/int attributes. Spark-first:
-  * `explode(sequence(...))` — a distributed generator, not a driver loop.
+  * day with an int key `yyyyMMdd` plus configurable strftime-formatted string
+  * attributes (`strings`), int attributes (`ints`) and an `expander`
+  * callback that adds arbitrary columns. Spark-first: `explode(sequence(...))`
+  * — a distributed generator, not a driver loop; the expander receives the
+  * raw date Column plus the generated DataFrame (the set form of the
+  * reference's `expander(dateobj, row)`).
   */
 object DateSpan {
+
+  /** reference default `strings` (att -> datetime pattern); the reference's
+    * strftime %Y-%m-%d / %B / %A map to Spark patterns
+    */
+  val defaultStrings: Seq[(String, String)] = Seq("date" -> "yyyy-MM-dd")
+
+  /** reference default `ints` (att -> extractor on the date column) */
+  val defaultInts: Seq[(String, Column => Column)] = Seq(
+    "year" -> (year(_)), "month" -> (month(_)), "day" -> (dayofmonth(_)),
+    "weekday" -> (dayofweek(_)), "quarter" -> (quarter(_)))
+
   def apply(spark: SparkSession, fromDate: String, toDate: String,
-            key: String = "dateid"): DataFrame = {
+            key: String = "dateid",
+            strings: Seq[(String, String)] = defaultStrings,
+            ints: Seq[(String, Column => Column)] = defaultInts,
+            expander: Option[(Column, DataFrame) => DataFrame] = None): DataFrame = {
     val d = explode(sequence(
       lit(fromDate).cast(org.apache.spark.sql.types.DateType),
       lit(toDate).cast(org.apache.spark.sql.types.DateType),
-      expr("interval 1 day"))).as("d")
-    spark.range(1).select(d).select(
-      date_format(col("d"), "yyyyMMdd").cast("int").as(key),
-      date_format(col("d"), "yyyy-MM-dd").as("date"),
-      year(col("d")).as("year"),
-      month(col("d")).as("month"),
-      dayofmonth(col("d")).as("day"),
-      dayofweek(col("d")).as("weekday"),
-      quarter(col("d")).as("quarter"))
+      expr("interval 1 day"))).as("__d")
+    val cols = date_format(col("__d"), "yyyyMMdd").cast("int").as(key) +:
+      (strings.map { case (n, f) => date_format(col("__d"), f).as(n) } ++
+        ints.map { case (n, f) => f(col("__d")).as(n) })
+    val base = spark.range(1).select(d).select(col("__d") +: cols: _*)
+    val expanded = expander.map(e => e(col("__d"), base)).getOrElse(base)
+    expanded.drop("__d")
   }
 }
 

@@ -39,16 +39,17 @@ class FactTable(
   /** lookup: fetch facts by composite keyrefs (misses → NULL measures).
     * Reference: tables.py:2214-2230.
     */
-  def lookup(df: DataFrame): DataFrame =
-    df.join(state, keyrefs, "left")
+  def lookup(df: DataFrame, namemapping: Map[String, String] = Map.empty): DataFrame =
+    graft.core.Nm.applyMapping(df, namemapping).join(state, keyrefs, "left")
 
   /** ensure: insert facts not already present (by keyrefs). With
     * `compare=true`, raise if an existing fact's measures differ — a
     * validation count, not a per-row exception (reference tables.py:2238-2271,
     * SURVEY §7.3).
     */
-  def ensure(df: DataFrame, compare: Boolean = false): this.type = {
-    val in = df.select(allColumns.map(col): _*)
+  def ensure(df: DataFrame, compare: Boolean = false,
+             namemapping: Map[String, String] = Map.empty): this.type = {
+    val in = graft.core.Nm.applyMapping(df, namemapping).select(allColumns.map(col): _*)
     if (compare) {
       val existing = state.select(allColumns.map(col): _*)
       val renamed = measures.foldLeft(existing)((d, m) => d.withColumnRenamed(m, s"__e_$m"))
@@ -87,8 +88,8 @@ class AccumulatingSnapshotFactTable(
   override def allColumns: Seq[String] = keyrefs ++ otherrefs ++ measures
 
   /** MERGE: upsert the incoming snapshot rows. */
-  def merge(updates: DataFrame): this.type = {
-    val u = updates.select(allColumns.map(col): _*)
+  def merge(updates: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
+    val u = graft.core.Nm.applyMapping(updates, namemapping).select(allColumns.map(col): _*)
     val updatable = otherrefs ++ measures
     val renamed = updatable.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
     val joined = state.join(renamed, keyrefs, "full_outer")

@@ -28,9 +28,11 @@ class TypeOneScdDimension(
     * "latest" per member (the reference's sequential order). Returns the
     * keyed input.
     */
-  def scdensure(updates: DataFrame, orderCol: Column): DataFrame = {
+  def scdensure(updates: DataFrame, orderCol: Column,
+                namemapping: Map[String, String] = Map.empty): DataFrame = {
+    val mapped = graft.core.Nm.applyMapping(updates, namemapping)
     val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(orderCol.desc)
-    val latest = updates
+    val latest = mapped
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
 
     // new members: plain ensure (first=latest occurrence supplies attributes)
@@ -44,7 +46,7 @@ class TypeOneScdDimension(
       if (type1atts.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
     }
     state = materialize(merged.select(cols: _*)) // keys unchanged
-    lookup(updates)
+    lookup(mapped)
   }
 }
 
@@ -123,11 +125,13 @@ class ScdDimension(
     * attribute is unchanged (a new source date IS a change).
     */
   def scdensure(updates: DataFrame, fromCol: Column,
-                newVersionOnNewFrom: Boolean = false): DataFrame = {
+                newVersionOnNewFrom: Boolean = false,
+                namemapping: Map[String, String] = Map.empty): DataFrame = {
     val lk = lookupatts.map(col)
     val valueAtts = type2atts ++ type1atts
 
-    val in = updates.select((lookupatts ++ valueAtts).map(col) :+ fromCol.as(fromatt): _*)
+    val in = graft.core.Nm.applyMapping(updates, namemapping)
+      .select((lookupatts ++ valueAtts).map(col) :+ fromCol.as(fromatt): _*)
 
     val wAsc = Window.partitionBy(lk: _*).orderBy(col(fromatt).asc)
 
@@ -260,12 +264,14 @@ class ScdDimension(
     * condition, so it stays a hash join on lookupatts.
     */
   def lookupAsOf(df: DataFrame, whenCol: Column,
-                 fromInclusive: Boolean = true, toInclusive: Boolean = false): DataFrame = {
+                 fromInclusive: Boolean = true, toInclusive: Boolean = false,
+                 namemapping: Map[String, String] = Map.empty): DataFrame = {
     // Rename the dimension's join columns so probe and dimension attributes
     // can never collide — the probe may itself derive from this dimension
     // (self-join lineage). A synthetic row id keys the newest-version window
     // (cheaper than partitioning by every probe column, and unambiguous).
-    val in = df.withColumn("__rowid", monotonically_increasing_id())
+    val in = graft.core.Nm.applyMapping(df, namemapping)
+      .withColumn("__rowid", monotonically_increasing_id())
     val dim = dimForJoin.select(
       col(key).as("__asof_key") +:
         lookupatts.map(a => col(a).as(s"__lk_$a")) :+

@@ -99,6 +99,17 @@ class ScdFidelitySpec extends SparkSpec {
     assert(dim.current.filter(col("vto").isNull).count() == 1)
   }
 
+  test("namemapping on scdensure resolves physical source columns") {
+    val dim = mkScd()
+    val batch = Seq(("u1", "a", "cph", ts(100)), ("u1", "b", "cph", ts(200)))
+      .toDF("user", "st", "cty", "eventtime")
+    dim.scdensure(batch, col("eventtime"),
+      namemapping = Map("uid" -> "user", "status" -> "st", "city" -> "cty"))
+    val d = dim.current
+    assert(d.count() == 2)
+    assert(d.filter(col("uid") === "u1" && col("status") === "b").count() == 1)
+  }
+
   test("snowflake scdensure: child level ensured, SCD2 at root over the child's key") {
     val child = new Dimension("etype", "etype_key", Seq("etype"), Seq("etype"))
     child.init(Seq.empty[(Long, String)].toDF("etype_key", "etype"))

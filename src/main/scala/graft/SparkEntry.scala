@@ -117,6 +117,55 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // §2.3 copy (old column fans out to new) + renamefromto + toupper
+    // (pygrametl/__init__.py:130-187, 633-642)
+    "proj_copy_rename" -> ((s, dir) => {
+      val c = Nm.copy(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        "name_copy" -> "c_name")
+      val r = Nm.renameFromTo(c, Map("c_mktsegment" -> "segment"))
+      r.select(col("c_custkey"),
+        Converters.toUpper(col("name_copy")).as("name_upper"), col("segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 getdbfriendlystr / getstrornullvalue / ymdparser
+    // (pygrametl/__init__.py:226-269, 475-495)
+    "fn_str_helpers" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Converters.getDbFriendlyStr(col("o_orderstatus") === "O").as("open_flag"),
+        Converters.getStrOrNullValue(nullif(col("o_orderpriority"), lit("1-URGENT")), "none").as("prio_or_none"),
+        Converters.ymd(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("od"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.3 TransformingSource: ordered whole-frame transforms (datasources.py:430-448)
+    "src_transforming" -> ((s, dir) => {
+      Sources.transforming(t(s, dir, "customer"),
+        _.filter(col("c_acctbal") > 0),
+        _.withColumn("bal_half", dround(col("c_acctbal") / 2, 2)))
+        .select(col("c_custkey"), col("bal_half"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 AggregatingStep collapsed to a grouped plan (steps.py:467-561)
+    "agg_step" -> ((s, dir) => {
+      graft.functions.Aggregators.aggregate(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(dsum(col("l_quantity")).as("qty"),
+          count_distinct(col("l_suppkey")).as("n_supp"),
+          round(max(col("l_extendedprice")), 2).as("max_price")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.3 ConditionalStep routing: both branches kept, tagged (steps.py:390-422)
+    "steps_conditional" -> ((s, dir) => {
+      val (hot, cold) = graft.steps.Steps.conditional(
+        t(s, dir, "orders"), col("o_totalprice") > 150000)
+      hot.withColumn("branch", lit("high"))
+        .unionByName(cold.withColumn("branch", lit("low")))
+        .select(col("o_orderkey"), col("branch"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.4 converters: cast-or-default (pygrametl/__init__.py:190-337)
     "fn_converters" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -308,6 +357,35 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.5 getbyvals: partial attribute conjunction (tables.py:295-327)
+    "dim_getbyvals" -> ((s, dir) => {
+      val dim = new Dimension("cdim_gv", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
+      dim.init(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      dim.getByVals(Map("c_mktsegment" -> "BUILDING")).orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 getbykey: full row by key, all-NULL attributes on miss (tables.py:272-287)
+    "dim_getbykey" -> ((s, dir) => {
+      val dim = new Dimension("cdim_gk", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
+      dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      dim.getByKey(t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 FactTable.lookup: composite-key fetch, NULL measures on miss
+    // (tables.py:2214-2230)
+    "fact_lookup" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice")).as("price_sum"), count(lit(1)).as("n_lines"))
+      val fact = new FactTable("order_rev_l", Seq("l_orderkey"), Seq("price_sum", "n_lines"))
+      fact.init(rev)
+      fact.lookup(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select((col("o_orderkey") * 2).as("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // §2.5 Dimension.lookup with default id on miss (tables.py:245-264)
     "dim_lookup" -> ((s, dir) => {
       val dim = new Dimension("cust_dim", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
@@ -377,6 +455,28 @@ object SparkEntry {
         custDim -> Seq(nationDim), nationDim -> Seq(regionDim)))
       flake.ensure(input)
         .select(col("c_name"), col("cu_key"), col("n_key"), col("r_key"))
+        .orderBy(col("cu_key"))
+    }),
+
+    // §2.5 snowflake lookup/rowlookup: NATURAL-JOIN full-row fetch across all
+    // levels (tables.py:1811-1883)
+    "snowflake_lookup" -> ((s, dir) => {
+      val input = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
+      val regionDim = new Dimension("region_dim_l", "r_key", Seq("r_name"), Seq("r_name"))
+      val nationDim = new Dimension("nation_dim_l", "n_key", Seq("n_name", "r_key"), Seq("n_name"))
+      val custDim = new Dimension("cust_dim_l", "cu_key", Seq("c_name", "n_key"), Seq("c_name"))
+      regionDim.init(input.select(lit(0L).as("r_key"), col("r_name")).limit(0))
+      nationDim.init(input.select(lit(0L).as("n_key"), col("n_name"), lit(0L).as("r_key")).limit(0))
+      custDim.init(input.select(lit(0L).as("cu_key"), col("c_name"), lit(0L).as("n_key")).limit(0))
+      val flake = new SnowflakedDimension(Seq(
+        custDim -> Seq(nationDim), nationDim -> Seq(regionDim)))
+      flake.ensure(input)
+      flake.lookupFullRow(custDim.current.select(col("cu_key")))
+        .select(col("cu_key"), col("c_name"), col("n_key"), col("n_name"),
+          col("r_key"), col("r_name"))
         .orderBy(col("cu_key"))
     }),
 
@@ -618,6 +718,70 @@ object SparkEntry {
          coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal,
          coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, 'UNKNOWN') AS segment
          FROM customer ORDER BY c_custkey""",
+
+    "proj_copy_rename" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper, c_mktsegment AS segment
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_str_helpers" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN '1' ELSE '0' END AS open_flag,
+         coalesce(nullif(o_orderpriority, '1-URGENT'), 'none') AS prio_or_none,
+         TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS od
+         FROM orders ORDER BY o_orderkey""",
+
+    "src_transforming" ->
+      """SELECT c_custkey, round(CAST(c_acctbal / 2 AS DECIMAL(18,8)), 2)::DOUBLE AS bal_half
+         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""",
+
+    "agg_step" ->
+      """SELECT l_returnflag,
+         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty,
+         count(DISTINCT l_suppkey) AS n_supp,
+         round(max(l_extendedprice), 2) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "steps_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS branch
+         FROM orders ORDER BY o_orderkey""",
+
+    "dim_getbyvals" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+
+    "dim_getbykey" ->
+      """SELECT p.c_custkey, d.c_name, d.c_mktsegment
+         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) p
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) d USING (c_custkey)
+         ORDER BY p.c_custkey""",
+
+    "fact_lookup" ->
+      """WITH rev AS (
+           SELECT l_orderkey,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS price_sum,
+             count(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey),
+         probe AS (
+           SELECT o_orderkey * 2 AS l_orderkey FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT p.l_orderkey, r.price_sum, r.n_lines
+         FROM probe p LEFT JOIN rev r USING (l_orderkey)
+         ORDER BY p.l_orderkey""",
+
+    "snowflake_lookup" ->
+      """WITH input AS (
+           SELECT c.c_name, c.c_acctbal, n.n_name, r.r_name
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey),
+         rk AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS r_key
+                FROM (SELECT DISTINCT r_name FROM input)),
+         nk AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS n_key
+                FROM (SELECT DISTINCT n_name FROM input)),
+         ck AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS cu_key
+                FROM (SELECT DISTINCT c_name FROM input))
+         SELECT ck.cu_key, i.c_name, nk.n_key, i.n_name, rk.r_key, i.r_name
+         FROM input i JOIN ck USING (c_name) JOIN nk USING (n_name) JOIN rk USING (r_name)
+         ORDER BY ck.cu_key""",
 
     "fn_converters" ->
       """SELECT o_orderkey,

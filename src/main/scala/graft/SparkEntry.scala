@@ -86,12 +86,14 @@ object SparkEntry {
     "fact_load" -> ((s, dir) => {
       val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
       val orders = t(s, dir, "orders"); val lineitem = t(s, dir, "lineitem")
+      // nation is bounded (25 rows at every scale) -> always broadcast;
+      // the customer-derived dim is unbounded -> size-gated hint only
       val custDim = customer.join(broadcast(nation),
         customer("c_nationkey") === nation("n_nationkey"))
         .select(col("c_custkey"), col("n_name"))
       val facts = lineitem
         .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(custDim), orders("o_custkey") === custDim("c_custkey"))
+        .join(graft.core.Joins.maybeBroadcast(custDim), orders("o_custkey") === custDim("c_custkey"))
         .select(col("n_name").as("nation"),
           year(col("o_orderdate")).as("year"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

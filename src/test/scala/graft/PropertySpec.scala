@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.tables._
+
+/** Property-based contracts (SURVEY §5): ensure idempotence, key uniqueness,
+  * and SCD2 interval invariants over randomized member/change streams.
+  * Generators are ScalaCheck `Gen`s sampled with fixed seeds (deterministic
+  * CI, no scalatest-plus bridge needed); samples are kept small (a Spark job
+  * per case) but cover the degenerate shapes that break set-oriented ETL:
+  * duplicate members within a batch, reordered input, all-same and
+  * all-distinct keys.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cases = 8
+
+  /** deterministically sample `gen` with seed i */
+  private def sample[A](gen: Gen[A], i: Int, size: Int = 40): A =
+    gen(Gen.Parameters.default.withSize(size), Seed(41L + i)).get
+
+  private def forAllSeeded[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to Cases).foreach(i => body(sample(gen, i)))
+
+  private val memberGen: Gen[List[(String, String)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0, 15)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (s"m$id", attr))
+
+  private def freshDim() = {
+    val d = new Dimension("pd", "key", Seq("name", "attr"), Seq("name"))
+    d.init(Seq.empty[(Long, String, String)].toDF("key", "name", "attr"))
+    d
+  }
+
+  test("ensure is idempotent and keys stay unique and dense across batches") {
+    forAllSeeded(Gen.zip(memberGen, memberGen)) { case (batch1, batch2) =>
+      if (batch1.nonEmpty || batch2.nonEmpty) {
+        val d = freshDim()
+        def load(b: List[(String, String)]): Unit =
+          if (b.nonEmpty) { d.ensure(b.toDF("name", "attr")); () }
+        load(batch1); load(batch2)
+        val before = d.current.orderBy("key").collect().toSeq
+        load(batch1) // re-ensure of already-seen members must be a no-op
+        val after = d.current.orderBy("key").collect().toSeq
+        assert(after == before, "ensure must be idempotent on seen members")
+        val keys = after.map(_.getLong(0))
+        assert(keys.distinct.size == keys.size, "keys must be unique")
+        assert(keys.sorted == (1L to keys.size).toSeq, "default keys are dense from 1")
+        val names = (batch1 ++ batch2).map(_._1).distinct.sorted
+        assert(after.map(_.getString(1)).sorted == names, "one member per distinct lookupatt")
+      }
+    }
+  }
+
+  private val changeGen: Gen[List[(Int, String, Int)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0, 5)
+      st <- Gen.oneOf("x", "y", "z")
+      t <- Gen.chooseNum(1, 1000)
+    } yield (id, st, t))
+
+  test("scd2 invariants hold for arbitrary change streams, batched arbitrarily") {
+    forAllSeeded(Gen.zip(changeGen, Gen.chooseNum(1, 3))) { case (changes, nBatches) =>
+      // distinct (member, time) pairs — equal timestamps for one member have
+      // no defined order (matches the engine's input contract)
+      val distinctChanges = changes.groupBy(c => (c._1, c._3)).map(_._2.head).toList
+      if (distinctChanges.nonEmpty) {
+        val dim = new ScdDimension("ps", "key",
+          Seq("uid", "status", "version", "vfrom", "vto"), Seq("uid"),
+          "version", "vfrom", "vto", maxTo = lit(null).cast(TimestampType))
+        dim.init(Seq.empty[(Long, String, String, Int, java.sql.Timestamp, java.sql.Timestamp)]
+          .toDF("key", "uid", "status", "version", "vfrom", "vto"))
+        // split the stream into time-ordered batches (micro-batch loads)
+        val sorted = distinctChanges.sortBy(_._3)
+        val per = math.max(1, sorted.size / nBatches)
+        sorted.grouped(per).foreach { b =>
+          val df = b.map { case (id, st, t) => (s"u$id", st, new java.sql.Timestamp(t * 1000L)) }
+            .toDF("uid", "status", "ts")
+          dim.scdensure(df, col("ts"))
+        }
+        val d = dim.current.collect()
+        val byMember = d.groupBy(_.getAs[String]("uid"))
+        byMember.foreach { case (uid, rows) =>
+          val vs = rows.map(_.getAs[Int]("version")).sorted
+          assert(vs.toSeq == (1 to vs.length).toSeq, s"$uid versions contiguous")
+          assert(rows.count(_.getAs[java.sql.Timestamp]("vto") == null) == 1,
+            s"$uid exactly one open version")
+          // intervals chain with no overlap: to(v) == from(v+1)
+          val sortedRows = rows.sortBy(_.getAs[Int]("version"))
+          sortedRows.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(a.getAs[java.sql.Timestamp]("vto") == b.getAs[java.sql.Timestamp]("vfrom"),
+                s"$uid interval chain broken")
+            case _ =>
+          }
+          // consecutive versions must differ in the tracked attribute
+          sortedRows.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(a.getAs[String]("status") != b.getAs[String]("status"),
+                s"$uid consecutive versions must differ")
+            case _ =>
+          }
+        }
+        val keys = d.map(_.getAs[Long]("key"))
+        assert(keys.distinct.length == keys.length, "scd keys unique")
+      }
+    }
+  }
+}

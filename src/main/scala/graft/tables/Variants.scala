@@ -1,0 +1,123 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.sources.Writers
+
+/** The reference's named dimension/fact variants, so a pygrametl user finds
+  * the classes they already use. Each maps onto the engine's policy knobs
+  * with the variant's distinctive behavior kept real — not bare re-exports.
+  */
+
+/** CachedDimension (reference tables.py:549-686): lookups served from a
+  * cache. Here the state DataFrame is Spark-cached at init and after
+  * mutations; lookup joins broadcast when small (the distributed cache-probe).
+  * `prefill`/`cachesize` vanish: Spark caches whole partitions and evicts
+  * under memory pressure natively.
+  */
+class CachedDimension(
+    name: String,
+    key: String,
+    attributes: Seq[String],
+    lookupatts: Seq[String],
+    defaultIdValue: Long = -1L,
+    keyAssigner: KeyAssigner = DistributedDenseAssigner
+) extends Dimension(name, key, attributes, lookupatts, defaultIdValue,
+  keyAssigner, broadcastLookups = true, cacheState = true)
+
+/** BulkDimension (reference tables.py:2777-2984): full in-memory cache +
+  * bulk loading — lookup/ensure never hit the target database; all writes
+  * happen at load end. Here: cached state, and `save` writes through a
+  * configurable bulk writer (default: bulk CSV with the reference
+  * bulkloader's fieldsep/nullsubst contract) instead of parquet.
+  */
+class BulkDimension(
+    name: String,
+    key: String,
+    attributes: Seq[String],
+    lookupatts: Seq[String],
+    defaultIdValue: Long = -1L,
+    keyAssigner: KeyAssigner = DistributedDenseAssigner,
+    val fieldSep: String = "\t",
+    val nullSubst: String = "\\N",
+    val bulkWriter: Option[(DataFrame, String) => Unit] = None
+) extends CachedDimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner) {
+
+  override def save(path: String): Unit =
+    bulkWriter.getOrElse((df: DataFrame, p: String) =>
+      Writers.bulkCsv(df, p, fieldSep, nullSubst))(current, path)
+}
+
+/** CachedBulkDimension (reference tables.py:2987-3219): BulkDimension with a
+  * bounded main cache plus a local cache of not-yet-flushed rows. The
+  * "local cache" is exactly the engine's pending-delta union (every ensure
+  * unions a materialized delta); bounded-ness is Spark's native cache
+  * eviction — so behaviorally this IS BulkDimension here, kept as its own
+  * type for API parity and for users porting `cachesize`-tuned code.
+  */
+class CachedBulkDimension(
+    name: String,
+    key: String,
+    attributes: Seq[String],
+    lookupatts: Seq[String],
+    defaultIdValue: Long = -1L,
+    keyAssigner: KeyAssigner = DistributedDenseAssigner
+) extends BulkDimension(name, key, attributes, lookupatts, defaultIdValue, keyAssigner)
+
+/** BatchFactTable (reference tables.py:2278-2356): buffers `batchsize` rows
+  * and flushes multi-row INSERTs. Spark writes are vectorized and batched
+  * natively, so the type exists for parity; `awaitingRows` is always 0 in a
+  * lazy engine (nothing is ever buffered driver-side).
+  */
+class BatchFactTable(
+    name: String,
+    keyrefs: Seq[String],
+    measures: Seq[String],
+    override val dependsOn: Seq[String] = Nil
+) extends FactTable(name, keyrefs, measures, dependsOn) {
+  def awaitingRows: Long = 0L
+}
+
+/** BulkFactTable (reference tables.py:2686-2774): write-only fact table
+  * loaded through a bulk loader. `save` renders through the bulkloader
+  * contract (fieldsep/rowsep/nullsubst delimited data) via a configurable
+  * writer, defaulting to bulk CSV.
+  */
+class BulkFactTable(
+    name: String,
+    keyrefs: Seq[String],
+    measures: Seq[String],
+    override val dependsOn: Seq[String] = Nil,
+    val fieldSep: String = "\t",
+    val nullSubst: String = "\\N",
+    val bulkWriter: Option[(DataFrame, String) => Unit] = None
+) extends FactTable(name, keyrefs, measures, dependsOn) {
+
+  override def save(path: String): Unit =
+    bulkWriter.getOrElse((df: DataFrame, p: String) =>
+      Writers.bulkCsv(df, p, fieldSep, nullSubst))(current, path)
+}
+
+/** SubprocessFactTable (reference tables.py:3222-3319): pipe delimited rows
+  * into an external consumer. `insert` streams each partition's rendered
+  * lines to `consume` on the executors — the distributed form of the
+  * reference's single stdin pipe.
+  */
+class SubprocessFactTable(
+    name: String,
+    keyrefs: Seq[String],
+    measures: Seq[String],
+    val consume: Iterator[String] => Unit,
+    val fieldSep: String = "\t",
+    val nullSubst: String = "\\N"
+) extends FactTable(name, keyrefs, measures) {
+
+  override def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
+    val in = graft.core.Nm.applyMapping(df, namemapping)
+    val rendered = Writers.delimited(
+      in.select(allColumns.map(org.apache.spark.sql.functions.col): _*), fieldSep, nullSubst)
+    val f = consume
+    rendered.foreachPartition((it: Iterator[Row]) => f(it.map(_.getString(0))))
+    super.insert(in)
+  }
+}

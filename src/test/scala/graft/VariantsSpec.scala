@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables._
+
+/** The reference's named dimension/fact variants keep their distinctive
+  * behavior (bulk-writer save contract, subprocess piping, caching).
+  */
+class VariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BulkDimension saves through the bulkloader contract (fieldsep/nullsubst CSV)") {
+    val d = new BulkDimension("bd", "key", Seq("name", "attr"), Seq("name"),
+      fieldSep = "|", nullSubst = "\\N")
+    d.init(Seq.empty[(Long, String, String)].toDF("key", "name", "attr"))
+    d.ensure(Seq(("a", "x"), ("b", null)).toDF("name", "attr"))
+    val out = java.nio.file.Files.createTempDirectory("graft_bulk").toString + "/bd"
+    d.save(out)
+    val lines = spark.read.text(out).as[String].collect().sorted
+    assert(lines.length == 2)
+    assert(lines(0) == "1|a|x")
+    assert(lines(1) == "2|b|\\N") // NULL substituted per bulkloader contract
+  }
+
+  test("SubprocessFactTable pipes rendered partitions to the consumer") {
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val f = new SubprocessFactTable("sp", Seq("k"), Seq("m"),
+      consume = it => it.foreach(TestPipeSink.lines.add), fieldSep = "\t")
+    f.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))
+    TestPipeSink.lines.clear()
+    f.insert(Seq((1L, 2.5), (2L, 3.5)).toDF("k", "m"))
+    val got = TestPipeSink.lines.toArray(Array.empty[String]).sorted
+    assert(got.toSeq == Seq("1\t2.5", "2\t3.5"))
+    assert(f.current.count() == 2) // state also kept for lookups
+    assert(sink.isEmpty) // the local queue is unused; executors wrote the shared one
+  }
+
+  test("BatchFactTable: nothing buffers driver-side in a lazy engine") {
+    val f = new BatchFactTable("bf", Seq("k"), Seq("m"))
+    f.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))
+    f.insert(Seq((1L, 1.0)).toDF("k", "m"))
+    assert(f.awaitingRows == 0L)
+    assert(f.current.count() == 1)
+  }
+
+  test("CachedDimension state is Spark-cached") {
+    val d = new CachedDimension("cd", "key", Seq("name"), Seq("name"))
+    d.init(Seq((1L, "a")).toDF("key", "name"))
+    assert(d.current.storageLevel.useMemory)
+  }
+}
+
+/** executor-visible sink for the subprocess pipe test (local mode: same JVM) */
+object TestPipeSink {
+  val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}

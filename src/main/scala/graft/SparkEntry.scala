@@ -332,6 +332,17 @@ object SparkEntry {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // streaming ingestion dedup (batch twin): re-delivered events collapse to
+    // one row per event_id; the streaming form bounds state by watermark
+    // (graft.streaming.Streaming.dedup — dropDuplicatesWithinWatermark)
+    "stream_dedup" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val redelivered = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      graft.streaming.Streaming.dedup(redelivered, "ts", "1 hour", Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -885,6 +896,13 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
          count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type
+         FROM (SELECT event_id, user_id, event_type FROM events
+               UNION ALL
+               SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0)
+         ORDER BY event_id""",
 
     "stream_sessionize" ->
       """WITH flagged AS (

@@ -38,6 +38,19 @@ object Streaming {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup — the standard ingestion dedup for training
+    * pipelines: drop re-deliveries of the same key, with dedup state bounded
+    * by the watermark horizon (`dropDuplicatesWithinWatermark`, so state
+    * evicts instead of growing forever — the 100 TB requirement). On a batch
+    * DataFrame this degrades to plain `dropDuplicates` (no state to bound),
+    * so the same call works as the batch twin.
+    */
+  def dedup(events: DataFrame, tsCol: String, watermark: String,
+            keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup (watermark-bounded state) equals batch distinct") {
+    val batch = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val stream = spark.readStream.schema(batch.schema).parquet(stagedDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val deduped = Streaming.dedup(stream, "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dedup_out").select("event_id").distinct().count()
+    val expected = batch.select("event_id").distinct().count()
+    assert(streamed == expected, s"streaming dedup $streamed != batch distinct $expected")
+    // no duplicates in the streamed output
+    assert(spark.table("dedup_out").count() == streamed)
+  }
+
   test("foreachBatch scdensure merges micro-batches into the dimension") {
     import graft.tables._
     val batchDf = spark.read.parquet(stagedDir)

@@ -189,15 +189,33 @@ final class EtlSession(val spark: SparkSession) {
 
   def register(t: graft.tables.ManagedTable): Unit = registry(t.name) = t
 
-  /** Dependency-ordered atomic publish: dimensions before facts, respecting
-    * `dependson` (reference: tables.py:2651-2652 flush ordering). Each table
-    * writes to a versioned path then swaps; Spark's write is all-or-nothing
-    * per table.
+  /** Dependency-ordered atomic publish (copy-on-write, SURVEY §7.3):
+    * dimensions write before facts, respecting `dependson` (reference:
+    * tables.py:2651-2652 flush ordering). Every table writes a NEW version
+    * directory (`<name>/v=<n>`), and only after all writes succeed does the
+    * `_CURRENT` pointer file swap (atomic rename) — readers mid-commit keep
+    * seeing the previous version, and a failed commit leaves the published
+    * state untouched. The pointer-file pattern works on HDFS (atomic rename)
+    * and object stores (single-object PUT) alike. Returns the published
+    * version.
     */
-  def commit(baseDir: String): Unit = {
+  def commit(baseDir: String): Long = {
+    val dir = new java.io.File(baseDir)
+    dir.mkdirs()
+    val next = EtlSession.currentVersion(baseDir) + 1
     val ordered = topoSort(registry.values.toSeq)
-    ordered.foreach(t => t.save(s"$baseDir/${t.name}"))
+    ordered.foreach(t => t.save(s"$baseDir/${t.name}/v=$next"))
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_CURRENT", ".tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, dir.toPath.resolve("_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
   }
+
+  /** Open a committed table at the currently-published version. */
+  def open(baseDir: String, name: String): DataFrame =
+    EtlSession.open(spark, baseDir, name)
 
   private def topoSort(ts: Seq[graft.tables.ManagedTable]): Seq[graft.tables.ManagedTable] = {
     val byName = ts.map(t => t.name -> t).toMap
@@ -210,5 +228,21 @@ final class EtlSession(val spark: SparkSession) {
     }
     ts.foreach(visit)
     visited.toSeq.map(byName)
+  }
+}
+
+object EtlSession {
+
+  /** currently-published commit version under `baseDir` (0 if none) */
+  def currentVersion(baseDir: String): Long = {
+    val p = java.nio.file.Paths.get(baseDir, "_CURRENT")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong else 0L
+  }
+
+  /** read a committed table at the published version */
+  def open(spark: SparkSession, baseDir: String, name: String): DataFrame = {
+    val v = currentVersion(baseDir)
+    require(v > 0, s"no committed version under $baseDir")
+    spark.read.parquet(s"$baseDir/$name/v=$v")
   }
 }

@@ -94,8 +94,17 @@ class SourcesSpec extends SparkSpec {
     es.register(fact) // registered before its dependency on purpose
     es.register(dim)
     val tmp = java.nio.file.Files.createTempDirectory("etl").toString
-    es.commit(tmp)
-    assert(new java.io.File(s"$tmp/dep_dim").exists())
-    assert(new java.io.File(s"$tmp/dep_fact").exists())
+    val v1 = es.commit(tmp)
+    assert(v1 == 1L)
+    assert(new java.io.File(s"$tmp/dep_dim/v=1").exists())
+    assert(new java.io.File(s"$tmp/dep_fact/v=1").exists())
+    assert(graft.core.EtlSession.open(spark, tmp, "dep_dim").count() == dim.current.count())
+    // second commit publishes a new version; the old one stays readable
+    dim.ensure(table("part").select(concat(col("p_brand"), lit("_x")).as("p_brand")))
+    val v2 = es.commit(tmp)
+    assert(v2 == 2L)
+    assert(graft.core.EtlSession.currentVersion(tmp) == 2L)
+    assert(new java.io.File(s"$tmp/dep_dim/v=1").exists(), "old version retained")
+    assert(graft.core.EtlSession.open(spark, tmp, "dep_dim").count() == dim.current.count())
   }
 }

@@ -314,6 +314,24 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.11 deepest aggregate extension: TypedImperativeAggregate sketch
+    // (Misra-Gries heavy hitters; exact here because the token domain — 20
+    // stopwords — fits the capacity, which is what the oracle verifies; at
+    // scale it degrades to the eps=1/capacity guarantee with fixed-size
+    // partial sketches shuffling instead of raw rows)
+    "agg_freq_tokens" -> ((s, dir) => {
+      val stop = Seq("the", "and", "of", "to", "a", "der", "und", "das", "ist", "nicht",
+        "le", "et", "les", "des", "une", "el", "los", "y", "las", "una")
+      val toks = docsNorm(s, dir).select(col("source"),
+        explode(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin(stop.map(lit(_)): _*))).as("tok"))
+      toks.groupBy(col("source"))
+        .agg(graft.plans.SketchFunctions.freqItems(col("tok"), 64).as("sketch"))
+        .select(col("source"), explode(col("sketch")).as("e"))
+        .select(col("source"), col("e.token").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(col("source"), col("cnt").desc, col("token"))
+    }),
+
     // scalar JSON access over the events props column
     "fn_json" -> ((s, dir) => {
       events(s, dir).select(
@@ -887,6 +905,17 @@ object SparkEntry {
     "agg_geomean" ->
       """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geo_mean
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "agg_freq_tokens" ->
+      s"""WITH norm AS (
+           SELECT source, string_split($normSql, ' ') AS toks FROM documents),
+         t AS (
+           SELECT source, unnest(list_filter(toks, w -> w IN
+             ('the','and','of','to','a','der','und','das','ist','nicht',
+              'le','et','les','des','une','el','los','y','las','una'))) AS token
+           FROM norm)
+         SELECT source, token, count(*) AS cnt
+         FROM t GROUP BY source, token ORDER BY source, cnt DESC, token""",
 
     "fn_json" ->
       """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k

@@ -65,10 +65,22 @@ class Dimension(
 
   /** Initialize from existing content (schema must contain key + attributes). */
   def init(df: DataFrame): this.type = {
+    requireColumns(df, allColumns, "init")
     state = df.select(allColumns.map(col): _*)
     if (cacheState) state = state.cache()
     knownMaxKey = None
     this
+  }
+
+  /** The reference raises KeyError when a row misses a required attribute
+    * (tables.py:403-407); the set-oriented analogue is analysis-time schema
+    * validation with a message naming the table and the missing columns.
+    */
+  protected def requireColumns(df: DataFrame, cols: Seq[String], op: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$name.$op: input is missing required column(s) ${missing.mkString(", ")} " +
+        s"(has: ${df.columns.mkString(", ")})")
   }
 
   def initEmpty(spark: SparkSession, schemaFrom: DataFrame): this.type =
@@ -116,7 +128,9 @@ class Dimension(
     * Reference: tables.py:400-425 (INSERT + idfinder max+1 counter).
     */
   def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
-    val in = graft.core.Nm.applyMapping(df, namemapping).select(attributes.map(col): _*)
+    val mapped = graft.core.Nm.applyMapping(df, namemapping)
+    requireColumns(mapped, attributes, "insert")
+    val in = mapped.select(attributes.map(col): _*)
     val maxKey = currentMaxKey
     val keyed = materialize(
       keyAssigner.assign(in, key, maxKey, lookupatts.map(col)).select(allColumns.map(col): _*))
@@ -177,6 +191,7 @@ class Dimension(
              rowexpander: DataFrame => DataFrame = identity,
              orderCol: Option[Column] = None): DataFrame = {
     val in = graft.core.Nm.applyMapping(df, namemapping)
+    requireColumns(in, lookupatts, "ensure")
 
     val candidateCols = in.columns.filter(c => attributes.contains(c)).map(col)
     val firstPerMember = orderCol match {

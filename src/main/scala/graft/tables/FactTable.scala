@@ -21,7 +21,21 @@ class FactTable(
   protected var state: DataFrame = _
   def allColumns: Seq[String] = keyrefs ++ measures
 
-  def init(df: DataFrame): this.type = { state = df.select(allColumns.map(col): _*); this }
+  def init(df: DataFrame): this.type = {
+    requireColumns(df, allColumns, "init")
+    state = df.select(allColumns.map(col): _*)
+    this
+  }
+
+  /** analysis-time schema validation (the reference's KeyError,
+    * tables.py:2184-2197: all keyrefs + measures required)
+    */
+  protected def requireColumns(df: DataFrame, cols: Seq[String], op: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$name.$op: input is missing required column(s) ${missing.mkString(", ")} " +
+        s"(has: ${df.columns.mkString(", ")})")
+  }
   def initEmpty(schemaFrom: DataFrame): this.type =
     init(schemaFrom.select(allColumns.map(col): _*).limit(0))
 
@@ -32,6 +46,7 @@ class FactTable(
     */
   def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
     val in = graft.core.Nm.applyMapping(df, namemapping)
+    requireColumns(in, allColumns, "insert")
     state = state.unionByName(in.select(allColumns.map(col): _*))
     this
   }

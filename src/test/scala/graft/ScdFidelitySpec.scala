@@ -99,6 +99,22 @@ class ScdFidelitySpec extends SparkSpec {
     assert(dim.current.filter(col("vto").isNull).count() == 1)
   }
 
+  test("lookupAsOf interval-endpoint inclusivity flags (reference lookupasof)") {
+    val dim = mkScd()
+    dim.init(Seq(
+      (1L, "u1", "a", "cph", 1, ts(100), ts(200)),
+      (2L, "u1", "b", "cph", 2, ts(200), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("key", "uid", "status", "city", "version", "vfrom", "vto"))
+    val probe = Seq(("u1", ts(200))).toDF("uid", "pts")
+    // default [from, to): the probe at the boundary belongs to the NEW version
+    val def_ = dim.lookupAsOf(probe, col("pts")).select("key").head().getLong(0)
+    assert(def_ == 2L)
+    // (from, to]: the boundary belongs to the OLD version
+    val alt = dim.lookupAsOf(probe, col("pts"),
+      fromInclusive = false, toInclusive = true).select("key").head().getLong(0)
+    assert(alt == 1L)
+  }
+
   test("namemapping on scdensure resolves physical source columns") {
     val dim = mkScd()
     val batch = Seq(("u1", "a", "cph", ts(100)), ("u1", "b", "cph", ts(200)))

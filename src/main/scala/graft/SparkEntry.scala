@@ -645,6 +645,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-bucketed ANN top-k: nearest-centroid partitioning (one shuffle
+    // keyed by cluster), nProbe-cluster search — the inverted-file scale
+    // path; deterministic sampled centroids keep it oracle-reproducible
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
+        k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language id (stopword n-gram heuristic)
     "text_langid" -> ((s, dir) => {
       docsNorm(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1223,6 +1234,36 @@ object SparkEntry {
            CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
            CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3
          FROM u ORDER BY doc_id""",
+
+    "sim_ann_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centid, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+         cassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c) WHERE cr = 1),
+         qassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
+         j AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
     "text_langid" ->
       s"""WITH norm AS (

@@ -64,6 +64,51 @@ object Vectors {
   def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     graft.plans.NativeFunctions.signLshBucket(vec, planes, offset)
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: the corpus is
+    * partitioned by nearest centroid (one shuffle keyed by cluster id);
+    * queries probe their `nProbe` closest centroids' clusters only, then
+    * exact cosine + top-k within the probed clusters. Centroids are the
+    * `nCentroids` lowest-id corpus vectors — a deterministic sampled
+    * quantizer (no iterative training), which keeps the whole pipeline
+    * engine-reproducible; swap in trained centroids for better recall at the
+    * same plan shape. The centroid set is bounded by construction, so its
+    * broadcast is always legal.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(cId)).limit(nCentroids)
+        .select(col(cId).as("__centid"), col(cVec).as("__centv"))
+        .withColumn("__centn", norm(col("__centv"))))
+
+    def topClusters(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val scored = df.select(col(id), col(vec))
+        .withColumn("__n", norm(col(vec)))
+        .crossJoin(cents)
+        .withColumn("__cs", cosinePre(col(vec), col("__centv"), col("__n"), col("__centn")))
+      val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col("__centid").asc)
+      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= probes)
+        .select(col(id), col(vec), col("__n"), col("__centid").as("__cluster"))
+    }
+
+    val cB = topClusters(corpus, cId, cVec, probes = 1)
+      .select(col("__cluster"), col(cId).as("__cid"), col(cVec).as("__cv"), col("__n").as("__cn"))
+    val qB = topClusters(queries, qId, qVec, probes = nProbe)
+      .select(col("__cluster"), col(qId).as("__qid"), col(qVec).as("__qv"), col("__n").as("__qn"))
+
+    val joined = qB.join(cB, Seq("__cluster"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("__cid").asc)
+    joined.select(col("__qid"), col("__cid"), col("cosine")).distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
     * independent plane sets (offsets t·planes into the shared md5 plane
     * derivation) each bucket the corpus; queries probe their bucket per

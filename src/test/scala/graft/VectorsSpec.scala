@@ -31,6 +31,23 @@ class VectorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("IVF top-1 recall vs brute force is usable (nProbe cluster search)") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 50)
+    val brute = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Vectors.ivfTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 1, nCentroids = 16, nProbe = 4)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (qid, nid) => ivf.get(qid).contains(nid) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
+  }
+
   test("ANN top-1 recall vs brute force is usable (multi-probe sign-LSH)") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

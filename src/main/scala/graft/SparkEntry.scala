@@ -314,6 +314,17 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // multimodal resize: real decode -> nearest-neighbor resample -> real
+    // BMP re-encode; the oracle recomputes the resampled means from the
+    // generation rule (a wrong index mapping or row order fails the hash)
+    "mm_resize" -> ((s, dir) => {
+      graft.multimodal.Multimodal.resizeImages(
+        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")), 4, 4)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_gray")) // binary content checked by spec round-trip
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.11 deepest aggregate extension: TypedImperativeAggregate sketch
     // (Misra-Gries heavy hitters; exact here because the token domain — 20
     // stopwords — fits the capacity, which is what the oracle verifies; at
@@ -1264,6 +1275,14 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         r AS (SELECT doc_id, list_transform(range(0, 16),
+               i -> (doc_id*31 + ((i%4)*2)*7 + ((i//4)*2)*13) % 256) AS g FROM d)
+         SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           list_sum(g)/16.0/255.0 AS mean_gray
+         FROM r ORDER BY doc_id""",
 
     "text_langid" ->
       s"""WITH norm AS (

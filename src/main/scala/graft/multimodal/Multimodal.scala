@@ -225,6 +225,60 @@ object Multimodal {
       .toDF()
   }
 
+  /** Encode a gray matrix (top-down) back into a real BMP container. */
+  def encodeBmpFromPixels(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length
+    val w = px.head.length
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * h
+    val size = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) { val v = px(y)(x).toByte; b.put(v).put(v).put(v); x += 1 }
+      var pad = w * 3
+      while (pad < rowBytes) { b.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Resize image-kind rows: REAL decode → nearest-neighbor resample →
+    * re-encode as a real BMP. Partition-local in batches with one pooled
+    * decoder (same shape as extractFeatures); output carries the resized
+    * container plus decoded-side stats so the transformation is checkable
+    * end to end.
+    */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("content", BinaryType),
+      StructField("mean_gray", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("content"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val dec = new BmpDecoder()
+          batch.iterator.map { r =>
+            val src = dec.decode(r.getAs[Array[Byte]]("content"))
+            val (srcH, srcW) = (src.length, src.head.length)
+            val resized = Array.tabulate(outH, outW)((y, x) =>
+              src(y * srcH / outH)(x * srcW / outW)) // nearest neighbor
+            val flat = resized.flatten
+            Row(r.getLong(0), outW, outH, encodeBmpFromPixels(resized),
+              flat.sum.toDouble / flat.length / 255.0)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Frame sampling for video-kind rows: demux offsets of the length-prefixed
     * container are fixed (constant frame size), so frame extraction stays a
     * columnar substring — distributed and row-parallel, no decode needed for

@@ -46,6 +46,20 @@ class MultimodalSpec extends SparkSpec {
       r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0))
   }
 
+  test("resize: decode -> nearest-neighbor resample -> re-encoded BMP round-trips") {
+    val m = Multimodal.mediaTable(table("documents"))
+    val resized = Multimodal.resizeImages(m, 4, 4)
+    val one = resized.orderBy("doc_id").limit(1).collect().head
+    val docId = one.getLong(0)
+    assert(one.getInt(1) == 4 && one.getInt(2) == 4)
+    // the emitted container is a REAL 4x4 BMP whose pixels are the
+    // nearest-neighbor samples of the source image
+    val px = Multimodal.decodeImage(one.getAs[Array[Byte]]("content"))
+    assert(px.length == 4 && px.head.length == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(px(y)(x) == Multimodal.gray(docId, 0, x * 2, y * 2), s"resampled pixel ($x,$y)")
+  }
+
   test("frame sampling yields decodable frames for video rows only") {
     val m = Multimodal.mediaTable(table("documents"))
     val frames = Multimodal.sampleFrames(m)

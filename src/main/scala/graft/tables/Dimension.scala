@@ -132,10 +132,13 @@ class Dimension(
     requireColumns(mapped, attributes, "insert")
     val in = mapped.select(attributes.map(col): _*)
     val maxKey = currentMaxKey
-    val keyed = materialize(
-      keyAssigner.assign(in, key, maxKey, lookupatts.map(col)).select(allColumns.map(col): _*))
+    val (assigned, newMax) = keyAssigner.assignWithMax(in, key, maxKey, lookupatts.map(col))
+    val keyed = materialize(assigned.select(allColumns.map(col): _*))
     state = state.unionByName(keyed)
-    bumpMaxKey(keyed)
+    newMax match {
+      case Some(m) => knownMaxKey = Some(math.max(maxKey, m))
+      case None => bumpMaxKey(keyed)
+    }
     this
   }
 
@@ -208,11 +211,14 @@ class Dimension(
     val newMembers = firstPerMember.join(dimForJoin.select(lookupatts.map(col): _*), lookupatts, "left_anti")
     val expanded = rowexpander(newMembers)
     val maxKey = currentMaxKey
-    val keyed = materialize(
-      keyAssigner.assign(expanded, key, maxKey, lookupatts.map(col)).select(allColumns.map(col): _*))
+    val (assigned, newMax) = keyAssigner.assignWithMax(expanded, key, maxKey, lookupatts.map(col))
+    val keyed = materialize(assigned.select(allColumns.map(col): _*))
 
     state = state.unionByName(keyed)
-    bumpMaxKey(keyed)
+    newMax match {
+      case Some(m) => knownMaxKey = Some(math.max(maxKey, m))
+      case None => bumpMaxKey(keyed)
+    }
 
     // resolve keys for the full input (hits old + new members)
     in.join(dimForJoin.select((key +: lookupatts).map(col): _*), lookupatts, "left")

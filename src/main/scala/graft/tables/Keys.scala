@@ -17,6 +17,14 @@ trait KeyAssigner extends Serializable {
 
   /** Add column `keyCol` with unique values > maxExisting to `newMembers`. */
   def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame
+
+  /** Like `assign`, additionally reporting the new max key when the
+    * assignment already knows it (saves the caller a max-scan job per
+    * mutation). Default: unknown.
+    */
+  def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
+                    orderBy: Seq[Column]): (DataFrame, Option[Long]) =
+    (assign(newMembers, keyCol, maxExisting, orderBy), None)
 }
 
 /** maxExisting + row_number() ordered by the lookup attributes: dense,
@@ -56,7 +64,11 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
   * counter (pygrametl/tables.py:234-243), scale-safe like its interval scheme.
   */
 object DistributedDenseAssigner extends KeyAssigner {
-  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame = {
+  def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame =
+    assignWithMax(newMembers, keyCol, maxExisting, orderBy)._1
+
+  override def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
+                             orderBy: Seq[Column]): (DataFrame, Option[Long]) = {
     val spark = newMembers.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = newMembers.repartitionByRange(parts, orderBy.map(_.asc): _*)
@@ -64,9 +76,18 @@ object DistributedDenseAssigner extends KeyAssigner {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(keyCol,
         org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxExisting + i + 1L))
+    // hand-rolled zipWithIndex: the per-partition count pass is the same job
+    // zipWithIndex runs internally, but here the driver also learns the total
+    // -- so the new max key is known without another scan
+    val rdd0 = sorted.rdd
+    val counts = rdd0.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var k = maxExisting + offsets(i)
+      it.map { r => k += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ k) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), Some(maxExisting + total))
   }
 }

@@ -206,7 +206,7 @@ class ScdDimension(
     // 5b. key the new versions and union
     val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
     val maxKey = currentMaxKey
-    val keyed = keyAssigner.assign(newClean, key, maxKey, lk :+ col(versionatt))
+    val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt))
 
     var next = closed.unionByName(keyed.select(allColumns.map(col): _*))
 
@@ -235,7 +235,9 @@ class ScdDimension(
     }
 
     state = materialize(next)
-    knownMaxKey = None // recomputed lazily over the materialized state
+    // keys are untouched by the rewrite, so the assigner's reported max (when
+    // known) carries over; otherwise recompute lazily over materialized state
+    knownMaxKey = newMax.map(m => math.max(maxKey, m))
     this.current
   }
 

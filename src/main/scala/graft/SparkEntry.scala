@@ -295,6 +295,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
     }),
 
+    // §2.10 skew-safe salted join: hot keys spread over salt buckets, small
+    // side replicated — row-identical to the plain join the oracle runs
+    "join_skew_salted" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val userDim = ev.select(col("user_id")).distinct()
+        .withColumn("user_tag", concat(lit("u"), col("user_id")))
+      Partitioners.saltedJoin(ev.select(col("user_id"), col("value")), userDim, "user_id", 8)
+        .groupBy(col("user_id"), col("user_tag"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.8 top-k per group (window row_number <= k)
     "agg_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -917,6 +929,12 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
          ORDER BY c_custkey""",
+
+    "join_skew_salted" ->
+      """SELECT e.user_id, 'u' || e.user_id AS user_tag, count(*) AS n,
+         round(sum(CAST(e.value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
+         FROM events e
+         GROUP BY e.user_id ORDER BY e.user_id""",
 
     "agg_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -40,4 +40,18 @@ object Partitioners {
     */
   def salted(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
     df.withColumn("__salt", pmod(xxhash64(col(keyCol), monotonically_increasing_id()), lit(buckets)))
+
+  /** Skew-safe equi join: salt the big (skewed) side's key and replicate the
+    * small side across every salt bucket, then join on (key, salt) — the hot
+    * key's rows spread over `buckets` reducers instead of one. Row-identical
+    * to the plain join. AQE's skew-join rewrites sort-merge joins the same
+    * way at runtime; this is the explicit form for when the optimizer can't
+    * see the skew (pre-aggregated stats missing, stateful downstream ops).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val saltedBig = salted(big, key, buckets)
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L)))) // long: matches pmod's type
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -72,17 +72,19 @@ object Dedup {
     // signature cost is per-row CPU, so spread it across all cores.
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism * 2
-    // localCheckpoint (not persist): materializes once for the three
-    // downstream consumers AND releases its blocks when the DataFrame is
-    // garbage-collected — .persist() here leaked storage across queries in
-    // long-running sessions.
-    val withSig = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+    // Materialize ONLY the compact signatures (id + k longs + band keys) —
+    // localCheckpoint, not persist, so blocks release on GC. The shingle
+    // sets (large string arrays) are NOT materialized: they are recomputed
+    // later just for the few candidate pairs that survive the signature
+    // prefilter — at scale, signatures are the thing worth shipping, raw
+    // shingles are not.
+    val sigs = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
       .repartition(parallelism, col(idCol))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .select(col(idCol), minhashSignature(col("__sh"), k).as("__sig"))
       .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
       .localCheckpoint()
 
-    val exploded = withSig.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
+    val exploded = sigs.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
 
     val bucketed = exploded
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"), col("__bk"))))
@@ -98,11 +100,21 @@ object Dedup {
     // estimate of Jaccard with sd <= 1/(2*sqrt(k)); cutting at threshold/2
     // keeps every true pair (>= 6 sigma at k=64) while skipping the exact
     // shingle-set intersection for the hopeless bulk of candidates.
-    val sh = withSig.select(col(idCol), col("__sh"), col("__sig"))
-    val verified = candidates
-      .join(sh.select(col(idCol).as("__ida"), col("__sh").as("__sha"), col("__sig").as("__siga")), Seq("__ida"))
-      .join(sh.select(col(idCol).as("__idb"), col("__sh").as("__shb"), col("__sig").as("__sigb")), Seq("__idb"))
+    val sg = sigs.select(col(idCol), col("__sig"))
+    val prefiltered = candidates
+      .join(sg.select(col(idCol).as("__ida"), col("__sig").as("__siga")), Seq("__ida"))
+      .join(sg.select(col(idCol).as("__idb"), col("__sig").as("__sigb")), Seq("__idb"))
       .filter(graft.plans.NativeFunctions.sigMatchFraction(col("__siga"), col("__sigb")) >= threshold / 2)
+      .select(col("__ida"), col("__idb"))
+
+    // exact Jaccard only for survivors: shingle the candidate docs on demand
+    val candIds = prefiltered
+      .select(explode(array(col("__ida"), col("__idb"))).as(idCol)).distinct()
+    val candSh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
+    val verified = prefiltered
+      .join(candSh.select(col(idCol).as("__ida"), col("__sh").as("__sha")), Seq("__ida"))
+      .join(candSh.select(col(idCol).as("__idb"), col("__sh").as("__shb")), Seq("__idb"))
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
           size(array_union(col("__sha"), col("__shb"))).cast("double"))

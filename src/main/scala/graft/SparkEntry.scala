@@ -601,6 +601,22 @@ object SparkEntry {
 
   private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // the end-to-end training-data story: quality-score + language-id +
+    // exact-dedup composed into one curation plan (filter early, dedup on
+    // the fingerprint, keep the lowest doc_id per duplicate group) — the
+    // operators are combinators, so the whole pipeline is a single Catalyst
+    // plan with pushdown across every stage
+    "pipeline_curate" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("source"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.3)
+      Dedup.exact(kept, "text", "doc_id")
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup (hash-groupBy on content fingerprint)
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -1116,6 +1132,41 @@ object SparkEntry {
            coalesce(u.line_rev, i.line_rev) AS line_rev
          FROM init i FULL OUTER JOIN upd u ON i.o_orderkey = u.o_orderkey
          ORDER BY 1""",
+
+    "pipeline_curate" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, source, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, source, nt,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
+           FROM norm),
+         scored AS (
+           SELECT doc_id, source, nt,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3 AS DECIMAL(18,8)), 4)::DOUBLE AS quality,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS lang
+           FROM c),
+         kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.3),
+         fpd AS (
+           SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+           FROM kept)
+         SELECT doc_id, source, quality FROM fpd WHERE rn = 1 ORDER BY doc_id""",
 
     "dedup_exact" ->
       s"""WITH fp AS (

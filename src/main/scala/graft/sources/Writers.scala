@@ -30,6 +30,22 @@ object Writers {
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed catalog table: rows hash-bucketed (and sorted) by the join
+    * keys at write time, so later equi joins/aggregations on those keys read
+    * co-located buckets and skip the shuffle entirely — the persistent form
+    * of `repartition` pre-shuffling, and the standard answer for big
+    * fact-to-fact joins repeated across runs (pay the shuffle once at load,
+    * never at query). Dimensional loads: bucket facts and large dims by the
+    * surrogate key.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** SubprocessFactTable equivalent: stream each partition's rows to an
     * arbitrary external consumer (e.g. a process stdin, a socket, a native
     * loader). Runs on executors — the distributed form of the reference's

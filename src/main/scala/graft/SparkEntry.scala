@@ -411,6 +411,23 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.6 rowexpander: enrichment computed ONLY for genuinely new members
+    // (tables.py:156-165, 374-398 — the lazy-expansion optimization); seeded
+    // members keep their seed-time value, so the oracle distinguishes the
+    // two paths
+    "dim_ensure_expander" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val dim = new Dimension("brand_dim_x", "brand_key", Seq("p_brand", "brand_len"), Seq("p_brand"))
+      dim.init(part.select(lit(0L).as("brand_key"), col("p_brand"), lit(0).as("brand_len")).limit(0))
+      // seed batch: expander stamps -1 (proves later batches don't recompute it)
+      dim.ensure(part.filter(col("p_size") < 25).select(col("p_brand")),
+        rowexpander = _.withColumn("brand_len", lit(-1)))
+      // full load: only NEW members get the real expansion
+      dim.ensure(part.select(col("p_brand")),
+        rowexpander = _.withColumn("brand_len", length(col("p_brand"))))
+      dim.current.orderBy(col("brand_key"))
+    }),
+
     // §2.5 getbyvals: partial attribute conjunction (tables.py:295-327)
     "dim_getbyvals" -> ((s, dir) => {
       val dim = new Dimension("cdim_gv", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
@@ -826,6 +843,23 @@ object SparkEntry {
       """SELECT o_orderkey,
          CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS branch
          FROM orders ORDER BY o_orderkey""",
+
+    "dim_ensure_expander" ->
+      """WITH seed AS (
+           SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_key, -1 AS brand_len
+           FROM (SELECT DISTINCT p_brand FROM part WHERE p_size < 25)),
+         newm AS (
+           SELECT p_brand FROM (SELECT DISTINCT p_brand FROM part)
+           WHERE p_brand NOT IN (SELECT p_brand FROM seed)),
+         newk AS (
+           SELECT p_brand,
+             (SELECT coalesce(max(brand_key), 0) FROM seed)
+               + row_number() OVER (ORDER BY p_brand) AS brand_key,
+             CAST(length(p_brand) AS INTEGER) AS brand_len
+           FROM newm)
+         SELECT brand_key, p_brand, brand_len FROM seed
+         UNION ALL SELECT brand_key, p_brand, brand_len FROM newk
+         ORDER BY brand_key""",
 
     "dim_getbyvals" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

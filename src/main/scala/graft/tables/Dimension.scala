@@ -147,7 +147,12 @@ class Dimension(
     * Reference: tables.py:335-366.
     */
   def update(updates: DataFrame): this.type = {
-    val u = updates.select((key +: updates.columns.filter(attributes.contains).toSeq).distinct.map(col): _*)
+    // one update row per key: duplicates would multiply dimension rows
+    // through the join (the reference applies updates sequentially per row;
+    // in set form the caller supplies at most one row per key — extra
+    // duplicates are collapsed, keeping the state cardinality invariant)
+    val u = updates.dropDuplicates(Seq(key))
+      .select((key +: updates.columns.filter(attributes.contains).toSeq).distinct.map(col): _*)
     val renamed = u.columns.filterNot(_ == key).foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
     val merged = state.join(graft.core.Joins.maybeBroadcast(renamed), Seq(key), "left")
     val cols = allColumns.map { c =>

@@ -102,9 +102,13 @@ class AccumulatingSnapshotFactTable(
 
   override def allColumns: Seq[String] = keyrefs ++ otherrefs ++ measures
 
-  /** MERGE: upsert the incoming snapshot rows. */
+  /** MERGE: upsert the incoming snapshot rows (one row per keyrefs tuple —
+    * duplicates would multiply facts through the full-outer join, so they
+    * collapse here; state cardinality = old keys ∪ new keys, invariant).
+    */
   def merge(updates: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
-    val u = graft.core.Nm.applyMapping(updates, namemapping).select(allColumns.map(col): _*)
+    val u = graft.core.Nm.applyMapping(updates, namemapping)
+      .dropDuplicates(keyrefs).select(allColumns.map(col): _*)
     val updatable = otherrefs ++ measures
     val renamed = updatable.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
     val joined = state.join(renamed, keyrefs, "full_outer")

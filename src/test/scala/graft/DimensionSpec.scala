@@ -59,6 +59,19 @@ class DimensionSpec extends SparkSpec {
     assert(m(1L) == "new1" && m(2L) == "old2")
   }
 
+  test("update/merge with duplicate keys never multiplies state rows") {
+    import spark.implicits._
+    val dim = new Dimension("d3b", "k", Seq("a", "b"), Seq("a"))
+    dim.init(Seq((1L, "x", "old1"), (2L, "y", "old2")).toDF("k", "a", "b"))
+    dim.update(Seq((1L, "dup1"), (1L, "dup2")).toDF("k", "b"))
+    assert(dim.current.count() == 2, "duplicate update keys must not fan out rows")
+
+    val fact = new AccumulatingSnapshotFactTable("af", Seq("k"), Seq("r"), Seq("m"))
+    fact.init(Seq((1L, 10L, 1.0)).toDF("k", "r", "m"))
+    fact.merge(Seq((1L, 11L, 2.0), (1L, 12L, 3.0), (2L, 13L, 4.0)).toDF("k", "r", "m"))
+    assert(fact.current.count() == 2, "duplicate merge keys must not fan out facts")
+  }
+
   test("namemapping resolves physical to logical columns") {
     val dim = freshDim()
     val renamed = table("part").select(col("p_brand").as("brand_physical"))

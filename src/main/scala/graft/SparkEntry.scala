@@ -495,6 +495,16 @@ object SparkEntry {
         .orderBy(col("user_key"))
     }),
 
+    // §2.7 closecurrent: close every member's open version at a fixed end
+    // time (tables.py:1530-1553)
+    "dim_scd2_closed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = scd2UserDim(s, dir)
+      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
+      dim.closeCurrent(lit("2026-01-01 00:00:00").cast(TimestampType))
+      dim.current.orderBy(col("user_key"))
+    }),
+
     // §2.5 as-of (temporal point-in-interval) join: find the version valid
     // at probe time (tables.py:1555-1711 lookupasof)
     "scd_asof" -> ((s, dir) => {
@@ -1085,6 +1095,12 @@ object SparkEntry {
     "dim_scd2" ->
       s"""WITH $scd2Sql
          SELECT user_key, user_id, event_type, version, valid_from, valid_to
+         FROM keyed ORDER BY user_key""",
+
+    "dim_scd2_closed" ->
+      s"""WITH $scd2Sql
+         SELECT user_key, user_id, event_type, version, valid_from,
+           coalesce(valid_to, TIMESTAMP '2026-01-01 00:00:00') AS valid_to
          FROM keyed ORDER BY user_key""",
 
     "scd_asof" ->

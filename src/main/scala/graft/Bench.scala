@@ -24,7 +24,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (local iteration; the driver passes none)
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => wanted(q._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -19,21 +19,37 @@ object Steps {
     (df.filter(pred), df.filter(!pred))
 
   /** CopyStep (steps.py:425-461): feed the same rows to several downstream
-    * pipelines. Lazy plans share the scan for free; cache when more than two
+    * pipelines. Lazy plans share the scan for free; set `cache` when several
     * consumers would otherwise rescan an expensive upstream.
+    *
+    * `cache=true` materializes via an eager localCheckpoint rather than
+    * `.cache()`: the blocks are released by the ContextCleaner as soon as the
+    * source frame is unreferenced, instead of pinning an entry in the
+    * CacheManager until someone remembers to unpersist.
     */
   def copyTo(df: DataFrame, consumers: Seq[DataFrame => DataFrame],
              cache: Boolean = false): Seq[DataFrame] = {
-    val src = if (cache) df.cache() else df
+    val src = if (cache) df.localCheckpoint(true) else df
     consumers.map(f => f(src))
   }
 
-  /** MappingStep with requiretargets=false tolerance (steps.py:172-204):
-    * apply per-column fns, skipping columns the frame doesn't have.
+  /** MappingStep (steps.py:172-204): apply per-column fns. The reference
+    * default `requiretargets=True` raises KeyError when a mapped attribute is
+    * absent; the analysis-time analogue is a `require` naming the missing
+    * columns. With `requireTargets=false` absent columns are skipped (the
+    * tolerant variant).
     */
-  def mapping(df: DataFrame, fns: Map[String, Column => Column]): DataFrame =
+  def mapping(df: DataFrame, fns: Map[String, Column => Column],
+              requireTargets: Boolean = false): DataFrame = {
+    if (requireTargets) {
+      val missing = fns.keys.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"MappingStep: missing target column(s) ${missing.mkString(", ")} " +
+          s"(has: ${df.columns.mkString(", ")})")
+    }
     fns.filter { case (c, _) => df.columns.contains(c) }
       .foldLeft(df) { case (d, (c, f)) => d.withColumn(c, f(org.apache.spark.sql.functions.col(c))) }
+  }
 
   /** chain of whole-frame transforms (the pipeline itself) */
   def pipeline(df: DataFrame, steps: (DataFrame => DataFrame)*): DataFrame =

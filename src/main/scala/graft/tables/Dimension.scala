@@ -95,7 +95,7 @@ class Dimension(
     * slower across the table-query suite at sf0.1).
     */
   protected def materialize(df: DataFrame): DataFrame =
-    if (autoCheckpoint) df.localCheckpoint(true) else df
+    if (autoCheckpoint) org.apache.spark.sql.graftbridge.Bridge.freeze(df) else df
 
   protected def dimForJoin: DataFrame =
     if (broadcastLookups) graft.core.Joins.maybeBroadcast(state) else state
@@ -113,16 +113,24 @@ class Dimension(
   }
 
   /** getbykey: full dimension row by key; misses yield all-NULL attributes
-    * (left-join native). Reference: tables.py:272-287.
+    * (left-join native). `namemapping` translates the probe's column names
+    * like every other API (reference tables.py:272-287 accepts namemapping).
     */
-  def getByKey(df: DataFrame): DataFrame =
-    df.join(dimForJoin, Seq(key), "left")
+  def getByKey(df: DataFrame, namemapping: Map[String, String] = Map.empty): DataFrame =
+    graft.core.Nm.applyMapping(df, namemapping).join(dimForJoin, Seq(key), "left")
 
   /** getbyvals: all dimension rows matching a partial attribute conjunction.
-    * Reference: tables.py:295-327.
+    * `namemapping` maps the caller's value names to dimension attributes
+    * (reference tables.py:295-327 resolves `row[nm.get(att, att)]`).
     */
-  def getByVals(vals: Map[String, Any]): DataFrame =
-    vals.foldLeft(state) { case (d, (a, v)) => d.filter(col(a) === lit(v)) }
+  def getByVals(vals: Map[String, Any], namemapping: Map[String, String] = Map.empty): DataFrame = {
+    // engine convention (Nm.applyMapping): namemapping is logical -> physical;
+    // vals carry the caller's (physical) names, filters hit logical attributes
+    val physToLogical = namemapping.map(_.swap)
+    vals.foldLeft(state) { case (d, (a, v)) =>
+      d.filter(col(physToLogical.getOrElse(a, a)) === lit(v))
+    }
+  }
 
   /** insert: append new member rows, assigning surrogate keys.
     * Reference: tables.py:400-425 (INSERT + idfinder max+1 counter).
@@ -132,8 +140,11 @@ class Dimension(
     requireColumns(mapped, attributes, "insert")
     val in = mapped.select(attributes.map(col): _*)
     val maxKey = currentMaxKey
-    val (assigned, newMax) = keyAssigner.assignWithMax(in, key, maxKey, lookupatts.map(col))
-    val keyed = materialize(assigned.select(allColumns.map(col): _*))
+    // single-pass: the assigner materializes the delta itself (that's its
+    // partition-freeze point), so keying is a lazy expression over the
+    // checkpointed blocks — no second checkpoint here
+    val (assigned, newMax) = keyAssigner.assignWithMax(in, key, maxKey, lookupatts.map(col), materialize)
+    val keyed = assigned.select(allColumns.map(col): _*)
     state = state.unionByName(keyed)
     newMax match {
       case Some(m) => knownMaxKey = Some(math.max(maxKey, m))
@@ -145,13 +156,25 @@ class Dimension(
   /** update: overwrite attribute values for matching keys; only non-NULL
     * update columns overwrite (SET only what the row carries).
     * Reference: tables.py:335-366.
+    *
+    * When a batch carries several update rows for one key, `orderCol` picks
+    * the winner deterministically (latest by orderCol — the set form of the
+    * reference's sequential last-write-wins); without it an arbitrary row
+    * survives (dropDuplicates).
     */
-  def update(updates: DataFrame): this.type = {
+  def update(updates: DataFrame, orderCol: Option[Column] = None): this.type = {
     // one update row per key: duplicates would multiply dimension rows
     // through the join (the reference applies updates sequentially per row;
-    // in set form the caller supplies at most one row per key — extra
-    // duplicates are collapsed, keeping the state cardinality invariant)
-    val u = updates.dropDuplicates(Seq(key))
+    // in set form extra duplicates collapse, keeping state cardinality
+    // invariant — deterministically when orderCol is given)
+    val collapsed = orderCol match {
+      case Some(o) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(o.desc)
+        updates.withColumn("__uw_rn", row_number().over(w))
+          .filter(col("__uw_rn") === 1).drop("__uw_rn")
+      case None => updates.dropDuplicates(Seq(key))
+    }
+    val u = collapsed
       .select((key +: updates.columns.filter(attributes.contains).toSeq).distinct.map(col): _*)
     val renamed = u.columns.filterNot(_ == key).foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
     val merged = state.join(graft.core.Joins.maybeBroadcast(renamed), Seq(key), "left")
@@ -216,8 +239,11 @@ class Dimension(
     val newMembers = firstPerMember.join(dimForJoin.select(lookupatts.map(col): _*), lookupatts, "left_anti")
     val expanded = rowexpander(newMembers)
     val maxKey = currentMaxKey
-    val (assigned, newMax) = keyAssigner.assignWithMax(expanded, key, maxKey, lookupatts.map(col))
-    val keyed = materialize(assigned.select(allColumns.map(col): _*))
+    // single-pass: materialization happens inside the assigner (upstream
+    // anti-join computes exactly once); keying stays a lazy Tungsten
+    // expression over the checkpointed delta
+    val (assigned, newMax) = keyAssigner.assignWithMax(expanded, key, maxKey, lookupatts.map(col), materialize)
+    val keyed = assigned.select(allColumns.map(col): _*)
 
     state = state.unionByName(keyed)
     newMax match {

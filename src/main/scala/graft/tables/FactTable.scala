@@ -15,11 +15,28 @@ class FactTable(
     val name: String,
     val keyrefs: Seq[String],
     val measures: Seq[String],
-    override val dependsOn: Seq[String] = Nil
+    override val dependsOn: Seq[String] = Nil,
+    val autoCheckpoint: Boolean = true
 ) extends ManagedTable {
 
   protected var state: DataFrame = _
   def allColumns: Seq[String] = keyrefs ++ measures
+
+  /** Materialize a mutation product, truncating lineage (no-op when
+    * autoCheckpoint is off — then the caller owns persistence). Same contract
+    * as [[Dimension.materialize]]: without it, K sequential insert/ensure/
+    * merge batches stack K plan layers and every downstream action re-executes
+    * the whole history — O(K²), the steady state of a streaming foreachBatch
+    * merge onto an accumulating fact.
+    */
+  protected def materialize(df: DataFrame): DataFrame =
+    if (autoCheckpoint) org.apache.spark.sql.graftbridge.Bridge.freeze(df) else df
+
+  /** Append a delta as a materialized leaf: state stays a flat union of
+    * checkpointed blocks, never a recompute lineage.
+    */
+  protected def appendDelta(delta: DataFrame): Unit =
+    state = state.unionByName(materialize(delta))
 
   def init(df: DataFrame): this.type = {
     requireColumns(df, allColumns, "init")
@@ -47,7 +64,7 @@ class FactTable(
   def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
     val in = graft.core.Nm.applyMapping(df, namemapping)
     requireColumns(in, allColumns, "insert")
-    state = state.unionByName(in.select(allColumns.map(col): _*))
+    appendDelta(in.select(allColumns.map(col): _*))
     this
   }
 
@@ -64,7 +81,10 @@ class FactTable(
     */
   def ensure(df: DataFrame, compare: Boolean = false,
              namemapping: Map[String, String] = Map.empty): this.type = {
-    val in = graft.core.Nm.applyMapping(df, namemapping).select(allColumns.map(col): _*)
+    val in0 = graft.core.Nm.applyMapping(df, namemapping).select(allColumns.map(col): _*)
+    // with compare the input has two consumers (validation scan + anti-join
+    // delta): materialize once instead of computing the upstream twice
+    val in = if (compare) materialize(in0) else in0
     if (compare) {
       val existing = state.select(allColumns.map(col): _*)
       val renamed = measures.foldLeft(existing)((d, m) => d.withColumnRenamed(m, s"__e_$m"))
@@ -74,7 +94,7 @@ class FactTable(
       require(mismatches == 0L, s"ensure(compare=true): measure mismatch in $name")
     }
     val newFacts = in.join(state.select(keyrefs.map(col): _*), keyrefs, "left_anti")
-    state = state.unionByName(newFacts)
+    appendDelta(newFacts)
     this
   }
 }
@@ -105,10 +125,25 @@ class AccumulatingSnapshotFactTable(
   /** MERGE: upsert the incoming snapshot rows (one row per keyrefs tuple —
     * duplicates would multiply facts through the full-outer join, so they
     * collapse here; state cardinality = old keys ∪ new keys, invariant).
+    * `orderCol` picks the surviving row per key deterministically (latest by
+    * orderCol — the set form of the reference's sequential last-write-wins,
+    * tables.py:2466-2505); without it an arbitrary duplicate survives.
+    *
+    * The merged state is materialized: repeated merges (the streaming
+    * foreachBatch steady state) each cost O(state), not O(history).
     */
-  def merge(updates: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
-    val u = graft.core.Nm.applyMapping(updates, namemapping)
-      .dropDuplicates(keyrefs).select(allColumns.map(col): _*)
+  def merge(updates: DataFrame, namemapping: Map[String, String] = Map.empty,
+            orderCol: Option[Column] = None): this.type = {
+    val mapped = graft.core.Nm.applyMapping(updates, namemapping)
+    val collapsed = orderCol match {
+      case Some(o) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyrefs.map(col): _*).orderBy(o.desc)
+        mapped.withColumn("__mw_rn", row_number().over(w))
+          .filter(col("__mw_rn") === 1).drop("__mw_rn")
+      case None => mapped.dropDuplicates(keyrefs)
+    }
+    val u = collapsed.select(allColumns.map(col): _*)
     val updatable = otherrefs ++ measures
     val renamed = updatable.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
     val joined = state.join(renamed, keyrefs, "full_outer")
@@ -120,7 +155,7 @@ class AccumulatingSnapshotFactTable(
     val cols = keyrefs.map(col) ++
       otherrefs.map(pick(_, ignoreNoneRefs)) ++
       measures.map(pick(_, ignoreNoneMeasures))
-    state = factExpander(joined.select(cols: _*))
+    state = materialize(factExpander(joined.select(cols: _*)))
     this
   }
 

@@ -20,11 +20,19 @@ trait KeyAssigner extends Serializable {
 
   /** Like `assign`, additionally reporting the new max key when the
     * assignment already knows it (saves the caller a max-scan job per
-    * mutation). Default: unknown.
+    * mutation). `materializer` is applied to the delta exactly once, at the
+    * point the partition layout must freeze (the caller's checkpoint hook —
+    * pass `identity` to opt out).
+    *
+    * Determinism contract: assigners that derive keys from physical row
+    * placement (partition id / position) are only stable across repeated
+    * actions AFTER materialization. With `identity` the caller must
+    * materialize the returned frame itself before reusing it.
     */
   def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
-                    orderBy: Seq[Column]): (DataFrame, Option[Long]) =
-    (assign(newMembers, keyCol, maxExisting, orderBy), None)
+                    orderBy: Seq[Column],
+                    materializer: DataFrame => DataFrame = identity): (DataFrame, Option[Long]) =
+    (materializer(assign(newMembers, keyCol, maxExisting, orderBy)), None)
 }
 
 /** maxExisting + row_number() ordered by the lookup attributes: dense,
@@ -54,40 +62,77 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
   }
 }
 
-/** Dense, deterministic keys WITHOUT the single-partition window: range-
-  * repartition on `orderBy`, sort within partitions (global order), then
-  * `zipWithIndex` — key = maxExisting + 1 + global position. Produces exactly
-  * the keys `MaxPlusRowNumberAssigner` would (row_number over the global
-  * order) but stays parallel: zipWithIndex runs one lightweight count job per
-  * batch instead of funnelling every row through one WindowExec partition.
+/** Dense, deterministic keys WITHOUT the single-partition window, in a
+  * single pass over the upstream plan:
+  *
+  *  1. freeze the raw delta (the materializer's checkpoint) — the ONE job
+  *     that computes the upstream anti-join/dedup pipeline;
+  *  2. count it with a near-free scan of the materialized blocks, then pick
+  *     the sort strategy by the TRUE size: at or below [[SmallDeltaRows]] a
+  *     bounded single-partition sort (`coalesce(1)` — narrow, no shuffle, no
+  *     range-sampling pass); above it a parallel `repartitionByRange` sort
+  *     whose sampling pass reads the frozen blocks instead of re-running the
+  *     upstream;
+  *  3. key = maxExisting + partition offset + position-in-partition, a pure
+  *     codegen'd column expression (`monotonically_increasing_id`'s low 33
+  *     bits are the position within the partition) — rows never leave
+  *     Tungsten, no `.rdd` Row round-trip, no extra map job.
+  *
+  * Produces exactly the keys `MaxPlusRowNumberAssigner` would (row_number
+  * over the global `orderBy` order). The single-partition path is principled,
+  * not a scale hazard: it is chosen only when the delta is PROVEN bounded
+  * (exact count of materialized blocks), and huge deltas take the parallel
+  * range sort. The new max key falls out of the same count — no extra
+  * max-scan job.
+  *
   * This is the default assigner — dense like the reference's MAX(key)+1
-  * counter (pygrametl/tables.py:234-243), scale-safe like its interval scheme.
+  * counter (pygrametl/tables.py:234-243), scale-safe like its interval scheme
+  * (pygrametl/parallel.py:1121-1177).
   */
 object DistributedDenseAssigner extends KeyAssigner {
+
+  /** deltas with at most this many rows take the bounded single-partition
+    * sort (a few hundred MB at typical dimension row widths)
+    */
+  val SmallDeltaRows: Long = 1L << 22
+
   def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame =
     assignWithMax(newMembers, keyCol, maxExisting, orderBy)._1
 
   override def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
-                             orderBy: Seq[Column]): (DataFrame, Option[Long]) = {
+                             orderBy: Seq[Column],
+                             materializer: DataFrame => DataFrame = identity): (DataFrame, Option[Long]) = {
     val spark = newMembers.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = newMembers.repartitionByRange(parts, orderBy.map(_.asc): _*)
-      .sortWithinPartitions(orderBy.map(_.asc): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(keyCol,
-        org.apache.spark.sql.types.LongType, nullable = false))
-    // hand-rolled zipWithIndex: the per-partition count pass is the same job
-    // zipWithIndex runs internally, but here the driver also learns the total
-    // -- so the new max key is known without another scan
-    val rdd0 = sorted.rdd
-    val counts = rdd0.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val total = offsets.last
-    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
-      var k = maxExisting + offsets(i)
-      it.map { r => k += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ k) }
+    val asc = orderBy.map(_.asc)
+    val posInPartition = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+
+    val delta = materializer(newMembers) // the one pass over the upstream plan
+    val total = delta.count()            // near-free over materialized blocks
+    if (total == 0L) {
+      (delta.withColumn(keyCol, lit(maxExisting + 1L)), Some(maxExisting))
+    } else if (total <= SmallDeltaRows) {
+      // bounded delta: narrow single-partition sort over the frozen blocks —
+      // no shuffle, no sampling, deterministic on re-evaluation (the input
+      // layout is frozen), and cheap enough to stay lazy (PROVEN <= SmallDeltaRows)
+      val keyed = delta.coalesce(1).sortWithinPartitions(asc: _*)
+        .withColumn(keyCol, lit(maxExisting + 1L) + posInPartition)
+      (keyed, Some(maxExisting + total))
+    } else {
+      // huge delta: parallel range sort over the frozen blocks
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val sorted = materializer(
+        delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*))
+      // rows per range-partition (RangePartitioner may emit <= parts; absent
+      // ids count 0): one partial-agg scan, 1 output row per partition
+      val counts = new Array[Long](parts max 1)
+      sorted.groupBy(spark_partition_id().as("__p")).agg(count(lit(1)).as("__n"))
+        .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val keyed = sorted.withColumn(keyCol,
+        lit(maxExisting + 1L) +
+          element_at(typedLit(offsets.init.toSeq), spark_partition_id() + 1) +
+          posInPartition)
+      (keyed, Some(maxExisting + total))
     }
-    (spark.createDataFrame(rdd, schema), Some(maxExisting + total))
   }
 }

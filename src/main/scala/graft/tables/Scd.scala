@@ -32,8 +32,10 @@ class TypeOneScdDimension(
                 namemapping: Map[String, String] = Map.empty): DataFrame = {
     val mapped = graft.core.Nm.applyMapping(updates, namemapping)
     val w = Window.partitionBy(lookupatts.map(col): _*).orderBy(orderCol.desc)
-    val latest = mapped
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // materialized once: both the ensure below and the type-1 overwrite join
+    // consume it — without this the batch window would compute twice
+    val latest = materialize(mapped
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
 
     // new members: plain ensure (first=latest occurrence supplies attributes)
     ensure(latest)
@@ -185,10 +187,20 @@ class ScdDimension(
       case None => versioned
     }
 
-    val firstNewFrom = versioned
-      .groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
+    // 5a. key the new versions FIRST: the assigner materializes the delta
+    // (single pass — the whole batch pipeline above computes exactly once),
+    // and everything downstream reads the checkpointed blocks.
+    val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
+    val maxKey = currentMaxKey
+    val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt), materialize)
 
-    // 5a. close previously-open current versions of changed members. "Current"
+    // first new change time per member, read from the materialized delta.
+    // Identical to min(fromatt) over `versioned`: minFrom rewrites only
+    // version-1 rows, and version 1 means a brand-new member — which has no
+    // old rows to close, so its value never reaches the join below.
+    val firstNewFrom = keyed.groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
+
+    // 5b. close previously-open current versions of changed members. "Current"
     // is decided by the same newest-first ordering as the lookup (NOT a bare
     // max(versionatt) — with orderingatt=toatt the open row may carry any
     // version number).
@@ -202,11 +214,6 @@ class ScdDimension(
           .otherwise(col(toatt)).as(toatt)
       case c => col(c).as(c)
     }: _*)
-
-    // 5b. key the new versions and union
-    val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
-    val maxKey = currentMaxKey
-    val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt))
 
     var next = closed.unionByName(keyed.select(allColumns.map(col): _*))
 

@@ -114,10 +114,14 @@ class SubprocessFactTable(
 
   override def insert(df: DataFrame, namemapping: Map[String, String] = Map.empty): this.type = {
     val in = graft.core.Nm.applyMapping(df, namemapping)
-    val rendered = Writers.delimited(
-      in.select(allColumns.map(org.apache.spark.sql.functions.col): _*), fieldSep, nullSubst)
+    requireColumns(in, allColumns, "insert")
+    // materialize ONCE: the pipe is an action and the state union another
+    // consumer — without this the input plan would compute twice
+    val delta = materialize(in.select(allColumns.map(org.apache.spark.sql.functions.col): _*))
+    val rendered = Writers.delimited(delta, fieldSep, nullSubst)
     val f = consume
     rendered.foreachPartition((it: Iterator[Row]) => f(it.map(_.getString(0))))
-    super.insert(in)
+    state = state.unionByName(delta)
+    this
   }
 }

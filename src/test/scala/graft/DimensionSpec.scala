@@ -72,6 +72,33 @@ class DimensionSpec extends SparkSpec {
     assert(fact.current.count() == 2, "duplicate merge keys must not fan out facts")
   }
 
+  test("update/merge orderCol: deterministic last-write-wins for conflicting keys") {
+    import spark.implicits._
+    val dim = new Dimension("d3c", "k", Seq("a", "b"), Seq("a"))
+    dim.init(Seq((1L, "x", "old")).toDF("k", "a", "b"))
+    dim.update(Seq((1L, "w1", 1L), (1L, "w2", 2L)).toDF("k", "b", "seq"),
+      orderCol = Some(col("seq")))
+    assert(dim.current.filter(col("k") === 1L).head().getString(2) == "w2",
+      "latest update by orderCol must win")
+
+    val fact = new AccumulatingSnapshotFactTable("af2", Seq("k"), Seq("r"), Seq("m"))
+    fact.init(Seq((1L, 10L, 1.0)).toDF("k", "r", "m"))
+    fact.merge(Seq((1L, 11L, 2.0, 1L), (1L, 12L, 3.0, 2L)).toDF("k", "r", "m", "seq"),
+      orderCol = Some(col("seq")))
+    val r = fact.current.filter(col("k") === 1L).head()
+    assert(r.getLong(1) == 12L && r.getDouble(2) == 3.0, "latest merge row by orderCol must win")
+  }
+
+  test("getByKey/getByVals accept namemapping") {
+    import spark.implicits._
+    val dim = new Dimension("d5nm", "k", Seq("a"), Seq("a"))
+    dim.init(Seq((1L, "x"), (2L, "y")).toDF("k", "a"))
+    val byKey = dim.getByKey(Seq(2L).toDF("kk"), Map("k" -> "kk"))
+    assert(byKey.head().getString(1) == "y")
+    val byVals = dim.getByVals(Map("aa" -> "x"), Map("a" -> "aa"))
+    assert(byVals.head().getLong(0) == 1L)
+  }
+
   test("namemapping resolves physical to logical columns") {
     val dim = freshDim()
     val renamed = table("part").select(col("p_brand").as("brand_physical"))

@@ -74,6 +74,33 @@ class ScaleSpec extends SparkSpec {
     assert(scd.current.select("user_key").distinct().count() == scd.current.count())
   }
 
+  test("fact tables: 10 sequential merges keep a flat plan; ensure deltas are materialized leaves") {
+    import spark.implicits._
+    val fact = new AccumulatingSnapshotFactTable("accf", Seq("k"), Seq("r"), Seq("m"))
+    fact.init(Seq.empty[(Long, Long, Double)].toDF("k", "r", "m"))
+    def planSize = fact.current.queryExecution.optimizedPlan.collect { case p => p }.size
+    var sizes = Vector.empty[Int]
+    (1 to 10).foreach { b =>
+      fact.merge(spark.range(0, 500).select(col("id").as("k"),
+        lit(b.toLong).as("r"), (col("id") * b).cast("double").as("m")))
+      sizes :+= planSize
+    }
+    // the merge rewrite re-materializes: each batch costs O(state), not O(history)
+    assert(sizes.distinct.size == 1, s"merged state plan must stay flat across batches, got $sizes")
+    assert(fact.current.count() == 500)
+    val last = fact.current.filter(col("k") === 7L).head()
+    assert(last.getLong(1) == 10L && last.getDouble(2) == 70.0, "last merge wins")
+
+    val f2 = new FactTable("ff", Seq("k"), Seq("m"))
+    f2.init(Seq.empty[(Long, Double)].toDF("k", "m"))
+    (1 to 8).foreach { b =>
+      f2.ensure(spark.range(b * 100, b * 100 + 50).select(col("id").as("k"), lit(1.0).as("m")))
+    }
+    val leaves = f2.current.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 9, s"expected materialized union leaves, got ${leaves.size}")
+    assert(f2.current.count() == 400)
+  }
+
   test("append-only ensure: delta checkpoint keeps plan growth linear and bounded") {
     val d = new Dimension("inc", "key", Seq("name"), Seq("name"))
     d.init(spark.range(0).select(col("id").as("key"), lit("").as("name")).limit(0))

@@ -22,6 +22,28 @@ class StepsWritersSpec extends SparkSpec {
     assert(outs(1).columns.contains("count"))
   }
 
+  test("mapping step requireTargets=true raises naming the missing column") {
+    val e = intercept[IllegalArgumentException] {
+      Steps.mapping(table("nation").select(col("n_name")),
+        Map("n_name" -> ((c: org.apache.spark.sql.Column) => upper(c)),
+          "absent_col" -> ((c: org.apache.spark.sql.Column) => c)),
+        requireTargets = true)
+    }
+    assert(e.getMessage.contains("absent_col"))
+  }
+
+  test("copyTo(cache=true) pins nothing in the CacheManager") {
+    val outs = Steps.copyTo(table("nation"), Seq(
+      (d: org.apache.spark.sql.DataFrame) => d.filter(col("n_regionkey") === 0),
+      (d: org.apache.spark.sql.DataFrame) => d.filter(col("n_regionkey") =!= 0)), cache = true)
+    assert(outs.map(_.count()).sum == table("nation").count())
+    // re-plan the same source: if copyTo had cache()'d it, the CacheManager
+    // would rewrite this fresh plan to an InMemoryRelation
+    val replanned = table("nation").queryExecution.withCachedData
+    assert(!replanned.toString.contains("InMemoryRelation"),
+      "copyTo must materialize via localCheckpoint, not leak a CacheManager entry")
+  }
+
   test("mapping step skips absent columns (requiretargets=false)") {
     val out = Steps.mapping(table("nation"),
       Map("n_name" -> (c => lower(c)), "absent_col" -> (c => c)))

@@ -35,6 +35,20 @@ class VariantsSpec extends SparkSpec {
     assert(sink.isEmpty) // the local queue is unused; executors wrote the shared one
   }
 
+  test("SubprocessFactTable.insert computes its input exactly once") {
+    val acc = spark.sparkContext.longAccumulator("subproc_evals")
+    TestPipeSink.lines.clear()
+    val f = new SubprocessFactTable("sp2", Seq("k"), Seq("m"),
+      consume = it => it.foreach(TestPipeSink.lines.add))
+    f.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))
+    val in = spark.range(0, 100).as[Long].map { x => acc.add(1); x }.toDF("k")
+      .withColumn("m", col("k").cast("double"))
+    f.insert(in)
+    assert(f.current.count() == 100)
+    assert(TestPipeSink.lines.size() == 100)
+    assert(acc.value == 100L, s"input must compute once, evaluated ${acc.value} rows")
+  }
+
   test("BatchFactTable: nothing buffers driver-side in a lazy engine") {
     val f = new BatchFactTable("bf", Seq("k"), Seq("m"))
     f.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))

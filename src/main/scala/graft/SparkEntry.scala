@@ -249,6 +249,20 @@ object SparkEntry {
            GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    // §2.8 SQLTransformingSource per-batch mode (datasources.py:536-606,
+    // perbatch=True): the staged query runs once per batch — aggregations
+    // aggregate per batch, intentionally different from the whole-input mode
+    "src_sqltransforming_batch" -> ((s, dir) => {
+      Sources.sqlTransformingPerBatch(t(s, dir, "lineitem"), "staged_li_batch",
+        """SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+             count(*) AS n
+           FROM staged_li_batch WHERE l_discount > 0.02
+           GROUP BY l_returnflag""",
+        col("l_linenumber"))
+        .orderBy(col("batch"), col("l_returnflag"))
+    }),
+
     // §2.8 CrossTabbingSource: pivot (datasources.py:609-665). Explicit pivot
     // values keep the plan single-pass (no distinct pre-scan) — required at scale.
     "src_crosstab" -> ((s, dir) => {
@@ -442,6 +456,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
       dim.getByKey(t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
         .select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 getbykey through namemapping: the probe's physical column name is
+    // translated like every other API (tables.py:272-287)
+    "dim_getbykey_nm" -> ((s, dir) => {
+      val dim = new Dimension("cdim_gknm", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
+      dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      dim.getByKey(t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("cust_id")),
+        namemapping = Map("c_custkey" -> "cust_id"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -722,6 +748,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN quality as data: per-query recall of the LSH ANN against the exact
+    // brute-force top-k — both pipelines oracle-reproducible, so the recall
+    // itself is value-checked cross-engine (floor asserted in VectorsSpec)
+    "sim_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val q = e.filter(col("vec_id") < 10)
+      val ann = Vectors.annTopK(q, e, "vec_id", "v", "vec_id", "v", k = 5, planes = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          dround(coalesce(col("hits"), lit(0L)) / lit(5.0), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // language id (stopword n-gram heuristic)
     "text_langid" -> ((s, dir) => {
       docsNorm(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -881,6 +927,12 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) d USING (c_custkey)
          ORDER BY p.c_custkey""",
 
+    "dim_getbykey_nm" ->
+      """SELECT p.c_custkey, d.c_name, d.c_mktsegment
+         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) p
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) d USING (c_custkey)
+         ORDER BY p.c_custkey""",
+
     "fact_lookup" ->
       """WITH rev AS (
            SELECT l_orderkey,
@@ -961,6 +1013,14 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty, count(*) AS n
          FROM lineitem WHERE l_discount > 0.02
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "src_sqltransforming_batch" ->
+      """SELECT l_returnflag,
+           round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty,
+           count(*) AS n, l_linenumber AS batch
+         FROM lineitem WHERE l_discount > 0.02
+         GROUP BY l_returnflag, l_linenumber
+         ORDER BY batch, l_returnflag""",
 
     "src_crosstab" ->
       """SELECT o_orderpriority,
@@ -1322,6 +1382,55 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    "sim_ann_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         w AS (
+           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
+             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
+               / 10000.0 - 0.5)) AS wv
+           FROM range(0, 8) t(p)),
+         cb AS (
+           SELECT e2.vec_id, e2.v, tt.t,
+             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
+                          THEN (1::BIGINT << (3 - (w.p - tt.t * 4))::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
+              FROM w WHERE w.p >= tt.t * 4 AND w.p < tt.t * 4 + 4) AS bucket
+           FROM e e2 CROSS JOIN range(0, 2) tt(t)),
+         probes AS (
+           SELECT q.vec_id, q.v, q.t,
+             unnest(list_distinct(list_concat([q.bucket],
+               list_transform(range(0, 4), i -> xor(q.bucket, (1::BIGINT << i::INTEGER)))))) AS bucket
+           FROM cb q WHERE q.vec_id < 10),
+         j AS (
+           SELECT DISTINCT p2.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p2.v, c.v)
+               / (sqrt(list_dot_product(p2.v, p2.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM probes p2 JOIN cb c ON p2.t = c.t AND p2.bucket = c.bucket AND p2.vec_id != c.vec_id),
+         ann AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM j QUALIFY rank <= 5),
+         bp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         brute AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM bp QUALIFY rank <= 5),
+         h AS (
+           SELECT b.query_id, count(*) AS hits
+           FROM brute b JOIN ann a
+             ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+           GROUP BY b.query_id)
+         SELECT q.vec_id AS query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(h.hits, 0) / 5.0 AS DECIMAL(18,8)), 4)::DOUBLE AS recall
+         FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 10) q
+         LEFT JOIN h ON q.vec_id = h.query_id
+         ORDER BY query_id""",
 
     "sim_bruteforce" ->
       """WITH e AS (

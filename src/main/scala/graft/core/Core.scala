@@ -77,13 +77,16 @@ object Converters {
   /** cast-or-NULL without per-row exceptions: under Spark's default ANSI
     * mode, `try_cast` evaluates the ANSI cast and catches the throw — ~8µs
     * per FAILING row (a scan of unparseable strings pays an exception each).
-    * The LEGACY-mode Cast returns NULL through the non-throwing parse path
-    * (measured: getInt over an unparseable column 1.2s → 0.1s per 150k rows).
+    * For string inputs the LEGACY-mode Cast returns NULL through the
+    * non-throwing parse path (measured: getInt over an unparseable column
+    * 1.2s → 0.1s per 150k rows); for non-string inputs TRY mode applies so
+    * numeric narrowing that overflows yields NULL (the default), never a
+    * LEGACY-wrapped value. The choice is made at analysis time per input
+    * type (graft.plans.SafeCast).
     */
   private def legacyCast(c: Column, t: DataType): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
-    Bridge.column(Cast(Bridge.expression(c), t, None, EvalMode.LEGACY))
+    Bridge.column(graft.plans.SafeCast(Bridge.expression(c), t))
   }
 
   private def tryTo(c: Column, t: DataType, default: Column): Column =
@@ -205,23 +208,31 @@ final class EtlSession(val spark: SparkSession) {
     * dimensions write before facts, respecting `dependson` (reference:
     * tables.py:2651-2652 flush ordering). Every table writes a NEW version
     * directory (`<name>/v=<n>`), and only after all writes succeed does the
-    * `_CURRENT` pointer file swap (atomic rename) — readers mid-commit keep
-    * seeing the previous version, and a failed commit leaves the published
-    * state untouched. The pointer-file pattern works on HDFS (atomic rename)
-    * and object stores (single-object PUT) alike. Returns the published
-    * version.
+    * `_CURRENT` pointer file swap — readers mid-commit keep seeing the
+    * previous version, and a failed commit leaves the published state
+    * untouched. The pointer is written through the Hadoop FileSystem resolved
+    * from `baseDir`'s scheme + the session's Hadoop conf, so file://, hdfs://
+    * and object-store URIs all work from any node; the overwrite-rename is
+    * atomic on HDFS/POSIX, and degrades to copy+delete (a tiny
+    * single-object window) on stores without atomic rename. Returns the
+    * published version.
     */
   def commit(baseDir: String): Long = {
-    val dir = new java.io.File(baseDir)
-    dir.mkdirs()
-    val next = EtlSession.currentVersion(baseDir) + 1
+    val hconf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(hconf)
+    fs.mkdirs(base)
+    val next = EtlSession.currentVersion(baseDir, hconf) + 1
     val ordered = topoSort(registry.values.toSeq)
     ordered.foreach(t => t.save(s"$baseDir/${t.name}/v=$next"))
-    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_CURRENT", ".tmp")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, dir.toPath.resolve("_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new org.apache.hadoop.fs.Path(base, s"_CURRENT.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext rename supports OVERWRITE (atomic where the FS can)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new org.apache.hadoop.fs.Path(base, "_CURRENT")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
@@ -245,15 +256,27 @@ final class EtlSession(val spark: SparkSession) {
 
 object EtlSession {
 
-  /** currently-published commit version under `baseDir` (0 if none) */
-  def currentVersion(baseDir: String): Long = {
-    val p = java.nio.file.Paths.get(baseDir, "_CURRENT")
-    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong else 0L
+  /** currently-published commit version under `baseDir` (0 if none), read
+    * through the Hadoop FileSystem for the path's scheme
+    */
+  def currentVersion(baseDir: String,
+                     hconf: org.apache.hadoop.conf.Configuration = null): Long = {
+    val conf = Option(hconf)
+      .orElse(SparkSession.getActiveSession.map(_.sessionState.newHadoopConf()))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(baseDir, "_CURRENT")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
   }
 
   /** read a committed table at the published version */
   def open(spark: SparkSession, baseDir: String, name: String): DataFrame = {
-    val v = currentVersion(baseDir)
+    val v = currentVersion(baseDir, spark.sessionState.newHadoopConf())
     require(v > 0, s"no committed version under $baseDir")
     spark.read.parquet(s"$baseDir/$name/v=$v")
   }

@@ -71,6 +71,46 @@ final case class DrawnTable(spark: SparkSession, drawing: String) {
   /** precondition: materialize the drawn rows (reference `Table.ensure`) */
   def ensure(): DataFrame = df
 
+  // ---- table lifecycle (reference drawntabletesting/__init__.py:241-400) ----
+  // The reference manages real DB tables; here the backing store is the Spark
+  // temp-view catalog, so create/drop/reset are view registrations.
+
+  /** create: register the drawn rows as temp view `name` (reference
+    * `Table.create` + initial insert).
+    */
+  def create(name: String): DataFrame = { df.createOrReplaceTempView(name); df }
+
+  /** reset: drop whatever state the view holds and restore the drawn rows —
+    * the reference's drop-create-insert cycle used between test cases.
+    */
+  def reset(name: String): DataFrame = create(name)
+
+  /** drop: remove the view (reference `Table.drop`). */
+  def drop(name: String): Unit = { spark.catalog.dropTempView(name); () }
+
+  /** ensure(name): create the view if absent, otherwise VERIFY its content
+    * still equals the drawing (raising on divergence) — the reference's
+    * `Table.ensure` contract.
+    */
+  def ensure(name: String): DataFrame =
+    if (spark.catalog.tableExists(name)) {
+      val cur = spark.table(name)
+      assertEqual(cur)
+      cur
+    } else create(name)
+
+  /** additems: append extra rows beyond the drawing (reference
+    * `Table.additems` — rows the test needs present but irrelevant to the
+    * drawn expectation). Values follow the drawn column order.
+    */
+  def addItems(name: String, items: Seq[Seq[Any]]): DataFrame = {
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(items.map(Row.fromSeq).toList, 1), schema)
+    val combined = spark.table(name).unionByName(extra)
+    combined.createOrReplaceTempView(name)
+    combined
+  }
+
   private def fmt(rows: Seq[Seq[Any]]): String =
     rows.map(_.mkString("| ", " | ", " |")).mkString("\n")
 

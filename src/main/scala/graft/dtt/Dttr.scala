@@ -60,6 +60,20 @@ object Dttr {
     }
   }
 
+  /** A custom external-row reader: (spark, drawn table, directive args,
+    * baseDir) => rows. The reference runner loads these from a user
+    * `config.py` (dttr.py:350-410); here they register programmatically
+    * before `run`/`runDir`/`main`.
+    */
+  type Reader = (SparkSession, DrawnTable, Seq[String], String) => DataFrame
+
+  private val customReaders =
+    scala.collection.concurrent.TrieMap.empty[String, Reader]
+
+  /** register a custom reader for `<keyword> args...` source directives */
+  def registerReader(keyword: String, reader: Reader): Unit =
+    customReaders(keyword) = reader
+
   private def loadSource(spark: SparkSession, dt: DrawnTable,
                          source: (String, Seq[String]), baseDir: String): DataFrame =
     source match {
@@ -70,8 +84,10 @@ object Dttr {
         spark.read.option("delimiter", delim).option("header", "false")
           .schema(dt.schema).csv(full)
       case ("sql", args) => spark.sql(args.mkString(" "))
-      case (other, _) =>
-        throw new IllegalArgumentException(s"unknown dtt reader: $other")
+      case (other, args) =>
+        customReaders.get(other)
+          .map(r => r(spark, dt, args, baseDir))
+          .getOrElse(throw new IllegalArgumentException(s"unknown dtt reader: $other"))
     }
 
   /** Run one `.dtt` file's content: materialize preconditions (registered as
@@ -123,5 +139,41 @@ object Dttr {
       catch { case e: Throwable => Some(e.getMessage) }
       f.getName -> res
     }
+  }
+
+  /** CLI body: run a directory, print per-file results, return the failure
+    * count (separated from `main` so tests can drive it without the process
+    * exit / session teardown).
+    */
+  def runCli(spark: SparkSession, dir: String,
+             etl: Map[String, DataFrame] => Map[String, DataFrame] = identity): Int = {
+    val results = runDir(spark, dir, etl)
+    results.foreach { case (f, err) =>
+      println(err.fold(s"$f: OK")(m => s"$f: FAIL ${m.takeWhile(_ != '\n')}"))
+    }
+    val failures = results.count(_._2.isDefined)
+    println(s"dttr: ${results.size - failures}/${results.size} files passed")
+    failures
+  }
+
+  /** Standalone runner (the reference's executable `dttr`, dttr.py:350-410):
+    * `runMain graft.dtt.Dttr <dir-with-.dtt-files>`. Exits nonzero when any
+    * file fails. Custom readers registered via [[registerReader]] before
+    * invocation apply (the reference's config.py hook).
+    */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(".")
+    val hadSession = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = hadSession.getOrElse(
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .appName("graft-dttr")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val failures = runCli(spark, dir)
+    if (hadSession.isEmpty) spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -272,6 +272,28 @@ case class SigMatchFraction(left: Expression, right: Expression)
 }
 
 /** Column wrappers + SQL registration. */
+/** cast-or-NULL with the right engine per input type (reference getint/
+  * getfloat/... parse-or-default, pygrametl/__init__.py:190-337): string
+  * inputs take the LEGACY-mode Cast (NULL through the non-throwing parse
+  * path — the measured hot path, no per-row exceptions); any other input
+  * takes TRY mode so numeric narrowing that overflows yields NULL (the
+  * default, not a wrapped value). Resolved lazily (RuntimeReplaceable) —
+  * the choice needs the child's resolved type.
+  */
+case class SafeCast(child: Expression, targetType: DataType)
+  extends UnaryExpression with RuntimeReplaceable {
+
+  override def prettyName: String = "graft_safe_cast"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType => Cast(child, targetType, None, EvalMode.LEGACY)
+    case _ => Cast(child, targetType, None, EvalMode.TRY)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SafeCast =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   private def col(e: Expression): Column = Bridge.column(e)

@@ -46,21 +46,42 @@ object Jdbc {
     * set-oriented stand-in for the reference's per-row bound parameters
     * (pygrametl executes the query once per iteration anyway; here it runs
     * exactly once on the database).
+    *
+    * Substitution is word-boundary anchored and skips single-quoted string
+    * literals (a `:name` inside a literal is data, not a placeholder).
+    * Values escape by quote-doubling, which is safe for ANSI-conformant
+    * dialects; parameters must still be TRUSTED under backslash-escaping
+    * dialects (e.g. MySQL with default sql_mode) — use database-side
+    * prepared statements for hostile input.
     */
-  private[sources] def bind(query: String, parameters: Map[String, Any]): String =
-    parameters.toSeq.sortBy(-_._1.length).foldLeft(query) { case (q, (k, v)) =>
-      val lit = v match {
-        case null => "NULL"
-        case n: Int => n.toString
-        case n: Long => n.toString
-        case n: Double => n.toString
-        case n: Float => n.toString
-        case n: java.math.BigDecimal => n.toPlainString
-        case b: Boolean => if (b) "TRUE" else "FALSE"
-        case s => "'" + s.toString.replace("'", "''") + "'"
-      }
-      q.replace(":" + k, lit)
+  private val quotedLiteral = "'(?:[^']|'')*'".r
+
+  private[graft] def bind(query: String, parameters: Map[String, Any]): String = {
+    if (parameters.isEmpty) return query
+    def litOf(v: Any): String = v match {
+      case null => "NULL"
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Double => n.toString
+      case n: Float => n.toString
+      case n: java.math.BigDecimal => n.toPlainString
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case s => "'" + s.toString.replace("'", "''") + "'"
     }
+    def subst(segment: String): String =
+      parameters.toSeq.sortBy(-_._1.length).foldLeft(segment) { case (q, (k, v)) =>
+        q.replaceAll(":" + java.util.regex.Pattern.quote(k) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(litOf(v)))
+      }
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- quotedLiteral.findAllMatchIn(query)) {
+      sb.append(subst(query.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(subst(query.substring(last)))
+    sb.toString
+  }
 
   /** SQLSource: one SQL query against a live database as a DataFrame.
     *

@@ -118,6 +118,40 @@ object Sources {
     df.sparkSession.sql(query)
   }
 
+  /** SQLTransformingSource per-batch mode (reference: datasources.py:536-606,
+    * `perbatch=True` — stage `batchsize` rows into the temp table, run the
+    * query, truncate, repeat). The set form replaces arrival-order batches
+    * with an explicit `batchCol`: the query runs once per distinct batch
+    * value over exactly that batch's rows, and each result carries its batch
+    * id in `batchOutCol`. Aggregations therefore aggregate per batch —
+    * intentionally different results from the whole-input mode.
+    *
+    * Scale contract: the distinct batch-id set is collected to drive the
+    * per-batch staging (the reference's loop is just as sequential), so the
+    * NUMBER of batches must be bounded — rows per batch are unbounded and
+    * stay distributed. For unbounded batch counts, express the query with
+    * the batch column in its GROUP BY instead.
+    */
+  def sqlTransformingPerBatch(df: DataFrame, viewName: String, query: String,
+                              batchCol: Column, batchOutCol: String = "batch"): DataFrame = {
+    val spark = df.sparkSession
+    val tagged = df.withColumn("__graft_batch", batchCol)
+    val batches = tagged.select(col("__graft_batch")).distinct()
+      .orderBy(col("__graft_batch")).collect().map(_.get(0))
+    if (batches.isEmpty) {
+      df.createOrReplaceTempView(viewName)
+      spark.sql(query).limit(0).withColumn(batchOutCol, lit(null))
+    } else {
+      val parts = batches.map { b =>
+        // spark.sql analyzes eagerly, so each plan captures its own batch view
+        tagged.filter(col("__graft_batch") <=> lit(b)).drop("__graft_batch")
+          .createOrReplaceTempView(viewName)
+        spark.sql(query).withColumn(batchOutCol, lit(b))
+      }
+      parts.reduce(_.unionByName(_))
+    }
+  }
+
   /** CrossTabbingSource (reference: datasources.py:609-665): pivot. The
     * reference fully materializes the input in driver memory; Spark's
     * groupBy().pivot() is the distributed equivalent. Pass explicit

@@ -67,6 +67,24 @@ class DttSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle: ensure/create/addItems/reset/drop mirror the reference Table") {
+    val t = DrawnTable(spark,
+      """| id:int (pk) | name:text |
+         | ----------- | --------- |
+         | 1           | a         |
+         | 2           | b         |""")
+    t.ensure("dtt_life") // absent -> created with drawn rows
+    assert(spark.table("dtt_life").count() == 2)
+    t.ensure("dtt_life") // present and matching -> verified, no raise
+    t.addItems("dtt_life", Seq(Seq(3L, "c")))
+    assert(spark.table("dtt_life").count() == 3)
+    intercept[AssertionError] { t.ensure("dtt_life") } // diverged from drawing
+    t.reset("dtt_life") // drop-create-insert cycle restores the drawn state
+    t.assertEqual(spark.table("dtt_life"))
+    t.drop("dtt_life")
+    assert(!spark.catalog.tableExists("dtt_life"))
+  }
+
   test("DTT as ETL precondition/postcondition harness") {
     // precondition: drawn dimension seed; run ensure; postcondition drawing
     val seed = DrawnTable(spark,

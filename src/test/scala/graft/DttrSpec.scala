@@ -35,6 +35,31 @@ class DttrSpec extends SparkSpec {
     assert(failures.isEmpty, s"corpus failures: $failures")
   }
 
+  test("runCli (the main's body) runs the corpus and reports zero failures") {
+    val failures = Dttr.runCli(spark, dir, etl)
+    assert(failures == 0)
+  }
+
+  test("custom reader hook: registered keyword feeds external rows") {
+    Dttr.registerReader("range", (s, dt, args, _) =>
+      s.range(args.head.toLong).select(
+        col("id").as(dt.columns.head._1),
+        concat(lit("v"), col("id")).as(dt.columns(1)._1)))
+    val content =
+      """gen
+        || k:int (pk) | v:text |
+        || ---------- | ------ |
+        |range 3
+        |
+        |gen, equal
+        || k:int (pk) | v:text |
+        || ---------- | ------ |
+        || 0          | v0     |
+        || 1          | v1     |
+        || 2          | v2     |""".stripMargin
+    Dttr.run(spark, content, dir) // throws on assertion failure
+  }
+
   test("a violated postcondition fails with a drawn-row report") {
     val content =
       """t

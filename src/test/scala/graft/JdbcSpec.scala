@@ -24,6 +24,19 @@ class JdbcSpec extends SparkSpec {
     assert(rows == Seq(2 -> "bob", 4 -> "o'brien")) // quoting survives ''-escape
   }
 
+  test("bind: word-boundary anchored, skips quoted literals") {
+    // :a must not rewrite the prefix of :ab
+    assert(Jdbc.bind("SELECT :a, :ab", Map("a" -> 1, "ab" -> 2)) == "SELECT 1, 2")
+    // :name inside a string literal is data, not a placeholder
+    assert(Jdbc.bind("SELECT ':skip', :skip FROM t", Map("skip" -> "x"))
+      == "SELECT ':skip', 'x' FROM t")
+    // ''-escaped quotes inside literals do not end the literal
+    assert(Jdbc.bind("SELECT 'it''s :a here', :a", Map("a" -> 7))
+      == "SELECT 'it''s :a here', 7")
+    // replacement values containing '$' or '\' survive regex replacement
+    assert(Jdbc.bind("SELECT :v", Map("v" -> "a$b\\c")) == "SELECT 'a$b\\c'")
+  }
+
   test("sink + re-read round trip (batched JDBC writes)") {
     import spark.implicits._
     // Spark's JDBC writer quotes identifiers -> case-sensitive in Derby;

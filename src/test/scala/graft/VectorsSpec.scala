@@ -48,6 +48,14 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
   }
 
+  test("sim_ann_recall query: per-query recall floor holds") {
+    val out = SparkEntry.queries("sim_ann_recall")(spark, sfDir)
+      .select(col("query_id"), col("recall")).collect()
+    assert(out.nonEmpty)
+    val avg = out.map(_.getDouble(1)).sum / out.length
+    assert(avg >= 0.5, s"avg ANN top-5 recall $avg below floor")
+  }
+
   test("ANN top-1 recall vs brute force is usable (multi-probe sign-LSH)") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

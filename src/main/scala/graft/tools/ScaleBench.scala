@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.functions.{Dedup, TextAnalysis}
+import graft.tables.ScdDimension
+
+/** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
+  * at a synthesized 10× of the same data, and check per-row cost does not
+  * grow super-linearly — the evidence that the partition/shuffle strategy
+  * holds as data grows, not just that small-SF results are correct.
+  *
+  * The 10× documents set salts every token per copy (`c<k>` prefix), so
+  * within-copy near-duplicate structure is preserved while cross-copy
+  * n-gram Jaccard collapses to ~0 — near-dup PAIRS scale linearly with
+  * copies, keeping the workload shape honest (plain duplication would grow
+  * pairs quadratically and measure the wrong thing). Events shift user_id /
+  * event_id ranges per copy so key cardinality scales with the data.
+  *
+  * Usage: `runMain graft.tools.ScaleBench [reportPath]` (writes a markdown
+  * report; default SCALECHECK_r04.md). SPARK_GRAFT_SF_DIR picks the base
+  * scale (default sf0.1).
+  */
+object ScaleBench {
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val report = args.headOption.getOrElse("SCALECHECK_r04.md")
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalebench")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- inputs: 1x from parquet; 10x synthesized and re-read from parquet
+    // (both sides scan parquet, so the comparison excludes synthesis cost)
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val nDocs = docs1.count()
+    val maxUser = ev1.agg(max("user_id")).head().getLong(0) + 1
+    val maxEvent = ev1.agg(max("event_id")).head().getLong(0) + 1
+
+    val scaleDir = "target/scale10"
+    val docs10Path = s"$scaleDir/documents10.parquet"
+    val ev10Path = s"$scaleDir/events10.parquet"
+    (0 until copies).map { k =>
+      docs1.select(
+        (col("doc_id") + lit(k.toLong * nDocs)).as("doc_id"),
+        // per-copy token salt: preserves within-copy near-dup structure,
+        // kills cross-copy similarity -> pair count scales linearly
+        regexp_replace(col("text"), "(\\S+)", s"c$k" + "$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(docs10Path)
+    (0 until copies).map { k =>
+      ev1.select(
+        (col("event_id") + lit(k.toLong * maxEvent)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k.toLong * maxUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(ev10Path)
+    val docs10 = spark.read.parquet(docs10Path)
+    val ev10 = spark.read.parquet(ev10Path)
+
+    // ---- workloads (each a function of its input tables)
+    def minhash(d: DataFrame): Unit =
+      force(Dedup.minhashPairs(d, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8))
+    def exactDedup(d: DataFrame): Unit = force(Dedup.exact(d, "text", "doc_id"))
+    def textStack(d: DataFrame): Unit =
+      force(d.select(col("doc_id"),
+        TextAnalysis.qualityScoreRaw(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.tokenCount(col("text")).as("toks")))
+    def scd2(e: DataFrame): Unit = {
+      val dim = new ScdDimension("sb_scd", "user_key",
+        Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
+        Seq("user_id"), "version", "valid_from", "valid_to",
+        maxTo = lit(null).cast(TimestampType))
+      dim.init(e.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
+        lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
+      dim.scdensure(e.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
+      force(dim.current)
+    }
+    def agg(e: DataFrame): Unit =
+      force(e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))
+
+    val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
+      ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
+      ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
+      ("text_stack", nDocs, nDocs * copies, () => textStack(docs1), () => textStack(docs10)),
+      ("scd2_ensure", maxEvent, maxEvent * copies, () => scd2(ev1), () => scd2(ev10)),
+      ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)))
+
+    // warm-up (JIT, codegen, parquet footers) so neither side absorbs it
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    workloads.foreach(_._4())
+
+    val rows = workloads.map { case (name, n1, n10, w1, w10) =>
+      val t1 = timed(w1())
+      val t10 = timed(w10())
+      val ratio = t10 / t1
+      val perRowRatio = ratio / copies // 1.0 = perfectly linear in rows
+      (name, n1, t1, n10, t10, ratio, perRowRatio)
+    }
+
+    val md = new StringBuilder
+    md.append("# SCALECHECK — 10x scale proof (round 4)\n\n")
+    md.append(s"Base: `$sfDir` (documents=$nDocs, events=$maxEvent); 10x = $copies salted copies\n")
+    md.append("(per-copy token salt keeps near-dup pair growth LINEAR; user/event id ranges\n")
+    md.append("shift per copy so key cardinality scales with rows). Wall-clock local[32],\n")
+    md.append("both sides parquet-scanned, JIT warmed. `rows ratio/10` = 1.0 means perfectly\n")
+    md.append("linear per-row cost; < 1 means 10x amortizes fixed overhead (expected for\n")
+    md.append("shuffle-light scans); super-linear (>1.5) would flag a scale defect.\n\n")
+    md.append("| workload | rows 1x | sec 1x | rows 10x | sec 10x | time ratio | ratio/10 |\n")
+    md.append("|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (name, n1, t1, n10, t10, r, pr) =>
+      md.append(f"| $name | $n1 | $t1%.2f | $n10 | $t10%.2f | $r%.2f | $pr%.2f |%n")
+    }
+    val worst = rows.map(_._7).max
+    md.append(f"%nWorst per-row ratio: $worst%.2f — ${if (worst <= 1.5) "PASS (no super-linear growth)" else "FAIL"}%n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(report), md.toString)
+    println(md.toString)
+    val json = rows.map { case (name, _, t1, _, t10, r, pr) =>
+      f""""$name":{"sec1":$t1%.3f,"sec10":$t10%.3f,"ratio":$r%.3f,"perRow":$pr%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale10","worstPerRow":$worst,"workloads":$json}""")
+    spark.stop()
+  }
+}

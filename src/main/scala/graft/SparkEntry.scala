@@ -623,11 +623,16 @@ object SparkEntry {
         .orderBy(col("user_key"))
     }),
 
-    // §2.6 FactTable.ensure with compare=true validation (tables.py:2238-2271)
+    // §2.6 FactTable.ensure with compare=true validation (tables.py:2238-2271).
+    // The derived aggregate is materialized once: init state, the compare
+    // scan and the anti-join all read the same blocks instead of re-running
+    // the 600k-row aggregation per consumer (the engine only owns persistence
+    // of MUTATION products; init state persistence is the caller's).
     "fact_ensure" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_lines"))
+      val rev = org.apache.spark.sql.graftbridge.Bridge.freeze(
+        t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines")))
       val fact = new FactTable("order_rev", Seq("l_orderkey"), Seq("revenue", "n_lines"))
       fact.init(rev.filter(col("l_orderkey") % 3 === 0))
       fact.ensure(rev, compare = true)

@@ -143,7 +143,7 @@ class Dimension(
     // single-pass: the assigner materializes the delta itself (that's its
     // partition-freeze point), so keying is a lazy expression over the
     // checkpointed blocks — no second checkpoint here
-    val (assigned, newMax) = keyAssigner.assignWithMax(in, key, maxKey, lookupatts.map(col), materialize)
+    val (assigned, newMax) = keyAssigner.assignWithMax(in, key, maxKey, lookupatts.map(col), autoCheckpoint)
     val keyed = assigned.select(allColumns.map(col): _*)
     state = state.unionByName(keyed)
     newMax match {
@@ -242,7 +242,7 @@ class Dimension(
     // single-pass: materialization happens inside the assigner (upstream
     // anti-join computes exactly once); keying stays a lazy Tungsten
     // expression over the checkpointed delta
-    val (assigned, newMax) = keyAssigner.assignWithMax(expanded, key, maxKey, lookupatts.map(col), materialize)
+    val (assigned, newMax) = keyAssigner.assignWithMax(expanded, key, maxKey, lookupatts.map(col), autoCheckpoint)
     val keyed = assigned.select(allColumns.map(col): _*)
 
     state = state.unionByName(keyed)

@@ -20,19 +20,21 @@ trait KeyAssigner extends Serializable {
 
   /** Like `assign`, additionally reporting the new max key when the
     * assignment already knows it (saves the caller a max-scan job per
-    * mutation). `materializer` is applied to the delta exactly once, at the
-    * point the partition layout must freeze (the caller's checkpoint hook —
-    * pass `identity` to opt out).
+    * mutation). With `materialize=true` the delta is frozen exactly once, at
+    * the point the partition layout must freeze (Bridge.freeze — checkpoint +
+    * count in ONE job).
     *
     * Determinism contract: assigners that derive keys from physical row
     * placement (partition id / position) are only stable across repeated
-    * actions AFTER materialization. With `identity` the caller must
+    * actions AFTER materialization. With `materialize=false` the caller must
     * materialize the returned frame itself before reusing it.
     */
   def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
                     orderBy: Seq[Column],
-                    materializer: DataFrame => DataFrame = identity): (DataFrame, Option[Long]) =
-    (materializer(assign(newMembers, keyCol, maxExisting, orderBy)), None)
+                    materialize: Boolean = false): (DataFrame, Option[Long]) = {
+    val keyed = assign(newMembers, keyCol, maxExisting, orderBy)
+    (if (materialize) org.apache.spark.sql.graftbridge.Bridge.freeze(keyed) else keyed, None)
+  }
 }
 
 /** maxExisting + row_number() ordered by the lookup attributes: dense,
@@ -101,13 +103,17 @@ object DistributedDenseAssigner extends KeyAssigner {
 
   override def assignWithMax(newMembers: DataFrame, keyCol: String, maxExisting: Long,
                              orderBy: Seq[Column],
-                             materializer: DataFrame => DataFrame = identity): (DataFrame, Option[Long]) = {
+                             materialize: Boolean = false): (DataFrame, Option[Long]) = {
     val spark = newMembers.sparkSession
     val asc = orderBy.map(_.asc)
     val posInPartition = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
 
-    val delta = materializer(newMembers) // the one pass over the upstream plan
-    val total = delta.count()            // near-free over materialized blocks
+    // the ONE pass over the upstream plan: checkpoint + count fused into a
+    // single job (without materialization the count is a full computation —
+    // the documented caller-owns-persistence contract)
+    val (delta, total) =
+      if (materialize) org.apache.spark.sql.graftbridge.Bridge.freezeCounted(newMembers)
+      else (newMembers, newMembers.count())
     if (total == 0L) {
       (delta.withColumn(keyCol, lit(maxExisting + 1L)), Some(maxExisting))
     } else if (total <= SmallDeltaRows) {
@@ -120,8 +126,9 @@ object DistributedDenseAssigner extends KeyAssigner {
     } else {
       // huge delta: parallel range sort over the frozen blocks
       val parts = spark.sessionState.conf.numShufflePartitions
-      val sorted = materializer(
-        delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*))
+      val ranged = delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*)
+      val sorted =
+        if (materialize) org.apache.spark.sql.graftbridge.Bridge.freeze(ranged) else ranged
       // rows per range-partition (RangePartitioner may emit <= parts; absent
       // ids count 0): one partial-agg scan, 1 output row per partition
       val counts = new Array[Long](parts max 1)

@@ -192,7 +192,7 @@ class ScdDimension(
     // and everything downstream reads the checkpointed blocks.
     val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
     val maxKey = currentMaxKey
-    val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt), materialize)
+    val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt), autoCheckpoint)
 
     // first new change time per member, read from the materialized delta.
     // Identical to min(fromatt) over `versioned`: minFrom rewrites only

@@ -13,18 +13,27 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Eagerly materialize `df` (localCheckpoint) and rebuild a CLEAN leaf over
-    * the checkpointed blocks. `Dataset.localCheckpoint` bakes the physical
-    * plan's outputOrdering/outputPartitioning into the resulting LogicalRDD;
-    * those expressions carry exprIds that go stale when the plan is cached
-    * and reused under self-join deduplication (InMemoryRelation.withOutput
-    * then fails on the unmapped attribute). Re-wrapping the InternalRow scan
-    * via internalCreateDataFrame drops that metadata — zero-copy, the RDD is
-    * the block scan itself.
+  /** Eagerly materialize `df` (RDD-level localCheckpoint) and rebuild a CLEAN
+    * leaf over the checkpointed blocks, reporting the row count for free.
+    *
+    * Why not `Dataset.localCheckpoint`: (a) it bakes the physical plan's
+    * outputOrdering/outputPartitioning into the resulting LogicalRDD — those
+    * expressions carry exprIds that go stale when the plan is cached and
+    * reused under self-join deduplication (InMemoryRelation.withOutput then
+    * fails on the unmapped attribute); (b) the count() that materializes the
+    * blocks here is the SAME single job — callers that need the delta size
+    * (key assignment) get it without a second pass.
+    *
+    * The `.copy()` is required: the executed plan reuses UnsafeRow buffers
+    * per partition, and the persisted blocks must hold independent rows.
     */
-  def freeze(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    val spark = ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    spark.internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema)
+  def freezeCounted(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count() // the one job: computes, persists, truncates lineage, counts
+    (spark.internalCreateDataFrame(rdd, df.schema), n)
   }
+
+  def freeze(df: DataFrame): DataFrame = freezeCounted(df)._1
 }

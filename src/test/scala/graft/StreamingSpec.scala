@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == streamed)
   }
 
+  test("foreachBatch merge onto an accumulating fact: flat plan across micro-batches") {
+    // the reference's flagship accumulating-snapshot workflow (tables.py:
+    // 2359-2505) as a streaming steady state: every micro-batch MERGEs into
+    // the fact; materialized state keeps each merge O(state), not O(history)
+    import graft.tables._
+    import spark.implicits._
+    val src = spark.read.parquet(stagedDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dir6 = java.nio.file.Files.createTempDirectory("events_stream6").toString
+    src.repartition(6).write.mode("overwrite").parquet(dir6)
+    val fact = new AccumulatingSnapshotFactTable("stream_acc",
+      Seq("user_id"), Seq("last_type"), Seq("total"))
+    fact.init(Seq.empty[(Long, String, Double)].toDF("user_id", "last_type", "total"))
+    var sizes = Vector.empty[Int]
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir6)
+    val writer = Streaming.foreachBatchMerge(stream, batch =>
+      if (!batch.isEmpty) {
+        fact.merge(batch.groupBy(col("user_id")).agg(
+          max(col("event_type")).as("last_type"), sum(col("value")).as("total")))
+        sizes :+= fact.current.queryExecution.optimizedPlan.collect { case p => p }.size
+        ()
+      })
+    Streaming.runToCompletion(writer)
+    assert(sizes.size >= 3, s"expected several micro-batches, got ${sizes.size}")
+    assert(sizes.distinct.size == 1,
+      s"fact state plan must stay flat across streaming merges, got $sizes")
+    assert(fact.current.count() == src.select("user_id").distinct().count())
+  }
+
   test("foreachBatch scdensure merges micro-batches into the dimension") {
     import graft.tables._
     val batchDf = spark.read.parquet(stagedDir)

@@ -101,7 +101,10 @@ class BulkFactTable(
 /** SubprocessFactTable (reference tables.py:3222-3319): pipe delimited rows
   * into an external consumer. `insert` streams each partition's rendered
   * lines to `consume` on the executors — the distributed form of the
-  * reference's single stdin pipe.
+  * reference's single stdin pipe. For a REAL external command (the
+  * reference's actual mode — it spawns the process and writes rows to its
+  * stdin), build `consume` with [[SubprocessFactTable.command]]: one process
+  * per partition on the executor that runs it.
   */
 class SubprocessFactTable(
     name: String,
@@ -123,5 +126,35 @@ class SubprocessFactTable(
     rendered.foreachPartition((it: Iterator[Row]) => f(it.map(_.getString(0))))
     state = state.unionByName(delta)
     this
+  }
+}
+
+object SubprocessFactTable {
+
+  /** A consumer that spawns `cmd` and writes the partition's lines to its
+    * stdin (the reference's subprocess mode, tables.py:3222-3319 — there one
+    * driver-side process; here one process per partition, executor-local).
+    * stdout/stderr are drained so the child never deadlocks on a full pipe;
+    * a nonzero exit fails the task (and so the Spark job).
+    */
+  def command(cmd: Seq[String]): Iterator[String] => Unit = { lines =>
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val drainer = new Thread(() => {
+      val in = p.getInputStream
+      val buf = new Array[Byte](8192)
+      while (in.read(buf) != -1) ()
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    try lines.foreach { l => out.write(l); out.newLine() }
+    finally {
+      out.close()
+      val rc = p.waitFor()
+      require(rc == 0, s"subprocess '${cmd.mkString(" ")}' exited with $rc")
+    }
   }
 }

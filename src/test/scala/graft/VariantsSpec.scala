@@ -35,6 +35,26 @@ class VariantsSpec extends SparkSpec {
     assert(sink.isEmpty) // the local queue is unused; executors wrote the shared one
   }
 
+  test("SubprocessFactTable.command pipes partitions into a real process") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp").toString
+    val f = new SubprocessFactTable("spc", Seq("k"), Seq("m"),
+      consume = SubprocessFactTable.command(
+        Seq("/bin/sh", "-c", s"cat > $dir/part_$$$$.txt")))
+    f.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))
+    f.insert(spark.range(0, 50).select(col("id").as("k"), col("id").cast("double").as("m")))
+    val written = new java.io.File(dir).listFiles().toSeq
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+    assert(written.size == 50, s"expected 50 piped lines, got ${written.size}")
+    assert(written.contains("7\t7.0"))
+    // a failing command fails the job
+    val bad = new SubprocessFactTable("spf", Seq("k"), Seq("m"),
+      consume = SubprocessFactTable.command(Seq("/bin/sh", "-c", "exit 3")))
+    bad.initEmpty(Seq.empty[(Long, Double)].toDF("k", "m"))
+    intercept[org.apache.spark.SparkException] {
+      bad.insert(Seq((1L, 1.0)).toDF("k", "m"))
+    }
+  }
+
   test("SubprocessFactTable.insert computes its input exactly once") {
     val acc = spark.sparkContext.longAccumulator("subproc_evals")
     TestPipeSink.lines.clear()

@@ -70,7 +70,7 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
   *  1. freeze the raw delta (the materializer's checkpoint) — the ONE job
   *     that computes the upstream anti-join/dedup pipeline;
   *  2. count it with a near-free scan of the materialized blocks, then pick
-  *     the sort strategy by the TRUE size: at or below [[SmallDeltaRows]] a
+  *     the sort strategy by the TRUE size: at or below [[smallDeltaRows]] a
   *     bounded single-partition sort (`coalesce(1)` — narrow, no shuffle, no
   *     range-sampling pass); above it a parallel `repartitionByRange` sort
   *     whose sampling pass reads the frozen blocks instead of re-running the
@@ -91,12 +91,12 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
   * counter (pygrametl/tables.py:234-243), scale-safe like its interval scheme
   * (pygrametl/parallel.py:1121-1177).
   */
-object DistributedDenseAssigner extends KeyAssigner {
-
-  /** deltas with at most this many rows take the bounded single-partition
-    * sort (a few hundred MB at typical dimension row widths)
-    */
-  val SmallDeltaRows: Long = 1L << 22
+class DistributedDenseAssigner(
+    /** deltas with at most this many rows take the bounded single-partition
+      * sort (a few hundred MB at typical dimension row widths)
+      */
+    val smallDeltaRows: Long = DistributedDenseAssigner.SmallDeltaRows
+) extends KeyAssigner {
 
   def assign(newMembers: DataFrame, keyCol: String, maxExisting: Long, orderBy: Seq[Column]): DataFrame =
     assignWithMax(newMembers, keyCol, maxExisting, orderBy)._1
@@ -116,10 +116,10 @@ object DistributedDenseAssigner extends KeyAssigner {
       else (newMembers, newMembers.count())
     if (total == 0L) {
       (delta.withColumn(keyCol, lit(maxExisting + 1L)), Some(maxExisting))
-    } else if (total <= SmallDeltaRows) {
+    } else if (total <= smallDeltaRows) {
       // bounded delta: narrow single-partition sort over the frozen blocks —
       // no shuffle, no sampling, deterministic on re-evaluation (the input
-      // layout is frozen), and cheap enough to stay lazy (PROVEN <= SmallDeltaRows)
+      // layout is frozen), and cheap enough to stay lazy (PROVEN <= smallDeltaRows)
       val keyed = delta.coalesce(1).sortWithinPartitions(asc: _*)
         .withColumn(keyCol, lit(maxExisting + 1L) + posInPartition)
       (keyed, Some(maxExisting + total))
@@ -142,4 +142,9 @@ object DistributedDenseAssigner extends KeyAssigner {
       (keyed, Some(maxExisting + total))
     }
   }
+}
+
+/** The default assigner instance (4M-row single-partition gate). */
+object DistributedDenseAssigner extends DistributedDenseAssigner(1L << 22) {
+  val SmallDeltaRows: Long = 1L << 22
 }

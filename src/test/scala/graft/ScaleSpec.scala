@@ -45,6 +45,28 @@ class ScaleSpec extends SparkSpec {
     assert(!d.current.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("distributed dense assigner: huge-delta range path yields the same dense keys") {
+    // force the parallel repartitionByRange path (the 100 TB branch) with a
+    // tiny single-partition gate; keys must still equal the global rank
+    val d = new Dimension("dr", "key", Seq("name"), Seq("name"),
+      keyAssigner = new DistributedDenseAssigner(smallDeltaRows = 100))
+    d.init(spark.range(0).select(col("id").as("key"), lit("").as("name")).limit(0))
+    val in = spark.range(0, 5000)
+      .select(concat(lit("n"), format_string("%05d", col("id"))).as("name"))
+    d.ensure(in)
+    val keys = d.current.orderBy("name").select("key").collect().map(_.getLong(0)).toSeq
+    assert(keys == (1L to 5000L), "range path must equal global rank in lookupatt order")
+    // deterministic on re-evaluation (frozen sorted layout)
+    val keys2 = d.current.orderBy("name").select("key").collect().map(_.getLong(0)).toSeq
+    assert(keys2 == keys)
+    // a second huge batch continues densely above the first
+    d.ensure(spark.range(5000, 5200)
+      .select(concat(lit("n"), format_string("%05d", col("id"))).as("name")))
+    assert(d.current.count() == 5200)
+    assert(d.current.select("key").distinct().count() == 5200)
+    assert(!d.current.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("checkpointed state: K scdensure batches keep a flat plan (no lineage growth)") {
     import org.apache.spark.sql.types.TimestampType
     val scd = new ScdDimension("users", "user_key",

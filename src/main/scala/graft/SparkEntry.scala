@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // winnowed rolling-hash fingerprints (MOSS winnowing): partial-overlap
+    // pairs whole-document hashing cannot see — one shuffle keyed by
+    // fingerprint, degenerate fingerprints capped
+    "dedup_winnow" -> ((s, dir) => {
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, window = 4, minShared = 5, maxDocsPerFp = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // embedding-cosine near-dup pairs: exact brute-force (oracle baseline)
     "dedup_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1317,6 +1326,30 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "dedup_winnow" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(range(0, greatest(len(toks)-4,0)+1),
+             i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM norm),
+         h AS (
+           SELECT doc_id, list_transform(grams,
+             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
+         w AS (
+           SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+             j -> list_min(hs[j+1:j+4]))) AS fps FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         capped AS (
+           SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM f)
+           WHERE cnt <= 100),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, shared FROM p WHERE shared >= 5
+         ORDER BY id_a, id_b""",
 
     "dedup_simhash" ->
       s"""WITH norm AS (

@@ -159,6 +159,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowed rolling-hash document fingerprints (Schleimer/Wilkerson/Aiken
+    * winnowing, the MOSS scheme): hash every positional token k-gram, slide a
+    * `window` over the hash sequence and keep each window's minimum — a
+    * sparse, position-robust fingerprint SET. Two documents sharing a run of
+    * at least window+k-1 tokens are guaranteed to share a fingerprint, so
+    * PARTIAL overlap (contained boilerplate, concatenated documents) is
+    * detectable where whole-document hashing sees nothing.
+    *
+    * Hashes are md5-derived (low 60 bits), so the external SQL oracle
+    * reproduces every fingerprint bit-for-bit. Pure codegen'd builtins.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 4, window: Int = 4): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => array_join(slice(toks, i + lit(1), lit(k)), " "))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val wins = transform(sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      j => array_min(slice(hashes, j + lit(1), lit(window))))
+    array_distinct(wins)
+  }
+
+  /** Partial-overlap near-dup pairs by shared winnowed fingerprints: explode
+    * the fingerprint sets, cap degenerate fingerprints (boilerplate chunks
+    * present in more than `maxDocsPerFp` documents — the same guard as
+    * minhashPairs' maxBucket), equi-shuffle self-join on the fingerprint, and
+    * keep pairs sharing at least `minShared`. One shuffle keyed by
+    * fingerprint — the exact-dedup plan shape, never all-pairs.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, window: Int = 4,
+                  minShared: Int = 5, maxDocsPerFp: Int = 100): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(winnowedFingerprints(col(textCol), k, window)).as("__fp"))
+    val capped = fps
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .filter(col("__cnt") <= maxDocsPerFp)
+    val a = capped.select(col("__fp"), col(idCol).as("id_a"))
+    val b = capped.select(col("__fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("__fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** n-gram Jaccard similarity of two text columns (exact, symmetric). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(b, n))

@@ -32,6 +32,27 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("winnowed fingerprints detect partial overlap that whole-doc hashing misses") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $shared"),
+      (2L, s"$shared one two three four five six seven eight"),
+      (3L, "unrelated content entirely about something else completely different")
+    ).toDF("doc_id", "text")
+    // docs 1 and 2 share a 20-token run but are NOT whole-document duplicates
+    assert(Dedup.exact(df, "text", "doc_id").count() == 3)
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", minShared = 3, maxDocsPerFp = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected the overlapping pair only, got $pairs")
+    // guarantee: a shared run of >= window+k-1 tokens shares a fingerprint
+    val fps = df.select(col("doc_id"),
+      Dedup.winnowedFingerprints(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     import spark.implicits._
     val df = Seq(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 import graft.core.{Converters, DateSpan, Nm}
-import graft.functions.{Dedup, TextAnalysis, Vectors}
+import graft.functions.{Dedup, Sampling, TextAnalysis, Vectors}
 import graft.sources.Sources
 import graft.tables._
 
@@ -708,6 +708,36 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // benchmark decontamination: training docs sharing winnowed fingerprints
+    // with the (held-out) benchmark subset — cross-dataset partial-overlap
+    // containment, one equi-shuffle on the fingerprint
+    "dedup_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minShared = 3)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // deterministic hash-bucket split assignment (train/val/test membership
+    // that never reshuffles across runs/engines/scales)
+    "sample_split" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 10000, "v1").as("bucket"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified deterministic sampling: per-source quota in hash order
+    // (data-mixing quotas, reproducible)
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), Seq("source"), "doc_id", 5, "v1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-cosine near-dup pairs: exact brute-force (oracle baseline)
     "dedup_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1350,6 +1380,52 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT id_a, id_b, shared FROM p WHERE shared >= 5
          ORDER BY id_a, id_b""",
+
+    "dedup_contamination" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(range(0, greatest(len(toks)-4,0)+1),
+             i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM norm),
+         h AS (
+           SELECT doc_id, list_transform(grams,
+             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
+         w AS (
+           SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+             j -> list_min(hs[j+1:j+4]))) AS fps FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
+         bcap AS (
+           SELECT bench_id, fp FROM (
+             SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
+           WHERE cnt <= 100),
+         tf AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
+         p AS (
+           SELECT train_id, bench_id, count(*) AS shared
+           FROM tf JOIN bcap USING (fp) GROUP BY 1, 2)
+         SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
+         ORDER BY train_id, bench_id""",
+
+    "sample_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ('0x'||substr(md5(doc_id::VARCHAR || 'v1'),1,15))::BIGINT % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "sample_stratified" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ('0x'||substr(md5(doc_id::VARCHAR || 'v1'),1,15))::BIGINT AS hv
+           FROM documents)
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+           FROM h)
+         WHERE rn <= 5 ORDER BY doc_id""",
 
     "dedup_simhash" ->
       s"""WITH norm AS (

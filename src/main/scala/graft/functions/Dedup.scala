@@ -203,6 +203,30 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` winnowed fingerprints with any benchmark document — the
+    * cross-dataset containment check run before training (a benchmark answer
+    * embedded in a longer training document is a PARTIAL overlap, invisible
+    * to whole-document dedup). Same plan shape as [[winnowPairs]]: explode
+    * fingerprints on both sides, cap degenerate fingerprints on the
+    * benchmark side, one equi-shuffle join on the fingerprint.
+    */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+                    bench: DataFrame, benchId: String, benchText: String,
+                    k: Int = 4, window: Int = 4, minShared: Int = 5,
+                    maxDocsPerFp: Int = 100): DataFrame = {
+    val tf = train.select(col(trainId).as("train_id"),
+      explode(winnowedFingerprints(col(trainText), k, window)).as("__fp"))
+    val bf = bench.select(col(benchId).as("bench_id"),
+      explode(winnowedFingerprints(col(benchText), k, window)).as("__fp"))
+    val capped = bf
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .filter(col("__cnt") <= maxDocsPerFp).drop("__cnt")
+    tf.join(capped, Seq("__fp"))
+      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** n-gram Jaccard similarity of two text columns (exact, symmetric). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(b, n))

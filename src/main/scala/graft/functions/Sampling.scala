@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling and split assignment for training-data pipelines.
+  *
+  * Everything derives from the md5 of the row id (the same engine-
+  * reproducible derivation the LSH planes use), never from RNG state: the
+  * same row lands in the same split/sample on every run, on every engine,
+  * at every scale — the property training pipelines need so that re-running
+  * a 100 TB job never silently reshuffles train/val/test membership.
+  * All pure codegen'd column expressions; assignment is scan-speed, the
+  * stratified sample is one shuffle on the group key.
+  */
+object Sampling {
+
+  /** low 60 bits of md5(id || salt) — the deterministic per-row randomness */
+  def hash60(idCol: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 15), 16, 10).cast("long")
+
+  /** deterministic bucket in [0, buckets) (hash60 is non-negative) */
+  def hashBucket(idCol: Column, buckets: Int = 10000, salt: String = ""): Column =
+    hash60(idCol, salt) % buckets
+
+  /** Named split assignment by weight (e.g. train 0.8 / val 0.1 / test 0.1):
+    * the id's hash bucket falls into cumulative-weight ranges. Change `salt`
+    * to draw an independent split; weights are granular to 1/buckets.
+    */
+  def splitAssign(idCol: Column, splits: Seq[(String, Double)],
+                  buckets: Int = 10000, salt: String = ""): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = hashBucket(idCol, buckets, salt)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * buckets).round)
+    splits.map(_._1).zip(thresholds).init.foldRight(lit(splits.last._1)) {
+      case ((name, upper), acc) => when(b < upper, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** deterministic Bernoulli sample: keep ~fraction of rows, stable per id */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   buckets: Int = 10000, salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets, salt) < (fraction * buckets).round)
+
+  /** Stratified deterministic sample: at most `maxPerGroup` rows per group,
+    * chosen in hash order (ties broken by id) — per-domain quota sampling
+    * for data mixing, reproducible across runs. One shuffle on the group
+    * key; groups are independent so skew is bounded by the largest group's
+    * row count, not the table.
+    */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       maxPerGroup: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hash60(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__sr", row_number().over(w))
+      .filter(col("__sr") <= maxPerGroup).drop("__sr")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sampling
+
+/** Deterministic sampling/split properties: stability across runs, quota
+  * enforcement, weight accuracy, salt independence.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("splitAssign: stable across evaluations, weights approximately honored") {
+    val docs = table("documents")
+    val split = Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+    val counts = docs.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / total - 0.8) < 0.1)
+    // determinism: re-evaluating yields the identical assignment
+    val a = docs.select(col("doc_id"), split.as("s")).collect().toSet
+    val b = docs.select(col("doc_id"), split.as("s")).collect().toSet
+    assert(a == b)
+    // a different salt draws a different (independent) split
+    val other = docs.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s2").as("s")).collect().toSet
+    assert(other != a)
+  }
+
+  test("sampleByHash keeps a stable ~fraction subset") {
+    val docs = table("documents")
+    val n = docs.count().toDouble
+    val s1 = Sampling.sampleByHash(docs, "doc_id", 0.3, salt = "x")
+    assert(math.abs(s1.count() / n - 0.3) < 0.1)
+    // subset property: a smaller fraction is contained in a larger one
+    val ids10 = Sampling.sampleByHash(docs, "doc_id", 0.1, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids30 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids30), "hash samples must be nested by fraction")
+  }
+
+  test("stratifiedSample enforces the per-group quota deterministically") {
+    val docs = table("documents")
+    val out = Sampling.stratifiedSample(docs, Seq("source"), "doc_id", 3, "q")
+    val over = out.groupBy("source").count().filter(col("count") > 3).count()
+    assert(over == 0)
+    val again = Sampling.stratifiedSample(docs, Seq("source"), "doc_id", 3, "q")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+}

@@ -168,18 +168,13 @@ object Dedup {
     * detectable where whole-document hashing sees nothing.
     *
     * Hashes are md5-derived (low 60 bits), so the external SQL oracle
-    * reproduces every fingerprint bit-for-bit. Pure codegen'd builtins.
+    * reproduces every fingerprint bit-for-bit. Native single-pass expression
+    * (graft.plans.WinnowFingerprints): one digest per gram in a tight loop —
+    * the HOF formulation interpreted every lambda per element and was the
+    * bottleneck of the whole suite on long documents.
     */
-  def winnowedFingerprints(text: Column, k: Int = 4, window: Int = 4): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val grams = transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => array_join(slice(toks, i + lit(1), lit(k)), " "))
-    val hashes = transform(grams,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-    val wins = transform(sequence(lit(0), greatest(size(hashes) - window, lit(0))),
-      j => array_min(slice(hashes, j + lit(1), lit(window))))
-    array_distinct(wins)
-  }
+  def winnowedFingerprints(text: Column, k: Int = 4, window: Int = 4): Column =
+    graft.plans.NativeFunctions.winnowFingerprints(TextAnalysis.tokens(text), k, window)
 
   /** Partial-overlap near-dup pairs by shared winnowed fingerprints: explode
     * the fingerprint sets, cap degenerate fingerprints (boilerplate chunks
@@ -191,8 +186,14 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, window: Int = 4,
                   minShared: Int = 5, maxDocsPerFp: Int = 100): DataFrame = {
-    val fps = df.select(col(idCol),
-      explode(winnowedFingerprints(col(textCol), k, window)).as("__fp"))
+    // fingerprint cost is per-row CPU: spread single-file inputs across all
+    // cores (same rationale as minhashPairs); the downstream window shuffle
+    // is reused by both join sides, so hashing runs exactly once per doc
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
+    val fps = df.select(col(idCol), col(textCol))
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol),
+        explode(winnowedFingerprints(col(textCol), k, window)).as("__fp"))
     val capped = fps
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
       .filter(col("__cnt") <= maxDocsPerFp)
@@ -215,10 +216,13 @@ object Dedup {
                     bench: DataFrame, benchId: String, benchText: String,
                     k: Int = 4, window: Int = 4, minShared: Int = 5,
                     maxDocsPerFp: Int = 100): DataFrame = {
-    val tf = train.select(col(trainId).as("train_id"),
-      explode(winnowedFingerprints(col(trainText), k, window)).as("__fp"))
-    val bf = bench.select(col(benchId).as("bench_id"),
-      explode(winnowedFingerprints(col(benchText), k, window)).as("__fp"))
+    val parallelism = train.sparkSession.sparkContext.defaultParallelism * 2
+    val tf = train.select(col(trainId).as("train_id"), col(trainText).as("__t"))
+      .repartition(parallelism, col("train_id"))
+      .select(col("train_id"), explode(winnowedFingerprints(col("__t"), k, window)).as("__fp"))
+    val bf = bench.select(col(benchId).as("bench_id"), col(benchText).as("__t"))
+      .repartition(parallelism, col("bench_id"))
+      .select(col("bench_id"), explode(winnowedFingerprints(col("__t"), k, window)).as("__fp"))
     val capped = bf
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
       .filter(col("__cnt") <= maxDocsPerFp).drop("__cnt")

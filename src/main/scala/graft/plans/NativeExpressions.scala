@@ -272,6 +272,62 @@ case class SigMatchFraction(left: Expression, right: Expression)
 }
 
 /** Column wrappers + SQL registration. */
+/** Winnowed rolling-hash fingerprints (MOSS winnowing) — native single pass:
+  * positional token k-gram md5-hash60s, sliding-window minima, distinct in
+  * first-occurrence order. The higher-order-function formulation
+  * (transform + slice + md5 per gram) interprets every lambda per element —
+  * ~50× slower on long documents; this runs one digest per gram in a tight
+  * loop. Bit-identical to the DuckDB oracle's
+  * `list_min(hashes[j+1:j+w])` over `('0x'||substr(md5(gram),1,15))::BIGINT`.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val nGrams = math.max(n - k, 0) + 1
+    val hashes = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      hashes(i) = Md5Util.hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val nWins = math.max(nGrams - window, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w < nWins) {
+      var m = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, nGrams)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      seen.add(m)
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next().longValue(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** cast-or-NULL with the right engine per input type (reference getint/
   * getfloat/... parse-or-default, pygrametl/__init__.py:190-337): string
   * inputs take the LEGACY-mode Cast (NULL through the non-throwing parse
@@ -311,6 +367,8 @@ object NativeFunctions {
   def sigMatchFraction(a: Column, b: Column): Column = col(SigMatchFraction(expr(a), expr(b)))
   def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     col(SignLshBucket(expr(vec.cast("array<double>")), planes, offset))
+  def winnowFingerprints(tokens: Column, k: Int, window: Int): Column =
+    col(WinnowFingerprints(expr(tokens), k, window))
 
   /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
   def register(spark: SparkSession): Unit = {

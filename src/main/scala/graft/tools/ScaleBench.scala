@@ -102,10 +102,13 @@ object ScaleBench {
     def agg(e: DataFrame): Unit =
       force(e.groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))
+    def winnow(d: DataFrame): Unit =
+      force(Dedup.winnowPairs(d, "doc_id", "text", minShared = 5, maxDocsPerFp = 100))
 
     val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
       ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
       ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
+      ("dedup_winnow", nDocs, nDocs * copies, () => winnow(docs1), () => winnow(docs10)),
       ("text_stack", nDocs, nDocs * copies, () => textStack(docs1), () => textStack(docs10)),
       ("scd2_ensure", maxEvent, maxEvent * copies, () => scd2(ev1), () => scd2(ev10)),
       ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)))

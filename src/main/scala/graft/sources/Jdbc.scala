@@ -68,11 +68,16 @@ object Jdbc {
       case b: Boolean => if (b) "TRUE" else "FALSE"
       case s => "'" + s.toString.replace("'", "''") + "'"
     }
+    // ONE pass over all placeholders (longest name first so :a never eats
+    // :ab's prefix): sequential per-parameter folds would re-scan earlier
+    // parameters' substituted VALUES and corrupt them when a value contains
+    // a :name-shaped substring
+    val names = parameters.keys.toSeq.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    val placeholder = (":(" + names + ")\\b").r
     def subst(segment: String): String =
-      parameters.toSeq.sortBy(-_._1.length).foldLeft(segment) { case (q, (k, v)) =>
-        q.replaceAll(":" + java.util.regex.Pattern.quote(k) + "\\b",
-          java.util.regex.Matcher.quoteReplacement(litOf(v)))
-      }
+      placeholder.replaceAllIn(segment,
+        m => java.util.regex.Matcher.quoteReplacement(litOf(parameters(m.group(1)))))
     val sb = new StringBuilder
     var last = 0
     for (m <- quotedLiteral.findAllMatchIn(query)) {

@@ -140,7 +140,10 @@ object Sources {
       .orderBy(col("__graft_batch")).collect().map(_.get(0))
     if (batches.isEmpty) {
       df.createOrReplaceTempView(viewName)
-      spark.sql(query).limit(0).withColumn(batchOutCol, lit(null))
+      // typed null batch column: keeps the schema identical to the non-empty
+      // path (a NullType column breaks parquet writes and unionByName)
+      spark.sql(query).limit(0)
+        .withColumn(batchOutCol, lit(null).cast(tagged.schema("__graft_batch").dataType))
     } else {
       val parts = batches.map { b =>
         // spark.sql analyzes eagerly, so each plan captures its own batch view

@@ -29,7 +29,7 @@ object Steps {
     */
   def copyTo(df: DataFrame, consumers: Seq[DataFrame => DataFrame],
              cache: Boolean = false): Seq[DataFrame] = {
-    val src = if (cache) df.localCheckpoint(true) else df
+    val src = if (cache) org.apache.spark.sql.graftbridge.Bridge.freeze(df) else df
     consumers.map(f => f(src))
   }
 

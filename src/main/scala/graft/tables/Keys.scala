@@ -123,12 +123,12 @@ class DistributedDenseAssigner(
       val keyed = delta.coalesce(1).sortWithinPartitions(asc: _*)
         .withColumn(keyCol, lit(maxExisting + 1L) + posInPartition)
       (keyed, Some(maxExisting + total))
-    } else {
-      // huge delta: parallel range sort over the frozen blocks
+    } else if (materialize) {
+      // huge delta: parallel range sort, frozen so the partition layout the
+      // offsets were counted from IS the layout the key expression sees
       val parts = spark.sessionState.conf.numShufflePartitions
-      val ranged = delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*)
-      val sorted =
-        if (materialize) org.apache.spark.sql.graftbridge.Bridge.freeze(ranged) else ranged
+      val sorted = org.apache.spark.sql.graftbridge.Bridge.freeze(
+        delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*))
       // rows per range-partition (RangePartitioner may emit <= parts; absent
       // ids count 0): one partial-agg scan, 1 output row per partition
       val counts = new Array[Long](parts max 1)
@@ -140,6 +140,25 @@ class DistributedDenseAssigner(
           element_at(typedLit(offsets.init.toSeq), spark_partition_id() + 1) +
           posInPartition)
       (keyed, Some(maxExisting + total))
+    } else {
+      // huge delta, caller-owns-persistence: counts and keys MUST come from
+      // the SAME lineage — a re-executed range shuffle re-samples bounds, so
+      // offsets collected from one execution cannot be applied to another.
+      // One shared RDD gives both jobs the same shuffle output.
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val sorted = delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          keyCol, org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd0 = sorted.rdd
+      val counts = rdd0.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+        var key = maxExisting + offsets(i)
+        it.map { r => key += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ key) }
+      }
+      (spark.createDataFrame(rdd, schema), Some(maxExisting + total))
     }
   }
 }

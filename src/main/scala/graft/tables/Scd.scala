@@ -179,26 +179,31 @@ class ScdDimension(
 
     // minfrom: a brand-new member's first version opens at minFrom, not at its
     // change time (tables.py:1311-1318). Applied after interval computation so
-    // the NEXT version still closes at the real change time.
+    // the NEXT version still closes at the real change time. The REAL change
+    // time is kept in __orig_from: the close join below must use it, not the
+    // rewritten open time (state initialized with version 0/NULL can hand an
+    // EXISTING member a version-1 row, and its old open row must still close
+    // at the true first change).
+    val stamped = versioned.withColumn("__orig_from", col(fromatt))
     val withMin = minFrom match {
-      case Some(mf) => versioned.withColumn(fromatt,
+      case Some(mf) => stamped.withColumn(fromatt,
         when(col(versionatt) === 1, mf.cast(versioned.schema(fromatt).dataType))
           .otherwise(col(fromatt)))
-      case None => versioned
+      case None => stamped
     }
 
     // 5a. key the new versions FIRST: the assigner materializes the delta
     // (single pass — the whole batch pipeline above computes exactly once),
     // and everything downstream reads the checkpointed blocks.
-    val newClean = withMin.select((lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt).distinct.map(col): _*)
+    val newClean = withMin.select(
+      (lookupatts ++ valueAtts :+ versionatt :+ fromatt :+ toatt :+ "__orig_from").distinct.map(col): _*)
     val maxKey = currentMaxKey
     val (keyed, newMax) = keyAssigner.assignWithMax(newClean, key, maxKey, lk :+ col(versionatt), autoCheckpoint)
 
-    // first new change time per member, read from the materialized delta.
-    // Identical to min(fromatt) over `versioned`: minFrom rewrites only
-    // version-1 rows, and version 1 means a brand-new member — which has no
-    // old rows to close, so its value never reaches the join below.
-    val firstNewFrom = keyed.groupBy(lk: _*).agg(min(col(fromatt)).as("__new_from"))
+    // first REAL change time per member, read from the materialized delta
+    // (__orig_from is the pre-minFrom value, so the close time is correct
+    // even when an existing member receives a version-1 row)
+    val firstNewFrom = keyed.groupBy(lk: _*).agg(min(col("__orig_from")).as("__new_from"))
 
     // 5b. close previously-open current versions of changed members. "Current"
     // is decided by the same newest-first ordering as the lookup (NOT a bare

@@ -135,9 +135,11 @@ object SubprocessFactTable {
     * stdin (the reference's subprocess mode, tables.py:3222-3319 — there one
     * driver-side process; here one process per partition, executor-local).
     * stdout/stderr are drained so the child never deadlocks on a full pipe;
-    * a nonzero exit fails the task (and so the Spark job).
+    * a nonzero exit (or not exiting within `timeoutSec` of stdin EOF) fails
+    * the task. A failure in the write loop (data error, broken pipe) is
+    * reported as the PRIMARY error — the exit-code check never masks it.
     */
-  def command(cmd: Seq[String]): Iterator[String] => Unit = { lines =>
+  def command(cmd: Seq[String], timeoutSec: Long = 600): Iterator[String] => Unit = { lines =>
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -150,11 +152,17 @@ object SubprocessFactTable {
     drainer.start()
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    var primary: Throwable = null
     try lines.foreach { l => out.write(l); out.newLine() }
-    finally {
-      out.close()
-      val rc = p.waitFor()
-      require(rc == 0, s"subprocess '${cmd.mkString(" ")}' exited with $rc")
-    }
+    catch { case t: Throwable => primary = t }
+    try out.close()
+    catch { case t: Throwable => if (primary == null) primary = t else primary.addSuppressed(t) }
+    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    if (primary != null) throw primary
+    if (!finished) throw new IllegalStateException(
+      s"subprocess '${cmd.mkString(" ")}' did not exit within ${timeoutSec}s of stdin EOF")
+    val rc = p.exitValue()
+    require(rc == 0, s"subprocess '${cmd.mkString(" ")}' exited with $rc")
   }
 }

@@ -57,6 +57,8 @@ object ScaleBench {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
     val nDocs = docs1.count()
+    // offset by max+1, not the row count: sparse ids would collide across copies
+    val maxDoc = docs1.agg(max("doc_id")).head().getLong(0) + 1
     val maxUser = ev1.agg(max("user_id")).head().getLong(0) + 1
     val maxEvent = ev1.agg(max("event_id")).head().getLong(0) + 1
 
@@ -65,7 +67,7 @@ object ScaleBench {
     val ev10Path = s"$scaleDir/events10.parquet"
     (0 until copies).map { k =>
       docs1.select(
-        (col("doc_id") + lit(k.toLong * nDocs)).as("doc_id"),
+        (col("doc_id") + lit(k.toLong * maxDoc)).as("doc_id"),
         // per-copy token salt: preserves within-copy near-dup structure,
         // kills cross-copy similarity -> pair count scales linearly
         regexp_replace(col("text"), "(\\S+)", s"c$k" + "$1").as("text"),

@@ -35,6 +35,10 @@ class JdbcSpec extends SparkSpec {
       == "SELECT 'it''s :a here', 7")
     // replacement values containing '$' or '\' survive regex replacement
     assert(Jdbc.bind("SELECT :v", Map("v" -> "a$b\\c")) == "SELECT 'a$b\\c'")
+    // a substituted VALUE containing a :name-shaped substring is never
+    // re-substituted (single-pass replacement)
+    assert(Jdbc.bind("SELECT :a, :b", Map("a" -> "see :b here", "b" -> 1))
+      == "SELECT 'see :b here', 1")
   }
 
   test("sink + re-read round trip (batched JDBC writes)") {

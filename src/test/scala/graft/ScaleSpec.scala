@@ -67,6 +67,20 @@ class ScaleSpec extends SparkSpec {
     assert(!d.current.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("huge-delta path with caller-owned persistence still yields consistent dense keys") {
+    // materialize=false (autoCheckpoint off): counts and keys must derive
+    // from the SAME shuffle execution — a re-run range shuffle re-samples
+    // bounds, so offsets from another execution would duplicate/gap keys
+    val d = new Dimension("drf", "key", Seq("name"), Seq("name"),
+      keyAssigner = new DistributedDenseAssigner(smallDeltaRows = 100),
+      autoCheckpoint = false)
+    d.init(spark.range(0).select(col("id").as("key"), lit("").as("name")).limit(0))
+    d.ensure(spark.range(0, 3000)
+      .select(concat(lit("n"), format_string("%05d", col("id"))).as("name")))
+    val keys = d.current.orderBy("name").select("key").collect().map(_.getLong(0)).toSeq
+    assert(keys == (1L to 3000L), "keys must be dense global ranks with no duplicates/gaps")
+  }
+
   test("checkpointed state: K scdensure batches keep a flat plan (no lineage growth)") {
     import org.apache.spark.sql.types.TimestampType
     val scd = new ScdDimension("users", "user_key",

@@ -27,6 +27,25 @@ class ScdFidelitySpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("minfrom never leaks into the close time of an existing member's open row") {
+    // degenerate-but-legal state: a NULL-version open row (user-initialized
+    // data). The member's batch row is assigned version 1, so minFrom
+    // rewrites its OPEN time — but the old row must still close at the REAL
+    // first change time, not at minFrom.
+    val dim = new ScdDimension("scdmf0", "key",
+      Seq("uid", "status", "version", "vfrom", "vto"), Seq("uid"),
+      "version", "vfrom", "vto", maxTo = lit(null).cast(TimestampType),
+      minFrom = Some(lit(ts(0))))
+    dim.init(Seq((1L, "u1", "old", "x"))
+      .toDF("key", "uid", "status", "ig").select(col("key"), col("uid"), col("status"),
+        lit(null).cast("int").as("version"),
+        lit(ts(50)).as("vfrom"), lit(null).cast(TimestampType).as("vto")))
+    dim.scdensure(Seq(("u1", "new", ts(500))).toDF("uid", "status", "ts"), col("ts"))
+    val oldRow = dim.current.filter(col("key") === 1L).head()
+    assert(oldRow.getTimestamp(oldRow.fieldIndex("vto")) == ts(500),
+      s"old open row must close at the real change time, got ${oldRow}")
+  }
+
   test("minfrom: first version of a new member opens at the configured value (incl. NULL)") {
     val dim = mkScd(minFrom = Some(lit(null)))
     val batch = Seq(

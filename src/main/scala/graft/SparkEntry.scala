@@ -812,6 +812,15 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // repetition scoring (Gopher-style filters): top-bigram fraction +
+    // duplicate-token fraction — pure per-row signals, scan-speed
+    "text_repetition" -> ((s, dir) => {
+      docsNorm(s, dir).select(col("doc_id"),
+        dround(TextAnalysis.topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
+        dround(TextAnalysis.dupTokenFraction(col("text")), 4).as("dup_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // language id (stopword n-gram heuristic)
     "text_langid" -> ((s, dir) => {
       docsNorm(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1426,6 +1435,23 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
            FROM h)
          WHERE rn <= 5 ORDER BY doc_id""",
+
+    "text_repetition" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-2,0)+1),
+             i -> array_to_string(toks[i+1:i+2], ' ')) AS bg FROM norm),
+         m AS (
+           SELECT doc_id, toks, bg,
+             list_max(list_transform(list_distinct(bg),
+               b -> len(list_filter(bg, x -> x = b)))) AS mx FROM g)
+         SELECT doc_id,
+           round(CAST(mx / len(bg) AS DECIMAL(18,8)), 4)::DOUBLE AS top_bigram_frac,
+           round(CAST(CASE WHEN len(toks) = 0 THEN 0
+             ELSE 1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS dup_token_frac
+         FROM m ORDER BY doc_id""",
 
     "dedup_simhash" ->
       s"""WITH norm AS (

@@ -73,6 +73,22 @@ object TextAnalysis {
     lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
   }
 
+  /** Gopher-style repetition signals: fraction of positional n-grams
+    * occupied by the single most frequent n-gram (boilerplate/degenerate
+    * text scores high). Native counting loop (graft.plans.TopNgramFraction).
+    */
+  def topNgramFraction(text: Column, n: Int = 2): Column =
+    graft.plans.NativeFunctions.topNgramFraction(tokens(text), n)
+
+  /** duplicate-token fraction: 1 − distinct/total tokens (the companion
+    * repetition signal; 0 for all-unique token streams)
+    */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (md5 rather than xxhash64 so external engines can reproduce it.)
     */

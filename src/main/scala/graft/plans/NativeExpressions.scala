@@ -328,6 +328,46 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Fraction of positional token n-grams occupied by the single most frequent
+  * n-gram — the Gopher-style repetition signal (a high top-2-gram fraction
+  * marks boilerplate/degenerate text). Native hash-count loop; the DuckDB
+  * oracle reproduces it with list_max over per-distinct-gram counts.
+  */
+case class TopNgramFraction(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_top_ngram_frac"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val nGrams = math.max(m - n, 0) + 1
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder
+    var best = 0
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, m)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      val g = sb.toString
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toDouble / nGrams.toDouble
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** cast-or-NULL with the right engine per input type (reference getint/
   * getfloat/... parse-or-default, pygrametl/__init__.py:190-337): string
   * inputs take the LEGACY-mode Cast (NULL through the non-throwing parse
@@ -369,6 +409,8 @@ object NativeFunctions {
     col(SignLshBucket(expr(vec.cast("array<double>")), planes, offset))
   def winnowFingerprints(tokens: Column, k: Int, window: Int): Column =
     col(WinnowFingerprints(expr(tokens), k, window))
+  def topNgramFraction(tokens: Column, n: Int): Column =
+    col(TopNgramFraction(expr(tokens), n))
 
   /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
   def register(spark: SparkSession): Unit = {

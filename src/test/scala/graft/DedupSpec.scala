@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("repetition signals: degenerate text scores high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight entirely different tokens compose this varied sentence here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.topNgramFraction(col("text"), 2).as("t2"),
+      TextAnalysis.dupTokenFraction(col("text")).as("dt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1.0 && out(1L)._2 > 0.8, s"degenerate doc must score high: ${out(1L)}")
+    assert(out(2L)._1 < 0.2 && out(2L)._2 == 0.0, s"varied doc must score low: ${out(2L)}")
+  }
+
   test("winnowed fingerprints detect partial overlap that whole-doc hashing misses") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"shared$i").mkString(" ")

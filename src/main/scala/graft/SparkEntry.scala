@@ -1440,14 +1440,15 @@ object SparkEntry {
       s"""WITH norm AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          g AS (
-           SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-2,0)+1),
+           SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-1, 0)),
              i -> array_to_string(toks[i+1:i+2], ' ')) AS bg FROM norm),
          m AS (
            SELECT doc_id, toks, bg,
              list_max(list_transform(list_distinct(bg),
                b -> len(list_filter(bg, x -> x = b)))) AS mx FROM g)
          SELECT doc_id,
-           round(CAST(mx / len(bg) AS DECIMAL(18,8)), 4)::DOUBLE AS top_bigram_frac,
+           round(CAST(CASE WHEN len(bg) < 2 THEN 0 ELSE mx / len(bg) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS top_bigram_frac,
            round(CAST(CASE WHEN len(toks) = 0 THEN 0
              ELSE 1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END
              AS DECIMAL(18,8)), 4)::DOUBLE AS dup_token_frac

@@ -328,10 +328,13 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
-/** Fraction of positional token n-grams occupied by the single most frequent
-  * n-gram — the Gopher-style repetition signal (a high top-2-gram fraction
-  * marks boilerplate/degenerate text). Native hash-count loop; the DuckDB
-  * oracle reproduces it with list_max over per-distinct-gram counts.
+/** Fraction of FULL positional token n-grams occupied by the single most
+  * frequent n-gram — the Gopher-style repetition signal (a high top-2-gram
+  * fraction marks boilerplate/degenerate text). Documents with fewer than
+  * two full n-grams score 0.0: a single gram cannot repeat, so short/empty
+  * text carries no repetition evidence (a threshold filter must not drop
+  * every short document). Native hash-count loop; the DuckDB oracle
+  * reproduces it with list_max over per-distinct-gram counts.
   */
 case class TopNgramFraction(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
@@ -342,7 +345,8 @@ case class TopNgramFraction(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
-    val nGrams = math.max(m - n, 0) + 1
+    val nGrams = m - n + 1
+    if (nGrams < 2) return 0.0
     val counts = new java.util.HashMap[String, Integer]()
     val sb = new java.lang.StringBuilder
     var best = 0
@@ -350,14 +354,12 @@ case class TopNgramFraction(child: Expression, n: Int)
     while (i < nGrams) {
       sb.setLength(0)
       var j = i
-      val end = math.min(i + n, m)
-      while (j < end) {
+      while (j < i + n) {
         if (j > i) sb.append(' ')
         sb.append(toks.getUTF8String(j).toString)
         j += 1
       }
-      val g = sb.toString
-      val c = counts.merge(g, 1, (a, b) => a + b)
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
       if (c > best) best = c
       i += 1
     }

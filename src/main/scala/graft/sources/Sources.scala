@@ -145,11 +145,14 @@ object Sources {
       spark.sql(query).limit(0)
         .withColumn(batchOutCol, lit(null).cast(tagged.schema("__graft_batch").dataType))
     } else {
+      val batchType = tagged.schema("__graft_batch").dataType
       val parts = batches.map { b =>
-        // spark.sql analyzes eagerly, so each plan captures its own batch view
-        tagged.filter(col("__graft_batch") <=> lit(b)).drop("__graft_batch")
+        // spark.sql analyzes eagerly, so each plan captures its own batch view;
+        // the batch literal is cast to the batch column's type (a NULL batch
+        // id would otherwise emit a NullType column)
+        tagged.filter(col("__graft_batch") <=> lit(b).cast(batchType)).drop("__graft_batch")
           .createOrReplaceTempView(viewName)
-        spark.sql(query).withColumn(batchOutCol, lit(b))
+        spark.sql(query).withColumn(batchOutCol, lit(b).cast(batchType))
       }
       parts.reduce(_.unionByName(_))
     }

@@ -77,8 +77,11 @@ final class PartitionRangeAssigner(stride: Long = 1L << 33) extends KeyAssigner 
   *     upstream;
   *  3. key = maxExisting + partition offset + position-in-partition, a pure
   *     codegen'd column expression (`monotonically_increasing_id`'s low 33
-  *     bits are the position within the partition) — rows never leave
-  *     Tungsten, no `.rdd` Row round-trip, no extra map job.
+  *     bits are the position within the partition) — on the materialized
+  *     paths rows never leave Tungsten, no `.rdd` Row round-trip, no extra
+  *     map job. (The caller-owns-persistence huge-delta path is the one
+  *     exception: there counts and keys must share one RDD lineage, which
+  *     costs a Row round-trip.)
   *
   * Produces exactly the keys `MaxPlusRowNumberAssigner` would (row_number
   * over the global `orderBy` order). The single-partition path is principled,
@@ -158,7 +161,9 @@ class DistributedDenseAssigner(
         var key = maxExisting + offsets(i)
         it.map { r => key += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ key) }
       }
-      (spark.createDataFrame(rdd, schema), Some(maxExisting + total))
+      // newMax from the SAME lineage as the keys (offsets), not from the
+      // earlier `total` scan of a separate execution
+      (spark.createDataFrame(rdd, schema), Some(maxExisting + offsets.last))
     }
   }
 }

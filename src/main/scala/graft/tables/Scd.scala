@@ -155,7 +155,7 @@ class ScdDimension(
     val curSide = dimCur.select(
       lk ++ type2atts.map(a => col(a).as(s"__cur_$a")) :+
         col(versionatt).as("__cur_ver") :+ col(toatt).as("__cur_to") :+
-        col(fromatt).as("__cur_from"): _*)
+        col(fromatt).as("__cur_from") :+ lit(true).as("__cur_hit"): _*)
 
     // 2b. drop the first batch row when equal to the member's current version
     //     (a manually-closed current version — toatt != maxTo — always forces
@@ -177,17 +177,19 @@ class ScdDimension(
       .withColumn(versionatt, coalesce(col("__cur_ver"), lit(0)) + row_number().over(wNew))
       .withColumn(toatt, coalesce(lead(col(fromatt), 1).over(wNew), maxTo))
 
-    // minfrom: a brand-new member's first version opens at minFrom, not at its
-    // change time (tables.py:1311-1318). Applied after interval computation so
-    // the NEXT version still closes at the real change time. The REAL change
-    // time is kept in __orig_from: the close join below must use it, not the
-    // rewritten open time (state initialized with version 0/NULL can hand an
-    // EXISTING member a version-1 row, and its old open row must still close
-    // at the true first change).
+    // minfrom: a BRAND-NEW member's first version opens at minFrom, not at
+    // its change time (tables.py:1311-1318 — the reference applies it on the
+    // insert-on-miss path, so membership is decided by the curSide join MISS,
+    // not by the version number: state initialized with version 0/NULL can
+    // hand an EXISTING member a version-1 row, whose open time must stay
+    // real or its interval would overlap the old open row). Applied after
+    // interval computation so the NEXT version still closes at the real
+    // change time; __orig_from keeps the real change time for the close join.
     val stamped = versioned.withColumn("__orig_from", col(fromatt))
     val withMin = minFrom match {
       case Some(mf) => stamped.withColumn(fromatt,
-        when(col(versionatt) === 1, mf.cast(versioned.schema(fromatt).dataType))
+        when(col(versionatt) === 1 && col("__cur_hit").isNull,
+          mf.cast(versioned.schema(fromatt).dataType))
           .otherwise(col(fromatt)))
       case None => stamped
     }

@@ -157,7 +157,22 @@ object SubprocessFactTable {
     catch { case t: Throwable => primary = t }
     try out.close()
     catch { case t: Throwable => if (primary == null) primary = t else primary.addSuppressed(t) }
-    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    // task kill (interrupt) anywhere must not block on the child or lose the
+    // primary error: kill the child immediately and re-assert the interrupt
+    if (primary.isInstanceOf[InterruptedException]) {
+      p.destroyForcibly()
+      Thread.currentThread().interrupt()
+      throw primary
+    }
+    val finished =
+      try p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case ie: InterruptedException =>
+          p.destroyForcibly()
+          Thread.currentThread().interrupt()
+          if (primary != null) { primary.addSuppressed(ie); throw primary }
+          throw ie
+      }
     if (!finished) p.destroyForcibly()
     if (primary != null) throw primary
     if (!finished) throw new IllegalStateException(

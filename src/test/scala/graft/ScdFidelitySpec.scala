@@ -44,6 +44,11 @@ class ScdFidelitySpec extends SparkSpec {
     val oldRow = dim.current.filter(col("key") === 1L).head()
     assert(oldRow.getTimestamp(oldRow.fieldIndex("vto")) == ts(500),
       s"old open row must close at the real change time, got ${oldRow}")
+    // and the NEW row opens at the real change time too (minFrom applies only
+    // to join-miss members) — otherwise the intervals would overlap
+    val newRow = dim.current.filter(col("key") =!= 1L).head()
+    assert(newRow.getTimestamp(newRow.fieldIndex("vfrom")) == ts(500),
+      s"existing member's new version must not open at minFrom, got ${newRow}")
   }
 
   test("minfrom: first version of a new member opens at the configured value (incl. NULL)") {

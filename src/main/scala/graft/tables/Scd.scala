@@ -168,7 +168,7 @@ class ScdDimension(
       if (newVersionOnNewFrom) sameType2 && (col(fromatt) <=> col("__cur_from"))
       else sameType2
     val newRows = deduped.join(curSide, lookupatts, "left")
-      .filter(col("__cur_ver").isNull || col("__rn") > 1 ||
+      .filter(col("__cur_hit").isNull || col("__rn") > 1 ||
         !(sameAsCur && col("__cur_to") <=> maxTo))
 
     // 3+4. version numbers and validity intervals for the new rows

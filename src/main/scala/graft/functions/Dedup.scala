@@ -78,11 +78,11 @@ object Dedup {
     // later just for the few candidate pairs that survive the signature
     // prefilter — at scale, signatures are the thing worth shipping, raw
     // shingles are not.
-    val sigs = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
-      .repartition(parallelism, col(idCol))
-      .select(col(idCol), minhashSignature(col("__sh"), k).as("__sig"))
-      .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
-      .localCheckpoint()
+    val sigs = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+        .repartition(parallelism, col(idCol))
+        .select(col(idCol), minhashSignature(col("__sh"), k).as("__sig"))
+        .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows)))
 
     val exploded = sigs.select(col(idCol), posexplode(col("__bands")).as(Seq("__b", "__bk")))
 
@@ -143,9 +143,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val withFp = df.select(col(idCol), simhash(col(textCol)).as("__fp"))
-      .repartition(spark.sparkContext.defaultParallelism * 2, col(idCol))
-      .localCheckpoint() // GC-released, unlike persist (see minhashPairs)
+    val withFp = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(idCol), simhash(col(textCol)).as("__fp"))
+        .repartition(spark.sparkContext.defaultParallelism * 2, col(idCol)))
+      // frozen clean leaf, GC-released — unlike persist (see minhashPairs)
     val chunks = withFp.select(col(idCol), col("__fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("__fp"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("__c", "__ck")))

@@ -58,6 +58,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** random token streams over a small vocabulary (forces shared runs) */
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(30, Gen.oneOf((0 to 9).map(i => s"w$i")))
+
+  test("winnowing guarantee: a shared run of >= window+k-1 tokens shares a fingerprint") {
+    // MOSS winnowing theorem: any common substring of at least w+k-1 tokens
+    // contains a full hash window, whose minimum both documents select
+    val k = 4; val w = 4
+    forAllSeeded(Gen.zip(docGen, docGen, Gen.listOfN(w + k - 1, Gen.oneOf((10 to 19).map(i => s"s$i"))))) {
+      case (pre, post, sharedRun) =>
+        val a = (pre ++ sharedRun).mkString(" ")
+        val b = (sharedRun ++ post).mkString(" ")
+        val fps = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.Dedup.winnowedFingerprints(col("text"), k, w).as("f"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+        assert(fps(1L).intersect(fps(2L)).nonEmpty,
+          s"docs sharing a ${w + k - 1}-token run must share a winnowed fingerprint")
+    }
+  }
+
+  test("hash sampling: nested fractions, stable membership, quota respected") {
+    val docs = table("documents")
+    forAllSeeded(Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(1, 5))) { case (tenths, cap) =>
+      val lo = tenths / 10.0
+      val hi = math.min(1.0, lo + 0.2)
+      val sLo = graft.functions.Sampling.sampleByHash(docs, "doc_id", lo, salt = "p")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sHi = graft.functions.Sampling.sampleByHash(docs, "doc_id", hi, salt = "p")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sLo.subsetOf(sHi), s"sample($lo) must nest inside sample($hi)")
+      val strat = graft.functions.Sampling.stratifiedSample(docs, Seq("source"), "doc_id", cap, "p")
+      assert(strat.groupBy("source").count().filter(col("count") > cap).count() == 0,
+        s"per-group quota $cap exceeded")
+    }
+  }
+
   private val changeGen: Gen[List[(Int, String, Int)]] =
     Gen.listOf(for {
       id <- Gen.chooseNum(0, 5)

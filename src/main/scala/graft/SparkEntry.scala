@@ -1447,7 +1447,7 @@ object SparkEntry {
              list_max(list_transform(list_distinct(bg),
                b -> len(list_filter(bg, x -> x = b)))) AS mx FROM g)
          SELECT doc_id,
-           round(CAST(CASE WHEN len(bg) < 2 THEN 0 ELSE mx / len(bg) END
+           round(CAST(CASE WHEN len(bg) < 2 THEN 0 ELSE (mx - 1) / (len(bg) - 1) END
              AS DECIMAL(18,8)), 4)::DOUBLE AS top_bigram_frac,
            round(CAST(CASE WHEN len(toks) = 0 THEN 0
              ELSE 1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END

@@ -73,9 +73,10 @@ object TextAnalysis {
     lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
   }
 
-  /** Gopher-style repetition signals: fraction of positional n-grams
-    * occupied by the single most frequent n-gram (boilerplate/degenerate
-    * text scores high). Native counting loop (graft.plans.TopNgramFraction).
+  /** Gopher-style repetition signal: excess fraction of the most frequent
+    * positional n-gram, (max−1)/(nGrams−1) — 0.0 for repetition-free text of
+    * ANY length, 1.0 for fully degenerate text (boilerplate). Native counting
+    * loop (graft.plans.TopNgramFraction).
     */
   def topNgramFraction(text: Column, n: Int = 2): Column =
     graft.plans.NativeFunctions.topNgramFraction(tokens(text), n)

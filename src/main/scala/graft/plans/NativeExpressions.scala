@@ -328,13 +328,15 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
-/** Fraction of FULL positional token n-grams occupied by the single most
-  * frequent n-gram — the Gopher-style repetition signal (a high top-2-gram
-  * fraction marks boilerplate/degenerate text). Documents with fewer than
-  * two full n-grams score 0.0: a single gram cannot repeat, so short/empty
-  * text carries no repetition evidence (a threshold filter must not drop
-  * every short document). Native hash-count loop; the DuckDB oracle
-  * reproduces it with list_max over per-distinct-gram counts.
+/** Excess-repetition fraction of the most frequent FULL positional token
+  * n-gram: (maxCount − 1) / (nGrams − 1) — the Gopher-style top-n-gram
+  * signal, normalized so a repetition-free document scores exactly 0.0 at
+  * EVERY length (the raw maxCount/nGrams fraction has a 1/nGrams floor that
+  * makes short repetition-free documents fail any fixed threshold) and a
+  * fully degenerate document scores 1.0. Documents with fewer than two full
+  * n-grams score 0.0 (a single gram cannot repeat). Native hash-count loop;
+  * the DuckDB oracle reproduces it with list_max over per-distinct-gram
+  * counts.
   */
 case class TopNgramFraction(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
@@ -363,7 +365,7 @@ case class TopNgramFraction(child: Expression, n: Int)
       if (c > best) best = c
       i += 1
     }
-    best.toDouble / nGrams.toDouble
+    (best - 1).toDouble / (nGrams - 1).toDouble
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

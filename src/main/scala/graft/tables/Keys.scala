@@ -111,45 +111,51 @@ class DistributedDenseAssigner(
     val asc = orderBy.map(_.asc)
     val posInPartition = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
 
-    // the ONE pass over the upstream plan: checkpoint + count fused into a
-    // single job (without materialization the count is a full computation —
-    // the documented caller-owns-persistence contract)
-    val (delta, total) =
-      if (materialize) org.apache.spark.sql.graftbridge.Bridge.freezeCounted(newMembers)
-      else (newMembers, newMembers.count())
-    if (total == 0L) {
-      (delta.withColumn(keyCol, lit(maxExisting + 1L)), Some(maxExisting))
-    } else if (total <= smallDeltaRows) {
-      // bounded delta: narrow single-partition sort over the frozen blocks —
-      // no shuffle, no sampling, deterministic on re-evaluation (the input
-      // layout is frozen), and cheap enough to stay lazy (PROVEN <= smallDeltaRows)
-      val keyed = delta.coalesce(1).sortWithinPartitions(asc: _*)
-        .withColumn(keyCol, lit(maxExisting + 1L) + posInPartition)
-      (keyed, Some(maxExisting + total))
-    } else if (materialize) {
-      // huge delta: parallel range sort, frozen so the partition layout the
-      // offsets were counted from IS the layout the key expression sees
-      val parts = spark.sessionState.conf.numShufflePartitions
-      val sorted = org.apache.spark.sql.graftbridge.Bridge.freeze(
-        delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*))
-      // rows per range-partition (RangePartitioner may emit <= parts; absent
-      // ids count 0): one partial-agg scan, 1 output row per partition
-      val counts = new Array[Long](parts max 1)
-      sorted.groupBy(spark_partition_id().as("__p")).agg(count(lit(1)).as("__n"))
-        .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val keyed = sorted.withColumn(keyCol,
-        lit(maxExisting + 1L) +
-          element_at(typedLit(offsets.init.toSeq), spark_partition_id() + 1) +
-          posInPartition)
-      (keyed, Some(maxExisting + total))
+    if (materialize) {
+      // the ONE pass over the upstream plan: checkpoint + count fused into a
+      // single job; everything below reads the frozen blocks
+      val (delta, total) = org.apache.spark.sql.graftbridge.Bridge.freezeCounted(newMembers)
+      if (total == 0L) {
+        (delta.withColumn(keyCol, lit(maxExisting + 1L)), Some(maxExisting))
+      } else if (total <= smallDeltaRows) {
+        // bounded delta: narrow single-partition sort over the frozen blocks —
+        // no shuffle, no sampling, deterministic on re-evaluation (the input
+        // layout is frozen), cheap enough to stay lazy (PROVEN <= smallDeltaRows)
+        val keyed = delta.coalesce(1).sortWithinPartitions(asc: _*)
+          .withColumn(keyCol, lit(maxExisting + 1L) + posInPartition)
+        (keyed, Some(maxExisting + total))
+      } else {
+        // huge delta: parallel range sort, frozen so the partition layout the
+        // offsets were counted from IS the layout the key expression sees
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val sorted = org.apache.spark.sql.graftbridge.Bridge.freeze(
+          delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*))
+        // rows per range-partition (RangePartitioner may emit <= parts; absent
+        // ids count 0): one partial-agg scan, 1 output row per partition
+        val counts = new Array[Long](parts max 1)
+        sorted.groupBy(spark_partition_id().as("__p")).agg(count(lit(1)).as("__n"))
+          .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+        val offsets = counts.scanLeft(0L)(_ + _)
+        val keyed = sorted.withColumn(keyCol,
+          lit(maxExisting + 1L) +
+            element_at(typedLit(offsets.init.toSeq), spark_partition_id() + 1) +
+            posInPartition)
+        (keyed, Some(maxExisting + total))
+      }
     } else {
-      // huge delta, caller-owns-persistence: counts and keys MUST come from
-      // the SAME lineage — a re-executed range shuffle re-samples bounds, so
-      // offsets collected from one execution cannot be applied to another.
-      // One shared RDD gives both jobs the same shuffle output.
-      val parts = spark.sessionState.conf.numShufflePartitions
-      val sorted = delta.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*)
+      // Caller-owns-persistence: nothing is frozen, so counts, keys AND the
+      // reported max MUST all derive from ONE shared RDD lineage — a
+      // re-executed plan can produce different rows (unstable upstream) or a
+      // re-sampled range shuffle, and any value collected from a separate
+      // execution (a count, an offset) would silently disagree with the keys
+      // actually assigned. The pre-count below only selects the sort
+      // strategy; every emitted number comes from the shared lineage.
+      val total = newMembers.count()
+      val parts =
+        if (total <= smallDeltaRows) 1 else spark.sessionState.conf.numShufflePartitions
+      val sorted =
+        if (parts == 1) newMembers.coalesce(1).sortWithinPartitions(asc: _*)
+        else newMembers.repartitionByRange(parts, asc: _*).sortWithinPartitions(asc: _*)
       val schema = org.apache.spark.sql.types.StructType(
         sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
           keyCol, org.apache.spark.sql.types.LongType, nullable = false))
@@ -161,9 +167,7 @@ class DistributedDenseAssigner(
         var key = maxExisting + offsets(i)
         it.map { r => key += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ key) }
       }
-      // newMax from the SAME lineage as the keys (offsets), not from the
-      // earlier `total` scan of a separate execution
-      (spark.createDataFrame(rdd, schema), Some(maxExisting + offsets.last))
+      (spark.createDataFrame(rdd, schema), Some(maxExisting + offsets.lastOption.getOrElse(0L)))
     }
   }
 }

@@ -1370,14 +1370,17 @@ object SparkEntry {
       s"""WITH norm AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          g AS (
-           SELECT doc_id, list_transform(range(0, greatest(len(toks)-4,0)+1),
-             i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM norm),
+           SELECT doc_id, CASE WHEN len(toks) >= 4
+             THEN list_transform(range(0, len(toks)-3),
+               i -> array_to_string(toks[i+1:i+4], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
          h AS (
            SELECT doc_id, list_transform(grams,
              g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
          w AS (
-           SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-             j -> list_min(hs[j+1:j+4]))) AS fps FROM h),
+           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
          f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
          capped AS (
            SELECT doc_id, fp FROM (
@@ -1394,14 +1397,17 @@ object SparkEntry {
       s"""WITH norm AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          g AS (
-           SELECT doc_id, list_transform(range(0, greatest(len(toks)-4,0)+1),
-             i -> array_to_string(toks[i+1:i+4], ' ')) AS grams FROM norm),
+           SELECT doc_id, CASE WHEN len(toks) >= 4
+             THEN list_transform(range(0, len(toks)-3),
+               i -> array_to_string(toks[i+1:i+4], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
          h AS (
            SELECT doc_id, list_transform(grams,
              g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
          w AS (
-           SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-             j -> list_min(hs[j+1:j+4]))) AS fps FROM h),
+           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
          f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
          bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
          bcap AS (

@@ -279,6 +279,12 @@ case class SigMatchFraction(left: Expression, right: Expression)
   * ~50× slower on long documents; this runs one digest per gram in a tight
   * loop. Bit-identical to the DuckDB oracle's
   * `list_min(hashes[j+1:j+w])` over `('0x'||substr(md5(gram),1,15))::BIGINT`.
+  *
+  * Documents shorter than k tokens emit NO fingerprints (canonical
+  * winnowing: there is no complete k-gram to hash) — without this every
+  * empty/whitespace-only document would carry the identical md5("")
+  * fingerprint and pair with every other degenerate document whenever a
+  * caller lowers `minShared` to 1.
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   extends UnaryExpression with CodegenFallback {
@@ -286,10 +292,13 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
+  private val emptyResult = new GenericArrayData(Array.empty[Any])
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
-    val nGrams = math.max(n - k, 0) + 1
+    if (n < k) return emptyResult
+    val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
     val sb = new java.lang.StringBuilder
     var i = 0

@@ -47,14 +47,17 @@ object Jdbc {
     * (pygrametl executes the query once per iteration anyway; here it runs
     * exactly once on the database).
     *
-    * Substitution is word-boundary anchored and skips single-quoted string
-    * literals (a `:name` inside a literal is data, not a placeholder).
-    * Values escape by quote-doubling, which is safe for ANSI-conformant
-    * dialects; parameters must still be TRUSTED under backslash-escaping
-    * dialects (e.g. MySQL with default sql_mode) — use database-side
-    * prepared statements for hostile input.
+    * Substitution is word-boundary anchored and skips, in one segmenting
+    * pass, every region where a `:name` is data rather than a placeholder:
+    * single-quoted string literals, double-quoted identifiers, `--` line
+    * comments, and `/&#42; &#42;/` block comments (an unterminated block
+    * comment is skipped to end-of-query). Values escape by quote-doubling,
+    * which is safe for ANSI-conformant dialects; parameters must still be
+    * TRUSTED under backslash-escaping dialects (e.g. MySQL with default
+    * sql_mode) — use database-side prepared statements for hostile input.
     */
-  private val quotedLiteral = "'(?:[^']|'')*'".r
+  private val skipRegion =
+    """'(?:[^']|'')*'|"(?:[^"]|"")*"|--[^\r\n]*|/\*(?:[\s\S]*?\*/|[\s\S]*$)""".r
 
   private[graft] def bind(query: String, parameters: Map[String, Any]): String = {
     if (parameters.isEmpty) return query
@@ -80,7 +83,7 @@ object Jdbc {
         m => java.util.regex.Matcher.quoteReplacement(litOf(parameters(m.group(1)))))
     val sb = new StringBuilder
     var last = 0
-    for (m <- quotedLiteral.findAllMatchIn(query)) {
+    for (m <- skipRegion.findAllMatchIn(query)) {
       sb.append(subst(query.substring(last, m.start))).append(m.matched)
       last = m.end
     }

@@ -36,11 +36,12 @@ object Steps {
   /** MappingStep (steps.py:172-204): apply per-column fns. The reference
     * default `requiretargets=True` raises KeyError when a mapped attribute is
     * absent; the analysis-time analogue is a `require` naming the missing
-    * columns. With `requireTargets=false` absent columns are skipped (the
-    * tolerant variant).
+    * columns, and it is the default here too — a ported pipeline fails loudly
+    * on a misspelled target instead of silently skipping it. Pass
+    * `requireTargets=false` for the tolerant variant (absent columns skipped).
     */
   def mapping(df: DataFrame, fns: Map[String, Column => Column],
-              requireTargets: Boolean = false): DataFrame = {
+              requireTargets: Boolean = true): DataFrame = {
     if (requireTargets) {
       val missing = fns.keys.filterNot(df.columns.contains)
       require(missing.isEmpty,

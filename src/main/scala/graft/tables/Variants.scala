@@ -158,8 +158,17 @@ object SubprocessFactTable {
     try out.close()
     catch { case t: Throwable => if (primary == null) primary = t else primary.addSuppressed(t) }
     // task kill (interrupt) anywhere must not block on the child or lose the
-    // primary error: kill the child immediately and re-assert the interrupt
-    if (primary.isInstanceOf[InterruptedException]) {
+    // primary error: kill the child immediately and re-assert the interrupt.
+    // Pipe writes under interrupt surface as InterruptedIOException /
+    // ClosedByInterruptException (not bare InterruptedException), and some
+    // paths only set the thread's interrupt flag — treat all of them as the
+    // kill case so a killed task never blocks up to timeoutSec in waitFor.
+    val interrupted = primary != null &&
+      (primary.isInstanceOf[InterruptedException] ||
+        primary.isInstanceOf[java.io.InterruptedIOException] ||
+        primary.isInstanceOf[java.nio.channels.ClosedByInterruptException] ||
+        Thread.currentThread().isInterrupted)
+    if (interrupted) {
       p.destroyForcibly()
       Thread.currentThread().interrupt()
       throw primary

@@ -67,6 +67,25 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(3L)).isEmpty)
   }
 
+  test("winnowing emits no fingerprint for documents shorter than k tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""), (2L, "   "), (3L, "one two three"), // all < k=4 tokens
+      (4L, "one two three four")                    // exactly k tokens -> 1 gram
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      Dedup.winnowedFingerprints(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty && fps(2L).isEmpty && fps(3L).isEmpty,
+      s"degenerate docs must carry no fingerprint: $fps")
+    assert(fps(4L).size == 1)
+    // so two unrelated empty docs can never pair, even at minShared=1
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text",
+      minShared = 1, maxDocsPerFp = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.isEmpty, s"empty docs must not pair: $pairs")
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     import spark.implicits._
     val df = Seq(

@@ -41,6 +41,29 @@ class JdbcSpec extends SparkSpec {
       == "SELECT 'see :b here', 1")
   }
 
+  test("bind: skips comments and double-quoted identifiers") {
+    // :name inside a -- line comment is not substituted
+    assert(Jdbc.bind("SELECT :a -- not :a here\nFROM t", Map("a" -> 1))
+      == "SELECT 1 -- not :a here\nFROM t")
+    // :name inside a block comment is not substituted
+    assert(Jdbc.bind("SELECT /* :a */ :a FROM t", Map("a" -> 2))
+      == "SELECT /* :a */ 2 FROM t")
+    // an unterminated block comment is skipped to end-of-query
+    assert(Jdbc.bind("SELECT :a /* trailing :a", Map("a" -> 3))
+      == "SELECT 3 /* trailing :a")
+    // :name inside a double-quoted identifier is part of the name, not a
+    // placeholder (ANSI delimited identifiers, ""-escape included)
+    assert(Jdbc.bind("SELECT \":a\", :a FROM t", Map("a" -> 4))
+      == "SELECT \":a\", 4 FROM t")
+    assert(Jdbc.bind("SELECT \"odd\"\":a\" FROM t WHERE x = :a", Map("a" -> 4))
+      == "SELECT \"odd\"\":a\" FROM t WHERE x = 4")
+    // a quote opened inside a comment does not start a literal
+    assert(Jdbc.bind("SELECT :a -- it's fine\n, :a", Map("a" -> 5))
+      == "SELECT 5 -- it's fine\n, 5")
+    // a comment marker inside a literal does not start a comment
+    assert(Jdbc.bind("SELECT '--', :a", Map("a" -> 6)) == "SELECT '--', 6")
+  }
+
   test("sink + re-read round trip (batched JDBC writes)") {
     import spark.implicits._
     // Spark's JDBC writer quotes identifiers -> case-sensitive in Derby;

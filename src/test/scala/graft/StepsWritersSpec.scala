@@ -46,7 +46,8 @@ class StepsWritersSpec extends SparkSpec {
 
   test("mapping step skips absent columns (requiretargets=false)") {
     val out = Steps.mapping(table("nation"),
-      Map("n_name" -> (c => lower(c)), "absent_col" -> (c => c)))
+      Map("n_name" -> (c => lower(c)), "absent_col" -> (c => c)),
+      requireTargets = false)
     assert(out.filter(col("n_name") =!= lower(col("n_name"))).count() == 0)
   }
 

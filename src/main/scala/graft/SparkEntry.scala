@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 import graft.core.{Converters, DateSpan, Nm}
-import graft.functions.{Dedup, Sampling, TextAnalysis, Vectors}
+import graft.functions.{Dedup, Packing, Pii, Sampling, TextAnalysis, Vectors}
 import graft.sources.Sources
 import graft.tables._
 
@@ -720,6 +720,55 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // near-dup graph clustering: connected components (iterative min-label
+    // propagation, one equi-shuffle per round) over the MinHash pair set —
+    // pairwise evidence becomes per-document keep/drop decisions
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
+    // chunk-level exact dedup (paragraph-granularity generalized to fixed
+    // 10-token windows): duplicated chunks with occurrence/document counts —
+    // one shuffle keyed by the chunk digest
+    "dedup_chunk" -> ((s, dir) => {
+      Dedup.chunkDups(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
+        .orderBy(col("chunk_fp"))
+    }),
+
+    // PII detection + redaction (emails / IPv4 / phone) — pure codegen'd
+    // regexp expressions at scan speed. The corpus carries no organic PII,
+    // so the fixture injects deterministic spans keyed by doc_id; the
+    // oracle builds the identical fixture and re-runs the identical
+    // patterns, value-checking counts and the redacted-text digest.
+    "text_pii" -> ((s, dir) => {
+      val ptext = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".25"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        Pii.emailCount(ptext).as("n_email"),
+        Pii.ipv4Count(ptext).as("n_ip"),
+        Pii.phoneCount(ptext).as("n_phone"),
+        md5(Pii.redact(ptext)).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing: deterministic (shard, pack, offset) addresses via a
+    // per-shard running token total — hash-partitioned windows, no global sort
+    "pack_sequences" -> ((s, dir) => {
+      Packing.packPlan(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), shards = 32, ctxLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-bucket split assignment (train/val/test membership
     // that never reshuffles across runs/engines/scales)
     "sample_split" -> ((s, dir) => {
@@ -1420,6 +1469,85 @@ object SparkEntry {
            FROM tf JOIN bcap USING (fp) GROUP BY 1, 2)
          SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
          ORDER BY train_id, bench_id""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT node AS doc_id, least(node, min(r)) AS cluster,
+           CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
+         FROM reach GROUP BY node ORDER BY doc_id""",
+
+    "dedup_chunk" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 10
+             THEN list_transform(range(0, len(toks)//10),
+               i -> array_to_string(toks[i*10+1:i*10+10], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS chunks FROM norm),
+         x AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+         g AS (
+           SELECT md5(chunk) AS chunk_fp, count(*) AS n_occ,
+             count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+           FROM x GROUP BY 1)
+         SELECT chunk_fp, n_occ, n_docs, min_doc FROM g
+         WHERE n_occ > 1 ORDER BY chunk_fp""",
+
+    "text_pii" ->
+      """WITH p AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.25' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+             AS ptext
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(ptext, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_fp
+         FROM p ORDER BY doc_id""",
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             ('0x'||substr(md5(doc_id::VARCHAR || 'pack'),1,15))::BIGINT % 32 AS shard,
+             CASE WHEN length($normSql) = 0 THEN 0
+                  ELSE length($normSql) - length(replace($normSql, ' ', '')) + 1
+             END AS n_tok
+           FROM documents),
+         w AS (
+           SELECT doc_id, shard, n_tok,
+             (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT AS strt
+           FROM d)
+         SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
+           strt // 512 AS pack, strt % 512 AS off
+         FROM w ORDER BY doc_id""",
 
     "sample_split" ->
       """WITH b AS (

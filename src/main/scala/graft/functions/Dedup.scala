@@ -232,6 +232,84 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Connected components over a near-duplicate pair set — the clustering
+    * step that turns pairwise evidence (minhashPairs / simhashPairs /
+    * winnowPairs output) into per-document keep/drop decisions. Iterative
+    * min-label propagation: each node adopts the smallest label among itself
+    * and its neighbors until fixpoint. Converges in O(component diameter)
+    * rounds; near-dup components are shallow (a handful of hops), so the
+    * loop is short in practice and `maxIter` is a safety bound.
+    *
+    * 100 TB notes: each round is ONE equi-shuffle join (edges × labels on
+    * the node key) plus a hash aggregation — no all-pairs work, no driver
+    * data. Label state is re-materialized per round (Bridge.freeze), so
+    * lineage stays flat across iterations. For graphs with whale components
+    * (diameter in the hundreds) the same loop accepts the alternating
+    * large-star/small-star edge rewrite; near-dup graphs do not need it.
+    *
+    * Returns (node, label): every document that appears in a pair, labeled
+    * by the smallest document id reachable from it.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val freeze = org.apache.spark.sql.graftbridge.Bridge.freeze _
+    val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = freeze(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = freeze(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = freeze(prop.union(labels.select(col("node"), col("label")))
+        .groupBy("node").agg(min("label").as("label")))
+      // labels only ever decrease, so fixpoint == zero changed rows
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("__prev")), "node")
+        .filter(col("label") =!= col("__prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** [[connectedComponents]] shaped as a dedup decision: (doc_id, cluster,
+    * keep) where `cluster` is the component's smallest doc id and `keep`
+    * marks the one representative per cluster.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("node") === col("label")).cast("int").as("keep"))
+
+  /** Chunk-level exact dedup: line/paragraph-granularity duplicate removal
+    * generalized to fixed non-overlapping `chunkTokens`-token windows of the
+    * normalized text (the testdata corpus has no newlines, so the fixed
+    * window stands in for the paragraph boundary). Returns each duplicated
+    * chunk with its occurrence count, distinct-document count, and smallest
+    * containing doc id. Documents shorter than one chunk contribute nothing.
+    *
+    * 100 TB notes: explode → hash-groupBy on the chunk digest — one shuffle
+    * keyed by md5, uniform by construction. The per-row chunk build is a few
+    * array slices (bounded by tokens/chunkTokens per doc), then digesting
+    * happens post-explode in codegen'd md5.
+    */
+  def chunkDups(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 10): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val chunks = when(size(toks) >= chunkTokens,
+      transform(sequence(lit(0), (size(toks) / chunkTokens).cast("int") - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("__id"), explode(chunks).as("__chunk"))
+      .groupBy(md5(col("__chunk")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("__id")).as("n_docs"),
+        min(col("__id")).as("min_doc"))
+      .filter(col("n_occ") > 1)
+  }
+
   /** n-gram Jaccard similarity of two text columns (exact, symmetric). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(b, n))

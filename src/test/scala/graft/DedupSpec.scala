@@ -67,6 +67,54 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(3L)).isEmpty)
   }
 
+  test("connected components: multi-hop chains collapse to one cluster") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3: needs >1 propagation round) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 1), 2L -> (1L, 0), 3L -> (1L, 0), 4L -> (1L, 0),
+      10L -> (10L, 1), 11L -> (10L, 0)), s"got $out")
+  }
+
+  test("connected components: empty pair set yields empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("chunk dedup finds shared 10-token runs and ignores short docs") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$run one two three"), // same leading chunk as doc 1
+      (3L, "short doc")            // < 10 tokens: no chunks at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDups(df, "doc_id", "text").collect()
+    assert(out.length == 1, s"exactly the shared chunk: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2 && r.getLong(3) == 1,
+      s"n_occ=2 n_docs=2 min_doc=1, got $r")
+  }
+
+  test("pii: counts and redaction round-trip") {
+    import spark.implicits._
+    import graft.functions.Pii
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, ip 10.1.2.3, call 555-123-4567"),
+      (2L, "no pii here at all")).toDF("id", "text")
+    val out = df.select(col("id"), Pii.emailCount(col("text")).as("e"),
+      Pii.ipv4Count(col("text")).as("i"), Pii.phoneCount(col("text")).as("p"),
+      Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    assert(out(1L).getString(4) ==
+      "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>")
+    assert(out(2L).getLong(1) == 0 && out(2L).getString(4) == "no pii here at all")
+  }
+
   test("winnowing emits no fingerprint for documents shorter than k tokens") {
     import spark.implicits._
     val df = Seq(

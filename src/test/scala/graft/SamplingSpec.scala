@@ -49,4 +49,32 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("packing: contiguous per-shard layout, bounded offsets, append-stable") {
+    import graft.functions.{Packing, TextAnalysis}
+    val docs = table("documents")
+    val out = Packing.packPlan(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), shards = 8, ctxLen = 256).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("off") < 0 || col("off") >= 256).count() == 0)
+    // per shard, in id order, each doc starts exactly where the previous ended
+    val rows = out.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    rows.values.foreach { docsInShard =>
+      var expectStart = 0L
+      docsInShard.sortBy(_._2).foreach { case (_, id, nTok, pack, off) =>
+        assert(pack * 256 + off == expectStart, s"doc $id must start at $expectStart")
+        expectStart += nTok
+      }
+    }
+    // append stability: packing a prefix (lower ids) gives identical addresses
+    val prefix = Packing.packPlan(docs.filter(col("doc_id") < 100), "doc_id",
+      TextAnalysis.tokenCount(col("text")), shards = 8, ctxLen = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val full = out.collect().filter(_.getLong(0) < 100)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(prefix == full, "adding later documents must not move earlier ones")
+    out.unpersist()
+  }
 }

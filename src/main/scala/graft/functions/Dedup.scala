@@ -252,24 +252,26 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    val freeze = org.apache.spark.sql.graftbridge.Bridge.freeze _
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-    val edges = freeze(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var labels = freeze(edges.select(col("src").as("node")).distinct()
+    val (edges, eCount) = bridge.freezeCounted(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = bridge.freeze(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
-    var converged = false
+    var converged = eCount == 0
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-      val next = freeze(prop.union(labels.select(col("node"), col("label")))
-        .groupBy("node").agg(min("label").as("label")))
+      // one materialization job per round: the neighbor-min left join carries
+      // a changed flag, so fixpoint detection reads the frozen blocks instead
+      // of running a second shuffle join against the previous labels
+      val nbrMin = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("__nbr"))
+      val next = bridge.freeze(labels.join(nbrMin, Seq("node"), "left").select(
+        col("node"), least(col("label"), col("__nbr")).as("label"),
+        when(col("__nbr") < col("label"), 1L).otherwise(0L).as("__chg")))
       // labels only ever decrease, so fixpoint == zero changed rows
-      val changed = next.as("n")
-        .join(labels.select(col("node"), col("label").as("__prev")), "node")
-        .filter(col("label") =!= col("__prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.agg(sum("__chg")).head.getLong(0) == 0
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     labels

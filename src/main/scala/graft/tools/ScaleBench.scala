@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.{Dedup, Packing, Pii, TextAnalysis}
 import graft.tables.ScdDimension
 
 /** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
@@ -20,7 +20,7 @@ import graft.tables.ScdDimension
   * event_id ranges per copy so key cardinality scales with the data.
   *
   * Usage: `runMain graft.tools.ScaleBench [reportPath]` (writes a markdown
-  * report; default SCALECHECK_r04.md). SPARK_GRAFT_SF_DIR picks the base
+  * report; default SCALECHECK_r05.md). SPARK_GRAFT_SF_DIR picks the base
   * scale (default sf0.1).
   */
 object ScaleBench {
@@ -36,7 +36,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val report = args.headOption.getOrElse("SCALECHECK_r04.md")
+    val report = args.headOption.getOrElse("SCALECHECK_r05.md")
     val copies = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -106,12 +106,32 @@ object ScaleBench {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))
     def winnow(d: DataFrame): Unit =
       force(Dedup.winnowPairs(d, "doc_id", "text", minShared = 5, maxDocsPerFp = 100))
+    def chunks(d: DataFrame): Unit = force(Dedup.chunkDups(d, "doc_id", "text"))
+    def pii(d: DataFrame): Unit =
+      force(d.select(col("doc_id"), Pii.piiCount(col("text")).as("n"),
+        md5(Pii.redact(col("text"))).as("fp")))
+    def pack(d: DataFrame): Unit =
+      force(Packing.packPlan(d, "doc_id", TextAnalysis.tokenCount(col("text"))))
+    def cc(pairs: DataFrame): Unit = force(Dedup.clusters(pairs))
+
+    // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
+    // isolates label propagation (minhash candidate generation is its own
+    // row above); salted copies keep the 10x pair count linear in copies
+    val ccPairs1 = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      Dedup.minhashPairs(docs1, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8))
+    val ccPairs10 = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      Dedup.minhashPairs(docs10, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8))
+    val nPairs1 = ccPairs1.count(); val nPairs10 = ccPairs10.count()
 
     val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
       ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
       ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
       ("dedup_winnow", nDocs, nDocs * copies, () => winnow(docs1), () => winnow(docs10)),
       ("text_stack", nDocs, nDocs * copies, () => textStack(docs1), () => textStack(docs10)),
+      ("dedup_chunk", nDocs, nDocs * copies, () => chunks(docs1), () => chunks(docs10)),
+      ("text_pii", nDocs, nDocs * copies, () => pii(docs1), () => pii(docs10)),
+      ("pack_sequences", nDocs, nDocs * copies, () => pack(docs1), () => pack(docs10)),
+      ("cc_clusters", nPairs1, nPairs10, () => cc(ccPairs1), () => cc(ccPairs10)),
       ("scd2_ensure", maxEvent, maxEvent * copies, () => scd2(ev1), () => scd2(ev10)),
       ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)))
 
@@ -128,7 +148,7 @@ object ScaleBench {
     }
 
     val md = new StringBuilder
-    md.append("# SCALECHECK — 10x scale proof (round 4)\n\n")
+    md.append("# SCALECHECK — 10x scale proof (round 5)\n\n")
     md.append(s"Base: `$sfDir` (documents=$nDocs, events=$maxEvent); 10x = $copies salted copies\n")
     md.append("(per-copy token salt keeps near-dup pair growth LINEAR; user/event id ranges\n")
     md.append("shift per copy so key cardinality scales with rows). Wall-clock local[32],\n")

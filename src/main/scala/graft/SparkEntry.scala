@@ -861,6 +861,29 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // deterministic k-means coarse quantizer (2 Lloyd rounds, decimal-exact
+    // means): the trained-centroid path for IVF; the oracle replays both
+    // rounds — a drifted mean or flipped boundary assignment fails the hash
+    "sim_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.kMeansAssign(e, "vec_id", "v",
+        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
+        .orderBy(col("vec_id"))
+    }),
+
+    // symmetric int8 embedding quantization + reconstruction error — the
+    // vector-compression step; floor-bias rounding is engine-identical
+    "sim_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast(DoubleType))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        Vectors.int8Scale(v).as("scale"),
+        md5(concat_ws(",", transform(Vectors.int8Quantize(v), q => q.cast("string"))))
+          .as("q_fp"),
+        dround(Vectors.int8Error(v), 6).as("err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // repetition scoring (Gopher-style filters): top-bigram fraction +
     // duplicate-token fraction — pure per-row signals, scan-speed
     "text_repetition" -> ((s, dir) => {
@@ -1706,6 +1729,62 @@ object SparkEntry {
          FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 10) q
          LEFT JOIN h ON q.vec_id = h.query_id
          ORDER BY query_id""",
+
+    "sim_kmeans" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c0.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
+                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
+             FROM e CROSS JOIN c0) WHERE rn = 1),
+         c1 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         a2 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
+                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
+             FROM e CROSS JOIN c1) WHERE rn = 1),
+         c2 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
+             GROUP BY cluster, dim) GROUP BY cluster)
+         SELECT vec_id, cluster, round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS d2 FROM (
+           SELECT e.vec_id, c2.cluster,
+             list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+               + list_dot_product(c2.cv, c2.cv) AS d2,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+                 + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
+           FROM e CROSS JOIN c2) WHERE rn = 1 ORDER BY vec_id""",
+
+    "sim_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         s AS (
+           SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+         q AS (
+           SELECT vec_id, v, scale, list_transform(v,
+             x -> CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(floor(x/scale + 0.5) AS INT) END) AS qi
+           FROM s),
+         r AS (
+           SELECT vec_id, scale, qi,
+             list_transform(range(1, len(v)+1), i -> v[i] - qi[i]*scale) AS res
+           FROM q)
+         SELECT vec_id, scale,
+           md5(array_to_string(list_transform(qi, x -> x::VARCHAR), ',')) AS q_fp,
+           round(CAST(list_dot_product(res, res) AS DECIMAL(18,8)), 6)::DOUBLE AS err
+         FROM r ORDER BY vec_id""",
 
     "sim_bruteforce" ->
       """WITH e AS (

@@ -76,11 +76,15 @@ object Vectors {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(cId)).limit(nCentroids)
-        .select(col(cId).as("__centid"), col(cVec).as("__centv"))
-        .withColumn("__centn", norm(col("__centv"))))
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              trained: Option[DataFrame] = None): DataFrame = {
+    // `trained`: (cluster, centroid) from [[kMeans]] — same plan shape,
+    // better recall; default stays the deterministic sampled quantizer
+    val centSrc = trained
+      .map(_.select(col("cluster").as("__centid"), col("centroid").as("__centv")))
+      .getOrElse(corpus.orderBy(col(cId)).limit(nCentroids)
+        .select(col(cId).as("__centid"), col(cVec).as("__centv")))
+    val cents = broadcast(centSrc.withColumn("__centn", norm(col("__centv"))))
 
     def topClusters(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
       val scored = df.select(col(id), col(vec))
@@ -107,6 +111,100 @@ object Vectors {
         round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
           .cast("double").as("cosine"),
         col("__rn").as("rank"))
+  }
+
+  /** Deterministic k-means (Lloyd's) coarse-quantizer training — the
+    * "trained centroids" upgrade the [[ivfTopK]] scaladoc promises, fully
+    * engine-reproducible: init is the `k` lowest-id vectors (labels keep
+    * their seed vector's id), assignment minimizes squared euclidean
+    * distance expressed through dot products (`|x-c|² = x·x - 2x·c + c·c`,
+    * each dot a left-to-right native reduction the SQL oracle reproduces
+    * bit-for-bit), and the recomputed means sum each dimension in
+    * DECIMAL(30,10) — exact, order-independent — before one double
+    * division, so no floating summation order can flip a boundary
+    * assignment across engines. Clusters that lose all members drop out
+    * (standard Lloyd degeneracy; the oracle mirrors it).
+    *
+    * Returns (cluster, centroid: array<double>).
+    *
+    * 100 TB notes: per iteration one broadcast cross join (centroid set is
+    * k rows by construction) + one (cluster, dim) hash aggregation — the
+    * canonical distributed Lloyd step; centroids re-materialize per round
+    * so lineage stays flat across iterations.
+    */
+  def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iters: Int = 2): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var centroids = bridge.freeze(vecs.orderBy(col("__vid")).limit(k)
+      .select(col("__vid").as("cluster"), col("__v").as("centroid")))
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(vecs, centroids)
+      centroids = bridge.freeze(assigned
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("cluster"), col("__dim"))
+        .agg((sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+          .cast("double") / count(lit(1))).as("__cx"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__cx")))),
+          s => s.getField("__cx")).as("centroid")))
+    }
+    centroids
+  }
+
+  /** nearest-centroid assignment (ties broken by smallest cluster label):
+    * (idCols of `vecs`, cluster, __d2) — the IVF routing step, and the
+    * k-means E-step
+    */
+  private def assignClusters(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(col("cluster"), col("centroid").as("__cv")))
+    val scored = vecs.crossJoin(cents)
+      .withColumn("__d2",
+        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__cv"))
+          + dot(col("__cv"), col("__cv")))
+    val w = Window.partitionBy(col("__vid")).orderBy(col("__d2").asc, col("cluster").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__cv")
+  }
+
+  /** final cluster assignment of every corpus vector against trained
+    * centroids: (idCol, cluster, d2) with the distance decimal-staged so
+    * external engines agree at the rounding boundary
+    */
+  def kMeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    assignClusters(vecs, centroids)
+      .select(col("__vid").as(idCol), col("cluster"),
+        round(col("__d2").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("d2"))
+  }
+
+  /** Per-vector symmetric int8 quantization (the embedding-compression step
+    * of a large-scale vector pipeline): `scale = max|x| / 127`, each
+    * component maps to `floor(x/scale + 0.5)` — bias rounding, chosen over
+    * banker's/half-up because `floor` is the one rounding every engine
+    * defines identically — giving values in [-127, 127] (the max-magnitude
+    * component maps to exactly ±127, never a .5 case). Zero vectors
+    * quantize to all-zero at scale 0.
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / lit(127.0)
+
+  def int8Quantize(vec: Column): Column = {
+    val s = int8Scale(vec)
+    transform(vec, x => when(s === 0.0, lit(0)).otherwise(floor(x / s + lit(0.5)).cast("int")))
+  }
+
+  /** squared reconstruction error of the int8 quantization, |x - q*scale|²,
+    * as a left-to-right native dot product of the residual with itself
+    */
+  def int8Error(vec: Column): Column = {
+    val s = int8Scale(vec)
+    val r = zip_with(vec, int8Quantize(vec), (x, q) => x - q.cast("double") * s)
+    dot(r, r)
   }
 
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`

@@ -71,4 +71,62 @@ class VectorsSpec extends SparkSpec {
     val recall = hits.toDouble / brute.size
     assert(recall >= 0.5, s"ANN top-1 recall $recall too low")
   }
+
+  test("kMeans: training reduces total within-cluster distance; assignment is total") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def cost(centroids: org.apache.spark.sql.DataFrame): Double =
+      Vectors.kMeansAssign(e, "vec_id", "v", centroids)
+        .agg(sum("d2")).head().getDouble(0)
+    val seed = Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 0) // init only
+    val trained = Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2)
+    assert(cost(trained) < cost(seed), "Lloyd rounds must not increase cost")
+    val assign = Vectors.kMeansAssign(e, "vec_id", "v", trained)
+    assert(assign.count() == e.count(), "every vector gets exactly one cluster")
+    assert(assign.select("cluster").distinct().count() <= 8)
+    // determinism: retraining yields the identical model
+    val again = Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = trained.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first, "training must be bit-deterministic")
+  }
+
+  test("IVF with trained centroids: same plan shape, recall at least holds") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 50)
+    val brute = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trained = Vectors.kMeans(e, "vec_id", "v", k = 16, iters = 2)
+    val ivf = Vectors.ivfTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 1, nProbe = 4, trained = Some(trained))
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (qid, nid) => ivf.get(qid).contains(nid) }
+      .toDouble / brute.size
+    assert(recall >= 0.5, s"trained-IVF top-1 recall $recall too low")
+  }
+
+  test("int8 quantization: bounded values, bounded error, zero-vector safe") {
+    import spark.implicits._
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = e.select(col("vec_id"), Vectors.int8Scale(col("v")).as("s"),
+      Vectors.int8Quantize(col("v")).as("q"), Vectors.int8Error(col("v")).as("err"))
+      .cache()
+    // every quantized component within [-127, 127]
+    assert(out.filter(exists(col("q"),
+      x => x > 127 || x < -127)).count() == 0)
+    // per-component reconstruction error <= (scale/2)^2 + bias => err <= n*(s/2+eps)^2
+    val bad = out.filter(col("err") > lit(64.0) * (col("s") / 2 + lit(1e-9))
+      * (col("s") / 2 + lit(1e-9))).count()
+    assert(bad == 0, "reconstruction error must stay within half-step per dim")
+    val z = Seq((1L, Array.fill(4)(0.0))).toDF("vec_id", "v")
+    val zr = z.select(Vectors.int8Scale(col("v")).as("s"),
+      Vectors.int8Quantize(col("v")).as("q"), Vectors.int8Error(col("v")).as("e")).head()
+    assert(zr.getDouble(0) == 0.0 && zr.getSeq[Int](1).forall(_ == 0) && zr.getDouble(2) == 0.0)
+    out.unpersist()
+  }
 }

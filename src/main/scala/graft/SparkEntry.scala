@@ -884,6 +884,58 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ-ADC ANN top-k: per-subspace deterministic codebooks (decimal-exact
+    // Lloyd), corpus compressed to m codes, asymmetric distance = exact
+    // decimal sum of per-subspace table lookups — the oracle retrains all
+    // four codebooks, re-encodes, and replays the ADC ranking
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
+        k = 5, dim = 64, m = 16, kSub = 32, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hashing-trick linear classifier (fasttext-style curation filter):
+    // md5-derived integer micro-weights, exact LONG fold → margin; the
+    // keep/drop decision is engine-identical by construction
+    "text_classifier" -> ((s, dir) => {
+      // one fold per row: margin and keep derive from the staged micro_sum
+      // (keep ⇔ micro_sum > 0 — sigmoid-free decision, see classifierMargin)
+      docsNorm(s, dir).select(col("doc_id"),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1").as("micro_sum"),
+        TextAnalysis.tokenCount(col("text")).as("__n"))
+        .select(col("doc_id"), col("micro_sum"),
+          dround(when(col("__n") === 0, 0.0).otherwise(
+            col("micro_sum").cast("double") / (col("__n").cast("double") * 1000000.0)), 6)
+            .as("margin"),
+          (col("micro_sum") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge scoring (tokenizer vocabulary induction): corpus-wide
+    // adjacent-pair counts, top 50 — map-side combine keeps the shuffle at
+    // distinct-pair cardinality
+    "text_bpe_pairs" -> ((s, dir) => {
+      docsNorm(s, dir)
+        .select(explode(TextAnalysis.tokenPairs(col("text"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(50) // TakeOrderedAndProject: per-partition top-k, no global sort
+    }),
+
+    // deterministic data-mixture sampling: language-rebalancing rates from
+    // one tiny per-group aggregation, membership a pure integer compare —
+    // re-mixes 100 TB without shuffling the data
+    "sample_mixture" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+        budgetFrac = 0.5, salt = "mix-v1")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("rate_bp"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // repetition scoring (Gopher-style filters): top-bigram fraction +
     // duplicate-token fraction — pure per-row signals, scan-speed
     "text_repetition" -> ((s, dir) => {
@@ -945,6 +997,62 @@ object SparkEntry {
   /** normalized-token SQL fragment shared by the text oracles */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** PQ-ADC oracle: retrains all four per-subspace codebooks (id-seeded
+    * init, one Lloyd round, decimal-exact means — the sim_kmeans replay,
+    * once per subspace), re-encodes the corpus, rebuilds the query distance
+    * tables and replays the decimal-sum ADC ranking. Generated by the same
+    * loop the Spark side uses, so sub-count/slice bounds can't drift.
+    */
+  private def pqOracleSql: String = {
+    val (m, subDim, kSub) = (16, 4, 32)
+    val subCtes = (0 until m).map { s =>
+      val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
+      val d2 = (v: String) =>
+        s"list_dot_product($v, $v) - 2*list_dot_product($v, cv) + list_dot_product(cv, cv)"
+      s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+         c0_$s AS (SELECT vec_id AS cluster, sv AS cv FROM sub$s ORDER BY vec_id LIMIT $kSub),
+         a1_$s AS (
+           SELECT vec_id, sv, cluster FROM (
+             SELECT sub$s.vec_id, sub$s.sv, c0_$s.cluster,
+               row_number() OVER (PARTITION BY sub$s.vec_id
+                 ORDER BY ${d2("sv")} ASC, cluster ASC) AS rn
+             FROM sub$s CROSS JOIN c0_$s) WHERE rn = 1),
+         c1_$s AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+                   FROM a1_$s)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         code_$s AS (
+           SELECT vec_id, cluster AS code FROM (
+             SELECT sub$s.vec_id, c1_$s.cluster,
+               row_number() OVER (PARTITION BY sub$s.vec_id
+                 ORDER BY ${d2("sv")} ASC, cluster ASC) AS rn
+             FROM sub$s CROSS JOIN c1_$s) WHERE rn = 1),
+         dt_$s AS (
+           SELECT q.vec_id AS qid, c1_$s.cluster AS code,
+             CAST(${d2("q.sv")} AS DECIMAL(18,8)) AS d2
+           FROM (SELECT * FROM sub$s WHERE vec_id < 10) q CROSS JOIN c1_$s),
+         pair_$s AS (
+           SELECT dt.qid, code_$s.vec_id AS cid, dt.d2
+           FROM code_$s JOIN dt_$s dt ON code_$s.code = dt.code)"""
+    }.mkString(",\n")
+    val unions = (0 until m).map(s => s"SELECT * FROM pair_$s").mkString(" UNION ALL ")
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       $subCtes,
+       allp AS ($unions),
+       agg AS (
+         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid)
+       SELECT qid AS query_id, cid AS neighbor_id,
+         round(ad2, 4)::DOUBLE AS d2, rank
+       FROM (
+         SELECT qid, cid, ad2,
+           row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
+         FROM agg)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   /** SCD2-from-events SQL fragment shared by dim_scd2/scd_asof oracles */
   private val scd2Sql =
@@ -1785,6 +1893,63 @@ object SparkEntry {
            md5(array_to_string(list_transform(qi, x -> x::VARCHAR), ',')) AS q_fp,
            round(CAST(list_dot_product(res, res) AS DECIMAL(18,8)), 6)::DOUBLE AS err
          FROM r ORDER BY vec_id""",
+
+    "sim_ann_pq" -> pqOracleSql,
+
+    "text_classifier" ->
+      s"""WITH norm AS (
+           SELECT doc_id, $normSql AS nt FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(nt, ' '), t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS micro_sum,
+             count(*) AS n
+           FROM toks GROUP BY doc_id)
+         SELECT norm.doc_id,
+           coalesce(w.micro_sum, 0) AS micro_sum,
+           round(CAST(CASE WHEN w.n IS NULL THEN 0.0
+             ELSE w.micro_sum::DOUBLE / (w.n::DOUBLE * 1000000.0::DOUBLE) END
+             AS DECIMAL(18,8)), 6)::DOUBLE AS margin,
+           coalesce(w.micro_sum, 0) > 0 AS keep
+         FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id
+         ORDER BY norm.doc_id""",
+
+    "text_bpe_pairs" ->
+      s"""WITH norm AS (
+           SELECT doc_id, list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+           FROM norm),
+         p AS (
+           SELECT a.tok || ' ' || b.tok AS pair
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+         SELECT pair, count(*) AS cnt FROM p
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
+
+    "sample_mixture" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
+           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
+         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
+         t AS (SELECT sum(gt) AS tt FROM g),
+         r AS (
+           SELECT lang, CAST(floor(least(1.0::DOUBLE,
+             0.5::DOUBLE * (CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
+               WHEN 'es' THEN 0.15::DOUBLE WHEN 'fr' THEN 0.1::DOUBLE
+               WHEN 'zh' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
+             * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE) AS BIGINT) AS rate_bp
+           FROM g CROSS JOIN t)
+         SELECT d.doc_id, d.lang, d.n_tokens, r.rate_bp,
+           ('0x'||substr(md5(d.doc_id::VARCHAR || 'mix-v1'),1,15))::BIGINT % 10000 < r.rate_bp
+             AS kept
+         FROM d JOIN r ON d.lang = r.lang
+         ORDER BY doc_id""",
 
     "sim_bruteforce" ->
       """WITH e AS (

@@ -44,6 +44,48 @@ object Sampling {
                    buckets: Int = 10000, salt: String = ""): DataFrame =
     df.filter(hashBucket(col(idCol), buckets, salt) < (fraction * buckets).round)
 
+  /** Data-mixture sampling: given target mixture shares per group (e.g.
+    * language rebalancing: en 50%, de 15%, …) and a token budget expressed as
+    * a fraction of the corpus, compute one deterministic per-group keep rate
+    * and hash-filter rows to it.
+    *
+    * `rate_g = min(1, budget·share_g·totalTokens / tokens_g)`, held as an
+    * integer threshold in [0, buckets] (floor(x·buckets + 0.5) — the same
+    * engine-identical bias rounding the int8 quantizer uses), so membership
+    * is a pure integer compare against the row's hash bucket.
+    *
+    * Two jobs by construction: one tiny per-group aggregation (|groups| rows,
+    * broadcast back), then a scan-speed filter — no shuffle of the data
+    * itself, which is what lets the same plan re-mix 100 TB in place.
+    * Deterministic: same doc set + same shares ⇒ same membership, on every
+    * engine, at every scale.
+    *
+    * Returns the input plus (n_tokens, rate_bp, kept).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    tokenCount: Column, shares: Map[String, Double],
+                    budgetFrac: Double, buckets: Int = 10000,
+                    salt: String = ""): DataFrame = {
+    require(math.abs(shares.values.sum - 1.0) < 1e-9, "mixture shares must sum to 1")
+    val withToks = df.withColumn("__nt", tokenCount.cast("long"))
+    val groupTotals = withToks.groupBy(col(groupCol))
+      .agg(sum(col("__nt")).as("__gt"))
+    val totals = groupTotals.agg(sum(col("__gt")).as("__tt"))
+    val shareExpr = shares.toSeq.sortBy(_._1).foldRight(lit(0.0)) {
+      case ((g, w), acc) => when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val rated = withToks
+      .join(broadcast(groupTotals), Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetFrac) * shareExpr * col("__tt").cast("double") / col("__gt").cast("double")))
+      .withColumn("rate_bp", floor(col("__rate") * buckets + lit(0.5)).cast("long"))
+    rated
+      .withColumn("kept", hashBucket(col(idCol), buckets, salt) < col("rate_bp"))
+      .withColumnRenamed("__nt", "n_tokens")
+      .drop("__gt", "__tt", "__rate")
+  }
+
   /** Stratified deterministic sample: at most `maxPerGroup` rows per group,
     * chosen in hash order (ties broken by id) — per-domain quota sampling
     * for data mixing, reproducible across runs. One shuffle on the group

@@ -90,6 +90,49 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
   }
 
+  /** Hashing-trick linear-classifier margin (the fasttext-style quality/
+    * domain filter of large-scale curation pipelines): each token hashes to
+    * an integer "micro-weight" in [-1e6, 1e6] (md5-derived, so the weight
+    * table is engine-reproducible without shipping a model file), the
+    * document margin is the mean weight. Summation is over LONGs — exact and
+    * order-independent, so no floating accumulation order can flip the
+    * keep/drop decision across engines or partitionings. Swap
+    * [[tokenMicroWeight]] for a broadcast lookup of trained weights at the
+    * same plan shape. Pure codegen'd fold — scan speed, no shuffle.
+    */
+  def tokenMicroWeight(tok: Column, salt: String): Column =
+    Sampling.hash60(tok, salt) % 2000001L - 1000000L
+
+  /** sum of token micro-weights (exact LONG arithmetic) */
+  def classifierMicroSum(text: Column, salt: String): Column =
+    aggregate(filter(tokens(text), t => length(t) > 0),
+      lit(0L), (acc, t) => acc + tokenMicroWeight(t, salt))
+
+  /** mean micro-weight as a double margin in [-1, 1]; 0.0 for empty docs.
+    * `label = margin > 0` is the sigmoid-free decision (sigmoid is monotonic,
+    * and exp() is the one libm call engines disagree on).
+    */
+  def classifierMargin(text: Column, salt: String): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(
+      classifierMicroSum(text, salt).cast("double") / (n.cast("double") * 1000000.0))
+  }
+
+  /** Corpus-level adjacent-token-pair counts — the scoring pass of one BPE
+    * merge step (tokenizer vocabulary induction): most frequent pair wins the
+    * merge. One explode + one hash aggregation; partial aggregation
+    * (map-side combine) keeps the shuffle at distinct-pair cardinality, not
+    * corpus token count — the shape that survives 100 TB.
+    */
+  def tokenPairs(text: Column): Column = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (md5 rather than xxhash64 so external engines can reproduce it.)
     */

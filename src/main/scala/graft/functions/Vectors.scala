@@ -207,6 +207,116 @@ object Vectors {
     dot(r, r)
   }
 
+  /** Product-quantization codebook training: the vector splits into `m`
+    * contiguous subvectors of `dim/m` components, and each subspace trains
+    * its own deterministic k-means codebook ([[kMeans]] — decimal-exact
+    * means, id-seeded init, so the whole codebook is engine-reproducible).
+    * Returns (sub, cluster, centroid).
+    *
+    * 100 TB notes: m independent small trainings, each the canonical
+    * broadcast-assign + hash-agg Lloyd step; codebooks are k·m rows total —
+    * always broadcastable.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val subs = subspaceExplode(corpus, idCol, vecCol, dim, m)
+    // init: the k lowest-id vectors seed every subspace's codebook (labels
+    // keep the seed id) — the same id-seeded init as [[kMeans]], per subspace
+    val seedIds = corpus.select(col(idCol).as("__vid")).orderBy(col("__vid")).limit(k)
+    var centroids = bridge.freeze(subs.join(broadcast(seedIds), Seq("__vid"))
+      .select(col("sub"), col("__vid").as("cluster"), col("__sv").as("centroid")))
+    // all m subspaces train in ONE fused plan per round: a single broadcast
+    // join + a single (sub, cluster, dim) decimal-exact aggregation — job
+    // count is constant in m, which is what keeps 16 codebooks as cheap as 1
+    for (_ <- 1 to iters) {
+      val assigned = assignSub(subs, centroids)
+      centroids = bridge.freeze(assigned
+        .select(col("sub"), col("cluster"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
+        .groupBy(col("sub"), col("cluster"), col("__dim"))
+        .agg((sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+          .cast("double") / count(lit(1))).as("__cx"))
+        .groupBy(col("sub"), col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__cx")))),
+          s => s.getField("__cx")).as("centroid")))
+    }
+    centroids.select(col("sub"), col("cluster"), col("centroid"))
+  }
+
+  /** (id, sub, subvector) — one row per subspace, the PQ working shape */
+  private def subspaceExplode(df: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*)
+    df.select(col(idCol).as("__vid"), posexplode(slices).as(Seq("sub", "__sv")))
+  }
+
+  /** per-(sub, vector) nearest sub-centroid (ties → smallest cluster label) */
+  private def assignSub(subs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("sub"), col("cluster"), col("centroid").as("__cv")))
+    val scored = subs.join(cents, Seq("sub"))
+      .withColumn("__d2",
+        dot(col("__sv"), col("__sv")) - lit(2.0) * dot(col("__sv"), col("__cv"))
+          + dot(col("__cv"), col("__cv")))
+    val w = Window.partitionBy(col("sub"), col("__vid"))
+      .orderBy(col("__d2").asc, col("cluster").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__cv")
+  }
+
+  /** PQ encoding: each vector compresses to `m` sub-codebook ids —
+    * dim doubles become m small ints (the bytes-per-vector memory shape
+    * that makes 100 TB of embeddings fit an ANN serving tier). Returns
+    * (idCol, sub, code) — one row per subspace; one broadcast join + one
+    * partitioned window, constant in m.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, codebook: DataFrame): DataFrame =
+    assignSub(subspaceExplode(corpus, idCol, vecCol, dim, m), codebook)
+      .select(col("__vid").as(idCol), col("sub"), col("cluster").as("code"))
+
+  /** ANN top-k via PQ asymmetric distance computation (ADC): queries stay
+    * exact, corpus vectors are looked up by code — per-pair cost drops from
+    * O(dim) multiplies to O(m) table lookups. The query's per-(sub, cluster)
+    * distance table is tiny (|Q|·m·k rows) and broadcast; approximate
+    * distance is the sum of per-subspace distances, staged in DECIMAL(18,8)
+    * so the m-way sum is exact and order-independent across engines.
+    *
+    * ADC alone still scans every code row per query (that is its contract —
+    * cheap distances, not candidate pruning); at 100 TB compose it with
+    * [[ivfTopK]]'s coarse stage (IVFADC) so only probed clusters' codes are
+    * scanned. Returns (query_id, neighbor_id, d2, rank).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, dim: Int, m: Int = 8, kSub: Int = 16,
+             iters: Int = 1): DataFrame = {
+    val codebook = pqTrain(corpus, cId, cVec, dim, m, kSub, iters)
+    val codes = pqEncode(corpus, cId, cVec, dim, m, codebook)
+      .select(col(cId).as("__cid"), col("sub"), col("code"))
+
+    // per-query distance table to every sub-centroid: |Q|·m·kSub rows
+    val dtab = subspaceExplode(queries, qId, qVec, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d2",
+        (dot(col("__sv"), col("__sv")) - lit(2.0) * dot(col("__sv"), col("centroid"))
+          + dot(col("centroid"), col("centroid")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .select(col("__vid").as("__qid"), col("sub"), col("cluster").as("code"), col("__d2"))
+
+    val joined = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("__qid") =!= col("__cid"))
+      .groupBy(col("__qid"), col("__cid"))
+      .agg(sum(col("__d2")).as("__ad2"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__ad2").asc, col("__cid").asc)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("__ad2"), 4).cast("double").as("d2"), col("__rn").as("rank"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
     * independent plane sets (offsets t·planes into the shared md5 plane
     * derivation) each bucket the corpus; queries probe their bucket per

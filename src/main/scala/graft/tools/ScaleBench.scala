@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.functions.{Dedup, Packing, Pii, TextAnalysis}
+import graft.functions.{Dedup, Packing, Pii, Sampling, TextAnalysis, Vectors}
 import graft.tables.ScdDimension
 
 /** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
@@ -82,6 +82,20 @@ object ScaleBench {
     val docs10 = spark.read.parquet(docs10Path)
     val ev10 = spark.read.parquet(ev10Path)
 
+    // embeddings: copies shift vec_id and flip component signs on odd copies
+    // (cheap per-copy decorrelation; codebook/ADC work is linear in rows
+    // either way, the flip just keeps 10x cluster populations honest)
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val maxVec = emb1.agg(max("vec_id")).head().getLong(0) + 1
+    val emb10Path = s"$scaleDir/embeddings10.parquet"
+    (0 until copies).map { k =>
+      emb1.select((col("vec_id") + lit(k.toLong * maxVec)).as("vec_id"),
+        (if (k % 2 == 0) col("v")
+         else transform(col("v"), x => -x)).as("v"))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(emb10Path)
+    val emb10 = spark.read.parquet(emb10Path)
+
     // ---- workloads (each a function of its input tables)
     def minhash(d: DataFrame): Unit =
       force(Dedup.minhashPairs(d, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8))
@@ -113,6 +127,21 @@ object ScaleBench {
     def pack(d: DataFrame): Unit =
       force(Packing.packPlan(d, "doc_id", TextAnalysis.tokenCount(col("text"))))
     def cc(pairs: DataFrame): Unit = force(Dedup.clusters(pairs))
+    def classifier(d: DataFrame): Unit =
+      force(d.select(col("doc_id"),
+        TextAnalysis.classifierMargin(col("text"), "clf-v1").as("m")))
+    def mixture(d: DataFrame): Unit =
+      force(Sampling.mixtureSample(d, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+        budgetFrac = 0.5, salt = "m1").select(col("doc_id"), col("kept")))
+    def bpePairs(d: DataFrame): Unit =
+      force(d.select(explode(TextAnalysis.tokenPairs(col("text"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(50))
+    def pqEncode(e: DataFrame): Unit =
+      force(Vectors.pqEncode(e, "vec_id", "v", dim = 64, m = 16,
+        Vectors.pqTrain(e, "vec_id", "v", dim = 64, m = 16, k = 32, iters = 1)))
 
     // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
     // isolates label propagation (minhash candidate generation is its own
@@ -132,6 +161,10 @@ object ScaleBench {
       ("text_pii", nDocs, nDocs * copies, () => pii(docs1), () => pii(docs10)),
       ("pack_sequences", nDocs, nDocs * copies, () => pack(docs1), () => pack(docs10)),
       ("cc_clusters", nPairs1, nPairs10, () => cc(ccPairs1), () => cc(ccPairs10)),
+      ("text_classifier", nDocs, nDocs * copies, () => classifier(docs1), () => classifier(docs10)),
+      ("sample_mixture", nDocs, nDocs * copies, () => mixture(docs1), () => mixture(docs10)),
+      ("text_bpe_pairs", nDocs, nDocs * copies, () => bpePairs(docs1), () => bpePairs(docs10)),
+      ("pq_train_encode", maxVec, maxVec * copies, () => pqEncode(emb1), () => pqEncode(emb10)),
       ("scd2_ensure", maxEvent, maxEvent * copies, () => scd2(ev1), () => scd2(ev10)),
       ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)))
 

@@ -195,4 +195,45 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.4, s"sign-LSH recall $recall too low for 4 planes")
     }
   }
+
+  test("classifier: exact LONG margin, empty docs neutral, keep == margin>0") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val docs = table("documents")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.classifierMicroSum(col("text"), "clf-v1").as("ms"),
+      TextAnalysis.classifierMargin(col("text"), "clf-v1").as("m")).cache()
+    // margin bounded by construction (mean of weights in [-1, 1])
+    assert(out.filter(col("m") > 1.0 || col("m") < -1.0).count() == 0)
+    assert(out.filter((col("m") > 0) =!= (col("ms") > 0)).count() == 0)
+    // the fold equals an explode-and-sum of per-token weights (order-free)
+    val exploded = docs.select(col("doc_id"),
+      explode(filter(TextAnalysis.tokens(col("text")), t => length(t) > 0)).as("tok"))
+      .select(col("doc_id"), TextAnalysis.tokenMicroWeight(col("tok"), "clf-v1").as("w"))
+      .groupBy("doc_id").agg(sum("w").as("ms2"))
+    assert(out.join(exploded, Seq("doc_id"))
+      .filter(col("ms") =!= col("ms2")).count() == 0)
+    // empty/degenerate text scores a zero margin
+    val z = Seq((1L, ""), (2L, "  !!  ")).toDF("doc_id", "text")
+      .select(TextAnalysis.classifierMargin(col("text"), "clf-v1").as("m")).collect()
+    assert(z.forall(_.getDouble(0) == 0.0))
+    out.unpersist()
+  }
+
+  test("tokenPairs: adjacent pairs only, short docs yield none") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq((1L, "a b c b c"), (2L, "solo"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = df.select(col("doc_id"),
+      TextAnalysis.tokenPairs(col("text")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(pairs(1L) == Seq("a b", "b c", "c b", "b c"))
+    assert(pairs(2L).isEmpty && pairs(3L).isEmpty)
+    assert(pairs(4L) == Seq("x y"))
+    // corpus-level merge scoring: the most frequent adjacent pair wins
+    val top = df.select(explode(TextAnalysis.tokenPairs(col("text"))).as("pair"))
+      .groupBy("pair").count().orderBy(col("count").desc, col("pair")).head()
+    assert(top.getString(0) == "b c" && top.getLong(1) == 2)
+  }
 }

@@ -77,4 +77,39 @@ class SamplingSpec extends SparkSpec {
     assert(prefix == full, "adding later documents must not move earlier ones")
     out.unpersist()
   }
+
+  test("mixtureSample: deterministic rates, budget honored, unknown groups dropped") {
+    import graft.functions.TextAnalysis
+    val docs = table("documents")
+    val shares = Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1)
+    val out = Sampling.mixtureSample(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), shares, budgetFrac = 0.5, salt = "m1").cache()
+    assert(out.count() == docs.count(), "every row appears with a kept flag")
+    assert(out.filter(col("rate_bp") < 0 || col("rate_bp") > 10000).count() == 0)
+    // kept token total is near (never wildly over) the budget: rates are
+    // exact, membership is Bernoulli-by-hash, so allow sampling slack
+    val total = out.agg(sum(col("n_tokens"))).head().getLong(0).toDouble
+    val kept = out.filter(col("kept")).agg(sum(col("n_tokens"))).head().getLong(0).toDouble
+    assert(kept <= total * 0.65 && kept >= total * 0.3,
+      s"kept $kept of $total tokens vs budget 0.5")
+    // rates follow target/actual ratio: zh sits above its 10% target
+    // (~15% of tokens) so it is downsampled harder than en, which sits
+    // below its 50% target (~44% of tokens)
+    val rates = out.groupBy("lang").agg(max("rate_bp").as("r")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("zh") < rates("en"),
+      "a language above its target share must get a lower keep rate")
+    // determinism across evaluations
+    val a = out.select("doc_id", "kept").collect().toSet
+    val b = Sampling.mixtureSample(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), shares, budgetFrac = 0.5, salt = "m1")
+      .select("doc_id", "kept").collect().toSet
+    assert(a == b)
+    // a group absent from the share map keeps nothing
+    val zero = Sampling.mixtureSample(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), Map("en" -> 1.0), budgetFrac = 0.5,
+      salt = "m1")
+    assert(zero.filter(col("lang") =!= "en" && col("kept")).count() == 0)
+    out.unpersist()
+  }
 }

@@ -109,6 +109,44 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF top-1 recall $recall too low")
   }
 
+  test("PQ: complete encoding, ranked ADC output, usable top-5 recall vs exact") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.count()
+    val codebook = Vectors.pqTrain(e, "vec_id", "v", dim = 64, m = 16, k = 32, iters = 1).cache()
+    // every subspace trained a codebook of at most k entries, at least 1
+    val perSub = codebook.groupBy("sub").count().collect().map(r => r.getLong(1))
+    assert(perSub.length == 16 && perSub.forall(c => c >= 1 && c <= 32))
+    // every vector encodes in every subspace
+    val codes = Vectors.pqEncode(e, "vec_id", "v", dim = 64, m = 16, codebook)
+    assert(codes.count() == n * 16)
+    val q = e.filter(col("vec_id") < 10)
+    val out = Vectors.pqTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, dim = 64, m = 16, kSub = 32, iters = 1).cache()
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // approximate distance is non-decreasing with rank
+    val disordered = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") === col("b.rank") - 1)
+      .filter(col("a.d2") > col("b.d2")).count()
+    assert(disordered == 0)
+    // recall vs exact squared-euclidean top-5 (same metric ADC approximates)
+    val exact = q.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("cid"), col("v").as("cv")))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("d2", Vectors.dot(col("qv"), col("qv"))
+        - lit(2.0) * Vectors.dot(col("qv"), col("cv"))
+        + Vectors.dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+    val hits = exact.join(out.select(col("query_id").as("qid"),
+      col("neighbor_id").as("cid")), Seq("qid", "cid"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.3, s"PQ-ADC top-5 recall $recall too low for 16x32 codebooks")
+    codebook.unpersist(); out.unpersist()
+  }
+
   test("int8 quantization: bounded values, bounded error, zero-vector safe") {
     import spark.implicits._
     val e = table("embeddings")

@@ -675,6 +675,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end training-data preparation in ONE declarative plan:
+    // quality filter → exact dedup → language-mixture rebalance → split
+    // assignment → sequence-pack addressing of the train split. Catalyst
+    // fuses the scan-speed stages; the only shuffles are the dedup hash
+    // partition and the per-shard packing window — the full 100 TB
+    // curation-to-serving path as a single lineage
+    "pipeline_train_prep" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"),
+          dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"))
+        .filter(col("quality") >= 0.3)
+      val deduped = Dedup.exact(scored, "text", "doc_id")
+      val mixed = Sampling.mixtureSample(deduped, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+        budgetFrac = 0.6, salt = "prep-v1")
+        .filter(col("kept"))
+      val train = mixed.withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "prep-v1"))
+        .filter(col("split") === "train")
+      Packing.packPlan(train, "doc_id", col("n_tokens"), shards = 16, ctxLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup (hash-groupBy on content fingerprint)
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -887,7 +911,7 @@ object SparkEntry {
     // PQ-ADC ANN top-k: per-subspace deterministic codebooks (decimal-exact
     // Lloyd), corpus compressed to m codes, asymmetric distance = exact
     // decimal sum of per-subspace table lookups — the oracle retrains all
-    // four codebooks, re-encodes, and replays the ADC ranking
+    // sixteen codebooks, re-encodes, and replays the ADC ranking
     "sim_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -1510,6 +1534,60 @@ object SparkEntry {
              row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
            FROM kept)
          SELECT doc_id, source, quality FROM fpd WHERE rn = 1 ORDER BY doc_id""",
+
+    "pipeline_train_prep" ->
+      s"""WITH c AS (
+           SELECT doc_id, text, lang, nt,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM (SELECT doc_id, text, lang, $normSql AS nt,
+                   string_split($normSql, ' ') AS toks FROM documents)),
+         q AS (
+           SELECT doc_id, lang, nt, n_tokens,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN n_tokens = 0 THEN 0.0
+                       ELSE least(nstop * 5.0 / n_tokens, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS quality
+           FROM c),
+         f AS (SELECT * FROM q WHERE quality >= 0.3),
+         dd AS (
+           SELECT doc_id, lang, n_tokens FROM (
+             SELECT doc_id, lang, n_tokens,
+               row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+             FROM f) WHERE rn = 1),
+         g AS (SELECT lang, sum(n_tokens) AS gt FROM dd GROUP BY lang),
+         tt AS (SELECT sum(gt) AS tt FROM g),
+         r AS (
+           SELECT lang, CAST(floor(least(1.0::DOUBLE,
+             0.6::DOUBLE * (CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
+               WHEN 'es' THEN 0.15::DOUBLE WHEN 'fr' THEN 0.1::DOUBLE
+               WHEN 'zh' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
+             * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE) AS BIGINT) AS rate_bp
+           FROM g CROSS JOIN tt),
+         kept AS (
+           SELECT dd.doc_id, dd.n_tokens FROM dd JOIN r ON dd.lang = r.lang
+           WHERE ('0x'||substr(md5(dd.doc_id::VARCHAR || 'prep-v1'),1,15))::BIGINT % 10000
+             < r.rate_bp),
+         train AS (
+           SELECT doc_id, n_tokens FROM kept
+           WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'prep-v1'),1,15))::BIGINT % 10000 < 9000),
+         sh AS (
+           SELECT doc_id,
+             ('0x'||substr(md5(doc_id::VARCHAR || 'pack'),1,15))::BIGINT % 16 AS shard,
+             n_tokens AS n_tok
+           FROM train),
+         w AS (
+           SELECT doc_id, shard, n_tok,
+             (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT AS strt
+           FROM sh)
+         SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
+           strt // 512 AS pack, strt % 512 AS off
+         FROM w ORDER BY doc_id""",
 
     "dedup_exact" ->
       s"""WITH fp AS (

@@ -920,6 +920,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVFADC — the canonical web-scale ANN shape: sampled coarse quantizer
+    // prunes candidates to nProbe clusters (equi-join on cluster id), PQ
+    // asymmetric distances rank only survivors; fully oracle-replayed
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
+        k = 5, dim = 64, m = 16, kSub = 32, iters = 1, nCoarse = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hashing-trick linear classifier (fasttext-style curation filter):
     // md5-derived integer micro-weights, exact LONG fold → margin; the
     // keep/drop decision is engine-identical by construction
@@ -1030,7 +1041,30 @@ object SparkEntry {
     */
   private def pqOracleSql: String = {
     val (m, subDim, kSub) = (16, 4, 32)
-    val subCtes = (0 until m).map { s =>
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       ${pqSubCtes(m, subDim, kSub)},
+       allp AS (${pqPairUnion(m)}),
+       agg AS (
+         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid)
+       SELECT qid AS query_id, cid AS neighbor_id,
+         round(ad2, 4)::DOUBLE AS d2, rank
+       FROM (
+         SELECT qid, cid, ad2,
+           row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
+         FROM agg)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  private def pqPairUnion(m: Int): String =
+    (0 until m).map(s => s"SELECT * FROM pair_$s").mkString(" UNION ALL ")
+
+  /** the per-subspace PQ replay blocks (codebook training, encoding, query
+    * distance tables, candidate pairs), shared by the sim_ann_pq and
+    * sim_ann_ivfpq oracles; expects a CTE `e(vec_id, v)` in scope
+    */
+  private def pqSubCtes(m: Int, subDim: Int, kSub: Int): String =
+    (0 until m).map { s =>
       val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
       val d2 = (v: String) =>
         s"list_dot_product($v, $v) - 2*list_dot_product($v, cv) + list_dot_product(cv, cv)"
@@ -1062,13 +1096,38 @@ object SparkEntry {
            SELECT dt.qid, code_$s.vec_id AS cid, dt.d2
            FROM code_$s JOIN dt_$s dt ON code_$s.code = dt.code)"""
     }.mkString(",\n")
-    val unions = (0 until m).map(s => s"SELECT * FROM pair_$s").mkString(" UNION ALL ")
+
+  /** IVFADC oracle: deterministic sampled coarse quantizer (euclidean
+    * routing) prunes candidates to the query's nProbe clusters, then the
+    * shared PQ replay ranks them by decimal ADC sums.
+    */
+  private def ivfPqOracleSql: String = {
+    val (m, subDim, kSub, nCoarse, nProbe) = (16, 4, 32, 16, 4)
+    val d2c = (v: String) =>
+      s"list_dot_product($v, $v) - 2*list_dot_product($v, cv) + list_dot_product(cv, cv)"
     s"""WITH e AS (
          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       $subCtes,
-       allp AS ($unions),
+       co AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT $nCoarse),
+       ca AS (
+         SELECT vec_id, cluster FROM (
+           SELECT e.vec_id, co.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${d2c("e.v")} ASC, cluster ASC) AS rn
+           FROM e CROSS JOIN co) WHERE rn = 1),
+       qp AS (
+         SELECT vec_id AS qid, cluster FROM (
+           SELECT e.vec_id, co.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${d2c("e.v")} ASC, cluster ASC) AS rn
+           FROM e CROSS JOIN co WHERE e.vec_id < 10) WHERE rn <= $nProbe),
+       cand AS (
+         SELECT qp.qid, ca.vec_id AS cid FROM qp JOIN ca ON qp.cluster = ca.cluster),
+       ${pqSubCtes(m, subDim, kSub)},
+       allp AS (${pqPairUnion(m)}),
        agg AS (
-         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid)
+         SELECT a.qid, a.cid, sum(a.d2) AS ad2
+         FROM allp a JOIN cand c ON a.qid = c.qid AND a.cid = c.cid
+         WHERE a.qid <> a.cid GROUP BY a.qid, a.cid)
        SELECT qid AS query_id, cid AS neighbor_id,
          round(ad2, 4)::DOUBLE AS d2, rank
        FROM (
@@ -1973,6 +2032,8 @@ object SparkEntry {
          FROM r ORDER BY vec_id""",
 
     "sim_ann_pq" -> pqOracleSql,
+
+    "sim_ann_ivfpq" -> ivfPqOracleSql,
 
     "text_classifier" ->
       s"""WITH norm AS (

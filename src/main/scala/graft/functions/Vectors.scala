@@ -317,6 +317,60 @@ object Vectors {
         round(col("__ad2"), 4).cast("double").as("d2"), col("__rn").as("rank"))
   }
 
+  /** ANN top-k via IVFADC — the composition [[pqTopK]]'s scaladoc promises
+    * and the canonical 100 TB ANN shape: a deterministic sampled coarse
+    * quantizer (euclidean routing, `nCoarse` lowest-id vectors) prunes each
+    * query's candidates to its `nProbe` nearest clusters (one equi-join on
+    * the cluster id — no all-pairs scan), then PQ asymmetric distances rank
+    * only the pruned candidates. Candidate count drops by ~nProbe/nCoarse
+    * and per-candidate cost is O(m) lookups — multiplicative savings.
+    * Returns (query_id, neighbor_id, d2, rank); swap the sampled coarse
+    * quantizer for [[kMeans]] centroids at the same plan shape.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                k: Int, dim: Int, m: Int = 8, kSub: Int = 16, iters: Int = 1,
+                nCoarse: Int = 16, nProbe: Int = 4): DataFrame = {
+    val coarse = broadcast(corpus.orderBy(col(cId)).limit(nCoarse)
+      .select(col(cId).as("cluster"), col(cVec).cast("array<double>").as("__cv")))
+    def route(df: DataFrame, id: String, vec: String, out: String,
+              probes: Int): DataFrame = {
+      val scored = df.select(col(id).as(out), col(vec).cast("array<double>").as("__v"))
+        .crossJoin(coarse)
+        .withColumn("__d2",
+          dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__cv"))
+            + dot(col("__cv"), col("__cv")))
+      val w = Window.partitionBy(col(out)).orderBy(col("__d2").asc, col("cluster").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= probes)
+        .select(col(out), col("cluster"))
+    }
+    // IVF pruning: query probes x corpus assignment, equi-joined on cluster
+    val cand = route(queries, qId, qVec, "__qid", nProbe)
+      .join(route(corpus, cId, cVec, "__cid", 1), Seq("cluster"))
+      .select(col("__qid"), col("__cid"))
+
+    val codebook = pqTrain(corpus, cId, cVec, dim, m, kSub, iters)
+    val codes = pqEncode(corpus, cId, cVec, dim, m, codebook)
+      .select(col(cId).as("__cid"), col("sub"), col("code"))
+    val dtab = subspaceExplode(queries, qId, qVec, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d2",
+        (dot(col("__sv"), col("__sv")) - lit(2.0) * dot(col("__sv"), col("centroid"))
+          + dot(col("centroid"), col("centroid")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .select(col("__vid").as("__qid"), col("sub"), col("cluster").as("code"), col("__d2"))
+
+    val joined = cand.join(codes, Seq("__cid"))
+      .join(broadcast(dtab), Seq("__qid", "sub", "code"))
+      .filter(col("__qid") =!= col("__cid"))
+      .groupBy(col("__qid"), col("__cid"))
+      .agg(sum(col("__d2")).as("__ad2"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__ad2").asc, col("__cid").asc)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("__ad2"), 4).cast("double").as("d2"), col("__rn").as("rank"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
     * independent plane sets (offsets t·planes into the shared md5 plane
     * derivation) each bucket the corpus; queries probe their bucket per

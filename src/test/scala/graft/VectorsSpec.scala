@@ -147,6 +147,30 @@ class VectorsSpec extends SparkSpec {
     codebook.unpersist(); out.unpersist()
   }
 
+  test("IVFADC: candidates pruned to probed clusters, subset of plain PQ ranking") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val out = Vectors.ivfPqTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, dim = 64, m = 16, kSub = 32, iters = 1, nCoarse = 16, nProbe = 4).cache()
+    // every query returns ranked results (pruning may yield < k only if its
+    // probed clusters are tiny; with nProbe=4 of 16 that cannot happen here)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    val disordered = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") === col("b.rank") - 1)
+      .filter(col("a.d2") > col("b.d2")).count()
+    assert(disordered == 0)
+    // IVFADC distances agree with plain PQ-ADC for pairs both consider:
+    // same codebooks, same ADC sum — pruning must not change the value
+    val pq = Vectors.pqTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, dim = 64, m = 16, kSub = 32, iters = 1)
+      .select(col("query_id"), col("neighbor_id"), col("d2").as("pq_d2"))
+    val mismatch = out.join(pq, Seq("query_id", "neighbor_id"))
+      .filter(col("d2") =!= col("pq_d2")).count()
+    assert(mismatch == 0, "ADC distance must be identical with and without IVF pruning")
+    out.unpersist()
+  }
+
   test("int8 quantization: bounded values, bounded error, zero-vector safe") {
     import spark.implicits._
     val e = table("embeddings")

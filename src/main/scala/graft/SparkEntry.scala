@@ -899,12 +899,17 @@ object SparkEntry {
     // symmetric int8 embedding quantization + reconstruction error — the
     // vector-compression step; floor-bias rounding is engine-identical
     "sim_quantize" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast(DoubleType))
-      t(s, dir, "embeddings").select(col("vec_id"),
-        Vectors.int8Scale(v).as("scale"),
-        md5(concat_ws(",", transform(Vectors.int8Quantize(v), q => q.cast("string"))))
-          .as("q_fp"),
-        dround(Vectors.int8Error(v), 6).as("err"))
+      // scale and codes staged as columns: every downstream lambda reads an
+      // attribute (O(1) per element) instead of re-evaluating the O(dim)
+      // scale expression per element
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("__v"))
+        .withColumn("scale", Vectors.int8Scale(col("__v")))
+        .withColumn("__q", Vectors.int8QuantizeWith(col("__v"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws(",", transform(col("__q"), q => q.cast("string")))).as("q_fp"),
+          dround(Vectors.int8ErrorWith(col("__v"), col("__q"), col("scale")), 6).as("err"))
         .orderBy(col("vec_id"))
     }),
 

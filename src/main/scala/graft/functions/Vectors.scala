@@ -193,19 +193,27 @@ object Vectors {
   def int8Scale(vec: Column): Column =
     array_max(transform(vec, x => abs(x))) / lit(127.0)
 
-  def int8Quantize(vec: Column): Column = {
-    val s = int8Scale(vec)
-    transform(vec, x => when(s === 0.0, lit(0)).otherwise(floor(x / s + lit(0.5)).cast("int")))
-  }
-
-  /** squared reconstruction error of the int8 quantization, |x - q*scale|²,
-    * as a left-to-right native dot product of the residual with itself
+  /** quantize against a PRE-STAGED scale column. Referencing a staged
+    * attribute keeps the per-element lambda O(1); embedding the
+    * [[int8Scale]] expression directly would re-evaluate its O(dim)
+    * array_max once per element — O(dim²) per row.
     */
-  def int8Error(vec: Column): Column = {
-    val s = int8Scale(vec)
-    val r = zip_with(vec, int8Quantize(vec), (x, q) => x - q.cast("double") * s)
+  def int8QuantizeWith(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0, lit(0)).otherwise(floor(x / scale + lit(0.5)).cast("int")))
+
+  def int8Quantize(vec: Column): Column = int8QuantizeWith(vec, int8Scale(vec))
+
+  /** squared reconstruction error |x - q*scale|² from pre-staged quantized
+    * values and scale, as a left-to-right native dot product of the residual
+    */
+  def int8ErrorWith(vec: Column, quantized: Column, scale: Column): Column = {
+    val r = zip_with(vec, quantized, (x, q) => x - q.cast("double") * scale)
     dot(r, r)
   }
+
+  def int8Error(vec: Column): Column =
+    int8ErrorWith(vec, int8Quantize(vec), int8Scale(vec))
 
   /** Product-quantization codebook training: the vector splits into `m`
     * contiguous subvectors of `dim/m` components, and each subspace trains

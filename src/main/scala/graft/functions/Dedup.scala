@@ -296,16 +296,20 @@ object Dedup {
     * 100 TB notes: explode → hash-groupBy on the chunk digest — one shuffle
     * keyed by md5, uniform by construction. The per-row chunk build is a few
     * array slices (bounded by tokens/chunkTokens per doc), then digesting
-    * happens post-explode in codegen'd md5.
+    * happens post-explode in codegen'd md5. Tokenization is staged as a
+    * column so the slice lambda reads an attribute (O(1) per chunk);
+    * embedding the tokens() expression in the lambda would re-run the
+    * regexp split once per chunk — O(tokens²/chunkTokens) per doc.
     */
   def chunkDups(df: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int = 10): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = col("__toks")
     val chunks = when(size(toks) >= chunkTokens,
       transform(sequence(lit(0), (size(toks) / chunkTokens).cast("int") - 1),
         i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("__id"), explode(chunks).as("__chunk"))
+    df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), explode(chunks).as("__chunk"))
       .groupBy(md5(col("__chunk")).as("chunk_fp"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("__id")).as("n_docs"),
         min(col("__id")).as("min_doc"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 import graft.core.{Converters, DateSpan, Nm}
-import graft.functions.{Dedup, Packing, Pii, Sampling, TextAnalysis, Vectors}
+import graft.functions.{Dedup, Layout, Packing, Pii, Sampling, TextAnalysis, Vectors}
 import graft.sources.Sources
 import graft.tables._
 
@@ -973,6 +973,72 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
         budgetFrac = 0.5, salt = "mix-v1")
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("rate_bp"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order (Morton) layout: customer key × order day interleaved into a
+    // space-filling-curve file assignment — per-file min/max bounds stay
+    // tight on BOTH dimensions, the data-skipping property that lets a
+    // 100 TB scan prune files on either predicate; assignment is scan-speed
+    // (pure bit arithmetic, no sort)
+    "layout_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Layout.zorderStats(o,
+        (col("o_custkey") % 256).cast("long"),
+        (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")) % 256)
+          .cast("long"),
+        bits = 8, files = 16)
+        .orderBy(col("file_id"))
+    }),
+
+    // size-balanced shard assignment: serpentine deal over the size-sorted
+    // corpus via the distributed dense-ordinal assigner (no single-partition
+    // window) — bounds every shard's token total to within one document of
+    // optimal, for downstream loader balance
+    "shard_balanced" -> ((s, dir) => {
+      val d = docsNorm(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Layout.shardStats(Layout.shardBalanced(d, "doc_id", "n_tokens", 8), "n_tokens")
+        .orderBy(col("shard"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims with the md5-derived
+    // plane family (same derivation as sign-LSH, values kept): the
+    // dimensionality-reduction step ahead of clustering/ANN at 100 TB;
+    // distortion = scaled projected-norm ratio, the JL guarantee as data
+    "sim_projection" -> ((s, dir) => {
+      val k = 16
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("__v"))
+        .withColumn("__p", graft.plans.NativeFunctions.randomProjection(col("__v"), k))
+        .select(col("vec_id"),
+          md5(concat_ws(",", transform(col("__p"),
+            x => floor(x * 10000 + lit(0.5)).cast("long").cast("string")))).as("p_fp"),
+          dround(sqrt(lit(12.0 / k)) * Vectors.norm(col("__p")) / Vectors.norm(col("__v")), 4)
+            .as("distortion"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // corpus document-frequency scoring: per-token df over the whole corpus
+    // (map-side-combined token shuffle), joined back per document — mean df
+    // and rare-token count are the rarity/specificity signals curation
+    // filters cut on; exact integer semantics, no transcendental drift
+    "text_docfreq" -> ((s, dir) => {
+      val docs = docsNorm(s, dir).select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("__toks"))
+      val toks = docs.select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      val scored = toks.join(dfTab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          dround(sum(col("__df")).cast(DoubleType) / count(lit(1)), 4).as("mean_df"),
+          sum(when(col("__df") <= lit(2), 1L).otherwise(0L)).as("n_rare"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("mean_df"), lit(0.0)).as("mean_df"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2094,6 +2160,74 @@ object SparkEntry {
              AS kept
          FROM d JOIN r ON d.lang = r.lang
          ORDER BY doc_id""",
+
+    "layout_zorder" ->
+      """WITH o AS (
+           SELECT (o_custkey % 256)::BIGINT AS x,
+             (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256)::BIGINT AS y
+           FROM orders),
+         z AS (
+           SELECT x, y, list_sum(list_transform(range(0, 8), i ->
+             (((x >> i::INTEGER) & 1) << (2*i)::INTEGER)
+               + (((y >> i::INTEGER) & 1) << (2*i+1)::INTEGER)))::BIGINT AS zv
+           FROM o)
+         SELECT (zv >> 12)::BIGINT AS file_id, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         FROM z GROUP BY file_id ORDER BY file_id""",
+
+    "shard_balanced" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
+           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
+         o AS (
+           SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS ord
+           FROM d),
+         a AS (
+           SELECT n_tokens,
+             CASE WHEN ord % 16 < 8 THEN ord % 16 ELSE 15 - (ord % 16) END AS shard
+           FROM o)
+         SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
+           CAST(sum(n_tokens) AS BIGINT) AS total_size
+         FROM a GROUP BY shard ORDER BY shard""",
+
+    "sim_projection" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         w AS (
+           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
+             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
+               / 10000.0 - 0.5)) AS wv
+           FROM range(0, 16) t(p)),
+         pr AS (
+           SELECT vec_id, v,
+             (SELECT list(list_dot_product(e2.v, w.wv) ORDER BY w.p) FROM w) AS proj
+           FROM e e2)
+         SELECT vec_id,
+           md5(array_to_string(list_transform(proj,
+             x -> CAST(CAST(floor(x*10000 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS p_fp,
+           round(CAST(sqrt(12.0/16) * sqrt(list_dot_product(proj, proj))
+             / sqrt(list_dot_product(v, v)) AS DECIMAL(18,8)), 4)::DOUBLE AS distortion
+         FROM pr ORDER BY vec_id""",
+
+    "text_docfreq" ->
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS toks FROM documents),
+         tkf AS (
+           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok <> ''),
+         df AS (SELECT tok, count(*) AS df FROM tkf GROUP BY tok),
+         sc AS (
+           SELECT doc_id, count(*) AS n_distinct,
+             round(CAST(CAST(sum(df.df) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS mean_df,
+             CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+           FROM tkf JOIN df USING (tok) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_distinct, 0) AS n_distinct,
+           coalesce(sc.mean_df, 0.0) AS mean_df, coalesce(sc.n_rare, 0) AS n_rare
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
 
     "sim_bruteforce" ->
       """WITH e AS (

@@ -208,6 +208,54 @@ case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss random projection of an array<double> vector to
+  * `k` dimensions: component j is the dot product with pseudo-random plane
+  * j — the SAME md5-derived plane family the sign-LSH uses
+  * (Md5Util.hash60("p_d") % 10000 / 10000 - 0.5), so the projection is
+  * deterministic across runs/engines and oracle-reproducible in DuckDB.
+  * Components are the raw dot products; callers apply the sqrt(12/k)
+  * norm-preserving scale where they need it (Var[U(-0.5,0.5)] = 1/12).
+  * Weights are computed once per (instance, dimension) and cached; dot
+  * products accumulate left-to-right, bit-identical to `list_dot_product`.
+  */
+case class RandomProjection(child: Expression, k: Int, offset: Int = 0)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_projection"
+
+  @transient private lazy val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def weights(dims: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent(dims, _ => {
+      Array.tabulate(k, dims) { (p, d) =>
+        val h = Md5Util.hash60(s"${offset + p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (h % 10000L).toDouble / 10000.0 - 0.5
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = weights(n)
+    val out = new Array[Any](k)
+    var p = 0
+    while (p < k) {
+      val wp = w(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += arr.getDouble(d) * wp(d); d += 1 }
+      out(p) = dot
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word n-gram shingles over a token array: shingle i = tokens[i..i+n-1]
   * joined by a single space; if fewer than n tokens, one shingle of all
   * tokens. Distinct, order-preserving on first occurrence — identical to the
@@ -420,6 +468,8 @@ object NativeFunctions {
   def sigMatchFraction(a: Column, b: Column): Column = col(SigMatchFraction(expr(a), expr(b)))
   def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     col(SignLshBucket(expr(vec.cast("array<double>")), planes, offset))
+  def randomProjection(vec: Column, k: Int, offset: Int = 0): Column =
+    col(RandomProjection(expr(vec.cast("array<double>")), k, offset))
   def winnowFingerprints(tokens: Column, k: Int, window: Int): Column =
     col(WinnowFingerprints(expr(tokens), k, window))
   def topNgramFraction(tokens: Column, n: Int): Column =

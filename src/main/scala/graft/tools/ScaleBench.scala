@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.functions.{Dedup, Packing, Pii, Sampling, TextAnalysis, Vectors}
+import graft.functions.{Dedup, Layout, Packing, Pii, Sampling, TextAnalysis, Vectors}
 import graft.tables.ScdDimension
 
 /** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
@@ -142,6 +142,25 @@ object ScaleBench {
     def pqEncode(e: DataFrame): Unit =
       force(Vectors.pqEncode(e, "vec_id", "v", dim = 64, m = 16,
         Vectors.pqTrain(e, "vec_id", "v", dim = 64, m = 16, k = 32, iters = 1)))
+    def shardBal(d: DataFrame): Unit =
+      force(Layout.shardStats(Layout.shardBalanced(
+        d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("nt")),
+        "doc_id", "nt", 8), "nt"))
+    def docFreq(d: DataFrame): Unit = {
+      val toks = d.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      force(toks.join(dfTab, "tok").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("df")).as("s")))
+    }
+    def zorder(e: DataFrame): Unit =
+      force(Layout.zorderStats(e,
+        (col("user_id") % 256).cast("long"), (col("event_id") % 256).cast("long"),
+        bits = 8, files = 16))
+    def project(e: DataFrame): Unit =
+      force(e.select(col("vec_id"),
+        graft.plans.NativeFunctions.randomProjection(col("v"), 16).as("p")))
 
     // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
     // isolates label propagation (minhash candidate generation is its own
@@ -166,7 +185,11 @@ object ScaleBench {
       ("text_bpe_pairs", nDocs, nDocs * copies, () => bpePairs(docs1), () => bpePairs(docs10)),
       ("pq_train_encode", maxVec, maxVec * copies, () => pqEncode(emb1), () => pqEncode(emb10)),
       ("scd2_ensure", maxEvent, maxEvent * copies, () => scd2(ev1), () => scd2(ev10)),
-      ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)))
+      ("group_agg", maxEvent, maxEvent * copies, () => agg(ev1), () => agg(ev10)),
+      ("shard_balanced", nDocs, nDocs * copies, () => shardBal(docs1), () => shardBal(docs10)),
+      ("text_docfreq", nDocs, nDocs * copies, () => docFreq(docs1), () => docFreq(docs10)),
+      ("layout_zorder", maxEvent, maxEvent * copies, () => zorder(ev1), () => zorder(ev10)),
+      ("sim_projection", maxVec, maxVec * copies, () => project(emb1), () => project(emb10)))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

@@ -398,6 +398,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // streaming curation: quality/langid filters (stateless) + content-
+    // fingerprint dedup with watermark-bounded state — the continuous
+    // ingestion form of pipeline_curate; batch twin here, streaming-mode
+    // parity in StreamingSpec
+    "stream_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1) * lit(60000000L)))
+      graft.streaming.Streaming.curate(docs, "text", "ts", "1 hour",
+        minQuality = 0.3, langs = Seq("en", "de"))
+        .select(col("fp"), col("lang_pred"))
+        .orderBy(col("fp"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -1479,6 +1492,37 @@ object SparkEntry {
                UNION ALL
                SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0)
          ORDER BY event_id""",
+
+    "stream_curate" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks, $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, nt,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         scored AS (
+           SELECT md5(nt) AS fp,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(s_en * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS quality,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS lang
+           FROM c)
+         SELECT DISTINCT fp, lang AS lang_pred FROM scored
+         WHERE quality >= 0.3 AND lang IN ('en', 'de')
+         ORDER BY fp""",
 
     "stream_sessionize" ->
       """WITH flagged AS (

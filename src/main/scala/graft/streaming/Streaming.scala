@@ -51,6 +51,31 @@ object Streaming {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming curation: the `pipeline_curate` composition over unbounded
+    * input — per-row quality scoring and language id (stateless, scan-speed,
+    * identical plan to the batch form) followed by content-fingerprint dedup
+    * whose state is bounded by the watermark horizon. This is the ingestion
+    * shape of a continuously-fed training corpus: documents arrive, are
+    * scored/filtered in place, and only first-seen content survives — with
+    * state that evicts, so the query runs forever at 100 TB/day. The quality
+    * gate compares the ROUNDED score (decimal-staged at 4 places), keeping
+    * the kept-set engine-reproducible at the threshold boundary. On a batch
+    * frame the same call is the batch twin (dedup degrades to
+    * dropDuplicates).
+    */
+  def curate(docs: DataFrame, textCol: String, tsCol: String, watermark: String,
+             minQuality: Double, langs: Seq[String]): DataFrame = {
+    import graft.functions.TextAnalysis
+    val scored = docs
+      .withColumn("quality",
+        round(TextAnalysis.qualityScoreRaw(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4).cast("double"))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*))
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    dedup(scored, tsCol, watermark, Seq("fp"))
+  }
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

@@ -91,6 +91,37 @@ class StreamingSpec extends SparkSpec {
     assert(fact.current.count() == src.select("user_id").distinct().count())
   }
 
+  test("streaming curate equals batch curate on fingerprint set") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * lit(60000000L)))
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    // watermark wider than the data's ts span: within-horizon dedup is then
+    // exact, so streaming output must equal the batch twin exactly
+    val curated = Streaming.curate(stream, "text", "ts", "30 days",
+      minQuality = 0.3, langs = Seq("en", "de"))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("curate_out")
+      .select("fp", "lang_pred").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val expected = Streaming.curate(batch, "text", "ts", "30 days",
+      minQuality = 0.3, langs = Seq("en", "de"))
+      .select("fp", "lang_pred").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(streamed == expected,
+      s"streaming curate fp set (${streamed.size}) != batch (${expected.size})")
+    // dedup actually deduped: fps unique in the streamed output
+    assert(spark.table("curate_out").groupBy("fp").count()
+      .filter(col("count") =!= 1).count() == 0)
+  }
+
   test("foreachBatch scdensure merges micro-batches into the dimension") {
     import graft.tables._
     val batchDf = spark.read.parquet(stagedDir)

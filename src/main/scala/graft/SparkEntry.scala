@@ -1055,6 +1055,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental dedup: an incoming batch matched against the standing
+    // corpus through a persistable MinHash index — candidates from a
+    // batch-proportional band-key join, exact Jaccard only for survivors;
+    // the steady-state ingestion path at 100 TB (32 bands x 2 rows: recall
+    // ~= 1 at j>=0.8, so the oracle is the exact cross-set Jaccard pairs)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.minhashAgainstIndex(corpus, incoming, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+        .orderBy(col("new_id"), col("match_id"))
+    }),
+
     // repetition scoring (Gopher-style filters): top-bigram fraction +
     // duplicate-token fraction — pure per-row signals, scan-speed
     "text_repetition" -> ((s, dir) => {
@@ -2204,6 +2218,24 @@ object SparkEntry {
              AS kept
          FROM d JOIN r ON d.lang = r.lang
          ORDER BY doc_id""",
+
+    "dedup_incremental" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT n.doc_id AS new_id, c.doc_id AS match_id,
+             len(list_intersect(n.s, c.s))::DOUBLE
+               / len(list_distinct(list_concat(n.s, c.s))) AS jac
+           FROM sh n JOIN sh c
+             ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+         SELECT new_id, match_id, round(jac, 4) AS jaccard
+         FROM pairs WHERE jac >= 0.8 ORDER BY new_id, match_id""",
 
     "layout_zorder" ->
       """WITH o AS (

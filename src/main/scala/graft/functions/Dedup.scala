@@ -123,6 +123,80 @@ object Dedup {
     verified.select(col("__ida").as("id_a"), col("__idb").as("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Persistable MinHash index of a corpus: (id, signature, band keys).
+    * Build once, store as a table, and match every incoming batch against it
+    * with [[minhashAgainstIndex]] — the signatures are the only state the
+    * index carries (compact: id + k longs + band keys), never raw text.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), k).as("__sig"))
+      .withColumn("__bands", lshBandKeys(col("__sig"), bands, rows))
+  }
+
+  /** Incremental near-dup detection: match an INCOMING batch against an
+    * existing corpus — the production shape for continuous ingestion, where
+    * the corpus is 100 TB and the batch is small. Candidates come from an
+    * equi-join of the batch's band keys against the corpus index (shuffle
+    * proportional to the BATCH, with the corpus side pre-bucketable by band
+    * key); the signature prefilter and exact-Jaccard verification then run
+    * only on survivors, recomputing shingles for just those corpus docs.
+    * Pass a pre-built [[minhashIndex]] of the corpus via `index` to skip
+    * re-signing the corpus each batch (the steady-state path); omitted, the
+    * index is derived from `corpus` inline.
+    *
+    * Returns (new_id, match_id, jaccard) with jaccard >= threshold.
+    */
+  def minhashAgainstIndex(corpus: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7, maxBucket: Int = 2000,
+                          index: Option[DataFrame] = None): DataFrame = {
+    val idx = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      index.getOrElse(minhashIndex(corpus, idCol, textCol, n, k, bands)))
+    val inc = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      minhashIndex(incoming, idCol, textCol, n, k, bands))
+
+    val idxB = idx.select(col(idCol).as("__idc"),
+      posexplode(col("__bands")).as(Seq("__b", "__bk")))
+    // cap degenerate corpus buckets (boilerplate content) — bounds the
+    // per-batch join fan-out the same way minhashPairs bounds the self-join
+    val idxCapped = idxB
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"), col("__bk"))))
+      .filter(col("__cnt") <= maxBucket)
+      .select(col("__b"), col("__bk"), col("__idc"))
+    val incB = inc.select(col(idCol).as("__idn"),
+      posexplode(col("__bands")).as(Seq("__b", "__bk")))
+
+    val candidates = incB.join(idxCapped, Seq("__b", "__bk"))
+      .filter(col("__idn") =!= col("__idc"))
+      .select(col("__idn"), col("__idc")).distinct()
+
+    val prefiltered = candidates
+      .join(inc.select(col(idCol).as("__idn"), col("__sig").as("__sign")), Seq("__idn"))
+      .join(idx.select(col(idCol).as("__idc"), col("__sig").as("__sigc")), Seq("__idc"))
+      .filter(graft.plans.NativeFunctions.sigMatchFraction(col("__sign"), col("__sigc")) >= threshold / 2)
+      .select(col("__idn"), col("__idc"))
+
+    // exact Jaccard for survivors only: shingle just the implicated docs
+    val newSh = incoming.join(prefiltered.select(col("__idn").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("__idn"), shingles(col(textCol), n).as("__shn"))
+    val corpSh = corpus.join(prefiltered.select(col("__idc").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("__idc"), shingles(col(textCol), n).as("__shc"))
+    prefiltered
+      .join(newSh, Seq("__idn")).join(corpSh, Seq("__idc"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__shn"), col("__shc"))).cast("double") /
+          size(array_union(col("__shn"), col("__shc"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__idn").as("new_id"), col("__idc").as("match_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash: 60-bit locality-sensitive fingerprint. Each token votes ±1 on
     * every bit of its md5-derived 60-bit hash; the sign of each bit-sum is
     * the fingerprint bit. Native single-pass expression — no explode, no

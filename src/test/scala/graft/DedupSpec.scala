@@ -236,4 +236,22 @@ class DedupSpec extends SparkSpec {
       .groupBy("pair").count().orderBy(col("count").desc, col("pair")).head()
     assert(top.getString(0) == "b c" && top.getLong(1) == 2)
   }
+
+  test("incremental dedup: prebuilt index equals inline, pairs cross the split") {
+    val docs = table("documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val inline = Dedup.minhashAgainstIndex(corpus, incoming, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8).collect().map(key).toSet
+    // steady state: the corpus index is built once and reused per batch
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", n = 3, k = 64, bands = 32)
+    val viaIndex = Dedup.minhashAgainstIndex(corpus, incoming, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8, index = Some(idx))
+      .collect().map(key).toSet
+    assert(inline == viaIndex, s"index path diverged: ${inline.size} vs ${viaIndex.size}")
+    assert(inline.nonEmpty, "expected near-dup pairs across the corpus/batch split")
+    // every new_id is from the batch, every match_id from the corpus
+    assert(inline.forall { case (n, c) => n % 5 == 0 && c % 5 != 0 })
+  }
 }

@@ -1108,6 +1108,52 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
+    // (deterministic decimal-exact quantizer), exact cosine only WITHIN
+    // clusters — Σ|cluster|² instead of all-pairs; the oracle replays the
+    // full two-round Lloyd training AND the within-cluster pair scan
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Dedup.semanticPairs(e, "vec_id", "v", k = 8, iters = 2, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // BM25 ranked retrieval: query-term-filtered token stream (candidate
+    // set proportional to the QUERY, not the corpus), broadcast df/stats,
+    // decimal-exact per-document score sums, TakeOrderedAndProject top-k
+    "search_bm25" -> ((s, dir) => {
+      graft.functions.Retrieval.bm25TopK(docsNorm(s, dir), "doc_id", "text",
+        Seq("hash", "join", "merge"), k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // unigram LM log-prob scoring (KenLM-style perplexity proxy): add-one
+    // smoothed counts trained on the corpus itself, per-doc mean log-prob —
+    // ln is bit-identical across engines, sums staged in decimal
+    "text_lm_score" -> ((s, dir) => {
+      graft.functions.Retrieval.unigramLogProb(docsNorm(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // histogram quantiles for curation-threshold selection: ONE map-side
+    // combined aggregation touches the data; cumulative counts come from a
+    // bounded bin×bin self-join, never an unpartitioned window
+    "stats_quantile_hist" -> ((s, dir) => {
+      graft.functions.Stats.histogramQuantiles(events(s, dir), "value",
+        width = 10.0, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    }),
+
+    // sliding-window chunking with overlap (RAG prep): stride-spaced
+    // full-width chunks, last start clamped to the doc boundary; pure
+    // per-row expressions — zero shuffles, scan-speed
+    "chunk_overlap" -> ((s, dir) => {
+      graft.functions.Packing.slidingChunks(docsNorm(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk"))
     })
   )
 
@@ -2430,6 +2476,149 @@ object SparkEntry {
                 ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
            (length(text) - length(replace(text, ' ', ''))) +
              CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_est
-         FROM norm ORDER BY doc_id"""
+         FROM norm ORDER BY doc_id""",
+
+    // SemDeDup: replay the full 2-round decimal-exact Lloyd training (the
+    // sim_kmeans chain), assign every vector to its final centroid, then the
+    // within-cluster exact-cosine pair scan
+    "dedup_semantic" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c0.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
+                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
+             FROM e CROSS JOIN c0) WHERE rn = 1),
+         c1 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         a2 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
+                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
+             FROM e CROSS JOIN c1) WHERE rn = 1),
+         c2 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         a3 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c2.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
+             FROM e CROSS JOIN c2) WHERE rn = 1)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+           round(CAST(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
+         FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    // BM25: tf filtered to the query terms, df over the tf table, Lucene
+    // idf; every fractional literal that is INEXACT in binary (2.2, 1.2) is
+    // CAST to DOUBLE so DuckDB's decimal literals don't diverge from
+    // Spark's double arithmetic; per-term scores staged in DECIMAL(18,8)
+    "search_bm25" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
+         lens AS (
+           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM lens),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         per AS (
+           SELECT tf.doc_id,
+             CAST(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75
+                 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))
+               AS DECIMAL(18,8)) AS sd
+           FROM tf JOIN lens USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats),
+         sc AS (
+           SELECT doc_id, sum(sd) AS score, count(*) AS n_terms FROM per GROUP BY doc_id)
+         SELECT doc_id, round(score, 4)::DOUBLE AS score, n_terms FROM (
+           SELECT doc_id, score, n_terms FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         ORDER BY score DESC, doc_id""",
+
+    // unigram LM scoring: add-one smoothed corpus counts, per-token ln
+    // staged in DECIMAL(18,8) (ln is bit-identical across engines), exact
+    // sum, one double division, decimal-staged rounding
+    "text_lm_score" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         tk AS (
+           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok <> ''),
+         c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         st AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS avg_logprob
+           FROM (
+             SELECT doc_id,
+               CAST(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + v))
+                 AS DECIMAL(18,8)) AS lp
+             FROM tk JOIN c USING (tok) CROSS JOIN st) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+           coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+
+    // histogram quantiles: fixed-width bins (one aggregation), cumulative
+    // counts from the bounded bin self-join, first bin reaching q*N; the
+    // inexact 0.99 is CAST to DOUBLE so both engines compare the same value
+    "stats_quantile_hist" ->
+      """WITH b AS (
+           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events GROUP BY 1),
+         cum AS (
+           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
+         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
+         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+         SELECT q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
+           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
+         FROM (
+           SELECT q, bin, cum_count, total,
+             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
+           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
+         ORDER BY q""",
+
+    // sliding-window chunking: stride-spaced starts, last start clamped to
+    // n-window (always full-width), DuckDB list_slice mirrors Spark slice
+    "chunk_overlap" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
+         n AS (
+           SELECT doc_id, toks,
+             CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS n FROM d),
+         x AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, CAST(floor(CAST(greatest(n - 32, 0) AS DOUBLE) / 24.0) AS BIGINT)
+               + CASE WHEN greatest(n - 32, 0) % 24 > 0 THEN 2 ELSE 1 END)) AS chunk
+           FROM n WHERE n > 0),
+         c AS (
+           SELECT doc_id, chunk, least(chunk * 24, greatest(n - 32, 0)) AS start,
+             list_slice(toks, least(chunk * 24, greatest(n - 32, 0)) + 1,
+               least(chunk * 24, greatest(n - 32, 0)) + 32) AS ct
+           FROM x)
+         SELECT doc_id, chunk, start, len(ct) AS n_tok,
+           md5(array_to_string(ct, ' ')) AS fp
+         FROM c ORDER BY doc_id, chunk"""
   )
 }

@@ -390,6 +390,47 @@ object Dedup {
       .filter(col("n_occ") > 1)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (public method: k-means
+    * cluster the embedding space, then exact pairwise cosine WITHIN clusters
+    * only — arXiv:2303.09540). The deterministic [[Vectors.kMeans]] quantizer
+    * (id-seeded init, decimal-exact means) routes every vector to its
+    * nearest centroid, so the all-pairs O(N²) collapses to Σ|cluster|² with
+    * one equi-shuffle on the cluster id — the canonical embedding-space
+    * dedup shape at 100 TB (more clusters → smaller quadratic terms).
+    * Returns (id_a, id_b, cluster, cosine); compose with [[clusters]] for
+    * connected-component keep/drop assignment, exactly like the text-space
+    * pair ops.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.4): DataFrame = {
+    val vecs = df.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // centroid set is k rows by construction — always broadcastable
+    val cents = broadcast(Vectors.kMeans(df, idCol, vecCol, k, iters)
+      .select(col("cluster"), col("centroid").as("__cv")))
+    val scored = vecs.crossJoin(cents)
+      .withColumn("__d2",
+        Vectors.dot(col("__v"), col("__v"))
+          - lit(2.0) * Vectors.dot(col("__v"), col("__cv"))
+          + Vectors.dot(col("__cv"), col("__cv")))
+    val w = Window.partitionBy(col("__vid")).orderBy(col("__d2").asc, col("cluster").asc)
+    // materialize the assignment: both sides of the within-cluster self-join
+    // read it, and it already cost a broadcast join + window to compute
+    val assigned = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("cluster"), col("__vid"), col("__v")))
+    val a = assigned.select(col("cluster"), col("__vid").as("__ida"), col("__v").as("__va"))
+    val b = assigned.select(col("cluster"), col("__vid").as("__idb"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("cluster"),
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"))
+  }
+
   /** n-gram Jaccard similarity of two text columns (exact, symmetric). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (shingles(a, n), shingles(b, n))

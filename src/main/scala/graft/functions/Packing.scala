@@ -36,4 +36,39 @@ object Packing {
         expr(s"__start div $ctxLen").as("pack"),
         pmod(col("__start"), lit(ctxLen.toLong)).as("off"))
   }
+
+  /** Sliding-window token chunking with overlap — the RAG/long-context prep
+    * that complements [[packPlan]]'s dense packing: each document splits
+    * into `window`-token chunks every `stride` tokens (overlap =
+    * window−stride), the LAST start clamping to `n−window` so the final
+    * chunk is always full-width and ends exactly at the document boundary
+    * (no sub-stride tail fragments). Documents of ≤ `window` tokens emit
+    * one chunk; zero-token documents emit none.
+    *
+    * Pure per-row expressions (sequence → explode → slice) — no shuffle at
+    * all, scan-speed over 100 TB; chunk addressing is (id, chunk, start)
+    * and the md5 fingerprint of the chunk's tokens makes each chunk
+    * directly usable by the exact-dedup / embedding stages downstream.
+    *
+    * Returns (idCol, chunk, start, n_tok, fp).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val chunks = floor((greatest(col("__n") - window, lit(0)).cast("double"))
+      / stride).cast("long") +
+      when(pmod(greatest(col("__n") - window, lit(0)), lit(stride)) > 0, 2L)
+        .otherwise(1L)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk", explode(sequence(lit(0L), chunks - 1)))
+      .withColumn("start",
+        least(col("chunk") * stride, greatest(col("__n") - window, lit(0L))))
+      .withColumn("__ct", slice(col("__toks"), (col("start") + 1).cast("int"), lit(window)))
+      .select(col(idCol), col("chunk"), col("start"),
+        size(col("__ct")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("__ct"))).as("fp"))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass corpus statistics for curation-threshold selection: a
+  * fixed-width histogram of a value column (quality score, token count,
+  * event value) and quantile estimates read off its cumulative counts.
+  *
+  * The histogram is ONE map-side-combined aggregation over the raw data —
+  * the only pass that touches 100 TB. Everything after runs on the bin
+  * table, whose size is bounded by the value range over the bin width, not
+  * by the data; the cumulative counts come from a bin×bin self-join on the
+  * bounded table rather than an unpartitioned window (which would plan a
+  * single-partition sort — the exact WindowExec scale defect this codebase
+  * bans). Exact integer semantics throughout: a quantile answer is
+  * "the first bin whose cumulative count reaches q·N", reproducible
+  * bit-for-bit by any engine.
+  */
+object Stats {
+
+  /** Histogram-quantile estimates of `valueCol` at each q in `qs`.
+    * Returns one row per quantile: (q, bin, lo, hi, cum_count, total) where
+    * [lo, hi) are the bin edges (`bin*width`, `(bin+1)*width`) and `hi` is
+    * the conservative threshold estimate ("q of the data sits below hi").
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, width: Double,
+                         qs: Seq[Double]): DataFrame = {
+    require(width > 0 && qs.nonEmpty, "width must be positive, qs non-empty")
+    // materialize the bin table: every downstream branch (cumulative
+    // self-join, total, one filter per quantile) reads it, and freezing it
+    // here is what makes "one pass over the raw data" literally true
+    val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt")))
+    // cumulative count per bin without a global window: self-join on the
+    // bounded bin table (B² pairs of a data-independent B)
+    val a = bins.select(col("bin"))
+    val b = bins.select(col("bin").as("__b2"), col("cnt").as("__c2"))
+    val cum = a.join(b, col("__b2") <= col("bin"))
+      .groupBy(col("bin")).agg(sum(col("__c2")).as("cum_count"))
+    val total = bins.agg(sum(col("cnt")).as("total"))
+    val edges = cum.crossJoin(broadcast(total))
+    // per quantile: the first bin whose cumulative count reaches q·N
+    qs.map { q =>
+      edges.filter(col("cum_count").cast("double") >= lit(q) * col("total"))
+        .orderBy(col("bin").asc).limit(1)
+        .select(lit(q).as("q"), col("bin"),
+          (col("bin") * width).as("lo"), ((col("bin") + 1) * width).as("hi"),
+          col("cum_count"), col("total"))
+    }.reduce(_.unionAll(_))
+  }
+}

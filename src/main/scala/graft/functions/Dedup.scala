@@ -308,47 +308,108 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair set — the clustering
     * step that turns pairwise evidence (minhashPairs / simhashPairs /
-    * winnowPairs output) into per-document keep/drop decisions. Iterative
-    * min-label propagation: each node adopts the smallest label among itself
-    * and its neighbors until fixpoint. Converges in O(component diameter)
-    * rounds; near-dup components are shallow (a handful of hops), so the
-    * loop is short in practice and `maxIter` is a safety bound.
+    * winnowPairs output) into per-document keep/drop decisions.
     *
-    * 100 TB notes: each round is ONE equi-shuffle join (edges × labels on
-    * the node key) plus a hash aggregation — no all-pairs work, no driver
-    * data. Label state is re-materialized per round (Bridge.freeze), so
-    * lineage stays flat across iterations. For graphs with whale components
-    * (diameter in the hundreds) the same loop accepts the alternating
-    * large-star/small-star edge rewrite; near-dup graphs do not need it.
+    * Size-gated, like Spark's own broadcast-join gate: `freezeCounted`
+    * already reports the exact (deduplicated, symmetrized) edge count for
+    * free, so when the pair set fits the `localEdgeGate` the components are
+    * solved in one pass of path-compressed union-find on the driver — the
+    * pair set of a near-dup pass is SMALL relative to the corpus (only
+    * near-duplicates appear), so even a 100 TB corpus usually lands here.
+    * Above the gate, iterative distributed min-label propagation: each node
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint, converging in O(component diameter) rounds.
+    *
+    * 100 TB notes: the distributed round is one equi-shuffle join (edges ×
+    * labels on the node key) into one hash aggregation over the tagged
+    * union — two shuffles, no all-pairs work. Label state is
+    * re-materialized per round (Bridge.freeze) so lineage stays flat across
+    * iterations, and the changed-flag rides the frozen blocks so fixpoint
+    * detection is a block-read, not another shuffle. For graphs with whale
+    * components (diameter in the hundreds) the same loop accepts the
+    * alternating large-star/small-star edge rewrite; near-dup graphs do not
+    * need it. Both paths compute the identical fixpoint (smallest id per
+    * component), so the gate never changes results.
     *
     * Returns (node, label): every document that appears in a pair, labeled
     * by the smallest document id reachable from it.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 50,
+                          localEdgeGate: Long = 4L << 20): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    // symmetrize by exploding both orientations out of ONE pass — a
+    // union of two branches would evaluate the (expensive) upstream pair
+    // pipeline once per branch
     val (edges, eCount) = bridge.freezeCounted(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      fwd.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst")).distinct())
+    if (eCount <= localEdgeGate) return localComponents(edges)
     var labels = bridge.freeze(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
     var converged = eCount == 0
     while (!converged && iter < maxIter) {
-      // one materialization job per round: the neighbor-min left join carries
-      // a changed flag, so fixpoint detection reads the frozen blocks instead
-      // of running a second shuffle join against the previous labels
-      val nbrMin = edges.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(min("label").as("__nbr"))
-      val next = bridge.freeze(labels.join(nbrMin, Seq("node"), "left").select(
-        col("node"), least(col("label"), col("__nbr")).as("label"),
-        when(col("__nbr") < col("label"), 1L).otherwise(0L).as("__chg")))
+      // next(n) = min(label(n), min over incoming neighbors' labels): the
+      // node's own tagged row and its neighbor rows meet in ONE hash
+      // aggregation, so a round is join + agg (two shuffles), and the
+      // changed flag is derived inside the same pass from the tagged min
+      val own = labels.select(col("node"), col("label"), lit(true).as("__orig"))
+      val nbr = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"), lit(false).as("__orig"))
+      val next = bridge.freeze(own.unionByName(nbr).groupBy(col("node")).agg(
+        min(col("label")).as("label"),
+        min(when(col("__orig"), col("label"))).as("__own"))
+        .select(col("node"), col("label"),
+          when(col("label") < col("__own"), 1L).otherwise(0L).as("__chg")))
       // labels only ever decrease, so fixpoint == zero changed rows
       converged = next.agg(sum("__chg")).head.getLong(0) == 0
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side path of [[connectedComponents]]: path-compressed,
+    * rank-unioned union-find over a collected edge list, relabeled so every
+    * component is named by its smallest node id — the same fixpoint the
+    * distributed loop converges to. Guarded by the caller's edge-count gate.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val rank = scala.collection.mutable.LongMap.empty[Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (ka, kb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (ka < kb) parent(ra) = rb
+        else if (kb < ka) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = ka + 1 }
+      }
+    }
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+    }
+    parent.keys.toSeq.sorted.map(n => (n, minOfRoot(find(n))))
+      .toDF("node", "label")
   }
 
   /** [[connectedComponents]] shaped as a dedup decision: (doc_id, cluster,

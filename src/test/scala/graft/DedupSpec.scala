@@ -76,6 +76,11 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(
       1L -> (1L, 1), 2L -> (1L, 0), 3L -> (1L, 0), 4L -> (1L, 0),
       10L -> (10L, 1), 11L -> (10L, 0)), s"got $out")
+    // distributed loop (gate forced to 0) computes the identical fixpoint
+    val dist = Dedup.connectedComponents(pairs, localEdgeGate = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L), s"got $dist")
   }
 
   test("connected components: empty pair set yields empty labeling") {

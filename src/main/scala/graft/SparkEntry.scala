@@ -1154,6 +1154,49 @@ object SparkEntry {
       graft.functions.Packing.slidingChunks(docsNorm(s, dir), "doc_id", "text",
         window = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk"))
+    }),
+
+    // DSIR importance scoring: target = the English slice, raw = the whole
+    // corpus; one token aggregation trains BOTH unigram models, scoring is
+    // an equi-join back on the token — domain-targeted data selection that
+    // re-weighs 100 TB with two corpus passes
+    "text_dsir" -> ((s, dir) => {
+      graft.functions.Retrieval.dsirScore(docsNorm(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact duplicated-span extraction (substring-level dedup): maximal
+    // token spans covered by corpus-repeated 8-grams, merged per document
+    // by gaps-and-islands — the span-cut shape of suffix-array dedup with
+    // only a gram aggregation, an equi-join, and per-doc windows
+    "dedup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(docsNorm(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // TF-IDF keyword extraction: top-3 salient terms per document; df
+    // derives from the (doc, token) counts, the cut is a per-document
+    // window — never an unpartitioned sort
+    "text_tfidf" -> ((s, dir) => {
+      graft.functions.Retrieval.tfidfKeywords(docsNorm(s, dir), "doc_id", "text",
+        perDoc = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // decontamination report: ROUGE-2 strength of every flagged
+    // train/bench overlap pair — clipped-bigram precision/recall/F1, each
+    // an exact-integer ratio; gram work is pair-proportional (semi-join
+    // before bigram build)
+    "text_rouge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minShared = 3)
+      graft.functions.Retrieval.rouge2(pairs, "train_id", "bench_id",
+        docs, "doc_id", "text")
+        .orderBy(col("train_id"), col("bench_id"))
     })
   )
 
@@ -2619,6 +2662,149 @@ object SparkEntry {
            FROM x)
          SELECT doc_id, chunk, start, len(ct) AS n_tok,
            md5(array_to_string(ct, ' ')) AS fp
-         FROM c ORDER BY doc_id, chunk"""
+         FROM c ORDER BY doc_id, chunk""",
+
+    // DSIR importance scoring: one token pass counts both models (target =
+    // conditional sum), per-token ln-ratio staged in DECIMAL(18,8), exact
+    // sum, one double division — the text_lm_score discipline twice over
+    "text_dsir" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang = 'en' AS tgt, string_split($normSql, ' ') AS toks
+           FROM documents),
+         tk AS (
+           SELECT doc_id, tgt, tok
+           FROM (SELECT doc_id, tgt, unnest(toks) AS tok FROM d) WHERE tok <> ''),
+         c AS (
+           SELECT tok, count(*) AS cr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+           FROM tk GROUP BY tok),
+         st AS (
+           SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+             count(*) AS v FROM c),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(CAST(sum(lr) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS dsir_score
+           FROM (
+             SELECT doc_id,
+               CAST(ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + v))
+                  - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + v))
+                 AS DECIMAL(18,8)) AS lr
+             FROM tk JOIN c USING (tok) CROSS JOIN st)
+           GROUP BY doc_id)
+         SELECT documents.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(dsir_score, 0.0) AS dsir_score,
+           coalesce(dsir_score, 0.0) > 0.0 AS kept
+         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
+         ORDER BY documents.doc_id""",
+
+    // duplicated-span extraction: rolling 8-gram md5 digests, global
+    // count>1 filter, per-document gaps-and-islands (pos - row_number)
+    "dedup_spans" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 8
+             THEN list_transform(range(0, len(toks)-7),
+               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
+         x AS (
+           SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+             unnest(grams) AS gg FROM g),
+         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
+         i AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM x SEMI JOIN f USING (gg))
+         SELECT doc_id, min(pos) AS span_start,
+           max(pos) - min(pos) + 8 AS span_tokens
+         FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    // TF-IDF keywords: df = (doc, token)-count rows per token, ranking by
+    // the decimal-staged score then term, per-document window top-3
+    "text_tfidf" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok <> '' GROUP BY doc_id, tok),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         sc AS (
+           SELECT doc_id, tok, tf,
+             CAST(CAST(tf AS DOUBLE)
+               * ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+               AS DECIMAL(18,8)) AS sd
+           FROM tf JOIN dft USING (tok) CROSS JOIN n)
+         SELECT doc_id, tok AS term, tf, round(sd, 4)::DOUBLE AS tfidf, rank
+         FROM (
+           SELECT doc_id, tok, tf, sd,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, tok ASC) AS rank
+           FROM sc)
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // ROUGE-2 over the contamination pair set: clipped bigram counts,
+    // P/R/F1 each ONE double division of exact longs (F1 = 2·clip/(|A|+|B|))
+    "text_rouge" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         gg AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 4
+             THEN list_transform(range(0, len(toks)-3),
+               i -> array_to_string(toks[i+1:i+4], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
+         h AS (
+           SELECT doc_id, list_transform(grams,
+             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM gg),
+         w AS (
+           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
+         bcap AS (
+           SELECT bench_id, fp FROM (
+             SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
+           WHERE cnt <= 100),
+         tf2 AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
+         p AS (
+           SELECT train_id, bench_id FROM (
+             SELECT train_id, bench_id, count(*) AS shared
+             FROM tf2 JOIN bcap USING (fp) GROUP BY 1, 2)
+           WHERE shared >= 3),
+         bg AS (
+           SELECT doc_id, big, count(*) AS c FROM (
+             SELECT doc_id, unnest(CASE WHEN len(lf) >= 2
+               THEN list_transform(range(0, len(lf)-1),
+                 i -> lf[i+1] || ' ' || lf[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS big
+             FROM (SELECT doc_id,
+                     list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS lf
+                   FROM documents))
+           GROUP BY doc_id, big),
+         cl AS (
+           SELECT train_id, bench_id, sum(least(a.c, b.c)) AS clip
+           FROM p
+           JOIN bg a ON a.doc_id = p.train_id
+           JOIN bg b ON b.doc_id = p.bench_id AND b.big = a.big
+           GROUP BY train_id, bench_id),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM bg GROUP BY doc_id)
+         SELECT train_id, bench_id,
+           round(CAST(CASE WHEN coalesce(ta.tot, 0) = 0 THEN 0.0
+             ELSE CAST(coalesce(clip, 0) AS DOUBLE) / CAST(ta.tot AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_p,
+           round(CAST(CASE WHEN coalesce(tb.tot, 0) = 0 THEN 0.0
+             ELSE CAST(coalesce(clip, 0) AS DOUBLE) / CAST(tb.tot AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_r,
+           round(CAST(CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0) = 0 THEN 0.0
+             ELSE CAST(2 * coalesce(clip, 0) AS DOUBLE)
+               / CAST(coalesce(ta.tot, 0) + coalesce(tb.tot, 0) AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_f
+         FROM p
+         LEFT JOIN cl USING (train_id, bench_id)
+         LEFT JOIN tot ta ON ta.doc_id = p.train_id
+         LEFT JOIN tot tb ON tb.doc_id = p.bench_id
+         ORDER BY train_id, bench_id"""
   )
 }

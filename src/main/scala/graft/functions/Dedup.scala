@@ -451,6 +451,47 @@ object Dedup {
       .filter(col("n_occ") > 1)
   }
 
+  /** Exact duplicated-SPAN extraction (the suffix-array substring dedup of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, re-expressed relationally): every maximal token span
+    * covered by k-grams that occur more than once in the corpus. Rolling
+    * k-token grams digest to md5; grams with global count > 1 mark their
+    * start positions, and per-document gaps-and-islands (pos − row_number)
+    * merges consecutive duplicated starts into maximal spans — a span
+    * [p₀, p₁] of starts covers tokens p₀ … p₁+k−1, so `span_tokens =
+    * p₁ − p₀ + k`, exactly the repeated substring a span-level dedup pass
+    * would cut. Within-document repeats count as duplication, matching the
+    * reference method.
+    *
+    * 100 TB notes: one hash aggregation on the gram digest (md5 — uniform
+    * keys by construction), one equi-join of positions back to the
+    * duplicated digests, and the island merge is a window partitioned BY
+    * DOCUMENT — millions of independent tiny windows. Tokenization is
+    * staged as a column so the per-gram lambda is an O(k) slice of an
+    * attribute, the [[chunkDups]] discipline.
+    *
+    * Returns (idCol, span_start, span_tokens), span_start 0-based.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val toks = col("__toks")
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => md5(array_join(slice(toks, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val pos = df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), posexplode(grams).as(Seq("__pos", "__g")))
+    val dupFps = pos.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__g"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos").asc)
+    pos.join(dupFps, Seq("__g"), "left_semi")
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) - min(col("__pos")) + lit(k)).cast("long").as("span_tokens"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_tokens"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (public method: k-means
     * cluster the embedding space, then exact pairwise cosine WITHIN clusters
     * only — arXiv:2303.09540). The deterministic [[Vectors.kMeans]] quantizer

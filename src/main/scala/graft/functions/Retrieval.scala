@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -102,5 +103,148 @@ object Retrieval {
       .select(col("__did").as(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, arXiv:2302.03169, reduced to hashed-unigram features over
+    * the shared vocabulary): train two add-one-smoothed unigram models —
+    * the TARGET distribution (rows where `isTarget` holds, e.g. the
+    * wiki-like or in-domain slice) and the RAW distribution (the whole
+    * corpus) — and score every document by its mean per-token
+    * log-importance `ln p_t(w) − ln p_r(w)`. Positive means the document
+    * looks more like the target than like the corpus average; `kept`
+    * selects those, the deterministic stand-in for DSIR's importance
+    * resampling draw.
+    *
+    * Scale shape: ONE token aggregation computes both models' counts
+    * (the target count is a conditional sum in the same pass), the 1-row
+    * totals broadcast, and scoring equi-joins the count table back on the
+    * token. Per-token log-ratios stage in DECIMAL(18,8) — the
+    * [[unigramLogProb]] discipline — so the per-document mean is exact and
+    * engine-reproducible. Empty documents score 0.0 and are not kept.
+    *
+    * Returns (idCol, n_tokens, dsir_score, kept).
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("__did"), isTarget.as("__tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.groupBy(col("__tok")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val stats = counts.agg(sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"),
+      count(lit(1)).as("__v"))
+    val scored = toks.join(counts, Seq("__tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__lr",
+        (log((col("__ct").cast("double") + lit(1.0))
+            / (col("__tt").cast("double") + col("__v")))
+          - log((col("__cr").cast("double") + lit(1.0))
+            / (col("__tr").cast("double") + col("__v"))))
+          .cast(DecimalType(18, 8)))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("__lr")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 8)), 4).cast("double").as("dsir_score"))
+    docs.select(col(idCol).as("__did")).join(scored, Seq("__did"), "left")
+      .select(col("__did").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"),
+        (coalesce(col("dsir_score"), lit(0.0)) > 0.0).as("kept"))
+  }
+
+  /** TF-IDF keyword extraction: the `perDoc` highest-scoring terms of every
+    * document, `tfidf = tf · ln((N+1)/(df+1))` with document frequency from
+    * the corpus. The canonical per-document topical-term summary (salient
+    * vocabulary for clustering labels, index keys, data cards).
+    *
+    * Scale shape: tf is one (doc, token) hash aggregation (map-side
+    * combined); df derives from tf with a second token-keyed aggregation;
+    * the top-`perDoc` cut is a window partitioned BY DOCUMENT — millions of
+    * independent tiny windows, never an unpartitioned sort. Ranking order
+    * is the decimal-staged score (desc) then the term (asc), so ties are
+    * deterministic on every engine.
+    *
+    * Returns (idCol, term, tf, tfidf, rank).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    perDoc: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol).as("__did"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__did"), col("__tok")).agg(count(lit(1)).as("tf"))
+    // tf already holds one row per (doc, token): token-keyed row count IS df
+    val dfTab = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val nDocs = tf.select(col("__did")).distinct().agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfTab, Seq("__tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__sd",
+        (col("tf").cast("double")
+          * log((col("__n").cast("double") + lit(1.0))
+            / (col("__df").cast("double") + lit(1.0))))
+          .cast(DecimalType(18, 8)))
+    val w = Window.partitionBy(col("__did"))
+      .orderBy(col("__sd").desc, col("__tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("__did").as(idCol), col("__tok").as("term"), col("tf"),
+        round(col("__sd"), 4).cast("double").as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** ROUGE-2 overlap scoring for a pair set (e.g. the decontamination
+    * report: how strong is each flagged train/bench overlap, the evidence a
+    * curation pipeline attaches before dropping a training document).
+    * Clipped-bigram ROUGE: `clip = Σ_g min(c_a(g), c_b(g))`,
+    * precision = clip/|A|, recall = clip/|B|, and F1 collapses to the exact
+    * integer ratio `2·clip/(|A|+|B|)` — every score is ONE double division
+    * of exact longs, IEEE-identical on every engine, no floating summation
+    * anywhere.
+    *
+    * Scale shape: docs are semi-joined to the pair ids BEFORE bigrams are
+    * built (gram work is pair-proportional, not corpus-proportional);
+    * per-doc bigram counts aggregate once and both pair sides equi-join the
+    * same table on (id, gram). Pairs with no shared bigram, or with a side
+    * shorter than one bigram, score 0.0.
+    *
+    * Returns (aId, bId, rouge2_p, rouge2_r, rouge2_f).
+    */
+  def rouge2(pairs: DataFrame, aId: String, bId: String,
+             docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = pairs.select(col(aId).cast("long").as("__ida"),
+      col(bId).cast("long").as("__idb"))
+    val ids = p.select(col("__ida").as("__did"))
+      .union(p.select(col("__idb"))).distinct()
+    val cand = docs.select(col(idCol).cast("long").as("__did"),
+        col(textCol).as("__t"))
+      .join(ids, Seq("__did"), "left_semi")
+    val bg = cand.select(col("__did"),
+        explode(TextAnalysis.tokenPairs(col("__t"))).as("__g"))
+      .groupBy(col("__did"), col("__g")).agg(count(lit(1)).as("__c"))
+    val clip = p
+      .join(bg.select(col("__did").as("__ida"), col("__g"), col("__c").as("__ca")),
+        Seq("__ida"))
+      .join(bg.select(col("__did").as("__idb"), col("__g"), col("__c").as("__cb")),
+        Seq("__idb", "__g"))
+      .groupBy(col("__ida"), col("__idb"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__clip"))
+    val totals = bg.groupBy(col("__did")).agg(sum(col("__c")).as("__tot"))
+    def ratio(num: Column, den: Column): Column =
+      round(when(coalesce(den, lit(0L)) === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .cast(DecimalType(18, 8)), 4).cast("double")
+    p.join(clip, Seq("__ida", "__idb"), "left")
+      .join(totals.select(col("__did").as("__ida"), col("__tot").as("__ta")),
+        Seq("__ida"), "left")
+      .join(totals.select(col("__did").as("__idb"), col("__tot").as("__tb")),
+        Seq("__idb"), "left")
+      .withColumn("__cl", coalesce(col("__clip"), lit(0L)))
+      .select(col("__ida").as(aId), col("__idb").as(bId),
+        ratio(col("__cl"), col("__ta")).as("rouge2_p"),
+        ratio(col("__cl"), col("__tb")).as("rouge2_r"),
+        ratio(lit(2L) * col("__cl"),
+          coalesce(col("__ta"), lit(0L)) + coalesce(col("__tb"), lit(0L)))
+          .as("rouge2_f"))
   }
 }

@@ -126,7 +126,10 @@ object ScaleBench {
         md5(Pii.redact(col("text"))).as("fp")))
     def pack(d: DataFrame): Unit =
       force(Packing.packPlan(d, "doc_id", TextAnalysis.tokenCount(col("text"))))
-    def cc(pairs: DataFrame): Unit = force(Dedup.clusters(pairs))
+    // gate forced to 0 so the ratio measures the DISTRIBUTED propagation
+    // loop — the 100 TB path — not the driver-side union-find shortcut
+    def cc(pairs: DataFrame): Unit =
+      force(Dedup.connectedComponents(pairs, localEdgeGate = 0L))
     def classifier(d: DataFrame): Unit =
       force(d.select(col("doc_id"),
         TextAnalysis.classifierMargin(col("text"), "clf-v1").as("m")))
@@ -161,6 +164,13 @@ object ScaleBench {
     def project(e: DataFrame): Unit =
       force(e.select(col("vec_id"),
         graft.plans.NativeFunctions.randomProjection(col("v"), 16).as("p")))
+    def dsir(d: DataFrame): Unit =
+      force(graft.functions.Retrieval.dsirScore(d, "doc_id", "text",
+        col("lang") === "en"))
+    def spans(d: DataFrame): Unit =
+      force(Dedup.duplicateSpans(d, "doc_id", "text", k = 8))
+    def tfidf(d: DataFrame): Unit =
+      force(graft.functions.Retrieval.tfidfKeywords(d, "doc_id", "text", perDoc = 3))
 
     // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
     // isolates label propagation (minhash candidate generation is its own
@@ -189,7 +199,10 @@ object ScaleBench {
       ("shard_balanced", nDocs, nDocs * copies, () => shardBal(docs1), () => shardBal(docs10)),
       ("text_docfreq", nDocs, nDocs * copies, () => docFreq(docs1), () => docFreq(docs10)),
       ("layout_zorder", maxEvent, maxEvent * copies, () => zorder(ev1), () => zorder(ev10)),
-      ("sim_projection", maxVec, maxVec * copies, () => project(emb1), () => project(emb10)))
+      ("sim_projection", maxVec, maxVec * copies, () => project(emb1), () => project(emb10)),
+      ("text_dsir", nDocs, nDocs * copies, () => dsir(docs1), () => dsir(docs10)),
+      ("dedup_spans", nDocs, nDocs * copies, () => spans(docs1), () => spans(docs10)),
+      ("text_tfidf", nDocs, nDocs * copies, () => tfidf(docs1), () => tfidf(docs10)))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

@@ -103,4 +103,73 @@ class RetrievalStatsSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.3)
     }
   }
+
+  test("dsirScore: target-slice docs score higher on average; empty docs 0") {
+    import spark.implicits._
+    val out = Retrieval.dsirScore(docs, "doc_id", "text", col("lang") === "en")
+    assert(out.count() === docs.count(), "every document scored")
+    val byLang = out.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("dsir_score")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en docs must look more target-like than non-en: $byLang")
+    // kept is exactly the positive-score predicate
+    assert(out.filter(col("kept") =!= (col("dsir_score") > 0.0)).count() === 0)
+    val empty = Seq((1L, "", "en"), (2L, "common words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = Retrieval.dsirScore(empty, "doc_id", "text", col("lang") === "en")
+      .filter(col("doc_id") === 1).head
+    assert(e.getAs[Long]("n_tokens") === 0L && e.getAs[Double]("dsir_score") === 0.0
+      && !e.getAs[Boolean]("kept"))
+  }
+
+  test("tfidfKeywords: at most perDoc terms, corpus-wide terms score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple cherry shared"),
+      (2L, "banana banana durian shared"),
+      (3L, "elderberry shared")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(d, "doc_id", "text", perDoc = 2).collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    val top1 = out.filter(r => r.getLong(0) == 1L && r.getLong(4) == 1L).head
+    assert(top1.getString(1) === "apple", "tf=2, df=1 wins doc 1")
+    // a term in every doc has idf = ln(1) = 0 and never outranks a unique one
+    val sharedRows = out.filter(_.getString(1) == "shared")
+    assert(sharedRows.forall(_.getDouble(3) === 0.0))
+  }
+
+  test("rouge2: identical docs score 1.0, disjoint docs 0.0, subset recall 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),      // identical
+      (3L, "x y z w"),                            // disjoint from 1
+      (4L, "a b c")                               // subset of 1's bigrams
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Retrieval.rouge2(pairs, "id_a", "id_b", d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((1L, 2L)) === ((1.0, 1.0, 1.0)))
+    assert(out((1L, 3L)) === ((0.0, 0.0, 0.0)))
+    // doc 4's bigrams (a b, b c) all appear in doc 1: recall-from-b = 1.0
+    val (p14, r14, f14) = out((1L, 4L))
+    assert(r14 === 1.0 && p14 === 0.5 && f14 > 0.6 && f14 < 0.7)
+  }
+
+  test("duplicateSpans: repeated runs merge to maximal spans; unique docs absent") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val d = Seq(
+      (1L, s"$run tail1 tail2"),
+      (2L, s"pre1 pre2 $run"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: dup 8-grams start at 0..4 -> one maximal span of 12 tokens at 0
+    assert(out.contains((1L, 0L, 12L)), s"got ${out.mkString(",")}")
+    // doc 2: same 12-token run offset by the 2-token prefix
+    assert(out.contains((2L, 2L, 12L)), s"got ${out.mkString(",")}")
+    assert(!out.exists(_._1 == 3L), "unique doc contributes no span")
+    assert(out.length === 2, "exactly one maximal span per duplicated doc")
+  }
 }

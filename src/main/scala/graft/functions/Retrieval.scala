@@ -206,14 +206,20 @@ object Retrieval {
     * built (gram work is pair-proportional, not corpus-proportional);
     * per-doc bigram counts aggregate once and both pair sides equi-join the
     * same table on (id, gram). Pairs with no shared bigram, or with a side
-    * shorter than one bigram, score 0.0.
+    * shorter than one bigram, score 0.0. The pair set is frozen up front
+    * (eager localCheckpoint): it appears four times in the plan (id
+    * collection, clip join, final join), and when it arrives as an
+    * expensive subplan — e.g. [[graft.functions.Dedup.contamination]]'s
+    * corpus-wide winnowing — freezing turns four recomputations of that
+    * subplan into one.
     *
     * Returns (aId, bId, rouge2_p, rouge2_r, rouge2_f).
     */
   def rouge2(pairs: DataFrame, aId: String, bId: String,
              docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = pairs.select(col(aId).cast("long").as("__ida"),
-      col(bId).cast("long").as("__idb"))
+    val p = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      pairs.select(col(aId).cast("long").as("__ida"),
+        col(bId).cast("long").as("__idb")))
     val ids = p.select(col("__ida").as("__did"))
       .union(p.select(col("__idb"))).distinct()
     val cand = docs.select(col(idCol).cast("long").as("__did"),

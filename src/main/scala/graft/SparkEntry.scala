@@ -824,6 +824,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted reservoir sampling (Efraimidis–Spirakis A-ES): per-language
+    // top-20 by ln(u)/w with w = token count — documents drawn proportional
+    // to token mass, deterministically, one shuffle on the group key
+    "sample_weighted" -> ((s, dir) => {
+      val docs = docsNorm(s, dir).withColumn("n_tokens",
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(docs, Seq("lang"), "doc_id",
+          col("n_tokens"), k = 20, salt = "wsample")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    // domain-level statistics: the per-source trust table (doc count, mean
+    // quality, exact-dup rate, mean length) — one aggregation to |domains|
+    // rows, the table a web-scale curation pass broadcasts
+    "curate_domains" -> ((s, dir) => {
+      graft.functions.Curation.domainStats(docsNorm(s, dir), "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // curation BY domain: annotate every document with its domain verdict
+    // (quality floor, duplication ceiling, blocklist) — broadcast join of
+    // the stats table back onto the scan, the corpus itself never shuffles
+    "curate_by_domain" -> ((s, dir) => {
+      graft.functions.Curation.curateByDomain(docsNorm(s, dir), "source", "text",
+          minMeanQuality = 0.63, maxDupFrac = 0.2, minDocs = 10,
+          blocklist = Seq("spamnet"))
+        .select(col("doc_id"), col("source"), col("mean_quality"),
+          col("dup_frac"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-cosine near-dup pairs: exact brute-force (oracle baseline)
     "dedup_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2055,6 +2087,93 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
            FROM h)
          WHERE rn <= 5 ORDER BY doc_id""",
+
+    // A-ES weighted sampling: u = (hash60+1)/2^60, rank key ln(u)/w staged
+    // in DECIMAL(18,8) with id tiebreak (the tfidf ranking discipline)
+    "sample_weighted" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang, $normSql AS nt FROM documents),
+         tc AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok
+           FROM d),
+         w AS (
+           SELECT doc_id, lang, ntok,
+             CAST(ln(((('0x'||substr(md5(doc_id::VARCHAR || 'wsample'),1,15))::BIGINT
+                 + 1)::DOUBLE) / 1152921504606846976.0) / ntok::DOUBLE
+               AS DECIMAL(18,8)) AS wk
+           FROM tc WHERE ntok > 0)
+         SELECT doc_id, lang, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(rn AS BIGINT) AS sample_rank
+         FROM (
+           SELECT doc_id, lang, ntok,
+             row_number() OVER (PARTITION BY lang ORDER BY wk DESC, doc_id ASC) AS rn
+           FROM w)
+         WHERE rn <= 20 ORDER BY lang, rn""",
+
+    // per-domain trust table: decimal-staged quality mean, exact-int dup
+    // fraction, mean token count
+    "curate_domains" ->
+      s"""WITH q AS (
+           SELECT source,
+             CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0
+                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)) AS ql,
+             ntok, md5(nt) AS fp
+           FROM (
+             SELECT source, text, nt,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+               len(list_filter(string_split(nt, ' '),
+                 w -> w IN ('the','and','of','to','a'))) AS nstop,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                 AS npunct
+             FROM (SELECT source, text, $normSql AS nt FROM documents)))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(CAST(sum(ql) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS mean_quality,
+           round(CAST((count(*) - count(DISTINCT fp))::DOUBLE / count(*)
+             AS DECIMAL(18,8)), 4)::DOUBLE AS dup_frac,
+           round(CAST(sum(ntok)::DOUBLE / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS mean_tokens
+         FROM q GROUP BY source ORDER BY source""",
+
+    // domain verdict annotation: every document joined to its domain's
+    // stats row, kept iff the domain clears the floors/ceilings/blocklist
+    "curate_by_domain" ->
+      s"""WITH q AS (
+           SELECT doc_id, source,
+             CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0
+                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)) AS ql,
+             md5(nt) AS fp
+           FROM (
+             SELECT doc_id, source, text, nt,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+               len(list_filter(string_split(nt, ' '),
+                 w -> w IN ('the','and','of','to','a'))) AS nstop,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                 AS npunct
+             FROM (SELECT doc_id, source, text, $normSql AS nt FROM documents))),
+         st AS (
+           SELECT source, count(*) AS n_docs,
+             round(CAST(CAST(sum(ql) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS mean_quality,
+             round(CAST((count(*) - count(DISTINCT fp))::DOUBLE / count(*)
+               AS DECIMAL(18,8)), 4)::DOUBLE AS dup_frac
+           FROM q GROUP BY source)
+         SELECT doc_id, source, mean_quality, dup_frac,
+           (n_docs >= 10 AND mean_quality >= 0.63 AND dup_frac <= 0.2
+             AND source != 'spamnet') AS kept
+         FROM q JOIN st USING (source) ORDER BY doc_id""",
 
     "text_repetition" ->
       s"""WITH norm AS (

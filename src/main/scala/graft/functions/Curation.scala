@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Domain-level curation: aggregate per-domain (per-source) trust signals and
+  * curate documents BY their domain's statistics — the RefinedWeb / C4 /
+  * Gopher pattern where a document is dropped not for its own content but
+  * because its host domain is boilerplate-heavy, low-quality, or blocklisted.
+  * (Reference scope: pygrametl has no corpus curation; this extends the
+  * engine for training-data pipelines alongside graft.functions.Dedup.)
+  *
+  * Scale shape: the statistics table is ONE hash aggregation of the corpus
+  * down to |domains| rows (map-side combined; domains are ~10^6 even for a
+  * web-scale crawl, i.e. broadcastable), and the curation pass is a broadcast
+  * equi-join of those rows back onto the scan — the document table itself is
+  * never shuffled. Per-document quality stages in DECIMAL(18,8) before the
+  * per-domain mean (exact, order-independent summation — the
+  * [[Retrieval.unigramLogProb]] discipline), and the duplication rate is a
+  * ratio of exact longs, so every domain verdict is engine-reproducible.
+  */
+object Curation {
+
+  /** Per-domain statistics: document count, mean quality score, exact-dup
+    * fraction (1 − distinct content fingerprints / docs — boilerplate and
+    * mirror detection), and mean token count.
+    *
+    * Returns (domainCol, n_docs, mean_quality, dup_frac, mean_tokens).
+    */
+  def domainStats(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = df.select(col(domainCol),
+      TextAnalysis.qualityScoreRaw(t).cast(DecimalType(18, 8)).as("__q"),
+      TextAnalysis.tokenCount(t).cast("long").as("__nt"),
+      TextAnalysis.fingerprint(t).as("__fp"))
+    def ratio(num: Column, den: Column): Column =
+      round((num.cast("double") / den.cast("double")).cast(DecimalType(18, 8)), 4)
+        .cast("double")
+    perDoc.groupBy(col(domainCol)).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__q")).as("__sq"),
+        countDistinct(col("__fp")).as("__dfp"),
+        sum(col("__nt")).as("__st"))
+      .select(col(domainCol),
+        col("__n").cast("long").as("n_docs"),
+        ratio(col("__sq"), col("__n")).as("mean_quality"),
+        ratio(col("__n") - col("__dfp"), col("__n")).as("dup_frac"),
+        ratio(col("__st"), col("__n")).as("mean_tokens"))
+  }
+
+  /** Curate documents by their domain's statistics: a document is kept iff
+    * its domain has at least `minDocs` documents, mean quality at least
+    * `minMeanQuality`, duplication at most `maxDupFrac`, and is not on the
+    * explicit `blocklist`. Rows are annotated, not dropped, so downstream
+    * stages (and audits) see WHY each document was cut; filter on `kept` to
+    * materialize the cut.
+    *
+    * Returns the input plus (mean_quality, dup_frac, kept).
+    */
+  def curateByDomain(df: DataFrame, domainCol: String, textCol: String,
+                     minMeanQuality: Double, maxDupFrac: Double,
+                     minDocs: Long = 1L,
+                     blocklist: Seq[String] = Nil): DataFrame = {
+    val stats = domainStats(df, domainCol, textCol)
+      .select(col(domainCol), col("n_docs"), col("mean_quality"), col("dup_frac"))
+    val blocked = if (blocklist.isEmpty) lit(false)
+      else col(domainCol).isin(blocklist.map(lit(_)): _*)
+    df.join(broadcast(stats), Seq(domainCol))
+      .withColumn("kept",
+        col("n_docs") >= minDocs && col("mean_quality") >= minMeanQuality &&
+          col("dup_frac") <= maxDupFrac && !blocked)
+      .drop("n_docs")
+  }
+}

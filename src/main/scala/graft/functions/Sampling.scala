@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling and split assignment for training-data pipelines.
   *
@@ -84,6 +85,36 @@ object Sampling {
       .withColumn("kept", hashBucket(col(idCol), buckets, salt) < col("rate_bp"))
       .withColumnRenamed("__nt", "n_tokens")
       .drop("__gt", "__tt", "__rate")
+  }
+
+  /** Weighted reservoir sampling without replacement (Efraimidis–Spirakis
+    * A-ES, "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws `u = (hash60(id)+1)/2^60 ∈ (0,1]` and ranks by `ln(u)/w` — the
+    * top `k` per group is EXACTLY a weighted sample without replacement,
+    * so e.g. `w = n_tokens` samples documents proportional to their token
+    * mass (the long-document-aware draw a token-budgeted corpus cut wants).
+    *
+    * Deterministic: u is md5-derived, never RNG state, so membership is
+    * stable across runs/engines/scales like every sampler here. The rank
+    * key stages in DECIMAL(18,8) with id tiebreak — the [[graft.functions.
+    * Retrieval.tfidfKeywords]] ranking discipline — so the cut is
+    * engine-identical. One shuffle on the group key; rows with w <= 0 are
+    * excluded (zero-weight rows can never be drawn).
+    *
+    * Returns the input plus (sample_rank); rows beyond `k` are dropped.
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weight: Column, k: Int, salt: String = ""): DataFrame = {
+    val u = (hash60(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(math.pow(2.0, 60))
+    val key = (log(u) / weight.cast("double")).cast(DecimalType(18, 8))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__wk").desc, col(idCol).asc)
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("__wk", key)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__wk")
   }
 
   /** Stratified deterministic sample: at most `maxPerGroup` rows per group,

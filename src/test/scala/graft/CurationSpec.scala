@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Curation
+
+/** Domain-level curation: stats correctness on a constructed corpus, verdict
+  * semantics (floors/ceilings/blocklist), broadcast shape.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      // goodnet: 3 distinct, reasonable docs
+      (1L, "goodnet", "the quick brown fox jumps over the lazy dog and runs to the field"),
+      (2L, "goodnet", "a long and winding road leads to the sea and the sand of the shore"),
+      (3L, "goodnet", "the cat and the dog share a bowl of food in the warm kitchen light"),
+      // dupenet: mirror site — same content three times
+      (4L, "dupenet", "identical boilerplate page content here"),
+      (5L, "dupenet", "identical boilerplate page content here"),
+      (6L, "dupenet", "identical boilerplate page content here"),
+      // spamnet: blocklisted regardless of stats
+      (7L, "spamnet", "the best offers and the best prices of the best deals of the year"),
+      (8L, "spamnet", "the second spam page of the best offers and the finest deals of all")
+    ).toDF("doc_id", "source", "text")
+  }
+
+  test("domainStats: counts, dup fraction, means per domain") {
+    val stats = Curation.domainStats(corpus, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(stats.keySet == Set("goodnet", "dupenet", "spamnet"))
+    assert(stats("goodnet")._1 == 3 && stats("dupenet")._1 == 3 && stats("spamnet")._1 == 2)
+    // dupenet: 3 docs, 1 distinct fingerprint -> dup_frac = 2/3
+    assert(math.abs(stats("dupenet")._3 - 2.0 / 3.0) < 1e-3)
+    assert(stats("goodnet")._3 == 0.0 && stats("spamnet")._3 == 0.0)
+    // mean_tokens: goodnet docs are 14/15/15 tokens
+    assert(math.abs(stats("goodnet")._4 - 44.0 / 3.0) < 1e-3)
+    // quality scores live in [0, 1]
+    assert(stats.values.forall(s => s._2 >= 0.0 && s._2 <= 1.0))
+  }
+
+  test("curateByDomain: duplication ceiling and blocklist cut; annotation keeps all rows") {
+    val out = Curation.curateByDomain(corpus, "source", "text",
+      minMeanQuality = 0.0, maxDupFrac = 0.5, minDocs = 1,
+      blocklist = Seq("spamnet")).cache()
+    assert(out.count() == 8, "annotation must not drop rows")
+    val keptBy = out.groupBy("source")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBy("goodnet") == 3, "clean domain passes")
+    assert(keptBy("dupenet") == 0, "mirror domain fails the duplication ceiling")
+    assert(keptBy("spamnet") == 0, "blocklisted domain fails regardless of stats")
+    // the stats join must be a broadcast (|domains| rows), never a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    out.unpersist()
+  }
+
+  test("curateByDomain: minDocs floor cuts thin domains") {
+    val out = Curation.curateByDomain(corpus, "source", "text",
+      minMeanQuality = 0.0, maxDupFrac = 1.0, minDocs = 3)
+    val kept = out.filter(col("kept")).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("goodnet", "dupenet"), "2-doc spamnet falls below minDocs=3")
+  }
+}

@@ -50,6 +50,33 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: quota, determinism, weight bias, zero-weight exclusion") {
+    import graft.functions.TextAnalysis
+    val docs = table("documents")
+      .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val out = Sampling.weightedSample(docs, Seq("lang"), "doc_id",
+      col("w"), k = 10, salt = "t").cache()
+    // quota: never more than k rows per group, ranks are 1..n
+    assert(out.groupBy("lang").count().filter(col("count") > 10).count() == 0)
+    assert(out.filter(col("sample_rank") < 1 || col("sample_rank") > 10).count() == 0)
+    // determinism across evaluations
+    val a = out.select("doc_id", "sample_rank").collect().toSet
+    val b = Sampling.weightedSample(docs, Seq("lang"), "doc_id",
+      col("w"), k = 10, salt = "t").select("doc_id", "sample_rank").collect().toSet
+    assert(a == b)
+    // weight bias: sampling by token mass must overrepresent long documents
+    val corpusMean = docs.agg(avg(col("w"))).head().getDouble(0)
+    val sampleMean = out.agg(avg(col("w"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"token-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // zero/negative weights can never be drawn
+    val zw = Sampling.weightedSample(
+      docs.withColumn("w", when(col("doc_id") % 2 === 0, 0L).otherwise(col("w"))),
+      Seq("lang"), "doc_id", col("w"), k = 1000, salt = "t")
+    assert(zw.filter(col("doc_id") % 2 === 0).count() == 0)
+    out.unpersist()
+  }
+
   test("packing: contiguous per-shard layout, bounded offsets, append-stable") {
     import graft.functions.{Packing, TextAnalysis}
     val docs = table("documents")

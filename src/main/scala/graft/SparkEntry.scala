@@ -1207,6 +1207,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // apply the substring-dedup cut: drop every token covered by a
+    // corpus-repeated span, reassemble the survivors per document — one
+    // anti-join on (doc, pos) + per-doc aggregation, shuffles on doc id only
+    "dedup_spans_cut" -> ((s, dir) => {
+      Dedup.cutSpans(docsNorm(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF keyword extraction: top-3 salient terms per document; df
     // derives from the (doc, token) counts, the cut is a per-document
     // window — never an unpartitioned sort
@@ -2838,6 +2846,50 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start,
            max(pos) - min(pos) + 8 AS span_tokens
          FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    // the cut applied: covered positions from the span set, anti-join on
+    // (doc, pos), ordered list re-aggregation
+    "dedup_spans_cut" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 8
+             THEN list_transform(range(0, len(toks)-7),
+               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
+         x AS (
+           SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+             unnest(grams) AS gg FROM g),
+         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
+         i AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM x SEMI JOIN f USING (gg)),
+         s AS (
+           SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS s1
+           FROM i GROUP BY doc_id, grp),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(range(s0, s1 + 1)) AS pos FROM s)),
+         tk AS (
+           SELECT doc_id, pos - 1 AS pos, tok FROM (
+             SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tok FROM norm)
+           WHERE tok <> ''),
+         kept AS (
+           SELECT doc_id,
+             array_to_string(array_agg(tok ORDER BY pos), ' ') AS clean_text,
+             count(*) AS n_kept
+           FROM tk ANTI JOIN cov USING (doc_id, pos)
+           GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(nt, 0) - coalesce(n_kept, 0) AS BIGINT) AS n_cut
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN kept ON d.doc_id = kept.doc_id
+         ORDER BY d.doc_id""",
 
     // TF-IDF keywords: df = (doc, token)-count rows per token, ranking by
     // the decimal-staged score then term, per-document window top-3

@@ -492,6 +492,49 @@ object Dedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_tokens"))
   }
 
+  /** Apply the substring-dedup cut: remove every token covered by a
+    * duplicated span (from [[duplicateSpans]]) and re-join the survivors —
+    * the "delete one copy of each repeated substring" step of
+    * arXiv:2107.06499, here deleting ALL covered positions (the
+    * conservative cut a boilerplate-stripping pass wants; callers that need
+    * first-copy-survives semantics can pre-filter the span set). Every
+    * document of the input appears in the output, cleaned or untouched.
+    *
+    * Scale shape: spans explode to covered positions (output is
+    * span-proportional, and spans are bounded by tokens/1), tokens explode
+    * with positions, and the cut is ONE anti-join on (doc, pos) followed by
+    * a per-document reassembly aggregation — `sort_array(collect_list(
+    * struct(pos, tok)))` keeps the rebuild deterministic without a window.
+    * Everything shuffles on the document id only.
+    *
+    * Returns (idCol, clean_text, n_kept, n_cut).
+    */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, spans: Option[DataFrame] = None): DataFrame = {
+    val sp = spans.getOrElse(duplicateSpans(df, idCol, textCol, k))
+    val covered = sp.select(col(idCol).as("__id"),
+        explode(sequence(col("span_start"),
+          col("span_start") + col("span_tokens") - 1)).as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .join(kept.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (public method: k-means
     * cluster the embedding space, then exact pairwise cosine WITHIN clusters
     * only — arXiv:2303.09540). The deterministic [[Vectors.kMeans]] quantizer

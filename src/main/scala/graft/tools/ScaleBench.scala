@@ -171,6 +171,20 @@ object ScaleBench {
       force(Dedup.duplicateSpans(d, "doc_id", "text", k = 8))
     def tfidf(d: DataFrame): Unit =
       force(graft.functions.Retrieval.tfidfKeywords(d, "doc_id", "text", perDoc = 3))
+    def wsample(d: DataFrame): Unit =
+      force(graft.functions.Sampling.weightedSample(
+        d.withColumn("w", graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")),
+        Seq("lang"), "doc_id", col("w"), k = 20, salt = "sb"))
+    def curate(d: DataFrame): Unit =
+      force(graft.functions.Curation.curateByDomain(d, "source", "text",
+        minMeanQuality = 0.63, maxDupFrac = 0.2, minDocs = 10))
+    def rouge(d: DataFrame): Unit = {
+      val pairs = Dedup.contamination(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", minShared = 3)
+      force(graft.functions.Retrieval.rouge2(pairs, "train_id", "bench_id",
+        d, "doc_id", "text"))
+    }
 
     // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
     // isolates label propagation (minhash candidate generation is its own
@@ -202,7 +216,10 @@ object ScaleBench {
       ("sim_projection", maxVec, maxVec * copies, () => project(emb1), () => project(emb10)),
       ("text_dsir", nDocs, nDocs * copies, () => dsir(docs1), () => dsir(docs10)),
       ("dedup_spans", nDocs, nDocs * copies, () => spans(docs1), () => spans(docs10)),
-      ("text_tfidf", nDocs, nDocs * copies, () => tfidf(docs1), () => tfidf(docs10)))
+      ("text_tfidf", nDocs, nDocs * copies, () => tfidf(docs1), () => tfidf(docs10)),
+      ("sample_weighted", nDocs, nDocs * copies, () => wsample(docs1), () => wsample(docs10)),
+      ("curate_by_domain", nDocs, nDocs * copies, () => curate(docs1), () => curate(docs10)),
+      ("text_rouge", nDocs, nDocs * copies, () => rouge(docs1), () => rouge(docs10)))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

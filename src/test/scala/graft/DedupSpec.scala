@@ -259,4 +259,33 @@ class DedupSpec extends SparkSpec {
     // every new_id is from the batch, every match_id from the corpus
     assert(inline.forall { case (n, c) => n % 5 == 0 && c % 5 != 0 })
   }
+
+  test("cutSpans removes exactly the duplicated spans and keeps clean docs intact") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, s"unique one two three $shared nine ten eleven twelve"),
+      (2L, s"other opening words here $shared closing words differ four"),
+      (3L, "completely original content with no repeated grams at all today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the shared 8-gram is cut from both carriers, untouched docs pass through
+    assert(out(3)._1 == "completely original content with no repeated grams at all today")
+    assert(out(3)._3 == 0)
+    Seq(1L, 2L).foreach { id =>
+      val (clean, kept, cut) = out(id)
+      assert(cut == 8, s"doc $id should lose the 8 shared tokens, lost $cut")
+      assert(!clean.contains("alpha") && !clean.contains("hotel"))
+      assert(kept + cut == 16, s"doc $id kept+cut must equal its 16 tokens")
+    }
+    // survivors keep their original order
+    assert(out(1L)._1 == "unique one two three nine ten eleven twelve")
+    // accounting holds corpus-wide on real data
+    val real = Dedup.cutSpans(docs, "doc_id", "text", k = 8)
+    assert(real.count() == docs.count(), "every document appears in the output")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+    val cutDocs = spans.select("doc_id").distinct().count()
+    assert(real.filter(col("n_cut") > 0).count() == cutDocs)
+  }
 }

@@ -981,6 +981,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // two-stage retrieval: PQ-ADC shortlist (25 candidates) → exact cosine
+    // rerank of ONLY the shortlist — full vectors fetched candidate-
+    // proportionally, the compressed scan does the corpus-wide work
+    "sim_ann_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.pqRerankTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
+        k = 5, shortlist = 25, dim = 64, m = 16, kSub = 32, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hashing-trick linear classifier (fasttext-style curation filter):
     // md5-derived integer micro-weights, exact LONG fold → margin; the
     // keep/drop decision is engine-identical by construction
@@ -1179,6 +1190,15 @@ object SparkEntry {
         .orderBy(col("q"))
     }),
 
+    // per-group quantiles: each event type's own p50/p90 value threshold —
+    // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
+    // windows only
+    "stats_quantile_by_type" -> ((s, dir) => {
+      graft.functions.Stats.groupedHistogramQuantiles(events(s, dir),
+          "event_type", "value", width = 10.0, qs = Seq(0.5, 0.9))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // sliding-window chunking with overlap (RAG prep): stride-spaced
     // full-width chunks, last start clamped to the doc boundary; pure
     // per-row expressions — zero shuffles, scan-speed
@@ -1323,6 +1343,40 @@ object SparkEntry {
            SELECT dt.qid, code_$s.vec_id AS cid, dt.d2
            FROM code_$s JOIN dt_$s dt ON code_$s.code = dt.code)"""
     }.mkString(",\n")
+
+  /** rerank oracle: the shared PQ replay produces the 25-wide shortlist,
+    * then exact cosine over shortlisted (qid, cid) pairs picks the final 5
+    */
+  private def pqRerankOracleSql: String = {
+    val (m, subDim, kSub, shortlist) = (16, 4, 32, 25)
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       ${pqSubCtes(m, subDim, kSub)},
+       allp AS (${pqPairUnion(m)}),
+       agg AS (
+         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid),
+       short AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
+           FROM agg)
+         WHERE rank <= $shortlist),
+       rer AS (
+         SELECT s.qid, s.cid,
+           CAST(list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+             AS DECIMAL(18,8)) AS cos
+         FROM short s
+         JOIN e q ON q.vec_id = s.qid
+         JOIN e c ON c.vec_id = s.cid)
+       SELECT qid AS query_id, cid AS neighbor_id,
+         round(cos, 4)::DOUBLE AS cosine, rank
+       FROM (
+         SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         FROM rer)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   /** IVFADC oracle: deterministic sampled coarse quantizer (euclidean
     * routing) prunes candidates to the query's nProbe clusters, then the
@@ -2379,6 +2433,7 @@ object SparkEntry {
     "sim_ann_pq" -> pqOracleSql,
 
     "sim_ann_ivfpq" -> ivfPqOracleSql,
+    "sim_ann_rerank" -> pqRerankOracleSql,
 
     "text_classifier" ->
       s"""WITH norm AS (
@@ -2768,6 +2823,26 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
            FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
          ORDER BY q""",
+
+    "stats_quantile_by_type" ->
+      """WITH b AS (
+           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT a.event_type, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.event_type = a.event_type AND b2.bin <= a.bin
+           GROUP BY a.event_type, a.bin),
+         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
+         e AS (SELECT cum.event_type, bin, cum_count, total
+               FROM cum JOIN tot ON cum.event_type = tot.event_type),
+         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+         SELECT event_type, q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
+           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
+         FROM (
+           SELECT event_type, q, bin, cum_count, total,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY bin ASC) AS rn
+           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
+         ORDER BY event_type, q""",
 
     // sliding-window chunking: stride-spaced starts, last start clamped to
     // n-window (always full-width), DuckDB list_slice mirrors Spark slice

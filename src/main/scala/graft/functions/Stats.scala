@@ -50,4 +50,40 @@ object Stats {
           col("cum_count"), col("total"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Per-group histogram quantiles — adaptive threshold selection (e.g. a
+    * per-language quality floor: each language's p25 rather than one global
+    * cut, the way multilingual curation avoids starving low-resource
+    * slices). Same shape as [[histogramQuantiles]] with every step keyed by
+    * the group: ONE raw-data aggregation to (group × bin) rows, cumulative
+    * counts from a group-local bin self-join, and the per-quantile pick is
+    * a window PARTITIONED BY GROUP (thousands of independent tiny windows —
+    * parallel, unlike the unpartitioned global sort this codebase bans).
+    *
+    * Returns one row per (group, q): (groupCol, q, bin, lo, hi, cum_count,
+    * total).
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+                                valueCol: String, width: Double,
+                                qs: Seq[Double]): DataFrame = {
+    require(width > 0 && qs.nonEmpty, "width must be positive, qs non-empty")
+    val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(groupCol), floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt")))
+    val a = bins.select(col(groupCol), col("bin"))
+    val b = bins.select(col(groupCol).as("__g2"), col("bin").as("__b2"), col("cnt").as("__c2"))
+    val cum = a.join(b, col("__g2") === col(groupCol) && col("__b2") <= col("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(sum(col("__c2")).as("cum_count"))
+    val totals = bins.groupBy(col(groupCol)).agg(sum(col("cnt")).as("total"))
+    val edges = cum.join(graft.core.Joins.maybeBroadcast(totals), Seq(groupCol))
+    qs.map { q =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("bin").asc)
+      edges.filter(col("cum_count").cast("double") >= lit(q) * col("total"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(groupCol), lit(q).as("q"), col("bin"),
+          (col("bin") * width).as("lo"), ((col("bin") + 1) * width).as("hi"),
+          col("cum_count"), col("total"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -379,6 +379,39 @@ object Vectors {
         round(col("__ad2"), 4).cast("double").as("d2"), col("__rn").as("rank"))
   }
 
+  /** Two-stage retrieval with exact rerank — the production ANN serving
+    * shape: a cheap compressed-domain shortlist (PQ asymmetric distances,
+    * `shortlist` candidates per query) followed by exact cosine over ONLY
+    * the shortlisted vectors. Recall comes from the shortlist width, final
+    * ordering from the exact metric; the full-precision vectors are fetched
+    * candidate-proportionally (equi-join on the candidate id), never
+    * corpus-wide — at 100 TB the rerank touches `|queries|·shortlist` rows
+    * while the scan stays in 4-bit/8-byte PQ codes.
+    *
+    * The rerank key stages in DECIMAL(18,8) (id tiebreak) so the final
+    * ranking is engine-identical. Returns (query_id, neighbor_id, cosine,
+    * rank) with rank <= k.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   qId: String, qVec: String, cId: String, cVec: String,
+                   k: Int, shortlist: Int, dim: Int, m: Int = 8,
+                   kSub: Int = 16, iters: Int = 1): DataFrame = {
+    val cand = pqTopK(queries, corpus, qId, qVec, cId, cVec, shortlist, dim, m, kSub, iters)
+      .select(col("query_id").as("__qid"), col("neighbor_id").as("__cid"))
+    val q = queries.select(col(qId).as("__qid"), col(qVec).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = corpus.select(col(cId).as("__cid"), col(cVec).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val rer = cand.join(broadcast(q), Seq("__qid")).join(c, Seq("__cid"))
+      .withColumn("__cos",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__cos").desc, col("__cid").asc)
+    rer.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        round(col("__cos"), 4).cast("double").as("cosine"), col("__rn").as("rank"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
     * independent plane sets (offsets t·planes into the shared md5 plane
     * derivation) each bucket the corpus; queries probe their bucket per

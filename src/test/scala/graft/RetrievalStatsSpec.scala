@@ -62,6 +62,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("bin") <= out(1).getAs[Long]("bin"), "monotone in q")
   }
 
+  test("groupedHistogramQuantiles: one row per (group, q), group-local totals and picks") {
+    val ev = table("events")
+    val out = Stats.groupedHistogramQuantiles(ev, "event_type", "value", 10.0,
+      Seq(0.5, 0.9)).collect()
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(out.length === types.size * 2)
+    val counts = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val g = r.getString(0); val q = r.getAs[Double]("q")
+      assert(r.getAs[Long]("total") === counts(g), s"total for $g is group-local")
+      assert(r.getAs[Long]("cum_count").toDouble >= q * counts(g))
+      // the grouped pick replays the global algorithm on the group's slice
+      val solo = Stats.histogramQuantiles(ev.filter(col("event_type") === g),
+        "value", 10.0, Seq(q)).head()
+      assert(solo.getAs[Long]("bin") === r.getAs[Long]("bin"),
+        s"group $g q=$q bin must match the single-group computation")
+    }
+  }
+
   test("slidingChunks: full coverage, stride spacing, clamped last start") {
     val out = Packing.slidingChunks(docs, "doc_id", "text", window = 32, stride = 24)
     val lens = docs.select(col("doc_id"),

@@ -191,4 +191,44 @@ class VectorsSpec extends SparkSpec {
     assert(zr.getDouble(0) == 0.0 && zr.getSeq[Int](1).forall(_ == 0) && zr.getDouble(2) == 0.0)
     out.unpersist()
   }
+
+  test("rerank: results drawn from the PQ shortlist, cosine recall beats raw ADC order") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val out = Vectors.pqRerankTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, shortlist = 25, dim = 64, m = 16, kSub = 32, iters = 1).cache()
+    // exactly 5 ranked neighbors per query, descending cosine
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    val disordered = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") === col("b.rank") - 1)
+      .filter(col("a.cosine") < col("b.cosine")).count()
+    assert(disordered == 0)
+    // every result is inside the 25-wide ADC shortlist
+    val shortlist = Vectors.pqTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 25, dim = 64, m = 16, kSub = 32, iters = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(out.select(col("query_id"), col("neighbor_id"))
+      .join(shortlist, Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
+    // rerank recall vs exact cosine top-5 must be at least PQ-only recall
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val exact = q.select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("cid"), col("v").as("cv")))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid").asc)))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      exact.join(res.select(col("query_id").as("qid"), col("neighbor_id").as("cid")),
+        Seq("qid", "cid"), "left_semi").count().toDouble / exact.count()
+    }
+    val pqOnly = Vectors.pqTopK(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, dim = 64, m = 16, kSub = 32, iters = 1)
+    val (rRerank, rPq) = (recallOf(out), recallOf(pqOnly))
+    assert(rRerank >= rPq,
+      s"rerank recall $rRerank must not fall below PQ-only recall $rPq")
+    assert(rRerank >= 0.5, s"reranked top-5 cosine recall $rRerank too low")
+    out.unpersist()
+  }
 }

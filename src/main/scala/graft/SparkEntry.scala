@@ -844,6 +844,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // corpus snapshot diff (recrawl CDC): two deterministic versions of the
+    // corpus — v_old drops ids ≡9 (mod 10), v_new drops ids ≡0 and edits
+    // ids ≡5 — classified added/removed/changed/unchanged by ONE full outer
+    // join of (id, fingerprint) pairs
+    "curate_snapshot_diff" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
+      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      graft.functions.Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // curation BY domain: annotate every document with its domain verdict
     // (quality floor, duplication ceiling, blocklist) — broadcast join of
     // the stats table back onto the scan, the corpus itself never shuffles
@@ -1188,6 +1202,22 @@ object SparkEntry {
       graft.functions.Stats.histogramQuantiles(events(s, dir), "value",
         width = 10.0, qs = Seq(0.5, 0.9, 0.99))
         .orderBy(col("q"))
+    }),
+
+    // Count-Min sketch: 4×512 md5-derived counters over the token stream
+    // (ONE map-side-combined aggregation to a kilobyte sketch), point
+    // queries for the 20 most frequent tokens — est ≥ true always
+    "sketch_cms" -> ((s, dir) => {
+      val toks = docsNorm(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val sk = graft.functions.Stats.countMinSketch(toks, "token", depth = 4, width = 512)
+      val truec = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      val top = truec.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
+      graft.functions.Stats.countMinEstimate(sk, top, "token", depth = 4, width = 512)
+        .join(top, Seq("token"))
+        .select(col("token"), col("true_cnt"), col("cms_est"))
+        .orderBy(col("token"))
     }),
 
     // per-group quantiles: each event type's own p50/p90 value threshold —
@@ -2174,6 +2204,26 @@ object SparkEntry {
            FROM w)
          WHERE rn <= 20 ORDER BY lang, rn""",
 
+    // snapshot diff: same deterministic v_old/v_new construction, md5 of
+    // the normalized text as the content fingerprint
+    "curate_snapshot_diff" ->
+      s"""WITH o AS (
+           SELECT doc_id, md5($normSql) AS old_fp FROM documents
+           WHERE doc_id % 10 != 9),
+         base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
+           FROM documents WHERE doc_id % 10 != 0),
+         n AS (SELECT doc_id, md5($normSql) AS new_fp FROM base)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_fp, new_fp
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+
     // per-domain trust table: decimal-staged quality mean, exact-int dup
     // fraction, mean token count
     "curate_domains" ->
@@ -2823,6 +2873,31 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
            FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
          ORDER BY q""",
+
+    // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
+    "sketch_cms" ->
+      s"""WITH tk AS (
+           SELECT tok FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         h AS (
+           SELECT tok, j,
+             ('0x'||substr(md5(tok || 'cms' || j::VARCHAR),1,15))::BIGINT % 512 AS pos
+           FROM tk CROSS JOIN js),
+         cnt AS (SELECT j, pos, count(*) AS c FROM h GROUP BY j, pos),
+         truec AS (SELECT tok, count(*) AS true_cnt FROM tk GROUP BY tok),
+         top AS (SELECT tok, true_cnt FROM truec ORDER BY true_cnt DESC, tok LIMIT 20),
+         look AS (
+           SELECT t.tok, js.j,
+             ('0x'||substr(md5(t.tok || 'cms' || js.j::VARCHAR),1,15))::BIGINT % 512 AS pos
+           FROM top t CROSS JOIN js),
+         est AS (
+           SELECT tok, min(coalesce(c, 0)) AS cms_est
+           FROM look LEFT JOIN cnt USING (j, pos) GROUP BY tok)
+         SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est
+         FROM top JOIN est USING (tok) ORDER BY token""",
 
     "stats_quantile_by_type" ->
       """WITH b AS (

@@ -49,6 +49,35 @@ object Curation {
         ratio(col("__st"), col("__n")).as("mean_tokens"))
   }
 
+  /** Corpus snapshot diff — recrawl/reingest change detection: classify
+    * every document id across two corpus versions as `added` (new only),
+    * `removed` (old only), `changed` (both, content fingerprint differs) or
+    * `unchanged`. The document-level CDC a continuously-refreshed training
+    * corpus runs before incremental dedup/curation of just the
+    * added+changed slice — the same delta discipline the dimension tables
+    * apply to rows, lifted to corpus content.
+    *
+    * Scale shape: each side reduces to (id, md5 fingerprint) at scan speed;
+    * the diff is ONE full outer equi-join on the id. No text leaves the
+    * scan stage — 100 TB diffs as two fingerprint columns.
+    *
+    * Returns (idCol, status, old_fp, new_fp).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("__id"),
+      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** Curate documents by their domain's statistics: a document is kept iff
     * its domain has at least `minDocs` documents, mean quality at least
     * `minMeanQuality`, duplication at most `maxDupFrac`, and is not on the

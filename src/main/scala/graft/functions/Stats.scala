@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass corpus statistics for curation-threshold selection: a
@@ -85,5 +85,48 @@ object Stats {
           (col("bin") * width).as("lo"), ((col("bin") + 1) * width).as("hi"),
           col("cum_count"), col("total"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** row-`j` counter position of `key` in a width-`width` Count-Min row:
+    * low 60 bits of md5(key ‖ "cms" ‖ j) mod width — md5-derived like every
+    * hash here, so the sketch is engine-reproducible.
+    */
+  private def cmsPos(key: Column, row: Column, width: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("cms"), row.cast("string"))),
+      1, 15), 16, 10).cast("long") % width
+
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005): `depth`
+    * independent hash rows of `width` counters each; every item occurrence
+    * increments one counter per row. The sketch is `depth × width` rows —
+    * data-independent, kilobytes — built by ONE aggregation over the
+    * occurrence stream (map-side combined; the 100 TB pass shuffles bounded
+    * partial sketches, not rows). Estimates from [[countMinEstimate]] are
+    * upper bounds: est ≥ true count, with ε = e/width overcount bounds.
+    *
+    * Returns (row, pos, cnt).
+    */
+  def countMinSketch(items: DataFrame, keyCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    items.select(col(keyCol).as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmsPos(col("__k"), col("row"), width).as("pos"))
+      .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: each key reads its `depth` counters (equi-join
+    * on (row, pos) — the sketch side is broadcastable by construction) and
+    * takes the min; counters never touched estimate 0.
+    *
+    * Returns (keyCol, cms_est).
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 512): DataFrame = {
+    val probes = keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col(keyCol), col("row"), cmsPos(col(keyCol), col("row"), width).as("pos"))
+    probes.join(graft.core.Joins.maybeBroadcast(sketch), Seq("row", "pos"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 }

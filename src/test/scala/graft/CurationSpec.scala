@@ -57,6 +57,22 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val vOld = Seq((1L, "stays the same"), (2L, "will change"), (3L, "will be removed"))
+      .toDF("doc_id", "text")
+    val vNew = Seq((1L, "stays the same"), (2L, "has changed"), (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // normalization-insensitive: punctuation/case-only edits are unchanged
+    val vNew2 = Seq((1L, "STAYS, the (same)!")).toDF("doc_id", "text")
+    val st = Curation.snapshotDiff(vOld.filter(col("doc_id") === 1), vNew2,
+      "doc_id", "text").head().getString(1)
+    assert(st == "unchanged", "content fingerprint must ignore normalization noise")
+  }
+
   test("curateByDomain: minDocs floor cuts thin domains") {
     val out = Curation.curateByDomain(corpus, "source", "text",
       minMeanQuality = 0.0, maxDupFrac = 1.0, minDocs = 3)

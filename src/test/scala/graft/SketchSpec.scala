@@ -33,4 +33,33 @@ class SketchSpec extends SparkSpec {
     // decrements (update + merge-trim levels)
     assert(got("heavy") <= 400L && got("heavy") >= 400L - 2 * (900L / 8L))
   }
+
+  test("count-min: estimates always upper-bound true counts; wide sketch is exact") {
+    import graft.functions.{Stats, TextAnalysis}
+    val toks = table("documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").cache()
+    val truec = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val sk = Stats.countMinSketch(toks, "token", depth = 4, width = 512)
+    assert(sk.count() <= 4 * 512, "sketch size is data-independent")
+    val est = Stats.countMinEstimate(sk, truec, "token", depth = 4, width = 512)
+    val joined = est.join(truec, Seq("token")).cache()
+    // CMS guarantee: never undercounts, for EVERY key
+    assert(joined.filter(col("cms_est") < col("true_cnt")).count() == 0)
+    // a sketch much wider than the key domain collides nowhere → exact
+    val nKeys = truec.count()
+    val wide = Stats.countMinEstimate(
+      Stats.countMinSketch(toks, "token", depth = 4, width = 1 << 20),
+      truec, "token", depth = 4, width = 1 << 20)
+    val exact = wide.join(truec, Seq("token"))
+      .filter(col("cms_est") =!= col("true_cnt")).count()
+    assert(exact == 0, s"width 2^20 over $nKeys keys should be collision-free")
+    // an unseen key estimates 0 or a small collision, never a large phantom
+    val unseen = Stats.countMinEstimate(sk,
+      spark.createDataFrame(Seq(Tuple1("zzz_never_a_token"))).toDF("token"),
+      "token", depth = 4, width = 512).head().getLong(1)
+    val total = toks.count()
+    assert(unseen <= total * 3 / 512, s"phantom estimate $unseen beyond CMS bound")
+    joined.unpersist(); toks.unpersist()
+  }
 }

@@ -1238,6 +1238,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk"))
     }),
 
+    // bigram LM with stupid backoff: train on the 90% slice, score all —
+    // held-out docs hit unseen bigrams and exercise the backoff; the
+    // stronger perplexity-proxy filter (transition probabilities)
+    "text_lm_bigram" -> ((s, dir) => {
+      graft.functions.Retrieval.bigramLogProb(docsNorm(s, dir), "doc_id", "text",
+        isTrain = col("doc_id") % 10 =!= 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance scoring: target = the English slice, raw = the whole
     // corpus; one token aggregation trains BOTH unigram models, scoring is
     // an equi-join back on the token — domain-targeted data selection that
@@ -2940,6 +2949,48 @@ object SparkEntry {
          SELECT doc_id, chunk, start, len(ct) AS n_tok,
            md5(array_to_string(ct, ' ')) AS fp
          FROM c ORDER BY doc_id, chunk""",
+
+    // bigram LM replay: seen bigram = exact count ratio, unseen = 0.4×
+    // add-one unigram; DECIMAL-staged transition logs
+    "text_lm_bigram" ->
+      s"""WITH d AS (
+           SELECT doc_id, doc_id % 10 != 0 AS tr,
+             list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
+           FROM documents),
+         bgl AS (
+           SELECT doc_id, tr, CASE WHEN len(toks) >= 2
+             THEN list_transform(range(0, len(toks)-1),
+               i -> toks[i+1] || ' ' || toks[i+2])
+             ELSE CAST([] AS VARCHAR[]) END AS bgs FROM d),
+         px AS (
+           SELECT doc_id, tr, bg, split_part(bg, ' ', 1) AS a,
+             split_part(bg, ' ', 2) AS b
+           FROM (SELECT doc_id, tr, unnest(bgs) AS bg FROM bgl)),
+         cab AS (SELECT bg, count(*) AS cab FROM px WHERE tr GROUP BY bg),
+         ca AS (SELECT a, count(*) AS ca FROM px WHERE tr GROUP BY a),
+         uni AS (
+           SELECT tok AS b, count(*) AS cb
+           FROM (SELECT unnest(toks) AS tok FROM d WHERE tr) GROUP BY tok),
+         st AS (SELECT CAST(sum(cb) AS BIGINT) AS t, count(*) AS v FROM uni),
+         sc AS (
+           SELECT doc_id, count(*) AS n_transitions,
+             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS avg_logprob
+           FROM (
+             SELECT doc_id,
+               CAST(CASE WHEN cab IS NOT NULL AND ca IS NOT NULL
+                 THEN ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))
+                 ELSE ln(0.4 * (CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)
+                   / (CAST(t AS DOUBLE) + v)) END
+                 AS DECIMAL(18,8)) AS lp
+             FROM px LEFT JOIN cab USING (bg) LEFT JOIN ca USING (a)
+             LEFT JOIN uni USING (b) CROSS JOIN st)
+           GROUP BY doc_id)
+         SELECT documents.doc_id,
+           CAST(coalesce(n_transitions, 0) AS BIGINT) AS n_transitions,
+           coalesce(avg_logprob, 0.0) AS avg_logprob
+         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
+         ORDER BY documents.doc_id""",
 
     // DSIR importance scoring: one token pass counts both models (target =
     // conditional sum), per-token ln-ratio staged in DECIMAL(18,8), exact

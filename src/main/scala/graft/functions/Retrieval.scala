@@ -105,6 +105,62 @@ object Retrieval {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation"): train on the rows
+    * where `isTrain` holds, score EVERY document by its mean per-transition
+    * log-probability. A seen bigram scores `ln(c(a,b) / c(a·))` (exact
+    * count ratio, c(a·) = times `a` starts a bigram); an unseen one backs
+    * off to `ln(0.4 · (c(b)+1)/(T+V))` — the add-one unigram of
+    * [[unigramLogProb]] scaled by the classic 0.4. Held-out docs (the
+    * isTrain=false slice) exercise the backoff; self-scored corpora never
+    * would. The stronger perplexity-proxy quality filter: boilerplate and
+    * word-salad separate much harder under transition probabilities than
+    * under unigrams.
+    *
+    * Scale shape: ONE bigram aggregation (+ its prefix re-aggregation, on
+    * the already-tiny count table) and ONE unigram aggregation train the
+    * model; scoring equi-joins the count tables back on the bigram/token.
+    * Per-transition logs stage in DECIMAL(18,8) — exact, order-independent
+    * summation. Docs with fewer than 2 tokens score 0.0.
+    *
+    * Returns (idCol, n_transitions, avg_logprob).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    isTrain: Column): DataFrame = {
+    val pairs = docs.select(col(idCol).as("__did"), isTrain.as("__tr"),
+        explode(TextAnalysis.tokenPairs(col(textCol))).as("__bg"))
+      .withColumn("__a", substring_index(col("__bg"), " ", 1))
+      .withColumn("__b", substring_index(col("__bg"), " ", -1))
+    val bgCounts = pairs.filter(col("__tr"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__cab"))
+    val prefCounts = pairs.filter(col("__tr"))
+      .groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+    val uniCounts = docs.filter(isTrain)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__b"))
+      .filter(col("__b") =!= "")
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val stats = uniCounts.agg(sum(col("__cb")).as("__t"), count(lit(1)).as("__v"))
+    val scored = pairs
+      .join(bgCounts, Seq("__bg"), "left")
+      .join(prefCounts, Seq("__a"), "left")
+      .join(uniCounts, Seq("__b"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp",
+        when(col("__cab").isNotNull && col("__ca").isNotNull,
+          log(col("__cab").cast("double") / col("__ca").cast("double")))
+          .otherwise(log(lit(0.4) * (coalesce(col("__cb"), lit(0L)).cast("double") + lit(1.0))
+            / (col("__t").cast("double") + col("__v"))))
+          .cast(DecimalType(18, 8)))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_transitions"),
+        round((sum(col("__lp")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 8)), 4).cast("double").as("avg_logprob"))
+    docs.select(col(idCol).as("__did")).join(scored, Seq("__did"), "left")
+      .select(col("__did").as(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** DSIR-style importance scoring (Data Selection via Importance
     * Resampling, arXiv:2302.03169, reduced to hashed-unigram features over
     * the shared vocabulary): train two add-one-smoothed unigram models —

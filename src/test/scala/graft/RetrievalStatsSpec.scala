@@ -62,6 +62,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("bin") <= out(1).getAs[Long]("bin"), "monotone in q")
   }
 
+  test("bigramLogProb: backoff penalizes held-out docs, short docs score 0") {
+    import graft.functions.Retrieval
+    val docs = table("documents")
+    val out = Retrieval.bigramLogProb(docs, "doc_id", "text",
+      isTrain = col("doc_id") % 10 =!= 0).cache()
+    assert(out.count() == docs.count())
+    // every scored transition log-prob is negative; empty/1-token docs are 0
+    assert(out.filter(col("n_transitions") > 0 && col("avg_logprob") >= 0).count() == 0)
+    assert(out.filter(col("n_transitions") === 0 && col("avg_logprob") =!= 0.0).count() == 0)
+    // held-out docs contain unseen bigrams → stupid backoff drags their
+    // mean below the train slice's (which scores exact seen-bigram ratios)
+    val mTrain = out.filter(col("doc_id") % 10 =!= 0 && col("n_transitions") > 0)
+      .agg(avg("avg_logprob")).head().getDouble(0)
+    val mHeld = out.filter(col("doc_id") % 10 === 0 && col("n_transitions") > 0)
+      .agg(avg("avg_logprob")).head().getDouble(0)
+    assert(mHeld < mTrain,
+      s"held-out mean $mHeld should be below train mean $mTrain")
+    out.unpersist()
+  }
+
   test("groupedHistogramQuantiles: one row per (group, q), group-local totals and picks") {
     val ev = table("events")
     val out = Stats.groupedHistogramQuantiles(ev, "event_type", "value", 10.0,

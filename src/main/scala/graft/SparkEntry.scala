@@ -728,6 +728,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // exact edit-distance verification of the fuzzy candidates: normalized
+    // Levenshtein similarity over ONLY the pair set (codegen'd builtin,
+    // pair-proportional text fetch) — the final check before dropping docs
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      Dedup.editVerify(pairs, "id_a", "id_b", docs, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup pairs (hamming <= 3 via 4x16-bit chunk pigeonhole).
     // md5-derived 60-bit hashes — the oracle reproduces the fingerprints and
     // verifies by exhaustive bit_count(xor) over all pairs.
@@ -856,6 +867,18 @@ object SparkEntry {
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
       graft.functions.Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // token drift between the same two snapshots: top KL(new‖old)
+    // contributors — the injected 'revised' token must surface
+    "curate_token_drift" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
+      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      graft.functions.Curation.tokenDrift(vOld, vNew, "text", k = 15)
+        .orderBy(col("token"))
     }),
 
     // curation BY domain: annotate every document with its domain verdict
@@ -2023,6 +2046,34 @@ object SparkEntry {
          SELECT id_a, id_b, round(jac, 4) AS jaccard
          FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""",
 
+    // edit verification over the same pair set: DuckDB's levenshtein on the
+    // normalized text, similarity as one double division
+    "dedup_edit_verify" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         SELECT id_a, id_b,
+           CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
+           round(CAST(CASE WHEN greatest(length(na.nt), length(nb.nt)) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(na.nt, nb.nt)::DOUBLE
+               / greatest(length(na.nt), length(nb.nt)) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS edit_sim
+         FROM pairs
+         JOIN norm na ON na.doc_id = id_a
+         JOIN norm nb ON nb.doc_id = id_b
+         ORDER BY id_a, id_b""",
+
     "dedup_cosine" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -2232,6 +2283,41 @@ object SparkEntry {
            old_fp, new_fp
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
+
+    // drift replay: one union-tagged token aggregation, add-one smoothing
+    // over the joint vocabulary, decimal-staged contributions, top-15
+    "curate_token_drift" ->
+      s"""WITH o AS (
+           SELECT text FROM documents WHERE doc_id % 10 != 9),
+         nb AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
+           FROM documents WHERE doc_id % 10 != 0),
+         tk AS (
+           SELECT tok, FALSE AS isnew FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
+           UNION ALL
+           SELECT tok, TRUE AS isnew FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
+         c AS (
+           SELECT tok, sum(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS c_old,
+             sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS c_new
+           FROM tk GROUP BY tok),
+         st AS (
+           SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
+             CAST(sum(c_new) AS BIGINT) AS t_new, count(*) AS v FROM c),
+         x AS (
+           SELECT tok, c_old, c_new,
+             CAST(((CAST(c_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + v))
+               * ln(((CAST(c_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + v))
+                   / ((CAST(c_old AS DOUBLE) + 1.0) / (CAST(t_old AS DOUBLE) + v)))
+               AS DECIMAL(18,8)) AS contrib
+           FROM c CROSS JOIN st)
+         SELECT token, c_old, c_new, contrib FROM (
+           SELECT tok AS token, CAST(c_old AS BIGINT) AS c_old,
+             CAST(c_new AS BIGINT) AS c_new,
+             round(contrib, 6)::DOUBLE AS contrib
+           FROM x ORDER BY x.contrib DESC, tok ASC LIMIT 15)
+         ORDER BY token""",
 
     // per-domain trust table: decimal-staged quality mean, exact-int dup
     // fraction, mean token count

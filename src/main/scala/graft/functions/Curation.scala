@@ -78,6 +78,45 @@ object Curation {
         col("old_fp"), col("new_fp"))
   }
 
+  /** Token-distribution drift between two corpus snapshots: the per-token
+    * contributions `p·ln(p/q)` to KL(new ‖ old) under add-one smoothing
+    * over the joint vocabulary — the drift monitor a continuously-refreshed
+    * corpus runs after [[snapshotDiff]], surfacing WHICH tokens moved (new
+    * boilerplate, a source gone rogue, language mix shifts). Top `k`
+    * contributors by signed contribution (a positive contribution = the
+    * token is over-represented in the new snapshot).
+    *
+    * Scale shape: both token streams union with a side tag so ONE
+    * aggregation counts both distributions (the [[Retrieval.dsirScore]]
+    * pass shape); the 1-row totals broadcast; contributions stage in
+    * DECIMAL(18,8) and the cut is a TakeOrdered top-k, never a global sort.
+    *
+    * Returns (token, c_old, c_new, contrib), contrib rounded to 6.
+    */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                 k: Int = 15): DataFrame = {
+    def toks(df: DataFrame, isNew: Boolean) =
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"),
+          lit(isNew).as("__new"))
+        .filter(col("__tok") =!= "")
+    val counts = toks(oldDf, isNew = false).unionByName(toks(newDf, isNew = true))
+      .groupBy(col("__tok")).agg(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("c_new"))
+    val stats = counts.agg(sum(col("c_old")).as("__to"),
+      sum(col("c_new")).as("__tn"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__p", (col("c_new").cast("double") + lit(1.0))
+        / (col("__tn").cast("double") + col("__v")))
+      .withColumn("__q", (col("c_old").cast("double") + lit(1.0))
+        / (col("__to").cast("double") + col("__v")))
+      .withColumn("__contrib",
+        (col("__p") * log(col("__p") / col("__q"))).cast(DecimalType(18, 8)))
+      .orderBy(col("__contrib").desc, col("__tok").asc).limit(k)
+      .select(col("__tok").as("token"), col("c_old"), col("c_new"),
+        round(col("__contrib"), 6).cast("double").as("contrib"))
+  }
+
   /** Curate documents by their domain's statistics: a document is kept iff
     * its domain has at least `minDocs` documents, mean quality at least
     * `minMeanQuality`, duplication at most `maxDupFrac`, and is not on the

@@ -535,6 +535,40 @@ object Dedup {
         (coalesce(col("__nt"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
   }
 
+  /** Edit-distance verification of candidate near-dup pairs — the exact
+    * final check a fuzzy-dedup pipeline runs on its (tiny) candidate set
+    * before dropping documents: normalized Levenshtein similarity
+    * `1 − lev(a,b)/max(|a|,|b|)` over the NORMALIZED text. Quadratic in
+    * document length, so it must only ever run pair-proportionally — the
+    * pair ids semi-join the corpus first ([[graft.functions.Retrieval.rouge2]]'s
+    * fetch discipline), and the pair set is frozen so an expensive upstream
+    * candidate generator computes once. Codegen'd `levenshtein` builtin —
+    * no UDF.
+    *
+    * Returns (aId, bId, edit_dist, edit_sim) with edit_sim in [0,1].
+    */
+  def editVerify(pairs: DataFrame, aId: String, bId: String,
+                 docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      pairs.select(col(aId).cast("long").as("__ida"),
+        col(bId).cast("long").as("__idb")))
+    val ids = p.select(col("__ida").as("__id"))
+      .union(p.select(col("__idb"))).distinct()
+    val txt = docs.select(col(idCol).cast("long").as("__id"),
+        TextAnalysis.normalize(col(textCol)).as("__t"))
+      .join(ids, Seq("__id"), "left_semi")
+    val scored = p
+      .join(txt.select(col("__id").as("__ida"), col("__t").as("__ta")), Seq("__ida"))
+      .join(txt.select(col("__id").as("__idb"), col("__t").as("__tb")), Seq("__idb"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("__mx", greatest(length(col("__ta")), length(col("__tb"))))
+    scored.select(col("__ida").as(aId), col("__idb").as(bId), col("edit_dist"),
+      round(when(col("__mx") === 0, lit(1.0))
+        .otherwise(lit(1.0) - col("edit_dist").cast("double") / col("__mx").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+        .cast("double").as("edit_sim"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (public method: k-means
     * cluster the embedding space, then exact pairwise cosine WITHIN clusters
     * only — arXiv:2303.09540). The deterministic [[Vectors.kMeans]] quantizer

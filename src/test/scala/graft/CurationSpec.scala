@@ -73,6 +73,21 @@ class CurationSpec extends SparkSpec {
     assert(st == "unchanged", "content fingerprint must ignore normalization noise")
   }
 
+  test("tokenDrift surfaces an injected token as the top KL contributor") {
+    val docs = table("documents")
+    val vNew = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" zzznovel"))).otherwise(col("text")))
+    val out = Curation.tokenDrift(docs, vNew, "text", k = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getString(0)).contains("zzznovel"))
+    val top = out.maxBy(_.getDouble(3))
+    assert(top.getString(0) == "zzznovel" && top.getLong(1) == 0,
+      s"injected token must dominate drift, got ${top.getString(0)}")
+    // identical snapshots: every contribution is ~0 (only smoothing noise)
+    val same = Curation.tokenDrift(docs, docs, "text", k = 3).collect()
+    assert(same.forall(r => math.abs(r.getDouble(3)) < 1e-4))
+  }
+
   test("curateByDomain: minDocs floor cuts thin domains") {
     val out = Curation.curateByDomain(corpus, "source", "text",
       minMeanQuality = 0.0, maxDupFrac = 1.0, minDocs = 3)

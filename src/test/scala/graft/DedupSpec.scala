@@ -260,6 +260,27 @@ class DedupSpec extends SparkSpec {
     assert(inline.forall { case (n, c) => n % 5 == 0 && c % 5 != 0 })
   }
 
+  test("editVerify: exact Levenshtein on the pair set, identical docs score 1.0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),         // identical to 1
+      (3L, "the quick brown fux"),         // 1 substitution from 1
+      (4L, "entirely different content")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.editVerify(pairs, "id_a", "id_b", d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) == (0L, 1.0))
+    assert(out((1L, 3L))._1 == 1L)
+    assert(out((1L, 3L))._2 > 0.9 && out((1L, 4L))._2 < 0.5)
+    // on the corpus: one verified row per candidate pair
+    val cand = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = 64,
+      bands = 32, threshold = 0.8)
+    val verified = Dedup.editVerify(cand, "id_a", "id_b", docs, "doc_id", "text")
+    assert(verified.count() == cand.count())
+  }
+
   test("cutSpans removes exactly the duplicated spans and keeps clean docs intact") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel"

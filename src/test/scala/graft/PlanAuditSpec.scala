@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audits: the properties that decide 100 TB behavior have to
+  * hold in the EXECUTED plan, not just in intent — column pruning reaches
+  * the parquet scan, filters push down to the source, aggregations combine
+  * map-side before the exchange, and scans stay inside whole-stage codegen.
+  * Plans are AQE-wrapped, so the audits parse the printed tree (FileScan
+  * lines carry ReadSchema/PushedFilters; codegen spans print as `*(n)`).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** every column any parquet scan of the plan reads */
+  private def readColumns(df: org.apache.spark.sql.DataFrame): Set[String] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(planOf(df))
+      .flatMap(_.group(1).split(",")).map(_.split(":")(0).trim)
+      .filter(_.nonEmpty).toSet
+
+  test("column pruning: a 3-column projection reads 3 columns, not the table") {
+    val read = readColumns(SparkEntry.queries("proj_project")(spark, sfDir))
+    assert(read == Set("c_custkey", "c_name", "c_mktsegment"),
+      s"scan must read exactly the projected columns, got $read")
+  }
+
+  test("filter pushdown: a selective predicate reaches the parquet source") {
+    val df = table("lineitem").filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"predicate must appear in PushedFilters:\n${plan.take(1500)}")
+    assert(readColumns(df) == Set("l_orderkey", "l_quantity"))
+  }
+
+  test("token pipelines scan only the columns they use") {
+    // dedup_exact needs text (fingerprint) + doc_id (representative pick)
+    val read = readColumns(SparkEntry.queries("dedup_exact")(spark, sfDir))
+    assert(read == Set("doc_id", "text"),
+      s"exact dedup must not read lang/source/n_chars, got $read")
+  }
+
+  test("aggregation is partial (map-side combine) before the exchange") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"q1 must combine map-side before shuffling:\n${plan.take(2000)}")
+  }
+
+  test("scan-speed text scoring stays in whole-stage codegen with no exchange") {
+    val df = table("documents").select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), "per-row scoring must not shuffle")
+    assert(plan.contains("*("), "per-row scoring must sit in a codegen span")
+  }
+}

@@ -1261,6 +1261,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk"))
     }),
 
+    // token-entropy quality signal: information density per document —
+    // boilerplate/repetition collapses it; decimal-staged terms, doc-keyed
+    // shuffles only
+    "text_entropy" -> ((s, dir) => {
+      graft.functions.Retrieval.tokenEntropyScores(docsNorm(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // bigram LM with stupid backoff: train on the 90% slice, score all —
     // held-out docs hit unseen bigrams and exercise the backoff; the
     // stronger perplexity-proxy filter (transition probabilities)
@@ -3035,6 +3043,30 @@ object SparkEntry {
          SELECT doc_id, chunk, start, len(ct) AS n_tok,
            md5(array_to_string(ct, ' ')) AS fp
          FROM c ORDER BY doc_id, chunk""",
+
+    // entropy replay: per-(doc, token) counts, decimal-staged −(c/n)ln(c/n)
+    "text_entropy" ->
+      s"""WITH tk AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+             FROM documents)
+           WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id, max(n) AS n_tokens,
+             round(CAST(-sum(term) AS DECIMAL(18,8)), 4)::DOUBLE AS entropy
+           FROM (
+             SELECT tf.doc_id, n.n,
+               CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                 AS DECIMAL(18,8)) AS term
+             FROM tf JOIN n ON tf.doc_id = n.doc_id)
+           GROUP BY doc_id)
+         SELECT documents.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(entropy, 0.0) AS entropy
+         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
+         ORDER BY documents.doc_id""",
 
     // bigram LM replay: seen bigram = exact count ratio, unseen = 0.4×
     // add-one unigram; DECIMAL-staged transition logs

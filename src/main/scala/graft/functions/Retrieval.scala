@@ -105,6 +105,40 @@ object Retrieval {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Shannon entropy of each document's own token distribution,
+    * `H = −Σ_t (c_t/n)·ln(c_t/n)` in nats — the information-density quality
+    * signal: degenerate/boilerplate text scores near 0, varied prose near
+    * ln(n); repetition loops that fool length/stopword filters collapse it.
+    *
+    * Scale shape: explode → (doc, token) count aggregation → per-document
+    * sum, both shuffles keyed by the document id (the [[tfidfKeywords]]
+    * pass shape), LINEAR in document length — never a per-row quadratic
+    * array scan. Per-token terms stage in DECIMAL(18,8): exact,
+    * order-independent summation, engine-reproducible. Empty docs score 0.
+    *
+    * Returns (idCol, n_tokens, entropy).
+    */
+  def tokenEntropyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__did"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val tf = toks.groupBy(col("__did"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val n = tf.groupBy(col("__did")).agg(sum(col("__c")).as("__n"))
+    val scored = tf.join(n, Seq("__did"))
+      .withColumn("__term",
+        ((col("__c").cast("double") / col("__n").cast("double"))
+          * log(col("__c").cast("double") / col("__n").cast("double")))
+          .cast(DecimalType(18, 8)))
+      .groupBy(col("__did"))
+      .agg(max(col("__n")).as("n_tokens"),
+        round((-sum(col("__term"))).cast(DecimalType(18, 8)), 4)
+          .cast("double").as("entropy"))
+    docs.select(col(idCol).as("__did")).join(scored, Seq("__did"), "left")
+      .select(col("__did").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
   /** Bigram language-model scoring with stupid backoff (Brants et al. 2007,
     * "Large Language Models in Machine Translation"): train on the rows
     * where `isTrain` holds, score EVERY document by its mean per-transition

@@ -76,6 +76,65 @@ object Streaming {
     dedup(scored, tsCol, watermark, Seq("fp"))
   }
 
+  /** Streaming drift monitor: per micro-batch, merge the batch's token
+    * counts into a running count table (the same object-held-state shape as
+    * [[foreachBatchMerge]]) and emit the top KL(running ‖ reference)
+    * contributors against a frozen reference distribution — the ingestion-
+    * time form of [[graft.functions.Curation.tokenDrift]], where the "new"
+    * snapshot accretes batch by batch. Alerts fire as soon as a source goes
+    * rogue, not at the next full-corpus diff.
+    *
+    * State is the (token, count) table — vocabulary-bounded, not
+    * row-bounded — re-frozen per batch via the dimension tables'
+    * checkpoint discipline.
+    */
+  class DriftMonitor(reference: DataFrame, textCol: String, topK: Int = 15) {
+    import graft.functions.TextAnalysis
+    private val spark0 = reference.sparkSession
+    private val refCounts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      reference.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("c_ref")))
+    private var running: DataFrame = spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_run",
+          org.apache.spark.sql.types.LongType))))
+
+    /** merge one micro-batch's tokens into the running distribution */
+    def update(batch: DataFrame): Unit = {
+      val bc = batch.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("c_b"))
+      running = org.apache.spark.sql.graftbridge.Bridge.freeze(
+        running.join(bc, Seq("token"), "full_outer")
+          .select(col("token"),
+            (coalesce(col("c_run"), lit(0L)) + coalesce(col("c_b"), lit(0L))).as("c_run")))
+    }
+
+    /** top KL(running ‖ reference) contributors under add-one smoothing */
+    def drift(): DataFrame = {
+      val joint = running.join(refCounts, Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("c_run"), lit(0L)).as("c_run"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"))
+      val stats = joint.agg(sum(col("c_run")).as("__tr"),
+        sum(col("c_ref")).as("__tf"), count(lit(1)).as("__v"))
+      joint.crossJoin(broadcast(stats))
+        .withColumn("__p", (col("c_run").cast("double") + lit(1.0))
+          / (col("__tr").cast("double") + col("__v")))
+        .withColumn("__q", (col("c_ref").cast("double") + lit(1.0))
+          / (col("__tf").cast("double") + col("__v")))
+        .withColumn("__contrib", (col("__p") * log(col("__p") / col("__q")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .orderBy(col("__contrib").desc, col("token").asc).limit(topK)
+        .select(col("token"), col("c_ref"), col("c_run"),
+          round(col("__contrib"), 6).cast("double").as("contrib"))
+    }
+  }
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

@@ -14,11 +14,16 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** every column any parquet scan of the plan reads */
-  private def readColumns(df: org.apache.spark.sql.DataFrame): Set[String] =
+  /** every column any parquet scan of the plan reads (cache cleared first:
+    * another suite's cached table would otherwise substitute an
+    * InMemoryTableScan for the parquet scan under audit)
+    */
+  private def readColumns(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    spark.catalog.clearCache()
     "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(planOf(df))
       .flatMap(_.group(1).split(",")).map(_.split(":")(0).trim)
       .filter(_.nonEmpty).toSet
+  }
 
   test("column pruning: a 3-column projection reads 3 columns, not the table") {
     val read = readColumns(SparkEntry.queries("proj_project")(spark, sfDir))

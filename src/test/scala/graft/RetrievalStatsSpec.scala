@@ -62,6 +62,22 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("bin") <= out(1).getAs[Long]("bin"), "monotone in q")
   }
 
+  test("tokenEntropyScores: 0 for degenerate, ln(n) for all-distinct, 0 for empty") {
+    import spark.implicits._
+    import graft.functions.Retrieval
+    val d = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four fully distinct tokens"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tokenEntropyScores(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (4L, 0.0), "degenerate text has zero entropy")
+    assert(out(3L) == (0L, 0.0), "empty text scores 0")
+    assert(math.abs(out(2L)._2 - math.log(4.0)) < 1e-3,
+      s"uniform distinct tokens reach ln(4), got ${out(2L)._2}")
+  }
+
   test("bigramLogProb: backoff penalizes held-out docs, short docs score 0") {
     import graft.functions.Retrieval
     val docs = table("documents")

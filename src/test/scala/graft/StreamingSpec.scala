@@ -143,4 +143,29 @@ class StreamingSpec extends SparkSpec {
     assert(d.filter(col("valid_to").isNull).groupBy("user_id").count()
       .filter(col("count") =!= 1).count() == 0)
   }
+
+  test("streaming drift monitor converges to the batch tokenDrift verdict") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val altered = docs.withColumn("text",
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" driftmarker")))
+        .otherwise(col("text")))
+    val monitor = new Streaming.DriftMonitor(docs, "text", topK = 10)
+    // feed the altered corpus as three micro-batches via foreachBatch
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream").toString
+    altered.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(altered.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) monitor.update(batch)))
+
+    val streamed = monitor.drift().collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(streamed.contains("driftmarker"),
+      s"injected token must surface, got ${streamed.keySet}")
+    // parity: once all batches are in, the monitor equals the batch diff
+    val batchTop = graft.functions.Curation.tokenDrift(docs, altered, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(streamed == batchTop,
+      s"streaming drift $streamed must equal batch tokenDrift $batchTop")
+  }
 }

@@ -827,6 +827,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe splitting: near-dup clusters move between train/val/test
+    // atomically — the split key is the component label, not the doc id
+    "sample_split_leakage_safe" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        n = 3, k = 64, bands = 32, threshold = 0.8, salt = "v1")
+        .orderBy(col("doc_id"))
+    }),
+
     // stratified deterministic sampling: per-source quota in hash order
     // (data-mixing quotas, reproducible)
     "sample_stratified" -> ((s, dir) => {
@@ -2172,6 +2181,44 @@ object SparkEntry {
          SELECT node AS doc_id, least(node, min(r)) AS cluster,
            CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
          FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // leakage-safe split replay: cluster labels from the recursive reach,
+    // split buckets hashed on the LABEL so components move atomically
+    "sample_split_leakage_safe" ->
+      s"""WITH RECURSIVE norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lab AS (
+           SELECT node AS doc_id, least(node, min(r)) AS cluster
+           FROM reach GROUP BY node),
+         keyed AS (
+           SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         b AS (
+           SELECT doc_id, cluster,
+             ('0x'||substr(md5(cluster::VARCHAR || 'v1'),1,15))::BIGINT % 10000 AS bucket
+           FROM keyed)
+         SELECT doc_id, cluster,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
 
     "dedup_chunk" ->
       s"""WITH norm AS (

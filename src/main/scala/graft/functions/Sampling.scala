@@ -117,6 +117,30 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Leakage-safe train/val/test assignment: near-duplicate documents MUST
+    * land in the same split (a benchmark answer's paraphrase in train
+    * poisons the test set), so the split key is the near-dup CLUSTER label
+    * — the connected component's smallest doc id from
+    * [[Dedup.clusters]] — not the document id; singletons key by their own
+    * id. Same md5-derived bucket ranges as [[splitAssign]], so membership
+    * stays deterministic and engine-reproducible; whole clusters move
+    * between splits atomically.
+    *
+    * Returns (idCol, cluster, split) — `cluster` is the split key used.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)],
+                       n: Int = 3, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.7,
+                       buckets: Int = 10000, salt: String = ""): DataFrame = {
+    val labels = Dedup.clusters(
+        Dedup.minhashPairs(df, idCol, textCol, n, k, bands, threshold))
+      .select(col("doc_id").as(idCol), col("cluster"))
+    df.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)).cast("long"))
+      .withColumn("split", splitAssign(col("cluster"), splits, buckets, salt))
+  }
+
   /** Stratified deterministic sample: at most `maxPerGroup` rows per group,
     * chosen in hash order (ties broken by id) — per-domain quota sampling
     * for data mixing, reproducible across runs. One shuffle on the group

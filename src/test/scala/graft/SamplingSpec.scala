@@ -50,6 +50,31 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle a split boundary") {
+    import graft.functions.Dedup
+    val docs = table("documents")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      n = 3, k = 64, bands = 32, threshold = 0.8, salt = "t").cache()
+    assert(out.count() == docs.count())
+    // the guard property: one split per cluster
+    assert(out.groupBy("cluster").agg(countDistinct("split").as("s"))
+      .filter(col("s") > 1).count() == 0)
+    // and concretely: every near-dup pair shares a split
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = 64,
+      bands = 32, threshold = 0.8)
+    val straddle = pairs
+      .join(out.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(out.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle == 0, s"$straddle near-dup pairs crossed splits")
+    assert(pairs.count() > 0, "corpus must actually contain near-dup pairs")
+    // split proportions still roughly honored
+    val frac = out.filter(col("split") === "train").count().toDouble / out.count()
+    assert(math.abs(frac - 0.8) < 0.1, s"train fraction $frac far from 0.8")
+    out.unpersist()
+  }
+
   test("weightedSample: quota, determinism, weight bias, zero-weight exclusion") {
     import graft.functions.TextAnalysis
     val docs = table("documents")

@@ -1252,6 +1252,15 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // strictly-ordered funnel: per-user earliest view→click→signup→purchase
+    // chain — k user-keyed aggregations of type-filtered slices, no
+    // per-user sort, no raw-stream self-join
+    "events_funnel" -> ((s, dir) => {
+      graft.functions.Events.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // per-group quantiles: each event type's own p50/p90 value threshold —
     // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
     // windows only
@@ -3023,6 +3032,36 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
            FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
          ORDER BY q""",
+
+    // funnel replay: chained strictly-after mins per user
+    "events_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS step_1_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_1_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_2_ts
+           WHERE e.event_type = 'signup' GROUP BY e.user_id),
+         s4 AS (
+           SELECT e.user_id, min(e.ts) AS step_4_ts FROM events e
+           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.step_3_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT u.user_id, step_1_ts, step_2_ts, step_3_ts, step_4_ts,
+           CAST(CASE WHEN step_4_ts IS NOT NULL THEN 4
+                WHEN step_3_ts IS NOT NULL THEN 3
+                WHEN step_2_ts IS NOT NULL THEN 2
+                WHEN step_1_ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS steps_completed
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id
+         LEFT JOIN s4 ON u.user_id = s4.user_id
+         ORDER BY u.user_id""",
 
     // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
     "sketch_cms" ->

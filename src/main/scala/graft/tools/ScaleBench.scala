@@ -178,6 +178,25 @@ object ScaleBench {
     def curate(d: DataFrame): Unit =
       force(graft.functions.Curation.curateByDomain(d, "source", "text",
         minMeanQuality = 0.63, maxDupFrac = 0.2, minDocs = 10))
+    def entropy(d: DataFrame): Unit =
+      force(graft.functions.Retrieval.tokenEntropyScores(d, "doc_id", "text"))
+    def bigram(d: DataFrame): Unit =
+      force(graft.functions.Retrieval.bigramLogProb(d, "doc_id", "text",
+        isTrain = col("doc_id") % 10 =!= 0))
+    def cms(d: DataFrame): Unit = {
+      val toks = d.select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val sk = graft.functions.Stats.countMinSketch(toks, "token", depth = 4, width = 512)
+      force(graft.functions.Stats.countMinEstimate(sk,
+        toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token").asc).limit(20),
+        "token", depth = 4, width = 512))
+    }
+    def editVerify(d: DataFrame): Unit = {
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", n = 3, k = 64,
+        bands = 32, threshold = 0.8)
+      force(Dedup.editVerify(pairs, "id_a", "id_b", d, "doc_id", "text"))
+    }
     def rouge(d: DataFrame): Unit = {
       val pairs = Dedup.contamination(
         d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
@@ -219,15 +238,35 @@ object ScaleBench {
       ("text_tfidf", nDocs, nDocs * copies, () => tfidf(docs1), () => tfidf(docs10)),
       ("sample_weighted", nDocs, nDocs * copies, () => wsample(docs1), () => wsample(docs10)),
       ("curate_by_domain", nDocs, nDocs * copies, () => curate(docs1), () => curate(docs10)),
-      ("text_rouge", nDocs, nDocs * copies, () => rouge(docs1), () => rouge(docs10)))
+      ("text_rouge", nDocs, nDocs * copies, () => rouge(docs1), () => rouge(docs10)),
+      ("text_entropy", nDocs, nDocs * copies, () => entropy(docs1), () => entropy(docs10)),
+      ("text_lm_bigram", nDocs, nDocs * copies, () => bigram(docs1), () => bigram(docs10)),
+      ("sketch_cms", nDocs, nDocs * copies, () => cms(docs1), () => cms(docs10)),
+      ("dedup_edit_verify", nDocs, nDocs * copies, () => editVerify(docs1), () => editVerify(docs10)))
 
-    // warm-up (JIT, codegen, parquet footers) so neither side absorbs it
+    // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
+    // the release below needs `keep` in scope, so warm-up runs after it
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    workloads.foreach(_._4())
+
+    // workloads that freeze state (scd2, curate, rouge, CC, …) leave
+    // localCheckpoint RDD blocks behind; across ~30 workloads in one 8g JVM
+    // the accumulation GC-thrashes late workloads into fake super-linear
+    // timings. Release everything each workload created — but never the
+    // pre-materialized pair sets (unpersisting a localCheckpointed RDD
+    // makes it unrecomputable).
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def releaseTransients(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+
+    workloads.foreach { w => w._4(); releaseTransients() }
 
     val rows = workloads.map { case (name, n1, n10, w1, w10) =>
       val t1 = timed(w1())
+      releaseTransients()
       val t10 = timed(w10())
+      releaseTransients()
       val ratio = t10 / t1
       val perRowRatio = ratio / copies // 1.0 = perfectly linear in rows
       (name, n1, t1, n10, t10, ratio, perRowRatio)

@@ -1027,6 +1027,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // deterministic negatives for contrastive training: md5-hash-ordered
+    // draw excluding each query's exact top-5 neighbors and itself
+    "sim_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.negativeSample(e.filter(col("vec_id") < 10), e, "vec_id", "v",
+        "vec_id", "v", k = 5, excludeK = 5, salt = "neg-v1")
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
     // two-stage retrieval: PQ-ADC shortlist (25 candidates) → exact cosine
     // rerank of ONLY the shortlist — full vectors fetched candidate-
     // proportionally, the compressed scan does the corpus-wide work
@@ -2797,6 +2807,32 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // negatives replay: brute-force exclusion set, md5-hash-ordered draw
+    "sim_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         p AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         near AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+             FROM p) WHERE rn <= 5),
+         cand AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ('0x'||substr(md5(q.vec_id::VARCHAR || '_' || c.vec_id::VARCHAR || 'neg-v1'),1,15))::BIGINT AS h
+           FROM q CROSS JOIN e c
+           WHERE q.vec_id != c.vec_id
+             AND NOT EXISTS (SELECT 1 FROM near WHERE near.qid = q.vec_id AND near.cid = c.vec_id))
+         SELECT qid AS query_id, cid AS negative_id, CAST(rn AS BIGINT) AS neg_rank
+         FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY h ASC, cid ASC) AS rn
+           FROM cand)
+         WHERE rn <= 5 ORDER BY query_id, neg_rank""",
 
     "mm_features" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),

@@ -412,6 +412,42 @@ object Vectors {
         round(col("__cos"), 4).cast("double").as("cosine"), col("__rn").as("rank"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * query, `k` corpus vectors that are NOT among its `excludeK` exact
+    * cosine nearest neighbors (and not itself), drawn in md5-hash order of
+    * (query, candidate) — the engine-reproducible stand-in for a uniform
+    * random draw, per the [[graft.functions.Sampling]] discipline. In-batch/
+    * random negatives are the standard counterpart to the positives a
+    * near-dup or retrieval pipeline mines.
+    *
+    * Scale shape: the exclusion set is |queries|·excludeK rows (tiny,
+    * broadcast into an anti-join); candidates rank by a codegen'd hash
+    * expression under a per-query window — queries are the partition key,
+    * so the sort is many small independent windows. The corpus side is
+    * scanned once; at 100 TB swap the cross join for a hash-bucketed slice
+    * of the corpus per query (same plan with a bucket equi-join) — the
+    * draw stays deterministic because the hash, not the layout, orders it.
+    *
+    * Returns (query_id, negative_id, neg_rank).
+    */
+  def negativeSample(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int, excludeK: Int, salt: String = ""): DataFrame = {
+    val near = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, excludeK)
+      .select(col("query_id").as("__qid"), col("neighbor_id").as("__cid"))
+    val cand = queries.select(col(qId).as("__qid"))
+      .crossJoin(corpus.select(col(cId).as("__cid")))
+      .filter(col("__qid") =!= col("__cid"))
+      .join(near, Seq("__qid", "__cid"), "left_anti")
+      .withColumn("__h", Sampling.hash60(
+        concat(col("__qid").cast("string"), lit("_"), col("__cid").cast("string")),
+        salt))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__h").asc, col("__cid").asc)
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("negative_id"),
+        col("__rn").cast("long").as("neg_rank"))
+  }
+
   /** ANN top-k via multi-table sign-LSH with multi-probe: `tables`
     * independent plane sets (offsets t·planes into the shared md5 plane
     * derivation) each bucket the corpus; queries probe their bucket per

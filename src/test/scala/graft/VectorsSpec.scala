@@ -192,6 +192,31 @@ class VectorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("negativeSample: negatives exclude self and near neighbors, draw is stable") {
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val out = Vectors.negativeSample(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, excludeK = 5, salt = "t").cache()
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(out.filter(col("query_id") === col("negative_id")).count() == 0)
+    // no negative may sit in the query's exact top-5 neighborhood
+    val near = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", 5)
+      .select(col("query_id"), col("neighbor_id").as("negative_id"))
+    assert(out.join(near, Seq("query_id", "negative_id"), "left_semi").count() == 0)
+    // deterministic: the same salt re-draws the same negatives
+    val again = Vectors.negativeSample(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, excludeK = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a different salt draws a different set
+    val other = Vectors.negativeSample(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, excludeK = 5, salt = "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != again)
+    out.unpersist()
+  }
+
   test("rerank: results drawn from the PQ shortlist, cosine recall beats raw ADC order") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

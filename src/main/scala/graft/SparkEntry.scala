@@ -1280,6 +1280,16 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // winsorization: clamp event values into each type's own [p05, p95]
+    // histogram band — thresholds broadcast, the clamp is scan-speed
+    "stats_winsorize" -> ((s, dir) => {
+      graft.functions.Stats.winsorize(events(s, dir), "event_type", "value",
+          width = 10.0, lowQ = 0.05, highQ = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_clipped"), col("clip_lo"), col("clip_hi"))
+        .orderBy(col("event_id"))
+    }),
+
     // sliding-window chunking with overlap (RAG prep): stride-spaced
     // full-width chunks, last start clamped to the doc boundary; pure
     // per-row expressions — zero shuffles, scan-speed
@@ -3123,6 +3133,35 @@ object SparkEntry {
          SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
            CAST(cms_est AS BIGINT) AS cms_est
          FROM top JOIN est USING (tok) ORDER BY token""",
+
+    // winsorize replay: per-type quantile picks → clamp
+    "stats_winsorize" ->
+      """WITH b AS (
+           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT a.event_type, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.event_type = a.event_type AND b2.bin <= a.bin
+           GROUP BY a.event_type, a.bin),
+         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
+         e AS (SELECT cum.event_type, bin, cum_count, total
+               FROM cum JOIN tot ON cum.event_type = tot.event_type),
+         qs(q) AS (VALUES (CAST(0.05 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+         pick AS (
+           SELECT event_type, q, bin FROM (
+             SELECT event_type, q, bin,
+               row_number() OVER (PARTITION BY event_type, q ORDER BY bin ASC) AS rn
+             FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1),
+         bounds AS (
+           SELECT event_type,
+             min(CASE WHEN q = 0.05 THEN bin * 10.0 END) AS clip_lo,
+             min(CASE WHEN q = 0.95 THEN (bin + 1) * 10.0 END) AS clip_hi
+           FROM pick GROUP BY event_type)
+         SELECT event_id, ev.event_type, value,
+           least(greatest(value, clip_lo), clip_hi) AS value_clipped,
+           clip_lo, clip_hi
+         FROM events ev JOIN bounds ON ev.event_type = bounds.event_type
+         ORDER BY event_id""",
 
     "stats_quantile_by_type" ->
       """WITH b AS (

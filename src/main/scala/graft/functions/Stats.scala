@@ -87,6 +87,29 @@ object Stats {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-group winsorization — outlier clipping for feature preparation:
+    * clamp `valueCol` into each group's [lowQ, highQ] histogram-quantile
+    * band (lower bound = the low pick's bin floor, upper = the high pick's
+    * bin ceiling — conservative outward, so at least lowQ..highQ of the
+    * data is untouched). The action step of
+    * [[groupedHistogramQuantiles]]: ONE raw aggregation for the bin table,
+    * thresholds broadcast back, the clamp itself is a scan-speed
+    * expression over the unshuffled input.
+    *
+    * Returns the input plus (value_clipped, clip_lo, clip_hi).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                width: Double, lowQ: Double, highQ: Double): DataFrame = {
+    require(lowQ < highQ, "lowQ must be below highQ")
+    val qs = groupedHistogramQuantiles(df, groupCol, valueCol, width, Seq(lowQ, highQ))
+    val bounds = qs.groupBy(col(groupCol)).agg(
+      min(when(col("q") === lowQ, col("lo"))).as("clip_lo"),
+      min(when(col("q") === highQ, col("hi"))).as("clip_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("value_clipped",
+        least(greatest(col(valueCol), col("clip_lo")), col("clip_hi")))
+  }
+
   /** row-`j` counter position of `key` in a width-`width` Count-Min row:
     * low 60 bits of md5(key ‖ "cms" ‖ j) mod width — md5-derived like every
     * hash here, so the sketch is engine-reproducible.

@@ -255,14 +255,25 @@ object ScaleBench {
     // pre-materialized pair sets (unpersisting a localCheckpointed RDD
     // makes it unrecomputable).
     val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    def releaseTransients(): Unit =
+    def releaseTransients(): Unit = {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // broadcast/shuffle cleanup rides on ContextCleaner's weak refs — it
+      // only fires after a driver GC, so nudge one between workloads or the
+      // run degrades cumulatively and late workloads time super-linear
+      System.gc()
+    }
 
-    workloads.foreach { w => w._4(); releaseTransients() }
+    // optional 2nd arg: comma-separated workload filter (local iteration)
+    val wanted = args.drop(1).headOption.map(_.split(",").toSet)
+    val selected = wanted match {
+      case Some(ws) => workloads.filter(w => ws(w._1))
+      case None => workloads
+    }
+    selected.foreach { w => w._4(); releaseTransients() }
 
-    val rows = workloads.map { case (name, n1, n10, w1, w10) =>
+    val rows = selected.map { case (name, n1, n10, w1, w10) =>
       val t1 = timed(w1())
       releaseTransients()
       val t10 = timed(w10())

@@ -78,6 +78,24 @@ class RetrievalStatsSpec extends SparkSpec {
       s"uniform distinct tokens reach ln(4), got ${out(2L)._2}")
   }
 
+  test("winsorize: clamps into the per-group band, interior values untouched") {
+    val ev = table("events")
+    val out = Stats.winsorize(ev, "event_type", "value", 10.0, 0.05, 0.95).cache()
+    assert(out.count() == ev.count())
+    // clamp invariant
+    assert(out.filter(col("value_clipped") < col("clip_lo") ||
+      col("value_clipped") > col("clip_hi")).count() == 0)
+    // interior values pass through unchanged
+    assert(out.filter(col("value") >= col("clip_lo") && col("value") <= col("clip_hi")
+      && col("value_clipped") =!= col("value")).count() == 0)
+    // the band is conservative: at most ~10% of rows get clipped
+    val clipped = out.filter(col("value_clipped") =!= col("value")).count().toDouble
+    assert(clipped / out.count() <= 0.12, s"clipped fraction ${clipped / out.count()}")
+    // bounds are group-local: at least two event types differ in thresholds
+    assert(out.select("event_type", "clip_hi").distinct().count() >= 2)
+    out.unpersist()
+  }
+
   test("bigramLogProb: backoff penalizes held-out docs, short docs score 0") {
     import graft.functions.Retrieval
     val docs = table("documents")

@@ -14,7 +14,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("fact_load", "q1_agg", "dim_ensure", "src_filtering", "sim_bruteforce")
+      else Seq("fact_load", "q1_agg", "dim_ensure", "src_filtering", "sim_bruteforce",
+        "search_bm25", "text_tfidf", "curate_by_domain", "sample_weighted",
+        "events_funnel")
     names.foreach { q =>
       println(s"\n========== $q ==========")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")

@@ -149,4 +149,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val idDocGen: Gen[List[(Long, String)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 30L)
+      words <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
+    } yield (id, words.mkString(" "))).map(_.distinctBy(_._1))
+
+  test("cutSpans accounting: kept + cut == tokens, clean text never gains tokens") {
+    import graft.functions.{Dedup, TextAnalysis}
+    forAllSeeded(idDocGen) { docsList =>
+      if (docsList.nonEmpty) {
+        val df = docsList.toDF("doc_id", "text")
+        val toks = df.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        val out = Dedup.cutSpans(df, "doc_id", "text", k = 3)
+        val joined = out.join(toks, "doc_id").collect()
+        assert(joined.length == docsList.length, "every doc appears once")
+        joined.foreach { r =>
+          val (kept, cut, nt) = (r.getAs[Long]("n_kept"), r.getAs[Long]("n_cut"),
+            r.getAs[Long]("nt"))
+          assert(kept + cut == nt, s"kept $kept + cut $cut != tokens $nt")
+          val cleanToks = r.getAs[String]("clean_text").split(" ").count(_.nonEmpty)
+          assert(cleanToks == kept, "clean_text token count must equal n_kept")
+        }
+      }
+    }
+  }
+
+  test("weightedSample quota + determinism under random positive weights") {
+    import graft.functions.Sampling
+    forAllSeeded(Gen.zip(idDocGen, Gen.chooseNum(1, 5))) { case (docsList, k) =>
+      if (docsList.nonEmpty) {
+        val df = docsList.toDF("doc_id", "text")
+          .withColumn("grp", (col("doc_id") % 3).cast("int"))
+          .withColumn("w", (col("doc_id") % 7) + 1)
+        val out = Sampling.weightedSample(df, Seq("grp"), "doc_id", col("w"), k, "p")
+        assert(out.groupBy("grp").count().filter(col("count") > k).count() == 0)
+        val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+        val b = Sampling.weightedSample(df, Seq("grp"), "doc_id", col("w"), k, "p")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(a == b, "same salt must re-draw the same sample")
+      }
+    }
+  }
 }

@@ -890,6 +890,16 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // per-language score calibration: z-normalized quality so one global
+    // threshold treats every language slice fairly
+    "curate_score_calibrate" -> ((s, dir) => {
+      graft.functions.Curation.calibrateScores(docsNorm(s, dir), "lang",
+          TextAnalysis.qualityScoreRaw(col("text")))
+        .select(col("doc_id"), col("lang"), col("group_mean"),
+          col("group_std"), col("z_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // curation BY domain: annotate every document with its domain verdict
     // (quality floor, duplication ceiling, blocklist) — broadcast join of
     // the stats table back onto the scan, the corpus itself never shuffles
@@ -2402,6 +2412,42 @@ object SparkEntry {
              round(contrib, 6)::DOUBLE AS contrib
            FROM x ORDER BY x.contrib DESC, tok ASC LIMIT 15)
          ORDER BY token""",
+
+    // calibration replay: decimal-exact Σq/Σq², one-division moments, z
+    "curate_score_calibrate" ->
+      s"""WITH q AS (
+           SELECT doc_id, lang,
+             CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0
+                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)) AS ql
+           FROM (
+             SELECT doc_id, lang, text,
+               CASE WHEN length(nt) = 0 THEN 0
+                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+               len(list_filter(string_split(nt, ' '),
+                 w -> w IN ('the','and','of','to','a'))) AS nstop,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                 AS npunct
+             FROM (SELECT doc_id, lang, text, $normSql AS nt FROM documents))),
+         m AS (
+           SELECT lang, count(*) AS n, sum(ql) AS s, sum(ql * ql) AS s2
+           FROM q GROUP BY lang),
+         mm AS (
+           SELECT lang,
+             round(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,8)), 4)::DOUBLE
+               AS group_mean,
+             round(CAST(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+               - pow(CAST(s AS DOUBLE) / n, 2), 0.0)) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS group_std
+           FROM m)
+         SELECT doc_id, q.lang, group_mean, group_std,
+           round(CAST(CASE WHEN group_std = 0.0 THEN 0.0
+             ELSE (CAST(ql AS DOUBLE) - group_mean) / group_std END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS z_score
+         FROM q JOIN mm ON q.lang = mm.lang ORDER BY doc_id""",
 
     // per-domain trust table: decimal-staged quality mean, exact-int dup
     // fraction, mean token count

@@ -49,6 +49,39 @@ object Curation {
         ratio(col("__st"), col("__n")).as("mean_tokens"))
   }
 
+  /** Per-group score calibration: z-normalize a quality score within each
+    * group (language, source) so one global threshold treats every slice
+    * fairly — the multilingual-curation fix for quality models that score
+    * high-resource languages systematically higher. Group moments come from
+    * ONE aggregation with DECIMAL-staged sums (Σq and Σq² exact, so
+    * mean/std are reproducible one-division doubles); the z-score itself is
+    * a broadcast-joined scan-speed expression. Degenerate groups (std 0)
+    * calibrate to 0.
+    *
+    * Returns the input plus (group_mean, group_std, z_score).
+    */
+  def calibrateScores(df: DataFrame, groupCol: String, score: Column): DataFrame = {
+    val staged = df.withColumn("__q", score.cast(DecimalType(18, 8)))
+    val moments = staged.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
+        sum(col("__q") * col("__q")).as("__s2"))
+      .withColumn("group_mean",
+        round((col("__s").cast("double") / col("__n").cast("double"))
+          .cast(DecimalType(18, 8)), 4).cast("double"))
+      .withColumn("group_std",
+        round(sqrt(greatest(
+          col("__s2").cast("double") / col("__n").cast("double")
+            - pow(col("__s").cast("double") / col("__n").cast("double"), 2),
+          lit(0.0))).cast(DecimalType(18, 8)), 4).cast("double"))
+      .select(col(groupCol), col("group_mean"), col("group_std"))
+    staged.join(broadcast(moments), Seq(groupCol))
+      .withColumn("z_score",
+        round(when(col("group_std") === 0.0, lit(0.0))
+          .otherwise((col("__q").cast("double") - col("group_mean")) / col("group_std"))
+          .cast(DecimalType(18, 8)), 4).cast("double"))
+      .drop("__q")
+  }
+
   /** Corpus snapshot diff — recrawl/reingest change detection: classify
     * every document id across two corpus versions as `added` (new only),
     * `removed` (old only), `changed` (both, content fingerprint differs) or

@@ -88,6 +88,27 @@ class CurationSpec extends SparkSpec {
     assert(same.forall(r => math.abs(r.getDouble(3)) < 1e-4))
   }
 
+  test("calibrateScores: group-local z-scores, zero-mean per group, degenerate std 0") {
+    import graft.functions.{Curation, TextAnalysis}
+    val docs = table("documents")
+    val out = Curation.calibrateScores(docs, "lang",
+      TextAnalysis.qualityScoreRaw(col("text"))).cache()
+    assert(out.count() == docs.count())
+    // per-group z means sit at ~0 (rounding noise only)
+    out.groupBy("lang").agg(avg("z_score").as("m")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 0.01, s"lang ${r.getString(0)} mean z ${r.getDouble(1)}")
+    }
+    // moments are group-local: languages differ in mean
+    assert(out.select("lang", "group_mean").distinct().count() ==
+      out.select("lang").distinct().count())
+    // a constant-score group calibrates to 0, not NaN
+    import spark.implicits._
+    val const = Curation.calibrateScores(
+      Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "g", "s"), "g", col("s"))
+    assert(const.select("z_score").collect().forall(_.getDouble(0) == 0.0))
+    out.unpersist()
+  }
+
   test("curateByDomain: minDocs floor cuts thin domains") {
     val out = Curation.curateByDomain(corpus, "source", "text",
       minMeanQuality = 0.0, maxDupFrac = 1.0, minDocs = 3)

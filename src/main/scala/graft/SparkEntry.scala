@@ -728,6 +728,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // triangle density of the near-dup graph: clique-shaped template
+    // families vs chain-shaped incidental overlap — two edge-set equi-joins
+    "dedup_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      Dedup.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
+
     // exact edit-distance verification of the fuzzy candidates: normalized
     // Levenshtein similarity over ONLY the pair set (codegen'd builtin,
     // pair-proportional text fetch) — the final check before dropping docs
@@ -2101,6 +2110,35 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jac, 4) AS jaccard
          FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+
+    // triangle replay: oriented edges, apex wedge join, closing-edge semi
+    "dedup_triangles" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         e AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         tri AS (
+           SELECT w1.u AS a, w1.v AS b, w2.v AS c
+           FROM e w1 JOIN e w2 ON w1.u = w2.u AND w1.v < w2.v
+           WHERE EXISTS (SELECT 1 FROM e ce WHERE ce.u = w1.v AND ce.v = w2.v)),
+         pn AS (
+           SELECT node, count(*) AS n_triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY node),
+         nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+         SELECT node, CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
+         FROM nodes LEFT JOIN pn USING (node) ORDER BY node""",
 
     // edit verification over the same pair set: DuckDB's levenshtein on the
     // normalized text, similarity as one double division

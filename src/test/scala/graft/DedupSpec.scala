@@ -260,6 +260,20 @@ class DedupSpec extends SparkSpec {
     assert(inline.forall { case (n, c) => n % 5 == 0 && c % 5 != 0 })
   }
 
+  test("triangleCounts: cliques count, chains don't, each triangle once") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, each node in 3), a chain 5-6-7 (0 triangles)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 0, 6L -> 0, 7L -> 0))
+    // orientation-insensitive: reversed and duplicated edges change nothing
+    val noisy = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    assert(Dedup.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == out)
+  }
+
   test("editVerify: exact Levenshtein on the pair set, identical docs score 1.0") {
     import spark.implicits._
     val d = Seq(

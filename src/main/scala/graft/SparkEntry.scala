@@ -2902,30 +2902,34 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
-    // negatives replay: brute-force exclusion set, md5-hash-ordered draw
+    // negatives replay: md5-bucketed per-query candidate pool (16 buckets,
+    // 4 probes), pool-local top-5 cosine exclusion, md5-hash-ordered draw
     "sim_negatives" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          q AS (SELECT * FROM e WHERE vec_id < 10),
-         p AS (
-           SELECT q.vec_id AS qid, c.vec_id AS cid,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         near AS (
-           SELECT qid, cid FROM (
-             SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-             FROM p) WHERE rn <= 5),
          cand AS (
-           SELECT q.vec_id AS qid, c.vec_id AS cid,
-             ('0x'||substr(md5(q.vec_id::VARCHAR || '_' || c.vec_id::VARCHAR || 'neg-v1'),1,15))::BIGINT AS h
-           FROM q CROSS JOIN e c
-           WHERE q.vec_id != c.vec_id
-             AND NOT EXISTS (SELECT 1 FROM near WHERE near.qid = q.vec_id AND near.cid = c.vec_id))
+           SELECT vec_id AS cid, v,
+             ('0x'||substr(md5(vec_id::VARCHAR || 'neg-v1|b'),1,15))::BIGINT % 16 AS b
+           FROM e),
+         qp AS (
+           SELECT q.vec_id AS qid, q.v,
+             (('0x'||substr(md5(q.vec_id::VARCHAR || 'neg-v1|q'),1,15))::BIGINT % 16 + j) % 16 AS b
+           FROM q CROSS JOIN range(0, 4) t(j)),
+         pool AS (
+           SELECT qp.qid, cand.cid,
+             list_dot_product(qp.v, cand.v)
+               / (sqrt(list_dot_product(qp.v, qp.v)) * sqrt(list_dot_product(cand.v, cand.v))) AS cos,
+             ('0x'||substr(md5(qp.qid::VARCHAR || '_' || cand.cid::VARCHAR || 'neg-v1'),1,15))::BIGINT AS h
+           FROM qp JOIN cand USING (b) WHERE qp.qid != cand.cid),
+         kept AS (
+           SELECT qid, cid, h FROM (
+             SELECT qid, cid, h, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS nr
+             FROM pool) WHERE nr > 5)
          SELECT qid AS query_id, cid AS negative_id, CAST(rn AS BIGINT) AS neg_rank
          FROM (
            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY h ASC, cid ASC) AS rn
-           FROM cand)
+           FROM kept)
          WHERE rn <= 5 ORDER BY query_id, neg_rank""",
 
     "mm_features" ->

@@ -325,18 +325,23 @@ object Dedup {
     * union — two shuffles, no all-pairs work. Label state is
     * re-materialized per round (Bridge.freeze) so lineage stays flat across
     * iterations, and the changed-flag rides the frozen blocks so fixpoint
-    * detection is a block-read, not another shuffle. For graphs with whale
-    * components (diameter in the hundreds) the same loop accepts the
-    * alternating large-star/small-star edge rewrite; near-dup graphs do not
-    * need it. Both paths compute the identical fixpoint (smallest id per
-    * component), so the gate never changes results.
+    * detection is a block-read, not another shuffle. Min-label converges in
+    * O(component diameter) rounds — near-dup graphs are shallow, so that is
+    * usually 2-3 rounds; if a whale component (diameter in the hundreds) is
+    * still moving after `starAfter` rounds, the loop contracts the graph by
+    * its current labels and finishes with [[starComponents]]' alternating
+    * large-star/small-star rewrite, which converges geometrically
+    * (O(log diameter) rounds). All paths compute the identical fixpoint
+    * (smallest id per component), so neither the gate nor the switch ever
+    * changes results.
     *
     * Returns (node, label): every document that appears in a pair, labeled
     * by the smallest document id reachable from it.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50,
-                          localEdgeGate: Long = 4L << 20): DataFrame = {
+                          localEdgeGate: Long = 4L << 20,
+                          starAfter: Int = 8): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     // symmetrize by exploding both orientations out of ONE pass — a
@@ -352,7 +357,7 @@ object Dedup {
       .withColumn("label", col("node")))
     var iter = 0
     var converged = eCount == 0
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter && iter < starAfter) {
       // next(n) = min(label(n), min over incoming neighbors' labels): the
       // node's own tagged row and its neighbor rows meet in ONE hash
       // aggregation, so a round is join + agg (two shuffles), and the
@@ -370,7 +375,88 @@ object Dedup {
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
+    if (!converged && iter < maxIter) {
+      // Still moving after `starAfter` rounds ⇒ a high-diameter component.
+      // Contract the graph by the current labels (connectivity-preserving,
+      // and every component's min is itself a label since its own label
+      // never moves) and finish with the geometric star rewrite.
+      val la = labels.select(col("node").as("src"), col("label").as("__la"))
+      val lb = labels.select(col("node").as("dst"), col("label").as("__lb"))
+      val contracted = edges.join(la, "src").join(lb, "dst")
+        .select(col("__la").as("src"), col("__lb").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val (starLabels, _) = starComponents(contracted, maxIter - iter)
+      labels = labels
+        .join(starLabels.select(col("node").as("label"), col("label").as("__sl")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("__sl"), col("label")).as("label"))
+    }
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * high-diameter finisher [[connectedComponents]] switches to when
+    * min-label propagation is still moving after its opening rounds. Each
+    * large-star hangs every node's larger neighbors onto its neighborhood
+    * minimum; each small-star rewires the smaller neighbors the same way —
+    * components contract geometrically, so a path of diameter d stars out
+    * in O(log d) rounds where plain propagation needs d. Every step is one
+    * min aggregation + one equi-join on the node key (the same shuffle
+    * budget as a label round), edges re-materialize per round so lineage
+    * stays flat, and the fixpoint (each node tied to its component's
+    * smallest id) is checked by exact set equality — never a heuristic.
+    *
+    * Input: directed edge frame (src, dst), any orientation, self-loops
+    * tolerated. Returns ((node, label) for every endpoint, rounds run).
+    */
+  def starComponents(edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val allNodes = bridge.freeze(edges0.select(col("src").as("node"))
+      .union(edges0.select(col("dst"))).distinct())
+    // working invariant: every stored edge has a > b (no self-loops), so
+    // "larger endpoint" is positional and each step is a plain aggregation
+    var (cur, curCount) = bridge.freezeCounted(edges0
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var rounds = 0
+    var converged = curCount == 0
+    while (!converged && rounds < maxIter) {
+      // large-star: for each node u, every strictly larger neighbor v is
+      // rewired to m = min(N(u) ∪ {u}); output keeps the a > b invariant
+      // because v > u >= m
+      val sym = cur.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      val mn = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+      val large = sym.join(mn, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), least(col("u"), col("__mn")).as("b"))
+        .distinct()
+      // small-star at each larger endpoint a over its smaller neighbors
+      // {b}: m = min(b's); every b ≠ m rewires to m and a itself ties to m
+      // — the (a, m) edge is emitted by the group's single b == m row, so
+      // the output maps 1:1 onto input rows (pure projection, no explode)
+      val mn2 = large.groupBy(col("a")).agg(min(col("b")).as("__mn"))
+      val small = large.join(mn2, Seq("a"))
+        .select(when(col("b") === col("__mn"), col("a")).otherwise(col("b")).as("a"),
+          col("__mn").as("b"))
+        .distinct()
+      val (next, nextCount) = bridge.freezeCounted(small)
+      // sets are distinct by construction: equal count + empty one-sided
+      // difference ⇔ identical edge sets ⇔ the star fixpoint
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      cur = next; curCount = nextCount
+      rounds += 1
+    }
+    // the fixpoint is a forest of stars: every leaf points at its
+    // component's minimum; centers appear only on the right side
+    val labels = allNodes
+      .join(cur.select(col("a").as("node"), col("b").as("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    (labels, rounds)
   }
 
   /** Driver-side path of [[connectedComponents]]: path-compressed,
@@ -611,32 +697,43 @@ object Dedup {
     * nearest centroid, so the all-pairs O(N²) collapses to Σ|cluster|² with
     * one equi-shuffle on the cluster id — the canonical embedding-space
     * dedup shape at 100 TB (more clusters → smaller quadratic terms).
+    *
+    * `maxCluster` is the whale guard, the semantic twin of
+    * [[minhashPairs]]' `maxBucket`: one degenerate cluster of size n would
+    * otherwise re-create the n² blow-up the clustering exists to avoid.
+    * Oversized clusters sub-split into ceil(n/maxCluster) md5-derived
+    * sub-buckets and only same-sub pairs are compared — candidate count is
+    * bounded by ~n·maxCluster (linear in n), recall inside the whale
+    * degrades gracefully instead of the job dying. The cluster-size table
+    * is k rows by construction, so the size join is always a broadcast.
+    *
     * Returns (id_a, id_b, cluster, cosine); compose with [[clusters]] for
     * connected-component keep/drop assignment, exactly like the text-space
     * pair ops.
     */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.4): DataFrame = {
+                    threshold: Double = 0.4,
+                    maxCluster: Int = 1 << 16): DataFrame = {
     val vecs = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
-    // centroid set is k rows by construction — always broadcastable
-    val cents = broadcast(Vectors.kMeans(df, idCol, vecCol, k, iters)
-      .select(col("cluster"), col("centroid").as("__cv")))
-    val scored = vecs.crossJoin(cents)
-      .withColumn("__d2",
-        Vectors.dot(col("__v"), col("__v"))
-          - lit(2.0) * Vectors.dot(col("__v"), col("__cv"))
-          + Vectors.dot(col("__cv"), col("__cv")))
-    val w = Window.partitionBy(col("__vid")).orderBy(col("__d2").asc, col("cluster").asc)
-    // materialize the assignment: both sides of the within-cluster self-join
-    // read it, and it already cost a broadcast join + window to compute
+    // centroid set is k rows by construction — always broadcastable; routing
+    // is Vectors.assignClusters' shuffle-free argmin fold over the broadcast
+    // centroid array. Materialize the assignment: both sides of the
+    // within-cluster self-join read it.
     val assigned = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      Vectors.assignClusters(vecs, Vectors.kMeans(df, idCol, vecCol, k, iters))
         .select(col("cluster"), col("__vid"), col("__v")))
-    val a = assigned.select(col("cluster"), col("__vid").as("__ida"), col("__v").as("__va"))
-    val b = assigned.select(col("cluster"), col("__vid").as("__idb"), col("__v").as("__vb"))
-    a.join(b, Seq("cluster"))
+    val sizes = broadcast(assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__cn")))
+    val split = assigned.join(sizes, Seq("cluster"))
+      .withColumn("__sub", when(col("__cn") <= maxCluster, lit(0L))
+        .otherwise(Sampling.hash60(col("__vid"), "semsub")
+          % ceil(col("__cn").cast("double") / maxCluster).cast("long")))
+    val a = split.select(col("cluster"), col("__sub"),
+      col("__vid").as("__ida"), col("__v").as("__va"))
+    val b = split.select(col("cluster"), col("__sub"),
+      col("__vid").as("__idb"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster", "__sub"))
       .filter(col("__ida") < col("__idb"))
       .withColumn("cosine", Vectors.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

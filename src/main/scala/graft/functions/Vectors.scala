@@ -96,8 +96,25 @@ object Vectors {
         .select(col(id), col(vec), col("__n"), col("__centid").as("__cluster"))
     }
 
-    val cB = topClusters(corpus, cId, cVec, probes = 1)
-      .select(col("__cluster"), col(cId).as("__cid"), col(cVec).as("__cv"), col("__n").as("__cn"))
+    // Corpus routing (probes=1) is an argmax over a bounded set, not a
+    // top-N: fold over the broadcast centroid ARRAY instead of expanding
+    // |corpus|×|centroids| rows through a window. array_max on
+    // struct(cosine, -centid) realizes exactly the window's
+    // (__cs desc, __centid asc) order — Catalyst compares struct fields
+    // with the same Double ordering sorting uses — at zero row expansion
+    // and zero shuffle: the corpus is routed at scan speed and first
+    // shuffles on the cluster id for the probe equi-join.
+    val centArr = broadcast(cents.agg(collect_list(
+      struct(col("__centid"), col("__centv"), col("__centn"))).as("__cents")))
+    val cB = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .crossJoin(centArr)
+      .withColumn("__best", array_max(transform(col("__cents"), c => struct(
+        cosinePre(col("__cv"), c.getField("__centv"), col("__cn"), c.getField("__centn"))
+          .as("__cs"),
+        (-c.getField("__centid")).as("__negid")))))
+      .select((-col("__best.__negid")).as("__cluster"),
+        col("__cid"), col("__cv"), col("__cn"))
     val qB = topClusters(queries, qId, qVec, probes = nProbe)
       .select(col("__cluster"), col(qId).as("__qid"), col(qVec).as("__qv"), col("__n").as("__qn"))
 
@@ -154,18 +171,23 @@ object Vectors {
   }
 
   /** nearest-centroid assignment (ties broken by smallest cluster label):
-    * (idCols of `vecs`, cluster, __d2) — the IVF routing step, and the
-    * k-means E-step
+    * (__vid, __v, cluster, __d2) — the IVF routing step, and the k-means
+    * E-step. Argmin as a fold over the broadcast centroid array:
+    * array_min on struct(d2, cluster) is exactly the window's
+    * (__d2 asc, cluster asc) + row_number=1, with zero row expansion and
+    * zero shuffle — each vector is routed where it sits.
     */
-  private def assignClusters(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(col("cluster"), col("centroid").as("__cv")))
-    val scored = vecs.crossJoin(cents)
-      .withColumn("__d2",
-        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__cv"))
-          + dot(col("__cv"), col("__cv")))
-    val w = Window.partitionBy(col("__vid")).orderBy(col("__d2").asc, col("cluster").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__cv")
+  private[functions] def assignClusters(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.agg(collect_list(
+      struct(col("cluster"), col("centroid").as("__cv"))).as("__cents")))
+    vecs.crossJoin(cents)
+      .withColumn("__xx", dot(col("__v"), col("__v")))
+      .withColumn("__best", array_min(transform(col("__cents"), c => struct(
+        (col("__xx") - lit(2.0) * dot(col("__v"), c.getField("__cv"))
+          + dot(c.getField("__cv"), c.getField("__cv"))).as("__d2"),
+        c.getField("cluster").as("cluster")))))
+      .select(col("__vid"), col("__v"),
+        col("__best.cluster").as("cluster"), col("__best.__d2").as("__d2"))
   }
 
   /** final cluster assignment of every corpus vector against trained
@@ -261,18 +283,23 @@ object Vectors {
     df.select(col(idCol).as("__vid"), posexplode(slices).as(Seq("sub", "__sv")))
   }
 
-  /** per-(sub, vector) nearest sub-centroid (ties → smallest cluster label) */
+  /** per-(sub, vector) nearest sub-centroid (ties → smallest cluster label):
+    * the same argmin fold as [[assignClusters]], keyed per subspace — the
+    * m-row per-sub codebook arrays broadcast-equi-join on `sub`, so the
+    * encode is one broadcast join at scan speed (the window form shuffled
+    * and sorted all m·|corpus| subvector rows)
+    */
   private def assignSub(subs: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("sub"), col("cluster"), col("centroid").as("__cv")))
-    val scored = subs.join(cents, Seq("sub"))
-      .withColumn("__d2",
-        dot(col("__sv"), col("__sv")) - lit(2.0) * dot(col("__sv"), col("__cv"))
-          + dot(col("__cv"), col("__cv")))
-    val w = Window.partitionBy(col("sub"), col("__vid"))
-      .orderBy(col("__d2").asc, col("cluster").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__cv")
+    val cents = broadcast(centroids.groupBy(col("sub")).agg(collect_list(
+      struct(col("cluster"), col("centroid").as("__cv"))).as("__cents")))
+    subs.join(cents, Seq("sub"))
+      .withColumn("__xx", dot(col("__sv"), col("__sv")))
+      .withColumn("__best", array_min(transform(col("__cents"), c => struct(
+        (col("__xx") - lit(2.0) * dot(col("__sv"), c.getField("__cv"))
+          + dot(c.getField("__cv"), c.getField("__cv"))).as("__d2"),
+        c.getField("cluster").as("cluster")))))
+      .select(col("sub"), col("__vid"), col("__sv"),
+        col("__best.cluster").as("cluster"), col("__best.__d2").as("__d2"))
   }
 
   /** PQ encoding: each vector compresses to `m` sub-codebook ids —
@@ -339,8 +366,10 @@ object Vectors {
                 qId: String, qVec: String, cId: String, cVec: String,
                 k: Int, dim: Int, m: Int = 8, kSub: Int = 16, iters: Int = 1,
                 nCoarse: Int = 16, nProbe: Int = 4): DataFrame = {
-    val coarse = broadcast(corpus.orderBy(col(cId)).limit(nCoarse)
-      .select(col(cId).as("cluster"), col(cVec).cast("array<double>").as("__cv")))
+    val coarseSrc = corpus.orderBy(col(cId)).limit(nCoarse)
+      .select(col(cId).as("cluster"), col(cVec).cast("array<double>").as("centroid"))
+    val coarse = broadcast(coarseSrc
+      .select(col("cluster"), col("centroid").as("__cv")))
     def route(df: DataFrame, id: String, vec: String, out: String,
               probes: Int): DataFrame = {
       val scored = df.select(col(id).as(out), col(vec).cast("array<double>").as("__v"))
@@ -352,9 +381,15 @@ object Vectors {
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= probes)
         .select(col(out), col("cluster"))
     }
-    // IVF pruning: query probes x corpus assignment, equi-joined on cluster
+    // IVF pruning: query probes (windowed — the query side is small) against
+    // the corpus assignment ([[assignClusters]]'s shuffle-free argmin fold —
+    // the corpus is routed at scan speed), equi-joined on cluster
+    val corpusRouted = assignClusters(
+      corpus.select(col(cId).as("__vid"), col(cVec).cast("array<double>").as("__v")),
+      coarseSrc)
+      .select(col("__vid").as("__cid"), col("cluster"))
     val cand = route(queries, qId, qVec, "__qid", nProbe)
-      .join(route(corpus, cId, cVec, "__cid", 1), Seq("cluster"))
+      .join(corpusRouted, Seq("cluster"))
       .select(col("__qid"), col("__cid"))
 
     val codebook = pqTrain(corpus, cId, cVec, dim, m, kSub, iters)
@@ -413,37 +448,61 @@ object Vectors {
   }
 
   /** Deterministic negative sampling for contrastive training: for each
-    * query, `k` corpus vectors that are NOT among its `excludeK` exact
-    * cosine nearest neighbors (and not itself), drawn in md5-hash order of
-    * (query, candidate) — the engine-reproducible stand-in for a uniform
-    * random draw, per the [[graft.functions.Sampling]] discipline. In-batch/
-    * random negatives are the standard counterpart to the positives a
-    * near-dup or retrieval pipeline mines.
+    * query, `k` corpus vectors drawn in md5-hash order of (query, candidate)
+    * — the engine-reproducible stand-in for a uniform random draw, per the
+    * [[graft.functions.Sampling]] discipline — excluding the query itself
+    * and the `excludeK` hardest (highest exact cosine) candidates of the
+    * drawn pool, the false-negative guard. In-batch/random negatives are
+    * the standard counterpart to the positives a near-dup or retrieval
+    * pipeline mines.
     *
-    * Scale shape: the exclusion set is |queries|·excludeK rows (tiny,
-    * broadcast into an anti-join); candidates rank by a codegen'd hash
-    * expression under a per-query window — queries are the partition key,
-    * so the sort is many small independent windows. The corpus side is
-    * scanned once; at 100 TB swap the cross join for a hash-bucketed slice
-    * of the corpus per query (same plan with a bucket equi-join) — the
-    * draw stays deterministic because the hash, not the layout, orders it.
+    * Scale shape — no all-pairs anywhere: the corpus lands in `buckets`
+    * md5-derived hash buckets (one bucket per candidate); each query
+    * equi-joins its `probes` md5-selected buckets, so the candidate pool is
+    * |queries|·probes/buckets·|corpus| rows — tune `buckets` up so the pool
+    * stays constant per query as the corpus grows. Exclusion runs
+    * POOL-LOCAL: only drawable candidates can be false negatives, so
+    * corpus-wide exact kNN (itself an all-pairs scan) would spend a full
+    * cross join excluding rows that were never drawable; and since a pool
+    * member's pool rank never exceeds its corpus-wide rank (both rank by
+    * the same (cosine desc, id asc) order over a subset), every corpus-wide
+    * top-`excludeK` neighbor that is drawable IS excluded — the guard is
+    * strictly stronger inside the pool, at zero scan cost.
+    * Both per-query windows share the same partition key, so the second
+    * reuses the first's exchange (one shuffle of the pool total).
     *
     * Returns (query_id, negative_id, neg_rank).
     */
   def negativeSample(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
-                     k: Int, excludeK: Int, salt: String = ""): DataFrame = {
-    val near = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, excludeK)
-      .select(col("query_id").as("__qid"), col("neighbor_id").as("__cid"))
-    val cand = queries.select(col(qId).as("__qid"))
-      .crossJoin(corpus.select(col(cId).as("__cid")))
+                     k: Int, excludeK: Int, salt: String = "",
+                     buckets: Int = 16, probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= buckets,
+      s"probes=$probes must be in [1, buckets=$buckets]")
+    val cand = corpus.select(col(cId).as("__cid"),
+        col(cVec).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__b", Sampling.hash60(col("__cid"), salt + "|b") % buckets)
+    // probes consecutive buckets mod `buckets` starting at a per-query
+    // md5 offset — distinct because probes <= buckets
+    val qp = queries.select(col(qId).as("__qid"),
+        col(qVec).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__j", explode(sequence(lit(0L), lit(probes - 1L))))
+      .withColumn("__b",
+        (Sampling.hash60(col("__qid"), salt + "|q") % buckets + col("__j")) % buckets)
+      .drop("__j")
+    val pool = qp.join(cand, Seq("__b"))
       .filter(col("__qid") =!= col("__cid"))
-      .join(near, Seq("__qid", "__cid"), "left_anti")
+      .withColumn("__cos", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .withColumn("__h", Sampling.hash60(
         concat(col("__qid").cast("string"), lit("_"), col("__cid").cast("string")),
         salt))
-    val w = Window.partitionBy(col("__qid")).orderBy(col("__h").asc, col("__cid").asc)
-    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid"), col("__cid"), col("__cos"), col("__h"))
+    val wNear = Window.partitionBy(col("__qid")).orderBy(col("__cos").desc, col("__cid").asc)
+    val wDraw = Window.partitionBy(col("__qid")).orderBy(col("__h").asc, col("__cid").asc)
+    pool.withColumn("__nr", row_number().over(wNear)).filter(col("__nr") > excludeK)
+      .withColumn("__rn", row_number().over(wDraw)).filter(col("__rn") <= k)
       .select(col("__qid").as("query_id"), col("__cid").as("negative_id"),
         col("__rn").cast("long").as("neg_rank"))
   }

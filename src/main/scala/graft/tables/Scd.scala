@@ -298,11 +298,21 @@ class ScdDimension(
       (if (toInclusive) whenCol <= col("__to") else whenCol < col("__to"))
     val joinCond = lookupatts.map(a => in(a) <=> col(s"__lk_$a")).reduce(_ && _) && fromOk && toOk
     val joined = in.join(dim, joinCond, "left")
-    // newest matching version wins on overlap
-    val w = Window.partitionBy(col("__rowid")).orderBy(col("__ver").desc_nulls_last)
-    joined.withColumn("__arn", row_number().over(w)).filter(col("__arn") === 1)
+    // Newest matching version wins on overlap — resolved as a max_by
+    // aggregation keyed on __rowid, not a window: the partial aggregate
+    // collapses a probe row's multiple matches map-side right after the
+    // join, so the one shuffle carries ~|probe| single-struct rows where
+    // the window form shuffled AND sorted every matched row. The ordering
+    // struct ranks (has-a-version, version): a no-match row (NULL __ver
+    // from the left join) can never beat a real match, and the ordering
+    // value itself is never NULL, so no match is ever dropped.
+    val rest = joined.columns.filterNot(_ == "__rowid")
+    joined.groupBy(col("__rowid"))
+      .agg(max_by(struct(rest.map(col): _*),
+        struct(col("__ver").isNotNull.as("__has"), col("__ver").as("__v"))).as("__best"))
+      .select(col("__best.*"))
       .withColumn(key, coalesce(col("__asof_key"), lit(defaultIdValue)))
-      .drop("__arn", "__from", "__to", "__ver", "__rowid", "__asof_key")
+      .drop("__from", "__to", "__ver", "__asof_key")
       .drop(lookupatts.map(a => s"__lk_$a"): _*)
   }
 }

@@ -192,6 +192,15 @@ object ScaleBench {
           .orderBy(col("c").desc, col("token").asc).limit(20),
         "token", depth = 4, width = 512))
     }
+    // negativeSample's documented 100 TB tuning: `buckets` grows with the
+    // corpus so the per-query candidate pool stays CONSTANT — the 10x side
+    // probes 4 of 160 buckets where the 1x side probes 4 of 16, drawing the
+    // same ~|C|/4-sized pool from a 10x corpus. Queries are the same fixed
+    // probe set on both sides.
+    def negSample(e: DataFrame, buckets: Int): Unit =
+      force(Vectors.negativeSample(emb1.filter(col("vec_id") < 10), e,
+        "vec_id", "v", "vec_id", "v", k = 5, excludeK = 5, salt = "sb",
+        buckets = buckets, probes = 4))
     def editVerify(d: DataFrame): Unit = {
       val pairs = Dedup.minhashPairs(d, "doc_id", "text", n = 3, k = 64,
         bands = 32, threshold = 0.8)
@@ -242,6 +251,8 @@ object ScaleBench {
       ("text_entropy", nDocs, nDocs * copies, () => entropy(docs1), () => entropy(docs10)),
       ("text_lm_bigram", nDocs, nDocs * copies, () => bigram(docs1), () => bigram(docs10)),
       ("sketch_cms", nDocs, nDocs * copies, () => cms(docs1), () => cms(docs10)),
+      ("sim_negatives", maxVec, maxVec * copies,
+        () => negSample(emb1, 16), () => negSample(emb10, 160)),
       ("dedup_edit_verify", nDocs, nDocs * copies, () => editVerify(docs1), () => editVerify(docs10)))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
@@ -284,7 +295,7 @@ object ScaleBench {
     }
 
     val md = new StringBuilder
-    md.append("# SCALECHECK — 10x scale proof (round 5)\n\n")
+    md.append("# SCALECHECK — 10x scale proof\n\n")
     md.append(s"Base: `$sfDir` (documents=$nDocs, events=$maxEvent); 10x = $copies salted copies\n")
     md.append("(per-copy token salt keeps near-dup pair growth LINEAR; user/event id ranges\n")
     md.append("shift per copy so key cardinality scales with rows). Wall-clock local[32],\n")

@@ -178,6 +178,31 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("semanticPairs maxCluster: a whale cluster's candidate count stays bounded") {
+    import spark.implicits._
+    // 64 near-identical vectors: k-means collapses them into ONE cluster —
+    // the degenerate-embedding whale that would generate 64*63/2 pairs
+    val whale = (0L until 64L)
+      .map(i => (i, Array(1.0, 1.0 + i * 1e-9, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val uncapped = Dedup.semanticPairs(whale, "vec_id", "v",
+      k = 2, iters = 1, threshold = 0.0, maxCluster = Int.MaxValue)
+    val capped = Dedup.semanticPairs(whale, "vec_id", "v",
+      k = 2, iters = 1, threshold = 0.0, maxCluster = 8)
+    val (nAll, nCap) = (uncapped.count(), capped.count())
+    // sub-splitting bounds candidates to ~n*maxCluster: with n=64, cap=8 the
+    // 8 sub-buckets of expected size 8 yield ~8*(8*7/2)=224 pairs max vs 2016
+    assert(nCap < nAll, s"cap must reduce the whale's pair count ($nCap vs $nAll)")
+    assert(nCap <= 64L * 8L, s"candidates bounded by ~n*maxCluster, got $nCap")
+    // capped pairs are a SUBSET of the uncapped pairs (same scoring, fewer
+    // candidates) — the guard degrades recall, never correctness
+    val cap = capped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = uncapped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap.subsetOf(all))
+  }
+
   test("dsirScore: target-slice docs score higher on average; empty docs 0") {
     import spark.implicits._
     val out = Retrieval.dsirScore(docs, "doc_id", "text", col("lang") === "en")

@@ -150,4 +150,35 @@ class ScaleSpec extends SparkSpec {
     assert(leaves.size <= 9, s"expected materialized union leaves, got ${leaves.size}")
     assert(d.current.count() == 800)
   }
+
+  test("star CC: a diameter-100 path converges in O(log d) rounds, labels exact") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    // path graph 0-1-2-…-100: diameter 100. Min-label propagation needs
+    // ~100 rounds; the large-star/small-star rewrite contracts it
+    // geometrically — the whale-component 100 TB path.
+    val d = 100
+    val path = (0 until d).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.starComponents(path, maxIter = 50)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to d.toLong).map(n => (n, 0L)).toSet,
+      "every path node labels to the component minimum 0")
+    val bound = 2 * (math.log(d.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"geometric convergence: $rounds rounds > O(log d) bound $bound")
+
+    // the public operator with the local gate forced off and the min-label
+    // opener skipped (starAfter = 0) computes the identical fixpoint
+    val viaPublic = Dedup.connectedComponents(
+      path.select(col("src").as("id_a"), col("dst").as("id_b")),
+      localEdgeGate = 0L, starAfter = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPublic == got)
+    // and the hybrid (a few min-label rounds, then the star finisher over
+    // the label-contracted graph) agrees too
+    val hybrid = Dedup.connectedComponents(
+      path.select(col("src").as("id_a"), col("dst").as("id_b")),
+      localEdgeGate = 0L, starAfter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hybrid == got)
+  }
 }

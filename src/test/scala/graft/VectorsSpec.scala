@@ -214,6 +214,12 @@ class VectorsSpec extends SparkSpec {
       k = 5, excludeK = 5, salt = "u")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(other != again)
+    // explain-audit: the bucketed draw plans no all-pairs operator — the
+    // candidate pool comes from a bucket equi-join, never a cross join
+    val phys = Vectors.negativeSample(q, e, "vec_id", "v", "vec_id", "v",
+      k = 5, excludeK = 5, salt = "t").queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), "no cartesian product")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), "no broadcast nested loop")
     out.unpersist()
   }
 

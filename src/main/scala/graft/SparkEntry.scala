@@ -411,6 +411,19 @@ object SparkEntry {
         .orderBy(col("fp"))
     }),
 
+    // streaming incremental dedup: 5 ordered micro-batches (doc_id % 5)
+    // each matched against the MinHash index accreted from prior batches,
+    // then absorbed — the ingestion steady state; streaming-mode parity in
+    // StreamingSpec (high-recall 32x2 bands, so the oracle is the exact
+    // cross-batch Jaccard over strictly-earlier batches)
+    "stream_dedup_index" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val dd = new graft.streaming.Streaming.MinHashIndexDedup(
+        "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8)
+      (0 until 5).foreach(b => dd.update(docs.filter(col("doc_id") % 5 === b)))
+      dd.matches.orderBy(col("new_id"), col("match_id"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -2818,6 +2831,26 @@ object SparkEntry {
                / len(list_distinct(list_concat(n.s, c.s))) AS jac
            FROM sh n JOIN sh c
              ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+         SELECT new_id, match_id, round(jac, 4) AS jaccard
+         FROM pairs WHERE jac >= 0.8 ORDER BY new_id, match_id""",
+
+    // ordered-batch replay: a pair is found iff the match arrived in a
+    // strictly earlier batch (batch = doc_id % 5) and exact jaccard >= 0.8
+    "stream_dedup_index" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT n.doc_id AS new_id, c.doc_id AS match_id,
+             len(list_intersect(n.s, c.s))::DOUBLE
+               / len(list_distinct(list_concat(n.s, c.s))) AS jac
+           FROM sh n JOIN sh c
+             ON (n.doc_id % 5) > (c.doc_id % 5))
          SELECT new_id, match_id, round(jac, 4) AS jaccard
          FROM pairs WHERE jac >= 0.8 ORDER BY new_id, match_id""",
 

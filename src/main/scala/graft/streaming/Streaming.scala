@@ -135,6 +135,61 @@ object Streaming {
     }
   }
 
+  /** Streaming incremental near-duplicate detection — the production
+    * ingestion steady state: each micro-batch is matched against the
+    * MinHash index accreted from all PRIOR batches (the dimensional
+    * ensure-per-batch discipline, reference pygrametl/tables.py:374-398,
+    * applied to dedup), then its signatures merge into the index. Wire it
+    * with [[foreachBatchMerge]]`(stream, dd.update)`.
+    *
+    * State is the compact signature index (id + k longs + band keys) plus
+    * the standing corpus text the exact-Jaccard verification fetches
+    * survivors from; matches, corpus, and index all re-freeze per batch so
+    * lineage stays flat across micro-batches. Per-batch shuffle is
+    * proportional to the BATCH (band-key equi-join against the
+    * pre-bucketable index), never the corpus — the
+    * [[graft.functions.Dedup.minhashAgainstIndex]] contract, unchanged.
+    */
+  class MinHashIndexDedup(idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7, maxBucket: Int = 2000) {
+    import graft.functions.Dedup
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var corpus: Option[DataFrame] = None
+    private var index: Option[DataFrame] = None
+    private var found: Option[DataFrame] = None
+
+    /** match one micro-batch against the prior index, then absorb it */
+    def update(batch: DataFrame): Unit = {
+      val b = bridge.freeze(batch.select(col(idCol), col(textCol)))
+      val newMatches = for (c <- corpus; idx <- index) yield
+        Dedup.minhashAgainstIndex(c, b, idCol, textCol, n, k, bands,
+          threshold, maxBucket, index = Some(idx))
+      found = Some(bridge.freeze(newMatches match {
+        case Some(m) => found.map(_.unionByName(m)).getOrElse(m)
+        case None => found.getOrElse(emptyMatches(batch))
+      }))
+      corpus = Some(bridge.freeze(corpus.map(_.unionByName(b)).getOrElse(b)))
+      val bIdx = Dedup.minhashIndex(b, idCol, textCol, n, k, bands)
+      index = Some(bridge.freeze(index.map(_.unionByName(bIdx)).getOrElse(bIdx)))
+    }
+
+    /** all (new_id, match_id, jaccard) pairs found so far, where match_id
+      * arrived in a strictly earlier micro-batch than new_id
+      */
+    def matches: DataFrame = found.getOrElse(
+      throw new IllegalStateException("no micro-batch processed yet"))
+
+    private def emptyMatches(batch: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val spark = batch.sparkSession
+      val idT = batch.schema(idCol).dataType
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("new_id", idT), StructField("match_id", idT),
+        StructField("jaccard", DoubleType))))
+    }
+  }
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

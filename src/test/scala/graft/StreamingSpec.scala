@@ -168,4 +168,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchTop,
       s"streaming drift $streamed must equal batch tokenDrift $batchTop")
   }
+
+  test("streaming minhash-index dedup: foreachBatch accretion equals ordered replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+
+    // drive the class through real Structured Streaming plumbing, one file
+    // per micro-batch, recording each batch's membership as it arrives
+    val streamed = new Streaming.MinHashIndexDedup("doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+    var batches = Vector.empty[Array[Long]]
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    Streaming.runToCompletion(Streaming.foreachBatchMerge(stream, b =>
+      if (!b.isEmpty) {
+        streamed.update(b)
+        batches :+= b.select("doc_id").collect().map(_.getLong(0))
+      }))
+    assert(batches.size >= 3, s"expected several micro-batches, got ${batches.size}")
+    val got = streamed.matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch twin: replay the SAME batch sequence
+    val replay = new Streaming.MinHashIndexDedup("doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+    batches.foreach { ids =>
+      replay.update(docs.filter(col("doc_id").isin(ids.map(Long.box): _*)))
+    }
+    val expected = replay.matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "streaming accretion must equal the ordered batch replay")
+
+    // matches only ever point backward in arrival order, and some exist
+    // (the documents table carries near-duplicates by construction)
+    assert(got.nonEmpty, "corpus has near-dups; the index must find them")
+    val arrival = batches.zipWithIndex
+      .flatMap { case (ids, i) => ids.map(_ -> i) }.toMap
+    got.foreach { case (n, m, _) =>
+      assert(arrival(n) > arrival(m), s"match ($n, $m) must point to an earlier batch")
+    }
+  }
 }

@@ -36,7 +36,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val report = args.headOption.getOrElse("SCALECHECK_r05.md")
+    val report = args.headOption.getOrElse("SCALECHECK_r06.md")
     val copies = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

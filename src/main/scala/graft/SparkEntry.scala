@@ -180,6 +180,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.4 datereader/datetimereader: custom-format parser factories with a
+    // lenient default (pygrametl/__init__.py:519-558)
+    "fn_datereader" -> ((s, dir) => {
+      val rd = Converters.dateReader("dd/MM/yyyy")
+      val rdDef = Converters.dateReader("dd/MM/yyyy",
+        lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+      val rt = Converters.datetimeReader("dd/MM/yyyy HH:mm")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        rd(date_format(col("o_orderdate"), "dd/MM/yyyy")).as("d_roundtrip"),
+        rdDef(col("o_orderpriority")).as("d_bad"),
+        rt(concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 12:30")))
+          .as("ts_custom"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.4 datespan date-dimension generator (pygrametl/__init__.py:561-630)
     "fn_datespan" -> ((s, dir) => DateSpan(s, "1995-01-01", "1995-12-31").orderBy(col("dateid"))),
 
@@ -1704,6 +1720,13 @@ object SparkEntry {
          TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
          coalesce(CASE WHEN o_orderstatus = 'O' THEN true ELSE NULL END, false) AS is_open,
          trim('  ' || o_orderstatus || ' ') AS status
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_datereader" ->
+      """SELECT o_orderkey,
+         try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS d_roundtrip,
+         coalesce(try_strptime(o_orderpriority, '%d/%m/%Y')::DATE, DATE '1970-01-01') AS d_bad,
+         try_strptime(strftime(o_orderdate, '%d/%m/%Y') || ' 12:30', '%d/%m/%Y %H:%M') AS ts_custom
          FROM orders ORDER BY o_orderkey""",
 
     "fn_datespan" ->

@@ -138,6 +138,22 @@ object Converters {
   /** ymdhmsparser (reference: pygrametl/__init__.py:498-516). */
   def ymdhms(c: Column): Column = c.cast(TimestampType)
 
+  /** datereader: a custom-format date parser factory (reference:
+    * pygrametl/__init__.py:519-538 — wraps time.strptime with a caller
+    * format). Returns a reusable Column function; unparseable values fall
+    * back to `default` (the reference raises — pass a non-null default for
+    * the lenient form). Format is a Spark datetime pattern, e.g.
+    * "dd/MM/yyyy".
+    */
+  def dateReader(format: String, default: Column = lit(null)): Column => Column =
+    c => coalesce(try_to_timestamp(c.cast(StringType), lit(format)).cast(DateType), default)
+
+  /** datetimereader (reference: pygrametl/__init__.py:541-558): like
+    * [[dateReader]] but yielding a timestamp.
+    */
+  def datetimeReader(format: String, default: Column = lit(null)): Column => Column =
+    c => coalesce(try_to_timestamp(c.cast(StringType), lit(format)), default)
+
   /** case normalization used when comparing lookup values
     * (reference: pygrametl/__init__.py:633-642).
     */

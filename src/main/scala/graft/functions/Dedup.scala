@@ -24,7 +24,12 @@ object Dedup {
 
   /** Exact dedup: keep the first document (min orderCol) per identical
     * normalized content; hash-groupBy on the md5 fingerprint — one shuffle
-    * keyed by digest, no skew (digests are uniform).
+    * keyed by digest, no skew (digests are uniform). Deliberately a window,
+    * not `min_by(struct(entire row))`: a struct-valued aggregation buffer is
+    * immutable, which forces SortAggregate — the same per-partition sort as
+    * the window plus per-update row copies (measured 2.4× slower on the
+    * composed pipelines), while the narrow-buffer map-side-combine win never
+    * materializes.
     */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp")).orderBy(col(orderCol).asc)

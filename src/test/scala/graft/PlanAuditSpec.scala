@@ -60,4 +60,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "per-row scoring must not shuffle")
     assert(plan.contains("*("), "per-row scoring must sit in a codegen span")
   }
+
+  test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
+    import graft.functions.Vectors
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Vectors.kMeans(e, "vec_id", "v", k = 4, iters = 1)
+    val plan = planOf(Vectors.kMeansAssign(e, "vec_id", "v", cents))
+    // the argmin fold routes each vector where it sits: the only exchange
+    // allowed is the broadcast of the k-row centroid array
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Window"),
+      s"corpus routing must be shuffle-free:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "centroid array arrives by broadcast")
+  }
 }

@@ -177,6 +177,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star CC equals union-find on arbitrary graphs") {
+    import graft.functions.Dedup
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+    forAllSeeded(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        // ground truth: the gated driver-side union-find
+        val local = Dedup.connectedComponents(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val proper = edges.filter { case (a, b) => a != b }
+        if (proper.nonEmpty) {
+          val (starLabels, _) = Dedup.starComponents(
+            proper.toDF("src", "dst"))
+          val star = starLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          // union-find also labels self-loop-only nodes; compare on the
+          // star graph's node universe (proper-edge endpoints)
+          val nodes = proper.flatMap(e => Seq(e._1, e._2)).toSet
+          assert(star == local.filter(kv => nodes(kv._1)),
+            s"star labels must match union-find on $proper")
+        }
+      }
+    }
+  }
+
   test("weightedSample quota + determinism under random positive weights") {
     import graft.functions.Sampling
     forAllSeeded(Gen.zip(idDocGen, Gen.chooseNum(1, 5))) { case (docsList, k) =>

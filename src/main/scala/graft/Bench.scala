@@ -24,6 +24,16 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Freeze-heavy queries (dedup, SCD state, streaming replays) leave
+    // localCheckpoint blocks and broadcasts behind; ContextCleaner only
+    // reclaims them after a driver GC, so across ~116 queries in one JVM
+    // the accumulation GC-thrashes later queries into fake 3-5x timings
+    // (the same honest-timing fix ScaleBench carries). Every query is
+    // self-contained, so releasing everything between queries is safe.
+    def releaseTransients(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // optional args = query-name filter (local iteration; the driver passes none)
     val wanted = args.toSet
     val selected =
@@ -35,6 +45,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      releaseTransients()
       name -> math.round(sec * 1000) / 1000.0
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -55,4 +55,39 @@ object Steps {
   /** chain of whole-frame transforms (the pipeline itself) */
   def pipeline(df: DataFrame, steps: (DataFrame => DataFrame)*): DataFrame =
     steps.foldLeft(df)((d, f) => f(d))
+
+  /** PrintStep (steps.py:259-278): debug tap — print up to `rows` rows to
+    * the configured sink and pass the frame through unchanged. The tap runs
+    * eagerly (the reference prints as rows flow; a lazy plan would print
+    * nothing until an action), but samples only `rows` rows — it never
+    * collects the frame.
+    */
+  def printStep(df: DataFrame, rows: Int = 20,
+                out: String => Unit = println): DataFrame = {
+    out(df.showString_(rows))
+    df
+  }
+
+  /** GarbageStep (steps.py:373-387): terminal sink that discards its input.
+    * In a lazy engine an unconsumed branch simply never executes; `garbage`
+    * makes the discard explicit when an API expects a consumer (e.g. the
+    * false branch of [[conditional]]) — it returns nothing and triggers
+    * nothing.
+    */
+  def garbage(df: DataFrame): Unit = ()
+
+  /** eager row preview without collect()ing the whole frame — Dataset.show
+    * renders driver-side from a take(rows+1)
+    */
+  implicit private class ShowString(df: DataFrame) {
+    def showString_(rows: Int): String = {
+      val taken = df.take(rows + 1)
+      val hasMore = taken.length > rows
+      val shown = taken.take(rows)
+      val header = df.columns.mkString(", ")
+      val body = shown.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+        .mkString(", ")).mkString("\n")
+      s"$header\n$body" + (if (hasMore) "\n..." else "")
+    }
+  }
 }

@@ -87,6 +87,21 @@ class StepsWritersSpec extends SparkSpec {
     assert(parts == 0)
   }
 
+  test("printStep taps a bounded sample and passes the frame through; garbage discards") {
+    import graft.steps.Steps
+    val df = spark.range(100).toDF("id")
+    var printed = ""
+    val out = Steps.printStep(df, rows = 5, s => printed = s)
+    assert(out eq df, "printStep must pass the frame through unchanged")
+    assert(printed.startsWith("id"), s"header expected, got: $printed")
+    // 5 sample rows + header + ellipsis marker, never the full frame
+    assert(printed.linesIterator.size == 7, s"bounded sample, got:\n$printed")
+    assert(printed.endsWith("..."), "a larger frame is marked as truncated")
+    val (keep, drop) = Steps.conditional(df, col("id") < 10)
+    Steps.garbage(drop) // explicit terminal discard — must trigger nothing
+    assert(keep.count() == 10)
+  }
+
   test("salted partitioner bounds each salt bucket") {
     val salted = Partitioners.salted(table("lineitem"), "l_returnflag", 8)
     assert(salted.select("__salt").distinct().count() <= 8)

@@ -209,6 +209,19 @@ object SparkEntry {
         .orderBy(col("dateid"))
     }),
 
+    // bloom-filter pre-pruned semi join (scale extension): the small side's
+    // keys fold into a bounded bloom that kills non-matching fact rows in
+    // the scan stage, before the join shuffle; exact semi join verifies
+    // survivors, so the result equals the plain semi join bit-for-bit
+    "join_bloom_semi" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      graft.core.Joins.bloomSemiJoin(t(s, dir, "lineitem"), urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 1L << 17, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // §2.3 FilteringSource (datasources.py:668-686)
     "src_filtering" -> ((s, dir) => {
       Sources.filtering(t(s, dir, "lineitem"),
@@ -1744,6 +1757,12 @@ object SparkEntry {
          dayofweek(d) IN (0, 6) AS is_weekend
          FROM (SELECT unnest(generate_series(DATE '1997-06-01', DATE '1997-08-31', INTERVAL 1 DAY))::DATE AS d)
          ORDER BY dateid""",
+
+    "join_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY l_orderkey, l_linenumber""",
 
     "src_filtering" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

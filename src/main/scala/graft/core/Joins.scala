@@ -1,7 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
 
 /** Size-aware join-side policy.
   *
@@ -31,4 +31,51 @@ object Joins {
     */
   def maybeBroadcast(df: DataFrame, threshold: Long = BroadcastThresholdBytes): DataFrame =
     if (estimatedSize(df) <= BigInt(threshold)) broadcast(df) else df
+
+  /** Bloom-filter pre-pruned semi join — the 100 TB shuffle diet for
+    * "big fact ⋉ selective key set": a bloom of the small side's keys is
+    * built in ONE aggregation (bounded: `numBits/8` bytes regardless of
+    * row count), folded into the big side's scan as a might_contain
+    * predicate — so non-matching rows die AT THE SCAN, before the join
+    * shuffle — and the survivors (matches + ≤fpp false positives) go
+    * through the exact semi join. Result is EXACTLY the plain semi join;
+    * the bloom only changes how many rows travel.
+    *
+    * This is the runtime-filter pattern Spark's optimizer injects for
+    * qualifying shuffle joins, exposed as an explicit operator for the
+    * shapes auto-injection misses (derived key sets, multi-step pipelines,
+    * anti joins). The one-row bloom materializes through the driver like
+    * Spark's own injected scalar subquery does — `maxBits` caps that at
+    * 16 MiB by default (128M bits ≈ 1% fpp for ~13M keys).
+    *
+    * `how` = "left_semi" (default) or "left_anti"; for anti, the bloom
+    * prunes nothing on the big side (every row must still be verified) so
+    * the filter is skipped — the call degrades to the exact join.
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+                    how: String = "left_semi",
+                    maxBits: Long = 128L << 20): DataFrame = {
+    require(how == "left_semi" || how == "left_anti", s"unsupported how=$how")
+    val cond = big(bigKey) === small(smallKey)
+    if (how == "left_anti") return big.join(small, cond, how)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    // optimal bits for the target fpp, capped so the driver-side fold stays
+    // bounded (the cap degrades fpp, never correctness)
+    val optimal = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.max(64L, math.min(optimal, maxBits))
+    val agg = bridge.column(new BloomFilterAggregate(
+      bridge.expression(xxhash64(small(smallKey))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloom = small.agg(agg.as("__bloom")).head.getAs[Array[Byte]](0)
+    // an empty small side yields a NULL bloom — nothing can match
+    if (bloom == null) return big.join(small, cond, how)
+    val might = bridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), bridge.expression(xxhash64(col(bigKey)))))
+    big.filter(might).join(small, cond, how)
+  }
 }

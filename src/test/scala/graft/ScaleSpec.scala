@@ -151,6 +151,36 @@ class ScaleSpec extends SparkSpec {
     assert(d.current.count() == 800)
   }
 
+  test("bloom semi join: equals the exact semi join, bloom actually prunes") {
+    import graft.core.Joins
+    val big = spark.range(0, 20000).toDF("k")
+    val small = spark.range(0, 20000).filter(col("id") % 100 === 0).toDF("sk")
+    val out = Joins.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 1000, fpp = 0.01)
+    val exact = big.join(small, col("k") === col("sk"), "left_semi")
+    assert(out.select("k").collect().map(_.getLong(0)).toSet
+      == exact.select("k").collect().map(_.getLong(0)).toSet,
+      "bloom pre-pruning must never change the semi-join result")
+    // the bloom predicate alone keeps matches + <= ~fpp false positives:
+    // far fewer than the 20000-row big side reaching the join otherwise
+    val survivors = big.filter(org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          small.agg(org.apache.spark.sql.graftbridge.Bridge.column(
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              org.apache.spark.sql.graftbridge.Bridge.expression(xxhash64(col("sk"))),
+              org.apache.spark.sql.catalyst.expressions.Literal(1000L),
+              org.apache.spark.sql.catalyst.expressions.Literal(16384L))
+              .toAggregateExpression()).as("b")).head.getAs[Array[Byte]](0),
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.Bridge.expression(xxhash64(col("k")))))).count()
+    assert(survivors < 2000,
+      s"bloom must prune the big side hard (200 true + fp), got $survivors")
+    // anti-join passthrough stays exact
+    val anti = Joins.bloomSemiJoin(big, small, "k", "sk", how = "left_anti")
+    assert(anti.count() == 20000 - 200)
+  }
+
   test("star CC: a diameter-100 path converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     import graft.functions.Dedup

@@ -457,10 +457,13 @@ object Dedup {
       rounds += 1
     }
     // the fixpoint is a forest of stars: every leaf points at its
-    // component's minimum; centers appear only on the right side
+    // component's minimum; centers appear only on the right side. The min
+    // aggregation is a no-op at fixpoint (one edge per leaf) and keeps the
+    // output one-row-per-node even if maxIter cut the loop mid-convergence.
     val labels = allNodes
       .join(cur.select(col("a").as("node"), col("b").as("label")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      .groupBy(col("node"))
+      .agg(min(coalesce(col("label"), col("node"))).as("label"))
     (labels, rounds)
   }
 

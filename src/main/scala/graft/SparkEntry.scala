@@ -453,6 +453,20 @@ object SparkEntry {
       dd.matches.orderBy(col("new_id"), col("match_id"))
     }),
 
+    // streaming ANN index ingestion (batch replay of 4 ordered micro-
+    // batches): the coarse quantizer freezes on the first batch, every
+    // batch routes at scan speed onto it and accretes into the IVF index,
+    // queries probe 4 clusters — streaming-mode parity in StreamingSpec
+    "stream_ann_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val ing = new graft.streaming.Streaming.IvfIndexIngest(
+        "vec_id", "v", nCentroids = 16, nProbe = 4)
+      (0 until 4).foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
+      ing.topK(e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -3041,6 +3055,39 @@ object SparkEntry {
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          cents AS (
            SELECT vec_id AS centid, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+         cassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c) WHERE cr = 1),
+         qassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
+         j AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // replay: quantizer = 16 lowest ids of the FIRST batch (vec_id % 4 = 0),
+    // every vector cosine-routed to its nearest centroid, queries probe 4
+    "stream_ann_ingest" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centid, v AS centv FROM e
+           WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
          cassign AS (
            SELECT vec_id, v, centid AS cluster FROM (
              SELECT e.vec_id, e.v, c.centid,

@@ -86,27 +86,26 @@ object Vectors {
         .select(col(cId).as("__centid"), col(cVec).as("__centv")))
     val cents = broadcast(centSrc.withColumn("__centn", norm(col("__centv"))))
 
-    def topClusters(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
-      val scored = df.select(col(id), col(vec))
-        .withColumn("__n", norm(col(vec)))
-        .crossJoin(cents)
-        .withColumn("__cs", cosinePre(col(vec), col("__centv"), col("__n"), col("__centn")))
-      val w = Window.partitionBy(col(id)).orderBy(col("__cs").desc, col("__centid").asc)
-      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= probes)
-        .select(col(id), col(vec), col("__n"), col("__centid").as("__cluster"))
-    }
+    val cB = routeToCentroids(corpus, cId, cVec, cents)
+    val qB = probeCentroids(queries, qId, qVec, cents, nProbe)
+    probedTopK(qB, cB, k)
+  }
 
-    // Corpus routing (probes=1) is an argmax over a bounded set, not a
-    // top-N: fold over the broadcast centroid ARRAY instead of expanding
-    // |corpus|×|centroids| rows through a window. array_max on
-    // struct(cosine, -centid) realizes exactly the window's
-    // (__cs desc, __centid asc) order — Catalyst compares struct fields
-    // with the same Double ordering sorting uses — at zero row expansion
-    // and zero shuffle: the corpus is routed at scan speed and first
-    // shuffles on the cluster id for the probe equi-join.
+  /** Cosine-argmax routing of every row onto its nearest centroid — the
+    * IVF corpus side, shared with the streaming index ingest. An argmax
+    * over a bounded set is a fold, not a top-N: array_max over the
+    * broadcast centroid ARRAY on struct(cosine, -centid) realizes exactly
+    * a window's (cosine desc, centid asc) order — Catalyst compares struct
+    * fields with the same Double ordering sorting uses — at zero row
+    * expansion and zero shuffle: rows are routed where they sit.
+    * `cents`: (__centid, __centv, __centn). Returns
+    * (__cluster, __cid, __cv, __cn).
+    */
+  private[graft] def routeToCentroids(df: DataFrame, id: String, vec: String,
+                                      cents: DataFrame): DataFrame = {
     val centArr = broadcast(cents.agg(collect_list(
       struct(col("__centid"), col("__centv"), col("__centn"))).as("__cents")))
-    val cB = corpus.select(col(cId).as("__cid"), col(cVec).as("__cv"))
+    df.select(col(id).as("__cid"), col(vec).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
       .crossJoin(centArr)
       .withColumn("__best", array_max(transform(col("__cents"), c => struct(
@@ -115,9 +114,27 @@ object Vectors {
         (-c.getField("__centid")).as("__negid")))))
       .select((-col("__best.__negid")).as("__cluster"),
         col("__cid"), col("__cv"), col("__cn"))
-    val qB = topClusters(queries, qId, qVec, probes = nProbe)
-      .select(col("__cluster"), col(qId).as("__qid"), col(qVec).as("__qv"), col("__n").as("__qn"))
+  }
 
+  /** nProbe closest centroids per query (the small side — a per-query
+    * window over |Q|·|cents| rows). Returns (__cluster, __qid, __qv, __qn).
+    */
+  private[graft] def probeCentroids(queries: DataFrame, qId: String, qVec: String,
+                                    cents: DataFrame, nProbe: Int): DataFrame = {
+    val scored = queries.select(col(qId).as("__qid"), col(qVec).cast("array<double>").as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", cosinePre(col("__qv"), col("__centv"), col("__qn"), col("__centn")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__cs").desc, col("__centid").asc)
+    scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= nProbe)
+      .select(col("__centid").as("__cluster"), col("__qid"), col("__qv"), col("__qn"))
+  }
+
+  /** exact cosine + per-query top-k over the probed clusters' candidates:
+    * probes equi-join the routed index on the cluster id — the only
+    * corpus-sized shuffle in the IVF serving path
+    */
+  private[graft] def probedTopK(qB: DataFrame, cB: DataFrame, k: Int): DataFrame = {
     val joined = qB.join(cB, Seq("__cluster"))
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))

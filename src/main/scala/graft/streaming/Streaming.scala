@@ -190,6 +190,58 @@ object Streaming {
     }
   }
 
+  /** Streaming ANN index ingestion — the vector twin of
+    * [[MinHashIndexDedup]]: embedding micro-batches accrete into a
+    * cluster-routed IVF index. The coarse quantizer freezes on the FIRST
+    * batch (the `nCentroids` lowest-id vectors — the same deterministic
+    * sampled quantizer as [[graft.functions.Vectors.ivfTopK]]), so routing
+    * is stable across the stream's lifetime: each batch routes at scan
+    * speed via the broadcast-array argmax fold and appends to the index —
+    * ingest is shuffle-free, and re-routing never happens. Queries probe
+    * their `nProbe` nearest centroids and rank candidates by exact cosine
+    * within the probed clusters only. Wire with
+    * [[foreachBatchMerge]]`(stream, ing.update)`; swap the first-batch
+    * quantizer for trained k-means centroids by constructing with
+    * `trained`.
+    *
+    * State is the routed index (cluster, id, vector, norm) — the standing
+    * vector table of a serving tier; it re-freezes per batch so lineage
+    * stays flat.
+    */
+  class IvfIndexIngest(idCol: String, vecCol: String,
+                       nCentroids: Int = 16, nProbe: Int = 4,
+                       trained: Option[DataFrame] = None) {
+    import graft.functions.Vectors
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var centroids: Option[DataFrame] =
+      trained.map(t => bridge.freeze(t
+        .select(col("cluster").as("__centid"), col("centroid").as("__centv"))
+        .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
+    private var index: Option[DataFrame] = None
+
+    /** route one micro-batch onto the frozen quantizer and absorb it */
+    def update(batch: DataFrame): Unit = {
+      if (centroids.isEmpty)
+        centroids = Some(bridge.freeze(batch
+          .orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("__centid"),
+            col(vecCol).cast("array<double>").as("__centv"))
+          .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
+      val routed = Vectors.routeToCentroids(batch, idCol, vecCol, centroids.get)
+      index = Some(bridge.freeze(index.map(_.unionByName(routed)).getOrElse(routed)))
+    }
+
+    /** exact-cosine top-k of each query over its probed clusters of the
+      * accreted index: (query_id, neighbor_id, cosine, rank)
+      */
+    def topK(queries: DataFrame, qId: String, qVec: String, k: Int): DataFrame = {
+      val idx = index.getOrElse(
+        throw new IllegalStateException("no micro-batch ingested yet"))
+      Vectors.probedTopK(
+        Vectors.probeCentroids(queries, qId, qVec, centroids.get, nProbe), idx, k)
+    }
+  }
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

@@ -210,4 +210,37 @@ class StreamingSpec extends SparkSpec {
       assert(arrival(n) > arrival(m), s"match ($n, $m) must point to an earlier batch")
     }
   }
+
+  test("streaming IVF ingest: foreachBatch accretion equals ordered replay, recall sane") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    e.repartition(3).write.mode("overwrite").parquet(dir)
+
+    val streamed = new Streaming.IvfIndexIngest("vec_id", "v", nCentroids = 8, nProbe = 3)
+    var batches = Vector.empty[Array[Long]]
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    Streaming.runToCompletion(Streaming.foreachBatchMerge(stream, b =>
+      if (!b.isEmpty) {
+        streamed.update(b)
+        batches :+= b.select("vec_id").collect().map(_.getLong(0))
+      }))
+    assert(batches.size >= 3, s"expected several micro-batches, got ${batches.size}")
+    val q = e.filter(col("vec_id") < 10)
+    val got = streamed.topK(q, "vec_id", "v", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // replay the SAME batch sequence (the first batch defines the quantizer)
+    val replay = new Streaming.IvfIndexIngest("vec_id", "v", nCentroids = 8, nProbe = 3)
+    batches.foreach { ids =>
+      replay.update(e.filter(col("vec_id").isin(ids.map(Long.box): _*)))
+    }
+    val expected = replay.topK(q, "vec_id", "v", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expected, "streaming ingest must equal the ordered batch replay")
+
+    // sanity: 5 ranked neighbors per query, drawn from the full corpus index
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
 }

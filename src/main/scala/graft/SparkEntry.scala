@@ -842,6 +842,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cluster collapse, content-aware: keep each near-dup cluster's
+    // longest member (ties → smallest id), emit the drop list — token
+    // counts fetched only for cluster members, winner per cluster from ONE
+    // max_by aggregation, the corpus never shuffles
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(
+        Dedup.clusters(Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, k = 64, bands = 32, threshold = 0.8)),
+        docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PageRank centrality of the near-dup graph (template-mass signal):
+    // 3 damped rounds in scaled-integer arithmetic — exact floor-divide
+    // longs, so ranks are engine-reproducible; each round is one keyed
+    // join + one keyed aggregation over the pair graph, never the corpus
+    "graph_pagerank" -> ((s, dir) => {
+      graft.functions.Graphs.pageRankScaled(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 64, bands = 32, threshold = 0.8),
+        iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // chunk-level exact dedup (paragraph-granularity generalized to fixed
     // 10-token windows): duplicated chunks with occurrence/document counts —
     // one shuffle keyed by the chunk digest
@@ -974,6 +999,16 @@ object SparkEntry {
           blocklist = Seq("spamnet"))
         .select(col("doc_id"), col("source"), col("mean_quality"),
           col("dup_frac"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet perplexity buckets: unigram-LM scores cut into head/middle/tail
+    // at each LANGUAGE's own histogram terciles — per-group thresholds
+    // broadcast back, integer-bin compares, the corpus shuffles only for
+    // the LM scoring pass itself
+    "curate_ppl_buckets" -> ((s, dir) => {
+      graft.functions.Curation.perplexityBuckets(docsNorm(s, dir), "doc_id",
+          "text", "lang", width = 0.005, qLow = 0.33, qHigh = 0.66)
         .orderBy(col("doc_id"))
     }),
 
@@ -1304,6 +1339,27 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // hybrid retrieval: BM25 lexical top-50 fused with exact-cosine vector
+    // top-50 by reciprocal-rank fusion — the production RAG merge; fusion
+    // joins two bounded lists, never the corpus
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.Retrieval
+      val text = Retrieval.bm25TopK(docsNorm(s, dir), "doc_id", "text",
+        Seq("hash", "join", "merge"), k = 50)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val vec = Vectors.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+        "vec_id", "v", "vec_id", "v", k = 50)
+      Retrieval.rrfFuse(
+        Retrieval.rankByScore(text, "doc_id", "score", "rank_text"),
+        "doc_id", "rank_text",
+        vec.select(col("neighbor_id"), col("rank").as("rank_vec")),
+        "neighbor_id", "rank_vec",
+        k0 = 60, k = 20)
+        .withColumnsRenamed(Map("rank_a" -> "rank_text", "rank_b" -> "rank_vec"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // unigram LM log-prob scoring (KenLM-style perplexity proxy): add-one
     // smoothed counts trained on the corpus itself, per-doc mean log-prob —
     // ln is bit-identical across engines, sums staged in decimal
@@ -1335,6 +1391,19 @@ object SparkEntry {
         .join(top, Seq("token"))
         .select(col("token"), col("true_cnt"), col("cms_est"))
         .orderBy(col("token"))
+    }),
+
+    // HyperLogLog distinct-token cardinality: md5-derived registers (unlike
+    // approx_count_distinct, engine-reproducible bit-for-bit), ONE map-side
+    // combined max aggregation to 256 rows, exact-integer harmonic staging;
+    // exact count alongside for the error audit
+    "sketch_hll" -> ((s, dir) => {
+      val toks = docsNorm(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.functions.Stats.hllEstimate(
+          graft.functions.Stats.hllRegisters(toks, "token", b = 8), b = 8)
+        .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
     }),
 
     // strictly-ordered funnel: per-user earliest view→click→signup→purchase
@@ -1462,6 +1531,35 @@ object SparkEntry {
   /** normalized-token SQL fragment shared by the text oracles */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** HLL estimator constant alpha_256·256²·2^60 — computed by the IDENTICAL
+    * Scala expression Stats.hllEstimate folds, then inlined into the oracle
+    * as one literal (Double.toString round-trips, so both engines divide by
+    * the same bit pattern instead of replaying operation order).
+    */
+  private val hllC = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * math.pow(2, 60)
+
+  /** shared oracle fragment: the exact-Jaccard 3-shingle near-dup pair graph
+    * (the minhashPairs replay the cluster oracles use), as the CTE chain
+    * norm/sh/pairs/edges — interpolate inside a WITH [RECURSIVE] list.
+    */
+  private val nearDupEdgesSql =
+    s"""norm AS (
+         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(0, len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+         FROM norm),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs)"""
 
   /** PQ-ADC oracle: retrains all four per-subspace codebooks (id-seeded
     * init, one Lloyd round, decimal-exact means — the sim_kmeans replay,
@@ -2328,6 +2426,55 @@ object SparkEntry {
            CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
          FROM reach GROUP BY node ORDER BY doc_id""",
 
+    // cluster collapse replay: components from the recursive reach, winner
+    // per cluster = most tokens then smallest id, emit the non-winners
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $nearDupEdgesSql,
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lab AS (
+           SELECT node AS doc_id, least(node, min(r)) AS cluster
+           FROM reach GROUP BY node),
+         tok AS (
+           SELECT doc_id,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok
+           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
+         m AS (SELECT lab.doc_id, lab.cluster, tok.ntok
+               FROM lab JOIN tok USING (doc_id)),
+         w AS (SELECT cluster, doc_id AS kept_doc FROM (
+             SELECT cluster, doc_id,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY ntok DESC, doc_id ASC) AS rn
+             FROM m) WHERE rn = 1),
+         cnt AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
+         SELECT m.doc_id, m.cluster, w.kept_doc, cnt.n_members
+         FROM m JOIN w USING (cluster) JOIN cnt USING (cluster)
+         WHERE m.doc_id <> w.kept_doc ORDER BY m.doc_id""",
+
+    // PageRank replay: 3 unrolled damped rounds of exact scaled-integer
+    // floor-divide arithmetic over the symmetrized pair graph
+    "graph_pagerank" ->
+      s"""WITH $nearDupEdgesSql,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS "rank" FROM deg),
+         i1 AS (SELECT ed.dst AS node,
+             CAST(150000000 AS BIGINT)
+               + (85 * CAST(sum(r0."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
+           FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+         i2 AS (SELECT ed.dst AS node,
+             CAST(150000000 AS BIGINT)
+               + (85 * CAST(sum(i1."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
+           FROM ed JOIN i1 ON ed.src = i1.node GROUP BY ed.dst),
+         i3 AS (SELECT ed.dst AS node,
+             CAST(150000000 AS BIGINT)
+               + (85 * CAST(sum(i2."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
+           FROM ed JOIN i2 ON ed.src = i2.node GROUP BY ed.dst)
+         SELECT node, "rank" FROM i3 ORDER BY node""",
+
     // leakage-safe split replay: cluster labels from the recursive reach,
     // split buckets hashed on the LABEL so components move atomically
     "sample_split_leakage_safe" ->
@@ -2618,6 +2765,54 @@ object SparkEntry {
            (n_docs >= 10 AND mean_quality >= 0.63 AND dup_frac <= 0.2
              AND source != 'spamnet') AS kept
          FROM q JOIN st USING (source) ORDER BY doc_id""",
+
+    // CCNet bucket replay: the text_lm_score chain, then per-language
+    // histogram tercile bins and integer-bin head/middle/tail labels
+    "curate_ppl_buckets" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         tk AS (
+           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok <> ''),
+         c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         st AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS avg_logprob
+           FROM (
+             SELECT doc_id,
+               CAST(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + v))
+                 AS DECIMAL(18,8)) AS lp
+             FROM tk JOIN c USING (tok) CROSS JOIN st) GROUP BY doc_id),
+         scg AS (
+           SELECT sc.doc_id, dd.lang, sc.n_tokens, sc.avg_logprob,
+             CAST(floor(sc.avg_logprob / 0.005) AS BIGINT) AS bin
+           FROM sc JOIN documents dd USING (doc_id)),
+         b AS (SELECT lang, bin, count(*) AS cnt FROM scg GROUP BY 1, 2),
+         cum AS (
+           SELECT a.lang, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.lang = a.lang AND b2.bin <= a.bin
+           GROUP BY a.lang, a.bin),
+         tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
+         qs(q) AS (VALUES (CAST(0.33 AS DOUBLE)), (CAST(0.66 AS DOUBLE))),
+         pick AS (
+           SELECT lang, q, bin FROM (
+             SELECT e.lang, q, bin,
+               row_number() OVER (PARTITION BY e.lang, q ORDER BY bin ASC) AS rn
+             FROM qs JOIN (SELECT cum.lang, bin, cum_count, total
+                           FROM cum JOIN tot ON cum.lang = tot.lang) e
+               ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1),
+         th AS (
+           SELECT lang,
+             min(CASE WHEN q = CAST(0.33 AS DOUBLE) THEN bin END) AS b_lo,
+             min(CASE WHEN q = CAST(0.66 AS DOUBLE) THEN bin END) AS b_hi
+           FROM pick GROUP BY lang)
+         SELECT scg.doc_id, scg.lang, scg.n_tokens, scg.avg_logprob,
+           CASE WHEN scg.bin <= th.b_lo THEN 'tail'
+                WHEN scg.bin <= th.b_hi THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM scg JOIN th USING (lang) ORDER BY scg.doc_id""",
 
     "text_repetition" ->
       s"""WITH norm AS (
@@ -3244,6 +3439,58 @@ object SparkEntry {
            SELECT doc_id, score, n_terms FROM sc ORDER BY score DESC, doc_id LIMIT 20)
          ORDER BY score DESC, doc_id""",
 
+    // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED
+    // output scores, the exact-cosine chain for query vector 0 at k=50,
+    // then 1/(60+rank) reciprocal terms in the same fixed order
+    "search_hybrid_rrf" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
+         lens AS (
+           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM lens),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         per AS (
+           SELECT tf.doc_id,
+             CAST(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75
+                 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))
+               AS DECIMAL(18,8)) AS sd
+           FROM tf JOIN lens USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats),
+         sc AS (
+           SELECT doc_id, sum(sd) AS score FROM per GROUP BY doc_id),
+         bm AS (
+           SELECT doc_id, round(score, 4)::DOUBLE AS rscore FROM (
+             SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
+         bmr AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY rscore DESC, doc_id)
+             AS INTEGER) AS rank_text FROM bm),
+         e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id = 0),
+         p AS (
+           SELECT c.vec_id AS nid,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         vr AS (
+           SELECT nid, CAST(row_number() OVER (ORDER BY cos DESC, nid)
+             AS INTEGER) AS rank_vec FROM p QUALIFY rank_vec <= 50)
+         SELECT doc_id, rank_text, rank_vec, rrf FROM (
+           SELECT coalesce(bmr.doc_id, vr.nid) AS doc_id, rank_text, rank_vec,
+             round(CAST(
+               (CASE WHEN rank_text IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(rank_text AS DOUBLE)) END)
+               + (CASE WHEN rank_vec IS NULL THEN 0.0
+                       ELSE 1.0 / (60.0 + CAST(rank_vec AS DOUBLE)) END)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS rrf
+           FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.nid)
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
+
     // unigram LM scoring: add-one smoothed corpus counts, per-token ln
     // staged in DECIMAL(18,8) (ln is bit-identical across engines), exact
     // sum, one double division, decimal-staged rounding
@@ -3343,6 +3590,41 @@ object SparkEntry {
          SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
            CAST(cms_est AS BIGINT) AS cms_est
          FROM top JOIN est USING (tok) ORDER BY token""",
+
+    // HLL replay: the same md5-derived 60-bit hash split into bucket and
+    // sub-stream word, trailing-zero ranks via log2(w & -w), register-max,
+    // exact-integer harmonic staging, the identical alpha·m²·2^60 literal
+    "sketch_hll" ->
+      s"""WITH tk AS (
+           SELECT tok FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+         h AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h FROM tk),
+         rr AS (
+           SELECT h % 256 AS bucket,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END AS rho
+           FROM h),
+         regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
+         regs AS (
+           SELECT b.bucket, coalesce(regs0.reg, 0) AS reg
+           FROM (SELECT unnest(range(0, 256)) AS bucket) b
+           LEFT JOIN regs0 USING (bucket)),
+         agg AS (
+           SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+           FROM regs),
+         est AS (
+           SELECT 256 AS m, zero_registers,
+             round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0
+                              AND zero_registers > 0
+                         THEN 256.0 * ln(256.0 / CAST(zero_registers AS DOUBLE))
+                         ELSE ($hllC / CAST(s AS DOUBLE)) END
+               AS DECIMAL(38,6)), 2)::DOUBLE AS est_distinct
+           FROM agg)
+         SELECT est.m, est.zero_registers, est.est_distinct, x.exact_distinct
+         FROM est CROSS JOIN
+           (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tk) x""",
 
     // winsorize replay: per-type quantile picks → clamp
     "stats_winsorize" ->

@@ -173,4 +173,54 @@ object Curation {
           col("dup_frac") <= maxDupFrac && !blocked)
       .drop("n_docs")
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document with the unigram-LM log-probability proxy
+    * ([[Retrieval.unigramLogProb]]), then split EACH language's own score
+    * distribution into head / middle / tail at the `qLow` and `qHigh`
+    * histogram quantiles — per-group thresholds, because a fluent
+    * low-resource-language page scores worse in absolute log-prob than
+    * mediocre English, and a global cut would discard whole languages
+    * (the same fairness argument as [[calibrateScores]]).
+    *
+    * Thresholds come from [[Stats.groupedHistogramQuantiles]] (ONE bin
+    * aggregation per group, never a per-group sort), and the bucket label
+    * compares each document's own INTEGER bin against the two picked
+    * threshold bins — integer compares, no float-boundary ambiguity, so
+    * the labeling is engine-reproducible. Empty documents (no tokens) are
+    * excluded before the distribution is formed — CCNet drops them
+    * upstream, and their 0.0 sentinel score would otherwise top every
+    * language's head.
+    *
+    * 100 TB notes: the LM scoring pass is the corpus-touching work (explode
+    * + two keyed aggregations, the [[Retrieval.unigramLogProb]] shape); the
+    * scored frame freezes once and is reused for thresholds AND labeling,
+    * the per-group threshold table is |groups|×2 rows broadcast back, and
+    * the label itself is a scan-speed expression — the corpus never
+    * shuffles again after scoring.
+    *
+    * Returns (idCol, groupCol, n_tokens, avg_logprob, bucket) with bucket ∈
+    * head | middle | tail.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, width: Double = 0.005,
+                        qLow: Double = 0.33, qHigh: Double = 0.66): DataFrame = {
+    require(width > 0 && qLow < qHigh, "width positive, qLow below qHigh")
+    val scored = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      Retrieval.unigramLogProb(docs, idCol, textCol)
+        .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+        .filter(col("n_tokens") > 0)
+        .withColumn("__bin", floor(col("avg_logprob") / width).cast("long")))
+    val picks = Stats.groupedHistogramQuantiles(scored, groupCol, "avg_logprob",
+        width, Seq(qLow, qHigh))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("q") === qLow, col("bin"))).as("__b_lo"),
+        min(when(col("q") === qHigh, col("bin"))).as("__b_hi"))
+    scored.join(broadcast(picks), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("avg_logprob"),
+        when(col("__bin") <= col("__b_lo"), "tail")
+          .when(col("__bin") <= col("__b_hi"), "middle")
+          .otherwise("head").as("bucket"))
+  }
 }

@@ -550,6 +550,42 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("node") === col("label")).cast("int").as("keep"))
 
+  /** Content-aware cluster collapse — the apply step of near-dup clustering:
+    * within each [[clusters]] component keep the member with the most
+    * tokens (ties → smallest doc id) and emit the DROP LIST: one row per
+    * discarded member, carrying its cluster and the surviving
+    * representative. An `anti join` of the corpus against this frame IS the
+    * deduplicated corpus. [[clusters]]' own `keep` flag picks the smallest
+    * id — arbitrary; production pipelines keep the best copy (the longest
+    * near-duplicate usually subsumes its truncated mirrors).
+    *
+    * 100 TB notes: token counts are fetched ONLY for cluster members (the
+    * join against `docs` is keyed on the id and proportional to |members|,
+    * the duplicated slice — the corpus itself never shuffles), the winner
+    * per cluster is ONE `max_by` hash aggregation over a two-field ordering
+    * struct (never a window sort, never a wide-struct buffer — see the
+    * routing-fold note on [[minhashPairs]]), and the drop list re-joins the
+    * (tiny, |clusters|-row) winners frame back to members. Keying the
+    * ordering struct as (n_tokens, −doc_id) makes `max_by` resolve both the
+    * maximum and its deterministic tie-break in one pass.
+    *
+    * Returns (doc_id, cluster, kept_doc, n_members) — discarded members only.
+    */
+  def keepBest(labels: DataFrame, docs: DataFrame,
+               idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("__ntok"))
+    val m = labels.select(col("doc_id").cast("long").as("doc_id"), col("cluster"))
+      .join(toks, Seq("doc_id"))
+    val winners = m.groupBy(col("cluster")).agg(
+      max_by(col("doc_id"), struct(col("__ntok"), (-col("doc_id")).as("__nid")))
+        .as("kept_doc"),
+      count(lit(1)).as("n_members"))
+    m.join(winners, Seq("cluster"))
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select(col("doc_id"), col("cluster"), col("kept_doc"), col("n_members"))
+  }
+
   /** Chunk-level exact dedup: line/paragraph-granularity duplicate removal
     * generalized to fixed non-overlapping `chunkTokens`-token windows of the
     * normalized text (the testdata corpus has no newlines, so the fixed

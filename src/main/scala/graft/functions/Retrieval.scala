@@ -343,4 +343,56 @@ object Retrieval {
           coalesce(col("__ta"), lit(0L)) + coalesce(col("__tb"), lit(0L)))
           .as("rouge2_f"))
   }
+
+  /** 1-based dense ranks for a TOP-K result list, ordered by `scoreCol`
+    * descending with ties broken by ascending id — via a count-better
+    * self-join on the (≤ k-row, broadcast) list instead of an unpartitioned
+    * `row_number` window, which would plan the single-partition sort this
+    * codebase bans even for small frames (the operator contract shouldn't
+    * depend on the caller's k staying small).
+    *
+    * Returns (idCol, rankName).
+    */
+  def rankByScore(df: DataFrame, idCol: String, scoreCol: String,
+                  rankName: String = "rank"): DataFrame = {
+    val l = df.select(col(idCol).cast("long").as("__rid"), col(scoreCol).as("__s"))
+    val r = l.select(col("__rid").as("__rid2"), col("__s").as("__s2"))
+    l.join(broadcast(r),
+        col("__s2") > col("__s") ||
+          (col("__s2") === col("__s") && col("__rid2") < col("__rid")), "left")
+      .groupBy(col("__rid"))
+      .agg((count(col("__rid2")) + 1).cast("int").as(rankName))
+      .select(col("__rid").as(idCol), col(rankName))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+    * standard hybrid-retrieval merge: combine a lexical ranking (BM25) and
+    * a vector ranking (ANN cosine) into one list by summing `1/(k0+rank)`
+    * per system, with documents missing from a list contributing 0. Rank
+    * fusion needs no score calibration across systems — exactly why RRF is
+    * the default fusion in production RAG stacks.
+    *
+    * Both inputs are top-k lists — bounded, broadcastable — so fusion costs
+    * ONE full-outer equi-join of two tiny frames regardless of corpus size;
+    * the corpus-scale work already happened inside the retrievers. The two
+    * reciprocal terms are fixed-order double arithmetic staged through
+    * decimal rounding: engine-reproducible.
+    *
+    * Returns (doc_id, rank_a, rank_b, rrf): the fused top `k`, rrf
+    * descending with id tie-break.
+    */
+  def rrfFuse(a: DataFrame, aId: String, aRank: String,
+              b: DataFrame, bId: String, bRank: String,
+              k0: Int = 60, k: Int = 20): DataFrame = {
+    val la = a.select(col(aId).cast("long").as("__id"), col(aRank).as("rank_a"))
+    val lb = b.select(col(bId).cast("long").as("__id"), col(bRank).as("rank_b"))
+    def term(r: Column): Column =
+      when(r.isNotNull, lit(1.0) / (lit(k0.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    la.join(lb, Seq("__id"), "full_outer")
+      .select(col("__id").as("doc_id"), col("rank_a"), col("rank_b"),
+        round((term(col("rank_a")) + term(col("rank_b")))
+          .cast(DecimalType(18, 8)), 6).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+  }
 }

@@ -152,4 +152,64 @@ object Stats {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** HyperLogLog register table (Flajolet et al. 2007) with md5-derived
+    * hashing, so — unlike Spark's builtin `approx_count_distinct` — the
+    * sketch is ENGINE-REPRODUCIBLE: an external system hashing the same keys
+    * builds bit-identical registers. 60 hash bits split into a `b`-bit
+    * register index (modulus) and a 60−b-bit sub-stream word `w`; the rank
+    * is the trailing-zero count of `w` plus one (geometric with the same
+    * 2^−k law as the classic leading-zero form, and closed-form in SQL:
+    * `log2(w & −w)`), with `w = 0` mapped to the 61−b sentinel maximum.
+    *
+    * 100 TB notes: ONE map-side-combined `max` aggregation over the key
+    * stream down to 2^b rows — the sketch is data-independent kilobytes,
+    * broadcastable, and register-wise `max`-MERGEABLE across partitions,
+    * days, or corpora (the property that makes HLL the production
+    * cardinality operator: per-shard sketches union without rescanning).
+    * Empty registers materialize as 0 via the tiny `spark.range` frame.
+    *
+    * Returns (bucket, reg) — 2^b rows.
+    */
+  def hllRegisters(items: DataFrame, keyCol: String, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, "b must be in [4, 16]")
+    val m = 1 << b
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"), lit("hll"))),
+      1, 15), 16, 10).cast("long")
+    val regs = items.select(h.as("__h"))
+      .select((col("__h") % m).as("bucket"), expr(s"__h div $m").as("__w"))
+      .withColumn("__rho",
+        when(col("__w") === 0, lit(61 - b))
+          .otherwise(log2(col("__w").bitwiseAND(-col("__w"))).cast("int") + 1))
+      .groupBy(col("bucket")).agg(max(col("__rho")).as("reg"))
+    items.sparkSession.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("reg"), lit(0)).as("reg"))
+  }
+
+  /** HyperLogLog estimate from a [[hllRegisters]] table: the harmonic-mean
+    * raw estimator with the standard small-range (linear-counting)
+    * correction. The register sum Σ2^−reg stages as EXACT integers —
+    * `2^(60−reg)` longs summed in DECIMAL(38,0) (reg ≤ 61−b keeps every
+    * term integral), one double division at the end — so the estimate is
+    * reproducible bit-for-bit; `ln` in the linear-counting branch is
+    * IEEE-identical across engines. Expected error ≈ 1.04/√(2^b).
+    *
+    * Returns one row (m, zero_registers, est_distinct).
+    */
+  def hllEstimate(regs: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    // alpha_m · m² · 2^60, folded to one driver-side double so the oracle
+    // can inline the identical literal instead of replaying operation order
+    val c = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2, 60)
+    regs.agg(
+        sum(expr("cast(shiftleft(1L, 60 - reg) as decimal(38,0))")).as("__s"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zero_registers"))
+      .withColumn("__raw", lit(c) / col("__s").cast("double"))
+      .select(lit(m).as("m"), col("zero_registers"),
+        round(when(col("__raw") <= 2.5 * m && col("zero_registers") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zero_registers").cast("double")))
+          .otherwise(col("__raw")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 2)
+          .cast("double").as("est_distinct"))
+  }
 }

@@ -116,4 +116,35 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(kept == Set("goodnet", "dupenet"), "2-doc spamnet falls below minDocs=3")
   }
+
+  test("perplexityBuckets: per-language thresholds, empty docs excluded, order respects score") {
+    val docs = table("documents")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang").cache()
+    // empty/tokenless docs are excluded; everything else is labeled
+    val nonEmpty = docs.filter(
+      graft.functions.TextAnalysis.tokenCount(col("text")) > 0).count()
+    assert(out.count() == nonEmpty)
+    assert(out.select("bucket").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("head", "middle", "tail")))
+    // thresholds are group-local AND ordered: within every language, every
+    // head score >= every middle score >= every tail score
+    out.groupBy("lang").agg(
+        min(when(col("bucket") === "head", col("avg_logprob"))).as("min_head"),
+        max(when(col("bucket") === "middle", col("avg_logprob"))).as("max_mid"),
+        min(when(col("bucket") === "middle", col("avg_logprob"))).as("min_mid"),
+        max(when(col("bucket") === "tail", col("avg_logprob"))).as("max_tail"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(1) && !r.isNullAt(2))
+          assert(r.getDouble(1) >= r.getDouble(2), s"head below middle in ${r.getString(0)}")
+        if (!r.isNullAt(3) && !r.isNullAt(4))
+          assert(r.getDouble(3) >= r.getDouble(4), s"middle below tail in ${r.getString(0)}")
+      }
+    // tercile cut: no bucket swallows the whole language (each lang has
+    // spread at sf0.001) and every language keeps a head
+    val perLang = out.groupBy("lang").pivot("bucket").count().collect()
+    perLang.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("head")), s"${r.getString(0)} lost its head bucket")
+    }
+    out.unpersist()
+  }
 }

@@ -274,6 +274,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == out)
   }
 
+  test("keepBest: longest member survives, ties break to smallest id, drop list complete") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta"),                 // cluster {1,2,3}: 3 is longest
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "same length text"),           // cluster {4,5}: tie -> keep 4
+      (5L, "same length text"),
+      (6L, "isolated document")           // no cluster: never appears
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.keepBest(labels, d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> (1L, 3L, 3L), 2L -> (1L, 3L, 3L),   // dropped, kept=3, 3 members
+      5L -> (4L, 4L, 2L)))                      // tie broke to 4
+    // the anti-join of the corpus against the drop list IS the dedup corpus
+    val kept = d.join(Dedup.keepBest(labels, d, "doc_id", "text"),
+      Seq("doc_id"), "left_anti").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 6L))
+  }
+
   test("editVerify: exact Levenshtein on the pair set, identical docs score 1.0") {
     import spark.implicits._
     val d = Seq(

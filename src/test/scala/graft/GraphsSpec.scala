@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Graphs
+
+class GraphsSpec extends SparkSpec {
+
+  test("pageRankScaled: star center outranks leaves, leaves tie exactly") {
+    import spark.implicits._
+    // star: 1 joined to 2..6 — the center receives five contributions/round
+    val pairs = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val out = Graphs.pageRankScaled(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    val leaves = (2L to 6L).map(out)
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie bit-exactly")
+    assert(out(1L) > leaves.head, "center must outrank leaves")
+  }
+
+  test("pageRankScaled: deterministic, mass ~conserved, iterations=0 is uniform") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    def run() = Graphs.pageRankScaled(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    // bit-identical across runs (integer arithmetic, no shuffle-order terms)
+    assert(run() == run())
+    val r = run()
+    // damped update redistributes but floor-divide only LOSES mass: total in
+    // (N*scale*(1-epsilon), N*scale]
+    val total = r.values.sum
+    assert(total <= 6L * 1000000000L && total > 6L * 1000000000L * 99 / 100,
+      s"mass drifted: $total")
+    // 0 iterations: the uniform start, one row per node
+    val r0 = Graphs.pageRankScaled(pairs, iterations = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r0.size == 6 && r0.values.forall(_ == 1000000000L))
+    // the isolated pair 5-6 is symmetric: exact tie at the stationary point
+    assert(r(5L) == r(6L))
+  }
+
+  private implicit class ToSorted(a: Array[(Long, Long)]) {
+    def toSortedMap: scala.collection.immutable.SortedMap[Long, Long] =
+      scala.collection.immutable.SortedMap(a: _*)
+  }
+}

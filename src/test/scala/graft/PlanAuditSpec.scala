@@ -61,6 +61,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("), "per-row scoring must sit in a codegen span")
   }
 
+  test("pagerank round: keyed join + keyed aggregation, never a cartesian") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.functions.Graphs.pageRankScaled(pairs, iterations = 2)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pagerank must stay equi-joined:\n${plan.take(2000)}")
+    // the iteration state is re-materialized (frozen), so the printed plan
+    // of round N reads a materialized leaf, not the whole lineage
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("InMemoryTableScan")
+      || plan.contains("LocalTableScan"),
+      s"ranks must come off a materialized leaf:\n${plan.take(2000)}")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

@@ -271,4 +271,29 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L), "unique doc contributes no span")
     assert(out.length === 2, "exactly one maximal span per duplicated doc")
   }
+
+  test("rankByScore: dense 1-based ranks, score desc, ties break to smaller id") {
+    import spark.implicits._
+    val df = Seq((10L, 3.0), (20L, 5.0), (30L, 3.0), (40L, 1.0)).toDF("id", "s")
+    val r = Retrieval.rankByScore(df, "id", "s")
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(20L -> 1, 10L -> 2, 30L -> 3, 40L -> 4))
+  }
+
+  test("rrfFuse: both-list docs outrank single-list docs, absentees contribute zero") {
+    import spark.implicits._
+    // doc 1 is rank 2 in both lists; docs 2/3 are rank 1 in exactly one
+    val a = Seq((2L, 1), (1L, 2)).toDF("id", "r")
+    val b = Seq((3L, 1), (1L, 2)).toDF("id", "r")
+    val out = Retrieval.rrfFuse(a, "id", "r", b, "id", "r", k0 = 60, k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // 2/(60+2) > 1/(60+1): consensus beats a single first place
+    assert(out(1L) > out(2L), s"fused doc must lead: $out")
+    // single-list docs with the same rank tie exactly
+    assert(out(2L) == out(3L))
+    // exact expected values (fixed-order arithmetic, 6dp)
+    assert(math.abs(out(1L) - 2.0 / 62.0) < 1e-6)
+    assert(math.abs(out(2L) - 1.0 / 61.0) < 1e-6)
+  }
 }

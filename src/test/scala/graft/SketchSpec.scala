@@ -62,4 +62,35 @@ class SketchSpec extends SparkSpec {
     assert(unseen <= total * 3 / 512, s"phantom estimate $unseen beyond CMS bound")
     joined.unpersist(); toks.unpersist()
   }
+
+  test("HLL: estimate within the rsd envelope across cardinality regimes") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // m=256 → rsd ≈ 1.04/16 ≈ 6.5%; allow 4σ. Cover the linear-counting
+    // regime (n << m), the crossover, and the raw-estimator regime (n >> m)
+    for (n <- Seq(50, 600, 20000)) {
+      val keys = spark.range(n).select(concat(lit("key"), col("id")).as("k"))
+      val est = Stats.hllEstimate(Stats.hllRegisters(keys, "k", b = 8), b = 8)
+        .head().getDouble(2)
+      assert(math.abs(est - n) <= math.max(4 * 0.065 * n, 8.0),
+        s"n=$n estimated $est")
+    }
+  }
+
+  test("HLL: registers are max-mergeable — union sketch == merged shard sketches") {
+    import graft.functions.Stats
+    val a = spark.range(0, 3000).selectExpr("concat('k', id) AS k")
+    val b = spark.range(2000, 5000).selectExpr("concat('k', id) AS k")
+    val union = Stats.hllRegisters(a.unionAll(b), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = Stats.hllRegisters(a, "k")
+      .unionAll(Stats.hllRegisters(b, "k"))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(union == merged, "register-wise max must equal the union sketch")
+    // duplicates never move a register: re-unioning a shard changes nothing
+    val dup = Stats.hllRegisters(a.unionAll(b).unionAll(a), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dup == union)
+  }
 }

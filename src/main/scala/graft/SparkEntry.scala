@@ -453,6 +453,20 @@ object SparkEntry {
       dd.matches.orderBy(col("new_id"), col("match_id"))
     }),
 
+    // streaming cardinality (batch replay of 5 ordered micro-batches):
+    // per-batch HLL sketches max-merged into constant-size state — by
+    // mergeability the final estimate equals the full-corpus sketch, which
+    // is exactly what the oracle computes
+    "stream_cardinality" -> ((s, dir) => {
+      val toks = docsNorm(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val cm = new graft.streaming.Streaming.CardinalityMonitor("token", b = 8)
+      (0 until 5).foreach(b => cm.update(toks.filter(col("doc_id") % 5 === b)))
+      cm.estimate
+    }),
+
     // streaming ANN index ingestion (batch replay of 4 ordered micro-
     // batches): the coarse quantizer freezes on the first batch, every
     // batch routes at scan speed onto it and accretes into the IVF index,
@@ -1095,6 +1109,17 @@ object SparkEntry {
       Vectors.kMeansAssign(e, "vec_id", "v",
         Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
         .orderBy(col("vec_id"))
+    }),
+
+    // greedy k-center coreset (coverage-maximizing data selection): each
+    // round folds min-distance over the broadcast selected set and picks
+    // the farthest vector with ONE max_by aggregation — k scans, no
+    // pairwise matrix
+    "sim_coreset" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.kCenterCoreset(e, "vec_id", "v", k = 4)
+        .orderBy(col("rank"))
     }),
 
     // symmetric int8 embedding quantization + reconstruction error — the
@@ -3186,6 +3211,39 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
+    // coreset replay: 3 unrolled Gonzalez rounds — min over the selected
+    // set chains through least() (min is exact, so chaining equals the
+    // fresh fold), farthest pick by (dmin DESC, vec_id)
+    "sim_coreset" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         d1 AS (
+           SELECT e.vec_id, e.v,
+             list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.v)
+               + list_dot_product(c0.v, c0.v) AS dmin
+           FROM e CROSS JOIN c0),
+         c1 AS (SELECT vec_id, v, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+         d2 AS (
+           SELECT d1.vec_id, d1.v,
+             least(d1.dmin,
+               list_dot_product(d1.v, d1.v) - 2*list_dot_product(d1.v, c1.v)
+                 + list_dot_product(c1.v, c1.v)) AS dmin
+           FROM d1 CROSS JOIN c1),
+         c2 AS (SELECT vec_id, v, dmin FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+         d3 AS (
+           SELECT d2.vec_id, d2.v,
+             least(d2.dmin,
+               list_dot_product(d2.v, d2.v) - 2*list_dot_product(d2.v, c2.v)
+                 + list_dot_product(c2.v, c2.v)) AS dmin
+           FROM d2 CROSS JOIN c2),
+         c3 AS (SELECT vec_id, v, dmin FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1)
+         SELECT 1 AS "rank", vec_id, 0.0 AS d2 FROM c0
+         UNION ALL SELECT 2, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c1
+         UNION ALL SELECT 3, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c2
+         UNION ALL SELECT 4, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c3
+         ORDER BY "rank"""",
+
     // negatives replay: md5-bucketed per-query candidate pool (16 buckets,
     // 4 probes), pool-local top-5 cosine exclusion, md5-hash-ordered draw
     "sim_negatives" ->
@@ -3625,6 +3683,36 @@ object SparkEntry {
          SELECT est.m, est.zero_registers, est.est_distinct, x.exact_distinct
          FROM est CROSS JOIN
            (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tk) x""",
+
+    // streaming HLL replay: mergeability means the accreted registers equal
+    // the one-pass corpus sketch — identical chain, no exact-count column
+    "stream_cardinality" ->
+      s"""WITH tk AS (
+           SELECT tok FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+         h AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h FROM tk),
+         rr AS (
+           SELECT h % 256 AS bucket,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END AS rho
+           FROM h),
+         regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
+         regs AS (
+           SELECT b.bucket, coalesce(regs0.reg, 0) AS reg
+           FROM (SELECT unnest(range(0, 256)) AS bucket) b
+           LEFT JOIN regs0 USING (bucket)),
+         agg AS (
+           SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+           FROM regs)
+         SELECT 256 AS m, zero_registers,
+           round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0
+                            AND zero_registers > 0
+                       THEN 256.0 * ln(256.0 / CAST(zero_registers AS DOUBLE))
+                       ELSE ($hllC / CAST(s AS DOUBLE)) END
+             AS DECIMAL(38,6)), 2)::DOUBLE AS est_distinct
+         FROM agg""",
 
     // winsorize replay: per-type quantile picks → clamp
     "stats_winsorize" ->

@@ -207,6 +207,56 @@ object Vectors {
         col("__best.cluster").as("cluster"), col("__best.__d2").as("__d2"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
+    * minimize the maximum intercluster distance") — coverage-maximizing
+    * data selection: start from the smallest id, then repeatedly pick the
+    * vector FARTHEST from every center chosen so far (squared L2, ties to
+    * the smallest id). The classic 2-approximation to the k-center
+    * objective, and the shape behind coreset/active-learning selection of
+    * training data: the selected rows cover the embedding space, not the
+    * densest mode.
+    *
+    * 100 TB notes: a round is one corpus scan — the min-distance fold runs
+    * over the BROADCAST selected-center array exactly like
+    * [[assignClusters]] (zero row expansion, zero shuffle), and the argmax
+    * is ONE map-side-combined `max_by` aggregation to a single row. k
+    * rounds, k driver-held vectors, never a pairwise matrix. The corpus
+    * frame freezes once and every round re-reads the materialized leaf.
+    *
+    * Returns (rank, vec_id, d2): selection order, chosen vector, and its
+    * min-distance at selection (the covering-radius progression; the seed
+    * reports 0.0).
+    */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val vecs = bridge.freeze(corpus.select(col(idCol).cast("long").as("__vid"),
+      col(vecCol).cast("array<double>").as("__v")))
+    val seed = vecs.orderBy(col("__vid")).limit(1).head()
+    var selected = Vector((seed.getLong(0), seed.getSeq[Double](1), 0.0))
+    for (_ <- 1 until k) {
+      val cents = array(selected.map { case (_, v, _) =>
+        array(v.map(lit): _*) }: _*)
+      val far = vecs
+        .withColumn("__xx", dot(col("__v"), col("__v")))
+        .withColumn("__dmin", array_min(transform(cents, c =>
+          col("__xx") - lit(2.0) * dot(col("__v"), c) + dot(c, c))))
+        .agg(max_by(struct(col("__vid"), col("__v"), col("__dmin")),
+          struct(col("__dmin"), (-col("__vid")).as("__nid"))).as("__far"))
+        .select(col("__far.*")).head()
+      selected :+= ((far.getLong(0), far.getSeq[Double](1), far.getDouble(2)))
+    }
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("rank", "vec_id", "__d")
+      .select(col("rank"), col("vec_id"),
+        round(col("__d").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("d2"))
+  }
+
   /** final cluster assignment of every corpus vector against trained
     * centroids: (idCol, cluster, d2) with the distance decimal-staged so
     * external engines agree at the rounding boundary

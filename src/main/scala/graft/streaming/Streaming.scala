@@ -135,6 +135,39 @@ object Streaming {
     }
   }
 
+  /** Streaming cardinality monitor — per-batch HyperLogLog sketches merged
+    * by register-wise max, the operation HLL exists for: state is 2^b
+    * small ints REGARDLESS of stream length (the drift monitor's state is
+    * vocabulary-bounded; this one is constant), each batch costs one
+    * map-side-combined aggregation of the batch alone, and the merged
+    * sketch is EXACTLY the batch sketch of the union
+    * ([[graft.functions.Stats.hllRegisters]] mergeability, spec-proven) —
+    * so the streaming estimate carries the same 1.04/√m error bound as a
+    * full-corpus pass, with no distinct-key state to spill. Wire with
+    * [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class CardinalityMonitor(keyCol: String, b: Int = 8) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var regs: Option[DataFrame] = None
+
+    /** fold one micro-batch into the register state */
+    def update(batch: DataFrame): Unit = {
+      val br = graft.functions.Stats.hllRegisters(batch, keyCol, b)
+      regs = Some(bridge.freeze(regs match {
+        case None => br
+        case Some(r) => r.unionAll(br).groupBy(col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+      }))
+    }
+
+    /** current register table (2^b rows) */
+    def registers: DataFrame = regs.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** current (m, zero_registers, est_distinct) estimate */
+    def estimate: DataFrame = graft.functions.Stats.hllEstimate(registers, b)
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

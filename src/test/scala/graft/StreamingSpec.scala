@@ -243,4 +243,29 @@ class StreamingSpec extends SparkSpec {
     // sanity: 5 ranked neighbors per query, drawn from the full corpus index
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
+
+  test("streaming cardinality monitor equals the one-pass corpus sketch") {
+    import graft.functions.{Stats, TextAnalysis}
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val dir = java.nio.file.Files.createTempDirectory("card_stream").toString
+    toks.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val cm = new Streaming.CardinalityMonitor("token", b = 8)
+    val stream = spark.readStream.schema(toks.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) cm.update(batch)))
+
+    // mergeability: accreted registers == the single-pass sketch, register
+    // by register — so the estimate is bit-identical too
+    val streamedRegs = cm.registers.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchRegs = Stats.hllRegisters(toks, "token", b = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamedRegs == batchRegs)
+    assert(cm.estimate.head() == Stats.hllEstimate(
+      Stats.hllRegisters(toks, "token", b = 8), b = 8).head())
+  }
 }

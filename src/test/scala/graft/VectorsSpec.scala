@@ -262,4 +262,29 @@ class VectorsSpec extends SparkSpec {
     assert(rRerank >= 0.5, s"reranked top-5 cosine recall $rRerank too low")
     out.unpersist()
   }
+
+  test("kCenterCoreset: greedy farthest-first on a planted geometry") {
+    import spark.implicits._
+    // four tight clusters at the corners of a square, one point far out;
+    // farthest-first must visit the outlier and three distinct corners
+    // before ever taking a second point from a covered corner
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),
+      (10L, Seq(10.0, 0.0)), (11L, Seq(10.1, 0.0)),
+      (20L, Seq(0.0, 10.0)), (21L, Seq(0.1, 10.0)),
+      (30L, Seq(10.0, 10.0)), (31L, Seq(10.1, 10.0)),
+      (99L, Seq(50.0, 50.0))).toDF("vec_id", "v")
+    val out = Vectors.kCenterCoreset(pts, "vec_id", "v", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4, 5), "ranks are 1..k")
+    assert(out.head._2 == 1L && out.head._3 == 0.0, "seed is the smallest id at d2=0")
+    assert(out(1)._2 == 99L, "first greedy pick is the outlier")
+    // the five selections cover all four corners plus the outlier: no two
+    // picks from the same tight pair
+    val corners = out.map(_._2 / 10L).toSet
+    assert(corners == Set(0L, 1L, 2L, 3L, 9L), s"picks must spread: ${out.mkString(",")}")
+    // covering radius never increases round over round
+    val radii = out.drop(1).map(_._3).toSeq
+    assert(radii == radii.sortBy(-_), s"d2 must be non-increasing: ${radii.mkString(",")}")
+  }
 }

@@ -1016,6 +1016,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // hot-band detection + bucketed point-in-interval join: per-type hot
+    // value bands (all-integer threshold, anti-join islands over the
+    // bounded bin table), then events tagged by EVERY type's band they fall
+    // in — the no-equi-key range join as a bucket equi-join, never a BNLJ
+    "join_interval" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bands = graft.functions.Stats.hotBands(ev, "event_type", "value",
+          width = 10.0, num = 12, den = 10)
+        .select(col("event_type").as("band_type"),
+          (col("band_lo_bin") * 10.0 + 2.5).as("lo"),
+          ((col("band_hi_bin") + 1) * 10.0 - 2.5).as("hi"))
+      graft.core.Joins.intervalJoin(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          "value", bands, "lo", "hi", width = 10.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("band_type"), col("lo"), col("hi"))
+        .orderBy(col("event_id"), col("band_type"))
+    }),
+
     // CCNet perplexity buckets: unigram-LM scores cut into head/middle/tail
     // at each LANGUAGE's own histogram terciles — per-group thresholds
     // broadcast back, integer-bin compares, the corpus shuffles only for
@@ -2790,6 +2809,37 @@ object SparkEntry {
            (n_docs >= 10 AND mean_quality >= 0.63 AND dup_frac <= 0.2
              AND source != 'spamnet') AS kept
          FROM q JOIN st USING (source) ORDER BY doc_id""",
+
+    // interval-join replay: integer-exact hot-bin threshold, island starts
+    // via the absent-predecessor anti-join, nearest-start assignment, then
+    // the plain inequality join DuckDB can afford at oracle scale
+    "join_interval" ->
+      """WITH b AS (
+           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nb
+           FROM b GROUP BY 1),
+         hot AS (
+           SELECT b.event_type, bin FROM b JOIN tot USING (event_type)
+           WHERE cnt * 10 * nb >= 12 * total),
+         starts AS (
+           SELECT h.event_type, h.bin FROM hot h
+           LEFT JOIN hot p ON p.event_type = h.event_type AND p.bin = h.bin - 1
+           WHERE p.bin IS NULL),
+         assigned AS (
+           SELECT h.event_type, h.bin, max(s.bin) AS s
+           FROM hot h JOIN starts s
+             ON s.event_type = h.event_type AND s.bin <= h.bin
+           GROUP BY h.event_type, h.bin),
+         bands AS (
+           SELECT event_type AS band_type,
+             s * CAST(10.0 AS DOUBLE) + CAST(2.5 AS DOUBLE) AS lo,
+             (max(bin) + 1) * CAST(10.0 AS DOUBLE) - CAST(2.5 AS DOUBLE) AS hi
+           FROM assigned GROUP BY event_type, s)
+         SELECT e.event_id, e.event_type, e.value, band_type, lo, hi
+         FROM events e JOIN bands ON e.value >= lo AND e.value < hi
+         ORDER BY event_id, band_type""",
 
     // CCNet bucket replay: the text_lm_score chain, then per-language
     // histogram tercile bins and integer-bin head/middle/tail labels

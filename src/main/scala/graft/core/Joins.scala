@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, col, explode, floor, lit,
+  raise_error, sequence, when, xxhash64}
 
 /** Size-aware join-side policy.
   *
@@ -77,5 +78,48 @@ object Joins {
     val might = bridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), bridge.expression(xxhash64(col(bigKey)))))
     big.filter(might).join(small, cond, how)
+  }
+
+  /** Bucketed point-in-interval join — the scale-safe plan for `p BETWEEN
+    * lo AND hi` with no equi key (IP→CIDR lookup, value-in-hot-band
+    * tagging, timestamp-in-window joins). Catalyst plans a bare interval
+    * predicate as BroadcastNestedLoopJoin (or a cartesian) — |points|×
+    * |intervals| comparisons, dead at scale. The standard decomposition:
+    * quantize the axis into `width`-sized buckets, explode each interval
+    * into the buckets it touches, and equi-join on the bucket key before
+    * applying the exact predicate — a plain shuffled hash join whose row
+    * expansion is span/width per interval, tunable to the data.
+    *
+    * Exactness: a point lies in exactly one bucket and an interval covers
+    * each of its buckets exactly once, so the (bucket, exact-predicate)
+    * pair finds every qualifying (point, interval) combination exactly
+    * once — no dedup step. Pick `width` near the median interval span:
+    * smaller widths expand the interval side, larger widths send more
+    * non-matching pairs into the exact filter. `maxBucketsPerInterval`
+    * guards the explode against a whale interval (a misconfigured width
+    * on an open-ended range would otherwise materialize millions of rows
+    * for ONE interval) — it raises, never truncates.
+    *
+    * Returns the inner join of the two frames (all columns from both) for
+    * points with `lo <= p < hi` (half-open, the bin convention).
+    */
+  def intervalJoin(points: DataFrame, pCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   width: Double, maxBucketsPerInterval: Int = 1 << 14): DataFrame = {
+    require(width > 0, "width must be positive")
+    val p = points.filter(col(pCol).isNotNull)
+      .withColumn("__bk", floor(col(pCol) / width).cast("long"))
+    val nb = (floor(col(hiCol) / width).cast("long")
+      - floor(col(loCol) / width).cast("long")) + 1
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
+      .filter(when(nb > maxBucketsPerInterval,
+        raise_error(lit(s"interval exceeds $maxBucketsPerInterval buckets — raise width"))
+          .isNotNull).otherwise(lit(true)))
+      .withColumn("__bk", explode(sequence(floor(col(loCol) / width).cast("long"),
+        floor(col(hiCol) / width).cast("long"))))
+    p.join(iv, p("__bk") === iv("__bk")
+        && col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__bk")
   }
 }

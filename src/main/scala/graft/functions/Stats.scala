@@ -153,6 +153,48 @@ object Stats {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Hot-band detection: per-group value ranges whose fixed-width bins hold
+    * at least `num/den` times the group's MEAN bin count, with adjacent hot
+    * bins merged into maximal disjoint bands (gaps-and-islands) — the
+    * "where does this metric concentrate" primitive that feeds
+    * [[graft.core.Joins.intervalJoin]]-style tagging (hot price bands,
+    * busy-hour windows, anomalous value ranges).
+    *
+    * The threshold compare is all-integer (`c·den·nbins ≥ num·total`), so
+    * band membership is engine-exact. Islands are found WITHOUT an
+    * unpartitioned window: band starts are hot bins whose predecessor is
+    * absent (a self anti-join), each hot bin claims the nearest start at or
+    * below it (one bounded self-join + max aggregation) — every step runs
+    * on the (group × bin) table, whose size is data-INDEPENDENT, the
+    * [[histogramQuantiles]] discipline.
+    *
+    * Returns (groupCol, band_lo_bin, band_hi_bin, n_bins): maximal hot
+    * bands as inclusive bin ranges.
+    */
+  def hotBands(df: DataFrame, groupCol: String, valueCol: String,
+               width: Double, num: Long = 12, den: Long = 10): DataFrame = {
+    require(width > 0 && num > 0 && den > 0, "width/num/den must be positive")
+    val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(groupCol), floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt")))
+    val tot = bins.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("nb"))
+    val hot = bins.join(graft.core.Joins.maybeBroadcast(tot), Seq(groupCol))
+      .filter(col("cnt") * den * col("nb") >= lit(num) * col("total"))
+      .select(col(groupCol), col("bin"))
+    val starts = hot.join(
+      hot.select(col(groupCol), (col("bin") + 1).as("bin")),
+      Seq(groupCol, "bin"), "left_anti")
+      .select(col(groupCol), col("bin").as("__start"))
+    hot.join(starts, Seq(groupCol))
+      .filter(col("__start") <= col("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(max(col("__start")).as("__s"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(max(col("bin")).as("band_hi_bin"), count(lit(1)).as("n_bins"))
+      .select(col(groupCol), col("__s").as("band_lo_bin"),
+        col("band_hi_bin"), col("n_bins"))
+  }
+
   /** HyperLogLog register table (Flajolet et al. 2007) with md5-derived
     * hashing, so — unlike Spark's builtin `approx_count_distinct` — the
     * sketch is ENGINE-REPRODUCIBLE: an external system hashing the same keys

@@ -206,6 +206,18 @@ object ScaleBench {
         bands = 32, threshold = 0.8)
       force(Dedup.editVerify(pairs, "id_a", "id_b", d, "doc_id", "text"))
     }
+    def pagerank(pairs: DataFrame): Unit =
+      force(graft.functions.Graphs.pageRankScaled(pairs, iterations = 3))
+    def keepBest(d: DataFrame, pairs: DataFrame): Unit =
+      force(Dedup.keepBest(Dedup.clusters(pairs), d, "doc_id", "text"))
+    def hll(d: DataFrame): Unit =
+      force(graft.functions.Stats.hllEstimate(graft.functions.Stats.hllRegisters(
+        d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= ""), "token")))
+    def pplBuckets(d: DataFrame): Unit =
+      force(graft.functions.Curation.perplexityBuckets(d, "doc_id", "text", "lang"))
+    def coreset(e: DataFrame): Unit =
+      force(Vectors.kCenterCoreset(e, "vec_id", "v", k = 4))
     def rouge(d: DataFrame): Unit = {
       val pairs = Dedup.contamination(
         d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
@@ -253,7 +265,14 @@ object ScaleBench {
       ("sketch_cms", nDocs, nDocs * copies, () => cms(docs1), () => cms(docs10)),
       ("sim_negatives", maxVec, maxVec * copies,
         () => negSample(emb1, 16), () => negSample(emb10, 160)),
-      ("dedup_edit_verify", nDocs, nDocs * copies, () => editVerify(docs1), () => editVerify(docs10)))
+      ("dedup_edit_verify", nDocs, nDocs * copies, () => editVerify(docs1), () => editVerify(docs10)),
+      ("graph_pagerank", nPairs1, nPairs10, () => pagerank(ccPairs1), () => pagerank(ccPairs10)),
+      ("dedup_keep_best", nPairs1, nPairs10,
+        () => keepBest(docs1, ccPairs1), () => keepBest(docs10, ccPairs10)),
+      ("sketch_hll", nDocs, nDocs * copies, () => hll(docs1), () => hll(docs10)),
+      ("curate_ppl_buckets", nDocs, nDocs * copies,
+        () => pplBuckets(docs1), () => pplBuckets(docs10)),
+      ("sim_coreset", maxVec, maxVec * copies, () => coreset(emb1), () => coreset(emb10)))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -272,6 +272,22 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out.length === 2, "exactly one maximal span per duplicated doc")
   }
 
+  test("hotBands: adjacent hot bins merge into maximal disjoint islands per group") {
+    import spark.implicits._
+    // group g: bins 0,1,2 hot (30 each), 5 hot, rest cold; h: uniform (no bands)
+    val rows =
+      (0 to 2).flatMap(b => Seq.fill(30)(("g", b * 10.0 + 1))) ++
+      Seq.fill(30)(("g", 51.0)) ++
+      (10 to 19).map(b => ("g", b * 10.0 + 1)) ++
+      (0 to 9).flatMap(b => Seq.fill(3)(("h", b * 10.0 + 1)))
+    val out = Stats.hotBands(rows.toDF("grp", "value"), "grp", "value",
+      width = 10.0, num = 12, den = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // g: mean bin count = 130/14 ≈ 9.3 → hot ⇔ cnt ≥ 11.1 → bins {0,1,2} ∪ {5}
+    assert(out == Set(("g", 0L, 2L, 3L), ("g", 5L, 5L, 1L)),
+      s"expected two islands for g and none for uniform h, got $out")
+  }
+
   test("rankByScore: dense 1-based ranks, score desc, ties break to smaller id") {
     import spark.implicits._
     val df = Seq((10L, 3.0), (20L, 5.0), (30L, 3.0), (40L, 1.0)).toDF("id", "s")

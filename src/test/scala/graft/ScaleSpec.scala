@@ -181,6 +181,36 @@ class ScaleSpec extends SparkSpec {
     assert(anti.count() == 20000 - 200)
   }
 
+  test("interval join: equals the naive range join, plans a hash join, whale guard raises") {
+    import spark.implicits._
+    import graft.core.Joins
+    // 50k points, 200 misaligned intervals (width 7.3 vs bucket width 5)
+    val pts = spark.range(0, 50000)
+      .select(col("id").as("pid"), (col("id") % 997 * 0.5).as("p"))
+    val iv = spark.range(0, 200)
+      .select(col("id").as("iid"), (col("id") * 2.4).as("lo"),
+        (col("id") * 2.4 + 7.3).as("hi"))
+    val out = Joins.intervalJoin(pts, "p", iv, "lo", "hi", width = 5.0)
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(out) == key(naive), "bucket decomposition must be exact")
+    assert(key(out).nonEmpty)
+    // the whole point: the executed plan is a shuffled/broadcast HASH join
+    // on the bucket key, not the nested-loop the naive predicate plans
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval join must stay hash-joined:\n${plan.take(1500)}")
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      "control: the naive predicate really does plan a BNLJ")
+    // a whale interval trips the explode guard instead of materializing it
+    val whale = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val err = intercept[Exception] {
+      Joins.intervalJoin(pts, "p", whale, "lo", "hi", width = 5.0).count()
+    }
+    assert(err.getMessage.contains("buckets"), s"guard must name the fix: ${err.getMessage}")
+  }
+
   test("star CC: a diameter-100 path converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     import graft.functions.Dedup

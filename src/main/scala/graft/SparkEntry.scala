@@ -1016,6 +1016,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SparkSessionExtensions surface: the native Catalyst expressions
+    // callable from PURE SQL — registered into the live session the way
+    // spark.sql.extensions=graft.plans.GraftExtensions would at startup
+    "fn_sql_extensions" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .createOrReplaceTempView("graft_emb")
+      s.sql("""
+        SELECT d.doc_id,
+          size(graft_shingles(split(trim(regexp_replace(regexp_replace(lower(d.text),
+            '[^a-z0-9]+', ' '), ' +', ' ')), ' '), 3)) AS n_shingles,
+          CAST(round(CAST(graft_dot(e.v, e.v) AS DECIMAL(18,8)), 4) AS DOUBLE) AS self_dot
+        FROM graft_docs d JOIN graft_emb e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id""")
+    }),
+
     // hot-band detection + bucketed point-in-interval join: per-type hot
     // value bands (all-integer threshold, anti-join islands over the
     // bounded bin table), then events tagged by EVERY type's band they fall
@@ -2809,6 +2827,23 @@ object SparkEntry {
            (n_docs >= 10 AND mean_quality >= 0.63 AND dup_frac <= 0.2
              AND source != 'spamnet') AS kept
          FROM q JOIN st USING (source) ORDER BY doc_id""",
+
+    // extensions replay: shingle counts from the norm chain, self dot from
+    // list_dot_product — the SQL-surface smoke over two native expressions
+    "fn_sql_extensions" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         d AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+         SELECT sh.doc_id, CAST(len(sh.s) AS INTEGER) AS n_shingles,
+           round(CAST(list_dot_product(d.v, d.v) AS DECIMAL(18,8)), 4)::DOUBLE AS self_dot
+         FROM sh JOIN d ON sh.doc_id = d.vec_id ORDER BY sh.doc_id""",
 
     // interval-join replay: integer-exact hot-bin threshold, island starts
     // via the absent-predecessor anti-join, nearest-start assignment, then

@@ -475,14 +475,9 @@ object NativeFunctions {
   def topNgramFraction(tokens: Column, n: Int): Column =
     col(TopNgramFraction(expr(tokens), n))
 
-  /** expose as SQL functions (graft_dot / graft_minhash / graft_simhash) */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_dot",
-      es => DotProduct(es.head, es(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
-    registry.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es.head), "built-in")
-  }
+  /** expose every native expression as a SQL function — delegates to
+    * [[GraftExtensions.register]], the full catalog (the
+    * `spark.sql.extensions` startup path uses `class GraftExtensions`)
+    */
+  def register(spark: SparkSession): Unit = GraftExtensions.register(spark)
 }

@@ -453,6 +453,22 @@ object SparkEntry {
       dd.matches.orderBy(col("new_id"), col("match_id"))
     }),
 
+    // streaming incremental connected components (batch replay of 4 pair
+    // slices): each batch contracts through the current labels and solves
+    // a batch-sized graph — the final labeling equals the from-scratch
+    // solve over all pairs, which is exactly what the oracle computes
+    "stream_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(pairs)
+      val cm = new graft.streaming.Streaming.ComponentMonitor()
+      (0 until 4).foreach(b =>
+        cm.update(frozen.filter((col("id_a") + col("id_b")) % 4 === b)))
+      cm.components
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming cardinality (batch replay of 5 ordered micro-batches):
     // per-batch HLL sketches max-merged into constant-size state — by
     // mergeability the final estimate equals the full-corpus sketch, which
@@ -3768,6 +3784,17 @@ object SparkEntry {
          SELECT est.m, est.zero_registers, est.est_distinct, x.exact_distinct
          FROM est CROSS JOIN
            (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tk) x""",
+
+    // incremental-CC replay: order-independence means the accreted labeling
+    // equals the one-shot recursive reach over the full pair set
+    "stream_components" ->
+      s"""WITH RECURSIVE $nearDupEdgesSql,
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT node AS doc_id, least(node, min(r)) AS cluster
+         FROM reach GROUP BY node ORDER BY doc_id""",
 
     // streaming HLL replay: mergeability means the accreted registers equal
     // the one-pass corpus sketch — identical chain, no exact-count column

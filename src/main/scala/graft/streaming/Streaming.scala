@@ -168,6 +168,61 @@ object Streaming {
     def estimate: DataFrame = graft.functions.Stats.hllEstimate(registers, b)
   }
 
+  /** Streaming incremental connected components — maintain the near-dup
+    * cluster labeling as pair batches arrive, WITHOUT re-solving the full
+    * graph: each batch's edges are CONTRACTED by the current labels (an
+    * endpoint maps to its component's label; unseen nodes map to
+    * themselves), components are solved on that contracted graph — sized
+    * by the BATCH plus the touched labels, not the accumulated graph —
+    * and the resulting label-merge map rewrites the stored labeling.
+    *
+    * Correctness falls out of the labels-are-minima invariant: a stored
+    * label is the smallest id of its component, so the contracted solve's
+    * group minimum equals the global component minimum — after every
+    * batch the labeling is IDENTICAL to a from-scratch
+    * [[graft.functions.Dedup.connectedComponents]] over all pairs seen
+    * (StreamingSpec proves it through foreachBatch plumbing, including
+    * batches whose edges merge previously-separate components).
+    *
+    * State is one (node, label) row per node that ever appeared in a pair
+    * — the duplicated slice of the corpus — re-frozen per batch so
+    * lineage stays flat. Per-batch shuffle: two keyed joins against the
+    * label state plus the contracted solve. Wire with
+    * [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class ComponentMonitor(idA: String = "id_a", idB: String = "id_b") {
+    import graft.functions.Dedup
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var labels: Option[DataFrame] = None
+
+    /** fold one batch of pair rows into the labeling */
+    def update(pairs: DataFrame): Unit = {
+      val e = pairs.select(col(idA).cast("long").as("src"),
+        col(idB).cast("long").as("dst"))
+      labels = Some(bridge.freeze(labels match {
+        case None => Dedup.connectedComponents(e, "src", "dst")
+        case Some(l) =>
+          val la = l.select(col("node").as("src"), col("label").as("__la"))
+          val lb = l.select(col("node").as("dst"), col("label").as("__lb"))
+          val contracted = e.join(la, Seq("src"), "left").join(lb, Seq("dst"), "left")
+            .select(coalesce(col("__la"), col("src")).as("src"),
+              coalesce(col("__lb"), col("dst")).as("dst"))
+          val solved = Dedup.connectedComponents(contracted, "src", "dst")
+          // rewrite stored labels through the merge map; labels untouched by
+          // this batch pass through, nodes first seen here enter directly
+          val lmap = solved.select(col("node").as("label"), col("label").as("__nl"))
+          val rewritten = l.join(lmap, Seq("label"), "left")
+            .select(col("node"), coalesce(col("__nl"), col("label")).as("label"))
+          val fresh = solved.join(l.select(col("node")), Seq("node"), "left_anti")
+          rewritten.unionByName(fresh)
+      }))
+    }
+
+    /** current labeling: (node, label) — label is the component's smallest id */
+    def components: DataFrame = labels.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

@@ -244,6 +244,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("incremental components equal the from-scratch solve, merges included") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    // batches engineered so batch 3's single edge MERGES the two components
+    // built up by batches 1 and 2, and batch 4 attaches a smaller-id node
+    // (the stored labels must be rewritten, not just extended)
+    val batches = Seq(
+      Seq((10L, 11L), (11L, 12L)),
+      Seq((20L, 21L), (21L, 22L)),
+      Seq((12L, 20L)),
+      Seq((5L, 22L), (30L, 31L)))
+    val cm = new Streaming.ComponentMonitor()
+    batches.foreach(b => cm.update(b.toDF("id_a", "id_b")))
+    val got = cm.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.functions.Dedup.connectedComponents(
+      batches.flatten.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental $got must equal batch $full")
+    // the merged mega-component is labeled by the late-arriving smallest id
+    assert(got(10L) == 5L && got(22L) == 5L && got(30L) == 30L)
+
+    // and through real foreachBatch plumbing on corpus pairs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.functions.Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+    val dir = java.nio.file.Files.createTempDirectory("cc_stream").toString
+    pairs.repartition(3).write.mode("overwrite").parquet(dir)
+    val cm2 = new Streaming.ComponentMonitor()
+    val stream = spark.readStream.schema(pairs.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) cm2.update(batch)))
+    val streamed = cm2.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.functions.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming cardinality monitor equals the one-pass corpus sketch") {
     import graft.functions.{Stats, TextAnalysis}
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")

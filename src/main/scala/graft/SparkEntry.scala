@@ -1164,6 +1164,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // embedding-health profile: per-dimension mean/std/range from ONE
+    // explode + map-side-combined aggregation to dim rows — dead dims,
+    // exploding activations and snapshot drift read straight off it
+    "stats_embedding_profile" -> ((s, dir) => {
+      Vectors.dimensionProfile(
+        t(s, dir, "embeddings")
+          .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v")), "v")
+        .orderBy(col("dim"))
+    }),
+
+    // semantic-stratified sampling: k-means cluster quotas — the diversity
+    // draw that keeps every embedding-space mode represented (uniform
+    // sampling over-draws the densest mode); md5-ranked within cluster
+    "sample_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val assigned = Vectors.kMeansAssign(e, "vec_id", "v",
+        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
+      Sampling.stratifiedSample(assigned.select(col("vec_id"), col("cluster")),
+          Seq("cluster"), "vec_id", maxPerGroup = 10, salt = "sem")
+        .orderBy(col("cluster"), col("vec_id"))
+    }),
+
     // greedy k-center coreset (coverage-maximizing data selection): each
     // round folds min-distance over the broadcast selected set and picks
     // the farthest vector with ONE max_by aggregation — k scans, no
@@ -1387,6 +1410,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility by detected language: BPE-ish tokens per char —
+    // the per-language cost profile that decides sampling weights before a
+    // tokenizer/vocab change; map-side-combined rollup to |langs| rows
+    "text_fertility" -> ((s, dir) => {
+      docsNorm(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenEstimate(col("text")).as("__tok"),
+          length(col("text")).as("__chars"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("__tok")).as("total_tokens"),
+          sum(col("__chars")).as("total_chars"),
+          dround(sum(col("__tok")).cast(DoubleType) / sum(col("__chars")), 6)
+            .as("fertility"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // multimodal: REAL decode of real containers (ImageIO BMP, AudioSystem
     // WAV, demuxed frame container) synthesized deterministically per row —
     // the oracle recomputes every decoded feature from the generation rule,
@@ -1491,6 +1531,23 @@ object SparkEntry {
       graft.functions.Events.funnel(events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "signup", "purchase"))
         .orderBy(col("user_id"))
+    }),
+
+    // cohort retention: first-activity-day cohorts × day offsets — the
+    // engagement dashboard table; rollup lands on |cohorts|×|offsets| rows
+    // regardless of stream size
+    "events_retention" -> ((s, dir) => {
+      graft.functions.Events.retention(events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("offset_days"))
+    }),
+
+    // last-touch attribution: each purchase credited to the most recent
+    // preceding non-purchase event in the user's stream — one user-keyed
+    // window, |types|-row rollup
+    "events_attribution" -> ((s, dir) => {
+      graft.functions.Events.lastTouchAttribution(events(s, dir),
+          "user_id", "event_type", "ts", "event_id", convType = "purchase")
+        .orderBy(col("touch_type"))
     }),
 
     // per-group quantiles: each event type's own p50/p90 value threshold —
@@ -3312,6 +3369,69 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
+    // profile replay: decimal-staged dimension sums, the E[x^2]-E[x]^2
+    // variance with the identical fixed operation order
+    "stats_embedding_profile" ->
+      """WITH e AS (
+           SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         x AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+         SELECT CAST(dim - 1 AS INTEGER) AS dim, count(*) AS n,
+           round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
+             AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
+           round(CAST(sqrt(greatest(
+               sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
+                 - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
+                   * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
+             AS DECIMAL(18,8)), 6)::DOUBLE AS std,
+           min(x) AS lo, max(x) AS hi
+         FROM x GROUP BY dim ORDER BY dim""",
+
+    // semantic-sampling replay: the sim_kmeans assignment chain through the
+    // trained centroids, then md5-ranked per-cluster quotas
+    "sample_semantic" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c0.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
+                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
+             FROM e CROSS JOIN c0) WHERE rn = 1),
+         c1 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         a2 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
+                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
+             FROM e CROSS JOIN c1) WHERE rn = 1),
+         c2 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         fin AS (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c2.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
+             FROM e CROSS JOIN c2) WHERE rn = 1),
+         h AS (
+           SELECT vec_id, cluster,
+             ('0x'||substr(md5(vec_id::VARCHAR || 'sem'),1,15))::BIGINT AS hv
+           FROM fin)
+         SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rn
+           FROM h) WHERE rn <= 10 ORDER BY cluster, vec_id""",
+
     // coreset replay: 3 unrolled Gonzalez rounds — min over the selected
     // set chains through least() (min is exact, so chaining equals the
     // fresh fold), farthest pick by (dmin DESC, vec_id)
@@ -3522,6 +3642,36 @@ object SparkEntry {
              CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_est
          FROM norm ORDER BY doc_id""",
 
+    // fertility replay: langid CASE + token estimate + char length, rolled
+    // up per predicted language with the same decimal-staged ratio
+    "text_fertility" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents),
+         sc AS (
+           SELECT doc_id, text,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
+           FROM norm),
+         l AS (
+           SELECT
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             (length(text) - length(replace(text, ' ', ''))) +
+               CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS tok,
+             length(text) AS chars
+           FROM sc)
+         SELECT lang_pred, count(*) AS docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(tok)::DOUBLE / sum(chars) AS DECIMAL(18,8)), 6)::DOUBLE
+             AS fertility
+         FROM l GROUP BY 1 ORDER BY 1""",
+
     // SemDeDup: replay the full 2-round decimal-exact Lloyd training (the
     // sim_kmeans chain), assign every vector to its final centroid, then the
     // within-cluster exact-cosine pair scan
@@ -3724,6 +3874,32 @@ object SparkEntry {
          LEFT JOIN s3 ON u.user_id = s3.user_id
          LEFT JOIN s4 ON u.user_id = s4.user_id
          ORDER BY u.user_id""",
+
+    // retention replay: distinct (user, day) activity, min-day cohorts,
+    // offset rollup
+    "events_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+         SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
+           count(DISTINCT a.user_id) AS active_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // attribution replay: the identical user-keyed IGNORE NULLS window with
+    // the same (ts, event_id) tie-break
+    "events_attribution" ->
+      """WITH w AS (
+           SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events)
+         SELECT coalesce(touch, 'none') AS touch_type, count(*) AS conversions
+         FROM w WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
 
     // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
     "sketch_cms" ->

@@ -18,6 +18,59 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Cohort retention: users are cohorted by their first-activity day, and
+    * each later active day counts them at `datediff(day, cohort_day)` —
+    * the "day-N retention" table behind every engagement dashboard.
+    *
+    * Scale shape: (user, day) distinct is ONE shuffle of the event stream;
+    * cohort assignment is a map-side-combined `min(day)` over that already
+    * user-clustered frame; the activity↔cohort join is user-keyed
+    * equi-join (no broadcast needed, no skew — a user's rows are bounded
+    * by the calendar); the final rollup lands on |cohorts|×|offsets| rows,
+    * data-independent of the stream size. No window, no self-join over
+    * raw events.
+    *
+    * Returns (cohort_day, offset_days, active_users); offset 0 is the
+    * cohort's own size.
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val activity = df
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = activity.groupBy(col(userCol))
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the most
+    * recent PRECEDING non-conversion event type in the same user's stream
+    * (ties at the same timestamp broken toward the earlier event id for
+    * determinism), then rolled up to conversions per touch type.
+    *
+    * Scale shape: one user-keyed window (partition by user, order by ts) —
+    * the stream shuffles once on the user key and sorts per user, the
+    * standard sessionization discipline; per-user data is calendar-bounded
+    * so there is no whale-partition risk. The rollup output is |types|
+    * rows. No range self-join (which would be O(touches × conversions)
+    * per user).
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String, typeCol: String,
+                           tsCol: String, idCol: String,
+                           convType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("conversions"))
+  }
+
   /** Per-user funnel progress: the earliest strictly-increasing timestamp
     * chain through `steps`. Returns (userCol, step_1_ts..step_k_ts,
     * steps_completed); a user absent from step 1 appears with all-null

@@ -207,6 +207,42 @@ object Vectors {
         col("__best.cluster").as("cluster"), col("__best.__d2").as("__d2"))
   }
 
+  /** Per-dimension embedding profile — the embedding-health monitor run
+    * before any ANN/dedup pass trusts a new embedding snapshot: mean, std,
+    * and range of every dimension. Dead dimensions (std ≈ 0), exploding
+    * activations (|max| outliers), and mean drift against a prior snapshot
+    * all read directly off this table; a model regression that re-scales
+    * or zeroes a dimension is visible here before it silently degrades
+    * every downstream cosine.
+    *
+    * ONE explode + map-side-combined aggregation to `dim` rows
+    * (data-independent output size). Sums stage in DECIMAL(30,10) — the
+    * k-means centroid discipline — so mean and std are exact,
+    * order-independent, engine-reproducible; the variance is the
+    * one-division E[x²]−E[x]² form with the same fixed operation order as
+    * [[Curation.calibrateScores]].
+    *
+    * Returns (dim, n, mean, std, lo, hi) ordered by dimension index.
+    */
+  def dimensionProfile(corpus: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    val agg = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__s"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__s2"),
+        min(col("__x")).as("lo"), max(col("__x")).as("hi"))
+    val m = agg("__s").cast("double") / agg("n")
+    agg.select(col("dim"), col("n"),
+        round(m.cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("mean"),
+        round(sqrt(greatest(col("__s2").cast("double") / col("n") - m * m,
+            lit(0.0))).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("std"),
+        col("lo"), col("hi"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
     * minimize the maximum intercluster distance") — coverage-maximizing
     * data selection: start from the smallest id, then repeatedly pick the

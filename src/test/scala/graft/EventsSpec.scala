@@ -29,6 +29,43 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("retention: cohorts by first day, offsets count distinct active users") {
+    import spark.implicits._
+    val day = 86400000000L // micros
+    val ev = Seq(
+      // users 1,2 start day 0; user 1 returns day 1 and day 3, user 2 never
+      (1L, 0L), (1L, day), (1L, 3 * day), (1L, 3 * day + 1000L),
+      (2L, 500L),
+      // user 3 starts day 1, returns day 2
+      (3L, day), (3L, 2 * day)
+    ).toDF("user_id", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("1970-01-01", 0) -> 2L, ("1970-01-01", 1) -> 1L, ("1970-01-01", 3) -> 1L,
+      ("1970-01-02", 0) -> 1L, ("1970-01-02", 1) -> 1L),
+      s"got $out")
+  }
+
+  test("lastTouchAttribution: nearest preceding non-conversion wins, none for cold starts") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view then click then purchase -> click credited
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 30L),
+      // user 1 again: second purchase with no new touch -> still click
+      (4L, 1L, "purchase", 40L),
+      // user 2: purchase with no preceding events -> none
+      (5L, 2L, "purchase", 10L),
+      // user 3: same-timestamp tie broken by event id (view id 6 < purchase id 7)
+      (6L, 3L, "view", 10L), (7L, 3L, "purchase", 10L)
+    ).toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000L)).drop("t")
+    val out = Events.lastTouchAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> 2L, "none" -> 1L, "view" -> 1L), s"got $out")
+  }
+
   test("funnel on the corpus: counts monotone down the funnel") {
     val ev = table("events")
     val out = Events.funnel(ev, "user_id", "event_type", "ts",

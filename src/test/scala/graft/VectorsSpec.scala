@@ -263,6 +263,22 @@ class VectorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dimensionProfile: exact moments per dimension, dead dims read std 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0, 5.0, -2.0),
+      Seq(3.0, 5.0, 2.0),
+      Seq(5.0, 5.0, 0.0)).toDF("v")
+    val out = Vectors.dimensionProfile(vecs, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(0)._1 == 3L && out(0)._2 == 3.0 && out(0)._4 == 1.0 && out(0)._5 == 5.0)
+    assert(math.abs(out(0)._3 - math.sqrt(8.0 / 3.0)) < 1e-6)
+    // the constant (dead) dimension: zero std, mean = the constant
+    assert(out(1) == ((3L, 5.0, 0.0, 5.0, 5.0)))
+    assert(out(2)._2 == 0.0 && out(2)._4 == -2.0 && out(2)._5 == 2.0)
+  }
+
   test("kCenterCoreset: greedy farthest-first on a planted geometry") {
     import spark.implicits._
     // four tight clusters at the corners of a square, one point far out;

@@ -984,6 +984,13 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // cross-source shingle-overlap matrix: near-mirror detection between
+    // crawl sources — shingle-keyed self-join, |sources|²-row output
+    "curate_source_overlap" -> ((s, dir) => {
+      graft.functions.Curation.sourceOverlap(docsNorm(s, dir), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // corpus snapshot diff (recrawl CDC): two deterministic versions of the
     // corpus — v_old drops ids ≡9 (mod 10), v_new drops ids ≡0 and edits
     // ids ≡5 — classified added/removed/changed/unchanged by ONE full outer
@@ -1548,6 +1555,13 @@ object SparkEntry {
       graft.functions.Events.lastTouchAttribution(events(s, dir),
           "user_id", "event_type", "ts", "event_id", convType = "purchase")
         .orderBy(col("touch_type"))
+    }),
+
+    // DAU/WAU stickiness: trailing-window distinct counts via the linear
+    // vote-explode (no day-range self-join of the stream); |days|-row output
+    "events_stickiness" -> ((s, dir) => {
+      graft.functions.Events.stickiness(events(s, dir), "user_id", "ts")
+        .orderBy(col("day"))
     }),
 
     // per-group quantiles: each event type's own p50/p90 value threshold —
@@ -3900,6 +3914,48 @@ object SparkEntry {
          SELECT coalesce(touch, 'none') AS touch_type, count(*) AS conversions
          FROM w WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+
+    // stickiness replay: same vote-explode via a day-range join (equivalent
+    // set), distinct rollups, decimal-staged ratio
+    "events_stickiness" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM a),
+         c AS (
+           SELECT DISTINCT a.user_id, d.day FROM a
+           JOIN days d ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY),
+         wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY day),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day)
+         SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau::DOUBLE / wau.wau AS DECIMAL(18,8)), 6)::DOUBLE
+             AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
+
+    // overlap replay: the same 3-shingle sets per (source, shingle), the
+    // same ordered self-join and Jaccard denominators
+    "curate_source_overlap" ->
+      s"""WITH norm AS (
+           SELECT source, string_split($normSql, ' ') AS toks FROM documents),
+         sh0 AS (
+           SELECT source AS src, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
+           FROM norm),
+         sh AS (SELECT DISTINCT src, sh FROM sh0),
+         sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+         p AS (
+           SELECT a.src AS source_a, b.src AS source_b,
+             count(*) AS shared_shingles
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, shared_shingles,
+           round(CAST(shared_shingles::DOUBLE
+               / (sa.n + sb.n - shared_shingles) AS DECIMAL(18,8)), 6)::DOUBLE
+             AS jaccard
+         FROM p JOIN sizes sa ON p.source_a = sa.src
+                JOIN sizes sb ON p.source_b = sb.src
+         ORDER BY source_a, source_b""",
 
     // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
     "sketch_cms" ->

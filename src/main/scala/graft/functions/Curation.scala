@@ -22,6 +22,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Curation {
 
+  /** Cross-source content-overlap matrix: for every pair of sources, the
+    * number of distinct word n-gram shingles they share and the Jaccard of
+    * their shingle sets — the corpus-composition audit run before mixing
+    * crawls/dumps into one training set (two sources with high shingle
+    * Jaccard are near-mirrors; weighting both at full rate double-counts
+    * their content even when no single document is an exact duplicate).
+    *
+    * Scale shape: (source, shingle) distinct is ONE explode + shuffle (the
+    * shingle expression is the native one-pass [[Dedup.shingles]]); the
+    * overlap self-join is keyed on the shingle, and a shingle contributes
+    * at most |sources|² pair rows — sources number in the hundreds, so the
+    * join output is candidate-proportional, never corpus-quadratic. Sizes
+    * for the Jaccard denominator come from a |sources|-row aggregation
+    * broadcast back. Output is at most |sources|² rows.
+    *
+    * Returns (source_a, source_b, shared_shingles, jaccard) for pairs with
+    * at least one shared shingle, source_a < source_b.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(sourceCol).as("__src"),
+        explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(sizes.select(col("__src").as("source_a"), col("__n").as("__na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("__src").as("source_b"), col("__n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        round((col("shared_shingles").cast("double") /
+            (col("__na") + col("__nb") - col("shared_shingles")))
+          .cast(DecimalType(18, 8)), 6).cast("double").as("jaccard"))
+  }
+
   /** Per-domain statistics: document count, mean quality score, exact-dup
     * fraction (1 − distinct content fingerprints / docs — boilerplate and
     * mirror detection), and mean token count.

@@ -45,6 +45,44 @@ object Events {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** DAU/WAU stickiness: for every active day, the count of users active
+    * that day (DAU), the count active in the trailing `windowDays` window
+    * (WAU), and their ratio — the engagement-depth metric next to
+    * [[retention]] on the same dashboard.
+    *
+    * Scale shape: a trailing-window COUNT DISTINCT cannot be a plain
+    * window function, and a day-range self-join of the raw stream is
+    * quadratic — instead each (user, day) activity row votes into the
+    * `windowDays` window-end days it is visible from (one explode,
+    * windowDays× the already-deduplicated activity frame, linear), the
+    * vote list is cut to real active days by a broadcast join against the
+    * |days|-row calendar, and both rollups are map-side-combined distinct
+    * counts. Output is |days| rows.
+    *
+    * Returns (day, dau, wau, stickiness) ordered by day.
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 7): DataFrame = {
+    val activity = df
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val days = activity.select(col("__day").as("day")).distinct()
+    val votes = activity
+      .select(col(userCol),
+        explode(sequence(col("__day"), date_add(col("__day"), windowDays - 1)))
+          .as("day"))
+      .join(broadcast(days), Seq("day"))
+    val wau = votes.groupBy(col("day"))
+      .agg(countDistinct(col(userCol)).as("wau"))
+    val dau = activity.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col(userCol)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round((col("dau").cast("double") / col("wau"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("stickiness"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the most
     * recent PRECEDING non-conversion event type in the same user's stream
     * (ties at the same timestamp broken toward the earlier event id for

@@ -40,6 +40,24 @@ class CurationSpec extends SparkSpec {
     assert(stats.values.forall(s => s._2 >= 0.0 && s._2 <= 1.0))
   }
 
+  test("sourceOverlap: shared shingles and Jaccard on constructed mirrors") {
+    import spark.implicits._
+    // a and b are word-level mirrors sharing one 3-gram run; c is disjoint
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta"),
+      (2L, "b", "alpha beta gamma epsilon"),
+      (3L, "c", "one two three four")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a: {alpha beta gamma, beta gamma delta}; b: {alpha beta gamma,
+    // beta gamma epsilon} -> share 1 of 3 distinct
+    assert(out.keySet == Set(("a", "b")), s"got $out")
+    assert(out(("a", "b"))._1 == 1L)
+    assert(math.abs(out(("a", "b"))._2 - 1.0 / 3.0) < 1e-5)
+  }
+
   test("curateByDomain: duplication ceiling and blocklist cut; annotation keeps all rows") {
     val out = Curation.curateByDomain(corpus, "source", "text",
       minMeanQuality = 0.0, maxDupFrac = 0.5, minDocs = 1,

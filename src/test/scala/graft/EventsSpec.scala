@@ -47,6 +47,23 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("stickiness: trailing-window distinct users, DAU/WAU ratio") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      // day 0: users 1,2; day 1: user 1; day 3: user 3
+      (1L, 0L), (2L, 1000L), (1L, day), (3L, 3 * day)
+    ).toDF("user_id", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.stickiness(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // WAU(day d) counts users active in [d-6, d]: all prior activity is
+    // within 7 days of every later day here
+    assert(out("1970-01-01") == ((2L, 2L, 1.0)))
+    assert(out("1970-01-02") == ((1L, 2L, 0.5)))
+    assert(out("1970-01-04") == ((1L, 3L, 0.333333)))
+  }
+
   test("lastTouchAttribution: nearest preceding non-conversion wins, none for cold starts") {
     import spark.implicits._
     val ev = Seq(

@@ -483,6 +483,17 @@ object SparkEntry {
       cm.estimate
     }),
 
+    // streaming cohort retention (batch replay of 5 micro-batches): the
+    // activity-state design re-derives the exact batch rollup after every
+    // batch, late back-dating included — streaming-mode parity in
+    // StreamingSpec
+    "stream_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val rm = new graft.streaming.Streaming.RetentionMonitor("user_id", "ts")
+      (0 until 5).foreach(b => rm.update(ev.filter(col("event_id") % 5 === b)))
+      rm.retention.orderBy(col("cohort_day"), col("offset_days"))
+    }),
+
     // streaming ANN index ingestion (batch replay of 4 ordered micro-
     // batches): the coarse quantizer freezes on the first batch, every
     // batch routes at scan speed onto it and accretes into the IVF index,
@@ -3914,6 +3925,19 @@ object SparkEntry {
          SELECT coalesce(touch, 'none') AS touch_type, count(*) AS conversions
          FROM w WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+
+    // streaming retention replay: the monitor's accreted activity state is
+    // the distinct (user, day) of the full stream, so the oracle is the
+    // batch retention SQL verbatim
+    "stream_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+         SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
+           count(DISTINCT a.user_id) AS active_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // stickiness replay: same vote-explode via a day-range join (equivalent
     // set), distinct rollups, decimal-staged ratio

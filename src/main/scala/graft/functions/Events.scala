@@ -33,10 +33,17 @@ object Events {
     * Returns (cohort_day, offset_days, active_users); offset 0 is the
     * cohort's own size.
     */
-  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val activity = df
-      .select(col(userCol), to_date(col(tsCol)).as("__day"))
-      .distinct()
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    retentionOfActivity(
+      df.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct(),
+      userCol)
+
+  /** [[retention]]'s rollup over an already-deduplicated (user, `__day`)
+    * activity frame — exposed so the streaming
+    * [[graft.streaming.Streaming.RetentionMonitor]] can derive the exact
+    * same table from its accreted activity state.
+    */
+  def retentionOfActivity(activity: DataFrame, userCol: String): DataFrame = {
     val cohorts = activity.groupBy(col(userCol))
       .agg(min(col("__day")).as("cohort_day"))
     activity.join(cohorts, Seq(userCol))

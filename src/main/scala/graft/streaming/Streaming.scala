@@ -223,6 +223,45 @@ object Streaming {
       throw new IllegalStateException("no batches ingested"))
   }
 
+  /** Streaming cohort retention — maintain the (cohort_day, offset_days,
+    * active_users) table as event micro-batches arrive. State is the
+    * DISTINCT (user, day) activity frame — bounded by users × active
+    * calendar days, far smaller than the raw stream — so the rollup read
+    * off it is always EXACTLY [[graft.functions.Events.retention]] over
+    * every event seen. That makes late data correct by construction: an
+    * out-of-order event that back-dates a user's first activity re-dates
+    * their cohort and shifts every one of their offsets — a running
+    * (cohort, offset) counter could never un-count the old attribution,
+    * but the activity-state design just re-derives the rollup
+    * (StreamingSpec proves parity through an engineered late back-dating
+    * batch).
+    *
+    * Per-batch cost: one batch-local distinct plus a keyed merge-distinct
+    * into the state; re-frozen per batch so lineage stays flat. Wire with
+    * [[foreachBatchMerge]]`(stream, rm.update)`.
+    */
+  class RetentionMonitor(userCol: String = "user_id", tsCol: String = "ts") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var activity: Option[DataFrame] = None
+
+    /** fold one micro-batch of raw events into the activity state */
+    def update(batch: DataFrame): Unit = {
+      val ba = batch
+        .select(col(userCol), to_date(col(tsCol)).as("__day"))
+        .distinct()
+      activity = Some(bridge.freeze(activity match {
+        case None => ba
+        case Some(a) => a.unionByName(ba).distinct()
+      }))
+    }
+
+    /** current (cohort_day, offset_days, active_users) table */
+    def retention: DataFrame =
+      graft.functions.Events.retentionOfActivity(
+        activity.getOrElse(throw new IllegalStateException("no batches ingested")),
+        userCol)
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.functions.{Dedup, Layout, Packing, Pii, Sampling, TextAnalysis, Vectors}
+import graft.functions.{Curation, Dedup, Events, Layout, Packing, Pii, Sampling, TextAnalysis, Vectors}
 import graft.tables.ScdDimension
 
 /** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
@@ -272,7 +272,18 @@ object ScaleBench {
       ("sketch_hll", nDocs, nDocs * copies, () => hll(docs1), () => hll(docs10)),
       ("curate_ppl_buckets", nDocs, nDocs * copies,
         () => pplBuckets(docs1), () => pplBuckets(docs10)),
-      ("sim_coreset", maxVec, maxVec * copies, () => coreset(emb1), () => coreset(emb10)))
+      ("sim_coreset", maxVec, maxVec * copies, () => coreset(emb1), () => coreset(emb10)),
+      ("events_retention", maxEvent, maxEvent * copies,
+        () => force(Events.retention(ev1, "user_id", "ts")),
+        () => force(Events.retention(ev10, "user_id", "ts"))),
+      ("events_stickiness", maxEvent, maxEvent * copies,
+        () => force(Events.stickiness(ev1, "user_id", "ts")),
+        () => force(Events.stickiness(ev10, "user_id", "ts"))),
+      // per-copy token salt keeps shingle sets disjoint across copies, so
+      // the (source, shingle) frame and the pair join both scale linearly
+      ("curate_source_overlap", nDocs, nDocs * copies,
+        () => force(Curation.sourceOverlap(docs1, "source", "text")),
+        () => force(Curation.sourceOverlap(docs10, "source", "text"))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

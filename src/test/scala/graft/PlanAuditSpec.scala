@@ -75,6 +75,24 @@ class PlanAuditSpec extends SparkSpec {
       s"ranks must come off a materialized leaf:\n${plan.take(2000)}")
   }
 
+  test("event rollups and source overlap stay equi-joined with tiny broadcasts") {
+    // retention: activity↔cohort join is user-keyed, rollup combines map-side
+    val ret = planOf(SparkEntry.queries("events_retention")(spark, sfDir))
+    assert(!ret.contains("CartesianProduct") && !ret.contains("BroadcastNestedLoop"),
+      s"retention must stay equi-joined:\n${ret.take(2000)}")
+    // stickiness: the |days|-row calendar arrives by broadcast
+    val st = planOf(SparkEntry.queries("events_stickiness")(spark, sfDir))
+    assert(!st.contains("CartesianProduct") && !st.contains("BroadcastNestedLoop"),
+      s"stickiness must stay equi-joined:\n${st.take(2000)}")
+    assert(st.contains("BroadcastExchange"), "calendar join must broadcast")
+    // source overlap: the pair join is keyed on the shingle (equi), sizes
+    // arrive by broadcast — never a nested-loop over (source, shingle) rows
+    val ov = planOf(SparkEntry.queries("curate_source_overlap")(spark, sfDir))
+    assert(!ov.contains("CartesianProduct") && !ov.contains("BroadcastNestedLoop"),
+      s"overlap must stay shingle-keyed:\n${ov.take(2000)}")
+    assert(ov.contains("BroadcastExchange"), "size table must broadcast")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

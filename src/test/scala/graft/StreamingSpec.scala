@@ -282,6 +282,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming retention monitor: batch parity, late back-dating re-cohorts") {
+    import spark.implicits._
+    val day = 86400000000L
+    // batch 2 back-dates user 2's first activity to day 0 — their cohort
+    // must move and their old day-2 activity re-attribute to offset 2
+    val batches = Seq(
+      Seq((1L, 0L), (2L, 2 * day)),
+      Seq((2L, 0L), (1L, day)),
+      Seq((3L, day), (1L, 0L)))
+    def toDf(b: Seq[(Long, Long)]) = b.toDF("user_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val rm = new Streaming.RetentionMonitor("user_id", "ts")
+    batches.foreach(b => rm.update(toDf(b)))
+    val got = rm.retention.collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val full = graft.functions.Events.retention(
+      toDf(batches.flatten), "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == full, s"incremental $got must equal batch $full")
+    assert(got(("1970-01-01", 0)) == 2L && got(("1970-01-01", 2)) == 1L)
+
+    // and through real foreachBatch plumbing on the corpus events
+    val ev = spark.read.parquet(stagedDir)
+    val dir = java.nio.file.Files.createTempDirectory("ret_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val rm2 = new Streaming.RetentionMonitor("user_id", "ts")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) rm2.update(batch)))
+    val streamed = rm2.retention.collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val batchFull = graft.functions.Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchFull)
+  }
+
   test("streaming cardinality monitor equals the one-pass corpus sketch") {
     import graft.functions.{Stats, TextAnalysis}
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -967,6 +967,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temporal embargo split: train on the first 80% of calendar days, drop
+    // a 1-day embargo band, test on the rest — the time-leakage twin of the
+    // cluster-atomic split; cut derived from the day-grain calendar and
+    // broadcast back, rows classify at scan speed
+    "sample_temporal_split" -> ((s, dir) => {
+      Sampling.temporalSplit(events(s, dir), "ts")
+        .select(col("event_id"), col("split"))
+        .orderBy(col("event_id"))
+    }),
+
     // stratified deterministic sampling: per-source quota in hash order
     // (data-mixing quotas, reproducible)
     "sample_stratified" -> ((s, dir) => {
@@ -2634,6 +2644,22 @@ object SparkEntry {
                + (85 * CAST(sum(i2."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
            FROM ed JOIN i2 ON ed.src = i2.node GROUP BY ed.dst)
          SELECT node, "rank" FROM i3 ORDER BY node""",
+
+    // temporal-split replay: same day calendar, same ceil(0.8·n) cut rank
+    // (identical IEEE double product, so the boundary day agrees), same
+    // embargo band arithmetic
+    "sample_temporal_split" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         cut AS (
+           SELECT day AS cut_day FROM (
+             SELECT day, row_number() OVER (ORDER BY day) AS rn,
+               count(*) OVER () AS n FROM d)
+           WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
+         SELECT event_id,
+           CASE WHEN CAST(ts AS DATE) <= cut_day THEN 'train'
+                WHEN CAST(ts AS DATE) <= cut_day + INTERVAL 1 DAY THEN 'embargo'
+                ELSE 'test' END AS split
+         FROM events CROSS JOIN cut ORDER BY event_id""",
 
     // leakage-safe split replay: cluster labels from the recursive reach,
     // split buckets hashed on the LABEL so components move atomically

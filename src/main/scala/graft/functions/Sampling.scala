@@ -141,6 +141,37 @@ object Sampling {
       .withColumn("split", splitAssign(col("cluster"), splits, buckets, salt))
   }
 
+  /** Temporal embargo split: train on the first `trainFrac` of active
+    * CALENDAR DAYS, drop an `embargoDays`-day gap, test on the rest — the
+    * time-leakage twin of [[leakageSafeSplit]]: near-boundary rows whose
+    * signal bleeds across the cut (a document recrawled hours later, a
+    * user session spanning midnight) land in the discarded embargo band
+    * instead of straddling train/test.
+    *
+    * The cut is derived from the day-grain calendar, not the row stream:
+    * distinct days collapse to a calendar-bounded frame, the cut day is a
+    * distributed TakeOrdered + max over it (no corpus-wide window, no
+    * driver-side sort), and the single-row cutoff broadcasts back onto the
+    * scan — rows classify at scan speed. Deterministic by construction:
+    * the same data always cuts on the same day.
+    *
+    * Returns the input with a `split` column: 'train' | 'embargo' | 'test'.
+    */
+  def temporalSplit(df: DataFrame, tsCol: String, trainFrac: Double = 0.8,
+                    embargoDays: Int = 1): DataFrame = {
+    val days = df.select(to_date(col(tsCol)).as("__day")).distinct()
+    val k = math.ceil(days.count() * trainFrac).toLong
+    val cut = days.orderBy(col("__day")).limit(k.toInt)
+      .agg(max(col("__day")).as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(to_date(col(tsCol)) <= col("__cut"), lit("train"))
+          .when(to_date(col(tsCol)) <= date_add(col("__cut"), embargoDays),
+            lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("__cut")
+  }
+
   /** Stratified deterministic sample: at most `maxPerGroup` rows per group,
     * chosen in hash order (ties broken by id) — per-domain quota sampling
     * for data mixing, reproducible across runs. One shuffle on the group

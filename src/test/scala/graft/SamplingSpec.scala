@@ -75,6 +75,26 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("temporalSplit: calendar cut, embargo band discards the boundary") {
+    import spark.implicits._
+    val day = 86400000000L
+    // 10 active days (0..9): cut after day 7 (ceil(10*0.8)=8 days train),
+    // day 8 is the embargo band, day 9 is test
+    val ev = (0 until 10).flatMap(d => Seq((d * 10L, d * day), (d * 10L + 1, d * day + 1000L)))
+      .toDF("event_id", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Sampling.temporalSplit(ev, "ts")
+      .select(col("event_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(70L) == "train" && out(71L) == "train")
+    assert(out(80L) == "embargo" && out(90L) == "test")
+    assert((0 until 8).forall(d => out(d * 10L) == "train"))
+    // no row is unclassified and the split is deterministic across runs
+    val again = Sampling.temporalSplit(ev, "ts")
+      .select(col("event_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("weightedSample: quota, determinism, weight bias, zero-weight exclusion") {
     import graft.functions.TextAnalysis
     val docs = table("documents")

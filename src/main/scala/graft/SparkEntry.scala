@@ -483,6 +483,17 @@ object SparkEntry {
       cm.estimate
     }),
 
+    // streaming volume-anomaly monitor (batch replay of 5 micro-batches):
+    // additive count state makes the accreted table exactly the batch count
+    // table, so verdicts are bit-identical — streaming-mode parity in
+    // StreamingSpec
+    "stream_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.anomalies().orderBy(col("event_type"), col("day"))
+    }),
+
     // streaming cohort retention (batch replay of 5 micro-batches): the
     // activity-state design re-derives the exact batch rollup after every
     // batch, late back-dating included — streaming-mode parity in
@@ -1576,6 +1587,13 @@ object SparkEntry {
       graft.functions.Events.lastTouchAttribution(events(s, dir),
           "user_id", "event_type", "ts", "event_id", convType = "purchase")
         .orderBy(col("touch_type"))
+    }),
+
+    // volume-anomaly scan: per-type daily z-scores off the |types|×|days|
+    // count table — collector outages and runaway producers flag here
+    "events_anomaly" -> ((s, dir) => {
+      graft.functions.Events.dailyAnomalies(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // DAU/WAU stickiness: trailing-window distinct counts via the linear
@@ -3952,6 +3970,29 @@ object SparkEntry {
          FROM w WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
 
+    // streaming anomaly replay: accreted additive counts equal the batch
+    // count table, so the oracle is the batch anomaly SQL verbatim
+    "stream_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, count(*) AS d, CAST(sum(n) AS BIGINT) AS s,
+             sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+           FROM daily GROUP BY 1),
+         j AS (
+           SELECT daily.event_type, day, n,
+             s::DOUBLE / d AS mean,
+             sqrt(greatest(s2::DOUBLE / d
+               - (s::DOUBLE / d) * (s::DOUBLE / d), 0.0)) AS std
+           FROM daily JOIN st USING (event_type))
+         SELECT event_type, day, n,
+           round(CAST(CASE WHEN std = 0 THEN 0.0
+             ELSE (n - mean) / std END AS DECIMAL(18,8)), 4)::DOUBLE AS z,
+           (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
+             AS is_anomaly
+         FROM j ORDER BY event_type, day""",
+
     // streaming retention replay: the monitor's accreted activity state is
     // the distinct (user, day) of the full stream, so the oracle is the
     // batch retention SQL verbatim
@@ -3964,6 +4005,29 @@ object SparkEntry {
            count(DISTINCT a.user_id) AS active_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // anomaly replay: same count table, same exact-staged moments, same
+    // fixed z operation order
+    "events_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, count(*) AS d, CAST(sum(n) AS BIGINT) AS s,
+             sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+           FROM daily GROUP BY 1),
+         j AS (
+           SELECT daily.event_type, day, n,
+             s::DOUBLE / d AS mean,
+             sqrt(greatest(s2::DOUBLE / d
+               - (s::DOUBLE / d) * (s::DOUBLE / d), 0.0)) AS std
+           FROM daily JOIN st USING (event_type))
+         SELECT event_type, day, n,
+           round(CAST(CASE WHEN std = 0 THEN 0.0
+             ELSE (n - mean) / std END AS DECIMAL(18,8)), 4)::DOUBLE AS z,
+           (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
+             AS is_anomaly
+         FROM j ORDER BY event_type, day""",
 
     // stickiness replay: same vote-explode via a day-range join (equivalent
     // set), distinct rollups, decimal-staged ratio

@@ -116,6 +116,51 @@ object Events {
       .agg(count(lit(1)).as("conversions"))
   }
 
+  /** Volume-anomaly scan: z-score of every (event type, day) count against
+    * that type's own daily distribution — the pipeline-health monitor that
+    * catches a collector outage (count collapses) or a runaway producer
+    * (count explodes) before the data poisons downstream aggregates.
+    *
+    * Scale shape: the stream collapses to the |types|×|days| count table in
+    * ONE map-side-combined aggregation; per-type moments are a second
+    * aggregation over that already-tiny table, broadcast back. Sums stage
+    * exactly — the count as a long, the square as DECIMAL(15,0)² so a
+    * 10¹²-events/day type cannot overflow a long — and the z is the fixed
+    * E[x²]−E[x]² operation order of [[graft.functions.Vectors.dimensionProfile]],
+    * so every verdict is engine-reproducible.
+    *
+    * Returns (event_type, day, n, z, is_anomaly) for every type-day;
+    * a type with zero daily variance reads z = 0 (never anomalous).
+    */
+  def dailyAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                     zThreshold: Double = 2.0): DataFrame =
+    anomaliesOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      zThreshold)
+
+  /** [[dailyAnomalies]]'s z-stage over an already-built (event_type, day, n)
+    * count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical
+    * verdicts off its accreted count state.
+    */
+  def anomaliesOfDaily(daily: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__s2"))
+    val mean = col("__s").cast("double") / col("__d")
+    val std = sqrt(greatest(
+      col("__s2").cast("double") / col("__d") - mean * mean, lit(0.0)))
+    val zRaw = when(std === 0.0, lit(0.0))
+      .otherwise((col("n") - mean) / std)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(zRaw.cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("z"),
+        (abs(zRaw) > zThreshold).as("is_anomaly"))
+  }
+
   /** Per-user funnel progress: the earliest strictly-increasing timestamp
     * chain through `steps`. Returns (userCol, step_1_ts..step_k_ts,
     * steps_completed); a user absent from step 1 appears with all-null

@@ -262,6 +262,46 @@ object Streaming {
         userCol)
   }
 
+  /** Streaming volume-anomaly monitor — maintain the (event_type, day)
+    * count table as micro-batches arrive and read
+    * [[graft.functions.Events.dailyAnomalies]] verdicts off it at any
+    * point. Daily counts are ADDITIVE, so the merge is a keyed sum —
+    * the accreted table is exactly the batch count table of the union
+    * (no approximation, unlike sketch-backed monitors), and the z-stage
+    * is the shared [[graft.functions.Events.anomaliesOfDaily]], so
+    * streaming verdicts are bit-identical to a from-scratch batch scan
+    * (StreamingSpec proves parity through foreachBatch plumbing).
+    *
+    * State is |types|×|days| rows — calendar-bounded like
+    * [[RetentionMonitor]]'s, trivially held; each batch costs one
+    * map-side-combined batch aggregation plus the keyed merge, re-frozen
+    * so lineage stays flat. Wire with [[foreachBatchMerge]]`(stream,
+    * vm.update)`.
+    */
+  class VolumeMonitor(typeCol: String = "event_type", tsCol: String = "ts") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var daily: Option[DataFrame] = None
+
+    /** fold one micro-batch of raw events into the count state */
+    def update(batch: DataFrame): Unit = {
+      val bd = batch
+        .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily = Some(bridge.freeze(daily match {
+        case None => bd
+        case Some(d) => d.unionByName(bd)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"))
+      }))
+    }
+
+    /** current (event_type, day, n, z, is_anomaly) verdicts */
+    def anomalies(zThreshold: Double = 2.0): DataFrame =
+      graft.functions.Events.anomaliesOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        zThreshold)
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

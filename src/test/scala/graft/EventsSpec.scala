@@ -83,6 +83,32 @@ class EventsSpec extends SparkSpec {
     assert(out == Map("click" -> 2L, "none" -> 1L, "view" -> 1L), s"got $out")
   }
 
+  test("dailyAnomalies: spike day flags, constant type reads z 0") {
+    import spark.implicits._
+    val day = 86400000000L
+    // 'click': nine days of 10 then a day of 50 -> z = 3, a >2σ spike
+    // 'view': constant 7 -> std 0, z 0, never anomalous
+    val rows =
+      (0 until 9).flatMap(d => Seq.fill(10)(("click", d.toLong * day))) ++
+        Seq.fill(50)(("click", 9L * day)) ++
+        (0 until 4).flatMap(d => Seq.fill(7)(("view", d.toLong * day)))
+    val ev = rows.toDF("event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.dailyAnomalies(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.size == 14)
+    // click: mean 14, var = (9·100 + 2500)/10 − 196 = 144, std 12, z 3
+    val spike = out(("click", "1970-01-10"))
+    assert(spike._1 == 50L && spike._3, s"spike day must flag: $spike")
+    assert(math.abs(spike._2 - 3.0) < 1e-6)
+    assert((0 until 9).forall(d => !out(("click", s"1970-01-0${d + 1}"))._3))
+    assert((0 until 4).forall { d =>
+      val v = out(("view", s"1970-01-0${d + 1}"))
+      v._2 == 0.0 && !v._3
+    })
+  }
+
   test("funnel on the corpus: counts monotone down the funnel") {
     val ev = table("events")
     val out = Events.funnel(ev, "user_id", "event_type", "ts",

@@ -319,6 +319,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchFull)
   }
 
+  test("streaming volume monitor: verdicts bit-identical to the batch scan") {
+    val ev = spark.read.parquet(stagedDir)
+    val dir = java.nio.file.Files.createTempDirectory("vol_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val vm = new Streaming.VolumeMonitor("event_type", "ts")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) vm.update(batch)))
+    val streamed = vm.anomalies().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val batch = graft.functions.Events.dailyAnomalies(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming cardinality monitor equals the one-pass corpus sketch") {
     import graft.functions.{Stats, TextAnalysis}
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")

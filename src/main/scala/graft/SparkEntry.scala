@@ -1596,6 +1596,13 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // rolling daily volume: trailing-7-observed-day mean per type — the
+    // window runs over the |types|×|days| count table, never raw events
+    "events_rolling" -> ((s, dir) => {
+      graft.functions.Events.rollingDailyStats(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // DAU/WAU stickiness: trailing-window distinct counts via the linear
     // vote-explode (no day-range self-join of the stream); |days|-row output
     "events_stickiness" -> ((s, dir) => {
@@ -4028,6 +4035,20 @@ object SparkEntry {
            (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
              AS is_anomaly
          FROM j ORDER BY event_type, day""",
+
+    // rolling replay: same count table, same rows-semantics trailing window
+    "events_rolling" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+           count(*) OVER w AS trail_days,
+           round(CAST(sum(n) OVER w::DOUBLE / count(*) OVER w
+             AS DECIMAL(18,8)), 4)::DOUBLE AS trail_mean
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
 
     // stickiness replay: same vote-explode via a day-range join (equivalent
     // set), distinct rollups, decimal-staged ratio

@@ -139,6 +139,35 @@ object Events {
         .agg(count(lit(1)).as("n")),
       zThreshold)
 
+  /** Trailing-window rolling statistics per event type: each (type, day)'s
+    * count alongside the mean over the last `window` OBSERVED days (rows
+    * semantics: days with zero events don't pad the window) — the
+    * smoothed-volume baseline [[dailyAnomalies]]'s global z complements
+    * for slow drifts that never spike.
+    *
+    * Scale shape: the stream collapses to the |types|×|days| count table
+    * first (one map-side-combined aggregation); the window runs over THAT
+    * table, partitioned by type — a few hundred rows per partition, never
+    * a window over raw events. The mean is an exact long sum divided once,
+    * decimal-staged, engine-reproducible.
+    *
+    * Returns (event_type, day, n, trail_days, trail_mean).
+    */
+  def rollingDailyStats(df: DataFrame, typeCol: String, tsCol: String,
+                        window: Int = 7): DataFrame = {
+    val daily = df
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+      count(lit(1)).over(w).as("trail_days"),
+      round((sum(col("n")).over(w).cast("double") / count(lit(1)).over(w))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+        .cast("double").as("trail_mean"))
+  }
+
   /** [[dailyAnomalies]]'s z-stage over an already-built (event_type, day, n)
     * count table — exposed so the streaming
     * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical

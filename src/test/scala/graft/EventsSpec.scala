@@ -109,6 +109,25 @@ class EventsSpec extends SparkSpec {
     })
   }
 
+  test("rollingDailyStats: rows-semantics trailing mean, per-type isolation") {
+    import spark.implicits._
+    val day = 86400000000L
+    // 'a': counts 2,4,6 on days 0,1,3 (day 2 absent — rows semantics: the
+    // window spans observed days only); 'b': a single day
+    val rows = Seq.fill(2)(("a", 0L)) ++ Seq.fill(4)(("a", day)) ++
+      Seq.fill(6)(("a", 3 * day)) ++ Seq.fill(5)(("b", 0L))
+    val ev = rows.toDF("event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.rollingDailyStats(ev, "event_type", "ts", window = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", "1970-01-01")) == ((2L, 1L, 2.0)))
+    assert(out(("a", "1970-01-02")) == ((4L, 2L, 3.0)))
+    // day 4's window reaches back to day 2 (the previous OBSERVED day)
+    assert(out(("a", "1970-01-04")) == ((6L, 2L, 5.0)))
+    assert(out(("b", "1970-01-01")) == ((5L, 1L, 5.0)))
+  }
+
   test("funnel on the corpus: counts monotone down the funnel") {
     val ev = table("events")
     val out = Events.funnel(ev, "user_id", "event_type", "ts",

@@ -1203,6 +1203,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // cluster-quality audit: per-cluster cohesion (mean within-cluster d²)
+    // vs separation (nearest-other-centroid d²) off the trained k-means —
+    // one corpus aggregation + a k×k centroid self-join
+    "sim_cluster_quality" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.clusterQuality(e, "vec_id", "v",
+        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
+        .orderBy(col("cluster"))
+    }),
+
     // embedding-health profile: per-dimension mean/std/range from ONE
     // explode + map-side-combined aggregation to dim rows — dead dims,
     // exploding activations and snapshot drift read straight off it
@@ -3246,6 +3257,64 @@ object SparkEntry {
                list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
                  + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
            FROM e CROSS JOIN c2) WHERE rn = 1 ORDER BY vec_id""",
+
+    // cluster-quality replay: the sim_kmeans training chain, assignment
+    // with the same rounded d², decimal-staged cohesion mean, and the k×k
+    // separation scan with the identical (d², cluster) tie-break
+    "sim_cluster_quality" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         a1 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c0.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
+                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
+             FROM e CROSS JOIN c0) WHERE rn = 1),
+         c1 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         a2 AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, c1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
+                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
+             FROM e CROSS JOIN c1) WHERE rn = 1),
+         c2 AS (
+           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
+             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
+             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
+             GROUP BY cluster, dim) GROUP BY cluster),
+         asg AS (
+           SELECT vec_id, cluster, round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS d2 FROM (
+             SELECT e.vec_id, c2.cluster,
+               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+                 + list_dot_product(c2.cv, c2.cv) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
+                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
+             FROM e CROSS JOIN c2) WHERE rn = 1),
+         coh AS (
+           SELECT cluster, count(*) AS n,
+             round(CAST(sum(d2::DECIMAL(18,4))::DOUBLE / count(*)
+               AS DECIMAL(18,8)), 4)::DOUBLE AS mean_d2
+           FROM asg GROUP BY cluster),
+         sep AS (
+           SELECT cluster, nn_cluster,
+             round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS nn_d2 FROM (
+             SELECT a.cluster, b.cluster AS nn_cluster,
+               list_dot_product(a.cv, a.cv) - 2*list_dot_product(a.cv, b.cv)
+                 + list_dot_product(b.cv, b.cv) AS d2,
+               row_number() OVER (PARTITION BY a.cluster ORDER BY
+                 list_dot_product(a.cv, a.cv) - 2*list_dot_product(a.cv, b.cv)
+                   + list_dot_product(b.cv, b.cv) ASC, b.cluster ASC) AS rn
+             FROM c2 a JOIN c2 b ON a.cluster <> b.cluster) WHERE rn = 1)
+         SELECT coh.cluster, n, mean_d2, nn_cluster, nn_d2
+         FROM coh JOIN sep ON coh.cluster = sep.cluster ORDER BY coh.cluster""",
 
     "sim_quantize" ->
       """WITH e AS (

@@ -207,6 +207,48 @@ object Vectors {
         col("__best.cluster").as("cluster"), col("__best.__d2").as("__d2"))
   }
 
+  /** Cluster-quality audit of a trained centroid set: per cluster, its
+    * population, mean within-cluster squared distance (cohesion) and the
+    * squared distance to its nearest OTHER centroid (separation) — the
+    * Davies-Bouldin-style readout run before SemDeDup or IVF routing
+    * trusts a clustering (a cluster whose cohesion approaches its
+    * separation is routing noise, not structure).
+    *
+    * Scale shape: cohesion is ONE aggregation of the corpus-wide
+    * assignment (the [[kMeansAssign]] broadcast-fold — corpus never
+    * shuffles on anything but the k-row cluster key); separation is a
+    * k×k centroid self-join, k-row output — driver-free, all tiny-frame
+    * broadcast work.
+    *
+    * Returns (cluster, n, mean_d2, nn_cluster, nn_d2) ordered by cluster.
+    */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val assigned = kMeansAssign(corpus, idCol, vecCol, centroids)
+    val coh = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("d2").cast(dec)).cast("double") / count(lit(1)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("mean_d2"))
+    val a = centroids.select(col("cluster"), col("centroid").as("__ca"))
+    val b = centroids.select(col("cluster").as("__nb"), col("centroid").as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("__d2"), col("__nb"))
+    val sep = a.join(broadcast(b), col("cluster") =!= col("__nb"))
+      .withColumn("__d2", dot(col("__ca"), col("__ca"))
+        - lit(2.0) * dot(col("__ca"), col("__cb"))
+        + dot(col("__cb"), col("__cb")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("__nb").as("nn_cluster"),
+        round(col("__d2").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("nn_d2"))
+    coh.join(sep, Seq("cluster"))
+      .select(col("cluster"), col("n"), col("mean_d2"),
+        col("nn_cluster"), col("nn_d2"))
+  }
+
   /** Per-dimension embedding profile — the embedding-health monitor run
     * before any ANN/dedup pass trusts a new embedding snapshot: mean, std,
     * and range of every dimension. Dead dimensions (std ≈ 0), exploding

@@ -279,6 +279,27 @@ class VectorsSpec extends SparkSpec {
     assert(out(2)._2 == 0.0 && out(2)._4 == -2.0 && out(2)._5 == 2.0)
   }
 
+  test("clusterQuality: cohesion and separation on planted clusters") {
+    import spark.implicits._
+    // two tight clusters far apart: cluster around (0,0) with spread 1,
+    // cluster around (100,0) with spread 2
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (10L, Seq(100.0, 0.0)), (11L, Seq(102.0, 0.0))
+    ).toDF("vec_id", "v")
+    val cents = Seq((1L, Seq(0.0, 0.0)), (10L, Seq(100.0, 0.0)))
+      .toDF("cluster", "centroid")
+    val out = Vectors.clusterQuality(vecs, "vec_id", "v", cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // cluster 1: members d2 = 0,1,1 -> mean 2/3; cluster 10: d2 = 0,4 -> 2
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 0.6667) < 1e-9)
+    assert(out(10L)._1 == 2L && out(10L)._2 == 2.0)
+    // separation: the only other centroid, d2 = 100^2
+    assert(out(1L)._3 == 10L && out(1L)._4 == 10000.0)
+    assert(out(10L)._3 == 1L && out(10L)._4 == 10000.0)
+  }
+
   test("kCenterCoreset: greedy farthest-first on a planted geometry") {
     import spark.implicits._
     // four tight clusters at the corners of a square, one point far out;

@@ -505,6 +505,15 @@ object SparkEntry {
       rm.retention.orderBy(col("cohort_day"), col("offset_days"))
     }),
 
+    // second readout off the SAME retention-monitor activity state: the
+    // DAU/WAU stickiness table — one accreted state, both dashboards
+    "stream_stickiness" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val rm = new graft.streaming.Streaming.RetentionMonitor("user_id", "ts")
+      (0 until 5).foreach(b => rm.update(ev.filter(col("event_id") % 5 === b)))
+      rm.stickiness().orderBy(col("day"))
+    }),
+
     // streaming ANN index ingestion (batch replay of 4 ordered micro-
     // batches): the coarse quantizer freezes on the first batch, every
     // batch routes at scan speed onto it and accretes into the IVF index,
@@ -1222,6 +1231,20 @@ object SparkEntry {
         t(s, dir, "embeddings")
           .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v")), "v")
         .orderBy(col("dim"))
+    }),
+
+    // embedding snapshot drift: per-dimension profile deltas between the
+    // deterministic old slice (vec_id ≢ 0 mod 10) and a new snapshot where
+    // vectors ≡ 0 mod 5 picked up a 1.1× re-scale — the re-embedding
+    // regression that must surface as mean_shift/std_ratio
+    "curate_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val oldSnap = e.filter(col("vec_id") % 10 =!= 0).select(col("v"))
+      val newSnap = e
+        .select(when(col("vec_id") % 5 === 0,
+            transform(col("v"), x => x * lit(1.1))).otherwise(col("v")).as("v"))
+      Vectors.profileDrift(oldSnap, newSnap, "v").orderBy(col("dim"))
     }),
 
     // semantic-stratified sampling: k-means cluster quotas — the diversity
@@ -3531,6 +3554,45 @@ object SparkEntry {
            min(x) AS lo, max(x) AS hi
          FROM x GROUP BY dim ORDER BY dim""",
 
+    // drift replay: the profile replay twice (old slice, perturbed new
+    // snapshot), deltas on the already-rounded 6dp values
+    "curate_embedding_drift" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         o AS (SELECT v FROM e WHERE vec_id % 10 <> 0),
+         nw AS (
+           SELECT CASE WHEN vec_id % 5 = 0
+             THEN list_transform(v, x -> x * 1.1) ELSE v END AS v FROM e),
+         po AS (
+           SELECT CAST(dim - 1 AS INTEGER) AS dim,
+             round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS old_mean,
+             round(CAST(sqrt(greatest(
+                 sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
+                   - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
+                     * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS old_std
+           FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM o)
+           GROUP BY dim),
+         pn AS (
+           SELECT CAST(dim - 1 AS INTEGER) AS dim,
+             round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS new_mean,
+             round(CAST(sqrt(greatest(
+                 sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
+                   - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
+                     * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS new_std
+           FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM nw)
+           GROUP BY dim)
+         SELECT po.dim, old_mean, new_mean,
+           round(CAST(new_mean - old_mean AS DECIMAL(18,8)), 6)::DOUBLE AS mean_shift,
+           old_std, new_std,
+           CASE WHEN old_std = 0 THEN NULL
+             ELSE round(CAST(new_std / old_std AS DECIMAL(18,8)), 6)::DOUBLE END
+             AS std_ratio
+         FROM po JOIN pn ON po.dim = pn.dim ORDER BY po.dim""",
+
     // semantic-sampling replay: the sim_kmeans assignment chain through the
     // trained centroids, then md5-ranked per-cluster quotas
     "sample_semantic" ->
@@ -4118,6 +4180,22 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day""",
+
+    // streaming stickiness replay: the accreted activity state is the
+    // distinct (user, day) of the full stream, so the batch SQL replays it
+    "stream_stickiness" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM a),
+         c AS (
+           SELECT DISTINCT a.user_id, d.day FROM a
+           JOIN days d ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY),
+         wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY day),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day)
+         SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau::DOUBLE / wau.wau AS DECIMAL(18,8)), 6)::DOUBLE
+             AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
 
     // stickiness replay: same vote-explode via a day-range join (equivalent
     // set), distinct rollups, decimal-staged ratio

@@ -69,10 +69,18 @@ object Events {
     * Returns (day, dau, wau, stickiness) ordered by day.
     */
   def stickiness(df: DataFrame, userCol: String, tsCol: String,
-                 windowDays: Int = 7): DataFrame = {
-    val activity = df
-      .select(col(userCol), to_date(col(tsCol)).as("__day"))
-      .distinct()
+                 windowDays: Int = 7): DataFrame =
+    stickinessOfActivity(
+      df.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct(),
+      userCol, windowDays)
+
+  /** [[stickiness]]'s rollup over an already-deduplicated (user, `__day`)
+    * activity frame — the second readout the streaming
+    * [[graft.streaming.Streaming.RetentionMonitor]] serves from the same
+    * accreted state.
+    */
+  def stickinessOfActivity(activity: DataFrame, userCol: String,
+                           windowDays: Int = 7): DataFrame = {
     val days = activity.select(col("__day").as("day")).distinct()
     val votes = activity
       .select(col(userCol),

@@ -285,6 +285,39 @@ object Vectors {
         col("lo"), col("hi"))
   }
 
+  /** Embedding snapshot drift: per-dimension profile deltas between two
+    * corpus snapshots — the embedding twin of
+    * [[graft.functions.Curation.snapshotDiff]]: a re-embedding run that
+    * re-scales, shifts, or deadens a dimension shows up as mean_shift /
+    * std_ratio on a dim-count-sized table before any downstream cosine
+    * quietly degrades.
+    *
+    * Two [[dimensionProfile]] passes (each ONE explode + map-side-combined
+    * aggregation) joined on the dimension index — output and join are both
+    * |dims| rows. Deltas are arithmetic on the profiles' already
+    * decimal-staged 6dp values, so they are engine-reproducible.
+    *
+    * Returns (dim, old_mean, new_mean, mean_shift, old_std, new_std,
+    * std_ratio) ordered by dim; std_ratio is NULL when old_std = 0.
+    */
+  def profileDrift(oldCorpus: DataFrame, newCorpus: DataFrame,
+                   vecCol: String): DataFrame = {
+    val po = dimensionProfile(oldCorpus, vecCol)
+      .select(col("dim"), col("mean").as("old_mean"), col("std").as("old_std"))
+    val pn = dimensionProfile(newCorpus, vecCol)
+      .select(col("dim"), col("mean").as("new_mean"), col("std").as("new_std"))
+    po.join(pn, Seq("dim"))
+      .select(col("dim"), col("old_mean"), col("new_mean"),
+        round((col("new_mean") - col("old_mean"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("mean_shift"),
+        col("old_std"), col("new_std"),
+        when(col("old_std") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("new_std") / col("old_std"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+            .cast("double")).as("std_ratio"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
     * minimize the maximum intercluster distance") — coverage-maximizing
     * data selection: start from the smallest id, then repeatedly pick the

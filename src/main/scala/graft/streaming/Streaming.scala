@@ -257,9 +257,16 @@ object Streaming {
 
     /** current (cohort_day, offset_days, active_users) table */
     def retention: DataFrame =
-      graft.functions.Events.retentionOfActivity(
-        activity.getOrElse(throw new IllegalStateException("no batches ingested")),
-        userCol)
+      graft.functions.Events.retentionOfActivity(state, userCol)
+
+    /** current (day, dau, wau, stickiness) table — the second readout off
+      * the same activity state (one state, both dashboard tables)
+      */
+    def stickiness(windowDays: Int = 7): DataFrame =
+      graft.functions.Events.stickinessOfActivity(state, userCol, windowDays)
+
+    private def state: DataFrame =
+      activity.getOrElse(throw new IllegalStateException("no batches ingested"))
   }
 
   /** Streaming volume-anomaly monitor — maintain the (event_type, day)

@@ -317,6 +317,13 @@ class StreamingSpec extends SparkSpec {
     val batchFull = graft.functions.Events.retention(ev, "user_id", "ts")
       .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
     assert(streamed == batchFull)
+
+    // the second readout off the same state: stickiness parity too
+    val stickStreamed = rm2.stickiness().collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val stickBatch = graft.functions.Events.stickiness(ev, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stickStreamed == stickBatch)
   }
 
   test("streaming volume monitor: verdicts bit-identical to the batch scan") {

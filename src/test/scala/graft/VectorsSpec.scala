@@ -300,6 +300,22 @@ class VectorsSpec extends SparkSpec {
     assert(out(10L)._3 == 1L && out(10L)._4 == 10000.0)
   }
 
+  test("profileDrift: a planted re-scale surfaces as mean_shift and std_ratio") {
+    import spark.implicits._
+    val oldSnap = Seq(Seq(1.0, 5.0), Seq(3.0, 5.0)).toDF("v")
+    // dim 0 re-scaled 2x, dim 1 stays constant (std 0 -> NULL ratio)
+    val newSnap = Seq(Seq(2.0, 5.0), Seq(6.0, 5.0)).toDF("v")
+    val out = Vectors.profileDrift(oldSnap, newSnap, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.isNullAt(6))).toMap
+    assert(out(0) == ((2.0, 4.0, 2.0, false)))
+    assert(out(1) == ((5.0, 5.0, 0.0, true)), "dead dim must read NULL std_ratio")
+    // dim 0's std doubled: ratio 2
+    val ratio = Vectors.profileDrift(oldSnap, newSnap, "v")
+      .filter(col("dim") === 0).head().getDouble(6)
+    assert(ratio == 2.0)
+  }
+
   test("kCenterCoreset: greedy farthest-first on a planted geometry") {
     import spark.implicits._
     // four tight clusters at the corners of a square, one point far out;

@@ -218,4 +218,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val eventStreamGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      user <- Gen.chooseNum(1, 8)
+      day <- Gen.chooseNum(0, 9)
+    } yield (user.toLong, day.toLong))
+
+  test("retention/stickiness invariants over arbitrary activity streams") {
+    import graft.functions.Events
+    val day = 86400000000L
+    forAllSeeded(eventStreamGen) { evList =>
+      if (evList.nonEmpty) {
+        val ev = evList.toDF("user_id", "d")
+          .withColumn("ts", timestamp_micros(col("d") * day)).drop("d")
+        val users = ev.select("user_id").distinct().count()
+        val ret = Events.retention(ev, "user_id", "ts").cache()
+        // offset-0 row per cohort counts the cohort itself; cohort sizes
+        // total to the user population
+        val zeroSum = ret.filter(col("offset_days") === 0)
+          .agg(sum(col("active_users"))).head().getLong(0)
+        assert(zeroSum == users, "cohort sizes must partition the users")
+        // no offset outranks its cohort's size
+        val viol = ret.as("r").join(
+          ret.filter(col("offset_days") === 0)
+            .select(col("cohort_day"), col("active_users").as("c0")), Seq("cohort_day"))
+          .filter(col("active_users") > col("c0")).count()
+        assert(viol == 0, "an offset can never exceed its cohort size")
+        ret.unpersist()
+        // stickiness: dau <= wau always, so the ratio lives in (0, 1]
+        val st = Events.stickiness(ev, "user_id", "ts")
+        assert(st.filter(col("dau") > col("wau")).count() == 0)
+        assert(st.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() == 0)
+      }
+    }
+  }
+
+  test("temporalSplit partitions every row; embargo clears the gap") {
+    import graft.functions.Sampling
+    val day = 86400000000L
+    forAllSeeded(Gen.zip(eventStreamGen, Gen.chooseNum(1, 3))) { case (evList, gap) =>
+      if (evList.nonEmpty) {
+        val ev = evList.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+          .toDF("event_id", "user_id", "d")
+          .withColumn("ts", timestamp_micros(col("d") * day)).drop("d")
+        val out = Sampling.temporalSplit(ev, "ts", embargoDays = gap).cache()
+        assert(out.count() == ev.count(), "every row must classify")
+        assert(out.filter(!col("split").isin("train", "embargo", "test")).count() == 0)
+        // the time axis is clean: max(train day) < min(embargo day) and the
+        // train->test gap is strictly wider than the embargo band
+        val mx = (s: String) => out.filter(col("split") === s)
+          .agg(max(to_date(col("ts")))).head().getDate(0)
+        val mn = (s: String) => out.filter(col("split") === s)
+          .agg(min(to_date(col("ts")))).head().getDate(0)
+        if (out.filter(col("split") === "embargo").count() > 0) {
+          assert(mx("train").toLocalDate.isBefore(mn("embargo").toLocalDate))
+          assert(java.time.temporal.ChronoUnit.DAYS.between(
+            mx("train").toLocalDate, mn("embargo").toLocalDate) <= gap)
+        }
+        if (out.filter(col("split") === "test").count() > 0) {
+          assert(java.time.temporal.ChronoUnit.DAYS.between(
+            mx("train").toLocalDate, mn("test").toLocalDate) > gap,
+            "test must clear the embargo band entirely")
+        }
+        out.unpersist()
+      }
+    }
+  }
 }

@@ -3,18 +3,21 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Ordered-sequence analytics over event streams — the funnel: how far does
-  * each user get through a strictly-ordered chain of event types (view →
-  * click → signup → purchase), where step i counts only if it happens
-  * STRICTLY AFTER the user's step i−1. (Reference scope: pygrametl models
-  * events as fact rows; sequential-pattern analytics is an additive
-  * extension like §2.9 streaming.)
+/** Event-stream analytics: funnels, cohort retention, DAU/WAU stickiness,
+  * last-touch attribution, volume anomalies, rolling volume. (Reference
+  * scope: pygrametl models events as fact rows; sequence/engagement
+  * analytics is an additive extension like §2.9 streaming.)
   *
-  * Scale shape: step i is ONE aggregation `min(ts) where type = sᵢ and
-  * ts > tᵢ₋₁` keyed by the user — k steps = k user-keyed shuffles of
-  * already-filtered slices (the type filter pushes to the scan), never a
-  * per-user sort or a self-join over the raw stream. Funnels are short
-  * (k ≤ 10); each stage's state is one row per surviving user.
+  * The shared scale discipline: every operator first collapses the raw
+  * stream with ONE keyed, map-side-combined aggregation — to (user, day)
+  * activity, to (type, day) counts, or to per-user step times — and all
+  * further work (windows, self-joins, second aggregations) runs over that
+  * calendar- or type-bounded frame, never over raw events. The only
+  * full-stream window is [[lastTouchAttribution]]'s, and it is user-keyed
+  * (the sessionization discipline). Funnel detail: step i is the
+  * aggregation `min(ts) where type = sᵢ and ts > tᵢ₋₁` keyed by the
+  * user — k steps = k user-keyed shuffles of already-filtered slices (the
+  * type filter pushes to the scan), never a per-user sort over the stream.
   */
 object Events {
 

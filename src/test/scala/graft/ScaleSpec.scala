@@ -110,6 +110,32 @@ class ScaleSpec extends SparkSpec {
     assert(scd.current.select("user_key").distinct().count() == scd.current.count())
   }
 
+  test("streaming monitors: K batches keep flat state plans (no lineage growth)") {
+    val rm = new graft.streaming.Streaming.RetentionMonitor("user_id", "ts")
+    val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+    def sizeOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    var rSizes, vSizes = Vector.empty[Int]
+    (1 to 8).foreach { b =>
+      val batch = spark.range(0, 100).select(
+        (col("id") % 20).as("user_id"),
+        concat(lit("t"), col("id") % 3).as("event_type"),
+        timestamp_micros(lit(b.toLong * 86400000000L) + col("id") * 1000L).as("ts"))
+      rm.update(batch)
+      vm.update(batch)
+      rSizes :+= sizeOf(rm.retention)
+      vSizes :+= sizeOf(vm.anomalies())
+    }
+    // state re-freezes per batch: the readout plan must not grow with K
+    assert(rSizes.distinct.size == 1,
+      s"retention readout must stay flat across batches, got $rSizes")
+    assert(vSizes.distinct.size == 1,
+      s"anomaly readout must stay flat across batches, got $vSizes")
+    // and the accreted state is correct: 8 days of 20 users / 3 types
+    assert(rm.retention.agg(sum("active_users")).head().getLong(0) == 8 * 20)
+    assert(vm.anomalies().count() == 8 * 3)
+  }
+
   test("fact tables: 10 sequential merges keep a flat plan; ensure deltas are materialized leaves") {
     import spark.implicits._
     val fact = new AccumulatingSnapshotFactTable("accf", Seq("k"), Seq("r"), Seq("m"))

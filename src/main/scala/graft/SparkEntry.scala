@@ -1597,6 +1597,18 @@ object SparkEntry {
         .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
     }),
 
+    // sketch-algebra corpus overlap: |A|, |B|, |A∪B| (register-max merge)
+    // and inclusion-exclusion |A∩B| of two vocabularies from three 256-long
+    // sketches — cross-crawl overlap WITHOUT a corpus×corpus join
+    "sketch_hll_overlap" -> ((s, dir) => {
+      val toks = docsNorm(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.functions.Stats.hllOverlap(
+        toks.filter(col("doc_id") % 2 === 0),
+        toks.filter(col("doc_id") % 3 === 0), "token", b = 8)
+    }),
+
     // strictly-ordered funnel: per-user earliest view→click→signup→purchase
     // chain — k user-keyed aggregations of type-filtered slices, no
     // per-user sort, no raw-stream self-join
@@ -4267,6 +4279,55 @@ object SparkEntry {
     // HLL replay: the same md5-derived 60-bit hash split into bucket and
     // sub-stream word, trailing-zero ranks via log2(w & -w), register-max,
     // exact-integer harmonic staging, the identical alpha·m²·2^60 literal
+    // overlap replay: the hll chain three times (A-slice, B-slice, and the
+    // register-wise max union), then inclusion-exclusion on the estimates
+    "sketch_hll_overlap" ->
+      s"""WITH tk AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+         ha AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h
+                FROM tk WHERE doc_id % 2 = 0),
+         hb AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h
+                FROM tk WHERE doc_id % 3 = 0),
+         ra0 AS (
+           SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+             ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END) AS reg
+           FROM ha GROUP BY 1),
+         rb0 AS (
+           SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
+             ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END) AS reg
+           FROM hb GROUP BY 1),
+         buckets AS (SELECT unnest(range(0, 256)) AS bucket),
+         ra AS (SELECT b.bucket, coalesce(ra0.reg, 0) AS reg
+                FROM buckets b LEFT JOIN ra0 USING (bucket)),
+         rb AS (SELECT b.bucket, coalesce(rb0.reg, 0) AS reg
+                FROM buckets b LEFT JOIN rb0 USING (bucket)),
+         ru AS (SELECT ra.bucket, greatest(ra.reg, rb.reg) AS reg
+                FROM ra JOIN rb USING (bucket)),
+         ea AS (
+           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
+               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
+               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_a
+           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM ra)),
+         eb AS (
+           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
+               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
+               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_b
+           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM rb)),
+         eu AS (
+           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
+               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
+               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_union
+           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM ru))
+         SELECT est_a, est_b, est_union,
+           round(CAST(est_a + est_b - est_union AS DECIMAL(38,6)), 2)::DOUBLE
+             AS est_intersection
+         FROM ea CROSS JOIN eb CROSS JOIN eu""",
+
     "sketch_hll" ->
       s"""WITH tk AS (
            SELECT tok FROM (

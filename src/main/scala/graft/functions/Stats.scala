@@ -229,6 +229,35 @@ object Stats {
       .select(col("bucket"), coalesce(col("reg"), lit(0)).as("reg"))
   }
 
+  /** Cross-corpus overlap estimation from mergeable HLL sketches: estimate
+    * |A|, |B|, |A∪B| and (by inclusion-exclusion) |A∩B| of two key sets
+    * WITHOUT ever joining them — the 100 TB way to answer "how much does
+    * this crawl overlap that one" from two 2^b-register sketches instead
+    * of a corpus×corpus join. The union sketch is the register-wise max
+    * ([[hllRegisters]] mergeability — the same property the streaming
+    * CardinalityMonitor accretes on), so all three estimates carry the
+    * standard 1.04/√m error; the intersection estimate inherits their
+    * summed error and goes unreliable when |A∩B| is far below that — the
+    * right tool for "mostly-overlapping or mostly-disjoint", not for tiny
+    * intersections.
+    *
+    * Returns one row (est_a, est_b, est_union, est_intersection).
+    */
+  def hllOverlap(a: DataFrame, bDf: DataFrame, keyCol: String,
+                 b: Int = 8): DataFrame = {
+    val ra = hllRegisters(a, keyCol, b)
+    val rb = hllRegisters(bDf, keyCol, b)
+    val ru = ra.unionAll(rb).groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    val ea = hllEstimate(ra, b).select(col("est_distinct").as("est_a"))
+    val eb = hllEstimate(rb, b).select(col("est_distinct").as("est_b"))
+    val eu = hllEstimate(ru, b).select(col("est_distinct").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersection",
+        round((col("est_a") + col("est_b") - col("est_union"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)), 2)
+          .cast("double"))
+  }
+
   /** HyperLogLog estimate from a [[hllRegisters]] table: the harmonic-mean
     * raw estimator with the standard small-range (linear-counting)
     * correction. The register sum Σ2^−reg stages as EXACT integers —

@@ -93,4 +93,28 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(dup == union)
   }
+
+  test("HLL overlap: union estimate exact vs true-union sketch, intersection in envelope") {
+    import graft.functions.Stats
+    // |A|=3000, |B|=3000, |A∩B|=1000, |A∪B|=5000
+    val a = spark.range(0, 3000).selectExpr("concat('k', id) AS k")
+    val b = spark.range(2000, 5000).selectExpr("concat('k', id) AS k")
+    val row = Stats.hllOverlap(a, b, "k", b = 8).head()
+    val (estA, estB, estU, estI) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // mergeability is exact: the overlap's union estimate IS the estimate
+    // of the true union's own sketch, bit for bit
+    val trueU = Stats.hllEstimate(Stats.hllRegisters(a.unionAll(b), "k"), b = 8)
+      .head().getDouble(2)
+    assert(estU == trueU, s"union estimate must be the union sketch's: $estU vs $trueU")
+    // each estimate within 4σ (rsd ≈ 6.5% at m=256); intersection within
+    // the summed envelope of its three constituents
+    assert(math.abs(estA - 3000) <= 4 * 0.065 * 3000)
+    assert(math.abs(estB - 3000) <= 4 * 0.065 * 3000)
+    assert(math.abs(estU - 5000) <= 4 * 0.065 * 5000)
+    assert(math.abs(estI - 1000) <= 4 * 0.065 * (3000 + 3000 + 5000),
+      s"intersection estimate $estI out of envelope")
+    assert(math.abs(estI - (estA + estB - estU)) < 0.02,
+      "intersection must be the inclusion-exclusion of the three estimates")
+  }
 }

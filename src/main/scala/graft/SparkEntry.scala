@@ -1635,6 +1635,14 @@ object SparkEntry {
         .orderBy(col("touch_type"))
     }),
 
+    // batch sessionization (gaps-and-islands, 30-min gap): one user-keyed
+    // window + keyed rollup — the batch twin of stream_sessionize
+    "events_sessionize" -> ((s, dir) => {
+      graft.functions.Events.sessionize(events(s, dir), "user_id", "ts",
+          "event_id", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // volume-anomaly scan: per-type daily z-scores off the |types|×|days|
     // count table — collector outages and runaway producers flag here
     "events_anomaly" -> ((s, dir) => {
@@ -4155,6 +4163,27 @@ object SparkEntry {
            count(DISTINCT a.user_id) AS active_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // sessionize replay: same lag-flag + running-sum windows over the same
+    // (ts, event_id) sort, same rollup
+    "events_sessionize" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts, 1) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS nw
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM f)
+         SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     // anomaly replay: same count table, same exact-staged moments, same
     // fixed z operation order

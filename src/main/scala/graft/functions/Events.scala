@@ -127,6 +127,39 @@ object Events {
       .agg(count(lit(1)).as("conversions"))
   }
 
+  /** Batch sessionization — gaps-and-islands: a user's events split into
+    * sessions wherever the gap to the previous event exceeds `gapMinutes`;
+    * each session rolls up to (start, end, n_events). The batch twin of
+    * [[graft.streaming.Streaming.sessionize]]'s `session_window` (same gap
+    * rule; this one also hands back a stable per-user session ordinal).
+    *
+    * Scale shape: ONE user-keyed window (lag to flag session starts, then
+    * the running sum of flags as the session ordinal — both over the same
+    * (user, ts, id) sort, so Spark plans one shuffle + one per-user sort)
+    * followed by a keyed rollup. The sessionization discipline: per-user
+    * data is calendar-bounded, so no whale partitions.
+    *
+    * Returns (userCol, session_id, session_start, session_end, n_events);
+    * session_id is 1-based per user in time order.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Volume-anomaly scan: z-score of every (event type, day) count against
     * that type's own daily distribution — the pipeline-health monitor that
     * catches a collector outage (count collapses) or a runaway producer

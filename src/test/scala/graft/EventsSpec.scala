@@ -83,6 +83,26 @@ class EventsSpec extends SparkSpec {
     assert(out == Map("click" -> 2L, "none" -> 1L, "view" -> 1L), s"got $out")
   }
 
+  test("sessionize: gap splits, ordinals per user, strict rollup") {
+    import spark.implicits._
+    val min = 60000000L // micros
+    val ev = Seq(
+      // user 1: two sessions — 0..29min (3 events), then a 31-min gap
+      (1L, 1L, 0L), (2L, 1L, 10 * min), (3L, 1L, 29 * min),
+      (4L, 1L, 60 * min), (5L, 1L, 70 * min),
+      // user 2: exactly-30-min gap does NOT split (strict >)
+      (6L, 2L, 0L), (7L, 2L, 30 * min)
+    ).toDF("event_id", "user_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.sessionize(ev, "user_id", "ts", "event_id", gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getLong(4))).toMap
+    assert(out.size == 3)
+    assert(out((1L, 1L)) == ((0L, 29 * 60000L, 3L)))
+    assert(out((1L, 2L)) == ((60 * 60000L, 70 * 60000L, 2L)))
+    assert(out((2L, 1L)) == ((0L, 30 * 60000L, 2L)), "a gap of exactly 30min must not split")
+  }
+
   test("dailyAnomalies: spike day flags, constant type reads z 0") {
     import spark.implicits._
     val day = 86400000000L

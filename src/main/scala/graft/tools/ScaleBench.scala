@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.functions.{Curation, Dedup, Events, Layout, Packing, Pii, Sampling, TextAnalysis, Vectors}
+import graft.functions.{Curation, Dedup, Events, Layout, Packing, Pii, Sampling, Stats, TextAnalysis, Vectors}
 import graft.tables.ScdDimension
 
 /** 10× scale proof: run representative operator pipelines at 1× (sf0.1) and
@@ -283,7 +283,17 @@ object ScaleBench {
       // the (source, shingle) frame and the pair join both scale linearly
       ("curate_source_overlap", nDocs, nDocs * copies,
         () => force(Curation.sourceOverlap(docs1, "source", "text")),
-        () => force(Curation.sourceOverlap(docs10, "source", "text"))))
+        () => force(Curation.sourceOverlap(docs10, "source", "text"))),
+      ("events_sessionize", maxEvent, maxEvent * copies,
+        () => force(Events.sessionize(ev1, "user_id", "ts", "event_id")),
+        () => force(Events.sessionize(ev10, "user_id", "ts", "event_id"))),
+      ("sketch_hll_overlap", nDocs, nDocs * copies,
+        () => force(Stats.hllOverlap(
+          docs1.filter(col("doc_id") % 2 === 0),
+          docs1.filter(col("doc_id") % 3 === 0), "text")),
+        () => force(Stats.hllOverlap(
+          docs10.filter(col("doc_id") % 2 === 0),
+          docs10.filter(col("doc_id") % 3 === 0), "text"))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -1745,6 +1745,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // PMI collocations: top word pairs by pointwise mutual information —
+    // two explode aggregations, vocabulary-keyed probability joins,
+    // one-row total broadcasts, TakeOrdered cut
+    "text_pmi" -> ((s, dir) => {
+      graft.functions.Retrieval.collocations(docsNorm(s, dir), "text",
+        minCount = 5, topK = 50)
+    }),
+
     // decontamination report: ROUGE-2 strength of every flagged
     // train/bench overlap pair — clipped-bigram precision/recall/F1, each
     // an exact-integer ratio; gram work is pair-proportional (semi-join
@@ -3403,6 +3411,33 @@ object SparkEntry {
            coalesce(w.micro_sum, 0) > 0 AS keep
          FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id
          ORDER BY norm.doc_id""",
+
+    // PMI replay: same unigram/bigram counts, the identical
+    // (cnt·Nu²)/(Nbi·ca·cb) operation order through ln, same cut
+    "text_pmi" ->
+      s"""WITH norm AS (
+           SELECT doc_id, list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+           FROM norm),
+         uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY tok),
+         nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+         bi0 AS (
+           SELECT a.tok AS ta, b.tok AS tb, a.tok || ' ' || b.tok AS pair
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         nb AS (SELECT count(*) AS nb FROM bi0),
+         bi AS (
+           SELECT pair, min(ta) AS ta, min(tb) AS tb, count(*) AS cnt
+           FROM bi0 GROUP BY pair HAVING count(*) >= 5)
+         SELECT pair, cnt,
+           round(CAST(ln((cnt::DOUBLE * nu.nu * nu.nu)
+               / (nb.nb::DOUBLE * ua.cu * ub.cu)) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS pmi
+         FROM bi JOIN uni ua ON bi.ta = ua.tok
+                 JOIN uni ub ON bi.tb = ub.tok
+                 CROSS JOIN nu CROSS JOIN nb
+         ORDER BY pmi DESC, pair LIMIT 50""",
 
     "text_bpe_pairs" ->
       s"""WITH norm AS (

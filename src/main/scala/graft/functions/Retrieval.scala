@@ -258,6 +258,46 @@ object Retrieval {
     *
     * Returns (idCol, term, tf, tfidf, rank).
     */
+  /** PMI collocations: the corpus's top word pairs by pointwise mutual
+    * information, `ln(P(ab) / (P(a)·P(b)))` — the collocation extractor
+    * ("new york", "machine learning") that separates structural phrases
+    * from frequency accidents; a `minCount` floor keeps the PMI estimate
+    * out of its low-count noise regime.
+    *
+    * Scale shape: unigram and bigram counts are two explode-shaped
+    * map-side-combined aggregations; the probability join is keyed on the
+    * VOCABULARY (bigrams join their two unigram rows — vocab-sized frames,
+    * not corpus-sized); totals are one-row broadcasts; the final cut is a
+    * TakeOrdered top-k. The PMI evaluates in ONE fixed operation order —
+    * `(cnt·Nu·Nu) / (Nbi·ca·cb)` staged through doubles, IEEE-identical
+    * `ln` — so scores are engine-reproducible.
+    *
+    * Returns (pair, cnt, pmi) — top `topK` by PMI (desc), ties by pair.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 50): DataFrame = {
+    val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cu"))
+    val totals = broadcast(uni.agg(sum(col("__cu")).as("__nu")))
+    val bi = docs.select(explode(TextAnalysis.tokenPairs(col(textCol))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val biTotals = broadcast(
+      docs.select(explode(TextAnalysis.tokenPairs(col(textCol))).as("p"))
+        .agg(count(lit(1)).as("__nb")))
+    bi.withColumn("__a", split(col("pair"), " ").getItem(0))
+      .withColumn("__b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("tok").as("__a"), col("__cu").as("__ca")), Seq("__a"))
+      .join(uni.select(col("tok").as("__b"), col("__cu").as("__cb")), Seq("__b"))
+      .crossJoin(totals).crossJoin(biTotals)
+      .select(col("pair"), col("cnt"),
+        round(log((col("cnt").cast("double") * col("__nu") * col("__nu"))
+            / (col("__nb").cast("double") * col("__ca") * col("__cb")))
+          .cast(DecimalType(18, 8)), 4).cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc).limit(topK)
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val tf = docs.select(col(idCol).as("__did"),

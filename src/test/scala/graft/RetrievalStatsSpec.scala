@@ -31,6 +31,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(ids.intersect(without).isEmpty)
   }
 
+  test("collocations: a planted rigid phrase outranks frequency accidents") {
+    import spark.implicits._
+    import graft.functions.Retrieval
+    // "zig zag" always co-occurs (PMI high); "the cat"/"the dog" split
+    // "the"'s mass (PMI low); floor of 5 requires enough repetitions
+    val docs = (1 to 6).map(i => (i.toLong,
+      "zig zag runs here and the cat sees the dog near the cat again"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.collocations(docs, "text", minCount = 5, topK = 20)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    val byPair = out.toMap
+    assert(byPair.contains("zig zag") && byPair("zig zag")._1 == 6L)
+    assert(byPair.contains("the cat"))
+    assert(byPair("zig zag")._2 > byPair("the cat")._2,
+      "a rigid phrase must out-PMI a common-word pair")
+    // ranked descending by pmi
+    val pmis = out.map(_._2._2).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
   test("unigramLogProb: negative log-probs, zero-token docs score 0") {
     val out = Retrieval.unigramLogProb(docs, "doc_id", "text")
     assert(out.count() === docs.count(), "every document scored")

@@ -1664,6 +1664,17 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // two-sample KS drift at bin-edge resolution: click-vs-purchase value
+    // distributions — bounded bin tables, cumulative self-join CDFs,
+    // exact decimal cross-products, ONE output row
+    "stats_ks_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.ksDrift(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", width = 5.0)
+    }),
+
     // per-group quantiles: each event type's own p50/p90 value threshold —
     // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
     // windows only
@@ -4242,6 +4253,32 @@ object SparkEntry {
            (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
              AS is_anomaly
          FROM j ORDER BY event_type, day""",
+
+    // KS replay: same bins, same cumulative self-join, same exact decimal
+    // cross-difference and single division
+    "stats_ks_drift" ->
+      """WITH a AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         edges AS (SELECT bin FROM a UNION SELECT bin FROM b),
+         ca AS (
+           SELECT e.bin, CAST(coalesce(sum(a.cnt), 0) AS BIGINT) AS ca
+           FROM edges e LEFT JOIN a ON a.bin <= e.bin GROUP BY e.bin),
+         cb AS (
+           SELECT e.bin, CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS cb
+           FROM edges e LEFT JOIN b ON b.bin <= e.bin GROUP BY e.bin),
+         na AS (SELECT CAST(sum(cnt) AS BIGINT) AS na FROM a),
+         nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM b)
+         SELECT
+           round(CAST(CAST(max(abs(ca.ca::DECIMAL(18,0) * nb.nb::DECIMAL(18,0)
+               - cb.cb::DECIMAL(18,0) * na.na::DECIMAL(18,0))) AS DOUBLE)
+             / (na.na::DOUBLE * nb.nb) AS DECIMAL(18,8)), 6)::DOUBLE AS ks,
+           na.na AS n_a, nb.nb AS n_b
+         FROM ca JOIN cb USING (bin) CROSS JOIN na CROSS JOIN nb
+         GROUP BY na.na, nb.nb""",
 
     // rolling replay: same count table, same rows-semantics trailing window
     "events_rolling" ->

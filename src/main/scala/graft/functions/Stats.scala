@@ -229,6 +229,61 @@ object Stats {
       .select(col("bucket"), coalesce(col("reg"), lit(0)).as("reg"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic between two corpora's
+    * numeric distributions, at histogram (bin-edge) resolution:
+    * `max |F_a(x) − F_b(x)|` over the shared bin edges — the numeric-drift
+    * monitor next to [[graft.functions.Curation.tokenDrift]] (vocabulary
+    * drift) and [[graft.functions.Vectors.profileDrift]] (embedding
+    * drift): a re-scored snapshot whose quality distribution shifts reads
+    * directly as a KS above threshold. Binning bounds the statistic's
+    * resolution at one `width` — the histogram trade the quantile
+    * machinery already makes.
+    *
+    * Scale shape: each side collapses to its bounded bin table in ONE
+    * map-side-combined aggregation; the CDFs come from the
+    * [[histogramQuantiles]] cumulative self-join (B² pairs of a
+    * data-independent B — never a global window); totals broadcast as
+    * one-row frames. Output is ONE row. The CDF difference evaluates as
+    * `|cum_a·nb − cum_b·na|` in exact longs, divided once at the end, so
+    * the statistic is engine-reproducible.
+    *
+    * Returns one row (ks, n_a, n_b).
+    */
+  def ksDrift(a: DataFrame, bDf: DataFrame, valueCol: String,
+              width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def binsOf(df: DataFrame) = bridge.freeze(
+      df.select(floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt")))
+    val ba = binsOf(a)
+    val bb = binsOf(bDf)
+    // shared edge set: every bin either side populates
+    val edges = ba.select(col("bin")).unionAll(bb.select(col("bin"))).distinct()
+    def cumOf(bins: DataFrame, out: String) =
+      edges.join(bins.select(col("bin").as("__b2"), col("cnt").as("__c2")),
+          col("__b2") <= col("bin"), "left")
+        .groupBy(col("bin"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as(out))
+    val na = broadcast(ba.agg(sum(col("cnt")).as("__na")))
+    val nb = broadcast(bb.agg(sum(col("cnt")).as("__nb")))
+    // counts stage as DECIMAL(18,0) so the cross products (≤ 10³⁶ for
+    // corpora up to 10¹⁸ rows) stay exact longs-in-decimal, not overflowed
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    cumOf(ba, "__ca").join(cumOf(bb, "__cb"), Seq("bin"))
+      .crossJoin(na).crossJoin(nb)
+      .select(abs(col("__ca").cast(dec) * col("__nb").cast(dec)
+          - col("__cb").cast(dec) * col("__na").cast(dec)).as("__d"),
+        col("__na"), col("__nb"))
+      .groupBy(col("__na"), col("__nb")).agg(max(col("__d")).as("__dmax"))
+      .select(
+        round((col("__dmax").cast("double")
+            / (col("__na").cast("double") * col("__nb")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("ks"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+  }
+
   /** Cross-corpus overlap estimation from mergeable HLL sketches: estimate
     * |A|, |B|, |A∪B| and (by inclusion-exclusion) |A∩B| of two key sets
     * WITHOUT ever joining them — the 100 TB way to answer "how much does

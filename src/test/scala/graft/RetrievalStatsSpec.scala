@@ -98,6 +98,23 @@ class RetrievalStatsSpec extends SparkSpec {
       s"uniform distinct tokens reach ln(4), got ${out(2L)._2}")
   }
 
+  test("ksDrift: hand-computed statistic, identical distributions read 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a: 4 values in bin 0, 4 in bin 1; b: 2 in bin 0, 6 in bin 1
+    // CDFs at edges: a = (0.5, 1.0), b = (0.25, 1.0) -> KS = 0.25
+    val a = Seq(0.1, 0.2, 0.3, 0.4, 1.1, 1.2, 1.3, 1.4).toDF("v")
+    val b = Seq(0.1, 0.2, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6).toDF("v")
+    val row = Stats.ksDrift(a, b, "v", width = 1.0).head()
+    assert(row.getDouble(0) == 0.25 && row.getLong(1) == 8L && row.getLong(2) == 8L)
+    // identical samples: zero drift even with unequal sizes
+    val row2 = Stats.ksDrift(a, a.unionAll(a), "v", width = 1.0).head()
+    assert(row2.getDouble(0) == 0.0 && row2.getLong(2) == 16L)
+    // disjoint supports: KS = 1
+    val c = Seq(10.0, 11.0).toDF("v")
+    assert(Stats.ksDrift(a, c, "v", width = 1.0).head().getDouble(0) == 1.0)
+  }
+
   test("winsorize: clamps into the per-group band, interior values untouched") {
     val ev = table("events")
     val out = Stats.winsorize(ev, "event_type", "value", 10.0, 0.05, 0.95).cache()

@@ -1474,6 +1474,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading ease: vowel-group syllables, [.!?]+ sentences — the
+    // readability member of the quality stack, scan-speed
+    "text_readability" -> ((s, dir) => {
+      docsNorm(s, dir).select(col("doc_id"),
+          TextAnalysis.readabilityScore(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "text_tokens" -> ((s, dir) => {
       docsNorm(s, dir).select(
@@ -3903,6 +3911,24 @@ object SparkEntry {
              + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
              + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
                            ELSE npunct::DOUBLE / length(text) END) * 0.3 AS DECIMAL(18,8)), 4)::DOUBLE AS quality
+         FROM c ORDER BY doc_id""",
+
+    // readability replay: same token count, same [.!?]+ and vowel-group
+    // counts, identical operation order through the Flesch formula
+    "text_readability" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, $normSql AS nt FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(nt) = 0 THEN 0
+               ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS DOUBLE) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y
+           FROM norm)
+         SELECT doc_id,
+           round(CAST(CASE WHEN w > 0
+             THEN 206.835 - 1.015 * (w / s) - 84.6 * (y / w) END
+             AS DECIMAL(18,8)), 3)::DOUBLE AS flesch
          FROM c ORDER BY doc_id""",
 
     "text_tokens" ->

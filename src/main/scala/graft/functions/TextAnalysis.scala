@@ -133,6 +133,28 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Flesch reading-ease estimate — the readability member of the quality
+    * stack (alongside [[qualityScore]]'s stopword/punctuation signals):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` with
+    * sentences counted as `[.!?]+` runs (min 1) and syllables approximated
+    * by vowel-group runs (the standard cheap estimator). Pure codegen'd
+    * column expression — scan-speed, no shuffle; evaluates in one fixed
+    * operation order, decimal-staged to 3dp, so scores are
+    * engine-reproducible. Empty/wordless docs read NULL.
+    */
+  def readabilityScore(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val syllables = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    round(when(words > 0,
+        lit(206.835) - lit(1.015) * (words / sentences)
+          - lit(84.6) * (syllables / words))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 3).cast("double")
+  }
+
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (md5 rather than xxhash64 so external engines can reproduce it.)
     */

@@ -98,6 +98,24 @@ class RetrievalStatsSpec extends SparkSpec {
       s"uniform distinct tokens reach ln(4), got ${out(2L)._2}")
   }
 
+  test("readabilityScore: hand-computed Flesch, simple text outranks dense text") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran."),  // 6 words, 2 sentences, 6 vowel groups
+      (2L, "Incomprehensibilities notwithstanding, parallelization accelerates."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.readabilityScore(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // doc 1: 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(out(1L).contains(119.19))
+    assert(out(2L).get < out(1L).get, "dense latinate text must score lower")
+    assert(out(3L).isEmpty, "empty docs read NULL")
+  }
+
   test("ksDrift: hand-computed statistic, identical distributions read 0") {
     import spark.implicits._
     import graft.functions.Stats

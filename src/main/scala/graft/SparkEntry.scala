@@ -1099,6 +1099,23 @@ object SparkEntry {
     }),
 
     // hot-band detection + bucketed point-in-interval join: per-type hot
+    // bounded-radius nearest alignment: each click to its nearest purchase
+    // within 1h for the same user — 3-bucket explode + keyed equi-join +
+    // min(struct) resolution, never a per-user range join
+    "join_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pts"))
+      graft.core.Joins.nearestJoin(clicks, "cts", "click_id",
+          purchases, "pts", "purchase_id",
+          maxDistance = 3600000000L, keys = Seq("user_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // value bands (all-integer threshold, anti-join islands over the
     // bounded bin table), then events tagged by EVERY type's band they fall
     // in — the no-equi-key range join as a bucket equi-join, never a BNLJ
@@ -3076,6 +3093,24 @@ object SparkEntry {
          FROM sh JOIN d ON sh.doc_id = d.vec_id ORDER BY sh.doc_id""",
 
     // interval-join replay: integer-exact hot-bin threshold, island starts
+    // nearest replay: naive per-user range join + (distance, id) rank —
+    // the reference semantics the bucketed plan must reproduce exactly
+    "join_nearest" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.user_id, click_id, purchase_id, abs(cts - pts) AS distance,
+             row_number() OVER (PARTITION BY c.user_id, click_id
+               ORDER BY abs(cts - pts), purchase_id) AS rn
+           FROM c JOIN p ON c.user_id = p.user_id
+           WHERE abs(cts - pts) <= 3600000000)
+         SELECT user_id, click_id, purchase_id, distance
+         FROM j WHERE rn = 1 ORDER BY user_id, click_id""",
+
     // via the absent-predecessor anti-join, nearest-start assignment, then
     // the plain inequality join DuckDB can afford at oracle scale
     "join_interval" ->

@@ -122,4 +122,48 @@ object Joins {
         && col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bk")
   }
+
+  /** Bounded-radius nearest join on a long axis — "align each probe to its
+    * nearest target within `maxDistance`" (an event to the nearest snapshot
+    * timestamp, a reading to the nearest calibration point). Catalyst has
+    * no nearest-neighbor join; the naive form is a range self-join plus a
+    * per-probe rank — quadratic per key group. The scale-safe decomposition:
+    * quantize the axis at `maxDistance`, explode each probe into its own
+    * and both adjacent buckets (any target within the radius must lie
+    * there), equi-join on (`keys`, bucket), and resolve the nearest by ONE
+    * `min(struct(distance, targetId))` aggregation — lexicographic struct
+    * ordering gives the deterministic (distance, id) tie-break with a
+    * narrow two-field buffer, never a per-probe sort.
+    *
+    * Exactness within the radius: a (probe, target) pair with
+    * `|p−t| <= maxDistance` differs by at most one bucket index, and the
+    * target's single bucket is among the probe's three, matched exactly
+    * once. Probes with no target inside the radius drop out (inner-join
+    * semantics). Row expansion is a fixed 3× on the probe side; the join
+    * stays keyed, shuffles once per side, and the rollup is
+    * map-side-combined.
+    *
+    * Returns one row per matched probe: (keys..., pIdCol, tIdCol,
+    * distance).
+    */
+  def nearestJoin(probes: DataFrame, pAxis: String, pIdCol: String,
+                  targets: DataFrame, tAxis: String, tIdCol: String,
+                  maxDistance: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(maxDistance > 0, "maxDistance must be positive")
+    import org.apache.spark.sql.functions.{abs, array, min, struct}
+    val p = probes.filter(col(pAxis).isNotNull)
+      .withColumn("__pb", floor(col(pAxis) / maxDistance).cast("long"))
+      .withColumn("__bk", explode(array(col("__pb") - 1, col("__pb"), col("__pb") + 1)))
+      .drop("__pb")
+    val t = targets.filter(col(tAxis).isNotNull)
+      .select((keys.map(col) :+ floor(col(tAxis) / maxDistance).cast("long").as("__bk")) :+
+        col(tIdCol).as("__tid") :+ col(tAxis).as("__tax"): _*)
+    p.join(t, keys :+ "__bk")
+      .withColumn("__d", abs(col(pAxis) - col("__tax")))
+      .filter(col("__d") <= maxDistance)
+      .groupBy((keys :+ pIdCol).map(col): _*)
+      .agg(min(struct(col("__d"), col("__tid"))).as("__best"))
+      .select((keys :+ pIdCol).map(col) :+ col("__best.__tid").as(tIdCol) :+
+        col("__best.__d").as("distance"): _*)
+  }
 }

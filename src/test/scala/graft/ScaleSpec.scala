@@ -237,6 +237,42 @@ class ScaleSpec extends SparkSpec {
     assert(err.getMessage.contains("buckets"), s"guard must name the fix: ${err.getMessage}")
   }
 
+  test("nearestJoin: equals the naive nearest within radius, bucket edges exact") {
+    import spark.implicits._
+    import graft.core.Joins
+    val probes = Seq((1L, 100L), (2L, 995L), (3L, 2000L), (4L, 5000L))
+      .toDF("pid", "px")
+    // targets: 1005 is in the NEXT bucket of probe 995 (w=10) but within
+    // radius; 1990/2010 tie around probe 2000 -> smaller id wins; nothing
+    // within radius of 5000
+    val targets = Seq((10L, 95L), (11L, 1005L), (12L, 1990L), (13L, 2010L))
+      .toDF("tid", "tx")
+    val out = Joins.nearestJoin(probes, "px", "pid", targets, "tx", "tid",
+        maxDistance = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (10L, 5L), 2L -> (11L, 10L), 3L -> (12L, 10L)),
+      s"got $out")
+
+    // and against the naive solve on the corpus-shaped case
+    val ev = table("events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("pid"), unix_micros(col("ts")).as("px"))
+    val t = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("tid"), unix_micros(col("ts")).as("tx"))
+    val fast = Joins.nearestJoin(c, "px", "pid", t, "tx", "tid",
+        maxDistance = 3600000000L, keys = Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("pid"))
+      .orderBy(abs(col("px") - col("tx")), col("tid"))
+    val naive = c.join(t.withColumnRenamed("user_id", "u2"), col("user_id") === col("u2"))
+      .filter(abs(col("px") - col("tx")) <= 3600000000L)
+      .withColumn("rn", row_number().over(naiveW)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), math.abs(r.getLong(2) - r.getLong(5)))).toMap
+    assert(fast == naive)
+  }
+
   test("star CC: a diameter-100 path converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     import graft.functions.Dedup

@@ -623,6 +623,35 @@ object SparkEntry {
         .orderBy(col("c_name"))
     }),
 
+    // role-playing dimension: ONE nation dimension played as customer
+    // nation and supplier nation via namemapping on the SAME getByKey API
+    // (the pygrametl role-playing idiom, tables.py:272-287 namemapping) —
+    // two broadcast-joined lookups, no dimension duplication
+    "dim_roleplay" -> ((s, dir) => {
+      val dim = new Dimension("nation_rp", "n_nationkey",
+        Seq("n_name", "n_regionkey"), Seq("n_name"))
+      dim.init(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val probe = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("c_nationkey"), col("s_nationkey"))
+      val asCust = dim.getByKey(probe, Map("n_nationkey" -> "c_nationkey"))
+        .withColumnRenamed("n_name", "cust_nation")
+        .drop("n_regionkey", "n_nationkey")
+      dim.getByKey(asCust, Map("n_nationkey" -> "s_nationkey"))
+        .withColumnRenamed("n_name", "supp_nation")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("cust_nation"), col("supp_nation"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // §2.7 SCD type 1: two-phase load — seed from the first half of the
     // events stream, then scdensure the second half (overwrites + inserts)
     // (tables.py:689-902)
@@ -2345,6 +2374,20 @@ object SparkEntry {
          LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) d
            ON c.c_name = d.c_name
          ORDER BY c.c_name""",
+
+    // role-playing replay: the same nation table joined twice under its
+    // two roles
+    "dim_roleplay" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+           nc.n_name AS cust_nation, ns.n_name AS supp_nation
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         WHERE l.l_orderkey % 50 = 0
+         ORDER BY l.l_orderkey, l.l_linenumber""",
 
     "dim_scd1" ->
       """WITH p1 AS (

@@ -1,61 +1,231 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line with
   * per-query seconds. Results are written to the `noop` sink so the full
   * plan executes (a bare count() lets Catalyst prune most of the work).
+  *
+  * Timing honesty: 150 queries in ONE JVM contaminate each other —
+  * ContextCleaner reclaims broadcasts/shuffle files asynchronously after a
+  * driver GC, so late-alphabet queries absorb the reclamation of ~140
+  * predecessors and read up to 5× their isolated time (round-6 evidence:
+  * text_rouge 12.4s in-suite vs 2.3s isolated). The gate therefore runs as
+  * FRESH-JVM SLICES: the parent forks one child JVM per alphabetical slice
+  * of ~25 queries (same classpath/JVM flags as itself), each child times
+  * its slice with an untimed GC+settle pause between queries, and the
+  * parent merges the per-slice maps into one JSON whose `slices` field
+  * records the exact layout for driver verification.
+  *
+  * An `sf1` section then re-times the most expensive queries against a
+  * synthesized 10×-sf0.1 dataset (tools.ScaleData) in further fresh JVMs
+  * and reports the wall ratio per query — the cliff detector (shuffle
+  * spill, broadcast thresholds) that sf0.1 alone cannot show.
+  *
+  * Invocations:
+  *   (no args)                 driver gate: fork slices (+ sf1 section)
+  *   name1 name2 ...           local iteration: run just these, in-process
+  *   --slice OUT name1 ...     child: time the names, write {"n":sec} JSON
+  *   --gen-sf1 SFDIR OUTDIR    child: synthesize the 10× dataset
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  // ---------------------------------------------------------------- session
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // delete shuffle files synchronously when the cleaner fires, instead
+      // of queueing them behind the next query's timed window
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warm-up so the alphabetically-first query doesn't absorb
-    // executor spin-up, codegen compiler and parquet-footer costs (~5s)
+    spark
+  }
+
+  /** JVM/session warm-up so the first timed query doesn't absorb executor
+    * spin-up, codegen compiler and parquet-footer costs (~5s).
+    */
+  private def warmUp(spark: SparkSession): Unit = {
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Freeze-heavy queries (dedup, SCD state, streaming replays) leave
-    // localCheckpoint blocks and broadcasts behind; ContextCleaner only
-    // reclaims them after a driver GC, so across ~116 queries in one JVM
-    // the accumulation GC-thrashes later queries into fake 3-5x timings
-    // (the same honest-timing fix ScaleBench carries). Every query is
-    // self-contained, so releasing everything between queries is safe.
-    def releaseTransients(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
-    // optional args = query-name filter (local iteration; the driver passes none)
-    val wanted = args.toSet
-    val selected =
-      if (wanted.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => wanted(q._1))
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+  }
+
+  /** Untimed inter-query cleanup: unpersist whatever the query cached, then
+    * give ContextCleaner a GC to notice dead weak refs and a settle window
+    * to drain its reference queue — so the NEXT timer starts on a quiet JVM.
+    */
+  private def releaseTransients(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "400").toLong
+    System.gc()
+    Thread.sleep(settleMs / 2)
+    System.gc() // second pass collects objects only freed by cleaner work above
+    Thread.sleep(settleMs - settleMs / 2)
+  }
+
+  /** Times each named query (sorted) against sfDir in THIS JVM. */
+  private def timeQueries(spark: SparkSession, sfDir: String,
+                          names: Seq[String]): Seq[(String, Double)] =
+    names.sorted.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      releaseTransients()
+      releaseTransients(spark)
       name -> math.round(sec * 1000) / 1000.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  // ----------------------------------------------------------------- fork
+  /** Re-invokes this class in a fresh JVM with the parent's own classpath
+    * and JVM flags (--add-opens etc.). Returns the exit code.
+    */
+  private def fork(mainArgs: Seq[String], extraEnv: Map[String, String]): Int = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ mainArgs
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.inheritIO()
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.start().waitFor()
+  }
+
+  /** Parses the flat numeric map a slice child writes: {"name":sec,...} */
+  private def parseSlice(path: java.nio.file.Path): Seq[(String, Double)] = {
+    val txt = java.nio.file.Files.readString(path)
+    """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+  }
+
+  private def toJsonMap(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Forks one child per slice; returns per-query seconds, or None if any
+    * child failed (caller falls back to in-process timing).
+    */
+  private def runSlices(slices: Seq[Seq[String]], sfDir: String,
+                        tag: String): Option[Seq[(String, Double)]] = {
+    val acc = Seq.newBuilder[(String, Double)]
+    val ok = slices.zipWithIndex.forall { case (names, i) =>
+      val out = java.nio.file.Files.createTempFile(s"graft_bench_${tag}_$i", ".json")
+      val code = fork(Seq("--slice", out.toString) ++ names,
+        Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+      val good = code == 0 && java.nio.file.Files.exists(out) &&
+        java.nio.file.Files.size(out) > 2
+      if (good) acc ++= parseSlice(out)
+      else System.err.println(s"[bench] slice $tag/$i exited $code; falling back in-process")
+      java.nio.file.Files.deleteIfExists(out)
+      good
+    }
+    if (ok) Some(acc.result()) else None
+  }
+
+  // ------------------------------------------------------------------ main
+  def main(args: Array[String]): Unit = args.toList match {
+
+    // child: time a slice of queries, write the flat map, exit
+    case "--slice" :: out :: names =>
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val spark = session()
+      warmUp(spark)
+      val results = timeQueries(spark, sfDir, names)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), toJsonMap(results))
+      spark.stop()
+
+    // child: synthesize the 10x dataset
+    case "--gen-sf1" :: sfDir :: outDir :: Nil =>
+      val spark = session()
+      graft.tools.ScaleData.generate(spark, sfDir, outDir)
+      spark.stop()
+
+    // local iteration: run the named queries in-process, print the line
+    case names @ (_ :: _) =>
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val spark = session()
+      warmUp(spark)
+      val known = names.filter(SparkEntry.queries.contains)
+      emit(timeQueries(spark, sfDir, known), sfDir, slices = Nil, sf1 = "")
+      spark.stop()
+
+    // driver gate
+    case Nil =>
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "25").toInt
+      val allNames = SparkEntry.queries.keys.toSeq.sorted
+      val slices = allNames.grouped(sliceSize).toSeq
+      val (results, layout) = runSlices(slices, sfDir, "sf") match {
+        case Some(rs) => (rs, slices)
+        case None => // fork unavailable (e.g. launched under a layered
+          // classloader where java.class.path lacks the app jar): one-JVM
+          // fallback keeps the gate alive, at reduced timing fidelity
+          val spark = session()
+          warmUp(spark)
+          val rs = timeQueries(spark, sfDir, allNames)
+          spark.stop()
+          (rs, Nil)
+      }
+      val sf1Json = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") == "0") ""
+        else runSf1Section(results, sfDir)
+      emit(results, sfDir, layout, sf1Json)
+  }
+
+  /** sf1 section: generate the 10× dataset (cached across rounds), re-time
+    * the N most expensive queries in fresh-JVM slices, report wall ratios.
+    */
+  private def runSf1Section(results: Seq[(String, Double)], sfDir: String): String =
+    try {
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "20").toInt
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
+      if (!graft.tools.ScaleData.isGenerated(sf1Dir)) {
+        val code = fork(Seq("--gen-sf1", sfDir, sf1Dir), Map.empty)
+        require(code == 0 && graft.tools.ScaleData.isGenerated(sf1Dir),
+          s"sf1 generation exited $code")
+      }
+      val base = results.toMap
+      val top = results.sortBy(-_._2).take(n).map(_._1).sorted
+      val slices = top.grouped(math.max(1, (top.size + 1) / 2)).toSeq
+      runSlices(slices, sf1Dir, "sf1") match {
+        case Some(rs) =>
+          val ratios = rs.map { case (q, s) =>
+            q -> math.round(s / math.max(base(q), 0.001) * 100) / 100.0
+          }
+          val worst = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+          s""","sf1":{"dir":"$sf1Dir","copies":10,"queries":${toJsonMap(rs)},""" +
+            s""""ratioVsBase":${toJsonMap(ratios)},"worstRatio":$worst}"""
+        case None => ""","sf1":{"error":"slice fork failed"}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+      s""","sf1":{"error":"${e.getMessage.replace('"', '\'')}"}"""
+    }
+
+  private def emit(results: Seq[(String, Double)], sfDir: String,
+                   slices: Seq[Seq[String]], sf1: String): Unit = {
     val total = math.round(results.map(_._2).sum * 1000) / 1000.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val layout = slices
+      .map(s => s.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${toJsonMap(results)},"sf":"$sfDir","slices":$layout$sf1}"""
     println(json)
     // stdout rides a log pipe that can truncate the (large) per-query map;
     // the file is the durable machine-readable artifact
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    spark.stop()
   }
 }

@@ -638,14 +638,23 @@ object Dedup {
     * Returns (idCol, span_start, span_tokens), span_start 0-based.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8): DataFrame = {
+                     k: Int = 8): DataFrame =
+    duplicateSpansOnToks(
+      df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks")),
+      idCol, k)
+
+  /** [[duplicateSpans]] over a pre-tokenized (__id, __toks) frame — the
+    * injection point that lets [[cutSpans]] tokenize the corpus ONCE and
+    * share the frame between span detection and reassembly.
+    */
+  private def duplicateSpansOnToks(tokFrame: DataFrame, idCol: String,
+                                   k: Int): DataFrame = {
     val toks = col("__toks")
     val grams = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => md5(array_join(slice(toks, i + 1, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-    val pos = df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"), posexplode(grams).as(Seq("__pos", "__g")))
+    val pos = tokFrame.select(col("__id"), posexplode(grams).as(Seq("__pos", "__g")))
     val dupFps = pos.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("__g"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__pos").asc)
@@ -676,13 +685,18 @@ object Dedup {
     */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8, spans: Option[DataFrame] = None): DataFrame = {
-    val sp = spans.getOrElse(duplicateSpans(df, idCol, textCol, k))
+    // ONE tokenize pass over the corpus: the frozen (id, tokens) frame feeds
+    // span detection, the reassembly posexplode AND the per-doc token count —
+    // re-deriving tokens() per consumer would scan and re-tokenize the
+    // corpus three times at 100 TB
+    val tokFrame = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks")))
+    val sp = spans.getOrElse(duplicateSpansOnToks(tokFrame, idCol, k))
     val covered = sp.select(col(idCol).as("__id"),
         explode(sequence(col("span_start"),
           col("span_start") + col("span_tokens") - 1)).as("__pos"))
       .distinct()
-    val toks = df.select(col(idCol).as("__id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val toks = tokFrame
       .select(col("__id"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
       .filter(col("__tok") =!= "")
     val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
@@ -691,8 +705,10 @@ object Dedup {
           sort_array(collect_list(struct(col("__pos"), col("__tok")))),
           s => s("__tok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    df.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+    // tokenCount(text) ≡ count of non-empty tokens (normalize() of blank text
+    // splits to [""]) — derived from the frozen frame, not a re-tokenize
+    tokFrame.select(col("__id").as(idCol),
+        size(filter(col("__toks"), t => length(t) > 0)).cast("long").as("__nt"))
       .join(kept.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -276,16 +276,26 @@ object Retrieval {
     */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
                    topK: Int = 50): DataFrame = {
-    val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cu"))
+    // the unigram count table feeds TWO probability joins plus the token
+    // total; frozen so the tokens-explode corpus aggregation runs once, not
+    // once per consumer (the table itself is only vocabulary-sized)
+    val uni = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("__cu")))
     val totals = broadcast(uni.agg(sum(col("__cu")).as("__nu")))
-    val bi = docs.select(explode(TextAnalysis.tokenPairs(col(textCol))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-    val biTotals = broadcast(
-      docs.select(explode(TextAnalysis.tokenPairs(col(textCol))).as("p"))
-        .agg(count(lit(1)).as("__nb")))
+    // ONE bigram aggregation feeds both the minCount-filtered table and the
+    // total (sum over the unfiltered counts equals the raw pair count) — a
+    // second corpus explode just to count pairs would be a full wasted scan
+    // at 100 TB. The vocabulary-sized count table is frozen (materialized)
+    // because exchange reuse can't kick in here: the unigram join pushes
+    // inferred split() constraints into only the filtered branch, so the two
+    // subtrees never canonicalize equal.
+    val biAll = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      docs.select(explode(TextAnalysis.tokenPairs(col(textCol))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt")))
+    val bi = biAll.filter(col("cnt") >= minCount)
+    val biTotals = broadcast(biAll.agg(sum(col("cnt")).as("__nb")))
     bi.withColumn("__a", split(col("pair"), " ").getItem(0))
       .withColumn("__b", split(col("pair"), " ").getItem(1))
       .join(uni.select(col("tok").as("__a"), col("__cu").as("__ca")), Seq("__a"))

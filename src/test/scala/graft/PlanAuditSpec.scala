@@ -93,6 +93,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(ov.contains("BroadcastExchange"), "size table must broadcast")
   }
 
+  test("collocations: bigram total shares the frozen pair counts, one pair scan") {
+    // the corpus is aggregated exactly twice (unigram counts, bigram counts)
+    // and both vocabulary-sized count tables are frozen — a consumer-side
+    // re-explode (the pre-fix shape: a third corpus pass just to total the
+    // bigrams, plus one unigram pass per join) is a wasted full scan at
+    // 100 TB. The final plan therefore reads NO parquet: every branch sits
+    // on a materialized count table.
+    val plan = planOf(graft.functions.Retrieval.collocations(
+      table("documents"), "text", minCount = 2, topK = 10))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"corpus scans must happen at freeze time only, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"branches must read the frozen count tables:\n${plan.take(3000)}")
+  }
+
+  test("composed queries: expensive subplans appear once (no recomputation)") {
+    // pipeline_curate composes score → filter → exact-dedup as ONE lineage:
+    // the documents scan (with the scan-speed scoring on top) must appear
+    // exactly once — a dedup shape that joined winners back to the corpus
+    // would score the corpus twice
+    val curate = planOf(SparkEntry.queries("pipeline_curate")(spark, sfDir))
+    val curateScans = "Scan parquet".r.findAllIn(curate).size
+    assert(curateScans == 1,
+      s"pipeline_curate must scan documents once, got $curateScans:\n${curate.take(2000)}")
+
+    // sample_semantic: k-means TRAINING freezes into a materialized k-row
+    // centroid leaf, so the final plan holds exactly one embeddings scan
+    // (the assignment fold) — training lineage must not replay inside it
+    val sem = planOf(SparkEntry.queries("sample_semantic")(spark, sfDir))
+    val semScans = "Scan parquet".r.findAllIn(sem).size
+    assert(semScans == 1,
+      s"sample_semantic must scan embeddings once (assignment), got $semScans:\n${sem.take(2000)}")
+    assert(sem.contains("Scan ExistingRDD") || sem.contains("LocalTableScan"),
+      "centroids must arrive as a materialized leaf")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

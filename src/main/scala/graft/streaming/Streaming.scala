@@ -15,6 +15,41 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  /** Monitor-state checkpointing — the crash-recovery half of the
+    * object-held-state monitors: the streaming source's own
+    * `checkpointLocation` decides WHICH micro-batches replay after a
+    * restart, and this persists the monitor's state tables so the restored
+    * object resumes from exactly the batches the source will not re-feed.
+    * Call `save` after each `update` (the state is frozen by then, so the
+    * overwrite never deletes files the live state still reads); the marker
+    * file is written LAST, so a kill mid-save leaves no marker and
+    * `restore` reports the checkpoint unusable instead of loading a torn
+    * state.
+    */
+  object MonitorState {
+    import java.nio.file.{Files, Paths}
+    private val Marker = "_STATE_OK"
+
+    def save(dir: String, tables: Map[String, Option[DataFrame]]): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      Files.deleteIfExists(Paths.get(dir, Marker))
+      val present = tables.collect { case (n, Some(df)) => n -> df }
+      present.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$n")
+      }
+      Files.writeString(Paths.get(dir, Marker), present.keys.mkString(","))
+    }
+
+    /** true iff `dir` holds a complete (marker-sealed) state checkpoint */
+    def isComplete(dir: String): Boolean = Files.exists(Paths.get(dir, Marker))
+
+    def load(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+      require(isComplete(dir), s"no complete monitor state at $dir")
+      val names = Files.readString(Paths.get(dir, Marker)).split(",").toSet
+      if (names.contains(name)) Some(spark.read.parquet(s"$dir/$name")) else None
+    }
+  }
+
   /** Windowed event-time aggregation with late-data handling: the streaming
     * twin of the `stream_window_agg` batch query (same plan shape, plus
     * watermark state eviction).
@@ -166,6 +201,13 @@ object Streaming {
 
     /** current (m, zero_registers, est_distinct) estimate */
     def estimate: DataFrame = graft.functions.Stats.hllEstimate(registers, b)
+
+    /** persist the register state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("regs" -> regs))
+
+    /** restore register state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      regs = MonitorState.load(spark, dir, "regs")
   }
 
   /** Streaming incremental connected components — maintain the near-dup
@@ -267,6 +309,14 @@ object Streaming {
 
     private def state: DataFrame =
       activity.getOrElse(throw new IllegalStateException("no batches ingested"))
+
+    /** persist the activity state for crash-restart (call after update) */
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("activity" -> activity))
+
+    /** restore activity state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      activity = MonitorState.load(spark, dir, "activity")
   }
 
   /** Streaming volume-anomaly monitor — maintain the (event_type, day)
@@ -353,6 +403,17 @@ object Streaming {
       */
     def matches: DataFrame = found.getOrElse(
       throw new IllegalStateException("no micro-batch processed yet"))
+
+    /** persist corpus+index+matches for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir,
+      Map("corpus" -> corpus, "index" -> index, "found" -> found))
+
+    /** restore all three state tables from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit = {
+      corpus = MonitorState.load(spark, dir, "corpus")
+      index = MonitorState.load(spark, dir, "index")
+      found = MonitorState.load(spark, dir, "found")
+    }
 
     private def emptyMatches(batch: DataFrame): DataFrame = {
       import org.apache.spark.sql.types.{DoubleType, StructField, StructType}

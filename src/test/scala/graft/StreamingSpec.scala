@@ -345,6 +345,131 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  /** drive a checkpointed foreachBatch query over a parquet dir source to
+    * completion — restarting with the same checkpointLocation replays ONLY
+    * files the previous run did not commit (the production crash-recovery
+    * contract the batch-twin parity tests don't cover)
+    */
+  private def runCheckpointed(srcDir: String, ckptDir: String,
+                              schema: org.apache.spark.sql.types.StructType)(
+                              merge: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream, b => if (!b.isEmpty) merge(b))
+        .option("checkpointLocation", ckptDir))
+  }
+
+  test("checkpoint-restart: cardinality monitor resumes, source skips committed batches") {
+    import graft.functions.{Stats, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def toks(part: org.apache.spark.sql.DataFrame) = part
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val part1 = toks(docs.filter(col("doc_id") % 2 === 0))
+    val part2 = toks(docs.filter(col("doc_id") % 2 =!= 0))
+    val srcDir = java.nio.file.Files.createTempDirectory("card_ckpt_src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("card_ckpt_log").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("card_ckpt_state").toString
+
+    // run 1: ingest part 1, persisting monitor state after each batch
+    part1.repartition(1).write.mode("append").parquet(srcDir)
+    val cm1 = new Streaming.CardinalityMonitor("token", b = 8)
+    runCheckpointed(srcDir, ckptDir, part1.schema) { b =>
+      cm1.update(b); cm1.saveState(stateDir)
+    }
+    assert(Streaming.MonitorState.isComplete(stateDir))
+
+    // "crash": cm1 is gone; new data lands while the driver is down
+    part2.repartition(1).write.mode("append").parquet(srcDir)
+
+    // run 2: a FRESH monitor restores state; the restarted query must feed
+    // it only the uncommitted file (register max-merge is idempotent, so
+    // replay wouldn't show in the registers — count the rows to prove it)
+    val cm2 = new Streaming.CardinalityMonitor("token", b = 8)
+    cm2.restoreState(spark, stateDir)
+    var fedRows = 0L
+    runCheckpointed(srcDir, ckptDir, part1.schema) { b =>
+      fedRows += b.count(); cm2.update(b); cm2.saveState(stateDir)
+    }
+    assert(fedRows == part2.count(),
+      s"restart must replay only the unseen batch, fed $fedRows rows")
+
+    // resumed state == the uninterrupted one-pass sketch of everything
+    val got = cm2.registers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = Stats.hllRegisters(toks(docs), "token", b = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == full)
+  }
+
+  test("checkpoint-restart: retention monitor resumes with batch parity") {
+    val ev = spark.read.parquet(stagedDir)
+    val part1 = ev.filter(col("user_id") % 2 === 0)
+    val part2 = ev.filter(col("user_id") % 2 =!= 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("ret_ckpt_src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("ret_ckpt_log").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("ret_ckpt_state").toString
+
+    part1.repartition(1).write.mode("append").parquet(srcDir)
+    val rm1 = new Streaming.RetentionMonitor("user_id", "ts")
+    runCheckpointed(srcDir, ckptDir, ev.schema) { b =>
+      rm1.update(b); rm1.saveState(stateDir)
+    }
+
+    part2.repartition(1).write.mode("append").parquet(srcDir)
+    val rm2 = new Streaming.RetentionMonitor("user_id", "ts")
+    rm2.restoreState(spark, stateDir)
+    var fedRows = 0L
+    runCheckpointed(srcDir, ckptDir, ev.schema) { b =>
+      fedRows += b.count(); rm2.update(b); rm2.saveState(stateDir)
+    }
+    assert(fedRows == part2.count(),
+      s"restart must replay only the unseen batch, fed $fedRows rows")
+
+    val got = rm2.retention.collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val full = graft.functions.Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == full)
+  }
+
+  test("checkpoint-restart: minhash index dedup resumes; replay would self-match") {
+    // NOT idempotent under replay: a re-fed document would match itself in
+    // the index — so state parity here proves both the restore AND that the
+    // committed batch never replayed
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val part1 = docs.filter(col("doc_id") < 150)
+    val part2 = docs.filter(col("doc_id") >= 150)
+    val srcDir = java.nio.file.Files.createTempDirectory("mhd_ckpt_src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("mhd_ckpt_log").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("mhd_ckpt_state").toString
+
+    part1.repartition(1).write.mode("append").parquet(srcDir)
+    val dd1 = new Streaming.MinHashIndexDedup("doc_id", "text")
+    runCheckpointed(srcDir, ckptDir, docs.schema) { b =>
+      dd1.update(b); dd1.saveState(stateDir)
+    }
+
+    part2.repartition(1).write.mode("append").parquet(srcDir)
+    val dd2 = new Streaming.MinHashIndexDedup("doc_id", "text")
+    dd2.restoreState(spark, stateDir)
+    runCheckpointed(srcDir, ckptDir, docs.schema) { b =>
+      dd2.update(b); dd2.saveState(stateDir)
+    }
+
+    // uninterrupted twin: same two batch boundaries, no crash
+    val ddRef = new Streaming.MinHashIndexDedup("doc_id", "text")
+    ddRef.update(part1)
+    ddRef.update(part2)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(dd2.matches) == pairs(ddRef.matches))
+    // a restored-state restart must also keep serving from the latest save
+    val dd3 = new Streaming.MinHashIndexDedup("doc_id", "text")
+    dd3.restoreState(spark, stateDir)
+    assert(pairs(dd3.matches) == pairs(ddRef.matches))
+  }
+
   test("streaming cardinality monitor equals the one-pass corpus sketch") {
     import graft.functions.{Stats, TextAnalysis}
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -80,6 +80,29 @@ object Joins {
     big.filter(might).join(small, cond, how)
   }
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** floor(c / w) in EXACT integer arithmetic — the bucketing path for
+    * integral axes with whole-number widths: `floor(col / width)` through a
+    * double can misround beyond 2^53 (or for widths that don't divide
+    * exactly) and assign a point and its interval/target to different
+    * buckets, silently dropping true matches. `div` truncates toward zero,
+    * so negative non-exact quotients step down one to floor semantics.
+    */
+  private def exactFloorDiv(c: Column, w: Long): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cl = c.cast("long")
+    val q = bridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      bridge.expression(cl), bridge.expression(lit(w))))
+    when(cl % w =!= 0 && cl < 0, q - 1).otherwise(q).cast("long")
+  }
+
   /** Bucketed point-in-interval join — the scale-safe plan for `p BETWEEN
     * lo AND hi` with no equi key (IP→CIDR lookup, value-in-hot-band
     * tagging, timestamp-in-window joins). Catalyst plans a bare interval
@@ -107,17 +130,22 @@ object Joins {
                    intervals: DataFrame, loCol: String, hiCol: String,
                    width: Double, maxBucketsPerInterval: Int = 1 << 14): DataFrame = {
     require(width > 0, "width must be positive")
+    // integral axes with a whole width bucket in exact integer arithmetic;
+    // mixed/fractional axes keep the double floor (documented 2^53 bound)
+    val useInt = width.isWhole && isIntegral(points.schema(pCol).dataType) &&
+      isIntegral(intervals.schema(loCol).dataType) &&
+      isIntegral(intervals.schema(hiCol).dataType)
+    def bk(c: Column): Column =
+      if (useInt) exactFloorDiv(c, width.toLong) else floor(c / width).cast("long")
     val p = points.filter(col(pCol).isNotNull)
-      .withColumn("__bk", floor(col(pCol) / width).cast("long"))
-    val nb = (floor(col(hiCol) / width).cast("long")
-      - floor(col(loCol) / width).cast("long")) + 1
+      .withColumn("__bk", bk(col(pCol)))
+    val nb = (bk(col(hiCol)) - bk(col(loCol))) + 1
     val iv = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
       .filter(when(nb > maxBucketsPerInterval,
         raise_error(lit(s"interval exceeds $maxBucketsPerInterval buckets — raise width"))
           .isNotNull).otherwise(lit(true)))
-      .withColumn("__bk", explode(sequence(floor(col(loCol) / width).cast("long"),
-        floor(col(hiCol) / width).cast("long"))))
+      .withColumn("__bk", explode(sequence(bk(col(loCol)), bk(col(hiCol)))))
     p.join(iv, p("__bk") === iv("__bk")
         && col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bk")
@@ -151,12 +179,18 @@ object Joins {
                   maxDistance: Long, keys: Seq[String] = Nil): DataFrame = {
     require(maxDistance > 0, "maxDistance must be positive")
     import org.apache.spark.sql.functions.{abs, array, min, struct}
+    // long axes bucket in exact integer arithmetic (same 2^53 rationale as
+    // intervalJoin); fractional axes keep the double floor
+    val useInt = isIntegral(probes.schema(pAxis).dataType) &&
+      isIntegral(targets.schema(tAxis).dataType)
+    def bk(c: Column): Column =
+      if (useInt) exactFloorDiv(c, maxDistance) else floor(c / maxDistance).cast("long")
     val p = probes.filter(col(pAxis).isNotNull)
-      .withColumn("__pb", floor(col(pAxis) / maxDistance).cast("long"))
+      .withColumn("__pb", bk(col(pAxis)))
       .withColumn("__bk", explode(array(col("__pb") - 1, col("__pb"), col("__pb") + 1)))
       .drop("__pb")
     val t = targets.filter(col(tAxis).isNotNull)
-      .select((keys.map(col) :+ floor(col(tAxis) / maxDistance).cast("long").as("__bk")) :+
+      .select((keys.map(col) :+ bk(col(tAxis)).as("__bk")) :+
         col(tIdCol).as("__tid") :+ col(tAxis).as("__tax"): _*)
     p.join(t, keys :+ "__bk")
       .withColumn("__d", abs(col(pAxis) - col("__tax")))

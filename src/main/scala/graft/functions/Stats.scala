@@ -179,8 +179,13 @@ object Stats {
         .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt")))
     val tot = bins.groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("total"), count(lit(1)).as("nb"))
+    // both products staged through DECIMAL(38,0): a whale bin (cnt ~1e12)
+    // times den and ~1e6 bins per group overflows a long product and would
+    // flip band membership silently
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val hot = bins.join(graft.core.Joins.maybeBroadcast(tot), Seq(groupCol))
-      .filter(col("cnt") * den * col("nb") >= lit(num) * col("total"))
+      .filter(col("cnt").cast(dec) * den * col("nb")
+        >= lit(num).cast(dec) * col("total"))
       .select(col(groupCol), col("bin"))
     val starts = hot.join(
       hot.select(col(groupCol), (col("bin") + 1).as("bin")),
@@ -201,8 +206,9 @@ object Stats {
     * builds bit-identical registers. 60 hash bits split into a `b`-bit
     * register index (modulus) and a 60−b-bit sub-stream word `w`; the rank
     * is the trailing-zero count of `w` plus one (geometric with the same
-    * 2^−k law as the classic leading-zero form, and closed-form in SQL:
-    * `log2(w & −w)`), with `w = 0` mapped to the 61−b sentinel maximum.
+    * 2^−k law as the classic leading-zero form, and closed-form in exact
+    * integer SQL: `bit_count((w & −w) − 1)`), with `w = 0` mapped to the
+    * 61−b sentinel maximum.
     *
     * 100 TB notes: ONE map-side-combined `max` aggregation over the key
     * stream down to 2^b rows — the sketch is data-independent kilobytes,
@@ -220,9 +226,15 @@ object Stats {
       1, 15), 16, 10).cast("long")
     val regs = items.select(h.as("__h"))
       .select((col("__h") % m).as("bucket"), expr(s"__h div $m").as("__w"))
+      // trailing-zero count in EXACT integer arithmetic: (w & -w) isolates
+      // the lowest set bit, minus 1 leaves that many trailing ones, and
+      // bit_count counts them — branch-free and engine-exact, where a
+      // float log2 of the power of two risks a 1-ulp truncation below the
+      // integer on libm variants and would silently break bit-for-bit
+      // sketch reproducibility
       .withColumn("__rho",
         when(col("__w") === 0, lit(61 - b))
-          .otherwise(log2(col("__w").bitwiseAND(-col("__w"))).cast("int") + 1))
+          .otherwise(bit_count(col("__w").bitwiseAND(-col("__w")) - 1) + 1))
       .groupBy(col("bucket")).agg(max(col("__rho")).as("reg"))
     items.sparkSession.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")

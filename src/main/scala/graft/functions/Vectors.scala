@@ -342,24 +342,30 @@ object Vectors {
                      k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
     val vecs = bridge.freeze(corpus.select(col(idCol).cast("long").as("__vid"),
       col(vecCol).cast("array<double>").as("__v")))
-    val seed = vecs.orderBy(col("__vid")).limit(1).head()
+    val seedRows = vecs.orderBy(col("__vid")).limit(1).collect()
+    require(seedRows.nonEmpty, "kCenterCoreset: corpus is empty — nothing to select")
+    val seed = seedRows(0)
     var selected = Vector((seed.getLong(0), seed.getSeq[Double](1), 0.0))
     for (_ <- 1 until k) {
-      val cents = array(selected.map { case (_, v, _) =>
-        array(v.map(lit): _*) }: _*)
-      val far = vecs
+      // selected centers ship as ONE broadcast array column (the
+      // assignClusters fold), not per-element lit() literals — k×dim
+      // literal nodes blow up the expression tree/codegen at realistic
+      // embedding dims (1536) long before k gets interesting
+      val cents = broadcast(selected.map(_._2).toDF("__c")
+        .agg(collect_list(col("__c")).as("__cents")))
+      val far = vecs.crossJoin(cents)
         .withColumn("__xx", dot(col("__v"), col("__v")))
-        .withColumn("__dmin", array_min(transform(cents, c =>
+        .withColumn("__dmin", array_min(transform(col("__cents"), c =>
           col("__xx") - lit(2.0) * dot(col("__v"), c) + dot(c, c))))
         .agg(max_by(struct(col("__vid"), col("__v"), col("__dmin")),
           struct(col("__dmin"), (-col("__vid")).as("__nid"))).as("__far"))
         .select(col("__far.*")).head()
       selected :+= ((far.getLong(0), far.getSeq[Double](1), far.getDouble(2)))
     }
-    val spark0 = corpus.sparkSession
-    import spark0.implicits._
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1, id, d) }
       .toDF("rank", "vec_id", "__d")

@@ -306,10 +306,16 @@ class ScdDimension(
     // struct ranks (has-a-version, version): a no-match row (NULL __ver
     // from the left join) can never beat a real match, and the ordering
     // value itself is never NULL, so no match is ever dropped.
-    val rest = joined.columns.filterNot(_ == "__rowid")
-    joined.groupBy(col("__rowid"))
-      .agg(max_by(struct(rest.map(col): _*),
-        struct(col("__ver").isNotNull.as("__has"), col("__ver").as("__v"))).as("__best"))
+    // dataset-qualified references (in(...) / dim(...)), not bare col(...):
+    // a probe frame that happens to share a column name with a dimension
+    // alias — or carries internal duplicates from upstream self-joins —
+    // would make an unqualified reference ambiguous where the old
+    // window+row_number form tolerated it
+    val rest = in.columns.filterNot(_ == "__rowid").map(c => in(c).as(c)) ++
+      dim.columns.map(c => dim(c).as(c))
+    joined.groupBy(in("__rowid"))
+      .agg(max_by(struct(rest: _*),
+        struct(dim("__ver").isNotNull.as("__has"), dim("__ver").as("__v"))).as("__best"))
       .select(col("__best.*"))
       .withColumn(key, coalesce(col("__asof_key"), lit(defaultIdValue)))
       .drop("__from", "__to", "__ver", "__asof_key")

@@ -3870,7 +3870,12 @@ object SparkEntry {
                i -> (doc_id*31 + f*17 + (i%8)*7 + (i//8)*13) % 256)) / 64.0 / 255.0) AS fm
            FROM d WHERE m = 2),
          u AS (
-           SELECT doc_id, 'image' AS kind, 246 AS n_bytes, 8.0 AS f0, 8.0 AS f1,
+           -- image container alternates: BMP (246 bytes) for doc_id%6=0,
+           -- stored-deflate PNG (closed-form 140 bytes at 8x8 gray) for
+           -- doc_id%6=3; decoded pixels — and so f0..f3 — are identical
+           SELECT doc_id, 'image' AS kind,
+             CASE WHEN doc_id % 6 = 0 THEN 246 ELSE 140 END AS n_bytes,
+             8.0 AS f0, 8.0 AS f1,
              list_sum(g)/64.0/255.0 AS f2, list_max(g)/255.0 AS f3 FROM img
            UNION ALL
            SELECT doc_id, 'audio', 300, 8000.0, 256.0,
@@ -4482,7 +4487,7 @@ object SparkEntry {
          FROM top JOIN est USING (tok) ORDER BY token""",
 
     // HLL replay: the same md5-derived 60-bit hash split into bucket and
-    // sub-stream word, trailing-zero ranks via log2(w & -w), register-max,
+    // sub-stream word, trailing-zero ranks via bit_count((w & -w) - 1), register-max,
     // exact-integer harmonic staging, the identical alpha·m²·2^60 literal
     // overlap replay: the hll chain three times (A-slice, B-slice, and the
     // register-wise max union), then inclusion-exclusion on the estimates
@@ -4497,11 +4502,11 @@ object SparkEntry {
                 FROM tk WHERE doc_id % 3 = 0),
          ra0 AS (
            SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-             ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END) AS reg
+             ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END) AS reg
            FROM ha GROUP BY 1),
          rb0 AS (
            SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-             ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END) AS reg
+             ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END) AS reg
            FROM hb GROUP BY 1),
          buckets AS (SELECT unnest(range(0, 256)) AS bucket),
          ra AS (SELECT b.bucket, coalesce(ra0.reg, 0) AS reg
@@ -4542,7 +4547,7 @@ object SparkEntry {
          rr AS (
            SELECT h % 256 AS bucket,
              CASE WHEN h // 256 = 0 THEN 53
-                  ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END AS rho
+                  ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END AS rho
            FROM h),
          regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
          regs AS (
@@ -4587,7 +4592,7 @@ object SparkEntry {
          rr AS (
            SELECT h % 256 AS bucket,
              CASE WHEN h // 256 = 0 THEN 53
-                  ELSE CAST(log2((h // 256) & (-(h // 256))) AS INTEGER) + 1 END AS rho
+                  ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END AS rho
            FROM h),
          regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
          regs AS (

@@ -9,8 +9,9 @@ import java.io.ByteArrayInputStream
 /** Multimodal column plumbing for training-data pipelines.
   *
   * Media (image/audio/video) is carried as an opaque `binary` column with a
-  * typed metadata struct. Decode is REAL: images are genuine BMP containers
-  * parsed by `javax.imageio.ImageIO`, audio is genuine WAV (PCM) parsed by
+  * typed metadata struct. Decode is REAL: images are genuine BMP and PNG
+  * containers (JPEG supported too, spec-exercised) routed by magic bytes to
+  * `javax.imageio.ImageIO` readers, audio is genuine WAV (PCM) parsed by
   * `javax.sound.sampled.AudioSystem`, video is a length-prefixed frame
   * container demuxed and frame-decoded through ImageIO. The media bytes are
   * synthesized deterministically from `doc_id` (no external files in this
@@ -68,6 +69,67 @@ object Multimodal {
     b.array()
   }
 
+  /** A real grayscale 8-bit PNG with STORED (uncompressed) deflate blocks —
+    * spec-conformant (zlib permits stored blocks; ImageIO's PNG reader
+    * decodes it like any other PNG) and, unlike a compressing encoder,
+    * byte-length CLOSED-FORM: 8 (signature) + 25 (IHDR) + 12 + [2 zlib
+    * header + 5·⌈L/65535⌉ stored-block headers + L + 4 adler] (IDAT, with
+    * L = H·(W+1) filtered scanline bytes) + 12 (IEND) — 140 bytes at 8×8,
+    * which is what lets the SQL oracle pin `n_bytes` for PNG rows exactly
+    * as it pins 246 for BMP.
+    */
+  def encodePng(docId: Long, frame: Int): Array[Byte] =
+    encodePngFromPixels(Array.tabulate(ImgH, ImgW)((y, x) => gray(docId, frame, x, y)))
+
+  /** Encode a gray matrix (top-down) as a real stored-deflate PNG. */
+  def encodePngFromPixels(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length
+    val w = px.head.length
+    // filtered scanlines: filter byte 0 (None) + gray bytes per row
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raw(y * (w + 1) + 1 + x) = px(y)(x).toByte; x += 1 }
+      y += 1
+    }
+    // zlib stream: 0x78 0x01 header, stored deflate blocks, adler32
+    val zlib = new java.io.ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01)
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      val last = if (off + n >= raw.length) 1 else 0
+      zlib.write(last)
+      zlib.write(n & 0xFF); zlib.write((n >> 8) & 0xFF)
+      zlib.write(~n & 0xFF); zlib.write((~n >> 8) & 0xFF)
+      zlib.write(raw, off, n)
+      off += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val ad = adler.getValue
+    zlib.write(((ad >> 24) & 0xFF).toInt); zlib.write(((ad >> 16) & 0xFF).toInt)
+    zlib.write(((ad >> 8) & 0xFF).toInt); zlib.write((ad & 0xFF).toInt)
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length) // big-endian default
+        .putInt(data.length).put(typ.getBytes).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte) // bit depth
+      .put(0.toByte) // color type 0: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, none, no interlace
+      .array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** A real 44-byte-header WAV, 8-bit unsigned mono PCM at 8 kHz. */
   def encodeWav(docId: Long): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(44 + WavSamples).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -96,28 +158,54 @@ object Multimodal {
   // REAL decode
   // ---------------------------------------------------------------------
 
-  /** A reusable ImageIO BMP decoder: plugin lookup happens once per instance
-    * (per partition/batch), input streams stay in memory (no ImageIO temp
-    * files) — per-call `ImageIO.read` costs ~2 ms in plugin scan + file-cache
-    * setup, which dominated the decode path at scale.
+  /** A reusable magic-byte-routed ImageIO decoder: the container format is
+    * sniffed from the leading bytes (PNG `\x89PNG`, JPEG `\xFF\xD8`, BMP
+    * `BM` — what a real crawl's image column looks like) and dispatched to a
+    * per-format reader cached on first use, so plugin lookup happens once
+    * per (instance, format), not per row. Input streams stay in memory (no
+    * ImageIO temp files) — per-call `ImageIO.read` costs ~2 ms in plugin
+    * scan + file-cache setup, which dominated the decode path at scale.
     */
-  final class BmpDecoder {
+  final class ImageDecoder {
     javax.imageio.ImageIO.setUseCache(false)
-    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+    private val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    private def readerFor(fmt: String) = readers.getOrElseUpdate(fmt,
+      javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+
+    /** container format by magic bytes ("bmp" | "png" | "jpeg") */
+    def formatOf(bytes: Array[Byte]): String =
+      if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xD8) "jpeg"
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+      else throw new IllegalArgumentException("unrecognized image container magic")
 
     def decode(bytes: Array[Byte]): Array[Array[Int]] = {
+      val reader = readerFor(formatOf(bytes))
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis, true, true)
         val img = reader.read(0)
-        Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y) & 0xFF)
+        // single-component (gray) images read RAW raster samples: getRGB
+        // would push them through a gray→sRGB color-space conversion (a
+        // gamma lift, 22 → 83) and break the decode-equals-generation-rule
+        // contract; RGB images take the blue channel as before (gray
+        // triplets carry the same value in every channel)
+        if (img.getColorModel.getNumComponents == 1) {
+          val raster = img.getRaster
+          Array.tabulate(img.getHeight, img.getWidth)((y, x) => raster.getSample(x, y, 0))
+        } else
+          Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y) & 0xFF)
       } finally iis.close()
     }
   }
 
-  /** decode a BMP through ImageIO and return the gray matrix (top-down) */
-  def decodeImage(bytes: Array[Byte]): Array[Array[Int]] = new BmpDecoder().decode(bytes)
+  /** decode any supported container through ImageIO (magic-byte routed) and
+    * return the gray matrix (top-down)
+    */
+  def decodeImage(bytes: Array[Byte]): Array[Array[Int]] = new ImageDecoder().decode(bytes)
 
   /** decode a WAV through AudioSystem and return (sampleRate, samples 0..255) */
   def decodeAudio(bytes: Array[Byte]): (Float, Array[Int]) = {
@@ -129,9 +217,9 @@ object Multimodal {
 
   /** demux the frame container and ImageIO-decode every frame */
   def decodeVideo(bytes: Array[Byte]): Seq[Array[Array[Int]]] =
-    decodeVideoWith(bytes, new BmpDecoder())
+    decodeVideoWith(bytes, new ImageDecoder())
 
-  private def decodeVideoWith(bytes: Array[Byte], dec: BmpDecoder): Seq[Array[Array[Int]]] = {
+  private def decodeVideoWith(bytes: Array[Byte], dec: ImageDecoder): Seq[Array[Array[Int]]] = {
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4); b.get(magic)
     require(new String(magic) == "GRFV", "bad video container magic")
@@ -163,8 +251,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
+          // image rows alternate containers (doc_id % 6 == 0 → BMP,
+          // == 3 → PNG): the decode path sees a MIXED-format column and
+          // must route by magic bytes, like a real crawl
           val (kind, bytes) = (id % 3) match {
-            case 0 => ("image", encodeBmp(id, 0))
+            case 0 => ("image", if (id % 6 == 0) encodeBmp(id, 0) else encodePng(id, 0))
             case 1 => ("audio", encodeWav(id))
             case _ => ("video", encodeVideo(id))
           }
@@ -195,7 +286,7 @@ object Multimodal {
           // codec init amortizes per batch: ONE ImageIO reader instance
           // serves the whole batch (plugin lookup + stream setup per call is
           // what makes naive per-row ImageIO.read ~50x slower)
-          val dec = new BmpDecoder()
+          val dec = new ImageDecoder()
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val kind = r.getString(1)
@@ -264,7 +355,7 @@ object Multimodal {
         org.apache.spark.sql.functions.col("content"))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          val dec = new BmpDecoder()
+          val dec = new ImageDecoder()
           batch.iterator.map { r =>
             val src = dec.decode(r.getAs[Array[Byte]]("content"))
             val (srcH, srcW) = (src.length, src.head.length)

@@ -29,14 +29,53 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2)(1)(3) == Multimodal.gray(44L, 2, 3, 1))
   }
 
+  test("PNG: stored-deflate container decodes via ImageIO to the exact pixels") {
+    val bytes = Multimodal.encodePng(42L, 0)
+    // closed-form length — the property the mm_features oracle pins
+    assert(bytes.length == 140, s"8x8 gray stored-deflate PNG must be 140B, got ${bytes.length}")
+    assert(new Multimodal.ImageDecoder().formatOf(bytes) == "png")
+    val px = Multimodal.decodeImage(bytes)
+    assert(px.length == Multimodal.ImgH && px.head.length == Multimodal.ImgW)
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      assert(px(y)(x) == Multimodal.gray(42L, 0, x, y), s"PNG pixel ($x,$y) mismatch")
+  }
+
+  test("JPEG: magic-byte routing decodes a real ImageIO-encoded JPEG (lossy-tolerant)") {
+    // encode the generated grays as a genuine JPEG via ImageIO's writer
+    val img = new java.awt.image.BufferedImage(
+      Multimodal.ImgW, Multimodal.ImgH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // write raw raster samples — setRGB would apply an sRGB→gray color-space
+    // conversion and store different values than the generation rule
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      img.getRaster.setSample(x, y, 0, Multimodal.gray(45L, 0, x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val bytes = out.toByteArray
+    val dec = new Multimodal.ImageDecoder()
+    assert(dec.formatOf(bytes) == "jpeg")
+    val px = dec.decode(bytes)
+    // dims survive exactly; pixel values survive within JPEG's lossy budget
+    assert(px.length == Multimodal.ImgH && px.head.length == Multimodal.ImgW)
+    val diffs = for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
+      yield math.abs(px(y)(x) - Multimodal.gray(45L, 0, x, y))
+    assert(diffs.sum.toDouble / diffs.size < 32.0,
+      s"JPEG decode drifted too far: mean abs diff ${diffs.sum.toDouble / diffs.size}")
+    // one decoder instance serves all three formats in one batch
+    assert(dec.decode(Multimodal.encodeBmp(45L, 0))(2)(3) == Multimodal.gray(45L, 0, 3, 2))
+    assert(dec.decode(Multimodal.encodePng(45L, 0))(2)(3) == Multimodal.gray(45L, 0, 3, 2))
+  }
+
   test("feature extraction decodes for real, deterministic and batch-shaped") {
     val m = Multimodal.mediaTable(table("documents"))
     val f1 = Multimodal.extractFeatures(m).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(m, batchSize = 7).orderBy("doc_id").collect()
     assert(f1.sameElements(f2)) // batch size must not change results
-    // image/audio dims come from the decoded containers
+    // image/audio dims come from the decoded containers; image rows are a
+    // MIXED column (BMP 246 bytes / stored-deflate PNG 140 bytes) and both
+    // routes decode to the same dims
     assert(f1.filter(_.getString(1) == "image").forall(r =>
-      r.getDouble(3) == 8.0 && r.getDouble(4) == 8.0 && r.getInt(2) == 246))
+      r.getDouble(3) == 8.0 && r.getDouble(4) == 8.0 &&
+        r.getInt(2) == (if (r.getLong(0) % 6 == 0) 246 else 140)))
     assert(f1.filter(_.getString(1) == "audio").forall(r =>
       r.getDouble(3) == 8000.0 && r.getDouble(4) == 256.0 && r.getInt(2) == 300))
     assert(f1.filter(_.getString(1) == "video").forall(r =>

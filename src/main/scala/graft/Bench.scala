@@ -50,12 +50,25 @@ object Bench {
   }
 
   /** JVM/session warm-up so the first timed query doesn't absorb executor
-    * spin-up, codegen compiler and parquet-footer costs (~5s).
+    * spin-up, codegen compiler and parquet-footer costs. Beyond the basic
+    * range-sum + flagship pass, a handful of DIVERSE tiny queries run at
+    * sf0.001 (aggregation, join, window, and the driver-loop-heavy
+    * streaming-monitor replay): a slice's first queries otherwise pay the
+    * JIT of Spark's planner/executor internals that later queries get for
+    * free — measured at up to 2× on monitor-loop queries (stream_components
+    * 12.9s cold vs 5.7s warm in the same JVM).
     */
   private def warmUp(spark: SparkSession): Unit = {
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q1_agg", "dim_lookup", "events_sessionize", "stream_components").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    releaseTransients(spark)
   }
 
   /** Untimed inter-query cleanup: unpersist whatever the query cached, then

@@ -3863,7 +3863,27 @@ object SparkEntry {
          aud AS (
            SELECT doc_id, list_transform(range(0, 256),
              i -> (doc_id*7 + i*3) % 256) AS s
-           FROM d WHERE m = 1),
+           FROM d WHERE m = 1 AND doc_id % 6 = 1),
+         -- mu-law rows: replay G.711 encode->decode in exact integer
+         -- arithmetic (AudioSystem's ULAW expansion is bit-identical to
+         -- this closed form, probed over all 256 codes)
+         audu AS (
+           SELECT doc_id, sum(dec) AS sdec, max(dec) AS mdec FROM (
+             SELECT doc_id,
+               CASE WHEN pcm < 0 THEN -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
+                    ELSE ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132 END AS dec
+             FROM (
+               SELECT doc_id, pcm, mag,
+                 CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
+                      WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
+                      WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
+                      WHEN mag>=256 THEN 1 ELSE 0 END AS e
+               FROM (
+                 SELECT doc_id, pcm, least(abs(pcm)+132, 32635) AS mag FROM (
+                   SELECT doc_id, ((doc_id*7 + i*3) % 256 - 128) * 256 AS pcm
+                   FROM (SELECT doc_id, unnest(range(0, 256)) AS i
+                         FROM d WHERE m = 1 AND doc_id % 6 = 4)))))
+           GROUP BY doc_id),
          vid AS (
            SELECT doc_id, list_transform(range(0, 4), f ->
              list_sum(list_transform(range(0, 64),
@@ -3880,6 +3900,9 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, 'audio', 300, 8000.0, 256.0,
              list_sum(s)/256.0/255.0, list_max(s)/255.0 FROM aud
+           UNION ALL
+           SELECT doc_id, 'audio', 302, 8000.0, 256.0,
+             sdec/256.0/32768.0, mdec/32768.0 FROM audu
            UNION ALL
            SELECT doc_id, 'video', 1008, 4.0, 8.0,
              fm[1], (fm[1]+fm[2]+fm[3]+fm[4])/4.0 FROM vid)

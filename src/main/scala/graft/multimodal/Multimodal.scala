@@ -142,6 +142,50 @@ object Multimodal {
     b.array()
   }
 
+  /** G.711 µ-law compression of a 16-bit linear sample — the COMPRESSED
+    * audio leg of the mixed column. The codec is closed-form integer
+    * arithmetic, and Java's `AudioSystem` ULAW decoder reproduces the
+    * decode formula bit-exactly for all 256 codes (probed), which is what
+    * lets the SQL oracle replay encode→decode and pin the decoded features
+    * exactly despite the lossy companding.
+    */
+  def ulawEncode(pcm: Int): Int = {
+    val bias = 0x84
+    val sign = if (pcm < 0) 0x80 else 0
+    val mag = math.min(math.abs(pcm) + bias, 32635)
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val man = (mag >> (exp + 3)) & 0x0F
+    ~(sign | (exp << 4) | man) & 0xFF
+  }
+
+  /** the closed-form G.711 expansion (what AudioSystem computes) */
+  def ulawDecode(code: Int): Int = {
+    val u = ~code & 0xFF
+    val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** 16-bit linear sample i for document `docId` (centered 8-bit rule) */
+  def pcm16(docId: Long, i: Int): Int = (sample(docId, i) - 128) * 256
+
+  /** A real µ-law WAV: 18-byte fmt chunk (format tag 7, cbSize 0), 8-bit
+    * companded mono at 8 kHz — 302 bytes at 256 samples (12 RIFF + 26 fmt +
+    * 8 data header + 256), the closed form the oracle pins.
+    */
+  def encodeUlawWav(docId: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12 + 26 + 8 + WavSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 26 + 8 + WavSamples).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(18).putShort(7).putShort(1)
+    b.putInt(WavRate).putInt(WavRate).putShort(1).putShort(8).putShort(0)
+    b.put("data".getBytes).putInt(WavSamples)
+    var i = 0
+    while (i < WavSamples) { b.put(ulawEncode(pcm16(docId, i)).toByte); i += 1 }
+    b.array()
+  }
+
   /** Frame container: "GRFV" magic, int32 frame count, then length-prefixed
     * BMP frames (a minimal demuxable video stand-in).
     */
@@ -207,12 +251,25 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Array[Array[Int]] = new ImageDecoder().decode(bytes)
 
-  /** decode a WAV through AudioSystem and return (sampleRate, samples 0..255) */
-  def decodeAudio(bytes: Array[Byte]): (Float, Array[Int]) = {
+  /** Decode a WAV through AudioSystem: (sampleRate, samples, encoding).
+    * PCM8 returns unsigned samples 0..255 with encoding "pcm8"; µ-law
+    * containers are EXPANDED through AudioSystem's ULAW→PCM16 converter
+    * (the real decompression path) and return signed 16-bit samples with
+    * encoding "ulaw".
+    */
+  def decodeAudio(bytes: Array[Byte]): (Float, Array[Int], String) = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat
-    val data = in.readAllBytes()
-    (fmt.getSampleRate, data.map(_ & 0xFF))
+    if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW) {
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, 1, 2, fmt.getSampleRate, false)
+      val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+      val data = dec.readAllBytes()
+      (fmt.getSampleRate,
+        Array.tabulate(data.length / 2)(i => (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)),
+        "ulaw")
+    } else (fmt.getSampleRate, in.readAllBytes().map(_ & 0xFF), "pcm8")
   }
 
   /** demux the frame container and ImageIO-decode every frame */
@@ -252,11 +309,13 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           // image rows alternate containers (doc_id % 6 == 0 → BMP,
-          // == 3 → PNG): the decode path sees a MIXED-format column and
-          // must route by magic bytes, like a real crawl
+          // == 3 → PNG) and audio rows alternate codecs (== 1 → linear
+          // PCM, == 4 → µ-law compressed): the decode path sees a
+          // MIXED-format column and must route by container sniffing,
+          // like a real crawl
           val (kind, bytes) = (id % 3) match {
             case 0 => ("image", if (id % 6 == 0) encodeBmp(id, 0) else encodePng(id, 0))
-            case 1 => ("audio", encodeWav(id))
+            case 1 => ("audio", if (id % 6 == 1) encodeWav(id) else encodeUlawWav(id))
             case _ => ("video", encodeVideo(id))
           }
           Row(id, kind, bytes, Map("source" -> r.getString(1), "n_chars" -> r.get(2).toString))
@@ -299,10 +358,13 @@ object Multimodal {
                   flat.sum.toDouble / flat.length / 255.0,
                   flat.max.toDouble / 255.0)
               case "audio" =>
-                val (rate, samples) = decodeAudio(bytes)
+                // µ-law rows normalize over the EXPANDED 16-bit range (the
+                // signed mean can be negative); PCM8 keeps the 0..255 scale
+                val (rate, samples, audioEnc) = decodeAudio(bytes)
+                val scale = if (audioEnc == "ulaw") 32768.0 else 255.0
                 (rate.toDouble, samples.length.toDouble,
-                  samples.sum.toDouble / samples.length / 255.0,
-                  samples.max.toDouble / 255.0)
+                  samples.sum.toDouble / samples.length / scale,
+                  samples.max.toDouble / scale)
               case _ =>
                 val frames = decodeVideoWith(bytes, dec)
                 val means = frames.map(px => { val f = px.flatten; f.sum.toDouble / f.length / 255.0 })

@@ -19,14 +19,31 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW)
       assert(px(y)(x) == Multimodal.gray(42L, 0, x, y), s"pixel ($x,$y) mismatch")
     // audio: AudioSystem parses the WAV header + unsigned PCM samples
-    val (rate, samples) = Multimodal.decodeAudio(Multimodal.encodeWav(43L))
-    assert(rate == Multimodal.WavRate.toFloat)
+    val (rate, samples, enc) = Multimodal.decodeAudio(Multimodal.encodeWav(43L))
+    assert(rate == Multimodal.WavRate.toFloat && enc == "pcm8")
     assert(samples.length == Multimodal.WavSamples)
     assert(samples.zipWithIndex.forall { case (v, i) => v == Multimodal.sample(43L, i) })
     // video: demux + per-frame ImageIO decode
     val frames = Multimodal.decodeVideo(Multimodal.encodeVideo(44L))
     assert(frames.length == Multimodal.VideoFrames)
     assert(frames(2)(1)(3) == Multimodal.gray(44L, 2, 3, 1))
+  }
+
+  test("mu-law: AudioSystem expansion equals the G.711 closed form exactly") {
+    // every one of the 256 codes round-trips through the real decompressor
+    // to the formula value — the property the SQL oracle relies on
+    val (rate, decoded, enc) = Multimodal.decodeAudio(Multimodal.encodeUlawWav(46L))
+    assert(rate == Multimodal.WavRate.toFloat && enc == "ulaw")
+    assert(decoded.length == Multimodal.WavSamples)
+    decoded.zipWithIndex.foreach { case (v, i) =>
+      val want = Multimodal.ulawDecode(Multimodal.ulawEncode(Multimodal.pcm16(46L, i)))
+      assert(v == want, s"sample $i: AudioSystem=$v formula=$want")
+    }
+    // companding is lossy but bounded: one quantization step of the band
+    decoded.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - Multimodal.pcm16(46L, i)) <= 1024)
+    }
+    assert(Multimodal.encodeUlawWav(46L).length == 302) // oracle-pinned size
   }
 
   test("PNG: stored-deflate container decodes via ImageIO to the exact pixels") {
@@ -76,12 +93,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.filter(_.getString(1) == "image").forall(r =>
       r.getDouble(3) == 8.0 && r.getDouble(4) == 8.0 &&
         r.getInt(2) == (if (r.getLong(0) % 6 == 0) 246 else 140)))
+    // audio rows are a mixed column too: linear PCM (300B) / mu-law (302B)
     assert(f1.filter(_.getString(1) == "audio").forall(r =>
-      r.getDouble(3) == 8000.0 && r.getDouble(4) == 256.0 && r.getInt(2) == 300))
+      r.getDouble(3) == 8000.0 && r.getDouble(4) == 256.0 &&
+        r.getInt(2) == (if (r.getLong(0) % 6 == 1) 300 else 302)))
     assert(f1.filter(_.getString(1) == "video").forall(r =>
       r.getDouble(3) == 4.0 && r.getInt(2) == 1008))
-    // normalized means/maxima live in (0, 1]
-    assert(f1.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 &&
+    // normalized means/maxima live in [-1, 1] (mu-law means are SIGNED and
+    // can dip below zero); maxima stay positive everywhere
+    assert(f1.forall(r => r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0 &&
       r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0))
   }
 

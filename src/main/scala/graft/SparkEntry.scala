@@ -1629,8 +1629,14 @@ object SparkEntry {
       val toks = docsNorm(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
-      val sk = graft.functions.Stats.countMinSketch(toks, "token", depth = 4, width = 512)
-      val truec = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      // ONE corpus explode: the vocabulary-sized count table (frozen) feeds
+      // the weighted sketch build, the top-k cut AND the verification join —
+      // building the sketch from the raw stream would explode the corpus a
+      // second time for the same cells
+      val truec = org.apache.spark.sql.graftbridge.Bridge.freeze(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt")))
+      val sk = graft.functions.Stats.countMinSketchOfCounts(
+        truec, "token", "true_cnt", depth = 4, width = 512)
       val top = truec.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
       graft.functions.Stats.countMinEstimate(sk, top, "token", depth = 4, width = 512)
         .join(top, Seq("token"))

@@ -137,6 +137,23 @@ object Stats {
       .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[countMinSketch]] built from a pre-aggregated (key, count) table —
+    * cells weighted by the counts give the IDENTICAL sketch with the
+    * key-stream explode already collapsed. The one-corpus-pass composition:
+    * a caller that needs both the sketch and exact counts (heavy-hitter
+    * verification) aggregates the stream once and feeds the vocabulary-
+    * sized count table to both consumers, instead of exploding the corpus
+    * a second time just to hash it into cells.
+    */
+  def countMinSketchOfCounts(counts: DataFrame, keyCol: String, cntCol: String,
+                             depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    counts.select(col(keyCol).as("__k"), col(cntCol).as("__c"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmsPos(col("__k"), col("row"), width).as("pos"), col("__c"))
+      .groupBy(col("row"), col("pos")).agg(sum(col("__c")).as("cnt"))
+  }
+
   /** Point-query the sketch: each key reads its `depth` counters (equi-join
     * on (row, pos) — the sketch side is broadcastable by construction) and
     * takes the min; counters never touched estimate 0.

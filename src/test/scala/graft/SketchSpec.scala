@@ -41,6 +41,12 @@ class SketchSpec extends SparkSpec {
       .filter(col("token") =!= "").cache()
     val truec = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
     val sk = Stats.countMinSketch(toks, "token", depth = 4, width = 512)
+    // the count-weighted builder over the aggregated table is cell-for-cell
+    // identical to the stream builder — the one-corpus-pass composition
+    val skW = Stats.countMinSketchOfCounts(truec, "token", "true_cnt",
+      depth = 4, width = 512)
+    assert(sk.exceptAll(skW).count() == 0 && skW.exceptAll(sk).count() == 0,
+      "weighted and stream sketches must hold identical cells")
     assert(sk.count() <= 4 * 512, "sketch size is data-independent")
     val est = Stats.countMinEstimate(sk, truec, "token", depth = 4, width = 512)
     val joined = est.join(truec, Seq("token")).cache()

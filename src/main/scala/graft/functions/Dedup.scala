@@ -654,7 +654,11 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - k),
         i => md5(array_join(slice(toks, i + 1, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-    val pos = tokFrame.select(col("__id"), posexplode(grams).as(Seq("__pos", "__g")))
+    // the (doc, pos, gram) frame feeds BOTH the duplicated-digest
+    // aggregation and the position join — frozen so the rolling-gram
+    // digest explode (k md5s per token) computes once, not once per branch
+    val pos = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      tokFrame.select(col("__id"), posexplode(grams).as(Seq("__pos", "__g"))))
     val dupFps = pos.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("__g"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__pos").asc)

@@ -225,6 +225,17 @@ object ScaleBench {
       force(graft.functions.Retrieval.rouge2(pairs, "train_id", "bench_id",
         d, "doc_id", "text"))
     }
+    def spansCut(d: DataFrame): Unit =
+      force(Dedup.cutSpans(d, "doc_id", "text", k = 8))
+    def pmi(d: DataFrame): Unit =
+      force(graft.functions.Retrieval.collocations(d, "text", minCount = 5, topK = 50))
+    def cmsWeighted(d: DataFrame): Unit = {
+      val counts = d.select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      force(graft.functions.Stats.countMinSketchOfCounts(counts, "token", "c",
+        depth = 4, width = 512))
+    }
 
     // the CC loop is measured over PRE-MATERIALIZED pair sets so the ratio
     // isolates label propagation (minhash candidate generation is its own
@@ -287,6 +298,10 @@ object ScaleBench {
       ("events_sessionize", maxEvent, maxEvent * copies,
         () => force(Events.sessionize(ev1, "user_id", "ts", "event_id")),
         () => force(Events.sessionize(ev10, "user_id", "ts", "event_id"))),
+      ("dedup_spans_cut", nDocs, nDocs * copies, () => spansCut(docs1), () => spansCut(docs10)),
+      ("text_pmi", nDocs, nDocs * copies, () => pmi(docs1), () => pmi(docs10)),
+      ("sketch_cms_weighted", nDocs, nDocs * copies,
+        () => cmsWeighted(docs1), () => cmsWeighted(docs10)),
       ("sketch_hll_overlap", nDocs, nDocs * copies,
         () => force(Stats.hllOverlap(
           docs1.filter(col("doc_id") % 2 === 0),

@@ -100,7 +100,12 @@ object Curation {
     * Returns the input plus (group_mean, group_std, z_score).
     */
   def calibrateScores(df: DataFrame, groupCol: String, score: Column): DataFrame = {
-    val staged = df.withColumn("__q", score.cast(DecimalType(18, 8)))
+    // the scored frame feeds BOTH the moments aggregation and the final
+    // join; frozen so the score expression (often several regex passes per
+    // document) evaluates once per row, not once per branch — measured 5.8×
+    // wall at 10× data before, scoring being the dominant cost
+    val staged = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.withColumn("__q", score.cast(DecimalType(18, 8))))
     val moments = staged.groupBy(col(groupCol)).agg(
         count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
         sum(col("__q") * col("__q")).as("__s2"))

@@ -10,24 +10,33 @@ import scala.jdk.CollectionConverters._
   *
   * Timing honesty: 150 queries in ONE JVM contaminate each other —
   * ContextCleaner reclaims broadcasts/shuffle files asynchronously after a
-  * driver GC, so late-alphabet queries absorb the reclamation of ~140
-  * predecessors and read up to 5× their isolated time (round-6 evidence:
-  * text_rouge 12.4s in-suite vs 2.3s isolated). The gate therefore runs as
-  * FRESH-JVM SLICES: the parent forks one child JVM per alphabetical slice
-  * of ~25 queries (same classpath/JVM flags as itself), each child times
-  * its slice with an untimed GC+settle pause between queries, and the
-  * parent merges the per-slice maps into one JSON whose `slices` field
-  * records the exact layout for driver verification.
+  * driver GC, so late queries absorb the reclamation of their predecessors
+  * and read up to 5× their isolated time (round-6 evidence: text_rouge
+  * 12.4s in-suite vs 2.3s isolated; round-7 evidence: even ~25-query
+  * slices inflated the heavy tail 2–5×). The gate therefore runs in THREE
+  * phases:
   *
-  * An `sf1` section then re-times the most expensive queries against a
-  * synthesized 10×-sf0.1 dataset (tools.ScaleData) in further fresh JVMs
-  * and reports the wall ratio per query — the cliff detector (shuffle
-  * spill, broadcast thresholds) that sf0.1 alone cannot show.
+  *   1. FRESH-JVM SLICES of ~8 queries (same classpath/JVM flags as the
+  *      parent), each child timing its slice with an untimed GC+settle
+  *      pause between queries; the `slices` field records the layout.
+  *   2. SOLO AUDIT: the N slowest queries from phase 1 are re-timed ONE
+  *      PER FRESH JVM — the canonical per-query number for the heavy tail
+  *      is the solo time, and the `solo` field records BOTH numbers so the
+  *      residual slice contamination is itself measurable from the
+  *      artifact.
+  *   3. An `sf1` section re-times the most expensive queries against a
+  *      synthesized 10×-sf0.1 dataset (tools.ScaleData); each child times
+  *      a query's sf0.1 base AND its sf1 twin back-to-back in the SAME
+  *      JVM, so the reported wall ratio — the cliff detector (shuffle
+  *      spill, broadcast thresholds) sf0.1 alone cannot show — never
+  *      divides by a number measured under different JVM conditions.
   *
   * Invocations:
-  *   (no args)                 driver gate: fork slices (+ sf1 section)
+  *   (no args)                 driver gate: all three phases
   *   name1 name2 ...           local iteration: run just these, in-process
   *   --slice OUT name1 ...     child: time the names, write {"n":sec} JSON
+  *   --pair OUT BASE SF1 n...  child: time each name at BASE then SF1,
+  *                             write {"n@base":sec,"n@sf1":sec}
   *   --gen-sf1 SFDIR OUTDIR    child: synthesize the 10× dataset
   */
 object Bench {
@@ -160,6 +169,21 @@ object Bench {
         java.nio.file.Paths.get(out), toJsonMap(results))
       spark.stop()
 
+    // child: time each name at the base dir THEN the sf1 dir, same JVM —
+    // paired numbers share identical JVM/JIT/cleaner conditions, so their
+    // ratio is meaningful even if both carry the same additive noise
+    case "--pair" :: out :: baseDir :: sf1Dir :: names =>
+      val spark = session()
+      warmUp(spark)
+      val pairs = names.sorted.flatMap { name =>
+        val b = timeQueries(spark, baseDir, Seq(name)).head._2
+        val s = timeQueries(spark, sf1Dir, Seq(name)).head._2
+        Seq(s"$name@base" -> b, s"$name@sf1" -> s)
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), toJsonMap(pairs))
+      spark.stop()
+
     // child: synthesize the 10x dataset
     case "--gen-sf1" :: sfDir :: outDir :: Nil =>
       val spark = session()
@@ -172,16 +196,16 @@ object Bench {
       val spark = session()
       warmUp(spark)
       val known = names.filter(SparkEntry.queries.contains)
-      emit(timeQueries(spark, sfDir, known), sfDir, slices = Nil, sf1 = "")
+      emit(timeQueries(spark, sfDir, known), sfDir, slices = Nil, extra = "")
       spark.stop()
 
     // driver gate
     case Nil =>
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "25").toInt
+      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "8").toInt
       val allNames = SparkEntry.queries.keys.toSeq.sorted
       val slices = allNames.grouped(sliceSize).toSeq
-      val (results, layout) = runSlices(slices, sfDir, "sf") match {
+      val (phase1, layout) = runSlices(slices, sfDir, "sf") match {
         case Some(rs) => (rs, slices)
         case None => // fork unavailable (e.g. launched under a layered
           // classloader where java.class.path lacks the app jar): one-JVM
@@ -192,35 +216,80 @@ object Bench {
           spark.stop()
           (rs, Nil)
       }
+      val (results, soloJson) = runSoloAudit(phase1, sfDir,
+        forked = layout.nonEmpty)
       val sf1Json = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") == "0") ""
         else runSf1Section(results, sfDir)
-      emit(results, sfDir, layout, sf1Json)
+      emit(results, sfDir, layout, soloJson + sf1Json)
   }
 
-  /** sf1 section: generate the 10× dataset (cached across rounds), re-time
-    * the N most expensive queries in fresh-JVM slices, report wall ratios.
+  /** Phase 2: re-time the N slowest phase-1 queries ONE PER FRESH JVM.
+    * The solo number replaces the slice number in the reported map (it is
+    * the honest per-query cost); the `solo` JSON keeps both so the artifact
+    * itself quantifies any residual in-slice contamination.
+    */
+  private def runSoloAudit(phase1: Seq[(String, Double)], sfDir: String,
+                           forked: Boolean): (Seq[(String, Double)], String) = {
+    val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "30").toInt
+    if (!forked || soloN <= 0) return (phase1, "")
+    val targets = phase1.sortBy(-_._2).take(soloN).map(_._1).sorted
+    runSlices(targets.map(Seq(_)), sfDir, "solo") match {
+      case Some(ss) =>
+        val soloMap = ss.toMap
+        val sliceMap = phase1.toMap
+        val merged = phase1.map { case (q, t) => q -> soloMap.getOrElse(q, t) }
+        val audit = targets.map { q =>
+          s""""$q":{"slice":${sliceMap(q)},"solo":${soloMap(q)}}"""
+        }.mkString("{", ",", "}")
+        (merged, s""","solo":$audit""")
+      case None =>
+        System.err.println("[bench] solo audit fork failed; keeping slice times")
+        (phase1, "")
+    }
+  }
+
+  /** sf1 section: generate the 10× dataset (cached across rounds), then for
+    * the N most expensive queries time the sf0.1 base and the sf1 twin
+    * BACK-TO-BACK in the same child JVM (`--pair` mode) — the reported
+    * ratio never divides numbers measured under different JVM conditions
+    * (round-7 lesson: ratios against contaminated gate bases both hid a
+    * real 17× cliff and invented a 0.33 "speedup").
     */
   private def runSf1Section(results: Seq[(String, Double)], sfDir: String): String =
     try {
       val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "20").toInt
+      val pairSlice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_SLICE", "4").toInt
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
       if (!graft.tools.ScaleData.isGenerated(sf1Dir)) {
         val code = fork(Seq("--gen-sf1", sfDir, sf1Dir), Map.empty)
         require(code == 0 && graft.tools.ScaleData.isGenerated(sf1Dir),
           s"sf1 generation exited $code")
       }
-      val base = results.toMap
       val top = results.sortBy(-_._2).take(n).map(_._1).sorted
-      val slices = top.grouped(math.max(1, (top.size + 1) / 2)).toSeq
-      runSlices(slices, sf1Dir, "sf1") match {
-        case Some(rs) =>
-          val ratios = rs.map { case (q, s) =>
-            q -> math.round(s / math.max(base(q), 0.001) * 100) / 100.0
-          }
-          val worst = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
-          s""","sf1":{"dir":"$sf1Dir","copies":10,"queries":${toJsonMap(rs)},""" +
-            s""""ratioVsBase":${toJsonMap(ratios)},"worstRatio":$worst}"""
-        case None => ""","sf1":{"error":"slice fork failed"}"""
+      val acc = Seq.newBuilder[(String, Double)]
+      val ok = top.grouped(math.max(1, pairSlice)).zipWithIndex.forall {
+        case (names, i) =>
+          val out = java.nio.file.Files.createTempFile(s"graft_bench_sf1_$i", ".json")
+          val code = fork(Seq("--pair", out.toString, sfDir, sf1Dir) ++ names, Map.empty)
+          val good = code == 0 && java.nio.file.Files.exists(out) &&
+            java.nio.file.Files.size(out) > 2
+          if (good) acc ++= parseSlice(out)
+          else System.err.println(s"[bench] sf1 pair slice $i exited $code")
+          java.nio.file.Files.deleteIfExists(out)
+          good
+      }
+      if (!ok) ""","sf1":{"error":"pair fork failed"}"""
+      else {
+        val m = acc.result().toMap
+        val sf1 = top.map(q => q -> m(s"$q@sf1"))
+        val bases = top.map(q => q -> m(s"$q@base"))
+        val ratios = top.map { q =>
+          q -> math.round(m(s"$q@sf1") / math.max(m(s"$q@base"), 0.001) * 100) / 100.0
+        }
+        val worst = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+        s""","sf1":{"dir":"$sf1Dir","copies":10,"queries":${toJsonMap(sf1)},""" +
+          s""""basePaired":${toJsonMap(bases)},""" +
+          s""""ratioVsBase":${toJsonMap(ratios)},"worstRatio":$worst}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
@@ -228,13 +297,13 @@ object Bench {
     }
 
   private def emit(results: Seq[(String, Double)], sfDir: String,
-                   slices: Seq[Seq[String]], sf1: String): Unit = {
+                   slices: Seq[Seq[String]], extra: String): Unit = {
     val total = math.round(results.map(_._2).sum * 1000) / 1000.0
     val layout = slices
       .map(s => s.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${toJsonMap(results)},"sf":"$sfDir","slices":$layout$sf1}"""
+      s""""queries":${toJsonMap(results)},"sf":"$sfDir","slices":$layout$extra}"""
     println(json)
     // stdout rides a log pipe that can truncate the (large) per-query map;
     // the file is the durable machine-readable artifact

@@ -21,15 +21,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a micros timestamp (matching
-    * DuckDB's own nanos->micros truncation). Integer DIV keeps full
-    * precision — a double division would lose bits above 2^53.
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  /** Schema-adaptive events read — see [[graft.sources.EventsReader]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsReader.read(s, dir)
 
   /** Exact decimal money sums: per-row products of 2dp prices and 2dp rates
     * are exact 4dp decimals, so summing in DECIMAL(18,4) is exact and both

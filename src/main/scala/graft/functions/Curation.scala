@@ -29,28 +29,40 @@ object Curation {
     * Jaccard are near-mirrors; weighting both at full rate double-counts
     * their content even when no single document is an exact duplicate).
     *
-    * Scale shape: (source, shingle) distinct is ONE explode + shuffle (the
-    * shingle expression is the native one-pass [[Dedup.shingles]]); the
-    * overlap self-join is keyed on the shingle, and a shingle contributes
-    * at most |sources|² pair rows — sources number in the hundreds, so the
-    * join output is candidate-proportional, never corpus-quadratic. Sizes
-    * for the Jaccard denominator come from a |sources|-row aggregation
-    * broadcast back. Output is at most |sources|² rows.
+    * Scale shape: the corpus is touched ONCE — explode (the native one-pass
+    * [[Dedup.shingles]]) straight into `collect_set(source)` per shingle
+    * (map-side combined, and the set is bounded by |sources| ~ hundreds).
+    * That narrow (shingle, sources[]) frame is frozen — NO text, NO
+    * per-document rows — and both the per-source sizes and the pair counts
+    * derive from its materialized blocks: pairs expand at scan speed with an
+    * index-bounded `transform` (each shingle contributes at most |sources|²
+    * rows, never corpus-quadratic), replacing the earlier shingle-keyed
+    * self-join that re-derived the corpus explode on both sides (~17× wall
+    * at 10× data). Sizes for the Jaccard denominator are a |sources|-row
+    * aggregation broadcast back. Output is at most |sources|² rows.
     *
     * Returns (source_a, source_b, shared_shingles, jaccard) for pairs with
     * at least one shared shingle, source_a < source_b.
     */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(sourceCol).as("__src"),
-        explode(Dedup.shingles(col(textCol), n)).as("__sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__src") < col("b.__src"))
-      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+    val grouped = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(sourceCol).as("__src"),
+          explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+        .groupBy(col("__sh"))
+        .agg(sort_array(collect_set(col("__src"))).as("__srcs")))
+    // distinct shingles per source: each frozen row names each holder once
+    val sizes = grouped.select(explode(col("__srcs")).as("__src"))
+      .groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    // sorted set -> ordered pairs (a < b) without a join: for element i, pair
+    // with every element after it (slice is 1-based; i is the 0-based index)
+    val pairs = grouped
+      .filter(size(col("__srcs")) > 1)
+      .select(explode(flatten(transform(col("__srcs"), (x, i) =>
+        transform(
+          slice(col("__srcs"), i + lit(2), size(col("__srcs")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
       .agg(count(lit(1)).as("shared_shingles"))
     pairs
       .join(broadcast(sizes.select(col("__src").as("source_a"), col("__n").as("__na"))), Seq("source_a"))
@@ -97,15 +109,22 @@ object Curation {
     * a broadcast-joined scan-speed expression. Degenerate groups (std 0)
     * calibrate to 0.
     *
+    * 100 TB notes: this is a stateless TWO-PASS plan — the score expression
+    * evaluates once per corpus pass (moments, then output), and nothing
+    * corpus-scale is persisted or shuffled (the moments table is |groups|
+    * rows, map-side combined and broadcast back). The alternative — freezing
+    * the scored frame so the score evaluates once total — pins the whole
+    * corpus (text included) in executor storage and, because localCheckpoint
+    * truncates lineage, turns an executor loss into a job failure; at corpus
+    * scale, re-running a scan-speed expression is the cheaper and
+    * fault-tolerant side of that trade. Callers whose INPUT frame carries
+    * expensive lineage should freeze a narrow projection of it themselves
+    * before calling.
+    *
     * Returns the input plus (group_mean, group_std, z_score).
     */
   def calibrateScores(df: DataFrame, groupCol: String, score: Column): DataFrame = {
-    // the scored frame feeds BOTH the moments aggregation and the final
-    // join; frozen so the score expression (often several regex passes per
-    // document) evaluates once per row, not once per branch — measured 5.8×
-    // wall at 10× data before, scoring being the dominant cost
-    val staged = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.withColumn("__q", score.cast(DecimalType(18, 8))))
+    val staged = df.withColumn("__q", score.cast(DecimalType(18, 8)))
     val moments = staged.groupBy(col(groupCol)).agg(
         count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
         sum(col("__q") * col("__q")).as("__s2"))

@@ -52,9 +52,7 @@ object ScaleBench {
     // ---- inputs: 1x from parquet; 10x synthesized and re-read from parquet
     // (both sides scan parquet, so the comparison excludes synthesis cost)
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev1 = graft.sources.EventsReader.read(spark, sfDir)
 
     val nDocs = docs1.count()
     // offset by max+1, not the row count: sparse ids would collide across copies

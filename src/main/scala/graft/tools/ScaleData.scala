@@ -58,11 +58,9 @@ object ScaleData {
     write(scale(t("lineitem"), Map(
       "l_orderkey" -> orderBase, "l_partkey" -> partBase, "l_suppkey" -> suppBase)), "lineitem")
 
-    // events: TIMESTAMP(NANOS) is read as long (the same convention
-    // SparkEntry.events uses) and written back as long — `ts DIV 1000`
-    // downstream is type-agnostic between the two encodings
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t("events")
+    // events: the adaptive reader normalizes ts to a micros timestamp, so the
+    // scaled copy is always written in the canonical encoding
+    val ev = graft.sources.EventsReader.read(spark, sfDir)
     val userBase = maxOf(ev, "user_id")
     val eventBase = maxOf(ev, "event_id")
     write(scale(ev, Map("event_id" -> eventBase, "user_id" -> userBase)), "events")

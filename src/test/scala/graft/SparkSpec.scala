@@ -23,12 +23,8 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
   def table(name: String) = {
-    if (name == "events") {
-      // events carries TIMESTAMP(NANOS): read nanos as long, convert to micros
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    // events has shipped under two physical ts encodings; the reader adapts
+    if (name == "events") graft.sources.EventsReader.read(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -8,10 +8,8 @@ class StreamingSpec extends SparkSpec {
 
   /** events with micros timestamps staged to a local dir for readStream */
   private lazy val stagedDir: String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.EventsReader.read(spark, sfDir)
       .write.mode("overwrite").parquet(dir)
     dir
   }

@@ -300,6 +300,13 @@ object ScaleBench {
       ("text_pmi", nDocs, nDocs * copies, () => pmi(docs1), () => pmi(docs10)),
       ("sketch_cms_weighted", nDocs, nDocs * copies,
         () => cmsWeighted(docs1), () => cmsWeighted(docs10)),
+      // two corpus passes (moments, then broadcast z-annotation) — proves
+      // the no-freeze rewrite stays linear
+      ("curate_score_calibrate", nDocs, nDocs * copies,
+        () => force(Curation.calibrateScores(docs1, "lang",
+          TextAnalysis.qualityScoreRaw(col("text")))),
+        () => force(Curation.calibrateScores(docs10, "lang",
+          TextAnalysis.qualityScoreRaw(col("text"))))),
       ("sketch_hll_overlap", nDocs, nDocs * copies,
         () => force(Stats.hllOverlap(
           docs1.filter(col("doc_id") % 2 === 0),

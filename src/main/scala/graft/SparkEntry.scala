@@ -1091,6 +1091,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // token-budget mixture planning: per-source keep rates to hit a global
+    // token budget under target weights expressed as integer PARTS (exactly
+    // representable doubles, so the normalized share is one IEEE divide both
+    // engines compute bit-identically). src0 upweighted (exercises the
+    // availability cap + shortfall), src1 starved, the rest even.
+    "curate_mixture_plan" -> ((s, dir) => {
+      val weights = Map("src0" -> 60.0, "src1" -> 1.0) ++
+        (2 until 20).map(i => s"src$i" -> 8.0).toMap
+      graft.functions.Curation.mixturePlan(docsNorm(s, dir), "source", "text",
+          weights, budgetTokens = 100000L)
+        .orderBy(col("source"))
+    }),
+
     // curation BY domain: annotate every document with its domain verdict
     // (quality floor, duplication ceiling, blocklist) — broadcast join of
     // the stats table back onto the scan, the corpus itself never shuffles
@@ -3054,6 +3067,35 @@ object SparkEntry {
              ELSE (CAST(ql AS DOUBLE) - group_mean) / group_std END
              AS DECIMAL(18,8)), 4)::DOUBLE AS z_score
          FROM q JOIN mm ON q.lang = mm.lang ORDER BY doc_id""",
+
+    // mixture-plan replay: same parts weights, decimal-exact weight total,
+    // one IEEE divide per share, availability cap + shortfall
+    "curate_mixture_plan" ->
+      s"""WITH avail AS (
+           SELECT source,
+             CAST(sum(CASE WHEN length(nt) = 0 THEN 0
+                      ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END)
+               AS BIGINT) AS avail_tokens
+           FROM (SELECT source, $normSql AS nt FROM documents) GROUP BY source),
+         w AS (
+           SELECT 'src0' AS src, 60.0 AS wt UNION ALL SELECT 'src1', 1.0
+           ${(2 until 20).map(i => s"UNION ALL SELECT 'src$i', 8.0").mkString(" ")}),
+         j AS (
+           SELECT a.source, a.avail_tokens, w.wt AS w
+           FROM avail a JOIN w ON a.source = w.src),
+         t AS (
+           SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS wtot FROM j),
+         p AS (
+           SELECT j.source, j.avail_tokens,
+             CAST(floor(j.w / t.wtot * 100000) AS BIGINT) AS target_tokens
+           FROM j, t)
+         SELECT source, avail_tokens, target_tokens,
+           least(target_tokens, avail_tokens) AS planned_tokens,
+           round(CAST(least(target_tokens, avail_tokens)::DOUBLE
+               / greatest(avail_tokens, 1) AS DECIMAL(18,8)), 6)::DOUBLE
+             AS keep_rate,
+           target_tokens - least(target_tokens, avail_tokens) AS shortfall
+         FROM p ORDER BY source""",
 
     // per-domain trust table: decimal-staged quality mean, exact-int dup
     // fraction, mean token count

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Domain-level curation: aggregate per-domain (per-source) trust signals and
   * curate documents BY their domain's statistics — the RefinedWeb / C4 /
@@ -71,6 +71,61 @@ object Curation {
         round((col("shared_shingles").cast("double") /
             (col("__na") + col("__nb") - col("shared_shingles")))
           .cast(DecimalType(18, 8)), 6).cast("double").as("jaccard"))
+  }
+
+  /** Token-budget mixture planning: given target mixture weights per source
+    * and a global token budget, compute each source's available token mass,
+    * its target share of the budget, what can actually be planned
+    * (capped by availability — a low-resource source cannot over-deliver),
+    * the keep rate to sample at, and the shortfall the caller must
+    * redistribute or accept — the Llama/Gopher-style data-mixing step run
+    * BEFORE training, at token grain (the doc-grain draw is
+    * [[Sampling.mixtureSample]]; this plans the rates it runs at).
+    *
+    * Weights are normalized over the sources PRESENT in the corpus, so a
+    * weight entry for an absent source redistributes proportionally.
+    *
+    * Scale shape: ONE corpus pass (map-side-combined sum of the codegen'd
+    * token count) down to |sources| rows; everything after is arithmetic on
+    * that tiny frame. Ratios stage in DECIMAL so the plan is
+    * engine-reproducible.
+    *
+    * Returns (sourceCol, avail_tokens, target_tokens, planned_tokens,
+    * keep_rate, shortfall) ordered by source.
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+                  weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative and sum > 0")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val wdf = spark.createDataFrame(
+      weights.toSeq.map { case (s, w) => org.apache.spark.sql.Row(s, w) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__wsrc",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__w",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
+      .join(broadcast(wdf), col(sourceCol) === col("__wsrc"), "inner")
+    // normalize over PRESENT sources: one tiny aggregation, broadcast back.
+    // The total is summed in DECIMAL (exact, order-independent — a double
+    // sum would vary with partition order) and the share itself is one
+    // IEEE double divide+multiply, identical in any engine.
+    val wTot = avail.agg(
+      sum(col("__w").cast(DecimalType(28, 10))).cast(DoubleType).as("__wt"))
+    avail.crossJoin(broadcast(wTot))
+      .withColumn("target_tokens",
+        floor(col("__w") / col("__wt") * lit(budgetTokens)).cast("long"))
+      .withColumn("planned_tokens", least(col("target_tokens"), col("avail_tokens")))
+      .withColumn("keep_rate",
+        round((col("planned_tokens").cast("double") /
+            greatest(col("avail_tokens"), lit(1L)).cast("double"))
+          .cast(DecimalType(18, 8)), 6).cast("double"))
+      .withColumn("shortfall", col("target_tokens") - col("planned_tokens"))
+      .select(col(sourceCol), col("avail_tokens"), col("target_tokens"),
+        col("planned_tokens"), col("keep_rate"), col("shortfall"))
   }
 
   /** Per-domain statistics: document count, mean quality score, exact-dup

@@ -135,6 +135,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set("goodnet", "dupenet"), "2-doc spamnet falls below minDocs=3")
   }
 
+  test("mixturePlan: shares normalize over present sources, cap + shortfall, absent weight redistributes") {
+    // weights name a source that is absent ("ghost"): its parts must
+    // redistribute via normalization over PRESENT sources only
+    val plan = Curation.mixturePlan(corpus, "source", "text",
+      Map("goodnet" -> 6.0, "dupenet" -> 2.0, "spamnet" -> 2.0, "ghost" -> 90.0),
+      budgetTokens = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(plan.keySet == Set("goodnet", "dupenet", "spamnet"))
+    val (gAvail, gTarget, gPlanned, gRate, gShort) = plan("goodnet")
+    // goodnet: 6/10 of 100 = 60 target, but only ~42 tokens available ->
+    // capped, shortfall reported
+    assert(gTarget == 60L)
+    assert(gPlanned == math.min(60L, gAvail))
+    assert(gShort == gTarget - gPlanned)
+    assert(gPlanned < gTarget, "fixture chosen so the cap binds")
+    assert(gRate == 1.0, "capped source keeps everything it has")
+    // uncapped source: planned == target, keep_rate = target/avail
+    val (dAvail, dTarget, dPlanned, dRate, _) = plan("dupenet")
+    assert(dTarget == 20L && dPlanned == math.min(20L, dAvail))
+    if (dPlanned == dTarget)
+      assert(math.abs(dRate - dTarget.toDouble / dAvail) < 1e-6)
+    // budget is an upper bound: planned never exceeds it in total
+    assert(plan.values.map(_._3).sum <= 100L)
+  }
+
   test("perplexityBuckets: per-language thresholds, empty docs excluded, order respects score") {
     val docs = table("documents")
     val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang").cache()

@@ -158,11 +158,18 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.7, maxBucket: Int = 2000,
-                          index: Option[DataFrame] = None): DataFrame = {
-    val idx = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      index.getOrElse(minhashIndex(corpus, idCol, textCol, n, k, bands)))
-    val inc = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      minhashIndex(incoming, idCol, textCol, n, k, bands))
+                          index: Option[DataFrame] = None,
+                          incomingIndex: Option[DataFrame] = None): DataFrame = {
+    // A caller-supplied index/incomingIndex is used AS-IS — the steady-state
+    // caller (MinHashIndexDedup) already materializes its state tables, and
+    // re-freezing the accreted corpus index here would re-write O(corpus)
+    // state on EVERY batch. An inline-derived side is still frozen because
+    // both are consumed by two plans (banding + the signature prefilter)
+    // and the HOF signature computation must run once per document.
+    val idx = index.getOrElse(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      minhashIndex(corpus, idCol, textCol, n, k, bands)))
+    val inc = incomingIndex.getOrElse(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      minhashIndex(incoming, idCol, textCol, n, k, bands)))
 
     val idxB = idx.select(col(idCol).as("__idc"),
       posexplode(col("__bands")).as(Seq("__b", "__bk")))

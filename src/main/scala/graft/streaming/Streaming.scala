@@ -383,18 +383,24 @@ object Streaming {
     private var index: Option[DataFrame] = None
     private var found: Option[DataFrame] = None
 
-    /** match one micro-batch against the prior index, then absorb it */
+    /** match one micro-batch against the prior index, then absorb it.
+      * The batch is signed ONCE (its index is frozen up front and reused
+      * as both the match probe and the accretion delta), and the standing
+      * corpus index is passed pre-materialized so the matching never
+      * re-writes O(corpus) state — per-batch work is batch-proportional
+      * except the state re-freeze itself (the checkpoint discipline).
+      */
     def update(batch: DataFrame): Unit = {
       val b = bridge.freeze(batch.select(col(idCol), col(textCol)))
+      val bIdx = bridge.freeze(Dedup.minhashIndex(b, idCol, textCol, n, k, bands))
       val newMatches = for (c <- corpus; idx <- index) yield
         Dedup.minhashAgainstIndex(c, b, idCol, textCol, n, k, bands,
-          threshold, maxBucket, index = Some(idx))
+          threshold, maxBucket, index = Some(idx), incomingIndex = Some(bIdx))
       found = Some(bridge.freeze(newMatches match {
         case Some(m) => found.map(_.unionByName(m)).getOrElse(m)
         case None => found.getOrElse(emptyMatches(batch))
       }))
       corpus = Some(bridge.freeze(corpus.map(_.unionByName(b)).getOrElse(b)))
-      val bIdx = Dedup.minhashIndex(b, idCol, textCol, n, k, bands)
       index = Some(bridge.freeze(index.map(_.unionByName(bIdx)).getOrElse(bIdx)))
     }
 

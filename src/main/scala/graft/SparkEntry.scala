@@ -522,6 +522,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // streaming transition monitor (batch replay of 5 DAY-RANGE batches —
+    // per-user time-ordered, the monitor's arrival contract): hop counts
+    // accrete additively with the per-user last event carried across the
+    // batch boundary, so the matrix equals the batch transitions over all
+    // events — streaming-mode parity in StreamingSpec
+    "stream_transitions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tm = new graft.streaming.Streaming.TransitionMonitor(
+        "user_id", "event_type", "ts", "event_id")
+      (0 until 5).foreach(b =>
+        tm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
+      tm.matrix.orderBy(col("from_type"), col("to_type"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -915,6 +929,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         minShared = 3)
         .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // doc-in-doc containment: candidate pairs from rare shingles (df ≤ 64 —
+    // the maxBucket discipline), exact containment |A∩B|/min(|A|,|B|) — the
+    // asymmetric near-dup measure that catches quotes/wrappers/partial
+    // mirrors Jaccard misses; one frozen (id, shingle) frame feeds both
+    // candidate generation and the size denominators
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(docsNorm(s, dir), "doc_id", "text",
+          n = 3, maxDf = 64, minShared = 2, minContain = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // near-dup graph clustering: connected components (iterative min-label
@@ -1491,6 +1516,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // vocabulary-growth (Heaps-law) curve: per-ingestion-bucket new-type
+    // counts and running totals — the vocab-saturation audit before fixing
+    // a tokenizer vocab size; one explode, two map-side-combined
+    // aggregations, window only over the |buckets|-row frame
+    "text_vocab_growth" -> ((s, dir) => {
+      graft.functions.Retrieval.vocabGrowth(docsNorm(s, dir), "doc_id", "text",
+          bucketDocs = 50)
+        .orderBy(col("bucket"))
+    }),
+
     // incremental dedup: an incoming batch matched against the standing
     // corpus through a persistable MinHash index — candidates from a
     // batch-proportional band-key join, exact Jaccard only for survivors;
@@ -1731,6 +1766,15 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // next-event Markov transition matrix: one user-keyed lead window +
+    // rollup to |types|² rows; row probabilities P(to|from) from broadcast
+    // row totals
+    "events_transitions" -> ((s, dir) => {
+      graft.functions.Events.transitions(events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // two-sample KS drift at bin-edge resolution: click-vs-purchase value
     // distributions — bounded bin tables, cumulative self-join CDFs,
     // exact decimal cross-products, ONE output row
@@ -1740,6 +1784,20 @@ object SparkEntry {
         ev.filter(col("event_type") === "click").select(col("value")),
         ev.filter(col("event_type") === "purchase").select(col("value")),
         "value", width = 5.0)
+    }),
+
+    // chi-square categorical drift: did the event-type MIX shift between
+    // the first and second half of the month — each side collapses to a
+    // |types|-row count table, χ² terms in exact-integer-staged expected
+    // counts, one output row (the categorical leg of the drift triangle
+    // next to KS (numeric) and token KL)
+    "stats_chisq_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.chisqDrift(
+        ev.filter(half).select(col("event_type")),
+        ev.filter(!half).select(col("event_type")),
+        "event_type")
     }),
 
     // per-group quantiles: each event type's own p50/p90 value threshold —
@@ -2750,6 +2808,36 @@ object SparkEntry {
          SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
          ORDER BY train_id, bench_id""",
 
+    // containment replay: the same distinct (id, shingle) sets, the df ≤ 64
+    // rare-shingle candidate cap, shared counts, and min-size containment
+    "dedup_containment" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
+           FROM norm),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN dfreq d ON d.sh = a.sh
+           WHERE d.df <= 64
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         scored AS (
+           SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+             round(CAST(shared::DOUBLE / least(sa.sz, sb.sz)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS containment,
+             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
+           FROM cand JOIN sizes sa ON id_a = sa.doc_id
+                     JOIN sizes sb ON id_b = sb.doc_id)
+         SELECT * FROM scored WHERE containment >= 0.5
+         ORDER BY id_a, id_b""",
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE norm AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -3718,6 +3806,25 @@ object SparkEntry {
            coalesce(sc.mean_df, 0.0) AS mean_df, coalesce(sc.n_rare, 0) AS n_rare
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
 
+    // vocab-growth replay: same id buckets, first-bucket-per-type counts,
+    // occurrence mass, and running totals over the bucket frame
+    "text_vocab_growth" ->
+      s"""WITH tk AS (
+           SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket, tok FROM (
+             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+             FROM documents)
+           WHERE tok <> ''),
+         firsts AS (SELECT tok, min(bucket) AS bucket FROM tk GROUP BY tok),
+         nt AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY 1),
+         mass AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY 1)
+         SELECT m.bucket, m.n_tokens,
+           CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(m.n_tokens) OVER (ORDER BY m.bucket) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY m.bucket) AS BIGINT)
+             AS cum_types
+         FROM mass m LEFT JOIN nt ON m.bucket = nt.bucket
+         ORDER BY m.bucket""",
+
     "sim_bruteforce" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -4453,6 +4560,73 @@ object SparkEntry {
            na.na AS n_a, nb.nb AS n_b
          FROM ca JOIN cb USING (bin) CROSS JOIN na CROSS JOIN nb
          GROUP BY na.na, nb.nb""",
+
+    // transitions replay: the same user-keyed lead pairs, rollup, and
+    // broadcast row-total probability divide
+    "events_transitions" ->
+      """WITH h AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n FROM h
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, n,
+           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
+         FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
+
+    // streaming transitions replay: with per-user time-ordered batches the
+    // carried last event contributes exactly the boundary hop, so the
+    // accreted matrix equals the batch transitions over the full stream
+    "stream_transitions" ->
+      """WITH h AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n FROM h
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, n,
+           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
+         FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
+
+    // chi-square replay: same per-side count tables, the same exact-integer
+    // expected-count staging (one double divide per E), fixed (O−E)²/E
+    // operation order, per-category terms decimal-staged before the sum
+    "stats_chisq_drift" ->
+      """WITH a AS (
+           SELECT event_type AS cat, count(*) AS oa FROM events
+           WHERE CAST(ts AS DATE) <= DATE '2024-01-15' GROUP BY 1),
+         b AS (
+           SELECT event_type AS cat, count(*) AS ob FROM events
+           WHERE CAST(ts AS DATE) > DATE '2024-01-15' GROUP BY 1),
+         j AS (
+           SELECT coalesce(a.cat, b.cat) AS cat,
+             coalesce(oa, 0) AS oa, coalesce(ob, 0) AS ob
+           FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+         tot AS (
+           SELECT CAST(sum(oa) AS BIGINT) AS na, CAST(sum(ob) AS BIGINT) AS nb
+           FROM j),
+         terms AS (
+           SELECT na, nb,
+             CAST((oa::DOUBLE - e_a) * (oa::DOUBLE - e_a) / e_a
+               + (ob::DOUBLE - e_b) * (ob::DOUBLE - e_b) / e_b
+               AS DECIMAL(28,10)) AS t
+           FROM (
+             SELECT oa, ob, na, nb,
+               CAST(na::DECIMAL(38,0) * (oa + ob)::DECIMAL(38,0) AS DOUBLE)
+                 / CAST((na + nb)::DECIMAL(38,0) AS DOUBLE) AS e_a,
+               CAST(nb::DECIMAL(38,0) * (oa + ob)::DECIMAL(38,0) AS DOUBLE)
+                 / CAST((na + nb)::DECIMAL(38,0) AS DOUBLE) AS e_b
+             FROM j CROSS JOIN tot))
+         SELECT count(*) AS n_categories, na AS n_a, nb AS n_b,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(t), 6)::DOUBLE AS chi2
+         FROM terms GROUP BY na, nb""",
 
     // rolling replay: same count table, same rows-semantics trailing window
     "events_rolling" ->

@@ -234,6 +234,48 @@ object Events {
         (abs(zRaw) > zThreshold).as("is_anomaly"))
   }
 
+  /** Next-event transition matrix: for every ordered adjacent pair in a
+    * user's stream, the count of `from_type → to_type` hops and the row
+    * probability P(to | from) — the first-order Markov model behind
+    * next-action prediction, UX-flow audits, and bot detection (a
+    * scripted client's transition rows are near-deterministic where
+    * organic users spread).
+    *
+    * Scale shape: ONE user-keyed window (the sessionization discipline —
+    * partition by user, order by (ts, id), `lead` for the successor;
+    * per-user data is calendar-bounded so no whale partitions), then a
+    * map-side-combined rollup to at most |types|² rows. Row totals are a
+    * second aggregation over that tiny frame broadcast back; the
+    * probability is one decimal-staged divide, engine-reproducible.
+    *
+    * Returns (from_type, to_type, n, p) — `p` sums to 1 per from_type.
+    */
+  def transitions(df: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val hops = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    transitionsOfCounts(hops)
+  }
+
+  /** [[transitions]]' rollup over an already-built (from_type, to_type, n)
+    * hop-count table — exposed so the streaming
+    * [[graft.streaming.Streaming.TransitionMonitor]] serves the identical
+    * matrix from its accreted count state.
+    */
+  def transitionsOfCounts(hops: DataFrame): DataFrame = {
+    val totals = hops.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
+    hops.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round((col("n").cast("double") / col("__tot"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("p"))
+  }
+
   /** Per-user funnel progress: the earliest strictly-increasing timestamp
     * chain through `steps`. Returns (userCol, step_1_ts..step_k_ts,
     * steps_completed); a user absent from step 1 appears with all-null

@@ -308,6 +308,50 @@ object Retrieval {
       .orderBy(col("pmi").desc, col("pair").asc).limit(topK)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: documents are bucketed by id into
+    * ingestion-order slices of `bucketDocs`, and each bucket reports the
+    * token occurrences it adds, the NEW distinct types it introduces (types
+    * whose first occurrence falls in the bucket), and the running totals —
+    * the vocabulary-saturation audit run before committing to a tokenizer
+    * vocab size, and a dedup smell test (a corpus whose curve goes flat
+    * early is template-heavy).
+    *
+    * Scale shape: ONE corpus explode aggregated per (type) to its first
+    * bucket and per (bucket) to its occurrence mass — both map-side
+    * combined; everything after runs on |buckets|- and vocabulary-sized
+    * frames, and the running totals come from a window over the
+    * |buckets|-row frame (never over tokens). Exact long arithmetic
+    * throughout — engine-reproducible by construction.
+    *
+    * Returns (bucket, n_tokens, new_types, cum_tokens, cum_types)
+    * ordered by bucket; `bucket` = floor(id / bucketDocs).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  bucketDocs: Int = 50): DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val toks = docs.select(
+        floor(col(idCol).cast("long") / bucketDocs).cast("long").as("bucket"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    // one shuffle to (type, first bucket); the per-bucket mass aggregation
+    // reuses the same exploded child, which Spark's exchange reuse cannot
+    // collapse here — but both are map-side-combined single aggregations of
+    // one scan each, and the scan is the narrow (bucket, token) projection
+    val firstSeen = toks.groupBy(col("__tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val mass = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // |buckets| rows: the unpartitioned window is safe (bounded frame)
+    mass.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val tf = docs.select(col(idCol).as("__did"),

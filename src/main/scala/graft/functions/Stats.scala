@@ -313,6 +313,51 @@ object Stats {
         col("__na").as("n_a"), col("__nb").as("n_b"))
   }
 
+  /** Chi-square homogeneity drift between two CATEGORICAL samples — the
+    * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
+    * and [[graft.functions.Curation.tokenDrift]] (token KL): did the
+    * distribution over event types / languages / sources shift between
+    * two snapshots, with a test statistic whose null distribution
+    * (χ² at k−1 dof) gives a principled alert threshold.
+    *
+    * Scale shape: each side collapses to its |categories|-row count table
+    * in ONE map-side-combined aggregation; every χ² term is arithmetic on
+    * the joined tiny frame. Expected counts E = rowTotal·colTotal/N stage
+    * as exact DECIMAL(38,0) long products with ONE double division each,
+    * and the (O−E)²/E terms sum in DECIMAL(28,10) (order-independent) —
+    * the verdict is engine-reproducible. Categories missing from one side
+    * count as zero observed there (the drift case that matters most).
+    *
+    * Returns one row (n_categories, n_a, n_b, dof, chi2).
+    */
+  def chisqDrift(a: DataFrame, bDf: DataFrame, keyCol: String): DataFrame = {
+    def countsOf(df: DataFrame, out: String) =
+      df.groupBy(col(keyCol).as("cat")).agg(count(lit(1)).as(out))
+    val joined = countsOf(a, "oa").join(countsOf(bDf, "ob"), Seq("cat"), "full_outer")
+      .select(col("cat"), coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+    val totals = broadcast(joined.agg(
+      sum(col("oa")).as("__na"), sum(col("ob")).as("__nb")))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grand = (col("__na") + col("__nb")).cast(dec38)
+    // E stages as exact integer product / one double divide; the χ² term
+    // evaluates in the fixed order (O−E)²/E with O−E an IEEE subtract
+    def term(o: Column, rowTot: Column) = {
+      val e = (rowTot.cast(dec38) * (col("oa") + col("ob")).cast(dec38))
+        .cast("double") / grand.cast("double")
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    joined.crossJoin(totals)
+      .select(col("__na"), col("__nb"),
+        (term(col("oa"), col("__na")) + term(col("ob"), col("__nb")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)).as("__t"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_categories"), sum(col("__t")).as("__chi2"))
+      .select(col("n_categories"), col("__na").as("n_a"), col("__nb").as("n_b"),
+        (col("n_categories") - 1).cast("long").as("dof"),
+        round(col("__chi2"), 6).cast("double").as("chi2"))
+  }
+
   /** Cross-corpus overlap estimation from mergeable HLL sketches: estimate
     * |A|, |B|, |A∪B| and (by inclusion-exclusion) |A∩B| of two key sets
     * WITHOUT ever joining them — the 100 TB way to answer "how much does

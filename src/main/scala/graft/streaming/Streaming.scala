@@ -359,6 +359,75 @@ object Streaming {
         zThreshold)
   }
 
+  /** Streaming next-event transition monitor — maintain the
+    * [[graft.functions.Events.transitions]] Markov matrix as event batches
+    * arrive. Hop counts are NOT purely additive across batches: the last
+    * event a user had in batch i pairs with their first event in batch
+    * i+1, so the state carries BOTH the |types|²-bounded hop-count table
+    * and a per-user last-event row ((user, ts, id, type) — user-bounded,
+    * the retention monitor's state class). Each batch unions the carried
+    * last-events in front of the batch, runs the one user-keyed lead
+    * window over that union (batch-proportional — the carried frame adds
+    * one row per ACTIVE user), and folds the new hops in; the carried row
+    * is strictly earliest per user when batches arrive per-user
+    * time-ordered (the sessionization/watermark contract), so it
+    * contributes exactly the boundary hop and never re-counts.
+    *
+    * With that contract the accreted counts equal the batch
+    * [[graft.functions.Events.transitions]] over all events seen —
+    * StreamingSpec proves parity through foreachBatch plumbing. Wire with
+    * [[foreachBatchMerge]]`(stream, tm.update)`.
+    */
+  class TransitionMonitor(userCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts", idCol: String = "event_id") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var hops: Option[DataFrame] = None
+    private var lastEvent: Option[DataFrame] = None
+
+    /** fold one micro-batch of raw events into hop-count + last-event state */
+    def update(batch: DataFrame): Unit = {
+      val b = batch.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("__ty"))
+      val events = lastEvent match {
+        case None => b
+        case Some(le) => le.unionByName(b)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+      val frozen = bridge.freeze(events
+        .withColumn("__next", lead(col("__ty"), 1).over(w))
+        .withColumn("__last",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__u")).orderBy(col("__ts").desc, col("__id").desc))))
+      val newHops = frozen.filter(col("__next").isNotNull)
+        .groupBy(col("__ty").as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      hops = Some(bridge.freeze(hops match {
+        case None => newHops
+        case Some(h) => h.unionByName(newHops)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("n"))
+      }))
+      lastEvent = Some(bridge.freeze(frozen.filter(col("__last") === 1)
+        .select(col("__u"), col("__ts"), col("__id"), col("__ty"))))
+    }
+
+    /** current (from_type, to_type, n, p) transition matrix */
+    def matrix: DataFrame = graft.functions.Events.transitionsOfCounts(
+      hops.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist hop + last-event state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir,
+      Map("hops" -> hops, "last" -> lastEvent))
+
+    /** restore both state tables from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit = {
+      hops = MonitorState.load(spark, dir, "hops")
+      lastEvent = MonitorState.load(spark, dir, "last")
+    }
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

@@ -313,7 +313,33 @@ object ScaleBench {
           docs1.filter(col("doc_id") % 3 === 0), "text")),
         () => force(Stats.hllOverlap(
           docs10.filter(col("doc_id") % 2 === 0),
-          docs10.filter(col("doc_id") % 3 === 0), "text"))))
+          docs10.filter(col("doc_id") % 3 === 0), "text"))),
+      // one user-keyed window + |types|²-row rollup — per-copy user-id
+      // shifts keep per-user stream lengths constant at 10x
+      ("events_transitions", maxEvent, maxEvent * copies,
+        () => force(Events.transitions(ev1, "user_id", "event_type", "ts", "event_id")),
+        () => force(Events.transitions(ev10, "user_id", "event_type", "ts", "event_id"))),
+      // two |types|-row count tables + tiny χ² arithmetic — near-constant
+      // beyond the scans
+      ("stats_chisq_drift", maxEvent, maxEvent * copies,
+        () => force(Stats.chisqDrift(
+          ev1.filter(dayofmonth(col("ts")) <= 15).select(col("event_type")),
+          ev1.filter(dayofmonth(col("ts")) > 15).select(col("event_type")),
+          "event_type")),
+        () => force(Stats.chisqDrift(
+          ev10.filter(dayofmonth(col("ts")) <= 15).select(col("event_type")),
+          ev10.filter(dayofmonth(col("ts")) > 15).select(col("event_type")),
+          "event_type"))),
+      // salted copies keep shingles disjoint across copies: the rare-shingle
+      // candidate sets and pair counts scale linearly
+      ("dedup_containment", nDocs, nDocs * copies,
+        () => force(Dedup.containmentPairs(docs1, "doc_id", "text",
+          n = 3, maxDf = 64, minShared = 2, minContain = 0.5)),
+        () => force(Dedup.containmentPairs(docs10, "doc_id", "text",
+          n = 3, maxDf = 64, minShared = 2, minContain = 0.5))),
+      ("text_vocab_growth", nDocs, nDocs * copies,
+        () => force(graft.functions.Retrieval.vocabGrowth(docs1, "doc_id", "text", 50)),
+        () => force(graft.functions.Retrieval.vocabGrowth(docs10, "doc_id", "text", 50))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -183,6 +183,30 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("containmentPairs: doc-in-doc reads 1.0, common shingles capped out, rounding-gate filter") {
+    import spark.implicits._
+    val small = "p q r s t u"                    // 4 distinct 3-shingles
+    val docs = Seq(
+      (1L, small),                               // fully contained in 2
+      (2L, s"a b c d e $small f g h i j"),       // the wrapper page
+      (3L, "k l m n o k l m n o k l m n o"),     // self-repetitive, unrelated
+      (4L, "z y x w v u t")                      // shares only low overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, maxDf = 8, minShared = 2, minContain = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1's 4 shingles all appear inside doc 2 -> containment 1.0, while
+    // jaccard is small (4 / (4 + 14 - 4)); no other pair clears 0.5
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    val (shared, sa, _, cont) = out((1L, 2L))
+    assert(sa == 4L && shared == 4L && cont == 1.0)
+    // a shingle held by more docs than maxDf generates NO candidates:
+    // with maxDf = 1 no shingle can pair two docs
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, maxDf = 1, minShared = 1, minContain = 0.0).count() == 0)
+  }
+
   test("cosine LSH near-dup pairs are a subset of brute-force pairs") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -148,6 +148,30 @@ class EventsSpec extends SparkSpec {
     assert(out(("b", "1970-01-01")) == ((5L, 1L, 5.0)))
   }
 
+  test("transitions: user-isolated lead pairs, row probabilities sum to 1") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a -> b -> a -> c
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L), (1L, "c", 40L, 4L),
+      // user 2: b -> a; the cross-user boundary (1's c, 2's b) must NOT pair
+      (2L, "b", 5L, 5L), (2L, "a", 15L, 6L),
+      // user 3: single event — contributes no hop
+      (3L, "c", 10L, 7L),
+      // user 4: same-ts tie broken by event id: a(8) -> b(9)
+      (4L, "a", 50L, 8L), (4L, "b", 50L, 9L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val out = Events.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "c") -> (1L, 0.333333),
+      ("b", "a") -> (2L, 1.0)), s"got $out")
+    // per-from probabilities must sum to ~1
+    val sums = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    assert(sums.forall { case (_, s) => math.abs(s - 1.0) < 1e-4 })
+  }
+
   test("funnel on the corpus: counts monotone down the funnel") {
     val ev = table("events")
     val out = Events.funnel(ev, "user_id", "event_type", "ts",

@@ -133,6 +133,45 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.ksDrift(a, c, "v", width = 1.0).head().getDouble(0) == 1.0)
   }
 
+  test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a: 30 x, 10 y; b: 10 x, 30 y. Pooled: x 40, y 40, N 80.
+    // E(a,x) = 40·40/80 = 20 -> each of the 4 cells contributes (10)²/20 = 5
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("cat")
+    val b = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("cat")
+    val row = Stats.chisqDrift(a, b, "cat").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 40L &&
+      row.getLong(2) == 40L && row.getLong(3) == 1L)
+    assert(row.getDouble(4) == 20.0, s"chi2 ${row.getDouble(4)}")
+    // identical distributions (even at different sizes): chi2 = 0
+    val z = Stats.chisqDrift(a, a.unionAll(a), "cat").head()
+    assert(z.getDouble(4) == 0.0 && z.getLong(2) == 80L)
+    // a category absent on one side still forms a (0-observed) cell
+    val c = (Seq.fill(40)("z")).toDF("cat")
+    val m = Stats.chisqDrift(a, c, "cat").head()
+    assert(m.getLong(0) == 3L && m.getLong(3) == 2L)
+    assert(m.getDouble(4) == 80.0, // full separation: chi2 = N
+      s"chi2 ${m.getDouble(4)}")
+  }
+
+  test("vocabGrowth: first-bucket attribution, running totals, empty-token drop") {
+    import spark.implicits._
+    import graft.functions.Retrieval
+    val docs = Seq(
+      (0L, "a b a"),      // bucket 0: tokens 3, new types {a,b}
+      (1L, "b c"),        // bucket 0: tokens 2, new type {c}
+      (2L, "a d"),        // bucket 1: tokens 2, new type {d}
+      (3L, "")            // bucket 1: empty — contributes nothing
+    ).toDF("doc_id", "text")
+    val out = Retrieval.vocabGrowth(docs, "doc_id", "text", bucketDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      0L -> (5L, 3L, 5L, 3L),
+      1L -> (2L, 1L, 7L, 4L)), s"got $out")
+  }
+
   test("winsorize: clamps into the per-group band, interior values untouched") {
     val ev = table("events")
     val out = Stats.winsorize(ev, "event_type", "value", 10.0, 0.05, 0.95).cache()

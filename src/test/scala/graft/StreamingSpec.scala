@@ -324,6 +324,72 @@ class StreamingSpec extends SparkSpec {
     assert(stickStreamed == stickBatch)
   }
 
+  test("streaming transition monitor: boundary hops counted once, state survives save/restore") {
+    import spark.implicits._
+    // three time-ordered batches; users 1 and 2 span batch boundaries, so
+    // their boundary hops (1: b->a at t20->t30, a->c at t40->t50;
+    // 2: a->a at t15->t35) exist in NO single batch
+    val batches = Seq(
+      Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (2L, "a", 15L, 3L)),
+      Seq((1L, "a", 30L, 4L), (1L, "c", 40L, 5L), (2L, "a", 35L, 6L)),
+      Seq((1L, "b", 50L, 7L), (3L, "c", 60L, 8L)))
+    def toDf(b: Seq[(Long, String, Long, Long)]) =
+      b.toDF("user_id", "event_type", "t", "event_id")
+        .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val tm = new Streaming.TransitionMonitor("user_id", "event_type", "ts", "event_id")
+    batches.foreach(b => tm.update(toDf(b)))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val got = toMap(tm.matrix)
+    val full = toMap(graft.functions.Events.transitions(
+      toDf(batches.flatten), "user_id", "event_type", "ts", "event_id"))
+    assert(got == full, s"incremental $got must equal batch $full")
+    // the three boundary hops: user 1's b(20)->a(30) and c(40)->b(50),
+    // user 2's a(15)->a(35) — each exists in NO single batch
+    assert(got(("b", "a")) == ((1L, 1.0)), "the batch-1->2 boundary hop must count")
+    assert(got(("c", "b")) == ((1L, 1.0)), "the batch-2->3 boundary hop must count")
+    assert(got(("a", "a")) == ((1L, 0.333333)), "user 2's cross-batch self-hop must count")
+
+    // crash-restart: state saved after batch 2, restored into a fresh
+    // monitor, batch 3 replayed — identical matrix
+    val ckpt = java.nio.file.Files.createTempDirectory("tm_state").toString
+    val tm2 = new Streaming.TransitionMonitor("user_id", "event_type", "ts", "event_id")
+    batches.take(2).foreach(b => tm2.update(toDf(b)))
+    tm2.saveState(ckpt)
+    val tm3 = new Streaming.TransitionMonitor("user_id", "event_type", "ts", "event_id")
+    tm3.restoreState(spark, ckpt)
+    tm3.update(toDf(batches(2)))
+    assert(toMap(tm3.matrix) == full)
+  }
+
+  test("streaming transition monitor: foreachBatch parity over time-ordered files") {
+    // corpus events sliced into 5 day-range files with strictly increasing
+    // mtimes; maxFilesPerTrigger=1 makes the file source deliver them as 5
+    // time-ordered micro-batches — the monitor's arrival contract
+    val ev = spark.read.parquet(stagedDir)
+    val dir = java.nio.file.Files.createTempDirectory("trans_stream").toString
+    (0 until 5).foreach { b =>
+      ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$b")
+      val f = new java.io.File(s"$dir/b$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      f.foreach(p => p.setLastModified(1700000000000L + b * 60000L))
+    }
+    val tm = new Streaming.TransitionMonitor("user_id", "event_type", "ts", "event_id")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) tm.update(batch)))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = toMap(tm.matrix)
+    val batchFull = toMap(graft.functions.Events.transitions(
+      ev, "user_id", "event_type", "ts", "event_id"))
+    assert(streamed == batchFull)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming volume monitor: verdicts bit-identical to the batch scan") {
     val ev = spark.read.parquet(stagedDir)
     val dir = java.nio.file.Files.createTempDirectory("vol_stream").toString

@@ -522,6 +522,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // streaming quantile monitor (batch replay of 5 micro-batches):
+    // fixed-width histogram state is additive and value-range-bounded, so
+    // the accreted bin table IS the corpus histogram and the threshold
+    // picks are bit-identical to the batch scan
+    "stream_quantile" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val qm = new graft.streaming.Streaming.QuantileMonitor("value", width = 10.0)
+      (0 until 5).foreach(b => qm.update(ev.filter(col("event_id") % 5 === b)))
+      qm.quantiles(Seq(0.5, 0.9, 0.99)).orderBy(col("q"))
+    }),
+
     // streaming transition monitor (batch replay of 5 DAY-RANGE batches —
     // per-user time-ordered, the monitor's arrival contract): hop counts
     // accrete additively with the per-user last event carried across the
@@ -4382,6 +4393,26 @@ object SparkEntry {
     // counts from the bounded bin self-join, first bin reaching q*N; the
     // inexact 0.99 is CAST to DOUBLE so both engines compare the same value
     "stats_quantile_hist" ->
+      """WITH b AS (
+           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events GROUP BY 1),
+         cum AS (
+           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
+         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
+         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+         SELECT q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
+           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
+         FROM (
+           SELECT q, bin, cum_count, total,
+             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
+           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
+         ORDER BY q""",
+
+    // streaming quantile replay: additive bin state == the one-pass corpus
+    // histogram, so the batch SQL is identical to stats_quantile_hist
+    "stream_quantile" ->
       """WITH b AS (
            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
            FROM events GROUP BY 1),

@@ -254,11 +254,14 @@ object Events {
                   tsCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val hops = df
+    // the |types|²-row hop table feeds BOTH the output join and the row
+    // totals — frozen, or the user-keyed window + shuffle of the raw stream
+    // runs twice (the streaming monitor passes its own already-frozen state)
+    val hops = org.apache.spark.sql.graftbridge.Bridge.freeze(df
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     transitionsOfCounts(hops)
   }
 

@@ -33,6 +33,18 @@ object Stats {
     val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(
       df.select(floor(col(valueCol) / width).cast("long").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("cnt")))
+    quantilesOfBins(bins, width, qs)
+  }
+
+  /** [[histogramQuantiles]]' quantile-pick stage over an already-built
+    * (bin, cnt) table — exposed so the streaming
+    * [[graft.streaming.Streaming.QuantileMonitor]] reads the identical
+    * thresholds off its accreted (and additive, hence order-independent)
+    * bin state.
+    */
+  def quantilesOfBins(bins: DataFrame, width: Double,
+                      qs: Seq[Double]): DataFrame = {
+    require(width > 0 && qs.nonEmpty, "width must be positive, qs non-empty")
     // cumulative count per bin without a global window: self-join on the
     // bounded bin table (B² pairs of a data-independent B)
     val a = bins.select(col("bin"))
@@ -333,9 +345,13 @@ object Stats {
   def chisqDrift(a: DataFrame, bDf: DataFrame, keyCol: String): DataFrame = {
     def countsOf(df: DataFrame, out: String) =
       df.groupBy(col(keyCol).as("cat")).agg(count(lit(1)).as(out))
-    val joined = countsOf(a, "oa").join(countsOf(bDf, "ob"), Seq("cat"), "full_outer")
-      .select(col("cat"), coalesce(col("oa"), lit(0L)).as("oa"),
-        coalesce(col("ob"), lit(0L)).as("ob"))
+    // the |categories|-row contingency table feeds BOTH the totals and the
+    // per-cell terms — frozen, or each side's corpus count aggregation
+    // (the only passes that touch the data) runs twice
+    val joined = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      countsOf(a, "oa").join(countsOf(bDf, "ob"), Seq("cat"), "full_outer")
+        .select(col("cat"), coalesce(col("oa"), lit(0L)).as("oa"),
+          coalesce(col("ob"), lit(0L)).as("ob")))
     val totals = broadcast(joined.agg(
       sum(col("oa")).as("__na"), sum(col("ob")).as("__nb")))
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)

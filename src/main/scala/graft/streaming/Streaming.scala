@@ -359,6 +359,48 @@ object Streaming {
         zThreshold)
   }
 
+  /** Streaming quantile monitor — maintain
+    * [[graft.functions.Stats.histogramQuantiles]]' thresholds as batches
+    * arrive: state is the fixed-width (bin, cnt) histogram, whose size is
+    * bounded by the VALUE RANGE over the width, not the stream length, and
+    * whose counts are additive — so the accreted table is exactly the
+    * one-pass corpus histogram regardless of arrival order, and the
+    * quantile picks read off it are bit-identical to the batch scan
+    * (the VolumeMonitor argument, applied to threshold selection: a
+    * curation pipeline can re-pick its p99 clip point after every
+    * micro-batch without ever re-scanning the corpus). Wire with
+    * [[foreachBatchMerge]]`(stream, qm.update)`.
+    */
+  class QuantileMonitor(valueCol: String, width: Double) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var bins: Option[DataFrame] = None
+
+    /** fold one micro-batch's fixed-width histogram into the bin state */
+    def update(batch: DataFrame): Unit = {
+      val bb = batch
+        .select(floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      bins = Some(bridge.freeze(bins match {
+        case None => bb
+        case Some(h) => h.unionByName(bb)
+          .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      }))
+    }
+
+    /** current (q, bin, lo, hi, cum_count, total) threshold picks */
+    def quantiles(qs: Seq[Double]): DataFrame =
+      graft.functions.Stats.quantilesOfBins(
+        bins.getOrElse(throw new IllegalStateException("no batches ingested")),
+        width, qs)
+
+    /** persist the bin state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("bins" -> bins))
+
+    /** restore bin state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      bins = MonitorState.load(spark, dir, "bins")
+  }
+
   /** Streaming next-event transition monitor — maintain the
     * [[graft.functions.Events.transitions]] Markov matrix as event batches
     * arrive. Hop counts are NOT purely additive across batches: the last

@@ -324,6 +324,35 @@ class StreamingSpec extends SparkSpec {
     assert(stickStreamed == stickBatch)
   }
 
+  test("streaming quantile monitor: thresholds bit-identical to the batch scan, restore mid-stream") {
+    val ev = spark.read.parquet(stagedDir)
+    val dir = java.nio.file.Files.createTempDirectory("quant_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val qm = new Streaming.QuantileMonitor("value", width = 10.0)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) qm.update(batch)))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    val streamed = toMap(qm.quantiles(qs))
+    val batchScan = toMap(graft.functions.Stats.histogramQuantiles(ev, "value", 10.0, qs))
+    assert(streamed == batchScan)
+    assert(streamed.nonEmpty)
+    // save, restore into a fresh monitor, fold one more batch: equals the
+    // batch scan over the doubled stream (counts are additive)
+    val ckpt = java.nio.file.Files.createTempDirectory("quant_state").toString
+    qm.saveState(ckpt)
+    val qm2 = new Streaming.QuantileMonitor("value", width = 10.0)
+    qm2.restoreState(spark, ckpt)
+    qm2.update(ev)
+    val doubled = toMap(graft.functions.Stats.histogramQuantiles(
+      ev.unionAll(ev), "value", 10.0, qs))
+    assert(toMap(qm2.quantiles(qs)) == doubled)
+  }
+
   test("streaming transition monitor: boundary hops counted once, state survives save/restore") {
     import spark.implicits._
     // three time-ordered batches; users 1 and 2 span batch boundaries, so

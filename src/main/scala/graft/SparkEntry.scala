@@ -1188,6 +1188,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // generic as-of join (merge_asof/aj): each purchase picks the user's
+    // most recent click at-or-before it — union-tag + ONE user-keyed carry
+    // window, never a per-key range join; 2h staleness tolerance exercised
+    "join_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      graft.core.Joins.asofJoin(purchases, "event_id", clicks, "click_id",
+          "user_id", "ts", Seq("click_id", "click_value"),
+          toleranceSeconds = Some(7200L))
+        .orderBy(col("event_id"))
+    }),
+
     // value bands (all-integer threshold, anti-join islands over the
     // bounded bin table), then events tagged by EVERY type's band they fall
     // in — the no-equi-key range join as a bucket equi-join, never a BNLJ
@@ -1449,6 +1465,14 @@ object SparkEntry {
         .limit(50) // TakeOrderedAndProject: per-partition top-k, no global sort
     }),
 
+    // iterative BPE training (the real tokenizer trainer): ONE corpus pass
+    // to the word-type table, then 6 merge rounds each a vocabulary-sized
+    // pair aggregation + 1-row argmax + scan-speed replace
+    "text_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(docsNorm(s, dir), "text", nMerges = 6)
+        .orderBy(col("step"))
+    }),
+
     // deterministic data-mixture sampling: language-rebalancing rates from
     // one tiny per-group aggregation, membership a pure integer compare —
     // re-mixes 100 TB without shuffling the data
@@ -1615,6 +1639,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
+    }),
+
+    // video frame sampling + per-frame decode/score: every sampled frame
+    // is a REAL BMP decoded through the pooled ImageIO reader; stats come
+    // from decoded pixels only (the oracle replays the generation rule)
+    "mm_frames" -> ((s, dir) => {
+      graft.multimodal.Multimodal.frameFeatures(
+        graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))))
+        .orderBy(col("doc_id"), col("frame_no"))
     }),
 
     // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
@@ -1947,6 +1981,45 @@ object SparkEntry {
     * (the minhashPairs replay the cluster oracles use), as the CTE chain
     * norm/sh/pairs/edges — interpolate inside a WITH [RECURSIVE] list.
     */
+  /** BPE-training oracle: the 6 merge rounds unrolled (the k-means-oracle
+    * unroll discipline) — each round re-derives the weighted pair counts
+    * from the previous round's `||`-delimited symbol strings, takes the
+    * (count desc, pair asc) argmax, and applies the identical non-regex
+    * `replace` of `|a||b|` → `|ab|`.
+    */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      s"""p$k AS (
+           SELECT pr, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+             SELECT cnt, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS pr
+             FROM (SELECT cnt, list_filter(string_split(s, '||'), x -> x <> '') AS l
+                   FROM s${k - 1}))
+           GROUP BY pr),
+         b$k AS (
+           SELECT $k AS step, split_part(pr, ' ', 1) AS a,
+             split_part(pr, ' ', 2) AS b, pc
+           FROM p$k ORDER BY pc DESC, pr LIMIT 1),
+         s$k AS (
+           SELECT cnt, replace(s, '|' || a || '||' || b || '|',
+             '|' || a || b || '|') AS s
+           FROM s${k - 1} CROSS JOIN b$k)"""
+    }.mkString(",\n       ")
+    val union = (1 to nMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH w AS (
+         SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+         WHERE tok <> '' GROUP BY tok),
+       s0 AS (
+         SELECT cnt, '||' || array_to_string(
+           list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)), '||')
+           || '||' AS s FROM w),
+       $rounds
+       SELECT step, a AS merge_left, b AS merge_right, a || b AS merged,
+         pc AS pair_count
+       FROM ($union) ORDER BY step"""
+  }
+
   private val nearDupEdgesSql =
     s"""norm AS (
          SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -3295,6 +3368,37 @@ object SparkEntry {
          SELECT user_id, click_id, purchase_id, distance
          FROM j WHERE rn = 1 ORDER BY user_id, click_id""",
 
+    // as-of replay: the same union-tag + user-keyed IGNORE NULLS carry
+    // window (quotes sort before probes at equal ts, largest click id wins
+    // ties), the same 2h staleness void
+    "join_asof" ->
+      """WITH un AS (
+           SELECT user_id, ts, 0 AS tag, event_id AS ord,
+             CAST(NULL AS BIGINT) AS pid, event_id AS q_id, value AS q_val,
+             ts AS q_ts
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, 1 AS tag, CAST(NULL AS BIGINT) AS ord,
+             event_id AS pid, NULL, NULL, NULL
+           FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             last_value(q_id IGNORE NULLS) OVER win AS c_id,
+             last_value(q_val IGNORE NULLS) OVER win AS c_val,
+             last_value(q_ts IGNORE NULLS) OVER win AS c_ts
+           FROM un
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, ord
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         f AS (
+           SELECT *, c_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(c_ts) <= 7200::BIGINT * 1000000 AS ok
+           FROM w WHERE tag = 1)
+         SELECT pid AS event_id, user_id, ts,
+           CASE WHEN ok THEN c_id END AS click_id,
+           CASE WHEN ok THEN c_val END AS click_value,
+           CASE WHEN ok THEN c_ts END AS quote_time
+         FROM f ORDER BY event_id""",
+
     // via the absent-predecessor anti-join, nearest-start assignment, then
     // the plain inequality join DuckDB can afford at oracle scale
     "join_interval" ->
@@ -3690,6 +3794,8 @@ object SparkEntry {
          SELECT pair, count(*) AS cnt FROM p
          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
 
+    "text_bpe_train" -> bpeTrainOracleSql(6),
+
     "sample_mixture" ->
       s"""WITH d AS (
            SELECT doc_id, lang,
@@ -4013,6 +4119,22 @@ object SparkEntry {
            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY h ASC, cid ASC) AS rn
            FROM kept)
          WHERE rn <= 5 ORDER BY query_id, neg_rank""",
+
+    // frame replay: video rows (doc_id%3=2), 4 frames each, frame BMP is
+    // 246 bytes (8x8 24-bit + 54-byte header), pixels from the generation
+    // rule the decoder provably inverts (MultimodalSpec)
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
+         px AS (
+           SELECT doc_id, frame_no, list_transform(range(0, 64),
+             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
+           FROM f)
+         SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           246 AS n_bytes,
+           list_sum(g) / 64.0 / 255.0 AS mean_px,
+           list_max(g) / 255.0 AS max_px
+         FROM px ORDER BY doc_id, frame_no""",
 
     "mm_features" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),

@@ -200,4 +200,63 @@ object Joins {
       .select((keys :+ pIdCol).map(col) :+ col("__best.__tid").as(tIdCol) :+
         col("__best.__d").as("distance"): _*)
   }
+
+  /** Generic as-of join (the pandas `merge_asof` / kdb `aj` shape): each
+    * probe row picks the single most recent quote row of the same key with
+    * `quote.time <= probe.time` (inclusive on ties — a same-instant quote
+    * is visible). The trades-and-quotes / feature-freshness join:
+    * "which model version / price / config was in effect when this event
+    * happened" — the reference's SCD `lookupasof`
+    * (pygrametl/tables.py:1555-1711) generalized from dimension versions
+    * to any two frames.
+    *
+    * Scale shape: NOT a range join (which Catalyst would plan as a
+    * per-key BroadcastNestedLoop or an O(probes×quotes-per-key) range
+    * scan). Both sides are union-tagged and shuffled ONCE on the key; one
+    * per-key (ts, tag, id)-ordered window carries the latest quote payload
+    * forward (`last(..., ignoreNulls)` — the [[graft.functions.Events]]
+    * attribution discipline), so each probe reads its answer at sort
+    * speed. Per-key data is calendar-bounded — no whale partitions; cost
+    * is one shuffle + one sort of probes+quotes, independent of how stale
+    * the nearest quote is. `toleranceSeconds` (optional) voids matches
+    * older than the window — a row whose quote is too stale reports nulls,
+    * not a wrong old value.
+    *
+    * Returns the probe id/key/time plus each `payload` column (null when
+    * no quote precedes) and `quote_time` (the matched quote's timestamp).
+    */
+  def asofJoin(probes: DataFrame, pIdCol: String,
+               quotes: DataFrame, qIdCol: String,
+               keyCol: String, timeCol: String,
+               payload: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    import org.apache.spark.sql.functions.{last, struct, unix_micros}
+    // quotes sort BEFORE probes at the same timestamp (tag 0 < 1): a
+    // same-instant quote is visible to the probe — lookupasof's inclusive
+    // endpoint (tables.py:1604-1617, inclusive=(True, x)). Among equal-ts
+    // quotes the LARGEST qIdCol wins (last in frame order) — deterministic.
+    val q = quotes.select(col(keyCol), col(timeCol), lit(0).as("__tag"),
+      col(qIdCol).as("__ord"),
+      lit(null).cast(probes.schema(pIdCol).dataType).as("__pid"),
+      struct((col(timeCol).as("__qt") +: payload.map(col)): _*).as("__quote"))
+    val p = probes.select(col(keyCol), col(timeCol), lit(1).as("__tag"),
+      lit(null).cast(quotes.schema(qIdCol).dataType).as("__ord"),
+      col(pIdCol).as("__pid"),
+      lit(null).cast(q.schema("__quote").dataType).as("__quote"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol), col("__tag"), col("__ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = q.unionByName(p)
+      .withColumn("__c", last(col("__quote"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val fresh = toleranceSeconds match {
+      case None => carried.withColumn("__ok", col("__c").isNotNull)
+      case Some(tol) => carried.withColumn("__ok", col("__c").isNotNull &&
+        unix_micros(col(timeCol)) - unix_micros(col("__c.__qt")) <= tol * 1000000L)
+    }
+    fresh.select((col("__pid").as(pIdCol) +: col(keyCol) +: col(timeCol) +:
+      payload.map(f => when(col("__ok"), col(s"__c.$f")).as(f))) :+
+      when(col("__ok"), col("__c.__qt")).as("quote_time"): _*)
+  }
 }

@@ -155,6 +155,75 @@ object TextAnalysis {
       .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 3).cast("double")
   }
 
+  /** Iterative byte-pair-encoding merge training — the actual tokenizer
+    * trainer, not just one round's pair scores ([[tokenPairs]] /
+    * text_bpe_pairs): learn `nMerges` merge rules from the corpus, greedy
+    * highest-count-first with deterministic lexicographic tie-break.
+    *
+    * Scale shape — how real BPE trainers stay tractable and the reason
+    * this is NOT n corpus passes: the corpus is touched ONCE, collapsing
+    * to the (word-type, count) table (map-side combined; the vocabulary
+    * is ~10⁶ rows even at web scale); every merge round then runs on that
+    * VOCABULARY-sized frame — one pair aggregation weighted by word
+    * counts, one 1-row TakeOrdered argmax (a bounded-gate collect), one
+    * scan-speed `replace` applying the merge — and the symbol state
+    * re-freezes per round so lineage stays flat across rounds.
+    *
+    * Symbol sequences are stored as `||`-delimited strings
+    * (`||h||e||y||`); applying merge (a,b) is the plain non-regex
+    * left-to-right replace of `|a||b|` with `|ab|`, which IS the greedy
+    * non-overlapping BPE merge semantics ("aaa" + (a,a) → "aa a"), and is
+    * reproducible verbatim by any engine's `replace` — symbols stay
+    * regex-free because [[normalize]] restricts them to [a-z0-9].
+    *
+    * Returns one row per learned rule: (step, merge_left, merge_right,
+    * merged, pair_count), stopping early if the best pair's weighted
+    * count falls below `minPair`.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int, minPair: Long = 2): org.apache.spark.sql.DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    var seqs = bridge.freeze(words.select(col("__cnt"),
+      concat(lit("||"), array_join(
+        transform(sequence(lit(1), length(col("__w"))),
+          i => col("__w").substr(i, lit(1))), "||"),
+        lit("||")).as("__s")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var stop = false
+    (1 to nMerges).foreach { step =>
+      if (!stop) {
+        val syms = filter(split(col("__s"), "\\|\\|"), x => x =!= "")
+        val best = seqs
+          .select(col("__cnt"), syms.as("__l"))
+          .select(col("__cnt"), explode(when(size(col("__l")) < 2,
+              array().cast("array<string>"))
+            .otherwise(transform(slice(col("__l"), lit(1), size(col("__l")) - 1),
+              (x, i) => concat(x, lit(" "), element_at(col("__l"), i + 2))))).as("__p"))
+          .groupBy(col("__p")).agg(sum(col("__cnt")).as("__pc"))
+          .orderBy(col("__pc").desc, col("__p").asc).limit(1)
+          .collect()
+        if (best.isEmpty || best(0).getLong(1) < minPair) stop = true
+        else {
+          val parts = best(0).getString(0).split(" ", 2)
+          val (a, b) = (parts(0), parts(1))
+          merges += ((step, a, b, best(0).getLong(1)))
+          seqs = bridge.freeze(seqs.withColumn("__s",
+            replace(col("__s"), lit(s"|$a||$b|"), lit(s"|$a$b|"))))
+        }
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+      .select(col("step"), col("merge_left"), col("merge_right"),
+        concat(col("merge_left"), col("merge_right")).as("merged"),
+        col("pair_count"))
+  }
+
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (md5 rather than xxhash64 so external engines can reproduce it.)
     */

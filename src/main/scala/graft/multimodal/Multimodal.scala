@@ -378,6 +378,38 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decode + score each sampled frame from [[sampleFrames]] — the
+    * per-frame stage of a video-curation pipeline (blur/black-frame
+    * filtering, frame-level dedup keys): REAL BMP decode per frame,
+    * batch-pooled decoder like [[extractFeatures]], stats from decoded
+    * pixels only.
+    *
+    * Returns (doc_id, frame_no, n_bytes, mean_px, max_px) with the pixel
+    * stats normalized to [0, 1].
+    */
+  def frameFeatures(frames: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_no", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("mean_px", DoubleType), StructField("max_px", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frames.select(col("doc_id"), col("frame_no"), col("frame_bytes"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val dec = new ImageDecoder()
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("frame_bytes")
+            val px = dec.decode(bytes)
+            val flat = px.flatten
+            Row(r.getLong(0), r.getInt(1), bytes.length,
+              flat.sum.toDouble / flat.length / 255.0,
+              flat.max.toDouble / 255.0)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Encode a gray matrix (top-down) back into a real BMP container. */
   def encodeBmpFromPixels(px: Array[Array[Int]]): Array[Byte] = {
     val h = px.length

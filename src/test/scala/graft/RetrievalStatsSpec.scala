@@ -133,6 +133,32 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.ksDrift(a, c, "v", width = 1.0).head().getDouble(0) == 1.0)
   }
 
+  test("bpeTrain: hand-computed merge sequence, greedy non-overlap, weighted counts") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // word counts: hug x3, pug x2, bug x1
+    // round 1: (u,g) weighted 6 beats (h,u) 3 -> merge 'ug'
+    // round 2: (h,ug) 3 -> 'hug'; round 3: (p,ug) 2 -> 'pug'
+    val docs = Seq((0L, "hug hug pug"), (1L, "hug pug bug")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    assert(out == Map(
+      1 -> ("u", "g", "ug", 6L),
+      2 -> ("h", "ug", "hug", 3L),
+      3 -> ("p", "ug", "pug", 2L)), s"got $out")
+    // greedy non-overlap: 'aaaa' merges to (aa)(aa) in one round, so round
+    // 2's best pair is (aa,aa) — an overlapping merge would leave no pair
+    val rep = TextAnalysis.bpeTrain(Seq((0L, "aaaa")).toDF("doc_id", "text"),
+      "text", nMerges = 2, minPair = 1)
+      .collect().map(r => r.getInt(0) -> (r.getString(3), r.getLong(4))).toMap
+    // round 1: 3 adjacent (a,a) positions in the word-type, weight 1 -> 3
+    assert(rep == Map(1 -> ("aa", 3L), 2 -> ("aaaa", 1L)), s"got $rep")
+    // early stop: a single one-char word has no pairs at all
+    assert(TextAnalysis.bpeTrain(Seq((0L, "a")).toDF("doc_id", "text"),
+      "text", nMerges = 3).count() == 0)
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -273,6 +273,54 @@ class ScaleSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("asofJoin: inclusive same-instant quote, tie to largest id, tolerance voids stale") {
+    import spark.implicits._
+    import graft.core.Joins
+    def ts(t: Long) = t * 1000000L
+    val quotes = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), // user 1: quotes at t10, t20
+      (1L, 20L, 102L, 3.0),                       // same-instant duplicate: id 102 wins
+      (2L, 50L, 103L, 4.0)                        // user 2: one old quote
+    ).toDF("user_id", "t", "qid", "qv")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val probes = Seq(
+      (1L, 5L, 200L),    // before any quote -> nulls
+      (1L, 20L, 201L),   // same instant as quotes 101/102 -> 102 (inclusive, max id)
+      (1L, 25L, 202L),   // after both -> 102
+      (2L, 100L, 203L),  // 50s stale > 30s tolerance -> voided
+      (2L, 60L, 204L)    // 10s stale -> quote 103
+    ).toDF("user_id", "t", "pid")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val out = Joins.asofJoin(probes, "pid", quotes, "qid", "user_id", "ts",
+        Seq("qid", "qv"), toleranceSeconds = Some(30L))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)))).toMap
+    assert(out(200L) == ((None, None)), "no preceding quote must read null")
+    assert(out(201L)._1.contains(102L), "same-instant quote visible, largest id wins")
+    assert(out(202L)._1.contains(102L))
+    assert(out(203L) == ((None, None)), "stale beyond tolerance must void")
+    assert(out(204L)._1.contains(103L))
+    assert(out.size == 5, "every probe row survives (left semantics)")
+
+    // corpus-shaped equivalence vs the naive per-pair argmax
+    val ev = table("events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val fast = Joins.asofJoin(p, "event_id", q, "click_id", "user_id", "ts",
+        Seq("click_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val naive = p.join(q.withColumnRenamed("user_id", "u2")
+          .withColumnRenamed("ts", "qts"), col("user_id") === col("u2") &&
+          col("qts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("qts"), col("click_id"))).as("best"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).flatMap(s => Option(s.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(fast == naive)
+  }
+
   test("star CC: a diameter-100 path converges in O(log d) rounds, labels exact") {
     import spark.implicits._
     import graft.functions.Dedup

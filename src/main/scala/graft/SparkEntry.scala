@@ -1465,6 +1465,14 @@ object SparkEntry {
         .limit(50) // TakeOrderedAndProject: per-partition top-k, no global sort
     }),
 
+    // deterministic per-epoch global shuffle: scan-speed md5 sort keys +
+    // shard assignment — the dataloader re-deal that never sorts or
+    // shuffles the corpus itself
+    "sample_epoch_shuffle" -> ((s, dir) => {
+      Sampling.epochShuffle(docsNorm(s, dir), "doc_id", epoch = 3, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // iterative BPE training (the real tokenizer trainer): ONE corpus pass
     // to the word-type table, then 6 merge rounds each a vocabulary-sized
     // pair aggregation + 1-row argmax + scan-speed replace
@@ -1809,6 +1817,15 @@ object SparkEntry {
     "events_stickiness" -> ((s, dir) => {
       graft.functions.Events.stickiness(events(s, dir), "user_id", "ts")
         .orderBy(col("day"))
+    }),
+
+    // funnel latency: per-transition conversion time (count, decimal-staged
+    // mean, histogram p50) off the frozen one-row-per-user funnel table —
+    // the "where does the funnel stall" readout
+    "events_funnel_latency" -> ((s, dir) => {
+      graft.functions.Events.funnelLatency(events(s, dir), "user_id",
+          "event_type", "ts", Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("step"))
     }),
 
     // next-event Markov transition matrix: one user-keyed lead window +
@@ -3796,6 +3813,15 @@ object SparkEntry {
 
     "text_bpe_train" -> bpeTrainOracleSql(6),
 
+    // epoch-shuffle replay: the same md5-derived shard and order keys
+    "sample_epoch_shuffle" ->
+      """SELECT doc_id, 3 AS epoch,
+           CAST(('0x'||substr(md5(doc_id::VARCHAR || 'epoch3-shard'),1,15))::BIGINT
+             % 8 AS INTEGER) AS shard,
+           ('0x'||substr(md5(doc_id::VARCHAR || 'epoch3-order'),1,15))::BIGINT
+             AS sort_key
+         FROM documents ORDER BY doc_id""",
+
     "sample_mixture" ->
       s"""WITH d AS (
            SELECT doc_id, lang,
@@ -4581,6 +4607,60 @@ object SparkEntry {
          LEFT JOIN s3 ON u.user_id = s3.user_id
          LEFT JOIN s4 ON u.user_id = s4.user_id
          ORDER BY u.user_id""",
+
+    // funnel-latency replay: the funnel steps, per-transition integer
+    // second diffs, decimal-staged means, and the grouped histogram p50
+    // (1h bins) with the same first-qualifying-bin pick
+    "events_funnel_latency" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS step_1_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_1_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_2_ts
+           WHERE e.event_type = 'signup' GROUP BY e.user_id),
+         s4 AS (
+           SELECT e.user_id, min(e.ts) AS step_4_ts FROM events e
+           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.step_3_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         lat AS (
+           SELECT 1 AS step, 'view->click' AS transition,
+             (epoch_us(step_2_ts) - epoch_us(step_1_ts)) // 1000000 AS secs
+           FROM s2 JOIN s1 USING (user_id)
+           UNION ALL
+           SELECT 2, 'click->signup',
+             (epoch_us(step_3_ts) - epoch_us(step_2_ts)) // 1000000
+           FROM s3 JOIN s2 USING (user_id)
+           UNION ALL
+           SELECT 3, 'signup->purchase',
+             (epoch_us(step_4_ts) - epoch_us(step_3_ts)) // 1000000
+           FROM s4 JOIN s3 USING (user_id)),
+         st AS (
+           SELECT step, transition, count(*) AS n_users,
+             round(CAST(CAST(sum(secs) AS DOUBLE) / count(*)
+               AS DECIMAL(18,8)), 2)::DOUBLE AS mean_secs
+           FROM lat GROUP BY 1, 2),
+         b AS (
+           SELECT transition, CAST(floor(secs / 3600.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+           FROM lat GROUP BY 1, 2),
+         cum AS (
+           SELECT a.transition, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.transition = a.transition AND b2.bin <= a.bin
+           GROUP BY 1, 2),
+         tot AS (SELECT transition, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
+         pick AS (
+           SELECT transition, (bin + 1) * 3600.0 AS p50_secs,
+             row_number() OVER (PARTITION BY transition ORDER BY bin ASC) AS rn
+           FROM cum JOIN tot USING (transition)
+           WHERE CAST(cum_count AS DOUBLE) >= 0.5 * total)
+         SELECT st.step, st.transition, st.n_users, st.mean_secs, p.p50_secs
+         FROM st JOIN pick p ON st.transition = p.transition AND p.rn = 1
+         ORDER BY st.step""",
 
     // retention replay: distinct (user, day) activity, min-day cohorts,
     // offset rollup

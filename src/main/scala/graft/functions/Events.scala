@@ -234,6 +234,51 @@ object Events {
         (abs(zRaw) > zThreshold).as("is_anomaly"))
   }
 
+  /** Funnel latency: for each consecutive step pair of [[funnel]], how
+    * long converting users took — count, mean seconds, and the histogram
+    * p50 threshold — the "where does the funnel stall" readout next to
+    * the completion counts.
+    *
+    * Scale shape: the funnel table (one row per user) is frozen and
+    * reused by every transition slice; latencies collapse to |transitions|
+    * aggregate rows plus the bounded-bin p50 pick
+    * ([[graft.functions.Stats.groupedHistogramQuantiles]] — group-keyed
+    * bin self-join, no unpartitioned window). Latency seconds are exact
+    * integer micros-diffs floor-divided; the mean stages in DECIMAL.
+    *
+    * Returns (step, transition, n_users, mean_secs, p50_secs) where
+    * `p50_secs` is the conservative bin-ceiling estimate and `step` is
+    * the 1-based index of the transition's source step.
+    */
+  def funnelLatency(df: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    width: Double = 3600.0): DataFrame = {
+    require(steps.length >= 2, "funnelLatency needs at least two steps")
+    val f = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      funnel(df, userCol, typeCol, tsCol, steps))
+    val lat = steps.indices.dropRight(1).map { i =>
+      f.filter(col(s"step_${i + 2}_ts").isNotNull)
+        .select(lit(i + 1).as("step"),
+          lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
+          ((unix_micros(col(s"step_${i + 2}_ts"))
+            - unix_micros(col(s"step_${i + 1}_ts"))) / lit(1000000L))
+            .cast("long").as("secs"))
+    }.reduce(_.unionAll(_))
+    val stats = lat.groupBy(col("step"), col("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        // exact long sum -> one IEEE divide -> decimal-staged round (the
+        // stickiness ratio discipline)
+        round((sum(col("secs")).cast("double") / count(lit(1)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 2)
+          .cast("double").as("mean_secs"))
+    val p50 = Stats.groupedHistogramQuantiles(lat, "transition", "secs",
+        width, Seq(0.5))
+      .select(col("transition"), col("hi").as("p50_secs"))
+    stats.join(broadcast(p50), Seq("transition"))
+      .select(col("step"), col("transition"), col("n_users"),
+        col("mean_secs"), col("p50_secs"))
+  }
+
   /** Next-event transition matrix: for every ordered adjacent pair in a
     * user's stream, the count of `from_type → to_type` hops and the row
     * probability P(to | from) — the first-order Markov model behind

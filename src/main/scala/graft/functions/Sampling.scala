@@ -63,6 +63,32 @@ object Sampling {
     *
     * Returns the input plus (n_tokens, rate_bp, kept).
     */
+  /** Deterministic per-epoch global shuffle — the dataloader primitive run
+    * before every training epoch: each document gets an epoch-seeded
+    * pseudo-random sort key and a shard assignment, so every epoch visits
+    * the corpus in a different (but exactly reproducible) order and every
+    * worker reads only its shard. Changing `epoch` re-deals both.
+    *
+    * Scale shape: pure scan-speed md5 expressions — NO shuffle, NO sort:
+    * the global order is REPRESENTED by (shard, sort_key), and only the
+    * per-shard write (corpus/nShards rows) ever sorts, exactly how a
+    * 100 TB epoch shuffle must work (materializing a total order would be
+    * one global sort of the corpus per epoch). Keys are md5-derived —
+    * engine-reproducible, uncorrelated across epochs.
+    *
+    * Returns the input ids plus (epoch, shard, sort_key); a reader streams
+    * shard s in sort_key order (ties impossible at 60 bits in practice;
+    * the id itself is the documented final tie-break).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.select(col(idCol),
+      lit(epoch).as("epoch"),
+      (hash60(col(idCol), s"epoch$epoch-shard") % nShards).cast("int").as("shard"),
+      hash60(col(idCol), s"epoch$epoch-order").as("sort_key"))
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
                     tokenCount: Column, shares: Map[String, Double],
                     budgetFrac: Double, buckets: Int = 10000,

@@ -361,7 +361,13 @@ object ScaleBench {
       // vocabulary-sized frame (salted copies grow the vocab 10x)
       ("text_bpe_train", nDocs, nDocs * copies,
         () => force(TextAnalysis.bpeTrain(docs1, "text", nMerges = 6)),
-        () => force(TextAnalysis.bpeTrain(docs10, "text", nMerges = 6))))
+        () => force(TextAnalysis.bpeTrain(docs10, "text", nMerges = 6))),
+      // k user-keyed step aggregations + bounded-bin p50 pick
+      ("events_funnel_latency", maxEvent, maxEvent * copies,
+        () => force(Events.funnelLatency(ev1, "user_id", "event_type", "ts",
+          Seq("view", "click", "signup", "purchase"))),
+        () => force(Events.funnelLatency(ev10, "user_id", "event_type", "ts",
+          Seq("view", "click", "signup", "purchase")))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -148,6 +148,24 @@ class EventsSpec extends SparkSpec {
     assert(out(("b", "1970-01-01")) == ((5L, 1L, 5.0)))
   }
 
+  test("funnelLatency: per-transition count/mean/p50 from the step chain") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "signup", 30L), (1L, "purchase", 40L),
+      (2L, "view", 10L), (2L, "click", 15L)
+    ).toDF("user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val out = Events.funnelLatency(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "signup", "purchase"), width = 4.0)
+      .collect().map(r => r.getString(1) ->
+        (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // view->click: users 1 (10s) and 2 (5s): mean 7.5; bins(4s): {1:1, 2:1},
+    // p50 = first bin reaching cum 1 -> bin 1 -> hi = 8.0
+    assert(out("view->click") == ((1, 2L, 7.5, 8.0)), s"got $out")
+    assert(out("click->signup") == ((2, 1L, 10.0, 12.0)))
+    assert(out("signup->purchase") == ((3, 1L, 10.0, 12.0)))
+  }
+
   test("transitions: user-isolated lead pairs, row probabilities sum to 1") {
     import spark.implicits._
     val ev = Seq(

@@ -40,6 +40,23 @@ class SamplingSpec extends SparkSpec {
     assert(ids10.subsetOf(ids30), "hash samples must be nested by fraction")
   }
 
+  test("epochShuffle: deterministic, epoch-decorrelated, shards bounded and balanced-ish") {
+    val docs = table("documents")
+    val e3 = Sampling.epochShuffle(docs, "doc_id", epoch = 3, nShards = 8)
+    val again = Sampling.epochShuffle(docs, "doc_id", epoch = 3, nShards = 8)
+    assert(e3.collect().toSeq == again.collect().toSeq, "same epoch must re-deal identically")
+    val rows = e3.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // a different epoch re-deals: order keys must differ for nearly all docs
+    val e4 = Sampling.epochShuffle(docs, "doc_id", epoch = 4, nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val same = rows.count { case (id, _, k) => e4(id) == k }
+    assert(same == 0, s"epoch 3 and 4 shared $same sort keys")
+    // md5 sharding is roughly balanced (no empty shard on 500 docs)
+    val perShard = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(perShard.size == 8 && perShard.values.min > 20, s"shards $perShard")
+  }
+
   test("stratifiedSample enforces the per-group quota deterministically") {
     val docs = table("documents")
     val out = Sampling.stratifiedSample(docs, Seq("source"), "doc_id", 3, "q")

@@ -522,6 +522,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // streaming contamination monitor (batch replay of 5 train batches):
+    // the benchmark fingerprint index freezes once, each batch matches
+    // batch-proportionally — accreted hits equal the batch contamination
+    "stream_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cm = new graft.streaming.Streaming.ContaminationMonitor(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        "doc_id", "text", minShared = 3)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      (0 until 5).foreach(b => cm.update(train.filter(col("doc_id") % 5 === b)))
+      cm.matches.orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // streaming quantile monitor (batch replay of 5 micro-batches):
     // fixed-width histogram state is additive and value-range-bounded, so
     // the accreted bin table IS the corpus histogram and the threshold
@@ -1862,6 +1875,17 @@ object SparkEntry {
         "event_type")
     }),
 
+    // PSI drift: click-vs-purchase value distributions at 5-unit bins —
+    // the retrain trigger score; bounded bin tables, add-one smoothing,
+    // decimal-staged (pa−pb)·ln(pa/pb) terms, ONE output row
+    "stats_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.psiDrift(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", width = 5.0)
+    }),
+
     // per-group quantiles: each event type's own p50/p90 value threshold —
     // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
     // windows only
@@ -1998,6 +2022,39 @@ object SparkEntry {
     * (the minhashPairs replay the cluster oracles use), as the CTE chain
     * norm/sh/pairs/edges — interpolate inside a WITH [RECURSIVE] list.
     */
+  /** winnowed-fingerprint contamination replay (shared by the batch query
+    * and its streaming twin — the monitor's accreted matches equal the
+    * batch solve because the benchmark index is fixed and train batches
+    * partition the train set)
+    */
+  private lazy val contaminationOracleSql: String =
+    s"""WITH norm AS (
+         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       g AS (
+         SELECT doc_id, CASE WHEN len(toks) >= 4
+           THEN list_transform(range(0, len(toks)-3),
+             i -> array_to_string(toks[i+1:i+4], ' '))
+           ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
+       h AS (
+         SELECT doc_id, list_transform(grams,
+           g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
+       w AS (
+         SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+           ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
+             j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
+       f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
+       bcap AS (
+         SELECT bench_id, fp FROM (
+           SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
+         WHERE cnt <= 100),
+       tf AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
+       p AS (
+         SELECT train_id, bench_id, count(*) AS shared
+         FROM tf JOIN bcap USING (fp) GROUP BY 1, 2)
+       SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
+       ORDER BY train_id, bench_id"""
+
   /** BPE-training oracle: the 6 merge rounds unrolled (the k-means-oracle
     * unroll discipline) — each round re-derives the weighted pair counts
     * from the previous round's `||`-delimited symbol strings, takes the
@@ -2881,33 +2938,12 @@ object SparkEntry {
          SELECT id_a, id_b, shared FROM p WHERE shared >= 5
          ORDER BY id_a, id_b""",
 
-    "dedup_contamination" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 4
-             THEN list_transform(range(0, len(toks)-3),
-               i -> array_to_string(toks[i+1:i+4], ' '))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         h AS (
-           SELECT doc_id, list_transform(grams,
-             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
-         w AS (
-           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
-         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
-         bcap AS (
-           SELECT bench_id, fp FROM (
-             SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
-           WHERE cnt <= 100),
-         tf AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
-         p AS (
-           SELECT train_id, bench_id, count(*) AS shared
-           FROM tf JOIN bcap USING (fp) GROUP BY 1, 2)
-         SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
-         ORDER BY train_id, bench_id""",
+    "dedup_contamination" -> contaminationOracleSql,
+
+    // streaming contamination replay: the benchmark index is fixed and the
+    // 5 train batches partition the train set, so the accreted matches are
+    // exactly the batch contamination — the oracle is shared verbatim
+    "stream_contamination" -> contaminationOracleSql,
 
     // containment replay: the same distinct (id, shingle) sets, the df ≤ 64
     // rare-shingle candidate cap, shared counts, and min-size containment
@@ -4767,6 +4803,34 @@ object SparkEntry {
            (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
              AS is_anomaly
          FROM j ORDER BY event_type, day""",
+
+    // PSI replay: same bin tables, add-one smoothing, fixed-order
+    // (pa−pb)·ln(pa/pb) terms decimal-staged before the sum
+    "stats_psi_drift" ->
+      """WITH a AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS ca
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cb
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (
+           SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+           FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+         t AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             count(*) AS k FROM j),
+         terms AS (
+           SELECT na, nb,
+             CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,10)) AS term
+           FROM (
+             SELECT na, nb,
+               (ca + 1)::DOUBLE / (na + k)::DOUBLE AS pa,
+               (cb + 1)::DOUBLE / (nb + k)::DOUBLE AS pb
+             FROM j CROSS JOIN t))
+         SELECT count(*) AS n_bins, na AS n_a, nb AS n_b,
+           round(sum(term), 6)::DOUBLE AS psi
+         FROM terms GROUP BY na, nb""",
 
     // KS replay: same bins, same cumulative self-join, same exact decimal
     // cross-difference and single division

@@ -302,18 +302,42 @@ object Dedup {
   def contamination(train: DataFrame, trainId: String, trainText: String,
                     bench: DataFrame, benchId: String, benchText: String,
                     k: Int = 4, window: Int = 4, minShared: Int = 5,
-                    maxDocsPerFp: Int = 100): DataFrame = {
+                    maxDocsPerFp: Int = 100): DataFrame =
+    contaminationAgainstIndex(train, trainId, trainText,
+      benchFingerprintIndex(bench, benchId, benchText, k, window, maxDocsPerFp),
+      k, window, minShared)
+
+  /** [[contamination]]'s benchmark side as a standalone capped fingerprint
+    * index (bench_id, __fp) — build it ONCE and reuse across incoming
+    * training batches (the streaming
+    * [[graft.streaming.Streaming.ContaminationMonitor]] freezes it at
+    * construction; the benchmark is fixed, so per-batch work never
+    * re-fingerprints it).
+    */
+  def benchFingerprintIndex(bench: DataFrame, benchId: String, benchText: String,
+                            k: Int = 4, window: Int = 4,
+                            maxDocsPerFp: Int = 100): DataFrame = {
+    val parallelism = bench.sparkSession.sparkContext.defaultParallelism * 2
+    bench.select(col(benchId).as("bench_id"), col(benchText).as("__t"))
+      .repartition(parallelism, col("bench_id"))
+      .select(col("bench_id"), explode(winnowedFingerprints(col("__t"), k, window)).as("__fp"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .filter(col("__cnt") <= maxDocsPerFp).drop("__cnt")
+  }
+
+  /** [[contamination]]'s match stage against a pre-built
+    * [[benchFingerprintIndex]] — per-call work is proportional to the
+    * TRAIN side (fingerprint explode + one equi-join on the fingerprint).
+    */
+  def contaminationAgainstIndex(train: DataFrame, trainId: String,
+                                trainText: String, index: DataFrame,
+                                k: Int = 4, window: Int = 4,
+                                minShared: Int = 5): DataFrame = {
     val parallelism = train.sparkSession.sparkContext.defaultParallelism * 2
     val tf = train.select(col(trainId).as("train_id"), col(trainText).as("__t"))
       .repartition(parallelism, col("train_id"))
       .select(col("train_id"), explode(winnowedFingerprints(col("__t"), k, window)).as("__fp"))
-    val bf = bench.select(col(benchId).as("bench_id"), col(benchText).as("__t"))
-      .repartition(parallelism, col("bench_id"))
-      .select(col("bench_id"), explode(winnowedFingerprints(col("__t"), k, window)).as("__fp"))
-    val capped = bf
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__fp"))))
-      .filter(col("__cnt") <= maxDocsPerFp).drop("__cnt")
-    tf.join(capped, Seq("__fp"))
+    tf.join(index, Seq("__fp"))
       .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

@@ -325,6 +325,49 @@ object Stats {
         col("__na").as("n_a"), col("__nb").as("n_b"))
   }
 
+  /** Population Stability Index between two numeric samples at fixed-width
+    * bin resolution — the industry-standard "did this feature's
+    * distribution move enough to retrain" score (PSI < 0.1 stable, > 0.25
+    * action), complementing [[ksDrift]] (max CDF gap — tail-sensitive)
+    * with a mass-weighted symmetric divergence. Add-one smoothing on bin
+    * counts keeps bins observed on only one side finite and the score
+    * deterministic (no epsilon tuning).
+    *
+    * Scale shape: each side collapses to its bounded bin table in ONE
+    * map-side-combined aggregation (the [[histogramQuantiles]] pass);
+    * everything after is arithmetic on the joined bin frame. Proportions
+    * are single IEEE divides of exact longs, each bin's
+    * (pa−pb)·ln(pa/pb) term evaluates in fixed order and stages in
+    * DECIMAL(28,10) before the order-independent sum.
+    *
+    * Returns one row (n_bins, n_a, n_b, psi).
+    */
+  def psiDrift(a: DataFrame, bDf: DataFrame, valueCol: String,
+               width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    def binsOf(df: DataFrame, out: String) =
+      df.select(floor(col(valueCol) / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    // the joined bin table feeds totals AND per-bin terms — frozen so each
+    // side's corpus aggregation runs once (the chisqDrift discipline)
+    val joined = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      binsOf(a, "ca").join(binsOf(bDf, "cb"), Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+    val totals = broadcast(joined.agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"), count(lit(1)).as("__k")))
+    val pa = (col("ca") + lit(1)).cast("double") / (col("__na") + col("__k")).cast("double")
+    val pb = (col("cb") + lit(1)).cast("double") / (col("__nb") + col("__k")).cast("double")
+    joined.crossJoin(totals)
+      .select(col("__na"), col("__nb"),
+        ((pa - pb) * log(pa / pb))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)).as("__t"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("__t")).as("__psi"))
+      .select(col("n_bins"), col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__psi"), 6).cast("double").as("psi"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

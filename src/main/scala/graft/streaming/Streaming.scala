@@ -359,6 +359,48 @@ object Streaming {
         zThreshold)
   }
 
+  /** Streaming benchmark-contamination monitor — continuous
+    * decontamination at ingest: the benchmark's capped winnowed-fingerprint
+    * index ([[graft.functions.Dedup.benchFingerprintIndex]]) freezes ONCE
+    * at construction (the benchmark is fixed), and each incoming training
+    * micro-batch fingerprints itself and equi-joins the index — per-batch
+    * work is batch-proportional, never corpus- or benchmark-rescanning.
+    * Because the benchmark side never changes and a training document's
+    * shared-fingerprint counts involve only its own batch, the accreted
+    * match set EQUALS the batch [[graft.functions.Dedup.contamination]]
+    * over all batches seen (StreamingSpec proves it through foreachBatch
+    * plumbing). Wire with [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class ContaminationMonitor(bench: DataFrame, benchId: String,
+                             benchText: String, trainId: String,
+                             trainText: String,
+                             k: Int = 4, window: Int = 4, minShared: Int = 5,
+                             maxDocsPerFp: Int = 100) {
+    import graft.functions.Dedup
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val benchIdx = bridge.freeze(
+      Dedup.benchFingerprintIndex(bench, benchId, benchText, k, window, maxDocsPerFp))
+    private var found: Option[DataFrame] = None
+
+    /** match one micro-batch of training docs against the benchmark index */
+    def update(batch: DataFrame): Unit = {
+      val m = Dedup.contaminationAgainstIndex(batch, trainId, trainText,
+        benchIdx, k, window, minShared)
+      found = Some(bridge.freeze(found.map(_.unionByName(m)).getOrElse(m)))
+    }
+
+    /** all (train_id, bench_id, shared) contamination hits so far */
+    def matches: DataFrame = found.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** persist the match state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("found" -> found))
+
+    /** restore match state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      found = MonitorState.load(spark, dir, "found")
+  }
+
   /** Streaming quantile monitor — maintain
     * [[graft.functions.Stats.histogramQuantiles]]' thresholds as batches
     * arrive: state is the fixed-width (bin, cnt) histogram, whose size is

@@ -367,7 +367,17 @@ object ScaleBench {
         () => force(Events.funnelLatency(ev1, "user_id", "event_type", "ts",
           Seq("view", "click", "signup", "purchase"))),
         () => force(Events.funnelLatency(ev10, "user_id", "event_type", "ts",
-          Seq("view", "click", "signup", "purchase")))))
+          Seq("view", "click", "signup", "purchase")))),
+      // two bounded bin tables + tiny smoothed-divergence arithmetic
+      ("stats_psi_drift", maxEvent, maxEvent * copies,
+        () => force(Stats.psiDrift(
+          ev1.filter(col("event_type") === "click").select(col("value")),
+          ev1.filter(col("event_type") === "purchase").select(col("value")),
+          "value", width = 5.0)),
+        () => force(Stats.psiDrift(
+          ev10.filter(col("event_type") === "click").select(col("value")),
+          ev10.filter(col("event_type") === "purchase").select(col("value")),
+          "value", width = 5.0))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

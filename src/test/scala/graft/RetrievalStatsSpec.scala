@@ -159,6 +159,22 @@ class RetrievalStatsSpec extends SparkSpec {
       "text", nMerges = 3).count() == 0)
   }
 
+  test("psiDrift: hand-computed score, identical distributions read 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a: 4 in bin 0, 4 in bin 1; b: 2 in bin 0, 6 in bin 1; add-one over
+    // k=2 bins: pa=(0.5,0.5), pb=(0.3,0.7)
+    // PSI = 0.2·ln(5/3) − 0.2·ln(5/7) = 0.169460 (6dp)
+    val a = Seq(0.1, 0.2, 0.3, 0.4, 1.1, 1.2, 1.3, 1.4).toDF("v")
+    val b = Seq(0.1, 0.2, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6).toDF("v")
+    val row = Stats.psiDrift(a, b, "v", width = 1.0).head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 8L && row.getLong(2) == 8L)
+    assert(math.abs(row.getDouble(3) - 0.16946) < 1e-5, s"psi ${row.getDouble(3)}")
+    // same shape at different sizes: proportions equal -> exactly 0
+    val z = Stats.psiDrift(a, a.unionAll(a), "v", width = 1.0).head()
+    assert(z.getDouble(3) == 0.0 && z.getLong(2) == 16L)
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -324,6 +324,40 @@ class StreamingSpec extends SparkSpec {
     assert(stickStreamed == stickBatch)
   }
 
+  test("streaming contamination monitor: accreted hits equal the batch solve, restore mid-stream") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchFull = toMap(graft.functions.Dedup.contamination(
+      train, "doc_id", "text", bench, "doc_id", "text", minShared = 3))
+
+    // through real foreachBatch plumbing over a partitioned train dump
+    val dir = java.nio.file.Files.createTempDirectory("contam_stream").toString
+    train.repartition(3).write.mode("overwrite").parquet(dir)
+    val cm = new Streaming.ContaminationMonitor(bench, "doc_id", "text",
+      "doc_id", "text", minShared = 3)
+    val stream = spark.readStream.schema(train.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) cm.update(batch)))
+    assert(toMap(cm.matches) == batchFull)
+    assert(batchFull.nonEmpty, "fixture must contain contamination")
+
+    // save after a partial replay, restore into a fresh monitor, finish
+    val ckpt = java.nio.file.Files.createTempDirectory("contam_state").toString
+    val cm2 = new Streaming.ContaminationMonitor(bench, "doc_id", "text",
+      "doc_id", "text", minShared = 3)
+    cm2.update(train.filter(col("doc_id") % 2 === 0))
+    cm2.saveState(ckpt)
+    val cm3 = new Streaming.ContaminationMonitor(bench, "doc_id", "text",
+      "doc_id", "text", minShared = 3)
+    cm3.restoreState(spark, ckpt)
+    cm3.update(train.filter(col("doc_id") % 2 =!= 0))
+    assert(toMap(cm3.matches) == batchFull)
+  }
+
   test("streaming quantile monitor: thresholds bit-identical to the batch scan, restore mid-stream") {
     val ev = spark.read.parquet(stagedDir)
     val dir = java.nio.file.Files.createTempDirectory("quant_stream").toString

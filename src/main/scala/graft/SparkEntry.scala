@@ -1153,6 +1153,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // declarative rule-based curation: first-violated-rule annotation +
+    // kept flag, all rules in ONE scan-speed projection — the per-rule
+    // rejection audit every production filter ships (rule order = priority)
+    "curate_rules" -> ((s, dir) => {
+      val (annotated, _) = graft.functions.Curation.ruleCurate(docsNorm(s, dir), Seq(
+        "empty" -> (TextAnalysis.tokenCount(col("text")) === 0),
+        "too_short" -> (TextAnalysis.tokenCount(col("text")) < 25),
+        "too_long" -> (col("n_chars") > 900),
+        "cjk_excluded" -> (col("lang") === "zh")))
+      annotated.select(col("doc_id"), col("violated_rule"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // padding-waste audit across candidate context lengths: the
+    // seqLen-planning table that quantifies the packing argument — one
+    // map-side-combined aggregation per candidate, exact long arithmetic
+    "pack_padding_audit" -> ((s, dir) => {
+      graft.functions.Packing.paddingAudit(docsNorm(s, dir),
+          TextAnalysis.tokenCount(col("text")), Seq(64, 128, 256))
+        .orderBy(col("ctx_len"))
+    }),
+
     // curation BY domain: annotate every document with its domain verdict
     // (quality floor, duplication ceiling, blocklist) — broadcast join of
     // the stats table back onto the scan, the corpus itself never shuffles
@@ -3848,6 +3870,50 @@ object SparkEntry {
          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
 
     "text_bpe_train" -> bpeTrainOracleSql(6),
+
+    // rule replay: the same first-violated CASE chain over the same
+    // scan-speed signals
+    "curate_rules" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang, n_chars, $normSql AS nt FROM documents),
+         t AS (
+           SELECT doc_id, lang, n_chars,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS tok
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN tok = 0 THEN 'empty'
+                WHEN tok < 25 THEN 'too_short'
+                WHEN n_chars > 900 THEN 'too_long'
+                WHEN lang = 'zh' THEN 'cjk_excluded'
+                ELSE NULL END AS violated_rule,
+           (CASE WHEN tok = 0 THEN 'empty'
+                WHEN tok < 25 THEN 'too_short'
+                WHEN n_chars > 900 THEN 'too_long'
+                WHEN lang = 'zh' THEN 'cjk_excluded'
+                ELSE NULL END) IS NULL AS kept
+         FROM t ORDER BY doc_id""",
+
+    // padding replay: same per-candidate clamp/pad sums and staged ratio
+    "pack_padding_audit" ->
+      s"""WITH d AS (
+           SELECT CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS t
+           FROM (SELECT $normSql AS nt FROM documents)),
+         c(ctx) AS (VALUES (64), (128), (256)),
+         agg AS (
+           SELECT ctx, count(*) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN t <= 0 THEN 0
+               ELSE ctx - least(t, ctx) END) AS BIGINT) AS padded_tokens,
+             CAST(sum(CASE WHEN t <= 0 THEN 0
+               ELSE least(t, ctx) END) AS BIGINT) AS kept
+           FROM d CROSS JOIN c GROUP BY ctx)
+         SELECT ctx AS ctx_len, n_docs, total_tokens, padded_tokens,
+           round(CAST(padded_tokens::DOUBLE
+               / greatest(kept + padded_tokens, 1) AS DECIMAL(18,8)), 6)::DOUBLE
+             AS pad_frac
+         FROM agg ORDER BY ctx_len""",
 
     // epoch-shuffle replay: the same md5-derived shard and order keys
     "sample_epoch_shuffle" ->

@@ -292,6 +292,38 @@ object Curation {
       .drop("n_docs")
   }
 
+  /** Declarative rule-based curation with a per-rule rejection audit — the
+    * "why was each document dropped" report every production filter
+    * pipeline ships next to its keep decision (C4's filter-ablation
+    * tables): each named rule is a Column predicate (true = VIOLATES);
+    * documents are annotated with the FIRST violated rule (rule order =
+    * priority) and the kept flag, and the audit rolls up per-rule drop
+    * counts plus the kept row.
+    *
+    * Scale shape: every rule evaluates in the same scan-speed projection
+    * (one pass, zero shuffles for the annotation); the audit is ONE
+    * map-side-combined aggregation to |rules|+1 rows. Rules compose from
+    * the library's scan-speed signals ([[graft.functions.TextAnalysis]]
+    * quality/repetition/langid) without materializing any of them.
+    *
+    * Returns (annotated, audit): `annotated` = input + (violated_rule
+    * string-or-null, kept boolean); `audit` = (rule, n_docs) ordered by
+    * rule with 'kept' as the final row.
+    */
+  def ruleCurate(df: DataFrame,
+                 rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "ruleCurate needs at least one rule")
+    val firstViolated = rules.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, pred)) => when(pred, lit(name)).otherwise(acc)
+    }
+    val annotated = df.withColumn("violated_rule", firstViolated)
+      .withColumn("kept", col("violated_rule").isNull)
+    val audit = annotated
+      .groupBy(coalesce(col("violated_rule"), lit("kept")).as("rule"))
+      .agg(count(lit(1)).as("n_docs"))
+    (annotated, audit)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * score every document with the unigram-LM log-probability proxy

@@ -37,6 +37,47 @@ object Packing {
         pmod(col("__start"), lit(ctxLen.toLong)).as("off"))
   }
 
+  /** Padding-waste audit for candidate context lengths — the dataloader
+    * planning table run before choosing a training seqLen: for each
+    * candidate, what fraction of compute would be padding under naive
+    * one-doc-per-row batching (docs truncated at the context length, the
+    * remainder of the last window padded) vs the zero-padding dense
+    * [[packPlan]]. The gap IS the argument for sequence packing, quantified
+    * on the actual corpus.
+    *
+    * Scale shape: ONE map-side-combined aggregation per candidate over the
+    * scan-speed token count, unioned into a |candidates|-row table —
+    * corpus touched once per candidate with no shuffle beyond the
+    * single-row aggregations. Exact long arithmetic; ratios decimal-staged.
+    *
+    * Returns (ctx_len, n_docs, total_tokens, padded_tokens, pad_frac)
+    * ordered by ctx_len, where padded_tokens counts naive per-doc padding
+    * `ceil(min(tok,ctx)/ctx)·ctx − min(tok,ctx)` summed (zero-token docs
+    * contribute zero).
+    */
+  def paddingAudit(df: DataFrame, tokCol: Column,
+                   ctxLens: Seq[Int]): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens.forall(_ > 0), "ctxLens must be positive")
+    val toks = df.select(tokCol.cast("long").as("__t"))
+    ctxLens.map { ctx =>
+      val kept = when(col("__t") <= 0, lit(0L))
+        .otherwise(least(col("__t"), lit(ctx.toLong)))
+      val pad = when(col("__t") <= 0, lit(0L))
+        .otherwise(lit(ctx.toLong) - least(col("__t"), lit(ctx.toLong)))
+      toks.agg(count(lit(1)).as("n_docs"),
+          sum(col("__t")).as("total_tokens"),
+          sum(kept).as("__kept"),
+          sum(pad).as("padded_tokens"))
+        .select(lit(ctx).as("ctx_len"), col("n_docs"), col("total_tokens"),
+          col("padded_tokens"),
+          // denominator = naive compute = kept + padded (= nonempty·ctx)
+          round((col("padded_tokens").cast("double") /
+              greatest(col("__kept") + col("padded_tokens"), lit(1L)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+            .cast("double").as("pad_frac"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Sliding-window token chunking with overlap — the RAG/long-context prep
     * that complements [[packPlan]]'s dense packing: each document splits
     * into `window`-token chunks every `stride` tokens (overlap =

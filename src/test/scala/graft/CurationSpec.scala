@@ -75,6 +75,41 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ruleCurate: first violated rule wins by priority, audit partitions the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "short text", "en"),        // violates too_short only
+      (2L, ("w " * 40).trim, "zh"),    // long enough but zh: cjk rule
+      (3L, ("w " * 40).trim, "en"),    // clean -> kept
+      (4L, "tiny", "zh")               // short AND zh: priority -> too_short
+    ).toDF("doc_id", "text", "lang")
+    val (annotated, audit) = graft.functions.Curation.ruleCurate(docs, Seq(
+      "too_short" -> (graft.functions.TextAnalysis.tokenCount(col("text")) < 10),
+      "cjk_excluded" -> (col("lang") === "zh")))
+    val ann = annotated.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(3)), r.getBoolean(4))).toMap
+    assert(ann == Map(
+      1L -> (Some("too_short"), false), 2L -> (Some("cjk_excluded"), false),
+      3L -> (None, true), 4L -> (Some("too_short"), false)), s"got $ann")
+    val a = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == Map("too_short" -> 2L, "cjk_excluded" -> 1L, "kept" -> 1L))
+    assert(a.values.sum == docs.count())
+  }
+
+  test("paddingAudit: clamp/pad arithmetic exact, empty docs free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tokens 0, 10, 100 at ctx 64: kept 0+10+64, pad 0+54+0
+    // pad_frac = 54 / (74 + 54) = 0.421875
+    val toks = Seq(0L, 10L, 100L).toDF("t")
+    val out = graft.functions.Packing.paddingAudit(toks, col("t"), Seq(64))
+      .head()
+    assert(out.getInt(0) == 64 && out.getLong(1) == 3L &&
+      out.getLong(2) == 110L && out.getLong(3) == 54L)
+    assert(out.getDouble(4) == 0.421875, s"pad_frac ${out.getDouble(4)}")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     import spark.implicits._
     val vOld = Seq((1L, "stays the same"), (2L, "will change"), (3L, "will be removed"))

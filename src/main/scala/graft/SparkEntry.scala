@@ -560,6 +560,34 @@ object SparkEntry {
       tm.matrix.orderBy(col("from_type"), col("to_type"))
     }),
 
+    // streaming Count-Min monitor (batch replay of 5 batches): the CMS is
+    // a LINEAR sketch, so the accreted cells are bit-identical to the
+    // one-pass corpus build — same oracle as sketch_cms
+    "stream_cms" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      def toks(d: DataFrame) = d
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val cm = new graft.streaming.Streaming.CmsMonitor("token", depth = 4, width = 512)
+      (0 until 5).foreach(b => cm.update(toks(docs.filter(col("doc_id") % 5 === b))))
+      val truec = toks(docs).groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      val top = truec.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
+      cm.estimate(top, "token").join(top, Seq("token"))
+        .select(col("token"), col("true_cnt"), col("cms_est"))
+        .orderBy(col("token"))
+    }),
+
+    // stream-static enrichment monitor (batch replay of 5 batches): the
+    // customer dimension freezes once and every micro-batch broadcast-joins
+    // it; additive per-segment totals equal the one-shot batch join+rollup
+    "stream_enrich" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val em = new graft.streaming.Streaming.EnrichMonitor(
+        t(s, dir, "customer"), "c_custkey", "c_mktsegment", "user_id", "value")
+      (0 until 5).foreach(b => em.update(ev.filter(col("event_id") % 5 === b)))
+      em.result.orderBy(col("segment"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -1166,6 +1194,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // boilerplate n-gram audit: trigrams repeated across >= 5 distinct
+    // docs — ONE explode, two-level hash agg (per-doc counts make docs
+    // distinct before the rollup, so df is a plain count)
+    "curate_boilerplate" -> ((s, dir) => {
+      graft.functions.Curation.boilerplateNgrams(docsNorm(s, dir),
+          "doc_id", "text", n = 3, minDf = 5)
+        .orderBy(col("ngram"))
+    }),
+
     // padding-waste audit across candidate context lengths: the
     // seqLen-planning table that quantifies the packing argument — one
     // map-side-combined aggregation per candidate, exact long arithmetic
@@ -1516,6 +1553,17 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // tokenizer APPLY: encode the corpus with the 6 trained merges — the
+    // merge table is driver-side metadata (≤6 rows), the encode itself is
+    // ONE codegen'd chained-replace projection over the word-TYPE table
+    "text_bpe_apply" -> ((s, dir) => {
+      val merges = TextAnalysis.bpeTrain(docsNorm(s, dir), "text", nMerges = 6)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(docsNorm(s, dir), "text", merges)
+        .orderBy(col("symbol"))
+    }),
+
     // deterministic data-mixture sampling: language-rebalancing rates from
     // one tiny per-group aggregation, membership a pure integer compare —
     // re-mixes 100 TB without shuffling the data
@@ -1694,6 +1742,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
+    // audio curation: energy-based VAD over BOTH codec families (real
+    // AudioSystem decode: linear PCM8 widened to 16-bit, µ-law expanded) —
+    // the oracle replays sample synthesis, G.711 companding, integer frame
+    // energies and the floor-mean threshold exactly
+    "mm_audio_vad" -> ((s, dir) => {
+      graft.multimodal.Multimodal.audioVad(
+        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
     // (deterministic decimal-exact quantizer), exact cosine only WITHIN
     // clusters — Σ|cluster|² instead of all-pairs; the oracle replays the
@@ -1870,6 +1928,15 @@ object SparkEntry {
       graft.functions.Events.transitions(events(s, dir),
           "user_id", "event_type", "ts", "event_id")
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // entry-path analysis: each user's first-3 event-type prefix counted
+    // across users — ONE user-keyed window, rows beyond depth dropped
+    // before the bounded per-user rollup
+    "events_paths" -> ((s, dir) => {
+      graft.functions.Events.entryPaths(events(s, dir),
+          "user_id", "event_type", "ts", "event_id", depth = 3)
+        .orderBy(col("path"))
     }),
 
     // two-sample KS drift at bin-edge resolution: click-vs-purchase value
@@ -2083,7 +2150,11 @@ object SparkEntry {
     * (count desc, pair asc) argmax, and applies the identical non-regex
     * `replace` of `|a||b|` → `|ab|`.
     */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+  /** shared CTE chain for the BPE oracles: word-type table `w`, char-split
+    * `s0`, then per-round (pair-count `p_k`, argmax `b_k`, replace `s_k`).
+    * `s<nMerges>` is the fully-encoded word-type table.
+    */
+  private def bpeRoundsCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
       s"""p$k AS (
            SELECT pr, CAST(sum(cnt) AS BIGINT) AS pc FROM (
@@ -2101,8 +2172,7 @@ object SparkEntry {
              '|' || a || b || '|') AS s
            FROM s${k - 1} CROSS JOIN b$k)"""
     }.mkString(",\n       ")
-    val union = (1 to nMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
          SELECT tok, count(*) AS cnt FROM (
            SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
          WHERE tok <> '' GROUP BY tok),
@@ -2110,11 +2180,59 @@ object SparkEntry {
          SELECT cnt, '||' || array_to_string(
            list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)), '||')
            || '||' AS s FROM w),
-       $rounds
+       $rounds"""
+  }
+
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(nMerges)}
        SELECT step, a AS merge_left, b AS merge_right, a || b AS merged,
          pc AS pair_count
        FROM ($union) ORDER BY step"""
   }
+
+  /** encode stage: replay the same merge rounds, then unnest the final
+    * symbol strings — `s` is in bijection with the word type (symbols
+    * concatenate back to the word), so count(DISTINCT s) = word types.
+    */
+  private def bpeApplyOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(nMerges)}
+       SELECT sym AS symbol, CAST(sum(cnt) AS BIGINT) AS total_count,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_word_types
+       FROM (
+         SELECT cnt, s,
+           unnest(list_filter(string_split(s, '||'), x -> x <> '')) AS sym
+         FROM s$nMerges)
+       GROUP BY sym ORDER BY symbol"""
+
+  /** CMS replay: md5-derived 4×512 counters over the token stream, top-20
+    * point queries — shared by `sketch_cms` and its streaming twin
+    * `stream_cms` (the sketch is linear, so the accreted cells equal the
+    * one-pass build bit-for-bit).
+    */
+  private val cmsOracleSql =
+    s"""WITH tk AS (
+         SELECT tok FROM (
+           SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+         WHERE tok <> ''),
+       js AS (SELECT unnest(range(0, 4)) AS j),
+       h AS (
+         SELECT tok, j,
+           ('0x'||substr(md5(tok || 'cms' || j::VARCHAR),1,15))::BIGINT % 512 AS pos
+         FROM tk CROSS JOIN js),
+       cnt AS (SELECT j, pos, count(*) AS c FROM h GROUP BY j, pos),
+       truec AS (SELECT tok, count(*) AS true_cnt FROM tk GROUP BY tok),
+       top AS (SELECT tok, true_cnt FROM truec ORDER BY true_cnt DESC, tok LIMIT 20),
+       look AS (
+         SELECT t.tok, js.j,
+           ('0x'||substr(md5(t.tok || 'cms' || js.j::VARCHAR),1,15))::BIGINT % 512 AS pos
+         FROM top t CROSS JOIN js),
+       est AS (
+         SELECT tok, min(coalesce(c, 0)) AS cms_est
+         FROM look LEFT JOIN cnt USING (j, pos) GROUP BY tok)
+       SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+         CAST(cms_est AS BIGINT) AS cms_est
+       FROM top JOIN est USING (tok) ORDER BY token"""
 
   private val nearDupEdgesSql =
     s"""norm AS (
@@ -2587,6 +2705,14 @@ object SparkEntry {
          SELECT DISTINCT fp, lang AS lang_pred FROM scored
          WHERE quality >= 0.3 AND lang IN ('en', 'de')
          ORDER BY fp""",
+
+    // stream-static enrichment replay: additive segment totals equal the
+    // one-shot batch join+rollup (enrichment is stateless, sums exact)
+    "stream_enrich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     "stream_sessionize" ->
       """WITH flagged AS (
@@ -3870,6 +3996,25 @@ object SparkEntry {
          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
 
     "text_bpe_train" -> bpeTrainOracleSql(6),
+    "text_bpe_apply" -> bpeApplyOracleSql(6),
+
+    // boilerplate replay: same explode + two-level aggregation
+    "curate_boilerplate" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS ngram
+           FROM norm),
+         pd AS (SELECT ngram, doc_id, count(*) AS occ FROM g GROUP BY 1, 2),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+         SELECT ngram, count(*) AS df, CAST(sum(occ) AS BIGINT) AS occ,
+           round(CAST(count(*)::DOUBLE / n AS DECIMAL(18,8)), 4)::DOUBLE
+             AS frac_docs
+         FROM pd CROSS JOIN nd GROUP BY ngram, n
+         HAVING count(*) >= 5 ORDER BY ngram""",
 
     // rule replay: the same first-violated CASE chain over the same
     // scan-speed signals
@@ -4320,6 +4465,45 @@ object SparkEntry {
            CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
            CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3
          FROM u ORDER BY doc_id""",
+
+    // VAD replay: synthesize both codec families' 16-bit sample streams
+    // (PCM8 widened; µ-law encode→decode in exact integer arithmetic),
+    // integer frame energies, floor-mean threshold, rising-edge segments
+    "mm_audio_vad" ->
+      """WITH a AS (
+           SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
+           WHERE doc_id % 3 = 1),
+         pcm AS (
+           SELECT doc_id, i, ((doc_id*7 + i*3) % 256 - 128) * 256 AS pcm FROM a),
+         ex AS (
+           SELECT doc_id, i, pcm, mag,
+             CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
+                  WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
+                  WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
+                  WHEN mag>=256 THEN 1 ELSE 0 END AS e
+           FROM (SELECT doc_id, i, pcm, least(abs(pcm)+132, 32635) AS mag FROM pcm)),
+         v AS (
+           SELECT doc_id, i,
+             CASE WHEN doc_id % 6 = 1 THEN pcm
+                  WHEN pcm < 0 THEN -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
+                  ELSE ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132 END AS v
+           FROM ex),
+         fr AS (
+           SELECT doc_id, i // 32 AS f, sum(v*v) AS en FROM v GROUP BY 1, 2),
+         th AS (
+           SELECT doc_id, sum(en) // count(*) AS theta, count(*) AS nf
+           FROM fr GROUP BY 1),
+         act AS (
+           SELECT fr.doc_id, f, en > theta AS a,
+             lag(en > theta) OVER (PARTITION BY fr.doc_id ORDER BY f) AS pa,
+             nf
+           FROM fr JOIN th USING (doc_id))
+         SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+           CAST(count(*) FILTER (a) AS INTEGER) AS n_active,
+           CAST(count(*) FILTER (a AND (pa IS NULL OR NOT pa)) AS INTEGER)
+             AS n_segments,
+           round(count(*) FILTER (a) / nf::DOUBLE, 4) AS speech_ratio
+         FROM act GROUP BY doc_id, nf ORDER BY doc_id""",
 
     "sim_ann_ivf" ->
       """WITH e AS (
@@ -4940,6 +5124,21 @@ object SparkEntry {
            round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
          FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
 
+    // entry-path replay: same ranking window, per-user ordered list join
+    "events_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+           FROM events),
+         p AS (
+           SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path,
+             CAST(max(rn) AS INT) AS depth
+           FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, depth, count(*) AS n_users
+         FROM p GROUP BY path, depth ORDER BY path""",
+
     // streaming transitions replay: with per-user time-ordered batches the
     // carried last event contributes exactly the boundary hop, so the
     // accreted matrix equals the batch transitions over the full stream
@@ -5064,29 +5263,10 @@ object SparkEntry {
          ORDER BY source_a, source_b""",
 
     // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
-    "sketch_cms" ->
-      s"""WITH tk AS (
-           SELECT tok FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
-           WHERE tok <> ''),
-         js AS (SELECT unnest(range(0, 4)) AS j),
-         h AS (
-           SELECT tok, j,
-             ('0x'||substr(md5(tok || 'cms' || j::VARCHAR),1,15))::BIGINT % 512 AS pos
-           FROM tk CROSS JOIN js),
-         cnt AS (SELECT j, pos, count(*) AS c FROM h GROUP BY j, pos),
-         truec AS (SELECT tok, count(*) AS true_cnt FROM tk GROUP BY tok),
-         top AS (SELECT tok, true_cnt FROM truec ORDER BY true_cnt DESC, tok LIMIT 20),
-         look AS (
-           SELECT t.tok, js.j,
-             ('0x'||substr(md5(t.tok || 'cms' || js.j::VARCHAR),1,15))::BIGINT % 512 AS pos
-           FROM top t CROSS JOIN js),
-         est AS (
-           SELECT tok, min(coalesce(c, 0)) AS cms_est
-           FROM look LEFT JOIN cnt USING (j, pos) GROUP BY tok)
-         SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
-           CAST(cms_est AS BIGINT) AS cms_est
-         FROM top JOIN est USING (tok) ORDER BY token""",
+    "sketch_cms" -> cmsOracleSql,
+    // the streaming monitor accretes the SAME linear sketch (cells are
+    // additive), so the batch replay is the identical oracle
+    "stream_cms" -> cmsOracleSql,
 
     // HLL replay: the same md5-derived 60-bit hash split into bucket and
     // sub-stream word, trailing-zero ranks via bit_count((w & -w) - 1), register-max,

@@ -22,6 +22,43 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Curation {
 
+  /** Boilerplate n-gram audit — the repeated-template detector behind
+    * C4/RefinedWeb-style "remove lines seen on many pages" rules, adapted
+    * to token n-grams: every n-gram occurring in at least `minDf` DISTINCT
+    * documents, with its document frequency, total occurrence count and
+    * corpus fraction. The output IS the boilerplate blocklist a curation
+    * pass would subtract.
+    *
+    * Scale shape: ONE corpus explode feeds a two-level hash aggregation —
+    * (ngram, doc) occurrence counts first (map-side combined; bounds any
+    * single page's internal repetition to one row), then the (ngram) rollup
+    * where `df` is a plain `count` because level one already made docs
+    * distinct. No self-joins, no `countDistinct` over the raw explode
+    * (which would carry a per-ngram doc-id set through the shuffle). The
+    * `minDf` filter bounds the output to genuinely repeated templates; the
+    * corpus-size scalar is a broadcast 1-row frame.
+    *
+    * Returns (ngram, df, occ, frac_docs), df ≥ minDf.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDf: Long = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+    val perDoc = df.select(col(idCol).as("__id"), explode(grams).as("ngram"))
+      .groupBy(col("ngram"), col("__id")).agg(count(lit(1)).as("__occ"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    perDoc.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"), sum(col("__occ")).as("occ"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("ngram"), col("df"), col("occ"),
+        round((col("df").cast(DoubleType) / col("__n"))
+          .cast(DecimalType(18, 8)), 4).cast(DoubleType).as("frac_docs"))
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources, the
     * number of distinct word n-gram shingles they share and the Jaccard of
     * their shingle sets — the corpus-composition audit run before mixing

@@ -324,6 +324,38 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Entry-path analysis: each user's first `depth` event types (ordered
+    * by (ts, id)) joined into a ">"-delimited path and counted across
+    * users — the onboarding-flow rollup that generalizes [[transitions]]'
+    * single-hop matrix to short ordered prefixes.
+    *
+    * Scale shape: ONE user-keyed window (the sessionization discipline)
+    * ranks events, rows beyond `depth` drop BEFORE the per-user rollup so
+    * the collected list is ≤ `depth` elements — bounded per-user state, no
+    * whale partitions — and the path count is a map-side-combined
+    * aggregation over at most |types|^depth + shorter-prefix rows.
+    *
+    * Returns (path, depth, n_users); depth < `depth` rows are users whose
+    * whole history is shorter than the prefix.
+    */
+  def entryPaths(df: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, idCol: String, depth: Int = 3): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(userCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__rn").as("r"),
+            col(typeCol).cast("string").as("t")))),
+          x => x.getField("t")), ">").as("path"),
+        max(col("__rn")).as("depth"))
+      .groupBy(col("path"), col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-user funnel progress: the earliest strictly-increasing timestamp
     * chain through `steps`. Returns (userCol, step_1_ts..step_k_ts,
     * steps_completed); a user absent from step 1 appears with all-null

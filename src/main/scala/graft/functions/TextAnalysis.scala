@@ -224,6 +224,40 @@ object TextAnalysis {
         col("pair_count"))
   }
 
+  /** Encode the corpus with a trained BPE merge table — the tokenizer
+    * APPLY stage that pairs with [[bpeTrain]] (the reference has no
+    * tokenizer; this is the training-data-pipeline extension).
+    *
+    * The corpus collapses to its word-TYPE table first (one pass, counts
+    * carried), so the per-word merge replay runs once per distinct word,
+    * not once per occurrence — at 100 TB the type table is millions of
+    * rows while the corpus is trillions of tokens. Each merge rule is a
+    * scan-speed literal `replace` over the `||`-delimited symbol string
+    * (same non-overlapping left-to-right semantics as training, see
+    * [[bpeTrain]]); the whole chain is ONE codegen'd projection — no
+    * joins, no iteration over data. Returns the encoded-corpus symbol
+    * vocabulary: (symbol, total_count weighted by word frequency,
+    * n_word_types containing the symbol).
+    */
+  def bpeApply(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    val s0 = concat(lit("||"), array_join(
+      transform(sequence(lit(1), length(col("__w"))),
+        i => col("__w").substr(i, lit(1))), "||"), lit("||"))
+    val enc = merges.foldLeft(s0) { case (acc, (a, b)) =>
+      replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    words
+      .select(col("__w"), col("__cnt"),
+        explode(filter(split(enc, "\\|\\|"), x => x =!= "")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("__cnt")).as("total_count"),
+        countDistinct(col("__w")).as("n_word_types"))
+  }
+
   /** content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (md5 rather than xxhash64 so external engines can reproduce it.)
     */

@@ -298,6 +298,56 @@ object Multimodal {
     StructField("content", BinaryType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
+  /** Energy-based voice-activity detection over audio-kind rows — the
+    * audio-curation stage (silence trimming / speech-ratio filters) of a
+    * multimodal pipeline. REAL decode (AudioSystem, both codecs), then
+    * per-frame integer energy: PCM8 samples center to the 16-bit domain
+    * ((s-128)·256, the same widening [[encodeUlawWav]] compands from),
+    * µ-law samples are already expanded 16-bit — so both codec families
+    * are thresholded on one scale. A frame is ACTIVE when its energy
+    * strictly exceeds the per-document mean frame energy (integer floor —
+    * engine-replayable, no float accumulation), and a segment is a maximal
+    * run of active frames.
+    *
+    * Batch shape matches [[extractFeatures]]: partition-local, fixed-size
+    * batches; per-row output is a constant-width summary, so 100 TB of
+    * audio maps to a scan-speed projection with no shuffle at all.
+    *
+    * Returns (doc_id, n_frames, n_active, n_segments, speech_ratio).
+    */
+  def audioVad(media: DataFrame, frameSize: Int = 32, batchSize: Int = 64): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+      StructField("n_active", IntegerType), StructField("n_segments", IntegerType),
+      StructField("speech_ratio", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "audio").select(col("doc_id"), col("content"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val (_, samples, audioEnc) = decodeAudio(r.getAs[Array[Byte]]("content"))
+            val centered: Array[Long] =
+              if (audioEnc == "ulaw") samples.map(_.toLong)
+              else samples.map(s => ((s - 128) * 256).toLong)
+            val energies = centered.grouped(frameSize)
+              .map(f => f.map(v => v * v).sum).toArray
+            val n = energies.length
+            val theta = energies.sum / n // integer floor mean — replayable
+            val active = energies.map(_ > theta)
+            val nActive = active.count(identity)
+            val nSeg = active.zipWithIndex.count {
+              case (a, i) => a && (i == 0 || !active(i - 1))
+            }
+            Row(id, n, nActive, nSeg,
+              math.round(nActive.toDouble / n * 10000).toDouble / 10000)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Build a media table from the documents table: kind rotates by doc_id,
     * content is a genuinely-encoded container (BMP / WAV / frame container),
     * synthesized deterministically per row, distributed (partition-local).

@@ -401,6 +401,97 @@ object Streaming {
       found = MonitorState.load(spark, dir, "found")
   }
 
+  /** Stream-static enrichment monitor — the continuous form of the fact
+    * pipeline's dimension join: a bounded static dimension freezes ONCE at
+    * construction and every micro-batch equi-joins it BROADCAST (the
+    * dimension never re-shuffles, the stream never shuffles at all — at
+    * 1000 executors each batch partition joins locally), then accretes
+    * per-segment additive aggregates. State is the |segments|-row totals
+    * table; counts and exact DECIMAL sums are additive, so the accreted
+    * result equals the one-shot batch join+group-by regardless of arrival
+    * order or batch boundaries (StreamingSpec proves foreachBatch parity
+    * and save/restore). Wire with [[foreachBatchMerge]]`(stream, em.update)`.
+    */
+  class EnrichMonitor(dim: DataFrame, dimKey: String, segCol: String,
+                      batchKey: String, valueCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    private val dimF = bridge.freeze(
+      dim.select(col(dimKey), col(segCol)).dropDuplicates(dimKey))
+    private var totals: Option[DataFrame] = None
+
+    /** enrich one micro-batch and fold its per-segment aggregates in */
+    def update(batch: DataFrame): Unit = {
+      val b = batch
+        .join(broadcast(dimF), batch(batchKey) === dimF(dimKey))
+        .groupBy(col(segCol).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(dec).as("__v"))
+      val merged = totals match {
+        case None => b
+        case Some(t) => t.unionByName(b).groupBy(col("segment"))
+          .agg(sum(col("n")).as("n"), sum(col("__v")).cast(dec).as("__v"))
+      }
+      totals = Some(bridge.freeze(merged))
+    }
+
+    /** per-segment (segment, n, value_sum) totals over all batches seen */
+    def result: DataFrame = totals.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+      .select(col("segment"), col("n"),
+        round(col("__v"), 2).cast("double").as("value_sum"))
+
+    /** persist the totals state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("totals" -> totals))
+
+    /** restore totals state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      totals = MonitorState.load(spark, dir, "totals")
+  }
+
+  /** Streaming Count-Min monitor — continuous approximate frequency
+    * tracking: state is the `depth × width` counter table (kilobytes,
+    * data-independent), and because the CMS is a LINEAR sketch its cells
+    * are additive across micro-batches — the accreted sketch is
+    * bit-identical to the one-pass corpus build regardless of arrival
+    * order or batch boundaries, so point estimates keep the classic
+    * est ≥ true guarantee with ε = e/width over everything seen.
+    * Per-batch work is ONE map-side-combined aggregation of the batch
+    * plus a sketch-sized merge; the corpus is never rescanned. Wire with
+    * [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class CmsMonitor(keyCol: String, depth: Int = 4, width: Int = 512) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var cells: Option[DataFrame] = None
+
+    /** fold one micro-batch's occurrence stream into the sketch */
+    def update(batch: DataFrame): Unit = {
+      val b = graft.functions.Stats.countMinSketch(batch, keyCol, depth, width)
+      val merged = cells match {
+        case None => b
+        case Some(c) => c.unionByName(b)
+          .groupBy(col("row"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      }
+      cells = Some(bridge.freeze(merged))
+    }
+
+    /** the accreted (row, pos, cnt) sketch over all batches seen */
+    def sketch: DataFrame = cells.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** point-query keys against the accreted sketch (est ≥ true) */
+    def estimate(keys: DataFrame, kc: String): DataFrame =
+      graft.functions.Stats.countMinEstimate(sketch, keys, kc, depth, width)
+
+    /** persist the sketch state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("cells" -> cells))
+
+    /** restore sketch state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      cells = MonitorState.load(spark, dir, "cells")
+  }
+
   /** Streaming quantile monitor — maintain
     * [[graft.functions.Stats.histogramQuantiles]]' thresholds as batches
     * arrive: state is the fixed-width (bin, cnt) histogram, whose size is

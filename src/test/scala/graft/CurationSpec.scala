@@ -196,6 +196,27 @@ class CurationSpec extends SparkSpec {
     assert(plan.values.map(_._3).sum <= 100L)
   }
 
+  test("boilerplateNgrams: hand-computed df/occ, within-doc repeats count once for df") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "copyright acme corp all rights reserved"),
+      (1L, "copyright acme corp something else entirely here"),
+      // doc 2 repeats the template TWICE — df counts it once, occ twice
+      (2L, "copyright acme corp and copyright acme corp again"),
+      (3L, "totally unrelated text body")).toDF("doc_id", "text")
+    val out = Curation.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("copyright acme corp" -> (3L, 4L, 0.75)), s"got $out")
+    // minDf bounds the output: raising it past the max df empties the audit
+    assert(Curation.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDf = 5).count() == 0)
+    // short docs (fewer than n tokens) contribute no n-grams and don't crash
+    val short = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    assert(Curation.boilerplateNgrams(short, "doc_id", "text", n = 3, minDf = 1).count() == 0)
+    val bi = Curation.boilerplateNgrams(short, "doc_id", "text", n = 2, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi == Map("a b" -> 2L), s"got $bi")
+  }
+
   test("perplexityBuckets: per-language thresholds, empty docs excluded, order respects score") {
     val docs = table("documents")
     val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang").cache()

@@ -190,6 +190,27 @@ class EventsSpec extends SparkSpec {
     assert(sums.forall { case (_, s) => math.abs(s - 1.0) < 1e-4 })
   }
 
+  test("entryPaths: first-k prefix per user, tie-break by id, short histories kept") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a -> b -> c -> d (4th event must not enter a depth-3 path)
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "c", 30L, 3L), (1L, "d", 40L, 4L),
+      // user 2: same prefix a -> b -> c
+      (2L, "a", 5L, 5L), (2L, "b", 6L, 6L), (2L, "c", 7L, 7L),
+      // user 3: short history — depth-2 path
+      (3L, "b", 10L, 8L), (3L, "a", 20L, 9L),
+      // user 4: same-ts tie broken by event id: a(10) then b(11)
+      (4L, "a", 50L, 10L), (4L, "b", 50L, 11L), (4L, "a", 60L, 12L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val out = Events.entryPaths(ev, "user_id", "event_type", "ts", "event_id", depth = 3)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a>b>c" -> (3, 2L), // users 1 and 2
+      "b>a" -> (2, 1L), // user 3's whole (short) history
+      "a>b>a" -> (3, 1L)), s"got $out") // user 4, tie-broken by id
+  }
+
   test("funnel on the corpus: counts monotone down the funnel") {
     val ev = table("events")
     val out = Events.funnel(ev, "user_id", "event_type", "ts",

@@ -105,6 +105,38 @@ class MultimodalSpec extends SparkSpec {
       r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0))
   }
 
+  test("audioVad: decoded-sample energies match the generation-rule replay, both codecs") {
+    val m = Multimodal.mediaTable(table("documents"))
+    val out = Multimodal.audioVad(m).orderBy("doc_id").collect()
+    val out2 = Multimodal.audioVad(m, batchSize = 7).orderBy("doc_id").collect()
+    assert(out.sameElements(out2)) // batch size must not change results
+    assert(out.nonEmpty && out.forall(_.getLong(0) % 3 == 1)) // audio rows only
+    // replay from the closed-form generators: PCM8 widens, mu-law compands
+    def expected(id: Long): (Int, Int, Int, Double) = {
+      val centered = Array.tabulate(Multimodal.WavSamples) { i =>
+        val pcm = Multimodal.pcm16(id, i)
+        if (id % 6 == 1) pcm.toLong
+        else Multimodal.ulawDecode(Multimodal.ulawEncode(pcm)).toLong
+      }
+      val en = centered.grouped(32).map(f => f.map(v => v * v).sum).toArray
+      val theta = en.sum / en.length
+      val act = en.map(_ > theta)
+      val nAct = act.count(identity)
+      val nSeg = act.zipWithIndex.count { case (a, i) => a && (i == 0 || !act(i - 1)) }
+      (en.length, nAct, nSeg,
+        math.round(nAct.toDouble / en.length * 10000).toDouble / 10000)
+    }
+    out.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)) == e,
+        s"doc ${r.getLong(0)}: got $r, expected $e")
+    }
+    // sanity: a segment needs at least one active frame, ratios in [0,1]
+    out.foreach { r =>
+      assert(r.getInt(3) <= r.getInt(2) && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("resize: decode -> nearest-neighbor resample -> re-encoded BMP round-trips") {
     val m = Multimodal.mediaTable(table("documents"))
     val resized = Multimodal.resizeImages(m, 4, 4)

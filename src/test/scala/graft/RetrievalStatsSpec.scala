@@ -159,6 +159,29 @@ class RetrievalStatsSpec extends SparkSpec {
       "text", nMerges = 3).count() == 0)
   }
 
+  test("bpeApply: hand-computed encoding with a trained merge table") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // merges (ug), (hug): hug -> [hug], pug -> [p, ug], bug -> [b, ug]
+    val docs = Seq((0L, "hug hug pug"), (1L, "hug pug bug")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeApply(docs, "text", Seq(("u", "g"), ("h", "ug")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hug x3 -> hug; pug x2 -> p+ug; bug x1 -> b+ug
+    assert(out == Map(
+      "hug" -> (3L, 1L), // 3 occurrences, 1 word type
+      "p" -> (2L, 1L), "b" -> (1L, 1L),
+      "ug" -> (3L, 2L)), s"got $out") // in pug (x2) and bug (x1)
+    // empty merge table degrades to plain character counts
+    val chars = TextAnalysis.bpeApply(Seq((0L, "ab ab")).toDF("doc_id", "text"),
+      "text", Nil).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chars == Map("a" -> 2L, "b" -> 2L), s"got $chars")
+    // a symbol repeated within one word counts the word type once
+    val rep = TextAnalysis.bpeApply(Seq((0L, "abab")).toDF("doc_id", "text"),
+      "text", Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == Map("ab" -> (2L, 1L)), s"got $rep")
+  }
+
   test("psiDrift: hand-computed score, identical distributions read 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -358,6 +358,79 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matches) == batchFull)
   }
 
+  test("streaming CMS monitor: accreted cells equal the one-pass sketch, restore mid-stream") {
+    import graft.functions.{Stats, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def toks(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val onePass = toMap(Stats.countMinSketch(toks(docs), "token"))
+
+    // through real foreachBatch plumbing over a partitioned dump
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val cm = new Streaming.CmsMonitor("token")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) cm.update(toks(batch))))
+    assert(toMap(cm.sketch) == onePass)
+    assert(onePass.nonEmpty)
+
+    // linearity survives save/restore: fold the other half after a restore
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_state").toString
+    val cm2 = new Streaming.CmsMonitor("token")
+    cm2.update(toks(docs.filter(col("doc_id") % 2 === 0)))
+    cm2.saveState(ckpt)
+    val cm3 = new Streaming.CmsMonitor("token")
+    cm3.restoreState(spark, ckpt)
+    cm3.update(toks(docs.filter(col("doc_id") % 2 =!= 0)))
+    assert(toMap(cm3.sketch) == onePass)
+    // estimates off the accreted sketch keep est >= true
+    val truec = toks(docs).groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+    val est = cm3.estimate(truec, "token").join(truec, Seq("token"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty && est.forall { case (e, t) => e >= t })
+  }
+
+  test("stream-static enrich monitor: accreted segment totals equal the batch join, restore mid-stream") {
+    val ev = spark.read.parquet(stagedDir)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batchFull = toMap(ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("value_sum")))
+
+    // through real foreachBatch plumbing over a partitioned event dump
+    val dir = java.nio.file.Files.createTempDirectory("enrich_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val em = new Streaming.EnrichMonitor(dim, "c_custkey", "c_mktsegment",
+      "user_id", "value")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream,
+        batch => if (!batch.isEmpty) em.update(batch)))
+    assert(toMap(em.result) == batchFull)
+    assert(batchFull.nonEmpty, "fixture must produce enriched segments")
+
+    // save after a partial replay, restore into a fresh monitor, finish
+    val ckpt = java.nio.file.Files.createTempDirectory("enrich_state").toString
+    val em2 = new Streaming.EnrichMonitor(dim, "c_custkey", "c_mktsegment",
+      "user_id", "value")
+    em2.update(ev.filter(col("event_id") % 2 === 0))
+    em2.saveState(ckpt)
+    val em3 = new Streaming.EnrichMonitor(dim, "c_custkey", "c_mktsegment",
+      "user_id", "value")
+    em3.restoreState(spark, ckpt)
+    em3.update(ev.filter(col("event_id") % 2 =!= 0))
+    assert(toMap(em3.result) == batchFull)
+  }
+
   test("streaming quantile monitor: thresholds bit-identical to the batch scan, restore mid-stream") {
     val ev = spark.read.parquet(stagedDir)
     val dir = java.nio.file.Files.createTempDirectory("quant_stream").toString

@@ -43,11 +43,16 @@ object Curation {
   def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDf: Long = 5): DataFrame = {
     require(n > 0, "n must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokens materialize into a column FIRST: referencing the tokenization
+    // inside the position lambda would re-run the normalize regexes once
+    // per gram position (O(len²) regex work per document)
+    val toks = col("__t")
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-    val perDoc = df.select(col(idCol).as("__id"), explode(grams).as("ngram"))
+    val perDoc = df
+      .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(grams).as("ngram"))
       .groupBy(col("ngram"), col("__id")).agg(count(lit(1)).as("__occ"))
     val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
     perDoc.groupBy(col("ngram"))

@@ -244,6 +244,11 @@ object ScaleBench {
       Dedup.minhashPairs(docs10, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8))
     val nPairs1 = ccPairs1.count(); val nPairs10 = ccPairs10.count()
 
+    // fixed merge table for the bpe_apply workload (trained once, untimed)
+    val applyMerges = TextAnalysis.bpeTrain(docs1, "text", nMerges = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
     val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
       ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
       ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
@@ -377,7 +382,24 @@ object ScaleBench {
         () => force(Stats.psiDrift(
           ev10.filter(col("event_type") === "click").select(col("value")),
           ev10.filter(col("event_type") === "purchase").select(col("value")),
-          "value", width = 5.0))))
+          "value", width = 5.0))),
+      // word-TYPE table through ONE chained-replace projection — the apply
+      // cost is per distinct word (salted copies grow the type table 10x);
+      // the merge table is fixed (trained once on the 1x corpus) so both
+      // sides replay the identical replace chain
+      ("text_bpe_apply", nDocs, nDocs * copies,
+        () => force(TextAnalysis.bpeApply(docs1, "text", applyMerges)),
+        () => force(TextAnalysis.bpeApply(docs10, "text", applyMerges))),
+      // one user-keyed ranking window + bounded per-user rollup; per-copy
+      // user shifts keep per-user stream lengths constant at 10x
+      ("events_paths", maxEvent, maxEvent * copies,
+        () => force(Events.entryPaths(ev1, "user_id", "event_type", "ts", "event_id")),
+        () => force(Events.entryPaths(ev10, "user_id", "event_type", "ts", "event_id"))),
+      // one explode + two-level hash agg; salted copies keep per-copy
+      // trigram df structure so the audit table scales linearly
+      ("curate_boilerplate", nDocs, nDocs * copies,
+        () => force(Curation.boilerplateNgrams(docs1, "doc_id", "text")),
+        () => force(Curation.boilerplateNgrams(docs10, "doc_id", "text"))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

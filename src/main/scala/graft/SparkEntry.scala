@@ -1810,6 +1810,23 @@ object SparkEntry {
         .orderBy(col("q"))
     }),
 
+    // pre-shuffle key-skew audit: |keys|-row count table (frozen), 1-row
+    // broadcast totals, TakeOrdered top-k — the whale-factor diagnostic
+    // run before keying a 100 TB shuffle
+    "stats_key_skew" -> ((s, dir) => {
+      graft.functions.Stats.keySkew(events(s, dir), "user_id", topK = 20)
+        .orderBy(col("cnt").desc, col("key").asc)
+    }),
+
+    // range-partition boundary planner: deterministic md5 sample + the
+    // bounded histogram-quantile pick — RangePartitioner prep with no
+    // global sort and no driver-side sample collect
+    "layout_range_bounds" -> ((s, dir) => {
+      graft.functions.Layout.rangeBounds(events(s, dir), "value", "event_id",
+          nParts = 8, width = 5.0, sampleFrac = 0.05)
+        .orderBy(col("q"))
+    }),
+
     // Count-Min sketch: 4×512 md5-derived counters over the token stream
     // (ONE map-side-combined aggregation to a kilobyte sketch), point
     // queries for the 20 most frequent tokens — est ≥ true always
@@ -4838,6 +4855,49 @@ object SparkEntry {
          qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
          SELECT q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
            (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
+         FROM (
+           SELECT q, bin, cum_count, total,
+             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
+           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
+         ORDER BY q""",
+
+    // key-skew replay: count table, totals, top-k cut
+    "stats_key_skew" ->
+      """WITH c AS (
+           SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS keys,
+             CAST(max(cnt) AS BIGINT) AS mx
+           FROM c)
+         SELECT key, cnt,
+           round(CAST(cnt::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS share,
+           CAST(keys AS BIGINT) AS n_keys,
+           round(CAST(mx::DOUBLE * keys / tot AS DECIMAL(18,8)), 4)::DOUBLE
+             AS skew
+         FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20""",
+
+    // range-bounds replay: the deterministic md5 sample filter, then the
+    // stats_quantile_hist pick at the 7 interior octile points
+    "layout_range_bounds" ->
+      """WITH s AS (
+           SELECT value FROM events
+           WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR) || 'range-v1'),1,15))::BIGINT
+                 % 10000 < 500),
+         b AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM s GROUP BY 1),
+         cum AS (
+           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
+           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
+         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
+         qs(q) AS (VALUES (CAST(0.125 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+           (CAST(0.375 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+           (CAST(0.625 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+           (CAST(0.875 AS DOUBLE)))
+         SELECT q, bin, bin * CAST(5.0 AS DOUBLE) AS lo,
+           (bin + 1) * CAST(5.0 AS DOUBLE) AS hi, cum_count, total
          FROM (
            SELECT q, bin, cum_count, total,
              row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn

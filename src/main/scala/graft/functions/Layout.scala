@@ -79,6 +79,29 @@ object Layout {
       .drop("__ord")
   }
 
+  /** Range-partition boundary planner — the RangePartitioner prep for a
+    * globally-sorted layout: split points for `nParts` ranges over
+    * `valueCol`, computed from a DETERMINISTIC hash sample (the
+    * [[Sampling.sampleByHash]] md5 derivation, so the same rows sample on
+    * every run and every engine — Spark's own RangePartitioner samples
+    * nondeterministically, which is exactly what a reproducible 100 TB
+    * layout job cannot tolerate). The boundary picks ride the bounded
+    * [[Stats.histogramQuantiles]] bin machinery: ONE aggregation of the
+    * sample to its bin table, cumulative counts from the bin self-join —
+    * never a global sort, never a driver-side collect of sample rows.
+    *
+    * Returns one row per interior boundary k/nParts: (q, bin, lo, hi,
+    * cum_count, total) — `hi` is the boundary value at bin resolution.
+    */
+  def rangeBounds(df: DataFrame, valueCol: String, idCol: String,
+                  nParts: Int, width: Double, sampleFrac: Double = 0.05,
+                  salt: String = "range-v1"): DataFrame = {
+    require(nParts > 1, "nParts must be > 1")
+    val sample = Sampling.sampleByHash(df, idCol, sampleFrac, salt = salt)
+    Stats.histogramQuantiles(sample, valueCol, width,
+      (1 until nParts).map(_.toDouble / nParts))
+  }
+
   /** Shard-level summary of a [[shardBalanced]] assignment: per-shard row
     * count and total size — the balance evidence (max/min total size ratio
     * approaches 1 as rows-per-shard grows).

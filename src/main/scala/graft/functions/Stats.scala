@@ -270,6 +270,42 @@ object Stats {
       .select(col("bucket"), coalesce(col("reg"), lit(0)).as("reg"))
   }
 
+  /** Key-skew audit — the pre-shuffle diagnostic that decides whether a
+    * join/aggregation needs salting ([[graft.tables.Partitioners]]) or AQE
+    * skew handling: the `topK` heaviest keys with their corpus share, plus
+    * the whale factor `max_cnt · n_keys / total` (1.0 = perfectly uniform;
+    * a key drawing 100× its fair share reads 100). Run it BEFORE keying a
+    * 100 TB shuffle on a candidate column; a whale factor in the hundreds
+    * means the biggest key's partition does that multiple of the average
+    * partition's work.
+    *
+    * Scale shape: ONE map-side-combined aggregation to the |keys|-row count
+    * table (frozen — the totals and the top-k cut both read it), a 1-row
+    * broadcast of the totals, and a TakeOrdered top-k (per-partition heads,
+    * no global sort). Shares stage in DECIMAL so the audit is
+    * engine-reproducible.
+    *
+    * Returns topK rows (key, cnt, share, n_keys, skew), heaviest first.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt")))
+    val totals = broadcast(counts.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__keys"), max(col("cnt")).as("__max")))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(totals)
+      .select(col("key"), col("cnt"),
+        round((col("cnt").cast("double") / col("__tot"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("share"),
+        col("__keys").as("n_keys"),
+        round((col("__max").cast("double") * col("__keys") / col("__tot"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("skew"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift statistic between two corpora's
     * numeric distributions, at histogram (bin-edge) resolution:
     * `max |F_a(x) − F_b(x)|` over the shared bin edges — the numeric-drift

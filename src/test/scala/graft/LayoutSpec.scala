@@ -67,6 +67,25 @@ class LayoutSpec extends SparkSpec {
       s"range [${dist.getDouble(1)}, ${dist.getDouble(2)}]")
   }
 
+  test("rangeBounds: octile boundaries monotone, deterministic, equal the sample's quantile picks") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Layout.rangeBounds(df, "v", "id", nParts = 4, width = 10.0,
+      sampleFrac = 0.5).orderBy(col("q")).collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75))
+    // boundaries non-decreasing in q; each pick's cumulative mass covers q·N
+    assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).toSeq.sorted)
+    out.foreach(r => assert(r.getLong(4).toDouble >= r.getDouble(0) * r.getLong(5)))
+    // composition: identical to the quantile pick over the SAME hash sample
+    val expected = graft.functions.Stats.histogramQuantiles(
+      graft.functions.Sampling.sampleByHash(df, "id", 0.5, salt = "range-v1"),
+      "v", 10.0, Seq(0.25, 0.5, 0.75)).orderBy(col("q")).collect()
+    assert(out.sameElements(expected))
+    // deterministic: a second run reproduces the boundaries exactly
+    assert(Layout.rangeBounds(df, "v", "id", nParts = 4, width = 10.0,
+      sampleFrac = 0.5).orderBy(col("q")).collect().sameElements(out))
+  }
+
   test("random projection is deterministic across evaluations") {
     val e = table("embeddings").limit(20)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -182,6 +182,23 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(rep == Map("ab" -> (2L, 1L)), s"got $rep")
   }
 
+  test("keySkew: hand-computed shares and whale factor, top-k cut") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Stats.keySkew(df, "k", topK = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // total 10, 3 keys, max 6 -> whale factor 6*3/10 = 1.8 on every row
+    assert(out == Map(
+      "a" -> (6L, 0.6, 3L, 1.8),
+      "b" -> (3L, 0.3, 3L, 1.8)), s"got $out") // topK=2 drops "c"
+    // uniform keys read whale factor 1.0
+    val uni = Stats.keySkew(Seq("x", "x", "y", "y").toDF("k"), "k", topK = 5)
+      .collect()
+    assert(uni.length == 2 && uni.forall(_.getDouble(4) == 1.0))
+  }
+
   test("psiDrift: hand-computed score, identical distributions read 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -1652,6 +1652,24 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Jaccard-threshold tuning curve: pairs/docs touched per candidate
+    // threshold from ONE df-bounded candidate pass — replaces re-running
+    // corpus dedup once per threshold guess
+    "dedup_threshold_curve" -> ((s, dir) => {
+      graft.functions.Dedup.thresholdCurve(docsNorm(s, dir), "doc_id", "text",
+          thresholds = Seq(0.3, 0.5, 0.7, 0.8, 0.9))
+        .orderBy(col("threshold"))
+    }),
+
+    // per-language OOV rate against the corpus's own top-20 vocabulary:
+    // the tokenizer-fairness audit — one explode to the frozen
+    // (lang, token, cnt) table, TakeOrdered vocab broadcast back
+    "text_oov" -> ((s, dir) => {
+      graft.functions.Retrieval.oovRate(docsNorm(s, dir), "text", "lang",
+          vocabSize = 20)
+        .orderBy(col("lang"))
+    }),
+
     // incremental dedup: an incoming batch matched against the standing
     // corpus through a persistable MinHash index — candidates from a
     // batch-proportional band-key join, exact Jaccard only for survivors;
@@ -4231,6 +4249,64 @@ object SparkEntry {
              AS cum_types
          FROM mass m LEFT JOIN nt ON m.bucket = nt.bucket
          ORDER BY m.bucket""",
+
+    // threshold-curve replay: the containment candidate/scoring chain with
+    // the filters opened, swept over the threshold list
+    "dedup_threshold_curve" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
+           FROM norm),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN dfreq d ON d.sh = a.sh
+           WHERE d.df <= 64
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT id_a, id_b,
+             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
+           FROM cand JOIN sizes sa ON id_a = sa.doc_id
+                     JOIN sizes sb ON id_b = sb.doc_id),
+         ths(t) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+           (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+         p2 AS (
+           SELECT ths.t, s.id_a AS pa, s.id_a AS d
+           FROM ths LEFT JOIN scored s ON s.jaccard >= ths.t
+           UNION ALL
+           SELECT ths.t, s.id_a, s.id_b
+           FROM ths LEFT JOIN scored s ON s.jaccard >= ths.t)
+         SELECT t AS threshold, CAST(count(pa) // 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         FROM p2 GROUP BY t ORDER BY t""",
+
+    // OOV replay: same (lang, token, cnt) table, top-20 vocab, left join
+    "text_oov" ->
+      s"""WITH lt AS (
+           SELECT lang, tok, count(*) AS cnt FROM (
+             SELECT lang, unnest(string_split($normSql, ' ')) AS tok
+             FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         v AS (
+           SELECT tok FROM (
+             SELECT tok, sum(cnt) AS c FROM lt GROUP BY tok
+             ORDER BY c DESC, tok LIMIT 20)),
+         agg AS (
+           SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE cnt END)
+               AS BIGINT) AS n_oov
+           FROM lt GROUP BY lang)
+         SELECT lang, n_tokens, n_oov,
+           round(CAST(n_oov::DOUBLE / n_tokens AS DECIMAL(18,8)), 6)::DOUBLE
+             AS oov_rate
+         FROM agg ORDER BY lang""",
 
     "sim_bruteforce" ->
       """WITH e AS (

@@ -899,6 +899,39 @@ object Dedup {
         col("size_b"), col("containment"), col("jaccard"))
   }
 
+  /** Jaccard-threshold tuning curve — the sweep run BEFORE committing a
+    * near-dup threshold: for each candidate threshold, how many pairs and
+    * how many distinct documents a dedup pass at that cut would touch. The
+    * curve's knee is the argument for (say) 0.8 over 0.7 — guessing the
+    * threshold and re-running corpus dedup per guess is the 100 TB
+    * anti-pattern this one-pass audit replaces.
+    *
+    * Scale shape: candidate pairs + exact Jaccard come from ONE
+    * [[containmentPairs]] pass (shingle-df-bounded candidate generation —
+    * never a corpus self-join) with the filters opened (minShared=1,
+    * minContain=0); the scored pair frame (bounded by the candidate count)
+    * freezes and each threshold is a scan of that frame, not of the corpus.
+    *
+    * Returns one row per threshold: (threshold, n_pairs, n_docs).
+    */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Double], n: Int = 3,
+                     maxDf: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      containmentPairs(df, idCol, textCol, n, maxDf,
+        minShared = 1, minContain = 0.0)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    thresholds.map { t =>
+      pairs.filter(col("jaccard") >= t)
+        .select(explode(array(col("id_a"), col("id_b"))).as("__d"),
+          col("id_a"), col("id_b"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("__d")).as("n_docs"))
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Embedding-cosine near-duplicate pairs. Brute force within LSH buckets:
     * random-hyperplane signs (deterministic seeded planes) bucket the
     * vectors; pairs within a bucket are verified by exact cosine. At 100 TB

@@ -352,6 +352,41 @@ object Retrieval {
         sum(col("new_types")).over(w).as("cum_types"))
   }
 
+  /** Tokenizer-vocabulary coverage audit: per-group (e.g. per-language)
+    * out-of-vocabulary rate against the corpus's own top-`vocabSize` token
+    * vocabulary — the fairness check run before freezing a tokenizer vocab
+    * (a vocab trained on the majority language starves the tail languages;
+    * their OOV rate is the evidence).
+    *
+    * Scale shape: ONE corpus explode collapses to the frozen
+    * (group, token, cnt) table; the vocabulary is a TakeOrdered top-k of
+    * its token rollup (broadcast back — vocabularies are ≤ a few 100k
+    * entries by construction), and the per-group rates are one aggregation
+    * of the vocabulary-sized frame. The corpus is never re-scanned and
+    * never shuffled beyond the count table.
+    *
+    * Returns (groupCol, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, textCol: String, groupCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val lt = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      docs.select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .groupBy(col(groupCol), col("__tok")).agg(count(lit(1)).as("__cnt")))
+    val vocab = lt.groupBy(col("__tok")).agg(sum(col("__cnt")).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc).limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    lt.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__cnt")).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        round((col("n_oov").cast("double") / col("n_tokens"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("oov_rate"))
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val tf = docs.select(col(idCol).as("__did"),

@@ -343,6 +343,22 @@ class DedupSpec extends SparkSpec {
     assert(verified.count() == cand.count())
   }
 
+  test("thresholdCurve: hand-computed pair/doc counts per threshold, monotone down") {
+    import spark.implicits._
+    // shingle sets (n=3): docs 0,1 identical (j=1.0); doc 2 shares one of
+    // two shingles with each (j = 1/3); doc 3 disjoint
+    val docs = Seq((0L, "x y z w"), (1L, "x y z w"), (2L, "x y z q"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val out = Dedup.thresholdCurve(docs, "doc_id", "text", Seq(0.3, 0.9))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      0.3 -> (3L, 3L), // (0,1) (0,2) (1,2) over docs {0,1,2}
+      0.9 -> (1L, 2L)), s"got $out") // only the identical pair survives
+    // a threshold above every pair's jaccard yields an explicit zero row
+    val zero = Dedup.thresholdCurve(docs, "doc_id", "text", Seq(1.1)).head()
+    assert(zero.getLong(1) == 0L && zero.getLong(2) == 0L)
+  }
+
   test("cutSpans removes exactly the duplicated spans and keeps clean docs intact") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel"

@@ -182,6 +182,24 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(rep == Map("ab" -> (2L, 1L)), s"got $rep")
   }
 
+  test("oovRate: hand-computed per-group rates against the corpus top-k vocab") {
+    import spark.implicits._
+    import graft.functions.Retrieval
+    // corpus counts: a:3 b:3 c:1 d:2 -> top-2 vocab (cnt desc, tok asc) = {a, b}
+    val docs = Seq(("en", "a a b"), ("en", "a c"), ("de", "b b d d"))
+      .toDF("lang", "text")
+    val out = Retrieval.oovRate(docs, "text", "lang", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      "en" -> (5L, 1L, 0.2), // c is OOV
+      "de" -> (4L, 2L, 0.5)), s"got $out") // d is OOV
+    // vocab covering everything reads 0 everywhere
+    val full = Retrieval.oovRate(docs, "text", "lang", vocabSize = 10)
+      .collect()
+    assert(full.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
   test("keySkew: hand-computed shares and whale factor, top-k cut") {
     import spark.implicits._
     import graft.functions.Stats

@@ -588,6 +588,18 @@ object SparkEntry {
       em.result.orderBy(col("segment"))
     }),
 
+    // streaming entry-path monitor (batch replay of 5 DAY-RANGE batches —
+    // the per-user time-ordered arrival contract): carried prefixes
+    // re-cut at depth equal the batch entryPaths over the full stream
+    "stream_paths" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pm = new graft.streaming.Streaming.PathMonitor(
+        "user_id", "event_type", "ts", "event_id", depth = 3)
+      (0 until 5).foreach(b =>
+        pm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
+      pm.paths.orderBy(col("path"))
+    }),
+
     // session windows (gap-based) — streaming-capable sessionization
     "stream_sessionize" -> ((s, dir) => {
       events(s, dir)
@@ -2268,6 +2280,23 @@ object SparkEntry {
        SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
          CAST(cms_est AS BIGINT) AS cms_est
        FROM top JOIN est USING (tok) ORDER BY token"""
+
+  /** entry-path replay: ranking window + per-user ordered list rollup —
+    * shared by `events_paths` and its streaming twin `stream_paths`.
+    */
+  private val entryPathsOracleSql =
+    """WITH r AS (
+         SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn
+         FROM events),
+       p AS (
+         SELECT user_id,
+           array_to_string(list(event_type ORDER BY rn), '>') AS path,
+           CAST(max(rn) AS INT) AS depth
+         FROM r WHERE rn <= 3 GROUP BY user_id)
+       SELECT path, depth, count(*) AS n_users
+       FROM p GROUP BY path, depth ORDER BY path"""
 
   private val nearDupEdgesSql =
     s"""norm AS (
@@ -5261,19 +5290,10 @@ object SparkEntry {
          FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
 
     // entry-path replay: same ranking window, per-user ordered list join
-    "events_paths" ->
-      """WITH r AS (
-           SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS rn
-           FROM events),
-         p AS (
-           SELECT user_id,
-             array_to_string(list(event_type ORDER BY rn), '>') AS path,
-             CAST(max(rn) AS INT) AS depth
-           FROM r WHERE rn <= 3 GROUP BY user_id)
-         SELECT path, depth, count(*) AS n_users
-         FROM p GROUP BY path, depth ORDER BY path""",
+    "events_paths" -> entryPathsOracleSql,
+    // with per-user time-ordered batches the carried prefix re-cut at
+    // depth equals the batch entryPaths — identical oracle
+    "stream_paths" -> entryPathsOracleSql,
 
     // streaming transitions replay: with per-user time-ordered batches the
     // carried last event contributes exactly the boundary hop, so the

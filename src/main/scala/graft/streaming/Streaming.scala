@@ -603,6 +603,64 @@ object Streaming {
     }
   }
 
+  /** Streaming entry-path monitor — accrete each user's first-`depth`
+    * event-type prefix as micro-batches arrive (the streaming twin of
+    * [[graft.functions.Events.entryPaths]]). State is ONE user-keyed
+    * bounded frame (user, types[≤ depth]); under per-user time-ordered
+    * arrival (the [[TransitionMonitor]] contract) a carried prefix holds
+    * strictly earlier events than any new batch row, so appending the
+    * batch's own ranked head and re-cutting at `depth` reproduces the
+    * batch entryPaths over everything seen — StreamingSpec proves parity
+    * and save/restore. Per-batch work: one BATCH-keyed ranking window plus
+    * a user-keyed merge of ≤ depth-element rows; users whose prefix is
+    * already full cost one array no-op, never a rescan.
+    */
+  class PathMonitor(userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts", idCol: String = "event_id",
+                    depth: Int = 3) {
+    require(depth > 0, "depth must be positive")
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var state: Option[DataFrame] = None // (__u, __types)
+
+    /** fold one micro-batch of raw events into the per-user prefix state */
+    def update(batch: DataFrame): Unit = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+      val b = batch.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+          col(idCol).as("__id"), col(typeCol).cast("string").as("__ty"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= depth)
+        .groupBy(col("__u"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__rn").as("r"), col("__ty").as("t")))),
+          x => x.getField("t")).as("__new"))
+      val merged = state match {
+        case None => b.select(col("__u"), slice(col("__new"), 1, depth).as("__types"))
+        case Some(st) => st.join(b, Seq("__u"), "full_outer")
+          .select(col("__u"), slice(concat(
+            coalesce(col("__types"), array().cast("array<string>")),
+            coalesce(col("__new"), array().cast("array<string>"))),
+            1, depth).as("__types"))
+      }
+      state = Some(bridge.freeze(merged))
+    }
+
+    /** current (path, depth, n_users) rollup over all users seen */
+    def paths: DataFrame = state.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+      .select(array_join(col("__types"), ">").as("path"),
+        size(col("__types")).as("depth"))
+      .groupBy(col("path"), col("depth")).agg(count(lit(1)).as("n_users"))
+
+    /** persist the prefix state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("state" -> state))
+
+    /** restore prefix state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      state = MonitorState.load(spark, dir, "state")
+  }
+
   /** Streaming incremental near-duplicate detection — the production
     * ingestion steady state: each micro-batch is matched against the
     * MinHash index accreted from all PRIOR batches (the dimensional

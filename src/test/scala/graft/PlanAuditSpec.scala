@@ -129,6 +129,29 @@ class PlanAuditSpec extends SparkSpec {
       "centroids must arrive as a materialized leaf")
   }
 
+  test("scale diagnostics: top-k cuts are TakeOrdered, vocab broadcasts, no corpus windows") {
+    // key skew: the top-k cut must be per-partition heads + merge, never a
+    // global sort of the key table
+    val skew = planOf(SparkEntry.queries("stats_key_skew")(spark, sfDir))
+    assert(skew.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered:\n${skew.take(2000)}")
+    // OOV: the vocabulary joins back by broadcast, corpus side never
+    // nested-loops
+    val oov = planOf(SparkEntry.queries("text_oov")(spark, sfDir))
+    assert(oov.contains("BroadcastExchange"), "vocab join must broadcast")
+    assert(!oov.contains("CartesianProduct") && !oov.contains("BroadcastNestedLoop"),
+      s"oov must stay equi-joined:\n${oov.take(2000)}")
+    // range bounds: boundary picks ride the bounded bin table — no window
+    // function anywhere near the corpus
+    val rb = planOf(SparkEntry.queries("layout_range_bounds")(spark, sfDir))
+    assert(!rb.contains("Window"),
+      s"boundary picks must not window:\n${rb.take(2000)}")
+    // boilerplate: gram counts combine map-side before the exchange
+    val bp = planOf(SparkEntry.queries("curate_boilerplate")(spark, sfDir))
+    assert(bp.contains("partial_count") || bp.contains("partial_sum"),
+      s"gram counts must combine map-side:\n${bp.take(2000)}")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

@@ -358,6 +358,49 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matches) == batchFull)
   }
 
+  test("streaming path monitor: carried prefixes equal batch entryPaths, restore mid-stream") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 spans the batch boundary: a,b early; c,d late — prefix a>b>c
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "c", 110L, 3L), (1L, "d", 120L, 4L),
+      // user 2 fills its prefix within batch 1
+      (2L, "b", 5L, 5L), (2L, "a", 6L, 6L), (2L, "c", 7L, 7L),
+      // user 3 appears only in batch 2, short history
+      (3L, "c", 115L, 8L), (3L, "a", 125L, 9L),
+      // user 4: same-ts tie inside batch 1 broken by id
+      (4L, "b", 50L, 10L), (4L, "a", 50L, 11L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val expected = toMap(graft.functions.Events.entryPaths(
+      ev, "user_id", "event_type", "ts", "event_id", depth = 3))
+    assert(expected == Map("a>b>c" -> (3, 1L), "b>a>c" -> (3, 1L),
+      "c>a" -> (2, 1L), "b>a" -> (2, 1L)), s"fixture drifted: $expected")
+
+    // two per-user time-ordered batches (split at t=100)
+    val early = ev.filter(col("ts") < timestamp_micros(lit(100000000L)))
+    val late = ev.filter(col("ts") >= timestamp_micros(lit(100000000L)))
+    val pm = new Streaming.PathMonitor(depth = 3)
+    pm.update(early)
+    pm.update(late)
+    assert(toMap(pm.paths) == expected)
+
+    // save after batch 1, restore into a fresh monitor, finish
+    val ckpt = java.nio.file.Files.createTempDirectory("paths_state").toString
+    val pm2 = new Streaming.PathMonitor(depth = 3)
+    pm2.update(early)
+    pm2.saveState(ckpt)
+    val pm3 = new Streaming.PathMonitor(depth = 3)
+    pm3.restoreState(spark, ckpt)
+    pm3.update(late)
+    assert(toMap(pm3.paths) == expected)
+    // a full prefix is immutable: replaying MORE late events changes nothing
+    pm3.update(late.withColumn("event_id", col("event_id") + 100)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+    assert(toMap(pm3.paths)("a>b>c") == ((3, 1L)))
+  }
+
   test("streaming CMS monitor: accreted cells equal the one-pass sketch, restore mid-stream") {
     import graft.functions.{Stats, TextAnalysis}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1782,6 +1782,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // audio resample: decimate-by-4 with real decode of both codec
+    // families, µ-law requantized to unsigned 8-bit by floor division —
+    // the oracle replays synthesis, companding and the decimation exactly
+    "mm_audio_resample" -> ((s, dir) => {
+      graft.multimodal.Multimodal.resampleAudio(
+        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")), factor = 4)
+        .select(col("doc_id"), col("out_rate"), col("n_samples"),
+          col("mean")) // binary content checked by spec round-trip
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
     // (deterministic decimal-exact quantizer), exact cosine only WITHIN
     // clusters — Σ|cluster|² instead of all-pairs; the oracle replays the
@@ -4626,6 +4637,43 @@ object SparkEntry {
              AS n_segments,
            round(count(*) FILTER (a) / nf::DOUBLE, 4) AS speech_ratio
          FROM act GROUP BY doc_id, nf ORDER BY doc_id""",
+
+    // resample replay: synthesis + companding + decimation, floor-division
+    // requantize for the µ-law rows
+    "mm_audio_resample" ->
+      """WITH a AS (
+           SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
+           WHERE doc_id % 3 = 1),
+         k AS (
+           SELECT doc_id, i, ((doc_id*7 + i*3) % 256) AS s8 FROM a
+           WHERE i % 4 = 0),
+         ex AS (
+           SELECT doc_id, i, s8, pcm, mag,
+             CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
+                  WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
+                  WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
+                  WHEN mag>=256 THEN 1 ELSE 0 END AS e
+           FROM (SELECT doc_id, i, s8, (s8 - 128) * 256 AS pcm,
+                   least(abs((s8 - 128) * 256)+132, 32635) AS mag FROM k)),
+         dec AS (
+           SELECT doc_id, s8, pcm,
+             CASE WHEN pcm < 0 THEN
+                    -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
+                  ELSE
+                    ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132
+             END AS d
+           FROM ex),
+         v AS (
+           -- >> 8 is arithmetic shift = FLOOR division by 256; integer '//'
+           -- truncates toward zero on negatives, so floor explicitly
+           SELECT doc_id,
+             CASE WHEN doc_id % 6 = 1 THEN s8
+                  ELSE CAST(floor(d / 256.0) AS BIGINT) + 128 END AS v8
+           FROM dec)
+         SELECT doc_id, CAST(2000 AS INTEGER) AS out_rate,
+           CAST(64 AS INTEGER) AS n_samples,
+           sum(v8)/64.0/255.0 AS mean
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
 
     "sim_ann_ivf" ->
       """WITH e AS (

@@ -142,6 +142,19 @@ object Multimodal {
     b.array()
   }
 
+  /** Encode unsigned 8-bit samples as a real 44-byte-header PCM WAV. */
+  def encodeWavFromSamples(samples: Array[Int], rate: Int): Array[Byte] = {
+    val n = samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    b.putInt(rate).putInt(rate).putShort(1).putShort(8)
+    b.put("data".getBytes).putInt(n)
+    var i = 0
+    while (i < n) { b.put(samples(i).toByte); i += 1 }
+    b.array()
+  }
+
   /** G.711 µ-law compression of a 16-bit linear sample — the COMPRESSED
     * audio leg of the mixed column. The codec is closed-form integer
     * arithmetic, and Java's `AudioSystem` ULAW decoder reproduces the
@@ -342,6 +355,45 @@ object Multimodal {
             }
             Row(id, n, nActive, nSeg,
               math.round(nActive.toDouble / n * 10000).toDouble / 10000)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Decimating audio resample over audio-kind rows — the audio analog of
+    * [[resizeImages]]: REAL decode (both codec families), keep every
+    * `factor`-th sample, re-encode as a REAL PCM8 WAV at `rate/factor`.
+    * µ-law input requantizes its expanded 16-bit samples to unsigned 8-bit
+    * by floor division (`(v >> 8) + 128` — arithmetic shift = floor-by-256,
+    * exactly replayable by any engine's integer `//`), so the output column
+    * is UNIFORM PCM8 regardless of input codec — the normalize-on-ingest
+    * step an audio training pipeline runs before featurization.
+    *
+    * Returns (doc_id, out_rate, n_samples, content, mean) — `content` is
+    * the re-encoded WAV (spec round-trips it through AudioSystem), `mean`
+    * the decoded-domain mean of the kept samples.
+    */
+  def resampleAudio(media: DataFrame, factor: Int, batchSize: Int = 64): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("out_rate", IntegerType),
+      StructField("n_samples", IntegerType), StructField("content", BinaryType),
+      StructField("mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "audio").select(col("doc_id"), col("content"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (rate, samples, audioEnc) = decodeAudio(r.getAs[Array[Byte]]("content"))
+            val eight: Array[Int] =
+              if (audioEnc == "ulaw") samples.map(v => (v >> 8) + 128)
+              else samples
+            val kept = Array.range(0, eight.length, factor).map(eight)
+            val outRate = rate.toInt / factor
+            Row(r.getLong(0), outRate, kept.length,
+              encodeWavFromSamples(kept, outRate),
+              kept.sum.toDouble / kept.length / 255.0)
           }
         }
       }(enc)

@@ -151,6 +151,37 @@ class MultimodalSpec extends SparkSpec {
       assert(px(y)(x) == Multimodal.gray(docId, 0, x * 2, y * 2), s"resampled pixel ($x,$y)")
   }
 
+  test("resampleAudio: decimated WAV round-trips, both codecs requantize to PCM8") {
+    val m = Multimodal.mediaTable(table("documents"))
+    val out = Multimodal.resampleAudio(m, factor = 4).orderBy("doc_id").collect()
+    assert(out.nonEmpty && out.forall(r =>
+      r.getInt(1) == 2000 && r.getInt(2) == 64 &&
+        r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // batch size must not change results (binary compared by content)
+    val out2 = Multimodal.resampleAudio(m, factor = 4, batchSize = 7)
+      .orderBy("doc_id").collect()
+    out.zip(out2).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getDouble(4) == b.getDouble(4))
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]]("content"),
+        b.getAs[Array[Byte]]("content")))
+    }
+    // pcm8 row: the emitted container is a REAL WAV whose samples are the
+    // every-4th decimation of the source
+    val p = out.find(_.getLong(0) % 6 == 1).get
+    val (rate, ps, pe) = Multimodal.decodeAudio(p.getAs[Array[Byte]]("content"))
+    assert(rate == 2000f && pe == "pcm8" && ps.length == 64)
+    assert(ps.zipWithIndex.forall { case (v, j) =>
+      v == Multimodal.sample(p.getLong(0), j * 4) })
+    // mu-law row: decoded samples equal closed-form companding then the
+    // arithmetic-shift requantize to unsigned 8-bit
+    val u = out.find(_.getLong(0) % 6 == 4).get
+    val (_, us, ue) = Multimodal.decodeAudio(u.getAs[Array[Byte]]("content"))
+    assert(ue == "pcm8" && us.length == 64)
+    assert(us.zipWithIndex.forall { case (v, j) =>
+      v == ((Multimodal.ulawDecode(Multimodal.ulawEncode(
+        Multimodal.pcm16(u.getLong(0), j * 4))) >> 8) + 128) })
+  }
+
   test("frame sampling yields decodable frames for video rows only") {
     val m = Multimodal.mediaTable(table("documents"))
     val frames = Multimodal.sampleFrames(m)

@@ -588,6 +588,17 @@ object SparkEntry {
       em.result.orderBy(col("segment"))
     }),
 
+    // streaming lateness monitor (batch replay of 5 id-keyed batches, so
+    // arrival order scrambles event time): per-type counts of rows older
+    // than the carried high-watermark minus 1 hour — the rows a
+    // watermarked operator would drop; sizes the watermark before losses
+    "stream_late" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val lm = new graft.streaming.Streaming.LatenessMonitor("event_type", "ts", "1 HOUR")
+      (0 until 5).foreach(b => lm.update(ev.filter(col("event_id") % 5 === b)))
+      lm.lateCounts.orderBy(col("event_type"))
+    }),
+
     // streaming entry-path monitor (batch replay of 5 DAY-RANGE batches —
     // the per-user time-ordered arrival contract): carried prefixes
     // re-cut at depth equal the batch entryPaths over the full stream
@@ -1203,6 +1214,15 @@ object SparkEntry {
         "too_long" -> (col("n_chars") > 900),
         "cjk_excluded" -> (col("lang") === "zh")))
       annotated.select(col("doc_id"), col("violated_rule"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-domain document cap: keep the 20 longest docs per source (ties
+    // to smaller id) — the at-most-N-pages-per-host crawl rule; ONE
+    // domain-keyed ranking window, no joins
+    "curate_host_cap" -> ((s, dir) => {
+      graft.functions.Curation.capPerDomain(docsNorm(s, dir), "source",
+          "doc_id", TextAnalysis.tokenCount(col("text")), cap = 20)
         .orderBy(col("doc_id"))
     }),
 
@@ -2781,6 +2801,21 @@ object SparkEntry {
          WHERE quality >= 0.3 AND lang IN ('en', 'de')
          ORDER BY fp""",
 
+    // lateness replay: batch index = event_id % 5, per-batch prior
+    // high-watermark from the smaller-index batches, count under cutoff
+    "stream_late" ->
+      """WITH b AS (
+           SELECT event_type, ts, event_id % 5 AS bi FROM events),
+         m AS (SELECT bi, max(ts) AS mx FROM b GROUP BY 1),
+         pm AS (
+           SELECT a.bi, max(bm.mx) AS prior
+           FROM (SELECT DISTINCT bi FROM b) a JOIN m bm ON bm.bi < a.bi
+           GROUP BY a.bi)
+         SELECT event_type, count(*) AS n_late
+         FROM b JOIN pm ON b.bi = pm.bi
+         WHERE b.ts < pm.prior - INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY 1""",
+
     // stream-static enrichment replay: additive segment totals equal the
     // one-shot batch join+rollup (enrichment is stateless, sums exact)
     "stream_enrich" ->
@@ -4072,6 +4107,21 @@ object SparkEntry {
 
     "text_bpe_train" -> bpeTrainOracleSql(6),
     "text_bpe_apply" -> bpeApplyOracleSql(6),
+
+    // host-cap replay: same per-source ranking by token count
+    "curate_host_cap" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split($normSql, ' '), x -> x <> ''))
+               AS n_toks
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_toks DESC, doc_id) AS rank
+           FROM t)
+         SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 20 ORDER BY doc_id""",
 
     // boilerplate replay: same explode + two-level aggregation
     "curate_boilerplate" ->

@@ -22,6 +22,30 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Curation {
 
+  /** Per-domain document cap — the Common-Crawl "at most N pages per host"
+    * rule: within each domain, keep the `cap` best documents by `score`
+    * (ties to the smaller id) so no single host dominates the corpus
+    * regardless of its crawl volume. The complement of [[curateByDomain]]'s
+    * quality verdicts: that drops BAD domains, this bounds GOOD ones.
+    *
+    * Scale shape: ONE domain-keyed ranking window (millions of independent
+    * per-domain partitions — the sessionization discipline; a whale domain
+    * is exactly what the cap is for, and its partition holds only that
+    * domain's rows). No joins, no second pass; the filter drops rows
+    * before anything downstream sees them.
+    *
+    * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
+    */
+  def capPerDomain(df: DataFrame, domainCol: String, idCol: String,
+                   score: Column, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(score.desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col(idCol), col(domainCol), col("rank"))
+  }
+
   /** Boilerplate n-gram audit — the repeated-template detector behind
     * C4/RefinedWeb-style "remove lines seen on many pages" rules, adapted
     * to token n-grams: every n-gram occurring in at least `minDf` DISTINCT

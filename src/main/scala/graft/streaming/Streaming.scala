@@ -603,6 +603,58 @@ object Streaming {
     }
   }
 
+  /** Streaming lateness monitor — the ingest data-quality audit: how many
+    * arriving events are LATE, i.e. carry an event time older than the
+    * high-watermark of everything already ingested minus `delay` — exactly
+    * the rows a watermarked stateful operator with that delay would DROP.
+    * Run it beside the real pipeline to size the watermark before late
+    * data silently disappears. State is a 1-row high-watermark frame plus
+    * the |types|-bounded additive late-count table; per-batch work is one
+    * scan-speed filter against the broadcast watermark and a tiny rollup —
+    * nothing is ever rescanned. Wire with
+    * [[foreachBatchMerge]]`(stream, lm.update)`.
+    */
+  class LatenessMonitor(typeCol: String = "event_type",
+                        tsCol: String = "ts", delay: String = "1 HOUR") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var hwm: Option[DataFrame] = None // 1 row: (__hwm)
+    private var late: Option[DataFrame] = None // (event_type, n_late)
+
+    /** audit one micro-batch against the carried watermark, then raise it */
+    def update(batch: DataFrame): Unit = {
+      val b = batch.select(col(typeCol).as("__ty"), col(tsCol).as("__ts"))
+      val newLate = hwm.map(h => b.crossJoin(broadcast(h))
+        .filter(col("__ts") < col("__hwm") - expr(s"INTERVAL $delay"))
+        .groupBy(col("__ty").as("event_type")).agg(count(lit(1)).as("n_late")))
+      late = (late, newLate) match {
+        case (None, nl) => nl.map(bridge.freeze)
+        case (l, None) => l
+        case (Some(l), Some(nl)) => Some(bridge.freeze(
+          l.unionByName(nl).groupBy(col("event_type"))
+            .agg(sum(col("n_late")).as("n_late"))))
+      }
+      val bmax = b.agg(max(col("__ts")).as("__hwm"))
+      hwm = Some(bridge.freeze(hwm match {
+        case None => bmax
+        case Some(h) => h.unionByName(bmax).agg(max(col("__hwm")).as("__hwm"))
+      }))
+    }
+
+    /** accreted (event_type, n_late) — types with zero late rows absent */
+    def lateCounts: DataFrame = late.getOrElse(
+      throw new IllegalStateException("need at least two batches"))
+
+    /** persist watermark + counts for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir,
+      Map("hwm" -> hwm, "late" -> late))
+
+    /** restore both state tables from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit = {
+      hwm = MonitorState.load(spark, dir, "hwm")
+      late = MonitorState.load(spark, dir, "late")
+    }
+  }
+
   /** Streaming entry-path monitor — accrete each user's first-`depth`
     * event-type prefix as micro-batches arrive (the streaming twin of
     * [[graft.functions.Events.entryPaths]]). State is ONE user-keyed

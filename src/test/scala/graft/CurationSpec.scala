@@ -196,6 +196,22 @@ class CurationSpec extends SparkSpec {
     assert(plan.values.map(_._3).sum <= 100L)
   }
 
+  test("capPerDomain: per-domain ranks, ties to smaller id, cap enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", 5.0), (2L, "x", 9.0), (3L, "x", 9.0), (4L, "x", 1.0),
+      (5L, "y", 2.0)).toDF("doc_id", "source", "score")
+    val out = Curation.capPerDomain(docs, "source", "doc_id", col("score"), cap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out == Map(
+      2L -> ("x", 1), // tie at 9.0 breaks to the smaller id
+      3L -> ("x", 2),
+      5L -> ("y", 1)), s"got $out") // small domains keep everything
+    // cap >= domain size keeps all rows
+    assert(Curation.capPerDomain(docs, "source", "doc_id", col("score"), cap = 10)
+      .count() == 5)
+  }
+
   test("boilerplateNgrams: hand-computed df/occ, within-doc repeats count once for df") {
     import spark.implicits._
     val docs = Seq(

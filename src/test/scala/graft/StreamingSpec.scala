@@ -358,6 +358,30 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matches) == batchFull)
   }
 
+  test("lateness monitor: rows under the carried watermark count once, restore mid-stream") {
+    import spark.implicits._
+    def ev(rows: (String, Long)*) = rows.toSeq.toDF("event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val lm = new Streaming.LatenessMonitor(delay = "30 SECONDS")
+    lm.update(ev(("a", 50L), ("b", 100L))) // first batch: no prior watermark
+    intercept[IllegalStateException](
+      new Streaming.LatenessMonitor().lateCounts)
+    // hwm 100, cutoff 70: a@20 late, a@80 and the forward b@150 are not
+    lm.update(ev(("a", 20L), ("a", 80L), ("b", 150L)))
+    // hwm 150, cutoff 120: b@90 late, a@130 is not
+    lm.update(ev(("b", 90L), ("a", 130L)))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toMap(lm.lateCounts) == Map("a" -> 1L, "b" -> 1L))
+    // restore carries the watermark: a@60 is late against hwm 150
+    val ckpt = java.nio.file.Files.createTempDirectory("late_state").toString
+    lm.saveState(ckpt)
+    val lm2 = new Streaming.LatenessMonitor(delay = "30 SECONDS")
+    lm2.restoreState(spark, ckpt)
+    lm2.update(ev(("a", 60L)))
+    assert(toMap(lm2.lateCounts) == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("streaming path monitor: carried prefixes equal batch entryPaths, restore mid-stream") {
     import spark.implicits._
     val ev = Seq(

@@ -399,7 +399,26 @@ object ScaleBench {
       // trigram df structure so the audit table scales linearly
       ("curate_boilerplate", nDocs, nDocs * copies,
         () => force(Curation.boilerplateNgrams(docs1, "doc_id", "text")),
-        () => force(Curation.boilerplateNgrams(docs10, "doc_id", "text"))))
+        () => force(Curation.boilerplateNgrams(docs10, "doc_id", "text"))),
+      // df-bounded candidates + frozen pair frame; per-threshold scans hit
+      // the bounded pair frame, not the corpus
+      ("dedup_threshold_curve", nDocs, nDocs * copies,
+        () => force(Dedup.thresholdCurve(docs1, "doc_id", "text",
+          Seq(0.3, 0.5, 0.7, 0.8, 0.9))),
+        () => force(Dedup.thresholdCurve(docs10, "doc_id", "text",
+          Seq(0.3, 0.5, 0.7, 0.8, 0.9)))),
+      // one explode to the frozen (lang, token, cnt) table + broadcast vocab
+      ("text_oov", nDocs, nDocs * copies,
+        () => force(graft.functions.Retrieval.oovRate(docs1, "text", "lang", 20)),
+        () => force(graft.functions.Retrieval.oovRate(docs10, "text", "lang", 20))),
+      // one domain-keyed ranking window; source cardinality is fixed, so
+      // per-domain partitions grow 10x — the whale-domain case the cap is
+      // for, still one shuffle
+      ("curate_host_cap", nDocs, nDocs * copies,
+        () => force(Curation.capPerDomain(docs1, "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), 20)),
+        () => force(Curation.capPerDomain(docs10, "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), 20))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -1910,6 +1910,21 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // deterministic Bloom membership: bits from the ordering customers,
+    // every customer probed — no false negatives, false positives at the
+    // classic rate; the exact flag rides alongside for the FPR audit
+    "sketch_bloom" -> ((s, dir) => {
+      val keys = org.apache.spark.sql.graftbridge.Bridge.freeze(
+        t(s, dir, "orders").select(col("o_custkey").as("key")).distinct())
+      val bits = graft.functions.Stats.bloomBits(keys, "key", m = 4096, k = 3)
+      val probe = t(s, dir, "customer").select(col("c_custkey"))
+      graft.functions.Stats.bloomProbe(bits, probe, "c_custkey", m = 4096, k = 3)
+        .join(keys, col("c_custkey") === col("key"), "left")
+        .select(col("c_custkey"), col("might_present"),
+          col("key").isNotNull.as("actually_present"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // HyperLogLog distinct-token cardinality: md5-derived registers (unlike
     // approx_count_distinct, engine-reproducible bit-for-bit), ONE map-side
     // combined max aggregation to 256 rows, exact-integer harmonic staging;
@@ -2006,6 +2021,16 @@ object SparkEntry {
       graft.functions.Events.transitions(events(s, dir),
           "user_id", "event_type", "ts", "event_id")
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // seasonal-naive forecast audit: each (type, day) predicted by the
+    // volume 7 days earlier, MAE/MAPE per type — the baseline every
+    // anomaly model must beat; one daily rollup + a calendar-bounded
+    // self-join of the frozen tiny frame
+    "events_forecast" -> ((s, dir) => {
+      graft.functions.Events.seasonalForecast(events(s, dir),
+          "event_type", "ts", period = 7)
+        .orderBy(col("event_type"))
     }),
 
     // entry-path analysis: each user's first-3 event-type prefix counted
@@ -5387,6 +5412,23 @@ object SparkEntry {
            round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
          FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
 
+    // forecast replay: daily counts, lag-7 self-join, decimal-staged MAPE
+    "events_forecast" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.event_type, a.n, b.n AS f, abs(a.n - b.n) AS ae
+           FROM d a JOIN d b
+             ON a.event_type = b.event_type
+            AND b.day = a.day - 7)
+         SELECT event_type, count(*) AS n_days,
+           round(CAST(CAST(sum(ae) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS mae,
+           round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
+             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
+         FROM j GROUP BY event_type ORDER BY event_type""",
+
     // entry-path replay: same ranking window, per-user ordered list join
     "events_paths" -> entryPathsOracleSql,
     // with per-user time-ordered batches the carried prefix re-cut at
@@ -5521,6 +5563,30 @@ object SparkEntry {
     // the streaming monitor accretes the SAME linear sketch (cells are
     // additive), so the batch replay is the identical oracle
     "stream_cms" -> cmsOracleSql,
+
+    // bloom replay: same md5 positions, all-k-set membership, exact flag
+    "sketch_bloom" ->
+      """WITH ks AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         js AS (SELECT unnest(range(0, 3)) AS j),
+         bits AS (
+           SELECT DISTINCT
+             ('0x'||substr(md5(CAST(key AS VARCHAR) || 'bloom' || j::VARCHAR),1,15))::BIGINT
+               % 4096 AS pos
+           FROM ks CROSS JOIN js),
+         probe AS (SELECT DISTINCT c_custkey FROM customer),
+         pp AS (
+           SELECT c_custkey,
+             ('0x'||substr(md5(CAST(c_custkey AS VARCHAR) || 'bloom' || j::VARCHAR),1,15))::BIGINT
+               % 4096 AS pos
+           FROM probe CROSS JOIN js),
+         m AS (
+           SELECT c_custkey, count(*) AS n,
+             sum(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
+               AS hit
+           FROM pp GROUP BY 1)
+         SELECT c_custkey, (hit = n) AS might_present,
+           (c_custkey IN (SELECT key FROM ks)) AS actually_present
+         FROM m ORDER BY c_custkey""",
 
     // HLL replay: the same md5-derived 60-bit hash split into bucket and
     // sub-stream word, trailing-zero ranks via bit_count((w & -w) - 1), register-max,

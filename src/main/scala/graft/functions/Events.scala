@@ -324,6 +324,43 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Seasonal-naive forecast audit: predict each (type, day)'s volume as
+    * the volume `period` days earlier and score the prediction — the
+    * baseline every anomaly/capacity model must beat, and the cheap
+    * pipeline-health check ("is today shaped like last Tuesday"). MAE on
+    * exact long counts; MAPE from per-day terms decimal-staged before the
+    * order-independent sum (the drift-suite discipline).
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * daily-count frame (map-side combined, frozen — both join sides read
+    * it); forecast lookup is a calendar-bounded equi-join of that tiny
+    * frame with itself, never a window over raw events.
+    *
+    * Returns one row per type: (typeCol, n_days, mae, mape).
+    */
+  def seasonalForecast(df: DataFrame, typeCol: String, tsCol: String,
+                       period: Int = 7): DataFrame = {
+    require(period > 0, "period must be positive")
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.groupBy(col(typeCol).as("__ty"), to_date(col(tsCol)).as("__day"))
+        .agg(count(lit(1)).as("__n")))
+    val base = daily.select(col("__ty").as("__bty"), col("__day").as("__bday"),
+      col("__n").as("__forecast"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    daily
+      .withColumn("__lookup", date_sub(col("__day"), period))
+      .join(base, col("__ty") === col("__bty") && col("__lookup") === col("__bday"))
+      .select(col("__ty"), col("__n"), col("__forecast"),
+        abs(col("__n") - col("__forecast")).as("__ae"))
+      .groupBy(col("__ty").as(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        round((sum(col("__ae")).cast("double") / count(lit(1))).cast(dec), 4)
+          .cast("double").as("mae"),
+        round((sum((col("__ae").cast("double") / col("__n")).cast(dec))
+            .cast("double") / count(lit(1))).cast(dec), 4)
+          .cast("double").as("mape"))
+  }
+
   /** Entry-path analysis: each user's first `depth` event types (ordered
     * by (ts, id)) joined into a ">"-delimited path and counted across
     * users — the onboarding-flow rollup that generalizes [[transitions]]'

@@ -166,6 +166,53 @@ object Stats {
       .groupBy(col("row"), col("pos")).agg(sum(col("__c")).as("cnt"))
   }
 
+  private def bloomPos(key: Column, j: Column, m: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("bloom"),
+      j.cast("string"))), 1, 15), 16, 10).cast("long") % m
+
+  /** Deterministic Bloom filter as a relational bit table: `k` md5-derived
+    * hash positions per key over `m` bits, materialized as the DISTINCT
+    * set-bit positions — completing the reproducible sketch family next to
+    * [[countMinSketch]] (counts), [[hllRegisters]] (cardinality) and the
+    * Misra-Gries aggregate (heavy hitters). Unlike Spark's native
+    * `BloomFilterAggregate` bytes (xxhash-based, engine-private — what
+    * [[graft.core.Joins.bloomSemiJoin]] rightly uses for runtime
+    * pruning), this bit table is engine-reproducible and oracle-checkable.
+    *
+    * Mergeable by plain union (bitwise OR = union of set-bit positions):
+    * per-shard or per-day bloom tables combine without rescanning. ONE
+    * map-side-combined aggregation of the key stream; the table is at most
+    * `m` rows — kilobytes, broadcastable.
+    */
+  def bloomBits(items: DataFrame, keyCol: String, m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    items.select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(bloomPos(col("__k"), col("__j"), m).as("pos"))
+      .distinct()
+  }
+
+  /** Probe keys against a [[bloomBits]] table: a key "might be present"
+    * iff ALL `k` of its positions are set — no false negatives, false
+    * positives at the classic (1−e^(−kn/m))^k rate. The bit table joins
+    * by broadcast; per-key work is `k` rows.
+    *
+    * Returns (keyCol, might_present).
+    */
+  def bloomProbe(bits: DataFrame, keys: DataFrame, keyCol: String,
+                 m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val probes = keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(col(keyCol), bloomPos(col(keyCol), col("__j"), m).as("pos"))
+    probes
+      .join(graft.core.Joins.maybeBroadcast(bits.withColumn("__set", lit(1))),
+        Seq("pos"), "left")
+      .groupBy(col(keyCol))
+      .agg((sum(when(col("__set").isNull, 1).otherwise(0)) === 0)
+        .as("might_present"))
+  }
+
   /** Point-query the sketch: each key reads its `depth` counters (equi-join
     * on (row, pos) — the sketch side is broadcastable by construction) and
     * takes the min; counters never touched estimate 0.

@@ -190,6 +190,23 @@ class EventsSpec extends SparkSpec {
     assert(sums.forall { case (_, s) => math.abs(s - 1.0) < 1e-4 })
   }
 
+  test("seasonalForecast: lag-period prediction, hand-computed MAE/MAPE, lone days drop") {
+    import spark.implicits._
+    def day(d: Int, k: Int) = (0 until k).map(i => ("a", d.toLong * 86400L + i))
+    // type a: 4 events on day 1, 6 on day 8, 5 on day 15
+    // forecasts: day8 <- 4 (ae 2), day15 <- 6 (ae 1)
+    val rows = day(1, 4) ++ day(8, 6) ++ day(15, 5) ++
+      Seq(("b", 86400L)) // type b: single day, nothing to score
+    val ev = rows.toDF("event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    val out = Events.seasonalForecast(ev, "event_type", "ts", period = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // mae = (2+1)/2 = 1.5; mape = (2/6 + 1/5)/2 -> 0.2667 at 4dp
+    assert(out == Map("a" -> (2L, 1.5, 0.2667)), s"got $out")
+    // a period with no matching history scores nothing
+    assert(Events.seasonalForecast(ev, "event_type", "ts", period = 3).count() == 0)
+  }
+
   test("entryPaths: first-k prefix per user, tie-break by id, short histories kept") {
     import spark.implicits._
     val ev = Seq(

@@ -100,6 +100,27 @@ class SketchSpec extends SparkSpec {
     assert(dup == union)
   }
 
+  test("bloom: no false negatives, union-mergeable, FPR in a sane band") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val in = (0 until 400).map(i => s"k$i").toDF("key")
+    val bits = Stats.bloomBits(in, "key", m = 4096, k = 3)
+    // every inserted key probes present — the bloom guarantee
+    val probeIn = Stats.bloomProbe(bits, in, "key", m = 4096, k = 3)
+    assert(probeIn.filter(!col("might_present")).count() == 0)
+    // disjoint probes: false positives exist but stay near (1-e^-kn/m)^k
+    val out = (0 until 2000).map(i => s"x$i").toDF("key")
+    val fpr = Stats.bloomProbe(bits, out, "key", m = 4096, k = 3)
+      .filter(col("might_present")).count().toDouble / 2000
+    assert(fpr < 0.1, s"fpr $fpr implausibly high for m=4096,k=3,n=400")
+    // mergeable: union of shard bit tables == bits of the union
+    val a = Stats.bloomBits(in.filter(col("key") < "k2"), "key", 4096, 3)
+    val b = Stats.bloomBits(in.filter(col("key") >= "k2"), "key", 4096, 3)
+    val merged = a.unionByName(b).distinct()
+    assert(merged.collect().map(_.getLong(0)).toSet ==
+      bits.collect().map(_.getLong(0)).toSet)
+  }
+
   test("HLL overlap: union estimate exact vs true-union sketch, intersection in envelope") {
     import graft.functions.Stats
     // |A|=3000, |B|=3000, |A∩B|=1000, |A∪B|=5000

@@ -488,6 +488,16 @@ object SparkEntry {
       vm.anomalies().orderBy(col("event_type"), col("day"))
     }),
 
+    // second readout off the SAME volume-monitor count state: daily counts
+    // are additive, so the accreted seasonal-naive forecast audit equals
+    // the batch events_forecast — identical oracle
+    "stream_forecast" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.forecast(period = 7).orderBy(col("event_type"))
+    }),
+
     // streaming cohort retention (batch replay of 5 micro-batches): the
     // activity-state design re-derives the exact batch rollup after every
     // batch, late back-dating included — streaming-mode parity in
@@ -1083,6 +1093,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // two-stage card-number PII: regex finds card-SHAPED candidates, a
+    // fixed 16-term Luhn fold (pure codegen, no UDF) confirms them — both
+    // engines compute the checksum, so validity is data-derived, not
+    // planted. Redaction is shape-conservative.
+    "text_pii_cards" -> ((s, dir) => {
+      val plain = (lit(1000000000000000L) +
+        ((col("doc_id") % 100000) * 9999991L + col("doc_id"))).cast("string")
+      val g = (lit(1000000000000000L) +
+        ((col("doc_id") % 100000) * 1234567L + col("doc_id") * 3)).cast("string")
+      val grouped = concat_ws("-", substring(g, 1, 4), substring(g, 5, 4),
+        substring(g, 9, 4), substring(g, 13, 4))
+      val ptext = concat(col("text"),
+        when(col("doc_id") % 4 === 0, concat(lit(" card "), plain)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, concat(lit(" acct "), grouped)).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        Pii.cardCandidateCount(ptext).as("n_candidates"),
+        Pii.cardCount(ptext).as("n_valid"),
+        md5(Pii.redactCards(ptext)).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing: deterministic (shard, pack, offset) addresses via a
     // per-shard running token total — hash-partitioned windows, no global sort
     "pack_sequences" -> ((s, dir) => {
@@ -1226,6 +1257,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization dedup: five synthesized variants per logical
+    // page (case, default port, trailing slash + fragment, tracking
+    // params, https) collapse through the scan-speed regex canonicalizer
+    // into dup groups — both engines run the same rewrites
+    "curate_url_canon" -> ((s, dir) => {
+      val grp = expr("doc_id div 5")
+      val host = concat(lit("s"), (grp % 20).cast("string"), lit(".example.com"))
+      val k = grp.cast("string")
+      val url =
+        when(col("doc_id") % 5 === 0,
+          concat(lit("http://"), host, lit("/docs/"), k, lit("?id="), k))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTP://"), upper(host), lit(":80/docs/"), k, lit("?id="), k))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://"), host, lit("/docs/"), k, lit("/?id="), k, lit("#frag")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://"), host, lit("/docs/"), k,
+            lit("?utm_source=feed&utm_campaign=x&id="), k))
+        .otherwise(
+          concat(lit("https://"), host, lit(":443/docs/"), k, lit("?id="), k))
+      graft.functions.Curation.urlDupGroups(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
     // boilerplate n-gram audit: trigrams repeated across >= 5 distinct
     // docs — ONE explode, two-level hash agg (per-doc counts make docs
     // distinct before the rollup, so df is a plain count)
@@ -1324,6 +1381,26 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("band_type"), col("lo"), col("hi"))
         .orderBy(col("event_id"), col("band_type"))
+    }),
+
+    // interval-overlap join: per-user daily click spans vs view spans —
+    // the no-equi-key overlap predicate decomposed into a bucket equi-join
+    // (1h buckets, exact integer arithmetic) with the responsibility-bucket
+    // rule emitting each overlapping pair exactly once, never a BNLJ
+    "join_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def spans(tpe: String, p: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id"), to_date(col("ts")).as(s"${p}_day"))
+          .agg(min(unix_micros(col("ts"))).as(s"${p}_lo"),
+            (max(unix_micros(col("ts"))) + 1).as(s"${p}_hi"))
+      graft.core.Joins.overlapJoin(
+          spans("click", "c"), "c_lo", "c_hi",
+          spans("view", "v"), "v_lo", "v_hi",
+          width = 3600000000.0, keys = Seq("user_id"))
+        .select(col("user_id"), col("c_day"), col("v_day"),
+          col("c_lo"), col("c_hi"), col("v_lo"), col("v_hi"))
+        .orderBy(col("user_id"), col("c_day"), col("v_day"))
     }),
 
     // CCNet perplexity buckets: unigram-LM scores cut into head/middle/tail
@@ -1693,6 +1770,16 @@ object SparkEntry {
         .orderBy(col("threshold"))
     }),
 
+    // MinHash/LSH parameter evaluation: measured recall/precision of a
+    // (k=16, b=4, r=4) banding against exact Jaccard over the df-bounded
+    // candidate universe, next to the S-curve expectation — md5-derived
+    // signatures so BOTH engines band identically
+    "dedup_minhash_eval" -> ((s, dir) => {
+      graft.functions.Dedup.minhashEval(docsNorm(s, dir), "doc_id", "text",
+          thresholds = Seq(0.3, 0.5, 0.7, 0.8), n = 3, k = 16, bands = 4)
+        .orderBy(col("threshold"))
+    }),
+
     // per-language OOV rate against the corpus's own top-20 vocabulary:
     // the tokenizer-fairness audit — one explode to the frozen
     // (lang, token, cnt) table, TakeOrdered vocab broadcast back
@@ -1877,6 +1964,14 @@ object SparkEntry {
     "stats_key_skew" -> ((s, dir) => {
       graft.functions.Stats.keySkew(events(s, dir), "user_id", topK = 20)
         .orderBy(col("cnt").desc, col("key").asc)
+    }),
+
+    // exact Gini concentration of events per user: count table →
+    // count-of-counts (bounded), cumulative self-join, DECIMAL(38,0)
+    // trapezoid terms, ONE double divide — the inequality audit next to
+    // the whale factor
+    "stats_gini" -> ((s, dir) => {
+      graft.functions.Stats.giniConcentration(events(s, dir), "user_id")
     }),
 
     // range-partition boundary planner: deterministic md5 sample + the
@@ -2298,6 +2393,27 @@ object SparkEntry {
     * symbol strings — `s` is in bijection with the word type (symbols
     * concatenate back to the word), so count(DISTINCT s) = word types.
     */
+  /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
+    * decimal-staged MAE/MAPE — shared by `events_forecast` and its
+    * streaming twin `stream_forecast` (daily counts are additive, so the
+    * accreted state equals the one-pass count table).
+    */
+  private val forecastOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       j AS (
+         SELECT a.event_type, a.n, b.n AS f, abs(a.n - b.n) AS ae
+         FROM d a JOIN d b
+           ON a.event_type = b.event_type
+          AND b.day = a.day - 7)
+       SELECT event_type, count(*) AS n_days,
+         round(CAST(CAST(sum(ae) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
+           AS mae,
+         round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
+           / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
+       FROM j GROUP BY event_type ORDER BY event_type"""
+
   private def bpeApplyOracleSql(nMerges: Int): String =
     s"""WITH ${bpeRoundsCtes(nMerges)}
        SELECT sym AS symbol, CAST(sum(cnt) AS BIGINT) AS total_count,
@@ -3423,6 +3539,50 @@ object SparkEntry {
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_fp
          FROM p ORDER BY doc_id""",
 
+    // card replay: the same synthesized candidates, RE2 extraction, and
+    // the identical 16-term Luhn fold via a generate_series cross join
+    "text_pii_cards" ->
+      """WITH p AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
+                  (1000000000000000 + ((doc_id % 100000) * 9999991 + doc_id))::VARCHAR
+                ELSE '' END
+             || CASE WHEN doc_id % 6 = 0 THEN ' acct ' ||
+                  substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 1, 4)
+                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 5, 4)
+                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 9, 4)
+                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 13, 4)
+                ELSE '' END
+             AS ptext
+           FROM documents),
+         cand AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(ptext, '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b'))
+               AS c
+           FROM p),
+         norm AS (
+           SELECT doc_id, c, regexp_replace(c, '[- ]', '', 'g') AS d FROM cand),
+         lu AS (
+           SELECT doc_id, c,
+             sum(CASE WHEN (17 - i) % 2 = 0
+                 THEN CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+                 ELSE dg END) AS s
+           FROM (
+             SELECT doc_id, c, i, CAST(substr(d, i, 1) AS INT) AS dg
+             FROM norm CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i))
+           GROUP BY doc_id, c),
+         agg AS (
+           SELECT doc_id, count(*) AS n_candidates,
+             CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+           FROM lu GROUP BY doc_id)
+         SELECT p.doc_id,
+           coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+           coalesce(n_valid, 0)::BIGINT AS n_valid,
+           md5(regexp_replace(ptext,
+             '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b', '<CARD>', 'g')) AS red_fp
+         FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         ORDER BY p.doc_id""",
+
     "pack_sequences" ->
       s"""WITH d AS (
            SELECT doc_id,
@@ -3764,6 +3924,22 @@ object SparkEntry {
          SELECT e.event_id, e.event_type, e.value, band_type, lo, hi
          FROM events e JOIN bands ON e.value >= lo AND e.value < hi
          ORDER BY event_id, band_type""",
+
+    // overlap replay: per-user daily spans, then the plain overlap theta
+    // join DuckDB can afford at oracle scale
+    "join_overlap" ->
+      """WITH c AS (
+           SELECT user_id, CAST(ts AS DATE) AS c_day,
+             min(epoch_us(ts)) AS c_lo, max(epoch_us(ts)) + 1 AS c_hi
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         v AS (
+           SELECT user_id, CAST(ts AS DATE) AS v_day,
+             min(epoch_us(ts)) AS v_lo, max(epoch_us(ts)) + 1 AS v_hi
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c_day, v_day, c_lo, c_hi, v_lo, v_hi
+         FROM c JOIN v ON c.user_id = v.user_id
+           AND c_lo < v_hi AND v_lo < c_hi
+         ORDER BY c.user_id, c_day, v_day""",
 
     // CCNet bucket replay: the text_lm_score chain, then per-language
     // histogram tercile bins and integer-bin head/middle/tail labels
@@ -4148,6 +4324,43 @@ object SparkEntry {
          SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 20 ORDER BY doc_id""",
 
+    // URL canonicalization replay: the same variant synthesis and the
+    // same regex rewrites (RE2 syntax, \1-style backrefs are not needed)
+    "curate_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
+                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
+                 || '?id=' || (doc_id // 5)::VARCHAR
+               WHEN 1 THEN 'HTTP://' || upper('s' || ((doc_id // 5) % 20)::VARCHAR
+                 || '.example.com') || ':80/docs/' || (doc_id // 5)::VARCHAR
+                 || '?id=' || (doc_id // 5)::VARCHAR
+               WHEN 2 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
+                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
+                 || '/?id=' || (doc_id // 5)::VARCHAR || '#frag'
+               WHEN 3 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
+                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
+                 || '?utm_source=feed&utm_campaign=x&id=' || (doc_id // 5)::VARCHAR
+               ELSE 'https://s' || ((doc_id // 5) % 20)::VARCHAR
+                 || '.example.com:443/docs/' || (doc_id // 5)::VARCHAR
+                 || '?id=' || (doc_id // 5)::VARCHAR
+             END AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             regexp_replace(lower(regexp_extract(trim(url),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '')
+             || regexp_replace(regexp_extract(regexp_replace(trim(url),
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1), '/+$', '')
+             || CASE WHEN regexp_extract(trim(url), '[?&]id=([0-9]+)', 1) = ''
+                THEN '' ELSE '?id=' || regexp_extract(trim(url), '[?&]id=([0-9]+)', 1)
+                END AS canonical_url
+           FROM u)
+         SELECT canonical_url, count(*) AS n_variants,
+           min(doc_id) AS keep_id
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+
     // boilerplate replay: same explode + two-level aggregation
     "curate_boilerplate" ->
       s"""WITH norm AS (
@@ -4401,6 +4614,81 @@ object SparkEntry {
          SELECT t AS threshold, CAST(count(pa) // 2 AS BIGINT) AS n_pairs,
            CAST(count(DISTINCT d) AS BIGINT) AS n_docs
          FROM p2 GROUP BY t ORDER BY t""",
+
+    // minhash-eval replay: the threshold-curve truth CTEs, then md5
+    // signatures (min over shingles per seed), index-prefixed band keys,
+    // band-collision hits, and the same decimal-staged rollup; the
+    // S-curve evaluates as the identical left-assoc multiplication chain
+    "dedup_minhash_eval" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
+           FROM norm),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN dfreq d ON d.sh = a.sh
+           WHERE d.df <= 64
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT id_a, id_b,
+             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
+           FROM cand JOIN sizes sa ON id_a = sa.doc_id
+                     JOIN sizes sb ON id_b = sb.doc_id),
+         ids AS (
+           SELECT id_a AS id FROM scored UNION SELECT id_b FROM scored),
+         sig AS (
+           SELECT s.doc_id, g.i,
+             min(('0x'||substr(md5(s.sh || '#' || g.i::VARCHAR),1,15))::BIGINT)
+               AS m
+           FROM sh0 s JOIN ids ON s.doc_id = ids.id
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+           GROUP BY s.doc_id, g.i),
+         bk AS (
+           SELECT doc_id, (i // 4)::VARCHAR || ':' ||
+             array_to_string(list(m::VARCHAR ORDER BY i), ',') AS bk
+           FROM sig GROUP BY doc_id, i // 4),
+         hits AS (
+           SELECT DISTINCT s.id_a, s.id_b
+           FROM scored s JOIN bk x ON x.doc_id = s.id_a
+             JOIN bk y ON y.doc_id = s.id_b AND y.bk = x.bk),
+         ev AS (
+           SELECT s.id_a, s.id_b, s.jaccard,
+             h.id_a IS NOT NULL AS caught,
+             1.0 - s.jaccard * s.jaccard * s.jaccard * s.jaccard AS q
+           FROM scored s LEFT JOIN hits h
+             ON s.id_a = h.id_a AND s.id_b = h.id_b),
+         ths(t) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+           (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE))),
+         roll AS (
+           SELECT t,
+             sum(CASE WHEN jaccard >= t THEN 1 ELSE 0 END) AS n_true,
+             sum(CASE WHEN jaccard >= t AND caught THEN 1 ELSE 0 END) AS n_caught,
+             sum(CASE WHEN caught THEN 1 ELSE 0 END) AS n_candidates,
+             sum(CASE WHEN jaccard >= t
+                 THEN CAST(1.0 - q * q * q * q AS DECIMAL(18,8)) END) AS se
+           FROM ths CROSS JOIN ev GROUP BY t)
+         SELECT t AS threshold,
+           CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(n_caught, 0) AS BIGINT) AS n_caught,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           round(CAST(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+             ELSE n_caught::DOUBLE / n_true END AS DECIMAL(18,8)), 4)::DOUBLE
+             AS recall,
+           round(CAST(CASE WHEN coalesce(n_candidates, 0) = 0 THEN 0.0
+             ELSE n_caught::DOUBLE / n_candidates END AS DECIMAL(18,8)), 4)::DOUBLE
+             AS precision,
+           round(CAST(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+             ELSE CAST(se AS DOUBLE) / n_true END AS DECIMAL(18,8)), 4)::DOUBLE
+             AS exp_recall
+         FROM roll ORDER BY t""",
 
     // OOV replay: same (lang, token, cnt) table, top-20 vocab, left join
     "text_oov" ->
@@ -5105,6 +5393,30 @@ object SparkEntry {
              AS skew
          FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20""",
 
+    // Gini replay: count-of-counts, cumulative mass self-join, the same
+    // decimal-staged trapezoid and single final divide
+    "stats_gini" ->
+      """WITH counts AS (
+           SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         coc AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
+         cum AS (
+           SELECT a.c, a.nk,
+             CAST(sum(CAST(b.c AS DECIMAL(38,0)) * b.nk) AS DECIMAL(38,0)) AS cm
+           FROM coc a JOIN coc b ON b.c <= a.c GROUP BY a.c, a.nk),
+         s AS (
+           SELECT CAST(sum(CAST(nk AS DECIMAL(38,0)) *
+             (cm * 2 - CAST(c AS DECIMAL(38,0)) * nk)) AS DECIMAL(38,0)) AS t
+           FROM cum),
+         tot AS (
+           SELECT CAST(sum(nk) AS BIGINT) AS keys,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS DECIMAL(38,0)) AS m
+           FROM coc)
+         SELECT keys AS n_keys, CAST(m AS BIGINT) AS total,
+           round(CAST(1.0 - CAST(t AS DOUBLE) /
+             (CAST(keys AS DOUBLE) * CAST(m AS DOUBLE)) AS DECIMAL(18,8)), 6)::DOUBLE
+             AS gini
+         FROM tot CROSS JOIN s""",
+
     // range-bounds replay: the deterministic md5 sample filter, then the
     // stats_quantile_hist pick at the 7 interior octile points
     "layout_range_bounds" ->
@@ -5413,21 +5725,10 @@ object SparkEntry {
          FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
 
     // forecast replay: daily counts, lag-7 self-join, decimal-staged MAPE
-    "events_forecast" ->
-      """WITH d AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-           FROM events GROUP BY 1, 2),
-         j AS (
-           SELECT a.event_type, a.n, b.n AS f, abs(a.n - b.n) AS ae
-           FROM d a JOIN d b
-             ON a.event_type = b.event_type
-            AND b.day = a.day - 7)
-         SELECT event_type, count(*) AS n_days,
-           round(CAST(CAST(sum(ae) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS mae,
-           round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
-             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
-         FROM j GROUP BY event_type ORDER BY event_type""",
+    "events_forecast" -> forecastOracleSql,
+    // daily counts are additive across batches, so the accreted forecast
+    // audit equals the batch one — identical oracle
+    "stream_forecast" -> forecastOracleSql,
 
     // entry-path replay: same ranking window, per-user ordered list join
     "events_paths" -> entryPathsOracleSql,

@@ -151,6 +151,60 @@ object Joins {
       .drop("__bk")
   }
 
+  /** Bucketed interval-overlap join — the scale-safe plan for
+    * "`[aLo, aHi)` overlaps `[bLo, bHi)`" with no equi key beyond optional
+    * partition keys (session-overlap detection, meeting/booking conflicts,
+    * span-vs-span containment screens). The bare overlap predicate
+    * `aLo < bHi AND bLo < aHi` has no equality Catalyst can hash on, so it
+    * plans as a BroadcastNestedLoopJoin — |A|×|B| comparisons per key
+    * group, dead at scale. Decomposition: quantize the axis into
+    * `width`-sized buckets, explode EACH side's interval into the buckets
+    * it touches, equi-join on (`keys`, bucket), and apply the exact
+    * predicate — a plain shuffled hash join.
+    *
+    * Exactly-once without a distinct: two overlapping intervals share
+    * every bucket their intersection touches, so the bucket join alone
+    * would emit a pair once per shared bucket. The responsibility rule
+    * keeps only the bucket containing `greatest(aLo, bLo)` — the
+    * intersection's first point, which both intervals provably cover — so
+    * each qualifying pair survives in EXACTLY one bucket and the
+    * deduplicating shuffle a `distinct` would cost is never needed.
+    *
+    * Integral axes with whole-number widths bucket in exact integer
+    * arithmetic (the [[intervalJoin]] 2^53 rationale); the same
+    * `maxBucketsPerInterval` whale guard raises rather than materializing
+    * a misconfigured explode. Returns the inner join (all columns from
+    * both sides; `keys` columns once) for half-open overlap.
+    */
+  def overlapJoin(left: DataFrame, lLo: String, lHi: String,
+                  right: DataFrame, rLo: String, rHi: String,
+                  width: Double, keys: Seq[String] = Nil,
+                  maxBucketsPerInterval: Int = 1 << 14): DataFrame = {
+    require(width > 0, "width must be positive")
+    import org.apache.spark.sql.functions.greatest
+    val useInt = width.isWhole &&
+      Seq(left.schema(lLo).dataType, left.schema(lHi).dataType,
+        right.schema(rLo).dataType, right.schema(rHi).dataType).forall(isIntegral)
+    def bk(c: Column): Column =
+      if (useInt) exactFloorDiv(c, width.toLong) else floor(c / width).cast("long")
+    def prep(df: DataFrame, lo: String, hi: String, bkName: String): DataFrame = {
+      val nb = (bk(col(hi)) - bk(col(lo))) + 1
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) < col(hi))
+        .filter(when(nb > maxBucketsPerInterval,
+          raise_error(lit(s"interval exceeds $maxBucketsPerInterval buckets — raise width"))
+            .isNotNull).otherwise(lit(true)))
+        .withColumn(bkName, explode(sequence(bk(col(lo)), bk(col(hi)))))
+    }
+    val l = prep(left, lLo, lHi, "__bka")
+    val r = prep(right, rLo, rHi, "__bkb")
+    val cond = (keys.map(k => l(k) === r(k)) ++ Seq(
+      l("__bka") === r("__bkb"),
+      l(lLo) < r(rHi), r(rLo) < l(lHi),
+      l("__bka") === bk(greatest(l(lLo), r(rLo))))).reduce(_ && _)
+    val joined = l.join(r, cond).drop("__bka", "__bkb")
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Bounded-radius nearest join on a long axis — "align each probe to its
     * nearest target within `maxDistance`" (an event to the nearest snapshot
     * timestamp, a reading to the nearest calibration point). Catalyst has

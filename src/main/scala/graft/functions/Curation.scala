@@ -36,6 +36,44 @@ object Curation {
     *
     * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
     */
+  /** URL canonicalization — the crawl-frontier dedup key: the same page
+    * arrives as `HTTP://Host:80/a/?utm_source=feed&id=7#frag` and
+    * `http://host/a?id=7`, and byte-level dedup misses the equivalence
+    * entirely. Normalizations (each a plain-regex rewrite both Java and
+    * RE2 engines evaluate identically): lowercase scheme+authority, strip
+    * default ports (:80/:443), drop the fragment, strip trailing path
+    * slashes, and keep only the content-identifying `id` query parameter
+    * (tracking params — utm_* and friends — drop with everything else).
+    *
+    * 100 TB notes: a pure codegen'd `regexp_*` projection, scan speed, no
+    * UDF — canonicalize at ingest and every downstream exact-dedup /
+    * recrawl-diff stage keys on the result.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val t = trim(u)
+    // scheme://authority, lowercased, default ports stripped
+    val auth = regexp_replace(
+      lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      ":(80|443)$", "")
+    // path segment (before ? or #), trailing slashes stripped
+    val tail = regexp_replace(t, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(tail, "^([^?#]*)", 1), "/+$", "")
+    // the one content-identifying query param survives, position-free
+    val qid = regexp_extract(t, "[?&]id=([0-9]+)", 1)
+    concat(auth, path,
+      when(qid === "", lit("")).otherwise(concat(lit("?id="), qid)))
+  }
+
+  /** Canonical-URL duplicate groups: each distinct canonical form with its
+    * variant count and the kept (smallest-id) representative — ONE
+    * map-side-combined aggregation over the [[canonicalUrl]] projection.
+    * Returns (canonical_url, n_variants, keep_id).
+    */
+  def urlDupGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keep_id"))
+
   def capPerDomain(df: DataFrame, domainCol: String, idCol: String,
                    score: Column, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")

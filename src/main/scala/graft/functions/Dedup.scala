@@ -932,6 +932,91 @@ object Dedup {
     }.reduce(_.unionAll(_))
   }
 
+  /** MinHash/LSH parameter evaluation — measured precision/recall of a
+    * (k, bands) banding scheme against exact Jaccard, next to the S-curve
+    * theory: [[thresholdCurve]] says how much a threshold TOUCHES; this
+    * says how much a concrete LSH configuration at that threshold would
+    * actually CATCH, before committing a 100 TB dedup run to it.
+    *
+    * Ground truth is the [[containmentPairs]] candidate universe (every
+    * pair sharing ≥1 df-bounded shingle) with exact Jaccard. Each pair is
+    * then tested against a real banding: md5-DERIVED minhash signatures —
+    * deliberately not the production xxhash64 ([[minhashSignature]]), so
+    * the whole audit is engine-reproducible and oracle-checkable —
+    * banded into `bands` keys; a pair is "caught" iff some band matches
+    * (`arrays_overlap`, band index baked into the key). Per threshold the
+    * rollup reports measured recall (caught ∧ true / true), measured
+    * precision within the universe (caught ∧ true / caught), and the
+    * S-curve expectation E[1−(1−j^r)^b] over the true pairs — evaluated
+    * as an explicit multiplication chain (no `pow`), so both engines
+    * compute bit-identical doubles.
+    *
+    * Scale shape: ONE containmentPairs pass (df-bounded, never a corpus
+    * self-join); signatures computed only for pair-involved documents
+    * (pair-proportional, the [[editVerify]] discipline); the evaluated
+    * pair frame freezes and each threshold is a scan of that bounded
+    * frame. Run it on a representative sample, then configure
+    * [[minhashPairs]] for the full corpus.
+    *
+    * Returns one row per threshold: (threshold, n_true, n_caught,
+    * n_candidates, recall, precision, exp_recall).
+    */
+  def minhashEval(df: DataFrame, idCol: String, textCol: String,
+                  thresholds: Seq[Double], n: Int = 3, k: Int = 16,
+                  bands: Int = 4, maxDf: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def powInt(c: Column, e: Int): Column = Seq.fill(e)(c).reduce(_ * _)
+    val pairs = bridge.freeze(
+      containmentPairs(df, idCol, textCol, n, maxDf,
+        minShared = 1, minContain = 0.0)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // md5-derived sig[i] = min over shingles of H(shingle # i); band key j
+    // concatenates its r values, index-prefixed so band j only matches j
+    val bandKeys = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(col("__sh"), s =>
+          conv(substring(md5(concat_ws("#", s, i.cast("string"))), 1, 15),
+            16, 10).cast("long")))).as("__sig"))
+      .select(col(idCol), transform(sequence(lit(0), lit(bands - 1)), j =>
+        concat(j.cast("string"), lit(":"),
+          concat_ws(",", transform(slice(col("__sig"), j * lit(r) + lit(1), lit(r)),
+            x => x.cast("string"))))).as("__bk"))
+    val evald = bridge.freeze(pairs
+      .join(bandKeys.select(col(idCol).as("id_a"), col("__bk").as("__ba")), Seq("id_a"))
+      .join(bandKeys.select(col(idCol).as("id_b"), col("__bk").as("__bb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        arrays_overlap(col("__ba"), col("__bb")).as("__caught")))
+    thresholds.map { t =>
+      val isTrue = col("jaccard") >= t
+      // S-curve 1−(1−j^r)^b as a fixed left-assoc multiplication chain:
+      // engine-exact where pow() could differ in the last ulp
+      val sCurve = lit(1.0) - powInt(lit(1.0) - powInt(col("jaccard"), r), bands)
+      evald.agg(
+          sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+          sum(when(isTrue && col("__caught"), 1L).otherwise(0L)).as("n_caught"),
+          sum(when(col("__caught"), 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(isTrue, sCurve.cast(dec)).otherwise(lit(null))).as("__se"))
+        .select(lit(t).as("threshold"), col("n_true"), col("n_caught"),
+          col("n_candidates"),
+          round(when(col("n_true") === 0, lit(0.0))
+            .otherwise(col("n_caught").cast("double") / col("n_true"))
+            .cast(dec), 4).cast("double").as("recall"),
+          round(when(col("n_candidates") === 0, lit(0.0))
+            .otherwise(col("n_caught").cast("double") / col("n_candidates"))
+            .cast(dec), 4).cast("double").as("precision"),
+          round(when(col("n_true") === 0, lit(0.0))
+            .otherwise(col("__se").cast("double") / col("n_true"))
+            .cast(dec), 4).cast("double").as("exp_recall"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Embedding-cosine near-duplicate pairs. Brute force within LSH buckets:
     * random-hyperplane signs (deterministic seeded planes) bucket the
     * vectors; pairs within a bucket are verified by exact cosine. At 100 TB

@@ -339,11 +339,24 @@ object Events {
     * Returns one row per type: (typeCol, n_days, mae, mape).
     */
   def seasonalForecast(df: DataFrame, typeCol: String, tsCol: String,
-                       period: Int = 7): DataFrame = {
+                       period: Int = 7): DataFrame =
+    forecastOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      typeCol, period)
+
+  /** [[seasonalForecast]]'s scoring stage over an already-built
+    * (event_type, day, n) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical
+    * forecast audit off its accreted (additive, hence batch-exact) count
+    * state.
+    */
+  def forecastOfDaily(dailyCounts: DataFrame, typeCol: String = "event_type",
+                      period: Int = 7): DataFrame = {
     require(period > 0, "period must be positive")
     val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.groupBy(col(typeCol).as("__ty"), to_date(col(tsCol)).as("__day"))
-        .agg(count(lit(1)).as("__n")))
+      dailyCounts.select(col("event_type").as("__ty"), col("day").as("__day"),
+        col("n").as("__n")))
     val base = daily.select(col("__ty").as("__bty"), col("__day").as("__bday"),
       col("__n").as("__forecast"))
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)

@@ -353,6 +353,54 @@ object Stats {
           .cast("double").as("skew"))
   }
 
+  /** Exact Gini concentration of per-key mass — the inequality companion to
+    * [[keySkew]]'s whale factor: "what fraction of the corpus do the
+    * heaviest users/domains own" summarized as the Lorenz-curve Gini
+    * coefficient (0 = perfectly uniform, →1 = one key owns everything).
+    * The pre-sharding audit for any per-key quota decision
+    * ([[graft.functions.Curation.capPerDomain]], salting, per-user rate
+    * limits): a Gini near 1 says caps change the corpus materially, near 0
+    * says they're a no-op.
+    *
+    * EXACT, not bin-approximate: keys with identical counts are
+    * interchangeable on the Lorenz curve, so the curve is piecewise linear
+    * over the count-of-counts table and the trapezoid sum over those
+    * segments is the exact Gini. That table is bounded by |distinct count
+    * values| — O(√total) for any realistic tail — so after ONE
+    * map-side-combined aggregation to the |keys|-row count table and ONE
+    * more to count-of-counts, everything runs on a frame the driver could
+    * hold. Cumulative masses come from the bounded self-join (the
+    * [[histogramQuantiles]] discipline — no global window); every product
+    * stages through DECIMAL(38,0) (k_i·(M_{i−1}+M_i) at 10¹² rows × 10⁹
+    * keys overflows a long) with ONE double divide at the end, so the
+    * coefficient is engine-reproducible.
+    *
+    * Returns one row: (n_keys, total, gini).
+    */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    val coc = bridge.freeze(
+      counts.groupBy(col("__c")).agg(count(lit(1)).as("__nk")))
+    // cumulative mass owned by keys with count <= this count value
+    val cum = coc.as("a").join(coc.as("b"), col("b.__c") <= col("a.__c"))
+      .groupBy(col("a.__c").as("__c"), col("a.__nk").as("__nk"))
+      .agg(sum(col("b.__c").cast(dec) * col("b.__nk")).as("__cm"))
+    // trapezoid over the segment of k_i equal-count keys:
+    // k_i · (M_{i−1} + M_i) = k_i · (2·M_i − c_i·k_i)
+    val s = cum.agg(sum(col("__nk").cast(dec) *
+      (col("__cm") * 2 - col("__c").cast(dec) * col("__nk"))).as("__t"))
+    val tot = coc.agg(sum(col("__nk")).as("__keys"),
+      sum(col("__c").cast(dec) * col("__nk")).as("__m"))
+    broadcast(tot).crossJoin(broadcast(s))
+      .select(col("__keys").as("n_keys"), col("__m").cast("long").as("total"),
+        round((lit(1.0) - col("__t").cast("double") /
+            (col("__keys").cast("double") * col("__m").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("gini"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift statistic between two corpora's
     * numeric distributions, at histogram (bin-edge) resolution:
     * `max |F_a(x) − F_b(x)|` over the shared bin edges — the numeric-drift

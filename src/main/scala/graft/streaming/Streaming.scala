@@ -357,6 +357,24 @@ object Streaming {
       graft.functions.Events.anomaliesOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         zThreshold)
+
+    /** second readout off the SAME accreted count state: the seasonal-naive
+      * forecast audit ([[graft.functions.Events.forecastOfDaily]]) — daily
+      * counts are additive, so once all of a day's events have landed the
+      * streamed audit is bit-identical to the batch
+      * [[graft.functions.Events.seasonalForecast]]
+      */
+    def forecast(period: Int = 7): DataFrame =
+      graft.functions.Events.forecastOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        "event_type", period)
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      daily = MonitorState.load(spark, dir, "daily")
   }
 
   /** Streaming benchmark-contamination monitor — continuous

@@ -110,6 +110,32 @@ class CurationSpec extends SparkSpec {
     assert(out.getDouble(4) == 0.421875, s"pad_frac ${out.getDouble(4)}")
   }
 
+  test("canonicalUrl: case, ports, slash, fragment, tracking params all collapse") {
+    import spark.implicits._
+    import graft.functions.Curation
+    val cases = Seq(
+      "http://host.com/a?id=7"                          -> "http://host.com/a?id=7",
+      "HTTP://Host.COM:80/a/?utm_source=x&id=7#frag"    -> "http://host.com/a?id=7",
+      "  http://host.com/a?utm_campaign=y&id=7  "       -> "http://host.com/a?id=7",
+      "https://Host.com:443/"                           -> "https://host.com",
+      "https://host.com"                                -> "https://host.com",
+      "http://host.com/b/c/"                            -> "http://host.com/b/c",
+      "http://host.com/a?page=2"                        -> "http://host.com/a",
+      // :8080 is NOT a default port and must survive
+      "http://host.com:8080/a"                          -> "http://host.com:8080/a")
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want") }
+    // dup groups: the first three collapse into one group of 3
+    val groups = Curation.urlDupGroups(
+      cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups("http://host.com/a?id=7") == (3L, 0L))
+    assert(groups("https://host.com") == (2L, 3L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     import spark.implicits._
     val vOld = Seq((1L, "stays the same"), (2L, "will change"), (3L, "will be removed"))

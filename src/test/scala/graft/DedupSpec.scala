@@ -359,6 +359,32 @@ class DedupSpec extends SparkSpec {
     assert(zero.getLong(1) == 0L && zero.getLong(2) == 0L)
   }
 
+  test("minhashEval: identical pairs always caught, rollup invariants, S-curve high at j=1") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y z w"), (1L, "x y z w"), (2L, "x y z q"),
+      (3L, "p q r s"), (4L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.minhashEval(docs, "doc_id", "text",
+        thresholds = Seq(0.3, 0.99), k = 16, bands = 4)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // j=1 pairs share every shingle, hence every signature value, hence
+    // every band: recall at 0.99 is exactly 1 and the S-curve reads 1
+    val (t99n, t99c, _, t99r, _, t99e) = out(0.99)
+    assert(t99n == 1L && t99c == 1L && t99r == 1.0 && t99e == 1.0)
+    // invariants at every threshold: caught <= true, caught <= candidates,
+    // rates in [0,1], candidates constant across thresholds
+    out.values.foreach { case (nt, nc, ncand, rec, prec, exp) =>
+      assert(nc <= nt && nc <= ncand)
+      assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
+      assert(exp >= 0.0 && exp <= 1.0)
+    }
+    assert(out(0.3)._3 == out(0.99)._3, "candidate set is threshold-free")
+    // a threshold above every pair yields explicit zeros, not NaN
+    val zero = Dedup.minhashEval(docs, "doc_id", "text", Seq(1.1), k = 16, bands = 4).head()
+    assert(zero.getLong(1) == 0L && zero.getDouble(4) == 0.0 && zero.getDouble(6) == 0.0)
+  }
+
   test("cutSpans removes exactly the duplicated spans and keeps clean docs intact") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel"

@@ -217,6 +217,23 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(uni.length == 2 && uni.forall(_.getDouble(4) == 1.0))
   }
 
+  test("giniConcentration: hand-computed Gini, uniform reads 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // counts {a:1, b:3}: Lorenz (0.5, 0.25) -> (1, 1); 2·area = 0.75
+    val df = (Seq("a") ++ Seq.fill(3)("b")).toDF("k")
+    val row = Stats.giniConcentration(df, "k").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == 0.25, s"gini ${row.getDouble(2)}")
+    // uniform keys: exactly 0
+    val uni = (1 to 5).flatMap(i => Seq.fill(4)(s"k$i")).toDF("k")
+    assert(Stats.giniConcentration(uni, "k").head().getDouble(2) == 0.0)
+    // extreme tail: one whale among many singletons approaches 1 from below
+    val whale = (Seq.fill(1000)("w") ++ (1 to 100).map(i => s"s$i")).toDF("k")
+    val g = Stats.giniConcentration(whale, "k").head().getDouble(2)
+    assert(g > 0.85 && g < 1.0, s"gini $g")
+  }
+
   test("psiDrift: hand-computed score, identical distributions read 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -237,6 +237,54 @@ class ScaleSpec extends SparkSpec {
     assert(err.getMessage.contains("buckets"), s"guard must name the fix: ${err.getMessage}")
   }
 
+  test("overlap join: equals the naive overlap join exactly once, plans a hash join") {
+    import graft.core.Joins
+    // misaligned spans on both sides (7.3 and 11.9 vs bucket width 5), many
+    // multi-bucket intersections — the exactly-once responsibility rule is
+    // what's under test (a per-shared-bucket emit would duplicate pairs)
+    val a = spark.range(0, 2000)
+      .select(col("id").as("aid"), (col("id") * 2.4).as("alo"),
+        (col("id") * 2.4 + 7.3).as("ahi"))
+    val b = spark.range(0, 1200)
+      .select(col("id").as("bid"), (col("id") * 3.7).as("blo"),
+        (col("id") * 3.7 + 11.9).as("bhi"))
+    val out = Joins.overlapJoin(a, "alo", "ahi", b, "blo", "bhi", width = 5.0)
+    val naive = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = pairs(out)
+    assert(got.toSet == pairs(naive).toSet, "bucket decomposition must be exact")
+    assert(got.length == got.toSet.size, "responsibility rule must emit each pair once")
+    assert(got.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay hash-joined:\n${plan.take(1500)}")
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      "control: the naive overlap predicate really does plan a BNLJ")
+    // integral keyed case: per-user long spans, exact integer bucketing
+    val ka = spark.range(0, 3000).select((col("id") % 7).as("u"),
+      col("id").as("aid"), (col("id") * 13L % 1000L).as("alo"),
+      (col("id") * 13L % 1000L + 37L).as("ahi"))
+    val kb = spark.range(0, 3000).select((col("id") % 7).as("u"),
+      col("id").as("bid"), (col("id") * 29L % 1000L).as("blo"),
+      (col("id") * 29L % 1000L + 23L).as("bhi"))
+    val kout = Joins.overlapJoin(ka, "alo", "ahi", kb, "blo", "bhi",
+      width = 50.0, keys = Seq("u"))
+    val knaive = ka.join(kb.withColumnRenamed("u", "u2"),
+      col("u") === col("u2") && col("alo") < col("bhi") && col("blo") < col("ahi"))
+    val kpairs = kout.select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kpairs.toSet == knaive.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(kpairs.length == kpairs.toSet.size)
+    // whale guard raises instead of materializing the explode
+    import spark.implicits._
+    val whale = Seq((1L, 0.0, 1e9)).toDF("bid", "blo", "bhi")
+    val err = intercept[Exception] {
+      Joins.overlapJoin(a, "alo", "ahi", whale, "blo", "bhi", width = 5.0).count()
+    }
+    assert(err.getMessage.contains("buckets"))
+  }
+
   test("nearestJoin: equals the naive nearest within radius, bucket edges exact") {
     import spark.implicits._
     import graft.core.Joins

@@ -612,6 +612,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("volume monitor forecast readout: equals the batch seasonal forecast, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batchFull = toMap(
+      graft.functions.Events.seasonalForecast(ev, "event_type", "ts", period = 7))
+    assert(batchFull.nonEmpty)
+    // daily counts are additive: 5 arbitrary (not time-ordered) batches
+    // accrete to the exact corpus count table, so the forecast matches
+    val vm = new Streaming.VolumeMonitor("event_type", "ts")
+    (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(toMap(vm.forecast(period = 7)) == batchFull)
+    // save after 2 batches, restore into a fresh monitor, finish, same audit
+    val ckpt = java.nio.file.Files.createTempDirectory("vol_state").toString
+    val vm2 = new Streaming.VolumeMonitor("event_type", "ts")
+    (0 until 2).foreach(b => vm2.update(ev.filter(col("event_id") % 5 === b)))
+    vm2.saveState(ckpt)
+    val vm3 = new Streaming.VolumeMonitor("event_type", "ts")
+    vm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => vm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(toMap(vm3.forecast(period = 7)) == batchFull)
+  }
+
   /** drive a checkpointed foreachBatch query over a parquet dir source to
     * completion — restarting with the same checkpointLocation replays ONLY
     * files the previous run did not commit (the production crash-recovery

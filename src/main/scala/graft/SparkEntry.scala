@@ -1257,6 +1257,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-(source, lang) data card: doc counts, token volume, mean
+    // quality, exact-dup rate — per-doc signals at scan speed, ONE
+    // fingerprint aggregation for dup flags, ONE rollup to the slice
+    // table; boilerplate injected on doc_id % 17 so dup detection has
+    // real positives
+    "curate_datacard" -> ((s, dir) => {
+      val ptext = when(col("doc_id") % 17 === 0,
+        lit("standard boilerplate footer all rights reserved"))
+        .otherwise(col("text"))
+      graft.functions.Curation.dataCard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang"), ptext.as("text")),
+          "doc_id", "text", Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // URL canonicalization dedup: five synthesized variants per logical
     // page (case, default port, trailing slash + fragment, tracking
     // params, https) collapse through the scan-speed regex canonicalizer
@@ -1709,6 +1725,16 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Layout.shardStats(Layout.shardBalanced(d, "doc_id", "n_tokens", 8), "n_tokens")
         .orderBy(col("shard"))
+    }),
+
+    // small-files compaction planner: files under 300 bytes binned into
+    // ~2000-byte groups by the serpentine deal (distributed ordinals);
+    // healthy files keep group −1 — the OPTIMIZE maintenance pass
+    "layout_compaction" -> ((s, dir) => {
+      Layout.compactionPlan(
+          t(s, dir, "documents").select(col("doc_id").as("file_id"), col("n_chars")),
+          "file_id", "n_chars", targetBytes = 2000L, minBytes = 300L)
+        .orderBy(col("file_id"))
     }),
 
     // Johnson–Lindenstrauss random projection 64→16 dims with the md5-derived
@@ -4324,6 +4350,51 @@ object SparkEntry {
          SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 20 ORDER BY doc_id""",
 
+    // data-card replay: the text_quality chain per doc plus md5 content
+    // fingerprints, corpus-wide dup counts, then the slice rollup
+    "curate_datacard" ->
+      s"""WITH base AS (
+           SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 17 = 0
+               THEN 'standard boilerplate footer all rights reserved'
+               ELSE text END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id, source, lang, text,
+             string_split($normSql, ' ') AS toks, $normSql AS nt
+           FROM base),
+         c AS (
+           SELECT doc_id, source, lang,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+               AS npunct,
+             length(text) AS tl,
+             md5(nt) AS fp
+           FROM norm),
+         q AS (
+           SELECT doc_id, source, lang, ntok, fp,
+             round(CAST(least(tl / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0
+                  ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN tl = 0 THEN 1.0
+                  ELSE npunct::DOUBLE / tl END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS quality
+           FROM c),
+         fpc AS (SELECT fp, count(*) AS n FROM q GROUP BY 1)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(CAST(CAST(sum(ntok) AS DOUBLE) / count(*)
+             AS DECIMAL(18,8)), 2)::DOUBLE AS avg_tokens,
+           round(CAST(CAST(sum(CAST(quality AS DECIMAL(18,8))) AS DOUBLE)
+             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mean_quality,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           round(CAST(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS dup_rate
+         FROM q JOIN fpc USING (fp)
+         GROUP BY source, lang ORDER BY source, lang""",
+
     // URL canonicalization replay: the same variant synthesis and the
     // same regex rewrites (RE2 syntax, \1-style backrefs are not needed)
     "curate_url_canon" ->
@@ -4522,6 +4593,29 @@ object SparkEntry {
          SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
            CAST(sum(n_tokens) AS BIGINT) AS total_size
          FROM a GROUP BY shard ORDER BY shard""",
+
+    // compaction replay: small-file filter, ceil-divide group count off the
+    // 1-row total, the same descending-size serpentine deal
+    "layout_compaction" ->
+      """WITH f AS (SELECT doc_id AS file_id, n_chars FROM documents),
+         s AS (SELECT file_id, n_chars FROM f WHERE n_chars < 300),
+         t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM s),
+         g AS (SELECT greatest((tot + 2000 - 1) // 2000, 1) AS ng FROM t),
+         o AS (
+           SELECT file_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, file_id) - 1 AS ord
+           FROM s),
+         p AS (
+           SELECT file_id, CAST(n_chars AS BIGINT) AS bytes,
+             CAST(CASE WHEN ord % (2*ng) < ng THEN ord % (2*ng)
+                  ELSE 2*ng - 1 - (ord % (2*ng)) END AS INTEGER) AS group_id
+           FROM o CROSS JOIN g)
+         SELECT file_id, bytes, group_id FROM p
+         UNION ALL
+         SELECT file_id, CAST(n_chars AS BIGINT) AS bytes,
+           CAST(-1 AS INTEGER) AS group_id
+         FROM f WHERE n_chars >= 300
+         ORDER BY file_id""",
 
     "sim_projection" ->
       """WITH e AS (

@@ -36,6 +36,51 @@ object Curation {
     *
     * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
     */
+  /** Per-slice data card — the release-notes table every corpus ships with
+    * (datasheets-for-datasets distilled to the slice grain): for each
+    * `groupCols` combination (source × language, typically) the document
+    * count, token volume, mean quality, and exact-duplicate rate. The
+    * one-stop "what am I actually training on" readout: a slice with a
+    * 30% dup rate or a quality mean far off its siblings is mis-crawled
+    * and shows up here before any model does.
+    *
+    * Scale shape: per-doc signals (token count, quality, fingerprint) are
+    * scan-speed projections; duplicate flags come from ONE fingerprint-
+    * keyed aggregation (uniform md5 digests — skew-free shuffle) joined
+    * back; the rollup is ONE map-side-combined aggregation to the bounded
+    * |slices|-row card. Quality means stage through DECIMAL so the card
+    * is engine-reproducible.
+    *
+    * Returns one row per slice: (groupCols..., n_docs, total_tokens,
+    * avg_tokens, mean_quality, dup_docs, dup_rate); a doc is a dup when
+    * its normalized-content fingerprint appears more than once CORPUS-wide
+    * (cross-slice mirrors count in every slice they touch).
+    */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "dataCard needs at least one group column")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val enriched = df.select(groupCols.map(col) ++ Seq(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
+      round(TextAnalysis.qualityScoreRaw(col(textCol)).cast(dec), 4)
+        .cast("double").as("__q"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp")): _*)
+    val fpCounts = enriched.groupBy(col("__fp")).agg(count(lit(1)).as("__fpc"))
+    val dup = when(col("__fpc") > 1, 1L).otherwise(0L)
+    enriched.join(fpCounts, Seq("__fp"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        round((sum(col("__tok")).cast("double") / count(lit(1))).cast(dec), 2)
+          .cast("double").as("avg_tokens"),
+        round((sum(col("__q").cast(dec)).cast("double") / count(lit(1))).cast(dec), 4)
+          .cast("double").as("mean_quality"),
+        sum(dup).as("dup_docs"),
+        round((sum(dup).cast("double") / count(lit(1))).cast(dec), 4)
+          .cast("double").as("dup_rate"))
+  }
+
   /** URL canonicalization — the crawl-frontier dedup key: the same page
     * arrives as `HTTP://Host:80/a/?utm_source=feed&id=7#frag` and
     * `http://host/a?id=7`, and byte-level dedup misses the equivalence

@@ -102,6 +102,42 @@ object Layout {
       (1 until nParts).map(_.toDouble / nParts))
   }
 
+  /** Small-files compaction planner — the OPTIMIZE/maintenance pass every
+    * long-lived 100 TB table needs: streaming ingest and per-batch merges
+    * leave thousands of undersized files whose open/seek overhead
+    * eventually dominates scans. Files under `minBytes` are binned into
+    * compaction groups targeting `targetBytes` each (group count =
+    * ⌈small-total / target⌉); files already big enough are left alone
+    * (group −1) — rewriting healthy data is the compaction anti-pattern.
+    *
+    * Grouping reuses [[shardBalanced]]'s serpentine deal over distributed
+    * dense ordinals (descending size, ties to id): each group's total
+    * lands within one max-small-file of the optimum, deterministic across
+    * runs/engines. The single driver-side value is the 1-row small-bytes
+    * total (the bounded-gate pattern — the group COUNT must be a plan
+    * literal).
+    *
+    * Returns every input file as (idCol, bytes, group_id); group_id −1 =
+    * keep as is.
+    */
+  def compactionPlan(files: DataFrame, idCol: String, bytesCol: String,
+                     targetBytes: Long, minBytes: Long): DataFrame = {
+    require(targetBytes > 0 && minBytes > 0 && minBytes <= targetBytes,
+      "need 0 < minBytes <= targetBytes")
+    val small = files.filter(col(bytesCol) < minBytes)
+    val keep = files.filter(col(bytesCol) >= minBytes)
+      .select(col(idCol), col(bytesCol).cast("long").as("bytes"),
+        lit(-1).cast("int").as("group_id"))
+    val totalRow = small.agg(sum(col(bytesCol)).cast("long")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L) return keep
+    val groups = math.max((total + targetBytes - 1) / targetBytes, 1L).toInt
+    shardBalanced(small, idCol, bytesCol, groups)
+      .select(col(idCol), col(bytesCol).cast("long").as("bytes"),
+        col("shard").cast("int").as("group_id"))
+      .unionByName(keep)
+  }
+
   /** Shard-level summary of a [[shardBalanced]] assignment: per-shard row
     * count and total size — the balance evidence (max/min total size ratio
     * approaches 1 as rows-per-shard grows).

@@ -110,6 +110,26 @@ class CurationSpec extends SparkSpec {
     assert(out.getDouble(4) == 0.421875, s"pad_frac ${out.getDouble(4)}")
   }
 
+  test("dataCard: corpus-wide dup flags roll up per slice, quality bounded") {
+    import spark.implicits._
+    import graft.functions.Curation
+    val docs = Seq(
+      (0L, "a", "en", "the cat sat on the mat"),
+      (1L, "a", "en", "the cat sat on the mat"),
+      (2L, "b", "en", "the cat sat on the mat"),
+      (3L, "b", "en", "completely different text here")).toDF("doc_id", "source", "lang", "text")
+    val card = Curation.dataCard(docs, "doc_id", "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6), r.getDouble(7), r.getDouble(5))).toMap
+    // slice a: both docs duplicate each other; slice b: one doc mirrors
+    // slice a's content (corpus-wide fingerprint), the other is unique
+    assert(card(("a", "en"))._1 == 2L && card(("a", "en"))._2 == 2L
+      && card(("a", "en"))._3 == 1.0)
+    assert(card(("b", "en"))._1 == 2L && card(("b", "en"))._2 == 1L
+      && card(("b", "en"))._3 == 0.5)
+    card.values.foreach { case (_, _, _, q) => assert(q >= 0.0 && q <= 1.0) }
+  }
+
   test("canonicalUrl: case, ports, slash, fragment, tracking params all collapse") {
     import spark.implicits._
     import graft.functions.Curation

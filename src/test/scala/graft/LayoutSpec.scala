@@ -53,6 +53,29 @@ class LayoutSpec extends SparkSpec {
       s"spread ${totals.max - totals.min} exceeds max doc $maxDoc")
   }
 
+  test("compactionPlan: smalls binned near target, bigs kept, assignment total") {
+    import spark.implicits._
+    // 20 small files of 100B + 3 big ones; target 1000 -> ceil(2000/1000)=2 groups
+    val files = ((0 until 20).map(i => (i.toLong, 100L)) ++
+      Seq((100L, 900L), (101L, 1500L), (102L, 650L))).toDF("file_id", "bytes")
+    val plan = Layout.compactionPlan(files, "file_id", "bytes",
+      targetBytes = 1000L, minBytes = 600L)
+    assert(plan.count() == 23, "every file gets a verdict")
+    val kept = plan.filter(col("group_id") === -1).select("file_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L, 102L), "healthy files are never rewritten")
+    val groups = plan.filter(col("group_id") >= 0)
+      .groupBy("group_id").agg(sum("bytes").as("b"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(groups.length == 2, s"ceil(2000/1000) groups, got ${groups.length}")
+    // uniform smalls: the serpentine deal lands every group exactly on 1000
+    assert(groups.forall(_._2 == 1000L), s"got ${groups.toSeq}")
+    // nothing small: planner returns only keeps
+    val none = Layout.compactionPlan(files.filter(col("bytes") >= 600),
+      "file_id", "bytes", 1000L, 600L)
+    assert(none.count() == 3 && none.filter(col("group_id") =!= -1).count() == 0)
+  }
+
   test("random projection preserves norms within JL distortion bounds") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

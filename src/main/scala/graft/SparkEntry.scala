@@ -4729,7 +4729,8 @@ object SparkEntry {
            FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
            JOIN dfreq d ON d.sh = a.sh
            WHERE d.df <= 64
-           GROUP BY 1, 2),
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
          scored AS (
            SELECT id_a, id_b,
              round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)

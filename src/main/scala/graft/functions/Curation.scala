@@ -60,12 +60,16 @@ object Curation {
                groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "dataCard needs at least one group column")
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val enriched = df.select(groupCols.map(col) ++ Seq(
-      col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
-      round(TextAnalysis.qualityScoreRaw(col(textCol)).cast(dec), 4)
-        .cast("double").as("__q"),
-      TextAnalysis.fingerprint(col(textCol)).as("__fp")): _*)
+    // frozen: the narrow (groups, id, tok, q, fp) frame is read by BOTH the
+    // fingerprint-count side and the rollup side — unfrozen, the quality
+    // regexes and normalization would scan the text corpus twice
+    val enriched = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(groupCols.map(col) ++ Seq(
+        col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
+        round(TextAnalysis.qualityScoreRaw(col(textCol)).cast(dec), 4)
+          .cast("double").as("__q"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp")): _*))
     val fpCounts = enriched.groupBy(col("__fp")).agg(count(lit(1)).as("__fpc"))
     val dup = when(col("__fpc") > 1, 1L).otherwise(0L)
     enriched.join(fpCounts, Seq("__fp"))

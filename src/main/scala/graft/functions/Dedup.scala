@@ -943,8 +943,9 @@ object Dedup {
     * then tested against a real banding: md5-DERIVED minhash signatures —
     * deliberately not the production xxhash64 ([[minhashSignature]]), so
     * the whole audit is engine-reproducible and oracle-checkable —
-    * banded into `bands` keys; a pair is "caught" iff some band matches
-    * (`arrays_overlap`, band index baked into the key). Per threshold the
+    * banded into `bands` keys; a pair is "caught" iff some band key
+    * matches (bucket equi-join over the exploded, index-prefixed keys —
+    * the real LSH collision mechanics). Per threshold the
     * rollup reports measured recall (caught ∧ true / true), measured
     * precision within the universe (caught ∧ true / caught), and the
     * S-curve expectation E[1−(1−j^r)^b] over the true pairs — evaluated
@@ -963,22 +964,33 @@ object Dedup {
     */
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
                   thresholds: Seq[Double], n: Int = 3, k: Int = 16,
-                  bands: Int = 4, maxDf: Int = 64): DataFrame = {
+                  bands: Int = 4, maxDf: Int = 64,
+                  minShared: Int = 2): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     def powInt(c: Column, e: Int): Column = Seq.fill(e)(c).reduce(_ * _)
+    // minShared=2 bounds the universe to pairs sharing >= 2 shingles — the
+    // one-common-trigram tail is jaccard ~0 noise that would dominate the
+    // pair frame (11M rows at 50k docs with minShared=1) without moving
+    // recall or precision at any threshold a dedup run would use
     val pairs = bridge.freeze(
       containmentPairs(df, idCol, textCol, n, maxDf,
-        minShared = 1, minContain = 0.0)
+        minShared = minShared, minContain = 0.0)
         .select(col("id_a"), col("id_b"), col("jaccard")))
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     // md5-derived sig[i] = min over shingles of H(shingle # i); band key j
-    // concatenates its r values, index-prefixed so band j only matches j
-    val bandKeys = df.join(candIds, Seq(idCol), "left_semi")
+    // concatenates its r values, index-prefixed so band j only matches j.
+    // Frozen: the (id, bands) frame is narrow and BOTH pair sides read it —
+    // unfrozen, the k·|shingles| md5 fold would run twice per document.
+    // the repartition spreads the per-row md5 fold across all cores (a
+    // single-file parquet scan would otherwise run it on one task — the
+    // minhashPairs discipline)
+    val bandKeys = bridge.freeze(df.join(candIds, Seq(idCol), "left_semi")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
       .select(col(idCol), shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), transform(sequence(lit(0), lit(k - 1)), i =>
         array_min(transform(col("__sh"), s =>
@@ -987,12 +999,19 @@ object Dedup {
       .select(col(idCol), transform(sequence(lit(0), lit(bands - 1)), j =>
         concat(j.cast("string"), lit(":"),
           concat_ws(",", transform(slice(col("__sig"), j * lit(r) + lit(1), lit(r)),
-            x => x.cast("string"))))).as("__bk"))
+            x => x.cast("string"))))).as("__bk")))
+    // collisions the LSH way — explode band keys, bucket equi-join, distinct
+    // pair set — then ONE left join flags each truth pair; shipping the band
+    // arrays to every pair row (two wide joins) measured 2x slower
+    val bkx = bandKeys.select(col(idCol), explode(col("__bk")).as("__k"))
+    val hits = bkx.select(col(idCol).as("id_a"), col("__k"))
+      .join(bkx.select(col(idCol).as("id_b"), col("__k")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     val evald = bridge.freeze(pairs
-      .join(bandKeys.select(col(idCol).as("id_a"), col("__bk").as("__ba")), Seq("id_a"))
-      .join(bandKeys.select(col(idCol).as("id_b"), col("__bk").as("__bb")), Seq("id_b"))
+      .join(hits.withColumn("__c", lit(true)), Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        arrays_overlap(col("__ba"), col("__bb")).as("__caught")))
+        coalesce(col("__c"), lit(false)).as("__caught")))
     thresholds.map { t =>
       val isTrue = col("jaccard") >= t
       // S-curve 1−(1−j^r)^b as a fixed left-assoc multiplication chain:

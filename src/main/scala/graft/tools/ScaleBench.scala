@@ -249,6 +249,32 @@ object ScaleBench {
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+    def overlapW(e: DataFrame): DataFrame = {
+      def spans(tpe: String, p: String) =
+        e.filter(col("event_type") === tpe)
+          .groupBy(col("user_id"), to_date(col("ts")).as(s"${p}_day"))
+          .agg(min(unix_micros(col("ts"))).as(s"${p}_lo"),
+            (max(unix_micros(col("ts"))) + 1).as(s"${p}_hi"))
+      graft.core.Joins.overlapJoin(spans("click", "c"), "c_lo", "c_hi",
+        spans("view", "v"), "v_lo", "v_hi",
+        width = 3600000000.0, keys = Seq("user_id"))
+    }
+    def urlCanonW(d: DataFrame): DataFrame = {
+      val grp = expr("doc_id div 5")
+      val host = concat(lit("s"), (grp % 20).cast("string"), lit(".example.com"))
+      val k = grp.cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("http://"), host, lit("/docs/"), k, lit("?id="), k))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTP://"), upper(host), lit(":80/docs/"), k, lit("?id="), k))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://"), host, lit("/docs/"), k, lit("/?id="), k, lit("#frag")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://"), host, lit("/docs/"), k, lit("?utm_source=feed&id="), k))
+        .otherwise(concat(lit("https://"), host, lit(":443/docs/"), k, lit("?id="), k))
+      Curation.urlDupGroups(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
+    }
+
     val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
       ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
       ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
@@ -418,7 +444,38 @@ object ScaleBench {
         () => force(Curation.capPerDomain(docs1, "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), 20)),
         () => force(Curation.capPerDomain(docs10, "source", "doc_id",
-          TextAnalysis.tokenCount(col("text")), 20))))
+          TextAnalysis.tokenCount(col("text")), 20))),
+      // bucket equi-join + responsibility rule; per-copy user shifts keep
+      // spans-per-user constant so overlap pairs scale linearly
+      ("join_overlap", maxEvent, maxEvent * copies,
+        () => force(overlapW(ev1)), () => force(overlapW(ev10))),
+      // df-bounded truth pass + pair-proportional md5 signatures; salted
+      // copies keep candidate pairs linear in rows
+      ("dedup_minhash_eval", nDocs, nDocs * copies,
+        () => force(Dedup.minhashEval(docs1, "doc_id", "text",
+          Seq(0.5, 0.8), k = 16, bands = 4)),
+        () => force(Dedup.minhashEval(docs10, "doc_id", "text",
+          Seq(0.5, 0.8), k = 16, bands = 4))),
+      // scan-speed per-doc signals + one fp aggregation + slice rollup
+      ("curate_datacard", nDocs, nDocs * copies,
+        () => force(Curation.dataCard(docs1, "doc_id", "text", Seq("source", "lang"))),
+        () => force(Curation.dataCard(docs10, "doc_id", "text", Seq("source", "lang")))),
+      // count table -> count-of-counts -> bounded cumulative self-join;
+      // per-copy user shifts grow keys 10x, per-key counts stay put
+      ("stats_gini", maxEvent, maxEvent * copies,
+        () => force(Stats.giniConcentration(ev1, "user_id")),
+        () => force(Stats.giniConcentration(ev10, "user_id"))),
+      // pure regex projection + one aggregation
+      ("curate_url_canon", nDocs, nDocs * copies,
+        () => force(urlCanonW(docs1)), () => force(urlCanonW(docs10))),
+      // serpentine deal over distributed ordinals; 1-row total gate
+      ("layout_compaction", nDocs, nDocs * copies,
+        () => force(Layout.compactionPlan(
+          docs1.select(col("doc_id").as("file_id"), col("n_chars")),
+          "file_id", "n_chars", 2000L, 300L)),
+        () => force(Layout.compactionPlan(
+          docs10.select(col("doc_id").as("file_id"), col("n_chars")),
+          "file_id", "n_chars", 2000L, 300L))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

@@ -498,6 +498,25 @@ object SparkEntry {
       vm.forecast(period = 7).orderBy(col("event_type"))
     }),
 
+    // streaming key concentration (batch replay of 5 micro-batches):
+    // per-key counts are additive, so BOTH readouts off the one accreted
+    // count state equal their batch twins — whale-factor top-k and exact
+    // Gini; parity + restore in StreamingSpec
+    "stream_key_skew" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KeyCountMonitor("user_id")
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.skew(topK = 20).orderBy(col("cnt").desc, col("key").asc)
+    }),
+
+    // second readout off the SAME key-count state: the exact Gini
+    "stream_gini" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KeyCountMonitor("user_id")
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.gini()
+    }),
+
     // streaming cohort retention (batch replay of 5 micro-batches): the
     // activity-state design re-derives the exact batch rollup after every
     // batch, late back-dating included — streaming-mode parity in
@@ -1859,6 +1878,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // code-vs-prose routing signal: capped symbol density + capped
+    // programming-keyword density, scan-speed regex counting; a code
+    // snippet injected on doc_id % 9 gives the detector real positives,
+    // and is_code compares on the ROUNDED score so both engines agree at
+    // the boundary
+    "text_code" -> ((s, dir) => {
+      val ptext = concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit(" def load(x): return parse(x); var n = {}; import os"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.codeSymbolCount(ptext).as("n_sym"),
+          TextAnalysis.codeKeywordCount(ptext).as("n_kw"),
+          dround(TextAnalysis.codeScoreRaw(ptext), 4).as("code_score"))
+        .withColumn("is_code", col("code_score") >= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "text_tokens" -> ((s, dir) => {
       docsNorm(s, dir).select(
@@ -2439,6 +2476,50 @@ object SparkEntry {
          round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
            / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
        FROM j GROUP BY event_type ORDER BY event_type"""
+
+  /** exact-Gini replay (count-of-counts, cumulative self-join, decimal
+    * trapezoid) — shared by `stats_gini` and `stream_gini` (per-key counts
+    * are additive, so the accreted state equals the one-pass table).
+    */
+  private val giniOracleSql =
+    """WITH counts AS (
+         SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+       coc AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
+       cum AS (
+         SELECT a.c, a.nk,
+           CAST(sum(CAST(b.c AS DECIMAL(38,0)) * b.nk) AS DECIMAL(38,0)) AS cm
+         FROM coc a JOIN coc b ON b.c <= a.c GROUP BY a.c, a.nk),
+       s AS (
+         SELECT CAST(sum(CAST(nk AS DECIMAL(38,0)) *
+           (cm * 2 - CAST(c AS DECIMAL(38,0)) * nk)) AS DECIMAL(38,0)) AS t
+         FROM cum),
+       tot AS (
+         SELECT CAST(sum(nk) AS BIGINT) AS keys,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS DECIMAL(38,0)) AS m
+         FROM coc)
+       SELECT keys AS n_keys, CAST(m AS BIGINT) AS total,
+         round(CAST(1.0 - CAST(t AS DOUBLE) /
+           (CAST(keys AS DOUBLE) * CAST(m AS DOUBLE)) AS DECIMAL(18,8)), 6)::DOUBLE
+           AS gini
+       FROM tot CROSS JOIN s"""
+
+  /** key-skew replay (count table, totals, top-k) — shared by
+    * `stats_key_skew` and `stream_key_skew` (same additivity argument).
+    */
+  private val keySkewOracleSql =
+    """WITH c AS (
+         SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM events GROUP BY 1),
+       t AS (
+         SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS keys,
+           CAST(max(cnt) AS BIGINT) AS mx
+         FROM c)
+       SELECT key, cnt,
+         round(CAST(cnt::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS share,
+         CAST(keys AS BIGINT) AS n_keys,
+         round(CAST(mx::DOUBLE * keys / tot AS DECIMAL(18,8)), 4)::DOUBLE
+           AS skew
+       FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20"""
 
   private def bpeApplyOracleSql(nMerges: Int): String =
     s"""WITH ${bpeRoundsCtes(nMerges)}
@@ -5259,6 +5340,42 @@ object SparkEntry {
              AS DECIMAL(18,8)), 3)::DOUBLE AS flesch
          FROM c ORDER BY doc_id""",
 
+    // code-detect replay: same symbol strip count, keyword extraction, and
+    // capped-density formula in the identical operation order
+    "text_code" ->
+      s"""WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 9 = 0
+               THEN ' def load(x): return parse(x); var n = {}; import os'
+               ELSE '' END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id, text, $normSql AS nt FROM p),
+         c AS (
+           SELECT doc_id,
+             length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g'))
+               AS n_sym,
+             len(regexp_extract_all(text,
+               '\\b(def|return|import|class|function|var|const|void|null|printf|lambda)\\b'))
+               AS n_kw,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             length(text) AS tl
+           FROM norm),
+         sc AS (
+           SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+             CAST(n_kw AS BIGINT) AS n_kw,
+             round(CAST(
+               (CASE WHEN tl = 0 THEN 0.0
+                 ELSE least(n_sym * 10.0 / tl, 1.0) END) * 0.6
+               + (CASE WHEN ntok = 0 THEN 0.0
+                 ELSE least(n_kw * 10.0 / ntok, 1.0) END) * 0.4
+               AS DECIMAL(18,8)), 4)::DOUBLE AS code_score
+           FROM c)
+         SELECT doc_id, n_sym, n_kw, code_score,
+           code_score >= 0.2 AS is_code
+         FROM sc ORDER BY doc_id""",
+
     "text_tokens" ->
       s"""WITH norm AS (
            SELECT doc_id, text, $normSql AS nt FROM documents)
@@ -5472,45 +5589,16 @@ object SparkEntry {
            FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
          ORDER BY q""",
 
-    // key-skew replay: count table, totals, top-k cut
-    "stats_key_skew" ->
-      """WITH c AS (
-           SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
-           FROM events GROUP BY 1),
-         t AS (
-           SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS keys,
-             CAST(max(cnt) AS BIGINT) AS mx
-           FROM c)
-         SELECT key, cnt,
-           round(CAST(cnt::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS share,
-           CAST(keys AS BIGINT) AS n_keys,
-           round(CAST(mx::DOUBLE * keys / tot AS DECIMAL(18,8)), 4)::DOUBLE
-             AS skew
-         FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20""",
+    // key-skew replay: count table, totals, top-k cut; counts are
+    // additive so the streaming twin shares it verbatim
+    "stats_key_skew" -> keySkewOracleSql,
+    "stream_key_skew" -> keySkewOracleSql,
 
     // Gini replay: count-of-counts, cumulative mass self-join, the same
-    // decimal-staged trapezoid and single final divide
-    "stats_gini" ->
-      """WITH counts AS (
-           SELECT user_id, count(*) AS c FROM events GROUP BY 1),
-         coc AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
-         cum AS (
-           SELECT a.c, a.nk,
-             CAST(sum(CAST(b.c AS DECIMAL(38,0)) * b.nk) AS DECIMAL(38,0)) AS cm
-           FROM coc a JOIN coc b ON b.c <= a.c GROUP BY a.c, a.nk),
-         s AS (
-           SELECT CAST(sum(CAST(nk AS DECIMAL(38,0)) *
-             (cm * 2 - CAST(c AS DECIMAL(38,0)) * nk)) AS DECIMAL(38,0)) AS t
-           FROM cum),
-         tot AS (
-           SELECT CAST(sum(nk) AS BIGINT) AS keys,
-             CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS DECIMAL(38,0)) AS m
-           FROM coc)
-         SELECT keys AS n_keys, CAST(m AS BIGINT) AS total,
-           round(CAST(1.0 - CAST(t AS DOUBLE) /
-             (CAST(keys AS DOUBLE) * CAST(m AS DOUBLE)) AS DECIMAL(18,8)), 6)::DOUBLE
-             AS gini
-         FROM tot CROSS JOIN s""",
+    // decimal-staged trapezoid and single final divide; counts are
+    // additive so the streaming twin shares it verbatim
+    "stats_gini" -> giniOracleSql,
+    "stream_gini" -> giniOracleSql,
 
     // range-bounds replay: the deterministic md5 sample filter, then the
     // stats_quantile_hist pick at the 7 interior octile points

@@ -334,11 +334,21 @@ object Stats {
     *
     * Returns topK rows (key, cnt, share, n_keys, skew), heaviest first.
     */
-  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame =
+    keySkewOfCounts(
+      org.apache.spark.sql.graftbridge.Bridge.freeze(
+        df.groupBy(col(keyCol).cast("string").as("key"))
+          .agg(count(lit(1)).as("cnt"))),
+      topK)
+
+  /** [[keySkew]]'s totals/top-k stage over an already-built (key, cnt)
+    * count table — the [[graft.streaming.Streaming.KeyCountMonitor]]
+    * readout (counts are additive, so the accreted state equals the
+    * one-pass table). The caller freezes the counts frame (both the
+    * totals and the top-k cut read it).
+    */
+  def keySkewOfCounts(counts: DataFrame, topK: Int = 20): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.groupBy(col(keyCol).cast("string").as("key"))
-        .agg(count(lit(1)).as("cnt")))
     val totals = broadcast(counts.agg(sum(col("cnt")).as("__tot"),
       count(lit(1)).as("__keys"), max(col("cnt")).as("__max")))
     counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
@@ -377,12 +387,22 @@ object Stats {
     *
     * Returns one row: (n_keys, total, gini).
     */
-  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame =
+    giniOfCounts(
+      df.groupBy(col(keyCol).cast("string").as("key")).agg(count(lit(1)).as("cnt")))
+
+  /** [[giniConcentration]]'s trapezoid stage over an already-built
+    * (key, cnt) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.KeyCountMonitor]] reads the identical
+    * coefficient off its accreted (additive, hence batch-exact) count
+    * state.
+    */
+  def giniOfCounts(counts: DataFrame): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val counts = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
     val coc = bridge.freeze(
-      counts.groupBy(col("__c")).agg(count(lit(1)).as("__nk")))
+      counts.select(col("cnt").as("__c"))
+        .groupBy(col("__c")).agg(count(lit(1)).as("__nk")))
     // cumulative mass owned by keys with count <= this count value
     val cum = coc.as("a").join(coc.as("b"), col("b.__c") <= col("a.__c"))
       .groupBy(col("a.__c").as("__c"), col("a.__nk").as("__nk"))

@@ -142,6 +142,41 @@ object TextAnalysis {
     * operation order, decimal-staged to 3dp, so scores are
     * engine-reproducible. Empty/wordless docs read NULL.
     */
+  /** code-symbol occurrences: the brace/bracket/operator characters prose
+    * barely uses ([[codeScoreRaw]]'s density numerator)
+    */
+  val codeSymbolPattern: String = "[{}()\\[\\];=<>]"
+
+  /** programming-keyword hits — deliberately excludes English function
+    * words (if/for/while) so prose does not false-positive
+    */
+  val codeKeywordPattern: String =
+    "\\b(def|return|import|class|function|var|const|void|null|printf|lambda)\\b"
+
+  def codeSymbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, codeSymbolPattern, ""))).cast("long")
+
+  def codeKeywordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(codeKeywordPattern), lit(0))).cast("long")
+
+  /** Code-vs-prose signal for corpus routing — the curation gate that
+    * keeps code out of a prose corpus (or routes it to the code mix):
+    * capped code-symbol density (per char, ×10) at weight 0.6 plus capped
+    * programming-keyword density (per token, ×10) at weight 0.4 — 0 for
+    * clean prose, → 1 for real source code. Pure codegen'd `regexp_*`
+    * counting at scan speed, fixed operation order, replayable by any
+    * RE2-compatible engine.
+    */
+  def codeScoreRaw(text: Column): Column = {
+    val len = length(text).cast("double")
+    val symR = when(length(text) === 0, 0.0)
+      .otherwise(least(codeSymbolCount(text).cast("double") * 10.0 / len, lit(1.0)))
+    val toks = tokenCount(text).cast("double")
+    val kwR = when(toks === 0, 0.0)
+      .otherwise(least(codeKeywordCount(text).cast("double") * 10.0 / toks, lit(1.0)))
+    symR * 0.6 + kwR * 0.4
+  }
+
   def readabilityScore(text: Column): Column = {
     val words = tokenCount(text).cast("double")
     val sentences = greatest(

@@ -377,6 +377,53 @@ object Streaming {
       daily = MonitorState.load(spark, dir, "daily")
   }
 
+  /** Streaming key-concentration monitor — per-key counts are ADDITIVE, so
+    * a keyed-sum state accreted batch by batch equals the one-pass corpus
+    * count table exactly, and BOTH concentration readouts are bit-identical
+    * to their batch twins: the whale-factor top-k audit
+    * ([[graft.functions.Stats.keySkewOfCounts]]) and the exact Lorenz/Gini
+    * coefficient ([[graft.functions.Stats.giniOfCounts]]) — continuous
+    * "is one user/domain swallowing the stream" monitoring with the alert
+    * available after every micro-batch instead of at the next corpus scan.
+    *
+    * State is the |keys|-row count table (the [[RetentionMonitor]] bound:
+    * key cardinality, not event volume); each batch costs one
+    * map-side-combined aggregation plus the keyed merge, re-frozen so
+    * lineage stays flat. Wire with [[foreachBatchMerge]]`(stream,
+    * km.update)`.
+    */
+  class KeyCountMonitor(keyCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch of raw rows into the count state */
+    def update(batch: DataFrame): Unit = {
+      val bc = batch.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
+      }))
+    }
+
+    private def state: DataFrame =
+      counts.getOrElse(throw new IllegalStateException("no batches ingested"))
+
+    /** current whale-factor audit — equals the batch [[graft.functions.Stats.keySkew]] */
+    def skew(topK: Int = 20): DataFrame = graft.functions.Stats.keySkewOfCounts(state, topK)
+
+    /** current exact Gini — equals the batch [[graft.functions.Stats.giniConcentration]] */
+    def gini(): DataFrame = graft.functions.Stats.giniOfCounts(state)
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming benchmark-contamination monitor — continuous
     * decontamination at ingest: the benchmark's capped winnowed-fingerprint
     * index ([[graft.functions.Dedup.benchFingerprintIndex]]) freezes ONCE

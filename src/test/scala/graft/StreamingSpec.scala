@@ -635,6 +635,38 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(vm3.forecast(period = 7)) == batchFull)
   }
 
+  test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {
+    val ev = spark.read.parquet(stagedDir)
+    def skewMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    def giniRow(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head(); (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val batchSkew = skewMap(graft.functions.Stats.keySkew(ev, "user_id", 20))
+    val batchGini = giniRow(graft.functions.Stats.giniConcentration(ev, "user_id"))
+    val km = new Streaming.KeyCountMonitor("user_id")
+    (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+    assert(skewMap(km.skew(20)) == batchSkew)
+    assert(giniRow(km.gini()) == batchGini)
+    // foreachBatch plumbing parity
+    val dir = java.nio.file.Files.createTempDirectory("kc_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val km2 = new Streaming.KeyCountMonitor("user_id")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    Streaming.runToCompletion(
+      Streaming.foreachBatchMerge(stream, b => if (!b.isEmpty) km2.update(b)))
+    assert(giniRow(km2.gini()) == batchGini)
+    // save after 2 batches, restore into a fresh monitor, finish
+    val ckpt = java.nio.file.Files.createTempDirectory("kc_state").toString
+    val km3 = new Streaming.KeyCountMonitor("user_id")
+    (0 until 2).foreach(b => km3.update(ev.filter(col("event_id") % 5 === b)))
+    km3.saveState(ckpt)
+    val km4 = new Streaming.KeyCountMonitor("user_id")
+    km4.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => km4.update(ev.filter(col("event_id") % 5 === b)))
+    assert(skewMap(km4.skew(20)) == batchSkew)
+  }
+
   /** drive a checkpointed foreachBatch query over a parquet dir source to
     * completion — restarting with the same checkpointLocation replays ONLY
     * files the previous run did not commit (the production crash-recovery

@@ -1336,6 +1336,17 @@ object SparkEntry {
         .orderBy(col("ctx_len"))
     }),
 
+    // length-bucketed inference batching: docs dealt md5-deterministically
+    // into batchSize-row batches WITHIN a token-length bin (md5 sub-shards
+    // bound per-partition window state) — per-batch padding report
+    "pack_length_buckets" -> ((s, dir) => {
+      Packing.lengthBucketStats(
+          Packing.lengthBuckets(docsNorm(s, dir), "doc_id",
+            TextAnalysis.tokenCount(col("text")),
+            width = 16, batchSize = 8, shards = 4))
+        .orderBy(col("bin"), col("shard"), col("batch"))
+    }),
+
     // curation BY domain: annotate every document with its domain verdict
     // (quality floor, duplication ceiling, blocklist) — broadcast join of
     // the stats table back onto the scan, the corpus itself never shuffles
@@ -4574,6 +4585,35 @@ object SparkEntry {
                / greatest(kept + padded_tokens, 1) AS DECIMAL(18,8)), 6)::DOUBLE
              AS pad_frac
          FROM agg ORDER BY ctx_len""",
+
+    // length-bucket replay: same bins, md5 shard + order, windowed batch
+    // ordinals, per-batch padding arithmetic
+    "pack_length_buckets" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tok
+           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
+         b AS (
+           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_tok // 16 AS bin,
+             ('0x'||substr(md5(doc_id::VARCHAR || 'lb'),1,15))::BIGINT % 4 AS shard,
+             md5(doc_id::VARCHAR || 'lb') AS h
+           FROM d),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY bin, shard
+             ORDER BY h, doc_id) - 1 AS rn
+           FROM b),
+         p AS (SELECT n_tok, bin, shard, rn // 8 AS batch FROM r)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(shard AS BIGINT) AS shard,
+           CAST(batch AS BIGINT) AS batch, count(*) AS n_rows,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
+           round(CAST(CASE WHEN count(*) * max(n_tok) = 0 THEN 0.0
+             ELSE CAST(count(*) * max(n_tok) - sum(n_tok) AS DOUBLE)
+               / (count(*) * max(n_tok)) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS pad_frac
+         FROM p GROUP BY bin, shard, batch ORDER BY bin, shard, batch""",
 
     // epoch-shuffle replay: the same md5-derived shard and order keys
     "sample_epoch_shuffle" ->

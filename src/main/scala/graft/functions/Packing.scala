@@ -78,6 +78,62 @@ object Packing {
     }.reduce(_.unionAll(_))
   }
 
+  /** Length-bucketed inference batching — the serving-side twin of
+    * [[packPlan]]: training packs documents end-to-end, but
+    * inference/scoring runs fixed-size batches whose compute is
+    * `batchSize × max-length-in-batch` — batching a 10-token doc with a
+    * 500-token doc wastes 98% of the short row's compute as padding.
+    * Documents are bucketed by token-length bin (`width` tokens), dealt
+    * deterministically (md5 order) into `batchSize`-row batches WITHIN a
+    * bin, so batch peers differ by at most `width` tokens and padding is
+    * bounded by `batchSize·width` per batch.
+    *
+    * Scale shape: binning is scan-speed; batch ordinals come from a
+    * (bin, shard)-keyed ranking window — `shards` md5 sub-shards bound
+    * per-partition state (a whale bin of uniform-length documents would
+    * otherwise sort in one task; raise `shards` with corpus size, the
+    * [[packPlan]] discipline). Assignment is deterministic across
+    * runs/engines: the order inside a bin is the md5 of the id.
+    *
+    * Returns (idCol, n_tok, bin, shard, batch, pos).
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, tokCol: Column,
+                    width: Int = 16, batchSize: Int = 8, shards: Int = 4,
+                    salt: String = "lb"): DataFrame = {
+    require(width > 0 && batchSize > 0 && shards > 0,
+      "width, batchSize and shards must be positive")
+    val base = df.select(col(idCol), tokCol.cast("long").as("n_tok"))
+      .withColumn("bin", expr(s"n_tok div $width"))
+      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(salt))))
+    val w = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    base.withColumn("__rn", row_number().over(w) - 1)
+      .select(col(idCol), col("n_tok"), col("bin"), col("shard"),
+        expr(s"__rn div $batchSize").as("batch"),
+        (col("__rn") % batchSize).as("pos"))
+  }
+
+  /** Per-batch padding report over a [[lengthBuckets]] plan: each batch's
+    * row count, max/sum token lengths, absolute padding
+    * (`n_rows·max − sum`) and padded fraction of the batch's compute —
+    * the evidence that length bucketing beats random batching. One
+    * map-side-combined aggregation to |batches| rows.
+    */
+  def lengthBucketStats(plan: DataFrame): DataFrame =
+    plan.groupBy(col("bin"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(col("bin"), col("shard"), col("batch"), col("n_rows"),
+        col("max_tok"), col("sum_tok"),
+        (col("n_rows") * col("max_tok") - col("sum_tok")).as("pad_tokens"),
+        round(when(col("n_rows") * col("max_tok") === 0, lit(0.0))
+          .otherwise((col("n_rows") * col("max_tok") - col("sum_tok")).cast("double")
+            / (col("n_rows") * col("max_tok")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("pad_frac"))
+
   /** Sliding-window token chunking with overlap — the RAG/long-context prep
     * that complements [[packPlan]]'s dense packing: each document splits
     * into `window`-token chunks every `stride` tokens (overlap =

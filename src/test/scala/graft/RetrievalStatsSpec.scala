@@ -217,6 +217,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(uni.length == 2 && uni.forall(_.getDouble(4) == 1.0))
   }
 
+  test("lengthBuckets: bounded batches, peers within one bin, deterministic") {
+    val plan = Packing.lengthBuckets(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), width = 16, batchSize = 8, shards = 4)
+    assert(plan.count() == docs.count(), "assignment is total")
+    val stats = Packing.lengthBucketStats(plan).collect()
+    assert(stats.forall(_.getAs[Long]("n_rows") <= 8), "batch size bounded")
+    // batch peers share a length bin: max-min spread under one bin width
+    val spread = plan.groupBy("bin", "shard", "batch")
+      .agg((max(col("n_tok")) - min(col("n_tok"))).as("d")).collect()
+    assert(spread.forall(_.getAs[Long]("d") < 16))
+    // pos is a within-batch ordinal
+    assert(plan.filter(col("pos") < 0 || col("pos") >= 8).count() == 0)
+    // deterministic: re-evaluation assigns identically
+    val a = plan.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val b = Packing.lengthBuckets(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), width = 16, batchSize = 8, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(a == b)
+  }
+
   test("giniConcentration: hand-computed Gini, uniform reads 0") {
     import spark.implicits._
     import graft.functions.Stats

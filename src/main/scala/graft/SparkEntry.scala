@@ -1974,6 +1974,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // image near-dup pairs by perceptual aHash: REAL decode (mixed
+    // BMP/PNG) → exact-integer mean-threshold bits → 4×16-bit pigeonhole
+    // bands → equi-join candidates → bit_count(xor) verify; deterministic
+    // +128-shifted BMP copies give the detector genuine near-dups
+    "mm_image_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))
+      val all = media.unionByName(graft.multimodal.Multimodal.perturbedCopies(media))
+      graft.multimodal.Multimodal.imageDupPairs(
+          graft.multimodal.Multimodal.imageHashes(all), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
     // (deterministic decimal-exact quantizer), exact cosine only WITHIN
     // clusters — Σ|cluster|² instead of all-pairs; the oracle replays the
@@ -5219,6 +5231,50 @@ object SparkEntry {
 
     // resample replay: synthesis + companding + decimation, floor-division
     // requantize for the µ-law rows
+    // aHash replay: the pixel generation rule (+128 shift on perturbed
+    // copies), exact-integer mean threshold px·64 >= Σ, 64 bits into two
+    // longs, the same 4-band candidates and bit_count(xor) verify
+    "mm_image_dedup" ->
+      """WITH ids AS (
+           SELECT doc_id AS d, doc_id AS src, 0 AS pert FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 1 FROM documents
+           WHERE doc_id % 30 = 0),
+         px AS (
+           SELECT d, src, pert, unnest(generate_series(0, 63)) AS i FROM ids),
+         v AS (
+           SELECT d, i,
+             CASE WHEN pert = 1 AND i = 0
+               THEN ((src * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 + 128) % 256
+               ELSE (src * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 END AS v
+           FROM px),
+         s AS (SELECT d, CAST(sum(v) AS BIGINT) AS tot FROM v GROUP BY d),
+         bits AS (
+           SELECT v.d, i, CASE WHEN v * 64 >= tot THEN 1 ELSE 0 END AS b
+           FROM v JOIN s ON v.d = s.d),
+         h AS (
+           SELECT d,
+             CAST(sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32))
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32 THEN b * (1::BIGINT << i)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY d),
+         bands AS (
+           SELECT d, j,
+             CASE j WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                  WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+         cand AS (
+           SELECT DISTINCT a.d AS id_a, b.d AS id_b
+           FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.d < b.d),
+         pr AS (
+           SELECT id_a, id_b,
+             bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hamming
+           FROM cand JOIN h ha ON ha.d = id_a JOIN h hb ON hb.d = id_b)
+         SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+         FROM pr WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
     "mm_audio_resample" ->
       """WITH a AS (
            SELECT doc_id, unnest(range(0, 256)) AS i FROM documents

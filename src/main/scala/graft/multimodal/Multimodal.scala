@@ -513,6 +513,106 @@ object Multimodal {
   }
 
   /** Encode a gray matrix (top-down) back into a real BMP container. */
+  /** Perceptual average-hash (aHash) of each image row: REAL decode
+    * through the pooled reader, then one bit per pixel — set iff the
+    * pixel is at or above the image mean, with the threshold evaluated as
+    * the exact integer cross-product `px·n ≥ Σpx` (no float mean, so the
+    * hash is engine-reproducible bit for bit). The standard cheap
+    * image-dedup fingerprint: re-encodes, container changes, and small
+    * pixel edits move only a few bits, so near-duplicate images sit at
+    * small Hamming distance.
+    *
+    * Returns (doc_id, hash_hi, hash_lo) — the 64 bits split across two
+    * longs (bit i of the flattened row-major image in `lo` for i<32,
+    * else `hi`), keeping every value positive in engines without
+    * unsigned 64-bit.
+    */
+  def imageHashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hash_hi", LongType), StructField("hash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.filter(col("kind") === "image").select(col("doc_id"), col("content"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val dec = new ImageDecoder()
+          batch.iterator.map { r =>
+            val flat = dec.decode(r.getAs[Array[Byte]](1)).flatten
+            val total = flat.map(_.toLong).sum
+            var hi = 0L; var lo = 0L; var i = 0
+            while (i < flat.length && i < 64) {
+              if (flat(i).toLong * flat.length >= total) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            Row(r.getLong(0), hi, lo)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Hamming near-duplicate pairs over [[imageHashes]] via the pigeonhole
+    * multi-index: the 64 bits split into four 16-bit bands — any pair
+    * within Hamming distance 3 agrees on at least one band exactly, so
+    * candidates come from a plain equi-join on (band, slice) and only
+    * survivors pay the exact `bit_count(xor)` check. The image twin of
+    * MinHash banding: never an all-pairs comparison, one shuffle on the
+    * band key.
+    *
+    * Returns (id_a, id_b, hamming) with hamming ≤ `maxHamming` (≤ 3 —
+    * the 4-band scheme's guarantee).
+    */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "the 4-band pigeonhole catches hamming <= 3; raise the band count for more")
+    val b = hashes.select(col("doc_id"), posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("__j", "__v")))
+      .select(col("doc_id"), (col("__j") * 65536L + col("__v")).as("__bk"))
+    val cand = b.select(col("doc_id").as("id_a"), col("__bk"))
+      .join(b.select(col("doc_id").as("id_b"), col("__bk")), Seq("__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"),
+        col("hash_hi").as("__ha"), col("hash_lo").as("__la")), Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"),
+        col("hash_hi").as("__hb"), col("hash_lo").as("__lb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministically perturbed image copies — decode, shift pixel (0,0)
+    * by +128 mod 256, re-encode as a REAL BMP under `doc_id + idOffset`:
+    * the constructed near-duplicates that give [[imageDupPairs]] genuine
+    * positives to find (a re-crawled image with a changed watermark pixel,
+    * in miniature). Same mediaSchema, so the output unions with the
+    * original table.
+    */
+  def perturbedCopies(media: DataFrame, every: Long = 30,
+                      idOffset: Long = 1000000L, batchSize: Int = 64): DataFrame = {
+    require(every > 0 && idOffset > 0, "every and idOffset must be positive")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    media.filter(col("kind") === "image" && col("doc_id") % every === 0)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val dec = new ImageDecoder()
+          batch.iterator.map { r =>
+            val px = dec.decode(r.getAs[Array[Byte]]("content"))
+            px(0)(0) = (px(0)(0) + 128) % 256
+            Row(r.getLong(0) + idOffset, "image", encodeBmpFromPixels(px),
+              r.getAs[Map[String, String]]("meta"))
+          }
+        }
+      }(enc).toDF()
+  }
+
   def encodeBmpFromPixels(px: Array[Array[Int]]): Array[Byte] = {
     val h = px.length
     val w = px.head.length

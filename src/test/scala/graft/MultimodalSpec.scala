@@ -182,6 +182,31 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.pcm16(u.getLong(0), j * 4))) >> 8) + 128) })
   }
 
+  test("aHash: exact-integer bits, perturbed copies land within hamming 2 and are found") {
+    val media = Multimodal.mediaTable(table("documents"))
+    val hashes = Multimodal.imageHashes(media)
+    // hand-replay one hash from the generation rule
+    val h0 = hashes.filter(col("doc_id") === 0).head()
+    val px = (0 until 64).map(i => Multimodal.gray(0L, 0, i % 8, i / 8))
+    val tot = px.sum
+    var hi = 0L; var lo = 0L
+    px.zipWithIndex.foreach { case (v, i) =>
+      if (v.toLong * 64 >= tot) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) } }
+    assert(h0.getLong(1) == hi && h0.getLong(2) == lo)
+    // each perturbed copy sits within hamming 2 of its source, and the
+    // banded pair join finds every (source, copy) pair
+    val all = media.unionByName(Multimodal.perturbedCopies(media))
+    val pairs = Multimodal.imageDupPairs(Multimodal.imageHashes(all), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val srcs = media.filter(col("kind") === "image" && col("doc_id") % 30 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(srcs.nonEmpty)
+    srcs.foreach { s =>
+      val h = pairs.get((s, s + 1000000L))
+      assert(h.isDefined && h.get <= 2, s"copy of $s missing or far: $h")
+    }
+  }
+
   test("frame sampling yields decodable frames for video rows only") {
     val m = Multimodal.mediaTable(table("documents"))
     val frames = Multimodal.sampleFrames(m)

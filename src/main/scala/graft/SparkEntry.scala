@@ -1276,6 +1276,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // declared-vs-detected language agreement matrix: scan-speed langid,
+    // ONE aggregation to the bounded |langs|² matrix, broadcast totals —
+    // the mislabeled-metadata audit before mixing by declared language
+    "curate_lang_mismatch" -> ((s, dir) => {
+      graft.functions.Curation.langMismatch(docsNorm(s, dir), "lang", "text")
+        .orderBy(col("declared"), col("detected"))
+    }),
+
+    // per-column completeness profile: every counter from ONE corpus pass
+    // (frozen 1-row wide agg, stacked to |cols| rows) — nulls and empties
+    // injected deterministically so the audit has real signal
+    "stats_null_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")).as("text"),
+        col("source"))
+      graft.functions.Stats.nullProfile(d, Seq("lang", "text", "source"))
+        .orderBy(col("col_name"))
+    }),
+
+    // streaming twin: per-column counters are additive, so the accreted
+    // profile equals the batch one — identical oracle
+    "stream_null_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")).as("text"),
+        col("source"))
+      val npm = new graft.streaming.Streaming.NullProfileMonitor(Seq("lang", "text", "source"))
+      (0 until 5).foreach(b => npm.update(d.filter(col("doc_id") % 5 === b)))
+      npm.profile.orderBy(col("col_name"))
+    }),
+
     // per-(source, lang) data card: doc counts, token volume, mean
     // quality, exact-dup rate — per-doc signals at scan speed, ONE
     // fingerprint aggregation for dup flags, ONE rollup to the slice
@@ -2214,6 +2246,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // per-user cadence audit: ONE user-keyed lag window for inter-event
+    // gaps, ONE rollup to the |users|-row profile, exact moment staging —
+    // the bot screen (metronomic gaps) before user data enters a mix
+    "events_cadence" -> ((s, dir) => {
+      graft.functions.Events.cadence(events(s, dir), "user_id", "ts", "event_id")
+        .orderBy(col("user_id"))
+    }),
+
     // entry-path analysis: each user's first-3 event-type prefix counted
     // across users — ONE user-keyed window, rows beyond depth dropped
     // before the bounded per-user rollup
@@ -2479,6 +2519,42 @@ object SparkEntry {
     * symbol strings — `s` is in bijection with the word type (symbols
     * concatenate back to the word), so count(DISTINCT s) = word types.
     */
+  /** per-column completeness replay over the doctored documents frame —
+    * shared by `stats_null_profile` and its streaming twin
+    * `stream_null_profile` (counters are additive).
+    */
+  private val nullProfileOracleSql =
+    """WITH d AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text,
+           source
+         FROM documents),
+       a AS (
+         SELECT count(*) AS n,
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl_lang,
+           sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS em_lang,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nl_text,
+           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS em_text,
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nl_source,
+           sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS em_source
+         FROM d),
+       stacked AS (
+         SELECT 'lang' AS col_name, n AS n_rows,
+           CAST(coalesce(nl_lang, 0) AS BIGINT) AS n_null,
+           CAST(coalesce(em_lang, 0) AS BIGINT) AS n_empty FROM a
+         UNION ALL
+         SELECT 'text', n, CAST(coalesce(nl_text, 0) AS BIGINT),
+           CAST(coalesce(em_text, 0) AS BIGINT) FROM a
+         UNION ALL
+         SELECT 'source', n, CAST(coalesce(nl_source, 0) AS BIGINT),
+           CAST(coalesce(em_source, 0) AS BIGINT) FROM a)
+       SELECT col_name, n_rows, n_null, n_empty,
+         round(CAST(CASE WHEN n_rows = 0 THEN 0.0
+           ELSE n_null::DOUBLE / n_rows END AS DECIMAL(18,8)), 4)::DOUBLE
+           AS null_frac
+       FROM stacked ORDER BY col_name"""
+
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
     * streaming twin `stream_forecast` (daily counts are additive, so the
@@ -4454,6 +4530,43 @@ object SparkEntry {
          SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 20 ORDER BY doc_id""",
 
+    // lang-mismatch replay: the langid CASE per doc with its declared
+    // label, matrix rollup, per-declared totals
+    "curate_lang_mismatch" ->
+      s"""WITH norm AS (
+           SELECT lang AS declared, string_split($normSql, ' ') AS toks
+           FROM documents),
+         sc AS (
+           SELECT declared,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
+           FROM norm),
+         det AS (
+           SELECT declared,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS detected
+           FROM sc),
+         pairs AS (
+           SELECT declared, detected, count(*) AS n FROM det GROUP BY 1, 2),
+         tot AS (
+           SELECT declared, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
+         SELECT declared, detected, n,
+           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 4)::DOUBLE AS frac,
+           declared = detected AS agree
+         FROM pairs JOIN tot USING (declared)
+         ORDER BY declared, detected""",
+
+    // null-profile replay: one wide aggregation over the doctored frame,
+    // stacked per column; counters are additive so the streaming twin
+    // shares it verbatim
+    "stats_null_profile" -> nullProfileOracleSql,
+    "stream_null_profile" -> nullProfileOracleSql,
+
     // data-card replay: the text_quality chain per doc plus md5 content
     // fingerprints, corpus-wide dup counts, then the slice rollup
     "curate_datacard" ->
@@ -6008,6 +6121,34 @@ object SparkEntry {
     // daily counts are additive across batches, so the accreted forecast
     // audit equals the batch one — identical oracle
     "stream_forecast" -> forecastOracleSql,
+
+    // cadence replay: same lag window, exact moment staging, the same
+    // E[x2]-E[x]2 order and rounded-column robotic compare
+    "events_cadence" ->
+      """WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         p AS (
+           SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS s2
+           FROM g GROUP BY user_id
+           HAVING count(gap) >= 1),
+         m AS (
+           SELECT user_id, n_events, n_gaps,
+             round(CAST(CAST(s AS DOUBLE) / n_gaps / 1000000.0
+               AS DECIMAL(18,8)), 2)::DOUBLE AS mean_gap_s,
+             round(CAST(sqrt(greatest(
+               CAST(s2 AS DOUBLE) / n_gaps
+                 - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps),
+               0.0)) / 1000000.0 AS DECIMAL(18,8)), 2)::DOUBLE AS std_gap_s
+           FROM p)
+         SELECT user_id, n_events, n_gaps, mean_gap_s, std_gap_s,
+           n_gaps >= 10 AND std_gap_s < mean_gap_s * 0.1 AS robotic
+         FROM m ORDER BY user_id""",
 
     // entry-path replay: same ranking window, per-user ordered list join
     "events_paths" -> entryPathsOracleSql,

@@ -36,6 +36,33 @@ object Curation {
     *
     * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
     */
+  /** Declared-vs-detected language agreement matrix — crawl metadata lies
+    * (mislabeled Content-Language headers, template languages), and a
+    * corpus mixed by DECLARED language inherits every lie; this audit
+    * crosses the declared label with the n-gram detector
+    * ([[TextAnalysis.langId]]) so systematic disagreement (a "French"
+    * source detecting 80% English) surfaces before mixing. Languages the
+    * heuristic cannot detect read as honest `und` rows rather than false
+    * agreement.
+    *
+    * Scale shape: scan-speed detection, ONE aggregation to the bounded
+    * |langs|²-row matrix (frozen — totals and output read it), broadcast
+    * per-declared totals. Returns (declared, detected, n, frac, agree).
+    */
+  def langMismatch(df: DataFrame, declaredCol: String, textCol: String): DataFrame = {
+    val pairs = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(declaredCol).as("declared"),
+          TextAnalysis.langId(col(textCol)).as("detected"))
+        .groupBy(col("declared"), col("detected")).agg(count(lit(1)).as("n")))
+    val totals = pairs.groupBy(col("declared")).agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("declared"))
+      .select(col("declared"), col("detected"), col("n"),
+        round((col("n").cast("double") / col("__tot"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("frac"),
+        (col("declared") === col("detected")).as("agree"))
+  }
+
   /** Per-slice data card — the release-notes table every corpus ships with
     * (datasheets-for-datasets distilled to the slice grain): for each
     * `groupCols` combination (source × language, typically) the document

@@ -324,6 +324,55 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Per-user event-cadence audit — the bot/abuse screen run before user
+    * data enters a training mix: humans arrive with irregular inter-event
+    * gaps, scripts with metronomic ones, so a user with many events and a
+    * near-zero gap coefficient of variation is flagged robotic. Also the
+    * engagement-depth table (events and mean gap per user) feeding
+    * per-user caps.
+    *
+    * Scale shape: ONE user-keyed lag window (the sessionization
+    * discipline — millions of independent per-user partitions) computes
+    * inter-event gaps, then ONE map-side-combined rollup to the |users|-row
+    * profile. Moments stage exactly: gap sums as longs, squares as
+    * DECIMAL(38,0) (a month-long gap in micros squares past a long), the
+    * E[x²]−E[x]² order of [[dailyAnomalies]], and the robotic flag
+    * compares ROUNDED columns so engines agree at the boundary.
+    *
+    * Returns (userCol, n_events, n_gaps, mean_gap_s, std_gap_s,
+    * robotic): robotic = n_gaps ≥ minGaps AND std < cvMax · mean. Gaps
+    * report in SECONDS — at micros magnitude (10¹⁰+) the 8-decimal
+    * canonicalization cast sits beyond double precision, where engines'
+    * double→decimal expansions legitimately differ; seconds keep every
+    * canonicalized digit inside the exact range.
+    */
+  def cadence(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+              minGaps: Int = 10, cvMax: Double = 0.1): DataFrame = {
+    require(minGaps > 0 && cvMax > 0, "minGaps and cvMax must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gapped = df
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+    val prof = gapped.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        sum(col("__gap")).as("__s"),
+        sum(col("__gap").cast(dec) * col("__gap").cast(dec)).as("__s2"))
+    val mean = col("__s").cast("double") / col("n_gaps")
+    val std = sqrt(greatest(
+      col("__s2").cast("double") / col("n_gaps") - mean * mean, lit(0.0)))
+    prof.filter(col("n_gaps") >= 1)
+      .select(col(userCol), col("n_events"), col("n_gaps"),
+        round((mean / 1000000.0).cast(dec8), 2).cast("double").as("mean_gap_s"),
+        round((std / 1000000.0).cast(dec8), 2).cast("double").as("std_gap_s"))
+      .withColumn("robotic",
+        col("n_gaps") >= minGaps &&
+          col("std_gap_s") < col("mean_gap_s") * cvMax)
+  }
+
   /** Seasonal-naive forecast audit: predict each (type, day)'s volume as
     * the volume `period` days earlier and score the prediction — the
     * baseline every anomaly/capacity model must beat, and the cheap

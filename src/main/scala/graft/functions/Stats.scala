@@ -421,6 +421,40 @@ object Stats {
           .cast("double").as("gini"))
   }
 
+  /** Per-column completeness profile — the Deequ-style data-quality
+    * baseline every ingest ships with: row count, null count, empty-string
+    * count and null fraction per audited column. A source whose null rate
+    * jumps between snapshots broke upstream; catching it here is cheaper
+    * than catching it in a trained model.
+    *
+    * Scale shape: ONE map-side-combined aggregation computes every
+    * column's counters in a single corpus pass (one wide 1-row result,
+    * frozen so the per-column stack does not rescan), then |cols| trivial
+    * selects stack it into the bounded per-column table. Counters are
+    * ADDITIVE, so [[graft.streaming.Streaming.NullProfileMonitor]] accretes
+    * the identical table batch by batch.
+    *
+    * Returns one row per audited column: (col_name, n_rows, n_null,
+    * n_empty, null_frac).
+    */
+  def nullProfile(df: DataFrame, colsToCheck: Seq[String]): DataFrame = {
+    require(colsToCheck.nonEmpty, "nullProfile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: colsToCheck.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+      sum(when(col(c).cast("string") === "", 1L).otherwise(0L)).as(s"__em_$c")))
+    val row = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.agg(aggs.head, aggs.tail: _*))
+    colsToCheck.map(c => row.select(lit(c).as("col_name"),
+        col("__n").as("n_rows"), col(s"__nl_$c").as("n_null"),
+        col(s"__em_$c").as("n_empty")))
+      .reduce(_.unionAll(_))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_empty"),
+        round(when(col("n_rows") === 0, lit(0.0))
+          .otherwise(col("n_null").cast("double") / col("n_rows"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("null_frac"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift statistic between two corpora's
     * numeric distributions, at histogram (bin-edge) resolution:
     * `max |F_a(x) − F_b(x)|` over the shared bin edges — the numeric-drift

@@ -424,6 +424,56 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming data-quality monitor — the continuous form of
+    * [[graft.functions.Stats.nullProfile]]: per-column row/null/empty
+    * counters are ADDITIVE, so the accreted per-column table equals the
+    * one-pass corpus profile and the null-rate readout is bit-identical
+    * to the batch audit. State is |columns| rows — constant. Wire with
+    * [[foreachBatchMerge]]`(stream, npm.update)`.
+    */
+  class NullProfileMonitor(colsToCheck: Seq[String]) {
+    require(colsToCheck.nonEmpty, "need at least one column")
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counters: Option[DataFrame] = None
+
+    /** fold one micro-batch into the per-column counters */
+    def update(batch: DataFrame): Unit = {
+      val aggs = count(lit(1)).as("__n") +: colsToCheck.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+        sum(when(col(c).cast("string") === "", 1L).otherwise(0L)).as(s"__em_$c")))
+      val row = batch.agg(aggs.head, aggs.tail: _*)
+      val bc = colsToCheck.map(c => row.select(lit(c).as("col_name"),
+          col("__n").as("n_rows"), col(s"__nl_$c").as("n_null"),
+          col(s"__em_$c").as("n_empty")))
+        .reduce(_.unionAll(_))
+      counters = Some(bridge.freeze(counters match {
+        case None => bc
+        case Some(st) => st.unionByName(bc)
+          .groupBy(col("col_name"))
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
+            sum(col("n_empty")).as("n_empty"))
+      }))
+    }
+
+    /** current per-column profile — equals the batch nullProfile */
+    def profile: DataFrame = {
+      val st = counters.getOrElse(
+        throw new IllegalStateException("no batches ingested"))
+      st.select(col("col_name"), col("n_rows"), col("n_null"), col("n_empty"),
+        round(when(col("n_rows") === 0, lit(0.0))
+          .otherwise(col("n_null").cast("double") / col("n_rows"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("null_frac"))
+    }
+
+    /** persist the counter state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counters" -> counters))
+
+    /** restore counter state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counters = MonitorState.load(spark, dir, "counters")
+  }
+
   /** Streaming benchmark-contamination monitor — continuous
     * decontamination at ingest: the benchmark's capped winnowed-fingerprint
     * index ([[graft.functions.Dedup.benchFingerprintIndex]]) freezes ONCE

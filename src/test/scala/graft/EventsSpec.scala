@@ -29,6 +29,27 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("cadence: metronomic user flags robotic, irregular human does not") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // bot: 12 events exactly 60s apart (std 0); human: irregular gaps
+    val bot = (0 until 12).map(i => (1L, ts(i * 60L), (100 + i).toLong))
+    val human = Seq(0L, 30L, 100L, 400L, 500L, 1200L, 1300L, 2000L, 2100L,
+      3000L, 3500L, 5000L).zipWithIndex.map { case (s, i) => (2L, ts(s), (200 + i).toLong) }
+    val ev = (bot ++ human).toDF("user_id", "ts", "event_id")
+    val out = Events.cadence(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val (n1, g1, m1, s1, rob1) = out(1L)
+    assert(n1 == 12 && g1 == 11 && m1 == 60.0 && s1 == 0.0 && rob1)
+    val (_, _, _, s2, rob2) = out(2L)
+    assert(s2 > 0.0 && !rob2, s"human flagged robotic: $s2")
+    // a single-event user has no gaps and drops out
+    val single = Events.cadence(Seq((9L, ts(0), 1L)).toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "event_id")
+    assert(single.count() == 0)
+  }
+
   test("retention: cohorts by first day, offsets count distinct active users") {
     import spark.implicits._
     val day = 86400000000L // micros

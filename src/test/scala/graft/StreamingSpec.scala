@@ -667,6 +667,30 @@ class StreamingSpec extends SparkSpec {
     assert(skewMap(km4.skew(20)) == batchSkew)
   }
 
+  test("null-profile monitor: accreted counters equal the batch audit, survive restart") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")).as("text"),
+        col("source"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batch = toMap(graft.functions.Stats.nullProfile(docs, Seq("lang", "text", "source")))
+    assert(batch("lang")._2 > 0 && batch("text")._3 > 0, "doctored frame has signal")
+    val npm = new Streaming.NullProfileMonitor(Seq("lang", "text", "source"))
+    (0 until 5).foreach(b => npm.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(toMap(npm.profile) == batch)
+    // save mid-stream, restore into a fresh monitor, finish
+    val ckpt = java.nio.file.Files.createTempDirectory("np_state").toString
+    val npm2 = new Streaming.NullProfileMonitor(Seq("lang", "text", "source"))
+    (0 until 2).foreach(b => npm2.update(docs.filter(col("doc_id") % 5 === b)))
+    npm2.saveState(ckpt)
+    val npm3 = new Streaming.NullProfileMonitor(Seq("lang", "text", "source"))
+    npm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => npm3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(toMap(npm3.profile) == batch)
+  }
+
   /** drive a checkpointed foreachBatch query over a parquet dir source to
     * completion — restarting with the same checkpointLocation replays ONLY
     * files the previous run did not commit (the production crash-recovery

@@ -2059,6 +2059,18 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // MMR diversity re-ranking: one brute-cosine pass to the frozen top-20
+    // candidate frame, then 5 selection rounds of λ·rel − (1−λ)·maxSim
+    // over it (broadcast selected vectors, decimal-staged scores, ties to
+    // smaller id) — the RAG result-diversification stage
+    "search_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.mmrTopK(e, "vec_id", "v", queryId = 0L, candK = 20, k = 5,
+          lambda = 0.7)
+        .orderBy(col("rank"))
+    }),
+
     // unigram LM log-prob scoring (KenLM-style perplexity proxy): add-one
     // smoothed counts trained on the corpus itself, per-doc mean log-prob —
     // ln is bit-identical across engines, sums staged in decimal
@@ -5704,6 +5716,82 @@ object SparkEntry {
     // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED
     // output scores, the exact-cosine chain for query vector 0 at k=50,
     // then 1/(60+rank) reciprocal terms in the same fixed order
+    // MMR replay: brute-cosine top-20, then five unrolled selection
+    // rounds — msim as max of per-selected ROUNDED cosines, the same
+    // 0.7·rel − (1.0 − 0.7)·msim operation order, ties to smaller id
+    "search_mmr" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         qv AS (SELECT v FROM e WHERE vec_id = 0),
+         cand AS (
+           SELECT e.vec_id, e.v,
+             round(CAST(list_dot_product(e.v, qv.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS rel
+           FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id LIMIT 20),
+         s1 AS (
+           SELECT vec_id, v, rel,
+             round(CAST(0.7 * rel AS DECIMAL(18,8)), 6)::DOUBLE AS score
+           FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+         d2 AS (
+           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
+             max(round(CAST(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
+           FROM cand c CROSS JOIN s1 s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+           GROUP BY c.vec_id, c.rel),
+         s2 AS (
+           SELECT vec_id, v, rel,
+             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
+           FROM d2 ORDER BY score DESC, vec_id LIMIT 1),
+         sel2 AS (SELECT vec_id, v FROM s1 UNION ALL SELECT vec_id, v FROM s2),
+         d3 AS (
+           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
+             max(round(CAST(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
+           FROM cand c CROSS JOIN sel2 s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+           GROUP BY c.vec_id, c.rel),
+         s3 AS (
+           SELECT vec_id, v, rel,
+             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
+           FROM d3 ORDER BY score DESC, vec_id LIMIT 1),
+         sel3 AS (SELECT vec_id, v FROM sel2 UNION ALL SELECT vec_id, v FROM s3),
+         d4 AS (
+           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
+             max(round(CAST(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
+           FROM cand c CROSS JOIN sel3 s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+           GROUP BY c.vec_id, c.rel),
+         s4 AS (
+           SELECT vec_id, v, rel,
+             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
+           FROM d4 ORDER BY score DESC, vec_id LIMIT 1),
+         sel4 AS (SELECT vec_id, v FROM sel3 UNION ALL SELECT vec_id, v FROM s4),
+         d5 AS (
+           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
+             max(round(CAST(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
+           FROM cand c CROSS JOIN sel4 s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+           GROUP BY c.vec_id, c.rel),
+         s5 AS (
+           SELECT vec_id, v, rel,
+             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
+           FROM d5 ORDER BY score DESC, vec_id LIMIT 1)
+         SELECT 1 AS "rank", vec_id, rel, score FROM s1
+         UNION ALL SELECT 2, vec_id, rel, score FROM s2
+         UNION ALL SELECT 3, vec_id, rel, score FROM s3
+         UNION ALL SELECT 4, vec_id, rel, score FROM s4
+         UNION ALL SELECT 5, vec_id, rel, score FROM s5
+         ORDER BY "rank"""",
+
     "search_hybrid_rrf" ->
       s"""WITH d AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),

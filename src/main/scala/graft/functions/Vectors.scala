@@ -338,6 +338,66 @@ object Vectors {
     * min-distance at selection (the covering-radius progression; the seed
     * reports 0.0).
     */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity stage of a RAG/retrieval stack: plain top-k returns
+    * five near-copies of the best hit; MMR picks iteratively by
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, trading relevance against
+    * similarity to what is already selected.
+    *
+    * Scale shape: the corpus-scale work is ONE brute-cosine pass cut to
+    * the `candK`-row candidate frame (TakeOrdered, frozen); each of the k
+    * selection rounds is one aggregation over that bounded frame with the
+    * selected vectors shipped as a single broadcast array (the
+    * [[kCenterCoreset]] fold — k driver-held vectors, never a pairwise
+    * matrix). Every cosine and score is decimal-staged at 6 places and
+    * ties break to the smaller id, so the ranking is engine-reproducible.
+    *
+    * Returns k rows: (rank, vec_id, rel, score).
+    */
+  def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, candK: Int = 20, k: Int = 5,
+              lambda: Double = 0.7): DataFrame = {
+    require(candK >= k && k >= 1, "need candK >= k >= 1")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def r6(c: Column): Column = round(c.cast(dec), 6).cast("double")
+    val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val qRows = vecs.filter(col("__vid") === queryId).limit(1).collect()
+    require(qRows.nonEmpty, s"mmrTopK: query id $queryId not in corpus")
+    val qv = qRows(0).getSeq[Double](1)
+    val qCol = broadcast(Seq(Tuple1(qv)).toDF("__q"))
+    val cands = bridge.freeze(vecs.filter(col("__vid") =!= queryId)
+      .crossJoin(qCol)
+      .withColumn("rel", r6(cosine(col("__v"), col("__q"))))
+      .orderBy(col("rel").desc, col("__vid").asc).limit(candK)
+      .select(col("__vid"), col("__v"), col("rel")))
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    for (i <- 0 until k) {
+      val scored =
+        if (i == 0) cands.withColumn("__score", r6(lit(lambda) * col("rel")))
+        else {
+          val sel = broadcast(selected.map(_._2).toDF("__s")
+            .agg(collect_list(col("__s")).as("__sels")))
+          cands.filter(!col("__vid").isInCollection(selected.map(_._1)))
+            .crossJoin(sel)
+            .withColumn("__msim", array_max(transform(col("__sels"), s =>
+              r6(cosine(col("__v"), s)))))
+            .withColumn("__score",
+              r6(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim")))
+        }
+      val p = scored
+        .agg(max_by(struct(col("__vid"), col("__v"), col("rel"), col("__score")),
+          struct(col("__score"), (-col("__vid")).as("__nid"))).as("__p"))
+        .select(col("__p.*")).head()
+      selected :+= ((p.getLong(0), p.getSeq[Double](1), p.getDouble(2), p.getDouble(3)))
+    }
+    selected.zipWithIndex.map { case ((id, _, rel, sc), i) => (i + 1, id, rel, sc) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
+
   def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be positive")

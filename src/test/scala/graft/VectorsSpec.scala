@@ -19,6 +19,28 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(27.0)) < 1e-12)
   }
 
+  test("mmrTopK: duplicate of the top hit loses to a diverse candidate") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    // id 1 and id 2 are identical; id 3 equally relevant but diverse —
+    // plain top-2 keeps the duplicate, MMR must prefer the diverse hit
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.436, 0.0)),
+      (2L, Seq(0.9, 0.436, 0.0)),
+      (3L, Seq(0.9, -0.436, 0.0))).toDF("vec_id", "v")
+    val out = Vectors.mmrTopK(e, "vec_id", "v", queryId = 0L,
+      candK = 3, k = 3, lambda = 0.6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), s"got ${out.toSeq}")
+    assert(out.forall(r => r._3 > 0.8), "all candidates were highly relevant")
+    // deterministic across evaluations
+    val again = Vectors.mmrTopK(e, "vec_id", "v", queryId = 0L,
+      candK = 3, k = 3, lambda = 0.6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("bruteForceTopK returns k ranked neighbors per query") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

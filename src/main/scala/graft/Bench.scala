@@ -235,8 +235,22 @@ object Bench {
     val targets = phase1.sortBy(-_._2).take(soloN).map(_._1).sorted
     runSlices(targets.map(Seq(_)), sfDir, "solo") match {
       case Some(ss) =>
-        val soloMap = ss.toMap
         val sliceMap = phase1.toMap
+        // a solo run is ONE JVM's single sample — an unlucky GC/compile
+        // pause can triple it (measured: edit_verify 17.4s solo vs 4.4s
+        // in-slice vs 3.8s clean re-run). A solo far above its own slice
+        // time is self-contradictory, so re-measure once and keep the
+        // minimum — best-of-n, the standard wall-clock noise floor.
+        val suspicious = ss.filter { case (q, t) =>
+          t > math.max(2.0 * sliceMap.getOrElse(q, t), sliceMap.getOrElse(q, t) + 2.0)
+        }.map(_._1)
+        val retried: Map[String, Double] =
+          if (suspicious.isEmpty) Map.empty
+          else runSlices(suspicious.sorted.map(Seq(_)), sfDir, "solo2")
+            .map(_.toMap).getOrElse(Map.empty)
+        val soloMap = ss.toMap.map { case (q, t) =>
+          q -> math.min(t, retried.getOrElse(q, t))
+        }
         val merged = phase1.map { case (q, t) => q -> soloMap.getOrElse(q, t) }
         val audit = targets.map { q =>
           s""""$q":{"slice":${sliceMap(q)},"solo":${soloMap(q)}}"""

@@ -1190,6 +1190,19 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // deterministic Gumbel-top-k: exact softmax(4·quality) draw without
+    // replacement via invTemp·score − ln(−ln(u)) keys over md5-derived u —
+    // temperature-controlled quality selection, scan-speed + TakeOrdered
+    "sample_gumbel" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScoreRaw(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast(DoubleType).as("q"))
+      Sampling.gumbelTopK(scored, "doc_id", col("q"), k = 50,
+          invTemp = 4.0, salt = "g-v1")
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
+
     // domain-level statistics: the per-source trust table (doc count, mean
     // quality, exact-dup rate, mean length) — one aggregation to |domains|
     // rows, the table a web-scale curation pass broadcasts
@@ -2057,6 +2070,36 @@ object SparkEntry {
         k0 = 60, k = 20)
         .withColumnsRenamed(Map("rank_a" -> "rank_text", "rank_b" -> "rank_vec"))
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // nDCG@10 of the int8-quantized ranking vs exact-cosine truth: recall
+    // says WHETHER true neighbors appear, this says whether they appear in
+    // ORDER — ln-discount DCG (both engines' ln agrees), pooled top-20
+    // judgments, rel 0 outside the pool
+    "sim_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val queries = e.filter(col("vec_id") < 10)
+      val truth = Vectors.bruteForceTopK(queries, e, "vec_id", "v", "vec_id", "v", k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          greatest(col("cosine"), lit(0.0)).as("rel"), col("rank"))
+      val dequant = e.withColumn("scale", Vectors.int8Scale(col("v")))
+        .withColumn("__q", Vectors.int8QuantizeWith(col("v"), col("scale")))
+        .select(col("vec_id"),
+          transform(col("__q"), x => x.cast(DoubleType) * col("scale")).as("v"))
+      val ranked = Vectors.bruteForceTopK(queries, dequant, "vec_id", "v", "vec_id", "v", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Vectors.ndcgOfRanking(ranked, truth, k = 10).orderBy(col("query_id"))
+    }),
+
+    // greedy per-source token-budget trim: keep each source's BEST docs
+    // until the budget is spent — one source-keyed window over the
+    // rounded-quality order, running total, boundary-exact keep rule
+    "curate_budget_trim" -> ((s, dir) => {
+      graft.functions.Curation.budgetTrim(docsNorm(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")),
+          TextAnalysis.qualityScoreRaw(col("text")), budget = 800L)
+        .orderBy(col("doc_id"))
     }),
 
     // MMR diversity re-ranking: one brute-cosine pass to the frozen top-20
@@ -3862,6 +3905,38 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY wk DESC, doc_id ASC) AS rn
            FROM w)
          WHERE rn <= 20 ORDER BY lang, rn""",
+
+    // gumbel replay: the text_quality chain, the same md5 uniform and
+    // −ln(−ln(u)) perturbation, identical 4·q + g operation order
+    "sample_gumbel" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         q AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                   ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS score
+           FROM c),
+         g AS (
+           SELECT doc_id, score,
+             round(CAST(4.0 * score + -ln(-ln(
+               ((('0x'||substr(md5(doc_id::VARCHAR || 'g-v1'),1,15))::BIGINT + 1)::DOUBLE)
+                 / 1152921504606846976.0))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS gumbel_key
+           FROM q)
+         SELECT doc_id, score, gumbel_key FROM g
+         ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
 
     // snapshot diff: same deterministic v_old/v_new construction, md5 of
     // the normalized text as the content fingerprint
@@ -5716,6 +5791,90 @@ object SparkEntry {
     // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED
     // output scores, the exact-cosine chain for query vector 0 at k=50,
     // then 1/(60+rank) reciprocal terms in the same fixed order
+    // nDCG replay: exact-cosine truth pool (top-20), int8 dequantized
+    // ranking (top-10), the same ln-discount sums and one final divide
+    "sim_ndcg" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         tp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         truth AS (
+           SELECT query_id, neighbor_id,
+             greatest(round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE, 0.0) AS rel,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM tp QUALIFY rnk <= 20),
+         dq AS (
+           SELECT vec_id, list_transform(range(1, len(v)+1), i ->
+             (CASE WHEN scale = 0 THEN 0
+               ELSE CAST(floor(v[i]/scale + 0.5) AS INT) END)::DOUBLE * scale) AS v
+           FROM (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e)),
+         rp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN dq c WHERE q.vec_id != c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM rp QUALIFY rnk <= 10),
+         dcg AS (
+           SELECT r.query_id,
+             CAST(sum(CAST(coalesce(t.rel, 0.0) / ln(r.rnk + 1.0)
+               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS d
+           FROM ranked r LEFT JOIN truth t
+             ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+           GROUP BY r.query_id),
+         idcg AS (
+           SELECT query_id,
+             CAST(sum(CAST(rel / ln(rnk + 1.0) AS DECIMAL(18,8)))
+               AS DECIMAL(18,8)) AS i
+           FROM truth WHERE rnk <= 10 GROUP BY query_id)
+         SELECT d.query_id, round(d.d, 4)::DOUBLE AS dcg,
+           round(i.i, 4)::DOUBLE AS idcg,
+           round(CAST(CASE WHEN i.i = 0 THEN 0.0
+             ELSE CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS ndcg
+         FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+         ORDER BY d.query_id""",
+
+    // budget-trim replay: the text_quality chain, one per-source running
+    // window over the rounded-quality order, boundary-exact keep rule
+    "curate_budget_trim" ->
+      s"""WITH norm AS (
+           SELECT doc_id, source, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         sc AS (
+           SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                   ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS score
+           FROM c),
+         w AS (
+           SELECT doc_id, source, n_tokens, score,
+             (sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens)::BIGINT AS cum_before
+           FROM sc)
+         SELECT doc_id, source, n_tokens, score, cum_before,
+           cum_before < 800 AS kept
+         FROM w ORDER BY doc_id""",
+
     // MMR replay: brute-cosine top-20, then five unrolled selection
     // rounds — msim as max of per-selected ROUNDED cosines, the same
     // 0.7·rel − (1.0 − 0.7)·msim operation order, ties to smaller id

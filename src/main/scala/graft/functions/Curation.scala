@@ -36,6 +36,36 @@ object Curation {
     *
     * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
     */
+  /** Greedy per-source token-budget trim — the selection step after
+    * [[mixturePlan]] decides each source's token budget: within every
+    * source, keep documents in quality order until the budget is spent
+    * (a document is kept iff the tokens consumed BEFORE it are under
+    * budget, so the first document always survives and the cut crosses
+    * the boundary at most once). Rate-based mixture sampling keeps a
+    * random slice; this keeps the BEST slice of each source.
+    *
+    * Scale shape: ONE source-keyed window (ordered by the ROUNDED score
+    * so the order is engine-reproducible, ties to smaller id) computes
+    * the running token total — the sessionization discipline, millions of
+    * independent per-source partitions, no joins, no second pass.
+    *
+    * Returns every row as (idCol, sourceCol, n_tokens, score, cum_before,
+    * kept).
+    */
+  def budgetTrim(df: DataFrame, sourceCol: String, idCol: String,
+                 tokens: Column, score: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = df.select(col(idCol), col(sourceCol),
+      tokens.cast("long").as("n_tokens"),
+      round(score.cast(dec), 4).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("score").desc, col(idCol).asc)
+    base
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("kept", col("cum_before") < budget)
+  }
+
   /** Declared-vs-detected language agreement matrix — crawl metadata lies
     * (mislabeled Content-Language headers, template languages), and a
     * corpus mixed by DECLARED language inherits every lie; this audit

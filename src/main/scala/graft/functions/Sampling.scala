@@ -143,6 +143,35 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Deterministic Gumbel-top-k selection — the softmax/temperature
+    * sampling step after scoring (DSIR weights, quality scores, reward
+    * models): rank by `invTemp·score + g` with `g = −ln(−ln(u))`, take the
+    * top k. By the Gumbel-max trick this is an EXACT without-replacement
+    * draw from softmax(invTemp·score) — temperature-controlled stochastic
+    * selection that still favors high scores, where a hard top-k would
+    * collapse onto one mode and uniform sampling would ignore the scores.
+    * `u` derives from md5 (the [[weightedSample]] discipline), so the
+    * "random" draw is reproducible across runs, engines and scales.
+    *
+    * Scale shape: scan-speed key computation + TakeOrdered top-k
+    * (per-partition heads, no global sort, no shuffle).
+    *
+    * Returns k rows (idCol, score, gumbel_key), highest keys first.
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, score: Column, k: Int,
+                 invTemp: Double = 1.0, salt: String = "gumbel"): DataFrame = {
+    require(k > 0 && invTemp > 0, "k and invTemp must be positive")
+    val dec = DecimalType(18, 8)
+    val u = (hash60(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(math.pow(2.0, 60))
+    val g = -log(-log(u))
+    df.select(col(idCol), score.cast("double").as("score"))
+      .withColumn("gumbel_key",
+        round((lit(invTemp) * col("score") + g).cast(dec), 6).cast("double"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Leakage-safe train/val/test assignment: near-duplicate documents MUST
     * land in the same split (a benchmark answer's paraphrase in train
     * poisons the test set), so the split key is the near-dup CLUSTER label

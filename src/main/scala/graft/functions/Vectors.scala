@@ -338,6 +338,47 @@ object Vectors {
     * min-distance at selection (the covering-radius progression; the seed
     * reports 0.0).
     */
+  /** Position-weighted ranking-quality evaluation (nDCG@k with the
+    * natural-log discount) — the companion to plain recall for grading an
+    * approximate ranking (int8/PQ/LSH/IVF) against exact-cosine truth:
+    * recall says WHETHER the true neighbors appear, nDCG says whether
+    * they appear IN THE RIGHT ORDER, weighting rank-1 mistakes hardest.
+    * The ln discount (`rel/ln(rank+1)`) replaces the conventional log2 —
+    * same ordering weights up to a constant factor that cancels in the
+    * dcg/idcg ratio, and `ln` is the one transcendental both engines
+    * evaluate identically.
+    *
+    * `ranked` carries (query_id, neighbor_id, rank); `truth` carries
+    * (query_id, neighbor_id, rel, rank) — its own rank already ideal
+    * (rel-descending), so the ideal DCG needs no new window. Ranked items
+    * outside the judged truth pool score rel 0 (the standard pooled-
+    * judgment convention). Everything is |queries|·k rows after the
+    * joins; decimal-staged sums, one double divide.
+    *
+    * Returns one row per query: (query_id, dcg, idcg, ndcg).
+    */
+  def ndcgOfRanking(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def disc(r: Column) = log(r.cast("double") + 1.0)
+    val dcg = ranked.filter(col("rank") <= k)
+      .join(truth.select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__rel", coalesce(col("rel"), lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(sum((col("__rel") / disc(col("rank"))).cast(dec)).as("__dcg"))
+    val idcg = truth.filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum((col("rel") / disc(col("rank"))).cast(dec)).as("__idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        round(col("__dcg"), 4).cast("double").as("dcg"),
+        round(col("__idcg"), 4).cast("double").as("idcg"),
+        round(when(col("__idcg") === 0, lit(0.0))
+          .otherwise(col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .cast(dec), 4).cast("double").as("ndcg"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity stage of a RAG/retrieval stack: plain top-k returns
     * five near-copies of the best hit; MMR picks iteratively by

@@ -110,6 +110,21 @@ class CurationSpec extends SparkSpec {
     assert(out.getDouble(4) == 0.421875, s"pad_frac ${out.getDouble(4)}")
   }
 
+  test("budgetTrim: best docs kept until budget, boundary exact, first always kept") {
+    import spark.implicits._
+    import graft.functions.Curation
+    val df = Seq((1L, "a", 300L, 0.9), (2L, "a", 400L, 0.8),
+      (3L, "a", 500L, 0.7), (4L, "b", 2000L, 0.1)).toDF("id", "src", "tok", "sc")
+    val out = Curation.budgetTrim(df, "src", "id", col("tok"), col("sc"), budget = 600L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    // source a in quality order: 300 (starts at 0), 400 (starts at 300),
+    // 500 (starts at 700 >= 600 -> cut)
+    assert(out(1L) == (0L, true) && out(2L) == (300L, true)
+      && out(3L) == (700L, false), s"got $out")
+    // a document bigger than the whole budget still survives if first
+    assert(out(4L) == (0L, true))
+  }
+
   test("dataCard: corpus-wide dup flags roll up per slice, quality bounded") {
     import spark.implicits._
     import graft.functions.Curation

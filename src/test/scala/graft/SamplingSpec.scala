@@ -57,6 +57,27 @@ class SamplingSpec extends SparkSpec {
     assert(perShard.size == 8 && perShard.values.min > 20, s"shards $perShard")
   }
 
+  test("gumbelTopK: deterministic softmax draw, temperature controls concentration") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // two score tiers: at high invTemp the draw concentrates on tier 1
+    val df = ((0L until 50L).map(i => (i, 1.0)) ++
+      (50L until 100L).map(i => (i, 0.0))).toDF("id", "s")
+    val hot = Sampling.gumbelTopK(df, "id", col("s"), k = 20,
+      invTemp = 12.0, salt = "t").collect().map(_.getLong(0))
+    assert(hot.length == 20)
+    assert(hot.count(_ < 50) >= 18,
+      s"e^12 weight ratio must dominate: ${hot.count(_ < 50)}/20 from tier 1")
+    // invTemp near 0 approaches a uniform draw: both tiers appear
+    val cold = Sampling.gumbelTopK(df, "id", col("s"), k = 20,
+      invTemp = 0.001, salt = "t").collect().map(_.getLong(0))
+    assert(cold.count(_ < 50) > 0 && cold.count(_ >= 50) > 0)
+    // deterministic across evaluations
+    val again = Sampling.gumbelTopK(df, "id", col("s"), k = 20,
+      invTemp = 12.0, salt = "t").collect().map(_.getLong(0))
+    assert(hot.sameElements(again))
+  }
+
   test("stratifiedSample enforces the per-group quota deterministically") {
     val docs = table("documents")
     val out = Sampling.stratifiedSample(docs, Seq("source"), "doc_id", 3, "q")

@@ -19,6 +19,23 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(27.0)) < 1e-12)
   }
 
+  test("ndcgOfRanking: perfect order reads 1, disorder and misses cost") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val truth = Seq((1L, 10L, 1.0, 1), (1L, 11L, 0.5, 2), (1L, 12L, 0.2, 3))
+      .toDF("query_id", "neighbor_id", "rel", "rank")
+    def ndcg(ranked: Seq[(Long, Long, Int)]): Double =
+      Vectors.ndcgOfRanking(ranked.toDF("query_id", "neighbor_id", "rank"),
+        truth, k = 3).head().getDouble(3)
+    val perfect = ndcg(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    assert(perfect == 1.0, s"perfect ranking must read 1.0, got $perfect")
+    val reversed = ndcg(Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3)))
+    assert(reversed < perfect && reversed > 0.0)
+    // an unjudged item at rank 1 scores rel 0 and costs the most
+    val missed = ndcg(Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 11L, 3)))
+    assert(missed < reversed, s"missing the top hit must cost most: $missed vs $reversed")
+  }
+
   test("mmrTopK: duplicate of the top hit loses to a diverse candidate") {
     import spark.implicits._
     import graft.functions.Vectors

@@ -498,6 +498,16 @@ object SparkEntry {
       vm.forecast(period = 7).orderBy(col("event_type"))
     }),
 
+    // third readout off the SAME state: the CUSUM creep alarm — additive
+    // counts make it batch-exact, identical oracle
+    "stream_cusum" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.cusum(slack = 0.5, threshold = 3.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // streaming key concentration (batch replay of 5 micro-batches):
     // per-key counts are additive, so BOTH readouts off the one accreted
     // count state equal their batch twins — whale-factor top-k and exact
@@ -2139,6 +2149,14 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("key").asc)
     }),
 
+    // Benford first-digit audit: digits via the BIGINT string (engine-
+    // identical), one aggregation to 9 rows, ln(1+1/d)/ln(10) expected —
+    // the fabricated-numbers screen on a metrics column
+    "stats_benford" -> ((s, dir) => {
+      graft.functions.Stats.benfordAudit(events(s, dir), "value")
+        .orderBy(col("digit"))
+    }),
+
     // exact Gini concentration of events per user: count table →
     // count-of-counts (bounded), cumulative self-join, DECIMAL(38,0)
     // trapezoid terms, ONE double divide — the inequality audit next to
@@ -2299,6 +2317,16 @@ object SparkEntry {
       graft.functions.Events.seasonalForecast(events(s, dir),
           "event_type", "ts", period = 7)
         .orderBy(col("event_type"))
+    }),
+
+    // CUSUM creep detection: standardized daily deviations minus slack,
+    // prefix identity S_t = P_t - min(0, min P_j) as two keyed windows
+    // over the bounded count table, deviations decimal-staged BEFORE the
+    // window sums — the slow-drift alarm the per-day z-test cannot raise
+    "events_cusum" -> ((s, dir) => {
+      graft.functions.Events.cusum(events(s, dir), "event_type", "ts",
+          slack = 0.5, threshold = 3.0)
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // per-user cadence audit: ONE user-keyed lag window for inter-event
@@ -2609,6 +2637,44 @@ object SparkEntry {
            ELSE n_null::DOUBLE / n_rows END AS DECIMAL(18,8)), 4)::DOUBLE
            AS null_frac
        FROM stacked ORDER BY col_name"""
+
+  /** CUSUM replay: daily counts, the events_anomaly mean/std chain,
+    * decimal-staged deviations, two ordered windows for the prefix
+    * identity — shared by `events_cusum` and its streaming twin
+    * `stream_cusum` (daily counts are additive).
+    */
+  private val cusumOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
+           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+         FROM d GROUP BY 1),
+       ms AS (
+         SELECT event_type, s::DOUBLE / dd AS mean,
+           sqrt(greatest(s2::DOUBLE / dd
+             - (s::DOUBLE / dd) * (s::DOUBLE / dd), 0.0)) AS std
+         FROM st),
+       x AS (
+         SELECT d.event_type, d.day, d.n,
+           CAST((CASE WHEN std = 0.0 THEN 0.0
+             ELSE (d.n - mean) / std END) - 0.5 AS DECIMAL(18,8)) AS x
+         FROM d JOIN ms USING (event_type)),
+       p AS (
+         SELECT *, sum(x) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         FROM x),
+       sres AS (
+         SELECT event_type, day, n,
+           p - least(CAST(0 AS DECIMAL(18,8)),
+             min(p) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+         FROM p)
+       SELECT event_type, day, n,
+         round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE AS cusum,
+         round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE > 3.0 AS alarm
+       FROM sres ORDER BY event_type, day"""
 
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
@@ -6049,6 +6115,33 @@ object SparkEntry {
     // additive so the streaming twin shares it verbatim
     "stats_key_skew" -> keySkewOracleSql,
     "stream_key_skew" -> keySkewOracleSql,
+
+    // CUSUM replay — shared with the streaming twin (additive counts)
+    "events_cusum" -> cusumOracleSql,
+    "stream_cusum" -> cusumOracleSql,
+
+    // Benford replay: BIGINT-string first digits, 9-row rollup, the same
+    // ln(1+1/d)/ln(10) expected frequencies and rounded deviations
+    "stats_benford" ->
+      """WITH v AS (
+           SELECT CAST(floor(value) AS BIGINT) AS n FROM events
+           WHERE floor(value) >= 1),
+         d AS (
+           SELECT CAST(substr(n::VARCHAR, 1, 1) AS INT) AS digit,
+             count(*) AS n
+           FROM v GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+         g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+         b AS (
+           SELECT g.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+             round(CAST(coalesce(d.n, 0)::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE
+               AS obs_frac,
+             round(CAST(ln(1.0 + 1.0 / g.digit) / ln(10.0) AS DECIMAL(18,8)), 6)::DOUBLE
+               AS exp_frac
+           FROM g LEFT JOIN d ON g.digit = d.digit CROSS JOIN t)
+         SELECT digit, n, obs_frac, exp_frac,
+           round(CAST(obs_frac - exp_frac AS DECIMAL(18,8)), 6)::DOUBLE AS dev
+         FROM b ORDER BY digit""",
 
     // Gini replay: count-of-counts, cumulative mass self-join, the same
     // decimal-staged trapezoid and single final divide; counts are

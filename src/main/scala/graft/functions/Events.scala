@@ -324,6 +324,63 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** CUSUM change-point detection over daily volumes (Page 1954) — the
+    * drift alarm [[dailyAnomalies]]'s per-day z-test cannot raise: a
+    * volume that creeps up 0.8σ every day never crosses a 2σ spike
+    * threshold, but its cumulative sum does. Standardized deviations
+    * minus `slack` accumulate with the max(0, ·) reset expressed by the
+    * prefix identity `S_t = P_t − min(0, min_{j≤t} P_j)` — two keyed
+    * windows instead of a sequential recurrence.
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * count table; both windows run keyed-by-type over that bounded frame.
+    * Deviations are decimal-staged BEFORE the window sums, so the prefix
+    * sums are exact decimal arithmetic — window summation order cannot
+    * perturb the statistic (float prefix sums associate differently
+    * across engines).
+    *
+    * Returns (event_type, day, n, cusum, alarm) with alarm comparing the
+    * ROUNDED statistic to `threshold`.
+    */
+  def cusum(df: DataFrame, typeCol: String, tsCol: String,
+            slack: Double = 0.5, threshold: Double = 3.0): DataFrame =
+    cusumOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      slack, threshold)
+
+  /** [[cusum]]'s statistic over an already-built (event_type, day, n)
+    * count table — the [[graft.streaming.Streaming.VolumeMonitor]] readout
+    * (daily counts are additive, so the accreted state's CUSUM equals the
+    * batch one once all of a day's events have landed).
+    */
+  def cusumOfDaily(dailyCounts: DataFrame, slack: Double = 0.5,
+                   threshold: Double = 3.0): DataFrame = {
+    require(slack >= 0 && threshold > 0, "slack >= 0, threshold > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__s2"))
+    val mean = col("__s").cast("double") / col("__d")
+    val std = sqrt(greatest(
+      col("__s2").cast("double") / col("__d") - mean * mean, lit(0.0)))
+    val z = when(std === 0.0, lit(0.0)).otherwise((col("n") - mean) / std)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__x", (z - slack).cast(dec))
+      .withColumn("__p", sum(col("__x")).over(w))
+      .withColumn("__s0", col("__p") -
+        least(lit(0).cast(dec), min(col("__p")).over(w)))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("__s0"), 4).cast("double").as("cusum"))
+      .withColumn("alarm", col("cusum") > threshold)
+  }
+
   /** Per-user event-cadence audit — the bot/abuse screen run before user
     * data enters a training mix: humans arrive with irregular inter-event
     * gaps, scripts with metronomic ones, so a user with many events and a

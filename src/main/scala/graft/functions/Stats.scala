@@ -421,6 +421,40 @@ object Stats {
           .cast("double").as("gini"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen,
+    * useful on ingested metrics columns: organically-grown magnitudes
+    * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or
+    * tampered columns don't, and the per-digit deviation table says which
+    * digits betray it. First digits extract through the BIGINT string
+    * (identical across engines — float formatting is not), expected
+    * frequencies evaluate as ln(1+1/d)/ln(10) in fixed order.
+    *
+    * Scale shape: scan-speed digit extraction, ONE map-side-combined
+    * aggregation to ≤9 rows (frozen — totals and output read it),
+    * broadcast total. Returns 9 rows: (digit, n, obs_frac, exp_frac,
+    * dev).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(floor(col(valueCol)).cast("long").as("__n"))
+        .filter(col("__n") >= 1)
+        .select(substring(col("__n").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    val tot = broadcast(counts.agg(sum(col("n")).as("__tot")))
+    df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(tot)
+      .select(col("digit"), col("n"),
+        round((col("n").cast("double") / col("__tot")).cast(dec), 6)
+          .cast("double").as("obs_frac"),
+        round((log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))).cast(dec), 6)
+          .cast("double").as("exp_frac"))
+      .withColumn("dev",
+        round((col("obs_frac") - col("exp_frac")).cast(dec), 6).cast("double"))
+  }
+
   /** Per-column completeness profile — the Deequ-style data-quality
     * baseline every ingest ships with: row count, null count, empty-string
     * count and null fraction per audited column. A source whose null rate

@@ -369,6 +369,15 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         "event_type", period)
 
+    /** third readout off the accreted count state: CUSUM creep detection
+      * ([[graft.functions.Events.cusumOfDaily]]) — the slow-drift alarm
+      * the per-day z-test cannot raise; additivity makes it batch-exact
+      */
+    def cusum(slack: Double = 0.5, threshold: Double = 3.0): DataFrame =
+      graft.functions.Events.cusumOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        slack, threshold)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

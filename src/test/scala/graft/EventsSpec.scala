@@ -29,6 +29,29 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("cusum: linear creep alarms where the per-day z-test stays silent") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    // type "creep": day t has t events (t=1..20) — max |z| ~1.65, never a
+    // 2-sigma spike, but the cumulative drift is unmistakable
+    val creep = (1 to 20).flatMap(t => (0 until t).map(i => ("creep", ts(t, i))))
+    // type "flat": constant volume — CUSUM must stay exactly 0
+    val flat = (1 to 20).flatMap(t => (0 until 5).map(i => ("flat", ts(t, i))))
+    val ev = (creep ++ flat).toDF("event_type", "ts")
+    val zAnomalies = Events.dailyAnomalies(ev, "event_type", "ts")
+      .filter(col("is_anomaly")).count()
+    assert(zAnomalies == 0, "the creep never spikes past 2 sigma")
+    val cs = Events.cusum(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(cs.values.forall(_._1 >= 0.0), "CUSUM is never negative")
+    assert(cs.filter(_._1._1 == "flat").values.forall(v => v._1 == 0.0 && !v._2),
+      "constant volume reads exactly 0")
+    assert(cs.filter(_._1._1 == "creep").values.exists(_._2),
+      "the creep must eventually alarm")
+  }
+
   test("cadence: metronomic user flags robotic, irregular human does not") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

@@ -633,6 +633,13 @@ class StreamingSpec extends SparkSpec {
     vm3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => vm3.update(ev.filter(col("event_id") % 5 === b)))
     assert(toMap(vm3.forecast(period = 7)) == batchFull)
+    // third readout off the same state: the CUSUM creep alarm is
+    // batch-exact by the same additivity
+    def csMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(csMap(vm3.cusum()) ==
+      csMap(graft.functions.Events.cusum(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

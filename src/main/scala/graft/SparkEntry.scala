@@ -2149,6 +2149,34 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("key").asc)
     }),
 
+    // record linkage: incoming customers (every 4th, every 8th with a
+    // perturbed name) fuzzy-matched against the dimension — block on
+    // (nation, 3-char normalized-name prefix), score survivors by
+    // normalized edit similarity; the ER front door to `ensure`
+    "link_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val incoming = c.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 1000000L).as("in_id"),
+          when(col("c_custkey") % 8 === 0,
+            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
+            .otherwise(col("c_name")).as("in_name"),
+          col("c_nationkey").as("in_nation"))
+      graft.functions.Linkage.blockedLink(
+          c.select(col("c_custkey"), col("c_name"), col("c_nationkey")), incoming,
+          "c_custkey", "in_id", "c_name", "in_name",
+          Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
+        .orderBy(col("c_custkey"), col("in_id"))
+    }),
+
+    // Pearson correlation matrix: every pairwise moment from ONE
+    // map-side-combined pass with DECIMAL(15,4)-exact sums, the textbook
+    // formula in fixed double order — the collinearity/joint-drift screen
+    "stats_corr" -> ((s, dir) => {
+      graft.functions.Stats.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Benford first-digit audit: digits via the BIGINT string (engine-
     // identical), one aggregation to 9 rows, ln(1+1/d)/ln(10) expected —
     // the fabricated-numbers screen on a metrics column
@@ -6115,6 +6143,81 @@ object SparkEntry {
     // additive so the streaming twin shares it verbatim
     "stats_key_skew" -> keySkewOracleSql,
     "stream_key_skew" -> keySkewOracleSql,
+
+    // linkage replay: same normalization, (nation, prefix) block, and
+    // levenshtein similarity with the identical operation order (every
+    // block is far under the cap, so the capped and uncapped plans agree)
+    "link_customers" ->
+      """WITH l AS (
+           SELECT c_custkey,
+             trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n,
+             c_nationkey
+           FROM customer),
+         rsrc AS (
+           SELECT c_custkey + 1000000 AS in_id,
+             CASE WHEN c_custkey % 8 = 0
+               THEN substr(c_name, 1, length(c_name) - 1) || 'x'
+               ELSE c_name END AS nm,
+             c_nationkey AS in_nation
+           FROM customer WHERE c_custkey % 4 = 0),
+         r AS (
+           SELECT in_id,
+             trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ', 'g')) AS n,
+             in_nation
+           FROM rsrc),
+         j AS (
+           SELECT l.c_custkey, r.in_id,
+             round(CAST(1.0 - levenshtein(l.n, r.n)::DOUBLE
+               / greatest(length(l.n), length(r.n), 1) AS DECIMAL(18,8)), 4)::DOUBLE
+               AS name_sim
+           FROM l JOIN r ON substr(l.n, 1, 3) = substr(r.n, 1, 3)
+             AND l.c_nationkey = r.in_nation)
+         SELECT c_custkey, in_id, name_sim FROM j WHERE name_sim >= 0.9
+         ORDER BY c_custkey, in_id""",
+
+    // correlation replay: the same exact decimal moments from one pass,
+    // the same fixed-order double formula
+    "stats_corr" ->
+      """WITH a AS (
+           SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(19,4))) AS s0,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS q0,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s1,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS q1,
+             sum(CAST(l_discount AS DECIMAL(19,4))) AS s2,
+             sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS q2,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p01,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p02,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p12
+           FROM lineitem),
+         b AS (
+           SELECT n, n::DOUBLE AS nd,
+             s0::DOUBLE AS s0, q0::DOUBLE AS q0, s1::DOUBLE AS s1,
+             q1::DOUBLE AS q1, s2::DOUBLE AS s2, q2::DOUBLE AS q2,
+             p01::DOUBLE AS p01, p02::DOUBLE AS p02, p12::DOUBLE AS p12
+           FROM a),
+         c AS (
+           SELECT n,
+             nd * p01 - s0 * s1 AS n01, nd * p02 - s0 * s2 AS n02,
+             nd * p12 - s1 * s2 AS n12,
+             nd * q0 - s0 * s0 AS v0, nd * q1 - s1 * s1 AS v1,
+             nd * q2 - s2 * s2 AS v2
+           FROM b)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           round(CAST(CASE WHEN v0 <= 0.0 OR v1 <= 0.0 THEN 0.0
+             ELSE n01 / (sqrt(v0) * sqrt(v1)) END AS DECIMAL(18,8)), 6)::DOUBLE AS corr
+         FROM c
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', n,
+           round(CAST(CASE WHEN v0 <= 0.0 OR v2 <= 0.0 THEN 0.0
+             ELSE n02 / (sqrt(v0) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
+         FROM c
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', n,
+           round(CAST(CASE WHEN v1 <= 0.0 OR v2 <= 0.0 THEN 0.0
+             ELSE n12 / (sqrt(v1) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
+         FROM c
+         ORDER BY col_a, col_b""",
 
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,

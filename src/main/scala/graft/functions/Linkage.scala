@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Record linkage / entity resolution for dimensional ETL — the fuzzy
+  * "is this incoming customer the same customer" match that exact
+  * `Dimension.lookup` (pygrametl/tables.py:549-616 keys on equality)
+  * cannot answer: source systems spell the same entity differently, and
+  * a warehouse that inserts both gets a split dimension.
+  *
+  * The standard two-stage shape: BLOCK (a cheap equi-key that any true
+  * match must share — here exact block columns plus a normalized-name
+  * prefix) to kill the |A|×|B| cross product, then SCORE survivors with
+  * normalized edit similarity. Blocking is a plain shuffled equi-join;
+  * scoring is the codegen'd `levenshtein` builtin evaluated only on
+  * pair-proportional candidates — the [[Dedup.editVerify]] discipline
+  * applied to entity records instead of documents.
+  */
+object Linkage {
+
+  /** lowercase, strip non-alphanumerics to single spaces, trim — the
+    * [[TextAnalysis]] normalization applied to entity names
+    */
+  def normName(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Blocked fuzzy link: candidates share every `blockCols` pair AND the
+    * first `prefixLen` chars of the normalized name; each candidate is
+    * scored `1 − lev/maxlen` (decimal-staged) and kept at `minSim`+.
+    * `maxBlock` caps pathological blocks (an "UNKNOWN" name bucket would
+    * otherwise go quadratic): rows in oversized blocks are dropped from
+    * candidate generation — the [[Dedup.minhashPairs]] maxBucket guard;
+    * a block that big is a data-quality problem, not a linkage
+    * candidate set.
+    *
+    * Returns (leftId, rightId, name_sim), highest-similarity candidates
+    * included only — downstream `ensure` merges decide survivorship.
+    */
+  def blockedLink(left: DataFrame, right: DataFrame,
+                  leftId: String, rightId: String,
+                  leftName: String, rightName: String,
+                  blockCols: Seq[(String, String)],
+                  prefixLen: Int = 3, minSim: Double = 0.8,
+                  maxBlock: Int = 10000): DataFrame = {
+    require(prefixLen > 0 && minSim >= 0 && minSim <= 1 && maxBlock > 1,
+      "need prefixLen > 0, minSim in [0,1], maxBlock > 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def prep(df: DataFrame, id: String, name: String,
+             blocks: Seq[String], side: String): DataFrame = {
+      val n = normName(col(name))
+      df.select(col(id).as(s"__id$side") +: n.as(s"__n$side") +:
+        substring(n, 1, prefixLen).as(s"__p$side") +:
+        blocks.zipWithIndex.map { case (b, i) => col(b).as(s"__b$i$side") }: _*)
+    }
+    val l = prep(left, leftId, leftName, blockCols.map(_._1), "L")
+    val r = prep(right, rightId, rightName, blockCols.map(_._2), "R")
+    // cap per-side block membership so a degenerate key cannot go
+    // quadratic; count windows are keyed by the block key (bounded state)
+    def capped(df: DataFrame, side: String): DataFrame = {
+      val keys = (col(s"__p$side") +:
+        blockCols.indices.map(i => col(s"__b$i$side"))): Seq[Column]
+      df.withColumn("__cnt", count(lit(1)).over(Window.partitionBy(keys: _*)))
+        .filter(col("__cnt") <= maxBlock).drop("__cnt")
+    }
+    val cond = (col("__pL") === col("__pR")) +:
+      blockCols.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))
+    capped(l, "L").join(capped(r, "R"), cond.reduce(_ && _))
+      .withColumn("name_sim",
+        round((lit(1.0) - levenshtein(col("__nL"), col("__nR")).cast("double") /
+            greatest(length(col("__nL")), length(col("__nR")), lit(1)).cast("double"))
+          .cast(dec), 4).cast("double"))
+      .filter(col("name_sim") >= minSim)
+      .select(col("__idL").as(leftId), col("__idR").as(rightId), col("name_sim"))
+  }
+}

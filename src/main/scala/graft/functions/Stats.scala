@@ -421,6 +421,46 @@ object Stats {
           .cast("double").as("gini"))
   }
 
+  /** Pearson correlation matrix over numeric columns — the feature-
+    * engineering screen (collinear features, leaking proxies) and the
+    * schema-drift companion (a correlation that moves between snapshots
+    * means the JOINT distribution changed even if every marginal held).
+    *
+    * ONE map-side-combined aggregation computes every sum/product moment
+    * for all column pairs in a single corpus pass — values staged to
+    * DECIMAL(15,4) so the sums are EXACT (order-independent), then the
+    * textbook formula evaluates in fixed double order from those exact
+    * sums. Output is the bounded |cols|² upper triangle.
+    *
+    * Returns one row per pair i<j: (col_a, col_b, n, corr).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(15, 4)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(col(c).cast(dec)).as(s"__s$i"),
+        sum(col(c).cast(dec) * col(c).cast(dec)).as(s"__q$i")) } ++
+      pairs.map { case (i, j) =>
+        sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec)).as(s"__p${i}_$j") }
+    val row = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.agg(aggs.head, aggs.tail: _*))
+    pairs.map { case (i, j) =>
+      val n = col("__n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val num = n * d(s"__p${i}_$j") - d(s"__s$i") * d(s"__s$j")
+      val va = n * d(s"__q$i") - d(s"__s$i") * d(s"__s$i")
+      val vb = n * d(s"__q$j") - d(s"__s$j") * d(s"__s$j")
+      row.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"),
+        round(when(va <= 0.0 || vb <= 0.0, lit(0.0))
+          .otherwise(num / (sqrt(va) * sqrt(vb)))
+          .cast(dec8), 6).cast("double").as("corr"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen,
     * useful on ingested metrics columns: organically-grown magnitudes
     * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or

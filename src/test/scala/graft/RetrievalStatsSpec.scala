@@ -237,6 +237,18 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("correlationMatrix: linear reads 1, anti-linear -1, scrambled near 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0, -i.toDouble,
+      ((i * 37) % 101).toDouble)).toDF("a", "b", "c", "d")
+    val m = Stats.correlationMatrix(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m.size == 6)
+    assert(m(("a", "b")) == 1.0 && m(("a", "c")) == -1.0 && m(("b", "c")) == -1.0)
+    assert(math.abs(m(("a", "d"))) < 0.3, s"scrambled column: ${m(("a", "d"))}")
+  }
+
   test("giniConcentration: hand-computed Gini, uniform reads 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -2168,6 +2168,50 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("in_id"))
     }),
 
+    // streaming linkage (batch replay of 5 micro-batches): dimension
+    // frozen once, each batch blocks+scores against it, matches accrete —
+    // pair-local scores make the accreted table equal the batch link;
+    // identical oracle
+    "stream_link" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val incoming = c.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 1000000L).as("in_id"),
+          when(col("c_custkey") % 8 === 0,
+            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
+            .otherwise(col("c_name")).as("in_name"),
+          col("c_nationkey").as("in_nation"))
+      val lm = new graft.streaming.Streaming.LinkageMonitor(
+        c.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        "c_custkey", "c_name", "in_id", "in_name",
+        Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
+      (0 until 5).foreach(b => lm.update(incoming.filter(col("in_id") % 5 === b)))
+      lm.matches.orderBy(col("c_custkey"), col("in_id"))
+    }),
+
+    // resolution step: per-incoming best match (ties to smallest key) or
+    // NEW — the decision table `ensure` consumes; brand-new synthetic
+    // customers exercise the unmatched path
+    "link_resolve" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val perturbed = c.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 1000000L).as("in_id"),
+          when(col("c_custkey") % 8 === 0,
+            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
+            .otherwise(col("c_name")).as("in_name"),
+          col("c_nationkey").as("in_nation"))
+      val fresh = c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 2000000L).as("in_id"),
+          concat(lit("Newco "), col("c_custkey").cast("string")).as("in_name"),
+          col("c_nationkey").as("in_nation"))
+      val incoming = perturbed.unionByName(fresh)
+      val links = graft.functions.Linkage.blockedLink(
+        c.select(col("c_custkey"), col("c_name"), col("c_nationkey")), incoming,
+        "c_custkey", "in_id", "c_name", "in_name",
+        Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
+      graft.functions.Linkage.resolveBest(links, incoming, "c_custkey", "in_id")
+        .orderBy(col("in_id"))
+    }),
+
     // Pearson correlation matrix: every pairwise moment from ONE
     // map-side-combined pass with DECIMAL(15,4)-exact sums, the textbook
     // formula in fixed double order — the collinearity/joint-drift screen
@@ -2665,6 +2709,37 @@ object SparkEntry {
            ELSE n_null::DOUBLE / n_rows END AS DECIMAL(18,8)), 4)::DOUBLE
            AS null_frac
        FROM stacked ORDER BY col_name"""
+
+  /** linkage replay (normalization, (nation, prefix) block, levenshtein
+    * similarity) — shared by `link_customers` and `stream_link`.
+    */
+  private val linkOracleSql =
+    """WITH l AS (
+         SELECT c_custkey,
+           trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n,
+           c_nationkey
+         FROM customer),
+       rsrc AS (
+         SELECT c_custkey + 1000000 AS in_id,
+           CASE WHEN c_custkey % 8 = 0
+             THEN substr(c_name, 1, length(c_name) - 1) || 'x'
+             ELSE c_name END AS nm,
+           c_nationkey AS in_nation
+         FROM customer WHERE c_custkey % 4 = 0),
+       r AS (
+         SELECT in_id,
+           trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ', 'g')) AS n,
+           in_nation
+         FROM rsrc),
+       j AS (
+         SELECT l.c_custkey, r.in_id,
+           round(CAST(1.0 - levenshtein(l.n, r.n)::DOUBLE
+             / greatest(length(l.n), length(r.n), 1) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS name_sim
+         FROM l JOIN r ON substr(l.n, 1, 3) = substr(r.n, 1, 3)
+           AND l.c_nationkey = r.in_nation)
+       SELECT c_custkey, in_id, name_sim FROM j WHERE name_sim >= 0.9
+       ORDER BY c_custkey, in_id"""
 
   /** CUSUM replay: daily counts, the events_anomaly mean/std chain,
     * decimal-staged deviations, two ordered windows for the prefix
@@ -6146,8 +6221,16 @@ object SparkEntry {
 
     // linkage replay: same normalization, (nation, prefix) block, and
     // levenshtein similarity with the identical operation order (every
-    // block is far under the cap, so the capped and uncapped plans agree)
-    "link_customers" ->
+    // block is far under the cap, so the capped and uncapped plans
+    // agree); the streaming twin shares it (dimension frozen, incoming
+    // additive, scores pair-local)
+    "link_customers" -> linkOracleSql,
+    "stream_link" -> linkOracleSql,
+
+    // resolution replay: the linkage chain over perturbed + brand-new
+    // incoming rows, per-incoming argmax (ties to smallest key), left
+    // join so unmatched rows resolve as new
+    "link_resolve" ->
       """WITH l AS (
            SELECT c_custkey,
              trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n,
@@ -6159,7 +6242,11 @@ object SparkEntry {
                THEN substr(c_name, 1, length(c_name) - 1) || 'x'
                ELSE c_name END AS nm,
              c_nationkey AS in_nation
-           FROM customer WHERE c_custkey % 4 = 0),
+           FROM customer WHERE c_custkey % 4 = 0
+           UNION ALL
+           SELECT c_custkey + 2000000, 'Newco ' || c_custkey::VARCHAR,
+             c_nationkey
+           FROM customer WHERE c_custkey % 10 = 0),
          r AS (
            SELECT in_id,
              trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ', 'g')) AS n,
@@ -6171,9 +6258,16 @@ object SparkEntry {
                / greatest(length(l.n), length(r.n), 1) AS DECIMAL(18,8)), 4)::DOUBLE
                AS name_sim
            FROM l JOIN r ON substr(l.n, 1, 3) = substr(r.n, 1, 3)
-             AND l.c_nationkey = r.in_nation)
-         SELECT c_custkey, in_id, name_sim FROM j WHERE name_sim >= 0.9
-         ORDER BY c_custkey, in_id""",
+             AND l.c_nationkey = r.in_nation),
+         best AS (
+           SELECT in_id, c_custkey AS resolved_c_custkey, name_sim AS best_sim,
+             row_number() OVER (PARTITION BY in_id
+               ORDER BY name_sim DESC, c_custkey ASC) AS rn
+           FROM j WHERE name_sim >= 0.9)
+         SELECT r.in_id, b.resolved_c_custkey, b.best_sim,
+           b.resolved_c_custkey IS NULL AS is_new
+         FROM r LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (in_id)
+         ORDER BY r.in_id""",
 
     // correlation replay: the same exact decimal moments from one pass,
     // the same fixed-order double formula

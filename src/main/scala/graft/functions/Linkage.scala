@@ -74,4 +74,26 @@ object Linkage {
       .filter(col("name_sim") >= minSim)
       .select(col("__idL").as(leftId), col("__idR").as(rightId), col("name_sim"))
   }
+
+  /** Resolution step over a [[blockedLink]] candidate table: each incoming
+    * row takes its best-scoring dimension match (ties to the smallest
+    * dimension id — deterministic), rows with no candidate resolve as NEW.
+    * This is the decision `ensure` needs: linked rows map to existing
+    * surrogate keys, new rows insert. ONE map-side-combined `max_by`
+    * aggregation over the candidate table plus a left join from the
+    * incoming set — the corpus never re-shuffles.
+    *
+    * Returns one row per incoming id: (rightId, resolved_<leftId>,
+    * best_sim, is_new).
+    */
+  def resolveBest(links: DataFrame, incoming: DataFrame,
+                  leftId: String, rightId: String): DataFrame = {
+    val best = links.groupBy(col(rightId))
+      .agg(max_by(struct(col(leftId).as("__k"), col("name_sim").as("__s")),
+        struct(col("name_sim"), (-col(leftId)).as("__nid"))).as("__b"))
+      .select(col(rightId), col("__b.__k").as(s"resolved_$leftId"),
+        col("__b.__s").as("best_sim"))
+    incoming.select(col(rightId)).join(best, Seq(rightId), "left")
+      .withColumn("is_new", col(s"resolved_$leftId").isNull)
+  }
 }

@@ -525,6 +525,45 @@ object Streaming {
       found = MonitorState.load(spark, dir, "found")
   }
 
+  /** Streaming record-linkage monitor — continuous entity resolution at
+    * ingest: the dimension side freezes ONCE (the
+    * [[ContaminationMonitor]] shape), every incoming micro-batch runs
+    * [[graft.functions.Linkage.blockedLink]] against it
+    * (batch-proportional work — blocking joins the batch, never rescans
+    * accreted state), and matches accrete. Because the dimension is fixed
+    * and a pair's score involves only its own two rows, the accreted link
+    * table EQUALS the batch link over all rows seen — spec-proven with
+    * save/restore. Wire with [[foreachBatchMerge]]`(stream, lm.update)`.
+    */
+  class LinkageMonitor(dim: DataFrame, leftId: String, leftName: String,
+                       rightId: String, rightName: String,
+                       blockCols: Seq[(String, String)],
+                       prefixLen: Int = 3, minSim: Double = 0.8,
+                       maxBlock: Int = 10000) {
+    import graft.functions.Linkage
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val dimF = bridge.freeze(dim)
+    private var links: Option[DataFrame] = None
+
+    /** link one micro-batch of incoming records against the dimension */
+    def update(batch: DataFrame): Unit = {
+      val m = Linkage.blockedLink(dimF, batch, leftId, rightId,
+        leftName, rightName, blockCols, prefixLen, minSim, maxBlock)
+      links = Some(bridge.freeze(links.map(_.unionByName(m)).getOrElse(m)))
+    }
+
+    /** all (leftId, rightId, name_sim) candidates so far */
+    def matches: DataFrame = links.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** persist the link state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("links" -> links))
+
+    /** restore link state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      links = MonitorState.load(spark, dir, "links")
+  }
+
   /** Stream-static enrichment monitor — the continuous form of the fact
     * pipeline's dimension join: a bounded static dimension freezes ONCE at
     * construction and every micro-batch equi-joins it BROADCAST (the

@@ -674,6 +674,36 @@ class StreamingSpec extends SparkSpec {
     assert(skewMap(km4.skew(20)) == batchSkew)
   }
 
+  test("linkage monitor: accreted links equal the batch link, survive restart") {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val incoming = c.filter(col("c_custkey") % 4 === 0)
+      .select((col("c_custkey") + 1000000L).as("in_id"),
+        when(col("c_custkey") % 8 === 0,
+          concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
+          .otherwise(col("c_name")).as("in_name"),
+        col("c_nationkey").as("in_nation"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = toMap(graft.functions.Linkage.blockedLink(c, incoming,
+      "c_custkey", "in_id", "c_name", "in_name",
+      Seq("c_nationkey" -> "in_nation"), minSim = 0.9))
+    assert(batch.nonEmpty)
+    def mk() = new Streaming.LinkageMonitor(c, "c_custkey", "c_name",
+      "in_id", "in_name", Seq("c_nationkey" -> "in_nation"), minSim = 0.9)
+    val lm = mk()
+    (0 until 5).foreach(b => lm.update(incoming.filter(col("in_id") % 5 === b)))
+    assert(toMap(lm.matches) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("link_state").toString
+    val lm2 = mk()
+    (0 until 2).foreach(b => lm2.update(incoming.filter(col("in_id") % 5 === b)))
+    lm2.saveState(ckpt)
+    val lm3 = mk()
+    lm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => lm3.update(incoming.filter(col("in_id") % 5 === b)))
+    assert(toMap(lm3.matches) == batch)
+  }
+
   test("null-profile monitor: accreted counters equal the batch audit, survive restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

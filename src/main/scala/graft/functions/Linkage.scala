@@ -57,12 +57,16 @@ object Linkage {
     val l = prep(left, leftId, leftName, blockCols.map(_._1), "L")
     val r = prep(right, rightId, rightName, blockCols.map(_._2), "R")
     // cap per-side block membership so a degenerate key cannot go
-    // quadratic; count windows are keyed by the block key (bounded state)
+    // quadratic: block sizes come from ONE map-side-combined aggregation
+    // to the bounded |blocks|-row table, and surviving keys semi-join
+    // back (size-gated broadcast) — scan speed, where a count WINDOW
+    // would sort the whole side per block key
     def capped(df: DataFrame, side: String): DataFrame = {
-      val keys = (col(s"__p$side") +:
-        blockCols.indices.map(i => col(s"__b$i$side"))): Seq[Column]
-      df.withColumn("__cnt", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      val keyCols = s"__p$side" +: blockCols.indices.map(i => s"__b$i$side")
+      val ok = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") <= maxBlock).drop("__cnt")
+      df.join(graft.core.Joins.maybeBroadcast(ok), keyCols, "left_semi")
     }
     val cond = (col("__pL") === col("__pR")) +:
       blockCols.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))

@@ -249,6 +249,31 @@ object ScaleBench {
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+    // customers: copies shift keys and prefix names per copy, so linkage
+    // blocks (nation × name-prefix) stay copy-local — block COUNT grows
+    // 10x at constant block size, the correct ER scale shape
+    val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nCust = cust1.count()
+    val maxCust = cust1.agg(max("c_custkey")).head().getLong(0) + 1
+    val cust10Path = s"$scaleDir/customer10.parquet"
+    (0 until copies).map { k =>
+      cust1.select((col("c_custkey") + lit(k.toLong * maxCust)).as("c_custkey"),
+        concat(lit(s"c$k"), col("c_name")).as("c_name"), col("c_nationkey"))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(cust10Path)
+    val cust10 = spark.read.parquet(cust10Path)
+
+    def linkW(cust: DataFrame): DataFrame = {
+      val incoming = cust.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 100000000L).as("in_id"),
+          concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x"))
+            .as("in_name"),
+          col("c_nationkey").as("in_nation"))
+      graft.functions.Linkage.blockedLink(cust, incoming,
+        "c_custkey", "in_id", "c_name", "in_name",
+        Seq("c_nationkey" -> "in_nation"), minSim = 0.9)
+    }
+
     def overlapW(e: DataFrame): DataFrame = {
       def spans(tpe: String, p: String) =
         e.filter(col("event_type") === tpe)
@@ -468,6 +493,10 @@ object ScaleBench {
       // pure regex projection + one aggregation
       ("curate_url_canon", nDocs, nDocs * copies,
         () => force(urlCanonW(docs1)), () => force(urlCanonW(docs10))),
+      // blocking equi-join + pair-proportional levenshtein; per-copy name
+      // prefixes grow block COUNT 10x at constant block size
+      ("link_blocked", nCust, nCust * copies,
+        () => force(linkW(cust1)), () => force(linkW(cust10))),
       // serpentine deal over distributed ordinals; 1-row total gate
       ("layout_compaction", nDocs, nDocs * copies,
         () => force(Layout.compactionPlan(

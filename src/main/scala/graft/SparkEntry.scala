@@ -1065,6 +1065,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cluster-size distribution: the after-clustering audit (is dup mass
+    // a few template whales or many small pairs) — two bounded rollups
+    // over the cluster labeling
+    "dedup_cluster_stats" -> ((s, dir) => {
+      graft.functions.Dedup.clusterSizeStats(
+          Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, k = 64, bands = 32, threshold = 0.8)))
+        .orderBy(col("size"))
+    }),
+
     // cluster collapse, content-aware: keep each near-dup cluster's
     // longest member (ties → smallest id), emit the drop list — token
     // counts fetched only for cluster members, winner per cluster from ONE
@@ -1941,6 +1951,27 @@ object SparkEntry {
     "text_readability" -> ((s, dir) => {
       docsNorm(s, dir).select(col("doc_id"),
           TextAnalysis.readabilityScore(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML -> text extraction: script/style payloads dropped WITH their
+    // contents, comments and tags stripped, entities decoded, whitespace
+    // collapsed — one fixed regex chain at scan speed, RE2-replayable;
+    // documents wrapped in synthesized markup so the extraction has real
+    // work to undo
+    "text_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1;</script>"),
+        lit("<style>.a{color:red}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" &amp; more &lt;tags&gt;")).otherwise(lit("")),
+        lit("</p><!-- trailer --></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.htmlTagCount(html).as("n_tags"),
+          length(TextAnalysis.stripHtml(html)).cast("long").as("n_chars_text"),
+          md5(TextAnalysis.stripHtml(html)).as("text_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3828,6 +3859,37 @@ object SparkEntry {
          SELECT node AS doc_id, least(node, min(r)) AS cluster,
            CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
          FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // cluster-stats replay: the dedup_clusters transitive closure, then
+    // per-cluster sizes and the count-of-counts rollup
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+           FROM norm),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lab AS (
+           SELECT node AS doc_id, least(node, min(r)) AS cluster
+           FROM reach GROUP BY node),
+         sz AS (SELECT cluster, count(*) AS s FROM lab GROUP BY 1)
+         SELECT CAST(s AS BIGINT) AS size, count(*) AS n_clusters,
+           CAST(s * count(*) AS BIGINT) AS n_docs
+         FROM sz GROUP BY s ORDER BY size""",
 
     // cluster collapse replay: components from the recursive reach, winner
     // per cluster = most tokens then smallest id, emit the non-winners
@@ -5804,6 +5866,36 @@ object SparkEntry {
              THEN 206.835 - 1.015 * (w / s) - 84.6 * (y / w) END
              AS DECIMAL(18,8)), 3)::DOUBLE AS flesch
          FROM c ORDER BY doc_id""",
+
+    // html-strip replay: the same wrapping, the same ordered regex chain
+    // (script/style/comments before tags, entities after), same collapse
+    "text_html_strip" ->
+      """WITH p AS (
+           SELECT doc_id,
+             '<html><head><script type="text/javascript">var x = 1;</script><style>.a{color:red}</style></head><body><h1>Doc '
+             || doc_id::VARCHAR || '</h1><p>' || text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' &amp; more &lt;tags&gt;' ELSE '' END
+             || '</p><!-- trailer --></body></html>' AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(regexp_extract_all(h, '<[A-Za-z/][^>]*>')) AS n_tags,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+               '\s+', ' ', 'g')) AS t
+           FROM p)
+         SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+           CAST(length(t) AS BIGINT) AS n_chars_text, md5(t) AS text_fp
+         FROM s ORDER BY doc_id""",
 
     // code-detect replay: same symbol strip count, keyword extraction, and
     // capped-density formula in the identical operation order

@@ -932,6 +932,20 @@ object Dedup {
     }.reduce(_.unionAll(_))
   }
 
+  /** Cluster-size distribution over a [[clusters]] labeling — the
+    * decision-grade audit after near-dup clustering: a corpus whose dup
+    * mass sits in two 10k-member template clusters needs a different cut
+    * than one with a million pairs — and the size histogram is what says
+    * which. ONE aggregation to |clusters| rows, one more to the bounded
+    * count-of-counts. Returns (size, n_clusters, n_docs); singletons
+    * never enter a pair graph and are absent by construction.
+    */
+  def clusterSizeStats(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+
   /** MinHash/LSH parameter evaluation — measured precision/recall of a
     * (k, bands) banding scheme against exact Jaccard, next to the S-curve
     * theory: [[thresholdCurve]] says how much a threshold TOUCHES; this

@@ -98,6 +98,25 @@ class RetrievalStatsSpec extends SparkSpec {
       s"uniform distinct tokens reach ln(4), got ${out(2L)._2}")
   }
 
+  test("stripHtml: payload blocks die with contents, entities decode after tags") {
+    import spark.implicits._
+    val cases = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      "<script>var a = '<p>not text</p>';</script>real" -> "real",
+      "<style>.x{color:red}</style>text" -> "text",
+      // decoded AFTER tag strip: a literal &lt;c&gt; survives as text
+      "a &amp; b &lt;c&gt;" -> "a & b <c>",
+      "<!-- <b>gone</b> -->kept" -> "kept",
+      "one <br/> two &nbsp; three" -> "one two three")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"stripHtml($in) = '$g', want '$want'") }
+    val tags = Seq("<p>a</p><br/><!-- x -->").toDF("h")
+      .select(TextAnalysis.htmlTagCount(col("h"))).head().getLong(0)
+    assert(tags == 3L, s"p, /p, br are tags; the comment is not: $tags")
+  }
+
   test("readabilityScore: hand-computed Flesch, simple text outranks dense text") {
     import spark.implicits._
     import graft.functions.TextAnalysis

@@ -2252,6 +2252,17 @@ object SparkEntry {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // streaming correlation (batch replay of 5 micro-batches): every
+    // Pearson moment is exact-decimal ADDITIVE, so the accreted 1-row
+    // state yields a bit-identical matrix — identical oracle
+    "stream_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cm = new graft.streaming.Streaming.CorrMonitor(
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      (0 until 5).foreach(b => cm.update(li.filter(col("l_orderkey") % 5 === b)))
+      cm.matrix.orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Benford first-digit audit: digits via the BIGINT string (engine-
     // identical), one aggregation to 9 rows, ln(1+1/d)/ln(10) expected —
     // the fabricated-numbers screen on a metrics column
@@ -2740,6 +2751,52 @@ object SparkEntry {
            ELSE n_null::DOUBLE / n_rows END AS DECIMAL(18,8)), 4)::DOUBLE
            AS null_frac
        FROM stacked ORDER BY col_name"""
+
+  /** correlation replay (exact decimal moments, fixed-order double
+    * formula) — shared by `stats_corr` and `stream_corr` (moments are
+    * additive).
+    */
+  private val corrOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(19,4))) AS s0,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS q0,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s1,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS q1,
+             sum(CAST(l_discount AS DECIMAL(19,4))) AS s2,
+             sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS q2,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p01,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p02,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p12
+           FROM lineitem),
+         b AS (
+           SELECT n, n::DOUBLE AS nd,
+             s0::DOUBLE AS s0, q0::DOUBLE AS q0, s1::DOUBLE AS s1,
+             q1::DOUBLE AS q1, s2::DOUBLE AS s2, q2::DOUBLE AS q2,
+             p01::DOUBLE AS p01, p02::DOUBLE AS p02, p12::DOUBLE AS p12
+           FROM a),
+         c AS (
+           SELECT n,
+             nd * p01 - s0 * s1 AS n01, nd * p02 - s0 * s2 AS n02,
+             nd * p12 - s1 * s2 AS n12,
+             nd * q0 - s0 * s0 AS v0, nd * q1 - s1 * s1 AS v1,
+             nd * q2 - s2 * s2 AS v2
+           FROM b)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           round(CAST(CASE WHEN v0 <= 0.0 OR v1 <= 0.0 THEN 0.0
+             ELSE n01 / (sqrt(v0) * sqrt(v1)) END AS DECIMAL(18,8)), 6)::DOUBLE AS corr
+         FROM c
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', n,
+           round(CAST(CASE WHEN v0 <= 0.0 OR v2 <= 0.0 THEN 0.0
+             ELSE n02 / (sqrt(v0) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
+         FROM c
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', n,
+           round(CAST(CASE WHEN v1 <= 0.0 OR v2 <= 0.0 THEN 0.0
+             ELSE n12 / (sqrt(v1) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
+         FROM c
+         ORDER BY col_a, col_b"""
 
   /** linkage replay (normalization, (nation, prefix) block, levenshtein
     * similarity) — shared by `link_customers` and `stream_link`.
@@ -6362,48 +6419,10 @@ object SparkEntry {
          ORDER BY r.in_id""",
 
     // correlation replay: the same exact decimal moments from one pass,
-    // the same fixed-order double formula
-    "stats_corr" ->
-      """WITH a AS (
-           SELECT count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(19,4))) AS s0,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS q0,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s1,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS q1,
-             sum(CAST(l_discount AS DECIMAL(19,4))) AS s2,
-             sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS q2,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p01,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p02,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p12
-           FROM lineitem),
-         b AS (
-           SELECT n, n::DOUBLE AS nd,
-             s0::DOUBLE AS s0, q0::DOUBLE AS q0, s1::DOUBLE AS s1,
-             q1::DOUBLE AS q1, s2::DOUBLE AS s2, q2::DOUBLE AS q2,
-             p01::DOUBLE AS p01, p02::DOUBLE AS p02, p12::DOUBLE AS p12
-           FROM a),
-         c AS (
-           SELECT n,
-             nd * p01 - s0 * s1 AS n01, nd * p02 - s0 * s2 AS n02,
-             nd * p12 - s1 * s2 AS n12,
-             nd * q0 - s0 * s0 AS v0, nd * q1 - s1 * s1 AS v1,
-             nd * q2 - s2 * s2 AS v2
-           FROM b)
-         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
-           round(CAST(CASE WHEN v0 <= 0.0 OR v1 <= 0.0 THEN 0.0
-             ELSE n01 / (sqrt(v0) * sqrt(v1)) END AS DECIMAL(18,8)), 6)::DOUBLE AS corr
-         FROM c
-         UNION ALL
-         SELECT 'l_quantity', 'l_discount', n,
-           round(CAST(CASE WHEN v0 <= 0.0 OR v2 <= 0.0 THEN 0.0
-             ELSE n02 / (sqrt(v0) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
-         FROM c
-         UNION ALL
-         SELECT 'l_extendedprice', 'l_discount', n,
-           round(CAST(CASE WHEN v1 <= 0.0 OR v2 <= 0.0 THEN 0.0
-             ELSE n12 / (sqrt(v1) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
-         FROM c
-         ORDER BY col_a, col_b""",
+    // the same fixed-order double formula; moments are additive so the
+    // streaming twin shares it verbatim
+    "stats_corr" -> corrOracleSql,
+    "stream_corr" -> corrOracleSql,
 
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,

@@ -434,10 +434,18 @@ object Stats {
     *
     * Returns one row per pair i<j: (col_a, col_b, n, corr).
     */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrOfMoments(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      corrMoments(df, cols)), cols)
+
+  /** [[correlationMatrix]]'s single-pass moment aggregation — one wide
+    * 1-row frame of count/sum/sum-square/cross-product moments, all in
+    * EXACT decimal (hence ADDITIVE across micro-batches: the
+    * [[graft.streaming.Streaming.CorrMonitor]] state).
+    */
+  def corrMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val dec = org.apache.spark.sql.types.DecimalType(15, 4)
-    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
     val aggs = Seq(count(lit(1)).as("__n")) ++
       cols.zipWithIndex.flatMap { case (c, i) => Seq(
@@ -445,8 +453,16 @@ object Stats {
         sum(col(c).cast(dec) * col(c).cast(dec)).as(s"__q$i")) } ++
       pairs.map { case (i, j) =>
         sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec)).as(s"__p${i}_$j") }
-    val row = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.agg(aggs.head, aggs.tail: _*))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[correlationMatrix]]'s formula stage over an already-built moment
+    * row — the caller freezes it ([[corrMoments]] is consumed once per
+    * column pair).
+    */
+  def corrOfMoments(row: DataFrame, cols: Seq[String]): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
     pairs.map { case (i, j) =>
       val n = col("__n").cast("double")
       def d(c: String) = col(c).cast("double")

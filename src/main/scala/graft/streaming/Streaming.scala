@@ -525,6 +525,45 @@ object Streaming {
       found = MonitorState.load(spark, dir, "found")
   }
 
+  /** Streaming correlation monitor — the JOINT-distribution drift watch:
+    * every Pearson moment (count, sums, sum-squares, cross-products) is
+    * an EXACT-decimal additive quantity, so a 1-row state accreted batch
+    * by batch equals the one-pass corpus moments and the correlation
+    * readout is bit-identical to the batch
+    * [[graft.functions.Stats.correlationMatrix]]. A correlation that
+    * moves mid-stream means the joint distribution changed even when
+    * every marginal monitor stayed quiet. Wire with
+    * [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class CorrMonitor(cols: Seq[String]) {
+    require(cols.size >= 2, "need at least two columns")
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's moments into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.corrMoments(batch, cols)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val summed = m.columns.map(c =>
+            if (c == "__n") sum(col(c)).as(c) else sum(col(c)).as(c))
+          m.unionByName(bm).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current correlation matrix — equals the batch one */
+    def matrix: DataFrame = graft.functions.Stats.corrOfMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")), cols)
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming record-linkage monitor — continuous entity resolution at
     * ingest: the dimension side freezes ONCE (the
     * [[ContaminationMonitor]] shape), every incoming micro-batch runs

@@ -674,6 +674,25 @@ class StreamingSpec extends SparkSpec {
     assert(skewMap(km4.skew(20)) == batchSkew)
   }
 
+  test("corr monitor: additive decimal moments make the matrix batch-exact, survive restart") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = toMap(graft.functions.Stats.correlationMatrix(li, cols))
+    val cm = new Streaming.CorrMonitor(cols)
+    (0 until 5).foreach(b => cm.update(li.filter(col("l_orderkey") % 5 === b)))
+    assert(toMap(cm.matrix) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("corr_state").toString
+    val cm2 = new Streaming.CorrMonitor(cols)
+    (0 until 2).foreach(b => cm2.update(li.filter(col("l_orderkey") % 5 === b)))
+    cm2.saveState(ckpt)
+    val cm3 = new Streaming.CorrMonitor(cols)
+    cm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => cm3.update(li.filter(col("l_orderkey") % 5 === b)))
+    assert(toMap(cm3.matrix) == batch)
+  }
+
   test("linkage monitor: accreted links equal the batch link, survive restart") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))

@@ -1223,6 +1223,37 @@ object SparkEntry {
         .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
 
+    // streaming Gumbel selection (batch replay of 5 micro-batches):
+    // deterministic keys make top-k(state ∪ batch) equal the global
+    // top-k — constant k-row state; identical oracle
+    "stream_gumbel" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScoreRaw(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast(DoubleType).as("q"))
+      val gm = new graft.streaming.Streaming.GumbelTopKMonitor(
+        "doc_id", "q", k = 50, invTemp = 4.0, salt = "g-v1")
+      (0 until 5).foreach(b => gm.update(scored.filter(col("doc_id") % 5 === b)))
+      gm.selected.orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
+
+    // matryoshka truncation eval: rank by the FIRST-16-dims cosine, grade
+    // against full-dim truth with the same ln-discount nDCG — "how much
+    // ranking quality does the 4x cheaper prefix retain"
+    "sim_mrl_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val queries = e.filter(col("vec_id") < 10)
+      val truth = Vectors.bruteForceTopK(queries, e, "vec_id", "v", "vec_id", "v", k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          greatest(col("cosine"), lit(0.0)).as("rel"), col("rank"))
+      val trunc = e.select(col("vec_id"), slice(col("v"), 1, 16).as("v"))
+      val ranked = Vectors.bruteForceTopK(
+          trunc.filter(col("vec_id") < 10), trunc, "vec_id", "v", "vec_id", "v", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Vectors.ndcgOfRanking(ranked, truth, k = 10).orderBy(col("query_id"))
+    }),
+
     // domain-level statistics: the per-source trust table (doc count, mean
     // quality, exact-dup rate, mean length) — one aggregation to |domains|
     // rows, the table a web-scale curation pass broadcasts
@@ -2798,6 +2829,39 @@ object SparkEntry {
          FROM c
          ORDER BY col_a, col_b"""
 
+  /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
+    * keys) — shared by `sample_gumbel` and `stream_gumbel`.
+    */
+  private val gumbelOracleSql =
+    s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         q AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                   ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS score
+           FROM c),
+         g AS (
+           SELECT doc_id, score,
+             round(CAST(4.0 * score + -ln(-ln(
+               ((('0x'||substr(md5(doc_id::VARCHAR || 'g-v1'),1,15))::BIGINT + 1)::DOUBLE)
+                 / 1152921504606846976.0))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS gumbel_key
+           FROM q)
+         SELECT doc_id, score, gumbel_key FROM g
+         ORDER BY gumbel_key DESC, doc_id LIMIT 50"""
+
   /** linkage replay (normalization, (nation, prefix) block, levenshtein
     * similarity) — shared by `link_customers` and `stream_link`.
     */
@@ -4195,36 +4259,10 @@ object SparkEntry {
          WHERE rn <= 20 ORDER BY lang, rn""",
 
     // gumbel replay: the text_quality chain, the same md5 uniform and
-    // −ln(−ln(u)) perturbation, identical 4·q + g operation order
-    "sample_gumbel" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         q AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                   ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS score
-           FROM c),
-         g AS (
-           SELECT doc_id, score,
-             round(CAST(4.0 * score + -ln(-ln(
-               ((('0x'||substr(md5(doc_id::VARCHAR || 'g-v1'),1,15))::BIGINT + 1)::DOUBLE)
-                 / 1152921504606846976.0))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS gumbel_key
-           FROM q)
-         SELECT doc_id, score, gumbel_key FROM g
-         ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
+    // -ln(-ln(u)) perturbation, identical 4*q + g operation order;
+    // deterministic keys make the streaming twin share it verbatim
+    "sample_gumbel" -> gumbelOracleSql,
+    "stream_gumbel" -> gumbelOracleSql,
 
     // snapshot diff: same deterministic v_old/v_new construction, md5 of
     // the normalized text as the content fingerprint
@@ -6109,6 +6147,53 @@ object SparkEntry {
     // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED
     // output scores, the exact-cosine chain for query vector 0 at k=50,
     // then 1/(60+rank) reciprocal terms in the same fixed order
+    // matryoshka replay: full-dim truth pool, FIRST-16-dims ranking, the
+    // same ln-discount nDCG
+    "sim_mrl_ndcg" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         tp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         truth AS (
+           SELECT query_id, neighbor_id,
+             greatest(round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE, 0.0) AS rel,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM tp QUALIFY rnk <= 20),
+         tr AS (SELECT vec_id, v[1:16] AS v FROM e),
+         qt AS (SELECT * FROM tr WHERE vec_id < 10),
+         rp AS (
+           SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qt.v, c.v)
+               / (sqrt(list_dot_product(qt.v, qt.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM qt CROSS JOIN tr c WHERE qt.vec_id != c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM rp QUALIFY rnk <= 10),
+         dcg AS (
+           SELECT r.query_id,
+             CAST(sum(CAST(coalesce(t.rel, 0.0) / ln(r.rnk + 1.0)
+               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS d
+           FROM ranked r LEFT JOIN truth t
+             ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+           GROUP BY r.query_id),
+         idcg AS (
+           SELECT query_id,
+             CAST(sum(CAST(rel / ln(rnk + 1.0) AS DECIMAL(18,8)))
+               AS DECIMAL(18,8)) AS i
+           FROM truth WHERE rnk <= 10 GROUP BY query_id)
+         SELECT d.query_id, round(d.d, 4)::DOUBLE AS dcg,
+           round(i.i, 4)::DOUBLE AS idcg,
+           round(CAST(CASE WHEN i.i = 0 THEN 0.0
+             ELSE CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS ndcg
+         FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+         ORDER BY d.query_id""",
+
     // nDCG replay: exact-cosine truth pool (top-20), int8 dequantized
     // ranking (top-10), the same ln-discount sums and one final divide
     "sim_ndcg" ->

@@ -525,6 +525,43 @@ object Streaming {
       found = MonitorState.load(spark, dir, "found")
   }
 
+  /** Streaming Gumbel-top-k selection — continuous softmax sampling over
+    * an unbounded scored stream with CONSTANT state: because
+    * [[graft.functions.Sampling.gumbelTopK]] keys are deterministic
+    * per row, the top-k of a union equals the top-k of (current top-k ∪
+    * new batch) — so the monitor keeps exactly k rows and still selects
+    * the same set a batch pass over everything seen would (spec-proven
+    * with save/restore). The streaming form of "keep the best k by
+    * temperature-controlled quality draw" for a continuously-fed corpus.
+    */
+  class GumbelTopKMonitor(idCol: String, scoreCol: String, k: Int,
+                          invTemp: Double = 1.0, salt: String = "gumbel") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var top: Option[DataFrame] = None
+
+    /** fold one micro-batch of (idCol, scoreCol) rows into the top-k */
+    def update(batch: DataFrame): Unit = {
+      val cand = graft.functions.Sampling.gumbelTopK(
+        batch, idCol, col(scoreCol), k, invTemp, salt)
+      top = Some(bridge.freeze(top match {
+        case None => cand
+        case Some(t) => t.unionByName(cand)
+          .orderBy(col("gumbel_key").desc, col(idCol).asc).limit(k)
+      }))
+    }
+
+    /** current selection — equals the batch gumbelTopK over all rows seen */
+    def selected: DataFrame = top.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** persist the selection for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("top" -> top))
+
+    /** restore selection from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      top = MonitorState.load(spark, dir, "top")
+  }
+
   /** Streaming correlation monitor — the JOINT-distribution drift watch:
     * every Pearson moment (count, sums, sum-squares, cross-products) is
     * an EXACT-decimal additive quantity, so a 1-row state accreted batch

@@ -674,6 +674,32 @@ class StreamingSpec extends SparkSpec {
     assert(skewMap(km4.skew(20)) == batchSkew)
   }
 
+  test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        round(graft.functions.TextAnalysis.qualityScoreRaw(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("q"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("gumbel_key").desc, col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+    val batch = ids(graft.functions.Sampling.gumbelTopK(
+      docs, "doc_id", col("q"), k = 20, invTemp = 4.0, salt = "t"))
+    def mk() = new Streaming.GumbelTopKMonitor("doc_id", "q", 20, 4.0, "t")
+    val gm = mk()
+    (0 until 5).foreach(b => gm.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(ids(gm.selected) == batch)
+    assert(gm.selected.count() == 20, "state is exactly k rows")
+    val ckpt = java.nio.file.Files.createTempDirectory("gum_state").toString
+    val gm2 = mk()
+    (0 until 2).foreach(b => gm2.update(docs.filter(col("doc_id") % 5 === b)))
+    gm2.saveState(ckpt)
+    val gm3 = mk()
+    gm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => gm3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(ids(gm3.selected) == batch)
+  }
+
   test("corr monitor: additive decimal moments make the matrix batch-exact, survive restart") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")

@@ -152,6 +152,26 @@ class PlanAuditSpec extends SparkSpec {
       s"gram counts must combine map-side:\n${bp.take(2000)}")
   }
 
+  test("round-9 operators: hash joins only, no cartesians, no corpus windows") {
+    // linkage: blocking equi-join + broadcast-semi block cap — never BNLJ
+    val link = planOf(SparkEntry.queries("link_customers")(spark, sfDir))
+    assert(!link.contains("CartesianProduct") && !link.contains("BroadcastNestedLoop"),
+      s"linkage must stay equi-joined:\n${link.take(1200)}")
+    // overlap join: bucket decomposition keeps the no-equi-key overlap
+    // predicate hash-joined
+    val ov = planOf(SparkEntry.queries("join_overlap")(spark, sfDir))
+    assert(!ov.contains("CartesianProduct") && !ov.contains("BroadcastNestedLoop"),
+      s"overlap join must stay hash-joined:\n${ov.take(1200)}")
+    // gumbel selection: scan-speed keys + TakeOrdered, no global sort
+    val gum = planOf(SparkEntry.queries("sample_gumbel")(spark, sfDir))
+    assert(gum.contains("TakeOrdered"),
+      s"gumbel top-k must be TakeOrdered, not a global sort:\n${gum.take(1200)}")
+    // data card reads only the columns it needs
+    val cardRead = readColumns(SparkEntry.queries("curate_datacard")(spark, sfDir))
+    assert(!cardRead.contains("n_chars"),
+      s"data card must not read unused columns, got $cardRead")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

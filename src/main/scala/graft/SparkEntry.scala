@@ -1065,6 +1065,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-document novelty: fraction of k-gram positions duplicated
+    // anywhere in the corpus — one frozen gram frame, one digest
+    // aggregation, per-doc rollups; the memorization-risk ranking
+    "text_novelty" -> ((s, dir) => {
+      graft.functions.Dedup.noveltyScores(docsNorm(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // categorical entropy of the event-type column: the one-number
+    // balance audit off the bounded value-count table
+    "stats_entropy" -> ((s, dir) => {
+      graft.functions.Stats.categoricalEntropy(events(s, dir), "event_type")
+    }),
+
     // cluster-size distribution: the after-clustering audit (is dup mass
     // a few template whales or many small pairs) — two bounded rollups
     // over the cluster labeling
@@ -3980,6 +3994,60 @@ object SparkEntry {
          SELECT node AS doc_id, least(node, min(r)) AS cluster,
            CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
          FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // novelty replay: the spans gram machinery, duplicated-digest set,
+    // per-doc rollups, rounded fractions (novelty from the ROUNDED frac)
+    "text_novelty" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 8
+             THEN list_transform(range(0, len(toks)-7),
+               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
+         x AS (SELECT doc_id, unnest(grams) AS gg FROM g),
+         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
+         cnts AS (SELECT doc_id, count(*) AS n_grams FROM x GROUP BY 1),
+         dups AS (
+           SELECT doc_id, count(*) AS n_dup
+           FROM x SEMI JOIN f USING (gg) GROUP BY 1),
+         j AS (
+           SELECT d.doc_id,
+             CAST(coalesce(cnts.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(dups.n_dup, 0) AS BIGINT) AS n_dup_grams
+           FROM documents d
+           LEFT JOIN cnts ON d.doc_id = cnts.doc_id
+           LEFT JOIN dups ON d.doc_id = dups.doc_id),
+         sel AS (
+           SELECT doc_id, n_grams, n_dup_grams,
+             round(CAST(CASE WHEN n_grams = 0 THEN 0.0
+               ELSE n_dup_grams::DOUBLE / n_grams END AS DECIMAL(18,8)), 4)::DOUBLE
+               AS dup_frac
+           FROM j)
+         SELECT doc_id, n_grams, n_dup_grams, dup_frac,
+           round(CAST(1.0 - dup_frac AS DECIMAL(18,8)), 4)::DOUBLE AS novelty
+         FROM sel ORDER BY doc_id""",
+
+    // entropy replay: value counts, per-term decimal staging, same
+    // normalization by ln(#values) of the rounded entropy
+    "stats_entropy" ->
+      """WITH c AS (
+           SELECT event_type AS v, count(*) AS c FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM c),
+         terms AS (
+           SELECT n, k,
+             CAST((c::DOUBLE / n) * ln(c::DOUBLE / n) AS DECIMAL(18,8)) AS tt
+           FROM c CROSS JOIN t),
+         h AS (SELECT n, k, sum(tt) AS s FROM terms GROUP BY n, k),
+         e AS (
+           SELECT n, CAST(k AS BIGINT) AS n_values,
+             round(CAST(-s AS DECIMAL(18,8)), 6)::DOUBLE AS entropy
+           FROM h)
+         SELECT n, n_values, entropy,
+           round(CAST(CASE WHEN n_values <= 1 THEN 0.0
+             ELSE entropy / ln(n_values::DOUBLE) END AS DECIMAL(18,8)), 6)::DOUBLE
+             AS norm_entropy
+         FROM e""",
 
     // cluster-stats replay: the dedup_clusters transitive closure, then
     // per-cluster sizes and the count-of-counts rollup

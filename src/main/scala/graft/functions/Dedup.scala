@@ -701,6 +701,51 @@ object Dedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_tokens"))
   }
 
+  /** Per-document novelty score — the memorization-risk ranking
+    * [[duplicateSpans]]'s span list summarizes to one number: the
+    * fraction of a document's rolling k-gram positions whose digest
+    * occurs anywhere else in the corpus (or again in the same document).
+    * A doc at dup_frac 0.9 is boilerplate wearing a unique header; a
+    * corpus whose high-dup_frac tail is growing is converging on
+    * templates. Novelty = 1 − dup_frac.
+    *
+    * Scale shape: the same frozen (doc, pos, gram-digest) frame as the
+    * span machinery (k md5s per token, computed once), ONE digest
+    * aggregation for the duplicated set, per-doc rollups keyed by doc id.
+    * Docs with fewer than k tokens have no measurable grams and read
+    * novelty 1.0.
+    *
+    * Returns (idCol, n_grams, n_dup_grams, dup_frac, novelty).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val grams = when(size(col("__toks")) >= k,
+      transform(sequence(lit(0), size(col("__toks")) - k),
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val pos = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col("__id"), posexplode(grams).as(Seq("__pos", "__g"))))
+    val dupFps = pos.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__g"))
+    val cnts = pos.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val dups = pos.join(dupFps, Seq("__g"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_dup_grams"))
+    df.select(col(idCol))
+      .join(cnts.select(col("__id").as(idCol), col("n_grams")), Seq(idCol), "left")
+      .join(dups.select(col("__id").as(idCol), col("n_dup_grams")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams"))
+          .cast(dec), 4).cast("double"))
+      .withColumn("novelty",
+        round((lit(1.0) - col("dup_frac")).cast(dec), 4).cast("double"))
+  }
+
   /** Apply the substring-dedup cut: remove every token covered by a
     * duplicated span (from [[duplicateSpans]]) and re-join the survivors —
     * the "delete one copy of each repeated substring" step of

@@ -477,6 +477,36 @@ object Stats {
     }.reduce(_.unionAll(_))
   }
 
+  /** Shannon entropy of a categorical column — the one-number balance
+    * audit (a label column at normalized entropy 0.2 is dominated by one
+    * class; a partition key near 1.0 spreads evenly): H = −Σ p·ln p over
+    * the bounded value-count table, per-term decimal staging so the sum
+    * is order-independent, normalized by ln(#values). ONE
+    * map-side-combined aggregation touches the data.
+    *
+    * Returns one row: (n, n_values, entropy, norm_entropy).
+    */
+  def categoricalEntropy(df: DataFrame, colName: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(colName).cast("string").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c")))
+    val tot = broadcast(counts.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__k")))
+    val terms = counts.crossJoin(tot)
+      .select(col("__n"), col("__k"),
+        ((col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") / col("__n"))).cast(dec).as("__t"))
+    terms.groupBy(col("__n"), col("__k"))
+      .agg(sum(col("__t")).as("__h"))
+      .select(col("__n").as("n"), col("__k").as("n_values"),
+        round((-col("__h")).cast(dec), 6).cast("double").as("entropy"))
+      .withColumn("norm_entropy",
+        round(when(col("n_values") <= 1, lit(0.0))
+          .otherwise(col("entropy") / log(col("n_values").cast("double")))
+          .cast(dec), 6).cast("double"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen,
     * useful on ingested metrics columns: organically-grown magnitudes
     * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or

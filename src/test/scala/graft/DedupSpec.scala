@@ -359,6 +359,22 @@ class DedupSpec extends SparkSpec {
     assert(zero.getLong(1) == 0L && zero.getLong(2) == 0L)
   }
 
+  test("noveltyScores: duplicated docs read 0 novelty, unique read 1, short docs measurable-free") {
+    import spark.implicits._
+    val long = (1 to 12).map(i => s"w$i").mkString(" ")
+    val unique = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long), (3L, unique), (4L, "too short"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 12 tokens, k=8 -> 5 gram positions per doc; docs 1/2 mirror each other
+    assert(out(1L) == (5L, 5L, 1.0, 0.0) && out(2L) == (5L, 5L, 1.0, 0.0))
+    assert(out(3L) == (5L, 0L, 0.0, 1.0))
+    // under k tokens: no measurable grams, novelty defaults to 1
+    assert(out(4L) == (0L, 0L, 0.0, 1.0))
+  }
+
   test("minhashEval: identical pairs always caught, rollup invariants, S-curve high at j=1") {
     import spark.implicits._
     val docs = Seq((0L, "x y z w"), (1L, "x y z w"), (2L, "x y z q"),

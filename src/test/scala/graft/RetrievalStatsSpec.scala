@@ -256,6 +256,19 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("categoricalEntropy: uniform reads normalized 1, constant reads 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val uniform = (1 to 4).flatMap(i => Seq.fill(25)(s"v$i")).toDF("c")
+    val u = Stats.categoricalEntropy(uniform, "c").head()
+    assert(u.getLong(0) == 100L && u.getLong(1) == 4L)
+    assert(u.getDouble(3) == 1.0, s"uniform norm entropy ${u.getDouble(3)}")
+    assert(math.abs(u.getDouble(2) - math.log(4.0)) < 1e-5)
+    val const = Seq.fill(50)("only").toDF("c")
+    val k = Stats.categoricalEntropy(const, "c").head()
+    assert(k.getDouble(2) == 0.0 && k.getDouble(3) == 0.0)
+  }
+
   test("correlationMatrix: linear reads 1, anti-linear -1, scrambled near 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -2478,6 +2478,13 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // hour-of-day profile per type: the diurnal-shape audit — one
+    // aggregation to the |types|x24 table, broadcast totals
+    "events_hourly" -> ((s, dir) => {
+      graft.functions.Events.hourlyProfile(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // CUSUM creep detection: standardized daily deviations minus slack,
     // prefix identity S_t = P_t - min(0, min P_j) as two keyed windows
     // over the bounded count table, deviations decimal-staged BEFORE the
@@ -6576,6 +6583,20 @@ object SparkEntry {
     // streaming twin shares it verbatim
     "stats_corr" -> corrOracleSql,
     "stream_corr" -> corrOracleSql,
+
+    // hourly-profile replay: hour() under the pinned-UTC session, same
+    // rollup and decimal-staged shares
+    "events_hourly" ->
+      """WITH c AS (
+           SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.event_type, c.hour, c.n,
+           round(CAST(c.n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
+         FROM c JOIN t USING (event_type)
+         ORDER BY event_type, hour""",
 
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,

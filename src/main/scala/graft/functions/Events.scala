@@ -324,6 +324,27 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Hour-of-day activity profile per event type — the diurnal-shape
+    * audit next to [[cadence]]'s gap regularity: human traffic breathes
+    * with the clock, scripted traffic is flat (or spikes at the cron
+    * hour), and a type whose profile flattens between snapshots changed
+    * its caller. ONE map-side-combined aggregation to the ≤ |types|×24
+    * table, broadcast per-type totals, decimal-staged shares.
+    *
+    * Returns (event_type, hour, n, frac).
+    */
+  def hourlyProfile(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.groupBy(col(typeCol).as("event_type"), hour(col(tsCol)).as("hour"))
+        .agg(count(lit(1)).as("n")))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        round((col("n").cast("double") / col("__tot"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as("frac"))
+  }
+
   /** CUSUM change-point detection over daily volumes (Page 1954) — the
     * drift alarm [[dailyAnomalies]]'s per-day z-test cannot raise: a
     * volume that creeps up 0.8σ every day never crosses a 2σ spike

@@ -29,6 +29,15 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("hourlyProfile: bounded table, shares sum to 1 per type") {
+    val ev = table("events")
+    val out = Events.hourlyProfile(ev, "event_type", "ts").collect()
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 24))
+    val byType = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(3)).sum)
+    byType.foreach { case (t, s) =>
+      assert(math.abs(s - 1.0) < 1e-3, s"type $t shares sum to $s") }
+  }
+
   test("cusum: linear creep alarms where the per-day z-test stays silent") {
     import spark.implicits._
     def ts(day: Int, i: Int) = new java.sql.Timestamp(

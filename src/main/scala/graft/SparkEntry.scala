@@ -2308,6 +2308,21 @@ object SparkEntry {
       cm.matrix.orderBy(col("col_a"), col("col_b"))
     }),
 
+    // power-law exponent of events-per-user: the tail-shape number next
+    // to Gini and the whale factor — CSN discrete MLE over the count
+    // table, decimal-staged ln terms
+    "stats_powerlaw" -> ((s, dir) => {
+      graft.functions.Stats.powerLawAlpha(events(s, dir), "user_id", xmin = 2)
+    }),
+
+    // joint 2-D histogram of quantity x price: the correlation matrix's
+    // visual companion — one aggregation to the bounded bin x bin table
+    "stats_hist2d" -> ((s, dir) => {
+      graft.functions.Stats.histogram2d(t(s, dir, "lineitem"),
+          "l_quantity", "l_extendedprice", xWidth = 10.0, yWidth = 20000.0)
+        .orderBy(col("x_bin"), col("y_bin"))
+    }),
+
     // Benford first-digit audit: digits via the BIGINT string (engine-
     // identical), one aggregation to 9 rows, ln(1+1/d)/ln(10) expected —
     // the fabricated-numbers screen on a metrics column
@@ -6601,6 +6616,34 @@ object SparkEntry {
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,
     "stream_cusum" -> cusumOracleSql,
+
+    // power-law replay: count table, tail filter, decimal-staged ln sum,
+    // one divide
+    "stats_powerlaw" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         tail AS (SELECT c FROM c WHERE c >= 2),
+         a AS (
+           SELECT count(*) AS n_tail,
+             sum(CAST(ln(c::DOUBLE / (2.0 - 0.5)) AS DECIMAL(18,8))) AS s
+           FROM tail)
+         SELECT CAST(2 AS BIGINT) AS xmin, n_tail,
+           round(CAST(CASE WHEN s IS NULL OR s = 0 THEN 0.0
+             ELSE 1.0 + n_tail::DOUBLE / CAST(s AS DOUBLE) END
+             AS DECIMAL(18,8)), 4)::DOUBLE AS alpha
+         FROM a""",
+
+    // hist2d replay: same bin floors, rollup, broadcast-total shares
+    "stats_hist2d" ->
+      """WITH b AS (
+           SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS x_bin,
+             CAST(floor(l_extendedprice / 20000.0) AS BIGINT) AS y_bin,
+             count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
+         SELECT x_bin, y_bin, n,
+           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
+         FROM b CROSS JOIN t ORDER BY x_bin, y_bin""",
 
     // Benford replay: BIGINT-string first digits, 9-row rollup, the same
     // ln(1+1/d)/ln(10) expected frequencies and rounded deviations

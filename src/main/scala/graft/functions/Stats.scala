@@ -477,6 +477,55 @@ object Stats {
     }.reduce(_.unionAll(_))
   }
 
+  /** Power-law (Pareto) exponent of per-key mass — the tail-shape number
+    * next to [[giniConcentration]]'s area and [[keySkew]]'s whale factor:
+    * the discrete MLE α̂ = 1 + m / Σ ln(xᵢ/(xmin−½)) over keys with
+    * count ≥ xmin (Clauset-Shalizi-Newman 2009's continuous
+    * approximation). α near 2 means a heavy tail where per-key caps
+    * change everything; α above 3 means the tail is thin and they're a
+    * no-op. ONE aggregation to the count table, ln terms decimal-staged
+    * (order-independent sum), one divide.
+    *
+    * Returns one row: (xmin, n_tail, alpha).
+    */
+  def powerLawAlpha(df: DataFrame, keyCol: String, xmin: Long = 1): DataFrame = {
+    require(xmin >= 1, "xmin must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= xmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("__c").cast("double") / (lit(xmin.toDouble) - 0.5))
+          .cast(dec)).as("__s"))
+      .select(lit(xmin).as("xmin"), col("n_tail"),
+        round(when(col("__s").isNull || col("__s") === 0, lit(0.0))
+          .otherwise(lit(1.0) + col("n_tail").cast("double") / col("__s").cast("double"))
+          .cast(dec), 4).cast("double").as("alpha"))
+  }
+
+  /** Joint 2-D histogram of two numeric columns — the visual companion to
+    * [[correlationMatrix]] (a correlation can hide two clusters; the
+    * joint bins cannot) and the input for 2-D drift comparison. ONE
+    * map-side-combined aggregation to the bounded bin×bin table with
+    * broadcast-total shares.
+    *
+    * Returns (x_bin, y_bin, n, frac).
+    */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  xWidth: Double, yWidth: Double): DataFrame = {
+    require(xWidth > 0 && yWidth > 0, "widths must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(floor(col(xCol) / xWidth).cast("long").as("x_bin"),
+          floor(col(yCol) / yWidth).cast("long").as("y_bin"))
+        .filter(col("x_bin").isNotNull && col("y_bin").isNotNull)
+        .groupBy(col("x_bin"), col("y_bin")).agg(count(lit(1)).as("n")))
+    val tot = broadcast(bins.agg(sum(col("n")).as("__tot")))
+    bins.crossJoin(tot)
+      .select(col("x_bin"), col("y_bin"), col("n"),
+        round((col("n").cast("double") / col("__tot")).cast(dec), 6)
+          .cast("double").as("frac"))
+  }
+
   /** Shannon entropy of a categorical column — the one-number balance
     * audit (a label column at normalized entropy 0.2 is dominated by one
     * class; a partition key near 1.0 spreads evenly): H = −Σ p·ln p over

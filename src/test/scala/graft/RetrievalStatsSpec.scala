@@ -256,6 +256,34 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("powerLawAlpha: recovers a planted Pareto tail, uniform counts read steep") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // planted discrete tail: count c appears round(1000/c^2) times -> alpha ~2
+    val keys = (1 to 50).flatMap { c =>
+      val reps = math.max(1, math.round(1000.0 / (c * c)).toInt)
+      (0 until reps).flatMap(r => Seq.fill(c)(s"k${c}_$r"))
+    }
+    val row = Stats.powerLawAlpha(keys.toDF("k"), "k", xmin = 1).head()
+    val alpha = row.getDouble(2)
+    assert(alpha > 1.5 && alpha < 2.6, s"planted alpha~2 tail, got $alpha")
+    // uniform per-key counts: all mass at one value -> very steep tail
+    val uni = (1 to 100).flatMap(i => Seq.fill(3)(s"u$i")).toDF("k")
+    val steep = Stats.powerLawAlpha(uni, "k", xmin = 2).head().getDouble(2)
+    assert(steep > alpha, s"uniform must read steeper: $steep vs $alpha")
+  }
+
+  test("histogram2d: bins exact, shares sum to 1") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = Seq((1.0, 1.0), (1.5, 1.2), (11.0, 1.0), (1.0, 25.0))
+      .toDF("x", "y")
+    val out = Stats.histogram2d(df, "x", "y", 10.0, 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map((0L, 0L) -> (2L, 0.5), (1L, 0L) -> (1L, 0.25),
+      (0L, 2L) -> (1L, 0.25)), s"got $out")
+  }
+
   test("categoricalEntropy: uniform reads normalized 1, constant reads 0") {
     import spark.implicits._
     import graft.functions.Stats

@@ -2493,6 +2493,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // association lift between event types: distinct (user, type) frame,
+    // user-keyed pair join bounded by types-per-user, exact integer
+    // cross-products with one divide — the market-basket readout
+    "events_lift" -> ((s, dir) => {
+      graft.functions.Events.typeLift(events(s, dir), "user_id", "event_type")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // k-NN label vote: do the embeddings encode the labels — top-5
+    // exact-cosine neighbors vote, majority (ties to smallest label)
+    // against the query's own label
+    "sim_knn_acc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
+          col("label"))
+      graft.functions.Vectors.knnLabelEval(e, "vec_id", "v", "label",
+          e.filter(col("vec_id") < 50), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // hour-of-day profile per type: the diurnal-shape audit — one
     // aggregation to the |types|x24 table, broadcast totals
     "events_hourly" -> ((s, dir) => {
@@ -6598,6 +6618,52 @@ object SparkEntry {
     // streaming twin shares it verbatim
     "stats_corr" -> corrOracleSql,
     "stream_corr" -> corrOracleSql,
+
+    // lift replay: distinct (user, type), user-keyed pair join, the same
+    // integer cross-products and single divide
+    "events_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         n AS (SELECT count(DISTINCT u) AS nu FROM ut),
+         pt AS (SELECT t, count(*) AS c FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+           FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab,
+           round(CAST(CAST(n_ab::DECIMAL(38,0) * nu AS DOUBLE)
+             / CAST(ca.c::DECIMAL(38,0) * cb.c AS DOUBLE) AS DECIMAL(18,8)), 4)::DOUBLE
+             AS lift
+         FROM p JOIN pt ca ON ca.t = type_a JOIN pt cb ON cb.t = type_b
+         CROSS JOIN n
+         ORDER BY type_a, type_b""",
+
+    // knn replay: brute top-5, label votes, majority with ties to the
+    // smallest label, verdict against the query's own label
+    "sim_knn_acc" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 50),
+         p AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS nl,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
+         topk AS (
+           SELECT query_id, nl,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM p QUALIFY rn <= 5),
+         v AS (SELECT query_id, nl, count(*) AS cv FROM topk GROUP BY 1, 2),
+         b AS (
+           SELECT query_id, nl AS pred_label, cv AS n_votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY cv DESC, nl ASC) AS rn
+           FROM v)
+         SELECT b.query_id, q.label AS true_label, b.pred_label,
+           CAST(b.n_votes AS BIGINT) AS n_votes,
+           q.label = b.pred_label AS correct
+         FROM b JOIN q ON q.vec_id = b.query_id WHERE b.rn = 1
+         ORDER BY b.query_id""",
 
     // hourly-profile replay: hour() under the pinned-UTC session, same
     // rollup and decimal-staged shares

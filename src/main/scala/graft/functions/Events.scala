@@ -324,6 +324,40 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Association lift between event types — the market-basket signal
+    * over users: lift(A,B) = P(user does both) / (P(A)·P(B)), above 1
+    * when types co-occur more than independence predicts (the
+    * cross-sell / feature-bundling readout). The corpus collapses ONCE
+    * to the distinct (user, type) frame (frozen — per-type counts and
+    * the pair join both read it); pairs come from a user-keyed
+    * self-join whose expansion is bounded by types-per-user (≤ |types|);
+    * lift evaluates from exact integer cross-products with ONE double
+    * divide.
+    *
+    * Returns (type_a, type_b, n_ab, lift) for co-occurring pairs a < b.
+    */
+  def typeLift(df: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ut = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(userCol).as("__u"), col(typeCol).cast("string").as("__t")).distinct())
+    val nUsers = broadcast(ut.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__n")))
+    val perType = ut.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val pairs = ut.select(col("__u"), col("__t").as("type_a"))
+      .join(ut.select(col("__u"), col("__t").as("type_b")), Seq("__u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("__t").as("type_a"), col("__c").as("__ca"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("__t").as("type_b"), col("__c").as("__cb"))), Seq("type_b"))
+      .crossJoin(nUsers)
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(((col("n_ab").cast(dec38) * col("__n")).cast("double") /
+            (col("__ca").cast(dec38) * col("__cb")).cast("double"))
+          .cast(dec), 4).cast("double").as("lift"))
+  }
+
   /** Hour-of-day activity profile per event type — the diurnal-shape
     * audit next to [[cadence]]'s gap regularity: human traffic breathes
     * with the clock, scripted traffic is flat (or spikes at the cron

@@ -338,6 +338,37 @@ object Vectors {
     * min-distance at selection (the covering-radius progression; the seed
     * reports 0.0).
     */
+  /** k-NN label-vote evaluation — "do the embeddings encode the labels":
+    * each query's top-k exact-cosine neighbors vote with their labels
+    * (majority, ties to the smallest label), and the verdict compares
+    * against the query's own label. The quick intrinsic-quality check run
+    * before trusting an embedding snapshot for anything supervised —
+    * accuracy collapsing between snapshots means the space moved.
+    * Composes [[bruteForceTopK]] (corpus-scale work) with two bounded
+    * aggregations over the |queries|·k candidate rows.
+    *
+    * Returns one row per query: (query_id, true_label, pred_label,
+    * n_votes, correct).
+    */
+  def knnLabelEval(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queries: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val labels = corpus.select(col(idCol).as("__lid"), col(labelCol).as("__lbl"))
+    val top = bruteForceTopK(queries, corpus, idCol, vecCol, idCol, vecCol, k)
+    val votes = top
+      .join(labels.select(col("__lid").as("neighbor_id"), col("__lbl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl")).agg(count(lit(1)).as("__v"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("__lbl").as("__pl"), col("__v").as("__pv")),
+        struct(col("__v"), (-col("__lbl").cast("long")).as("__nl"))).as("__b"))
+      .select(col("query_id"), col("__b.__pl").as("pred_label"),
+        col("__b.__pv").as("n_votes"))
+    votes.join(labels.select(col("__lid").as("query_id"),
+        col("__lbl").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"), (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   /** Position-weighted ranking-quality evaluation (nDCG@k with the
     * natural-log discount) — the companion to plain recall for grading an
     * approximate ranking (int8/PQ/LSH/IVF) against exact-cosine truth:

@@ -29,6 +29,20 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("typeLift: perfect co-occurrence lifts above 1, disjoint pairs absent") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(i * 1000L)
+    // users 1-4 do A and B together; users 5-8 do only C — (A,B) always
+    // co-occur (lift = 2 with P(A)=P(B)=1/2), (A,C) never do
+    val ev = (1 to 4).flatMap(u => Seq((u.toLong, "A", ts(u)), (u.toLong, "B", ts(u + 10)))) ++
+      (5 to 8).map(u => (u.toLong, "C", ts(u)))
+    val out = Events.typeLift(ev.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("A", "B")) == (4L, 2.0), s"got $out")
+    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+  }
+
   test("hourlyProfile: bounded table, shares sum to 1 per type") {
     val ev = table("events")
     val out = Events.hourlyProfile(ev, "event_type", "ts").collect()

@@ -19,6 +19,20 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(27.0)) < 1e-12)
   }
 
+  test("knnLabelEval: clustered labels vote correctly, majority ties break small") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    // two tight clusters with distinct labels: every query's neighbors
+    // share its label, so the vote is always right
+    val a = (0 until 6).map(i => (i.toLong, Seq(1.0, 0.01 * i, 0.0), 1))
+    val b = (10 until 16).map(i => (i.toLong, Seq(0.0, 0.01 * (i - 10), 1.0), 2))
+    val e = (a ++ b).toDF("vec_id", "v", "label")
+    val out = Vectors.knnLabelEval(e, "vec_id", "v", "label",
+      e.filter(col("vec_id").isin(0L, 10L)), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getBoolean(4))).toMap
+    assert(out(0L) == (1, 1, true) && out(10L) == (2, 2, true), s"got $out")
+  }
+
   test("ndcgOfRanking: perfect order reads 1, disorder and misses cost") {
     import spark.implicits._
     import graft.functions.Vectors

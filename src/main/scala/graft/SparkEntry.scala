@@ -2493,6 +2493,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // lag-1..7 autocorrelation of daily volumes: the seasonality detector
+    // behind the forecast's period — calendar-shifted self-joins of the
+    // bounded daily table, exact moments, fixed-order Pearson
+    "events_autocorr" -> ((s, dir) => {
+      graft.functions.Events.dailyAutocorr(events(s, dir), "event_type", "ts",
+          maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // association lift between event types: distinct (user, type) frame,
     // user-keyed pair join bounded by types-per-user, exact integer
     // cross-products with one divide — the market-basket readout
@@ -6618,6 +6627,37 @@ object SparkEntry {
     // streaming twin shares it verbatim
     "stats_corr" -> corrOracleSql,
     "stream_corr" -> corrOracleSql,
+
+    // autocorr replay: daily counts, lag-shifted self-joins, the same
+    // exact moments and fixed-order Pearson
+    "events_autocorr" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+         j AS (
+           SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+           FROM d a CROSS JOIN lags l
+           JOIN d b ON b.event_type = a.event_type
+             AND b.day = a.day - CAST(l.lag AS INTEGER)),
+         m AS (
+           SELECT event_type, lag, count(*) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(x::DECIMAL(15,0) * x::DECIMAL(15,0)) AS qx,
+             sum(y::DECIMAL(15,0) * y::DECIMAL(15,0)) AS qy,
+             sum(x::DECIMAL(15,0) * y::DECIMAL(15,0)) AS p
+           FROM j GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, lag, n_days,
+             n_days::DOUBLE * p::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+             n_days::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+             n_days::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy
+           FROM m)
+         SELECT event_type, CAST(lag AS INTEGER) AS lag, n_days,
+           round(CAST(CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN 0.0
+             ELSE num / (sqrt(vx) * sqrt(vy)) END AS DECIMAL(18,8)), 4)::DOUBLE
+             AS autocorr
+         FROM c ORDER BY event_type, lag""",
 
     // lift replay: distinct (user, type), user-keyed pair join, the same
     // integer cross-products and single divide

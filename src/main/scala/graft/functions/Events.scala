@@ -324,6 +324,50 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Lag-k autocorrelation of daily volumes per type — the seasonality
+    * DETECTOR behind [[seasonalForecast]]'s assumed period: a spike at
+    * lag 7 is the weekly cycle, at lag 1 momentum, nowhere white noise
+    * (and the forecast baseline is pointless). The stream collapses ONCE
+    * to the frozen |types|×|days| table; each lag is a calendar-shifted
+    * equi-join OF THAT TABLE with itself; Pearson per (type, lag)
+    * evaluates from exact integer/decimal moments in fixed double order
+    * (the [[graft.functions.Stats.correlationMatrix]] discipline).
+    *
+    * Returns (event_type, lag, n_days, autocorr).
+    */
+  def dailyAutocorr(df: DataFrame, typeCol: String, tsCol: String,
+                    maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+    val lags = broadcast(df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag")))
+    val b = daily.select(col("event_type"), col("day").as("__bday"),
+      col("n").as("__bn"))
+    val a = daily.crossJoin(lags)
+    val m = a.join(b, a("event_type") === b("event_type") &&
+        b("__bday") === date_sub(a("day"), col("lag")))
+      .drop(b("event_type"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("__sx"), sum(col("__bn")).as("__sy"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__qx"),
+        sum(col("__bn").cast(dec15) * col("__bn").cast(dec15)).as("__qy"),
+        sum(col("n").cast(dec15) * col("__bn").cast(dec15)).as("__p"))
+    val nd = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("__p") - d("__sx") * d("__sy")
+    val vx = nd * d("__qx") - d("__sx") * d("__sx")
+    val vy = nd * d("__qy") - d("__sy") * d("__sy")
+    m.select(col("event_type"), col("lag"), col("n_days"),
+      round(when(vx <= 0.0 || vy <= 0.0, lit(0.0))
+        .otherwise(num / (sqrt(vx) * sqrt(vy)))
+        .cast(dec), 4).cast("double").as("autocorr"))
+  }
+
   /** Association lift between event types — the market-basket signal
     * over users: lift(A,B) = P(user does both) / (P(A)·P(B)), above 1
     * when types co-occur more than independence predicts (the

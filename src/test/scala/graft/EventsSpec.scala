@@ -29,6 +29,21 @@ class EventsSpec extends SparkSpec {
     assert(u2.getTimestamp(2).getTime == 15000L, "pre-view click must be ignored")
   }
 
+  test("dailyAutocorr: planted weekly cycle spikes at lag 7, noise-free alternation at lag 1") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp((day.toLong * 86400L + i) * 1000L)
+    // period-7 cycle: day volume = 10 + 8*(day % 7 == 0): lag-7 pairs are
+    // identical (corr 1), lag-1 pairs mix levels
+    val ev = (1 to 42).flatMap { d =>
+      val n = if (d % 7 == 0) 18 else 10
+      (0 until n).map(i => ("cyc", ts(d, i)))
+    }.toDF("event_type", "ts")
+    val out = Events.dailyAutocorr(ev, "event_type", "ts", maxLag = 7)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(7) == 1.0, s"lag-7 must be exactly 1 on a pure cycle: ${out(7)}")
+    assert(out(1) < 0.0, s"lag-1 mixes levels and reads negative: ${out(1)}")
+  }
+
   test("typeLift: perfect co-occurrence lifts above 1, disjoint pairs absent") {
     import spark.implicits._
     def ts(i: Int) = new java.sql.Timestamp(i * 1000L)

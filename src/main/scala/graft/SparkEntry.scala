@@ -2493,6 +2493,13 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // daily new-vs-returning split: distinct activity frame, one
+    // user-keyed min for first days, |days|-row rollup
+    "events_new_returning" -> ((s, dir) => {
+      graft.functions.Events.newVsReturning(events(s, dir), "user_id", "ts")
+        .orderBy(col("day"))
+    }),
+
     // lag-1..7 autocorrelation of daily volumes: the seasonality detector
     // behind the forecast's period — calendar-shifted self-joins of the
     // bounded daily table, exact moments, fixed-order Pearson
@@ -6627,6 +6634,18 @@ object SparkEntry {
     // streaming twin shares it verbatim
     "stats_corr" -> corrOracleSql,
     "stream_corr" -> corrOracleSql,
+
+    // new-vs-returning replay: distinct activity, per-user min day,
+    // daily rollup
+    "events_new_returning" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT u, min(day) AS fd FROM a GROUP BY 1)
+         SELECT day, count(*) AS n_active,
+           CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+         FROM a JOIN f USING (u) GROUP BY day ORDER BY day""",
 
     // autocorr replay: daily counts, lag-shifted self-joins, the same
     // exact moments and fixed-order Pearson

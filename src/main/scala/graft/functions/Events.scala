@@ -324,6 +324,26 @@ object Events {
           .cast("double").as("p"))
   }
 
+  /** Daily new-vs-returning user split — the growth dashboard's first
+    * row, and the retention table's daily marginal: each active (user,
+    * day) is NEW iff the day is the user's first. The stream collapses
+    * ONCE to the distinct (user, day) activity frame (frozen — first-day
+    * lookup and the rollup both read it); first days come from ONE
+    * user-keyed min aggregation; the rollup is |days| rows.
+    *
+    * Returns (day, n_active, n_new, n_returning).
+    */
+  def newVsReturning(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val activity = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(userCol).as("__u"), to_date(col(tsCol)).as("day")).distinct())
+    val firstDay = activity.groupBy(col("__u")).agg(min(col("day")).as("__fd"))
+    activity.join(firstDay, Seq("__u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__fd"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
   /** Lag-k autocorrelation of daily volumes per type — the seasonality
     * DETECTOR behind [[seasonalForecast]]'s assumed period: a spike at
     * lag 7 is the weekly cycle, at lag 1 momentum, nowhere white noise

@@ -1146,6 +1146,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII exposure rates by source: the compliance column of the trust
+    // table — scan-speed detection over the injected fixture, one rollup
+    // to |sources| rows
+    "curate_pii_by_source" -> ((s, dir) => {
+      val ptext = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".25"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" card "), (lit(1000000000000000L) +
+            ((col("doc_id") % 100000) * 9999991L + col("doc_id"))).cast("string")))
+          .otherwise(lit("")))
+      graft.functions.Curation.piiBySource(t(s, dir, "documents"), "source", ptext)
+        .orderBy(col("source"))
+    }),
+
+    // pairwise cosine histogram over a deterministic md5 sample: the
+    // embedding threshold-selection evidence — (n/mod)^2 bounded pairs
+    "sim_dist_hist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.cosineHistogram(e, "vec_id", "v", width = 0.1, sampleMod = 4)
+        .orderBy(col("bin"))
+    }),
+
     // two-stage card-number PII: regex finds card-SHAPED candidates, a
     // fixed 16-term Luhn fold (pure codegen, no UDF) confirms them — both
     // engines compute the checksum, so validity is data-derived, not
@@ -4277,6 +4308,80 @@ object SparkEntry {
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_fp
          FROM p ORDER BY doc_id""",
+
+    // pii-by-source replay: the combined fixture, RE2 counts, the Luhn
+    // fold for cards, one rollup per source
+    "curate_pii_by_source" ->
+      """WITH p AS (
+           SELECT doc_id, source, text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.25' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
+                  (1000000000000000 + ((doc_id % 100000) * 9999991 + doc_id))::VARCHAR
+                ELSE '' END
+             AS ptext
+           FROM documents),
+         cand AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(ptext,
+               '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b')) AS c
+           FROM p),
+         lu AS (
+           SELECT doc_id, c,
+             sum(CASE WHEN (17 - i) % 2 = 0
+                 THEN CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+                 ELSE dg END) AS s
+           FROM (
+             SELECT doc_id, c, i,
+               CAST(substr(regexp_replace(c, '[- ]', '', 'g'), i, 1) AS INT) AS dg
+             FROM cand CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i))
+           GROUP BY doc_id, c),
+         cards AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+           FROM lu GROUP BY doc_id),
+         per AS (
+           SELECT p.source,
+             len(regexp_extract_all(ptext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             len(regexp_extract_all(ptext,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             len(regexp_extract_all(ptext, '\b\d{3}-\d{3}-\d{4}\b')) AS np,
+             coalesce(cards.nc, 0) AS nc
+           FROM p LEFT JOIN cards ON p.doc_id = cards.doc_id),
+         agg AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(ne) AS BIGINT) AS n_email, CAST(sum(ni) AS BIGINT) AS n_ip,
+             CAST(sum(np) AS BIGINT) AS n_phone, CAST(sum(nc) AS BIGINT) AS n_card
+           FROM per GROUP BY source)
+         SELECT source, n_docs, n_email, n_ip, n_phone, n_card,
+           round(CAST((n_email + n_ip + n_phone + n_card)::DOUBLE * 1000.0
+             / n_docs AS DECIMAL(18,8)), 4)::DOUBLE AS pii_per_1k
+         FROM agg ORDER BY source""",
+
+    // cosine-histogram replay: same md5 sample, rounded cosine, bin
+    // floors and shares
+    "sim_dist_hist" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         s AS (
+           SELECT vec_id, v FROM e
+           WHERE ('0x'||substr(md5(vec_id::VARCHAR || 'dh'),1,15))::BIGINT % 4 = 0),
+         pr AS (
+           SELECT CAST(floor(
+             round(CAST(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS DECIMAL(18,8)), 6)::DOUBLE / 0.1) AS BIGINT) AS bin
+           FROM s a JOIN s b ON a.vec_id < b.vec_id),
+         b AS (SELECT bin, count(*) AS n FROM pr GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
+         SELECT bin, bin * CAST(0.1 AS DOUBLE) AS lo, n,
+           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
+         FROM b CROSS JOIN t ORDER BY bin""",
 
     // card replay: the same synthesized candidates, RE2 extraction, and
     // the identical 16-term Luhn fold via a generate_series cross join

@@ -36,6 +36,31 @@ object Curation {
     *
     * Returns the kept rows as (idCol, domainCol, rank), rank 1 = best.
     */
+  /** PII exposure rates by source — the compliance column of the
+    * per-source trust table: email/IP/phone/card hits per thousand
+    * documents, per source. A source at 40 emails/1k docs needs a
+    * redaction pass (or exclusion) before its text trains anything; this
+    * table is what that decision reads. Scan-speed [[Pii]] counting, ONE
+    * map-side-combined rollup to |sources| rows, rates decimal-staged.
+    *
+    * Returns (sourceCol, n_docs, n_email, n_ip, n_phone, n_card,
+    * pii_per_1k).
+    */
+  def piiBySource(df: DataFrame, sourceCol: String, text: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    df.select(col(sourceCol),
+        Pii.emailCount(text).as("__e"), Pii.ipv4Count(text).as("__i"),
+        Pii.phoneCount(text).as("__p"), Pii.cardCount(text).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e")).as("n_email"), sum(col("__i")).as("n_ip"),
+        sum(col("__p")).as("n_phone"), sum(col("__c")).as("n_card"))
+      .withColumn("pii_per_1k",
+        round(((col("n_email") + col("n_ip") + col("n_phone") + col("n_card"))
+            .cast("double") * 1000.0 / col("n_docs"))
+          .cast(dec), 4).cast("double"))
+  }
+
   /** Greedy per-source token-budget trim — the selection step after
     * [[mixturePlan]] decides each source's token budget: within every
     * source, keep documents in quality order until the budget is spent

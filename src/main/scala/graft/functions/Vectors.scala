@@ -338,6 +338,42 @@ object Vectors {
     * min-distance at selection (the covering-radius progression; the seed
     * reports 0.0).
     */
+  /** Pairwise cosine-distance histogram over a deterministic sample — the
+    * threshold-selection evidence for embedding dedup/ANN (the vector
+    * twin of [[graft.functions.Dedup.thresholdCurve]]): where the
+    * similarity mass sits decides whether 0.9 or 0.95 separates
+    * near-dups from neighbors. An md5 id-sample of rate 1/`sampleMod`
+    * bounds the all-pairs comparison to (n/sampleMod)² — the square-root
+    * scaling that keeps a corpus-wide distribution estimate affordable
+    * at any n — and the sampled pair set is reproducible across
+    * runs/engines. ONE bounded self-join + bin rollup.
+    *
+    * Returns (bin, lo, n, frac) over cosine bins of `width`.
+    */
+  def cosineHistogram(corpus: DataFrame, idCol: String, vecCol: String,
+                      width: Double = 0.1, sampleMod: Int = 20,
+                      salt: String = "dh"): DataFrame = {
+    require(width > 0 && sampleMod >= 1, "width > 0, sampleMod >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val s = bridge.freeze(corpus
+      .filter(graft.functions.Sampling.hashBucket(col(idCol), sampleMod, salt) === 0)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v"))))
+    val a = s.select(col("__id").as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = s.select(col("__id").as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val bins = a.join(broadcast(b), col("__ida") < col("__idb"))
+      .select(floor(round(cosinePre(col("__va"), col("__vb"), col("__na"), col("__nb"))
+          .cast(dec), 6).cast("double") / width).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(bins.agg(sum(col("n")).as("__tot")))
+    bins.crossJoin(tot)
+      .select(col("bin"), (col("bin") * width).as("lo"), col("n"),
+        round((col("n").cast("double") / col("__tot")).cast(dec), 6)
+          .cast("double").as("frac"))
+  }
+
   /** k-NN label-vote evaluation — "do the embeddings encode the labels":
     * each query's top-k exact-cosine neighbors vote with their labels
     * (majority, ties to the smallest label), and the verdict compares

@@ -110,6 +110,21 @@ class CurationSpec extends SparkSpec {
     assert(out.getDouble(4) == 0.421875, s"pad_frac ${out.getDouble(4)}")
   }
 
+  test("piiBySource: per-source rates from constructed hits") {
+    import spark.implicits._
+    import graft.functions.Curation
+    val df = Seq(
+      ("a", "mail me at x@y.com and 1.2.3.4"),
+      ("a", "clean"),
+      ("b", "call 555-123-4567 twice 555-123-9999")).toDF("src", "text")
+    val out = Curation.piiBySource(df, "src", col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(out("a") == (2L, 1L, 1L, 0L, 0L, 1000.0), s"got ${out("a")}")
+    assert(out("b") == (1L, 0L, 0L, 2L, 0L, 2000.0), s"got ${out("b")}")
+  }
+
   test("budgetTrim: best docs kept until budget, boundary exact, first always kept") {
     import spark.implicits._
     import graft.functions.Curation

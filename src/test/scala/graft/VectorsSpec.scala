@@ -19,6 +19,23 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.sqrt(27.0)) < 1e-12)
   }
 
+  test("cosineHistogram: shares sum to 1, deterministic sample, pair count bounded") {
+    import graft.functions.Vectors
+    val e = table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val h = Vectors.cosineHistogram(e, "vec_id", "v", width = 0.1, sampleMod = 4)
+    val rows = h.collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    val nPairs = rows.map(_.getLong(2)).sum
+    val nSample = e.filter(
+      graft.functions.Sampling.hashBucket(col("vec_id"), 4, "dh") === 0).count()
+    assert(nPairs == nSample * (nSample - 1) / 2, "every sampled pair binned once")
+    val again = Vectors.cosineHistogram(e, "vec_id", "v", width = 0.1, sampleMod = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap == again)
+  }
+
   test("knnLabelEval: clustered labels vote correctly, majority ties break small") {
     import spark.implicits._
     import graft.functions.Vectors

@@ -71,6 +71,12 @@ object Linkage {
     val cond = (col("__pL") === col("__pR")) +:
       blockCols.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))
     capped(l, "L").join(capped(r, "R"), cond.reduce(_ && _))
+      // exact prefilter: levenshtein >= |lenA - lenB|, so any pair whose
+      // length gap alone puts it under minSim can skip the O(len^2) edit
+      // computation without changing the result
+      .filter(abs(length(col("__nL")) - length(col("__nR"))).cast("double")
+        <= (lit(1.0) - minSim) *
+          greatest(length(col("__nL")), length(col("__nR")), lit(1)).cast("double"))
       .withColumn("name_sim",
         round((lit(1.0) - levenshtein(col("__nL"), col("__nR")).cast("double") /
             greatest(length(col("__nL")), length(col("__nR")), lit(1)).cast("double"))

@@ -2362,6 +2362,14 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // streaming twin: digit counts are additive — identical oracle
+    "stream_benford" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bm = new graft.streaming.Streaming.BenfordMonitor("value")
+      (0 until 5).foreach(b => bm.update(ev.filter(col("event_id") % 5 === b)))
+      bm.audit.orderBy(col("digit"))
+    }),
+
     // exact Gini concentration of events per user: count table →
     // count-of-counts (bounded), cumulative self-join, DECIMAL(38,0)
     // trapezoid terms, ONE double divide — the inequality audit next to
@@ -2964,6 +2972,30 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, score, gumbel_key FROM g
          ORDER BY gumbel_key DESC, doc_id LIMIT 50"""
+
+  /** Benford replay — shared by `stats_benford` and `stream_benford`
+    * (digit counts are additive).
+    */
+  private val benfordOracleSql =
+    """WITH v AS (
+           SELECT CAST(floor(value) AS BIGINT) AS n FROM events
+           WHERE floor(value) >= 1),
+         d AS (
+           SELECT CAST(substr(n::VARCHAR, 1, 1) AS INT) AS digit,
+             count(*) AS n
+           FROM v GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+         g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+         b AS (
+           SELECT g.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+             round(CAST(coalesce(d.n, 0)::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE
+               AS obs_frac,
+             round(CAST(ln(1.0 + 1.0 / g.digit) / ln(10.0) AS DECIMAL(18,8)), 6)::DOUBLE
+               AS exp_frac
+           FROM g LEFT JOIN d ON g.digit = d.digit CROSS JOIN t)
+         SELECT digit, n, obs_frac, exp_frac,
+           round(CAST(obs_frac - exp_frac AS DECIMAL(18,8)), 6)::DOUBLE AS dev
+         FROM b ORDER BY digit"""
 
   /** linkage replay (normalization, (nation, prefix) block, levenshtein
     * similarity) — shared by `link_customers` and `stream_link`.
@@ -6876,27 +6908,10 @@ object SparkEntry {
          FROM b CROSS JOIN t ORDER BY x_bin, y_bin""",
 
     // Benford replay: BIGINT-string first digits, 9-row rollup, the same
-    // ln(1+1/d)/ln(10) expected frequencies and rounded deviations
-    "stats_benford" ->
-      """WITH v AS (
-           SELECT CAST(floor(value) AS BIGINT) AS n FROM events
-           WHERE floor(value) >= 1),
-         d AS (
-           SELECT CAST(substr(n::VARCHAR, 1, 1) AS INT) AS digit,
-             count(*) AS n
-           FROM v GROUP BY 1),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
-         g AS (SELECT unnest(generate_series(1, 9)) AS digit),
-         b AS (
-           SELECT g.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
-             round(CAST(coalesce(d.n, 0)::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE
-               AS obs_frac,
-             round(CAST(ln(1.0 + 1.0 / g.digit) / ln(10.0) AS DECIMAL(18,8)), 6)::DOUBLE
-               AS exp_frac
-           FROM g LEFT JOIN d ON g.digit = d.digit CROSS JOIN t)
-         SELECT digit, n, obs_frac, exp_frac,
-           round(CAST(obs_frac - exp_frac AS DECIMAL(18,8)), 6)::DOUBLE AS dev
-         FROM b ORDER BY digit""",
+    // ln(1+1/d)/ln(10) expected frequencies and rounded deviations;
+    // digit counts are additive so the streaming twin shares it
+    "stats_benford" -> benfordOracleSql,
+    "stream_benford" -> benfordOracleSql,
 
     // Gini replay: count-of-counts, cumulative mass self-join, the same
     // decimal-staged trapezoid and single final divide; counts are

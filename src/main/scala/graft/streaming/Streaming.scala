@@ -525,6 +525,57 @@ object Streaming {
       found = MonitorState.load(spark, dir, "found")
   }
 
+  /** Streaming Benford monitor — continuous fabricated-numbers screening:
+    * first-digit counts are ADDITIVE, so the ≤9-row accreted state equals
+    * the one-pass table and the deviation readout is bit-identical to the
+    * batch [[graft.functions.Stats.benfordAudit]]. A metrics column whose
+    * digit profile drifts mid-stream changed its generator. Wire with
+    * [[foreachBatchMerge]]`(stream, bm.update)`.
+    */
+  class BenfordMonitor(valueCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's first digits into the ≤9-row count state */
+    def update(batch: DataFrame): Unit = {
+      val bc = batch.select(floor(col(valueCol)).cast("long").as("__n"))
+        .filter(col("__n") >= 1)
+        .select(substring(col("__n").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("digit")).agg(sum(col("n")).as("n"))
+      }))
+    }
+
+    /** current deviation table — equals the batch benfordAudit */
+    def audit: DataFrame = {
+      val st = counts.getOrElse(
+        throw new IllegalStateException("no batches ingested"))
+      val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+      val tot = broadcast(st.agg(sum(col("n")).as("__tot")))
+      st.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+        .join(st, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+        .crossJoin(tot)
+        .select(col("digit"), col("n"),
+          round((col("n").cast("double") / col("__tot")).cast(dec), 6)
+            .cast("double").as("obs_frac"),
+          round((log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))).cast(dec), 6)
+            .cast("double").as("exp_frac"))
+        .withColumn("dev",
+          round((col("obs_frac") - col("exp_frac")).cast(dec), 6).cast("double"))
+    }
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming Gumbel-top-k selection — continuous softmax sampling over
     * an unbounded scored stream with CONSTANT state: because
     * [[graft.functions.Sampling.gumbelTopK]] keys are deterministic

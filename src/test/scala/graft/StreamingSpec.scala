@@ -674,6 +674,24 @@ class StreamingSpec extends SparkSpec {
     assert(skewMap(km4.skew(20)) == batchSkew)
   }
 
+  test("benford monitor: additive digit counts make the audit batch-exact, survive restart") {
+    val ev = spark.read.parquet(stagedDir)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val batch = toMap(graft.functions.Stats.benfordAudit(ev, "value"))
+    val bm = new Streaming.BenfordMonitor("value")
+    (0 until 5).foreach(b => bm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(toMap(bm.audit) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("bf_state").toString
+    val bm2 = new Streaming.BenfordMonitor("value")
+    (0 until 2).foreach(b => bm2.update(ev.filter(col("event_id") % 5 === b)))
+    bm2.saveState(ckpt)
+    val bm3 = new Streaming.BenfordMonitor("value")
+    bm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => bm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(toMap(bm3.audit) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -599,6 +599,19 @@ object SparkEntry {
       tm.matrix.orderBy(col("from_type"), col("to_type"))
     }),
 
+    // streaming inter-arrival monitor (batch replay of 5 time-ordered
+    // batches): carried last event per (user,type) closes cross-batch
+    // gaps exactly once — same oracle as the batch operator
+    "stream_interarrival" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val im = new graft.streaming.Streaming.InterarrivalMonitor(
+        "user_id", "event_type", "ts", "event_id",
+        widthSeconds = 600L, capBuckets = 144)
+      (0 until 5).foreach(b =>
+        im.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
+      im.histogram.orderBy(col("event_type"), col("gap_bucket"))
+    }),
+
     // streaming Count-Min monitor (batch replay of 5 batches): the CMS is
     // a LINEAR sketch, so the accreted cells are bit-identical to the
     // one-pass corpus build — same oracle as sketch_cms
@@ -1114,6 +1127,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // degree distribution of the shared-boilerplate graph (low-containment
+    // edges chain through common phrases, unlike the near-dup cliques):
+    // the template-mass diagnostic — two keyed aggregations, output
+    // bounded by max degree
+    "graph_degree_hist" -> ((s, dir) => {
+      graft.functions.Graphs.degreeHistogram(
+        Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxDf = 64, minShared = 2, minContain = 0.08))
+        .orderBy(col("degree"))
+    }),
+
+    // neighborhood-Jaccard link prediction: non-edge pairs sharing common
+    // neighbors, scored in exact permille — recovers pairs the candidate
+    // screen missed; hub-capped length-2 path join, never all-pairs
+    "graph_jaccard" -> ((s, dir) => {
+      graft.functions.Graphs.neighborJaccard(
+        Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxDf = 64, minShared = 2, minContain = 0.08),
+        maxDegree = 64L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // chunk-level exact dedup (paragraph-granularity generalized to fixed
     // 10-token windows): duplicated chunks with occurrence/document counts —
     // one shuffle keyed by the chunk digest
@@ -1536,6 +1571,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // band join |a.value − b.value| ≤ tol with no equi key beyond the type:
+    // tol-sized buckets, probe side explodes ×3, shuffled hash join + exact
+    // predicate — never a nested-loop; a 1/101 probe slice bands against
+    // the full stream
+    "join_band" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val probes = ev.filter(col("event_id") % 101 === 0)
+        .select(col("event_id").as("probe_id"), col("event_type").as("probe_type"),
+          col("value").as("probe_value"))
+      val base = ev.select(col("event_id").as("match_id"),
+        col("event_type").as("match_type"), col("value").as("match_value"))
+      graft.core.Joins.bandJoin(probes, "probe_value", base, "match_value",
+          tol = 0.05, keys = Seq("probe_type" -> "match_type"))
+        .filter(col("probe_id") =!= col("match_id"))
+        .select(col("probe_id"), col("match_id"), col("probe_value"), col("match_value"))
+        .orderBy(col("probe_id"), col("match_id"))
+    }),
+
     // generic as-of join (merge_asof/aj): each purchase picks the user's
     // most recent click at-or-before it — union-tag + ONE user-keyed carry
     // window, never a per-key range join; 2h staleness tolerance exercised
@@ -1704,6 +1757,14 @@ object SparkEntry {
         t(s, dir, "embeddings")
           .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v")), "v")
         .orderBy(col("dim"))
+    }),
+
+    // covariance submatrix of the first 8 embedding dims: redundant-
+    // capacity audit — ONE scan+reduce with a column per pair (zero row
+    // expansion), decimal-staged exact sums, stack-unpivoted pair table
+    "stats_embedding_cov" -> ((s, dir) => {
+      Vectors.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 0 to 7)
+        .orderBy(col("dim_i"), col("dim_j"))
     }),
 
     // embedding snapshot drift: per-dimension profile deltas between the
@@ -2112,6 +2173,17 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameFeatures(
         graft.multimodal.Multimodal.sampleFrames(
           graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // scene-cut detection: per-frame aHash (REAL decode, exact integer
+    // threshold) then ONE video-keyed lag window — hamming between
+    // consecutive frames, pixels never shuffle; threshold 16 of 64 bits
+    "mm_scenecut" -> ((s, dir) => {
+      graft.multimodal.Multimodal.sceneCuts(
+        graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))),
+        threshold = 16)
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
@@ -2593,6 +2665,16 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // inter-arrival distribution: 10-minute-bucket histogram of gaps
+    // between a user's consecutive same-type events — ONE (user,type)-keyed
+    // lag window + ONE bounded rollup; the retry-storm / polling-bug shape
+    "events_interarrival" -> ((s, dir) => {
+      graft.functions.Events.interarrivalHistogram(events(s, dir),
+          "user_id", "event_type", "ts", "event_id",
+          widthSeconds = 600L, capBuckets = 144)
+        .orderBy(col("event_type"), col("gap_bucket"))
+    }),
+
     // entry-path analysis: each user's first-3 event-type prefix counted
     // across users — ONE user-keyed window, rows beyond depth dropped
     // before the bounded per-user rollup
@@ -2636,6 +2718,18 @@ object SparkEntry {
         ev.filter(col("event_type") === "click").select(col("value")),
         ev.filter(col("event_type") === "purchase").select(col("value")),
         "value", width = 5.0)
+    }),
+
+    // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
+    // without resampling-by-index — every replicate is two more agg columns
+    // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
+    // exact in decimal; 16 replicate means come back as 16 rows
+    "stats_bootstrap" -> ((s, dir) => {
+      graft.functions.Stats.poissonBootstrap(
+          t(s, dir, "orders"), "o_orderkey", "o_totalprice", replicates = 16)
+        .select(col("rep"), col("n_eff"),
+          dround(col("boot_sum").cast(DoubleType) / col("n_eff"), 4).as("boot_mean"))
+        .orderBy(col("rep"))
     }),
 
     // per-group quantiles: each event type's own p50/p90 value threshold —
@@ -3187,6 +3281,24 @@ object SparkEntry {
        SELECT path, depth, count(*) AS n_users
        FROM p GROUP BY path, depth ORDER BY path"""
 
+  /** inter-arrival oracle: (user,type)-keyed lag gaps, capped integer
+    * floor-divide buckets — shared by the batch operator and its
+    * streaming twin (carried-last-event parity)
+    */
+  private val interarrivalOracleSql =
+    """WITH g AS (
+         SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+         FROM events),
+       b AS (
+         SELECT event_type,
+           CAST(least(gap // 600000000, 144) AS BIGINT) AS gap_bucket
+         FROM g WHERE gap IS NOT NULL)
+       SELECT event_type, gap_bucket,
+         CAST(gap_bucket * 600 AS BIGINT) AS lo_s, count(*) AS n_gaps
+       FROM b GROUP BY 1, 2 ORDER BY event_type, gap_bucket"""
+
   private val nearDupEdgesSql =
     s"""norm AS (
          SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -3204,6 +3316,68 @@ object SparkEntry {
        edges AS (
          SELECT id_a AS src, id_b AS dst FROM pairs
          UNION SELECT id_b, id_a FROM pairs)"""
+
+  /** symmetrized edge set of the shared-boilerplate graph: the
+    * containmentPairs screen (df ≤ 64 shingles, ≥ 2 shared, staged-decimal
+    * containment ≥ 0.08) — low-containment edges chain through common
+    * phrases, giving the graph genuine distance-2 structure the near-dup
+    * cliques lack
+    */
+  private val boilerplateEdgesSql =
+    s"""norm AS (
+         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       sh0 AS (
+         SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(0, len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
+         FROM norm),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+       dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
+       bcand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         JOIN dfreq d ON d.sh = a.sh
+         WHERE d.df <= 64
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       bpairs AS (
+         SELECT id_a, id_b FROM bcand
+         JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE round(CAST(shared::DOUBLE / least(sa.sz, sb.sz)
+           AS DECIMAL(18,8)), 6) >= 0.08),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM bpairs
+         UNION SELECT id_b, id_a FROM bpairs)"""
+
+  /** Covariance-submatrix oracle: one aggregate row with a DECIMAL(30,10)
+    * sum per dim and per pair (the identical staging the Spark side uses),
+    * unioned out to the (dim_i, dim_j) table with the same divide order.
+    */
+  private def covOracleSql(dims: Seq[Int]): String = {
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
+    val sumCols = dims.map(d =>
+      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
+    val pairCols = pairs.map { case (a, b) =>
+      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
+    }.mkString(",\n           ")
+    val branches = pairs.map { case (a, b) =>
+      s"SELECT $a AS dim_i, $b AS dim_j, n, s$a AS sx, s$b AS sy, p${a}_$b AS sxy FROM a"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH a AS (
+         SELECT count(*) AS n,
+           $sumCols,
+           $pairCols
+         FROM embeddings WHERE embedding IS NOT NULL),
+       l AS (
+           $branches)
+       SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n,
+         round(CAST(CAST(sx AS DOUBLE) / n AS DECIMAL(18,8)), 6)::DOUBLE AS mean_i,
+         round(CAST(CAST(sy AS DOUBLE) / n AS DECIMAL(18,8)), 6)::DOUBLE AS mean_j,
+         round(CAST(CAST(sxy AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+           AS DECIMAL(18,8)), 6)::DOUBLE AS cov
+       FROM l ORDER BY dim_i, dim_j"""
+  }
 
   /** PQ-ADC oracle: retrains all four per-subspace codebooks (id-seeded
     * init, one Lloyd round, decimal-exact means — the sim_kmeans replay,
@@ -4249,6 +4423,36 @@ object SparkEntry {
                + (85 * CAST(sum(i2."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
            FROM ed JOIN i2 ON ed.src = i2.node GROUP BY ed.dst)
          SELECT node, "rank" FROM i3 ORDER BY node""",
+
+    // degree-histogram replay: same containment pair screen, symmetrized,
+    // two aggregations
+    "graph_degree_hist" ->
+      s"""WITH $boilerplateEdgesSql,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+         SELECT CAST(deg AS BIGINT) AS degree, count(*) AS n_nodes
+         FROM deg GROUP BY deg ORDER BY degree""",
+
+    // neighbor-Jaccard replay: hub-capped length-2 paths, anti-join against
+    // existing edges, exact permille floor division
+    "graph_jaccard" ->
+      s"""WITH $boilerplateEdgesSql,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         centers AS (SELECT src FROM deg WHERE deg <= 64),
+         thru AS (SELECT e.src, e.dst FROM edges e JOIN centers c USING (src)),
+         cand AS (
+           SELECT x.dst AS id_a, y.dst AS id_b, count(*) AS common
+           FROM thru x JOIN thru y ON x.src = y.src AND x.dst < y.dst
+           GROUP BY x.dst, y.dst),
+         newp AS (
+           SELECT c.* FROM cand c
+           LEFT JOIN edges e ON e.src = c.id_a AND e.dst = c.id_b
+           WHERE e.src IS NULL)
+         SELECT n.id_a, n.id_b, CAST(n.common AS BIGINT) AS common,
+           CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+           CAST((1000 * n.common) // (da.deg + db.deg - n.common) AS BIGINT)
+             AS jaccard_pm
+         FROM newp n JOIN deg da ON da.src = n.id_a JOIN deg db ON db.src = n.id_b
+         ORDER BY n.id_a, n.id_b""",
 
     // temporal-split replay: same day calendar, same ceil(0.8·n) cut rank
     // (identical IEEE double product, so the boundary day agrees), same
@@ -5758,6 +5962,10 @@ object SparkEntry {
            min(x) AS lo, max(x) AS hi
          FROM x GROUP BY dim ORDER BY dim""",
 
+    // covariance replay: same per-pair exact decimal sums (generated by
+    // the same dims loop the Spark side uses), same divide order
+    "stats_embedding_cov" -> covOracleSql(0 to 7),
+
     // drift replay: the profile replay twice (old slice, perturbed new
     // snapshot), deltas on the already-rounded 6dp values
     "curate_embedding_drift" ->
@@ -5921,6 +6129,32 @@ object SparkEntry {
            list_sum(g) / 64.0 / 255.0 AS mean_px,
            list_max(g) / 255.0 AS max_px
          FROM px ORDER BY doc_id, frame_no""",
+
+    // scene-cut replay: aHash bits from the pixel formula (exact integer
+    // threshold px·64 ≥ Σpx), consecutive-frame self-join, bit_count(xor)
+    "mm_scenecut" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
+         px AS (
+           SELECT doc_id, frame_no, list_transform(range(0, 64),
+             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
+           FROM f),
+         h AS (
+           SELECT doc_id, frame_no,
+             list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS lo,
+             list_sum(list_transform(range(32, 64),
+               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
+                 THEN (1::BIGINT << (i-32)) ELSE 0::BIGINT END))::BIGINT AS hi
+           FROM px),
+         p AS (
+           SELECT a.doc_id, a.frame_no,
+             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+           FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.frame_no = a.frame_no - 1)
+         SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(hamming AS INTEGER) AS hamming, hamming >= 16 AS is_cut
+         FROM p ORDER BY doc_id, frame_no""",
 
     "mm_features" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
@@ -7184,6 +7418,27 @@ object SparkEntry {
            round(sum(term), 6)::DOUBLE AS psi
          FROM terms GROUP BY na, nb""",
 
+    // Poisson bootstrap replay: same md5 buckets, same inverse-CDF weight
+    // thresholds, exact decimal weighted sums, one divide + staged round
+    "stats_bootstrap" ->
+      """WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+         w AS (
+           SELECT rep, o_totalprice,
+             ('0x'||substr(md5(o_orderkey::VARCHAR || 'boot' || rep::VARCHAR),1,15))::BIGINT
+               % 1000000000 AS bkt
+           FROM orders CROSS JOIN reps),
+         wt AS (
+           SELECT rep, o_totalprice,
+             CASE WHEN bkt < 367879441 THEN 0 WHEN bkt < 735758882 THEN 1
+                  WHEN bkt < 919698603 THEN 2 WHEN bkt < 981011843 THEN 3
+                  WHEN bkt < 996340153 THEN 4 WHEN bkt < 999405815 THEN 5
+                  WHEN bkt < 999916759 THEN 6 ELSE 7 END AS w
+           FROM w)
+         SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           round(CAST(CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / sum(w) AS DECIMAL(18,8)), 4)::DOUBLE AS boot_mean
+         FROM wt GROUP BY rep ORDER BY rep""",
+
     // KS replay: same bins, same cumulative self-join, same exact decimal
     // cross-difference and single division
     "stats_ks_drift" ->
@@ -7259,6 +7514,24 @@ object SparkEntry {
          SELECT user_id, n_events, n_gaps, mean_gap_s, std_gap_s,
            n_gaps >= 10 AND std_gap_s < mean_gap_s * 0.1 AS robotic
          FROM m ORDER BY user_id""",
+
+    // inter-arrival replay: same (user,type)-keyed lag, capped integer
+    // floor-divide buckets
+    "events_interarrival" -> interarrivalOracleSql,
+    // with per-user time-ordered batches the carried last event closes
+    // cross-batch gaps exactly once — identical oracle
+    "stream_interarrival" -> interarrivalOracleSql,
+
+    // band-join replay: the exact |a−b| ≤ tol predicate over the plain
+    // join (DuckDB can afford the nested loop at oracle scale)
+    "join_band" ->
+      """SELECT a.event_id AS probe_id, b.event_id AS match_id,
+           a.value AS probe_value, b.value AS match_value
+         FROM events a JOIN events b
+           ON a.event_type = b.event_type
+           AND abs(a.value - b.value) <= 0.05
+         WHERE a.event_id % 101 = 0 AND a.event_id <> b.event_id
+         ORDER BY probe_id, match_id""",
 
     // entry-path replay: same ranking window, per-user ordered list join
     "events_paths" -> entryPathsOracleSql,

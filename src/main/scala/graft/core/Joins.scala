@@ -1,8 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, explode, floor, lit,
-  raise_error, sequence, when, xxhash64}
+import org.apache.spark.sql.functions.{abs, array, broadcast, col, explode,
+  floor, lit, raise_error, sequence, when, xxhash64}
 
 /** Size-aware join-side policy.
   *
@@ -312,5 +312,45 @@ object Joins {
     fresh.select((col("__pid").as(pIdCol) +: col(keyCol) +: col(timeCol) +:
       payload.map(f => when(col("__ok"), col(s"__c.$f")).as(f))) :+
       when(col("__ok"), col("__c.__qt")).as("quote_time"): _*)
+  }
+
+  /** Bucketed band join — the scale-safe plan for `|a.x − b.x| ≤ tol` with
+    * no equi key (price-proximity matching, sensor cross-validation,
+    * numeric blocking for record linkage). The bare distance predicate has
+    * no equality to hash on, so Catalyst plans BroadcastNestedLoopJoin —
+    * |A|×|B| comparisons, dead at scale. Decomposition: quantize the axis
+    * into `tol`-sized buckets; a right row lands in exactly ONE bucket and
+    * any left partner within tol lies in the left row's bucket ±1, so the
+    * left side explodes into its three probe buckets, equi-joins on
+    * (`keys`, bucket), and the exact `abs(l − r) ≤ tol` predicate prunes
+    * the candidates — a plain shuffled hash join with 3× expansion of the
+    * LEFT side only (put the smaller side left).
+    *
+    * Exactly-once without dedup: the three probe buckets are distinct and
+    * the right row occupies one bucket, so each qualifying pair meets in
+    * exactly one bucket. Integral axes with whole-number tolerances bucket
+    * in exact integer arithmetic (the [[intervalJoin]] 2^53 rationale).
+    * `keys` are (leftCol, rightCol) equi-key pairs applied inside the same
+    * hash join; name them distinctly (both frames' columns survive).
+    *
+    * Returns the inner join (all columns from both sides) for
+    * `abs(lCol − rCol) ≤ tol` — the predicate evaluates as the single IEEE
+    * `abs`/`−`/`≤` sequence, engine-reproducible.
+    */
+  def bandJoin(left: DataFrame, lCol: String, right: DataFrame, rCol: String,
+               tol: Double, keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(tol > 0, "tol must be positive")
+    val useInt = tol.isWhole && isIntegral(left.schema(lCol).dataType) &&
+      isIntegral(right.schema(rCol).dataType)
+    def bk(c: Column): Column =
+      if (useInt) exactFloorDiv(c, tol.toLong) else floor(c / tol).cast("long")
+    val l = left.filter(col(lCol).isNotNull)
+      .withColumn("__bk", explode(array(bk(col(lCol)) - 1, bk(col(lCol)), bk(col(lCol)) + 1)))
+    val r = right.filter(col(rCol).isNotNull).withColumn("__bkr", bk(col(rCol)))
+    val cond = keys.foldLeft(
+      l("__bk") === r("__bkr") && abs(col(lCol) - col(rCol)) <= tol) {
+      case (c, (lk, rk)) => c && l(lk) === r(rk)
+    }
+    l.join(r, cond).drop("__bk", "__bkr")
   }
 }

@@ -549,6 +549,45 @@ object Events {
           col("std_gap_s") < col("mean_gap_s") * cvMax)
   }
 
+  /** Inter-arrival-time distribution: histogram of the gaps between a
+    * user's consecutive events of the same type — the corpus-level
+    * complement to [[cadence]]'s per-user profile (cadence flags ONE
+    * robotic user; this shows whether the whole stream's timing mass sits
+    * at human or scripted scales, the shape retry storms and SDK polling
+    * bugs show up in).
+    *
+    * Scale shape: ONE (user, type)-keyed lag window over the stream (the
+    * sessionization discipline — the partition count is users×types, never
+    * one), then ONE map-side-combined rollup to the bounded
+    * |types|×(cap+1) histogram. Gaps are exact micros longs; the bucket is
+    * integer floor division capped at `capBuckets` (the overflow bucket
+    * absorbs the long tail so output stays bounded no matter the time
+    * span).
+    *
+    * Returns (typeCol, gap_bucket, lo_s, n_gaps): bucket k covers
+    * [k·width, (k+1)·width) seconds, `lo_s` its inclusive lower edge, the
+    * cap bucket is open-ended.
+    */
+  def interarrivalHistogram(df: DataFrame, userCol: String, typeCol: String,
+                            tsCol: String, idCol: String,
+                            widthSeconds: Long = 600L,
+                            capBuckets: Int = 144): DataFrame = {
+    require(widthSeconds > 0 && capBuckets > 0,
+      "widthSeconds and capBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(typeCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col(typeCol),
+        least(expr(s"__gap div ${widthSeconds * 1000000L}"),
+          lit(capBuckets.toLong)).as("gap_bucket"))
+      .groupBy(col(typeCol), col("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("lo_s", col("gap_bucket") * widthSeconds)
+      .select(col(typeCol), col("gap_bucket"), col("lo_s"), col("n_gaps"))
+  }
+
   /** Seasonal-naive forecast audit: predict each (type, day)'s volume as
     * the volume `period` days earlier and score the prediction — the
     * baseline every anomaly/capacity model must beat, and the cheap

@@ -77,4 +77,75 @@ object Graphs {
     }
     ranks
   }
+
+  /** symmetrized, deduplicated edge frame from an unordered pair frame —
+    * both orientations out of ONE pass over the (expensive) pair input
+    */
+  private def symmetrize(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst")).distinct()
+
+  /** Degree distribution of the pair graph: how many nodes have each
+    * degree — the first diagnostic read on any near-dup graph (a heavy
+    * high-degree tail means template mass / hub documents that will blow up
+    * downstream pairwise work; see [[neighborJaccard]]'s hub cap).
+    *
+    * Scale shape: two keyed hash aggregations (node → degree, degree →
+    * count), both map-side combined; output is bounded by the max degree,
+    * not the corpus. Returns (degree, n_nodes).
+    */
+  def degreeHistogram(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame =
+    symmetrize(pairs, idA, idB)
+      .groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Neighborhood-Jaccard link prediction over the pair graph: for every
+    * NON-edge pair (a, b) that shares at least one common neighbor, score
+    * the pair by Jaccard of the two neighborhoods — the classic "these two
+    * documents never matched directly, but they match the same third
+    * documents" signal that recovers near-dup pairs the banding missed
+    * (LSH recall is < 1 by construction; the graph closes part of the gap).
+    *
+    * Candidate generation walks length-2 paths THROUGH each node, so a hub
+    * of degree d would emit d² candidates; nodes with degree > `maxDegree`
+    * are excluded as path centers (their neighbor pairs are template mass,
+    * already condemned wholesale by cluster-level ops). `common` therefore
+    * counts common neighbors of degree ≤ `maxDegree`, while deg_a/deg_b and
+    * the Jaccard denominator use FULL degrees. The score is scaled-integer
+    * permille — `(1000·common) div (deg_a + deg_b − common)` — exact and
+    * engine-reproducible.
+    *
+    * Scale shape: the edge frame freezes once and feeds center-filtered
+    * self-join + degree lookups; the self-join is keyed on the center node
+    * with the hub cap bounding per-key fan-out at maxDegree², and the
+    * candidate aggregation is map-side combined on the (a, b) key. The
+    * anti-join against existing edges is one more keyed shuffle. Never an
+    * all-pairs step. Returns (id_a, id_b, common, deg_a, deg_b, jaccard_pm)
+    * with id_a < id_b.
+    */
+  def neighborJaccard(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxDegree: Long = 64L): DataFrame = {
+    require(maxDegree >= 1, "maxDegree must be positive")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val edges = bridge.freeze(symmetrize(pairs, idA, idB))
+    val deg = bridge.freeze(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val centers = deg.filter(col("deg") <= maxDegree).select(col("src"))
+    val thru = bridge.freeze(edges.join(centers, Seq("src")))
+    val cand = thru.as("x").join(thru.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("id_a"), col("y.dst").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val existing = edges.select(col("src").as("id_a"), col("dst").as("id_b"))
+    cand.join(existing, Seq("id_a", "id_b"), "left_anti")
+      .join(deg.select(col("src").as("id_a"), col("deg").as("deg_a")), Seq("id_a"))
+      .join(deg.select(col("src").as("id_b"), col("deg").as("deg_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        expr("(1000 * common) div (deg_a + deg_b - common)").as("jaccard_pm"))
+  }
 }

@@ -825,4 +825,56 @@ object Stats {
           .otherwise(col("__raw")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 2)
           .cast("double").as("est_distinct"))
   }
+
+  /** Deterministic Poisson(1) resample weight for one bootstrap replicate:
+    * the row's md5 bucket (in [0, 10⁹)) falls through the Poisson(1)
+    * inverse CDF, with the tail capped at 7 (P(X>7) ≈ 1.02e-5 — the cap is
+    * documented bias far below bootstrap noise). Hash-derived, so the same
+    * row draws the same weight in every run and on every engine.
+    */
+  def poissonWeight(idCol: Column, salt: String): Column = {
+    val b = Sampling.hash60(idCol, salt) % 1000000000L
+    when(b < 367879441L, 0L).when(b < 735758882L, 1L)
+      .when(b < 919698603L, 2L).when(b < 981011843L, 3L)
+      .when(b < 996340153L, 4L).when(b < 999405815L, 5L)
+      .when(b < 999916759L, 6L).otherwise(7L)
+  }
+
+  /** Poisson bootstrap of a column mean (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — Google's bootstrap for data
+    * too large to resample by index): replicate b reweights each row by an
+    * independent Poisson(1) draw, which converges to the classical
+    * multinomial bootstrap as n grows, but needs NO sampling with
+    * replacement — the weight is a pure per-row function.
+    *
+    * Scale shape: ONE scan, ONE reduce — every replicate is just another
+    * pair of aggregate columns (Σw, Σw·x) in the same map-side-combined
+    * aggregation, so 100 TB is read once for any number of replicates and
+    * nothing is exploded or shuffled; the B-column single row then unpivots
+    * (`stack`) to a B-row frame driver-free. Weighted sums stage in
+    * DECIMAL(38,4) (weights are small longs, values 2dp), so each
+    * replicate's sum is exact and order-independent.
+    *
+    * Returns one row per replicate: (rep, n_eff, boot_sum) — callers derive
+    * the replicate mean and read CI bounds off the B-row frame.
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       replicates: Int = 16, salt: String = "boot"): DataFrame = {
+    require(replicates > 0, "replicates must be positive")
+    // weight is ≤ 7 → DECIMAL(2,0); product DECIMAL(21,4) stays exact and
+    // far from the 38-digit cap even summed over 10¹⁵ rows
+    val wDec = org.apache.spark.sql.types.DecimalType(2, 0)
+    val vDec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val aggs = (0 until replicates).flatMap { r =>
+      val w = poissonWeight(col(idCol), s"$salt$r")
+      Seq(sum(w).as(s"__n$r"),
+        sum(w.cast(wDec) * col(valueCol).cast(vDec)).as(s"__s$r"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until replicates)
+      .map(r => s"$r, __n$r, cast(__s$r as decimal(38,4))").mkString(", ")
+    row.selectExpr(s"stack($replicates, $stackArgs) as (rep, n_eff, boot_sum)")
+      .select(col("rep").cast("int").as("rep"),
+        col("n_eff").cast("long").as("n_eff"), col("boot_sum"))
+  }
 }

@@ -318,6 +318,54 @@ object Vectors {
             .cast("double")).as("std_ratio"))
   }
 
+  /** Covariance submatrix over selected embedding dimensions — the
+    * second-moment audit behind [[dimensionProfile]]: correlated dims mean
+    * redundant capacity (a candidate for MRL truncation), near-zero rows
+    * mean dead dims, and a covariance that drifts between snapshots is the
+    * early warning [[profileDrift]]'s per-dim means can't see. Dims are
+    * chosen by the caller (typically the ones dimensionProfile flagged) —
+    * the full d×d matrix at corpus scale is d²·n products, so the audit is
+    * explicitly a SUBMATRIX op.
+    *
+    * Scale shape: ONE scan, ONE reduce, ZERO row expansion — each of the
+    * k per-dim sums and k(k+1)/2 pairwise product sums is just another
+    * aggregate column in the same map-side-combined aggregation (the
+    * poissonBootstrap discipline), and the single result row unpivots
+    * (`stack`) to the pair table driver-free. Element products of
+    * float-widened doubles are exact; each term stages in DECIMAL(30,10)
+    * before the order-independent sum (the [[dimensionProfile]] staging),
+    * so the matrix is engine-reproducible.
+    *
+    * Returns (dim_i, dim_j, n, mean_i, mean_j, cov) for i ≤ j over `dims`;
+    * cov = E[xy] − E[x]E[y] with single IEEE divides of exact sums, 6dp.
+    */
+  def covarianceMatrix(corpus: DataFrame, vecCol: String,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.distinct.size == dims.size,
+      "dims must be non-empty and distinct")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def x(d: Int) = element_at(col(vecCol), d + 1).cast("double")
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
+    val aggs = (count(lit(1)).as("__n") +:
+      dims.map(d => sum(x(d).cast(dec)).as(s"__s$d"))) ++
+      pairs.map { case (a, b) => sum((x(a) * x(b)).cast(dec)).as(s"__p${a}_$b") }
+    val row = corpus.filter(col(vecCol).isNotNull).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"$a, $b, __n, cast(__s$a as decimal(30,10)), cast(__s$b as decimal(30,10)), cast(__p${a}_$b as decimal(30,10))"
+    }.mkString(", ")
+    val long = row.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) as (dim_i, dim_j, n, sx, sy, sxy)")
+    val mi = col("sx").cast("double") / col("n")
+    val mj = col("sy").cast("double") / col("n")
+    long.select(col("dim_i").cast("int").as("dim_i"),
+      col("dim_j").cast("int").as("dim_j"), col("n"),
+      round(mi.cast(dec8), 6).cast("double").as("mean_i"),
+      round(mj.cast(dec8), 6).cast("double").as("mean_j"),
+      round((col("sxy").cast("double") / col("n") - mi * mj).cast(dec8), 6)
+        .cast("double").as("cov"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
     * minimize the maximum intercluster distance") — coverage-maximizing
     * data selection: start from the smallest id, then repeatedly pick the

@@ -666,6 +666,66 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-frame perceptual hash over [[sampleFrames]] output: the
+    * [[imageHashes]] aHash (exact integer threshold `px·n ≥ Σpx`) applied
+    * to each demuxed frame — the per-frame dedup/scene key.
+    *
+    * Returns (doc_id, frame_no, hash_hi, hash_lo).
+    */
+  def frameHashes(frames: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_no", IntegerType),
+      StructField("hash_hi", LongType), StructField("hash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frames.select(col("doc_id"), col("frame_no"), col("frame_bytes"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val dec = new ImageDecoder()
+          batch.iterator.map { r =>
+            val flat = dec.decode(r.getAs[Array[Byte]]("frame_bytes")).flatten
+            val total = flat.map(_.toLong).sum
+            var hi = 0L; var lo = 0L; var i = 0
+            while (i < flat.length && i < 64) {
+              if (flat(i).toLong * flat.length >= total) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            Row(r.getLong(0), r.getInt(1), hi, lo)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Scene-cut detection: Hamming distance between consecutive frames'
+    * perceptual hashes, flagged where it reaches `threshold` — the shot
+    * segmentation step of a video-curation pipeline (sample one keyframe
+    * per shot instead of per fixed stride). A hard cut replaces most of
+    * the image, so half the hash bits flip; smooth motion moves a few.
+    *
+    * Scale shape: REAL decode runs partition-local through the pooled
+    * reader ([[frameHashes]]), then ONE video-keyed lag window over the
+    * per-frame hash table (frames-per-video partitions, the
+    * sessionization discipline) — pixels never shuffle, only 2 longs per
+    * frame do. Hamming is exact `bit_count(xor)` on the split halves.
+    *
+    * Returns (doc_id, frame_no, hamming, is_cut) for frame_no ≥ 1.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Int = 16,
+                batchSize: Int = 64): DataFrame = {
+    require(threshold >= 0, "threshold must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frameHashes(frames, batchSize)
+      .withColumn("__phi", lag(col("hash_hi"), 1).over(w))
+      .withColumn("__plo", lag(col("hash_lo"), 1).over(w))
+      .filter(col("__phi").isNotNull)
+      .select(col("doc_id"), col("frame_no"),
+        (bit_count(expr("hash_hi ^ __phi")) + bit_count(expr("hash_lo ^ __plo")))
+          .cast("int").as("hamming"))
+      .withColumn("is_cut", col("hamming") >= threshold)
+  }
+
   /** Frame sampling for video-kind rows: demux offsets of the length-prefixed
     * container are fixed (constant frame size), so frame extraction stays a
     * columnar substring — distributed and row-parallel, no decode needed for

@@ -893,6 +893,77 @@ object Streaming {
     }
   }
 
+  /** Streaming inter-arrival monitor — accrete the
+    * [[graft.functions.Events.interarrivalHistogram]] gap histogram as
+    * micro-batches arrive: the live retry-storm / polling-bug detector.
+    * State is the bounded |types|×(cap+1) histogram plus ONE carried last
+    * event per (user, type) (the [[TransitionMonitor]] discipline). Under
+    * per-user time-ordered arrival, prepending the carried row to the
+    * batch and lagging over (user, type) yields exactly the gaps the batch
+    * closes — the carried row itself lags to NULL, so nothing double
+    * counts and parity with the batch operator is exact (StreamingSpec
+    * proves it, plus save/restore). Per-batch work: one batch-sized keyed
+    * window + two bounded merges — never a rescan of history.
+    */
+  class InterarrivalMonitor(userCol: String = "user_id",
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts", idCol: String = "event_id",
+                            widthSeconds: Long = 600L, capBuckets: Int = 144) {
+    require(widthSeconds > 0 && capBuckets > 0,
+      "widthSeconds and capBuckets must be positive")
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var hist: Option[DataFrame] = None // (event_type, gap_bucket, n_gaps)
+    private var lastEvent: Option[DataFrame] = None // (__u, __ty, __t, __id)
+
+    /** fold one micro-batch of raw events into histogram + last-event state */
+    def update(batch: DataFrame): Unit = {
+      val b = batch.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        unix_micros(col(tsCol)).as("__t"), col(idCol).as("__id"))
+      val events = lastEvent match {
+        case None => b
+        case Some(le) => le.unionByName(b)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__u"), col("__ty")).orderBy(col("__t"), col("__id"))
+      val frozen = bridge.freeze(events
+        .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+        .withColumn("__last",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__u"), col("__ty"))
+            .orderBy(col("__t").desc, col("__id").desc))))
+      val newGaps = frozen.filter(col("__gap").isNotNull)
+        .select(col("__ty").as("event_type"),
+          least(expr(s"__gap div ${widthSeconds * 1000000L}"),
+            lit(capBuckets.toLong)).as("gap_bucket"))
+        .groupBy(col("event_type"), col("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"))
+      hist = Some(bridge.freeze(hist match {
+        case None => newGaps
+        case Some(h) => h.unionByName(newGaps)
+          .groupBy(col("event_type"), col("gap_bucket"))
+          .agg(sum(col("n_gaps")).as("n_gaps"))
+      }))
+      lastEvent = Some(bridge.freeze(frozen.filter(col("__last") === 1)
+        .select(col("__u"), col("__ty"), col("__t"), col("__id"))))
+    }
+
+    /** accreted (event_type, gap_bucket, lo_s, n_gaps) histogram */
+    def histogram: DataFrame = hist
+      .getOrElse(throw new IllegalStateException("no batches ingested"))
+      .withColumn("lo_s", col("gap_bucket") * widthSeconds)
+      .select(col("event_type"), col("gap_bucket"), col("lo_s"), col("n_gaps"))
+
+    /** persist histogram + last-event state for crash-restart */
+    def saveState(dir: String): Unit = MonitorState.save(dir,
+      Map("hist" -> hist, "last" -> lastEvent))
+
+    /** restore both state tables from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit = {
+      hist = MonitorState.load(spark, dir, "hist")
+      lastEvent = MonitorState.load(spark, dir, "last")
+    }
+  }
+
   /** Streaming lateness monitor — the ingest data-quality audit: how many
     * arriving events are LATE, i.e. carry an event time older than the
     * high-watermark of everything already ingested minus `delay` — exactly

@@ -322,4 +322,27 @@ class EventsSpec extends SparkSpec {
     assert(out.filter(col("steps_completed") < 4 && col("step_4_ts").isNotNull).count() == 0)
     out.unpersist()
   }
+
+  test("interarrivalHistogram: gaps isolated per (user, type), tail capped") {
+    import spark.implicits._
+    val min = 60000000L // micros
+    val ev = Seq(
+      // user 1 clicks at 0, 5min, 25min → gaps of 5min (bucket 0) and
+      // 20min (bucket 2); its lone view contributes no gap
+      (1L, 1L, "click", 0L), (2L, 1L, "click", 5 * min), (3L, 1L, "click", 25 * min),
+      (4L, 1L, "view", 2 * min),
+      // user 2's click at 3min must NOT pair with user 1's stream;
+      // a 30-hour gap caps at the overflow bucket
+      (5L, 2L, "click", 3 * min), (6L, 2L, "click", 3 * min + 1800 * min)
+    ).toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val out = Events.interarrivalHistogram(ev, "user_id", "event_type", "ts",
+        "event_id", widthSeconds = 600L, capBuckets = 144)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("click", 0L) -> ((0L, 1L)),
+      ("click", 2L) -> ((1200L, 1L)),
+      ("click", 144L) -> ((86400L, 1L))), s"got $out")
+  }
 }

@@ -39,6 +39,37 @@ class GraphsSpec extends SparkSpec {
     assert(r(5L) == r(6L))
   }
 
+  test("degreeHistogram: star graph = one hub + n tied leaves") {
+    import spark.implicits._
+    val pairs = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val out = Graphs.degreeHistogram(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 5L -> 1L), s"got $out")
+  }
+
+  test("neighborJaccard: predicts the missing edge of a path, skips existing") {
+    import spark.implicits._
+    // path 1-2-3: (1,3) is the only distance-2 non-edge; jaccard = 1/1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graphs.neighborJaccard(path).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // deg(1)=deg(3)=1, common={2} → 1000·1 div (1+1−1) = 1000
+    assert(out == Map((1L, 3L) -> ((1L, 1L, 1L, 1000L))), s"got $out")
+    // triangle 1-2-3 complete: every candidate pair is already an edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graphs.neighborJaccard(tri).count() == 0)
+  }
+
+  test("neighborJaccard: hub cap suppresses candidates through heavy centers") {
+    import spark.implicits._
+    // star around 1 with 5 leaves: all leaf pairs go through the hub
+    val pairs = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    assert(Graphs.neighborJaccard(pairs, maxDegree = 64).count() == 10)
+    // cap below the hub degree: no path centers survive
+    assert(Graphs.neighborJaccard(pairs, maxDegree = 4).count() == 0)
+  }
+
   private implicit class ToSorted(a: Array[(Long, Long)]) {
     def toSortedMap: scala.collection.immutable.SortedMap[Long, Long] =
       scala.collection.immutable.SortedMap(a: _*)

@@ -219,4 +219,19 @@ class MultimodalSpec extends SparkSpec {
     val px = Multimodal.decodeImage(one.getAs[Array[Byte]]("frame_bytes"))
     assert(px(5)(6) == Multimodal.gray(docId, 2, 6, 5))
   }
+
+  test("sceneCuts: constant-shift frames read hamming 0, a wrap splice cuts") {
+    import spark.implicits._
+    // aHash is mean-relative, so frames whose pixels differ by a constant
+    // (no mod-256 wrap: base + 140 < 256) hash identically — hamming 0;
+    // splicing a frame whose base wraps (56·31 ≡ 200) flips 56 of 64 bits
+    val frames = Seq(
+      (1L, 0, Multimodal.encodeBmp(0, 0)),
+      (1L, 1, Multimodal.encodeBmp(0, 1)),
+      (1L, 2, Multimodal.encodeBmp(56, 0))
+    ).toDF("doc_id", "frame_no", "frame_bytes")
+    val out = Multimodal.sceneCuts(frames, threshold = 16)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getBoolean(3))).toMap
+    assert(out == Map(1 -> ((0, false)), 2 -> ((56, true))), s"got $out")
+  }
 }

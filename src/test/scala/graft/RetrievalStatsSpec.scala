@@ -615,4 +615,30 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(math.abs(out(1L) - 2.0 / 62.0) < 1e-6)
     assert(math.abs(out(2L) - 1.0 / 61.0) < 1e-6)
   }
+
+  test("poissonBootstrap: replicate means bracket the true mean, deterministic") {
+    val orders = table("orders")
+    val n = orders.count()
+    val trueMean = orders.agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val out = Stats.poissonBootstrap(orders, "o_orderkey", "o_totalprice", 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).doubleValue() / r.getLong(1)))
+    assert(out.length == 16 && out.map(_._1).toSet == (0 until 16).toSet)
+    // Poisson(1) weights: each replicate's effective n concentrates near n
+    // (sd ≈ √n, so ±5√n is > 5 sigma)
+    assert(out.forall { case (_, ne, _) =>
+      math.abs(ne - n) <= 5 * math.sqrt(n.toDouble) + 1 },
+      s"n_eff far from n=$n: ${out.map(_._2).mkString(",")}")
+    // every replicate mean lands within a few standard errors of the truth
+    assert(out.forall { case (_, _, m) =>
+      math.abs(m - trueMean) < 0.2 * trueMean },
+      s"replicate means off trueMean=$trueMean: ${out.map(_._3).mkString(",")}")
+    // replicate means genuinely vary (the weights aren't all equal)...
+    assert(out.map(_._3).distinct.length > 1)
+    // ...and the whole frame is a pure function of the input
+    val again = Stats.poissonBootstrap(orders, "o_orderkey", "o_totalprice", 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).doubleValue() / r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

@@ -285,6 +285,39 @@ class ScaleSpec extends SparkSpec {
     assert(err.getMessage.contains("buckets"))
   }
 
+  test("bandJoin: equals the naive band join exactly once, plans a hash join") {
+    import graft.core.Joins
+    // misaligned value grids so band edges fall inside buckets; a shared
+    // key column exercises the equi-key path
+    val a = spark.range(0, 3000)
+      .select(col("id").as("aid"), (col("id") % 7).as("ak"),
+        (col("id") % 611 * 0.37).as("av"))
+    val b = spark.range(0, 3000)
+      .select(col("id").as("bid"), (col("id") % 7).as("bk"),
+        (col("id") % 733 * 0.29).as("bv"))
+    val out = Joins.bandJoin(a, "av", b, "bv", tol = 0.5, keys = Seq("ak" -> "bk"))
+    val naive = a.join(b, col("ak") === col("bk")
+      && abs(col("av") - col("bv")) <= 0.5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val (ko, kn) = (key(out), key(naive))
+    assert(ko == kn, s"band decomposition must be exact once: ${ko.size} vs ${kn.size}")
+    assert(ko.nonEmpty && ko.size == ko.distinct.size, "no pair may emit twice")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"band join must stay hash-joined:\n${plan.take(1500)}")
+    // integral axis + whole tol takes the exact-integer bucket path
+    val ai = spark.range(0, 2000).select(col("id").as("aid"), (col("id") % 97).as("av"))
+    val bi = spark.range(0, 2000).select(col("id").as("bid"), (col("id") % 89).as("bv"))
+    val oi = Joins.bandJoin(ai, "av", bi, "bv", tol = 2.0)
+    val ni = ai.join(bi, abs(col("av") - col("bv")) <= 2)
+    assert(oi.count() == ni.count())
+    // control on the KEY-LESS naive band (with an equi key present Spark
+    // extracts it and hash-joins; only the pure band predicate is a BNLJ)
+    assert(ni.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      "control: the key-less band predicate really does plan a BNLJ")
+  }
+
   test("nearestJoin: equals the naive nearest within radius, bucket edges exact") {
     import spark.implicits._
     import graft.core.Joins

@@ -565,6 +565,46 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(tm3.matrix) == full)
   }
 
+  test("interarrival monitor: cross-batch gaps count once, state survives save/restore") {
+    import spark.implicits._
+    // user 1's clicks at 10s/310s/1810s: the 300s gap (bucket 0) closes
+    // inside batch 2, the 1500s gap (bucket 2) spans the 2->3 boundary —
+    // it exists in NO single batch; user 2's lone view contributes nothing
+    val batches = Seq(
+      Seq((1L, "click", 10L, 1L), (2L, "view", 20L, 2L)),
+      Seq((1L, "click", 310L, 3L)),
+      Seq((1L, "click", 1810L, 4L), (2L, "view", 100020L, 5L)))
+    def toDf(b: Seq[(Long, String, Long, Long)]) =
+      b.toDF("user_id", "event_type", "t", "event_id")
+        .withColumn("ts", timestamp_micros(col("t") * 1000000L)).drop("t")
+    def run(bs: Seq[Seq[(Long, String, Long, Long)]]) = {
+      val im = new Streaming.InterarrivalMonitor("user_id", "event_type",
+        "ts", "event_id", widthSeconds = 600L, capBuckets = 144)
+      bs.foreach(b => im.update(toDf(b)))
+      im
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = toMap(run(batches).histogram)
+    val full = toMap(graft.functions.Events.interarrivalHistogram(
+      toDf(batches.flatten), "user_id", "event_type", "ts", "event_id",
+      widthSeconds = 600L, capBuckets = 144))
+    assert(got == full, s"incremental $got must equal batch $full")
+    assert(got == Map(
+      ("click", 0L) -> ((0L, 1L)), ("click", 2L) -> ((1200L, 1L)),
+      ("view", 144L) -> ((86400L, 1L))), s"got $got")
+
+    // crash-restart mid-stream: identical histogram
+    val ckpt = java.nio.file.Files.createTempDirectory("im_state").toString
+    val im2 = run(batches.take(2))
+    im2.saveState(ckpt)
+    val im3 = new Streaming.InterarrivalMonitor("user_id", "event_type",
+      "ts", "event_id", widthSeconds = 600L, capBuckets = 144)
+    im3.restoreState(spark, ckpt)
+    im3.update(toDf(batches(2)))
+    assert(toMap(im3.histogram) == full)
+  }
+
   test("streaming transition monitor: foreachBatch parity over time-ordered files") {
     // corpus events sliced into 5 day-range files with strictly increasing
     // mtimes; maxFilesPerTrigger=1 makes the file source deliver them as 5

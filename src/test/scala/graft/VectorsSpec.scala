@@ -410,4 +410,24 @@ class VectorsSpec extends SparkSpec {
     val radii = out.drop(1).map(_._3).toSeq
     assert(radii == radii.sortBy(-_), s"d2 must be non-increasing: ${radii.mkString(",")}")
   }
+
+  test("covarianceMatrix: hand-computed moments on a perfectly correlated pair") {
+    import spark.implicits._
+    // y = 2x exactly: cov(0,0)=2/3, cov(0,1)=4/3, cov(1,1)=8/3
+    val vecs = Seq(Seq(1.0f, 2.0f), Seq(2.0f, 4.0f), Seq(3.0f, 6.0f))
+      .toDF("embedding")
+    val out = Vectors.covarianceMatrix(vecs, "embedding", Seq(0, 1))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 1)))
+    val (n, mi, mj, c01) = out((0, 1))
+    assert(n == 3L && mi == 2.0 && mj == 4.0)
+    assert(math.abs(c01 - 4.0 / 3.0) < 1e-6, s"cov(0,1)=$c01")
+    assert(math.abs(out((0, 0))._4 - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(out((1, 1))._4 - 8.0 / 3.0) < 1e-6)
+    // null vectors are excluded, not poisoning the moments
+    val withNull = vecs.unionAll(Seq(Option.empty[Seq[Float]]).toDF("embedding"))
+    assert(Vectors.covarianceMatrix(withNull, "embedding", Seq(0, 1))
+      .collect().map(_.getLong(2)).forall(_ == 3L))
+  }
 }

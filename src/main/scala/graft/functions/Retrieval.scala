@@ -341,15 +341,17 @@ object Retrieval {
       .agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
     val mass = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // |buckets| rows: the unpartitioned window is safe (bounded frame)
-    mass.join(firstSeen, Seq("bucket"), "left")
-      .select(col("bucket"), col("n_tokens"),
-        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    // buckets scale with |corpus|/bucketDocs — NOT config-bounded, so the
+    // running totals go through the distributed two-pass scan, never an
+    // unpartitioned window (exact: long sums are associative)
+    graft.core.Scans.cumulative(
+        mass.join(firstSeen, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types")),
+        "bucket", Seq("n_tokens", "new_types"))
       .select(col("bucket"), col("n_tokens"), col("new_types"),
-        sum(col("n_tokens")).over(w).as("cum_tokens"),
-        sum(col("new_types")).over(w).as("cum_types"))
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_new_types").as("cum_types"))
   }
 
   /** Tokenizer-vocabulary coverage audit: per-group (e.g. per-language)

@@ -13,6 +13,10 @@ object WindowAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE wraps plans in AdaptiveSparkPlanExec, which collect() does NOT
+      // traverse — with it on, this audit is blind (round-10 lesson:
+      // text_vocab_growth's single-partition window hid behind it)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -318,6 +318,33 @@ class ScaleSpec extends SparkSpec {
       "control: the key-less band predicate really does plan a BNLJ")
   }
 
+  test("Scans.cumulative: equals the single-partition window, zero unpartitioned windows") {
+    import graft.core.Scans
+    import org.apache.spark.sql.expressions.Window
+    // 37 coprime to the prime 1009 → k injective over id < 1009
+    val df = spark.range(0, 1000)
+      .select((col("id") * 37 % 1009).as("k"),
+        (col("id") % 13).as("a"), (col("id") % 7).as("b"))
+    val out = Scans.cumulative(df, "k", Seq("a", "b"), numPartitions = 7)
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.select(col("k"), sum(col("a")).over(w).as("ca"),
+      sum(col("b")).over(w).as("cb"))
+    def rows(d: org.apache.spark.sql.DataFrame, c1: String, c2: String) =
+      d.select(col("k"), col(c1), col(c2)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows(out, "cum_a", "cum_b") == rows(ref, "ca", "cb"),
+      "two-pass scan must be bit-identical to the single-partition window")
+    // the optimized plan must have NO window without a partition spec
+    // (logical collect traverses fully — AQE can't hide nodes here)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = out.queryExecution.optimizedPlan.collect {
+      case wn: LWindow if wn.partitionSpec.isEmpty => wn
+    }
+    assert(bad.isEmpty, "scan must never plan an unpartitioned window")
+    // empty frame passes through
+    assert(Scans.cumulative(df.filter(lit(false)), "k", Seq("a")).count() == 0L)
+  }
+
   test("nearestJoin: equals the naive nearest within radius, bucket edges exact") {
     import spark.implicits._
     import graft.core.Joins

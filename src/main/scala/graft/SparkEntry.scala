@@ -1092,6 +1092,15 @@ object SparkEntry {
       graft.functions.Stats.categoricalEntropy(events(s, dir), "event_type")
     }),
 
+    // mutual information event_type × hour-of-day: the dependence audit
+    // entropy can't see — ONE aggregation to the bounded joint table,
+    // exact-integer ln ratios, decimal-staged sums
+    "stats_mi" -> ((s, dir) => {
+      graft.functions.Stats.mutualInformation(
+        events(s, dir).select(col("event_type"), hour(col("ts")).as("hr")),
+        "event_type", "hr")
+    }),
+
     // cluster-size distribution: the after-clustering audit (is dup mass
     // a few template whales or many small pairs) — two bounded rollups
     // over the cluster labeling
@@ -1933,6 +1942,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture (τ-sampling, α=0.7): target shares come
+    // FROM the corpus as mass^α/Σmass^α — same two-job shape as
+    // sample_mixture, membership a pure integer compare, zero data shuffle
+    "sample_temperature" -> ((s, dir) => {
+      Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), alpha = 0.7,
+        budgetFrac = 0.5, salt = "temp-v1")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("share_bp"), col("rate_bp"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order (Morton) layout: customer key × order day interleaved into a
     // space-filling-curve file assignment — per-file min/max bounds stay
     // tight on BOTH dimensions, the data-skipping property that lets a
@@ -1967,6 +1988,15 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id").as("file_id"), col("n_chars")),
           "file_id", "n_chars", targetBytes = 2000L, minBytes = 300L)
         .orderBy(col("file_id"))
+    }),
+
+    // top principal component by power iteration: corpus touched only by
+    // the covariance scan+reduce; 10 fixed-order IEEE iterations on the
+    // 8×8 matrix — the anisotropy audit ahead of MRL truncation
+    "sim_pca" -> ((s, dir) => {
+      Vectors.topComponent(t(s, dir, "embeddings"), "embedding", 0 to 7,
+          iters = 10)
+        .orderBy(col("dim"))
     }),
 
     // Johnson–Lindenstrauss random projection 64→16 dims with the md5-derived
@@ -3379,6 +3409,62 @@ object SparkEntry {
        FROM l ORDER BY dim_i, dim_j"""
   }
 
+  /** Power-iteration PCA oracle: the covOracleSql exact-decimal covariance
+    * (6dp-rounded — the values the Spark driver iterates on), then `iters`
+    * unrolled matvec+normalize steps as EXPLICIT left-associative IEEE
+    * chains (the same fixed order Vectors.topComponent folds in), Rayleigh
+    * eigenvalue, first-dim sign fix, engine-rounded output.
+    */
+  private def pcaOracleSql(dims: Seq[Int], iters: Int): String = {
+    val k = dims.size
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
+    val sumCols = dims.map(d =>
+      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
+    val pairCols = pairs.map { case (a, b) =>
+      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
+    }.mkString(",\n           ")
+    def cn(a: Int, b: Int) = if (a <= b) s"c${a}_$b" else s"c${b}_$a"
+    val covCols = pairs.map { case (a, b) =>
+      s"round(CAST(CAST(p${a}_$b AS DOUBLE) / n - (CAST(s$a AS DOUBLE) / n) * (CAST(s$b AS DOUBLE) / n) AS DECIMAL(18,8)), 6)::DOUBLE AS ${cn(a, b)}"
+    }.mkString(",\n           ")
+    def wExprs = dims.indices.map { i =>
+      val terms = dims.indices.map(j => s"${cn(dims(i), dims(j))}*v$j").mkString(" + ")
+      s"$terms AS w$i"
+    }.mkString(",\n             ")
+    val ssq = dims.indices.map(i => s"w$i*w$i").mkString(" + ")
+    val vN = dims.indices.map(i => s"w$i/sqrt($ssq) AS v$i").mkString(",\n             ")
+    val i0 = dims.indices.map(i => s"1.0::DOUBLE/sqrt($k.0::DOUBLE) AS v$i").mkString(", ")
+    val iterCtes = (1 to iters).map { t =>
+      val src = if (t == 1) "i0" else s"n${t - 1}"
+      s"""w$t AS (SELECT $wExprs FROM $src CROSS JOIN c),
+         n$t AS (SELECT $vN FROM w$t)"""
+    }.mkString(",\n         ")
+    val vCarry = dims.indices.map(i => s"v$i").mkString(", ")
+    val lam = dims.indices.map(i => s"v$i*w$i").mkString(" + ")
+    val branches = dims.zipWithIndex.map { case (d, i) =>
+      s"SELECT $d AS dim, CASE WHEN v0 < 0.0::DOUBLE THEN -v$i ELSE v$i END AS ld, lam FROM l"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH a AS (
+         SELECT count(*) AS n,
+           $sumCols,
+           $pairCols
+         FROM embeddings WHERE embedding IS NOT NULL),
+       c AS (
+         SELECT n,
+           $covCols
+         FROM a),
+       i0 AS (SELECT $i0),
+       $iterCtes,
+       f AS (SELECT $vCarry, $wExprs FROM n$iters CROSS JOIN c),
+       l AS (SELECT $vCarry, $lam AS lam FROM f),
+       u AS (
+           $branches)
+       SELECT CAST(dim AS INTEGER) AS dim,
+         round(CAST(ld AS DECIMAL(18,8)), 6)::DOUBLE AS loading,
+         round(CAST(lam AS DECIMAL(18,8)), 6)::DOUBLE AS eigenvalue
+       FROM u ORDER BY dim"""
+  }
+
   /** PQ-ADC oracle: retrains all four per-subspace codebooks (id-seeded
     * init, one Lloyd round, decimal-exact means — the sim_kmeans replay,
     * once per subspace), re-encodes the corpus, rebuilds the query distance
@@ -4343,6 +4429,41 @@ object SparkEntry {
              ELSE entropy / ln(n_values::DOUBLE) END AS DECIMAL(18,8)), 6)::DOUBLE
              AS norm_entropy
          FROM e""",
+
+    // MI replay: same joint/marginal tables, exact-integer ln ratios,
+    // per-term decimal staging, same divide order on the rounded pieces
+    "stats_mi" ->
+      """WITH j AS (
+           SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
+         ex AS (
+           SELECT n, count(*) AS kx,
+             -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
+               AS DECIMAL(18,8))) AS hx
+           FROM mx CROSS JOIN t GROUP BY n),
+         ey AS (
+           SELECT n, count(*) AS ky,
+             -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
+               AS DECIMAL(18,8))) AS hy
+           FROM my CROSS JOIN t GROUP BY n),
+         m0 AS (
+           SELECT n, sum(CAST((cxy::DOUBLE / n)
+               * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
+               AS DECIMAL(18,8))) AS mm
+           FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
+         o AS (
+           SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
+             round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
+             round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
+             round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
+           FROM m0 JOIN ex USING (n) JOIN ey USING (n))
+         SELECT n, n_x, n_y, h_x, h_y, mi,
+           round(CAST(CASE WHEN h_x * h_y <= 0.0 THEN 0.0
+             ELSE mi / sqrt(h_x * h_y) END AS DECIMAL(18,8)), 6)::DOUBLE AS nmi
+         FROM o""",
 
     // cluster-stats replay: the dedup_clusters transitive closure, then
     // per-cluster sizes and the count-of-counts rollup
@@ -5650,6 +5771,34 @@ object SparkEntry {
          FROM d JOIN r ON d.lang = r.lang
          ORDER BY doc_id""",
 
+    // τ-sampling replay: same per-group token masses, pow staged in
+    // DECIMAL(28,8) before the order-independent denominator sum, same
+    // share/rate arithmetic and floor(x·bp + 0.5) threshold rounding
+    "sample_temperature" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
+           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
+         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
+         p AS (SELECT lang, gt,
+             CAST(pow(gt::DOUBLE, 0.7::DOUBLE) AS DECIMAL(28,8)) AS pw FROM g),
+         t AS (SELECT sum(gt) AS tt, sum(pw) AS pt FROM p),
+         r AS (
+           SELECT lang,
+             CAST(floor((pw::DOUBLE / pt::DOUBLE) * 10000 + 0.5::DOUBLE)
+               AS BIGINT) AS share_bp,
+             CAST(floor(least(1.0::DOUBLE,
+               0.5::DOUBLE * (pw::DOUBLE / pt::DOUBLE)
+                 * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE)
+               AS BIGINT) AS rate_bp
+           FROM p CROSS JOIN t)
+         SELECT d.doc_id, d.lang, d.n_tokens, r.share_bp, r.rate_bp,
+           ('0x'||substr(md5(d.doc_id::VARCHAR || 'temp-v1'),1,15))::BIGINT % 10000 < r.rate_bp
+             AS kept
+         FROM d JOIN r ON d.lang = r.lang
+         ORDER BY doc_id""",
+
     "dedup_incremental" ->
       s"""WITH norm AS (
            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -5965,6 +6114,10 @@ object SparkEntry {
     // covariance replay: same per-pair exact decimal sums (generated by
     // the same dims loop the Spark side uses), same divide order
     "stats_embedding_cov" -> covOracleSql(0 to 7),
+
+    // PCA replay: covariance replay, then 10 unrolled fixed-order
+    // matvec+normalize chains — bit-identical IEEE on both engines
+    "sim_pca" -> pcaOracleSql(0 to 7, iters = 10),
 
     // drift replay: the profile replay twice (old slice, perturbed new
     // snapshot), deltas on the already-rounded 6dp values

@@ -113,6 +113,55 @@ object Sampling {
       .drop("__gt", "__tt", "__rate")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual τ-sampling of
+    * mBERT / XLM-R (Conneau & Lample 2019 §3.1: `p_g ∝ mass_g^α`): where
+    * [[mixtureSample]] takes caller-specified shares, here the target share
+    * of each group is computed FROM the corpus itself as
+    * `mass^α / Σ mass^α` — α = 1 keeps the natural distribution, α → 0
+    * approaches uniform, 0.7 is the published default. The rebalance a
+    * multilingual / multi-source corpus runs when head languages would
+    * otherwise drown the tail, without anyone hand-writing a share table
+    * that goes stale on the next crawl.
+    *
+    * Scale shape: identical to [[mixtureSample]] — ONE tiny per-group token
+    * aggregation (frozen: the shares and the totals both read it), share
+    * arithmetic on the |groups|-row table with the powered masses staged in
+    * DECIMAL(28,8) so the denominator Σ mass^α is an order-independent
+    * exact sum, broadcast back; membership is a pure integer compare on md5
+    * buckets — the corpus itself never shuffles, so the same plan re-mixes
+    * 100 TB in place. Deterministic on every engine.
+    *
+    * Returns the input plus (n_tokens, share_bp, rate_bp, kept), with
+    * `rate_g = min(1, budget · share_g · totalTokens / tokens_g)` held as
+    * an integer threshold exactly like [[mixtureSample]].
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCount: Column, alpha: Double,
+                        budgetFrac: Double, buckets: Int = 10000,
+                        salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0, "budgetFrac must be in (0, 1]")
+    val dec = DecimalType(28, 8)
+    val withToks = df.withColumn("__nt", tokenCount.cast("long"))
+    val groupTotals = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      withToks.groupBy(col(groupCol)).agg(sum(col("__nt")).as("__gt")))
+    val powed = groupTotals.withColumn("__pw",
+      pow(col("__gt").cast("double"), lit(alpha)).cast(dec))
+    val totals = powed.agg(sum(col("__gt")).as("__tt"), sum(col("__pw")).as("__pt"))
+    val rated = withToks
+      .join(broadcast(powed), Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__share", col("__pw").cast("double") / col("__pt").cast("double"))
+      .withColumn("share_bp", floor(col("__share") * buckets + lit(0.5)).cast("long"))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetFrac) * col("__share") * col("__tt").cast("double") / col("__gt").cast("double")))
+      .withColumn("rate_bp", floor(col("__rate") * buckets + lit(0.5)).cast("long"))
+    rated
+      .withColumn("kept", hashBucket(col(idCol), buckets, salt) < col("rate_bp"))
+      .withColumnRenamed("__nt", "n_tokens")
+      .drop("__gt", "__pw", "__tt", "__pt", "__share", "__rate")
+  }
+
   /** Weighted reservoir sampling without replacement (Efraimidis–Spirakis
     * A-ES, "Weighted random sampling with a reservoir", IPL 2006): each row
     * draws `u = (hash60(id)+1)/2^60 ∈ (0,1]` and ranks by `ln(u)/w` — the

@@ -556,6 +556,59 @@ object Stats {
           .cast(dec), 6).cast("double"))
   }
 
+  /** Mutual information between two categorical columns — the dependence
+    * audit [[categoricalEntropy]] can't see (each column can be perfectly
+    * balanced while being a function of the other): near-zero MI between a
+    * label and a metadata column says the column is safe to drop from
+    * stratification; high MI between `source` and `quality_band` says the
+    * curation threshold encodes a source bias. Reported alongside the
+    * marginal entropies and the normalized `nmi = MI / sqrt(Hx·Hy)`.
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the corpus to
+    * the (x, y) joint-count table (frozen — marginals and totals all read
+    * it; bounded by |X|·|Y|, not by rows); marginals are aggregations OF
+    * that table; every ln term evaluates on exact-integer ratios
+    * (`ln((c_xy·n)/(c_x·c_y))` — products of counts, one IEEE divide) and
+    * stages in DECIMAL(18,8), so each sum is order-independent and
+    * engine-reproducible.
+    *
+    * Returns one row: (n, n_x, n_y, h_x, h_y, mi, nmi), nats, 6dp.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val joint = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(xCol).cast("string").as("__x"), col(yCol).cast("string").as("__y"))
+        .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy")))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
+    val tot = broadcast(joint.agg(sum(col("__cxy")).as("__n")))
+    def entropyOf(m: DataFrame, cnt: String, hOut: String, kOut: String) =
+      broadcast(m.crossJoin(tot)
+        .select(col("__n"),
+          ((col(cnt).cast("double") / col("__n")) *
+            log(col(cnt).cast("double") / col("__n"))).cast(dec).as("__t"))
+        .groupBy(col("__n")).agg((-sum(col("__t"))).as(hOut), count(lit(1)).as(kOut)))
+    val hx = entropyOf(mx, "__cx", "__hx", "__kx")
+    val hy = entropyOf(my, "__cy", "__hy", "__ky")
+    val terms = joint
+      .join(broadcast(mx), Seq("__x")).join(broadcast(my), Seq("__y"))
+      .crossJoin(tot)
+      .select(col("__n"),
+        ((col("__cxy").cast("double") / col("__n")) *
+          log((col("__cxy") * col("__n")).cast("double") /
+            (col("__cx") * col("__cy")).cast("double"))).cast(dec).as("__t"))
+    terms.groupBy(col("__n")).agg(sum(col("__t")).as("__mi"))
+      .join(hx, Seq("__n")).join(hy, Seq("__n"))
+      .select(col("__n").as("n"), col("__kx").as("n_x"), col("__ky").as("n_y"),
+        round(col("__hx").cast(dec), 6).cast("double").as("h_x"),
+        round(col("__hy").cast(dec), 6).cast("double").as("h_y"),
+        round(col("__mi").cast(dec), 6).cast("double").as("mi"))
+      .withColumn("nmi",
+        round(when(col("h_x") * col("h_y") <= 0.0, lit(0.0))
+          .otherwise(col("mi") / sqrt(col("h_x") * col("h_y")))
+          .cast(dec), 6).cast("double"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen,
     * useful on ingested metrics columns: organically-grown magnitudes
     * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or

@@ -366,6 +366,64 @@ object Vectors {
         .cast("double").as("cov"))
   }
 
+  /** Top principal component by power iteration over the
+    * [[covarianceMatrix]] — the one-vector PCA an embedding audit wants:
+    * the dominant direction's eigenvalue against the total variance says
+    * how anisotropic the space is (a collapsed embedding model puts most
+    * mass on one axis), and the loadings name the dims carrying it — the
+    * evidence read before an MRL truncation or a whitening pass.
+    *
+    * Scale shape: the corpus is touched ONLY by covarianceMatrix's one
+    * scan+reduce; the iteration runs on the k×k matrix — bounded by the
+    * caller's dim selection, never by data — exactly like the k-means
+    * codebook updates. Determinism: the matrix entries are the 6dp-rounded
+    * covariances (engine-exact by covarianceMatrix's contract), and every
+    * matvec/normalization is a FIXED-ORDER IEEE chain (first product, then
+    * left-to-right adds — the minhashEval S-curve discipline), so `iters`
+    * power steps are bit-reproducible by any engine replaying the same
+    * chain. The sign is fixed by making the first dim's loading
+    * non-negative. Degenerate all-zero covariance yields NaNs — callers
+    * audit real corpora, not empty ones.
+    *
+    * Returns one row per dim: (dim, loading, eigenvalue) — the eigenvalue
+    * (Rayleigh quotient at the final iterate) repeated per row, 6dp.
+    */
+  def topComponent(corpus: DataFrame, vecCol: String, dims: Seq[Int],
+                   iters: Int = 10): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val k = dims.size
+    val idx = dims.zipWithIndex.toMap
+    val c = Array.ofDim[Double](k, k)
+    covarianceMatrix(corpus, vecCol, dims).select("dim_i", "dim_j", "cov")
+      .collect().foreach { r =>
+        val (i, j, v) = (idx(r.getInt(0)), idx(r.getInt(1)), r.getDouble(2))
+        c(i)(j) = v; c(j)(i) = v
+      }
+    def matvec(v: Array[Double]): Array[Double] = Array.tabulate(k) { i =>
+      (1 until k).foldLeft(c(i)(0) * v(0))((acc, j) => acc + c(i)(j) * v(j))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (1 until k).foldLeft(a(0) * b(0))((acc, i) => acc + a(i) * b(i))
+    var v = Array.fill(k)(1.0 / math.sqrt(k.toDouble))
+    for (_ <- 0 until iters) {
+      val w = matvec(v)
+      val nrm = math.sqrt(dot(w, w))
+      v = w.map(_ / nrm)
+    }
+    val lam = dot(v, matvec(v))
+    val sign = if (v(0) < 0.0) -1.0 else 1.0
+    val spark = corpus.sparkSession
+    // rounding goes through the ENGINE's cast-to-decimal path (HALF_UP),
+    // not driver-side math, so it is the same rounding every query uses
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    import spark.implicits._
+    dims.zipWithIndex.map { case (d, i) => (d, sign * v(i), lam) }
+      .toDF("dim", "__l", "__e")
+      .select(col("dim"),
+        round(col("__l").cast(dec8), 6).cast("double").as("loading"),
+        round(col("__e").cast(dec8), 6).cast("double").as("eigenvalue"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
     * minimize the maximum intercluster distance") — coverage-maximizing
     * data selection: start from the smallest id, then repeatedly pick the

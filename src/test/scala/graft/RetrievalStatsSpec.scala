@@ -641,4 +641,26 @@ class RetrievalStatsSpec extends SparkSpec {
         r.getDecimal(2).doubleValue() / r.getLong(1)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("mutualInformation: zero on independence, equals H on identity, nmi in [0,1]") {
+    import spark.implicits._
+    // uniform independent grid: every ln ratio is ln(1) = 0 exactly
+    val ind = (0 until 1200).map(i => (i % 4, (i / 4) % 3)).toDF("x", "y")
+    val zi = Stats.mutualInformation(ind, "x", "y").collect()(0)
+    assert(zi.getAs[Long]("n") == 1200L && zi.getAs[Long]("n_x") == 4L &&
+      zi.getAs[Long]("n_y") == 3L)
+    assert(zi.getAs[Double]("mi") == 0.0 && zi.getAs[Double]("nmi") == 0.0)
+    // y = f(x) bijective: MI == H(x) == H(y) term-for-term, nmi == 1
+    val dep = (0 until 1000).map(i => (i % 5, (i % 5) * 7)).toDF("x", "y")
+    val d = Stats.mutualInformation(dep, "x", "y").collect()(0)
+    assert(d.getAs[Double]("mi") == d.getAs[Double]("h_x") &&
+      d.getAs[Double]("mi") == d.getAs[Double]("h_y"))
+    assert(d.getAs[Double]("nmi") == 1.0)
+    assert(math.abs(d.getAs[Double]("mi") - math.log(5.0)) < 1e-5)
+    // partial dependence sits strictly between
+    val mid = (0 until 1200).map(i => (i % 4, if (i % 8 < 4) i % 2 else i % 3))
+      .toDF("x", "y")
+    val m = Stats.mutualInformation(mid, "x", "y").collect()(0)
+    assert(m.getAs[Double]("mi") > 0.0 && m.getAs[Double]("nmi") < 1.0)
+  }
 }

@@ -222,4 +222,37 @@ class SamplingSpec extends SparkSpec {
     assert(zero.filter(col("lang") =!= "en" && col("kept")).count() == 0)
     out.unpersist()
   }
+
+  test("temperatureSample: α=1 is the natural mix, α<1 lifts the tail, shares sum to 1") {
+    import graft.functions.TextAnalysis
+    val docs = table("documents")
+    // α = 1: share = mass/Σmass, so rate = budgetFrac for EVERY group
+    val nat = Sampling.temperatureSample(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), alpha = 1.0, budgetFrac = 0.5,
+      salt = "t1")
+    assert(nat.select("rate_bp").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(5000L), "α=1 must keep the natural distribution: flat budget rate")
+    // α < 1 boosts small groups relative to large ones
+    val out = Sampling.temperatureSample(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), alpha = 0.5, budgetFrac = 0.5,
+      salt = "t1").cache()
+    val mass = out.groupBy("lang").agg(sum("n_tokens").as("m"),
+      max("rate_bp").as("r")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val biggest = mass.maxBy(_._2._1)._1
+    val smallest = mass.minBy(_._2._1)._1
+    assert(mass(smallest)._2 > mass(biggest)._2,
+      "sub-linear temperature must upweight the smallest group")
+    // target shares sum to ~1 (bp rounding slack of |groups|)
+    val shareSum = out.groupBy("lang").agg(max("share_bp").as("s"))
+      .agg(sum("s")).head().getLong(0)
+    assert(math.abs(shareSum - 10000L) <= mass.size,
+      s"shares must sum to one, got $shareSum bp")
+    // determinism
+    assert(out.select("doc_id", "kept").collect().toSet ==
+      Sampling.temperatureSample(docs, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), alpha = 0.5, budgetFrac = 0.5,
+        salt = "t1").select("doc_id", "kept").collect().toSet)
+    out.unpersist()
+  }
 }

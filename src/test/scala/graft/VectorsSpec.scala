@@ -430,4 +430,24 @@ class VectorsSpec extends SparkSpec {
     assert(Vectors.covarianceMatrix(withNull, "embedding", Seq(0, 1))
       .collect().map(_.getLong(2)).forall(_ == 3L))
   }
+
+  test("topComponent: diagonal covariance yields the dominant axis and its variance") {
+    import spark.implicits._
+    // dim 0 carries variance 1.25 (values 0..3), dim 1 is constant:
+    // top component is exactly (1, 0) with eigenvalue 1.25
+    val vecs = Seq(Seq(0.0f, 7.0f), Seq(1.0f, 7.0f), Seq(2.0f, 7.0f),
+      Seq(3.0f, 7.0f)).toDF("embedding")
+    val out = Vectors.topComponent(vecs, "embedding", Seq(0, 1), iters = 10)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0)._1 == 1.0 && out(1)._1 == 0.0, s"loadings $out")
+    assert(out(0)._2 == 1.25, s"eigenvalue ${out(0)._2}")
+    // rotation: y = x exactly → dominant direction (1,1)/√2, λ = 2·var(x)
+    val corr = Seq(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f), Seq(2.0f, 2.0f),
+      Seq(3.0f, 3.0f)).toDF("embedding")
+    val c = Vectors.topComponent(corr, "embedding", Seq(0, 1), iters = 10)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(c(0)._1 - math.sqrt(0.5)) < 1e-6 &&
+      math.abs(c(1)._1 - math.sqrt(0.5)) < 1e-6, s"loadings $c")
+    assert(math.abs(c(0)._2 - 2.5) < 1e-6, s"eigenvalue ${c(0)._2}")
+  }
 }

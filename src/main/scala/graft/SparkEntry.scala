@@ -612,6 +612,29 @@ object SparkEntry {
       im.histogram.orderBy(col("event_type"), col("gap_bucket"))
     }),
 
+    // streaming covariance monitor (batch replay of 5 batches): the moment
+    // row is a LINEAR sketch (count + exact decimal sums), so the folded
+    // state reads out bit-identical to the one-pass corpus build — same
+    // oracle as stats_embedding_cov
+    "stream_cov" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cm = new graft.streaming.Streaming.CovMonitor("embedding", 0 to 7)
+      (0 until 5).foreach(b => cm.update(emb.filter(col("vec_id") % 5 === b)))
+      cm.matrix.orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // streaming MI monitor (batch replay of 5 time-ordered batches): joint
+    // counts are additive per key, so the folded state reads out equal to
+    // the batch MI — same oracle as stats_mi
+    "stream_mi" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          floor((dayofmonth(col("ts")) - 1) / 6).as("__b"))
+      val mm = new graft.streaming.Streaming.MiMonitor("event_type", "hr")
+      (0 until 5).foreach(b => mm.update(ev.filter(col("__b") === b)))
+      mm.readout
+    }),
+
     // streaming Count-Min monitor (batch replay of 5 batches): the CMS is
     // a LINEAR sketch, so the accreted cells are bit-identical to the
     // one-pass corpus build — same oracle as sketch_cms
@@ -3311,6 +3334,43 @@ object SparkEntry {
        SELECT path, depth, count(*) AS n_users
        FROM p GROUP BY path, depth ORDER BY path"""
 
+  /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
+    * per-term decimal staging — shared by the batch operator and its
+    * streaming twin (additive joint counts fold to the same table)
+    */
+  private val miOracleSql =
+    """WITH j AS (
+         SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
+         FROM events GROUP BY 1, 2),
+       mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
+       my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
+       t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
+       ex AS (
+         SELECT n, count(*) AS kx,
+           -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
+             AS DECIMAL(18,8))) AS hx
+         FROM mx CROSS JOIN t GROUP BY n),
+       ey AS (
+         SELECT n, count(*) AS ky,
+           -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
+             AS DECIMAL(18,8))) AS hy
+         FROM my CROSS JOIN t GROUP BY n),
+       m0 AS (
+         SELECT n, sum(CAST((cxy::DOUBLE / n)
+             * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
+             AS DECIMAL(18,8))) AS mm
+         FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
+       o AS (
+         SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
+           round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
+           round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
+           round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
+         FROM m0 JOIN ex USING (n) JOIN ey USING (n))
+       SELECT n, n_x, n_y, h_x, h_y, mi,
+         round(CAST(CASE WHEN h_x * h_y <= 0.0 THEN 0.0
+           ELSE mi / sqrt(h_x * h_y) END AS DECIMAL(18,8)), 6)::DOUBLE AS nmi
+       FROM o"""
+
   /** inter-arrival oracle: (user,type)-keyed lag gaps, capped integer
     * floor-divide buckets — shared by the batch operator and its
     * streaming twin (carried-last-event parity)
@@ -4432,38 +4492,12 @@ object SparkEntry {
 
     // MI replay: same joint/marginal tables, exact-integer ln ratios,
     // per-term decimal staging, same divide order on the rounded pieces
-    "stats_mi" ->
-      """WITH j AS (
-           SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
-           FROM events GROUP BY 1, 2),
-         mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
-         my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
-         t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
-         ex AS (
-           SELECT n, count(*) AS kx,
-             -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
-               AS DECIMAL(18,8))) AS hx
-           FROM mx CROSS JOIN t GROUP BY n),
-         ey AS (
-           SELECT n, count(*) AS ky,
-             -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
-               AS DECIMAL(18,8))) AS hy
-           FROM my CROSS JOIN t GROUP BY n),
-         m0 AS (
-           SELECT n, sum(CAST((cxy::DOUBLE / n)
-               * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
-               AS DECIMAL(18,8))) AS mm
-           FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
-         o AS (
-           SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
-             round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
-             round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
-             round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
-           FROM m0 JOIN ex USING (n) JOIN ey USING (n))
-         SELECT n, n_x, n_y, h_x, h_y, mi,
-           round(CAST(CASE WHEN h_x * h_y <= 0.0 THEN 0.0
-             ELSE mi / sqrt(h_x * h_y) END AS DECIMAL(18,8)), 6)::DOUBLE AS nmi
-         FROM o""",
+    "stats_mi" -> miOracleSql,
+    // additive joint counts: the monitor's folded state equals the
+    // one-pass table — identical replay
+    "stream_mi" -> miOracleSql,
+    // linear moment sketch: folded state reads out bit-identical
+    "stream_cov" -> covOracleSql(0 to 7),
 
     // cluster-stats replay: the dedup_clusters transitive closure, then
     // per-cluster sizes and the count-of-counts rollup

@@ -574,11 +574,22 @@ object Stats {
     *
     * Returns one row: (n, n_x, n_y, h_x, h_y, mi, nmi), nats, 6dp.
     */
-  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    miOfJoint(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      jointCounts(df, xCol, yCol)))
+
+  /** The (x, y) joint-count table behind [[mutualInformation]]:
+    * (__x, __y, __cxy). Counts are additive per key, so states from
+    * disjoint row sets fold by union + re-sum — the property the
+    * streaming MI monitor rides.
+    */
+  def jointCounts(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.select(col(xCol).cast("string").as("__x"), col(yCol).cast("string").as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy"))
+
+  /** [[mutualInformation]]'s readout from a [[jointCounts]] table. */
+  def miOfJoint(joint: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val joint = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.select(col(xCol).cast("string").as("__x"), col(yCol).cast("string").as("__y"))
-        .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy")))
     val mx = joint.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
     val my = joint.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
     val tot = broadcast(joint.agg(sum(col("__cxy")).as("__n")))

@@ -340,17 +340,30 @@ object Vectors {
     * cov = E[xy] − E[x]E[y] with single IEEE divides of exact sums, 6dp.
     */
   def covarianceMatrix(corpus: DataFrame, vecCol: String,
-                       dims: Seq[Int]): DataFrame = {
+                       dims: Seq[Int]): DataFrame =
+    covOfMoments(covMoments(corpus, vecCol, dims), dims)
+
+  /** The one-row additive moment state behind [[covarianceMatrix]]:
+    * (__n, __s<d>…, __p<a>_<b>…) — every column is an exact decimal SUM,
+    * so states from disjoint row sets fold by plain column-wise addition
+    * (the linear-sketch property the streaming covariance monitor rides).
+    */
+  def covMoments(corpus: DataFrame, vecCol: String, dims: Seq[Int]): DataFrame = {
     require(dims.nonEmpty && dims.distinct.size == dims.size,
       "dims must be non-empty and distinct")
     val dec = org.apache.spark.sql.types.DecimalType(30, 10)
-    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     def x(d: Int) = element_at(col(vecCol), d + 1).cast("double")
     val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
     val aggs = (count(lit(1)).as("__n") +:
       dims.map(d => sum(x(d).cast(dec)).as(s"__s$d"))) ++
       pairs.map { case (a, b) => sum((x(a) * x(b)).cast(dec)).as(s"__p${a}_$b") }
-    val row = corpus.filter(col(vecCol).isNotNull).agg(aggs.head, aggs.tail: _*)
+    corpus.filter(col(vecCol).isNotNull).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[covarianceMatrix]]'s readout from a [[covMoments]] state row. */
+  def covOfMoments(row: DataFrame, dims: Seq[Int]): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
     val stackArgs = pairs.map { case (a, b) =>
       s"$a, $b, __n, cast(__s$a as decimal(30,10)), cast(__s$b as decimal(30,10)), cast(__p${a}_$b as decimal(30,10))"
     }.mkString(", ")

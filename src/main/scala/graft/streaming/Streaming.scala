@@ -652,6 +652,81 @@ object Streaming {
       moments = MonitorState.load(spark, dir, "moments")
   }
 
+  /** Streaming embedding-covariance monitor — the live anisotropy /
+    * redundancy audit over a vector stream: the
+    * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch
+    * (count + exact-decimal sums + pair-product sums), so folding each
+    * micro-batch's one-row moments into the accreted row by column-wise
+    * addition yields BIT-IDENTICAL covariances to the one-pass corpus
+    * build — same oracle as the batch operator, like the CMS monitor.
+    * Per-batch work: one scan+reduce of the batch, one 2-row fold; state
+    * is ONE row regardless of history. Wire with
+    * [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class CovMonitor(vecCol: String, dims: Seq[Int]) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's moments into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Vectors.covMoments(batch, vecCol, dims)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val summed = m.columns.map(c => sum(col(c)).as(c))
+          m.unionByName(bm).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current covariance submatrix — equals the batch one */
+    def matrix: DataFrame = graft.functions.Vectors.covOfMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")), dims)
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
+  /** Streaming mutual-information monitor — live dependence drift between
+    * two categorical columns (event type × hour, source × quality band):
+    * the [[graft.functions.Stats.jointCounts]] table is additive per
+    * (x, y) key, so each micro-batch folds by union + re-sum (the
+    * TransitionMonitor discipline) and the [[graft.functions.Stats
+    * .miOfJoint]] readout EQUALS the batch operator over all rows seen —
+    * an MI that climbs over time says a dependency is forming (a bot
+    * cohort binding event types to one hour; a crawler binding source to
+    * quality). State is bounded by |X|·|Y|, never by rows. Wire with
+    * [[foreachBatchMerge]]`(stream, mm.update)`.
+    */
+  class MiMonitor(xCol: String, yCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var joint: Option[DataFrame] = None
+
+    /** fold one micro-batch's joint counts into the keyed state */
+    def update(batch: DataFrame): Unit = {
+      val bj = graft.functions.Stats.jointCounts(batch, xCol, yCol)
+      joint = Some(bridge.freeze(joint match {
+        case None => bj
+        case Some(j) => j.unionByName(bj)
+          .groupBy(col("__x"), col("__y")).agg(sum(col("__cxy")).as("__cxy"))
+      }))
+    }
+
+    /** current (n, n_x, n_y, h_x, h_y, mi, nmi) row — equals the batch one */
+    def readout: DataFrame = graft.functions.Stats.miOfJoint(
+      joint.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the joint-count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("joint" -> joint))
+
+    /** restore joint-count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      joint = MonitorState.load(spark, dir, "joint")
+  }
+
   /** Streaming record-linkage monitor — continuous entity resolution at
     * ingest: the dimension side freezes ONCE (the
     * [[ContaminationMonitor]] shape), every incoming micro-batch runs

@@ -777,6 +777,44 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matrix) == batch)
   }
 
+  test("cov monitor: linear moment sketch makes the matrix batch-exact, survive restart") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dims = 0 to 3
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val batch = toMap(graft.functions.Vectors.covarianceMatrix(emb, "embedding", dims))
+    val cm = new Streaming.CovMonitor("embedding", dims)
+    (0 until 5).foreach(b => cm.update(emb.filter(col("vec_id") % 5 === b)))
+    assert(toMap(cm.matrix) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("cov_state").toString
+    val cm2 = new Streaming.CovMonitor("embedding", dims)
+    (0 until 2).foreach(b => cm2.update(emb.filter(col("vec_id") % 5 === b)))
+    cm2.saveState(ckpt)
+    val cm3 = new Streaming.CovMonitor("embedding", dims)
+    cm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => cm3.update(emb.filter(col("vec_id") % 5 === b)))
+    assert(toMap(cm3.matrix) == batch)
+  }
+
+  test("mi monitor: additive joint counts make the readout batch-exact, survive restart") {
+    val ev = table("events").select(col("event_type"), hour(col("ts")).as("hr"),
+      col("event_id"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0).toSeq
+    val batch = row(graft.functions.Stats.mutualInformation(ev, "event_type", "hr"))
+    val mm = new Streaming.MiMonitor("event_type", "hr")
+    (0 until 5).foreach(b => mm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(mm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("mi_state").toString
+    val mm2 = new Streaming.MiMonitor("event_type", "hr")
+    (0 until 2).foreach(b => mm2.update(ev.filter(col("event_id") % 5 === b)))
+    mm2.saveState(ckpt)
+    val mm3 = new Streaming.MiMonitor("event_type", "hr")
+    mm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => mm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(mm3.readout) == batch)
+  }
+
   test("linkage monitor: accreted links equal the batch link, survive restart") {
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))

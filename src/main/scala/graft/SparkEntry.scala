@@ -623,6 +623,17 @@ object SparkEntry {
       cm.matrix.orderBy(col("dim_i"), col("dim_j"))
     }),
 
+    // streaming mixture monitor (batch replay of 5 batches): per-group
+    // token masses fold additively, the readout derives the same τ-sampling
+    // rate table the batch sampler computes over all rows seen
+    "stream_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mm = new graft.streaming.Streaming.MixtureMonitor("lang",
+        TextAnalysis.tokenCount(col("text")))
+      (0 until 5).foreach(b => mm.update(docs.filter(col("doc_id") % 5 === b)))
+      mm.rates(alpha = 0.7, budgetFrac = 0.5).orderBy(col("lang"))
+    }),
+
     // streaming MI monitor (batch replay of 5 time-ordered batches): joint
     // counts are additive per key, so the folded state reads out equal to
     // the batch MI — same oracle as stats_mi
@@ -1441,6 +1452,15 @@ object SparkEntry {
         "cjk_excluded" -> (col("lang") === "zh")))
       annotated.select(col("doc_id"), col("violated_rule"), col("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cohen's kappa between the heuristic-quality filter and the length
+    // rule: ONE scan+reduce to the 2×2 confusion row, κ from the rounded
+    // po/pe pieces — the filter-agreement audit before swapping filters
+    "curate_kappa" -> ((s, dir) => {
+      graft.functions.Curation.raterAgreement(docsNorm(s, dir),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25)
     }),
 
     // per-domain document cap: keep the 20 longest docs per source (ties
@@ -5805,6 +5825,48 @@ object SparkEntry {
          FROM d JOIN r ON d.lang = r.lang
          ORDER BY doc_id""",
 
+    // kappa replay: the text_quality score replay and the token-count rule
+    // feed the same 2×2 confusion row; po/pe round before κ forms
+    "curate_kappa" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         f AS (
+           SELECT
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS a,
+             ntok >= 25 AS b
+           FROM c),
+         k AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+             sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+             sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+             sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+           FROM f),
+         p AS (
+           SELECT n, n11, n10, n01, n00,
+             round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
+             round(CAST(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+               + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)
+               AS DECIMAL(18,8)), 6)::DOUBLE AS pe
+           FROM k)
+         SELECT n, n11, n10, n01, n00, po, pe,
+           round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
+             ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
+         FROM p""",
+
     // τ-sampling replay: same per-group token masses, pow staged in
     // DECIMAL(28,8) before the order-independent denominator sum, same
     // share/rate arithmetic and floor(x·bp + 0.5) threshold rounding
@@ -5832,6 +5894,28 @@ object SparkEntry {
              AS kept
          FROM d JOIN r ON d.lang = r.lang
          ORDER BY doc_id""",
+
+    // additive masses: the monitor's folded state feeds the same rate
+    // arithmetic — group-level replay of the τ-sampling table
+    "stream_mixture" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
+           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
+         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
+         p AS (SELECT lang, gt,
+             CAST(pow(gt::DOUBLE, 0.7::DOUBLE) AS DECIMAL(28,8)) AS pw FROM g),
+         t AS (SELECT sum(gt) AS tt, sum(pw) AS pt FROM p)
+         SELECT lang, CAST(gt AS BIGINT) AS mass,
+           CAST(floor((pw::DOUBLE / pt::DOUBLE) * 10000 + 0.5::DOUBLE)
+             AS BIGINT) AS share_bp,
+           CAST(floor(least(1.0::DOUBLE,
+             0.5::DOUBLE * (pw::DOUBLE / pt::DOUBLE)
+               * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE)
+             AS BIGINT) AS rate_bp
+         FROM p CROSS JOIN t
+         ORDER BY lang""",
 
     "dedup_incremental" ->
       s"""WITH norm AS (

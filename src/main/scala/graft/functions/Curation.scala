@@ -118,6 +118,51 @@ object Curation {
         (col("declared") === col("detected")).as("agree"))
   }
 
+  /** Cohen's kappa between two boolean document filters — the
+    * filter-agreement audit run before swapping a curation rule for a
+    * learned classifier (or comparing two annotators' labels): raw
+    * agreement `po` flatters filters that both say "keep" to almost
+    * everything, so kappa discounts the chance agreement `pe` implied by
+    * the marginals — κ ≈ 0 means the expensive filter adds nothing beyond
+    * its base rate; κ near 1 means the cheap rule can stand in for it.
+    *
+    * Scale shape: ONE map-side-combined scan+reduce to the 2×2 confusion
+    * row; everything after is arithmetic on five longs. `po`/`pe` are
+    * single fixed-order IEEE expressions of exact integer counts, rounded
+    * to 6dp BEFORE κ is formed from them, so every engine derives the same
+    * κ from the same agreed pieces. Rows where either flag is NULL are
+    * excluded (an abstaining rater is not a disagreeing one).
+    *
+    * Returns one row: (n, n11, n10, n01, n00, po, pe, kappa); pe = 1
+    * (both raters constant and equal) reads κ = 0 by convention.
+    */
+  def raterAgreement(df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val counts = df
+      .select(flagA.cast("boolean").as("__a"), flagB.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast(DoubleType)
+    val po = round(((col("n11") + col("n00")).cast(DoubleType) / nD).cast(dec), 6)
+      .cast(DoubleType)
+    val pe = round((((col("n11") + col("n10")).cast(DoubleType)
+        * (col("n11") + col("n01")).cast(DoubleType)
+      + (col("n01") + col("n00")).cast(DoubleType)
+        * (col("n10") + col("n00")).cast(DoubleType)) / (nD * nD)).cast(dec), 6)
+      .cast(DoubleType)
+    counts
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        po.as("po"), pe.as("pe"))
+      .withColumn("kappa",
+        round(when(col("pe") >= 1.0, lit(0.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .cast(dec), 6).cast(DoubleType))
+  }
+
   /** Per-slice data card — the release-notes table every corpus ships with
     * (datasheets-for-datasets distilled to the slice grain): for each
     * `groupCols` combination (source × language, typically) the document

@@ -139,27 +139,38 @@ object Sampling {
                         tokenCount: Column, alpha: Double,
                         budgetFrac: Double, buckets: Int = 10000,
                         salt: String = ""): DataFrame = {
+    val withToks = df.withColumn("__nt", tokenCount.cast("long"))
+    val masses = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      withToks.groupBy(col(groupCol)).agg(sum(col("__nt")).as("__gt")))
+    val rates = temperatureRates(masses, groupCol, alpha, budgetFrac, buckets)
+      .select(col(groupCol), col("share_bp"), col("rate_bp"))
+    withToks
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("kept", hashBucket(col(idCol), buckets, salt) < col("rate_bp"))
+      .withColumnRenamed("__nt", "n_tokens")
+  }
+
+  /** The per-group rate table behind [[temperatureSample]], computed from
+    * an additive mass table (`groupCol`, `__gt` token mass) — split out so
+    * the streaming mixture monitor can fold batch masses and read the SAME
+    * rates the batch sampler derives. Returns (groupCol, mass, share_bp,
+    * rate_bp); the |groups|-row frame is the only thing this touches.
+    */
+  def temperatureRates(masses: DataFrame, groupCol: String, alpha: Double,
+                       budgetFrac: Double, buckets: Int = 10000): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(budgetFrac > 0.0 && budgetFrac <= 1.0, "budgetFrac must be in (0, 1]")
     val dec = DecimalType(28, 8)
-    val withToks = df.withColumn("__nt", tokenCount.cast("long"))
-    val groupTotals = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      withToks.groupBy(col(groupCol)).agg(sum(col("__nt")).as("__gt")))
-    val powed = groupTotals.withColumn("__pw",
+    val powed = masses.withColumn("__pw",
       pow(col("__gt").cast("double"), lit(alpha)).cast(dec))
     val totals = powed.agg(sum(col("__gt")).as("__tt"), sum(col("__pw")).as("__pt"))
-    val rated = withToks
-      .join(broadcast(powed), Seq(groupCol))
-      .crossJoin(broadcast(totals))
+    powed.crossJoin(broadcast(totals))
       .withColumn("__share", col("__pw").cast("double") / col("__pt").cast("double"))
       .withColumn("share_bp", floor(col("__share") * buckets + lit(0.5)).cast("long"))
-      .withColumn("__rate", least(lit(1.0),
-        lit(budgetFrac) * col("__share") * col("__tt").cast("double") / col("__gt").cast("double")))
-      .withColumn("rate_bp", floor(col("__rate") * buckets + lit(0.5)).cast("long"))
-    rated
-      .withColumn("kept", hashBucket(col(idCol), buckets, salt) < col("rate_bp"))
-      .withColumnRenamed("__nt", "n_tokens")
-      .drop("__gt", "__pw", "__tt", "__pt", "__share", "__rate")
+      .withColumn("rate_bp", floor(least(lit(1.0),
+        lit(budgetFrac) * col("__share") * col("__tt").cast("double")
+          / col("__gt").cast("double")) * buckets + lit(0.5)).cast("long"))
+      .select(col(groupCol), col("__gt").as("mass"), col("share_bp"), col("rate_bp"))
   }
 
   /** Weighted reservoir sampling without replacement (Efraimidis–Spirakis

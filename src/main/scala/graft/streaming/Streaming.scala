@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -688,6 +688,46 @@ object Streaming {
     /** restore moment state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
       moments = MonitorState.load(spark, dir, "moments")
+  }
+
+  /** Streaming mixture monitor — live τ-sampling rates over an arriving
+    * corpus: per-group token masses are additive, so each micro-batch's
+    * |groups|-row mass table folds by union + re-sum, and the
+    * [[graft.functions.Sampling.temperatureRates]] readout derives the
+    * SAME per-group keep rates the batch sampler would from all rows seen.
+    * This is how a continuously-ingesting pipeline keeps its language
+    * rebalance current without rescanning the corpus: the rates drift as
+    * the crawl's language mix drifts, and the next epoch's sampler just
+    * reads the latest table. State is bounded by |groups|, never by rows.
+    * Wire with [[foreachBatchMerge]]`(stream, mm.update)`.
+    */
+  class MixtureMonitor(groupCol: String, tokenCount: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var masses: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-group token masses into the keyed state */
+    def update(batch: DataFrame): Unit = {
+      val bm = batch.withColumn("__nt", tokenCount.cast("long"))
+        .groupBy(col(groupCol)).agg(sum(col("__nt")).as("__gt"))
+      masses = Some(bridge.freeze(masses match {
+        case None => bm
+        case Some(m) => m.unionByName(bm)
+          .groupBy(col(groupCol)).agg(sum(col("__gt")).as("__gt"))
+      }))
+    }
+
+    /** current (group, mass, share_bp, rate_bp) — equals the batch rates */
+    def rates(alpha: Double, budgetFrac: Double, buckets: Int = 10000): DataFrame =
+      graft.functions.Sampling.temperatureRates(
+        masses.getOrElse(throw new IllegalStateException("no batches ingested")),
+        groupCol, alpha, budgetFrac, buckets)
+
+    /** persist the mass state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("masses" -> masses))
+
+    /** restore mass state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      masses = MonitorState.load(spark, dir, "masses")
   }
 
   /** Streaming mutual-information monitor — live dependence drift between

@@ -300,6 +300,27 @@ object ScaleBench {
       Curation.urlDupGroups(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
     }
 
+    // ---- round-10 workload helpers
+    def boilerplatePairs(d: DataFrame): DataFrame =
+      Dedup.containmentPairs(d, "doc_id", "text", n = 3, maxDf = 64,
+        minShared = 2, minContain = 0.08)
+    def bandW(e: DataFrame, tol: Double): DataFrame = {
+      val probes = e.filter(col("event_id") % 101 === 0)
+        .select(col("event_id").as("probe_id"), col("event_type").as("probe_type"),
+          col("value").as("probe_value"))
+      val base = e.select(col("event_id").as("match_id"),
+        col("event_type").as("match_type"), col("value").as("match_value"))
+      graft.core.Joins.bandJoin(probes, "probe_value", base, "match_value", tol,
+        Seq("probe_type" -> "match_type"))
+    }
+    def miW(e: DataFrame): DataFrame =
+      Stats.mutualInformation(
+        e.select(col("event_type"), hour(col("ts")).as("hr")), "event_type", "hr")
+    def scenecutW(d: DataFrame): DataFrame =
+      graft.multimodal.Multimodal.sceneCuts(
+        graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.mediaTable(d)), threshold = 16)
+
     val workloads: Seq[(String, Long, Long, () => Unit, () => Unit)] = Seq(
       ("dedup_minhash", nDocs, nDocs * copies, () => minhash(docs1), () => minhash(docs10)),
       ("dedup_exact", nDocs, nDocs * copies, () => exactDedup(docs1), () => exactDedup(docs10)),
@@ -504,7 +525,54 @@ object ScaleBench {
           "file_id", "n_chars", 2000L, 300L)),
         () => force(Layout.compactionPlan(
           docs10.select(col("doc_id").as("file_id"), col("n_chars")),
-          "file_id", "n_chars", 2000L, 300L))))
+          "file_id", "n_chars", 2000L, 300L))),
+      // two keyed aggregations over the containment screen; salted copies
+      // keep edges linear
+      ("graph_degree_hist", nDocs, nDocs * copies,
+        () => force(graft.functions.Graphs.degreeHistogram(boilerplatePairs(docs1))),
+        () => force(graft.functions.Graphs.degreeHistogram(boilerplatePairs(docs10)))),
+      // hub-capped length-2 path join over the same screen
+      ("graph_jaccard", nDocs, nDocs * copies,
+        () => force(graft.functions.Graphs.neighborJaccard(
+          boilerplatePairs(docs1), maxDegree = 64L)),
+        () => force(graft.functions.Graphs.neighborJaccard(
+          boilerplatePairs(docs10), maxDegree = 64L))),
+      // tol-sized buckets + shuffled hash join; copies DUPLICATE the value
+      // column, so tol scales 1/copies to keep output pairs linear — a
+      // fixed tol would grow matches 100x and measure output size, not
+      // the join
+      ("join_band", maxEvent, maxEvent * copies,
+        () => force(bandW(ev1, 0.05)), () => force(bandW(ev10, 0.005))),
+      // ONE (user,type)-keyed lag window + bounded rollup
+      ("events_interarrival", maxEvent, maxEvent * copies,
+        () => force(Events.interarrivalHistogram(ev1,
+          "user_id", "event_type", "ts", "event_id")),
+        () => force(Events.interarrivalHistogram(ev10,
+          "user_id", "event_type", "ts", "event_id"))),
+      // ONE scan+reduce; every replicate is two more agg columns
+      ("stats_bootstrap", maxEvent, maxEvent * copies,
+        () => force(Stats.poissonBootstrap(ev1, "event_id", "value", 16)),
+        () => force(Stats.poissonBootstrap(ev10, "event_id", "value", 16))),
+      // ONE aggregation to the bounded joint table + readout
+      ("stats_mi", maxEvent, maxEvent * copies,
+        () => force(miW(ev1)), () => force(miW(ev10))),
+      // ONE scan+reduce to the moment row; the k x k driver iteration is
+      // O(1) in data
+      ("sim_pca", maxVec, maxVec * copies,
+        () => force(Vectors.topComponent(emb1, "v", 0 to 7, iters = 10)),
+        () => force(Vectors.topComponent(emb10, "v", 0 to 7, iters = 10))),
+      // same two-job shape as sample_mixture, shares computed from corpus
+      ("sample_temperature", nDocs, nDocs * copies,
+        () => force(Sampling.temperatureSample(docs1, "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")), alpha = 0.7, budgetFrac = 0.5,
+          salt = "t1").select(col("doc_id"), col("kept"))),
+        () => force(Sampling.temperatureSample(docs10, "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")), alpha = 0.7, budgetFrac = 0.5,
+          salt = "t1").select(col("doc_id"), col("kept")))),
+      // partition-local decode, then a per-video lag window over 2 longs
+      // per frame — pixels never shuffle
+      ("mm_scenecut", nDocs, nDocs * copies,
+        () => force(scenecutW(docs1)), () => force(scenecutW(docs10))))
 
     // warm-up (JIT, codegen, parquet footers) so neither side absorbs it —
     // the release below needs `keep` in scope, so warm-up runs after it

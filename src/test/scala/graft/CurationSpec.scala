@@ -339,4 +339,29 @@ class CurationSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("raterAgreement: κ=1 on agreement, −1 on perfect disagreement, 0 on independence") {
+    import spark.implicits._
+    val ids = (0 until 100).toDF("id")
+    def kappaOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Curation.raterAgreement(ids, a, b).collect()(0)
+    val perfect = kappaOf(col("id") % 2 === 0, col("id") % 2 === 0)
+    assert(perfect.getAs[Double]("kappa") == 1.0 &&
+      perfect.getAs[Double]("po") == 1.0)
+    val opposite = kappaOf(col("id") % 2 === 0, col("id") % 2 === 1)
+    assert(opposite.getAs[Double]("kappa") == -1.0 &&
+      opposite.getAs[Double]("po") == 0.0)
+    // independent balanced raters: po = pe = 0.5 exactly → κ = 0
+    val indep = kappaOf(col("id") % 2 === 0, (col("id") / 2).cast("int") % 2 === 0)
+    assert(indep.getAs[Double]("kappa") == 0.0 &&
+      indep.getAs[Double]("pe") == 0.5)
+    // constant equal raters: pe = 1 reads κ = 0 by convention, not NaN
+    val const = kappaOf(lit(true), lit(true))
+    assert(const.getAs[Double]("kappa") == 0.0 &&
+      const.getAs[Long]("n11") == 100L)
+    // nulls are abstentions, not votes
+    val withNull = kappaOf(when(col("id") < 50, col("id") % 2 === 0),
+      col("id") % 2 === 0)
+    assert(withNull.getAs[Long]("n") == 50L)
+  }
 }

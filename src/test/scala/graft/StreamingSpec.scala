@@ -797,6 +797,29 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matrix) == batch)
   }
 
+  test("mixture monitor: folded masses read out the batch τ-sampling rates, survive restart") {
+    import graft.functions.{Sampling, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = toMap(Sampling.temperatureRates(
+      org.apache.spark.sql.graftbridge.Bridge.freeze(
+        docs.withColumn("__nt", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .groupBy(col("lang")).agg(sum(col("__nt")).as("__gt"))),
+      "lang", 0.7, 0.5))
+    val mm = new Streaming.MixtureMonitor("lang", TextAnalysis.tokenCount(col("text")))
+    (0 until 5).foreach(b => mm.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(toMap(mm.rates(0.7, 0.5)) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("mix_state").toString
+    val mm2 = new Streaming.MixtureMonitor("lang", TextAnalysis.tokenCount(col("text")))
+    (0 until 2).foreach(b => mm2.update(docs.filter(col("doc_id") % 5 === b)))
+    mm2.saveState(ckpt)
+    val mm3 = new Streaming.MixtureMonitor("lang", TextAnalysis.tokenCount(col("text")))
+    mm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => mm3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(toMap(mm3.rates(0.7, 0.5)) == batch)
+  }
+
   test("mi monitor: additive joint counts make the readout batch-exact, survive restart") {
     val ev = table("events").select(col("event_type"), hour(col("ts")).as("hr"),
       col("event_id"))

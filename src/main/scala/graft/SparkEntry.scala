@@ -1463,6 +1463,15 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")) >= 25)
     }),
 
+    // exact ROC-AUC of the classifier micro-sum against the quality label:
+    // rank-sum identity over the bounded per-score count table, cumulative
+    // negatives via the distributed prefix scan — threshold-free filter eval
+    "curate_auc" -> ((s, dir) => {
+      graft.functions.Stats.rocAuc(docsNorm(s, dir),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
+    }),
+
     // per-domain document cap: keep the 20 longest docs per source (ties
     // to smaller id) — the at-most-N-pages-per-host crawl rule; ONE
     // domain-keyed ranking window, no joins
@@ -5866,6 +5875,59 @@ object SparkEntry {
            round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
              ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
          FROM p""",
+
+    // AUC replay: micro-sum and quality-label replays feed the same
+    // per-score count table; cumulative window is fine at oracle scale,
+    // HUGEINT keeps the doubled U exact
+    "curate_auc" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         counts AS (
+           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+           FROM j GROUP BY s),
+         cum AS (
+           SELECT p, nn, sum(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+           FROM counts),
+         u AS (
+           SELECT sum(p::HUGEINT * (2*(cn - nn) + nn)::HUGEINT) AS u2,
+             sum(p) AS np, sum(nn) AS nneg
+           FROM cum)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CASE WHEN np = 0 OR nneg = 0 THEN NULL
+             ELSE round(CAST(u2::DOUBLE / (2.0::DOUBLE * np::DOUBLE * nneg::DOUBLE)
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
+         FROM u""",
 
     // τ-sampling replay: same per-group token masses, pow staged in
     // DECIMAL(28,8) before the order-independent denominator sum, same

@@ -620,6 +620,47 @@ object Stats {
           .cast(dec), 6).cast("double"))
   }
 
+  /** Exact distributed ROC-AUC of a score against a boolean label — the
+    * threshold-free evaluation of a curation filter (how well does the
+    * classifier margin rank kept-worthy documents above the rest), via the
+    * Mann–Whitney rank-sum identity with the standard tie correction:
+    * `AUC = Σ_v p_v · (N_below(v) + n_v/2) / (P·N)`.
+    *
+    * Scale shape: ONE map-side-combined scan+reduce to the
+    * (score, pos, neg) table — bounded by DISTINCT scores, never rows;
+    * cumulative negatives run through the distributed two-pass prefix scan
+    * ([[graft.core.Scans.cumulative]] — no unpartitioned window, no global
+    * sort of the data); the U statistic is an exact-integer sum (doubled,
+    * so the half-tie term stays integral) staged in DECIMAL(38,0), with
+    * ONE IEEE divide at the end — engine-reproducible to the last bit.
+    *
+    * Returns one row: (n_pos, n_neg, auc) at 6dp; auc is NULL when either
+    * class is empty (an AUC of a one-class sample is undefined, not 0.5).
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = df.select(score.as("__s"), label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    cum
+      .select(col("__p"), col("__n"),
+        (col("__p").cast(big) *
+          (lit(2L) * (col("cum___n") - col("__n")) + col("__n")).cast(big))
+          .as("__u2"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(col("__u2")).as("__u2s"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round((col("__u2s").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .cast(dec), 6).cast("double")).as("auc"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen,
     * useful on ingested metrics columns: organically-grown magnitudes
     * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or

@@ -642,6 +642,24 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("rocAuc: 1 on perfect ranking, 0 reversed, exact half-credit on ties, null one-class") {
+    import spark.implicits._
+    val ids = (0 until 100).toDF("id")
+    def auc(s: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      Stats.rocAuc(ids, s, y).collect()(0)
+    val perfect = auc(col("id"), col("id") >= 50)
+    assert(perfect.getAs[Double]("auc") == 1.0 &&
+      perfect.getAs[Long]("n_pos") == 50L)
+    assert(auc(col("id"), col("id") < 50).getAs[Double]("auc") == 0.0)
+    // balanced label within every tied score group: exactly 0.5
+    assert(auc(col("id") % 10, (col("id") / 10).cast("int") % 2 === 0)
+      .getAs[Double]("auc") == 0.5)
+    // a single constant score is all ties: half credit
+    assert(auc(lit(7), col("id") % 2 === 0).getAs[Double]("auc") == 0.5)
+    // one-class sample: undefined, not 0.5
+    assert(auc(col("id"), lit(true)).isNullAt(2))
+  }
+
   test("mutualInformation: zero on independence, equals H on identity, nmi in [0,1]") {
     import spark.implicits._
     // uniform independent grid: every ln ratio is ln(1) = 0 exactly

@@ -1472,6 +1472,27 @@ object SparkEntry {
         dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
     }),
 
+    // P/R/F1 operating points at three candidate cuts: each threshold is
+    // three more conditional sums in the SAME single scan+reduce; F1 forms
+    // from exact integers, one divide each
+    "curate_pr_curve" -> ((s, dir) => {
+      graft.functions.Stats.prCurve(docsNorm(s, dir),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        thresholds = Seq(-2000000.0, 0.0, 2000000.0))
+        .orderBy(col("threshold"))
+    }),
+
+    // reliability diagram: micro-sum bins vs observed positive rate — does
+    // the margin MEAN a probability, or only rank; one bounded aggregation
+    "curate_reliability" -> ((s, dir) => {
+      graft.functions.Stats.reliability(docsNorm(s, dir),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        width = 2000000.0)
+        .orderBy(col("bin"))
+    }),
+
     // per-domain document cap: keep the 20 longest docs per source (ties
     // to smaller id) — the at-most-N-pages-per-host crawl rule; ONE
     // domain-keyed ranking window, no joins
@@ -2267,6 +2288,17 @@ object SparkEntry {
           graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))),
         threshold = 16)
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // per-video shot summary: the clip-level curation readout (static card /
+    // strobing garbage / motion energy) — one bounded rollup over sceneCuts
+    "mm_shot_summary" -> ((s, dir) => {
+      graft.multimodal.Multimodal.shotSummary(
+        graft.multimodal.Multimodal.sceneCuts(
+          graft.multimodal.Multimodal.sampleFrames(
+            graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))),
+          threshold = 16))
+        .orderBy(col("doc_id"))
     }),
 
     // audio curation: energy-based VAD over BOTH codec families (real
@@ -5929,6 +5961,109 @@ object SparkEntry {
                AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
          FROM u""",
 
+    // P/R/F1 replay: same score and label replays, per-threshold
+    // conditional sums unpivoted, integer-exact F1
+    "curate_pr_curve" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         k AS (
+           SELECT
+             sum(CASE WHEN y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp0,
+             sum(CASE WHEN NOT y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp0,
+             sum(CASE WHEN y AND s < -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn0,
+             sum(CASE WHEN y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS tp1,
+             sum(CASE WHEN NOT y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp1,
+             sum(CASE WHEN y AND s < 0.0 THEN 1 ELSE 0 END)::BIGINT AS fn1,
+             sum(CASE WHEN y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp2,
+             sum(CASE WHEN NOT y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp2,
+             sum(CASE WHEN y AND s < 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn2
+           FROM j),
+         u AS (
+           SELECT -2000000.0::DOUBLE AS threshold, tp0 AS tp, fp0 AS fp, fn0 AS fn FROM k
+           UNION ALL SELECT 0.0::DOUBLE, tp1, fp1, fn1 FROM k
+           UNION ALL SELECT 2000000.0::DOUBLE, tp2, fp2, fn2 FROM k)
+         SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE round(CAST(tp::DOUBLE / (tp + fp)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE round(CAST(tp::DOUBLE / (tp + fn)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS recall,
+           CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+             ELSE round(CAST((2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS f1
+         FROM u ORDER BY threshold""",
+
+    // reliability replay: same bins (IEEE floor of the exact micro-sum over
+    // the width), same rate divide
+    "curate_reliability" ->
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT floor(sc.s::DOUBLE / 2000000.0::DOUBLE)::BIGINT AS bin, lab.y
+           FROM sc JOIN lab ON sc.doc_id = lab.doc_id)
+         SELECT bin, bin * 2000000.0::DOUBLE AS lo, count(*) AS n,
+           sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+             AS DECIMAL(18,8)), 6)::DOUBLE AS rate
+         FROM j GROUP BY bin ORDER BY bin""",
+
     // τ-sampling replay: same per-group token masses, pow staged in
     // DECIMAL(28,8) before the order-independent denominator sum, same
     // share/rate arithmetic and floor(x·bp + 0.5) threshold rounding
@@ -6488,6 +6623,34 @@ object SparkEntry {
          SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
            CAST(hamming AS INTEGER) AS hamming, hamming >= 16 AS is_cut
          FROM p ORDER BY doc_id, frame_no""",
+
+    // shot-summary replay: the scene-cut replay's pair table rolled up per
+    // video, mean as one exact-integer divide
+    "mm_shot_summary" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
+         px AS (
+           SELECT doc_id, frame_no, list_transform(range(0, 64),
+             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
+           FROM f),
+         h AS (
+           SELECT doc_id, frame_no,
+             list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS lo,
+             list_sum(list_transform(range(32, 64),
+               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
+                 THEN (1::BIGINT << (i-32)) ELSE 0::BIGINT END))::BIGINT AS hi
+           FROM px),
+         p AS (
+           SELECT a.doc_id,
+             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+           FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.frame_no = a.frame_no - 1)
+         SELECT doc_id, count(*) AS n_pairs,
+           sum(CASE WHEN hamming >= 16 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+           round(CAST(sum(hamming)::DOUBLE / count(*)::DOUBLE
+             AS DECIMAL(18,8)), 4)::DOUBLE AS mean_hamming
+         FROM p GROUP BY doc_id ORDER BY doc_id""",
 
     "mm_features" ->
       """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),

@@ -661,6 +661,78 @@ object Stats {
             .cast(dec), 6).cast("double")).as("auc"))
   }
 
+  /** Precision/recall/F1 of a score-thresholded filter at each candidate
+    * threshold — the operating-point table read next to [[rocAuc]] when the
+    * threshold actually has to be PICKED: AUC says the ranking is good,
+    * this says what precision you buy at what recall for each concrete cut.
+    *
+    * Scale shape: the [[poissonBootstrap]] discipline — every threshold is
+    * just three more conditional-sum columns in ONE map-side-combined
+    * scan+reduce (no per-threshold passes, no join), and the single result
+    * row unpivots via `stack`. F1 forms as `2·tp / (2·tp + fp + fn)` —
+    * one IEEE divide of exact integers, no compounding through rounded
+    * P/R. Empty denominators read NULL, not 0.
+    *
+    * Returns one row per threshold: (threshold, tp, fp, fn, prec, recall,
+    * f1), 6dp; the filter keeps rows with `score >= threshold`. (`prec`,
+    * not `precision` — a reserved word in half the SQL engines.)
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = df.select(score.as("__s"), label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("__y") && col("__s") >= t, 1L).otherwise(0L)).as(s"__tp$i"),
+      sum(when(!col("__y") && col("__s") >= t, 1L).otherwise(0L)).as(s"__fp$i"),
+      sum(when(col("__y") && col("__s") < t, 1L).otherwise(0L)).as(s"__fn$i"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex.map { case (t, i) =>
+      s"cast($t as double), __tp$i, __fp$i, __fn$i"
+    }.mkString(", ")
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round((num.cast("double") / den.cast("double")).cast(dec), 6)
+          .cast("double"))
+    row.selectExpr(
+        s"stack(${thresholds.size}, $stackArgs) as (threshold, tp, fp, fn)")
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Reliability (calibration) table of a score against a boolean label:
+    * scores bin at fixed `width` and each bin reports its observed positive
+    * rate — the diagram that says whether "margin 0.8" MEANS 80%: a
+    * well-calibrated filter's rate tracks the bin midpoint, a miscalibrated
+    * one's doesn't, and that decides whether the score can gate on a
+    * probability threshold or only rank ([[rocAuc]]'s question).
+    *
+    * ONE map-side-combined aggregation to the bounded bin table; the bin is
+    * `floor(score/width)` in IEEE (identical on every engine for identical
+    * inputs), the rate ONE divide of exact counts.
+    *
+    * Returns (bin, lo, n, n_pos, rate) per non-empty bin, 6dp.
+    */
+  def reliability(df: DataFrame, score: Column, label: Column,
+                  width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    df.select(floor(score.cast("double") / width).cast("long").as("bin"),
+        label.cast("boolean").as("__y"))
+      .filter(col("bin").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), (col("bin") * width).as("lo"), col("n"), col("n_pos"),
+        round((col("n_pos").cast("double") / col("n").cast("double")).cast(dec), 6)
+          .cast("double").as("rate"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen,
     * useful on ingested metrics columns: organically-grown magnitudes
     * follow log10(1+1/d) first-digit frequencies; synthetic, capped, or

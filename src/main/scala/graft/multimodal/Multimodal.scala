@@ -726,6 +726,26 @@ object Multimodal {
       .withColumn("is_cut", col("hamming") >= threshold)
   }
 
+  /** Per-video shot summary over a [[sceneCuts]] frame — the clip-level
+    * curation signal (a video with zero cuts is a static card or a slide; a
+    * cut every frame is strobing garbage; the mean inter-frame hash
+    * distance is a cheap motion-energy proxy). ONE map-side-combined
+    * rollup of the already-tiny per-frame table; the mean is a single IEEE
+    * divide of exact integers, 4dp.
+    *
+    * Returns (doc_id, n_pairs, n_cuts, mean_hamming).
+    */
+  def shotSummary(cuts: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    cuts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        sum(col("hamming").cast("long")).as("__h"))
+      .select(col("doc_id"), col("n_pairs"), col("n_cuts"),
+        round((col("__h").cast("double") / col("n_pairs").cast("double")).cast(dec), 4)
+          .cast("double").as("mean_hamming"))
+  }
+
   /** Frame sampling for video-kind rows: demux offsets of the length-prefixed
     * container are fixed (constant frame size), so frame extraction stays a
     * columnar substring — distributed and row-parallel, no decode needed for

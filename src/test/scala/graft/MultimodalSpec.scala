@@ -234,4 +234,13 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getBoolean(3))).toMap
     assert(out == Map(1 -> ((0, false)), 2 -> ((56, true))), s"got $out")
   }
+
+  test("shotSummary: per-video cut counts and exact mean hamming") {
+    import spark.implicits._
+    val cuts = Seq((1L, 1, 5, false), (1L, 2, 20, true), (2L, 1, 0, false))
+      .toDF("doc_id", "frame_no", "hamming", "is_cut")
+    val out = Multimodal.shotSummary(cuts).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(1L -> ((2L, 1L, 12.5)), 2L -> ((1L, 0L, 0.0))), s"got $out")
+  }
 }

@@ -660,6 +660,24 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(auc(col("id"), lit(true)).isNullAt(2))
   }
 
+  test("prCurve and reliability: exact operating points and bin rates") {
+    import spark.implicits._
+    val ids = (0 until 100).toDF("id")
+    val pr = Stats.prCurve(ids, col("id"), col("id") >= 50,
+      Seq(0.0, 50.0, 200.0)).collect()
+      .map(r => r.getDouble(0) -> r.toSeq.drop(1)).toMap
+    assert(pr(50.0) == Seq(50L, 0L, 0L, 1.0, 1.0, 1.0))
+    assert(pr(0.0).take(3) == Seq(50L, 50L, 0L) &&
+      pr(0.0)(3) == 0.5 && pr(0.0)(5) == 0.666667)
+    // nothing kept: precision undefined (null), recall and f1 zero
+    assert(pr(200.0).take(3) == Seq(0L, 0L, 50L) &&
+      pr(200.0)(3) == null && pr(200.0)(4) == 0.0)
+    val rel = Stats.reliability(ids, col("id"), col("id") % 2 === 0, 10.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(rel.keySet == (0L to 9L).toSet)
+    assert(rel(3L) == ((30.0, 10L, 0.5)))
+  }
+
   test("mutualInformation: zero on independence, equals H on identity, nmi in [0,1]") {
     import spark.implicits._
     // uniform independent grid: every ln ratio is ln(1) = 0 exactly

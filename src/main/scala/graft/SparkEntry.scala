@@ -57,6 +57,21 @@ object SparkEntry {
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ROLLUP hierarchy with grouping ids: (flag,status) → flag → grand
+    // total in ONE pass — Spark expands the grouping sets BEFORE the
+    // aggregation, so the whole hierarchy is still a single
+    // map-side-combined shuffle, not three scans
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // §2.8 aggregations: the reference's Sum/Count/CountDistinct/Avg/Max/Min
     // (pygrametl/aggregators.py) as one grouped plan (TPC-H Q1 shape).
     "q1_agg" -> ((s, dir) => {
@@ -621,6 +636,18 @@ object SparkEntry {
       val cm = new graft.streaming.Streaming.CovMonitor("embedding", 0 to 7)
       (0 until 5).foreach(b => cm.update(emb.filter(col("vec_id") % 5 === b)))
       cm.matrix.orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // streaming kappa monitor (batch replay of 5 batches): the 2×2
+    // confusion row folds by plain addition, the readout equals the batch
+    // kappa — same oracle as curate_kappa
+    "stream_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val km = new graft.streaming.Streaming.KappaMonitor(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25)
+      (0 until 5).foreach(b => km.update(docs.filter(col("doc_id") % 5 === b)))
+      km.readout
     }),
 
     // streaming mixture monitor (batch replay of 5 batches): per-group
@@ -3395,6 +3422,50 @@ object SparkEntry {
        SELECT path, depth, count(*) AS n_users
        FROM p GROUP BY path, depth ORDER BY path"""
 
+  /** kappa oracle: quality-score and token-count flag replays into the 2×2
+    * confusion row, po/pe rounded before κ — shared by the batch operator
+    * and its streaming twin (additive confusion counts)
+    */
+  private lazy val kappaOracleSql =
+    s"""WITH norm AS (
+         SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+           $normSql AS nt
+         FROM documents),
+       c AS (
+         SELECT doc_id, text,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+         FROM norm),
+       f AS (
+         SELECT
+           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE npunct::DOUBLE / length(text) END) * 0.3
+             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS a,
+           ntok >= 25 AS b
+         FROM c),
+       k AS (
+         SELECT count(*) AS n,
+           sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+           sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+           sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+           sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+         FROM f),
+       p AS (
+         SELECT n, n11, n10, n01, n00,
+           round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
+           round(CAST(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+             + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)
+             AS DECIMAL(18,8)), 6)::DOUBLE AS pe
+         FROM k)
+       SELECT n, n11, n10, n01, n00, po, pe,
+         round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
+           ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
+       FROM p"""
+
   /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
     * per-term decimal staging — shared by the batch operator and its
     * streaming twin (additive joint counts fold to the same table)
@@ -3743,6 +3814,16 @@ object SparkEntry {
          FROM ver)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // rollup replay: same grouping sets, same grouping ids
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5868,45 +5949,10 @@ object SparkEntry {
 
     // kappa replay: the text_quality score replay and the token-count rule
     // feed the same 2×2 confusion row; po/pe round before κ forms
-    "curate_kappa" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         f AS (
-           SELECT
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS a,
-             ntok >= 25 AS b
-           FROM c),
-         k AS (
-           SELECT count(*) AS n,
-             sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
-             sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
-             sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
-             sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
-           FROM f),
-         p AS (
-           SELECT n, n11, n10, n01, n00,
-             round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
-             round(CAST(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
-               + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS pe
-           FROM k)
-         SELECT n, n11, n10, n01, n00, po, pe,
-           round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
-             ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
-         FROM p""",
+    "curate_kappa" -> kappaOracleSql,
+    // additive confusion counts: the monitor's folded state equals the
+    // one-pass row — identical replay
+    "stream_kappa" -> kappaOracleSql,
 
     // AUC replay: micro-sum and quality-label replays feed the same
     // per-score count table; cumulative window is fine at oracle scale,

@@ -136,16 +136,26 @@ object Curation {
     * Returns one row: (n, n11, n10, n01, n00, po, pe, kappa); pe = 1
     * (both raters constant and equal) reads κ = 0 by convention.
     */
-  def raterAgreement(df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
-    val dec = DecimalType(18, 8)
-    val counts = df
-      .select(flagA.cast("boolean").as("__a"), flagB.cast("boolean").as("__b"))
+  def raterAgreement(df: DataFrame, flagA: Column, flagB: Column): DataFrame =
+    kappaOfCounts(confusionCounts(df, flagA, flagB))
+
+  /** The one-row additive confusion state behind [[raterAgreement]]:
+    * (n, n11, n10, n01, n00) — plain count sums, so states from disjoint
+    * row sets fold by column-wise addition (the streaming kappa monitor's
+    * linear-sketch property).
+    */
+  def confusionCounts(df: DataFrame, flagA: Column, flagB: Column): DataFrame =
+    df.select(flagA.cast("boolean").as("__a"), flagB.cast("boolean").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
       .agg(count(lit(1)).as("n"),
         sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
         sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
         sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
         sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+
+  /** [[raterAgreement]]'s readout from a [[confusionCounts]] state row. */
+  def kappaOfCounts(counts: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 8)
     val nD = col("n").cast(DoubleType)
     val po = round(((col("n11") + col("n00")).cast(DoubleType) / nD).cast(dec), 6)
       .cast(DoubleType)

@@ -767,6 +767,44 @@ object Streaming {
       joint = MonitorState.load(spark, dir, "joint")
   }
 
+  /** Streaming filter-agreement monitor — live Cohen's kappa between two
+    * document filters as the corpus ingests: the 2×2 confusion row
+    * ([[graft.functions.Curation.confusionCounts]]) is five plain count
+    * sums, so each micro-batch folds by column-wise addition and the
+    * [[graft.functions.Curation.kappaOfCounts]] readout EQUALS the batch
+    * operator over all rows seen. A κ that decays over time is the live
+    * signal that a cheap rule and the expensive classifier are drifting
+    * apart on the incoming distribution — the moment to recalibrate.
+    * State is ONE row forever. Wire with
+    * [[foreachBatchMerge]]`(stream, km.update)`.
+    */
+  class KappaMonitor(flagA: Column, flagB: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's confusion counts into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Curation.confusionCounts(batch, flagA, flagB)
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) =>
+          val summed = c.columns.map(x => sum(col(x)).as(x))
+          c.unionByName(bc).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (n, …, po, pe, kappa) row — equals the batch one */
+    def readout: DataFrame = graft.functions.Curation.kappaOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the confusion state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore confusion state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming record-linkage monitor — continuous entity resolution at
     * ingest: the dimension side freezes ONCE (the
     * [[ContaminationMonitor]] shape), every incoming micro-batch runs

@@ -797,6 +797,26 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matrix) == batch)
   }
 
+  test("kappa monitor: folded confusion counts read out the batch kappa, survive restart") {
+    import graft.functions.{Curation, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fa = TextAnalysis.tokenCount(col("text")) >= 25
+    val fb = col("n_chars") <= 500
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0).toSeq
+    val batch = row(Curation.raterAgreement(docs, fa, fb))
+    val km = new Streaming.KappaMonitor(fa, fb)
+    (0 until 5).foreach(b => km.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(km.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("kappa_state").toString
+    val km2 = new Streaming.KappaMonitor(fa, fb)
+    (0 until 2).foreach(b => km2.update(docs.filter(col("doc_id") % 5 === b)))
+    km2.saveState(ckpt)
+    val km3 = new Streaming.KappaMonitor(fa, fb)
+    km3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => km3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(km3.readout) == batch)
+  }
+
   test("mixture monitor: folded masses read out the batch τ-sampling rates, survive restart") {
     import graft.functions.{Sampling, TextAnalysis}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

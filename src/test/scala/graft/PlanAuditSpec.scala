@@ -172,6 +172,36 @@ class PlanAuditSpec extends SparkSpec {
       s"data card must not read unused columns, got $cardRead")
   }
 
+  test("round-10 operators: pruned scans, hash joins, no corpus windows") {
+    // MI reads only its two columns from the events scan (audit the
+    // pre-freeze joint-count pass — the one that touches the corpus)
+    val miRead = readColumns(graft.functions.Stats.jointCounts(
+      table("events").select(col("event_type"), hour(col("ts")).as("hr")),
+      "event_type", "hr"))
+    assert(miRead == Set("event_type", "ts"),
+      s"MI must read exactly (event_type, ts), got $miRead")
+    // band join: bucket decomposition keeps the no-equi-key band predicate
+    // hash-joined
+    val band = planOf(SparkEntry.queries("join_band")(spark, sfDir))
+    assert(!band.contains("CartesianProduct") && !band.contains("BroadcastNestedLoop"),
+      s"band join must stay hash-joined:\n${band.take(1200)}")
+    // bootstrap: one aggregation, every replicate map-side partial
+    val boot = planOf(SparkEntry.queries("stats_bootstrap")(spark, sfDir))
+    assert(boot.contains("partial_sum"),
+      s"bootstrap replicates must combine map-side:\n${boot.take(1200)}")
+    // temperature sampling: the doc table itself is never shuffled — the
+    // only exchanges feed the tiny mass/rate tables and their broadcast
+    val temp = planOf(SparkEntry.queries("sample_temperature")(spark, sfDir))
+    assert(temp.contains("BroadcastExchange"),
+      "rates must arrive by broadcast")
+    assert(!temp.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for a broadcast-rate join:\n${temp.take(1200)}")
+    // AUC: no corpus-wide window — the scan replaced it
+    val auc = planOf(SparkEntry.queries("curate_auc")(spark, sfDir))
+    assert(!auc.contains("Window [") || !auc.contains("windowspecdefinition()"),
+      s"AUC cumulative must ride the prefix scan, not a global window:\n${auc.take(1200)}")
+  }
+
   test("centroid routing is a fold: corpus assignment plans no shuffle, no window") {
     import graft.functions.Vectors
     val e = table("embeddings")

@@ -274,9 +274,17 @@ object Bench {
       val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "20").toInt
       val pairSlice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_SLICE", "4").toInt
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
-      if (!graft.tools.ScaleData.isGenerated(sf1Dir)) {
+      if (!graft.tools.ScaleData.isGenerated(sf1Dir, sfDir)) {
+        // stale output from a DIFFERENT base sf dir: delete before regen —
+        // generate() itself would early-return on the old marker otherwise
+        val dir = java.nio.file.Paths.get(sf1Dir)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
         val code = fork(Seq("--gen-sf1", sfDir, sf1Dir), Map.empty)
-        require(code == 0 && graft.tools.ScaleData.isGenerated(sf1Dir),
+        require(code == 0 && graft.tools.ScaleData.isGenerated(sf1Dir, sfDir),
           s"sf1 generation exited $code")
       }
       val top = results.sortBy(-_._2).take(n).map(_._1).sorted

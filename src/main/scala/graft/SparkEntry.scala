@@ -72,6 +72,20 @@ object SparkEntry {
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // CUBE: all four grouping sets (both, each alone, grand total) in the
+    // same single-shuffle Expand plan — the slice-and-dice twin of
+    // agg_rollup
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // §2.8 aggregations: the reference's Sum/Count/CountDistinct/Avg/Max/Min
     // (pygrametl/aggregators.py) as one grouped plan (TPC-H Q1 shape).
     "q1_agg" -> ((s, dir) => {
@@ -638,6 +652,18 @@ object SparkEntry {
       cm.matrix.orderBy(col("dim_i"), col("dim_j"))
     }),
 
+    // streaming AUC monitor (batch replay of 5 batches): per-score counts
+    // fold additively, the rank-sum readout equals the batch AUC — same
+    // oracle as curate_auc
+    "stream_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val am = new graft.streaming.Streaming.AucMonitor(
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
+      (0 until 5).foreach(b => am.update(docs.filter(col("doc_id") % 5 === b)))
+      am.readout
+    }),
+
     // streaming kappa monitor (batch replay of 5 batches): the 2×2
     // confusion row folds by plain addition, the readout equals the batch
     // kappa — same oracle as curate_kappa
@@ -1182,6 +1208,18 @@ object SparkEntry {
         Dedup.clusters(Dedup.minhashPairs(docs, "doc_id", "text",
           n = 3, k = 64, bands = 32, threshold = 0.8)),
         docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // duplicate-aware sampling weights (soft dedup): 1/cluster-size weight
+    // + deterministic one-per-cluster-in-expectation keep — sizes from the
+    // pair graph, the corpus takes one left join + scan-speed arithmetic
+    "sample_dedup_weight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateWeights(
+        Dedup.clusters(Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, k = 64, bands = 32, threshold = 0.8)),
+        docs, "doc_id", salt = "dupw-v1")
         .orderBy(col("doc_id"))
     }),
 
@@ -3466,6 +3504,60 @@ object SparkEntry {
            ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
        FROM p"""
 
+  /** AUC oracle: micro-sum and quality-label replays into the per-score
+    * count table, rank-sum with HUGEINT-exact doubled U — shared by the
+    * batch operator and its streaming twin (additive per-score counts)
+    */
+  private lazy val aucOracleSql =
+    s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         counts AS (
+           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+           FROM j GROUP BY s),
+         cum AS (
+           SELECT p, nn, sum(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+           FROM counts),
+         u AS (
+           SELECT sum(p::HUGEINT * (2*(cn - nn) + nn)::HUGEINT) AS u2,
+             sum(p) AS np, sum(nn) AS nneg
+           FROM cum)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CASE WHEN np = 0 OR nneg = 0 THEN NULL
+             ELSE round(CAST(u2::DOUBLE / (2.0::DOUBLE * np::DOUBLE * nneg::DOUBLE)
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
+         FROM u"""
+
   /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
     * per-term decimal staging — shared by the batch operator and its
     * streaming twin (additive joint counts fold to the same table)
@@ -3814,6 +3906,16 @@ object SparkEntry {
          FROM ver)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // cube replay: all four grouping sets, same grouping ids
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
 
     // rollup replay: same grouping sets, same grouping ids
     "agg_rollup" ->
@@ -4671,6 +4773,33 @@ object SparkEntry {
          SELECT CAST(s AS BIGINT) AS size, count(*) AS n_clusters,
            CAST(s * count(*) AS BIGINT) AS n_docs
          FROM sz GROUP BY s ORDER BY size""",
+
+    // soft-dedup replay: components from the recursive reach, 1/size
+    // weights, same ⌊buckets/n + ½⌋ keep threshold over the corpus
+    "sample_dedup_weight" ->
+      s"""WITH RECURSIVE $nearDupEdgesSql,
+         reach(node, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lab AS (
+           SELECT node AS doc_id, least(node, min(r)) AS cluster
+           FROM reach GROUP BY node),
+         sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1),
+         mem AS (SELECT lab.doc_id, lab.cluster, sz.n
+                 FROM lab JOIN sz USING (cluster)),
+         al AS (
+           SELECT d.doc_id, coalesce(mem.cluster, d.doc_id) AS cluster,
+             coalesce(mem.n, 1) AS n_members
+           FROM documents d LEFT JOIN mem ON d.doc_id = mem.doc_id)
+         SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+           round(CAST(1.0::DOUBLE / n_members::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             AS weight,
+           CAST(floor(10000.0::DOUBLE / n_members::DOUBLE + 0.5::DOUBLE)
+             AS BIGINT) AS rate_bp,
+           ('0x'||substr(md5(doc_id::VARCHAR || 'dupw-v1'),1,15))::BIGINT % 10000
+             < floor(10000.0::DOUBLE / n_members::DOUBLE + 0.5::DOUBLE) AS kept
+         FROM al ORDER BY doc_id""",
 
     // cluster collapse replay: components from the recursive reach, winner
     // per cluster = most tokens then smallest id, emit the non-winners
@@ -5957,55 +6086,10 @@ object SparkEntry {
     // AUC replay: micro-sum and quality-label replays feed the same
     // per-score count table; cumulative window is fine at oracle scale,
     // HUGEINT keeps the doubled U exact
-    "curate_auc" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         counts AS (
-           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
-             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
-           FROM j GROUP BY s),
-         cum AS (
-           SELECT p, nn, sum(nn) OVER (ORDER BY s
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
-           FROM counts),
-         u AS (
-           SELECT sum(p::HUGEINT * (2*(cn - nn) + nn)::HUGEINT) AS u2,
-             sum(p) AS np, sum(nn) AS nneg
-           FROM cum)
-         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-           CASE WHEN np = 0 OR nneg = 0 THEN NULL
-             ELSE round(CAST(u2::DOUBLE / (2.0::DOUBLE * np::DOUBLE * nneg::DOUBLE)
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
-         FROM u""",
+    "curate_auc" -> aucOracleSql,
+    // additive per-score counts: the monitor's folded state equals the
+    // one-pass table — identical replay
+    "stream_auc" -> aucOracleSql,
 
     // P/R/F1 replay: same score and label replays, per-threshold
     // conditional sums unpivoted, integer-exact F1

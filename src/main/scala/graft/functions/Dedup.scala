@@ -617,6 +617,43 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("kept_doc"), col("n_members"))
   }
 
+  /** Duplicate-aware sampling weights — soft dedup (the Gopher / FineWeb
+    * alternative to hard removal): each document in a near-dup cluster of
+    * size n gets loss/sampling weight 1/n, so every cluster contributes ONE
+    * document's worth of mass in expectation while keeping all variants
+    * available — and the deterministic `kept` flag realizes exactly that
+    * draw (md5 buckets against `⌊buckets/n + ½⌋`, the mixture-sampler
+    * threshold discipline). Documents in no cluster are their own size-1
+    * cluster at weight 1.
+    *
+    * Scale shape: cluster sizes are ONE keyed aggregation of the label
+    * table (pairs-proportional, never the corpus); the corpus takes one
+    * LEFT equi-join against the membership table and scan-speed weight
+    * arithmetic — at web scale near-dup members are a small fraction of
+    * docs, so the join's build side stays far below the corpus.
+    *
+    * Returns (idCol, cluster, n_members, weight, rate_bp, kept).
+    */
+  def duplicateWeights(labels: DataFrame, docs: DataFrame, idCol: String,
+                       buckets: Int = 10000, salt: String = ""): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val members = labels.select(col("doc_id").cast("long").as("__mid"), col("cluster"))
+      .join(sizes, Seq("cluster"))
+    val joined = docs.select(col(idCol))
+      .join(members, col(idCol).cast("long") === col("__mid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol).cast("long")).as("cluster"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+    val rate = floor(lit(buckets.toDouble) / col("n_members").cast("double")
+      + lit(0.5)).cast("long")
+    joined.select(col(idCol), col("cluster"), col("n_members"),
+      round((lit(1.0) / col("n_members").cast("double")).cast(dec), 6)
+        .cast("double").as("weight"),
+      rate.as("rate_bp"),
+      (Sampling.hashBucket(col(idCol), buckets, salt) < rate).as("kept"))
+  }
+
   /** Chunk-level exact dedup: line/paragraph-granularity duplicate removal
     * generalized to fixed non-overlapping `chunkTokens`-token windows of the
     * normalized text (the testdata corpus has no newlines, so the fixed

@@ -637,14 +637,24 @@ object Stats {
     * Returns one row: (n_pos, n_neg, auc) at 6dp; auc is NULL when either
     * class is empty (an AUC of a one-class sample is undefined, not 0.5).
     */
-  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val big = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val counts = df.select(score.as("__s"), label.cast("boolean").as("__y"))
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucOfCounts(scoreCounts(df, score, label))
+
+  /** The per-score count table behind [[rocAuc]]: (__s, __p, __n) —
+    * additive per score key, so states from disjoint row sets fold by
+    * union + re-sum (the streaming AUC monitor's property).
+    */
+  def scoreCounts(df: DataFrame, score: Column, label: Column): DataFrame =
+    df.select(score.as("__s"), label.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy(col("__s"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+
+  /** [[rocAuc]]'s readout from a [[scoreCounts]] table. */
+  def aucOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
     cum
       .select(col("__p"), col("__n"),

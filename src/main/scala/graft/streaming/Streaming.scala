@@ -767,6 +767,44 @@ object Streaming {
       joint = MonitorState.load(spark, dir, "joint")
   }
 
+  /** Streaming ROC-AUC monitor — live ranking quality of a filter score as
+    * the corpus ingests: the per-score (pos, neg) count table
+    * ([[graft.functions.Stats.scoreCounts]]) is additive per score key, so
+    * each micro-batch folds by union + re-sum and the
+    * [[graft.functions.Stats.aucOfCounts]] readout (rank-sum over the
+    * prefix scan) EQUALS the batch operator over all rows seen. An AUC
+    * sliding down live is the classifier aging against the incoming
+    * distribution — the retrain trigger, caught before a threshold is
+    * missed. State is bounded by distinct scores, never by rows. Wire with
+    * [[foreachBatchMerge]]`(stream, am.update)`.
+    */
+  class AucMonitor(score: Column, label: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-score counts into the keyed state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Stats.scoreCounts(batch, score, label)
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("__s"))
+          .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n"))
+      }))
+    }
+
+    /** current (n_pos, n_neg, auc) row — equals the batch one */
+    def readout: DataFrame = graft.functions.Stats.aucOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming filter-agreement monitor — live Cohen's kappa between two
     * document filters as the corpus ingests: the 2×2 confusion row
     * ([[graft.functions.Curation.confusionCounts]]) is five plain count

@@ -19,13 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
-  /** marker written after a complete generation; callers skip regeneration */
+  /** marker written after a complete generation; callers skip regeneration.
+    * The marker RECORDS the base sf dir: a leftover from a different base
+    * (round-10 bug: an sf0.01 smoke run's output satisfied the sf0.1 gate,
+    * so the "10x" side was ~1x of the base and every ratio read sub-1)
+    * must NOT be reused.
+    */
   private def marker(outDir: String) = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
 
-  def isGenerated(outDir: String): Boolean = java.nio.file.Files.exists(marker(outDir))
+  def isGenerated(outDir: String, sfDir: String): Boolean = {
+    val m = marker(outDir)
+    java.nio.file.Files.exists(m) &&
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim ==
+        java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+  }
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, copies: Int = 10): Unit = {
-    if (isGenerated(outDir)) return
+    if (isGenerated(outDir, sfDir)) return
     val t: String => DataFrame = name => spark.read.parquet(s"$sfDir/$name.parquet")
 
     def maxOf(df: DataFrame, key: String): Long = df.agg(max(col(key))).head().getLong(0) + 1L
@@ -82,6 +92,7 @@ object ScaleData {
       "embeddings")
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.write(marker(outDir), Array.emptyByteArray)
+    java.nio.file.Files.write(marker(outDir),
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.toString.getBytes("UTF-8"))
   }
 }

@@ -429,4 +429,25 @@ class DedupSpec extends SparkSpec {
     val cutDocs = spans.select("doc_id").distinct().count()
     assert(real.filter(col("n_cut") > 0).count() == cutDocs)
   }
+
+  test("duplicateWeights: 1/n weights, singletons keep certainly, clusters keep ~once") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster")
+    val docs = (1L to 5L).toDF("doc_id")
+    val out = Dedup.duplicateWeights(labels, docs, "doc_id", salt = "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out.size == 5, "every doc appears")
+    assert(out(1L)._2 == 2L && out(1L)._3 == 0.5 && out(1L)._4 == 5000L)
+    assert(out(2L)._1 == 1L, "members carry their cluster label")
+    // size-1 clusters and unclustered docs: weight 1, kept with certainty
+    Seq(3L, 4L, 5L).foreach { d =>
+      assert(out(d) == ((if (d == 3L) 3L else d, 1L, 1.0, 10000L, true)), s"doc $d: ${out(d)}")
+    }
+    // the kept flag is exactly the hash-threshold draw
+    val h1 = graft.functions.Sampling.hashBucket(col("doc_id"), 10000, "t")
+    val expect = docs.filter(col("doc_id") <= 2).select(col("doc_id"), (h1 < 5000L).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L)._5 == expect(1L) && out(2L)._5 == expect(2L))
+  }
 }

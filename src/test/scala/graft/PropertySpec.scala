@@ -285,4 +285,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("prefix scan equals the single-partition window on arbitrary data") {
+    import graft.core.Scans
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(-50L, 50L))),
+      Gen.chooseNum(1, 9))
+    forAllSeeded(gen) { case (rows, parts) =>
+      // unique order keys (running totals over ties are ambiguous by contract)
+      val data = rows.map(_._1).distinct.zip(rows.map(_._2))
+        .toDF("k", "v")
+      val got = Scans.cumulative(data, "k", Seq("v"), numPartitions = parts)
+        .select("k", "cum_v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+      val exp = data.select(col("k"), sum(col("v")).over(w).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("AUC antisymmetry and kappa symmetry on arbitrary score/label tables") {
+    import graft.functions.{Curation, Stats}
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.oneOf(true, false)))
+    forAllSeeded(gen) { rows =>
+      val df = rows.toDF("s", "y")
+      val aucOf = (sc: org.apache.spark.sql.Column) =>
+        Stats.rocAuc(df, sc, col("y")).collect()(0)
+      val a = aucOf(col("s"))
+      if (!a.isNullAt(2)) {
+        // reversing the score reverses the ranking exactly (ties included)
+        val rev = aucOf(-col("s"))
+        assert(math.abs(a.getDouble(2) + rev.getDouble(2) - 1.0) <= 2e-6,
+          s"AUC(s) + AUC(-s) must be 1: ${a.getDouble(2)} + ${rev.getDouble(2)}")
+      }
+      // kappa is rater-symmetric: the confusion matrix transposes, po/pe hold
+      val ab = Curation.raterAgreement(df, col("y"), col("s") >= 10L)
+        .collect()(0)
+      val ba = Curation.raterAgreement(df, col("s") >= 10L, col("y"))
+        .collect()(0)
+      assert(ab.getAs[Double]("kappa") == ba.getAs[Double]("kappa") &&
+        ab.getAs[Double]("po") == ba.getAs[Double]("po"))
+    }
+  }
 }

@@ -797,6 +797,26 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matrix) == batch)
   }
 
+  test("auc monitor: folded score counts read out the batch AUC, survive restart") {
+    import graft.functions.{Stats, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val score = TextAnalysis.classifierMicroSum(col("text"), "clf-v1")
+    val label = TextAnalysis.tokenCount(col("text")) >= 25
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0).toSeq
+    val batch = row(Stats.rocAuc(docs, score, label))
+    val am = new Streaming.AucMonitor(score, label)
+    (0 until 5).foreach(b => am.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(am.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("auc_state").toString
+    val am2 = new Streaming.AucMonitor(score, label)
+    (0 until 2).foreach(b => am2.update(docs.filter(col("doc_id") % 5 === b)))
+    am2.saveState(ckpt)
+    val am3 = new Streaming.AucMonitor(score, label)
+    am3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => am3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(am3.readout) == batch)
+  }
+
   test("kappa monitor: folded confusion counts read out the batch kappa, survive restart") {
     import graft.functions.{Curation, TextAnalysis}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -623,7 +623,8 @@ object SparkEntry {
       val ev = events(s, dir)
       val tm = new graft.streaming.Streaming.TransitionMonitor(
         "user_id", "event_type", "ts", "event_id")
-      (0 until 5).foreach(b =>
+      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
+      (0 until 6).foreach(b =>
         tm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
       tm.matrix.orderBy(col("from_type"), col("to_type"))
     }),
@@ -636,7 +637,8 @@ object SparkEntry {
       val im = new graft.streaming.Streaming.InterarrivalMonitor(
         "user_id", "event_type", "ts", "event_id",
         widthSeconds = 600L, capBuckets = 144)
-      (0 until 5).foreach(b =>
+      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
+      (0 until 6).foreach(b =>
         im.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
       im.histogram.orderBy(col("event_type"), col("gap_bucket"))
     }),
@@ -691,11 +693,12 @@ object SparkEntry {
     // counts are additive per key, so the folded state reads out equal to
     // the batch MI — same oracle as stats_mi
     "stream_mi" -> ((s, dir) => {
+      // joint counts are order-free, so batch by id — covers every row
+      // for ANY time span
       val ev = events(s, dir)
-        .select(col("event_type"), hour(col("ts")).as("hr"),
-          floor((dayofmonth(col("ts")) - 1) / 6).as("__b"))
+        .select(col("event_type"), hour(col("ts")).as("hr"), col("event_id"))
       val mm = new graft.streaming.Streaming.MiMonitor("event_type", "hr")
-      (0 until 5).foreach(b => mm.update(ev.filter(col("__b") === b)))
+      (0 until 5).foreach(b => mm.update(ev.filter(col("event_id") % 5 === b)))
       mm.readout
     }),
 
@@ -745,7 +748,8 @@ object SparkEntry {
       val ev = events(s, dir)
       val pm = new graft.streaming.Streaming.PathMonitor(
         "user_id", "event_type", "ts", "event_id", depth = 3)
-      (0 until 5).foreach(b =>
+      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
+      (0 until 6).foreach(b =>
         pm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
       pm.paths.orderBy(col("path"))
     }),

@@ -27,11 +27,17 @@ object ScaleData {
     */
   private def marker(outDir: String) = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
 
+  /** bumped when the synthesis recipe changes, so cached data regenerates */
+  private val GenVersion = "v2"
+
+  private def markerContent(sfDir: String): String =
+    s"$GenVersion ${java.nio.file.Paths.get(sfDir).toAbsolutePath}"
+
   def isGenerated(outDir: String, sfDir: String): Boolean = {
     val m = marker(outDir)
     java.nio.file.Files.exists(m) &&
       new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim ==
-        java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+        markerContent(sfDir)
   }
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, copies: Int = 10): Unit = {
@@ -61,7 +67,16 @@ object ScaleData {
 
     write(t("region"), "region")
     write(t("nation"), "nation")
-    write(scale(t("customer"), Map("c_custkey" -> custBase)), "customer")
+    // per-copy NAME salt (the documents-token-salt discipline): the linkage
+    // family blocks on (name prefix, nation), so verbatim name copies grow
+    // every block 10x on BOTH sides — a 100x pair explosion that measures
+    // the synthesized collision, not the operator (round-10 honest-sf1
+    // evidence: stream_link read 50x wall at 10x). Salted prefixes grow
+    // block COUNT 10x at constant block size, like ScaleBench's own
+    // link workload.
+    write(scale(t("customer"), Map("c_custkey" -> custBase),
+      perCopy = (d, k) => d.withColumn("c_name",
+        concat(lit(s"c$k"), col("c_name")))), "customer")
     write(scale(t("supplier"), Map("s_suppkey" -> suppBase)), "supplier")
     write(scale(t("part"), Map("p_partkey" -> partBase)), "part")
     write(scale(t("orders"), Map("o_orderkey" -> orderBase, "o_custkey" -> custBase)), "orders")
@@ -93,6 +108,6 @@ object ScaleData {
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.write(marker(outDir),
-      java.nio.file.Paths.get(sfDir).toAbsolutePath.toString.getBytes("UTF-8"))
+      markerContent(sfDir).getBytes("UTF-8"))
   }
 }

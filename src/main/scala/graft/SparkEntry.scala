@@ -666,6 +666,19 @@ object SparkEntry {
       am.readout
     }),
 
+    // streaming P/R operating points (batch replay of 5 batches): the SAME
+    // additive per-score state as stream_auc, read out at the three cuts —
+    // same oracle as curate_pr_curve
+    "stream_pr_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val am = new graft.streaming.Streaming.AucMonitor(
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
+      (0 until 5).foreach(b => am.update(docs.filter(col("doc_id") % 5 === b)))
+      am.operatingPoints(Seq(-2000000.0, 0.0, 2000000.0))
+        .orderBy(col("threshold"))
+    }),
+
     // streaming kappa monitor (batch replay of 5 batches): the 2×2
     // confusion row folds by plain addition, the readout equals the batch
     // kappa — same oracle as curate_kappa
@@ -3508,6 +3521,70 @@ object SparkEntry {
            ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
        FROM p"""
 
+  /** P/R/F1 oracle: score/label replays, per-threshold conditional
+    * sums unpivoted, integer-exact F1 — shared by the batch operator
+    * and the streaming operating-points readout
+    */
+  private lazy val prCurveOracleSql =
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         k AS (
+           SELECT
+             sum(CASE WHEN y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp0,
+             sum(CASE WHEN NOT y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp0,
+             sum(CASE WHEN y AND s < -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn0,
+             sum(CASE WHEN y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS tp1,
+             sum(CASE WHEN NOT y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp1,
+             sum(CASE WHEN y AND s < 0.0 THEN 1 ELSE 0 END)::BIGINT AS fn1,
+             sum(CASE WHEN y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp2,
+             sum(CASE WHEN NOT y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp2,
+             sum(CASE WHEN y AND s < 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn2
+           FROM j),
+         u AS (
+           SELECT -2000000.0::DOUBLE AS threshold, tp0 AS tp, fp0 AS fp, fn0 AS fn FROM k
+           UNION ALL SELECT 0.0::DOUBLE, tp1, fp1, fn1 FROM k
+           UNION ALL SELECT 2000000.0::DOUBLE, tp2, fp2, fn2 FROM k)
+         SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE round(CAST(tp::DOUBLE / (tp + fp)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE round(CAST(tp::DOUBLE / (tp + fn)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS recall,
+           CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+             ELSE round(CAST((2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS f1
+         FROM u ORDER BY threshold"""
+
   /** AUC oracle: micro-sum and quality-label replays into the per-score
     * count table, rank-sum with HUGEINT-exact doubled U — shared by the
     * batch operator and its streaming twin (additive per-score counts)
@@ -6097,65 +6174,9 @@ object SparkEntry {
 
     // P/R/F1 replay: same score and label replays, per-threshold
     // conditional sums unpivoted, integer-exact F1
-    "curate_pr_curve" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         k AS (
-           SELECT
-             sum(CASE WHEN y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp0,
-             sum(CASE WHEN NOT y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp0,
-             sum(CASE WHEN y AND s < -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn0,
-             sum(CASE WHEN y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS tp1,
-             sum(CASE WHEN NOT y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp1,
-             sum(CASE WHEN y AND s < 0.0 THEN 1 ELSE 0 END)::BIGINT AS fn1,
-             sum(CASE WHEN y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp2,
-             sum(CASE WHEN NOT y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp2,
-             sum(CASE WHEN y AND s < 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn2
-           FROM j),
-         u AS (
-           SELECT -2000000.0::DOUBLE AS threshold, tp0 AS tp, fp0 AS fp, fn0 AS fn FROM k
-           UNION ALL SELECT 0.0::DOUBLE, tp1, fp1, fn1 FROM k
-           UNION ALL SELECT 2000000.0::DOUBLE, tp2, fp2, fn2 FROM k)
-         SELECT threshold, tp, fp, fn,
-           CASE WHEN tp + fp = 0 THEN NULL
-             ELSE round(CAST(tp::DOUBLE / (tp + fp)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS prec,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE round(CAST(tp::DOUBLE / (tp + fn)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS recall,
-           CASE WHEN 2*tp + fp + fn = 0 THEN NULL
-             ELSE round(CAST((2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS f1
-         FROM u ORDER BY threshold""",
+    "curate_pr_curve" -> prCurveOracleSql,
+    // same additive per-score state, same cuts — identical replay
+    "stream_pr_curve" -> prCurveOracleSql,
 
     // reliability replay: same bins (IEEE floor of the exact micro-sum over
     // the width), same rate divide

@@ -690,7 +690,6 @@ object Stats {
   def prCurve(df: DataFrame, score: Column, label: Column,
               thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val base = df.select(score.as("__s"), label.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
     val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
@@ -699,6 +698,27 @@ object Stats {
       sum(when(col("__y") && col("__s") < t, 1L).otherwise(0L)).as(s"__fn$i"))
     }
     val row = base.agg(aggs.head, aggs.tail: _*)
+    prFromConfusion(row, thresholds)
+  }
+
+  /** [[prCurve]] over a [[scoreCounts]] table instead of raw rows — the
+    * streaming-monitor readout: tp/fp/fn at each threshold are conditional
+    * sums OF THE COUNTS (bounded by distinct scores), so the same additive
+    * state that feeds [[aucOfCounts]] also yields the operating points.
+    */
+  def prCurveOfCounts(counts: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("__s") >= t, col("__p")).otherwise(0L)).as(s"__tp$i"),
+      sum(when(col("__s") >= t, col("__n")).otherwise(0L)).as(s"__fp$i"),
+      sum(when(col("__s") < t, col("__p")).otherwise(0L)).as(s"__fn$i"))
+    }
+    prFromConfusion(counts.agg(aggs.head, aggs.tail: _*), thresholds)
+  }
+
+  private def prFromConfusion(row: DataFrame,
+                              thresholds: Seq[Double]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val stackArgs = thresholds.zipWithIndex.map { case (t, i) =>
       s"cast($t as double), __tp$i, __fp$i, __fn$i"
     }.mkString(", ")

@@ -797,6 +797,14 @@ object Streaming {
     def readout: DataFrame = graft.functions.Stats.aucOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** current P/R/F1 operating points — equals the batch prCurve (the
+      * same additive state answers both the ranking and the cut question)
+      */
+    def operatingPoints(thresholds: Seq[Double]): DataFrame =
+      graft.functions.Stats.prCurveOfCounts(
+        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+        thresholds)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

@@ -815,6 +815,10 @@ class StreamingSpec extends SparkSpec {
     am3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => am3.update(docs.filter(col("doc_id") % 5 === b)))
     assert(row(am3.readout) == batch)
+    // the same state answers the operating-point question identically
+    val cuts = Seq(-1000000.0, 0.0, 1000000.0)
+    assert(am3.operatingPoints(cuts).collect().map(_.toSeq).toSeq ==
+      Stats.prCurve(docs, score, label, cuts).collect().map(_.toSeq).toSeq)
   }
 
   test("kappa monitor: folded confusion counts read out the batch kappa, survive restart") {

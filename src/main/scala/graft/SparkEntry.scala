@@ -2928,6 +2928,20 @@ object SparkEntry {
         .orderBy(col("rep"))
     }),
 
+    // streaming bootstrap monitor (batch replay of 5 batches): id-derived
+    // weights make the replicate moments a LINEAR sketch, so the folded
+    // state reads out identical to the corpus CI — same oracle
+    "stream_bootstrap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bm = new graft.streaming.Streaming.BootstrapMonitor(
+        "o_orderkey", "o_totalprice", replicates = 16)
+      (0 until 5).foreach(b => bm.update(o.filter(col("o_orderkey") % 5 === b)))
+      bm.readout
+        .select(col("rep"), col("n_eff"),
+          dround(col("boot_sum").cast(DoubleType) / col("n_eff"), 4).as("boot_mean"))
+        .orderBy(col("rep"))
+    }),
+
     // per-group quantiles: each event type's own p50/p90 value threshold —
     // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
     // windows only
@@ -3584,6 +3598,29 @@ object SparkEntry {
              ELSE round(CAST((2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE
                AS DECIMAL(18,8)), 6)::DOUBLE END AS f1
          FROM u ORDER BY threshold"""
+
+  /** bootstrap oracle: same md5 buckets, same inverse-CDF weight
+    * thresholds, exact decimal weighted sums — shared by the batch
+    * operator and its streaming twin (linear replicate moments)
+    */
+  private lazy val bootOracleSql =
+      """WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+         w AS (
+           SELECT rep, o_totalprice,
+             ('0x'||substr(md5(o_orderkey::VARCHAR || 'boot' || rep::VARCHAR),1,15))::BIGINT
+               % 1000000000 AS bkt
+           FROM orders CROSS JOIN reps),
+         wt AS (
+           SELECT rep, o_totalprice,
+             CASE WHEN bkt < 367879441 THEN 0 WHEN bkt < 735758882 THEN 1
+                  WHEN bkt < 919698603 THEN 2 WHEN bkt < 981011843 THEN 3
+                  WHEN bkt < 996340153 THEN 4 WHEN bkt < 999405815 THEN 5
+                  WHEN bkt < 999916759 THEN 6 ELSE 7 END AS w
+           FROM w)
+         SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           round(CAST(CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / sum(w) AS DECIMAL(18,8)), 4)::DOUBLE AS boot_mean
+         FROM wt GROUP BY rep ORDER BY rep"""
 
   /** AUC oracle: micro-sum and quality-label replays into the per-score
     * count table, rank-sum with HUGEINT-exact doubled U — shared by the
@@ -8071,24 +8108,9 @@ object SparkEntry {
 
     // Poisson bootstrap replay: same md5 buckets, same inverse-CDF weight
     // thresholds, exact decimal weighted sums, one divide + staged round
-    "stats_bootstrap" ->
-      """WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
-         w AS (
-           SELECT rep, o_totalprice,
-             ('0x'||substr(md5(o_orderkey::VARCHAR || 'boot' || rep::VARCHAR),1,15))::BIGINT
-               % 1000000000 AS bkt
-           FROM orders CROSS JOIN reps),
-         wt AS (
-           SELECT rep, o_totalprice,
-             CASE WHEN bkt < 367879441 THEN 0 WHEN bkt < 735758882 THEN 1
-                  WHEN bkt < 919698603 THEN 2 WHEN bkt < 981011843 THEN 3
-                  WHEN bkt < 996340153 THEN 4 WHEN bkt < 999405815 THEN 5
-                  WHEN bkt < 999916759 THEN 6 ELSE 7 END AS w
-           FROM w)
-         SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
-           round(CAST(CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-             / sum(w) AS DECIMAL(18,8)), 4)::DOUBLE AS boot_mean
-         FROM wt GROUP BY rep ORDER BY rep""",
+    "stats_bootstrap" -> bootOracleSql,
+    // linear replicate moments: folded state reads out identically
+    "stream_bootstrap" -> bootOracleSql,
 
     // KS replay: same bins, same cumulative self-join, same exact decimal
     // cross-difference and single division

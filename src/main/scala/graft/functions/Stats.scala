@@ -1066,7 +1066,17 @@ object Stats {
     * the replicate mean and read CI bounds off the B-row frame.
     */
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
-                       replicates: Int = 16, salt: String = "boot"): DataFrame = {
+                       replicates: Int = 16, salt: String = "boot"): DataFrame =
+    bootOfMoments(bootMoments(df, idCol, valueCol, replicates, salt), replicates)
+
+  /** The one-row additive state behind [[poissonBootstrap]]: per-replicate
+    * (Σw, Σw·v) pairs — exact decimal SUMS whose per-row weights are a pure
+    * function of the row id, so states from disjoint row sets fold by
+    * column-wise addition (the streaming bootstrap monitor's linear-sketch
+    * property: per-batch CIs accrete into the corpus CI).
+    */
+  def bootMoments(df: DataFrame, idCol: String, valueCol: String,
+                  replicates: Int = 16, salt: String = "boot"): DataFrame = {
     require(replicates > 0, "replicates must be positive")
     // weight is ≤ 7 → DECIMAL(2,0); product DECIMAL(21,4) stays exact and
     // far from the 38-digit cap even summed over 10¹⁵ rows
@@ -1077,7 +1087,11 @@ object Stats {
       Seq(sum(w).as(s"__n$r"),
         sum(w.cast(wDec) * col(valueCol).cast(vDec)).as(s"__s$r"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[poissonBootstrap]]'s readout from a [[bootMoments]] state row. */
+  def bootOfMoments(row: DataFrame, replicates: Int): DataFrame = {
     val stackArgs = (0 until replicates)
       .map(r => s"$r, __n$r, cast(__s$r as decimal(38,4))").mkString(", ")
     row.selectExpr(s"stack($replicates, $stackArgs) as (rep, n_eff, boot_sum)")

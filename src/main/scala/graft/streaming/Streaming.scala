@@ -767,6 +767,48 @@ object Streaming {
       joint = MonitorState.load(spark, dir, "joint")
   }
 
+  /** Streaming Poisson-bootstrap monitor — live confidence intervals over
+    * an ingesting metric column: each row's per-replicate Poisson(1) weight
+    * is a pure function of its id ([[graft.functions.Stats.poissonWeight]]),
+    * so the per-replicate (Σw, Σw·v) state
+    * ([[graft.functions.Stats.bootMoments]]) is a LINEAR sketch — batch
+    * moments fold by column-wise addition and the
+    * [[graft.functions.Stats.bootOfMoments]] readout EQUALS the one-pass
+    * corpus bootstrap. Replicate means that drift apart live are widening
+    * uncertainty in the ingested metric (a mixed-quality crawl arriving).
+    * State is ONE row of 2·R decimals forever. Wire with
+    * [[foreachBatchMerge]]`(stream, bm.update)`.
+    */
+  class BootstrapMonitor(idCol: String, valueCol: String,
+                         replicates: Int = 16, salt: String = "boot") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's replicate moments into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.bootMoments(batch, idCol, valueCol,
+        replicates, salt)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val summed = m.columns.map(c => sum(col(c)).as(c))
+          m.unionByName(bm).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (rep, n_eff, boot_sum) table — equals the batch one */
+    def readout: DataFrame = graft.functions.Stats.bootOfMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")),
+      replicates)
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming ROC-AUC monitor — live ranking quality of a filter score as
     * the corpus ingests: the per-score (pos, neg) count table
     * ([[graft.functions.Stats.scoreCounts]]) is additive per score key, so

@@ -797,6 +797,25 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(cm3.matrix) == batch)
   }
 
+  test("bootstrap monitor: linear replicate moments read out the corpus CI, survive restart") {
+    import graft.functions.Stats
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("rep")).collect().map(_.toSeq).toSeq
+    val batch = rows(Stats.poissonBootstrap(o, "o_orderkey", "o_totalprice", 8))
+    val bm = new Streaming.BootstrapMonitor("o_orderkey", "o_totalprice", 8)
+    (0 until 5).foreach(b => bm.update(o.filter(col("o_orderkey") % 5 === b)))
+    assert(rows(bm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("boot_state").toString
+    val bm2 = new Streaming.BootstrapMonitor("o_orderkey", "o_totalprice", 8)
+    (0 until 2).foreach(b => bm2.update(o.filter(col("o_orderkey") % 5 === b)))
+    bm2.saveState(ckpt)
+    val bm3 = new Streaming.BootstrapMonitor("o_orderkey", "o_totalprice", 8)
+    bm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => bm3.update(o.filter(col("o_orderkey") % 5 === b)))
+    assert(rows(bm3.readout) == batch)
+  }
+
   test("auc monitor: folded score counts read out the batch AUC, survive restart") {
     import graft.functions.{Stats, TextAnalysis}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -679,6 +679,18 @@ object SparkEntry {
         .orderBy(col("threshold"))
     }),
 
+    // streaming reliability (batch replay of 5 batches): the third readout
+    // of the stream_auc state — binning commutes with counting, so the
+    // calibration table equals the batch one; same oracle
+    "stream_reliability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val am = new graft.streaming.Streaming.AucMonitor(
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
+      (0 until 5).foreach(b => am.update(docs.filter(col("doc_id") % 5 === b)))
+      am.calibration(width = 2000000.0).orderBy(col("bin"))
+    }),
+
     // streaming kappa monitor (batch replay of 5 batches): the 2×2
     // confusion row folds by plain addition, the readout equals the batch
     // kappa — same oracle as curate_kappa
@@ -3622,6 +3634,49 @@ object SparkEntry {
              / sum(w) AS DECIMAL(18,8)), 4)::DOUBLE AS boot_mean
          FROM wt GROUP BY rep ORDER BY rep"""
 
+  /** reliability oracle: score/label replays binned at the fixed width,
+    * one rate divide per bin — shared by the batch operator and the
+    * streaming calibration readout
+    */
+  private lazy val reliabilityOracleSql =
+      s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT floor(sc.s::DOUBLE / 2000000.0::DOUBLE)::BIGINT AS bin, lab.y
+           FROM sc JOIN lab ON sc.doc_id = lab.doc_id)
+         SELECT bin, bin * 2000000.0::DOUBLE AS lo, count(*) AS n,
+           sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+             AS DECIMAL(18,8)), 6)::DOUBLE AS rate
+         FROM j GROUP BY bin ORDER BY bin"""
+
   /** AUC oracle: micro-sum and quality-label replays into the per-score
     * count table, rank-sum with HUGEINT-exact doubled U — shared by the
     * batch operator and its streaming twin (additive per-score counts)
@@ -6217,44 +6272,9 @@ object SparkEntry {
 
     // reliability replay: same bins (IEEE floor of the exact micro-sum over
     // the width), same rate divide
-    "curate_reliability" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT floor(sc.s::DOUBLE / 2000000.0::DOUBLE)::BIGINT AS bin, lab.y
-           FROM sc JOIN lab ON sc.doc_id = lab.doc_id)
-         SELECT bin, bin * 2000000.0::DOUBLE AS lo, count(*) AS n,
-           sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-           round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
-             AS DECIMAL(18,8)), 6)::DOUBLE AS rate
-         FROM j GROUP BY bin ORDER BY bin""",
+    "curate_reliability" -> reliabilityOracleSql,
+    // the same additive score-count state, binned — identical replay
+    "stream_reliability" -> reliabilityOracleSql,
 
     // τ-sampling replay: same per-group token masses, pow staged in
     // DECIMAL(28,8) before the order-independent denominator sum, same

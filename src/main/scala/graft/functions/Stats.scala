@@ -749,15 +749,23 @@ object Stats {
     * Returns (bin, lo, n, n_pos, rate) per non-empty bin, 6dp.
     */
   def reliability(df: DataFrame, score: Column, label: Column,
-                  width: Double): DataFrame = {
+                  width: Double): DataFrame =
+    reliabilityOfCounts(scoreCounts(df, score, label), width)
+
+  /** [[reliability]] over a [[scoreCounts]] table — binning commutes with
+    * counting, so the same additive state behind [[aucOfCounts]] and
+    * [[prCurveOfCounts]] also yields the calibration table (the streaming
+    * monitor's third readout).
+    */
+  def reliabilityOfCounts(counts: DataFrame, width: Double): DataFrame = {
     require(width > 0, "width must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    df.select(floor(score.cast("double") / width).cast("long").as("bin"),
-        label.cast("boolean").as("__y"))
-      .filter(col("bin").isNotNull && col("__y").isNotNull)
+    counts
+      .select(floor(col("__s").cast("double") / width).cast("long").as("bin"),
+        col("__p"), col("__n"))
+      .filter(col("bin").isNotNull)
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .agg(sum(col("__p") + col("__n")).as("n"), sum(col("__p")).as("n_pos"))
       .select(col("bin"), (col("bin") * width).as("lo"), col("n"), col("n_pos"),
         round((col("n_pos").cast("double") / col("n").cast("double")).cast(dec), 6)
           .cast("double").as("rate"))

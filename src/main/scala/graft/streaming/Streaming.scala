@@ -847,6 +847,14 @@ object Streaming {
         counts.getOrElse(throw new IllegalStateException("no batches ingested")),
         thresholds)
 
+    /** current reliability (calibration) table — equals the batch one;
+      * the third readout of the same state (rank, cut, calibration)
+      */
+    def calibration(width: Double): DataFrame =
+      graft.functions.Stats.reliabilityOfCounts(
+        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+        width)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

@@ -838,6 +838,11 @@ class StreamingSpec extends SparkSpec {
     val cuts = Seq(-1000000.0, 0.0, 1000000.0)
     assert(am3.operatingPoints(cuts).collect().map(_.toSeq).toSeq ==
       Stats.prCurve(docs, score, label, cuts).collect().map(_.toSeq).toSeq)
+    // ...and the calibration question (binning commutes with counting)
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("bin")).collect().map(_.toSeq).toSeq
+    assert(bins(am3.calibration(1000000.0)) ==
+      bins(Stats.reliability(docs, score, label, 1000000.0)))
   }
 
   test("kappa monitor: folded confusion counts read out the batch kappa, survive restart") {

@@ -2928,6 +2928,20 @@ object SparkEntry {
         "value", width = 5.0)
     }),
 
+    // streaming PSI drift (batch replay of 5 batches): the reference bin
+    // table is frozen once, the stream side's bin counts are additive —
+    // the readout equals the batch psiDrift; same oracle
+    "stream_psi" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pm = new graft.streaming.Streaming.PsiMonitor(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        "value", width = 5.0)
+      (0 until 5).foreach(b => pm.update(
+        ev.filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
+          .select(col("value"))))
+      pm.drift
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3615,6 +3629,36 @@ object SparkEntry {
     * thresholds, exact decimal weighted sums — shared by the batch
     * operator and its streaming twin (linear replicate moments)
     */
+  /** PSI oracle: same bin tables, add-one smoothing, fixed-order
+    * (pa−pb)·ln(pa/pb) terms decimal-staged before the sum — shared by the
+    * batch operator and its streaming twin (additive bin counts)
+    */
+  private lazy val psiOracleSql =
+      """WITH a AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS ca
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cb
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (
+           SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+           FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+         t AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             count(*) AS k FROM j),
+         terms AS (
+           SELECT na, nb,
+             CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,10)) AS term
+           FROM (
+             SELECT na, nb,
+               (ca + 1)::DOUBLE / (na + k)::DOUBLE AS pa,
+               (cb + 1)::DOUBLE / (nb + k)::DOUBLE AS pb
+             FROM j CROSS JOIN t))
+         SELECT count(*) AS n_bins, na AS n_a, nb AS n_b,
+           round(sum(term), 6)::DOUBLE AS psi
+         FROM terms GROUP BY na, nb"""
+
   private lazy val bootOracleSql =
       """WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
          w AS (
@@ -8100,31 +8144,9 @@ object SparkEntry {
 
     // PSI replay: same bin tables, add-one smoothing, fixed-order
     // (pa−pb)·ln(pa/pb) terms decimal-staged before the sum
-    "stats_psi_drift" ->
-      """WITH a AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS ca
-           FROM events WHERE event_type = 'click' GROUP BY 1),
-         b AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cb
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         j AS (
-           SELECT coalesce(a.bin, b.bin) AS bin,
-             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-           FROM a FULL OUTER JOIN b ON a.bin = b.bin),
-         t AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-             count(*) AS k FROM j),
-         terms AS (
-           SELECT na, nb,
-             CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,10)) AS term
-           FROM (
-             SELECT na, nb,
-               (ca + 1)::DOUBLE / (na + k)::DOUBLE AS pa,
-               (cb + 1)::DOUBLE / (nb + k)::DOUBLE AS pb
-             FROM j CROSS JOIN t))
-         SELECT count(*) AS n_bins, na AS n_a, nb AS n_b,
-           round(sum(term), 6)::DOUBLE AS psi
-         FROM terms GROUP BY na, nb""",
+    "stats_psi_drift" -> psiOracleSql,
+    // additive stream-side bin counts: folded state reads out identically
+    "stream_psi" -> psiOracleSql,
 
     // Poisson bootstrap replay: same md5 buckets, same inverse-CDF weight
     // thresholds, exact decimal weighted sums, one divide + staged round

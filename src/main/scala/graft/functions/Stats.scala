@@ -914,15 +914,29 @@ object Stats {
   def psiDrift(a: DataFrame, bDf: DataFrame, valueCol: String,
                width: Double): DataFrame = {
     require(width > 0, "width must be positive")
-    def binsOf(df: DataFrame, out: String) =
-      df.select(floor(col(valueCol) / width).cast("long").as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(out))
-    // the joined bin table feeds totals AND per-bin terms — frozen so each
-    // side's corpus aggregation runs once (the chisqDrift discipline)
-    val joined = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      binsOf(a, "ca").join(binsOf(bDf, "cb"), Seq("bin"), "full_outer")
+    psiOfBins(
+      psiBins(a, valueCol, width, "ca")
+        .join(psiBins(bDf, valueCol, width, "cb"), Seq("bin"), "full_outer")
         .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
           coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  /** one side's bounded fixed-width bin table — the ONLY pass that touches
+    * the data; shared by [[psiDrift]] and the streaming PSI monitor (bin
+    * counts are additive, so an accreted per-batch state equals this)
+    */
+  def psiBins(df: DataFrame, valueCol: String, width: Double,
+              out: String): DataFrame =
+    df.select(floor(col(valueCol) / width).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+
+  /** [[psiDrift]] over a pre-joined (bin, ca, cb) bin table — the readout
+    * path the streaming monitor shares with the batch operator
+    */
+  def psiOfBins(joined0: DataFrame): DataFrame = {
+    // the joined bin table feeds totals AND per-bin terms — frozen so each
+    // side's corpus aggregation runs once (the chisqDrift discipline)
+    val joined = org.apache.spark.sql.graftbridge.Bridge.freeze(joined0)
     val totals = broadcast(joined.agg(sum(col("ca")).as("__na"),
       sum(col("cb")).as("__nb"), count(lit(1)).as("__k")))
     val pa = (col("ca") + lit(1)).cast("double") / (col("__na") + col("__k")).cast("double")

@@ -576,6 +576,50 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming PSI drift monitor — "has the live feature's distribution
+    * moved from the frozen training reference enough to retrain": the
+    * reference side collapses ONCE to its bounded fixed-width bin table;
+    * each micro-batch folds its bin counts into the additive stream-side
+    * state, so the [[graft.functions.Stats.psiOfBins]] readout is
+    * bit-identical to the batch [[graft.functions.Stats.psiDrift]] over
+    * everything seen. State is |bins| rows — constant w.r.t. stream
+    * length. Wire with [[foreachBatchMerge]]`(stream, pm.update)`.
+    */
+  class PsiMonitor(reference: DataFrame, valueCol: String, width: Double) {
+    require(width > 0, "width must be positive")
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val refBins = bridge.freeze(
+      graft.functions.Stats.psiBins(reference, valueCol, width, "ca"))
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's fixed-width bin counts into the state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Stats.psiBins(batch, valueCol, width, "cb")
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("bin")).agg(sum(col("cb")).as("cb"))
+      }))
+    }
+
+    /** current PSI vs the frozen reference — equals the batch psiDrift */
+    def drift: DataFrame = {
+      val st = counts.getOrElse(
+        throw new IllegalStateException("no batches ingested"))
+      graft.functions.Stats.psiOfBins(
+        refBins.join(st, Seq("bin"), "full_outer")
+          .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb")))
+    }
+
+    /** persist the stream-side bin state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore stream-side bin state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming Gumbel-top-k selection — continuous softmax sampling over
     * an unbounded scored stream with CONSTANT state: because
     * [[graft.functions.Sampling.gumbelTopK]] keys are deterministic

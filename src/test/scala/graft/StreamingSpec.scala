@@ -732,6 +732,29 @@ class StreamingSpec extends SparkSpec {
     assert(toMap(bm3.audit) == batch)
   }
 
+  test("psi monitor: additive bin counts read out the batch psiDrift, survive restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val ref = ev.filter(col("event_type") === "click").select(col("value"))
+    def strm(b: Int) = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
+      .select(col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.psiDrift(
+      ref, ev.filter(col("event_type") === "purchase").select(col("value")),
+      "value", width = 5.0))
+    val pm = new Streaming.PsiMonitor(ref, "value", width = 5.0)
+    (0 until 5).foreach(b => pm.update(strm(b)))
+    assert(row(pm.drift) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("psi_state").toString
+    val pm2 = new Streaming.PsiMonitor(ref, "value", width = 5.0)
+    (0 until 2).foreach(b => pm2.update(strm(b)))
+    pm2.saveState(ckpt)
+    val pm3 = new Streaming.PsiMonitor(ref, "value", width = 5.0)
+    pm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => pm3.update(strm(b)))
+    assert(row(pm3.drift) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

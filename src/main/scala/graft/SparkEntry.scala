@@ -2942,6 +2942,32 @@ object SparkEntry {
       pm.drift
     }),
 
+    // Welch's unequal-variance t-test: is the click-vs-purchase mean VALUE
+    // difference real — each arm collapses to its exact-decimal (n, Σx, Σx²)
+    // moment row in ONE map-side-combined pass, t and Welch–Satterthwaite
+    // dof in fixed double order; ONE output row, zero data shuffle
+    "stats_welch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.welchTTest(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Welch monitor (batch replay of 5 batches): the control
+    // arm's moment row is frozen once, the treatment side's (n, Σx, Σx²)
+    // state is exact-decimal ADDITIVE — the readout equals the batch
+    // welchTTest; same oracle
+    "stream_welch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val wm = new graft.streaming.Streaming.WelchMonitor(
+        ev.filter(col("event_type") === "click").select(col("value")), "value")
+      (0 until 5).foreach(b => wm.update(
+        ev.filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
+          .select(col("value"))))
+      wm.readout
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3269,6 +3295,36 @@ object SparkEntry {
              ELSE n12 / (sqrt(v1) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
          FROM c
          ORDER BY col_a, col_b"""
+
+  /** Welch t-test replay (exact decimal per-arm moments, fixed-order
+    * double formula for t and the Welch–Satterthwaite dof) — shared by
+    * `stats_welch` and `stream_welch` (moments are additive).
+    */
+  private val welchOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+             a.s::DOUBLE / a.n::DOUBLE AS ma, b.s::DOUBLE / b.n::DOUBLE AS mb,
+             ((a.q::DOUBLE - a.s::DOUBLE * a.s::DOUBLE / a.n::DOUBLE)
+               / (a.n::DOUBLE - 1.0)) / a.n::DOUBLE AS va,
+             ((b.q::DOUBLE - b.s::DOUBLE * b.s::DOUBLE / b.n::DOUBLE)
+               / (b.n::DOUBLE - 1.0)) / b.n::DOUBLE AS vb
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b,
+           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
+           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
+           round(CAST((ma - mb) / sqrt(va + vb) AS DECIMAL(18,8)), 6)::DOUBLE AS t,
+           round(CAST((va + vb) * (va + vb)
+               / (va * va / (n_a::DOUBLE - 1.0) + vb * vb / (n_b::DOUBLE - 1.0))
+             AS DECIMAL(18,8)), 4)::DOUBLE AS df
+         FROM m"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
     * keys) — shared by `sample_gumbel` and `stream_gumbel`.
@@ -7757,6 +7813,11 @@ object SparkEntry {
     // streaming twin shares it verbatim
     "stats_corr" -> corrOracleSql,
     "stream_corr" -> corrOracleSql,
+
+    // Welch replay: same exact per-arm decimal moments, same fixed-order
+    // t / dof formula; the stream side's moment state is additive
+    "stats_welch" -> welchOracleSql,
+    "stream_welch" -> welchOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

@@ -951,6 +951,65 @@ object Stats {
         round(col("__psi"), 6).cast("double").as("psi"))
   }
 
+  /** Welch's unequal-variance t-test between two numeric samples — the
+    * A/B experiment readout next to the drift triangle ([[ksDrift]] /
+    * [[psiDrift]] / [[chisqDrift]] ask "did the distribution move";
+    * Welch asks "is the MEAN difference real given each arm's own
+    * variance"), the default two-sample test when arms differ in size
+    * and spread (treatment groups, curation-policy cohorts).
+    *
+    * Scale shape: each side collapses to its (n, Σx, Σx²) moment row in
+    * ONE map-side-combined aggregation, values staged to DECIMAL(15,4)
+    * so the sums are EXACT (order-independent and ADDITIVE across
+    * micro-batches — the [[graft.streaming.Streaming.WelchMonitor]]
+    * state); the t statistic and the Welch–Satterthwaite dof evaluate in
+    * fixed double order from those exact sums. Zero data shuffle.
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, t, df).
+    */
+  def welchTTest(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    welchOfMoments(
+      welchMoments(a, valueCol, "a").crossJoin(
+        broadcast(welchMoments(bDf, valueCol, "b"))))
+
+  /** one side's (n, Σx, Σx²) moment row — the ONLY pass that touches the
+    * data; exact decimal sums, so additive across micro-batches
+    */
+  def welchMoments(df: DataFrame, valueCol: String, suffix: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(15, 4)
+    df.agg(count(col(valueCol)).as(s"__n_$suffix"),
+      sum(col(valueCol).cast(dec)).as(s"__s_$suffix"),
+      sum(col(valueCol).cast(dec) * col(valueCol).cast(dec)).as(s"__q_$suffix"))
+  }
+
+  /** [[welchTTest]]'s formula stage over an already-built joint moment
+    * row (__n_a,__s_a,__q_a,__n_b,__s_b,__q_b) — the readout path the
+    * streaming monitor shares with the batch operator. Fixed-order IEEE
+    * doubles from exact sums: mean = Σx/n, sample variance
+    * (Σx² − (Σx)²/n)/(n−1), standard error of the mean v/n, then
+    * t = (mā−m̄b)/√(sea+seb) and dof = (sea+seb)²/(sea²/(na−1)+seb²/(nb−1)).
+    */
+  def welchOfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def n(s: String) = col(s"__n_$s").cast("double")
+    def sm(s: String) = col(s"__s_$s").cast("double")
+    def q(s: String) = col(s"__q_$s").cast("double")
+    def se2(s: String) =
+      ((q(s) - sm(s) * sm(s) / n(s)) / (n(s) - lit(1.0))) / n(s)
+    val d = row.select(col("__n_a"), col("__n_b"),
+      (sm("a") / n("a")).as("__ma"), (sm("b") / n("b")).as("__mb"),
+      se2("a").as("__va"), se2("b").as("__vb"))
+    d.select(col("__n_a").as("n_a"), col("__n_b").as("n_b"),
+      round(col("__ma").cast(dec8), 6).cast("double").as("mean_a"),
+      round(col("__mb").cast(dec8), 6).cast("double").as("mean_b"),
+      round(((col("__ma") - col("__mb")) / sqrt(col("__va") + col("__vb")))
+        .cast(dec8), 6).cast("double").as("t"),
+      round((((col("__va") + col("__vb")) * (col("__va") + col("__vb")))
+          / (col("__va") * col("__va") / (col("__n_a").cast("double") - lit(1.0))
+            + col("__vb") * col("__vb") / (col("__n_b").cast("double") - lit(1.0))))
+        .cast(dec8), 4).cast("double").as("df"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

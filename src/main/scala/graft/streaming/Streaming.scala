@@ -696,6 +696,47 @@ object Streaming {
       moments = MonitorState.load(spark, dir, "moments")
   }
 
+  /** Streaming Welch t-test monitor — the LIVE A/B experiment readout:
+    * the control arm collapses ONCE to its exact-decimal (n, Σx, Σx²)
+    * moment row ([[graft.functions.Stats.welchMoments]]); each treatment
+    * micro-batch folds its own moment row into the additive 1-row state,
+    * so the [[graft.functions.Stats.welchOfMoments]] readout — t statistic
+    * plus Welch–Satterthwaite dof — is bit-identical to the batch
+    * [[graft.functions.Stats.welchTTest]] over everything seen. "Is the
+    * treatment mean drifting away from control, and is it significant
+    * yet" answered continuously with constant state. Wire with
+    * [[foreachBatchMerge]]`(stream, wm.update)`.
+    */
+  class WelchMonitor(control: DataFrame, valueCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val refMoments = bridge.freeze(
+      graft.functions.Stats.welchMoments(control, valueCol, "a"))
+    private var moments: Option[DataFrame] = None
+
+    /** fold one treatment micro-batch's (n, Σx, Σx²) into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.welchMoments(batch, valueCol, "b")
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val summed = m.columns.map(c => sum(col(c)).as(c))
+          m.unionByName(bm).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (n_a, n_b, mean_a, mean_b, t, df) — equals the batch test */
+    def readout: DataFrame = graft.functions.Stats.welchOfMoments(
+      refMoments.crossJoin(moments.getOrElse(
+        throw new IllegalStateException("no batches ingested"))))
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

@@ -342,6 +342,22 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(z.getDouble(3) == 0.0 && z.getLong(2) == 16L)
   }
 
+  test("welchTTest: hand-computed t and Welch-Satterthwaite dof, equal samples read t=0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a: n=4 mean 2.5 se2=5/12; b: n=5 mean 6 se2=2
+    // t = -3.5/sqrt(29/12) = -2.251436, df = (29/12)^2/(se2a^2/3+se2b^2/4) = 5.5208
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0).toDF("v")
+    val row = Stats.welchTTest(a, b, "v").head()
+    assert(row.getLong(0) == 4L && row.getLong(1) == 5L)
+    assert(row.getDouble(2) == 2.5 && row.getDouble(3) == 6.0)
+    assert(math.abs(row.getDouble(4) - -2.251436) < 1e-6, s"t ${row.getDouble(4)}")
+    assert(math.abs(row.getDouble(5) - 5.5208) < 1e-4, s"df ${row.getDouble(5)}")
+    // identical arms: mean difference 0 -> t exactly 0
+    assert(Stats.welchTTest(b, b, "v").head().getDouble(4) == 0.0)
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -755,6 +755,28 @@ class StreamingSpec extends SparkSpec {
     assert(row(pm3.drift) == batch)
   }
 
+  test("welch monitor: additive moment state reads out the batch welchTTest, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val ref = ev.filter(col("event_type") === "click").select(col("value"))
+    def strm(b: Int) = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
+      .select(col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.welchTTest(
+      ref, ev.filter(col("event_type") === "purchase").select(col("value")), "value"))
+    val wm = new Streaming.WelchMonitor(ref, "value")
+    (0 until 5).foreach(b => wm.update(strm(b)))
+    assert(row(wm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("welch_state").toString
+    val wm2 = new Streaming.WelchMonitor(ref, "value")
+    (0 until 2).foreach(b => wm2.update(strm(b)))
+    wm2.saveState(ckpt)
+    val wm3 = new Streaming.WelchMonitor(ref, "value")
+    wm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => wm3.update(strm(b)))
+    assert(row(wm3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -2968,6 +2968,26 @@ object SparkEntry {
       wm.readout
     }),
 
+    // OLS trend test: is the event VALUE drifting across the month — the
+    // whole regression of value on day-of-month collapses to ONE exact-
+    // decimal (n, Σx, Σy, Σxy, Σx², Σy²) moment row, slope/r²/t in fixed
+    // double order; ONE output row, zero data shuffle
+    "stats_trend" -> ((s, dir) => {
+      graft.functions.Stats.trendTest(events(s, dir),
+        dayofmonth(col("ts")), col("value"))
+    }),
+
+    // streaming trend monitor (batch replay of 5 batches): every
+    // regression moment is exact-decimal ADDITIVE, so the accreted 1-row
+    // state reads out the identical slope/r²/t; same oracle
+    "stream_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tm = new graft.streaming.Streaming.TrendMonitor(
+        dayofmonth(col("ts")), col("value"))
+      (0 until 5).foreach(b => tm.update(ev.filter(col("event_id") % 5 === b)))
+      tm.readout
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3325,6 +3345,43 @@ object SparkEntry {
                / (va * va / (n_a::DOUBLE - 1.0) + vb * vb / (n_b::DOUBLE - 1.0))
              AS DECIMAL(18,8)), 4)::DOUBLE AS df
          FROM m"""
+
+  /** OLS trend replay (exact decimal regression moments, fixed-order
+    * double formulas for slope/intercept/r²/t) — shared by `stats_trend`
+    * and `stream_trend` (moments are additive).
+    */
+  private val trendOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n,
+             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))) AS sx,
+             sum(CAST(value AS DECIMAL(15,4))) AS sy,
+             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))
+               * CAST(value AS DECIMAL(15,4))) AS sxy,
+             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))
+               * CAST(datepart('day', ts) AS DECIMAL(15,4))) AS sxx,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS syy
+           FROM events),
+         m AS (
+           SELECT n,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cxy,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS cxx,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+           FROM a),
+         s AS (
+           SELECT n, cxy, cxx, sxd, syd, cxy / cxx AS slope,
+             CASE WHEN cxx <= 0.0 OR cyy <= 0.0 THEN 0.0
+                  ELSE cxy * cxy / (cxx * cyy) END AS r2
+           FROM m)
+         SELECT n,
+           round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE AS slope,
+           round(CAST((syd - slope * sxd) / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             AS intercept,
+           round(CAST(r2 AS DECIMAL(18,8)), 6)::DOUBLE AS r2,
+           CASE WHEN n <= 2 OR r2 >= 1.0 THEN NULL
+                ELSE round(CAST(sign(cxy) * sqrt(r2 * (n::DOUBLE - 2.0) / (1.0 - r2))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS t
+         FROM s"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
     * keys) — shared by `sample_gumbel` and `stream_gumbel`.
@@ -7818,6 +7875,11 @@ object SparkEntry {
     // t / dof formula; the stream side's moment state is additive
     "stats_welch" -> welchOracleSql,
     "stream_welch" -> welchOracleSql,
+
+    // OLS trend replay: same exact decimal regression moments, same
+    // fixed-order slope/r²/t formulas; the moment state is additive
+    "stats_trend" -> trendOracleSql,
+    "stream_trend" -> trendOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

@@ -1010,6 +1010,69 @@ object Stats {
         .cast(dec8), 4).cast("double").as("df"))
   }
 
+  /** OLS trend test of a numeric column against a numeric regressor —
+    * "is this metric actually trending, and how fast": slope, intercept,
+    * r² and the slope's t statistic of the least-squares line, the
+    * monitoring companion the drift triangle can't give (drift says the
+    * distribution moved; trend says it's moving WITH time and in which
+    * direction).
+    *
+    * Scale shape: the whole regression collapses to ONE map-side-combined
+    * (n, Σx, Σy, Σxy, Σx², Σy²) moment row, values staged to
+    * DECIMAL(15,4) so the sums are EXACT (order-independent and ADDITIVE
+    * across micro-batches — the
+    * [[graft.streaming.Streaming.TrendMonitor]] state); the textbook
+    * formulas evaluate in fixed double order from those exact sums.
+    * Zero data shuffle.
+    *
+    * Returns one row (n, slope, intercept, r2, t); t is NULL when the
+    * fit is exact (r²=1) or n<=2, r2 reads 0 when either variance is 0.
+    */
+  def trendTest(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    trendOfMoments(trendMoments(df, xCol, yCol))
+
+  /** [[trendTest]]'s single-pass moment row — exact decimal sums, so
+    * additive across micro-batches; expects non-null x and y.
+    */
+  def trendMoments(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(15, 4)
+    val (x, y) = (xCol.cast(dec), yCol.cast(dec))
+    df.agg(count(lit(1)).as("__tn"),
+      sum(x).as("__tsx"), sum(y).as("__tsy"), sum(x * y).as("__tsxy"),
+      sum(x * x).as("__tsxx"), sum(y * y).as("__tsyy"))
+  }
+
+  /** [[trendTest]]'s formula stage over an already-built moment row —
+    * the readout the streaming monitor shares with the batch operator.
+    * Fixed-order IEEE doubles from exact sums: the centered cross terms
+    * Sxy = nΣxy−ΣxΣy, Sxx = nΣx²−(Σx)², Syy = nΣy²−(Σy)², then
+    * slope = Sxy/Sxx, intercept = (Σy−slope·Σx)/n, r² = Sxy²/(Sxx·Syy)
+    * and t = sign(Sxy)·√(r²(n−2)/(1−r²)).
+    */
+  def trendOfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val nd = col("__tn").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val m = row.select(col("__tn"),
+      (nd * d("__tsxy") - d("__tsx") * d("__tsy")).as("__cxy"),
+      (nd * d("__tsxx") - d("__tsx") * d("__tsx")).as("__cxx"),
+      (nd * d("__tsyy") - d("__tsy") * d("__tsy")).as("__cyy"),
+      d("__tsx").as("__sx"), d("__tsy").as("__sy"))
+      .withColumn("__slope", col("__cxy") / col("__cxx"))
+      .withColumn("__r2",
+        when(col("__cxx") <= 0.0 || col("__cyy") <= 0.0, lit(0.0))
+          .otherwise(col("__cxy") * col("__cxy") / (col("__cxx") * col("__cyy"))))
+    m.select(col("__tn").as("n"),
+      round(col("__slope").cast(dec8), 6).cast("double").as("slope"),
+      round(((col("__sy") - col("__slope") * col("__sx"))
+        / col("__tn").cast("double")).cast(dec8), 6).cast("double").as("intercept"),
+      round(col("__r2").cast(dec8), 6).cast("double").as("r2"),
+      when(col("__tn") <= 2L || col("__r2") >= 1.0, lit(null).cast("double"))
+        .otherwise(round((signum(col("__cxy")) *
+          sqrt(col("__r2") * (col("__tn").cast("double") - lit(2.0))
+            / (lit(1.0) - col("__r2")))).cast(dec8), 6).cast("double")).as("t"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

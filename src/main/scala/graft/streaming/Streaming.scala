@@ -737,6 +737,42 @@ object Streaming {
       moments = MonitorState.load(spark, dir, "moments")
   }
 
+  /** Streaming OLS trend monitor — "is the metric trending, live": every
+    * regression moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact-decimal
+    * additive quantity ([[graft.functions.Stats.trendMoments]]), so the
+    * 1-row state accreted batch by batch reads out slope / r² / t
+    * bit-identical to the batch [[graft.functions.Stats.trendTest]] over
+    * everything seen. The directional companion to the drift monitors:
+    * PSI says the distribution moved, this says which way and how fast
+    * per unit of x. Wire with [[foreachBatchMerge]]`(stream, tm.update)`.
+    */
+  class TrendMonitor(xCol: Column, yCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's regression moments into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.trendMoments(batch, xCol, yCol)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val summed = m.columns.map(c => sum(col(c)).as(c))
+          m.unionByName(bm).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (n, slope, intercept, r2, t) — equals the batch trendTest */
+    def readout: DataFrame = graft.functions.Stats.trendOfMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

@@ -358,6 +358,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.welchTTest(b, b, "v").head().getDouble(4) == 0.0)
   }
 
+  test("trendTest: hand-computed OLS line, exact fit reads r2=1 with null t, flat y reads 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // (1,2)(2,4)(3,5)(4,9): slope 2.2, intercept -0.5, r2 0.930769, t 5.18545
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0)).toDF("x", "y")
+    val row = Stats.trendTest(df, col("x"), col("y")).head()
+    assert(row.getLong(0) == 4L)
+    assert(row.getDouble(1) == 2.2 && row.getDouble(2) == -0.5)
+    assert(math.abs(row.getDouble(3) - 0.930769) < 1e-6, s"r2 ${row.getDouble(3)}")
+    assert(math.abs(row.getDouble(4) - 5.18545) < 1e-5, s"t ${row.getDouble(4)}")
+    // exact fit: r2 = 1, t undefined (NULL, not infinity)
+    val exact = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val e = Stats.trendTest(exact, col("x"), col("y")).head()
+    assert(e.getDouble(1) == 2.0 && e.getDouble(3) == 1.0 && e.isNullAt(4))
+    // flat y: zero variance in y -> slope 0, r2 0
+    val flat = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val f = Stats.trendTest(flat, col("x"), col("y")).head()
+    assert(f.getDouble(1) == 0.0 && f.getDouble(3) == 0.0)
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

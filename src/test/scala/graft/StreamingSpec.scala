@@ -777,6 +777,24 @@ class StreamingSpec extends SparkSpec {
     assert(row(wm3.readout) == batch)
   }
 
+  test("trend monitor: additive regression moments read out the batch trendTest, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val (x, y) = (dayofmonth(col("ts")), col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.trendTest(ev, x, y))
+    val tm = new Streaming.TrendMonitor(x, y)
+    (0 until 5).foreach(b => tm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(tm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("trend_state").toString
+    val tm2 = new Streaming.TrendMonitor(x, y)
+    (0 until 2).foreach(b => tm2.update(ev.filter(col("event_id") % 5 === b)))
+    tm2.saveState(ckpt)
+    val tm3 = new Streaming.TrendMonitor(x, y)
+    tm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => tm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(tm3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -2988,6 +2988,26 @@ object SparkEntry {
       tm.readout
     }),
 
+    // one-way ANOVA F: do the event TYPES share a mean value — ONE groupBy
+    // to the bounded k-row (n, Σx, Σx²) moment table, within/between terms
+    // decimal-staged before the k-row sum, F and eta² in fixed double
+    // order; ONE output row, one shuffle (the groupBy)
+    "stats_anova" -> ((s, dir) => {
+      graft.functions.Stats.anovaF(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming ANOVA monitor (batch replay of 5 batches): the per-group
+    // moment table is additive PER GROUP, so the group-wise re-summed
+    // state reads out the identical F; same oracle
+    "stream_anova" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val am = new graft.streaming.Streaming.AnovaMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.readout
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3382,6 +3402,39 @@ object SparkEntry {
                 ELSE round(CAST(sign(cxy) * sqrt(r2 * (n::DOUBLE - 2.0) / (1.0 - r2))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS t
          FROM s"""
+
+  /** one-way ANOVA replay (exact decimal per-group moments, per-group
+    * terms decimal-staged before the k-row sum, fixed-order F/eta²) —
+    * shared by `stats_anova` and `stream_anova` (the moment table is
+    * additive per group).
+    */
+  private val anovaOracleSql =
+    """WITH g AS (
+           SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT n, s,
+             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
+               AS DECIMAL(28,10)) AS w,
+             CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE AS DECIMAL(28,10)) AS b
+           FROM g),
+         a AS (
+           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(s) AS ss,
+             sum(w) AS ssw, sum(b) AS bp
+           FROM t),
+         m AS (
+           SELECT k, nn, ssw::DOUBLE AS ssw,
+             bp::DOUBLE - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb
+           FROM a)
+         SELECT k, nn AS n, k - 1 AS df1, nn - k AS df2,
+           CASE WHEN k <= 1 OR nn <= k OR ssw <= 0.0 THEN NULL
+                ELSE round(CAST(ssb / (k - 1)::DOUBLE / (ssw / (nn - k)::DOUBLE)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS f,
+           CASE WHEN ssb + ssw <= 0.0 THEN NULL
+                ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
+                END AS eta2
+         FROM m"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
     * keys) — shared by `sample_gumbel` and `stream_gumbel`.
@@ -7880,6 +7933,11 @@ object SparkEntry {
     // fixed-order slope/r²/t formulas; the moment state is additive
     "stats_trend" -> trendOracleSql,
     "stream_trend" -> trendOracleSql,
+
+    // ANOVA replay: same per-group exact moments, same decimal-staged
+    // within/between terms, same fixed-order F; state additive per group
+    "stats_anova" -> anovaOracleSql,
+    "stream_anova" -> anovaOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

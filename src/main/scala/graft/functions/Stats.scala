@@ -1073,6 +1073,67 @@ object Stats {
             / (lit(1.0) - col("__r2")))).cast(dec8), 6).cast("double")).as("t"))
   }
 
+  /** One-way ANOVA F test of a numeric column across k groups — "do these
+    * cohorts have the SAME mean": the k-sample generalization of
+    * [[welchTTest]] (two arms), the first readout when a metric is
+    * sliced by source / policy / variant and someone asks whether the
+    * slices genuinely differ or just wobble.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the data to a
+    * k-row (group, n, Σx, Σx²) moment table — bounded by |groups|, never
+    * rows, and additive per group across micro-batches (the
+    * [[graft.streaming.Streaming.AnovaMonitor]] state). Each group's
+    * within/between terms evaluate in fixed double order from those
+    * exact sums and are staged to DECIMAL(28,10) BEFORE the k-row sum,
+    * so the group-order-dependent double addition never happens. One
+    * data shuffle (the groupBy), nothing else.
+    *
+    * Returns one row (k, n, df1, df2, f, eta2); f and eta2 are NULL when
+    * undefined (k<2, n<=k, or zero within-variance).
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    anovaOfGroupMoments(groupMoments(df, groupCol, valueCol))
+
+  /** [[anovaF]]'s per-group moment table (one aggregation; exact decimal
+    * sums, additive per group across micro-batches).
+    */
+  def groupMoments(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(15, 4)
+    val x = valueCol.cast(dec)
+    df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("__gn"), sum(x).as("__gs"), sum(x * x).as("__gq"))
+  }
+
+  /** [[anovaF]]'s readout from an already-built per-group moment table —
+    * the stage the streaming monitor shares with the batch operator.
+    * Per-group within term q−s²/n and between term s²/n in fixed double
+    * order, decimal-staged before the k-row sum; then
+    * SSB = Σ(s²/n) − S²/N and F = (SSB/(k−1))/(SSW/(N−k)).
+    */
+  def anovaOfGroupMoments(tab: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d(c: String) = col(c).cast("double")
+    val terms = tab.select(col("__gn"), col("__gs"),
+      (d("__gq") - d("__gs") * d("__gs") / d("__gn")).cast(dec).as("__w"),
+      (d("__gs") * d("__gs") / d("__gn")).cast(dec).as("__b"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("__gn")).as("n"),
+      sum(col("__gs")).as("__S"), sum(col("__w")).as("__ssw"),
+      sum(col("__b")).as("__bp"))
+    val m = agg.select(col("k"), col("n"), d("__ssw").as("__ssw"),
+      (d("__bp") - d("__S") * d("__S") / col("n").cast("double")).as("__ssb"))
+    m.select(col("k"), col("n"),
+      (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
+      when(col("k") <= 1L || col("n") <= col("k") || col("__ssw") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((col("__ssb") / (col("k") - 1L).cast("double")
+          / (col("__ssw") / (col("n") - col("k")).cast("double"))).cast(dec8), 6)
+          .cast("double")).as("f"),
+      when(col("__ssb") + col("__ssw") <= 0.0, lit(null).cast("double"))
+        .otherwise(round((col("__ssb") / (col("__ssb") + col("__ssw")))
+          .cast(dec8), 6).cast("double")).as("eta2"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

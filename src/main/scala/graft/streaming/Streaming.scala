@@ -773,6 +773,42 @@ object Streaming {
       moments = MonitorState.load(spark, dir, "moments")
   }
 
+  /** Streaming one-way ANOVA monitor — "are the cohorts' means still
+    * equal, live": the per-group (n, Σx, Σx²) moment table
+    * ([[graft.functions.Stats.groupMoments]]) is additive PER GROUP, so
+    * folding each micro-batch's k-row table into the state by group-wise
+    * re-sum keeps it bounded by |groups| and the
+    * [[graft.functions.Stats.anovaOfGroupMoments]] readout bit-identical
+    * to the batch [[graft.functions.Stats.anovaF]] over everything seen.
+    * Wire with [[foreachBatchMerge]]`(stream, am.update)`.
+    */
+  class AnovaMonitor(groupCol: Column, valueCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-group moments into the k-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.groupMoments(batch, groupCol, valueCol)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) => m.unionByName(bm).groupBy(col("__g"))
+          .agg(sum(col("__gn")).as("__gn"), sum(col("__gs")).as("__gs"),
+            sum(col("__gq")).as("__gq"))
+      }))
+    }
+
+    /** current (k, n, df1, df2, f, eta2) — equals the batch anovaF */
+    def readout: DataFrame = graft.functions.Stats.anovaOfGroupMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

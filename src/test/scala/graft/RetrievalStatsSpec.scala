@@ -378,6 +378,27 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(f.getDouble(1) == 0.0 && f.getDouble(3) == 0.0)
   }
 
+  test("anovaF: hand-computed F and eta2, identical groups read 0, degenerate cases read null") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a:(1,2,3) b:(2,4,6) c:(5,5,8) -> SSW 24.6667, SSB 18.6667... F 4.5, eta2 0.6
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+      ("b", 6.0), ("c", 5.0), ("c", 5.0), ("c", 8.0)).toDF("g", "v")
+    val row = Stats.anovaF(df, col("g"), col("v")).head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 9L)
+    assert(row.getLong(2) == 2L && row.getLong(3) == 6L)
+    assert(row.getDouble(4) == 4.5 && row.getDouble(5) == 0.6)
+    // identical group means: F exactly 0
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.anovaF(same, col("g"), col("v")).head().getDouble(4) == 0.0)
+    // one group: F undefined -> NULL
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Stats.anovaF(one, col("g"), col("v")).head().isNullAt(4))
+    // zero within-variance: NULL, not infinity
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -795,6 +795,24 @@ class StreamingSpec extends SparkSpec {
     assert(row(tm3.readout) == batch)
   }
 
+  test("anova monitor: group-additive moment table reads out the batch anovaF, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val (g, v) = (col("event_type"), col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.anovaF(ev, g, v))
+    val am = new Streaming.AnovaMonitor(g, v)
+    (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(am.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("anova_state").toString
+    val am2 = new Streaming.AnovaMonitor(g, v)
+    (0 until 2).foreach(b => am2.update(ev.filter(col("event_id") % 5 === b)))
+    am2.saveState(ckpt)
+    val am3 = new Streaming.AnovaMonitor(g, v)
+    am3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => am3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(am3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -3008,6 +3008,30 @@ object SparkEntry {
       am.readout
     }),
 
+    // Mann–Whitney U: does click stochastically dominate purchase on VALUE
+    // — the nonparametric twin of stats_welch via the rocAuc machinery:
+    // ONE reduce to the per-value count table, prefix-scan cumulatives,
+    // exact-integer doubled U and tie term, fixed-order tie-corrected z
+    "stats_mwu" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.mannWhitney(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Mann–Whitney (batch replay of 5 batches): the SAME
+    // additive per-score count state as stream_auc, read out through
+    // AucMonitor.rankTest — equals the batch mannWhitney; same oracle
+    "stream_mwu" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val am = new graft.streaming.Streaming.AucMonitor(
+        col("value"), col("event_type") === "click")
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.rankTest
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3434,6 +3458,44 @@ object SparkEntry {
            CASE WHEN ssb + ssw <= 0.0 THEN NULL
                 ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
                 END AS eta2
+         FROM m"""
+
+  /** Mann–Whitney replay (per-value counts, inclusive cumulative b-side,
+    * exact-integer doubled U and Σ(t³−t) tie term, fixed-order z) —
+    * shared by `stats_mwu` and `stream_mwu` (counts are additive).
+    */
+  private val mwuOracleSql =
+    """WITH u AS (
+           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM u GROUP BY 1),
+         s AS (SELECT p, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn FROM c),
+         t AS (
+           SELECT p, n,
+             p::DECIMAL(38,0) * (2 * (cn - n) + n)::DECIMAL(38,0) AS u2,
+             (p+n)::DECIMAL(38,0) * (p+n)::DECIMAL(38,0) * (p+n)::DECIMAL(38,0)
+               - (p+n)::DECIMAL(38,0) AS t3
+           FROM s),
+         a AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
+             sum(u2) AS u2s, sum(t3) AS ts
+           FROM t),
+         m AS (
+           SELECT n_a, n_b, u2s::DOUBLE AS u2d, ts::DOUBLE AS tsd,
+             n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd, (n_a + n_b)::DOUBLE AS nd
+           FROM a)
+         SELECT n_a, n_b,
+           round(CAST(u2d / 2.0 AS DECIMAL(28,8)), 4)::DOUBLE AS u,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR (nd + 1.0) - tsd / (nd * (nd - 1.0)) <= 0.0 THEN NULL
+                ELSE round(CAST((u2d - nad * nbd)
+                  / (2.0 * sqrt(nad * nbd / 12.0
+                    * ((nd + 1.0) - tsd / (nd * (nd - 1.0)))))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
@@ -7938,6 +8000,11 @@ object SparkEntry {
     // within/between terms, same fixed-order F; state additive per group
     "stats_anova" -> anovaOracleSql,
     "stream_anova" -> anovaOracleSql,
+
+    // Mann–Whitney replay: same per-value counts and exact-integer U /
+    // tie terms, same fixed-order z; the count state is additive
+    "stats_mwu" -> mwuOracleSql,
+    "stream_mwu" -> mwuOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

@@ -31,8 +31,20 @@ object Scans {
     * Exactness: integral/decimal sums are associative, so the two-pass
     * result is bit-identical to the single-partition window's. Callers with
     * IEEE-double columns should stage them in decimal first (house rule for
-    * engine-reproducible sums). `orderCol` must be unique — running totals
-    * over ties are order-ambiguous under ANY plan.
+    * engine-reproducible sums). `orderCol` must be unique and NUMERIC —
+    * running totals over ties are order-ambiguous under ANY plan.
+    *
+    * Determinism: the bucket id is a PURE FUNCTION of the key — a literal
+    * when-chain against range boundaries fetched once by `approxQuantile` —
+    * never `spark_partition_id()` over a range exchange. The frame feeds
+    * both the totals table and the final join, i.e. the plan references it
+    * TWICE; `repartitionByRange` re-SAMPLES its boundaries per physical
+    * evaluation, so a physical-partition id can silently differ between the
+    * two subtrees when exchange reuse doesn't collapse them (observed under
+    * small shuffle-partition counts: offsets keyed against one partitioning,
+    * window sums against another — corrupted totals). Key-derived buckets
+    * make every re-evaluation agree by construction; WHICH boundaries the
+    * quantile sketch picks only moves rows between buckets, never the sums.
     *
     * Returns the input columns plus `cum_<col>` for each of `sumCols`.
     */
@@ -40,11 +52,25 @@ object Scans {
                  numPartitions: Int = 0): DataFrame = {
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(!df.columns.contains("__pid"), "__pid is reserved")
+    require(df.schema(orderCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"cumulative needs a numeric order key, got ${df.schema(orderCol).dataType}")
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val rp = df.repartitionByRange(parts, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds: Array[Double] =
+      if (parts <= 1) Array.empty
+      else df.select(col(orderCol).cast("double").as("__k"))
+        .stat.approxQuantile("__k", probs, 0.01).distinct.sorted
+    val key = col(orderCol).cast("double")
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.zipWithIndex.tail
+        .foldLeft(when(key <= bounds(0), 0)) { case (acc, (b, i)) =>
+          acc.when(key <= b, i)
+        }.otherwise(bounds.length)
+    val rp = df.withColumn("__pid", pid).repartition(parts, col("__pid"))
     // per-partition totals: ≤ `parts` rows from here on
     val totals = rp.groupBy(col("__pid"))
       .agg(sum(col(sumCols.head)).as(s"__t_${sumCols.head}"),

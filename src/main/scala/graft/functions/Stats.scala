@@ -1134,6 +1134,66 @@ object Stats {
           .cast(dec8), 6).cast("double")).as("eta2"))
   }
 
+  /** Mann–Whitney U test between two numeric samples — the NONPARAMETRIC
+    * twin of [[welchTTest]]: "does one arm stochastically dominate the
+    * other", the two-sample test to reach for when the metric is skewed
+    * or heavy-tailed enough that a mean comparison misleads (latencies,
+    * per-document token counts, order values).
+    *
+    * Scale shape: the same machinery as [[rocAuc]] (U and AUC are the
+    * same statistic — AUC = U/(n_a·n_b)): ONE map-side-combined
+    * scan+reduce to the per-value (cnt_a, cnt_b) table — bounded by
+    * DISTINCT values, never rows, and additive per value (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose `rankTest`
+    * readout IS this test); cumulative
+    * b-counts via the distributed two-pass prefix scan
+    * ([[graft.core.Scans.cumulative]]); the doubled U and the tie term
+    * Σ(t³−t) are exact integers in DECIMAL(38,0); the normal-approximation
+    * z (with the standard tie-corrected variance, no continuity
+    * correction) evaluates in fixed double order.
+    *
+    * Returns one row (n_a, n_b, u, z); u is arm a's U statistic
+    * (half-integer under ties, 4dp); z is NULL when either arm is empty
+    * or every value is tied.
+    */
+  def mannWhitney(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    mwuOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[mannWhitney]]'s readout from a [[scoreCounts]] table (__s, __p =
+    * arm-a count, __n = arm-b count) — the stage the streaming monitor
+    * shares with the batch operator.
+    */
+  def mwuOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val decU = org.apache.spark.sql.types.DecimalType(28, 8)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    val tie = (col("__p") + col("__n")).cast(big)
+    val agg = cum
+      .select(col("__p"), col("__n"),
+        (col("__p").cast(big) *
+          (lit(2L) * (col("cum___n") - col("__n")) + col("__n")).cast(big))
+          .as("__u2"),
+        (tie * tie * tie - tie).as("__t3"))
+      .agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"),
+        sum(col("__u2")).as("__u2s"), sum(col("__t3")).as("__ts"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    val inner = (nd + lit(1.0)) - col("__ts").cast("double") / (nd * (nd - lit(1.0)))
+    agg.select(col("n_a"), col("n_b"),
+      round((col("__u2s").cast("double") / lit(2.0)).cast(decU), 4)
+        .cast("double").as("u"),
+      when(col("n_a") === 0L || col("n_b") === 0L || inner <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(((col("__u2s").cast("double") - nad * nbd)
+          / (lit(2.0) * sqrt(nad * nbd / lit(12.0) * inner))).cast(dec8), 6)
+          .cast("double")).as("z"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

@@ -1012,6 +1012,14 @@ object Streaming {
         counts.getOrElse(throw new IllegalStateException("no batches ingested")),
         width)
 
+    /** current Mann–Whitney (n_a, n_b, u, z) with arm a = label-true
+      * rows — equals the batch [[graft.functions.Stats.mannWhitney]]; the
+      * fourth readout of the same state (is the rank separation
+      * SIGNIFICANT, not just how large)
+      */
+    def rankTest: DataFrame = graft.functions.Stats.mwuOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

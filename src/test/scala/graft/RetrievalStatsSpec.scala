@@ -399,6 +399,25 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("mannWhitney: hand-computed U and tie-corrected z, all-tied sample reads null z") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a=(1,2,3) b=(2,3,4,5): U=2 (one tie pair each at 2 and 3 -> half each),
+    // ties t=(1,2,2,1,1) -> sum(t3-t)=12, z=-1.440165
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0, 5.0).toDF("v")
+    val row = Stats.mannWhitney(a, b, "v").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == 2.0)
+    assert(math.abs(row.getDouble(3) - -1.440165) < 1e-6, s"z ${row.getDouble(3)}")
+    // symmetric arms: U = n²/2, z exactly 0
+    val sym = Stats.mannWhitney(b, b, "v").head()
+    assert(sym.getDouble(2) == 8.0 && sym.getDouble(3) == 0.0)
+    // every value tied: zero rank variance -> z NULL, not NaN
+    val tied = Seq(7.0, 7.0).toDF("v")
+    assert(Stats.mannWhitney(tied, tied, "v").head().isNullAt(3))
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

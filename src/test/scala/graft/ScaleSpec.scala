@@ -345,6 +345,23 @@ class ScaleSpec extends SparkSpec {
     assert(Scans.cumulative(df.filter(lit(false)), "k", Seq("a")).count() == 0L)
   }
 
+  test("Scans.cumulative: stable across repeated evaluations (key-derived buckets, not partition ids)") {
+    import graft.core.Scans
+    // regression: the frame feeds both the totals table and the final join;
+    // with spark_partition_id() over repartitionByRange the two physical
+    // evaluations could sample DIFFERENT range boundaries and corrupt the
+    // offsets (observed as a nondeterministic Mann-Whitney U at 4 shuffle
+    // partitions). Key-derived buckets must make every run identical.
+    val df = spark.range(0, 2000)
+      .select((col("id") * 29 % 4001).cast("double").as("k"),
+        (col("id") % 11).as("a"))
+    def total(parts: Int) = Scans.cumulative(df, "k", Seq("a"), parts)
+      .agg(sum(col("cum_a"))).collect()(0).getLong(0)
+    val expected = total(1)
+    for (parts <- Seq(2, 3, 4, 7); _ <- 1 to 3)
+      assert(total(parts) == expected, s"unstable at $parts partitions")
+  }
+
   test("nearestJoin: equals the naive nearest within radius, bucket edges exact") {
     import spark.implicits._
     import graft.core.Joins

@@ -924,6 +924,12 @@ class StreamingSpec extends SparkSpec {
       df.orderBy(col("bin")).collect().map(_.toSeq).toSeq
     assert(bins(am3.calibration(1000000.0)) ==
       bins(Stats.reliability(docs, score, label, 1000000.0)))
+    // ...and the rank-significance question: rankTest equals the batch
+    // mannWhitney with arm a = label-true rows
+    val scored = docs.select(score.as("__sc"), label.as("__lb"))
+    assert(row(am3.rankTest) == row(Stats.mannWhitney(
+      scored.filter(col("__lb")).select(col("__sc").as("v")),
+      scored.filter(!col("__lb")).select(col("__sc").as("v")), "v")))
   }
 
   test("kappa monitor: folded confusion counts read out the batch kappa, survive restart") {

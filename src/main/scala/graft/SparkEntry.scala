@@ -3032,6 +3032,26 @@ object SparkEntry {
       am.rankTest
     }),
 
+    // Kruskal–Wallis H: do the event TYPES draw value from ONE distribution
+    // — rank-based ANOVA over the per-(value,type) count table, average
+    // ranks via the deterministic-bucket prefix scan, exact-integer doubled
+    // rank sums and tie term, per-group R²/n decimal-staged before the sum
+    "stats_kruskal" -> ((s, dir) => {
+      graft.functions.Stats.kruskalWallis(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Kruskal–Wallis (batch replay of 5 batches): the
+    // per-(value,group) count state is additive PER PAIR — the readout
+    // equals the batch kruskalWallis; same oracle
+    "stream_kruskal" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KruskalMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.readout
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3496,6 +3516,45 @@ object SparkEntry {
                   / (2.0 * sqrt(nad * nbd / 12.0
                     * ((nd + 1.0) - tsd / (nd * (nd - 1.0)))))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+         FROM m"""
+
+  /** Kruskal–Wallis replay (per-(value,group) counts, inclusive
+    * cumulative totals for doubled average ranks, exact-integer rank sums
+    * and Σ(t³−t), per-group terms decimal-staged, fixed-order H with tie
+    * correction) — shared by `stats_kruskal` and `stream_kruskal`.
+    */
+  private val kruskalOracleSql =
+    """WITH c AS (
+           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+         s AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS ct FROM t),
+         r AS (SELECT v, (2 * (ct - t) + t + 1)::DECIMAL(38,0) AS r2 FROM s),
+         g AS (
+           SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n,
+             sum(c.c::DECIMAL(38,0) * r.r2) AS rr2
+           FROM c JOIN r USING (v) GROUP BY 1),
+         term AS (
+           SELECT n, CAST((rr2::DOUBLE / 2.0) * (rr2::DOUBLE / 2.0) / n::DOUBLE
+             AS DECIMAL(28,10)) AS tm
+           FROM g),
+         tot AS (
+           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(tm) AS st
+           FROM term),
+         tie AS (
+           SELECT sum(t::DECIMAL(38,0) * t::DECIMAL(38,0) * t::DECIMAL(38,0)
+             - t::DECIMAL(38,0)) AS ts
+           FROM t),
+         m AS (
+           SELECT k, nn,
+             12.0 / (nn::DOUBLE * (nn::DOUBLE + 1.0)) * st::DOUBLE
+               - 3.0 * (nn::DOUBLE + 1.0) AS h,
+             1.0 - ts::DOUBLE
+               / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) AS corr
+           FROM tot CROSS JOIN tie)
+         SELECT k, nn AS n,
+           CASE WHEN k <= 1 OR corr <= 0.0 THEN NULL
+                ELSE round(CAST(h / corr AS DECIMAL(18,8)), 6)::DOUBLE END AS h
          FROM m"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
@@ -8005,6 +8064,11 @@ object SparkEntry {
     // tie terms, same fixed-order z; the count state is additive
     "stats_mwu" -> mwuOracleSql,
     "stream_mwu" -> mwuOracleSql,
+
+    // Kruskal–Wallis replay: same (value,group) counts, same exact rank
+    // sums / tie term, same fixed-order H; state additive per pair
+    "stats_kruskal" -> kruskalOracleSql,
+    "stream_kruskal" -> kruskalOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

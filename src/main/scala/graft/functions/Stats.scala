@@ -1194,6 +1194,71 @@ object Stats {
           .cast("double")).as("z"))
   }
 
+  /** Kruskal–Wallis H test of a numeric column across k groups — the
+    * NONPARAMETRIC twin of [[anovaF]] (and the k-group generalization of
+    * [[mannWhitney]]): "do these cohorts draw from the same
+    * distribution", rank-based, so heavy tails and outliers can't fake
+    * or hide a group difference the way they can in a mean-based F.
+    *
+    * Scale shape: ONE groupBy to the per-(value, group) count table —
+    * bounded by distinct (value, group) pairs, never rows, and additive
+    * per pair (the [[graft.streaming.Streaming.KruskalMonitor]] state);
+    * per-value totals feed the deterministic-bucket prefix scan
+    * ([[graft.core.Scans.cumulative]]) for average ranks; doubled rank
+    * sums and the tie term Σ(t³−t) are exact integers in DECIMAL(38,0);
+    * each group's R²/n term evaluates in fixed double order and is
+    * staged to DECIMAL(28,10) BEFORE the k-row sum (the [[anovaF]]
+    * discipline), then H with the standard tie correction.
+    *
+    * Returns one row (k, n, h); h is NULL when k<2 or every value is
+    * tied (zero rank variance).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    kwOfCounts(groupValueCounts(df, groupCol, valueCol))
+
+  /** [[kruskalWallis]]'s per-(value, group) count table (one aggregation;
+    * additive per pair across micro-batches).
+    */
+  def groupValueCounts(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    df.groupBy(valueCol.as("__v"), groupCol.as("__g"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** [[kruskalWallis]]'s readout from an already-built (__v, __g, __c)
+    * count table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def kwOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val t = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    // doubled average rank of each value: 2r = 2·(strictly below) + t + 1
+    val r = graft.core.Scans.cumulative(t, "__v", Seq("__t"))
+      .select(col("__v"),
+        (lit(2L) * (col("cum___t") - col("__t")) + col("__t") + lit(1L))
+          .cast(big).as("__r2"))
+    val g = counts.join(r, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast(big) * col("__r2")).as("__rr2"))
+    val term = g.select(col("__n"),
+      ((col("__rr2").cast("double") / lit(2.0))
+        * (col("__rr2").cast("double") / lit(2.0))
+        / col("__n").cast("double")).cast(dec).as("__tm"))
+    val tot = term.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__tm")).as("__st"))
+    val tie = t.agg(sum(col("__t").cast(big) * col("__t").cast(big)
+      * col("__t").cast(big) - col("__t").cast(big)).as("__ts"))
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + lit(1.0))) * col("__st").cast("double") -
+      lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - col("__ts").cast("double") / (nd * nd * nd - nd)
+    tot.crossJoin(broadcast(tie))
+      .select(col("k"), col("n"),
+        when(col("k") <= 1L || corr <= 0.0, lit(null).cast("double"))
+          .otherwise(round((h / corr).cast(dec8), 6).cast("double")).as("h"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

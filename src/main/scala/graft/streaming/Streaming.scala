@@ -809,6 +809,42 @@ object Streaming {
       moments = MonitorState.load(spark, dir, "moments")
   }
 
+  /** Streaming Kruskal–Wallis monitor — "do the cohorts still draw from
+    * one distribution, live", rank-based: the per-(value, group) count
+    * table ([[graft.functions.Stats.groupValueCounts]]) is additive PER
+    * PAIR, so folding each micro-batch by pair-wise re-sum keeps the
+    * state bounded by distinct pairs and the
+    * [[graft.functions.Stats.kwOfCounts]] readout bit-identical to the
+    * batch [[graft.functions.Stats.kruskalWallis]] over everything seen —
+    * the nonparametric sibling of [[AnovaMonitor]] on the same stream.
+    * Wire with [[foreachBatchMerge]]`(stream, km.update)`.
+    */
+  class KruskalMonitor(groupCol: Column, valueCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's (value, group) counts into the keyed state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Stats.groupValueCounts(batch, groupCol, valueCol)
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("__v"), col("__g")).agg(sum(col("__c")).as("__c"))
+      }))
+    }
+
+    /** current (k, n, h) — equals the batch kruskalWallis */
+    def readout: DataFrame = graft.functions.Stats.kwOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

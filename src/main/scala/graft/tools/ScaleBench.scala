@@ -556,6 +556,35 @@ object ScaleBench {
       // ONE aggregation to the bounded joint table + readout
       ("stats_mi", maxEvent, maxEvent * copies,
         () => force(miW(ev1)), () => force(miW(ev10))),
+      // two 1-row exact-decimal moment reduces + fixed-order formula
+      ("stats_welch", maxEvent, maxEvent * copies,
+        () => force(Stats.welchTTest(
+          ev1.filter(col("event_type") === "click").select(col("value")),
+          ev1.filter(col("event_type") === "purchase").select(col("value")),
+          "value")),
+        () => force(Stats.welchTTest(
+          ev10.filter(col("event_type") === "click").select(col("value")),
+          ev10.filter(col("event_type") === "purchase").select(col("value")),
+          "value"))),
+      // ONE scan+reduce to the 1-row regression moments
+      ("stats_trend", maxEvent, maxEvent * copies,
+        () => force(Stats.trendTest(ev1, dayofmonth(col("ts")), col("value"))),
+        () => force(Stats.trendTest(ev10, dayofmonth(col("ts")), col("value")))),
+      // ONE groupBy to the k-row moment table + staged readout
+      ("stats_anova", maxEvent, maxEvent * copies,
+        () => force(Stats.anovaF(ev1, col("event_type"), col("value"))),
+        () => force(Stats.anovaF(ev10, col("event_type"), col("value")))),
+      // per-value count reduce + deterministic-bucket prefix scan; salted
+      // copies grow the distinct-value table 10x alongside the rows
+      ("stats_mwu", maxEvent, maxEvent * copies,
+        () => force(Stats.mannWhitney(
+          ev1.filter(col("event_type") === "click").select(col("value")),
+          ev1.filter(col("event_type") === "purchase").select(col("value")),
+          "value")),
+        () => force(Stats.mannWhitney(
+          ev10.filter(col("event_type") === "click").select(col("value")),
+          ev10.filter(col("event_type") === "purchase").select(col("value")),
+          "value"))),
       // ONE scan+reduce to the moment row; the k x k driver iteration is
       // O(1) in data
       ("sim_pca", maxVec, maxVec * copies,

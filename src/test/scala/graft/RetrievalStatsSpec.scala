@@ -418,6 +418,28 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.mannWhitney(tied, tied, "v").head().isNullAt(3))
   }
 
+  test("kruskalWallis: hand-computed H with and without ties, identical groups read 0, all-tied null") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a=(1,2) b=(3,4): ranks 1,2,3,4 -> H = 12/20*(9/2+49/2)-15 = 2.4
+    val ab = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val row = Stats.kruskalWallis(ab, col("g"), col("v")).head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == 2.4, s"h ${row.getDouble(2)}")
+    // ties across groups: a=(1,2,2) b=(2,3) -> tie-corrected H = 1.666667
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val ht = Stats.kruskalWallis(tied, col("g"), col("v")).head().getDouble(2)
+    assert(math.abs(ht - 1.666667) < 1e-6, s"h $ht")
+    // identical group distributions: H exactly 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 1.0), ("b", 2.0),
+      ("b", 3.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(same, col("g"), col("v")).head().getDouble(2) == 0.0)
+    // every value tied: zero rank variance -> NULL, not NaN
+    val const = Seq(("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(const, col("g"), col("v")).head().isNullAt(2))
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -813,6 +813,24 @@ class StreamingSpec extends SparkSpec {
     assert(row(am3.readout) == batch)
   }
 
+  test("kruskal monitor: pair-additive count table reads out the batch kruskalWallis, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val (g, v) = (col("event_type"), col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.kruskalWallis(ev, g, v))
+    val km = new Streaming.KruskalMonitor(g, v)
+    (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(km.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("kw_state").toString
+    val km2 = new Streaming.KruskalMonitor(g, v)
+    (0 until 2).foreach(b => km2.update(ev.filter(col("event_id") % 5 === b)))
+    km2.saveState(ckpt)
+    val km3 = new Streaming.KruskalMonitor(g, v)
+    km3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => km3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(km3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -3052,6 +3052,28 @@ object SparkEntry {
       km.readout
     }),
 
+    // two-proportion z: did the PURCHASE SHARE of traffic move between the
+    // month's halves — each arm collapses to its exact (n, successes) pair
+    // in ONE reduce, pooled-SE z in fixed double order; zero data shuffle
+    "stats_twoprop" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.twoProportionZ(
+        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
+    }),
+
+    // streaming proportion monitor (batch replay of 5 batches): both arms'
+    // exact count pairs are additive — the readout equals the batch
+    // twoProportionZ; same oracle
+    "stream_twoprop" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pm = new graft.streaming.Streaming.ProportionMonitor(
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase")
+      (0 until 5).foreach(b => pm.update(ev.filter(col("event_id") % 5 === b)))
+      pm.readout
+    }),
+
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
     // without resampling-by-index — every replicate is two more agg columns
     // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
@@ -3555,6 +3577,36 @@ object SparkEntry {
          SELECT k, nn AS n,
            CASE WHEN k <= 1 OR corr <= 0.0 THEN NULL
                 ELSE round(CAST(h / corr AS DECIMAL(18,8)), 6)::DOUBLE END AS h
+         FROM m"""
+
+  /** two-proportion replay (exact per-arm counts, fixed-order pooled-SE
+    * z) — shared by `stats_twoprop` and `stream_twoprop` (counts are
+    * additive).
+    */
+  private val twopropOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+         b AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+         m AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+             a.x::DOUBLE / a.n::DOUBLE AS pa, b.x::DOUBLE / b.n::DOUBLE AS pb,
+             (a.x + b.x)::DOUBLE / (a.n + b.n)::DOUBLE AS pp,
+             a.n::DOUBLE AS nad, b.n::DOUBLE AS nbd
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b,
+           round(CAST(pa AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
+           round(CAST(pb AS DECIMAL(18,8)), 6)::DOUBLE AS p_b,
+           CASE WHEN n_a = 0 OR n_b = 0 OR pp <= 0.0 OR pp >= 1.0 THEN NULL
+                ELSE round(CAST((pa - pb)
+                  / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
@@ -8069,6 +8121,11 @@ object SparkEntry {
     // sums / tie term, same fixed-order H; state additive per pair
     "stats_kruskal" -> kruskalOracleSql,
     "stream_kruskal" -> kruskalOracleSql,
+
+    // two-proportion replay: same exact per-arm counts, same fixed-order
+    // pooled-SE z; the count state is additive
+    "stats_twoprop" -> twopropOracleSql,
+    "stream_twoprop" -> twopropOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

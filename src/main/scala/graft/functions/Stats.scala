@@ -1259,6 +1259,59 @@ object Stats {
           .otherwise(round((h / corr).cast(dec8), 6).cast("double")).as("h"))
   }
 
+  /** Two-proportion z-test between two samples of a boolean outcome —
+    * "did the RATE move": conversion, keep-rate, refusal-rate, defect-rate
+    * comparisons between cohorts or time windows; the binary-outcome
+    * member of the test family ([[welchTTest]] compares means,
+    * [[mannWhitney]] ranks, this compares proportions) using the pooled
+    * standard error.
+    *
+    * Scale shape: each side collapses to its exact (n, successes) count
+    * pair in ONE map-side-combined aggregation (ADDITIVE across
+    * micro-batches — the [[graft.streaming.Streaming.ProportionMonitor]]
+    * state); the z statistic evaluates in fixed double order from those
+    * exact counts. Zero data shuffle.
+    *
+    * Returns one row (n_a, n_b, p_a, p_b, z); z is NULL when either side
+    * is empty or the pooled rate is 0 or 1 (zero variance).
+    */
+  def twoProportionZ(a: DataFrame, bDf: DataFrame, successCol: Column): DataFrame =
+    propOfCounts(propCounts(a, successCol, "a").crossJoin(
+      broadcast(propCounts(bDf, successCol, "b"))))
+
+  /** one side's exact (n, successes) count pair — the ONLY pass that
+    * touches the data; additive across micro-batches
+    */
+  def propCounts(df: DataFrame, successCol: Column, suffix: String): DataFrame =
+    df.agg(count(lit(1)).as(s"__pn_$suffix"),
+      sum(when(successCol, 1L).otherwise(0L)).as(s"__px_$suffix"))
+
+  /** [[twoProportionZ]]'s formula stage over an already-built joint count
+    * row (__pn_a,__px_a,__pn_b,__px_b) — the readout the streaming
+    * monitor shares with the batch operator. Fixed-order doubles from
+    * exact counts: p = x/n per side, pooled p̂ = (xa+xb)/(na+nb), then
+    * z = (pa−pb)/√(p̂(1−p̂)(1/na+1/nb)).
+    */
+  def propOfCounts(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def n(s: String) = col(s"__pn_$s").cast("double")
+    def x(s: String) = col(s"__px_$s").cast("double")
+    val pooled = (col("__px_a") + col("__px_b")).cast("double") /
+      (col("__pn_a") + col("__pn_b")).cast("double")
+    val m = row.select(col("__pn_a"), col("__pn_b"),
+      (x("a") / n("a")).as("__pa"), (x("b") / n("b")).as("__pb"),
+      pooled.as("__pp"), n("a").as("__nad"), n("b").as("__nbd"))
+    m.select(col("__pn_a").as("n_a"), col("__pn_b").as("n_b"),
+      round(col("__pa").cast(dec8), 6).cast("double").as("p_a"),
+      round(col("__pb").cast(dec8), 6).cast("double").as("p_b"),
+      when(col("__pn_a") === 0L || col("__pn_b") === 0L ||
+          col("__pp") <= 0.0 || col("__pp") >= 1.0, lit(null).cast("double"))
+        .otherwise(round(((col("__pa") - col("__pb"))
+          / sqrt(col("__pp") * (lit(1.0) - col("__pp"))
+            * (lit(1.0) / col("__nad") + lit(1.0) / col("__nbd"))))
+          .cast(dec8), 6).cast("double")).as("z"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

@@ -845,6 +845,43 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming two-proportion monitor — the live RATE comparison (A/B
+    * conversion, filter keep-rate vs the frozen control): both arms'
+    * (n, successes) pairs are exact-integer ADDITIVE, so the 1-row state
+    * accreted batch by batch reads out a z bit-identical to the batch
+    * [[graft.functions.Stats.twoProportionZ]] over everything seen. Rows
+    * route to arm a where `armA` is true, arm b otherwise. Wire with
+    * [[foreachBatchMerge]]`(stream, pm.update)`.
+    */
+  class ProportionMonitor(armA: Column, successCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-arm (n, successes) into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Stats.propCounts(batch.filter(armA), successCol, "a")
+        .crossJoin(graft.functions.Stats.propCounts(
+          batch.filter(!armA), successCol, "b"))
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) =>
+          val summed = c.columns.map(cn => sum(col(cn)).as(cn))
+          c.unionByName(bc).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (n_a, n_b, p_a, p_b, z) — equals the batch twoProportionZ */
+    def readout: DataFrame = graft.functions.Stats.propOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

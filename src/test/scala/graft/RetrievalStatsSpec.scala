@@ -440,6 +440,23 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.kruskalWallis(const, col("g"), col("v")).head().isNullAt(2))
   }
 
+  test("twoProportionZ: hand-computed z, equal rates read 0, all-success reads null") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a: 6/8, b: 3/10, pooled 9/18 -> z = 0.45/sqrt(0.25*0.225) = 1.897367
+    val a = (Seq.fill(6)(true) ++ Seq.fill(2)(false)).toDF("s")
+    val b = (Seq.fill(3)(true) ++ Seq.fill(7)(false)).toDF("s")
+    val row = Stats.twoProportionZ(a, b, col("s")).head()
+    assert(row.getLong(0) == 8L && row.getLong(1) == 10L)
+    assert(row.getDouble(2) == 0.75 && row.getDouble(3) == 0.3)
+    assert(math.abs(row.getDouble(4) - 1.897367) < 1e-6, s"z ${row.getDouble(4)}")
+    // identical rates: z exactly 0
+    assert(Stats.twoProportionZ(b, b, col("s")).head().getDouble(4) == 0.0)
+    // pooled rate 1: zero variance -> NULL, not NaN
+    val full = Seq(true, true).toDF("s")
+    assert(Stats.twoProportionZ(full, full, col("s")).head().isNullAt(4))
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -831,6 +831,26 @@ class StreamingSpec extends SparkSpec {
     assert(row(km3.readout) == batch)
   }
 
+  test("proportion monitor: additive arm counts read out the batch twoProportionZ, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val armA = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+    val succ = col("event_type") === "purchase"
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.twoProportionZ(
+      ev.filter(armA), ev.filter(!armA), succ))
+    val pm = new Streaming.ProportionMonitor(armA, succ)
+    (0 until 5).foreach(b => pm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(pm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("prop_state").toString
+    val pm2 = new Streaming.ProportionMonitor(armA, succ)
+    (0 until 2).foreach(b => pm2.update(ev.filter(col("event_id") % 5 === b)))
+    pm2.saveState(ckpt)
+    val pm3 = new Streaming.ProportionMonitor(armA, succ)
+    pm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => pm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(pm3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

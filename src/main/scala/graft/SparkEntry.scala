@@ -2619,6 +2619,27 @@ object SparkEntry {
       cm.matrix.orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Spearman rank correlation: the monotone-coupling readout next to
+    // stats_corr — ONE groupBy to the joint (quantity, price) count table,
+    // marginal ranks from the deterministic-bucket prefix scan, exact
+    // integer doubled-rank moments, fixed-order Pearson-on-ranks formula;
+    // NO row-level join anywhere
+    "stats_spearman" -> ((s, dir) => {
+      graft.functions.Stats.spearman(t(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // streaming Spearman (batch replay of 5 batches): ranks are global and
+    // non-additive, but the joint count table IS additive per pair — the
+    // readout equals the batch spearman; same oracle
+    "stream_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sm = new graft.streaming.Streaming.SpearmanMonitor(
+        col("l_quantity"), col("l_extendedprice"))
+      (0 until 5).foreach(b => sm.update(li.filter(col("l_orderkey") % 5 === b)))
+      sm.readout
+    }),
+
     // power-law exponent of events-per-user: the tail-shape number next
     // to Gini and the whale factor — CSN discrete MLE over the count
     // table, decimal-staged ln terms
@@ -3608,6 +3629,45 @@ object SparkEntry {
                   / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
+
+  /** Spearman replay (joint counts, marginal doubled ranks off inclusive
+    * cumulatives, exact-integer rank moments, fixed-order
+    * Pearson-on-ranks) — shared by `stats_spearman` and `stream_spearman`
+    * (the joint count table is additive).
+    */
+  private val spearmanOracleSql =
+    """WITH j AS (
+           SELECT l_quantity AS x, l_extendedprice AS y,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         rx AS (
+           SELECT x, (2 * (CAST(sum(t) OVER (ORDER BY x) AS BIGINT) - t)
+             + t + 1)::DECIMAL(38,0) AS rx2
+           FROM tx),
+         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         ry AS (
+           SELECT y, (2 * (CAST(sum(t) OVER (ORDER BY y) AS BIGINT) - t)
+             + t + 1)::DECIMAL(38,0) AS ry2
+           FROM ty),
+         m AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(c::DECIMAL(38,0) * rx2) AS sx, sum(c::DECIMAL(38,0) * ry2) AS sy,
+             sum(c::DECIMAL(38,0) * rx2 * rx2) AS sxx,
+             sum(c::DECIMAL(38,0) * ry2 * ry2) AS syy,
+             sum(c::DECIMAL(38,0) * rx2 * ry2) AS sxy
+           FROM j JOIN rx USING (x) JOIN ry USING (y)),
+         f AS (
+           SELECT n,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS va,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vb
+           FROM m)
+         SELECT n,
+           round(CAST(CASE WHEN va <= 0.0 OR vb <= 0.0 THEN 0.0
+             ELSE num / (sqrt(va) * sqrt(vb)) END AS DECIMAL(18,8)), 6)::DOUBLE
+             AS rho
+         FROM f"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
     * keys) — shared by `sample_gumbel` and `stream_gumbel`.
@@ -8126,6 +8186,11 @@ object SparkEntry {
     // pooled-SE z; the count state is additive
     "stats_twoprop" -> twopropOracleSql,
     "stream_twoprop" -> twopropOracleSql,
+
+    // Spearman replay: same joint counts, same exact doubled-rank moments,
+    // same fixed-order formula; the joint count state is additive
+    "stats_spearman" -> spearmanOracleSql,
+    "stream_spearman" -> spearmanOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

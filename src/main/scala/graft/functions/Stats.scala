@@ -1312,6 +1312,66 @@ object Stats {
           .cast(dec8), 6).cast("double")).as("z"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * MONOTONE-relationship readout next to the Pearson
+    * [[correlationMatrix]]: Pearson asks "linear", Spearman asks "does y
+    * rise when x rises at all", so a saturating or power-law coupling
+    * that Pearson underreads still reads near ±1 here, and outliers
+    * can't dominate (ranks are bounded).
+    *
+    * Scale shape: the data collapses ONCE to the per-(x, y) joint count
+    * table — bounded by distinct pairs, never rows, and additive per
+    * pair (the [[graft.streaming.Streaming.SpearmanMonitor]] state);
+    * everything downstream runs on bounded tables: marginal counts
+    * derive from the joint table, average ranks come from the
+    * deterministic-bucket prefix scan ([[graft.core.Scans.cumulative]]),
+    * doubled ranks keep every moment an exact integer in DECIMAL(38,0)
+    * (Σc·2r, Σc·(2r)², Σc·2rx·2ry — the 2s cancel in the ratio), and the
+    * Pearson formula over those exact rank moments evaluates in fixed
+    * double order ([[corrOfMoments]]'s discipline). NO row-level join
+    * anywhere.
+    *
+    * Returns one row (n, rho); rho reads 0 when either column has zero
+    * rank variance (all values tied).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    spearmanOfCounts(df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__c")))
+
+  /** [[spearman]]'s readout from an already-built (__x, __y, __c) joint
+    * count table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def spearmanOfCounts(joint: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def rankTable(keyCol: String, out: String): DataFrame = {
+      val t = joint.groupBy(col(keyCol)).agg(sum(col("__c")).as("__t"))
+      graft.core.Scans.cumulative(t, keyCol, Seq("__t"))
+        .select(col(keyCol),
+          (lit(2L) * (col("cum___t") - col("__t")) + col("__t") + lit(1L))
+            .cast(big).as(out))
+    }
+    val ranked = joint
+      .join(rankTable("__x", "__rx2"), Seq("__x"))
+      .join(rankTable("__y", "__ry2"), Seq("__y"))
+    val m = ranked.agg(sum(col("__c")).as("n"),
+      sum(col("__c").cast(big) * col("__rx2")).as("__sx"),
+      sum(col("__c").cast(big) * col("__ry2")).as("__sy"),
+      sum(col("__c").cast(big) * col("__rx2") * col("__rx2")).as("__sxx"),
+      sum(col("__c").cast(big) * col("__ry2") * col("__ry2")).as("__syy"),
+      sum(col("__c").cast(big) * col("__rx2") * col("__ry2")).as("__sxy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("__sxy") - d("__sx") * d("__sy")
+    val va = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vb = nd * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n"),
+      round(when(va <= 0.0 || vb <= 0.0, lit(0.0))
+        .otherwise(num / (sqrt(va) * sqrt(vb)))
+        .cast(dec8), 6).cast("double").as("rho"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

@@ -882,6 +882,43 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming Spearman monitor — live MONOTONE-coupling drift: ranks are
+    * global (a new value shifts every rank above it), so no rank moment
+    * is additive — but the joint (x, y) count table IS additive per pair,
+    * and every rank and moment derives from it, so folding each
+    * micro-batch by pair-wise re-sum keeps the
+    * [[graft.functions.Stats.spearmanOfCounts]] readout bit-identical to
+    * the batch [[graft.functions.Stats.spearman]] over everything seen.
+    * The rank sibling of [[CorrMonitor]] on the same stream. Wire with
+    * [[foreachBatchMerge]]`(stream, sm.update)`.
+    */
+  class SpearmanMonitor(xCol: Column, yCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's (x, y) counts into the keyed state */
+    def update(batch: DataFrame): Unit = {
+      val bc = batch.groupBy(xCol.as("__x"), yCol.as("__y"))
+        .agg(count(lit(1)).as("__c"))
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc)
+          .groupBy(col("__x"), col("__y")).agg(sum(col("__c")).as("__c"))
+      }))
+    }
+
+    /** current (n, rho) — equals the batch spearman */
+    def readout: DataFrame = graft.functions.Stats.spearmanOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

@@ -457,6 +457,25 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.twoProportionZ(full, full, col("s")).head().isNullAt(4))
   }
 
+  test("spearman: hand-computed rho with and without ties, monotone reads 1, constant reads 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // x=(1,2,3,4) y=(2,1,4,3): no ties, d2=(1,1,1,1) -> rho = 1 - 24/60 = 0.6
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)).toDF("x", "y")
+    val row = Stats.spearman(df, col("x"), col("y")).head()
+    assert(row.getLong(0) == 4L && row.getDouble(1) == 0.6)
+    // tied x: average ranks -> 0.948683
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val rt = Stats.spearman(tied, col("x"), col("y")).head().getDouble(1)
+    assert(math.abs(rt - 0.948683) < 1e-6, s"rho $rt")
+    // any monotone map: exactly 1 (rank invariance, where Pearson dips)
+    val mono = Seq((1.0, 10.0), (2.0, 1000.0), (3.0, 1000000.0)).toDF("x", "y")
+    assert(Stats.spearman(mono, col("x"), col("y")).head().getDouble(1) == 1.0)
+    // constant y: zero rank variance -> 0
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Stats.spearman(const, col("x"), col("y")).head().getDouble(1) == 0.0)
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

@@ -851,6 +851,24 @@ class StreamingSpec extends SparkSpec {
     assert(row(pm3.readout) == batch)
   }
 
+  test("spearman monitor: pair-additive joint counts read out the batch spearman, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val (x, y) = (col("user_id") % 97, col("value"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.spearman(ev, x, y))
+    val sm = new Streaming.SpearmanMonitor(x, y)
+    (0 until 5).foreach(b => sm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(sm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("spear_state").toString
+    val sm2 = new Streaming.SpearmanMonitor(x, y)
+    (0 until 2).foreach(b => sm2.update(ev.filter(col("event_id") % 5 === b)))
+    sm2.saveState(ckpt)
+    val sm3 = new Streaming.SpearmanMonitor(x, y)
+    sm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => sm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(sm3.readout) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -1512,6 +1512,19 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // Jensen–Shannon divergence between the same corpus slices as
+    // curate_token_drift: the single symmetric bounded drift number next
+    // to the top-k KL contributors — ONE shared vocab-bounded count table,
+    // per-token terms decimal-staged before the vocabulary sum
+    "curate_jsd" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
+      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      graft.functions.Curation.jsDivergence(vOld, vNew, "text")
+    }),
+
     // per-language score calibration: z-normalized quality so one global
     // threshold treats every language slice fairly
     "curate_score_calibrate" -> ((s, dir) => {
@@ -5827,6 +5840,42 @@ object SparkEntry {
              round(contrib, 6)::DOUBLE AS contrib
            FROM x ORDER BY x.contrib DESC, tok ASC LIMIT 15)
          ORDER BY token""",
+
+    // JSD replay: same shared count table, same smoothed p/q/m and
+    // fixed-order ½p·ln(p/m)+½q·ln(q/m) terms decimal-staged before the sum
+    "curate_jsd" ->
+      s"""WITH o AS (
+           SELECT text FROM documents WHERE doc_id % 10 != 9),
+         nb AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
+           FROM documents WHERE doc_id % 10 != 0),
+         tk AS (
+           SELECT tok, FALSE AS isb FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
+           UNION ALL
+           SELECT tok, TRUE AS isb FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
+         c AS (
+           SELECT tok, sum(CASE WHEN NOT isb THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN isb THEN 1 ELSE 0 END) AS cb
+           FROM tk GROUP BY tok),
+         st AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+             count(*) AS v
+           FROM c),
+         x AS (
+           SELECT ta, tb, v,
+             (CAST(ca AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + v) AS p,
+             (CAST(cb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + v) AS q
+           FROM c CROSS JOIN st),
+         t AS (
+           SELECT ta, tb, v,
+             CAST(0.5 * p * ln(p / ((p + q) / 2.0))
+               + 0.5 * q * ln(q / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS trm
+           FROM x)
+         SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
+           round(CAST(sum(trm) AS DECIMAL(18,8)), 6)::DOUBLE AS jsd
+         FROM t GROUP BY 1, 2, 3""",
 
     // calibration replay: decimal-exact Σq/Σq², one-division moments, z
     "curate_score_calibrate" ->

@@ -558,6 +558,49 @@ object Curation {
         round(col("__contrib"), 6).cast("double").as("contrib"))
   }
 
+  /** Jensen–Shannon divergence between two corpora's token distributions —
+    * the SYMMETRIC, bounded ([0, ln 2]) companion to [[tokenDrift]]'s
+    * top-k KL contributors: KL answers "which tokens moved and which way";
+    * JSD is the single comparable NUMBER for dashboards and gates (no
+    * direction to argue about, never infinite, comparable across corpus
+    * pairs). Same add-one smoothing over the union vocabulary.
+    *
+    * Scale shape: both corpora collapse to ONE shared per-token count
+    * table (explode + one map-side-combined aggregation — bounded by
+    * vocabulary, never tokens); each token's ½p·ln(p/m)+½q·ln(q/m) term
+    * evaluates in fixed double order and is staged to DECIMAL(28,12)
+    * BEFORE the vocabulary sum, so the token-order-dependent double
+    * addition never happens.
+    *
+    * Returns one row (n_tok_a, n_tok_b, vocab, jsd) at 6dp.
+    */
+  def jsDivergence(aDf: DataFrame, bDf: DataFrame, textCol: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    def toks(df: DataFrame, isB: Boolean) =
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"),
+          lit(isB).as("__b"))
+        .filter(col("__tok") =!= "")
+    val counts = toks(aDf, isB = false).unionByName(toks(bDf, isB = true))
+      .groupBy(col("__tok")).agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val stats = counts.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__p", (col("__ca").cast("double") + lit(1.0))
+        / (col("__ta").cast("double") + col("__v")))
+      .withColumn("__q", (col("__cb").cast("double") + lit(1.0))
+        / (col("__tb").cast("double") + col("__v")))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .withColumn("__t", (lit(0.5) * col("__p") * log(col("__p") / col("__m"))
+        + lit(0.5) * col("__q") * log(col("__q") / col("__m"))).cast(dec))
+      .groupBy(col("__ta"), col("__tb"), col("__v"))
+      .agg(sum(col("__t")).as("__jsd"))
+      .select(col("__ta").as("n_tok_a"), col("__tb").as("n_tok_b"),
+        col("__v").as("vocab"),
+        round(col("__jsd").cast(DecimalType(18, 8)), 6).cast("double").as("jsd"))
+  }
+
   /** Curate documents by their domain's statistics: a document is kept iff
     * its domain has at least `minDocs` documents, mean quality at least
     * `minMeanQuality`, duplication at most `maxDupFrac`, and is not on the

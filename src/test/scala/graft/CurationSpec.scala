@@ -217,6 +217,23 @@ class CurationSpec extends SparkSpec {
     assert(same.forall(r => math.abs(r.getDouble(3)) < 1e-4))
   }
 
+  test("jsDivergence: hand-computed value, symmetric, identical corpora read exactly 0") {
+    import spark.implicits._
+    // a: x x y (Ta=3), b: x y y (Tb=3), V=2; smoothed p=(.6,.4), q=(.4,.6),
+    // m=(.5,.5) -> jsd = .6 ln 1.2 + .4 ln 0.8 = 0.020136 (6dp)
+    val a = Seq("x x y").toDF("text")
+    val b = Seq("x y y").toDF("text")
+    val row = Curation.jsDivergence(a, b, "text").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(math.abs(row.getDouble(3) - 0.020136) < 1e-6, s"jsd ${row.getDouble(3)}")
+    // symmetric by construction
+    assert(Curation.jsDivergence(b, a, "text").head().getDouble(3) ==
+      row.getDouble(3))
+    // identical corpora: p = q at every token -> exactly 0
+    val docs = table("documents")
+    assert(Curation.jsDivergence(docs, docs, "text").head().getDouble(3) == 0.0)
+  }
+
   test("calibrateScores: group-local z-scores, zero-mean per group, degenerate std 0") {
     import graft.functions.{Curation, TextAnalysis}
     val docs = table("documents")

@@ -537,6 +537,27 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // EWMA control chart: the small-sustained-shift detector between the
+    // per-day z (events_anomaly) and the creep alarm (events_cusum) — the
+    // recursion unrolls exactly as a triangular self-join on the bounded
+    // day table, terms decimal-staged, time-varying limits in fixed order
+    "events_ewma" -> ((s, dir) => {
+      graft.functions.Events.ewmaDaily(events(s, dir), "event_type", "ts",
+          lambda = 0.2, limitSigmas = 3.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // streaming EWMA (batch replay of 5 batches): fourth readout off the
+    // same additive daily-count state as stream_anomaly / stream_forecast
+    // / stream_cusum — equals the batch chart; same oracle
+    "stream_ewma" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.ewma(lambda = 0.2, limitSigmas = 3.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // streaming key concentration (batch replay of 5 micro-batches):
     // per-key counts are additive, so BOTH readouts off the one accreted
     // count state equal their batch twins — whale-factor top-k and exact
@@ -3807,6 +3828,47 @@ object SparkEntry {
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE AS cusum,
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE > 3.0 AS alarm
        FROM sres ORDER BY event_type, day"""
+
+  /** EWMA control-chart replay (daily counts, exact moments, unrolled
+    * recursion via triangular self-join with decimal-staged terms,
+    * fixed-order limits) — shared by `events_ewma` and `stream_ewma`.
+    */
+  private val ewmaOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
+           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+         FROM d GROUP BY 1),
+       ms AS (
+         SELECT event_type, s::DOUBLE / dd AS mean,
+           sqrt(greatest(s2::DOUBLE / dd
+             - (s::DOUBLE / dd) * (s::DOUBLE / dd), 0.0)) AS std
+         FROM st),
+       idx AS (
+         SELECT event_type, day, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       z AS (
+         SELECT a.event_type, a.day, a.n, a.t,
+           sum(CAST(0.2 * pow(0.8, a.t - b.t) * b.n AS DECIMAL(28,10))) AS zs
+         FROM idx a JOIN idx b
+           ON a.event_type = b.event_type AND b.t <= a.t
+         GROUP BY 1, 2, 3, 4),
+       f AS (
+         SELECT z.event_type, day, n,
+           mean * pow(0.8, t) + zs::DOUBLE AS ewma,
+           3.0 * std * sqrt(0.2 / (2.0 - 0.2) * (1.0 - pow(0.8, 2 * t))) AS spread,
+           mean
+         FROM z JOIN ms ON z.event_type = ms.event_type)
+       SELECT event_type, day, n,
+         round(CAST(ewma AS DECIMAL(18,8)), 4)::DOUBLE AS ewma,
+         round(CAST(mean - spread AS DECIMAL(18,8)), 4)::DOUBLE AS lcl,
+         round(CAST(mean + spread AS DECIMAL(18,8)), 4)::DOUBLE AS ucl,
+         (ewma < mean - spread OR ewma > mean + spread) AS alarm
+       FROM f ORDER BY event_type, day"""
 
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
@@ -8347,6 +8409,12 @@ object SparkEntry {
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,
     "stream_cusum" -> cusumOracleSql,
+
+    // EWMA replay: same daily counts and exact moments, same unrolled
+    // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same
+    // fixed-order time-varying limits; daily counts are additive
+    "events_ewma" -> ewmaOracleSql,
+    "stream_ewma" -> ewmaOracleSql,
 
     // power-law replay: count table, tail filter, decimal-staged ln sum,
     // one divide

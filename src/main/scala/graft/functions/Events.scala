@@ -500,6 +500,78 @@ object Events {
       .withColumn("alarm", col("cusum") > threshold)
   }
 
+  /** EWMA control chart over per-type daily volumes — the SMALL-shift
+    * detector between [[anomaliesOfDaily]] (single-day spikes) and
+    * [[cusumOfDaily]] (accumulated creep): the exponentially weighted
+    * moving average reacts to a sustained half-sigma shift in days, with
+    * the textbook time-varying control limits
+    * μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})).
+    *
+    * Scale shape: everything runs on the frozen |types|×|days| count
+    * table. The EWMA recursion unrolls exactly —
+    * Z_t = μ(1−λ)^t + λΣ_j(1−λ)^{t−j}x_j — as a triangular self-join on
+    * the bounded day table (days² pairs per type, config-free and tiny),
+    * each λ(1−λ)^{t−j}x_j term in fixed double order staged to
+    * DECIMAL(28,10) BEFORE the sum; day indexes come from a PARTITIONED
+    * row_number. μ and σ use [[anomaliesOfDaily]]'s exact moment staging.
+    * Alarm compares the UNROUNDED ewma against the unrounded limits, so
+    * engines agree at the boundary.
+    *
+    * Returns (event_type, day, n, ewma, lcl, ucl, alarm) at 4dp.
+    */
+  def ewmaDaily(df: DataFrame, typeCol: String, tsCol: String,
+                lambda: Double = 0.2, limitSigmas: Double = 3.0): DataFrame =
+    ewmaOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      lambda, limitSigmas)
+
+  /** [[ewmaDaily]]'s chart stage over an already-built (event_type, day,
+    * n) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical
+    * chart off its accreted count state.
+    */
+  def ewmaOfDaily(dailyCounts: DataFrame, lambda: Double = 0.2,
+                  limitSigmas: Double = 3.0): DataFrame = {
+    require(lambda > 0 && lambda < 1 && limitSigmas > 0,
+      "0 < lambda < 1, limitSigmas > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val om = 1.0 - lambda
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__s2"))
+    val mean = col("__s").cast("double") / col("__d")
+    val std = sqrt(greatest(
+      col("__s2").cast("double") / col("__d") - mean * mean, lit(0.0)))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("day"), col("n"),
+      row_number().over(wIdx).as("__t"))
+    val src = idx.select(col("event_type"), col("__t").as("__j"),
+      col("n").as("__xj"))
+    val zsum = idx.join(src, Seq("event_type"))
+      .filter(col("__j") <= col("__t"))
+      .select(col("event_type"), col("day"), col("n"), col("__t"),
+        (lit(lambda) * pow(lit(om), col("__t") - col("__j")) * col("__xj"))
+          .cast(decT).as("__trm"))
+      .groupBy(col("event_type"), col("day"), col("n"), col("__t"))
+      .agg(sum(col("__trm")).as("__zs"))
+    val ewma = mean * pow(lit(om), col("__t")) + col("__zs").cast("double")
+    val spread = lit(limitSigmas) * std *
+      sqrt(lit(lambda) / (lit(2.0) - lit(lambda)) *
+        (lit(1.0) - pow(lit(om), lit(2) * col("__t"))))
+    zsum.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(ewma.cast(dec), 4).cast("double").as("ewma"),
+        round((mean - spread).cast(dec), 4).cast("double").as("lcl"),
+        round((mean + spread).cast(dec), 4).cast("double").as("ucl"),
+        (ewma < mean - spread || ewma > mean + spread).as("alarm"))
+  }
+
   /** Per-user event-cadence audit — the bot/abuse screen run before user
     * data enters a training mix: humans arrive with irregular inter-event
     * gaps, scripts with metronomic ones, so a user with many events and a

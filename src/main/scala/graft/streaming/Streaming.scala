@@ -373,6 +373,16 @@ object Streaming {
       * ([[graft.functions.Events.cusumOfDaily]]) — the slow-drift alarm
       * the per-day z-test cannot raise; additivity makes it batch-exact
       */
+    /** fourth readout off the accreted count state: the EWMA control chart
+      * ([[graft.functions.Events.ewmaOfDaily]]) — the small-sustained-shift
+      * detector between the per-day z and the CUSUM creep alarm; the daily
+      * counts' additivity makes it batch-exact once a day's events land
+      */
+    def ewma(lambda: Double = 0.2, limitSigmas: Double = 3.0): DataFrame =
+      graft.functions.Events.ewmaOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        lambda, limitSigmas)
+
     def cusum(slack: Double = 0.5, threshold: Double = 3.0): DataFrame =
       graft.functions.Events.cusumOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),

@@ -90,6 +90,27 @@ class EventsSpec extends SparkSpec {
       "the creep must eventually alarm")
   }
 
+  test("ewmaDaily: hand-computed chart values and widening limits") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    // one type, daily n = 10, 10, 22: mean 14, std sqrt(32); lambda=0.5 ->
+    // Z = 12, 11, 16.5; limits mean +- 3*std*sqrt(1/3*(1-0.25^t))
+    val ev = Seq(1 -> 10, 2 -> 10, 3 -> 22)
+      .flatMap { case (d, n) => (0 until n).map(i => ("a", ts(d, i))) }
+      .toDF("event_type", "ts")
+    val out = Events.ewmaDaily(ev, "event_type", "ts",
+        lambda = 0.5, limitSigmas = 3.0)
+      .orderBy(col("day")).collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(12.0, 11.0, 16.5))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(5.5147, 4.5132, 4.2789))
+    assert(out.map(_.getDouble(5)).toSeq == Seq(22.4853, 23.4868, 23.7211))
+    assert(out.forall(!_.getBoolean(6)), "all points inside the limits")
+    // the limits widen monotonically toward the asymptote
+    val widths = out.map(r => r.getDouble(5) - r.getDouble(4))
+    assert(widths.sliding(2).forall(w => w(1) > w(0)))
+  }
+
   test("cadence: metronomic user flags robotic, irregular human does not") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

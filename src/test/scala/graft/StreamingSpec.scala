@@ -680,6 +680,13 @@ class StreamingSpec extends SparkSpec {
         (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
     assert(csMap(vm3.cusum()) ==
       csMap(graft.functions.Events.cusum(ev, "event_type", "ts")))
+    // fourth readout off the same state: the EWMA control chart
+    def ewMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    assert(ewMap(vm3.ewma()) ==
+      ewMap(graft.functions.Events.ewmaDaily(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

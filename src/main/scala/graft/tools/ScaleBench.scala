@@ -585,6 +585,34 @@ object ScaleBench {
           ev10.filter(col("event_type") === "click").select(col("value")),
           ev10.filter(col("event_type") === "purchase").select(col("value")),
           "value"))),
+      // (value,group) count reduce + prefix-scan ranks on bounded tables
+      ("stats_kruskal", maxEvent, maxEvent * copies,
+        () => force(Stats.kruskalWallis(ev1, col("event_type"), col("value"))),
+        () => force(Stats.kruskalWallis(ev10, col("event_type"), col("value")))),
+      // joint count reduce + two prefix scans; no row-level join
+      ("stats_spearman", maxEvent, maxEvent * copies,
+        () => force(Stats.spearman(ev1, col("user_id") % 1000, col("value"))),
+        () => force(Stats.spearman(ev10, col("user_id") % 1000, col("value")))),
+      // two 1-row exact count reduces + fixed-order z
+      ("stats_twoprop", maxEvent, maxEvent * copies,
+        () => force(Stats.twoProportionZ(
+          ev1.filter(col("event_id") % 2 === 0), ev1.filter(col("event_id") % 2 === 1),
+          col("event_type") === "purchase")),
+        () => force(Stats.twoProportionZ(
+          ev10.filter(col("event_id") % 2 === 0), ev10.filter(col("event_id") % 2 === 1),
+          col("event_type") === "purchase"))),
+      // bounded day table + triangular day-pair self-join (days², not rows)
+      ("events_ewma", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.ewmaDaily(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.ewmaDaily(ev10, "event_type", "ts"))),
+      // ONE shared vocab-bounded token count table + staged term sum
+      ("curate_jsd", nDocs, nDocs * copies,
+        () => force(graft.functions.Curation.jsDivergence(
+          docs1.filter(col("doc_id") % 2 === 0), docs1.filter(col("doc_id") % 2 === 1),
+          "text")),
+        () => force(graft.functions.Curation.jsDivergence(
+          docs10.filter(col("doc_id") % 2 === 0), docs10.filter(col("doc_id") % 2 === 1),
+          "text"))),
       // ONE scan+reduce to the moment row; the k x k driver iteration is
       // O(1) in data
       ("sim_pca", maxVec, maxVec * copies,

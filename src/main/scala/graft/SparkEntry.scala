@@ -1238,6 +1238,28 @@ object SparkEntry {
         "event_type", "hr")
     }),
 
+    // Cramér's V: how strongly is event TYPE coupled to WEEKDAY — the
+    // [0,1] effect size next to stats_mi on the same joint-count shape;
+    // absent cells contribute their expected count via the margins cross
+    // join, (O−E)²/E terms decimal-staged before the bounded r×c sum
+    "stats_cramers" -> ((s, dir) => {
+      graft.functions.Stats.cramersV(
+        events(s, dir).select(col("event_type"),
+          dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")
+    }),
+
+    // streaming Cramér's V (batch replay of 5 batches): the SAME additive
+    // joint-count state as stream_mi, read out through
+    // MiMonitor.association — equals the batch cramersV; same oracle
+    "stream_cramers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        dayofweek(col("ts")).as("dow"), col("event_id"))
+      val mm = new graft.streaming.Streaming.MiMonitor("event_type", "dow")
+      (0 until 5).foreach(b => mm.update(ev.filter(col("event_id") % 5 === b)))
+      mm.association
+    }),
+
     // cluster-size distribution: the after-clustering audit (is dup mass
     // a few template whales or many small pairs) — two bounded rollups
     // over the cluster labeling
@@ -3702,6 +3724,42 @@ object SparkEntry {
              ELSE num / (sqrt(va) * sqrt(vb)) END AS DECIMAL(18,8)), 6)::DOUBLE
              AS rho
          FROM f"""
+
+  /** Cramér's V replay (joint counts, full r×c contingency via margins
+    * cross join so absent cells contribute E, exact-integer E staging,
+    * decimal-staged (O−E)²/E terms, fixed-order V) — shared by
+    * `stats_cramers` and `stream_cramers` (joint counts are additive).
+    * Engine weekday encodings differ (Spark 1-7, DuckDB 0-6) but V only
+    * sees the PARTITION, never the labels.
+    */
+  private val cramersOracleSql =
+    """WITH j AS (
+           SELECT event_type AS x, EXTRACT(dow FROM ts) AS y,
+             CAST(count(*) AS BIGINT) AS cxy
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM j GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cxy) AS BIGINT) AS n, count(DISTINCT x) AS r,
+             count(DISTINCT y) AS c
+           FROM j),
+         cells AS (
+           SELECT n, r, c, coalesce(cxy, 0) AS o,
+             CAST(cx::DECIMAL(38,0) * cy::DECIMAL(38,0) AS DOUBLE)
+               / n::DOUBLE AS e
+           FROM mx CROSS JOIN my LEFT JOIN j USING (x, y) CROSS JOIN tot),
+         t AS (
+           SELECT n, r, c,
+             CAST((o::DOUBLE - e) * (o::DOUBLE - e) / e AS DECIMAL(28,10)) AS trm
+           FROM cells),
+         a AS (SELECT n, r, c, sum(trm) AS chi2 FROM t GROUP BY 1, 2, 3)
+         SELECT n, r, c,
+           round(CAST(chi2 AS DECIMAL(18,8)), 6)::DOUBLE AS chi2,
+           CASE WHEN least(r, c) <= 1 OR n = 0 THEN NULL
+                ELSE round(CAST(sqrt(chi2::DOUBLE
+                  / (n::DOUBLE * (least(r, c) - 1)::DOUBLE))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS v
+         FROM a"""
 
   /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
     * keys) — shared by `sample_gumbel` and `stream_gumbel`.
@@ -8302,6 +8360,11 @@ object SparkEntry {
     // same fixed-order formula; the joint count state is additive
     "stats_spearman" -> spearmanOracleSql,
     "stream_spearman" -> spearmanOracleSql,
+
+    // Cramér's V replay: same joint counts, full contingency incl. absent
+    // cells, same staged terms and fixed-order V; joint state additive
+    "stats_cramers" -> cramersOracleSql,
+    "stream_cramers" -> cramersOracleSql,
 
     // new-vs-returning replay: distinct activity, per-user min day,
     // daily rollup

@@ -587,6 +587,58 @@ object Stats {
     df.select(col(xCol).cast("string").as("__x"), col(yCol).cast("string").as("__y"))
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy"))
 
+  /** Cramér's V association between two CATEGORICAL columns — the
+    * normalized EFFECT SIZE the chi-square family lacks: χ² grows with N
+    * (everything is "significant" at corpus scale), V ∈ [0,1] answers
+    * "how STRONGLY are these coupled" comparably across pairs and sizes
+    * — the categorical sibling of Pearson/Spearman for (source × lang),
+    * (event_type × weekday), (license × domain) audits.
+    *
+    * Scale shape: the same additive joint count table as
+    * [[mutualInformation]] (the [[graft.streaming.Streaming.MiMonitor]]
+    * state — its `association` readout IS this statistic); the full r×c
+    * contingency materializes as margins-cross-join-left-join so ABSENT
+    * cells contribute their expected count (a χ² over observed cells
+    * only understates association); E stages as an exact integer product
+    * with ONE divide, each (O−E)²/E term evaluates in fixed double order
+    * and is staged to DECIMAL(28,10) before the bounded r×c sum.
+    *
+    * Returns one row (n, r, c, chi2, v); v is NULL when either side has
+    * a single category.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    cramersVOfJoint(jointCounts(df, xCol, yCol))
+
+  /** [[cramersV]]'s readout from a [[jointCounts]] table — the stage the
+    * streaming monitor shares with the batch operator.
+    */
+  def cramersVOfJoint(joint: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
+    val tot = joint.agg(sum(col("__cxy")).as("__n"),
+      countDistinct(col("__x")).as("__r"), countDistinct(col("__y")).as("__c"))
+    val cells = mx.crossJoin(my)
+      .join(joint, Seq("__x", "__y"), "left")
+      .crossJoin(broadcast(tot))
+    val e = (col("__cx").cast(big) * col("__cy").cast(big)).cast("double") /
+      col("__n").cast("double")
+    val o = coalesce(col("__cxy"), lit(0L)).cast("double")
+    val terms = cells.select(col("__n"), col("__r"), col("__c"),
+      ((o - e) * (o - e) / e).cast(dec).as("__t"))
+    val agg = terms.groupBy(col("__n"), col("__r"), col("__c"))
+      .agg(sum(col("__t")).as("__chi2"))
+    val minDim = least(col("__r"), col("__c"))
+    agg.select(col("__n").as("n"), col("__r").as("r"), col("__c").as("c"),
+      round(col("__chi2").cast(dec8), 6).cast("double").as("chi2"),
+      when(minDim <= 1L || col("__n") === 0L, lit(null).cast("double"))
+        .otherwise(round(sqrt(col("__chi2").cast("double")
+          / (col("__n").cast("double") * (minDim - lit(1L)).cast("double")))
+          .cast(dec8), 6).cast("double")).as("v"))
+  }
+
   /** [[mutualInformation]]'s readout from a [[jointCounts]] table. */
   def miOfJoint(joint: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)

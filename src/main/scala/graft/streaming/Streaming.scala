@@ -1036,6 +1036,14 @@ object Streaming {
     def readout: DataFrame = graft.functions.Stats.miOfJoint(
       joint.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** current Cramér's V (n, r, c, chi2, v) — equals the batch
+      * [[graft.functions.Stats.cramersV]]; the second readout of the same
+      * joint-count state (MI asks "how much does knowing x tell me about
+      * y", V asks "how strong is the coupling on a [0,1] scale")
+      */
+    def association: DataFrame = graft.functions.Stats.cramersVOfJoint(
+      joint.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the joint-count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("joint" -> joint))
 

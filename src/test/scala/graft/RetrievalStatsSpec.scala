@@ -476,6 +476,28 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.spearman(const, col("x"), col("y")).head().getDouble(1) == 0.0)
   }
 
+  test("cramersV: hand-computed value incl. an absent cell, perfect association 1, independence 0") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a:(1,1,2) b:(1,2,2,2): the (a,?) x (?,?) 2x2 with no absent cells is
+    // chi2 1.215278, v 0.416667 over n=7
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2),
+      ("b", 2)).toDF("x", "y")
+    val row = Stats.cramersV(df, "x", "y").head()
+    assert(row.getLong(0) == 7L && row.getLong(1) == 2L && row.getLong(2) == 2L)
+    assert(math.abs(row.getDouble(3) - 1.215278) < 1e-6, s"chi2 ${row.getDouble(3)}")
+    assert(math.abs(row.getDouble(4) - 0.416667) < 1e-6, s"v ${row.getDouble(4)}")
+    // perfect association (absent off-diagonal cells must contribute E)
+    val perf = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    assert(Stats.cramersV(perf, "x", "y").head().getDouble(4) == 1.0)
+    // exact independence: v = 0
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    assert(Stats.cramersV(ind, "x", "y").head().getDouble(4) == 0.0)
+    // one-category side: undefined -> NULL
+    val one = Seq(("a", 1), ("a", 2)).toDF("x", "y")
+    assert(Stats.cramersV(one, "x", "y").head().isNullAt(4))
+  }
+
   test("chisqDrift: hand-computed statistic, identical mixes read 0, missing category counts") {
     import spark.implicits._
     import graft.functions.Stats

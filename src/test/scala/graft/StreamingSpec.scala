@@ -1054,6 +1054,9 @@ class StreamingSpec extends SparkSpec {
     mm3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => mm3.update(ev.filter(col("event_id") % 5 === b)))
     assert(row(mm3.readout) == batch)
+    // second readout of the same joint state: Cramér's V equals its batch twin
+    assert(row(mm3.association) ==
+      row(graft.functions.Stats.cramersV(ev, "event_type", "hr")))
   }
 
   test("linkage monitor: accreted links equal the batch link, survive restart") {

@@ -537,6 +537,27 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Kaplan–Meier survival over user lifetimes: retention with CENSORING
+    // done right — per-user min/max spans, bounded per-lifetime table,
+    // at-risk counts and the survival product both via the deterministic
+    // prefix scan (exact ln-factor sums, one exp), no unpartitioned window
+    "events_survival" -> ((s, dir) => {
+      graft.functions.Events.kaplanMeier(events(s, dir), "user_id", "ts",
+          censorDays = 7)
+        .orderBy(col("t_days"))
+    }),
+
+    // streaming Kaplan–Meier (batch replay of 5 batches): per-user spans
+    // merge by min/max, so the accreted state reads out the identical
+    // curve — including churn-vs-censor against the advancing corpus end;
+    // same oracle
+    "stream_survival" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sm = new graft.streaming.Streaming.SurvivalMonitor("user_id", "ts")
+      (0 until 5).foreach(b => sm.update(ev.filter(col("event_id") % 5 === b)))
+      sm.curve(censorDays = 7).orderBy(col("t_days"))
+    }),
+
     // EWMA control chart: the small-sustained-shift detector between the
     // per-day z (events_anomaly) and the creep alarm (events_cusum) — the
     // recursion unrolls exactly as a triangular self-join on the bounded
@@ -3886,6 +3907,47 @@ object SparkEntry {
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE AS cusum,
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE > 3.0 AS alarm
        FROM sres ORDER BY event_type, day"""
+
+  /** Kaplan–Meier replay (per-user day spans, churn = last activity more
+    * than censorDays before corpus end, inclusive cumulative exits for
+    * at-risk counts, decimal-staged ln factors summed exactly then exp'd,
+    * extinction flag instead of ln(0)) — shared by `events_survival` and
+    * `stream_survival` (spans merge by min/max).
+    */
+  private val survivalOracleSql =
+    """WITH spans AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+         FROM events GROUP BY 1),
+       e AS (SELECT max(l) AS endd FROM spans),
+       lt AS (
+         SELECT datediff('day', f, l) AS t,
+           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 0 ELSE 1 END)
+             AS BIGINT) AS c
+         FROM spans CROSS JOIN e GROUP BY 1),
+       tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM lt),
+       cum AS (
+         SELECT t, d, c,
+           n - (CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) - (d + c)) AS nrisk
+         FROM lt CROSS JOIN tot),
+       staged AS (
+         SELECT t, d, c, nrisk,
+           CASE WHEN d = 0 OR d = nrisk THEN CAST(0.0 AS DECIMAL(28,12))
+                ELSE CAST(ln(1.0 - d::DOUBLE / nrisk::DOUBLE)
+                  AS DECIMAL(28,12)) END AS lnf,
+           CASE WHEN d = nrisk THEN 1 ELSE 0 END AS dead
+         FROM cum),
+       walked AS (
+         SELECT t, nrisk, d, c,
+           sum(lnf) OVER (ORDER BY t) AS cln,
+           CAST(sum(dead) OVER (ORDER BY t) AS BIGINT) AS cdead
+         FROM staged)
+       SELECT t AS t_days, nrisk AS n_risk, d, c,
+         CASE WHEN cdead > 0 THEN 0.0
+              ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
+              END AS survival
+       FROM walked ORDER BY t_days"""
 
   /** EWMA control-chart replay (daily counts, exact moments, unrolled
     * recursion via triangular self-join with decimal-staged terms,
@@ -8478,6 +8540,11 @@ object SparkEntry {
     // fixed-order time-varying limits; daily counts are additive
     "events_ewma" -> ewmaOracleSql,
     "stream_ewma" -> ewmaOracleSql,
+
+    // Kaplan–Meier replay: same spans, same censor rule, same exact
+    // at-risk cumulatives and ln-factor sums; spans merge by min/max
+    "events_survival" -> survivalOracleSql,
+    "stream_survival" -> survivalOracleSql,
 
     // power-law replay: count table, tail filter, decimal-staged ln sum,
     // one divide

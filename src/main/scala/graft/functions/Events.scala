@@ -572,6 +572,82 @@ object Events {
         (ewma < mean - spread || ewma > mean + spread).as("alarm"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes — retention with
+    * CENSORING done right: classic day-k retention silently treats a user
+    * whose observation window just ended as churned; KM keeps them "at
+    * risk" up to their last observed day and drops them from the risk set
+    * after, so the curve is unbiased by the corpus's own end date. A user
+    * churns when their last activity is more than `censorDays` before the
+    * corpus end; otherwise they're censored (possibly still active).
+    *
+    * Scale shape: the stream collapses to the per-user (first, last) day
+    * span — ONE map-side-combined min/max aggregation, and the span state
+    * merges ADDITIVELY by min/min + max/max (the
+    * [[graft.streaming.Streaming.SurvivalMonitor]] state); spans collapse
+    * again to the bounded per-lifetime (d, c) table, at-risk counts and
+    * the survival product both run through the deterministic-bucket
+    * prefix scan ([[graft.core.Scans.cumulative]] — the product as exact
+    * prefix sums of decimal-staged ln factors, exp'd once at the end), so
+    * there is NO unpartitioned window and no driver-side loop. A risk set
+    * that empties (everyone dies at the last time) reads survival 0 via a
+    * cumulative extinction flag, never ln(0).
+    *
+    * Returns (t_days, n_risk, d, c, survival) — one row per observed
+    * lifetime, survival at 6dp.
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7): DataFrame =
+    kmOfSpans(
+      df.groupBy(col(userCol).as("__u"))
+        .agg(min(to_date(col(tsCol))).as("__first"),
+          max(to_date(col(tsCol))).as("__last")),
+      censorDays)
+
+  /** [[kaplanMeier]]'s curve stage over an already-built per-user
+    * (__u, __first, __last) span table — exposed so the streaming
+    * [[graft.streaming.Streaming.SurvivalMonitor]] reads the identical
+    * curve off its accreted span state.
+    */
+  def kmOfSpans(spans: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, "censorDays must be non-negative")
+    val decL = org.apache.spark.sql.types.DecimalType(28, 12)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      spans.select(col("__u"), col("__first"), col("__last")))
+    val end = frozen.agg(max(col("__last")).as("__end"))
+    val lifetimes = frozen.crossJoin(broadcast(end))
+      .select(datediff(col("__last"), col("__first")).as("__t"),
+        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__churn"), 1L).otherwise(0L)).as("__c"))
+    val tot = lifetimes.agg(sum(col("__d") + col("__c")).as("__n"))
+    // at-risk via the inclusive prefix scan: n_t = N − (everyone who
+    // exited at an earlier lifetime); ln factors and the extinction flag
+    // ride the same scan
+    val cum = graft.core.Scans.cumulative(
+      lifetimes.withColumn("__exit", col("__d") + col("__c")),
+      "__t", Seq("__exit"))
+    val staged = cum.crossJoin(broadcast(tot))
+      .withColumn("__nrisk", col("__n") - (col("cum___exit") - col("__exit")))
+      .withColumn("__lnf",
+        when(col("__d") === 0L, lit(0.0).cast(decL))
+          .when(col("__d") === col("__nrisk"), lit(0.0).cast(decL))
+          .otherwise(log(lit(1.0) - col("__d").cast("double")
+            / col("__nrisk").cast("double")).cast(decL)))
+      .withColumn("__dead",
+        when(col("__d") === col("__nrisk"), 1L).otherwise(0L))
+    val walked = graft.core.Scans.cumulative(
+      staged.select(col("__t"), col("__nrisk"), col("__d"), col("__c"),
+        col("__lnf"), col("__dead")),
+      "__t", Seq("__lnf", "__dead"))
+    walked.select(col("__t").as("t_days"), col("__nrisk").as("n_risk"),
+      col("__d").as("d"), col("__c").as("c"),
+      when(col("cum___dead") > 0L, lit(0.0))
+        .otherwise(round(exp(col("cum___lnf").cast("double")).cast(dec8), 6)
+          .cast("double")).as("survival"))
+  }
+
   /** Per-user event-cadence audit — the bot/abuse screen run before user
     * data enters a training mix: humans arrive with irregular inter-event
     * gaps, scripts with metronomic ones, so a user with many events and a

@@ -929,6 +929,45 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming Kaplan–Meier monitor — the live censoring-aware retention
+    * curve: a user's (first, last) observed-day span merges ADDITIVELY
+    * (min of firsts, max of lasts), so the per-user span state folds
+    * batch by batch and the [[graft.functions.Events.kmOfSpans]] readout
+    * — including who counts as censored vs churned against the
+    * ever-advancing corpus end — is bit-identical to the batch
+    * [[graft.functions.Events.kaplanMeier]] over everything seen. State
+    * is |users| rows of three columns, independent of event volume. Wire
+    * with [[foreachBatchMerge]]`(stream, sm.update)`.
+    */
+  class SurvivalMonitor(userCol: String = "user_id", tsCol: String = "ts") {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var spans: Option[DataFrame] = None
+
+    /** fold one micro-batch of raw events into the per-user span state */
+    def update(batch: DataFrame): Unit = {
+      val bs = batch.groupBy(col(userCol).as("__u"))
+        .agg(min(to_date(col(tsCol))).as("__first"),
+          max(to_date(col(tsCol))).as("__last"))
+      spans = Some(bridge.freeze(spans match {
+        case None => bs
+        case Some(s) => s.unionByName(bs).groupBy(col("__u"))
+          .agg(min(col("__first")).as("__first"), max(col("__last")).as("__last"))
+      }))
+    }
+
+    /** current (t_days, n_risk, d, c, survival) — equals the batch curve */
+    def curve(censorDays: Int = 7): DataFrame = graft.functions.Events.kmOfSpans(
+      spans.getOrElse(throw new IllegalStateException("no batches ingested")),
+      censorDays)
+
+    /** persist the span state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("spans" -> spans))
+
+    /** restore span state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      spans = MonitorState.load(spark, dir, "spans")
+  }
+
   /** Streaming embedding-covariance monitor — the live anisotropy /
     * redundancy audit over a vector stream: the
     * [[graft.functions.Vectors.covMoments]] state is a LINEAR sketch

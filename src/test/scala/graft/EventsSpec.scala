@@ -111,6 +111,35 @@ class EventsSpec extends SparkSpec {
     assert(widths.sliding(2).forall(w => w(1) > w(0)))
   }
 
+  test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // corpus end = day 20 (u99's last). censorDays=7: churned iff last <= 13.
+    // lifetimes/status: u1 0d churn, u2 0d churn, u3 2d churn, u4 3d censored
+    // (last=day 18), u5 3d churn, u99 5d censored (last=end)
+    val ev = Seq(
+      (1L, 1), (2L, 3), (3L, 5), (3L, 7), (4L, 15), (4L, 18),
+      (5L, 2), (5L, 5), (99L, 15), (99L, 20)
+    ).toDF("user_id", "day").select(col("user_id"),
+      expr("timestamp_millis(CAST(day AS LONG) * 86400000)").as("ts"))
+    val out = Events.kaplanMeier(ev, "user_id", "ts", censorDays = 7)
+      .orderBy(col("t_days")).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))).toSeq == Seq(
+      (0, 6L, 2L, 0L, 0.666667), (2, 4L, 1L, 0L, 0.5),
+      (3, 3L, 1L, 1L, 0.333333), (5, 1L, 0L, 1L, 0.333333)),
+      s"got ${out.mkString("; ")}")
+    // risk set extinguishes: u3 censored out at t=10, u4 (the only user
+    // left at risk) churns at t=12 -> d = n there, curve reads an exact 0
+    // (the extinction flag, never ln(0))
+    val dead = Seq((3L, 10), (3L, 20), (4L, 0), (4L, 12)).toDF("user_id", "day")
+      .select(col("user_id"),
+        expr("timestamp_millis(CAST(day AS LONG) * 86400000)").as("ts"))
+    val s0 = Events.kaplanMeier(dead, "user_id", "ts", censorDays = 7)
+      .orderBy(col("t_days")).collect()
+    assert(s0.map(_.getDouble(4)).toSeq == Seq(1.0, 0.0), s0.mkString("; "))
+  }
+
   test("cadence: metronomic user flags robotic, irregular human does not") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

@@ -876,6 +876,24 @@ class StreamingSpec extends SparkSpec {
     assert(row(sm3.readout) == batch)
   }
 
+  test("survival monitor: min/max span state reads out the batch Kaplan-Meier, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("t_days")).collect().map(_.toSeq).toSeq
+    val batch = rows(graft.functions.Events.kaplanMeier(ev, "user_id", "ts"))
+    val sm = new Streaming.SurvivalMonitor("user_id", "ts")
+    (0 until 5).foreach(b => sm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(rows(sm.curve()) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("surv_state").toString
+    val sm2 = new Streaming.SurvivalMonitor("user_id", "ts")
+    (0 until 2).foreach(b => sm2.update(ev.filter(col("event_id") % 5 === b)))
+    sm2.saveState(ckpt)
+    val sm3 = new Streaming.SurvivalMonitor("user_id", "ts")
+    sm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => sm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(rows(sm3.curve()) == batch)
+  }
+
   test("gumbel monitor: constant k-row state selects the global top-k, survives restart") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -558,6 +558,17 @@ object SparkEntry {
       sm.curve(censorDays = 7).orderBy(col("t_days"))
     }),
 
+    // log-rank test: do even/odd user cohorts churn differently — the
+    // survival family's hypothesis test; per-arm at-risk counts off ONE
+    // shared prefix scan, hypergeometric O−E / variance terms from exact
+    // integers decimal-staged before the bounded sum
+    "events_logrank" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Events.logRank(
+        ev.filter(col("user_id") % 2 === 0), ev.filter(col("user_id") % 2 === 1),
+        "user_id", "ts", censorDays = 7)
+    }),
+
     // EWMA control chart: the small-sustained-shift detector between the
     // per-day z (events_anomaly) and the creep alarm (events_cusum) — the
     // recursion unrolls exactly as a triangular self-join on the bounded
@@ -8545,6 +8556,61 @@ object SparkEntry {
     // at-risk cumulatives and ln-factor sums; spans merge by min/max
     "events_survival" -> survivalOracleSql,
     "stream_survival" -> survivalOracleSql,
+
+    // log-rank replay: same per-arm spans against the shared corpus end,
+    // same pooled risk sets, same decimal-staged O−E / variance terms
+    "events_logrank" ->
+      """WITH spans AS (
+           SELECT user_id, user_id % 2 = 0 AS a,
+             min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+           FROM events GROUP BY 1, 2),
+         e AS (SELECT max(l) AS endd FROM spans),
+         lt AS (
+           SELECT datediff('day', f, l) AS t,
+             CAST(sum(CASE WHEN a AND datediff('day', l, endd) > 7
+               THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN a AND datediff('day', l, endd) <= 7
+               THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT a AND datediff('day', l, endd) > 7
+               THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN NOT a AND datediff('day', l, endd) <= 7
+               THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM spans CROSS JOIN e GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(d1 + c1) AS BIGINT) AS nn1,
+             CAST(sum(d2 + c2) AS BIGINT) AS nn2
+           FROM lt),
+         cum AS (
+           SELECT t, d1, d2,
+             nn1 - (CAST(sum(d1 + c1) OVER (ORDER BY t) AS BIGINT) - (d1 + c1))
+               AS n1,
+             nn2 - (CAST(sum(d2 + c2) OVER (ORDER BY t) AS BIGINT) - (d2 + c2))
+               AS n2,
+             nn1, nn2
+           FROM lt CROSS JOIN tot),
+         terms AS (
+           SELECT nn1, nn2, d1,
+             CASE WHEN d1 + d2 = 0 THEN CAST(0.0 AS DECIMAL(28,10))
+                  ELSE CAST(n1::DOUBLE * (d1 + d2)::DOUBLE / (n1 + n2)::DOUBLE
+                    AS DECIMAL(28,10)) END AS et,
+             CASE WHEN d1 + d2 = 0 OR n1 + n2 <= 1 THEN CAST(0.0 AS DECIMAL(28,10))
+                  ELSE CAST((d1 + d2)::DOUBLE
+                    * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                    * (n2::DOUBLE / (n1 + n2)::DOUBLE)
+                    * (((n1 + n2)::DOUBLE - (d1 + d2)::DOUBLE)
+                      / ((n1 + n2)::DOUBLE - 1.0))
+                    AS DECIMAL(28,10)) END AS vt
+           FROM cum),
+         a2 AS (
+           SELECT nn1, nn2, CAST(sum(d1) AS BIGINT) AS o_a, sum(et) AS ee,
+             sum(vt) AS vv
+           FROM terms GROUP BY 1, 2)
+         SELECT nn1 AS n_a, nn2 AS n_b, o_a,
+           round(CAST(ee AS DECIMAL(18,8)), 4)::DOUBLE AS e_a,
+           CASE WHEN vv::DOUBLE <= 0.0 THEN NULL
+                ELSE round(CAST((o_a::DOUBLE - ee::DOUBLE) / sqrt(vv::DOUBLE)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+         FROM a2""",
 
     // power-law replay: count table, tail filter, decimal-staged ln sum,
     // one divide

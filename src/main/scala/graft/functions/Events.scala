@@ -648,6 +648,79 @@ object Events {
           .cast("double")).as("survival"))
   }
 
+  /** Log-rank test between two cohorts' survival curves — "does cohort A
+    * churn DIFFERENTLY from cohort B", the [[kaplanMeier]] family's
+    * hypothesis test (KM draws each curve; log-rank says whether the gap
+    * is real), censoring-aware like the curves themselves: at every event
+    * time the observed arm-A deaths compare against the hypergeometric
+    * expectation given the pooled risk sets.
+    *
+    * Scale shape: each cohort collapses to its per-user span then to the
+    * shared bounded per-lifetime (d, c) table; per-arm at-risk counts ride
+    * ONE deterministic-bucket prefix scan ([[graft.core.Scans
+    * .cumulative]] over both arms' exit columns together); the O−E and
+    * variance terms evaluate in fixed double order from exact integers
+    * and stage to DECIMAL(28,10) BEFORE the bounded sum. The corpus end
+    * (censor anchor) is the max last-activity across BOTH cohorts.
+    *
+    * Returns one row (n_a, n_b, o_a, e_a, z): observed vs expected arm-A
+    * churn events and the log-rank z; z is NULL when the variance is 0
+    * (no comparable event times).
+    */
+  def logRank(aDf: DataFrame, bDf: DataFrame, userCol: String, tsCol: String,
+              censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, "censorDays must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def spans(df: DataFrame, isA: Boolean) = df
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+      .withColumn("__a", lit(isA))
+    val tagged = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      spans(aDf, isA = true).unionByName(spans(bDf, isA = false)))
+    val end = tagged.agg(max(col("__last")).as("__end"))
+    val lt = tagged.crossJoin(broadcast(end))
+      .select(datediff(col("__last"), col("__first")).as("__t"), col("__a"),
+        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__a") && col("__churn"), 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__a") && !col("__churn"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(!col("__a") && col("__churn"), 1L).otherwise(0L)).as("__d2"),
+        sum(when(!col("__a") && !col("__churn"), 1L).otherwise(0L)).as("__c2"))
+    val tot = lt.agg(sum(col("__d1") + col("__c1")).as("__N1"),
+      sum(col("__d2") + col("__c2")).as("__N2"))
+    val cum = graft.core.Scans.cumulative(
+      lt.withColumn("__e1", col("__d1") + col("__c1"))
+        .withColumn("__e2", col("__d2") + col("__c2")),
+      "__t", Seq("__e1", "__e2"))
+    // at-risk columns are __r1/__r2, NOT __n1/__n2 — Spark resolves
+    // column names case-insensitively, so __n1 would collide with the
+    // cohort total __N1 and silently shadow it
+    val staged = cum.crossJoin(broadcast(tot))
+      .withColumn("__r1", col("__N1") - (col("cum___e1") - col("__e1")))
+      .withColumn("__r2", col("__N2") - (col("cum___e2") - col("__e2")))
+      .withColumn("__rt", col("__r1") + col("__r2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+    def dd(c: String) = col(c).cast("double")
+    val terms = staged.select(col("__N1"), col("__N2"), col("__d1"),
+      when(col("__dt") === 0L, lit(0.0).cast(dec))
+        .otherwise((dd("__r1") * dd("__dt") / dd("__rt")).cast(dec)).as("__et"),
+      when(col("__dt") === 0L || col("__rt") <= 1L, lit(0.0).cast(dec))
+        .otherwise((dd("__dt") * (dd("__r1") / dd("__rt")) * (dd("__r2") / dd("__rt"))
+          * ((dd("__rt") - dd("__dt")) / (dd("__rt") - lit(1.0)))).cast(dec))
+        .as("__vt"))
+    val agg = terms.groupBy(col("__N1"), col("__N2"))
+      .agg(sum(col("__d1")).as("o_a"), sum(col("__et")).as("__e"),
+        sum(col("__vt")).as("__v"))
+    agg.select(col("__N1").as("n_a"), col("__N2").as("n_b"), col("o_a"),
+      round(col("__e").cast(dec8), 4).cast("double").as("e_a"),
+      when(col("__v").cast("double") <= 0.0, lit(null).cast("double"))
+        .otherwise(round(((col("o_a").cast("double") - col("__e").cast("double"))
+          / sqrt(col("__v").cast("double"))).cast(dec8), 6).cast("double"))
+        .as("z"))
+  }
+
   /** Per-user event-cadence audit — the bot/abuse screen run before user
     * data enters a training mix: humans arrive with irregular inter-event
     * gaps, scripts with metronomic ones, so a user with many events and a

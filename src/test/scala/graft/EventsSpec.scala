@@ -140,6 +140,26 @@ class EventsSpec extends SparkSpec {
     assert(s0.map(_.getDouble(4)).toSeq == Seq(1.0, 0.0), s0.mkString("; "))
   }
 
+  test("logRank: hand-computed O/E/z against pooled risk sets, identical cohorts read z=0") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Int)]) = rows.toDF("user_id", "day")
+      .select(col("user_id"),
+        expr("timestamp_millis(CAST(day AS LONG) * 86400000)").as("ts"))
+    // corpus end = day 30; censor 7 -> churn iff last <= 22
+    // arm a lifetimes: (0 churn), (2 churn), (5 censored)
+    val a = mk(Seq((2L, 1), (4L, 1), (4L, 3), (6L, 24), (6L, 29)))
+    // arm b: (0 churn), (3 censored), (3 churn), (5 censored w/ last=end)
+    val b = mk(Seq((1L, 2), (3L, 25), (3L, 28), (5L, 5), (5L, 8),
+      (13L, 25), (13L, 30)))
+    val row = Events.logRank(a, b, "user_id", "ts", censorDays = 7).head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 4L && row.getLong(2) == 2L)
+    assert(row.getDouble(3) == 1.5071, s"e_a ${row.getDouble(3)}")
+    assert(math.abs(row.getDouble(4) - 0.539145) < 1e-6, s"z ${row.getDouble(4)}")
+    // a cohort against itself: O = E exactly -> z = 0
+    val same = Events.logRank(b, b, "user_id", "ts", censorDays = 7).head()
+    assert(same.getDouble(4) == 0.0)
+  }
+
   test("cadence: metronomic user flags robotic, irregular human does not") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

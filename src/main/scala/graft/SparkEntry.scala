@@ -590,6 +590,25 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Mann-Kendall trend + Theil-Sen slope: the distribution-free trend
+    // verdict next to the parametric stats_trend — pair directions and
+    // the median pairwise slope off the triangular day-pair join on the
+    // bounded daily count table, exact-integer S and tie terms,
+    // continuity-corrected z in fixed double order
+    "events_mannkendall" -> ((s, dir) => {
+      graft.functions.Events.mannKendall(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Mann-Kendall (batch replay of 5 batches): fifth readout
+    // off the same additive daily-count state as stream_anomaly /
+    // stream_cusum / stream_ewma — equals the batch verdicts; same oracle
+    "stream_mannkendall" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.trend
+    }),
+
     // streaming key concentration (batch replay of 5 micro-batches):
     // per-key counts are additive, so BOTH readouts off the one accreted
     // count state equal their batch twins — whale-factor top-k and exact
@@ -754,6 +773,18 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")) >= 25)
       (0 until 5).foreach(b => km.update(docs.filter(col("doc_id") % 5 === b)))
       km.readout
+    }),
+
+    // streaming McNemar (batch replay of 5 batches): second readout off
+    // the same additive confusion state as stream_kappa — equals the
+    // batch test; same oracle as curate_mcnemar
+    "stream_mcnemar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val km = new graft.streaming.Streaming.KappaMonitor(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25)
+      (0 until 5).foreach(b => km.update(docs.filter(col("doc_id") % 5 === b)))
+      km.disagreement
     }),
 
     // streaming mixture monitor (batch replay of 5 batches): per-group
@@ -1641,6 +1672,15 @@ object SparkEntry {
     // po/pe pieces — the filter-agreement audit before swapping filters
     "curate_kappa" -> ((s, dir) => {
       graft.functions.Curation.raterAgreement(docsNorm(s, dir),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25)
+    }),
+
+    // McNemar's paired-disagreement test on the same two filters: is the
+    // disagreement ASYMMETRIC (one filter systematically stricter) —
+    // signed z + Edwards-corrected chi2 off the same 2×2 confusion row
+    "curate_mcnemar" -> ((s, dir) => {
+      graft.functions.Curation.mcnemar(docsNorm(s, dir),
         dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
         TextAnalysis.tokenCount(col("text")) >= 25)
     }),
@@ -2728,6 +2768,27 @@ object SparkEntry {
       sm.readout
     }),
 
+    // Kendall's tau-b: the concordance view next to stats_spearman — ONE
+    // groupBy to the bounded (quantity, price-bin) joint count table,
+    // concordant/discordant mass from the triangular cell-pair join on
+    // that table (cells^2, never rows^2), exact-integer tie terms, scipy's
+    // tie-corrected z in fixed double order
+    "stats_kendall" -> ((s, dir) => {
+      graft.functions.Stats.kendallTau(t(s, dir, "lineitem"),
+        col("l_quantity"), floor(col("l_extendedprice") / 5000))
+    }),
+
+    // streaming Kendall (batch replay of 5 batches): concordance is
+    // global and non-additive, but the joint count table IS additive —
+    // the SAME SpearmanMonitor state reads out the batch tau; same oracle
+    "stream_kendall" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sm = new graft.streaming.Streaming.SpearmanMonitor(
+        col("l_quantity"), floor(col("l_extendedprice") / 5000))
+      (0 until 5).foreach(b => sm.update(li.filter(col("l_orderkey") % 5 === b)))
+      sm.kendall
+    }),
+
     // power-law exponent of events-per-user: the tail-shape number next
     // to Gini and the whale factor — CSN discrete MLE over the count
     // table, decimal-staged ln terms
@@ -3115,6 +3176,25 @@ object SparkEntry {
         col("event_type"), col("value"))
       (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
       am.readout
+    }),
+
+    // Tukey HSD: WHICH event types differ after the stats_anova omnibus F
+    // — every pair's studentized-range q off one pooled MSW, via the
+    // triangular k x k join on the same bounded group-moment table
+    "stats_tukey" -> ((s, dir) => {
+      graft.functions.Stats.tukeyHsd(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Tukey (batch replay of 5 batches): second readout off the
+    // same additive group-moment state as stream_anova — equals the batch
+    // pairwise table; same oracle
+    "stream_tukey" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val am = new graft.streaming.Streaming.AnovaMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.pairwise
     }),
 
     // Mann–Whitney U: does click stochastically dominate purchase on VALUE
@@ -3611,6 +3691,48 @@ object SparkEntry {
                 END AS eta2
          FROM m"""
 
+  /** Tukey HSD replay (same per-group exact moments as anova, pooled MSW,
+    * triangular pair join, fixed-order Tukey–Kramer q) — shared by
+    * `stats_tukey` and `stream_tukey` (the group-moment state is the
+    * additive AnovaMonitor state).
+    */
+  private val tukeyOracleSql =
+    """WITH g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4)))
+               AS q
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT n,
+             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
+               AS DECIMAL(28,10)) AS w
+           FROM g),
+         a AS (
+           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(w) AS ssw
+           FROM t),
+         p AS (
+           SELECT ga.event_type AS group_a, gb.event_type AS group_b,
+             ga.n AS na, gb.n AS nb,
+             ga.s::DOUBLE / ga.n::DOUBLE AS ma,
+             gb.s::DOUBLE / gb.n::DOUBLE AS mb,
+             k, nn, ssw::DOUBLE AS ssw
+           FROM g ga JOIN g gb ON ga.event_type < gb.event_type
+             CROSS JOIN a),
+         f AS (
+           SELECT group_a, group_b, na, nb, ma, mb, k, nn, ssw,
+             ssw / (nn - k)::DOUBLE AS msw
+           FROM p)
+         SELECT group_a, group_b, na AS n_a, nb AS n_b,
+           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
+           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
+           round(CAST(ma - mb AS DECIMAL(18,8)), 6)::DOUBLE AS diff,
+           CASE WHEN nn <= k OR ssw <= 0.0 THEN NULL
+                ELSE round(CAST(abs(ma - mb)
+                  / sqrt(msw / 2.0 * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS q
+         FROM f ORDER BY group_a, group_b"""
+
   /** Mann–Whitney replay (per-value counts, inclusive cumulative b-side,
     * exact-integer doubled U and Σ(t³−t) tie term, fixed-order z) —
     * shared by `stats_mwu` and `stream_mwu` (counts are additive).
@@ -3755,6 +3877,63 @@ object SparkEntry {
            round(CAST(CASE WHEN va <= 0.0 OR vb <= 0.0 THEN 0.0
              ELSE num / (sqrt(va) * sqrt(vb)) END AS DECIMAL(18,8)), 6)::DOUBLE
              AS rho
+         FROM f"""
+
+  /** Kendall tau-b replay (bounded joint counts, triangular cell-pair
+    * join for concordant/discordant mass, exact-integer tie terms,
+    * scipy's tie-corrected variance in fixed double order) — shared by
+    * `stats_kendall` and `stream_kendall` (the joint count table is the
+    * SAME additive SpearmanMonitor state).
+    */
+  private val kendallOracleSql =
+    """WITH j AS (
+           SELECT l_quantity AS x, floor(l_extendedprice / 5000) AS y,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cd AS (
+           SELECT
+             coalesce(sum(CASE WHEN a.y < b.y
+               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
+               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS conc,
+             coalesce(sum(CASE WHEN a.y > b.y
+               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
+               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS disc
+           FROM j a JOIN j b ON a.x < b.x),
+         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         ttx AS (
+           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_x,
+             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_x,
+             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_x
+           FROM tx),
+         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         tty AS (
+           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_y,
+             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_y,
+             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_y
+           FROM ty),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+         m AS (
+           SELECT n, conc, disc, tt_x, tv_x, t3_x, tt_y, tv_y, t3_y,
+             n::DECIMAL(38,0) * (n - 1) AS two_n0,
+             (conc::DOUBLE - disc::DOUBLE) AS s,
+             CAST(n::DECIMAL(38,0) * (n - 1) * (2 * n + 5) AS DOUBLE) AS v0,
+             n::DOUBLE AS nd
+           FROM cd CROSS JOIN ttx CROSS JOIN tty CROSS JOIN tot),
+         f AS (
+           SELECT n, conc, disc, two_n0, tt_x, tt_y, s,
+             (two_n0 - tt_x) * (two_n0 - tt_y) AS denom2,
+             (v0 - tv_x::DOUBLE - tv_y::DOUBLE) / 18.0
+               + (tt_x::DOUBLE * tt_y::DOUBLE) / (2.0 * nd * (nd - 1.0))
+               + (t3_x::DOUBLE * t3_y::DOUBLE)
+                 / (9.0 * nd * (nd - 1.0) * (nd - 2.0)) AS var_s
+           FROM m)
+         SELECT n, conc::BIGINT AS conc, disc::BIGINT AS disc,
+           round(CAST(CASE WHEN n < 2 OR denom2 <= 0 THEN 0.0
+             ELSE 2.0 * s / sqrt(denom2::DOUBLE) END AS DECIMAL(18,8)),
+             6)::DOUBLE AS tau,
+           CASE WHEN n < 3 OR var_s <= 0.0 THEN NULL
+                ELSE round(CAST(s / sqrt(var_s) AS DECIMAL(18,8)),
+                  6)::DOUBLE END AS z
          FROM f"""
 
   /** Cramér's V replay (joint counts, full r×c contingency via margins
@@ -4001,6 +4180,52 @@ object SparkEntry {
          (ewma < mean - spread OR ewma > mean + spread) AS alarm
        FROM f ORDER BY event_type, day"""
 
+  /** Mann–Kendall + Theil–Sen replay (daily counts, triangular day-pair
+    * join for S and the slope pool, exact-integer tie terms,
+    * continuity-corrected z in fixed double order, exact median slope) —
+    * shared by `events_mannkendall` and `stream_mannkendall` (daily
+    * counts are additive, so the accreted VolumeMonitor state equals the
+    * one-pass count table).
+    */
+  private val mannKendallOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       p AS (
+         SELECT a.event_type,
+           CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn,
+           (b.n - a.n)::DOUBLE / date_diff('day', a.day, b.day)::DOUBLE
+             AS slope
+         FROM d a JOIN d b
+           ON a.event_type = b.event_type AND a.day < b.day),
+       s AS (
+         SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s,
+           quantile_cont(slope, 0.5) AS slope
+         FROM p GROUP BY 1),
+       dd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d_days
+              FROM d GROUP BY 1),
+       ties AS (
+         SELECT event_type,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tv
+         FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+               FROM d GROUP BY 1, 2) q
+         GROUP BY 1),
+       f AS (
+         SELECT dd.event_type, d_days, coalesce(s, 0) AS s, slope,
+           (d_days * (d_days - 1) * (2 * d_days + 5) - tv)::DOUBLE / 18.0
+             AS var_s
+         FROM dd LEFT JOIN s ON dd.event_type = s.event_type
+                 JOIN ties ON dd.event_type = ties.event_type)
+       SELECT event_type, d_days, s,
+         CASE WHEN var_s <= 0.0 THEN NULL
+              WHEN s = 0 THEN 0.0
+              ELSE round(CAST(
+                (s - CASE WHEN s > 0 THEN 1 ELSE -1 END)::DOUBLE
+                  / sqrt(var_s) AS DECIMAL(18,8)), 6)::DOUBLE END AS z,
+         round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE AS slope
+       FROM f ORDER BY event_type"""
+
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
     * streaming twin `stream_forecast` (daily counts are additive, so the
@@ -4126,7 +4351,11 @@ object SparkEntry {
     * confusion row, po/pe rounded before κ — shared by the batch operator
     * and its streaming twin (additive confusion counts)
     */
-  private lazy val kappaOracleSql =
+  /** shared confusion-row CTE chain (quality-score and token-count filter
+    * replays down to the 2×2 row `k`) — the state both `kappa` and
+    * `mcnemar` oracles read.
+    */
+  private lazy val confusionCteSql =
     s"""WITH norm AS (
          SELECT doc_id, text, string_split($normSql, ' ') AS toks,
            $normSql AS nt
@@ -4153,7 +4382,10 @@ object SparkEntry {
            sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
            sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
            sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
-         FROM f),
+         FROM f)"""
+
+  private lazy val kappaOracleSql = confusionCteSql +
+    """,
        p AS (
          SELECT n, n11, n10, n01, n00,
            round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
@@ -4165,6 +4397,26 @@ object SparkEntry {
          round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
            ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
        FROM p"""
+
+  /** McNemar replay (same confusion-row CTE as kappa; signed z over the
+    * discordant pair, Edwards-corrected χ² clamped at 0) — shared by
+    * `curate_mcnemar` and `stream_mcnemar` (the confusion row is the
+    * additive KappaMonitor state).
+    */
+  private lazy val mcnemarOracleSql = confusionCteSql +
+    """
+       SELECT n, n10, n01,
+         CASE WHEN n10 + n01 = 0 THEN NULL
+              ELSE round(CAST((n10 - n01)::DOUBLE
+                / sqrt((n10 + n01)::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
+              END AS z,
+         CASE WHEN n10 + n01 = 0 THEN NULL
+              ELSE round(CAST(
+                greatest(abs(n10 - n01)::DOUBLE - 1.0, 0.0)
+                  * greatest(abs(n10 - n01)::DOUBLE - 1.0, 0.0)
+                  / (n10 + n01)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+              END AS chi2
+       FROM k"""
 
   /** P/R/F1 oracle: score/label replays, per-threshold conditional
     * sums unpivoted, integer-exact F1 — shared by the batch operator
@@ -6940,6 +7192,9 @@ object SparkEntry {
     // additive confusion counts: the monitor's folded state equals the
     // one-pass row — identical replay
     "stream_kappa" -> kappaOracleSql,
+    // McNemar replay: same confusion CTE, asymmetry readout
+    "curate_mcnemar" -> mcnemarOracleSql,
+    "stream_mcnemar" -> mcnemarOracleSql,
 
     // AUC replay: micro-sum and quality-label replays feed the same
     // per-score count table; cumulative window is fine at oracle scale,
@@ -8413,6 +8668,9 @@ object SparkEntry {
     // within/between terms, same fixed-order F; state additive per group
     "stats_anova" -> anovaOracleSql,
     "stream_anova" -> anovaOracleSql,
+    // Tukey replay: same group moments, pooled MSW, pairwise q
+    "stats_tukey" -> tukeyOracleSql,
+    "stream_tukey" -> tukeyOracleSql,
 
     // Mann–Whitney replay: same per-value counts and exact-integer U /
     // tie terms, same fixed-order z; the count state is additive
@@ -8432,6 +8690,8 @@ object SparkEntry {
     // Spearman replay: same joint counts, same exact doubled-rank moments,
     // same fixed-order formula; the joint count state is additive
     "stats_spearman" -> spearmanOracleSql,
+    "stats_kendall" -> kendallOracleSql,
+    "stream_kendall" -> kendallOracleSql,
     "stream_spearman" -> spearmanOracleSql,
 
     // Cramér's V replay: same joint counts, full contingency incl. absent
@@ -8551,6 +8811,8 @@ object SparkEntry {
     // fixed-order time-varying limits; daily counts are additive
     "events_ewma" -> ewmaOracleSql,
     "stream_ewma" -> ewmaOracleSql,
+    "events_mannkendall" -> mannKendallOracleSql,
+    "stream_mannkendall" -> mannKendallOracleSql,
 
     // Kaplan–Meier replay: same spans, same censor rule, same exact
     // at-risk cumulatives and ln-factor sums; spans merge by min/max

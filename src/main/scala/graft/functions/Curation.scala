@@ -173,6 +173,45 @@ object Curation {
           .cast(dec), 6).cast(DoubleType))
   }
 
+  /** McNemar's test on the same paired filters — the DIRECTION audit
+    * [[raterAgreement]] can't give: kappa says how much two filters
+    * agree, McNemar asks whether the disagreement is SYMMETRIC — of the
+    * documents the filters split on, does the new classifier
+    * systematically keep what the rule drops (a threshold shift, not
+    * noise)? z carries the sign (positive = filter A keeps more), the
+    * Edwards continuity-corrected χ² (clamped at 0 so b = c can't read a
+    * phantom effect) is the alarm statistic. The paired-sample test —
+    * a two-proportion z over these columns would wrongly treat the two
+    * verdicts on the SAME document as independent samples.
+    *
+    * Scale shape: the identical one-row additive confusion state as
+    * kappa ([[confusionCounts]] — the
+    * [[graft.streaming.Streaming.KappaMonitor]] state, whose
+    * `disagreement` readout IS this test); everything after the one
+    * scan+reduce is fixed-order arithmetic on two longs.
+    *
+    * Returns one row: (n, n10, n01, z, chi2); both NULL when the filters
+    * never disagree (no information about asymmetry in zero discordant
+    * pairs).
+    */
+  def mcnemar(df: DataFrame, flagA: Column, flagB: Column): DataFrame =
+    mcnemarOfCounts(confusionCounts(df, flagA, flagB))
+
+  /** [[mcnemar]]'s readout from a [[confusionCounts]] state row. */
+  def mcnemarOfCounts(counts: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val disc = col("n10") + col("n01")
+    val corr = greatest(abs(col("n10") - col("n01")).cast(DoubleType) - lit(1.0),
+      lit(0.0))
+    counts.select(col("n"), col("n10"), col("n01"),
+      when(disc === 0L, lit(null).cast(DoubleType))
+        .otherwise(round(((col("n10") - col("n01")).cast(DoubleType) /
+          sqrt(disc.cast(DoubleType))).cast(dec), 6).cast(DoubleType)).as("z"),
+      when(disc === 0L, lit(null).cast(DoubleType))
+        .otherwise(round((corr * corr / disc.cast(DoubleType)).cast(dec), 6)
+          .cast(DoubleType)).as("chi2"))
+  }
+
   /** Per-slice data card — the release-notes table every corpus ships with
     * (datasheets-for-datasets distilled to the slice grain): for each
     * `groupCols` combination (source × language, typically) the document

@@ -1186,6 +1186,69 @@ object Stats {
           .cast(dec8), 6).cast("double")).as("eta2"))
   }
 
+  /** Tukey HSD pairwise comparisons after [[anovaF]] — the "WHICH groups
+    * differ" readout the omnibus F deliberately doesn't give: one
+    * significant F over k sources says at least one mean moved, this
+    * table gives every pair's studentized-range statistic
+    * q = |x̄_i − x̄_j| / √(MSW/2 · (1/n_i + 1/n_j)) (the Tukey–Kramer
+    * unequal-n form), sharing ONE pooled error estimate across all pairs
+    * instead of k² separate t-tests' inflated false-alarm rate.
+    *
+    * Scale shape: the identical k-row additive moment table as [[anovaF]]
+    * (the [[graft.streaming.Streaming.AnovaMonitor]] state, whose
+    * `pairwise` readout IS this table); MSW is one aggregation OF that
+    * table, pairs come from the TRIANGULAR k×k join on it (groups², never
+    * rows²), and every mean/SE/q evaluates in fixed double order from the
+    * exact decimal sums.
+    *
+    * Returns one row per group pair (group_a < group_b lexicographically):
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, diff, q) at 6dp; q is
+    * NULL when the pooled within-variance degenerates (n ≤ k or zero
+    * within-group spread).
+    */
+  def tukeyHsd(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    tukeyOfGroupMoments(groupMoments(df, groupCol, valueCol))
+
+  /** [[tukeyHsd]]'s readout from an already-built per-group moment table —
+    * the stage the streaming monitor shares with the batch operator.
+    */
+  def tukeyOfGroupMoments(tab: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d(c: String) = col(c).cast("double")
+    // the k-row moment table feeds the MSW aggregation and both sides of
+    // the pair join — frozen, or the corpus groupBy (the only pass that
+    // touches the data) runs three times
+    val t = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      tab.select(col("__g").cast("string").as("__g"), col("__gn"),
+        col("__gs"), col("__gq")))
+    val terms = t.select(col("__gn"),
+      (d("__gq") - d("__gs") * d("__gs") / d("__gn")).cast(dec).as("__w"))
+    val agg = broadcast(terms.agg(count(lit(1)).as("__k"),
+      sum(col("__gn")).as("__N"), sum(col("__w")).as("__ssw")))
+    val a = t.select(col("__g").as("group_a"), col("__gn").as("__na"),
+      col("__gs").as("__sa"))
+    val b = t.select(col("__g").as("group_b"), col("__gn").as("__nb"),
+      col("__gs").as("__sb"))
+    // triangular group-pair join on the bounded k-row table
+    val pairs = a.join(broadcast(b), col("group_a") < col("group_b"))
+      .crossJoin(agg)
+    val msw = d("__ssw") / (col("__N") - col("__k")).cast("double")
+    val ma = d("__sa") / d("__na")
+    val mb = d("__sb") / d("__nb")
+    val se = sqrt(msw / lit(2.0) * (lit(1.0) / d("__na") + lit(1.0) / d("__nb")))
+    pairs.select(col("group_a"), col("group_b"),
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ma.cast(dec8), 6).cast("double").as("mean_a"),
+      round(mb.cast(dec8), 6).cast("double").as("mean_b"),
+      round((ma - mb).cast(dec8), 6).cast("double").as("diff"),
+      when(col("__N") <= col("__k") || d("__ssw") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((abs(ma - mb) / se).cast(dec8), 6).cast("double"))
+        .as("q"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Mann–Whitney U test between two numeric samples — the NONPARAMETRIC
     * twin of [[welchTTest]]: "does one arm stochastically dominate the
     * other", the two-sample test to reach for when the metric is skewed
@@ -1422,6 +1485,104 @@ object Stats {
       round(when(va <= 0.0 || vb <= 0.0, lit(0.0))
         .otherwise(num / (sqrt(va) * sqrt(vb)))
         .cast(dec8), 6).cast("double").as("rho"))
+  }
+
+  /** Kendall's tau-b rank correlation between two BOUNDED-domain numeric
+    * columns — the concordance view next to [[spearman]]: Spearman asks
+    * "how far apart do the ranks land", tau asks "what FRACTION of pairs
+    * agree on direction" (a probability, directly interpretable as
+    * P(agree) − P(disagree)), is even less outlier-movable, and its
+    * normal approximation (the Mann–Kendall z) is the standard trend /
+    * concordance significance test. The -b variant corrects BOTH tie
+    * margins, so heavily-tied corpus columns (quantities, bucketed
+    * scores, grades) don't deflate the statistic.
+    *
+    * Scale shape: the corpus collapses ONCE to the (x, y) joint count
+    * table — bounded by |X|·|Y| distinct pairs, never rows, and additive
+    * per pair (the SAME state as [[spearman]]'s, so
+    * [[graft.streaming.Streaming.SpearmanMonitor]] reads this out as its
+    * `kendall` view with no extra state); concordant/discordant mass is
+    * the TRIANGULAR cell-pair join on that bounded table (cells², like
+    * the EWMA day-pair join — never rows²), with every product of counts
+    * an exact DECIMAL(38,0) integer. The tie terms Σt(t−1), Σt(t−1)(2t+5),
+    * Σt(t−1)(t−2) are exact-integer aggregations of the marginal count
+    * tables; tau's denominator stays exact under the one sqrt, and the
+    * z variance evaluates in fixed double order from those exact
+    * integers (scipy's tau-b variance with full tie correction) — the
+    * readout is engine-reproducible.
+    *
+    * Returns one row (n, conc, disc, tau, z) at 6dp; tau reads 0 when
+    * either margin is entirely tied (zero rank variance, [[spearman]]'s
+    * convention), z is NULL when the variance term degenerates (n < 3 or
+    * all-tied margins).
+    */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    kendallOfCounts(df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__c")))
+
+  /** [[kendallTau]]'s readout from an already-built (__x, __y, __c) joint
+    * count table — the stage the streaming monitor shares with the batch
+    * operator (and with [[spearmanOfCounts]], whose state is identical).
+    */
+  def kendallOfCounts(joint: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded cell table feeds both sides of the pair join, both
+    // marginal tie tables and the total — frozen, or the corpus count
+    // aggregation (the only pass that touches the data) runs five times
+    val j = org.apache.spark.sql.graftbridge.Bridge.freeze(joint)
+    val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").cast(big).as("__ca"))
+    val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").cast(big).as("__cb"))
+    // triangular cell-pair join: strictly-increasing x, direction read
+    // off y; bounded-table broadcast nested loop, never a row-level join
+    val cd = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .agg(
+        coalesce(sum(when(col("__ya") < col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
+          lit(0).cast(big)).as("__conc"),
+        coalesce(sum(when(col("__ya") > col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
+          lit(0).cast(big)).as("__disc"))
+    // per-margin tie terms, all exact integers of the marginal counts
+    def tieTerms(keyCol: String, tag: String): DataFrame = {
+      val t = col("__t").cast(big)
+      j.groupBy(col(keyCol)).agg(sum(col("__c")).as("__t"))
+        .agg(
+          sum(t * (t - lit(1))).as(s"__tt_$tag"),
+          sum(t * (t - lit(1)) * (lit(2) * t + lit(5))).as(s"__tv_$tag"),
+          sum(t * (t - lit(1)) * (t - lit(2))).as(s"__t3_$tag"))
+    }
+    val tot = j.agg(sum(col("__c")).as("n"))
+    val m = cd.crossJoin(broadcast(tieTerms("__x", "x")))
+      .crossJoin(broadcast(tieTerms("__y", "y")))
+      .crossJoin(broadcast(tot))
+    val n = col("n").cast(big)
+    // doubled pair counts keep everything integral: 2·n0 = n(n−1)
+    val twoN0 = n * (n - lit(1))
+    val denom2 = (twoN0 - col("__tt_x")) * (twoN0 - col("__tt_y"))
+    val s = (col("__conc") - col("__disc")).cast("double")
+    val nd = col("n").cast("double")
+    // scipy tau-b variance with full tie correction, fixed double order
+    // from exact-integer aggregates (the v1/v2 products overflow 38
+    // digits at corpus n, so they evaluate as IEEE products of exact ints)
+    val v0 = (n * (n - lit(1)) * (lit(2) * n + lit(5))).cast("double")
+    val v1 = (col("__tt_x").cast("double") * col("__tt_y").cast("double")) /
+      (lit(2.0) * nd * (nd - lit(1.0)))
+    val v2 = (col("__t3_x").cast("double") * col("__t3_y").cast("double")) /
+      (lit(9.0) * nd * (nd - lit(1.0)) * (nd - lit(2.0)))
+    val varS = (v0 - col("__tv_x").cast("double") - col("__tv_y").cast("double")) /
+      lit(18.0) + v1 + v2
+    m.select(col("n"),
+      col("__conc").cast("long").as("conc"),
+      col("__disc").cast("long").as("disc"),
+      round(when(col("n") < 2L || denom2 <= lit(0).cast(big), lit(0.0))
+        .otherwise(lit(2.0) * s / sqrt(denom2.cast("double")))
+        .cast(dec8), 6).cast("double").as("tau"),
+      when(col("n") < 3L || varS <= 0.0, lit(null).cast("double"))
+        .otherwise(round((s / sqrt(varS)).cast(dec8), 6).cast("double"))
+        .as("z"))
   }
 
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the

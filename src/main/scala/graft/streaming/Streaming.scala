@@ -388,6 +388,16 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         slack, threshold)
 
+    /** fifth readout off the accreted count state: the Mann–Kendall
+      * monotonic-trend verdict + Theil–Sen slope
+      * ([[graft.functions.Events.mkOfDaily]]) — the distribution-free
+      * "is volume trending at all" next to the level-shift alarms;
+      * additivity makes it batch-exact once a day's events land
+      */
+    def trend: DataFrame =
+      graft.functions.Events.mkOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 
@@ -811,6 +821,14 @@ object Streaming {
     def readout: DataFrame = graft.functions.Stats.anovaOfGroupMoments(
       moments.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** second readout off the SAME group-moment state: the Tukey HSD
+      * pairwise table ([[graft.functions.Stats.tukeyOfGroupMoments]]) —
+      * equals the batch [[graft.functions.Stats.tukeyHsd]] over
+      * everything seen
+      */
+    def pairwise: DataFrame = graft.functions.Stats.tukeyOfGroupMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
 
@@ -919,6 +937,13 @@ object Streaming {
 
     /** current (n, rho) — equals the batch spearman */
     def readout: DataFrame = graft.functions.Stats.spearmanOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** current (n, conc, disc, tau, z) — the concordance view of the SAME
+      * joint-count state; equals the batch
+      * [[graft.functions.Stats.kendallTau]] over everything seen
+      */
+    def kendall: DataFrame = graft.functions.Stats.kendallOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the count state for crash-restart (call after update) */
@@ -1223,6 +1248,14 @@ object Streaming {
 
     /** current (n, …, po, pe, kappa) row — equals the batch one */
     def readout: DataFrame = graft.functions.Curation.kappaOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** second readout off the SAME confusion state: McNemar's
+      * disagreement-asymmetry test
+      * ([[graft.functions.Curation.mcnemarOfCounts]]) — equals the batch
+      * [[graft.functions.Curation.mcnemar]] over everything seen
+      */
+    def disagreement: DataFrame = graft.functions.Curation.mcnemarOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the confusion state for crash-restart (call after update) */

@@ -574,6 +574,10 @@ object ScaleBench {
       ("stats_anova", maxEvent, maxEvent * copies,
         () => force(Stats.anovaF(ev1, col("event_type"), col("value"))),
         () => force(Stats.anovaF(ev10, col("event_type"), col("value")))),
+      // group moment reduce + bounded triangular k x k pair join
+      ("stats_tukey", maxEvent, maxEvent * copies,
+        () => force(Stats.tukeyHsd(ev1, col("event_type"), col("value"))),
+        () => force(Stats.tukeyHsd(ev10, col("event_type"), col("value")))),
       // per-value count reduce + deterministic-bucket prefix scan; salted
       // copies grow the distinct-value table 10x alongside the rows
       ("stats_mwu", maxEvent, maxEvent * copies,
@@ -593,6 +597,10 @@ object ScaleBench {
       ("stats_spearman", maxEvent, maxEvent * copies,
         () => force(Stats.spearman(ev1, col("user_id") % 1000, col("value"))),
         () => force(Stats.spearman(ev10, col("user_id") % 1000, col("value")))),
+      // joint count reduce + bounded triangular cell-pair join
+      ("stats_kendall", maxEvent, maxEvent * copies,
+        () => force(Stats.kendallTau(ev1, col("user_id") % 97, dayofweek(col("ts")))),
+        () => force(Stats.kendallTau(ev10, col("user_id") % 97, dayofweek(col("ts"))))),
       // two 1-row exact count reduces + fixed-order z
       ("stats_twoprop", maxEvent, maxEvent * copies,
         () => force(Stats.twoProportionZ(
@@ -605,6 +613,30 @@ object ScaleBench {
       ("events_ewma", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.ewmaDaily(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.ewmaDaily(ev10, "event_type", "ts"))),
+      // daily count reduce + bounded triangular day-pair join
+      ("events_mannkendall", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.mannKendall(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.mannKendall(ev10, "event_type", "ts"))),
+      // per-user span reduce + bounded lifetime table + two prefix scans
+      ("events_survival", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.kaplanMeier(ev1, "user_id", "ts")),
+        () => force(graft.functions.Events.kaplanMeier(ev10, "user_id", "ts"))),
+      // two span reduces + ONE shared prefix scan over the pooled exits
+      ("events_logrank", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.logRank(
+          ev1.filter(col("user_id") % 2 === 0), ev1.filter(col("user_id") % 2 === 1),
+          "user_id", "ts")),
+        () => force(graft.functions.Events.logRank(
+          ev10.filter(col("user_id") % 2 === 0), ev10.filter(col("user_id") % 2 === 1),
+          "user_id", "ts"))),
+      // joint count reduce + bounded r x c contingency cross join
+      ("stats_cramers", maxEvent, maxEvent * copies,
+        () => force(Stats.cramersV(
+          ev1.select(col("event_type"), dayofweek(col("ts")).as("dow")),
+          "event_type", "dow")),
+        () => force(Stats.cramersV(
+          ev10.select(col("event_type"), dayofweek(col("ts")).as("dow")),
+          "event_type", "dow"))),
       // ONE shared vocab-bounded token count table + staged term sum
       ("curate_jsd", nDocs, nDocs * copies,
         () => force(graft.functions.Curation.jsDivergence(

@@ -381,4 +381,27 @@ class CurationSpec extends SparkSpec {
       col("id") % 2 === 0)
     assert(withNull.getAs[Long]("n") == 50L)
   }
+
+  test("mcnemar: signed asymmetry z, clamped Edwards chi2, NULL on zero disagreement") {
+    import spark.implicits._
+    val ids = (0 until 100).toDF("id")
+    def mcOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Curation.mcnemar(ids, a, b).collect()(0)
+    // A = multiples of 4 (subset of evens), B = evens: n10=0, n01=25
+    // -> z = -25/5 = -5, chi2 = (25-1)^2/25 = 23.04
+    val strict = mcOf(col("id") % 4 === 0, col("id") % 2 === 0)
+    assert(strict.getAs[Long]("n10") == 0L && strict.getAs[Long]("n01") == 25L)
+    assert(strict.getAs[Double]("z") == -5.0 &&
+      strict.getAs[Double]("chi2") == 23.04)
+    // symmetric total disagreement: z 0, chi2 clamps to 0 (not 1/(b+c))
+    val sym = mcOf(col("id") % 2 === 0, col("id") % 2 === 1)
+    assert(sym.getAs[Double]("z") == 0.0 && sym.getAs[Double]("chi2") == 0.0)
+    // |b-c| = 1: continuity correction clamps chi2 to 0, z keeps the sign
+    val one = mcOf(col("id") < 26, col("id") < 25)
+    assert(one.getAs[Double]("z") == 1.0 && one.getAs[Double]("chi2") == 0.0)
+    // perfect agreement: no discordant pairs -> NULL, not 0/0
+    val agree = mcOf(col("id") % 2 === 0, col("id") % 2 === 0)
+    assert(agree.isNullAt(agree.fieldIndex("z")) &&
+      agree.isNullAt(agree.fieldIndex("chi2")))
+  }
 }

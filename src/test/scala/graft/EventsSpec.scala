@@ -111,6 +111,27 @@ class EventsSpec extends SparkSpec {
     assert(widths.sliding(2).forall(w => w(1) > w(0)))
   }
 
+  test("mannKendall: hand-computed S/z/Theil-Sen per type, tie-degenerate z is NULL") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def series(tpe: String, vals: Seq[Int]) = vals.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (tpe, ts(d + 1, i)))
+    }
+    // a: 3,5,4,6,6 -> S=7, one value tie (tv=18), var=282/18,
+    //    z=(7-1)/sqrt(var)=1.515873; slopes median 0.625
+    // b: 1,2,3,4 strictly up -> S=6, z=5/sqrt(156/18)=1.698416, slope 1
+    // c: 5,5,5 all tied -> S=0, var=0 -> z NULL, slope 0
+    val ev = (series("a", Seq(3, 5, 4, 6, 6)) ++ series("b", Seq(1, 2, 3, 4))
+      ++ series("c", Seq(5, 5, 5))).toDF("event_type", "ts")
+    val out = Events.mannKendall(ev, "event_type", "ts").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 5L, 7L), ("b", 4L, 6L), ("c", 3L, 0L)), s"got ${out.mkString("; ")}")
+    assert(out(0).getDouble(3) == 1.515873 && out(0).getDouble(4) == 0.625)
+    assert(out(1).getDouble(3) == 1.698416 && out(1).getDouble(4) == 1.0)
+    assert(out(2).isNullAt(3) && out(2).getDouble(4) == 0.0)
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -399,6 +399,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("tukeyHsd: hand-computed pairwise q off one pooled MSW, degenerate MSW reads null") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a:(1,2,3) b:(2,4) c:(5,5,6) -> SSW 14/3, MSW 14/15; Tukey-Kramer q
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+      ("c", 5.0), ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val out = Stats.tukeyHsd(df, col("g"), col("v")).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+      r.getDouble(7))).toSeq == Seq(
+      ("a", "b", 3L, 2L, 2.0, 3.0, -1.0, 1.603567),
+      ("a", "c", 3L, 3L, 2.0, 5.333333, -3.333333, 5.976143),
+      ("b", "c", 2L, 3L, 3.0, 5.333333, -2.333333, 3.741657)),
+      s"got ${out.mkString("; ")}")
+    // zero within-variance: q NULL (means still reported)
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val rc = Stats.tukeyHsd(const, col("g"), col("v")).head()
+    assert(rc.getDouble(6) == -1.0 && rc.isNullAt(7))
+  }
+
   test("mannWhitney: hand-computed U and tie-corrected z, all-tied sample reads null z") {
     import spark.implicits._
     import graft.functions.Stats
@@ -474,6 +494,29 @@ class RetrievalStatsSpec extends SparkSpec {
     // constant y: zero rank variance -> 0
     val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
     assert(Stats.spearman(const, col("x"), col("y")).head().getDouble(1) == 0.0)
+  }
+
+  test("kendallTau: hand-computed tau-b and z with and without ties, monotone 1, constant-margin 0/NULL") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // x=(1,2,3,4) y=(2,1,4,3): C=4 D=2, no ties -> tau 4/12, z S/sqrt(156/18)
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)).toDF("x", "y")
+    val r = Stats.kendallTau(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.333333 && r.getDouble(4) == 0.679366,
+      s"tau ${r.getDouble(3)} z ${r.getDouble(4)}")
+    // tied x margin: C=5 D=0, tau-b 10/sqrt(10*12), z 5/sqrt((156-18)/18)
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val rt = Stats.kendallTau(tied, col("x"), col("y")).head()
+    assert(rt.getDouble(3) == 0.912871 && rt.getDouble(4) == 1.805788,
+      s"tau ${rt.getDouble(3)} z ${rt.getDouble(4)}")
+    // any monotone map: exactly 1 (pair directions are all that matter)
+    val mono = Seq((1.0, 10.0), (2.0, 1000.0), (3.0, 1000000.0)).toDF("x", "y")
+    assert(Stats.kendallTau(mono, col("x"), col("y")).head().getDouble(3) == 1.0)
+    // constant y: all pairs tied on one margin -> tau 0, z NULL
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val rc = Stats.kendallTau(const, col("x"), col("y")).head()
+    assert(rc.getDouble(3) == 0.0 && rc.isNullAt(4))
   }
 
   test("cramersV: hand-computed value incl. an absent cell, perfect association 1, independence 0") {

@@ -687,6 +687,11 @@ class StreamingSpec extends SparkSpec {
           r.getBoolean(6))).toMap
     assert(ewMap(vm3.ewma()) ==
       ewMap(graft.functions.Events.ewmaDaily(ev, "event_type", "ts")))
+    // fifth readout off the same state: the Mann-Kendall trend verdict
+    def mkRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(mkRows(vm3.trend) ==
+      mkRows(graft.functions.Events.mannKendall(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {
@@ -818,6 +823,10 @@ class StreamingSpec extends SparkSpec {
     am3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => am3.update(ev.filter(col("event_id") % 5 === b)))
     assert(row(am3.readout) == batch)
+    // second readout off the same restored state: the Tukey HSD table
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(am3.pairwise) ==
+      rows(graft.functions.Stats.tukeyHsd(ev, g, v)))
   }
 
   test("kruskal monitor: pair-additive count table reads out the batch kruskalWallis, survives restart") {
@@ -863,9 +872,12 @@ class StreamingSpec extends SparkSpec {
     val (x, y) = (col("user_id") % 97, col("value"))
     def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     val batch = row(graft.functions.Stats.spearman(ev, x, y))
+    val batchTau = row(graft.functions.Stats.kendallTau(ev, x, y))
     val sm = new Streaming.SpearmanMonitor(x, y)
     (0 until 5).foreach(b => sm.update(ev.filter(col("event_id") % 5 === b)))
     assert(row(sm.readout) == batch)
+    // the SAME accreted joint-count state reads out the batch Kendall tau
+    assert(row(sm.kendall) == batchTau)
     val ckpt = java.nio.file.Files.createTempDirectory("spear_state").toString
     val sm2 = new Streaming.SpearmanMonitor(x, y)
     (0 until 2).foreach(b => sm2.update(ev.filter(col("event_id") % 5 === b)))
@@ -1031,6 +1043,8 @@ class StreamingSpec extends SparkSpec {
     km3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => km3.update(docs.filter(col("doc_id") % 5 === b)))
     assert(row(km3.readout) == batch)
+    // second readout off the same restored state: McNemar asymmetry
+    assert(row(km3.disagreement) == row(Curation.mcnemar(docs, fa, fb)))
   }
 
   test("mixture monitor: folded masses read out the batch τ-sampling rates, survive restart") {

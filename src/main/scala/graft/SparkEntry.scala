@@ -609,6 +609,23 @@ object SparkEntry {
       vm.trend
     }),
 
+    // daily-volume autocorrelation at lags 1..7: the seasonality /
+    // momentum fingerprint — lag pairs via broadcast range x bounded day
+    // table, decimal-staged cross products, exact-moment denominator
+    "events_acf" -> ((s, dir) => {
+      graft.functions.Events.acfDaily(events(s, dir), "event_type", "ts",
+        maxLag = 7)
+    }),
+
+    // streaming ACF (batch replay of 5 batches): sixth readout off the
+    // same additive daily-count state — equals the batch ACF; same oracle
+    "stream_acf" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.autocorrelation(maxLag = 7)
+    }),
+
     // streaming key concentration (batch replay of 5 micro-batches):
     // per-key counts are additive, so BOTH readouts off the one accreted
     // count state equal their batch twins — whale-factor top-k and exact
@@ -3241,6 +3258,27 @@ object SparkEntry {
       km.readout
     }),
 
+    // Brown-Forsythe equal-spread test: do the event types have the same
+    // VARIABILITY of value (the check stats_anova's pooled variance
+    // quietly assumes) — per-group medians as conditional-min order stats
+    // off the bounded (value,type) count table, |x-med| moments
+    // decimal-staged, then the exact anova F stage over the deviations
+    "stats_levene" -> ((s, dir) => {
+      graft.functions.Stats.leveneTest(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Brown-Forsythe (batch replay of 5 batches): second
+    // readout off the same pair-additive count state as stream_kruskal —
+    // equals the batch test; same oracle
+    "stream_levene" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KruskalMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.spread
+    }),
+
     // two-proportion z: did the PURCHASE SHARE of traffic move between the
     // month's halves — each arm collapses to its exact (n, successes) pair
     // in ONE reduce, pooled-SE z in fixed double order; zero data shuffle
@@ -3810,6 +3848,58 @@ object SparkEntry {
                 ELSE round(CAST(h / corr AS DECIMAL(18,8)), 6)::DOUBLE END AS h
          FROM m"""
 
+  /** Brown–Forsythe replay (same (value,group) counts as kruskal,
+    * per-group conditional-min order-stat medians off a partitioned
+    * cumulative, decimal-staged |x−med| moments, then the exact anova F
+    * stage) — shared by `stats_levene` and `stream_levene` (the count
+    * state is the additive KruskalMonitor state).
+    */
+  private val leveneOracleSql =
+    """WITH c AS (
+           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT g, v, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm
+           FROM c),
+         ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         med AS (
+           SELECT cum.g,
+             (min(CASE WHEN cm >= (n + 1) // 2 THEN v END)::DOUBLE
+              + min(CASE WHEN cm >= n // 2 + 1 THEN v END)::DOUBLE) / 2.0
+               AS med
+           FROM cum JOIN ng ON cum.g = ng.g GROUP BY cum.g),
+         z AS (
+           SELECT c.g, c.c, abs(c.v::DOUBLE - med.med) AS z
+           FROM c JOIN med ON c.g = med.g),
+         gm AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS gn,
+             sum(CAST(c::DOUBLE * z AS DECIMAL(28,10))) AS gs,
+             sum(CAST(c::DOUBLE * z * z AS DECIMAL(28,10))) AS gq
+           FROM z GROUP BY 1),
+         t AS (
+           SELECT gn, gs,
+             CAST(gq::DOUBLE - gs::DOUBLE * gs::DOUBLE / gn::DOUBLE
+               AS DECIMAL(28,10)) AS w,
+             CAST(gs::DOUBLE * gs::DOUBLE / gn::DOUBLE AS DECIMAL(28,10)) AS b
+           FROM gm),
+         a AS (
+           SELECT count(*) AS k, CAST(sum(gn) AS BIGINT) AS nn, sum(gs) AS ss,
+             sum(w) AS ssw, sum(b) AS bp
+           FROM t),
+         m AS (
+           SELECT k, nn, ssw::DOUBLE AS ssw,
+             bp::DOUBLE - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb
+           FROM a)
+         SELECT k, nn AS n, k - 1 AS df1, nn - k AS df2,
+           CASE WHEN k <= 1 OR nn <= k OR ssw <= 0.0 THEN NULL
+                ELSE round(CAST(ssb / (k - 1)::DOUBLE / (ssw / (nn - k)::DOUBLE)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS f,
+           CASE WHEN ssb + ssw <= 0.0 THEN NULL
+                ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
+                END AS eta2
+         FROM m"""
+
   /** two-proportion replay (exact per-arm counts, fixed-order pooled-SE
     * z) — shared by `stats_twoprop` and `stream_twoprop` (counts are
     * additive).
@@ -4225,6 +4315,44 @@ object SparkEntry {
                   / sqrt(var_s) AS DECIMAL(18,8)), 6)::DOUBLE END AS z,
          round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE AS slope
        FROM f ORDER BY event_type"""
+
+  /** daily-volume ACF replay (daily counts, positional index, broadcast
+    * lag range join, decimal-staged cross products, exact-moment
+    * denominator) — shared by `events_acf` and `stream_acf` (daily
+    * counts are additive).
+    */
+  private val acfOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
+           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+         FROM d GROUP BY 1),
+       idx AS (
+         SELECT event_type, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+       p AS (
+         SELECT a.event_type, l.lag AS lag,
+           CAST((a.n::DOUBLE - st.s::DOUBLE / st.dd)
+             * (b.n::DOUBLE - st.s::DOUBLE / st.dd) AS DECIMAL(28,10)) AS num,
+           st.s2::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.dd AS den
+         FROM idx a CROSS JOIN lags l
+           JOIN idx b ON a.event_type = b.event_type AND b.t = a.t - l.lag
+           JOIN st ON a.event_type = st.event_type),
+       agg AS (
+         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(num) AS nm, min(den) AS dn
+         FROM p GROUP BY 1, 2)
+       SELECT event_type, lag, n_pairs,
+         CASE WHEN dn <= 0.0 THEN NULL
+              ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
+              END AS r
+       FROM agg ORDER BY event_type, lag"""
 
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
@@ -8681,6 +8809,9 @@ object SparkEntry {
     // sums / tie term, same fixed-order H; state additive per pair
     "stats_kruskal" -> kruskalOracleSql,
     "stream_kruskal" -> kruskalOracleSql,
+    // Brown-Forsythe replay: same count state, deviation-moment F
+    "stats_levene" -> leveneOracleSql,
+    "stream_levene" -> leveneOracleSql,
 
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive
@@ -8813,6 +8944,8 @@ object SparkEntry {
     "stream_ewma" -> ewmaOracleSql,
     "events_mannkendall" -> mannKendallOracleSql,
     "stream_mannkendall" -> mannKendallOracleSql,
+    "events_acf" -> acfOracleSql,
+    "stream_acf" -> acfOracleSql,
 
     // Kaplan–Meier replay: same spans, same censor rule, same exact
     // at-risk cumulatives and ln-factor sums; spans merge by min/max

@@ -653,6 +653,87 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Autocorrelation function of daily volumes at lags 1..maxLag — the
+    * SEASONALITY fingerprint the trend/level alarms skim past: a strong
+    * r at lag 7 says weekly cycle (so [[seasonalForecast]]'s period is
+    * right), a slowly-decaying ACF says momentum/level-shifts (CUSUM
+    * territory), an immediate drop to noise says the volume is
+    * memoryless and yesterday predicts nothing. The standard Box–Jenkins
+    * readout, r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² over the
+    * positional day index.
+    *
+    * Scale shape: the corpus collapses ONCE to the (event_type, day, n)
+    * count table — the SAME additive state as
+    * [[dailyAnomalies]]/[[mkOfDaily]] (the
+    * [[graft.streaming.Streaming.VolumeMonitor]] state, whose
+    * `autocorrelation` readout IS this table); lag pairs come from a
+    * broadcast 1..maxLag range crossed with the bounded day table and an
+    * equi-join back on (type, t−k) — days·maxLag rows, never event rows;
+    * cross-products are decimal-staged before the per-(type,lag) sum and
+    * the denominator comes from exact volume moments, so r is
+    * engine-reproducible.
+    *
+    * Returns one row per (event_type, lag) with at least one pair:
+    * (event_type, lag, n_pairs, r) at 6dp; r is NULL when the series has
+    * zero variance (a constant-volume type has no autocorrelation).
+    */
+  def acfDaily(df: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts", maxLag: Int = 7): DataFrame =
+    acfOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")), maxLag)
+
+  /** [[acfDaily]]'s readout over an already-built (event_type, day, n)
+    * count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical ACF
+    * off its accreted count state.
+    */
+  def acfOfDaily(dailyCounts: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded day table feeds the moment pass, the index and the
+    // lagged side — frozen, or the corpus count aggregation runs thrice
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val stats = broadcast(daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__dd"), sum(col("n")).as("__s"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__s2")))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("n"),
+      row_number().over(wIdx).cast("long").as("__t"))
+    val lags = broadcast(daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag")))
+    val lagged = idx.select(col("event_type"), col("__t").as("__tl"),
+      col("n").as("__nl"))
+    val m = col("__s").cast("double") / col("__dd").cast("double")
+    val den = col("__s2").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+        col("__dd").cast("double")
+    val left = idx.crossJoin(lags)
+      .withColumn("__tprev", col("__t") - col("lag"))
+    val pairs = left
+      .join(lagged,
+        left("event_type") === lagged("event_type") &&
+          left("__tprev") === lagged("__tl"))
+      .drop(lagged("event_type"))
+      .join(stats, Seq("event_type"))
+      .select(col("event_type"), col("lag"),
+        ((col("n").cast("double") - m) * (col("__nl").cast("double") - m))
+          .cast(decT).as("__num"),
+        den.as("__den"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__num")).as("__nm"),
+        min(col("__den")).as("__dn"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("__dn") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__nm").cast("double") / col("__dn"))
+            .cast(dec8), 6).cast("double")).as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -1374,6 +1374,67 @@ object Stats {
           .otherwise(round((h / corr).cast(dec8), 6).cast("double")).as("h"))
   }
 
+  /** Brown–Forsythe test of equal SPREAD across k groups (Levene's test
+    * with median centers — the robust standard form): [[anovaF]] and
+    * [[kruskalWallis]] ask whether the cohorts' LEVELS differ; this asks
+    * whether their VARIABILITY does — a source whose quality scores
+    * wander twice as wide as its siblings', a variant whose latency mean
+    * held but whose tail fattened. Also the admission check for the
+    * pooled-variance assumption classic ANOVA quietly makes. Median
+    * centering (not mean) keeps one outlier from inflating its own
+    * group's deviations.
+    *
+    * Scale shape: the corpus collapses ONCE to the (value, group) count
+    * table — the SAME pair-additive state as [[kruskalWallis]] (the
+    * [[graft.streaming.Streaming.KruskalMonitor]] state, whose `spread`
+    * readout IS this test); per-group medians come from a PARTITIONED
+    * cumulative over that bounded table (order stats as conditional mins
+    * against the two middle positions, midpoint-interpolated like
+    * scipy); |x − med| moments are per-cell products decimal-staged
+    * before the group sum, and the F stage is byte-for-byte
+    * [[anovaOfGroupMoments]] on those deviation moments.
+    *
+    * Returns one row (k, n, df1, df2, f, eta2) — [[anovaF]]'s shape over
+    * the absolute deviations; same NULL conventions.
+    */
+  def leveneTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    bfOfCounts(groupValueCounts(df, groupCol, valueCol))
+
+  /** [[leveneTest]]'s readout from an already-built (__v, __g, __c)
+    * count table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def bfOfCounts(counts: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    // the bounded count table feeds the median derivation AND the moment
+    // pass — frozen, or the corpus groupBy (the only pass that touches
+    // the data) runs twice
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val cum = c.withColumn("__cum", sum(col("__c")).over(w))
+    val ng = c.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    // the two middle order statistics (1-indexed (n+1) div 2 and
+    // n div 2 + 1), each the smallest value whose inclusive cumulative
+    // reaches the position; midpoint-interpolated median
+    val p1 = ((col("__ng") + lit(1L)) / lit(2L)).cast("long")
+    val p2 = (col("__ng") / lit(2L)).cast("long") + lit(1L)
+    val med = cum.join(broadcast(ng), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(((min(when(col("__cum") >= p1, col("__v"))).cast("double")
+        + min(when(col("__cum") >= p2, col("__v"))).cast("double")) / lit(2.0))
+        .as("__med"))
+    val zc = c.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), col("__c"),
+        abs(col("__v").cast("double") - col("__med")).as("__z"))
+    val gm = zc.groupBy(col("__g")).agg(
+      sum(col("__c")).as("__gn"),
+      sum((col("__c").cast("double") * col("__z")).cast(dec)).as("__gs"),
+      sum((col("__c").cast("double") * col("__z") * col("__z")).cast(dec))
+        .as("__gq"))
+    anovaOfGroupMoments(gm)
+  }
+
   /** Two-proportion z-test between two samples of a boolean outcome —
     * "did the RATE move": conversion, keep-rate, refusal-rate, defect-rate
     * comparisons between cohorts or time windows; the binary-outcome

@@ -398,6 +398,17 @@ object Streaming {
       graft.functions.Events.mkOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** sixth readout off the accreted count state: the autocorrelation
+      * function at lags 1..maxLag
+      * ([[graft.functions.Events.acfOfDaily]]) — the seasonality /
+      * momentum fingerprint next to the alarms; batch-exact by the same
+      * additivity
+      */
+    def autocorrelation(maxLag: Int = 7): DataFrame =
+      graft.functions.Events.acfOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        maxLag)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 
@@ -863,6 +874,14 @@ object Streaming {
 
     /** current (k, n, h) — equals the batch kruskalWallis */
     def readout: DataFrame = graft.functions.Stats.kwOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** second readout off the SAME (value, group) count state: the
+      * Brown–Forsythe equal-spread test
+      * ([[graft.functions.Stats.bfOfCounts]]) — equals the batch
+      * [[graft.functions.Stats.leveneTest]] over everything seen
+      */
+    def spread: DataFrame = graft.functions.Stats.bfOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the count state for crash-restart (call after update) */

@@ -578,6 +578,11 @@ object ScaleBench {
       ("stats_tukey", maxEvent, maxEvent * copies,
         () => force(Stats.tukeyHsd(ev1, col("event_type"), col("value"))),
         () => force(Stats.tukeyHsd(ev10, col("event_type"), col("value")))),
+      // (value,group) count reduce + bounded partitioned cumulative +
+      // deviation-moment F
+      ("stats_levene", maxEvent, maxEvent * copies,
+        () => force(Stats.leveneTest(ev1, col("event_type"), col("value"))),
+        () => force(Stats.leveneTest(ev10, col("event_type"), col("value")))),
       // per-value count reduce + deterministic-bucket prefix scan; salted
       // copies grow the distinct-value table 10x alongside the rows
       ("stats_mwu", maxEvent, maxEvent * copies,
@@ -617,6 +622,10 @@ object ScaleBench {
       ("events_mannkendall", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.mannKendall(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.mannKendall(ev10, "event_type", "ts"))),
+      // daily count reduce + broadcast lag range x bounded day table
+      ("events_acf", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.acfDaily(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.acfDaily(ev10, "event_type", "ts"))),
       // per-user span reduce + bounded lifetime table + two prefix scans
       ("events_survival", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.kaplanMeier(ev1, "user_id", "ts")),

@@ -132,6 +132,31 @@ class EventsSpec extends SparkSpec {
     assert(out(2).isNullAt(3) && out(2).getDouble(4) == 0.0)
   }
 
+  test("acfDaily: hand-computed lag correlations per type, zero-variance series reads NULL") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def series(tpe: String, vals: Seq[Int]) = vals.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (tpe, ts(d + 1, i)))
+    }
+    // a: 1,2,3,4 -> r1 1.25/5, r2 -1.5/5, r3 -2.25/5
+    // b: 1,3,1,3 alternating -> r1 -0.75, r2 0.5, r3 -0.25
+    // c: 5,5,5 constant -> zero variance, r NULL at every lag
+    val ev = (series("a", Seq(1, 2, 3, 4)) ++ series("b", Seq(1, 3, 1, 3))
+      ++ series("c", Seq(5, 5, 5))).toDF("event_type", "ts")
+    val out = Events.acfDaily(ev, "event_type", "ts", maxLag = 3).collect()
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(byKey(("a", 1L)) == ((3L, 0.25)) && byKey(("a", 2L)) == ((2L, -0.3))
+      && byKey(("a", 3L)) == ((1L, -0.45)), s"got ${out.mkString("; ")}")
+    assert(byKey(("b", 1L)) == ((3L, -0.75)) && byKey(("b", 2L)) == ((2L, 0.5))
+      && byKey(("b", 3L)) == ((1L, -0.25)))
+    assert(byKey(("c", 1L))._2 == null && byKey(("c", 2L))._2 == null)
+    // c has 3 days -> lag 3 has zero pairs -> the row is absent entirely
+    assert(!byKey.contains(("c", 3L)))
+    assert(out.length == 8, s"expected 8 (3+3+2) rows, got ${out.length}")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -399,6 +399,29 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("leveneTest: hand-computed Brown-Forsythe F off median deviations, outlier-driven spread detected") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a:(1,2,3,10) med 2.5 -> |z|=(1.5,.5,.5,7.5); b:(2,2,4) med 2 ->
+    // (0,0,2); anova on z: SSW 110/3, SSB 121/21 -> F 11/14, eta2 11/81
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 2.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.leveneTest(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 7L &&
+      r.getLong(2) == 1L && r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 0.785714 && r.getDouble(5) == 0.135802,
+      s"f ${r.getDouble(4)} eta2 ${r.getDouble(5)}")
+    // identical spreads around different centers: deviation profiles
+    // match -> F exactly 0 (the LEVEL difference is invisible here)
+    val same = Seq(("a", 1.0), ("a", 3.0), ("a", 5.0),
+      ("b", 101.0), ("b", 103.0), ("b", 105.0)).toDF("g", "v")
+    assert(Stats.leveneTest(same, col("g"), col("v")).head().getDouble(4) == 0.0)
+    // constant groups: zero deviation everywhere -> NULL, not infinity
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Stats.leveneTest(const, col("g"), col("v")).head().isNullAt(4))
+  }
+
   test("tukeyHsd: hand-computed pairwise q off one pooled MSW, degenerate MSW reads null") {
     import spark.implicits._
     import graft.functions.Stats

@@ -692,6 +692,9 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(_.toSeq).toSeq
     assert(mkRows(vm3.trend) ==
       mkRows(graft.functions.Events.mannKendall(ev, "event_type", "ts")))
+    // sixth readout off the same state: the ACF table
+    assert(mkRows(vm3.autocorrelation()) ==
+      mkRows(graft.functions.Events.acfDaily(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {
@@ -837,6 +840,8 @@ class StreamingSpec extends SparkSpec {
     val km = new Streaming.KruskalMonitor(g, v)
     (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
     assert(row(km.readout) == batch)
+    // second readout off the same count state: Brown-Forsythe spread
+    assert(row(km.spread) == row(graft.functions.Stats.leveneTest(ev, g, v)))
     val ckpt = java.nio.file.Files.createTempDirectory("kw_state").toString
     val km2 = new Streaming.KruskalMonitor(g, v)
     (0 until 2).foreach(b => km2.update(ev.filter(col("event_id") % 5 === b)))

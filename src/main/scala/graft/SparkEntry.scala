@@ -626,6 +626,23 @@ object SparkEntry {
       vm.autocorrelation(maxLag = 7)
     }),
 
+    // Pettitt changepoint: WHICH day the volume regime shifted — per-day
+    // vote sums off the bounded day-pair join, partitioned prefix U_t,
+    // exact-integer K with first-day tie-break, fixed-order approximate p
+    "events_pettitt" -> ((s, dir) => {
+      graft.functions.Events.pettitt(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Pettitt (batch replay of 5 batches): seventh readout off
+    // the same additive daily-count state — equals the batch verdicts;
+    // same oracle
+    "stream_pettitt" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.changepoint
+    }),
+
     // streaming key concentration (batch replay of 5 micro-batches):
     // per-key counts are additive, so BOTH readouts off the one accreted
     // count state equal their batch twins — whale-factor top-k and exact
@@ -4353,6 +4370,58 @@ object SparkEntry {
               ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
               END AS r
        FROM agg ORDER BY event_type, lag"""
+
+  /** Pettitt changepoint replay (daily counts, day-pair vote sums,
+    * partitioned prefix U, exact-integer K with first-day tie-break,
+    * fixed-order approximate p) — shared by `events_pettitt` and
+    * `stream_pettitt` (daily counts are additive).
+    */
+  private val pettittOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, day, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       votes AS (
+         SELECT a.event_type, a.day, a.t,
+           CAST(sum(CASE WHEN a.n > b.n THEN 1 WHEN a.n < b.n THEN -1
+             ELSE 0 END) AS BIGINT) AS v
+         FROM idx a JOIN idx b
+           ON a.event_type = b.event_type AND a.t <> b.t
+         GROUP BY 1, 2, 3),
+       dd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d_days
+              FROM d GROUP BY 1),
+       u AS (
+         SELECT event_type, day, t,
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u
+         FROM votes),
+       uf AS (
+         SELECT u.event_type, u.day, u.t, u.u, dd.d_days
+         FROM u JOIN dd ON u.event_type = dd.event_type
+         WHERE u.t < dd.d_days),
+       k AS (
+         SELECT event_type, d_days, CAST(max(abs(u)) AS BIGINT) AS k_stat
+         FROM uf GROUP BY 1, 2),
+       att AS (
+         SELECT uf.event_type, k.k_stat, arg_min(uf.day, uf.t) AS change_day
+         FROM uf JOIN k ON uf.event_type = k.event_type
+           AND abs(uf.u) = k.k_stat
+         GROUP BY 1, 2),
+       f AS (
+         SELECT dd.event_type, dd.d_days, coalesce(att.k_stat, 0) AS k_stat,
+           att.change_day
+         FROM dd LEFT JOIN att ON dd.event_type = att.event_type)
+       SELECT event_type, d_days, k_stat, change_day,
+         round(CAST(least(1.0, 2.0 * exp(-6.0 * k_stat::DOUBLE
+           * k_stat::DOUBLE / (d_days::DOUBLE * d_days::DOUBLE
+             * d_days::DOUBLE + d_days::DOUBLE * d_days::DOUBLE)))
+           AS DECIMAL(18,8)), 6)::DOUBLE AS p_approx
+       FROM f ORDER BY event_type"""
 
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
@@ -8946,6 +9015,8 @@ object SparkEntry {
     "stream_mannkendall" -> mannKendallOracleSql,
     "events_acf" -> acfOracleSql,
     "stream_acf" -> acfOracleSql,
+    "events_pettitt" -> pettittOracleSql,
+    "stream_pettitt" -> pettittOracleSql,
 
     // Kaplan–Meier replay: same spans, same censor rule, same exact
     // at-risk cumulatives and ln-factor sums; spans merge by min/max

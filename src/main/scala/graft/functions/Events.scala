@@ -653,6 +653,86 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Pettitt changepoint test over daily volumes — WHEN did the level
+    * shift: [[cusumOfDaily]] raises the creep alarm and [[mkOfDaily]]
+    * says "trending", but neither names the day the regime changed; the
+    * Pettitt statistic K = max_t |U_t| (U_t the rank-based
+    * Mann–Whitney-style split statistic at candidate point t) finds the
+    * single most likely break, distribution-free, with the standard
+    * approximate significance p ≈ 2·exp(−6K²/(d³+d²)). The day-level
+    * "which deploy broke ingestion" readout.
+    *
+    * Scale shape: the corpus collapses ONCE to the (event_type, day, n)
+    * count table — the SAME additive state as the other volume readouts
+    * (the [[graft.streaming.Streaming.VolumeMonitor]] state, whose
+    * `changepoint` readout IS this test); per-day vote sums V_t come
+    * from the day-pair join on the bounded table (days², never rows²),
+    * U_t is a PARTITIONED prefix sum of V over the positional index, K
+    * and its argmax (first day on ties — deterministic) are one
+    * aggregation of the bounded U table, and p evaluates in fixed double
+    * order from the exact-integer K.
+    *
+    * Returns one row per event_type: (event_type, d_days, k_stat,
+    * change_day, p_approx); change_day is the LAST day of the first
+    * segment, NULL (with k_stat 0) for a single-day series.
+    */
+  def pettitt(df: DataFrame, typeCol: String = "event_type",
+              tsCol: String = "ts"): DataFrame =
+    pettittOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[pettitt]]'s verdict stage over an already-built
+    * (event_type, day, n) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical
+    * changepoints off its accreted count state.
+    */
+  def pettittOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("day"), col("n"),
+      row_number().over(wIdx).cast("long").as("__t"))
+    val other = idx.select(col("event_type"), col("__t").as("__tj"),
+      col("n").as("__nj"))
+    // per-day vote: V_t = sum over j != t of sgn(x_t - x_j)
+    val votes = idx.join(other, Seq("event_type"))
+      .filter(col("__t") =!= col("__tj"))
+      .groupBy(col("event_type"), col("day"), col("__t"))
+      .agg(sum(when(col("n") > col("__nj"), 1L)
+        .when(col("n") < col("__nj"), -1L).otherwise(0L)).as("__v"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("__t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("d_days"))
+    val u = votes.select(col("event_type"), col("day"), col("__t"),
+      sum(col("__v")).over(wCum).as("__u"))
+      .join(dd, Seq("event_type"))
+      .filter(col("__t") < col("d_days"))
+    // K = max |U_t| over t < d; first day on ties
+    val k = u.groupBy(col("event_type"), col("d_days"))
+      .agg(max(abs(col("__u"))).as("k_stat"))
+    val at = u.join(k, Seq("event_type", "d_days"))
+      .filter(abs(col("__u")) === col("k_stat"))
+      .groupBy(col("event_type"), col("d_days"), col("k_stat"))
+      .agg(min(struct(col("__t"), col("day"))).as("__first"))
+      .select(col("event_type"), col("d_days"), col("k_stat"),
+        col("__first.day").as("change_day"))
+    val ddd = col("d_days").cast("double")
+    val kd = coalesce(col("k_stat"), lit(0L)).cast("double")
+    // single-day series: no candidate split — report k 0, NULL day
+    dd.join(at.drop("d_days"), Seq("event_type"), "left")
+      .select(col("event_type"), col("d_days"),
+        coalesce(col("k_stat"), lit(0L)).as("k_stat"),
+        col("change_day"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * kd * kd /
+          (ddd * ddd * ddd + ddd * ddd))).cast(dec8), 6)
+          .cast("double").as("p_approx"))
+      .orderBy(col("event_type"))
+  }
+
   /** Autocorrelation function of daily volumes at lags 1..maxLag — the
     * SEASONALITY fingerprint the trend/level alarms skim past: a strong
     * r at lag 7 says weekly cycle (so [[seasonalForecast]]'s period is

@@ -409,6 +409,14 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         maxLag)
 
+    /** seventh readout off the accreted count state: the Pettitt
+      * changepoint verdict ([[graft.functions.Events.pettittOfDaily]]) —
+      * WHICH day the level shifted; batch-exact by the same additivity
+      */
+    def changepoint: DataFrame =
+      graft.functions.Events.pettittOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

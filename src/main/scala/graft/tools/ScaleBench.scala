@@ -626,6 +626,10 @@ object ScaleBench {
       ("events_acf", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.acfDaily(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.acfDaily(ev10, "event_type", "ts"))),
+      // daily count reduce + bounded day-pair votes + partitioned prefix U
+      ("events_pettitt", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.pettitt(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.pettitt(ev10, "event_type", "ts"))),
       // per-user span reduce + bounded lifetime table + two prefix scans
       ("events_survival", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.kaplanMeier(ev1, "user_id", "ts")),

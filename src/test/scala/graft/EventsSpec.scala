@@ -132,6 +132,28 @@ class EventsSpec extends SparkSpec {
     assert(out(2).isNullAt(3) && out(2).getDouble(4) == 0.0)
   }
 
+  test("pettitt: hand-computed K locates the level shift, constant series reads p 1") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def series(tpe: String, vals: Seq[Int]) = vals.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (tpe, ts(d + 1, i)))
+    }
+    // a: 1,1,1,5,5,5 -> U = -3,-6,-9,-6,-3 (t<6), K=9 at t=3,
+    //    p = 2 exp(-486/252) = 0.290711
+    // b: 2,2,2,2 constant -> K=0 everywhere, first-day tie-break, p 1
+    // c: 1,5,2,6,3,7,4,8 sawtooth -> K=11 at t=3, p 0.567072
+    val ev = (series("a", Seq(1, 1, 1, 5, 5, 5)) ++ series("b", Seq(2, 2, 2, 2))
+      ++ series("c", Seq(1, 5, 2, 6, 3, 7, 4, 8))).toDF("event_type", "ts")
+    val out = Events.pettitt(ev, "event_type", "ts").collect()
+    // series position t maps to epoch day t (t=1 -> 1970-01-02), so the
+    // t=3 break reads calendar day-of-month 4
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDate(3).toLocalDate.getDayOfMonth, r.getDouble(4))).toSeq == Seq(
+      ("a", 6L, 9L, 4, 0.290711), ("b", 4L, 0L, 2, 1.0),
+      ("c", 8L, 11L, 4, 0.567072)), s"got ${out.mkString("; ")}")
+  }
+
   test("acfDaily: hand-computed lag correlations per type, zero-variance series reads NULL") {
     import spark.implicits._
     def ts(day: Int, i: Int) = new java.sql.Timestamp(

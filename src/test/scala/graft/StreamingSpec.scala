@@ -695,6 +695,9 @@ class StreamingSpec extends SparkSpec {
     // sixth readout off the same state: the ACF table
     assert(mkRows(vm3.autocorrelation()) ==
       mkRows(graft.functions.Events.acfDaily(ev, "event_type", "ts")))
+    // seventh readout off the same state: the Pettitt changepoint
+    assert(mkRows(vm3.changepoint) ==
+      mkRows(graft.functions.Events.pettitt(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

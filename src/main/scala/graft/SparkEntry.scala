@@ -3172,6 +3172,30 @@ object SparkEntry {
       wm.readout
     }),
 
+    // Cohen's d + Hedges' g: the EFFECT SIZE next to stats_welch's t —
+    // how many pooled standard deviations apart are the arms, off the
+    // same exact (n, Σx, Σx²) moment rows, fixed-order pooled variance
+    "stats_cohend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.cohensD(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Cohen's d (batch replay of 5 batches): second readout off
+    // the same additive moment state as stream_welch — equals the batch
+    // effect size; same oracle
+    "stream_cohend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val wm = new graft.streaming.Streaming.WelchMonitor(
+        ev.filter(col("event_type") === "click").select(col("value")), "value")
+      (0 until 5).foreach(b => wm.update(
+        ev.filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
+          .select(col("value"))))
+      wm.effectSize
+    }),
+
     // OLS trend test: is the event VALUE drifting across the month — the
     // whole regression of value on day-of-month collapses to ONE exact-
     // decimal (n, Σx, Σy, Σxy, Σx², Σy²) moment row, slope/r²/t in fixed
@@ -3253,6 +3277,29 @@ object SparkEntry {
         col("value"), col("event_type") === "click")
       (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
       am.rankTest
+    }),
+
+    // Cliff's delta: stats_mwu's EFFECT SIZE — P(a>b) − P(b>a) off the
+    // same per-value count table and exact doubled U, with Romano's
+    // conventional magnitude band on the rounded |δ|
+    "stats_cliffs" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.cliffsDelta(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Cliff's delta (batch replay of 5 batches): fifth readout
+    // off the same additive per-score count state as stream_auc /
+    // stream_mwu — equals the batch effect size; same oracle
+    "stream_cliffs" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val am = new graft.streaming.Streaming.AucMonitor(
+        col("value"), col("event_type") === "click")
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.dominance
     }),
 
     // Kruskal–Wallis H: do the event TYPES draw value from ONE distribution
@@ -3676,6 +3723,38 @@ object SparkEntry {
              AS DECIMAL(18,8)), 4)::DOUBLE AS df
          FROM m"""
 
+  /** Cohen's d / Hedges' g replay (same exact per-arm moments as welch,
+    * pooled variance, fixed-order d and g) — shared by `stats_cohend`
+    * and `stream_cohend` (moments are additive).
+    */
+  private val cohendOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+             a.s::DOUBLE / a.n::DOUBLE AS ma, b.s::DOUBLE / b.n::DOUBLE AS mb,
+             ((a.q::DOUBLE - a.s::DOUBLE * a.s::DOUBLE / a.n::DOUBLE)
+               + (b.q::DOUBLE - b.s::DOUBLE * b.s::DOUBLE / b.n::DOUBLE))
+               / (a.n::DOUBLE + b.n::DOUBLE - 2.0) AS sp2,
+             1.0 - 3.0 / (4.0 * (a.n::DOUBLE + b.n::DOUBLE) - 9.0) AS j
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b,
+           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
+           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
+           CASE WHEN n_a + n_b <= 2 OR sp2 <= 0.0 THEN NULL
+                ELSE round(CAST((ma - mb) / sqrt(sp2) AS DECIMAL(18,8)),
+                  6)::DOUBLE END AS d,
+           CASE WHEN n_a + n_b <= 2 OR sp2 <= 0.0 THEN NULL
+                ELSE round(CAST((ma - mb) / sqrt(sp2) * j AS DECIMAL(18,8)),
+                  6)::DOUBLE END AS g
+         FROM m"""
+
   /** OLS trend replay (exact decimal regression moments, fixed-order
     * double formulas for slope/intercept/r²/t) — shared by `stats_trend`
     * and `stream_trend` (moments are additive).
@@ -3825,6 +3904,43 @@ object SparkEntry {
                     * ((nd + 1.0) - tsd / (nd * (nd - 1.0)))))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
+
+  /** Cliff's delta replay (same per-value counts and exact doubled U as
+    * mwu, one divide, Romano band off the rounded |δ|) — shared by
+    * `stats_cliffs` and `stream_cliffs` (the count state is the additive
+    * AucMonitor state).
+    */
+  private val cliffsOracleSql =
+    """WITH u AS (
+           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM u GROUP BY 1),
+         s AS (SELECT p, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn FROM c),
+         t AS (
+           SELECT p, n,
+             p::DECIMAL(38,0) * (2 * (cn - n) + n)::DECIMAL(38,0) AS u2
+           FROM s),
+         a AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
+             sum(u2) AS u2s
+           FROM t),
+         f AS (
+           SELECT n_a, n_b,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  ELSE round(CAST(u2s::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+                    - 1.0 AS DECIMAL(18,8)), 6)::DOUBLE END AS delta
+           FROM a)
+         SELECT n_a, n_b, delta,
+           CASE WHEN delta IS NULL THEN NULL
+                WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33 THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM f"""
 
   /** Kruskal–Wallis replay (per-(value,group) counts, inclusive
     * cumulative totals for doubled average ranks, exact-integer rank sums
@@ -8855,6 +8971,9 @@ object SparkEntry {
     // t / dof formula; the stream side's moment state is additive
     "stats_welch" -> welchOracleSql,
     "stream_welch" -> welchOracleSql,
+    // Cohen's d replay: same per-arm moments, pooled-variance effect size
+    "stats_cohend" -> cohendOracleSql,
+    "stream_cohend" -> cohendOracleSql,
 
     // OLS trend replay: same exact decimal regression moments, same
     // fixed-order slope/r²/t formulas; the moment state is additive
@@ -8873,6 +8992,9 @@ object SparkEntry {
     // tie terms, same fixed-order z; the count state is additive
     "stats_mwu" -> mwuOracleSql,
     "stream_mwu" -> mwuOracleSql,
+    // Cliff's delta replay: same count state, dominance effect size
+    "stats_cliffs" -> cliffsOracleSql,
+    "stream_cliffs" -> cliffsOracleSql,
 
     // Kruskal–Wallis replay: same (value,group) counts, same exact rank
     // sums / tie term, same fixed-order H; state additive per pair

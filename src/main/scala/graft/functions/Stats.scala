@@ -1062,6 +1062,58 @@ object Stats {
         .cast(dec8), 4).cast("double").as("df"))
   }
 
+  /** Cohen's d (with the Hedges' g small-sample correction) between two
+    * numeric samples — the EFFECT SIZE the t statistic refuses to be: at
+    * corpus n, [[welchTTest]] flags a 0.1% mean shift as wildly
+    * significant; d answers "how many pooled standard deviations apart
+    * are the arms" — the number that stays comparable across metrics,
+    * sample sizes, and rounds, and the one that belongs in the report
+    * next to t. g multiplies in J = 1 − 3/(4(n_a+n_b)−9), the standard
+    * bias correction that matters exactly when the arms are small.
+    *
+    * Scale shape: the IDENTICAL additive (n, Σx, Σx²) moment rows as
+    * [[welchTTest]] (the [[graft.streaming.Streaming.WelchMonitor]]
+    * state, whose `effectSize` readout IS this statistic); pooled
+    * variance, d, and g evaluate in fixed double order from the exact
+    * decimal sums. Zero data shuffle.
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, d, g); NULL effect when
+    * the pooled variance degenerates (n_a+n_b ≤ 2 or zero spread).
+    */
+  def cohensD(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    cohensDOfMoments(
+      welchMoments(a, valueCol, "a").crossJoin(
+        broadcast(welchMoments(bDf, valueCol, "b"))))
+
+  /** [[cohensD]]'s formula stage over an already-built joint moment row —
+    * the readout path the streaming monitor shares with the batch
+    * operator. Pooled variance ((SSa + SSb)/(na+nb−2)) from the exact
+    * sums, d = (m̄a−m̄b)/s_p, g = d·J.
+    */
+  def cohensDOfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def n(s: String) = col(s"__n_$s").cast("double")
+    def sm(s: String) = col(s"__s_$s").cast("double")
+    def q(s: String) = col(s"__q_$s").cast("double")
+    def ss(s: String) = q(s) - sm(s) * sm(s) / n(s)
+    val m = row.select(col("__n_a"), col("__n_b"),
+      (sm("a") / n("a")).as("__ma"), (sm("b") / n("b")).as("__mb"),
+      ((ss("a") + ss("b")) / (n("a") + n("b") - lit(2.0))).as("__sp2"),
+      (lit(1.0) - lit(3.0) / (lit(4.0) * (n("a") + n("b")) - lit(9.0)))
+        .as("__j"))
+    val d = (col("__ma") - col("__mb")) / sqrt(col("__sp2"))
+    m.select(col("__n_a").as("n_a"), col("__n_b").as("n_b"),
+      round(col("__ma").cast(dec8), 6).cast("double").as("mean_a"),
+      round(col("__mb").cast(dec8), 6).cast("double").as("mean_b"),
+      when(col("__n_a") + col("__n_b") <= 2L || col("__sp2") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(d.cast(dec8), 6).cast("double")).as("d"),
+      when(col("__n_a") + col("__n_b") <= 2L || col("__sp2") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((d * col("__j")).cast(dec8), 6).cast("double"))
+        .as("g"))
+  }
+
   /** OLS trend test of a numeric column against a numeric regressor —
     * "is this metric actually trending, and how fast": slope, intercept,
     * r² and the slope's t statistic of the least-squares line, the
@@ -1307,6 +1359,59 @@ object Stats {
         .otherwise(round(((col("__u2s").cast("double") - nad * nbd)
           / (lit(2.0) * sqrt(nad * nbd / lit(12.0) * inner))).cast(dec8), 6)
           .cast("double")).as("z"))
+  }
+
+  /** Cliff's delta between two numeric samples — [[mannWhitney]]'s
+    * EFFECT SIZE: the z says the dominance is real, δ = P(a > b) −
+    * P(b > a) ∈ [−1, 1] says how LARGE it is, unmoved by sample size —
+    * the ordinal sibling of [[cohensD]] (no variance, no normality, ties
+    * split evenly via the same half-tie U). Reported with Romano's
+    * conventional magnitude band (negligible < .147 ≤ small < .33 ≤
+    * medium < .474 ≤ large, on the rounded |δ| so the label is
+    * engine-stable).
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as
+    * [[mannWhitney]]/[[rocAuc]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose `dominance`
+    * readout IS this statistic); δ = U₂/(n_a·n_b) − 1 with the exact
+    * doubled-integer U off the prefix scan, ONE IEEE divide.
+    *
+    * Returns one row (n_a, n_b, delta, magnitude); NULL when either arm
+    * is empty.
+    */
+  def cliffsDelta(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    cliffsOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[cliffsDelta]]'s readout from a [[scoreCounts]] table — the stage
+    * the streaming monitor shares with the batch operator.
+    */
+  def cliffsOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    val agg = cum
+      .select(col("__p"), col("__n"),
+        (col("__p").cast(big) *
+          (lit(2L) * (col("cum___n") - col("__n")) + col("__n")).cast(big))
+          .as("__u2"))
+      .agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"),
+        sum(col("__u2")).as("__u2s"))
+    val delta = round((col("__u2s").cast("double") /
+      (col("n_a").cast("double") * col("n_b").cast("double")) - lit(1.0))
+      .cast(dec8), 6).cast("double")
+    agg
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(delta).as("delta"))
+      .withColumn("magnitude",
+        when(col("delta").isNull, lit(null).cast("string"))
+          .when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
   }
 
   /** Kruskal–Wallis H test of a numeric column across k groups — the

@@ -768,6 +768,14 @@ object Streaming {
       refMoments.crossJoin(moments.getOrElse(
         throw new IllegalStateException("no batches ingested"))))
 
+    /** second readout off the SAME moment state: Cohen's d / Hedges' g
+      * ([[graft.functions.Stats.cohensDOfMoments]]) — equals the batch
+      * [[graft.functions.Stats.cohensD]] over everything seen
+      */
+    def effectSize: DataFrame = graft.functions.Stats.cohensDOfMoments(
+      refMoments.crossJoin(moments.getOrElse(
+        throw new IllegalStateException("no batches ingested"))))
+
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
 
@@ -1237,6 +1245,14 @@ object Streaming {
       * SIGNIFICANT, not just how large)
       */
     def rankTest: DataFrame = graft.functions.Stats.mwuOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** fifth readout off the SAME count state: Cliff's delta dominance
+      * effect size ([[graft.functions.Stats.cliffsOfCounts]]) — equals
+      * the batch [[graft.functions.Stats.cliffsDelta]] over everything
+      * seen
+      */
+    def dominance: DataFrame = graft.functions.Stats.cliffsOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the count state for crash-restart (call after update) */

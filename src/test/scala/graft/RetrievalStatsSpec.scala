@@ -399,6 +399,42 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("cohensD: hand-computed d and Hedges g, degenerate pooled variance reads NULL") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a=(1,2,3) b=(2,4,6): sp2=2.5, d=-2/sqrt(2.5), J=0.8
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0).toDF("v")
+    val row = Stats.cohensD(a, b, "v").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 2.0 && row.getDouble(3) == 4.0)
+    assert(row.getDouble(4) == -1.264911 && row.getDouble(5) == -1.011929,
+      s"d ${row.getDouble(4)} g ${row.getDouble(5)}")
+    // identical arms: d exactly 0
+    assert(Stats.cohensD(a, a, "v").head().getDouble(4) == 0.0)
+    // zero pooled spread: NULL, not infinity
+    val c = Seq(5.0, 5.0).toDF("v")
+    assert(Stats.cohensD(c, c, "v").head().isNullAt(4))
+  }
+
+  test("cliffsDelta: hand-computed dominance with ties, Romano band, empty arm reads NULL") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a=(1,2,3) b=(2,3,4): #(a>b)=1, #(a<b)=6, 2 ties -> delta -5/9
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val row = Stats.cliffsDelta(a, b, "v").head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L)
+    assert(row.getDouble(2) == -0.555556 && row.getString(3) == "large",
+      s"delta ${row.getDouble(2)} band ${row.getString(3)}")
+    // identical samples: delta 0, negligible
+    val same = Stats.cliffsDelta(a, a, "v").head()
+    assert(same.getDouble(2) == 0.0 && same.getString(3) == "negligible")
+    // total dominance: exactly 1
+    val hi = Seq(10.0, 11.0).toDF("v")
+    assert(Stats.cliffsDelta(hi, a, "v").head().getDouble(2) == 1.0)
+  }
+
   test("leveneTest: hand-computed Brown-Forsythe F off median deviations, outlier-driven spread detected") {
     import spark.implicits._
     import graft.functions.Stats

@@ -793,6 +793,10 @@ class StreamingSpec extends SparkSpec {
     wm3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => wm3.update(strm(b)))
     assert(row(wm3.readout) == batch)
+    // second readout off the same restored state: Cohen's d / Hedges' g
+    assert(row(wm3.effectSize) == row(graft.functions.Stats.cohensD(
+      ref, ev.filter(col("event_type") === "purchase").select(col("value")),
+      "value")))
   }
 
   test("trend monitor: additive regression moments read out the batch trendTest, survives restart") {
@@ -1029,6 +1033,10 @@ class StreamingSpec extends SparkSpec {
     // mannWhitney with arm a = label-true rows
     val scored = docs.select(score.as("__sc"), label.as("__lb"))
     assert(row(am3.rankTest) == row(Stats.mannWhitney(
+      scored.filter(col("__lb")).select(col("__sc").as("v")),
+      scored.filter(!col("__lb")).select(col("__sc").as("v")), "v")))
+    // ...and the dominance effect size: Cliff's delta off the same state
+    assert(row(am3.dominance) == row(Stats.cliffsDelta(
       scored.filter(col("__lb")).select(col("__sc").as("v")),
       scored.filter(!col("__lb")).select(col("__sc").as("v")), "v")))
   }

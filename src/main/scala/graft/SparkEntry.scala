@@ -821,6 +821,29 @@ object SparkEntry {
       km.disagreement
     }),
 
+    // Cochran's Q across the three-filter panel (quality rule, token
+    // floor, length cap): do the filters keep at the same rate given the
+    // documents' own keep-ability — exact-integer numerator/denominator
+    // off ONE scan+reduce, the k-way generalization of curate_mcnemar
+    "curate_cochranq" -> ((s, dir) => {
+      graft.functions.Curation.cochranQ(t(s, dir, "documents"), Seq(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25,
+        col("n_chars") <= 500))
+    }),
+
+    // streaming Cochran's Q (batch replay of 5 batches): the 1-row panel
+    // state folds by plain addition — equals the batch Q; same oracle
+    "stream_cochranq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cm = new graft.streaming.Streaming.CochranMonitor(Seq(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25,
+        col("n_chars") <= 500))
+      (0 until 5).foreach(b => cm.update(docs.filter(col("doc_id") % 5 === b)))
+      cm.readout
+    }),
+
     // streaming mixture monitor (batch replay of 5 batches): per-group
     // token masses fold additively, the readout derives the same τ-sampling
     // rate table the batch sampler computes over all rows seen
@@ -4731,6 +4754,55 @@ object SparkEntry {
               END AS chi2
        FROM k"""
 
+  /** Cochran's Q replay (same quality/token filter replays plus the
+    * length cap, per-row R_i, exact-integer numerator and denominator,
+    * one divide) — shared by `curate_cochranq` and `stream_cochranq`
+    * (the 1-row panel state is additive).
+    */
+  private lazy val cochranOracleSql =
+    s"""WITH norm AS (
+         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
+           $normSql AS nt
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, n_chars,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+         FROM norm),
+       f AS (
+         SELECT
+           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE npunct::DOUBLE / length(text) END) * 0.3
+             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
+           ntok >= 25 AS f2,
+           n_chars <= 500 AS f3
+         FROM c),
+       r AS (
+         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
+           + CASE WHEN f2 THEN 1 ELSE 0 END
+           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri, f1, f2, f3
+         FROM f),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2,
+           CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+         FROM r),
+       m AS (
+         SELECT n, 3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr AS num,
+           3 * sr - sr2 AS den
+         FROM a)
+       SELECT 3::BIGINT AS k, n, 2::BIGINT AS df,
+         CASE WHEN den <= 0 THEN NULL
+              ELSE round(CAST(2.0 * num::DOUBLE / den::DOUBLE
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS q
+       FROM m"""
+
   /** P/R/F1 oracle: score/label replays, per-threshold conditional
     * sums unpivoted, integer-exact F1 — shared by the batch operator
     * and the streaming operating-points readout
@@ -7508,6 +7580,9 @@ object SparkEntry {
     // McNemar replay: same confusion CTE, asymmetry readout
     "curate_mcnemar" -> mcnemarOracleSql,
     "stream_mcnemar" -> mcnemarOracleSql,
+    // Cochran's Q replay: three-filter panel, exact-integer Q
+    "curate_cochranq" -> cochranOracleSql,
+    "stream_cochranq" -> cochranOracleSql,
 
     // AUC replay: micro-sum and quality-label replays feed the same
     // per-score count table; cumulative window is fine at oracle scale,

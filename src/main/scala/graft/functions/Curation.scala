@@ -197,6 +197,62 @@ object Curation {
   def mcnemar(df: DataFrame, flagA: Column, flagB: Column): DataFrame =
     mcnemarOfCounts(confusionCounts(df, flagA, flagB))
 
+  /** Cochran's Q across k paired boolean filters — the k-way
+    * generalization of [[mcnemar]] (and the binary sibling of the
+    * repeated-measures ANOVA): given k filter verdicts on the SAME
+    * documents (heuristic rule, learned classifier, new candidate,
+    * license gate…), "do these filters keep at the same rate, accounting
+    * for the documents' own keep-ability"? A significant Q (χ² at k−1
+    * dof) says at least one filter's rate genuinely differs; run the
+    * [[mcnemar]] pairs after it the way Tukey follows ANOVA.
+    *
+    * Scale shape: ONE map-side-combined scan+reduce to a 1-row additive
+    * state (n, ΣR_i, ΣR_i², per-filter totals C_j — the
+    * [[graft.streaming.Streaming.CochranMonitor]] state); Q's numerator
+    * k·ΣC_j² − (ΣC_j)² and denominator k·ΣR_i − ΣR_i² are EXACT
+    * integers, one IEEE divide. Rows where ANY flag is NULL are excluded
+    * (Cochran requires complete blocks).
+    *
+    * Returns one row (k, n, df, q); q is NULL when the denominator
+    * degenerates (every row unanimous — no information about rate
+    * differences).
+    */
+  def cochranQ(df: DataFrame, flags: Seq[Column]): DataFrame =
+    cochranOfCounts(cochranCounts(df, flags), flags.size)
+
+  /** The 1-row additive state behind [[cochranQ]]:
+    * (n, __sr, __sr2, __c0..__c{k−1}) — plain count sums, so states from
+    * disjoint row sets fold by column-wise addition.
+    */
+  def cochranCounts(df: DataFrame, flags: Seq[Column]): DataFrame = {
+    require(flags.size >= 2, "cochranQ needs at least two filters")
+    val typed = df.select(flags.zipWithIndex.map {
+      case (f, i) => f.cast("boolean").as(s"__f$i")
+    }: _*).filter(flags.indices.map(i => col(s"__f$i").isNotNull)
+      .reduce(_ && _))
+    val ri = flags.indices.map(i => when(col(s"__f$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("n"), sum(ri).as("__sr"),
+      sum(ri * ri).as("__sr2")) ++
+      flags.indices.map(i =>
+        sum(when(col(s"__f$i"), 1L).otherwise(0L)).as(s"__c$i"))
+    typed.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[cochranQ]]'s readout from a [[cochranCounts]] state row. */
+  def cochranOfCounts(counts: DataFrame, k: Int): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val sc2 = (0 until k).map(i => col(s"__c$i") * col(s"__c$i"))
+      .reduce(_ + _)
+    val num = lit(k.toLong) * sc2 - col("__sr") * col("__sr")
+    val den = lit(k.toLong) * col("__sr") - col("__sr2")
+    counts.select(lit(k.toLong).as("k"), col("n"),
+      lit((k - 1).toLong).as("df"),
+      when(den <= 0L, lit(null).cast(DoubleType))
+        .otherwise(round((lit((k - 1).toDouble) * num.cast(DoubleType)
+          / den.cast(DoubleType)).cast(dec), 6).cast(DoubleType)).as("q"))
+  }
+
   /** [[mcnemar]]'s readout from a [[confusionCounts]] state row. */
   def mcnemarOfCounts(counts: DataFrame): DataFrame = {
     val dec = DecimalType(18, 8)

@@ -1309,6 +1309,42 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming Cochran's Q monitor — the k-filter rate-agreement panel,
+    * live: the (n, ΣR, ΣR², C_1..C_k) state row is plain count sums
+    * ([[graft.functions.Curation.cochranCounts]]), ADDITIVE across
+    * micro-batches, so the accreted 1-row state reads out a Q
+    * bit-identical to the batch [[graft.functions.Curation.cochranQ]]
+    * over everything seen — the k-way sibling of [[KappaMonitor]] on the
+    * same stream. Wire with [[foreachBatchMerge]]`(stream, cm.update)`.
+    */
+  class CochranMonitor(flags: Seq[Column]) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's panel counts into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Curation.cochranCounts(batch, flags)
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) =>
+          val summed = c.columns.map(x => sum(col(x)).as(x))
+          c.unionByName(bc).agg(summed.head, summed.tail: _*)
+      }))
+    }
+
+    /** current (k, n, df, q) row — equals the batch cochranQ */
+    def readout: DataFrame = graft.functions.Curation.cochranOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+      flags.size)
+
+    /** persist the panel state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore panel state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming record-linkage monitor — continuous entity resolution at
     * ingest: the dimension side freezes ONCE (the
     * [[ContaminationMonitor]] shape), every incoming micro-batch runs

@@ -404,4 +404,25 @@ class CurationSpec extends SparkSpec {
     assert(agree.isNullAt(agree.fieldIndex("z")) &&
       agree.isNullAt(agree.fieldIndex("chi2")))
   }
+
+  test("cochranQ: hand-computed Q over a 3-filter panel, unanimous rows read NULL, null rows drop") {
+    import spark.implicits._
+    // subjects 0..3: f1=(T,T,T,F) f2=(T,F,T,F) f3=(T,F,F,F)
+    // R=(3,1,2,0) sr=6 sr2=14; C=(3,2,1) -> num=3*14-36=6, den=18-14=4,
+    // Q=2*6/4=3
+    val ids = (0 until 4).toDF("id")
+    val out = Curation.cochranQ(ids, Seq(
+      col("id") <= 2, col("id").isin(0, 2), col("id") === 0)).head()
+    assert(out.getLong(0) == 3L && out.getLong(1) == 4L &&
+      out.getLong(2) == 2L && out.getDouble(3) == 3.0, s"got $out")
+    // every row unanimous (all-true or all-false): denominator 0 -> NULL
+    val un = Curation.cochranQ(ids, Seq(
+      col("id") < 2, col("id") < 2, col("id") < 2)).head()
+    assert(un.isNullAt(3))
+    // a NULL flag drops the whole block
+    val withNull = Curation.cochranQ(ids, Seq(
+      when(col("id") < 3, col("id") <= 2), col("id").isin(0, 2),
+      col("id") === 0)).head()
+    assert(withNull.getLong(1) == 3L)
+  }
 }

@@ -1063,6 +1063,26 @@ class StreamingSpec extends SparkSpec {
     assert(row(km3.disagreement) == row(Curation.mcnemar(docs, fa, fb)))
   }
 
+  test("cochran monitor: additive panel state reads out the batch Q, survives restart") {
+    import graft.functions.{Curation, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val flags = Seq(TextAnalysis.tokenCount(col("text")) >= 25,
+      col("n_chars") <= 500, col("lang") === "en")
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0).toSeq
+    val batch = row(Curation.cochranQ(docs, flags))
+    val cm = new Streaming.CochranMonitor(flags)
+    (0 until 5).foreach(b => cm.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(cm.readout) == batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("cochran_state").toString
+    val cm2 = new Streaming.CochranMonitor(flags)
+    (0 until 2).foreach(b => cm2.update(docs.filter(col("doc_id") % 5 === b)))
+    cm2.saveState(ckpt)
+    val cm3 = new Streaming.CochranMonitor(flags)
+    cm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => cm3.update(docs.filter(col("doc_id") % 5 === b)))
+    assert(row(cm3.readout) == batch)
+  }
+
   test("mixture monitor: folded masses read out the batch τ-sampling rates, survive restart") {
     import graft.functions.{Sampling, TextAnalysis}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -844,6 +844,29 @@ object SparkEntry {
       cm.readout
     }),
 
+    // Fleiss' kappa over the same three-filter panel: beyond-chance
+    // AGREEMENT next to curate_cochranq's rate test — exact-integer P-bar
+    // off the same 1-row state, kappa from 6dp-rounded pieces
+    "curate_fleiss" -> ((s, dir) => {
+      graft.functions.Curation.fleissKappa(t(s, dir, "documents"), Seq(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25,
+        col("n_chars") <= 500))
+    }),
+
+    // streaming Fleiss (batch replay of 5 batches): second readout off
+    // the same additive panel state as stream_cochranq — equals the
+    // batch kappa; same oracle
+    "stream_fleiss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cm = new graft.streaming.Streaming.CochranMonitor(Seq(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25,
+        col("n_chars") <= 500))
+      (0 until 5).foreach(b => cm.update(docs.filter(col("doc_id") % 5 === b)))
+      cm.agreement
+    }),
+
     // streaming mixture monitor (batch replay of 5 batches): per-group
     // token masses fold additively, the readout derives the same τ-sampling
     // rate table the batch sampler computes over all rows seen
@@ -1356,6 +1379,27 @@ object SparkEntry {
       graft.functions.Stats.mutualInformation(
         events(s, dir).select(col("event_type"), hour(col("ts")).as("hr")),
         "event_type", "hr")
+    }),
+
+    // Theil's U: WHICH WAY does the type-hour dependence run — both
+    // directional uncertainty coefficients off the same joint-count
+    // table, one divide each of the rounded MI/entropy pieces
+    "stats_theilu" -> ((s, dir) => {
+      graft.functions.Stats.theilU(
+        events(s, dir).select(col("event_type"), hour(col("ts")).as("hr")),
+        "event_type", "hr")
+    }),
+
+    // streaming Theil's U (batch replay of 5 batches): third readout off
+    // the same additive joint-count state as stream_mi / stream_cramers
+    // — equals the batch coefficients; same oracle
+    "stream_theilu" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = new graft.streaming.Streaming.MiMonitor("event_type", "hr")
+      (0 until 5).foreach(b => mm.update(
+        ev.select(col("event_type"), hour(col("ts")).as("hr"),
+          col("event_id")).filter(col("event_id") % 5 === b)))
+      mm.uncertainty
     }),
 
     // Cramér's V: how strongly is event TYPE coupled to WEEKDAY — the
@@ -4803,6 +4847,57 @@ object SparkEntry {
                 AS DECIMAL(18,8)), 6)::DOUBLE END AS q
        FROM m"""
 
+  /** Fleiss' kappa replay (same three-filter panel state as cochran,
+    * exact-integer P-bar, fixed-order P-e, kappa from rounded pieces) —
+    * shared by `curate_fleiss` and `stream_fleiss`.
+    */
+  private lazy val fleissOracleSql =
+    s"""WITH norm AS (
+         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
+           $normSql AS nt
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, n_chars,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+         FROM norm),
+       f AS (
+         SELECT
+           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE npunct::DOUBLE / length(text) END) * 0.3
+             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
+           ntok >= 25 AS f2,
+           n_chars <= 500 AS f3
+         FROM c),
+       r AS (
+         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
+           + CASE WHEN f2 THEN 1 ELSE 0 END
+           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri
+         FROM f),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2
+         FROM r),
+       m AS (
+         SELECT n,
+           round(CAST((2 * sr2 - 6 * sr + n * 6)::DOUBLE / (n * 6)::DOUBLE
+             AS DECIMAL(18,8)), 6)::DOUBLE AS p_bar,
+           round(CAST((sr::DOUBLE / (n::DOUBLE * 3.0))
+               * (sr::DOUBLE / (n::DOUBLE * 3.0))
+             + (1.0 - sr::DOUBLE / (n::DOUBLE * 3.0))
+               * (1.0 - sr::DOUBLE / (n::DOUBLE * 3.0))
+             AS DECIMAL(18,8)), 6)::DOUBLE AS p_e
+         FROM a)
+       SELECT 3::BIGINT AS k, n, p_bar, p_e,
+         round(CAST(CASE WHEN p_e >= 1.0 THEN 0.0
+           ELSE (p_bar - p_e) / (1.0 - p_e) END AS DECIMAL(18,8)),
+           6)::DOUBLE AS kappa
+       FROM m"""
+
   /** P/R/F1 oracle: score/label replays, per-threshold conditional
     * sums unpivoted, integer-exact F1 — shared by the batch operator
     * and the streaming operating-points readout
@@ -5052,6 +5147,45 @@ object SparkEntry {
        SELECT n, n_x, n_y, h_x, h_y, mi,
          round(CAST(CASE WHEN h_x * h_y <= 0.0 THEN 0.0
            ELSE mi / sqrt(h_x * h_y) END AS DECIMAL(18,8)), 6)::DOUBLE AS nmi
+       FROM o"""
+
+  /** Theil's U replay (same joint-count chain as mi, both directional
+    * coefficients from the rounded pieces) — shared by `stats_theilu`
+    * and `stream_theilu` (joint counts are additive).
+    */
+  private val theilUOracleSql =
+    """WITH j AS (
+         SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
+         FROM events GROUP BY 1, 2),
+       mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
+       my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
+       t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
+       ex AS (
+         SELECT n, count(*) AS kx,
+           -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
+             AS DECIMAL(18,8))) AS hx
+         FROM mx CROSS JOIN t GROUP BY n),
+       ey AS (
+         SELECT n, count(*) AS ky,
+           -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
+             AS DECIMAL(18,8))) AS hy
+         FROM my CROSS JOIN t GROUP BY n),
+       m0 AS (
+         SELECT n, sum(CAST((cxy::DOUBLE / n)
+             * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
+             AS DECIMAL(18,8))) AS mm
+         FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
+       o AS (
+         SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
+           round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
+           round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
+           round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
+         FROM m0 JOIN ex USING (n) JOIN ey USING (n))
+       SELECT n, n_x, n_y, h_x, h_y, mi,
+         round(CAST(CASE WHEN h_x <= 0.0 THEN 0.0
+           ELSE mi / h_x END AS DECIMAL(18,8)), 6)::DOUBLE AS u_xy,
+         round(CAST(CASE WHEN h_y <= 0.0 THEN 0.0
+           ELSE mi / h_y END AS DECIMAL(18,8)), 6)::DOUBLE AS u_yx
        FROM o"""
 
   /** inter-arrival oracle: (user,type)-keyed lag gaps, capped integer
@@ -6196,6 +6330,8 @@ object SparkEntry {
     // MI replay: same joint/marginal tables, exact-integer ln ratios,
     // per-term decimal staging, same divide order on the rounded pieces
     "stats_mi" -> miOracleSql,
+    "stats_theilu" -> theilUOracleSql,
+    "stream_theilu" -> theilUOracleSql,
     // additive joint counts: the monitor's folded state equals the
     // one-pass table — identical replay
     "stream_mi" -> miOracleSql,
@@ -7583,6 +7719,9 @@ object SparkEntry {
     // Cochran's Q replay: three-filter panel, exact-integer Q
     "curate_cochranq" -> cochranOracleSql,
     "stream_cochranq" -> cochranOracleSql,
+    // Fleiss replay: same panel state, beyond-chance agreement
+    "curate_fleiss" -> fleissOracleSql,
+    "stream_fleiss" -> fleissOracleSql,
 
     // AUC replay: micro-sum and quality-label replays feed the same
     // per-score count table; cumulative window is fine at oracle scale,

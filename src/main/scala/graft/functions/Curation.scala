@@ -239,6 +239,51 @@ object Curation {
     typed.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Fleiss' kappa across k paired boolean filters — the k-rater
+    * AGREEMENT number next to [[cochranQ]]'s rate test: Q asks "do the
+    * filters keep at different rates", Fleiss asks "beyond chance, do
+    * they agree on WHICH documents to keep" — the k-way generalization
+    * of [[raterAgreement]]'s Cohen κ (two raters), the one number that
+    * says whether a filter panel is redundant (κ near 1: drop the
+    * expensive ones) or genuinely diverse.
+    *
+    * Scale shape: the IDENTICAL 1-row additive state as [[cochranQ]]
+    * ([[cochranCounts]] — the
+    * [[graft.streaming.Streaming.CochranMonitor]] state, whose
+    * `agreement` readout IS this statistic): for binary categories every
+    * per-item agreement term collapses to ΣR_i and ΣR_i², so
+    * P̄ = (2ΣR² − 2kΣR + Nk(k−1))/(Nk(k−1)) is one divide of exact
+    * integers, P̄e = p̄₁² + p̄₀² in fixed double order, and κ forms from
+    * the 6dp-rounded pieces ([[kappaOfCounts]]'s discipline).
+    *
+    * Returns one row (k, n, p_bar, p_e, kappa); κ reads 0 by convention
+    * when P̄e = 1 (unanimous verdicts everywhere — chance explains all).
+    */
+  def fleissKappa(df: DataFrame, flags: Seq[Column]): DataFrame =
+    fleissOfCounts(cochranCounts(df, flags), flags.size)
+
+  /** [[fleissKappa]]'s readout from a [[cochranCounts]] state row. */
+  def fleissOfCounts(counts: DataFrame, k: Int): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val kl = k.toLong
+    // P-bar numerator/denominator as exact integers; one IEEE divide
+    val num = lit(2L) * col("__sr2") - lit(2L * kl) * col("__sr") +
+      col("n") * lit(kl * (kl - 1))
+    val den = col("n") * lit(kl * (kl - 1))
+    val p1 = col("__sr").cast(DoubleType) /
+      (col("n").cast(DoubleType) * lit(k.toDouble))
+    val pBar = round((num.cast(DoubleType) / den.cast(DoubleType)).cast(dec), 6)
+      .cast(DoubleType)
+    val pe = round((p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)).cast(dec), 6)
+      .cast(DoubleType)
+    counts
+      .select(lit(kl).as("k"), col("n"), pBar.as("p_bar"), pe.as("p_e"))
+      .withColumn("kappa",
+        round(when(col("p_e") >= 1.0, lit(0.0))
+          .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .cast(dec), 6).cast(DoubleType))
+  }
+
   /** [[cochranQ]]'s readout from a [[cochranCounts]] state row. */
   def cochranOfCounts(counts: DataFrame, k: Int): DataFrame = {
     val dec = DecimalType(18, 8)

@@ -672,6 +672,44 @@ object Stats {
           .cast(dec), 6).cast("double"))
   }
 
+  /** Theil's uncertainty coefficients between two categorical columns —
+    * the DIRECTIONAL association [[mutualInformation]]'s symmetric nmi
+    * hides: U(x|y) = MI/H(x) is the fraction of x's entropy that knowing
+    * y removes, and it is NOT U(y|x) — `source` may fully determine
+    * `quality_band` (U(band|source) ≈ 1, drop the band from
+    * stratification) while the band says little about the source. The
+    * "which way does the dependence run" audit.
+    *
+    * Scale shape: the IDENTICAL additive joint count table as
+    * [[mutualInformation]] / [[cramersV]] (the
+    * [[graft.streaming.Streaming.MiMonitor]] state, whose `uncertainty`
+    * readout IS this table); both coefficients are one divide of the
+    * 6dp-rounded MI and entropies, so every engine derives the same Us
+    * from the same agreed pieces.
+    *
+    * Returns one row (n, n_x, n_y, h_x, h_y, mi, u_xy, u_yx), where
+    * u_xy = U(x|y) = MI/H(x) and u_yx = U(y|x) = MI/H(y); a coefficient
+    * reads 0 when its entropy is 0 (a constant column has nothing to
+    * explain).
+    */
+  def theilU(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    uncertaintyOfJoint(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      jointCounts(df, xCol, yCol)))
+
+  /** [[theilU]]'s readout from a [[jointCounts]] table — the stage the
+    * streaming monitor shares with the batch operator.
+    */
+  def uncertaintyOfJoint(joint: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    miOfJoint(joint).drop("nmi")
+      .withColumn("u_xy",
+        round(when(col("h_x") <= 0.0, lit(0.0))
+          .otherwise(col("mi") / col("h_x")).cast(dec), 6).cast("double"))
+      .withColumn("u_yx",
+        round(when(col("h_y") <= 0.0, lit(0.0))
+          .otherwise(col("mi") / col("h_y")).cast(dec), 6).cast("double"))
+  }
+
   /** Exact distributed ROC-AUC of a score against a boolean label — the
     * threshold-free evaluation of a curation filter (how well does the
     * classifier margin rank kept-worthy documents above the rest), via the

@@ -1143,6 +1143,14 @@ object Streaming {
     def association: DataFrame = graft.functions.Stats.cramersVOfJoint(
       joint.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** third readout off the SAME joint-count state: Theil's directional
+      * uncertainty coefficients
+      * ([[graft.functions.Stats.uncertaintyOfJoint]]) — equals the batch
+      * [[graft.functions.Stats.theilU]] over everything seen
+      */
+    def uncertainty: DataFrame = graft.functions.Stats.uncertaintyOfJoint(
+      joint.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the joint-count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("joint" -> joint))
 
@@ -1334,6 +1342,14 @@ object Streaming {
 
     /** current (k, n, df, q) row — equals the batch cochranQ */
     def readout: DataFrame = graft.functions.Curation.cochranOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+      flags.size)
+
+    /** second readout off the SAME panel state: Fleiss' kappa agreement
+      * ([[graft.functions.Curation.fleissOfCounts]]) — equals the batch
+      * [[graft.functions.Curation.fleissKappa]] over everything seen
+      */
+    def agreement: DataFrame = graft.functions.Curation.fleissOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")),
       flags.size)
 

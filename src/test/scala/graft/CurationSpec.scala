@@ -425,4 +425,24 @@ class CurationSpec extends SparkSpec {
       col("id") === 0)).head()
     assert(withNull.getLong(1) == 3L)
   }
+
+  test("fleissKappa: hand-computed P-bar/P-e/kappa, perfect and unanimous panels") {
+    import spark.implicits._
+    val ids = (0 until 4).toDF("id")
+    // same panel as the cochran spec: R=(3,1,2,0) -> P-bar 2/3, p1 .5,
+    // P-e .5; kappa from the ROUNDED pieces: .166667/.5 = .333334
+    val out = Curation.fleissKappa(ids, Seq(
+      col("id") <= 2, col("id").isin(0, 2), col("id") === 0)).head()
+    assert(out.getLong(0) == 3L && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 0.666667 && out.getDouble(3) == 0.5 &&
+      out.getDouble(4) == 0.333334, s"got $out")
+    // three identical filters: perfect agreement, kappa 1
+    val perf = Curation.fleissKappa(ids, Seq(
+      col("id") < 2, col("id") < 2, col("id") < 2)).head()
+    assert(perf.getDouble(2) == 1.0 && perf.getDouble(4) == 1.0)
+    // unanimous all-true everywhere: P-e 1 reads kappa 0 by convention
+    val un = Curation.fleissKappa(ids, Seq(lit(true), lit(true), lit(true)))
+      .head()
+    assert(un.getDouble(3) == 1.0 && un.getDouble(4) == 0.0)
+  }
 }

@@ -399,6 +399,28 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("theilU: directional coefficients expose asymmetric dependence, symmetric case reads 1") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // x fully determines y AND vice versa: both Us are 1
+    val bij = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val rb = Stats.theilU(bij, "x", "y").head()
+    assert(rb.getDouble(6) == 1.0 && rb.getDouble(7) == 1.0)
+    // x=(a,a,b,c) y=(1,1,2,2): y is a FUNCTION of x (u_yx=1) but x is
+    // not recoverable from y (u_xy = MI/Hx = ln2 / 1.5ln2, rounded pieces)
+    val asym = Seq(("a", 1), ("a", 1), ("b", 2), ("c", 2)).toDF("x", "y")
+    val ra = Stats.theilU(asym, "x", "y").head()
+    assert(ra.getDouble(6) == 0.666666 && ra.getDouble(7) == 1.0,
+      s"u_xy ${ra.getDouble(6)} u_yx ${ra.getDouble(7)}")
+    // independent columns: both Us 0
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val ri = Stats.theilU(ind, "x", "y").head()
+    assert(ri.getDouble(6) == 0.0 && ri.getDouble(7) == 0.0)
+    // constant x: nothing to explain -> u_xy 0 by convention
+    val const = Seq(("a", 1), ("a", 2)).toDF("x", "y")
+    assert(Stats.theilU(const, "x", "y").head().getDouble(6) == 0.0)
+  }
+
   test("cohensD: hand-computed d and Hedges g, degenerate pooled variance reads NULL") {
     import spark.implicits._
     import graft.functions.Stats

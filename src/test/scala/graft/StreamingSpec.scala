@@ -1081,6 +1081,8 @@ class StreamingSpec extends SparkSpec {
     cm3.restoreState(spark, ckpt)
     (2 until 5).foreach(b => cm3.update(docs.filter(col("doc_id") % 5 === b)))
     assert(row(cm3.readout) == batch)
+    // second readout off the same restored panel state: Fleiss' kappa
+    assert(row(cm3.agreement) == row(Curation.fleissKappa(docs, flags)))
   }
 
   test("mixture monitor: folded masses read out the batch τ-sampling rates, survive restart") {
@@ -1125,6 +1127,9 @@ class StreamingSpec extends SparkSpec {
     // second readout of the same joint state: Cramér's V equals its batch twin
     assert(row(mm3.association) ==
       row(graft.functions.Stats.cramersV(ev, "event_type", "hr")))
+    // third readout: Theil's directional Us equal their batch twin
+    assert(row(mm3.uncertainty) ==
+      row(graft.functions.Stats.theilU(ev, "event_type", "hr")))
   }
 
   test("linkage monitor: accreted links equal the batch link, survive restart") {

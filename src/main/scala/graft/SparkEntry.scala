@@ -3410,6 +3410,25 @@ object SparkEntry {
       km.spread
     }),
 
+    // exact interpolated quantiles of VALUE: the percentile contract
+    // without a global sort — conditional-min order stats against the
+    // prefix-scanned count table, quantile_cont interpolation
+    "stats_quantile_exact" -> ((s, dir) => {
+      graft.functions.Stats.exactQuantiles(events(s, dir), col("value"),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
+    // streaming exact quantiles (batch replay of 5 batches): third
+    // readout off the same pair-additive count state as stream_kruskal /
+    // stream_levene — equals the batch quantiles; same oracle
+    "stream_quantile_exact" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KruskalMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.quantiles(Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // two-proportion z: did the PURCHASE SHARE of traffic move between the
     // month's halves — each arm collapses to its exact (n, successes) pair
     // in ONE reduce, pooled-SE z in fixed double order; zero data shuffle
@@ -4047,6 +4066,37 @@ object SparkEntry {
            CASE WHEN k <= 1 OR corr <= 0.0 THEN NULL
                 ELSE round(CAST(h / corr AS DECIMAL(18,8)), 6)::DOUBLE END AS h
          FROM m"""
+
+  /** exact-quantile replay (per-value counts, inclusive cumulative,
+    * conditional-min order statistics, quantile_cont interpolation in
+    * fixed double order) — shared by `stats_quantile_exact` and
+    * `stream_quantile_exact` (the count state is the summed additive
+    * KruskalMonitor state).
+    */
+  private val quantileExactOracleSql =
+    """WITH c AS (
+           SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+               FROM c),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+         j AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos
+               FROM qs CROSS JOIN t),
+         m AS (
+           SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+             pos - floor(pos) AS frac
+           FROM j),
+         r AS (
+           SELECT m.q, m.n, m.frac,
+             min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
+             min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
+               END)::DOUBLE AS xhi
+           FROM m CROSS JOIN s GROUP BY 1, 2, 3)
+         SELECT q, n,
+           round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+             6)::DOUBLE AS value
+         FROM r ORDER BY q"""
 
   /** Brown–Forsythe replay (same (value,group) counts as kruskal,
     * per-group conditional-min order-stat medians off a partitioned
@@ -9217,6 +9267,9 @@ object SparkEntry {
     // Brown-Forsythe replay: same count state, deviation-moment F
     "stats_levene" -> leveneOracleSql,
     "stream_levene" -> leveneOracleSql,
+    // exact-quantile replay: same count state, order-stat interpolation
+    "stats_quantile_exact" -> quantileExactOracleSql,
+    "stream_quantile_exact" -> quantileExactOracleSql,
 
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive

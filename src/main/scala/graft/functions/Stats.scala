@@ -1517,6 +1517,63 @@ object Stats {
           .otherwise(round((h / corr).cast(dec8), 6).cast("double")).as("h"))
   }
 
+  /** Exact distributed quantiles of a numeric column — the
+    * percentile-contract readout [[histogramQuantiles]]'s fixed-width
+    * bins can only bracket: the exact linearly-interpolated order
+    * statistic at each requested q (Spark `percentile` / DuckDB
+    * `quantile_cont` semantics), computed WITHOUT a global sort and
+    * WITHOUT an unpartitioned window.
+    *
+    * Scale shape: the corpus collapses ONCE to the per-value count
+    * table — bounded by DISTINCT values, never rows (for continuous
+    * doubles, pre-round to the precision the contract needs —
+    * [[histogramQuantiles]] covers the truly-unbounded case); inclusive
+    * cumulatives ride the deterministic-bucket prefix scan
+    * ([[graft.core.Scans.cumulative]]), each quantile is two
+    * conditional-min order statistics against a broadcast q table plus
+    * one interpolation in fixed double order. The count table is the
+    * summed [[graft.streaming.Streaming.KruskalMonitor]] state, whose
+    * `quantiles` readout IS this table — live percentile contracts with
+    * no extra state.
+    *
+    * Returns one row per q: (q, n, value) at 6dp, ordered by q; value is
+    * NULL when the input is empty.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+                     qs: Seq[Double]): DataFrame =
+    quantilesOfCounts(
+      df.groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")), qs)
+
+  /** [[exactQuantiles]]'s readout from an already-built (__v, __c) count
+    * table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def quantilesOfCounts(counts: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must lie in [0, 1]")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded count table feeds the cumulative and the total —
+    // frozen, or the corpus count aggregation runs twice
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val cum = graft.core.Scans.cumulative(c, "__v", Seq("__c"))
+    val tot = broadcast(c.agg(sum(col("__c")).as("__n")))
+    val qdf = broadcast(c.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q")))
+    val pos = (col("__n").cast("double") - lit(1.0)) * col("q")
+    val lo = floor(pos).cast("long") + lit(1L)
+    val frac = pos - floor(pos)
+    val r = cum.crossJoin(qdf).crossJoin(tot)
+      .groupBy(col("q"), col("__n"), frac.as("__frac"))
+      .agg(
+        min(when(col("cum___c") >= lo, col("__v"))).cast("double").as("__xlo"),
+        min(when(col("cum___c") >= least(lo + lit(1L), col("__n")), col("__v")))
+          .cast("double").as("__xhi"))
+    r.select(col("q"), col("__n").as("n"),
+      round((col("__xlo") + (col("__xhi") - col("__xlo")) * col("__frac"))
+        .cast(dec8), 6).cast("double").as("value"))
+      .orderBy(col("q"))
+  }
+
   /** Brown–Forsythe test of equal SPREAD across k groups (Levene's test
     * with median centers — the robust standard form): [[anovaF]] and
     * [[kruskalWallis]] ask whether the cohorts' LEVELS differ; this asks

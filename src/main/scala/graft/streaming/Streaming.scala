@@ -900,6 +900,16 @@ object Streaming {
     def spread: DataFrame = graft.functions.Stats.bfOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** third readout off the SAME count state (groups summed away): the
+      * exact interpolated quantiles
+      * ([[graft.functions.Stats.quantilesOfCounts]]) — equals the batch
+      * [[graft.functions.Stats.exactQuantiles]] over everything seen
+      */
+    def quantiles(qs: Seq[Double]): DataFrame =
+      graft.functions.Stats.quantilesOfCounts(
+        counts.getOrElse(throw new IllegalStateException("no batches ingested"))
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__c")), qs)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

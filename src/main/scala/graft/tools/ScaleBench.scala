@@ -583,6 +583,12 @@ object ScaleBench {
       ("stats_levene", maxEvent, maxEvent * copies,
         () => force(Stats.leveneTest(ev1, col("event_type"), col("value"))),
         () => force(Stats.leveneTest(ev10, col("event_type"), col("value")))),
+      // per-value count reduce + prefix scan + conditional-min order stats
+      ("stats_quantile_exact", maxEvent, maxEvent * copies,
+        () => force(Stats.exactQuantiles(ev1, col("value"),
+          Seq(0.25, 0.5, 0.9, 0.99))),
+        () => force(Stats.exactQuantiles(ev10, col("value"),
+          Seq(0.25, 0.5, 0.9, 0.99)))),
       // per-value count reduce + deterministic-bucket prefix scan; salted
       // copies grow the distinct-value table 10x alongside the rows
       ("stats_mwu", maxEvent, maxEvent * copies,

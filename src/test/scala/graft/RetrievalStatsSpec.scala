@@ -399,6 +399,28 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.anovaF(const, col("g"), col("v")).head().isNullAt(4))
   }
 
+  test("exactQuantiles: interpolated order stats match percentile semantics, duplicates honored") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val out = Stats.exactQuantiles(df, col("v"), Seq(0.0, 0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(out == Map(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0, 1.0 -> 40.0),
+      s"got $out")
+    // duplicates collapse into the count table but weight the positions
+    val dup = Seq(1.0, 1.0, 2.0).toDF("v")
+    assert(Stats.exactQuantiles(dup, col("v"), Seq(0.5)).head().getDouble(2)
+      == 1.0)
+    // agreement with Spark's own exact percentile on a larger frame
+    val big = (1 to 101).map(i => ((i * 37) % 101).toDouble).toDF("v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val mine = Stats.exactQuantiles(big, col("v"), qs)
+      .collect().map(_.getDouble(2)).toSeq
+    val ref = big.agg(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    assert(mine(1) == ref, s"median ${mine(1)} vs percentile $ref")
+    assert(mine == Seq(10.0, 50.0, 90.0))
+  }
+
   test("theilU: directional coefficients expose asymmetric dependence, symmetric case reads 1") {
     import spark.implicits._
     import graft.functions.Stats

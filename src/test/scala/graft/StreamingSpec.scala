@@ -849,6 +849,10 @@ class StreamingSpec extends SparkSpec {
     assert(row(km.readout) == batch)
     // second readout off the same count state: Brown-Forsythe spread
     assert(row(km.spread) == row(graft.functions.Stats.leveneTest(ev, g, v)))
+    // third readout off the same count state: exact quantiles
+    val qs = Seq(0.25, 0.5, 0.9)
+    assert(row(km.quantiles(qs)) ==
+      row(graft.functions.Stats.exactQuantiles(ev, v, qs)))
     val ckpt = java.nio.file.Files.createTempDirectory("kw_state").toString
     val km2 = new Streaming.KruskalMonitor(g, v)
     (0 until 2).foreach(b => km2.update(ev.filter(col("event_id") % 5 === b)))

@@ -3429,6 +3429,37 @@ object SparkEntry {
       km.quantiles(Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // Jarque-Bera normality: is VALUE even bell-shaped — one additive
+    // exact-decimal power-sum row (n..Σx⁴ at DECIMAL(8,2) staging), fixed
+    // double order skew/kurtosis/JB, closed-form χ²(2) p = exp(−JB/2)
+    "stats_jarque_bera" -> ((s, dir) =>
+      graft.functions.Stats.jarqueBera(events(s, dir), col("value"))),
+
+    // streaming normality monitor (batch replay of 5 batches): power sums
+    // ADD, extremes merge by min/max — the readout equals the batch
+    // jarqueBera; same oracle
+    "stream_jarque_bera" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val nm = new graft.streaming.Streaming.NormalityMonitor(col("value"))
+      (0 until 5).foreach(b => nm.update(ev.filter(col("event_id") % 5 === b)))
+      nm.readout
+    }),
+
+    // Grubbs extreme-outlier statistic: is the single most extreme VALUE
+    // too far out to be chance — same additive moment row (min/max ride
+    // along), studentized max distance in fixed double order
+    "stats_grubbs" -> ((s, dir) =>
+      graft.functions.Stats.grubbsTest(events(s, dir), col("value"))),
+
+    // streaming Grubbs (batch replay of 5 batches): second readout off
+    // the same additive moment state as stream_jarque_bera; same oracle
+    "stream_grubbs" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val nm = new graft.streaming.Streaming.NormalityMonitor(col("value"))
+      (0 until 5).foreach(b => nm.update(ev.filter(col("event_id") % 5 === b)))
+      nm.extremes
+    }),
+
     // two-proportion z: did the PURCHASE SHARE of traffic move between the
     // month's halves — each arm collapses to its exact (n, successes) pair
     // in ONE reduce, pooled-SE z in fixed double order; zero data shuffle
@@ -4097,6 +4128,90 @@ object SparkEntry {
            round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
              6)::DOUBLE AS value
          FROM r ORDER BY q"""
+
+  /** Jarque–Bera replay (exact DECIMAL(8,2)-staged power sums, fixed
+    * double-order central moments, closed-form χ²(2) p) — shared by
+    * `stats_jarque_bera` and `stream_jarque_bera` (sums are additive).
+    */
+  private val jarqueBeraOracleSql =
+    """WITH mo AS (
+           SELECT count("value") AS n,
+             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
+             sum(CAST("value" AS DECIMAL(8,2))
+               * CAST("value" AS DECIMAL(8,2))) AS s2,
+             -- the square re-staged to DECIMAL(19,4) puts the 3rd/4th-power
+             -- products in DuckDB's hugeint lane (int64 raws overflow);
+             -- lossless, so the sums stay exact and equal Spark's decimals
+             sum(CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
+               * CAST("value" AS DECIMAL(8,2))) AS s3,
+             sum(CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
+               * CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))) AS s4
+           FROM events),
+         e AS (
+           SELECT n, s1::DOUBLE / n::DOUBLE AS m, s2::DOUBLE / n::DOUBLE AS e2,
+             s3::DOUBLE / n::DOUBLE AS e3, s4::DOUBLE / n::DOUBLE AS e4
+           FROM mo),
+         c AS (
+           SELECT n, m, e2 - m * m AS m2,
+             e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+             e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+           FROM e),
+         st AS (
+           SELECT n, m, m2, m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) - 3.0 AS kurt
+           FROM c),
+         f AS (
+           SELECT n, m, m2, skew, kurt,
+             n::DOUBLE / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb
+           FROM st)
+         SELECT n, round(CAST(m AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
+           CASE WHEN m2 <= 0.0 THEN NULL
+             ELSE round(CAST(sqrt(m2) AS DECIMAL(18,8)), 6)::DOUBLE END AS sd,
+           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(skew AS DECIMAL(18,8)), 6)::DOUBLE END AS skewness,
+           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(kurt AS DECIMAL(18,8)), 6)::DOUBLE END AS kurtosis,
+           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(jb AS DECIMAL(18,8)), 6)::DOUBLE END AS jb,
+           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(exp(-jb / 2.0) AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS p
+         FROM f"""
+
+  /** Grubbs replay (same exact moment row incl. min/max, sample sd,
+    * studentized max distance, 'low' wins ties) — shared by
+    * `stats_grubbs` and `stream_grubbs` (the state is additive).
+    */
+  private val grubbsOracleSql =
+    """WITH mo AS (
+           SELECT count("value") AS n,
+             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
+             sum(CAST("value" AS DECIMAL(8,2))
+               * CAST("value" AS DECIMAL(8,2))) AS s2,
+             min(CAST("value" AS DECIMAL(8,2))) AS lo,
+             max(CAST("value" AS DECIMAL(8,2))) AS hi
+           FROM events),
+         d AS (
+           SELECT n, s1::DOUBLE / n::DOUBLE AS m,
+             sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+               / (n::DOUBLE - 1.0)) AS s,
+             lo::DOUBLE AS lo, hi::DOUBLE AS hi
+           FROM mo),
+         g AS (
+           SELECT n, m, s, (m - lo) / s AS gl, (hi - m) / s AS gh
+           FROM d)
+         SELECT n, round(CAST(m AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
+           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
+             ELSE round(CAST(s AS DECIMAL(18,8)), 6)::DOUBLE END AS sd,
+           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
+             ELSE round(CAST(greatest(gl, gh) AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS g,
+           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
+             WHEN gl >= gh THEN 'low' ELSE 'high' END AS side
+         FROM g"""
 
   /** Brown–Forsythe replay (same (value,group) counts as kruskal,
     * per-group conditional-min order-stat medians off a partitioned
@@ -9270,6 +9385,11 @@ object SparkEntry {
     // exact-quantile replay: same count state, order-stat interpolation
     "stats_quantile_exact" -> quantileExactOracleSql,
     "stream_quantile_exact" -> quantileExactOracleSql,
+    // Jarque-Bera / Grubbs replay: same additive power-sum + extremes row
+    "stats_jarque_bera" -> jarqueBeraOracleSql,
+    "stream_jarque_bera" -> jarqueBeraOracleSql,
+    "stats_grubbs" -> grubbsOracleSql,
+    "stream_grubbs" -> grubbsOracleSql,
 
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive

@@ -1574,6 +1574,121 @@ object Stats {
       .orderBy(col("q"))
   }
 
+  /** Jarque–Bera normality test — "is this metric even bell-shaped":
+    * every z-score alarm ([[graft.functions.Events.anomaliesOfDaily]],
+    * the EWMA chart) and every t/F test upstream quietly assumes rough
+    * normality; JB is the moment-based check that assumption gets —
+    * skewness and excess kurtosis jointly against the normal's (0, 0),
+    * with the rare closed-form p: JB ~ χ²(2) and the χ²(2) survival
+    * function IS exp(−x/2), no approximation needed.
+    *
+    * Scale shape: the corpus collapses to ONE additive moment row
+    * (n, Σx, Σx², Σx³, Σx⁴, min, max) in a single map-side-combined
+    * pass — values staged to DECIMAL(8,2) so the fourth power still fits
+    * an EXACT decimal at (35,8) (wider inputs need a coarser staging;
+    * the events `value` domain is exactly 2dp); skewness
+    * m₃/m₂^{3/2}, excess kurtosis m₄/m₂²−3, and JB = n/6·(S² + K²/4)
+    * evaluate in fixed double order from the exact sums. The row is the
+    * [[graft.streaming.Streaming.NormalityMonitor]] state (sums add,
+    * min/max merge); zero data shuffle.
+    *
+    * Returns one row (n, mean, sd, skewness, kurtosis, jb, p) — sd is
+    * the population σ the moment ratios use; NULL statistics when the
+    * spread degenerates (m₂ ≤ 0) or n < 2.
+    */
+  def jarqueBera(df: DataFrame, valueCol: Column): DataFrame =
+    jbOfMoments(normalityMoments(df, valueCol))
+
+  /** the ONE pass that touches the data: the additive exact-decimal
+    * power-sum row (n, Σx, Σx², Σx³, Σx⁴, min, max) shared by
+    * [[jarqueBera]] and [[grubbsTest]] — the
+    * [[graft.streaming.Streaming.NormalityMonitor]] state
+    */
+  def normalityMoments(df: DataFrame, valueCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(8, 2)
+    val v = valueCol.cast(dec)
+    val v2 = v * v
+    df.agg(count(valueCol).as("__jn"),
+      sum(v).as("__j1"), sum(v2).as("__j2"),
+      sum(v2 * v).as("__j3"), sum(v2 * v2).as("__j4"),
+      min(v).as("__jlo"), max(v).as("__jhi"))
+  }
+
+  /** [[jarqueBera]]'s formula stage over an already-built moment row —
+    * the readout path the streaming monitor shares with the batch
+    * operator. Central moments from raw power sums in fixed double
+    * order: m₂ = E[x²]−m², m₃ = E[x³]−3mE[x²]+2m³,
+    * m₄ = E[x⁴]−4mE[x³]+6m²E[x²]−3m⁴.
+    */
+  def jbOfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d(c: String) = col(c).cast("double")
+    val n = d("__jn")
+    val m = d("__j1") / n
+    val e2 = d("__j2") / n
+    val e3 = d("__j3") / n
+    val e4 = d("__j4") / n
+    val m2 = e2 - m * m
+    val m3 = e3 - lit(3.0) * m * e2 + lit(2.0) * m * m * m
+    val m4 = e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
+      lit(3.0) * m * m * m * m
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val jb = n / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("__jn") < 2L || m2 <= 0.0
+    row.select(col("__jn").as("n"), r6(m).as("mean"),
+      when(m2 <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(sqrt(m2))).as("sd"),
+      when(bad, lit(null).cast("double")).otherwise(r6(skew)).as("skewness"),
+      when(bad, lit(null).cast("double")).otherwise(r6(kurt)).as("kurtosis"),
+      when(bad, lit(null).cast("double")).otherwise(r6(jb)).as("jb"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(exp(-jb / lit(2.0)))).as("p"))
+  }
+
+  /** Grubbs' extreme-outlier statistic — "is the single most extreme
+    * observation too far out to be chance": the data-quality twin of
+    * [[jarqueBera]] (JB says the WHOLE shape is off; Grubbs points at
+    * the one record — a corrupt sensor reading, a mispriced order —
+    * whose studentized distance from the mean is the corpus maximum).
+    *
+    * Scale shape: the IDENTICAL additive moment row as [[jarqueBera]]
+    * (min/max ride along, merging by min/max — the
+    * [[graft.streaming.Streaming.NormalityMonitor]] state, whose
+    * `extremes` readout IS this statistic); G = max(m̄−min, max−m̄)/s
+    * with the SAMPLE s, evaluated in fixed double order. Zero data
+    * shuffle.
+    *
+    * Returns one row (n, mean, sd, g, side) — side names the flagged
+    * tail ('low' wins ties); NULLs when n < 3 or the spread degenerates.
+    */
+  def grubbsTest(df: DataFrame, valueCol: Column): DataFrame =
+    grubbsOfMoments(normalityMoments(df, valueCol))
+
+  /** [[grubbsTest]]'s formula stage over an already-built moment row —
+    * the readout path the streaming monitor shares with the batch
+    * operator.
+    */
+  def grubbsOfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d(c: String) = col(c).cast("double")
+    val n = d("__jn")
+    val m = d("__j1") / n
+    val s = sqrt((d("__j2") - d("__j1") * d("__j1") / n) / (n - lit(1.0)))
+    val gl = (m - d("__jlo")) / s
+    val gh = (d("__jhi") - m) / s
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("__jn") < 3L || s <= 0.0 || isnull(s)
+    row.select(col("__jn").as("n"), r6(m).as("mean"),
+      when(bad, lit(null).cast("double")).otherwise(r6(s)).as("sd"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(greatest(gl, gh))).as("g"),
+      when(bad, lit(null).cast("string"))
+        .otherwise(when(gl >= gh, lit("low")).otherwise(lit("high")))
+        .as("side"))
+  }
+
   /** Brown–Forsythe test of equal SPREAD across k groups (Levene's test
     * with median centers — the robust standard form): [[anovaF]] and
     * [[kruskalWallis]] ask whether the cohorts' LEVELS differ; this asks

@@ -918,6 +918,58 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming normality monitor — "is this metric still bell-shaped,
+    * live": each micro-batch collapses to its exact-decimal power-sum
+    * row (n, Σx, Σx², Σx³, Σx⁴, min, max —
+    * [[graft.functions.Stats.normalityMoments]]); sums ADD and the
+    * extremes merge by min/max, so the 1-row state reads out a
+    * Jarque–Bera verdict bit-identical to the batch
+    * [[graft.functions.Stats.jarqueBera]] over everything seen, and the
+    * SAME row answers Grubbs' "is the single worst record an outlier"
+    * ([[extremes]]). The assumption-check layer under every z/t alarm
+    * upstream. Wire with [[foreachBatchMerge]]`(stream, nm.update)`.
+    */
+  class NormalityMonitor(valueCol: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var moments: Option[DataFrame] = None
+
+    /** fold one micro-batch's power-sum row into the 1-row state */
+    def update(batch: DataFrame): Unit = {
+      val bm = graft.functions.Stats.normalityMoments(batch, valueCol)
+      moments = Some(bridge.freeze(moments match {
+        case None => bm
+        case Some(m) =>
+          val merged = m.columns.map {
+            case c @ "__jlo" => min(col(c)).as(c)
+            case c @ "__jhi" => max(col(c)).as(c)
+            case c           => sum(col(c)).as(c)
+          }
+          m.unionByName(bm).agg(merged.head, merged.tail: _*)
+      }))
+    }
+
+    private def state: DataFrame = moments.getOrElse(
+      throw new IllegalStateException("no batches ingested"))
+
+    /** current (n, mean, sd, skewness, kurtosis, jb, p) — equals the
+      * batch [[graft.functions.Stats.jarqueBera]]
+      */
+    def readout: DataFrame = graft.functions.Stats.jbOfMoments(state)
+
+    /** second readout off the SAME moment state: Grubbs' extreme-outlier
+      * statistic ([[graft.functions.Stats.grubbsOfMoments]]) — equals
+      * the batch [[graft.functions.Stats.grubbsTest]]
+      */
+    def extremes: DataFrame = graft.functions.Stats.grubbsOfMoments(state)
+
+    /** persist the moment state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+
+    /** restore moment state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      moments = MonitorState.load(spark, dir, "moments")
+  }
+
   /** Streaming two-proportion monitor — the live RATE comparison (A/B
     * conversion, filter keep-rate vs the frozen control): both arms'
     * (n, successes) pairs are exact-integer ADDITIVE, so the 1-row state

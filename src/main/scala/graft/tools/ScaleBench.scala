@@ -589,6 +589,10 @@ object ScaleBench {
           Seq(0.25, 0.5, 0.9, 0.99))),
         () => force(Stats.exactQuantiles(ev10, col("value"),
           Seq(0.25, 0.5, 0.9, 0.99)))),
+      // one map-side-combined power-sum reduce; readout is a 1-row formula
+      ("stats_jarque_bera", maxEvent, maxEvent * copies,
+        () => force(Stats.jarqueBera(ev1, col("value"))),
+        () => force(Stats.jarqueBera(ev10, col("value")))),
       // per-value count reduce + deterministic-bucket prefix scan; salted
       // copies grow the distinct-value table 10x alongside the rows
       ("stats_mwu", maxEvent, maxEvent * copies,

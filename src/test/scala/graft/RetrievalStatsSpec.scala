@@ -421,6 +421,44 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(mine == Seq(10.0, 50.0, 90.0))
   }
 
+  test("jarqueBera: moment ratios match Spark's builtin skewness/kurtosis, chi2(2) p closed form") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = Seq(1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 10.0).toDF("v")
+    val r = Stats.jarqueBera(df, col("v")).head()
+    assert(r.getLong(0) == 8L)
+    val ref = df.agg(skewness(col("v")), kurtosis(col("v"))).head()
+    assert(math.abs(r.getDouble(3) - ref.getDouble(0)) < 1e-6, "skewness")
+    assert(math.abs(r.getDouble(4) - ref.getDouble(1)) < 1e-6, "kurtosis")
+    // JB and its exact chi2(2) survival p agree with the hand formula
+    val jb = 8.0 / 6.0 * (math.pow(ref.getDouble(0), 2) +
+      math.pow(ref.getDouble(1), 2) / 4.0)
+    assert(math.abs(r.getDouble(5) - jb) < 1e-5, s"jb ${r.getDouble(5)} vs $jb")
+    assert(math.abs(r.getDouble(6) - math.exp(-jb / 2.0)) < 1e-5)
+    // constant column: spread degenerates, statistics NULL, n/mean kept
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Stats.jarqueBera(const, col("v")).head()
+    assert(c.getLong(0) == 3L && c.getDouble(1) == 5.0 && c.isNullAt(5))
+  }
+
+  test("grubbs: studentized max distance flags the right tail, ties go low, degenerate is NULL") {
+    import spark.implicits._
+    import graft.functions.Stats
+    val df = Seq(1.0, 2.0, 3.0, 100.0).toDF("v")
+    val r = Stats.grubbsTest(df, col("v")).head()
+    val m = 106.0 / 4.0
+    val s = math.sqrt((10014.0 - 106.0 * 106.0 / 4.0) / 3.0)
+    assert(r.getDouble(1) == 26.5)
+    assert(math.abs(r.getDouble(3) - (100.0 - m) / s) < 1e-6)
+    assert(r.getString(4) == "high")
+    // symmetric data: both tails equal, 'low' wins the tie
+    val sym = Seq(1.0, 2.0, 3.0).toDF("v")
+    assert(Stats.grubbsTest(sym, col("v")).head().getString(4) == "low")
+    // constant column degenerates to NULLs
+    assert(Stats.grubbsTest(Seq(7.0, 7.0, 7.0).toDF("v"), col("v"))
+      .head().isNullAt(3))
+  }
+
   test("theilU: directional coefficients expose asymmetric dependence, symmetric case reads 1") {
     import spark.implicits._
     import graft.functions.Stats

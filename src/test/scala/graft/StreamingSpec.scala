@@ -863,6 +863,27 @@ class StreamingSpec extends SparkSpec {
     assert(row(km3.readout) == batch)
   }
 
+  test("normality monitor: additive power sums read out the batch jarqueBera and grubbs, survives restart") {
+    val ev = spark.read.parquet(stagedDir)
+    val v = col("value")
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val batch = row(graft.functions.Stats.jarqueBera(ev, v))
+    val nm = new Streaming.NormalityMonitor(v)
+    (0 until 5).foreach(b => nm.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(nm.readout) == batch)
+    // second readout off the same moment state: Grubbs extremes
+    assert(row(nm.extremes) == row(graft.functions.Stats.grubbsTest(ev, v)))
+    val ckpt = java.nio.file.Files.createTempDirectory("norm_state").toString
+    val nm2 = new Streaming.NormalityMonitor(v)
+    (0 until 2).foreach(b => nm2.update(ev.filter(col("event_id") % 5 === b)))
+    nm2.saveState(ckpt)
+    val nm3 = new Streaming.NormalityMonitor(v)
+    nm3.restoreState(spark, ckpt)
+    (2 until 5).foreach(b => nm3.update(ev.filter(col("event_id") % 5 === b)))
+    assert(row(nm3.readout) == batch)
+    assert(row(nm3.extremes) == row(graft.functions.Stats.grubbsTest(ev, v)))
+  }
+
   test("proportion monitor: additive arm counts read out the batch twoProportionZ, survives restart") {
     val ev = spark.read.parquet(stagedDir)
     val armA = to_date(col("ts")) <= lit("2024-01-15").cast("date")

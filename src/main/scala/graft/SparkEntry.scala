@@ -626,6 +626,24 @@ object SparkEntry {
       vm.autocorrelation(maxLag = 7)
     }),
 
+    // Ljung-Box white-noise test: is the daily-volume ACF's structure
+    // real — Q pools the 7 lag correlations off the same bounded day
+    // table; n falls out of the dense pair index, terms decimal-staged
+    "events_ljung_box" -> ((s, dir) => {
+      graft.functions.Events.ljungBox(events(s, dir), "event_type", "ts",
+        maxLag = 7)
+    }),
+
+    // streaming Ljung-Box (batch replay of 5 batches): eighth readout off
+    // the same additive daily-count state — equals the batch Q; same
+    // oracle
+    "stream_ljung_box" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.whiteNoise(maxLag = 7)
+    }),
+
     // Pettitt changepoint: WHICH day the volume regime shifted — per-day
     // vote sums off the bounded day-pair join, partitioned prefix U_t,
     // exact-integer K with first-day tie-break, fixed-order approximate p
@@ -4718,6 +4736,61 @@ object SparkEntry {
               ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
               END AS r
        FROM agg ORDER BY event_type, lag"""
+
+  /** Ljung–Box replay (the ACF replay verbatim, then each lag's
+    * r²/(n−k) decimal-staged before the k-row sum, Q in fixed double
+    * order; n_days from the dense pair index) — shared by
+    * `events_ljung_box` and `stream_ljung_box` (daily counts are
+    * additive).
+    */
+  private val ljungBoxOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
+           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+         FROM d GROUP BY 1),
+       idx AS (
+         SELECT event_type, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+       p AS (
+         SELECT a.event_type, l.lag AS lag,
+           CAST((a.n::DOUBLE - st.s::DOUBLE / st.dd)
+             * (b.n::DOUBLE - st.s::DOUBLE / st.dd) AS DECIMAL(28,10)) AS num,
+           st.s2::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.dd AS den
+         FROM idx a CROSS JOIN lags l
+           JOIN idx b ON a.event_type = b.event_type AND b.t = a.t - l.lag
+           JOIN st ON a.event_type = st.event_type),
+       agg AS (
+         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(num) AS nm, min(den) AS dn
+         FROM p GROUP BY 1, 2),
+       acf AS (
+         SELECT event_type, lag, n_pairs,
+           CASE WHEN dn <= 0.0 THEN NULL
+                ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
+                END AS r
+         FROM agg),
+       tm AS (
+         SELECT event_type, n_pairs + lag AS dd,
+           CASE WHEN r IS NULL THEN NULL
+                ELSE CAST(r * r / n_pairs::DOUBLE AS DECIMAL(28,10)) END AS tm
+         FROM acf),
+       g AS (
+         SELECT event_type, max(dd) AS n_days,
+           CAST(count(tm) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS lags,
+           sum(tm) AS st
+         FROM tm GROUP BY 1)
+       SELECT event_type, n_days, m,
+         CASE WHEN lags != 7 OR m != lags THEN NULL
+              ELSE round(CAST(n_days::DOUBLE * (n_days::DOUBLE + 2.0)
+                * st::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE END AS q
+       FROM g ORDER BY event_type"""
 
   /** Pettitt changepoint replay (daily counts, day-pair vote sums,
     * partitioned prefix U, exact-integer K with first-day tie-break,
@@ -9524,6 +9597,9 @@ object SparkEntry {
     "stream_mannkendall" -> mannKendallOracleSql,
     "events_acf" -> acfOracleSql,
     "stream_acf" -> acfOracleSql,
+    // Ljung-Box replay: ACF replay + pooled Q off the same day table
+    "events_ljung_box" -> ljungBoxOracleSql,
+    "stream_ljung_box" -> ljungBoxOracleSql,
     "events_pettitt" -> pettittOracleSql,
     "stream_pettitt" -> pettittOracleSql,
 

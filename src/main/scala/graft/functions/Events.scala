@@ -814,6 +814,60 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Ljung–Box white-noise test over the daily-volume series — the ACF's
+    * verdict layer: [[acfDaily]] prints seven correlations and leaves
+    * "is any of this structure real" to the reader; Ljung–Box pools them
+    * into ONE portmanteau statistic Q = n(n+2)·Σ_k r_k²/(n−k) ~ χ²(m)
+    * under the no-autocorrelation null — the standard pre-check before
+    * trusting [[seasonalForecast]]'s day-of-week profile or treating
+    * [[dailyAnomalies]]'s z-scores as independent.
+    *
+    * Scale shape: rides [[acfOfDaily]] unchanged (bounded day table,
+    * broadcast lag range, decimal-staged cross products); the Q stage
+    * needs NOTHING beyond the k-row ACF output — n falls out of the
+    * dense pair index (n_pairs + lag = days), each lag's r²/(n−k) term
+    * is decimal-staged before the k-row sum, Q in fixed double order.
+    * The day table is the [[graft.streaming.Streaming.VolumeMonitor]]
+    * state, whose `whiteNoise` readout IS this test.
+    *
+    * Returns one row per event_type (event_type, n_days, m, q); q is
+    * NULL unless all `maxLag` lags produced a defined r (degenerate
+    * variance or a series shorter than maxLag+1 days).
+    */
+  def ljungBox(df: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts", maxLag: Int = 7): DataFrame =
+    ljungBoxOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")), maxLag)
+
+  /** [[ljungBox]]'s readout over an already-built (event_type, day, n)
+    * count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical Q
+    * off its accreted count state.
+    */
+  def ljungBoxOfDaily(dailyCounts: DataFrame, maxLag: Int = 7): DataFrame = {
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val acf = acfOfDaily(dailyCounts, maxLag)
+    // the dense pair index makes n_pairs = days − lag, so the day count
+    // rides along for free — no second pass over the corpus
+    val terms = acf.select(col("event_type"),
+      (col("n_pairs") + col("lag")).as("__dd"),
+      when(col("r").isNull, lit(null).cast(decT))
+        .otherwise((col("r") * col("r") / col("n_pairs").cast("double"))
+          .cast(decT)).as("__tm"))
+    val g = terms.groupBy(col("event_type")).agg(
+      max(col("__dd")).as("__n"), count(col("__tm")).as("m"),
+      count(lit(1)).as("__lags"), sum(col("__tm")).as("__st"))
+    val nd = col("__n").cast("double")
+    g.select(col("event_type"), col("__n").as("n_days"), col("m"),
+        when(col("__lags") =!= lit(maxLag.toLong) || col("m") =!= col("__lags"),
+          lit(null).cast("double"))
+          .otherwise(round((nd * (nd + lit(2.0)) * col("__st").cast("double"))
+            .cast(dec8), 6).cast("double")).as("q"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -417,6 +417,16 @@ object Streaming {
       graft.functions.Events.pettittOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** eighth readout off the accreted count state: the Ljung–Box
+      * portmanteau Q ([[graft.functions.Events.ljungBoxOfDaily]]) — "is
+      * the ACF's structure real or white noise", pooled across lags;
+      * batch-exact by the same additivity
+      */
+    def whiteNoise(maxLag: Int = 7): DataFrame =
+      graft.functions.Events.ljungBoxOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        maxLag)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

@@ -636,6 +636,10 @@ object ScaleBench {
       ("events_acf", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.acfDaily(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.acfDaily(ev10, "event_type", "ts"))),
+      // the ACF pipeline + a k-row pooled-Q stage on top
+      ("events_ljung_box", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.ljungBox(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.ljungBox(ev10, "event_type", "ts"))),
       // daily count reduce + bounded day-pair votes + partitioned prefix U
       ("events_pettitt", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.pettitt(ev1, "event_type", "ts")),

@@ -179,6 +179,26 @@ class EventsSpec extends SparkSpec {
     assert(out.length == 8, s"expected 8 (3+3+2) rows, got ${out.length}")
   }
 
+  test("ljungBox: pooled Q matches hand-computed ACF terms, degenerate series reads NULL") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def series(tpe: String, vals: Seq[Int]) = vals.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (tpe, ts(d + 1, i)))
+    }
+    // a: r = (0.25, -0.3, -0.45), n=4 -> Q = 4*6*(r1²/3 + r2²/2 + r3²/1)
+    // b: r = (-0.75, 0.5, -0.25)     -> Q = 24*0.375 = 9.0
+    // c: constant -> every r NULL and lag 3 absent -> Q NULL, m = 0
+    val ev = (series("a", Seq(1, 2, 3, 4)) ++ series("b", Seq(1, 3, 1, 3))
+      ++ series("c", Seq(5, 5, 5))).toDF("event_type", "ts")
+    val out = Events.ljungBox(ev, "event_type", "ts", maxLag = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out("a") == ((4L, 3L, 6.44)), s"got ${out("a")}")
+    assert(out("b") == ((4L, 3L, 9.0)), s"got ${out("b")}")
+    assert(out("c") == ((3L, 0L, null)), s"got ${out("c")}")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

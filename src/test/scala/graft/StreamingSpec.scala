@@ -698,6 +698,9 @@ class StreamingSpec extends SparkSpec {
     // seventh readout off the same state: the Pettitt changepoint
     assert(mkRows(vm3.changepoint) ==
       mkRows(graft.functions.Events.pettitt(ev, "event_type", "ts")))
+    // eighth readout off the same state: the Ljung-Box white-noise Q
+    assert(mkRows(vm3.whiteNoise()) ==
+      mkRows(graft.functions.Events.ljungBox(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

@@ -644,6 +644,23 @@ object SparkEntry {
       vm.whiteNoise(maxLag = 7)
     }),
 
+    // Durbin-Watson on the detrended daily volumes: do residuals around
+    // the per-type OLS line lean on each other — five-moment exact row,
+    // fixed-order residuals, lag-1 self-join, decimal-staged quadratics
+    "events_durbin_watson" -> ((s, dir) => {
+      graft.functions.Events.durbinWatson(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Durbin-Watson (batch replay of 5 batches): ninth readout
+    // off the same additive daily-count state — equals the batch DW;
+    // same oracle
+    "stream_durbin_watson" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.residualAutocorr
+    }),
+
     // Pettitt changepoint: WHICH day the volume regime shifted — per-day
     // vote sums off the bounded day-pair join, partitioned prefix U_t,
     // exact-integer K with first-day tie-break, fixed-order approximate p
@@ -4791,6 +4808,60 @@ object SparkEntry {
               ELSE round(CAST(n_days::DOUBLE * (n_days::DOUBLE + 2.0)
                 * st::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE END AS q
        FROM g ORDER BY event_type"""
+
+  /** Durbin–Watson replay (daily counts, per-type five-moment OLS fit,
+    * fixed-order residuals, lag-1 self-join on the dense index,
+    * decimal-staged quadratic sums) — shared by `events_durbin_watson`
+    * and `stream_durbin_watson` (daily counts are additive).
+    */
+  private val durbinWatsonOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       mo AS (
+         SELECT event_type, count(*) AS dd,
+           sum(t::DECIMAL(15,0)) AS st, sum(n::DECIMAL(15,0)) AS sy,
+           sum(t::DECIMAL(15,0) * n::DECIMAL(15,0)) AS sty,
+           sum(t::DECIMAL(15,0) * t::DECIMAL(15,0)) AS stt
+         FROM idx GROUP BY 1),
+       fit AS (
+         SELECT event_type, dd,
+           dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE AS det,
+           (dd::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+             / (dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE) AS b,
+           (sy::DOUBLE - (dd::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+             / (dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+             * st::DOUBLE) / dd::DOUBLE AS a
+         FROM mo),
+       res AS (
+         SELECT i.event_type, i.t, f.dd, f.det, f.b,
+           i.n::DOUBLE - (f.a + f.b * i.t::DOUBLE) AS e
+         FROM idx i JOIN fit f ON i.event_type = f.event_type),
+       nm AS (
+         SELECT a.event_type,
+           sum(CAST((a.e - p.e) * (a.e - p.e) AS DECIMAL(28,10))) AS num
+         FROM res a JOIN res p
+           ON a.event_type = p.event_type AND p.t = a.t - 1
+         GROUP BY 1),
+       dn AS (
+         SELECT event_type, min(dd) AS dd, min(det) AS det, min(b) AS b,
+           sum(CAST(e * e AS DECIMAL(28,10))) AS den
+         FROM res GROUP BY 1)
+       SELECT dn.event_type, dd AS n_days,
+         CASE WHEN dd < 3 OR det <= 0.0 THEN NULL
+              ELSE round(CAST(b AS DECIMAL(18,8)), 6)::DOUBLE END AS slope,
+         CASE WHEN dd < 3 OR det <= 0.0 OR den::DOUBLE <= 0.0
+                OR nm.num IS NULL THEN NULL
+              ELSE round(CAST(nm.num::DOUBLE / dn.den::DOUBLE
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS dw
+       FROM dn LEFT JOIN nm ON dn.event_type = nm.event_type
+       ORDER BY dn.event_type"""
 
   /** Pettitt changepoint replay (daily counts, day-pair vote sums,
     * partitioned prefix U, exact-integer K with first-day tie-break,
@@ -9600,6 +9671,9 @@ object SparkEntry {
     // Ljung-Box replay: ACF replay + pooled Q off the same day table
     "events_ljung_box" -> ljungBoxOracleSql,
     "stream_ljung_box" -> ljungBoxOracleSql,
+    // Durbin-Watson replay: OLS fit + residual lag join off the day table
+    "events_durbin_watson" -> durbinWatsonOracleSql,
+    "stream_durbin_watson" -> durbinWatsonOracleSql,
     "events_pettitt" -> pettittOracleSql,
     "stream_pettitt" -> pettittOracleSql,
 

@@ -868,6 +868,94 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Durbin–Watson first-order autocorrelation test on the DETRENDED
+    * daily-volume series — [[ljungBox]] asks "is there structure at any
+    * lag" on the raw counts; DW asks the regression question: after the
+    * per-type OLS trend line is removed, do successive residuals still
+    * lean on each other (DW ≈ 2 independent, → 0 positively correlated,
+    * → 4 negatively)? The validity check for [[mannKendall]]/trend
+    * p-values, which assume independent errors.
+    *
+    * Scale shape: the corpus collapses ONCE to the bounded per-type day
+    * table (the [[graft.streaming.Streaming.VolumeMonitor]] state, whose
+    * `residualAutocorr` readout IS this test); per-type OLS comes from
+    * ONE five-moment exact-decimal row (t index from a PARTITIONED
+    * row_number window), residuals evaluate in fixed double order
+    * against the broadcast moment row, the lag-1 neighbor is a self-join
+    * on the dense index, and both quadratic sums are decimal-staged
+    * per-day before the per-type reduce.
+    *
+    * Returns one row per event_type (event_type, n_days, slope, dw); dw
+    * and slope are NULL when n_days < 3, the index degenerates, or the
+    * residual energy is zero.
+    */
+  def durbinWatson(df: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame =
+    dwOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[durbinWatson]]'s readout over an already-built (event_type, day,
+    * n) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical DW
+    * off its accreted count state.
+    */
+  def dwOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded day table feeds the moment row AND both residual sides
+    // — frozen, or the corpus count aggregation runs three times
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("n").cast("long").as("n"),
+      row_number().over(wIdx).cast("long").as("__t"))
+    val mom = broadcast(idx.groupBy(col("event_type")).agg(
+      count(lit(1)).as("__dd"),
+      sum(col("__t").cast(dec15)).as("__st"),
+      sum(col("n").cast(dec15)).as("__sy"),
+      sum(col("__t").cast(dec15) * col("n").cast(dec15)).as("__sty"),
+      sum(col("__t").cast(dec15) * col("__t").cast(dec15)).as("__stt")))
+    def d(c: String) = col(c).cast("double")
+    val det = d("__dd") * d("__stt") - d("__st") * d("__st")
+    val slope = (d("__dd") * d("__sty") - d("__st") * d("__sy")) / det
+    val icept = (d("__sy") - slope * d("__st")) / d("__dd")
+    val res = idx.join(mom, Seq("event_type"))
+      .select(col("event_type"), col("__t"), col("__dd"), det.as("__det"),
+        slope.as("__b"),
+        (col("n").cast("double") - (icept + slope * col("__t").cast("double")))
+          .as("__e"))
+    val prev = res.select(col("event_type"), col("__t").as("__tp"),
+      col("__e").as("__ep"))
+    val num = res.join(prev,
+        res("event_type") === prev("event_type") && col("__tp") === col("__t") - 1L)
+      .drop(prev("event_type"))
+      .select(col("event_type"),
+        ((col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+          .cast(decT).as("__d2"))
+      .groupBy(col("event_type")).agg(sum(col("__d2")).as("__num"))
+    res.select(col("event_type"), col("__dd"), col("__det"), col("__b"),
+        (col("__e") * col("__e")).cast(decT).as("__e2"))
+      .groupBy(col("event_type"))
+      .agg(min(col("__dd")).as("__dd"), min(col("__det")).as("__det"),
+        min(col("__b")).as("__b"), sum(col("__e2")).as("__den"))
+      .join(num, Seq("event_type"), "left")
+      .select(col("event_type"), col("__dd").as("n_days"),
+        when(col("__dd") < 3L || col("__det") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__b").cast(dec8), 6).cast("double"))
+          .as("slope"),
+        when(col("__dd") < 3L || col("__det") <= 0.0 ||
+            col("__den").cast("double") <= 0.0 || col("__num").isNull,
+          lit(null).cast("double"))
+          .otherwise(round((col("__num").cast("double")
+            / col("__den").cast("double")).cast(dec8), 6).cast("double"))
+          .as("dw"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -427,6 +427,15 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         maxLag)
 
+    /** ninth readout off the accreted count state: Durbin–Watson on the
+      * detrended series ([[graft.functions.Events.dwOfDaily]]) — do the
+      * residuals around the OLS trend line still lean on each other;
+      * batch-exact by the same additivity
+      */
+    def residualAutocorr: DataFrame =
+      graft.functions.Events.dwOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

@@ -640,6 +640,10 @@ object ScaleBench {
       ("events_ljung_box", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.ljungBox(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.ljungBox(ev10, "event_type", "ts"))),
+      // per-type OLS moment row + residual lag join on the bounded day table
+      ("events_durbin_watson", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.durbinWatson(ev1, "event_type", "ts")),
+        () => force(graft.functions.Events.durbinWatson(ev10, "event_type", "ts"))),
       // daily count reduce + bounded day-pair votes + partitioned prefix U
       ("events_pettitt", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.pettitt(ev1, "event_type", "ts")),

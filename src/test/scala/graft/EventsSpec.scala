@@ -199,6 +199,27 @@ class EventsSpec extends SparkSpec {
     assert(out("c") == ((3L, 0L, null)), s"got ${out("c")}")
   }
 
+  test("durbinWatson: alternating residuals read DW near 4, perfect trend reads NULL") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def series(tpe: String, vals: Seq[Int]) = vals.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (tpe, ts(d + 1, i)))
+    }
+    // a: 1,2,3,4 is a perfect line -> slope 1, zero residual energy -> NULL
+    // b: 1,3,1,3 -> slope 0.4, e = (-.4, 1.2, -1.2, .4), DW = 10.88/3.2
+    // c: constant -> slope 0, zero residuals -> NULL
+    val ev = (series("a", Seq(1, 2, 3, 4)) ++ series("b", Seq(1, 3, 1, 3))
+      ++ series("c", Seq(5, 5, 5))).toDF("event_type", "ts")
+    val out = Events.durbinWatson(ev, "event_type", "ts").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out("a") == ((4L, 1.0, null)), s"got ${out("a")}")
+    assert(out("b") == ((4L, 0.4, 3.4)), s"got ${out("b")}")
+    assert(out("c") == ((3L, 0.0, null)), s"got ${out("c")}")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -701,6 +701,9 @@ class StreamingSpec extends SparkSpec {
     // eighth readout off the same state: the Ljung-Box white-noise Q
     assert(mkRows(vm3.whiteNoise()) ==
       mkRows(graft.functions.Events.ljungBox(ev, "event_type", "ts")))
+    // ninth readout off the same state: Durbin-Watson on the residuals
+    assert(mkRows(vm3.residualAutocorr) ==
+      mkRows(graft.functions.Events.durbinWatson(ev, "event_type", "ts")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

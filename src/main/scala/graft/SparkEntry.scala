@@ -661,6 +661,42 @@ object SparkEntry {
       vm.residualAutocorr
     }),
 
+    // Wilcoxon signed-rank on paired daily volumes (click vs view): day
+    // by day, does one type out-fire the other — zero diffs drop, |d|
+    // ranks are doubled-integer order stats off the prefix scan, exact
+    // tie correction, fixed-order z
+    "events_wilcoxon" -> ((s, dir) => {
+      graft.functions.Events.wilcoxonSignedRank(events(s, dir),
+        "click", "view", "event_type", "ts")
+    }),
+
+    // streaming Wilcoxon (batch replay of 5 batches): tenth readout off
+    // the same additive daily-count state — equals the batch test; same
+    // oracle
+    "stream_wilcoxon" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.pairedShift("click", "view")
+    }),
+
+    // sign test over the same paired daily diffs: the assumption-free
+    // floor under events_wilcoxon — exact (n, n_pos) counts, z in fixed
+    // double order, no continuity correction
+    "events_sign_test" -> ((s, dir) => {
+      graft.functions.Events.signTest(events(s, dir),
+        "click", "view", "event_type", "ts")
+    }),
+
+    // streaming sign test (batch replay of 5 batches): eleventh readout
+    // off the same additive daily-count state; same oracle
+    "stream_sign_test" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.pairedSign("click", "view")
+    }),
+
     // Pettitt changepoint: WHICH day the volume regime shifted — per-day
     // vote sums off the bounded day-pair join, partitioned prefix U_t,
     // exact-integer K with first-day tie-break, fixed-order approximate p
@@ -4862,6 +4898,80 @@ object SparkEntry {
                 AS DECIMAL(18,8)), 6)::DOUBLE END AS dw
        FROM dn LEFT JOIN nm ON dn.event_type = nm.event_type
        ORDER BY dn.event_type"""
+
+  /** Wilcoxon signed-rank replay (paired day diffs with absent days as
+    * 0, zero-drop, doubled average ranks off the inclusive cumulative,
+    * exact tie term, fixed-order z) — shared by `events_wilcoxon` and
+    * `stream_wilcoxon` (daily counts are additive).
+    */
+  private val wilcoxonOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       a AS (SELECT day, n FROM d WHERE event_type = 'click'),
+       b AS (SELECT day, n FROM d WHERE event_type = 'view'),
+       df AS (
+         SELECT coalesce(a.n, 0) - coalesce(b.n, 0) AS dd
+         FROM a FULL OUTER JOIN b ON a.day = b.day),
+       t AS (
+         SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+         FROM df GROUP BY 1),
+       nz AS (
+         SELECT v, c, p, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+         FROM t WHERE v > 0),
+       r AS (
+         SELECT c, p, (2 * (cm - c) + c + 1)::DECIMAL(38,0) AS r2 FROM nz),
+       ag AS (
+         SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n,
+           sum(p::DECIMAL(38,0) * r2) AS w2,
+           sum(c::DECIMAL(38,0) * c::DECIMAL(38,0) * c::DECIMAL(38,0)
+             - c::DECIMAL(38,0)) AS ts
+         FROM r),
+       tot AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_days FROM t)
+       SELECT n_days, n,
+         CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(w2::DOUBLE / 2.0 AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS w_plus,
+         CASE WHEN n < 2
+                OR (n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0)
+                  / 24.0 - ts::DOUBLE / 48.0) <= 0.0 THEN NULL
+           ELSE round(CAST(
+             (w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0)
+             / sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0)
+               / 24.0 - ts::DOUBLE / 48.0) AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS z
+       FROM ag CROSS JOIN tot"""
+
+  /** Sign-test replay (same paired day diffs and zero-drop, exact
+    * (n, n_pos) counts, fixed-order z without continuity correction) —
+    * shared by `events_sign_test` and `stream_sign_test`.
+    */
+  private val signTestOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       a AS (SELECT day, n FROM d WHERE event_type = 'click'),
+       b AS (SELECT day, n FROM d WHERE event_type = 'view'),
+       df AS (
+         SELECT coalesce(a.n, 0) - coalesce(b.n, 0) AS dd
+         FROM a FULL OUTER JOIN b ON a.day = b.day),
+       t AS (
+         SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+         FROM df GROUP BY 1),
+       nz AS (
+         SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n,
+           coalesce(CAST(sum(p) AS BIGINT), 0) AS np
+         FROM t WHERE v > 0),
+       tot AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_days FROM t)
+       SELECT n_days, n, np AS n_pos, n - np AS n_neg,
+         CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST((2.0 * np::DOUBLE - n::DOUBLE) / sqrt(n::DOUBLE)
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+       FROM nz CROSS JOIN tot"""
 
   /** Pettitt changepoint replay (daily counts, day-pair vote sums,
     * partitioned prefix U, exact-integer K with first-day tie-break,
@@ -9674,6 +9784,11 @@ object SparkEntry {
     // Durbin-Watson replay: OLS fit + residual lag join off the day table
     "events_durbin_watson" -> durbinWatsonOracleSql,
     "stream_durbin_watson" -> durbinWatsonOracleSql,
+    // Wilcoxon / sign replay: same paired day-diff table, zero-drop
+    "events_wilcoxon" -> wilcoxonOracleSql,
+    "stream_wilcoxon" -> wilcoxonOracleSql,
+    "events_sign_test" -> signTestOracleSql,
+    "stream_sign_test" -> signTestOracleSql,
     "events_pettitt" -> pettittOracleSql,
     "stream_pettitt" -> pettittOracleSql,
 

@@ -956,6 +956,125 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Wilcoxon signed-rank test between two event types' PAIRED daily
+    * volumes — [[graft.functions.Stats.mannWhitney]] compares two
+    * independent samples; this is the paired question: day by day, does
+    * type A systematically out-fire type B (a feature launch vs its
+    * control metric, purchases vs refunds), robust to the heavy-tailed
+    * day sizes that break the paired t. Zero differences drop (standard
+    * Wilcoxon), ties in |d| get average ranks with the exact Σ(t³−t)
+    * variance correction.
+    *
+    * Scale shape: the corpus collapses ONCE to the bounded per-type day
+    * table (the [[graft.streaming.Streaming.VolumeMonitor]] state, whose
+    * `pairedShift` readout IS this test); the paired diff table is a
+    * day-keyed full-outer self-merge (absent days count 0), |d| ranks
+    * are doubled-integer order stats off the deterministic prefix scan
+    * ([[graft.core.Scans.cumulative]] — the [[graft.functions.Stats
+    * .kruskalWallis]] machinery), and W⁺, the tie term, and z evaluate
+    * from exact integers in fixed double order.
+    *
+    * Returns one row (n_days, n, w_plus, z): n_days = paired days seen,
+    * n = nonzero differences; NULL z when n < 2.
+    */
+  def wilcoxonSignedRank(df: DataFrame, typeA: String, typeB: String,
+                         typeCol: String = "event_type",
+                         tsCol: String = "ts"): DataFrame =
+    wsrOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")), typeA, typeB)
+
+  /** Sign test between two event types' paired daily volumes — the
+    * assumption-free floor under [[wilcoxonSignedRank]]: it only counts
+    * which side of zero each day's difference lands on, so it survives
+    * even asymmetric difference distributions (where Wilcoxon's
+    * symmetric-under-null premise bends). z = (2·n_pos − n)/√n, no
+    * continuity correction; same zero-drop convention.
+    *
+    * Same scale shape and state as [[wilcoxonSignedRank]] (the
+    * [[graft.streaming.Streaming.VolumeMonitor]] `pairedSign` readout).
+    * Returns one row (n_days, n, n_pos, n_neg, z); NULL z when n = 0.
+    */
+  def signTest(df: DataFrame, typeA: String, typeB: String,
+               typeCol: String = "event_type", tsCol: String = "ts"): DataFrame =
+    signOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")), typeA, typeB)
+
+  /** the shared (|d|, count, positives) table over paired day diffs —
+    * bounded by days, the single input to both paired readouts
+    */
+  private def pairedDiffCounts(dailyCounts: DataFrame, typeA: String,
+                               typeB: String): DataFrame = {
+    val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val a = frozen.filter(col("event_type") === typeA)
+      .select(col("day"), col("n").cast("long").as("__na"))
+    val b = frozen.filter(col("event_type") === typeB)
+      .select(col("day"), col("n").cast("long").as("__nb"))
+    val d = a.join(b, Seq("day"), "full_outer")
+      .select((coalesce(col("__na"), lit(0L)) - coalesce(col("__nb"), lit(0L)))
+        .as("__d"))
+    d.groupBy(abs(col("__d")).as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__p"))
+  }
+
+  /** [[wilcoxonSignedRank]]'s readout over an already-built (event_type,
+    * day, n) count table — exposed for the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]].
+    */
+  def wsrOfDaily(dailyCounts: DataFrame, typeA: String,
+                 typeB: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded diff-count table feeds the day total AND the rank scan
+    val t = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      pairedDiffCounts(dailyCounts, typeA, typeB))
+    val tot = broadcast(t.agg(coalesce(sum(col("__c")), lit(0L)).as("__all")))
+    val r = graft.core.Scans.cumulative(t.filter(col("__v") > 0L), "__v",
+        Seq("__c"))
+      .select(col("__c"), col("__p"),
+        (lit(2L) * (col("cum___c") - col("__c")) + col("__c") + lit(1L))
+          .cast(big).as("__r2"))
+    val agg = r.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      sum(col("__p").cast(big) * col("__r2")).as("__w2"),
+      sum(col("__c").cast(big) * col("__c").cast(big) * col("__c").cast(big)
+        - col("__c").cast(big)).as("__ts"))
+    val nd = col("__n").cast("double")
+    val mu = nd * (nd + lit(1.0)) / lit(4.0)
+    val v = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(24.0) -
+      col("__ts").cast("double") / lit(48.0)
+    val wp = col("__w2").cast("double") / lit(2.0)
+    agg.crossJoin(tot).select(col("__all").as("n_days"), col("__n").as("n"),
+      when(col("__n") === 0L, lit(null).cast("double"))
+        .otherwise(round(wp.cast(dec8), 6).cast("double")).as("w_plus"),
+      when(col("__n") < 2L || v <= 0.0, lit(null).cast("double"))
+        .otherwise(round(((wp - mu) / sqrt(v)).cast(dec8), 6).cast("double"))
+        .as("z"))
+  }
+
+  /** [[signTest]]'s readout over an already-built (event_type, day, n)
+    * count table — exposed for the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]].
+    */
+  def signOfDaily(dailyCounts: DataFrame, typeA: String,
+                  typeB: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val t = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      pairedDiffCounts(dailyCounts, typeA, typeB))
+    val tot = broadcast(t.agg(coalesce(sum(col("__c")), lit(0L)).as("__all")))
+    val nz = t.filter(col("__v") > 0L)
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(col("__p")), lit(0L)).as("__np"))
+    val nd = col("__n").cast("double")
+    nz.crossJoin(tot).select(col("__all").as("n_days"), col("__n").as("n"),
+      col("__np").as("n_pos"), (col("__n") - col("__np")).as("n_neg"),
+      when(col("__n") === 0L, lit(null).cast("double"))
+        .otherwise(round(((lit(2.0) * col("__np").cast("double") - nd)
+          / sqrt(nd)).cast(dec8), 6).cast("double")).as("z"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -436,6 +436,26 @@ object Streaming {
       graft.functions.Events.dwOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** tenth readout off the accreted count state: the Wilcoxon
+      * signed-rank verdict between two types' paired daily volumes
+      * ([[graft.functions.Events.wsrOfDaily]]); batch-exact by the same
+      * additivity
+      */
+    def pairedShift(typeA: String, typeB: String): DataFrame =
+      graft.functions.Events.wsrOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        typeA, typeB)
+
+    /** eleventh readout off the accreted count state: the sign test over
+      * the same paired daily diffs
+      * ([[graft.functions.Events.signOfDaily]]) — the assumption-free
+      * floor under [[pairedShift]]
+      */
+    def pairedSign(typeA: String, typeB: String): DataFrame =
+      graft.functions.Events.signOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        typeA, typeB)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

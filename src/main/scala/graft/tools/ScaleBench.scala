@@ -644,6 +644,12 @@ object ScaleBench {
       ("events_durbin_watson", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.durbinWatson(ev1, "event_type", "ts")),
         () => force(graft.functions.Events.durbinWatson(ev10, "event_type", "ts"))),
+      // paired day-diff table + rank prefix scan, all bounded by days
+      ("events_wilcoxon", maxEvent, maxEvent * copies,
+        () => force(graft.functions.Events.wilcoxonSignedRank(
+          ev1, "click", "view")),
+        () => force(graft.functions.Events.wilcoxonSignedRank(
+          ev10, "click", "view"))),
       // daily count reduce + bounded day-pair votes + partitioned prefix U
       ("events_pettitt", maxEvent, maxEvent * copies,
         () => force(graft.functions.Events.pettitt(ev1, "event_type", "ts")),

@@ -220,6 +220,32 @@ class EventsSpec extends SparkSpec {
     assert(out("c") == ((3L, 0.0, null)), s"got ${out("c")}")
   }
 
+  test("wilcoxonSignedRank + signTest: hand-computed paired day diffs, zeros drop, ties average") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => (tpe, ts(day, i)))
+    // day: A,B = (3,1)(1,1)(0,2)(5,1)(1,3) -> d = +2, 0(drop), -2, +4, -2
+    // |d| ranks: three 2s share rank 2, the 4 gets rank 4
+    // W+ = 2 + 4 = 6, mu = 5, var = 7.5 - 24/48 = 7 -> z = 1/sqrt(7)
+    val ev = (burst("A", 1, 3) ++ burst("B", 1, 1) ++ burst("A", 2, 1)
+      ++ burst("B", 2, 1) ++ burst("B", 3, 2) ++ burst("A", 4, 5)
+      ++ burst("B", 4, 1) ++ burst("A", 5, 1) ++ burst("B", 5, 3))
+      .toDF("event_type", "ts")
+    val w = Events.wilcoxonSignedRank(ev, "A", "B").head()
+    assert((w.getLong(0), w.getLong(1), w.getDouble(2), w.getDouble(3)) ==
+      ((5L, 4L, 6.0, 0.377964)), s"got $w")
+    val s = Events.signTest(ev, "A", "B").head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getDouble(4)) == ((5L, 4L, 2L, 2L, 0.0)), s"got $s")
+    // identical series: every diff is zero -> n = 0, NULL statistics
+    val same = (burst("A", 1, 2) ++ burst("B", 1, 2)).toDF("event_type", "ts")
+    val w0 = Events.wilcoxonSignedRank(same, "A", "B").head()
+    assert(w0.getLong(0) == 1L && w0.getLong(1) == 0L && w0.isNullAt(2)
+      && w0.isNullAt(3), s"got $w0")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -704,6 +704,11 @@ class StreamingSpec extends SparkSpec {
     // ninth readout off the same state: Durbin-Watson on the residuals
     assert(mkRows(vm3.residualAutocorr) ==
       mkRows(graft.functions.Events.durbinWatson(ev, "event_type", "ts")))
+    // tenth/eleventh readouts off the same state: paired Wilcoxon + sign
+    assert(mkRows(vm3.pairedShift("click", "view")) ==
+      mkRows(graft.functions.Events.wilcoxonSignedRank(ev, "click", "view")))
+    assert(mkRows(vm3.pairedSign("click", "view")) ==
+      mkRows(graft.functions.Events.signTest(ev, "click", "view")))
   }
 
   test("key-count monitor: skew and gini readouts equal batch twins, survive restart") {

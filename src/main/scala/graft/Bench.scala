@@ -276,10 +276,20 @@ object Bench {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
       if (!graft.tools.ScaleData.isGenerated(sf1Dir, sfDir)) {
         // stale output from a DIFFERENT base sf dir: delete before regen —
-        // generate() itself would early-return on the old marker otherwise
+        // generate() itself would early-return on the old marker otherwise.
+        // SAFETY: only a directory carrying the _GRAFT_SCALE_OK marker is
+        // provably ours to wipe; a non-empty unmarked directory means the
+        // env var points somewhere that is NOT generated scale data —
+        // refuse rather than recursively delete a stranger's tree
         val dir = java.nio.file.Paths.get(sf1Dir)
         if (java.nio.file.Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
+          val marked = java.nio.file.Files.exists(dir.resolve("_GRAFT_SCALE_OK"))
+          val empty = !java.nio.file.Files.list(dir).iterator().asScala.hasNext
+          require(marked || empty,
+            s"refusing to delete $sf1Dir: non-empty and not marked as " +
+              "generated scale data (_GRAFT_SCALE_OK missing) — check " +
+              "SPARK_GRAFT_BENCH_SF1_DIR")
           java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
@@ -326,10 +336,21 @@ object Bench {
       .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${toJsonMap(results)},"sf":"$sfDir","slices":$layout$extra}"""
-    println(json)
-    // stdout rides a log pipe that can truncate the (large) per-query map;
-    // the file is the durable machine-readable artifact
+    // the full per-query artifact: stdout rides a log pipe that keeps only
+    // a ~2000-char TAIL, so the big map goes to a durable file (commit it
+    // per round) and to stdout first (for humans reading the whole log)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
+    // LAST line: a compact summary guaranteed to fit the tail capture —
+    // total, the 10 slowest queries, the sf1 worst ratio, and where the
+    // full table lives. This is the line the driver's parser sees.
+    val slow = results.sortBy(-_._2).take(10)
+    val worst = """"worstRatio":([-0-9.eE]+)""".r
+      .findFirstMatchIn(extra).map(_.group(1)).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfDir","nQueries":${results.size},""" +
+      s""""queries":${toJsonMap(slow)},"queriesTruncatedTo":${slow.size},""" +
+      s""""sf1WorstRatio":$worst,"full":"$out"}""")
   }
 }

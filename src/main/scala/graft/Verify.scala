@@ -19,12 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    var written = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,6 +46,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // gate-vs-artifact consistency: a silently-dropped query (round-7
+    // failure mode) must be structurally impossible — when running the
+    // full gate, every registered query must have produced a dump, and
+    // the counts are emitted so the driver artifact can be audited
+    // against SparkEntry.queries.size. The check runs AFTER the oracle
+    // json is on disk, so a single failed query still leaves a complete,
+    // comparable artifact for every other query.
+    println(s"[verify] queries registered=${SparkEntry.queries.size} " +
+      s"selected=${selected.size} written=$written " +
+      s"oracles=${SparkEntry.oracleSql.size}")
     spark.stop()
+    if (only.isEmpty)
+      require(written == SparkEntry.queries.size,
+        s"verify wrote $written dumps but SparkEntry.queries registers " +
+          s"${SparkEntry.queries.size} — a gate query failed to execute")
   }
 }

@@ -332,6 +332,7 @@ object Joins {
     * in exact integer arithmetic (the [[intervalJoin]] 2^53 rationale).
     * `keys` are (leftCol, rightCol) equi-key pairs applied inside the same
     * hash join; name them distinctly (both frames' columns survive).
+    * `lCol`/`rCol` MAY share a name — all references are side-qualified.
     *
     * Returns the inner join (all columns from both sides) for
     * `abs(lCol − rCol) ≤ tol` — the predicate evaluates as the single IEEE
@@ -347,8 +348,10 @@ object Joins {
     val l = left.filter(col(lCol).isNotNull)
       .withColumn("__bk", explode(array(bk(col(lCol)) - 1, bk(col(lCol)), bk(col(lCol)) + 1)))
     val r = right.filter(col(rCol).isNotNull).withColumn("__bkr", bk(col(rCol)))
+    // side-qualified band columns: the natural call has lCol == rCol
+    // (price vs price), and unqualified col(...)s would be AMBIGUOUS
     val cond = keys.foldLeft(
-      l("__bk") === r("__bkr") && abs(col(lCol) - col(rCol)) <= tol) {
+      l("__bk") === r("__bkr") && abs(l(lCol) - r(rCol)) <= tol) {
       case (c, (lk, rk)) => c && l(lk) === r(rk)
     }
     l.join(r, cond).drop("__bk", "__bkr")

@@ -1478,7 +1478,8 @@ object Stats {
     * additive per pair across micro-batches).
     */
   def groupValueCounts(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
-    df.groupBy(valueCol.as("__v"), groupCol.as("__g"))
+    df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .groupBy(valueCol.as("__v"), groupCol.as("__g"))
       .agg(count(lit(1)).as("__c"))
 
   /** [[kruskalWallis]]'s readout from an already-built (__v, __g, __c)
@@ -1537,12 +1538,15 @@ object Stats {
     * no extra state.
     *
     * Returns one row per q: (q, n, value) at 6dp, ordered by q; value is
-    * NULL when the input is empty.
+    * NULL (and n = 0) when the input is empty. NULL values are excluded
+    * before counting — the Spark `percentile` / SQL-aggregate convention
+    * ([[scoreCounts]]' existing isNotNull discipline).
     */
   def exactQuantiles(df: DataFrame, valueCol: Column,
                      qs: Seq[Double]): DataFrame =
     quantilesOfCounts(
-      df.groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")), qs)
+      df.filter(valueCol.isNotNull)
+        .groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")), qs)
 
   /** [[exactQuantiles]]'s readout from an already-built (__v, __c) count
     * table — the stage the streaming monitor shares with the batch
@@ -1557,8 +1561,11 @@ object Stats {
     val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
     val cum = graft.core.Scans.cumulative(c, "__v", Seq("__c"))
     val tot = broadcast(c.agg(sum(col("__c")).as("__n")))
-    val qdf = broadcast(c.sparkSession.range(1)
+    // two independent literal frames (fresh attribute ids), so the final
+    // per-q left join is not a self-join on the shared q attribute
+    def qframe() = broadcast(c.sparkSession.range(1)
       .select(explode(array(qs.map(lit): _*)).as("q")))
+    val qdf = qframe()
     val pos = (col("__n").cast("double") - lit(1.0)) * col("q")
     val lo = floor(pos).cast("long") + lit(1L)
     val frac = pos - floor(pos)
@@ -1568,9 +1575,16 @@ object Stats {
         min(when(col("cum___c") >= lo, col("__v"))).cast("double").as("__xlo"),
         min(when(col("cum___c") >= least(lo + lit(1L), col("__n")), col("__v")))
           .cast("double").as("__xhi"))
-    r.select(col("q"), col("__n").as("n"),
-      round((col("__xlo") + (col("__xhi") - col("__xlo")) * col("__frac"))
-        .cast(dec8), 6).cast("double").as("value"))
+      .select(col("q"),
+        round((col("__xlo") + (col("__xhi") - col("__xlo")) * col("__frac"))
+          .cast(dec8), 6).cast("double").as("value"))
+    // empty input collapses the crossJoin chain to zero rows; the contract
+    // is one row per q with a NULL value — the broadcast q table is the
+    // left side, so every q survives (tot always yields its single row)
+    qframe().crossJoin(tot)
+      .select(col("q"), coalesce(col("__n"), lit(0L)).as("n"))
+      .join(r, Seq("q"), "left")
+      .select(col("q"), col("n"), col("value"))
       .orderBy(col("q"))
   }
 
@@ -1608,7 +1622,13 @@ object Stats {
     val dec = org.apache.spark.sql.types.DecimalType(8, 2)
     val v = valueCol.cast(dec)
     val v2 = v * v
-    df.agg(count(valueCol).as("__jn"),
+    // n counts the STAGED values (count(v), not count(valueCol)): the
+    // non-ANSI decimal cast nulls any |value| ≥ 10^6, and a count that
+    // kept such a value while the power sums dropped it would corrupt
+    // every moment silently — with count(v) an out-of-domain value is
+    // excluded consistently from n and all sums, so the statistics stay
+    // internally correct over the in-domain data
+    df.agg(count(v).as("__jn"),
       sum(v).as("__j1"), sum(v2).as("__j2"),
       sum(v2 * v).as("__j3"), sum(v2 * v2).as("__j4"),
       min(v).as("__jlo"), max(v).as("__jhi"))
@@ -1826,7 +1846,8 @@ object Stats {
     * rank variance (all values tied).
     */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
-    spearmanOfCounts(df.groupBy(xCol.as("__x"), yCol.as("__y"))
+    spearmanOfCounts(df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("__x"), yCol.as("__y"))
       .agg(count(lit(1)).as("__c")))
 
   /** [[spearman]]'s readout from an already-built (__x, __y, __c) joint
@@ -1893,7 +1914,8 @@ object Stats {
     * all-tied margins).
     */
   def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
-    kendallOfCounts(df.groupBy(xCol.as("__x"), yCol.as("__y"))
+    kendallOfCounts(df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("__x"), yCol.as("__y"))
       .agg(count(lit(1)).as("__c")))
 
   /** [[kendallTau]]'s readout from an already-built (__x, __y, __c) joint

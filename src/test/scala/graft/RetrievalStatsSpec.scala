@@ -421,6 +421,49 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(mine == Seq(10.0, 50.0, 90.0))
   }
 
+  test("exactQuantiles: NULLs excluded (percentile semantics), empty input keeps per-q rows") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // the round-11 ADVICE repro: [1,2,3,4,null,null] at q=0.5 must read
+    // 2.5 (Spark percentile over non-nulls), not 3.5 (nulls bucketed)
+    val withNulls = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, null).toDF("v")
+    val med = Stats.exactQuantiles(withNulls, col("v"), Seq(0.5)).head()
+    assert(med.getLong(1) == 4L, s"n must count non-nulls, got ${med.getLong(1)}")
+    assert(med.getDouble(2) == 2.5, s"median over non-nulls, got ${med.getDouble(2)}")
+    val ref = withNulls.agg(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    assert(med.getDouble(2) == ref)
+    // documented contract: empty input → one row per q, value NULL, n = 0
+    val empty = Seq.empty[Double].toDF("v")
+    val rows = Stats.exactQuantiles(empty, col("v"), Seq(0.25, 0.75))
+      .collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.75))
+    assert(rows.forall(r => r.getLong(1) == 0L && r.isNullAt(2)),
+      s"per-q NULL rows expected, got ${rows.mkString(",")}")
+  }
+
+  test("rank statistics exclude NULL values and NULL group keys") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a null value must not corrupt ranks: with/without nulls identical
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val dirty = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("a", null), (null, 9.0)).toDF("g", "v")
+    val hc = Stats.kruskalWallis(clean, col("g"), col("v")).head()
+    val hd = Stats.kruskalWallis(dirty, col("g"), col("v")).head()
+    assert(hc.getDouble(2) == hd.getDouble(2) && hd.getLong(1) == 4L,
+      s"KW must ignore null rows: $hc vs $hd")
+    val sp = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (null, 1.0), (5.0, null))
+      .toDF("x", "y")
+    val rho = Stats.spearman(sp, col("x"), col("y")).head()
+    assert(rho.getLong(0) == 3L && rho.getDouble(1) == 1.0,
+      s"spearman must drop null pairs: $rho")
+    val tau = Stats.kendallTau(sp, col("x"), col("y")).head()
+    assert(tau.getLong(0) == 3L && tau.getAs[Double]("tau") == 1.0,
+      s"kendall must drop null pairs: $tau")
+  }
+
   test("jarqueBera: moment ratios match Spark's builtin skewness/kurtosis, chi2(2) p closed form") {
     import spark.implicits._
     import graft.functions.Stats

@@ -316,6 +316,14 @@ class ScaleSpec extends SparkSpec {
     // extracts it and hash-joins; only the pure band predicate is a BNLJ)
     assert(ni.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
       "control: the key-less band predicate really does plan a BNLJ")
+    // the natural call: BOTH sides carry the same column name (price vs
+    // price) — side-qualified band references must not be ambiguous
+    val ap = spark.range(0, 500).select(col("id").as("aid"), (col("id") % 97).as("price"))
+    val bp = spark.range(0, 500).select(col("id").as("bid"), (col("id") % 89).as("price"))
+    val op = Joins.bandJoin(ap, "price", bp, "price", tol = 1.0)
+    val np = ap.join(bp.withColumnRenamed("price", "price2"),
+      abs(col("price") - col("price2")) <= 1)
+    assert(op.count() == np.count(), "same-named band columns must work")
   }
 
   test("Scans.cumulative: equals the single-partition window, zero unpartitioned windows") {

@@ -950,11 +950,35 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, maxDf: Int = 64, minShared: Int = 2,
-                       minContain: Double = 0.5): DataFrame = {
-    val sh = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      df.select(col(idCol).as("__id"),
-          explode(shingles(col(textCol), n)).as("__sh"))
-        .distinct())
+                       minContain: Double = 0.5): DataFrame =
+    containmentPairsOfShingles(distinctShingleFrame(df, idCol, textCol, n),
+      maxDf, minShared, minContain)
+
+  /** the frozen distinct (__id, __sh) frame [[containmentPairs]] and
+    * [[minhashEval]] run on. Distinctness is per-document by construction
+    * (`array_distinct` BEFORE the explode — duplicate shingles only ever
+    * repeat within one document's array), so no global distinct shuffle of
+    * the EXPLODED corpus is needed; the one shuffle moves the compact
+    * pre-explode document rows (id + text), purely to balance the frozen
+    * partitions — a few-file parquet scan would otherwise leave every
+    * downstream aggregation's first map stage on a handful of tasks.
+    */
+  def distinctShingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freeze(
+      df.select(col(idCol), col(textCol))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
+          col(idCol))
+        .select(col(idCol).as("__id"),
+          explode(array_distinct(shingles(col(textCol), n))).as("__sh")))
+
+  /** [[containmentPairs]] over an already-frozen distinct (__id, __sh)
+    * shingle frame — the stage split that lets [[minhashEval]] shingle the
+    * corpus ONCE and reuse the frame for its signature pass.
+    */
+  def containmentPairsOfShingles(sh: DataFrame, maxDf: Int,
+                                 minShared: Int,
+                                 minContain: Double): DataFrame = {
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val pairs = sh.groupBy(col("__sh"))
       .agg(sort_array(collect_set(col("__id"))).as("__ids"))
@@ -1071,31 +1095,37 @@ object Dedup {
     // minShared=2 bounds the universe to pairs sharing >= 2 shingles — the
     // one-common-trigram tail is jaccard ~0 noise that would dominate the
     // pair frame (11M rows at 50k docs with minShared=1) without moving
-    // recall or precision at any threshold a dedup run would use
+    // recall or precision at any threshold a dedup run would use.
+    // The corpus shingles ONCE into the frozen distinct (__id, __sh)
+    // frame; the candidate universe AND the signature pass both read it —
+    // the round-10 shape re-shingled the corpus for the signatures
+    val sh = distinctShingleFrame(df, idCol, textCol, n)
     val pairs = bridge.freeze(
-      containmentPairs(df, idCol, textCol, n, maxDf,
+      containmentPairsOfShingles(sh, maxDf,
         minShared = minShared, minContain = 0.0)
         .select(col("id_a"), col("id_b"), col("jaccard")))
     val candIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
     // md5-derived sig[i] = min over shingles of H(shingle # i); band key j
     // concatenates its r values, index-prefixed so band j only matches j.
-    // Frozen: the (id, bands) frame is narrow and BOTH pair sides read it —
-    // unfrozen, the k·|shingles| md5 fold would run twice per document.
-    // the repartition spreads the per-row md5 fold across all cores (a
-    // single-file parquet scan would otherwise run it on one task — the
-    // minhashPairs discipline)
-    val bandKeys = bridge.freeze(df.join(candIds, Seq(idCol), "left_semi")
-      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col(idCol))
-      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
-      .select(col(idCol), transform(sequence(lit(0), lit(k - 1)), i =>
-        array_min(transform(col("__sh"), s =>
-          conv(substring(md5(concat_ws("#", s, i.cast("string"))), 1, 15),
-            16, 10).cast("long")))).as("__sig"))
-      .select(col(idCol), transform(sequence(lit(0), lit(bands - 1)), j =>
-        concat(j.cast("string"), lit(":"),
-          concat_ws(",", transform(slice(col("__sig"), j * lit(r) + lit(1), lit(r)),
-            x => x.cast("string"))))).as("__bk")))
+    // The signature is ONE map-side-combined aggregation over the exploded
+    // shingle frame — k min() columns, every expression (md5/conv/substring)
+    // a codegen'd builtin, where the round-10 array-fold ran k·|shingles|
+    // md5s through the INTERPRETED higher-order `transform` twice (the
+    // corpus was re-shingled for it). Frozen: both pair sides of the
+    // collision join read the narrow (id, bands) frame.
+    def h(i: Int): Column =
+      conv(substring(md5(concat_ws("#", col("__sh"), lit(i.toString))), 1, 15),
+        16, 10).cast("long")
+    val sig = sh.join(candIds, Seq("__id"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(min(h(0)).as("__m0"),
+        (1 until k).map(i => min(h(i)).as(s"__m$i")): _*)
+    val bandKeys = bridge.freeze(sig.select(col("__id").as(idCol),
+      array((0 until bands).map(j =>
+        concat(lit(j.toString), lit(":"),
+          concat_ws(",", (j * r until (j + 1) * r)
+            .map(i => col(s"__m$i").cast("string")): _*))): _*).as("__bk")))
     // collisions the LSH way — explode band keys, bucket equi-join, distinct
     // pair set — then ONE left join flags each truth pair; shipping the band
     // arrays to every pair row (two wide joins) measured 2x slower

@@ -43,34 +43,69 @@ object Linkage {
                   leftName: String, rightName: String,
                   blockCols: Seq[(String, String)],
                   prefixLen: Int = 3, minSim: Double = 0.8,
-                  maxBlock: Int = 10000): DataFrame = {
-    require(prefixLen > 0 && minSim >= 0 && minSim <= 1 && maxBlock > 1,
-      "need prefixLen > 0, minSim in [0,1], maxBlock > 1")
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    def prep(df: DataFrame, id: String, name: String,
-             blocks: Seq[String], side: String): DataFrame = {
-      val n = normName(col(name))
-      df.select(col(id).as(s"__id$side") +: n.as(s"__n$side") +:
-        substring(n, 1, prefixLen).as(s"__p$side") +:
-        blocks.zipWithIndex.map { case (b, i) => col(b).as(s"__b$i$side") }: _*)
-    }
-    val l = prep(left, leftId, leftName, blockCols.map(_._1), "L")
-    val r = prep(right, rightId, rightName, blockCols.map(_._2), "R")
+                  maxBlock: Int = 10000): DataFrame =
+    linkAgainstIndex(
+      linkIndex(left, leftId, leftName, blockCols.map(_._1), prefixLen, maxBlock),
+      right, leftId, rightId, rightName, blockCols.map(_._2),
+      prefixLen, minSim, maxBlock)
+
+  /** normalize + prefix + block-cap ONE side; side-suffixed column names
+    * keep the downstream join unambiguous
+    */
+  private def prepCapped(df: DataFrame, id: String, name: String,
+                         blocks: Seq[String], side: String,
+                         prefixLen: Int, maxBlock: Int): DataFrame = {
+    val nn = normName(col(name))
+    val prepped = df.select(col(id).as(s"__id$side") +: nn.as(s"__n$side") +:
+      substring(nn, 1, prefixLen).as(s"__p$side") +:
+      blocks.zipWithIndex.map { case (b, i) => col(b).as(s"__b$i$side") }: _*)
     // cap per-side block membership so a degenerate key cannot go
     // quadratic: block sizes come from ONE map-side-combined aggregation
     // to the bounded |blocks|-row table, and surviving keys semi-join
     // back (size-gated broadcast) — scan speed, where a count WINDOW
     // would sort the whole side per block key
-    def capped(df: DataFrame, side: String): DataFrame = {
-      val keyCols = s"__p$side" +: blockCols.indices.map(i => s"__b$i$side")
-      val ok = df.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__cnt"))
-        .filter(col("__cnt") <= maxBlock).drop("__cnt")
-      df.join(graft.core.Joins.maybeBroadcast(ok), keyCols, "left_semi")
-    }
+    val keyCols = s"__p$side" +: blocks.indices.map(i => s"__b$i$side")
+    val ok = prepped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxBlock).drop("__cnt")
+    prepped.join(graft.core.Joins.maybeBroadcast(ok), keyCols, "left_semi")
+  }
+
+  /** The corpus-side prep of [[blockedLink]] — normalized name, prefix,
+    * block columns, block cap — as a standalone frame: build it ONCE for a
+    * static dimension (freeze/persist it), then match every incoming batch
+    * with [[linkAgainstIndex]]. The [[Dedup.minhashIndex]] discipline
+    * applied to entity resolution: at 100 TB the dimension side's
+    * normalization and block-size aggregation are the dominant repeated
+    * cost of a per-batch `blockedLink`, and they never change between
+    * batches.
+    */
+  def linkIndex(left: DataFrame, leftId: String, leftName: String,
+                leftBlocks: Seq[String], prefixLen: Int = 3,
+                maxBlock: Int = 10000): DataFrame = {
+    require(prefixLen > 0 && maxBlock > 1, "need prefixLen > 0, maxBlock > 1")
+    prepCapped(left, leftId, leftName, leftBlocks, "L", prefixLen, maxBlock)
+  }
+
+  /** [[blockedLink]]'s match stage against a pre-built [[linkIndex]]: preps
+    * and caps ONLY the incoming side, then blocks and scores as
+    * [[blockedLink]] does — per-batch cost is batch-proportional (the
+    * index never re-aggregates, never re-normalizes). `prefixLen` must
+    * equal the index's.
+    */
+  def linkAgainstIndex(index: DataFrame, right: DataFrame,
+                       leftId: String, rightId: String,
+                       rightName: String, rightBlocks: Seq[String],
+                       prefixLen: Int = 3, minSim: Double = 0.8,
+                       maxBlock: Int = 10000): DataFrame = {
+    require(prefixLen > 0 && minSim >= 0 && minSim <= 1 && maxBlock > 1,
+      "need prefixLen > 0, minSim in [0,1], maxBlock > 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val r = prepCapped(right, rightId, rightName, rightBlocks, "R",
+      prefixLen, maxBlock)
     val cond = (col("__pL") === col("__pR")) +:
-      blockCols.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))
-    capped(l, "L").join(capped(r, "R"), cond.reduce(_ && _))
+      rightBlocks.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))
+    index.join(r, cond.reduce(_ && _))
       // exact prefilter: levenshtein >= |lenA - lenB|, so any pair whose
       // length gap alone puts it under minSim can skip the O(len^2) edit
       // computation without changing the result

@@ -767,6 +767,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // streaming ANN ingestion WITH index compaction (batch replay of 4
+    // micro-batches, maxMeanList=4): every batch trips the mean-list
+    // threshold, so the coarse quantizer re-widens to ceil(n/4) lowest-id
+    // vectors and the lists re-route — the final index is every vector
+    // routed onto the final quantizer (closed form the oracle replays);
+    // query cost stays flat however long the stream runs
+    "stream_ann_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val ing = new graft.streaming.Streaming.IvfIndexIngest(
+        "vec_id", "v", nCentroids = 16, nProbe = 4, maxMeanList = 4)
+      (0 until 4).foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
+      ing.topK(e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // streaming contamination monitor (batch replay of 5 train batches):
     // the benchmark fingerprint index freezes once, each batch matches
     // batch-proportionally — accreted hits equal the batch contamination
@@ -8965,6 +8981,46 @@ object SparkEntry {
          cents AS (
            SELECT vec_id AS centid, v AS centv FROM e
            WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+         cassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c) WHERE cr = 1),
+         qassign AS (
+           SELECT vec_id, v, centid AS cluster FROM (
+             SELECT e.vec_id, e.v, c.centid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centid) AS cr
+             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
+         j AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
+         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
+
+    // compaction lifecycle closed form: the LAST batch always trips the
+    // maxMeanList=4 threshold (each batch adds ~25% rows onto a quantizer
+    // sized for the previous total), and compaction re-routes EVERYTHING
+    // onto the new quantizer, erasing all intermediate routing — so the
+    // final index is every vector assigned to the ceil(n/4) lowest-id
+    // vectors, exactly what this SQL replays
+    "stream_ann_compact" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         ranked AS (
+           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn,
+             count(*) OVER () AS n FROM e),
+         cents AS (
+           SELECT vec_id AS centid, v AS centv FROM ranked
+           WHERE rn <= ceil(n / 4.0)),
          cassign AS (
            SELECT vec_id, v, centid AS cluster FROM (
              SELECT e.vec_id, e.v, c.centid,

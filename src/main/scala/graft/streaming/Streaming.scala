@@ -1463,14 +1463,17 @@ object Streaming {
   }
 
   /** Streaming record-linkage monitor — continuous entity resolution at
-    * ingest: the dimension side freezes ONCE (the
-    * [[ContaminationMonitor]] shape), every incoming micro-batch runs
-    * [[graft.functions.Linkage.blockedLink]] against it
-    * (batch-proportional work — blocking joins the batch, never rescans
-    * accreted state), and matches accrete. Because the dimension is fixed
-    * and a pair's score involves only its own two rows, the accreted link
-    * table EQUALS the batch link over all rows seen — spec-proven with
-    * save/restore. Wire with [[foreachBatchMerge]]`(stream, lm.update)`.
+    * ingest: the dimension side is fully PREPARED once at construction —
+    * [[graft.functions.Linkage.linkIndex]] normalizes names, derives
+    * prefixes, and applies the block-size cap, and that index freezes (the
+    * [[ContaminationMonitor]] shape). Every incoming micro-batch then runs
+    * [[graft.functions.Linkage.linkAgainstIndex]]: per-batch work is
+    * batch-proportional — the batch side preps and caps, the frozen index
+    * never re-normalizes, never re-aggregates its block sizes, never
+    * rescans accreted state. Because the dimension is fixed and a pair's
+    * score involves only its own two rows, the accreted link table EQUALS
+    * the batch link over all rows seen — spec-proven with save/restore.
+    * Wire with [[foreachBatchMerge]]`(stream, lm.update)`.
     */
   class LinkageMonitor(dim: DataFrame, leftId: String, leftName: String,
                        rightId: String, rightName: String,
@@ -1479,13 +1482,14 @@ object Streaming {
                        maxBlock: Int = 10000) {
     import graft.functions.Linkage
     private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private val dimF = bridge.freeze(dim)
+    private val dimIdx = bridge.freeze(Linkage.linkIndex(
+      dim, leftId, leftName, blockCols.map(_._1), prefixLen, maxBlock))
     private var links: Option[DataFrame] = None
 
     /** link one micro-batch of incoming records against the dimension */
     def update(batch: DataFrame): Unit = {
-      val m = Linkage.blockedLink(dimF, batch, leftId, rightId,
-        leftName, rightName, blockCols, prefixLen, minSim, maxBlock)
+      val m = Linkage.linkAgainstIndex(dimIdx, batch, leftId, rightId,
+        rightName, blockCols.map(_._2), prefixLen, minSim, maxBlock)
       links = Some(bridge.freeze(links.map(_.unionByName(m)).getOrElse(m)))
     }
 
@@ -1976,25 +1980,67 @@ object Streaming {
     */
   class IvfIndexIngest(idCol: String, vecCol: String,
                        nCentroids: Int = 16, nProbe: Int = 4,
-                       trained: Option[DataFrame] = None) {
+                       trained: Option[DataFrame] = None,
+                       maxMeanList: Int = 0) {
     import graft.functions.Vectors
     private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var centroids: Option[DataFrame] =
-      trained.map(t => bridge.freeze(t
-        .select(col("cluster").as("__centid"), col("centroid").as("__centv"))
-        .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
+    private val trainedCounted = trained.map(t => bridge.freezeCounted(t
+      .select(col("cluster").as("__centid"), col("centroid").as("__centv"))
+      .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
+    private var centroids: Option[DataFrame] = trainedCounted.map(_._1)
     private var index: Option[DataFrame] = None
+    private var nIndexed: Long = 0L
+    private var nCent: Long = trainedCounted.map(_._2).getOrElse(0L)
 
-    /** route one micro-batch onto the frozen quantizer and absorb it */
+    /** effective centroid count — grows when compaction trips */
+    def centroidCount: Long = nCent
+
+    /** route one micro-batch onto the frozen quantizer and absorb it;
+      * when `maxMeanList` > 0 and the mean inverted-list length exceeds
+      * it, [[compact]] re-clusters before returning
+      */
     def update(batch: DataFrame): Unit = {
-      if (centroids.isEmpty)
-        centroids = Some(bridge.freeze(batch
+      if (centroids.isEmpty) {
+        val (c, n) = bridge.freezeCounted(batch
           .orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).as("__centid"),
             col(vecCol).cast("array<double>").as("__centv"))
-          .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
+          .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv")))))
+        centroids = Some(c); nCent = n
+      }
       val routed = Vectors.routeToCentroids(batch, idCol, vecCol, centroids.get)
-      index = Some(bridge.freeze(index.map(_.unionByName(routed)).getOrElse(routed)))
+      val (idx, n) = bridge.freezeCounted(
+        index.map(_.unionByName(routed)).getOrElse(routed))
+      index = Some(idx); nIndexed = n
+      if (maxMeanList > 0 && nIndexed > nCent * maxMeanList) compact()
+    }
+
+    /** Index compaction — the flat-query-cost guarantee over a long
+      * ingest: a monotone index under a FIXED quantizer grows each
+      * inverted list without bound, so per-query probe cost creeps up
+      * with the corpus. When the mean list length passes `maxMeanList`,
+      * the coarse quantizer widens to ceil(n / maxMeanList) centroids —
+      * deterministically the lowest-id indexed vectors, the same seeding
+      * rule as the first-batch quantizer, so the whole lifecycle is
+      * engine-reproducible — and the accreted lists re-route ONCE onto
+      * it. Steady state: mean list length stays in [maxMeanList·batch
+      * share, ~maxMeanList], so probed candidates per query are bounded
+      * regardless of how long the stream has been ingesting; the
+      * re-route is one linear scan of the index (amortized: trips grow
+      * rarer as nCent tracks n at a fixed ratio).
+      */
+    def compact(): Unit = {
+      val idx = index.getOrElse(return)
+      val target = math.max(1L,
+        math.ceil(nIndexed.toDouble / maxMeanList).toLong).min(Int.MaxValue)
+      val (c2, n2) = bridge.freezeCounted(idx
+        .orderBy(col("__cid")).limit(target.toInt)
+        .select(col("__cid").as("__centid"), col("__cv").as("__centv"))
+        .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv")))))
+      val rerouted = Vectors.routeToCentroids(
+        idx.select(col("__cid"), col("__cv")), "__cid", "__cv", c2)
+      centroids = Some(c2); nCent = n2
+      index = Some(bridge.freeze(rerouted))
     }
 
     /** exact-cosine top-k of each query over its probed clusters of the
@@ -2005,6 +2051,18 @@ object Streaming {
         throw new IllegalStateException("no micro-batch ingested yet"))
       Vectors.probedTopK(
         Vectors.probeCentroids(queries, qId, qVec, centroids.get, nProbe), idx, k)
+    }
+
+    /** persist index + quantizer for crash-restart (call after update) */
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("index" -> index, "centroids" -> centroids))
+
+    /** restore index + quantizer from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit = {
+      index = MonitorState.load(spark, dir, "index")
+      centroids = MonitorState.load(spark, dir, "centroids")
+      nIndexed = index.map(_.count()).getOrElse(0L)
+      nCent = centroids.map(_.count()).getOrElse(0L)
     }
   }
 

@@ -242,6 +242,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("IVF compaction: quantizer widens, closed form holds, restart mid-ingest is seamless") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.count()
+    val q = e.filter(col("vec_id") < 10)
+    def run(ing: Streaming.IvfIndexIngest, bs: Range): Unit =
+      bs.foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
+    def top(ing: Streaming.IvfIndexIngest) =
+      ing.topK(q, "vec_id", "v", k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // uninterrupted ingest: every batch trips maxMeanList=4, so the final
+    // quantizer is the ceil(n/4) lowest-id vectors and mean list length
+    // stays bounded (~4) no matter how many batches arrived
+    val full = new Streaming.IvfIndexIngest("vec_id", "v",
+      nCentroids = 16, nProbe = 4, maxMeanList = 4)
+    run(full, 0 until 4)
+    assert(full.centroidCount == math.ceil(n / 4.0).toLong,
+      s"final quantizer must hold ceil(n/4) centroids, got ${full.centroidCount}")
+    val expected = top(full)
+    assert(expected.groupBy(_._1).forall(_._2.size == 5))
+
+    // closed form: identical to routing EVERYTHING onto that final
+    // quantizer in one shot (intermediate compactions must be erased)
+    val oneShot = new Streaming.IvfIndexIngest("vec_id", "v",
+      nCentroids = math.ceil(n / 4.0).toInt, nProbe = 4)
+    oneShot.update(e) // first batch IS the whole corpus; lowest ids seed
+    assert(top(oneShot) == expected,
+      "compacted lifecycle must equal one-shot routing onto the final quantizer")
+
+    // crash-restart: save after 2 batches, restore into a FRESH monitor,
+    // ingest the remaining 2 — identical readout, compaction state intact
+    val half = new Streaming.IvfIndexIngest("vec_id", "v",
+      nCentroids = 16, nProbe = 4, maxMeanList = 4)
+    run(half, 0 until 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    half.saveState(ckpt)
+    val resumed = new Streaming.IvfIndexIngest("vec_id", "v",
+      nCentroids = 16, nProbe = 4, maxMeanList = 4)
+    resumed.restoreState(spark, ckpt)
+    run(resumed, 2 until 4)
+    assert(top(resumed) == expected,
+      "restored monitor must finish the ingest identically")
+  }
+
   test("incremental components equal the from-scratch solve, merges included") {
     import spark.implicits._
     import graft.streaming.Streaming

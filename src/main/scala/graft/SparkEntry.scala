@@ -3476,6 +3476,27 @@ object SparkEntry {
       km.readout
     }),
 
+    // Jonckheere-Terpstra ordered-alternative trend: do values INCREASE
+    // along the event types' ordering — the directed cousin of
+    // stats_kruskal over the SAME (value,type) count table; pairwise MWU
+    // mass via the triangular cell-pair join, J - E[J] = S/2 makes the z
+    // the tau-b z with its full tie correction
+    "stats_jonckheere" -> ((s, dir) => {
+      graft.functions.Stats.jonckheereTerpstra(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Jonckheere-Terpstra (batch replay of 5 batches): fourth
+    // readout off the SAME additive KruskalMonitor count state; same
+    // oracle
+    "stream_jonckheere" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KruskalMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.trend
+    }),
+
     // Brown-Forsythe equal-spread test: do the event types have the same
     // VARIABILITY of value (the check stats_anova's pooled variance
     // quietly assumes) — per-group medians as conditional-min order stats
@@ -4473,6 +4494,63 @@ object SparkEntry {
            round(CAST(CASE WHEN n < 2 OR denom2 <= 0 THEN 0.0
              ELSE 2.0 * s / sqrt(denom2::DOUBLE) END AS DECIMAL(18,8)),
              6)::DOUBLE AS tau,
+           CASE WHEN n < 3 OR var_s <= 0.0 THEN NULL
+                ELSE round(CAST(s / sqrt(var_s) AS DECIMAL(18,8)),
+                  6)::DOUBLE END AS z
+         FROM f"""
+
+  /** Jonckheere–Terpstra replay — identical machinery to
+    * [[kendallOracleSql]] with x = event_type (groups in natural order),
+    * y = value: J = (P + S)/2 off the exact-integer pair masses, z = the
+    * tau-b tie-corrected z. Shared by `stats_jonckheere` and
+    * `stream_jonckheere` (the count table is the SAME additive
+    * KruskalMonitor state).
+    */
+  private val jonckheereOracleSql =
+    """WITH j AS (
+           SELECT event_type AS x, value AS y, CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1, 2),
+         cd AS (
+           SELECT
+             coalesce(sum(CASE WHEN a.y < b.y
+               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
+               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS conc,
+             coalesce(sum(CASE WHEN a.y > b.y
+               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
+               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS disc
+           FROM j a JOIN j b ON a.x < b.x),
+         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         ttx AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(t::DECIMAL(38,0) * (t - 1)) AS tt_x,
+             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_x,
+             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_x
+           FROM tx),
+         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+         tty AS (
+           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_y,
+             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_y,
+             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_y
+           FROM ty),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+         m AS (
+           SELECT n, k, conc, disc, tt_x, tv_x, t3_x, tt_y, tv_y, t3_y,
+             CAST(n::DECIMAL(38,0) * (n - 1) - tt_x AS DOUBLE) AS p2,
+             (conc - disc)::DOUBLE AS s,
+             CAST(n::DECIMAL(38,0) * (n - 1) * (2 * n + 5) AS DOUBLE) AS v0,
+             n::DOUBLE AS nd
+           FROM cd CROSS JOIN ttx CROSS JOIN tty CROSS JOIN tot),
+         f AS (
+           SELECT n, k, p2, s,
+             (v0 - tv_x::DOUBLE - tv_y::DOUBLE) / 18.0
+               + (tt_x::DOUBLE * tt_y::DOUBLE) / (2.0 * nd * (nd - 1.0))
+               + (t3_x::DOUBLE * t3_y::DOUBLE)
+                 / (9.0 * nd * (nd - 1.0) * (nd - 2.0)) AS var_s
+           FROM m)
+         SELECT n, k,
+           round(CAST((p2 / 2.0 + s) / 2.0 AS DECIMAL(18,8)), 6)::DOUBLE AS j,
            CASE WHEN n < 3 OR var_s <= 0.0 THEN NULL
                 ELSE round(CAST(s / sqrt(var_s) AS DECIMAL(18,8)),
                   6)::DOUBLE END AS z
@@ -9711,6 +9789,8 @@ object SparkEntry {
     "stats_spearman" -> spearmanOracleSql,
     "stats_kendall" -> kendallOracleSql,
     "stream_kendall" -> kendallOracleSql,
+    "stats_jonckheere" -> jonckheereOracleSql,
+    "stream_jonckheere" -> jonckheereOracleSql,
     "stream_spearman" -> spearmanOracleSql,
 
     // Cramér's V replay: same joint counts, full contingency incl. absent

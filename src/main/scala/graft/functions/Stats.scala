@@ -1983,6 +1983,94 @@ object Stats {
         .as("z"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test across k groups —
+    * the DIRECTED cousin of [[kruskalWallis]]: KW asks "do the groups
+    * differ at all"; JT asks "do they INCREASE along a known ordering"
+    * (model quality along checkpoint generations, latency along load
+    * tiers, engagement along funnel stages) and buys large power when the
+    * ordering is the hypothesis. Groups are ordered by their column's
+    * natural sort order — the caller encodes the a-priori ordering in the
+    * group values themselves.
+    *
+    * Statistic: J = Σ_{g<h} [#(a∈g, b∈h: vₐ<v_b) + ½·#(vₐ=v_b)] — the
+    * pairwise Mann–Whitney mass summed over ordered group pairs. The
+    * identity that makes it a free readout: with x = group, J − E[J] =
+    * S/2 and Var(J) = Var(S)/4 where S = conc − disc of Kendall's tau-b,
+    * so the JT z IS the tau-b z over the (group, value) joint counts —
+    * the [[kendallOfCounts]] machinery verbatim, including the full
+    * Hollander–Wolfe tie correction.
+    *
+    * Scale shape: identical to [[kendallTau]] — the corpus collapses ONCE
+    * to the (group, value) joint count table (the SAME additive state as
+    * [[kruskalWallis]], so [[graft.streaming.Streaming.KruskalMonitor]]
+    * reads this out as its `trend` view with no extra state), concordant
+    * mass from the triangular cell-pair join (cells², never rows²), every
+    * product an exact DECIMAL(38,0), z in fixed double order.
+    *
+    * Returns one row (n, k, j, z); j is exact (its quadruple is an
+    * integer), z NULL when n < 3 or the tie-corrected variance
+    * degenerates.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame =
+    jtOfCounts(groupValueCounts(df, groupCol, valueCol))
+
+  /** [[jonckheereTerpstra]]'s readout from an already-built (__v, __g,
+    * __c) count table — the stage the streaming monitor shares with the
+    * batch operator (and with [[kwOfCounts]], whose state is identical).
+    */
+  def jtOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the bounded cell table feeds both pair-join sides, both margins and
+    // the total — frozen, or the corpus aggregation runs five times
+    val j = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      counts.select(col("__g").as("__x"), col("__v").as("__y"), col("__c")))
+    val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").cast(big).as("__ca"))
+    val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").cast(big).as("__cb"))
+    val cd = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .agg(
+        coalesce(sum(when(col("__ya") < col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
+          lit(0).cast(big)).as("__conc"),
+        coalesce(sum(when(col("__ya") > col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
+          lit(0).cast(big)).as("__disc"))
+    def tieTerms(keyCol: String, tag: String): DataFrame = {
+      val t = col("__t").cast(big)
+      j.groupBy(col(keyCol)).agg(sum(col("__c")).as("__t"))
+        .agg(count(lit(1)).as(s"__k_$tag"),
+          sum(t * (t - lit(1))).as(s"__tt_$tag"),
+          sum(t * (t - lit(1)) * (lit(2) * t + lit(5))).as(s"__tv_$tag"),
+          sum(t * (t - lit(1)) * (t - lit(2))).as(s"__t3_$tag"))
+    }
+    val tot = j.agg(sum(col("__c")).as("n"))
+    val m = cd.crossJoin(broadcast(tieTerms("__x", "x")))
+      .crossJoin(broadcast(tieTerms("__y", "y")))
+      .crossJoin(broadcast(tot))
+    val n = col("n").cast(big)
+    val twoN0 = n * (n - lit(1))
+    // 2P = cross-group pair count doubled — exact; J = (2P/2 + S)/2
+    val p2 = (twoN0 - col("__tt_x")).cast("double")
+    val s = (col("__conc") - col("__disc")).cast("double")
+    val nd = col("n").cast("double")
+    val v0 = (n * (n - lit(1)) * (lit(2) * n + lit(5))).cast("double")
+    val v1 = (col("__tt_x").cast("double") * col("__tt_y").cast("double")) /
+      (lit(2.0) * nd * (nd - lit(1.0)))
+    val v2 = (col("__t3_x").cast("double") * col("__t3_y").cast("double")) /
+      (lit(9.0) * nd * (nd - lit(1.0)) * (nd - lit(2.0)))
+    val varS = (v0 - col("__tv_x").cast("double") - col("__tv_y").cast("double")) /
+      lit(18.0) + v1 + v2
+    m.select(col("n"), col("__k_x").as("k"),
+      round(((p2 / lit(2.0) + s) / lit(2.0)).cast(dec8), 6)
+        .cast("double").as("j"),
+      when(col("n") < 3L || varS <= 0.0, lit(null).cast("double"))
+        .otherwise(round((s / sqrt(varS)).cast(dec8), 6).cast("double"))
+        .as("z"))
+  }
+
   /** Chi-square homogeneity drift between two CATEGORICAL samples — the
     * third leg of the drift triangle next to [[ksDrift]] (numeric CDFs)
     * and [[graft.functions.Curation.tokenDrift]] (token KL): did the

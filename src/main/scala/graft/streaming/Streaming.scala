@@ -949,6 +949,15 @@ object Streaming {
         counts.getOrElse(throw new IllegalStateException("no batches ingested"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__c")), qs)
 
+    /** fourth readout off the SAME count state: the Jonckheere–Terpstra
+      * ordered-alternative trend ([[graft.functions.Stats.jtOfCounts]]) —
+      * "do the groups INCREASE along their ordering", the directed
+      * question [[readout]]'s KW omnibus can't answer; equals the batch
+      * [[graft.functions.Stats.jonckheereTerpstra]] over everything seen
+      */
+    def trend: DataFrame = graft.functions.Stats.jtOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

@@ -441,6 +441,27 @@ class RetrievalStatsSpec extends SparkSpec {
       s"per-q NULL rows expected, got ${rows.mkString(",")}")
   }
 
+  test("jonckheereTerpstra: J equals the pairwise MWU sum, z equals tau-b z, ties halved") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // ordered groups with a clear increasing trend + one cross-group tie:
+    // a:{1,2} b:{2,3} c:{4,5} — J by hand: (a,b): 1<2,1<3,2<3 =3 + tie 2=2
+    // gives 3.5; (a,c): all 4 up = 4; (b,c): all 4 up = 4 → J = 11.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+      ("c", 4.0), ("c", 5.0)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L, s"n/k wrong: $r")
+    assert(r.getDouble(2) == 11.5, s"J must be 11.5, got ${r.getDouble(2)}")
+    // the identity the implementation rides: JT z == Kendall tau-b z
+    // with x = group (J − E[J] = S/2, Var(J) = Var(S)/4)
+    val kz = Stats.kendallTau(df, col("g"), col("v")).head().getAs[Double]("z")
+    assert(r.getDouble(3) == kz, s"JT z ${r.getDouble(3)} must equal tau-b z $kz")
+    // monotone-decreasing data flips the sign
+    val dec = Seq(("a", 5.0), ("a", 4.0), ("b", 2.0), ("c", 1.0)).toDF("g", "v")
+    assert(Stats.jonckheereTerpstra(dec, col("g"), col("v"))
+      .head().getDouble(3) < 0.0)
+  }
+
   test("rank statistics exclude NULL values and NULL group keys") {
     import spark.implicits._
     import graft.functions.Stats

@@ -697,6 +697,23 @@ object SparkEntry {
       vm.pairedSign("click", "view")
     }),
 
+    // Friedman rank test + Kendall's W: do the event types order the
+    // same way day after day — days as blocks, within-day midranks from
+    // the k²-per-day cell join, exact doubled-rank sums and tie term,
+    // fixed-order chi²/W
+    "events_friedman" -> ((s, dir) => {
+      graft.functions.Events.friedmanTest(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Friedman/W (batch replay of 5 batches): twelfth readout
+    // off the same additive daily-count state; same oracle
+    "stream_friedman" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.concordance
+    }),
+
     // Pettitt changepoint: WHICH day the volume regime shifted — per-day
     // vote sums off the bounded day-pair join, partitioned prefix U_t,
     // exact-integer K with first-day tie-break, fixed-order approximate p
@@ -4998,6 +5015,58 @@ object SparkEntry {
     * exact tie term, fixed-order z) — shared by `events_wilcoxon` and
     * `stream_wilcoxon` (daily counts are additive).
     */
+  /** Friedman + Kendall's W replay — daily volumes, completed grid
+    * (absent type-days count 0), within-day midranks via the per-day
+    * (value, count) self-join, exact doubled-rank sums and Σ(t³−t) tie
+    * term, χ²/W in fixed double order. Shared by `events_friedman` and
+    * `stream_friedman` (daily counts are the additive VolumeMonitor
+    * state).
+    */
+  private val friedmanOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       types AS (SELECT DISTINCT event_type FROM d),
+       days AS (SELECT DISTINCT day FROM d),
+       grid AS (
+         SELECT days.day AS b, types.event_type AS t,
+           coalesce(d.n, 0) AS x
+         FROM days CROSS JOIN types
+         LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type),
+       bx AS (
+         SELECT b, x, CAST(count(*) AS BIGINT) AS cnt
+         FROM grid GROUP BY 1, 2),
+       rk AS (
+         SELECT a.b, a.x,
+           2 * coalesce(sum(l.cnt), 0) + a.cnt + 1 AS r2
+         FROM bx a LEFT JOIN bx l ON l.b = a.b AND l.x < a.x
+         GROUP BY a.b, a.x, a.cnt),
+       pt AS (
+         SELECT g.t, sum(rk.r2::DECIMAL(38,0)) AS rs
+         FROM grid g JOIN rk ON rk.b = g.b AND rk.x = g.x
+         GROUP BY g.t),
+       ss AS (
+         SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(rs * rs) AS ss4 FROM pt),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+       tie AS (
+         SELECT sum(cnt::DECIMAL(38,0) * cnt * cnt - cnt) AS tt FROM bx),
+       m AS (
+         SELECT n_days, k,
+           3.0 * ss4::DOUBLE / (n_days::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0))
+             - 3.0 * n_days::DOUBLE * (k::DOUBLE + 1.0) AS chi_u,
+           1.0 - tt::DOUBLE
+             / (n_days::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1.0)) AS c
+         FROM ss CROSS JOIN nb CROSS JOIN tie)
+       SELECT n_days, k,
+         CASE WHEN k < 2 OR n_days < 1 OR c <= 0.0 THEN NULL
+              ELSE round(CAST(chi_u / c AS DECIMAL(18,8)), 6)::DOUBLE END AS chi2,
+         CASE WHEN k < 2 OR n_days < 1 OR c <= 0.0 THEN NULL
+              ELSE round(CAST(chi_u / c / (n_days::DOUBLE * (k::DOUBLE - 1.0))
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS w
+       FROM m"""
+
   private val wilcoxonOracleSql =
     """WITH d AS (
          SELECT event_type, CAST(ts AS DATE) AS day,
@@ -9923,6 +9992,8 @@ object SparkEntry {
     // Wilcoxon / sign replay: same paired day-diff table, zero-drop
     "events_wilcoxon" -> wilcoxonOracleSql,
     "stream_wilcoxon" -> wilcoxonOracleSql,
+    "events_friedman" -> friedmanOracleSql,
+    "stream_friedman" -> friedmanOracleSql,
     "events_sign_test" -> signTestOracleSql,
     "stream_sign_test" -> signTestOracleSql,
     "events_pettitt" -> pettittOracleSql,

@@ -1075,6 +1075,97 @@ object Events {
           / sqrt(nd)).cast(dec8), 6).cast("double")).as("z"))
   }
 
+  /** Friedman rank test + Kendall's W across k event types' daily
+    * volumes — the k-way generalization of [[wilcoxonSignedRank]]: days
+    * are blocks, types are treatments, and each day RANKS the types by
+    * volume; Friedman's χ² asks "do the types systematically order the
+    * same way, day after day" (the repeated-measures question
+    * [[graft.functions.Stats.kruskalWallis]] gets wrong, because daily
+    * volumes share the day's traffic level — blocking removes it), and
+    * Kendall's W = χ²/(n(k−1)) turns the same statistic into the [0,1]
+    * concordance coefficient reviewers report. A type absent on a day
+    * counts volume 0 (complete-block form over the observed grid).
+    *
+    * Scale shape: the corpus collapses ONCE to the bounded per-type day
+    * table (the [[graft.streaming.Streaming.VolumeMonitor]] state, whose
+    * `concordance` readout IS this test); the completed grid is
+    * days×types rows, within-day midranks come from the per-day
+    * (value, count) self-join (k² per day — never rows²), doubled ranks
+    * keep every sum an exact DECIMAL(38,0) integer, the Σ(t³−t) tie
+    * term is exact, and χ²/W evaluate in fixed double order.
+    *
+    * Returns one row (n_days, k, chi2, w) at 6dp; NULLs when k < 2 or
+    * the tie correction degenerates (all types tied every day).
+    */
+  def friedmanTest(df: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame =
+    friedmanOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[friedmanTest]]'s readout over an already-built (event_type, day,
+    * n) count table — exposed for the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]].
+    */
+  def friedmanOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val d = bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    // complete the grid: a type that fired zero events on a day is a real
+    // measurement of 0, not a missing block entry
+    val types = d.select(col("event_type")).distinct()
+    val days = d.select(col("day")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(d, Seq("event_type", "day"), "left")
+      .select(col("day").as("__b"), col("event_type").as("__t"),
+        coalesce(col("n").cast("long"), lit(0L)).as("__x"))
+    // per-(day, volume) tie groups: midranks and the tie term both read
+    // off this bounded table; frozen — it feeds three consumers
+    val bx = bridge.freeze(
+      grid.groupBy(col("__b"), col("__x")).agg(count(lit(1)).as("__cnt")))
+    val lower = bx.select(col("__b").as("__b2"), col("__x").as("__x2"),
+      col("__cnt").as("__c2"))
+    // doubled midrank within the day: 2r = 2·(strictly below) + t + 1 —
+    // the within-block form of the prefix-scan rank, via the k²-per-day
+    // cell join (k = |types|, tiny)
+    val ranks = bx
+      .join(lower, col("__b") === col("__b2") && col("__x2") < col("__x"),
+        "left")
+      .groupBy(col("__b"), col("__x"), col("__cnt"))
+      .agg(coalesce(sum(col("__c2")), lit(0L)).as("__below"))
+      .select(col("__b"), col("__x"),
+        (lit(2L) * col("__below") + col("__cnt") + lit(1L))
+          .cast(big).as("__r2"))
+    // per-type doubled rank sums, then the squared-sum moment — all exact
+    val perType = grid.join(ranks, Seq("__b", "__x"))
+      .groupBy(col("__t")).agg(sum(col("__r2")).as("__rs"))
+    val ss = perType.agg(count(lit(1)).as("k"),
+      sum(col("__rs").cast(big) * col("__rs").cast(big)).as("__ss4"))
+    val nBlocks = broadcast(days.agg(count(lit(1)).as("n_days")))
+    val tie = broadcast(bx.agg(
+      sum(col("__cnt").cast(big) * col("__cnt").cast(big)
+        * col("__cnt").cast(big) - col("__cnt").cast(big)).as("__tt")))
+    val nd = col("n_days").cast("double")
+    val kd = col("k").cast("double")
+    // χ² = 12/(nk(k+1))·ΣRj² − 3n(k+1) with ΣRj² = ss4/4, then the
+    // standard tie divisor c = 1 − Σ(t³−t)/(nk(k²−1)); W = χ²/(n(k−1))
+    val chiU = lit(3.0) * col("__ss4").cast("double") /
+      (nd * kd * (kd + lit(1.0))) - lit(3.0) * nd * (kd + lit(1.0))
+    val c = lit(1.0) - col("__tt").cast("double") /
+      (nd * kd * (kd * kd - lit(1.0)))
+    val bad = col("k") < 2L || col("n_days") < 1L || c <= 0.0
+    ss.crossJoin(nBlocks).crossJoin(tie)
+      .select(col("n_days"), col("k"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round((chiU / c).cast(dec8), 6).cast("double"))
+          .as("chi2"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round((chiU / c / (nd * (kd - lit(1.0))))
+            .cast(dec8), 6).cast("double")).as("w"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

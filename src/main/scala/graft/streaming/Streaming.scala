@@ -456,6 +456,16 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         typeA, typeB)
 
+    /** twelfth readout off the accreted count state: the Friedman rank
+      * test + Kendall's W across ALL types' daily volumes
+      * ([[graft.functions.Events.friedmanOfDaily]]) — the k-way
+      * generalization of [[pairedShift]]; batch-exact by the same
+      * additivity
+      */
+    def concordance: DataFrame =
+      graft.functions.Events.friedmanOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

@@ -246,6 +246,38 @@ class EventsSpec extends SparkSpec {
       && w0.isNullAt(3), s"got $w0")
   }
 
+  test("friedmanTest: hand-computed chi2/W, within-day ties corrected, absent type-days count 0") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => (tpe, ts(day, i)))
+    // volumes: d1 a1 b2 c3; d2 a1 b2 c3; d3 a3 b2 c1; d4 a2 b2 c2 (tied)
+    // rank sums: a 7, b 8, c 9 -> ssbn 194; chi_u = 12·194/48 − 48 = 0.5
+    // tie term day4: 3³−3 = 24 -> c = 1 − 24/96 = 0.75
+    // chi2 = 0.5/0.75 = 0.666667; W = chi2/(4·2) = 0.083333
+    val ev = (burst("a", 1, 1) ++ burst("b", 1, 2) ++ burst("c", 1, 3)
+      ++ burst("a", 2, 1) ++ burst("b", 2, 2) ++ burst("c", 2, 3)
+      ++ burst("a", 3, 3) ++ burst("b", 3, 2) ++ burst("c", 3, 1)
+      ++ burst("a", 4, 2) ++ burst("b", 4, 2) ++ burst("c", 4, 2))
+      .toDF("event_type", "ts")
+    val f = Events.friedmanTest(ev).head()
+    assert((f.getLong(0), f.getLong(1), f.getDouble(2), f.getDouble(3)) ==
+      ((4L, 3L, 0.666667, 0.083333)), s"got $f")
+    // a type absent on a day is a volume-0 measurement, not a lost block:
+    // dropping c's day-1 events keeps 4 complete blocks of 3
+    val sparse = ev.filter(!(col("event_type") === "c"
+      && to_date(col("ts")) === java.sql.Date.valueOf("1970-01-01")))
+    val g = Events.friedmanTest(sparse).head()
+    assert(g.getLong(0) == 4L && g.getLong(1) == 3L && !g.isNullAt(2), s"got $g")
+    // all types identical every day: chi2 degenerates to NULL via the
+    // tie divisor (every within-day rank tied)
+    val flat = (burst("a", 1, 2) ++ burst("b", 1, 2)
+      ++ burst("a", 2, 2) ++ burst("b", 2, 2)).toDF("event_type", "ts")
+    val h = Events.friedmanTest(flat).head()
+    assert(h.isNullAt(2) && h.isNullAt(3), s"got $h")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -3473,6 +3473,30 @@ object SparkEntry {
       am.dominance
     }),
 
+    // Brunner-Munzel: stats_mwu without its equal-shape assumption —
+    // stochastic superiority P(a<b)+half-ties with separate per-arm
+    // placement variances (exact integer D-moments off ONE prefix scan)
+    // and a Welch-Satterthwaite df
+    "stats_brunner_munzel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.brunnerMunzel(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Brunner-Munzel (batch replay of 5 batches): sixth readout
+    // off the same additive per-score count state as stream_auc; same
+    // oracle
+    "stream_brunner_munzel" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val am = new graft.streaming.Streaming.AucMonitor(
+        col("value"), col("event_type") === "click")
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.superiority
+    }),
+
     // Kruskal–Wallis H: do the event TYPES draw value from ONE distribution
     // — rank-based ANOVA over the per-(value,type) count table, average
     // ranks via the deterministic-bucket prefix scan, exact-integer doubled
@@ -4146,6 +4170,69 @@ object SparkEntry {
                     * ((nd + 1.0) - tsd / (nd * (nd - 1.0)))))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
+
+  /** Brunner–Munzel replay (same per-value counts as mwu, BOTH inclusive
+    * cumulatives, doubled combined midranks and per-arm D gaps as exact
+    * integers, placement variances and the Welch–Satterthwaite df in
+    * fixed double order) — shared by `stats_brunner_munzel` and
+    * `stream_brunner_munzel` (the count state is the additive AucMonitor
+    * state).
+    */
+  private val brunnerMunzelOracleSql =
+    """WITH u AS (
+           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM u GROUP BY 1),
+         s AS (
+           SELECT p, n,
+             CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
+             CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn
+           FROM c),
+         t AS (
+           SELECT p, n,
+             (2 * (cp - p + cn - n) + p + n + 1)::DECIMAL(38,0) AS r2,
+             (2 * (cn - n) + n)::DECIMAL(38,0) AS da,
+             (2 * (cp - p) + p)::DECIMAL(38,0) AS db
+           FROM s),
+         a AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
+             sum(p::DECIMAL(38,0) * r2) AS ar2, sum(n::DECIMAL(38,0) * r2) AS br2,
+             sum(p::DECIMAL(38,0) * da) AS ad1,
+             sum(p::DECIMAL(38,0) * da * da) AS ad2,
+             sum(n::DECIMAL(38,0) * db) AS bd1,
+             sum(n::DECIMAL(38,0) * db * db) AS bd2
+           FROM t),
+         m AS (
+           SELECT n_a, n_b, n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd,
+             ar2::DOUBLE AS ar2d, br2::DOUBLE AS br2d,
+             (ad2::DOUBLE - ad1::DOUBLE * ad1::DOUBLE / n_a::DOUBLE)
+               / (4.0 * (n_a::DOUBLE - 1.0)) AS sx,
+             (bd2::DOUBLE - bd1::DOUBLE * bd1::DOUBLE / n_b::DOUBLE)
+               / (4.0 * (n_b::DOUBLE - 1.0)) AS sy
+           FROM a),
+         f AS (
+           SELECT n_a, n_b, nad, nbd, sx, sy,
+             nad * sx + nbd * sy AS dv,
+             br2d / nbd - ar2d / nad AS gap2,
+             (br2d / nbd - (nbd + 1.0)) / 2.0 / nad AS ph
+           FROM m)
+         SELECT n_a, n_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE round(CAST(ph AS DECIMAL(18,8)), 6)::DOUBLE END AS p_hat,
+           CASE WHEN n_a < 2 OR n_b < 2 OR dv <= 0.0 THEN NULL
+                ELSE round(CAST(nad * nbd * (gap2 / 2.0)
+                  / ((nad + nbd) * sqrt(dv)) AS DECIMAL(18,8)), 6)::DOUBLE
+                END AS w,
+           CASE WHEN n_a < 2 OR n_b < 2 OR dv <= 0.0 THEN NULL
+                ELSE round(CAST(dv * dv
+                  / ((nad * sx) * (nad * sx) / (nad - 1.0)
+                    + (nbd * sy) * (nbd * sy) / (nbd - 1.0))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS df
+         FROM f"""
 
   /** Cliff's delta replay (same per-value counts and exact doubled U as
     * mwu, one divide, Romano band off the rounded |δ|) — shared by
@@ -9828,6 +9915,8 @@ object SparkEntry {
     // tie terms, same fixed-order z; the count state is additive
     "stats_mwu" -> mwuOracleSql,
     "stream_mwu" -> mwuOracleSql,
+    "stats_brunner_munzel" -> brunnerMunzelOracleSql,
+    "stream_brunner_munzel" -> brunnerMunzelOracleSql,
     // Cliff's delta replay: same count state, dominance effect size
     "stats_cliffs" -> cliffsOracleSql,
     "stream_cliffs" -> cliffsOracleSql,

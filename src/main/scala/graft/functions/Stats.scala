@@ -1399,6 +1399,86 @@ object Stats {
           .cast("double")).as("z"))
   }
 
+  /** Brunner–Munzel test between two numeric samples — the
+    * generalized-Behrens-Fisher upgrade of [[mannWhitney]]: MWU's z
+    * assumes the two arms share a distribution SHAPE under the null, so
+    * unequal variances alone (arm A noisy, arm B tight — the normal state
+    * of A/B metrics) inflate its false-positive rate; BM tests the
+    * stochastic-superiority probability p = P(A < B) + ½P(A = B) = ½
+    * directly, with separate per-arm rank variances and a
+    * Welch–Satterthwaite df, the way Welch's t upgrades Student's t.
+    * scipy.stats.brunnermunzel semantics.
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as
+    * [[rocAuc]]/[[mannWhitney]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose `superiority`
+    * readout IS this test); combined and within-arm midranks come from
+    * ONE prefix scan as doubled integers, each arm's placement variance
+    * from exact Σc·D and Σc·D² integer moments (D = doubled
+    * combined-minus-within rank gap), and the statistic/df evaluate in
+    * fixed double order. Zero row-level joins.
+    *
+    * Returns one row (n_a, n_b, p_hat, w, df) at 6dp — p_hat estimates
+    * P(A < B) + ½P(A = B), w is t-distributed at df under the null;
+    * w/df NULL when either arm has < 2 rows or both placement variances
+    * vanish (complete separation — the statistic is infinite).
+    */
+  def brunnerMunzel(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    bmOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[brunnerMunzel]]'s readout from a [[scoreCounts]] table (__s, __p =
+    * arm-a count, __n = arm-b count) — the stage the streaming monitor
+    * shares with the batch operator.
+    */
+  def bmOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
+    // doubled combined midrank 2R = 2·(below both arms) + t + 1, and the
+    // doubled combined-minus-within gaps Dₐ = 2R − 2rₐ = 2·belowᵦ + cᵦ
+    // (the other arm's mass at/under this value) — all exact integers
+    val r2 = (lit(2L) * (col("cum___p") - col("__p") + col("cum___n") - col("__n"))
+      + col("__p") + col("__n") + lit(1L)).cast(big)
+    val da = (lit(2L) * (col("cum___n") - col("__n")) + col("__n")).cast(big)
+    val db = (lit(2L) * (col("cum___p") - col("__p")) + col("__p")).cast(big)
+    val agg = cum
+      .select(col("__p"), col("__n"), r2.as("__r2"), da.as("__da"), db.as("__db"))
+      .agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"),
+        sum(col("__p").cast(big) * col("__r2")).as("__ar2"),
+        sum(col("__n").cast(big) * col("__r2")).as("__br2"),
+        sum(col("__p").cast(big) * col("__da")).as("__ad1"),
+        sum(col("__p").cast(big) * col("__da") * col("__da")).as("__ad2"),
+        sum(col("__n").cast(big) * col("__db")).as("__bd1"),
+        sum(col("__n").cast(big) * col("__db") * col("__db")).as("__bd2"))
+    def d(c: String) = col(c).cast("double")
+    val nad = d("n_a")
+    val nbd = d("n_b")
+    // per-arm placement variances from the exact integer moments; the /4
+    // undoes the rank doubling
+    val sx = (d("__ad2") - d("__ad1") * d("__ad1") / nad) /
+      (lit(4.0) * (nad - lit(1.0)))
+    val sy = (d("__bd2") - d("__bd1") * d("__bd1") / nbd) /
+      (lit(4.0) * (nbd - lit(1.0)))
+    val meanGap2 = d("__br2") / nbd - d("__ar2") / nad
+    val denomV = nad * sx + nbd * sy
+    val w = nad * nbd * (meanGap2 / lit(2.0)) /
+      ((nad + nbd) * sqrt(denomV))
+    val pHat = (d("__br2") / nbd - (nbd + lit(1.0))) / lit(2.0) / nad
+    val dfHat = denomV * denomV /
+      ((nad * sx) * (nad * sx) / (nad - lit(1.0)) +
+        (nbd * sy) * (nbd * sy) / (nbd - lit(1.0)))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("n_a") < 2L || col("n_b") < 2L || denomV <= 0.0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise(r6(pHat)).as("p_hat"),
+      when(bad, lit(null).cast("double")).otherwise(r6(w)).as("w"),
+      when(bad, lit(null).cast("double")).otherwise(r6(dfHat)).as("df"))
+  }
+
   /** Cliff's delta between two numeric samples — [[mannWhitney]]'s
     * EFFECT SIZE: the z says the dominance is real, δ = P(a > b) −
     * P(b > a) ∈ [−1, 1] says how LARGE it is, unmoved by sample size —

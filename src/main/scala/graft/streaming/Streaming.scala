@@ -1383,6 +1383,14 @@ object Streaming {
     def dominance: DataFrame = graft.functions.Stats.cliffsOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** sixth readout off the SAME count state: the Brunner–Munzel
+      * stochastic-superiority test ([[graft.functions.Stats.bmOfCounts]])
+      * — [[rankTest]] without its equal-shape assumption; equals the
+      * batch [[graft.functions.Stats.brunnerMunzel]] over everything seen
+      */
+    def superiority: DataFrame = graft.functions.Stats.bmOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

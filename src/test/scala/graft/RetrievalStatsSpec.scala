@@ -462,6 +462,33 @@ class RetrievalStatsSpec extends SparkSpec {
       .head().getDouble(3) < 0.0)
   }
 
+  test("brunnerMunzel: hand-computed placements, ties halved, separation degenerates to NULL") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // x={1,3} y={2,4}: combined ranks 1..4, placements give Sx=Sy=0.5,
+    // W = 1/sqrt(2), p_hat = 0.75, df = 2 (scipy.stats.brunnermunzel)
+    val x = Seq(1.0, 3.0).toDF("v")
+    val y = Seq(2.0, 4.0).toDF("v")
+    val r = Stats.brunnerMunzel(x, y, "v").head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.75, s"p_hat: $r")
+    assert(r.getDouble(3) == 0.707107, s"w: $r")
+    assert(r.getDouble(4) == 2.0, s"df: $r")
+    // a cross-arm tie contributes half: x={1,2} y={2,3} -> p_hat 0.875,
+    // W = 6/(4*sqrt(0.5)) = 2.12132, df = 2
+    val xt = Seq(1.0, 2.0).toDF("v")
+    val yt = Seq(2.0, 3.0).toDF("v")
+    val rt = Stats.brunnerMunzel(xt, yt, "v").head()
+    assert(rt.getDouble(2) == 0.875 && rt.getDouble(3) == 2.12132
+      && rt.getDouble(4) == 2.0, s"tied case: $rt")
+    // complete separation: zero placement variance on both arms -> the
+    // statistic is infinite; w/df read NULL, p_hat still reads 1
+    val lo = Seq(1.0, 2.0).toDF("v")
+    val hi = Seq(5.0, 6.0).toDF("v")
+    val rs = Stats.brunnerMunzel(lo, hi, "v").head()
+    assert(rs.getDouble(2) == 1.0 && rs.isNullAt(3) && rs.isNullAt(4), s"sep: $rs")
+  }
+
   test("rank statistics exclude NULL values and NULL group keys") {
     import spark.implicits._
     import graft.functions.Stats

@@ -714,6 +714,22 @@ object SparkEntry {
       vm.concordance
     }),
 
+    // Page's L ordered trend: do daily volumes INCREASE along the types'
+    // ordering, day after day — the directed companion of events_friedman
+    // over the same within-day midranks; L exact, closed-form E/Var z
+    "events_page_trend" -> ((s, dir) => {
+      graft.functions.Events.pageTrendTest(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Page trend (batch replay of 5 batches): thirteenth
+    // readout off the same additive daily-count state; same oracle
+    "stream_page_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
+      (0 until 5).foreach(b => vm.update(ev.filter(col("event_id") % 5 === b)))
+      vm.pageTrend
+    }),
+
     // Pettitt changepoint: WHICH day the volume regime shifted — per-day
     // vote sums off the bounded day-pair join, partitioned prefix U_t,
     // exact-integer K with first-day tie-break, fixed-order approximate p
@@ -5152,6 +5168,57 @@ object SparkEntry {
          CASE WHEN k < 2 OR n_days < 1 OR c <= 0.0 THEN NULL
               ELSE round(CAST(chi_u / c / (n_days::DOUBLE * (k::DOUBLE - 1.0))
                 AS DECIMAL(18,8)), 6)::DOUBLE END AS w
+       FROM m"""
+
+  /** Page's L replay — same completed grid and within-day midranks as
+    * [[friedmanOracleSql]], ordering index via the k² type self-join,
+    * L = Σ j·Rⱼ exact, closed-form E/Var z in fixed double order. Shared
+    * by `events_page_trend` and `stream_page_trend`.
+    */
+  private val pageOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       types AS (SELECT DISTINCT event_type FROM d),
+       days AS (SELECT DISTINCT day FROM d),
+       grid AS (
+         SELECT days.day AS b, types.event_type AS t,
+           coalesce(d.n, 0) AS x
+         FROM days CROSS JOIN types
+         LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type),
+       bx AS (
+         SELECT b, x, CAST(count(*) AS BIGINT) AS cnt
+         FROM grid GROUP BY 1, 2),
+       rk AS (
+         SELECT a.b, a.x,
+           2 * coalesce(sum(l.cnt), 0) + a.cnt + 1 AS r2
+         FROM bx a LEFT JOIN bx l ON l.b = a.b AND l.x < a.x
+         GROUP BY a.b, a.x, a.cnt),
+       pt AS (
+         SELECT g.t, sum(rk.r2::DECIMAL(38,0)) AS rs
+         FROM grid g JOIN rk ON rk.b = g.b AND rk.x = g.x
+         GROUP BY g.t),
+       jx AS (
+         SELECT a.t, a.rs, CAST(count(*) AS BIGINT) AS j
+         FROM pt a JOIN pt b ON b.t <= a.t
+         GROUP BY a.t, a.rs),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(j::DECIMAL(38,0) * rs) AS l2 FROM jx),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+       m AS (
+         SELECT n_days, k, l2::DOUBLE / 2.0 AS l,
+           n_days::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0) * (k::DOUBLE + 1.0)
+             / 4.0 AS e,
+           n_days::DOUBLE * k::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+             * (k::DOUBLE * k::DOUBLE - 1.0) / 144.0 AS v
+         FROM agg CROSS JOIN nb)
+       SELECT n_days, k,
+         round(CAST(l AS DECIMAL(18,8)), 6)::DOUBLE AS l,
+         CASE WHEN k < 2 OR n_days < 1 OR v <= 0.0 THEN NULL
+              ELSE round(CAST((l - e) / sqrt(v) AS DECIMAL(18,8)),
+                6)::DOUBLE END AS z
        FROM m"""
 
   private val wilcoxonOracleSql =
@@ -10083,6 +10150,8 @@ object SparkEntry {
     "stream_wilcoxon" -> wilcoxonOracleSql,
     "events_friedman" -> friedmanOracleSql,
     "stream_friedman" -> friedmanOracleSql,
+    "events_page_trend" -> pageOracleSql,
+    "stream_page_trend" -> pageOracleSql,
     "events_sign_test" -> signTestOracleSql,
     "stream_sign_test" -> signTestOracleSql,
     "events_pettitt" -> pettittOracleSql,

@@ -1103,13 +1103,14 @@ object Events {
       df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
         .agg(count(lit(1)).as("n")))
 
-  /** [[friedmanTest]]'s readout over an already-built (event_type, day,
-    * n) count table — exposed for the streaming
-    * [[graft.streaming.Streaming.VolumeMonitor]].
+  /** the shared within-day rank stage of [[friedmanOfDaily]] and
+    * [[pageOfDaily]]: the completed (day × type) grid's per-type doubled
+    * rank sums, plus the day count and the Σ(t³−t) tie total — everything
+    * a rank-concordance readout needs, all exact integers
     */
-  def friedmanOfDaily(dailyCounts: DataFrame): DataFrame = {
+  private def dailyRankSums(dailyCounts: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val d = bridge.freeze(
       dailyCounts.select(col("event_type"), col("day"), col("n")))
@@ -1138,15 +1139,26 @@ object Events {
       .select(col("__b"), col("__x"),
         (lit(2L) * col("__below") + col("__cnt") + lit(1L))
           .cast(big).as("__r2"))
-    // per-type doubled rank sums, then the squared-sum moment — all exact
+    // per-type doubled rank sums — all exact
     val perType = grid.join(ranks, Seq("__b", "__x"))
       .groupBy(col("__t")).agg(sum(col("__r2")).as("__rs"))
-    val ss = perType.agg(count(lit(1)).as("k"),
-      sum(col("__rs").cast(big) * col("__rs").cast(big)).as("__ss4"))
     val nBlocks = broadcast(days.agg(count(lit(1)).as("n_days")))
     val tie = broadcast(bx.agg(
       sum(col("__cnt").cast(big) * col("__cnt").cast(big)
         * col("__cnt").cast(big) - col("__cnt").cast(big)).as("__tt")))
+    (perType, nBlocks, tie)
+  }
+
+  /** [[friedmanTest]]'s readout over an already-built (event_type, day,
+    * n) count table — exposed for the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]].
+    */
+  def friedmanOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val (perType, nBlocks, tie) = dailyRankSums(dailyCounts)
+    val ss = perType.agg(count(lit(1)).as("k"),
+      sum(col("__rs").cast(big) * col("__rs").cast(big)).as("__ss4"))
     val nd = col("n_days").cast("double")
     val kd = col("k").cast("double")
     // χ² = 12/(nk(k+1))·ΣRj² − 3n(k+1) with ΣRj² = ss4/4, then the
@@ -1164,6 +1176,63 @@ object Events {
         when(bad, lit(null).cast("double"))
           .otherwise(round((chiU / c / (nd * (kd - lit(1.0))))
             .cast(dec8), 6).cast("double")).as("w"))
+  }
+
+  /** Page's L trend test across k event types' daily volumes — the
+    * ORDERED-alternative companion of [[friedmanTest]], exactly as
+    * [[graft.functions.Stats.jonckheereTerpstra]] is [[graft.functions
+    * .Stats.kruskalWallis]]'s: Friedman asks "do the types differ at
+    * all, day after day"; Page asks "do they increase along a KNOWN
+    * ordering" (funnel stages, model generations — here the types'
+    * natural sort order), and buys large power when the ordering is the
+    * hypothesis. L = Σⱼ j·Rⱼ over the ordered treatments' within-day
+    * rank sums; z against E[L] = nk(k+1)²/4,
+    * Var(L) = nk²(k+1)(k²−1)/144 (ties get midranks — the standard
+    * large-sample treatment).
+    *
+    * Same state, same scale shape as [[friedmanTest]] (the
+    * [[graft.streaming.Streaming.VolumeMonitor]] `pageTrend` readout):
+    * within-day midranks off the k²-per-day cell join, L exact (its
+    * double is an integer), z in fixed double order.
+    *
+    * Returns one row (n_days, k, l, z) at 6dp; z NULL when k < 2 or the
+    * variance degenerates.
+    */
+  def pageTrendTest(df: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame =
+    pageOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[pageTrendTest]]'s readout over an already-built (event_type, day,
+    * n) count table — exposed for the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]].
+    */
+  def pageOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val (perType, nBlocks, _) = dailyRankSums(dailyCounts)
+    // ordering index of each treatment in the a-priori (natural sort)
+    // order, via the tiny k² self-join — no unpartitioned window
+    val pt = org.apache.spark.sql.graftbridge.Bridge.freeze(perType)
+    val j = pt.select(col("__t"), col("__rs"))
+      .join(pt.select(col("__t").as("__t2")), col("__t2") <= col("__t"))
+      .groupBy(col("__t"), col("__rs"))
+      .agg(count(lit(1)).as("__j"))
+    val agg = j.agg(count(lit(1)).as("k"),
+      sum(col("__j").cast(big) * col("__rs")).as("__l2"))
+    val nd = col("n_days").cast("double")
+    val kd = col("k").cast("double")
+    val l = col("__l2").cast("double") / lit(2.0)
+    val e = nd * kd * (kd + lit(1.0)) * (kd + lit(1.0)) / lit(4.0)
+    val v = nd * kd * kd * (kd + lit(1.0)) * (kd * kd - lit(1.0)) / lit(144.0)
+    val bad = col("k") < 2L || col("n_days") < 1L || v <= 0.0
+    agg.crossJoin(nBlocks)
+      .select(col("n_days"), col("k"),
+        round(l.cast(dec8), 6).cast("double").as("l"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round(((l - e) / sqrt(v)).cast(dec8), 6).cast("double"))
+          .as("z"))
   }
 
   /** Kaplan–Meier survival curve over user lifetimes — retention with

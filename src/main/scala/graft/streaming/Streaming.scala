@@ -466,6 +466,16 @@ object Streaming {
       graft.functions.Events.friedmanOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** thirteenth readout off the accreted count state: Page's L ordered
+      * trend across the types' daily ranks
+      * ([[graft.functions.Events.pageOfDaily]]) — the directed question
+      * [[concordance]]'s omnibus can't answer; batch-exact by the same
+      * additivity
+      */
+    def pageTrend: DataFrame =
+      graft.functions.Events.pageOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("daily" -> daily))
 

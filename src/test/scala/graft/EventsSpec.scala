@@ -278,6 +278,31 @@ class EventsSpec extends SparkSpec {
     assert(h.isNullAt(2) && h.isNullAt(3), s"got $h")
   }
 
+  test("pageTrendTest: hand-computed L and z, perfect ordering maximizes L") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      (day.toLong * 86400L + i) * 1000L)
+    def burst(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => (tpe, ts(day, i)))
+    // volumes d1/d2: a1 b2 c3; d3: a3 b2 c1 -> rank sums a 5, b 6, c 7
+    // L = 1·5 + 2·6 + 3·7 = 38; E = 3·3·16/4 = 36; Var = 3·9·4·8/144 = 6
+    // z = 2/sqrt(6) = 0.816497
+    val ev = (burst("a", 1, 1) ++ burst("b", 1, 2) ++ burst("c", 1, 3)
+      ++ burst("a", 2, 1) ++ burst("b", 2, 2) ++ burst("c", 2, 3)
+      ++ burst("a", 3, 3) ++ burst("b", 3, 2) ++ burst("c", 3, 1))
+      .toDF("event_type", "ts")
+    val p = Events.pageTrendTest(ev).head()
+    assert((p.getLong(0), p.getLong(1), p.getDouble(2), p.getDouble(3)) ==
+      ((3L, 3L, 38.0, 0.816497)), s"got $p")
+    // perfectly ordered every day: L hits its max n·k(k+1)(2k+1)/6 = 42
+    val mono = (burst("a", 1, 1) ++ burst("b", 1, 2) ++ burst("c", 1, 3)
+      ++ burst("a", 2, 1) ++ burst("b", 2, 2) ++ burst("c", 2, 3)
+      ++ burst("a", 3, 1) ++ burst("b", 3, 2) ++ burst("c", 3, 3))
+      .toDF("event_type", "ts")
+    val q = Events.pageTrendTest(mono).head()
+    assert(q.getDouble(2) == 42.0 && q.getDouble(3) > p.getDouble(3), s"got $q")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

@@ -3554,6 +3554,25 @@ object SparkEntry {
       km.trend
     }),
 
+    // Mood's median test: does each event type land above the POOLED
+    // median value at the same rate — the outlier-proof floor under
+    // stats_kruskal over the same count table; exact interpolated grand
+    // median, 2×k chi² with exact-integer E staging
+    "stats_mood_median" -> ((s, dir) => {
+      graft.functions.Stats.moodMedianTest(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Mood's median (batch replay of 5 batches): fifth readout
+    // off the SAME additive KruskalMonitor count state; same oracle
+    "stream_mood_median" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val km = new graft.streaming.Streaming.KruskalMonitor(
+        col("event_type"), col("value"))
+      (0 until 5).foreach(b => km.update(ev.filter(col("event_id") % 5 === b)))
+      km.medianTest
+    }),
+
     // Brown-Forsythe equal-spread test: do the event types have the same
     // VARIABILITY of value (the check stats_anova's pooled variance
     // quietly assumes) — per-group medians as conditional-min order stats
@@ -4332,6 +4351,72 @@ object SparkEntry {
     * `stream_quantile_exact` (the count state is the summed additive
     * KruskalMonitor state).
     */
+  /** Mood's median test replay — exact interpolated grand median (the
+    * quantile contract at q = 0.5), per-type above/not-above split, 2×k
+    * χ² with exact-integer E staging and DECIMAL(28,10) term sums.
+    * Shared by `stats_mood_median` and `stream_mood_median` (the count
+    * table is the additive KruskalMonitor state).
+    */
+  private val moodOracleSql =
+    """WITH gv AS (
+           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM gv GROUP BY 1),
+         s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+               FROM vt),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vt),
+         j AS (SELECT n, (n::DOUBLE - 1.0) * 0.5 AS pos FROM t),
+         mm AS (
+           SELECT n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+             pos - floor(pos) AS frac
+           FROM j),
+         r AS (
+           SELECT mm.frac,
+             min(CASE WHEN s.cm >= mm.lo THEN s.v END)::DOUBLE AS xlo,
+             min(CASE WHEN s.cm >= least(mm.lo + 1, mm.n) THEN s.v
+               END)::DOUBLE AS xhi
+           FROM mm CROSS JOIN s GROUP BY 1),
+         med AS (
+           SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+             6)::DOUBLE AS m
+           FROM r),
+         gp AS (
+           SELECT g,
+             CAST(sum(CASE WHEN v > m THEN c ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN v <= m THEN c ELSE 0 END) AS BIGINT) AS b,
+             min(m) AS m
+           FROM gv CROSS JOIN med GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+           FROM gp),
+         terms AS (
+           SELECT k, ta, tb, gp.m,
+             CAST((
+               (a::DOUBLE - ((a + b)::DECIMAL(38,0) * ta)::DOUBLE
+                 / (ta + tb)::DOUBLE)
+               * (a::DOUBLE - ((a + b)::DECIMAL(38,0) * ta)::DOUBLE
+                 / (ta + tb)::DOUBLE)
+               / (((a + b)::DECIMAL(38,0) * ta)::DOUBLE / (ta + tb)::DOUBLE)
+               + (b::DOUBLE - ((a + b)::DECIMAL(38,0) * tb)::DOUBLE
+                 / (ta + tb)::DOUBLE)
+               * (b::DOUBLE - ((a + b)::DECIMAL(38,0) * tb)::DOUBLE
+                 / (ta + tb)::DOUBLE)
+               / (((a + b)::DECIMAL(38,0) * tb)::DOUBLE / (ta + tb)::DOUBLE)
+             ) AS DECIMAL(28,10)) AS term
+           FROM gp CROSS JOIN tot),
+         agg AS (
+           SELECT min(k) AS k, min(ta + tb) AS n, min(ta) AS ta,
+             min(tb) AS tb, min(m) AS gm, sum(term) AS chi
+           FROM terms)
+         SELECT n, k,
+           round(CAST(gm AS DECIMAL(18,8)), 6)::DOUBLE AS grand_median,
+           CASE WHEN k < 2 OR ta = 0 OR tb = 0 THEN NULL
+                ELSE round(CAST(chi AS DECIMAL(18,8)), 6)::DOUBLE END AS chi2
+         FROM agg"""
+
   private val quantileExactOracleSql =
     """WITH c AS (
            SELECT value AS v, CAST(count(*) AS BIGINT) AS c
@@ -10016,6 +10101,8 @@ object SparkEntry {
     "stream_kendall" -> kendallOracleSql,
     "stats_jonckheere" -> jonckheereOracleSql,
     "stream_jonckheere" -> jonckheereOracleSql,
+    "stats_mood_median" -> moodOracleSql,
+    "stream_mood_median" -> moodOracleSql,
     "stream_spearman" -> spearmanOracleSql,
 
     // Cramér's V replay: same joint counts, full contingency incl. absent

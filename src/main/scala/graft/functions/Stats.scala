@@ -2063,6 +2063,75 @@ object Stats {
         .as("z"))
   }
 
+  /** Mood's median test across k groups — the coarsest, most
+    * outlier-proof of the k-group location tests: [[anovaF]] needs
+    * normal-ish tails, [[kruskalWallis]] needs comparable shapes; Mood's
+    * only asks "does each group land above the POOLED median at the same
+    * rate", so a single corrupted feed with a wild tail cannot move any
+    * other group's contribution. The blunt instrument to confirm a KW
+    * alarm isn't a shape artifact.
+    *
+    * Dichotomy: the grand median is the exact interpolated q=0.5 order
+    * statistic ([[exactQuantiles]]' contract, engine-reproducible), each
+    * group splits into above / not-above, and the 2×k contingency gets
+    * the plain χ² at k−1 dof.
+    *
+    * Scale shape: the SAME additive (value, group) count state as
+    * [[kruskalWallis]] (the [[graft.streaming.Streaming.KruskalMonitor]]
+    * `medianTest` readout); the median is two conditional-min order
+    * stats off the prefix scan, the contingency is one aggregation of
+    * the count table against the broadcast median, expected counts stage
+    * as exact integer products with ONE double division each, and the
+    * (O−E)²/E terms sum order-independently in DECIMAL(28,10).
+    *
+    * Returns one row (n, k, grand_median, chi2) at 6dp; chi2 NULL when
+    * k < 2 or either side of the dichotomy is empty (all mass on the
+    * median — no information).
+    */
+  def moodMedianTest(df: DataFrame, groupCol: Column,
+                     valueCol: Column): DataFrame =
+    moodOfCounts(groupValueCounts(df, groupCol, valueCol))
+
+  /** [[moodMedianTest]]'s readout from an already-built (__v, __g, __c)
+    * count table — the stage the streaming monitor shares with the batch
+    * operator (and with [[kwOfCounts]], whose state is identical).
+    */
+  def moodOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val med = broadcast(quantilesOfCounts(
+      c.groupBy(col("__v")).agg(sum(col("__c")).as("__c")), Seq(0.5))
+      .select(col("value").as("__m")))
+    val g = c.crossJoin(med)
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__v") > col("__m"), col("__c")).otherwise(0L)).as("__a"),
+        sum(when(col("__v") <= col("__m"), col("__c")).otherwise(0L)).as("__b"),
+        min(col("__m")).as("__m"))
+    val tot = broadcast(g.agg(count(lit(1)).as("k"),
+      sum(col("__a")).as("__ta"), sum(col("__b")).as("__tb")))
+    val n = (col("__ta") + col("__tb")).cast(big)
+    val nd = n.cast("double")
+    val ng = (col("__a") + col("__b")).cast(big)
+    val e1 = (ng * col("__ta").cast(big)).cast("double") / nd
+    val e2 = (ng * col("__tb").cast(big)).cast("double") / nd
+    val ad = col("__a").cast("double")
+    val bd = col("__b").cast("double")
+    val term = (((ad - e1) * (ad - e1) / e1) +
+      ((bd - e2) * (bd - e2) / e2)).cast(dec)
+    val agg = g.crossJoin(tot)
+      .agg(min(col("k")).as("k"), min(col("__ta") + col("__tb")).as("n"),
+        min(col("__ta")).as("__A"), min(col("__tb")).as("__B"),
+        min(col("__m")).as("__gm"), sum(term).as("__chi"))
+    agg.select(col("n"), col("k"),
+      round(col("__gm").cast(dec8), 6).cast("double").as("grand_median"),
+      when(col("k") < 2L || col("__A") === 0L || col("__B") === 0L,
+        lit(null).cast("double"))
+        .otherwise(round(col("__chi").cast(dec8), 6).cast("double"))
+        .as("chi2"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative trend test across k groups —
     * the DIRECTED cousin of [[kruskalWallis]]: KW asks "do the groups
     * differ at all"; JT asks "do they INCREASE along a known ordering"

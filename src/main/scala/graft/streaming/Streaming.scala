@@ -978,6 +978,14 @@ object Streaming {
     def trend: DataFrame = graft.functions.Stats.jtOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** fifth readout off the SAME count state: Mood's median test
+      * ([[graft.functions.Stats.moodOfCounts]]) — the outlier-proof
+      * above/below-pooled-median dichotomy under [[readout]]'s KW;
+      * equals the batch [[graft.functions.Stats.moodMedianTest]]
+      */
+    def medianTest: DataFrame = graft.functions.Stats.moodOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

@@ -489,6 +489,24 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(rs.getDouble(2) == 1.0 && rs.isNullAt(3) && rs.isNullAt(4), s"sep: $rs")
   }
 
+  test("moodMedianTest: hand-computed 2xk chi2 against the pooled interpolated median") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // pooled median of {1,2,3,4} = 2.5; above: a 0/2, b 2/2 -> every
+    // cell's E = 1, chi2 = 4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.moodMedianTest(df, col("g"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((4L, 2L, 2.5, 4.0)), s"got $r")
+    // identical groups: chi2 reads ~0, never negative
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val f = Stats.moodMedianTest(flat, col("g"), col("v")).head()
+    assert(f.getDouble(3) == 0.0, s"got $f")
+    // one group: dichotomy carries no between-group information -> NULL
+    val one = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    assert(Stats.moodMedianTest(one, col("g"), col("v")).head().isNullAt(3))
+  }
+
   test("rank statistics exclude NULL values and NULL group keys") {
     import spark.implicits._
     import graft.functions.Stats

@@ -2797,6 +2797,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Dirichlet query-likelihood ranking: the LM ranker next to
+    // search_bm25 — full smoothed score for EVERY document via the
+    // sparse decomposition (query-filtered tf sum + broadcast query
+    // constant − |q|·ln(dl+μ)), decimal-exact per-document totals
+    "search_query_likelihood" -> ((s, dir) => {
+      graft.functions.Retrieval.queryLikelihoodTopK(docsNorm(s, dir),
+        "doc_id", "text", Seq("hash", "join", "merge"), k = 20, mu = 1000.0)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // hybrid retrieval: BM25 lexical top-50 fused with exact-cosine vector
     // top-50 by reciprocal-rank fusion — the production RAG merge; fusion
     // joins two bounded lists, never the corpus
@@ -9675,6 +9685,51 @@ object SparkEntry {
            SELECT doc_id, sum(sd) AS score, count(*) AS n_terms FROM per GROUP BY doc_id)
          SELECT doc_id, round(score, 4)::DOUBLE AS score, n_terms FROM (
            SELECT doc_id, score, n_terms FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         ORDER BY score DESC, doc_id""",
+
+    // query-likelihood replay: same tokenization as bm25, sparse Dirichlet
+    // decomposition — per-present-term ln(1 + tf·T/(μ·cf)) decimal sums,
+    // the 1-row query constant, and the −|q|·ln(dl+μ) length term, ranked
+    // on the exact decimal score with id tie-break
+    "search_query_likelihood" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
+         lens AS (
+           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
+         stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+         qt AS (
+           SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('hash', 'join', 'merge')),
+         cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM qt GROUP BY 1),
+         qc AS (
+           SELECT CAST(count(*) AS BIGINT) AS nq,
+             coalesce(sum(CAST(ln(1000.0 * CAST(cf AS DOUBLE)
+               / CAST(tt AS DOUBLE)) AS DECIMAL(18,8))),
+               CAST(0 AS DECIMAL(18,8))) AS qc
+           FROM cf CROSS JOIN stats),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM qt GROUP BY 1, 2),
+         per AS (
+           SELECT tf.doc_id,
+             CAST(ln(CAST(tf AS DOUBLE) * CAST(tt AS DOUBLE)
+               / (1000.0 * CAST(cf AS DOUBLE)) + 1.0) AS DECIMAL(18,8)) AS sd
+           FROM tf JOIN cf USING (tok) CROSS JOIN stats),
+         mm AS (
+           SELECT doc_id, sum(sd) AS m, CAST(count(*) AS BIGINT) AS nhit
+           FROM per GROUP BY 1),
+         sc AS (
+           SELECT lens.doc_id,
+             coalesce(mm.m, CAST(0 AS DECIMAL(18,8))) + qc.qc
+               - CAST(CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 1000.0)
+                 AS DECIMAL(18,8)) AS score,
+             coalesce(nhit, 0) AS n_hit
+           FROM lens LEFT JOIN mm USING (doc_id) CROSS JOIN qc)
+         SELECT doc_id, round(score, 4)::DOUBLE AS score,
+           CAST(n_hit AS BIGINT) AS n_hit
+         FROM (SELECT doc_id, score, n_hit FROM sc
+               ORDER BY score DESC, doc_id LIMIT 20)
          ORDER BY score DESC, doc_id""",
 
     // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED

@@ -67,6 +67,69 @@ object Retrieval {
         round(col("__score"), 4).cast("double").as("score"), col("n_terms"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing — the
+    * language-modeling ranker next to [[bm25TopK]] (Zhai & Lafferty's
+    * standard form): score(q,d) = Σ_t ln((tf + μ·P(t|C)) / (|d| + μ)).
+    * Where BM25's missing terms contribute nothing, Dirichlet smoothing
+    * scores EVERY document on EVERY in-corpus query term (a missing term
+    * costs the collection prior shrunk by the document's length), which is
+    * what makes it the standard first-stage ranker for verbose queries.
+    *
+    * Scale shape: the decomposition
+    * `score = Σ_{t∈q∩d} ln(1 + tf·T/(μ·cf_t)) + Σ_{t∈q} ln(μ·cf_t/T)
+    *  − |q|·ln(|d| + μ)` makes the per-document work SPARSE again — the
+    * first sum runs only over the query-term-filtered token stream (the
+    * [[bm25TopK]] candidate discipline), the second is a broadcast 1-row
+    * query constant, the third is scan-speed arithmetic on the doc-length
+    * table — so every document gets its full smoothed score without a
+    * dense |docs|×|q| pass. Query terms absent from the corpus drop (their
+    * smoothed probability is 0 — standard). Per-term lns stage in
+    * DECIMAL(18,8) so per-document totals are exact and order-independent;
+    * top-k is TakeOrderedAndProject.
+    *
+    * Returns (idCol, score, n_hit) — score 4dp, n_hit = query terms
+    * present in the document; ordered by (exact score desc, id asc).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          queryTerms: Seq[String], k: Int = 10,
+                          mu: Double = 1000.0): DataFrame = {
+    require(queryTerms.nonEmpty && mu > 0, "need query terms and mu > 0")
+    val dec = DecimalType(18, 8)
+    val lens = docs.select(col(idCol).as("__did"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dl"))
+    val stats = broadcast(lens.agg(sum(col("__dl")).as("__T")))
+    val qtoks = docs.select(col(idCol).as("__did"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(queryTerms.map(lit(_)): _*))
+    val cf = qtoks.groupBy(col("__tok")).agg(count(lit(1)).as("__cf"))
+    // 1-row query constant: Σ_t ln(μ·cf/T) and the in-corpus term count
+    val qc = broadcast(cf.crossJoin(stats).agg(
+      count(lit(1)).as("__nq"),
+      coalesce(sum(log(lit(mu) * col("__cf").cast("double")
+        / col("__T").cast("double")).cast(dec)), lit(0).cast(dec)).as("__qc")))
+    val present = qtoks.groupBy(col("__did"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+      .join(broadcast(cf), Seq("__tok"))
+      .crossJoin(stats)
+      .select(col("__did"),
+        log(col("__tf").cast("double") * col("__T").cast("double")
+          / (lit(mu) * col("__cf").cast("double")) + lit(1.0))
+          .cast(dec).as("__sd"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__sd")).as("__m"), count(lit(1)).as("__nhit"))
+    lens.join(present, Seq("__did"), "left").crossJoin(qc)
+      .select(col("__did"),
+        (coalesce(col("__m"), lit(0).cast(dec)) + col("__qc")
+          - (col("__nq").cast("double")
+            * log(col("__dl").cast("double") + lit(mu))).cast(dec))
+          .as("__score"),
+        coalesce(col("__nhit"), lit(0L)).as("n_hit"))
+      .orderBy(col("__score").desc, col("__did").asc)
+      .limit(k)
+      .select(col("__did").as(idCol),
+        round(col("__score"), 4).cast("double").as("score"), col("n_hit"))
+  }
+
   /** Unigram LM log-probability scoring (the cheap KenLM-perplexity stand-in
     * curation filters cut on): train add-one-smoothed unigram counts over
     * the corpus itself, score each document by its mean token log-prob

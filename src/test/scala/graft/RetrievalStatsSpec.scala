@@ -22,6 +22,30 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_terms") >= 1)
   }
 
+  test("queryLikelihoodTopK: Dirichlet smoothing scores every doc, tf raises, length drags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash hash join alpha"),   // 2 hash + 1 join
+      (2L, "hash join alpha beta"),   // 1 hash + 1 join, same length
+      (3L, "alpha beta gamma delta"), // no query terms, length 4
+      (4L, "alpha beta")              // no query terms, length 2
+    ).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("hash", "join"), k = 10, mu = 100.0).collect()
+    assert(out.length == 4, "every document scores under Dirichlet smoothing")
+    val byId = out.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 > byId(2L)._1, "more tf at equal length must score higher")
+    assert(byId(2L)._1 > byId(3L)._1, "a matching doc beats a non-matching one here")
+    assert(byId(4L)._1 > byId(3L)._1, "among no-hit docs the shorter wins (length prior)")
+    assert(byId(3L)._2 == 0L && byId(1L)._2 == 2L)
+    // scores are genuine log-likelihood rates: all negative at mu >> tf
+    assert(out.forall(_.getDouble(1) < 0.0))
+    // OOV-only query: every in-corpus contribution drops, k bound holds
+    val oov = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("zzz"), k = 2, mu = 100.0).collect()
+    assert(oov.length == 2 && oov.forall(_.getLong(2) == 0L))
+  }
+
   test("bm25TopK: a doc containing no query term never appears") {
     val ids = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("hash"), k = 1000)
       .select("doc_id").collect().map(_.getLong(0)).toSet

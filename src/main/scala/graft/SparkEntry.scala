@@ -2828,6 +2828,27 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // binary (sign-bit) Hamming top-k: the 32x-compressed serving path —
+    // sign-packed words (codegen'd XOR+popcount distance), query side
+    // broadcast, per-query top-k with id tie-break
+    "sim_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.hammingTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "v", "vec_id", "v", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hamming top-m candidates reranked by exact cosine on only m·|Q|
+    // float pairs — binary-scan cost, exact-cosine order
+    "sim_hamming_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      Vectors.hammingRerankTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "v", "vec_id", "v", m = 40, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // nDCG@10 of the int8-quantized ranking vs exact-cosine truth: recall
     // says WHETHER true neighbors appear, this says whether they appear in
     // ORDER — ln-discount DCG (both engines' ln agrees), pooled top-20
@@ -9371,6 +9392,49 @@ object SparkEntry {
 
     // replay: quantizer = 16 lowest ids of the FIRST batch (vec_id % 4 = 0),
     // every vector cosine-routed to its nearest centroid, queries probe 4
+    // Hamming replay: distance IS the count of sign mismatches, so the
+    // oracle verifies from the definition without reproducing the packing
+    "sim_hamming" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         j AS (
+           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             CAST(len(list_filter(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] > 0) != (e.v[i] > 0))) AS BIGINT) AS hamming
+           FROM q CROSS JOIN e WHERE q.qid != e.vec_id)
+         SELECT query_id, neighbor_id, hamming,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
+         FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "sim_hamming_rerank" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         j AS (
+           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             CAST(len(list_filter(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] > 0) != (e.v[i] > 0))) AS BIGINT) AS hamming
+           FROM q CROSS JOIN e WHERE q.qid != e.vec_id),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS r
+             FROM j) WHERE r <= 40),
+         sc AS (
+           SELECT c.query_id, c.neighbor_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM cand c JOIN e a ON a.vec_id = c.query_id
+             JOIN e b ON b.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id,
+           round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
     "stream_ann_ingest" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -55,6 +55,72 @@ object Vectors {
         col("__rn").as("rank"))
   }
 
+  /** Exact Hamming top-k over SIGN-PACKED embeddings — the 32×-compressed
+    * binary serving path next to [[bruteForceTopK]]: each vector collapses
+    * to its sign bits (64 dims per long, [[graft.plans.SignPack]]), and
+    * distance is XOR+popcount per word ([[graft.plans.HammingDistance]],
+    * codegen'd) — the standard first-stage filter when the float corpus
+    * no longer fits the serving tier. Hamming on sign bits is a proven
+    * angular-distance proxy (the sign-LSH collision bound): rerank the
+    * top-m with [[hammingRerankTopK]] when exact cosine order matters.
+    *
+    * Scale shape: the packed corpus is 32× smaller than the floats (a
+    * billion 64-dim vectors ≈ 8 GB packed), the query side broadcasts,
+    * and the only shuffle is the |C|·|Q| (qid, cid, hamming) triple
+    * stream into the per-query top-k.
+    *
+    * Returns (query_id, neighbor_id, hamming, rank), ties broken by
+    * neighbor id.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  qId: String, qVec: String, cId: String, cVec: String,
+                  k: Int): DataFrame = {
+    val np = graft.plans.NativeFunctions
+    val q = queries.select(col(qId).as("__qid"), np.signPack(col(qVec)).as("__qb"))
+    val c = corpus.select(col(cId).as("__cid"), np.signPack(col(cVec)).as("__cb"))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("hamming", np.hammingDistance(col("__qb"), col("__cb")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("hamming").asc, col("__cid").asc)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("hamming"), col("__rn").as("rank"))
+  }
+
+  /** Two-stage binary search: [[hammingTopK]]'s top-m as the cheap
+    * candidate filter, exact cosine on ONLY those m·|Q| float pairs as
+    * the reranker ([[annRerank]]'s discipline applied to the sign-packed
+    * first stage). The float corpus is touched candidate-proportionally —
+    * the serving shape that keeps exact-cosine quality at binary-scan
+    * cost.
+    *
+    * Returns (query_id, neighbor_id, cosine, rank) — top-k by exact
+    * cosine within the Hamming top-m.
+    */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+                        qId: String, qVec: String, cId: String, cVec: String,
+                        m: Int, k: Int): DataFrame = {
+    require(m >= k, "rerank pool m must be at least k")
+    val cand = hammingTopK(queries, corpus, qId, qVec, cId, cVec, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val scored = cand.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
+          .cast("double").as("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** Sign-LSH bucket id: the sign bits of `planes` pseudo-random-hyperplane
     * dot products, packed into a long. Similar vectors (small angle) collide
     * with high probability. Native expression with a cached md5-derived

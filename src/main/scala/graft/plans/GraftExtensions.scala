@@ -61,6 +61,12 @@ object GraftExtensions {
       info("graft_sign_lsh", "graft_sign_lsh(vec, planes[, offset]) - sign-LSH bucket"),
       (es: Seq[Expression]) => SignLshBucket(es(0), intArg(es(1), "graft_sign_lsh", 2),
         if (es.size > 2) intArg(es(2), "graft_sign_lsh", 3) else 0)),
+    (FunctionIdentifier("graft_signpack"),
+      info("graft_signpack", "graft_signpack(vec) - sign bits packed into 64-bit words"),
+      (es: Seq[Expression]) => SignPack(es(0))),
+    (FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", "graft_hamming(a, b) - Hamming distance of packed sign words"),
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
     (FunctionIdentifier("graft_random_projection"),
       info("graft_random_projection",
         "graft_random_projection(vec, k[, offset]) - JL projection to k dims"),

@@ -319,6 +319,77 @@ case class SigMatchFraction(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit packing of an array<double> into 64-bit words — bit i of word
+  * w is set iff v[64·w + i] > 0. The 32× compressed binary embedding the
+  * Hamming serving path ships instead of floats: a 64-dim vector becomes
+  * ONE long. Semantics are pure sign structure, so an external engine
+  * verifies distances from the sign definition without reproducing the
+  * packing.
+  */
+case class SignPack(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_signpack"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (v.getDouble(i) > 0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two sign-packed word arrays ([[SignPack]]) —
+  * popcount of XOR per word, summed, as a tight codegen'd loop: the
+  * O(pairs) hot path of binary-embedding search, 64 dimensions per
+  * XOR+POPCNT instruction pair.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers + SQL registration. */
 /** Winnowed rolling-hash fingerprints (MOSS winnowing) — native single pass:
   * positional token k-gram md5-hash60s, sliding-window minima, distinct in
@@ -474,6 +545,10 @@ object NativeFunctions {
     col(WinnowFingerprints(expr(tokens), k, window))
   def topNgramFraction(tokens: Column, n: Int): Column =
     col(TopNgramFraction(expr(tokens), n))
+  def signPack(vec: Column): Column =
+    col(SignPack(expr(vec.cast("array<double>"))))
+  def hammingDistance(a: Column, b: Column): Column =
+    col(HammingDistance(expr(a), expr(b)))
 
   /** expose every native expression as a SQL function — delegates to
     * [[GraftExtensions.register]], the full catalog (the

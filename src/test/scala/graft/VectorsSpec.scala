@@ -89,6 +89,37 @@ class VectorsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("hammingTopK: packed XOR+popcount equals the sign-mismatch definition; rerank is exact cosine on the pool") {
+    import spark.implicits._
+    // 70 dims forces TWO packed words (64 + 6) — exercises word boundaries
+    val dim = 70
+    def vec(seed: Int) = Array.tabulate(dim)(i =>
+      if (((seed * 31 + i * 17) % 7) < 3) -1.0 - i else 1.0 + i)
+    val e = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "v")
+    val q = e.filter(col("vec_id") < 3)
+    val got = Vectors.hammingTopK(q, e, "vec_id", "v", "vec_id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // naive: per pair, count sign mismatches on the raw arrays
+    val raw = (0 until 30).map(i => i.toLong -> vec(i)).toMap
+    def ham(a: Array[Double], b: Array[Double]) =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }.toLong
+    val naive = (0L until 3L).flatMap { qi =>
+      raw.keys.filter(_ != qi).toSeq
+        .map(ci => (ci, ham(raw(qi), raw(ci))))
+        .sortBy { case (ci, h) => (h, ci) }.take(5).zipWithIndex
+        .map { case ((ci, h), r) => (qi, ci, h, r + 1) }
+    }.toSet
+    assert(got.toSet == naive, s"packed hamming must equal the definition")
+    // rerank: cosine order within the hamming pool, k bound holds
+    val rr = Vectors.hammingRerankTopK(q, e, "vec_id", "v", "vec_id", "v",
+      m = 10, k = 3).collect()
+    assert(rr.length == 9)
+    rr.groupBy(_.getLong(0)).values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.sameElements(cs.sorted.reverse), "rerank must order by cosine")
+    }
+  }
+
   test("bruteForceTopK returns k ranked neighbors per query") {
     val e = table("embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -697,6 +697,16 @@ object SparkEntry {
       vm.pairedSign("click", "view")
     }),
 
+    // RFM segmentation of order customers: recency/frequency/monetary
+    // quintile scores against the population's own exact interpolated
+    // cuts (broadcast), 4x-expansion scoring passes, deterministic
+    // corpus-max anchor date
+    "events_rfm" -> ((s, dir) => {
+      graft.functions.Events.rfmSegments(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(col("o_custkey"))
+    }),
+
     // Friedman rank test + Kendall's W: do the event types order the
     // same way day after day — days as blocks, within-day midranks from
     // the k²-per-day cell join, exact doubled-rank sums and tie term,
@@ -5234,6 +5244,80 @@ object SparkEntry {
     * exact tie term, fixed-order z) — shared by `events_wilcoxon` and
     * `stream_wilcoxon` (daily counts are additive).
     */
+  /** RFM replay — per-customer (last, count, exact-decimal sum) row,
+    * the exact interpolated quintile-cut block per metric, correlated
+    * strictly-greater counts for the 1–5 scores. Anchors on the corpus
+    * max order date. Shared by `events_rfm`.
+    */
+  private val rfmOracleSql =
+    """WITH per AS (
+         SELECT o_custkey, max(o_orderdate) AS last_o,
+           CAST(count(*) AS BIGINT) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS msum
+         FROM orders GROUP BY 1),
+       anch AS (SELECT max(last_o) AS anchor FROM per),
+       base AS (
+         SELECT o_custkey,
+           CAST(date_diff('day', CAST(last_o AS DATE), CAST(anchor AS DATE))
+             AS BIGINT) AS recency_days,
+           frequency, msum::DOUBLE AS monetary
+         FROM per CROSS JOIN anch),
+       rcnt AS (SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1),
+       rs AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM rcnt),
+       rt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rcnt),
+       qq AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
+       rj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN rt),
+       rm AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+                pos - floor(pos) AS frac FROM rj),
+       rr AS (SELECT rm.q, rm.frac,
+                min(CASE WHEN rs.cm >= rm.lo THEN rs.v END)::DOUBLE AS xlo,
+                min(CASE WHEN rs.cm >= least(rm.lo + 1, rm.n) THEN rs.v
+                  END)::DOUBLE AS xhi
+              FROM rm CROSS JOIN rs GROUP BY 1, 2),
+       rc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+                6)::DOUBLE AS v FROM rr),
+       fcnt AS (SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1),
+       fs AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM fcnt),
+       ft AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM fcnt),
+       fj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN ft),
+       fm AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+                pos - floor(pos) AS frac FROM fj),
+       fr AS (SELECT fm.q, fm.frac,
+                min(CASE WHEN fs.cm >= fm.lo THEN fs.v END)::DOUBLE AS xlo,
+                min(CASE WHEN fs.cm >= least(fm.lo + 1, fm.n) THEN fs.v
+                  END)::DOUBLE AS xhi
+              FROM fm CROSS JOIN fs GROUP BY 1, 2),
+       fc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+                6)::DOUBLE AS v FROM fr),
+       mcnt AS (SELECT monetary AS v, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1),
+       ms AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM mcnt),
+       mt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mcnt),
+       mj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN mt),
+       mq AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+                pos - floor(pos) AS frac FROM mj),
+       mr AS (SELECT mq.q, mq.frac,
+                min(CASE WHEN ms.cm >= mq.lo THEN ms.v END)::DOUBLE AS xlo,
+                min(CASE WHEN ms.cm >= least(mq.lo + 1, mq.n) THEN ms.v
+                  END)::DOUBLE AS xhi
+              FROM mq CROSS JOIN ms GROUP BY 1, 2),
+       mc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+                6)::DOUBLE AS v FROM mr),
+       sc AS (
+         SELECT b.o_custkey, b.recency_days, b.frequency,
+           round(CAST(b.monetary AS DECIMAL(18,8)), 2)::DOUBLE AS monetary,
+           5 - (SELECT count(*) FROM rc WHERE b.recency_days > rc.v) AS r_score,
+           1 + (SELECT count(*) FROM fc WHERE b.frequency > fc.v) AS f_score,
+           1 + (SELECT count(*) FROM mc WHERE b.monetary > mc.v) AS m_score
+         FROM base b)
+       SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+         CAST(m_score AS BIGINT) AS m_score,
+         CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+       FROM sc ORDER BY o_custkey"""
+
   /** Friedman + Kendall's W replay — daily volumes, completed grid
     * (absent type-days count 0), within-day midranks via the per-day
     * (value, count) self-join, exact doubled-rank sums and Σ(t³−t) tie
@@ -10356,6 +10440,7 @@ object SparkEntry {
     "stream_wilcoxon" -> wilcoxonOracleSql,
     "events_friedman" -> friedmanOracleSql,
     "stream_friedman" -> friedmanOracleSql,
+    "events_rfm" -> rfmOracleSql,
     "events_page_trend" -> pageOracleSql,
     "stream_page_trend" -> pageOracleSql,
     "events_sign_test" -> signTestOracleSql,

@@ -1235,6 +1235,68 @@ object Events {
           .as("z"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic warehouse marketing cut: each customer scores 1–5 on how
+    * recently they ordered, how often, and how much, against the
+    * customer population's own quintiles; `rfm = 100r + 10f + m` is the
+    * segment code (555 = champions, 111 = lost). The anchor date is the
+    * corpus's own last order (deterministic — no wall clock).
+    *
+    * Scale shape: the order stream collapses ONCE to the per-customer
+    * (last, count, exact-decimal sum) row — map-side combined; each
+    * metric's 4 quintile cuts are exact interpolated order statistics
+    * off its bounded count table ([[graft.functions.Stats
+    * .quantilesOfCounts]] — no global sort), broadcast back, and each
+    * scoring pass is a 4×-expansion crossJoin + regroup of the customer
+    * table. Ties at a cut fall to the LOWER bucket (strictly-greater
+    * counting) — engine-stable because both engines see bit-identical
+    * cut doubles.
+    *
+    * Returns (custCol, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, rfm), one row per customer.
+    */
+  def rfmSegments(df: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val per = bridge.freeze(df
+      .groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast(dec2)).as("__msum")))
+    val asOf = broadcast(per.agg(max(col("__last")).as("__asof")))
+    val base = bridge.freeze(per.crossJoin(asOf)
+      .select(col(custCol),
+        datediff(col("__asof"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"),
+        col("__msum").cast("double").as("monetary")))
+    def cuts(metric: String, out: String): DataFrame = broadcast(
+      graft.functions.Stats.quantilesOfCounts(
+        base.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c")), qs)
+        .select(col("value").as(out)))
+    // one 4×-expansion pass per metric: count cuts strictly below the
+    // customer's metric, regroup — scores stay 1..5, boundary ties low
+    val keep = Seq(custCol, "recency_days", "frequency", "monetary")
+    def score(in: DataFrame, metric: String, cutCol: String,
+              out: String, invert: Boolean): DataFrame = {
+      val prev = in.columns.filterNot(_ == cutCol).map(col)
+      val cnt = sum(when(col(metric) > col(cutCol), 1L).otherwise(0L))
+      in.crossJoin(cuts(metric, cutCol))
+        .groupBy(prev: _*)
+        .agg((if (invert) lit(5L) - cnt else cnt + lit(1L)).as(out))
+    }
+    val scored = score(score(score(base,
+      "recency_days", "__rc", "r_score", invert = true),
+      "frequency", "__fc", "f_score", invert = false),
+      "monetary", "__mc", "m_score", invert = false)
+    scored.select(col(custCol), col("recency_days"), col("frequency"),
+      round(col("monetary").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 2)
+        .cast("double").as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -303,6 +303,30 @@ class EventsSpec extends SparkSpec {
     assert(q.getDouble(2) == 42.0 && q.getDouble(3) > p.getDouble(3), s"got $q")
   }
 
+  test("rfmSegments: quintile scores bounded, monotone in the metric, code composes") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 10 customers, increasing frequency/monetary, decreasing recency
+    val orders = (1 to 10).flatMap { c =>
+      (1 to c).map(i => (c.toLong, d(f"2024-01-${c}%02d"), c * 100.0 + i))
+    }.toDF("cust", "odate", "price")
+    val out = graft.functions.Events.rfmSegments(orders, "cust", "odate", "price")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.size == 10)
+    out.values.foreach { case (r, f, m, code) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(code == r * 100 + f * 10 + m)
+    }
+    // customer 10 ordered most, most recently, for the most: all-5 champion
+    assert(out(10L) == ((5L, 5L, 5L, 555L)), s"got ${out(10L)}")
+    // customer 1: one old cheap order: all-1 lost
+    assert(out(1L) == ((1L, 1L, 1L, 111L)), s"got ${out(1L)}")
+    // frequency scores never decrease as order counts increase
+    val fseq = (1 to 10).map(c => out(c.toLong)._2)
+    assert(fseq == fseq.sorted, s"f monotone: $fseq")
+  }
+
   test("kaplanMeier: hand-computed curve, censored users leave the risk set without dropping S") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)

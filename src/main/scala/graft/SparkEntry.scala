@@ -707,6 +707,47 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // market-basket pair mining over order lines: distinct (order, part)
+    // frame frozen once, capped basket self-join for pairs, broadcast
+    // supports, top-20 by unrounded lift with id tie-break
+    "events_basket" -> ((s, dir) => {
+      graft.functions.Events.basketPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2, topN = 20)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+    }),
+
+    // cohort LTV: cumulative revenue per first-order-month cohort by
+    // month age — exact decimal money, cohort-partitioned running sum
+    "events_cohort_ltv" -> ((s, dir) => {
+      graft.functions.Events.cohortLtv(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(col("cohort_month"), col("age_months"))
+    }),
+
+    // FK audit: lineitem -> orders referential integrity both ways in one
+    // verdict row (orphan lines AND childless orders), off the two
+    // distinct-key tables — zero row-level joins
+    "audit_fk_orphans" -> ((s, dir) => {
+      graft.functions.Audits.fkAudit(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+    }),
+
+    // aggregate reconciliation: o_totalprice vs the exact-decimal rollup
+    // of its lines (extprice·(1−disc)·(1+tax)) at a 1-cent tolerance —
+    // the trust gate before loading the batch
+    "audit_reconcile" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val dec4 = org.apache.spark.sql.types.DecimalType(8, 4)
+      graft.functions.Audits.reconcileSum(
+        t(s, dir, "orders"), "o_orderkey", col("o_totalprice"),
+        t(s, dir, "lineitem"), "l_orderkey",
+        col("l_extendedprice").cast(dec2)
+          * (lit(1) - col("l_discount").cast(dec4))
+          * (lit(1) + col("l_tax").cast(dec4)),
+        tol = 0.01)
+    }),
+
     // Friedman rank test + Kendall's W: do the event types order the
     // same way day after day — days as blocks, within-day midranks from
     // the k²-per-day cell join, exact doubled-rank sums and tie term,
@@ -5244,6 +5285,99 @@ object SparkEntry {
     * exact tie term, fixed-order z) — shared by `events_wilcoxon` and
     * `stream_wilcoxon` (daily counts are additive).
     */
+  /** Market-basket replay — distinct (order, part) frame, ≤1000-item
+    * basket cap, pair self-join, supports, unrounded-lift top-20 with id
+    * tie-break. Shared by `events_basket`.
+    */
+  private val basketOracleSql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
+       cap AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)),
+       nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM cap),
+       supp AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM cap GROUP BY 1),
+       pr AS (
+         SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS support
+         FROM cap a JOIN cap b ON a.b = b.b AND a.i < b.i
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       sc AS (
+         SELECT item_a, item_b, support, sa.s AS support_a, sb.s AS support_b,
+           (support::DOUBLE * n::DOUBLE) / (sa.s::DOUBLE * sb.s::DOUBLE) AS lf
+         FROM pr JOIN supp sa ON sa.i = item_a JOIN supp sb ON sb.i = item_b
+         CROSS JOIN nb)
+       SELECT item_a, item_b, support, support_a, support_b,
+         round(CAST(support::DOUBLE / support_a::DOUBLE AS DECIMAL(18,8)),
+           6)::DOUBLE AS confidence,
+         round(CAST(lf AS DECIMAL(18,8)), 6)::DOUBLE AS lift
+       FROM (SELECT * FROM sc ORDER BY lf DESC, item_a, item_b LIMIT 20)
+       ORDER BY lift DESC, item_a, item_b"""
+
+  /** Cohort LTV replay — first-order-month cohorts, month-offset ages,
+    * exact decimal revenue, cohort-partitioned running sum. Shared by
+    * `events_cohort_ltv`.
+    */
+  private val cohortLtvOracleSql =
+    """WITH o AS (
+         SELECT o_custkey AS c, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS a
+         FROM orders),
+       f AS (SELECT c, min(m) AS cohort_month FROM o GROUP BY 1),
+       aged AS (
+         SELECT o.c, o.a, f.cohort_month,
+           CAST(date_diff('month', f.cohort_month, o.m) AS BIGINT) AS age_months
+         FROM o JOIN f USING (c)),
+       g AS (
+         SELECT cohort_month, age_months,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+           CAST(sum(a) AS DECIMAL(28,2)) AS rev
+         FROM aged GROUP BY 1, 2)
+       SELECT cohort_month, age_months, n_customers, rev::DOUBLE AS revenue,
+         CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_months)
+           AS DECIMAL(28,2))::DOUBLE AS cum_revenue
+       FROM g ORDER BY cohort_month, age_months"""
+
+  /** FK audit replay — distinct-key tables full-outer joined, both-way
+    * verdicts in one row. Shared by `audit_fk_orphans`.
+    */
+  private val fkAuditOracleSql =
+    """WITH ck AS (
+         SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS rws
+         FROM lineitem GROUP BY 1),
+       pk AS (SELECT DISTINCT o_orderkey AS k, 1 AS p FROM orders),
+       j AS (SELECT ck.rws, pk.p FROM ck FULL OUTER JOIN pk ON ck.k = pk.k)
+       SELECT CAST(coalesce(sum(rws), 0) AS BIGINT) AS n_child_rows,
+         CAST(sum(CASE WHEN rws IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_child_keys,
+         CAST(coalesce(sum(CASE WHEN p IS NULL THEN rws END), 0) AS BIGINT) AS n_orphan_rows,
+         CAST(sum(CASE WHEN p IS NULL AND rws IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+         CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parent_keys,
+         CAST(sum(CASE WHEN p IS NOT NULL AND rws IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
+         CASE WHEN coalesce(sum(rws), 0) = 0 THEN NULL
+              ELSE round(CAST(coalesce(sum(CASE WHEN p IS NULL THEN rws END), 0)::DOUBLE
+                / coalesce(sum(rws), 0)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+              END AS orphan_rate
+       FROM j"""
+
+  /** Reconciliation replay — exact-decimal child rollups, both sides
+    * staged to DECIMAL(28,4) before the diff, 1-cent tolerance verdicts.
+    * Shared by `audit_reconcile`.
+    */
+  private val reconcileOracleSql =
+    """WITH cs AS (
+         SELECT l_orderkey AS k,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))
+             * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(28,4)) AS s
+         FROM lineitem GROUP BY 1),
+       p AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(28,4)) AS v
+             FROM orders),
+       j AS (SELECT v, s, abs(v - s) AS diff FROM p LEFT JOIN cs USING (k))
+       SELECT CAST(count(*) AS BIGINT) AS n_parent,
+         CAST(sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_children,
+         CAST(sum(CASE WHEN diff <= CAST(0.01 AS DECIMAL(28,4)) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN diff > CAST(0.01 AS DECIMAL(28,4)) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+         CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_children,
+         round(CAST(max(diff) AS DECIMAL(18,2)), 2)::DOUBLE AS max_abs_diff
+       FROM j"""
+
   /** RFM replay — per-customer (last, count, exact-decimal sum) row,
     * the exact interpolated quintile-cut block per metric, correlated
     * strictly-greater counts for the 1–5 scores. Anchors on the corpus
@@ -10441,6 +10575,10 @@ object SparkEntry {
     "events_friedman" -> friedmanOracleSql,
     "stream_friedman" -> friedmanOracleSql,
     "events_rfm" -> rfmOracleSql,
+    "events_basket" -> basketOracleSql,
+    "events_cohort_ltv" -> cohortLtvOracleSql,
+    "audit_fk_orphans" -> fkAuditOracleSql,
+    "audit_reconcile" -> reconcileOracleSql,
     "events_page_trend" -> pageOracleSql,
     "stream_page_trend" -> pageOracleSql,
     "events_sign_test" -> signTestOracleSql,

@@ -1297,6 +1297,106 @@ object Events {
       (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"))
   }
 
+  /** Market-basket pair mining — which items co-occur in the same
+    * basket beyond chance: support (baskets holding both), confidence
+    * P(b|a), and lift s_ab·n/(s_a·s_b), the classic association-rule
+    * triple over order lines. Lift > 1 is genuine affinity; the top-N
+    * by lift is the cross-sell table.
+    *
+    * Scale shape: the line stream collapses ONCE to the distinct
+    * (basket, item) frame (frozen — it feeds sizes, supports and both
+    * pair-join sides); baskets above `maxBasket` items drop from pair
+    * generation (the [[graft.functions.Dedup.minhashPairs]] maxBucket
+    * guard — a degenerate mega-basket generates quadratic pairs and no
+    * signal); pairs come from the basket-keyed self-join (per-basket
+    * size², never corpus²); supports broadcast back. Top-N is
+    * TakeOrderedAndProject on the UNROUNDED lift (fixed double order,
+    * engine-stable) with item-id tie-break.
+    *
+    * Returns topN rows (item_a, item_b, support, support_a, support_b,
+    * confidence, lift) — confidence/lift at 6dp, item_a < item_b,
+    * ordered by (lift desc, item_a, item_b).
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 2, topN: Int = 20,
+                  maxBasket: Int = 1000): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val bi = bridge.freeze(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct())
+    val ok = bi.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasket).drop("__sz")
+    val capped = bridge.freeze(
+      bi.join(graft.core.Joins.maybeBroadcast(ok), Seq("__b"), "left_semi"))
+    val nB = broadcast(capped.agg(countDistinct(col("__b")).as("__n")))
+    val supp = capped.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val pairs = capped.select(col("__b"), col("__i").as("item_a"))
+      .join(capped.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val scored = pairs
+      .join(graft.core.Joins.maybeBroadcast(
+        supp.select(col("__i").as("item_a"), col("__s").as("support_a"))),
+        Seq("item_a"))
+      .join(graft.core.Joins.maybeBroadcast(
+        supp.select(col("__i").as("item_b"), col("__s").as("support_b"))),
+        Seq("item_b"))
+      .crossJoin(nB)
+      .withColumn("__lift",
+        (col("support").cast("double") * col("__n").cast("double"))
+          / (col("support_a").cast("double") * col("support_b").cast("double")))
+    scored.orderBy(col("__lift").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("support_a"), col("support_b"),
+        round((col("support").cast("double")
+          / col("support_a").cast("double")).cast(dec8), 6)
+          .cast("double").as("confidence"),
+        round(col("__lift").cast(dec8), 6).cast("double").as("lift"))
+  }
+
+  /** Cohort lifetime value — cumulative revenue per acquisition cohort
+    * by age: customers group by their FIRST order month, every order
+    * lands at its month offset from that cohort, and the running sum
+    * per cohort is the LTV curve finance reads ("how much has the
+    * March cohort produced by month 6"). The longitudinal money view
+    * next to [[rfmSegments]]' cross-sectional one.
+    *
+    * Scale shape: orders collapse to per-(customer, month) before the
+    * first-month join; revenue aggregates to the bounded
+    * (cohort, age) grid in exact DECIMAL; the cumulative is a window
+    * PARTITIONED by cohort (rows per partition bounded by the corpus's
+    * month span — never an unpartitioned window).
+    *
+    * Returns (cohort_month, age_months, n_customers, revenue,
+    * cum_revenue) — money at 2dp, ordered by (cohort, age).
+    */
+  def cohortLtv(df: DataFrame, custCol: String, dateCol: String,
+                amountCol: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val o = bridge.freeze(df.select(col(custCol).as("__c"),
+      trunc(col(dateCol), "month").as("__m"),
+      col(amountCol).cast(dec2).as("__a")))
+    val first = o.groupBy(col("__c")).agg(min(col("__m")).as("cohort_month"))
+    val aged = o.join(first, Seq("__c"))
+      .withColumn("age_months",
+        months_between(col("__m"), col("cohort_month")).cast("long"))
+    val grid = aged.groupBy(col("cohort_month"), col("age_months"))
+      .agg(countDistinct(col("__c")).as("n_customers"),
+        sum(col("__a")).cast(dec).as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_month")).orderBy(col("age_months"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.withColumn("__cum", sum(col("__rev")).over(w).cast(dec))
+      .select(col("cohort_month"), col("age_months"), col("n_customers"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — retention with
     * CENSORING done right: classic day-k retention silently treats a user
     * whose observation window just ended as churned; KM keeps them "at

@@ -748,6 +748,39 @@ object SparkEntry {
         tol = 0.01)
     }),
 
+    // streaming basket monitor (batch replay of 5 PART-keyed batches —
+    // an order's lines scatter across batches, so re-pairing off the
+    // accreted distinct frame is what's being proven); same oracle
+    "stream_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bm = new graft.streaming.Streaming.BasketMonitor(
+        "l_orderkey", "l_partkey", minSupport = 2, topN = 20)
+      (0 until 5).foreach(b => bm.update(li.filter(col("l_partkey") % 5 === b)))
+      bm.pairs.orderBy(col("lift").desc, col("item_a"), col("item_b"))
+    }),
+
+    // streaming FK audit (batch replay of 5 batches): parent key set
+    // frozen once, additive child key counts; same oracle
+    "stream_fk_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fm = new graft.streaming.Streaming.FkAuditMonitor(
+        t(s, dir, "orders"), "o_orderkey", "l_orderkey")
+      (0 until 5).foreach(b => fm.update(li.filter(col("l_linenumber") % 5 === b)))
+      fm.readout
+    }),
+
+    // streaming cohort LTV (batch replay of 5 batches): additive
+    // per-(customer, month) decimal revenue, first months re-derived per
+    // readout so late-arriving earlier orders reassign cohorts; same
+    // oracle
+    "stream_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val lm = new graft.streaming.Streaming.LtvMonitor(
+        "o_custkey", "o_orderdate", "o_totalprice")
+      (0 until 5).foreach(b => lm.update(o.filter(col("o_orderkey") % 5 === b)))
+      lm.curve.orderBy(col("cohort_month"), col("age_months"))
+    }),
+
     // Friedman rank test + Kendall's W: do the event types order the
     // same way day after day — days as blocks, within-day midranks from
     // the k²-per-day cell join, exact doubled-rank sums and tie term,
@@ -10576,8 +10609,11 @@ object SparkEntry {
     "stream_friedman" -> friedmanOracleSql,
     "events_rfm" -> rfmOracleSql,
     "events_basket" -> basketOracleSql,
+    "stream_basket" -> basketOracleSql,
     "events_cohort_ltv" -> cohortLtvOracleSql,
+    "stream_cohort_ltv" -> cohortLtvOracleSql,
     "audit_fk_orphans" -> fkAuditOracleSql,
+    "stream_fk_audit" -> fkAuditOracleSql,
     "audit_reconcile" -> reconcileOracleSql,
     "events_page_trend" -> pageOracleSql,
     "stream_page_trend" -> pageOracleSql,

@@ -30,12 +30,19 @@ object Audits {
     * join).
     */
   def fkAudit(child: DataFrame, childKey: String,
-              parent: DataFrame, parentKey: String): DataFrame = {
+              parent: DataFrame, parentKey: String): DataFrame =
+    fkAuditOfCounts(
+      child.groupBy(col(childKey).as("__k")).agg(count(lit(1)).as("__rows")),
+      parent.select(col(parentKey).as("__k")).distinct())
+
+  /** [[fkAudit]]'s verdict over an already-built child key-count table
+    * (__k, __rows — ADDITIVE per key) and distinct parent key frame —
+    * the stage the streaming monitor shares with the batch operator.
+    */
+  def fkAuditOfCounts(childCounts: DataFrame, parentKeys: DataFrame): DataFrame = {
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val ck = child.groupBy(col(childKey).as("__k"))
-      .agg(count(lit(1)).as("__rows"))
-    val pk = parent.select(col(parentKey).as("__k")).distinct()
-      .withColumn("__p", lit(1))
+    val ck = childCounts
+    val pk = parentKeys.withColumn("__p", lit(1))
     val j = ck.join(pk, Seq("__k"), "full_outer")
     j.agg(
       coalesce(sum(col("__rows")), lit(0L)).as("n_child_rows"),

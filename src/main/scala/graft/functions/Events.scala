@@ -1319,11 +1319,21 @@ object Events {
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
                   minSupport: Long = 2, topN: Int = 20,
-                  maxBasket: Int = 1000): DataFrame = {
+                  maxBasket: Int = 1000): DataFrame =
+    basketPairsOfItems(
+      org.apache.spark.sql.graftbridge.Bridge.freeze(
+        df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()),
+      minSupport, topN, maxBasket)
+
+  /** [[basketPairs]]' readout over an already-built distinct (__b, __i)
+    * frame — the stage the streaming monitor shares with the batch
+    * operator (the frame is MONOTONE under batch arrival: distinct
+    * union of distincts).
+    */
+  def basketPairsOfItems(bi: DataFrame, minSupport: Long, topN: Int,
+                         maxBasket: Int): DataFrame = {
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val bi = bridge.freeze(
-      df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct())
     val ok = bi.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasket).drop("__sz")
     val capped = bridge.freeze(
@@ -1376,11 +1386,19 @@ object Events {
   def cohortLtv(df: DataFrame, custCol: String, dateCol: String,
                 amountCol: String): DataFrame = {
     val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    cohortLtvOfMonthly(
+      org.apache.spark.sql.graftbridge.Bridge.freeze(
+        df.groupBy(col(custCol).as("__c"),
+            trunc(col(dateCol), "month").as("__m"))
+          .agg(sum(col(amountCol).cast(dec2)).as("__a"))))
+  }
+
+  /** [[cohortLtv]]'s readout over an already-built per-(customer, month)
+    * exact-decimal revenue table — ADDITIVE per (customer, month), the
+    * streaming monitor's state.
+    */
+  def cohortLtvOfMonthly(o: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 2)
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val o = bridge.freeze(df.select(col(custCol).as("__c"),
-      trunc(col(dateCol), "month").as("__m"),
-      col(amountCol).cast(dec2).as("__a")))
     val first = o.groupBy(col("__c")).agg(min(col("__m")).as("cohort_month"))
     val aged = o.join(first, Seq("__c"))
       .withColumn("age_months",

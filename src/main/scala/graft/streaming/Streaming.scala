@@ -2111,6 +2111,124 @@ object Streaming {
     }
   }
 
+  /** Streaming market-basket monitor — live cross-sell mining at order
+    * ingest: the distinct (basket, item) frame is MONOTONE under batch
+    * arrival (distinct of a union of distincts), so each micro-batch
+    * folds in with one union+distinct and the
+    * [[graft.functions.Events.basketPairsOfItems]] readout EQUALS the
+    * batch [[graft.functions.Events.basketPairs]] over all lines seen —
+    * an order split across batches re-pairs correctly because pairing
+    * reads the accreted frame, not the batch. Wire with
+    * [[foreachBatchMerge]]`(stream, bm.update)`.
+    */
+  class BasketMonitor(basketCol: String, itemCol: String,
+                      minSupport: Long = 2, topN: Int = 20,
+                      maxBasket: Int = 1000) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var items: Option[DataFrame] = None
+
+    /** fold one micro-batch's distinct (basket, item) rows in */
+    def update(batch: DataFrame): Unit = {
+      val b = batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .distinct()
+      items = Some(bridge.freeze(
+        items.map(_.unionByName(b).distinct()).getOrElse(b)))
+    }
+
+    /** current association pairs — equals the batch basketPairs */
+    def pairs: DataFrame = graft.functions.Events.basketPairsOfItems(
+      items.getOrElse(throw new IllegalStateException("no batches ingested")),
+      minSupport, topN, maxBasket)
+
+    /** persist the item state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("items" -> items))
+
+    /** restore item state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      items = MonitorState.load(spark, dir, "items")
+  }
+
+  /** Streaming FK-integrity monitor — live referential-integrity audit
+    * at fact ingest: the parent (dimension) key set freezes ONCE at
+    * construction (the [[EnrichMonitor]] shape), each micro-batch's
+    * per-key child row counts fold ADDITIVELY, and the
+    * [[graft.functions.Audits.fkAuditOfCounts]] readout EQUALS the batch
+    * [[graft.functions.Audits.fkAudit]] over all child rows seen. An
+    * orphan_rate that climbs across batches is the live signal a source
+    * started emitting keys the dimension has never loaded. Wire with
+    * [[foreachBatchMerge]]`(stream, fm.update)`.
+    */
+  class FkAuditMonitor(parent: DataFrame, parentKey: String,
+                       childKey: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val pk = bridge.freeze(
+      parent.select(col(parentKey).as("__k")).distinct())
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-key child row counts in */
+    def update(batch: DataFrame): Unit = {
+      val bc = batch.groupBy(col(childKey).as("__k"))
+        .agg(count(lit(1)).as("__rows"))
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc).groupBy(col("__k"))
+          .agg(sum(col("__rows")).as("__rows"))
+      }))
+    }
+
+    /** current one-row integrity verdict — equals the batch fkAudit */
+    def readout: DataFrame = graft.functions.Audits.fkAuditOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+      pk)
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
+  /** Streaming cohort-LTV monitor — the live revenue curve: per-
+    * (customer, month) exact-decimal revenue is ADDITIVE, so micro-
+    * batches fold by union + re-sum and the
+    * [[graft.functions.Events.cohortLtvOfMonthly]] readout EQUALS the
+    * batch [[graft.functions.Events.cohortLtv]] over all orders seen —
+    * including cohort REASSIGNMENT when a customer's earlier first
+    * order arrives late (the readout re-derives first months from the
+    * accreted state, never caches them). Wire with
+    * [[foreachBatchMerge]]`(stream, lm.update)`.
+    */
+  class LtvMonitor(custCol: String, dateCol: String, amountCol: String) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    private var monthly: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-(customer, month) revenue in */
+    def update(batch: DataFrame): Unit = {
+      val bm = batch.groupBy(col(custCol).as("__c"),
+          trunc(col(dateCol), "month").as("__m"))
+        .agg(sum(col(amountCol).cast(dec2)).as("__a"))
+      monthly = Some(bridge.freeze(monthly match {
+        case None => bm
+        case Some(m) => m.unionByName(bm).groupBy(col("__c"), col("__m"))
+          .agg(sum(col("__a")).cast(
+            org.apache.spark.sql.types.DecimalType(28, 2)).as("__a"))
+      }))
+    }
+
+    /** current cohort LTV curve — equals the batch cohortLtv */
+    def curve: DataFrame = graft.functions.Events.cohortLtvOfMonthly(
+      monthly.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the revenue state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("monthly" -> monthly))
+
+    /** restore revenue state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      monthly = MonitorState.load(spark, dir, "monthly")
+  }
+
   /** Run a dimensional merge per micro-batch: the streaming form of
     * `scdensure`/`ensure` (reference's endload-per-batch collapsed into
     * foreachBatch). `merge` receives each micro-batch DataFrame; dimension

@@ -287,6 +287,43 @@ class StreamingSpec extends SparkSpec {
       "restored monitor must finish the ingest identically")
   }
 
+  test("basket/fk/ltv monitors: accreted state equals the batch solve, restore mid-stream") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // basket: order lines scattered across part-keyed batches must
+    // re-pair off the accreted frame
+    val bm = new Streaming.BasketMonitor("l_orderkey", "l_partkey",
+      minSupport = 2, topN = 10)
+    (0 until 3).foreach(b => bm.update(li.filter(col("l_partkey") % 3 === b)))
+    val bBatch = graft.functions.Events.basketPairs(li, "l_orderkey",
+      "l_partkey", minSupport = 2, topN = 10)
+    assert(rows(bm.pairs) == rows(bBatch), "basket monitor must equal batch")
+
+    // fk audit: restore mid-stream, finish, equals batch
+    val fm = new Streaming.FkAuditMonitor(orders, "o_orderkey", "l_orderkey")
+    fm.update(li.filter(col("l_linenumber") % 3 === 0))
+    val ck = java.nio.file.Files.createTempDirectory("fk_mon").toString
+    fm.saveState(ck)
+    val fm2 = new Streaming.FkAuditMonitor(orders, "o_orderkey", "l_orderkey")
+    fm2.restoreState(spark, ck)
+    (1 until 3).foreach(b => fm2.update(li.filter(col("l_linenumber") % 3 === b)))
+    val fBatch = graft.functions.Audits.fkAudit(li, "l_orderkey",
+      orders, "o_orderkey")
+    assert(rows(fm2.readout) == rows(fBatch), "restored fk monitor must equal batch")
+
+    // ltv: a customer's EARLIEST order arriving in the LAST batch must
+    // reassign their cohort — replay ordered by descending key
+    val lm = new Streaming.LtvMonitor("o_custkey", "o_orderdate", "o_totalprice")
+    Seq(2, 1, 0).foreach(b => lm.update(orders.filter(col("o_orderkey") % 3 === b)))
+    val lBatch = graft.functions.Events.cohortLtv(orders, "o_custkey",
+      "o_orderdate", "o_totalprice")
+    assert(rows(lm.curve) == rows(lBatch), "ltv monitor must equal batch")
+  }
+
   test("incremental components equal the from-scratch solve, merges included") {
     import spark.implicits._
     import graft.streaming.Streaming

@@ -3628,6 +3628,28 @@ object SparkEntry {
       am.superiority
     }),
 
+    // Ansari-Bradley scale test: is click's VALUE more spread than
+    // purchase's — end-in scores with exact closed-form block sums off
+    // the same per-value count table, tie-correct generalized z
+    "stats_ansari" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.ansariBradley(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming Ansari-Bradley (batch replay of 5 batches): seventh
+    // readout off the same additive per-score count state; same oracle
+    "stream_ansari" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val am = new graft.streaming.Streaming.AucMonitor(
+        col("value"), col("event_type") === "click")
+      (0 until 5).foreach(b => am.update(ev.filter(col("event_id") % 5 === b)))
+      am.scaleTest
+    }),
+
     // Kruskal–Wallis H: do the event TYPES draw value from ONE distribution
     // — rank-based ANOVA over the per-(value,type) count table, average
     // ranks via the deterministic-bucket prefix scan, exact-integer doubled
@@ -4383,6 +4405,75 @@ object SparkEntry {
                     + (nbd * sy) * (nbd * sy) / (nbd - 1.0))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS df
          FROM f"""
+
+  /** Ansari–Bradley replay — same per-value counts, closed-form doubled
+    * block score sums against the end-in ramp (three exact integer
+    * terms), DECIMAL(28,10)-staged per-block fractions, tie-correct
+    * generalized z in fixed double order. Shared by `stats_ansari` and
+    * `stream_ansari` (the count state is the additive AucMonitor state).
+    */
+  private val ansariOracleSql =
+    """WITH u AS (
+           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM u GROUP BY 1),
+         s AS (
+           SELECT p, n,
+             CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
+             CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn
+           FROM c),
+         tot AS (
+           SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS n_b
+           FROM c),
+         blk AS (
+           SELECT p, n, (p + n)::DECIMAL(38,0) AS t,
+             ((cp - p + cn - n) + 1)::DECIMAL(38,0) AS lo,
+             ((cp - p + cn - n) + p + n)::DECIMAL(38,0) AS hi,
+             (n_a + n_b)::DECIMAL(38,0) AS nn,
+             CAST(floor((n_a + n_b + 1)::DOUBLE / 2.0) AS BIGINT)::DECIMAL(38,0) AS fh
+           FROM s CROSS JOIN tot),
+         s2t AS (
+           SELECT p, n, t,
+             (CASE WHEN lo <= least(hi, fh)
+               THEN (lo + least(hi, fh)) * (least(hi, fh) - lo + 1)
+               ELSE 0::DECIMAL(38,0) END
+              + CASE WHEN greatest(lo, fh + 1) <= hi
+               THEN 2 * (nn + 1) * (hi - greatest(lo, fh + 1) + 1)
+                 - (greatest(lo, fh + 1) + hi) * (hi - greatest(lo, fh + 1) + 1)
+               ELSE 0::DECIMAL(38,0) END) AS s2
+           FROM blk),
+         staged AS (
+           SELECT
+             CAST(CAST(p::DECIMAL(38,0) * s2 AS DOUBLE) / (2.0 * t::DOUBLE)
+               AS DECIMAL(28,10)) AS abx,
+             s2,
+             CAST(CAST(s2 * s2 AS DOUBLE) / (4.0 * t::DOUBLE)
+               AS DECIMAL(28,10)) AS sq
+           FROM s2t),
+         agg AS (
+           SELECT sum(abx) AS ab, sum(s2) AS ss2, sum(sq) AS ssq FROM staged),
+         m AS (
+           SELECT n_a, n_b, ab::DOUBLE AS abd,
+             n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd,
+             (n_a::DOUBLE + n_b::DOUBLE) AS nd,
+             ss2::DOUBLE / 2.0 / (n_a::DOUBLE + n_b::DOUBLE) AS sbar,
+             ssq::DOUBLE AS ssqd
+           FROM agg CROSS JOIN tot)
+         SELECT n_a, n_b,
+           CASE WHEN n_a = 0 THEN NULL
+                ELSE round(CAST(abd AS DECIMAL(18,8)), 6)::DOUBLE END AS ab,
+           CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 3
+                  OR nad * nbd * (ssqd - nd * sbar * sbar) / (nd * (nd - 1.0)) <= 0.0
+                THEN NULL
+                ELSE round(CAST((abd - nad * sbar)
+                  / sqrt(nad * nbd * (ssqd - nd * sbar * sbar) / (nd * (nd - 1.0)))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+         FROM m"""
 
   /** Cliff's delta replay (same per-value counts and exact doubled U as
     * mwu, one divide, Romano band off the rounded |δ|) — shared by
@@ -10439,6 +10530,8 @@ object SparkEntry {
     "stream_mwu" -> mwuOracleSql,
     "stats_brunner_munzel" -> brunnerMunzelOracleSql,
     "stream_brunner_munzel" -> brunnerMunzelOracleSql,
+    "stats_ansari" -> ansariOracleSql,
+    "stream_ansari" -> ansariOracleSql,
     // Cliff's delta replay: same count state, dominance effect size
     "stats_cliffs" -> cliffsOracleSql,
     "stream_cliffs" -> cliffsOracleSql,

@@ -1479,6 +1479,97 @@ object Stats {
       when(bad, lit(null).cast("double")).otherwise(r6(dfHat)).as("df"))
   }
 
+  /** Ansari–Bradley test between two numeric samples — the SCALE
+    * (dispersion) member of the two-sample family: [[mannWhitney]] /
+    * [[brunnerMunzel]] ask which arm sits HIGHER, [[cliffsDelta]] how
+    * dominantly; this asks which arm is more SPREAD OUT around the common
+    * center — variance drift at equal level (a metric whose mean held but
+    * whose tails fattened), the nonparametric Siegel–Tukey/F-test
+    * replacement. Scores run in from both ends (1, 2, …, …, 2, 1), tied
+    * values share their block's average score (scipy.stats.ansari), and
+    * the statistic is arm a's score sum with the generalized
+    * (tie-correct) normal approximation E = n_a·s̄,
+    * Var = n_a·n_b·(Σs² − N·s̄²)/(N(N−1)).
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as
+    * [[rocAuc]]/[[mannWhitney]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] `scaleTest` readout); each
+    * value block's exact DOUBLED score sum comes in closed form from its
+    * rank interval [l, r] against the end-in score ramp (three integer
+    * terms off the prefix scan — handles blocks straddling the center,
+    * where min(midrank, N+1−midrank) would be wrong), per-block fractions
+    * stage in DECIMAL(28,10) for order-independent sums, and the z
+    * evaluates in fixed double order.
+    *
+    * Returns one row (n_a, n_b, ab, z) at 6dp; z NULL when either arm is
+    * empty, N < 3, or the score variance degenerates (all values tied).
+    */
+  def ansariBradley(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    abOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[ansariBradley]]'s readout from a [[scoreCounts]] table (__s, __p =
+    * arm-a count, __n = arm-b count) — the stage the streaming monitor
+    * shares with the batch operator.
+    */
+  def abOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val cum = graft.core.Scans.cumulative(c, "__s", Seq("__p", "__n"))
+    val tot = broadcast(c.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_b")))
+    val t = (col("__p") + col("__n")).cast(big)
+    val nn = (col("n_a") + col("n_b")).cast(big)
+    // the block's combined-rank interval [l, r], exact
+    val l = ((col("cum___p") - col("__p") + col("cum___n") - col("__n"))
+      + lit(1L)).cast(big)
+    val r = l + t - lit(1)
+    // end-in score of position j is min(j, N+1−j); the block's DOUBLED
+    // score sum in closed form: ascending part up to floor((N+1)/2),
+    // descending part after — exact integers throughout
+    // floor((N+1)/2) — explicit floor of the double ratio (exact for any
+    // count below 2^53, and the same operation the oracle runs)
+    val floorHalf = floor((col("n_a") + col("n_b") + lit(1L)).cast("double")
+      / lit(2.0)).cast("long").cast(big)
+    val b1 = least(r, floorHalf)
+    val t1x2 = when(l <= b1, (l + b1) * (b1 - l + lit(1)))
+      .otherwise(lit(0).cast(big))
+    val cc = greatest(l, floorHalf + lit(1))
+    val t2x2 = when(cc <= r,
+      lit(2) * (nn + lit(1)) * (r - cc + lit(1)) - (cc + r) * (r - cc + lit(1)))
+      .otherwise(lit(0).cast(big))
+    val s2 = (t1x2 + t2x2).cast(big) // doubled block score sum, exact
+    val staged = cum.crossJoin(tot).select(
+      ((col("__p").cast(big) * s2).cast("double")
+        / (lit(2.0) * t.cast("double"))).cast(dec).as("__abx"),
+      s2.as("__s2"),
+      ((s2 * s2).cast("double") / (lit(4.0) * t.cast("double")))
+        .cast(dec).as("__sq"))
+    val agg = staged.agg(sum(col("__abx")).as("__ab"),
+      sum(col("__s2")).as("__ss2"), sum(col("__sq")).as("__ssq"))
+      .crossJoin(tot)
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = nad + nbd
+    val sbar = col("__ss2").cast("double") / lit(2.0) / nd
+    val e = nad * sbar
+    val v = nad * nbd * (col("__ssq").cast("double") - nd * sbar * sbar) /
+      (nd * (nd - lit(1.0)))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val bad = col("n_a") === 0L || col("n_b") === 0L ||
+      col("n_a") + col("n_b") < 3L || v <= 0.0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0L, lit(null).cast("double"))
+        .otherwise(r6(col("__ab").cast("double"))).as("ab"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6((col("__ab").cast("double") - e) / sqrt(v))).as("z"))
+  }
+
   /** Cliff's delta between two numeric samples — [[mannWhitney]]'s
     * EFFECT SIZE: the z says the dominance is real, δ = P(a > b) −
     * P(b > a) ∈ [−1, 1] says how LARGE it is, unmoved by sample size —

@@ -1409,6 +1409,14 @@ object Streaming {
     def superiority: DataFrame = graft.functions.Stats.bmOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** seventh readout off the SAME count state: the Ansari–Bradley
+      * scale test ([[graft.functions.Stats.abOfCounts]]) — which arm is
+      * more SPREAD, the dispersion question the location readouts can't
+      * see; equals the batch [[graft.functions.Stats.ansariBradley]]
+      */
+    def scaleTest: DataFrame = graft.functions.Stats.abOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 

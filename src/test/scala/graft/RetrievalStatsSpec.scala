@@ -531,6 +531,29 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(Stats.moodMedianTest(one, col("g"), col("v")).head().isNullAt(3))
   }
 
+  test("ansariBradley: end-in scores hand-checked, center-straddling ties exact, spread arm scores low") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // x={1,4} (the spread arm, scores 1+1), y={2,3}: AB=2, E=3, Var=1/3
+    val x = Seq(1.0, 4.0).toDF("v")
+    val y = Seq(2.0, 3.0).toDF("v")
+    val r = Stats.ansariBradley(x, y, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 2.0)))
+    assert(r.getDouble(3) == -1.732051, s"z: $r")
+    // a tie block straddling the center: x={2,2} takes the averaged
+    // center scores (2 each) -> AB=4, z=+1.732051 (concentrated arm high)
+    val xc = Seq(2.0, 2.0).toDF("v")
+    val yc = Seq(1.0, 3.0).toDF("v")
+    val rc = Stats.ansariBradley(xc, yc, "v").head()
+    assert(rc.getDouble(2) == 4.0 && rc.getDouble(3) == 1.732051, s"got $rc")
+    // all values tied: zero score variance -> NULL z
+    // one 4-way tie block: averaged score 1.5 each -> AB = 3, zero
+    // score variance -> NULL z
+    val flat = Stats.ansariBradley(Seq(5.0, 5.0).toDF("v"),
+      Seq(5.0, 5.0).toDF("v"), "v").head()
+    assert(flat.getDouble(2) == 3.0 && flat.isNullAt(3), s"got $flat")
+  }
+
   test("rank statistics exclude NULL values and NULL group keys") {
     import spark.implicits._
     import graft.functions.Stats

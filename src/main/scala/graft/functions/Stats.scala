@@ -2258,38 +2258,82 @@ object Stats {
   /** [[jonckheereTerpstra]]'s readout from an already-built (__v, __g,
     * __c) count table — the stage the streaming monitor shares with the
     * batch operator (and with [[kwOfCounts]], whose state is identical).
+    *
+    * Plan shape: a cell-pair join would be |cells|² — quadratic in the
+    * VALUE domain even though only the k GROUPS are ordered (measured:
+    * 168s on the 2dp events domain at sf0.1). Instead the count table
+    * pivots to one row per value with k per-group count columns (k is
+    * the bounded group count — the one k-row collect is bounded
+    * metadata, the [[kruskalWallis]] k), cumulates all k columns in ONE
+    * deterministic prefix scan, and conc/disc fall out per VALUE ROW as
+    * the k²-term dominance sums Σ_h c_h·Σ_{g<h} below_g /
+    * Σ_h c_h·Σ_{g<h} above_g — exact integers, one scan, one reduce.
     */
   def jtOfCounts(counts: DataFrame): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    // the bounded cell table feeds both pair-join sides, both margins and
-    // the total — frozen, or the corpus aggregation runs five times
     val j = org.apache.spark.sql.graftbridge.Bridge.freeze(
       counts.select(col("__g").as("__x"), col("__v").as("__y"), col("__c")))
-    val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"),
-      col("__c").cast(big).as("__ca"))
-    val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"),
-      col("__c").cast(big).as("__cb"))
-    val cd = a.join(broadcast(b), col("__xa") < col("__xb"))
-      .agg(
-        coalesce(sum(when(col("__ya") < col("__yb"),
-          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
-          lit(0).cast(big)).as("__conc"),
-        coalesce(sum(when(col("__ya") > col("__yb"),
-          col("__ca") * col("__cb")).otherwise(lit(0).cast(big))),
-          lit(0).cast(big)).as("__disc"))
-    def tieTerms(keyCol: String, tag: String): DataFrame = {
-      val t = col("__t").cast(big)
-      j.groupBy(col(keyCol)).agg(sum(col("__c")).as("__t"))
-        .agg(count(lit(1)).as(s"__k_$tag"),
-          sum(t * (t - lit(1))).as(s"__tt_$tag"),
-          sum(t * (t - lit(1)) * (lit(2) * t + lit(5))).as(s"__tv_$tag"),
-          sum(t * (t - lit(1)) * (t - lit(2))).as(s"__t3_$tag"))
+    // the a-priori ordered group list — k rows, bounded metadata
+    val groups = j.select(col("__x")).distinct().orderBy(col("__x"))
+      .collect().map(_.get(0))
+    val k = groups.length
+    val spark0 = j.sparkSession
+    if (k == 0) {
+      return spark0.range(1).select(lit(0L).as("n"), lit(0L).as("k"),
+        lit(null).cast("double").as("j"), lit(null).cast("double").as("z"))
     }
-    val tot = j.agg(sum(col("__c")).as("n"))
-    val m = cd.crossJoin(broadcast(tieTerms("__x", "x")))
-      .crossJoin(broadcast(tieTerms("__y", "y")))
-      .crossJoin(broadcast(tot))
+    val cCols = groups.indices.map(i => s"__c$i")
+    val wideAggs = groups.zipWithIndex.map { case (g, i) =>
+      coalesce(sum(when(col("__x") === lit(g), col("__c"))), lit(0L))
+        .as(s"__c$i")
+    }
+    val wide = j.groupBy(col("__y")).agg(wideAggs.head, wideAggs.tail: _*)
+    val cum = graft.core.Scans.cumulative(wide, "__y", cCols)
+    val totals = broadcast(wide.agg(
+      groups.indices.map(i => sum(col(s"__c$i")).as(s"__t$i")).head,
+      groups.indices.drop(1).map(i => sum(col(s"__c$i")).as(s"__t$i")): _*))
+    // per value row: below_g = cum_g − c_g (strictly-below mass of group
+    // g), above_g = total_g − cum_g; the ordered-pair dominance sums run
+    // over the k² generated terms — every product an exact integer
+    def bigc(c: Column) = c.cast(big)
+    val concRow = groups.indices.drop(1).map { h =>
+      val lower = groups.indices.take(h).map(g =>
+        bigc(col(s"cum___c$g")) - bigc(col(s"__c$g")))
+        .reduce(_ + _)
+      bigc(col(s"__c$h")) * lower
+    }.reduceOption[Column](_ + _).getOrElse(lit(0).cast(big))
+    val discRow = groups.indices.drop(1).map { h =>
+      val upper = groups.indices.take(h).map(g =>
+        bigc(col(s"__t$g")) - bigc(col(s"cum___c$g")))
+        .reduce(_ + _)
+      bigc(col(s"__c$h")) * upper
+    }.reduceOption[Column](_ + _).getOrElse(lit(0).cast(big))
+    val cd = cum.crossJoin(totals)
+      .select(concRow.as("__cr"), discRow.as("__dr"),
+        // per-value tie quantities ride the same rows: t = Σ_g c_g
+        cCols.map(c => col(c).cast(big)).reduce(_ + _).as("__ty"))
+      .agg(
+        coalesce(sum(col("__cr")), lit(0).cast(big)).as("__conc"),
+        coalesce(sum(col("__dr")), lit(0).cast(big)).as("__disc"),
+        coalesce(sum(col("__ty") * (col("__ty") - lit(1))),
+          lit(0).cast(big)).as("__tt_y"),
+        coalesce(sum(col("__ty") * (col("__ty") - lit(1))
+          * (lit(2) * col("__ty") + lit(5))), lit(0).cast(big)).as("__tv_y"),
+        coalesce(sum(col("__ty") * (col("__ty") - lit(1))
+          * (col("__ty") - lit(2))), lit(0).cast(big)).as("__t3_y"))
+    // group-margin tie terms off the bounded k-column totals row
+    val xTie = totals.select({
+      val ts = groups.indices.map(i => bigc(col(s"__t$i")))
+      Seq(lit(k.toLong).as("__k_x"),
+        ts.map(t => t * (t - lit(1))).reduce(_ + _).as("__tt_x"),
+        ts.map(t => t * (t - lit(1)) * (lit(2) * t + lit(5))).reduce(_ + _)
+          .as("__tv_x"),
+        ts.map(t => t * (t - lit(1)) * (t - lit(2))).reduce(_ + _)
+          .as("__t3_x"),
+        ts.reduce(_ + _).cast("long").as("n"))
+    }: _*)
+    val m = cd.crossJoin(broadcast(xTie))
     val n = col("n").cast(big)
     val twoN0 = n * (n - lit(1))
     // 2P = cross-group pair count doubled — exact; J = (2P/2 + S)/2

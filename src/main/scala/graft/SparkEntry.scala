@@ -2706,6 +2706,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // language-ID confusion matrix: the predictor's quality report card
+    // against the corpus's labeled lang — joint (truth, predicted) counts
+    // with the per-truth share, two keyed aggregations on bounded tables
+    "text_lang_confusion" -> ((s, dir) => {
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val conf = docsNorm(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+      conf.join(tot, Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round((col("n").cast("double") / col("__t").cast("double"))
+            .cast(dec8), 6).cast("double").as("share"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // document quality scoring (length / stopword density / punctuation)
     "text_quality" -> ((s, dir) => {
       docsNorm(s, dir).select(col("doc_id"),
@@ -9873,6 +9889,37 @@ object SparkEntry {
                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
                 ELSE 'fr' END AS lang_pred
          FROM sc ORDER BY doc_id""",
+
+    // confusion replay: the text_langid predictor CTE joined back to the
+    // labeled truth, joint counts + per-truth share
+    "text_lang_confusion" ->
+      s"""WITH norm AS (
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
+           FROM norm),
+         pred AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+           FROM sc),
+         j AS (
+           SELECT d.lang, p.lang_pred FROM documents d
+           JOIN pred p USING (doc_id)),
+         conf AS (
+           SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+           FROM j GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM conf GROUP BY 1)
+         SELECT conf.lang, lang_pred, n,
+           round(CAST(n::DOUBLE / t::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS share
+         FROM conf JOIN tot USING (lang) ORDER BY 1, 2""",
 
     "text_quality" ->
       s"""WITH norm AS (

@@ -16,9 +16,11 @@ import scala.jdk.CollectionConverters._
   * slices inflated the heavy tail 2–5×). The gate therefore runs in THREE
   * phases:
   *
-  *   1. FRESH-JVM SLICES of ~8 queries (same classpath/JVM flags as the
+  *   1. FRESH-JVM SLICES of ~14 queries (same classpath/JVM flags as the
   *      parent), each child timing its slice with an untimed GC+settle
   *      pause between queries; the `slices` field records the layout.
+  *      Slices group by replayed-monitor family (SparkEntry.benchFamilies)
+  *      so readouts sharing one cached monitor state land in one child.
   *   2. SOLO AUDIT: the N slowest queries from phase 1 are re-timed ONE
   *      PER FRESH JVM — the canonical per-query number for the heavy tail
   *      is the solo time, and the `solo` field records BOTH numbers so the
@@ -30,6 +32,15 @@ import scala.jdk.CollectionConverters._
   *      JVM, so the reported wall ratio — the cliff detector (shuffle
   *      spill, broadcast thresholds) sf0.1 alone cannot show — never
   *      divides by a number measured under different JVM conditions.
+  *
+  * The whole gate runs against a wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET_S, default 2700): every phase checks the
+  * clock before each fork and SKIPS remaining work once its share is
+  * spent (slices 72%, solo 88%, sf1 100%), marking the output
+  * `"truncated":true` — a partial-but-parseable artifact always beats an
+  * rc-124 timeout (round-11 lesson). Each completed fork also prints a
+  * one-line `{"metric":"progress",...}` update so even a hard-killed run
+  * leaves its latest state in a 2000-char log tail.
   *
   * Invocations:
   *   (no args)                 driver gate: all three phases
@@ -85,7 +96,12 @@ object Bench {
     * to drain its reference queue — so the NEXT timer starts on a quiet JVM.
     */
   private def releaseTransients(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // cached replay-family states (SparkEntry.ReplayCache) are
+    // localCheckpointed — dropping their blocks would be unrecoverable, so
+    // they are exempt from the transient sweep (bounded count tables)
+    val keep = SparkEntry.pinnedReplayRddIds
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "400").toLong
     System.gc()
     Thread.sleep(settleMs / 2)
@@ -136,24 +152,59 @@ object Bench {
   private def toJsonMap(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-  /** Forks one child per slice; returns per-query seconds, or None if any
-    * child failed (caller falls back to in-process timing).
+  // -------------------------------------------------------- budget clock
+  /** Wall-clock budget for the whole no-args gate (round-11 lesson: the
+    * three-phase gate outgrew the driver's bench timeout and left an rc-124
+    * artifact with NO parseable output). All phases check the clock before
+    * every fork; when the budget runs out the remaining work is SKIPPED and
+    * the final line carries `"truncated":true` — a degraded-but-parseable
+    * artifact always beats a timeout.
     */
-  private def runSlices(slices: Seq[Seq[String]], sfDir: String,
-                        tag: String): Option[Seq[(String, Double)]] = {
+  private val gateStart = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - gateStart) / 1e9
+  private lazy val budgetSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
+  @volatile private var truncated = false
+
+  /** One short progress line per completed fork: even a run killed by an
+    * external timeout leaves a parseable latest-state line in a log TAIL.
+    */
+  private def progress(phase: String, done: Int, of: Int, sumSec: Double): Unit =
+    println(f"""{"metric":"progress","phase":"$phase","done":$done,"of":$of,""" +
+      f""""elapsedSec":${math.round(elapsedSec)}%d,"sumSec":${math.round(sumSec)}%d}""")
+
+  /** Forks one child per slice; returns per-query seconds plus the names
+    * that were SKIPPED because `deadline` passed (they get no timing this
+    * run — recorded so the artifact says so explicitly), or None if any
+    * launched child failed (caller falls back to in-process timing).
+    */
+  private def runSlices(slices: Seq[Seq[String]], sfDir: String, tag: String,
+                        deadline: Double): Option[(Seq[(String, Double)], Seq[String])] = {
     val acc = Seq.newBuilder[(String, Double)]
-    val ok = slices.zipWithIndex.forall { case (names, i) =>
-      val out = java.nio.file.Files.createTempFile(s"graft_bench_${tag}_$i", ".json")
-      val code = fork(Seq("--slice", out.toString) ++ names,
-        Map("SPARK_GRAFT_SF_DIR" -> sfDir))
-      val good = code == 0 && java.nio.file.Files.exists(out) &&
-        java.nio.file.Files.size(out) > 2
-      if (good) acc ++= parseSlice(out)
-      else System.err.println(s"[bench] slice $tag/$i exited $code; falling back in-process")
-      java.nio.file.Files.deleteIfExists(out)
-      good
+    val skipped = Seq.newBuilder[String]
+    var ok = true
+    slices.zipWithIndex.foreach { case (names, i) =>
+      if (!ok || elapsedSec > deadline) {
+        if (ok && elapsedSec > deadline) truncated = true
+        skipped ++= names
+      } else {
+        val out = java.nio.file.Files.createTempFile(s"graft_bench_${tag}_$i", ".json")
+        val code = fork(Seq("--slice", out.toString) ++ names,
+          Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+        val good = code == 0 && java.nio.file.Files.exists(out) &&
+          java.nio.file.Files.size(out) > 2
+        if (good) {
+          acc ++= parseSlice(out)
+          val sum = acc.result().map(_._2).sum
+          progress(tag, i + 1, slices.size, sum)
+        } else {
+          System.err.println(s"[bench] slice $tag/$i exited $code; falling back in-process")
+          ok = false
+        }
+        java.nio.file.Files.deleteIfExists(out)
+      }
     }
-    if (ok) Some(acc.result()) else None
+    if (ok) Some((acc.result(), skipped.result())) else None
   }
 
   // ------------------------------------------------------------------ main
@@ -202,25 +253,33 @@ object Bench {
     // driver gate
     case Nil =>
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "8").toInt
-      val allNames = SparkEntry.queries.keys.toSeq.sorted
+      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "14").toInt
+      // slice by (replay family, name): readouts sharing a cached monitor
+      // state land in ONE child JVM, so the state builds once per slice —
+      // the layout field records the grouping explicitly
+      val allNames = SparkEntry.queries.keys.toSeq
+        .sortBy(n => (SparkEntry.benchFamilies.getOrElse(n, n), n))
       val slices = allNames.grouped(sliceSize).toSeq
-      val (phase1, layout) = runSlices(slices, sfDir, "sf") match {
-        case Some(rs) => (rs, slices)
-        case None => // fork unavailable (e.g. launched under a layered
-          // classloader where java.class.path lacks the app jar): one-JVM
-          // fallback keeps the gate alive, at reduced timing fidelity
-          val spark = session()
-          warmUp(spark)
-          val rs = timeQueries(spark, sfDir, allNames)
-          spark.stop()
-          (rs, Nil)
-      }
+      // phase 1 owns the clock up to 72% of budget; solo to 88%; sf1 the rest
+      val (phase1, untimed, layout) =
+        runSlices(slices, sfDir, "sf", deadline = budgetSec * 0.72) match {
+          case Some((rs, sk)) => (rs, sk, slices)
+          case None => // fork unavailable (e.g. launched under a layered
+            // classloader where java.class.path lacks the app jar): one-JVM
+            // fallback keeps the gate alive, at reduced timing fidelity
+            val spark = session()
+            warmUp(spark)
+            val rs = timeQueries(spark, sfDir, allNames)
+            spark.stop()
+            (rs, Nil, Nil)
+        }
       val (results, soloJson) = runSoloAudit(phase1, sfDir,
-        forked = layout.nonEmpty)
+        forked = layout.nonEmpty, deadline = budgetSec * 0.88)
       val sf1Json = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") == "0") ""
         else runSf1Section(results, sfDir)
-      emit(results, sfDir, layout, soloJson + sf1Json)
+      val untimedJson = if (untimed.isEmpty) ""
+        else s""","untimed":${untimed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      emit(results, sfDir, layout, soloJson + sf1Json + untimedJson)
   }
 
   /** Phase 2: re-time the N slowest phase-1 queries ONE PER FRESH JVM.
@@ -229,12 +288,13 @@ object Bench {
     * itself quantifies any residual in-slice contamination.
     */
   private def runSoloAudit(phase1: Seq[(String, Double)], sfDir: String,
-                           forked: Boolean): (Seq[(String, Double)], String) = {
-    val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "30").toInt
+                           forked: Boolean, deadline: Double): (Seq[(String, Double)], String) = {
+    val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "15").toInt
     if (!forked || soloN <= 0) return (phase1, "")
+    if (elapsedSec > deadline) { truncated = true; return (phase1, "") }
     val targets = phase1.sortBy(-_._2).take(soloN).map(_._1).sorted
-    runSlices(targets.map(Seq(_)), sfDir, "solo") match {
-      case Some(ss) =>
+    runSlices(targets.map(Seq(_)), sfDir, "solo", deadline) match {
+      case Some((ss, _)) =>
         val sliceMap = phase1.toMap
         // a solo run is ONE JVM's single sample — an unlucky GC/compile
         // pause can triple it (measured: edit_verify 17.4s solo vs 4.4s
@@ -246,13 +306,13 @@ object Bench {
         }.map(_._1)
         val retried: Map[String, Double] =
           if (suspicious.isEmpty) Map.empty
-          else runSlices(suspicious.sorted.map(Seq(_)), sfDir, "solo2")
-            .map(_.toMap).getOrElse(Map.empty)
+          else runSlices(suspicious.sorted.map(Seq(_)), sfDir, "solo2", deadline)
+            .map(_._1.toMap).getOrElse(Map.empty)
         val soloMap = ss.toMap.map { case (q, t) =>
           q -> math.min(t, retried.getOrElse(q, t))
         }
         val merged = phase1.map { case (q, t) => q -> soloMap.getOrElse(q, t) }
-        val audit = targets.map { q =>
+        val audit = soloMap.keys.toSeq.sorted.map { q =>
           s""""$q":{"slice":${sliceMap(q)},"solo":${soloMap(q)}}"""
         }.mkString("{", ",", "}")
         (merged, s""","solo":$audit""")
@@ -271,8 +331,9 @@ object Bench {
     */
   private def runSf1Section(results: Seq[(String, Double)], sfDir: String): String =
     try {
-      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "20").toInt
-      val pairSlice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_SLICE", "4").toInt
+      if (elapsedSec > budgetSec * 0.88) { truncated = true; return "" }
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "15").toInt
+      val pairSlice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_SLICE", "5").toInt
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
       if (!graft.tools.ScaleData.isGenerated(sf1Dir, sfDir)) {
         // stale output from a DIFFERENT base sf dir: delete before regen —
@@ -297,19 +358,29 @@ object Bench {
         require(code == 0 && graft.tools.ScaleData.isGenerated(sf1Dir, sfDir),
           s"sf1 generation exited $code")
       }
-      val top = results.sortBy(-_._2).take(n).map(_._1).sorted
+      val top0 = results.sortBy(-_._2).take(n).map(_._1).sorted
+      val pairGroups = top0.grouped(math.max(1, pairSlice)).toSeq
       val acc = Seq.newBuilder[(String, Double)]
-      val ok = top.grouped(math.max(1, pairSlice)).zipWithIndex.forall {
-        case (names, i) =>
+      var ok = true
+      var ranGroups = 0
+      pairGroups.zipWithIndex.foreach { case (names, i) =>
+        if (ok && elapsedSec <= budgetSec) {
           val out = java.nio.file.Files.createTempFile(s"graft_bench_sf1_$i", ".json")
           val code = fork(Seq("--pair", out.toString, sfDir, sf1Dir) ++ names, Map.empty)
           val good = code == 0 && java.nio.file.Files.exists(out) &&
             java.nio.file.Files.size(out) > 2
-          if (good) acc ++= parseSlice(out)
-          else System.err.println(s"[bench] sf1 pair slice $i exited $code")
+          if (good) {
+            acc ++= parseSlice(out)
+            ranGroups += 1
+            progress("sf1", i + 1, pairGroups.size, acc.result().map(_._2).sum)
+          } else {
+            System.err.println(s"[bench] sf1 pair slice $i exited $code")
+            ok = false
+          }
           java.nio.file.Files.deleteIfExists(out)
-          good
+        } else if (ok) truncated = true
       }
+      val top = pairGroups.take(ranGroups).flatten
       if (!ok) ""","sf1":{"error":"pair fork failed"}"""
       else {
         val m = acc.result().toMap
@@ -335,7 +406,8 @@ object Bench {
       .map(s => s.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${toJsonMap(results)},"sf":"$sfDir","slices":$layout$extra}"""
+      s""""queries":${toJsonMap(results)},"sf":"$sfDir","truncated":$truncated,""" +
+      s""""slices":$layout$extra}"""
     // the full per-query artifact: stdout rides a log pipe that keeps only
     // a ~2000-char TAIL, so the big map goes to a durable file (commit it
     // per round) and to stdout first (for humans reading the whole log)
@@ -351,6 +423,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","nQueries":${results.size},""" +
       s""""queries":${toJsonMap(slow)},"queriesTruncatedTo":${slow.size},""" +
-      s""""sf1WorstRatio":$worst,"full":"$out"}""")
+      s""""sf1WorstRatio":$worst,"truncated":$truncated,""" +
+      s""""elapsedSec":${math.round(elapsedSec)},"budgetSec":${math.round(budgetSec)},""" +
+      s""""full":"$out"}""")
   }
 }

@@ -19,9 +19,13 @@ object TextAnalysis {
   /** whitespace tokens of the normalized text */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** token count (0 for empty/blank text) */
+  /** token count (0 for empty/blank text) — native single-pass run count
+    * over the lowercased bytes (graft.plans.TokenCountExpr); equals
+    * `when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))`
+    * (pinned in TextNativeParitySpec)
+    */
   def tokenCount(text: Column): Column =
-    when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))
+    graft.plans.NativeFunctions.tokenCount(text)
 
   /** A BPE-ish sub-word unit estimate: alpha runs, digit runs and punctuation
     * each count as units, long words count extra units per 4 chars (the
@@ -61,10 +65,22 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
 
-  /** unrounded quality score (callers pick their own rounding/canonicalization) */
-  def qualityScoreRaw(text: Column): Column = {
+  /** unrounded quality score (callers pick their own rounding/
+    * canonicalization) — native single pass (graft.plans.QualityScoreRaw),
+    * bit-identical in IEEE operation order to the Column formulation
+    *   least(len/500, 1)·0.4 + least(nstop·5/ntok, 1)·0.3 + (1−punct/len)·0.3
+    * (pinned in TextNativeParitySpec; [[columnQualityScoreRaw]] keeps the
+    * Column formulation as the parity reference)
+    */
+  def qualityScoreRaw(text: Column): Column =
+    graft.plans.NativeFunctions.qualityScoreRaw(text)
+
+  /** the pre-round-12 `functions._`-only formulation of [[qualityScoreRaw]]
+    * — retained as the executable spec the native expression is pinned to
+    */
+  def columnQualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val toks = tokenCount(text).cast("double")
+    val toks = columnTokenCount(text).cast("double")
     val stopRatio = when(toks === 0, 0.0)
       .otherwise(least(stopCount(text, stopwords("en")).cast("double") * 5.0 / toks, lit(1.0)))
     val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
@@ -72,6 +88,10 @@ object TextAnalysis {
       .otherwise(punct.cast("double") / length(text).cast("double"))
     lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
   }
+
+  /** Column-formulation twin of [[tokenCount]] (parity reference) */
+  def columnTokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))
 
   /** Gopher-style repetition signal: excess fraction of the most frequent
     * positional n-gram, (max−1)/(nGrams−1) — 0.0 for repetition-free text of
@@ -103,8 +123,17 @@ object TextAnalysis {
   def tokenMicroWeight(tok: Column, salt: String): Column =
     Sampling.hash60(tok, salt) % 2000001L - 1000000L
 
-  /** sum of token micro-weights (exact LONG arithmetic) */
+  /** sum of token micro-weights (exact LONG arithmetic) — native single
+    * pass with one md5 per token (graft.plans.ClassifierMicroSum); equals
+    * `aggregate(filter(tokens(text), length > 0), 0L, _ +
+    * tokenMicroWeight(_))` (pinned in TextNativeParitySpec) and the DuckDB
+    * oracle's per-token md5 sum
+    */
   def classifierMicroSum(text: Column, salt: String): Column =
+    graft.plans.NativeFunctions.classifierMicroSum(text, salt)
+
+  /** Column-formulation twin of [[classifierMicroSum]] (parity reference) */
+  def columnClassifierMicroSum(text: Column, salt: String): Column =
     aggregate(filter(tokens(text), t => length(t) > 0),
       lit(0L), (acc, t) => acc + tokenMicroWeight(t, salt))
 

@@ -111,14 +111,27 @@ object Md5Util {
     */
   def hash60(bytes: Array[Byte]): Long = {
     val md = tl.get(); md.reset()
-    val d = md.digest(bytes)
+    fold60(md.digest(bytes))
+  }
+
+  def hash60(s: UTF8String): Long = hash60(s.getBytes)
+
+  /** hash60 of bytes[from, from+len) ++ suffix without concatenating —
+    * the zero-allocation per-token path of [[ClassifierMicroSum]].
+    */
+  def hash60(bytes: Array[Byte], from: Int, len: Int, suffix: Array[Byte]): Long = {
+    val md = tl.get(); md.reset()
+    md.update(bytes, from, len)
+    md.update(suffix)
+    fold60(md.digest())
+  }
+
+  private def fold60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     (v << 4) | ((d(7) & 0xF0L) >> 4)
   }
-
-  def hash60(s: UTF8String): Long = hash60(s.getBytes)
 }
 
 /** SimHash: 60-bit fingerprint where bit j is the sign of the ±1 votes of
@@ -327,7 +340,7 @@ case class SigMatchFraction(left: Expression, right: Expression)
   * packing.
   */
 case class SignPack(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_signpack"
@@ -343,6 +356,21 @@ case class SignPack(child: Expression)
     }
     new GenericArrayData(words)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.getDouble($i) > 0) $words[$i / 64] |= (1L << ($i % 64));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -500,6 +528,168 @@ case class TopNgramFraction(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shared byte-walk over normalized tokens: the single-pass engine behind
+  * [[ClassifierMicroSum]] / [[QualityScoreRaw]] / [[TokenCountExpr]].
+  *
+  * `TextAnalysis.normalize` is lower → strip [^a-z0-9]+ to spaces →
+  * collapse → trim, and its tokens are therefore exactly the maximal runs
+  * of [a-z0-9] BYTES of the lowercased string: every non-token character
+  * (including each byte of a multi-byte UTF-8 sequence) is a separator,
+  * and separator runs collapse. Walking the lowercased bytes yields the
+  * identical token stream with zero regex work and zero allocation — the
+  * higher-order-function formulation (split + filter + aggregate with
+  * per-element lambda interpretation plus an md5 Expression per token)
+  * measured ~4-10× slower on the documents corpus.
+  */
+private object TokenWalk {
+  @inline def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** visit(start, end) for each token run in `lower`; returns run count */
+  @inline def foreachRun(lower: Array[Byte])(visit: (Int, Int) => Unit): Int = {
+    var i = 0
+    var runs = 0
+    val n = lower.length
+    while (i < n) {
+      if (isTok(lower(i))) {
+        val start = i
+        while (i < n && isTok(lower(i))) i += 1
+        visit(start, i)
+        runs += 1
+      } else i += 1
+    }
+    runs
+  }
+}
+
+/** Hashing-trick linear-classifier margin sum — native single pass. Exactly
+  * `aggregate(filter(tokens(text), length(t) > 0), 0L,
+  * (acc, t) => acc + hash60(t || salt) % 2000001 - 1000000)` (see
+  * TextAnalysis.classifierMicroSum), evaluated as one walk over the
+  * lowercased bytes with one md5 digest per token — no per-token lambda
+  * interpretation, no string allocation. Bit-identical to the DuckDB
+  * oracle's `sum(('0x'||substr(md5(tok||salt),1,15))::BIGINT % 2000001 -
+  * 1000000)` over the same token stream.
+  */
+case class ClassifierMicroSum(child: Expression, salt: String)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_micro_sum"
+
+  private val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(input: Any): Any = {
+    val lower = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    var sum = 0L
+    TokenWalk.foreachRun(lower) { (start, end) =>
+      sum += Md5Util.hash60(lower, start, end - start, saltBytes) % 2000001L - 1000000L
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Normalized-token count — native twin of `TextAnalysis.tokenCount`
+  * (`when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))`):
+  * the number of [a-z0-9] runs of the lowercased bytes, 0 for empty/blank.
+  */
+case class TokenCountExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenWalk.foreachRun(input.asInstanceOf[UTF8String].toLowerCase.getBytes)((_, _) => ())
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Document quality score — native twin of `TextAnalysis.qualityScoreRaw`
+  * (0.4·length-score + 0.3·stopword-ratio-score + 0.3·(1 − punct-ratio)),
+  * with every double formed in the SAME IEEE operation order as the Column
+  * formulation so results are bit-identical (QualityParitySpec pins this
+  * against the Column version on edge cases, and the DuckDB oracle gate
+  * pins it on the corpus):
+  *
+  *   - nChars    = Spark `length(text)` = code points = UTF-8 lead bytes
+  *   - ntok      = [a-z0-9] runs of the lowercased bytes
+  *   - nstop     = runs equal to one of the five 'en' stopwords
+  *   - npunct    = code points NOT in [a-zA-Z0-9\s] of the ORIGINAL text —
+  *                 any single-byte char outside the class, plus every
+  *                 multi-byte code point (all non-ASCII is outside an
+  *                 ASCII class; Java regex \s is ASCII-only by default)
+  */
+case class QualityScoreRaw(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_quality_raw"
+
+  // the 'en' stopword list of TextAnalysis.stopwords, as bytes
+  private val stops: Array[Array[Byte]] =
+    Array("the", "and", "of", "to", "a").map(_.getBytes("US-ASCII"))
+
+  private def isStop(b: Array[Byte], start: Int, end: Int): Boolean = {
+    val len = end - start
+    var s = 0
+    while (s < stops.length) {
+      val w = stops(s)
+      if (w.length == len) {
+        var i = 0
+        while (i < len && b(start + i) == w(i)) i += 1
+        if (i == len) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String]
+    val raw = str.getBytes
+    // one pass over the RAW bytes: code points + punctuation class
+    var nChars = 0
+    var npunct = 0
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      if ((b & 0xC0) != 0x80) { // lead byte = one code point
+        nChars += 1
+        if (b < 0) npunct += 1 // multi-byte code point: outside the class
+        else {
+          val ok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+            (b >= '0' && b <= '9') || b == ' ' || b == '\t' || b == '\n' ||
+            b == 0x0B || b == '\f' || b == '\r'
+          if (!ok) npunct += 1
+        }
+      }
+      i += 1
+    }
+    // one pass over the LOWERCASED bytes: tokens + stopword hits
+    val lower = str.toLowerCase.getBytes
+    var nstop = 0
+    val ntok = TokenWalk.foreachRun(lower) { (start, end) =>
+      if (isStop(lower, start, end)) nstop += 1
+    }
+    // EXACT operation order of the Column formulation
+    val lenScore = math.min(nChars.toDouble / 500.0, 1.0)
+    val stopRatio =
+      if (ntok == 0) 0.0
+      else math.min(nstop.toDouble * 5.0 / ntok.toDouble, 1.0)
+    val punctRatio =
+      if (nChars == 0) 1.0 else npunct.toDouble / nChars.toDouble
+    lenScore * 0.4 + stopRatio * 0.3 + (1.0 - punctRatio) * 0.3
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** cast-or-NULL with the right engine per input type (reference getint/
   * getfloat/... parse-or-default, pygrametl/__init__.py:190-337): string
   * inputs take the LEGACY-mode Cast (NULL through the non-throwing parse
@@ -537,6 +727,10 @@ object NativeFunctions {
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
   def ngramShingles(tokens: Column, n: Int): Column = col(NgramShingles(expr(tokens), n))
   def sigMatchFraction(a: Column, b: Column): Column = col(SigMatchFraction(expr(a), expr(b)))
+  def classifierMicroSum(text: Column, salt: String): Column =
+    col(ClassifierMicroSum(expr(text.cast("string")), salt))
+  def tokenCount(text: Column): Column = col(TokenCountExpr(expr(text.cast("string"))))
+  def qualityScoreRaw(text: Column): Column = col(QualityScoreRaw(expr(text.cast("string"))))
   def signLshBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     col(SignLshBucket(expr(vec.cast("array<double>")), planes, offset))
   def randomProjection(vec: Column, k: Int, offset: Int = 0): Column =

@@ -227,7 +227,8 @@ object SparkEntry {
     "stream_ljung_box" -> "vol", "stream_durbin_watson" -> "vol",
     "stream_wilcoxon" -> "vol", "stream_sign_test" -> "vol",
     "stream_friedman" -> "vol", "stream_page_trend" -> "vol",
-    "stream_pettitt" -> "vol",
+    "stream_pettitt" -> "vol", "stream_holt" -> "vol",
+    "stream_fdr" -> "vol",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
@@ -1003,6 +1004,43 @@ object SparkEntry {
     "stream_pettitt" -> ((s, dir) => {
       val vm = volState(s, dir)
       vm.changepoint
+    }),
+
+    // Holt's linear level+trend smoothing + one-step volume forecast:
+    // the LINEAR recursion unrolls exactly as a broadcast join of the
+    // bounded day table against precomputed A^e weight constants
+    // (matrix-power form of the l/b recurrence), each weight·count term
+    // decimal-staged so the sum is exact and order-free
+    "events_holt" -> ((s, dir) => {
+      graft.functions.Events.holtDaily(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming Holt (batch replay of 5 batches): fourteenth readout off
+    // the same additive daily-count state — the recursion is linear in
+    // the counts, so the accreted state reads out identically; same
+    // oracle
+    "stream_holt" -> ((s, dir) => {
+      val vm = volState(s, dir)
+      vm.holt()
+    }),
+
+    // Benjamini-Hochberg FDR control across the per-type Pettitt
+    // changepoint p-values: ordinal rank and the step-up min envelope
+    // p_bh = min(1, min_{j>=i} p_j·m/j) via triangular self-joins on the
+    // bounded panel (deterministic key tie-break) — which of the panel's
+    // alarms survive multiple-testing control at q = 0.05
+    "stats_fdr_bh" -> ((s, dir) => {
+      graft.functions.Stats.bhAdjust(
+        graft.functions.Events.pettitt(events(s, dir), "event_type", "ts"),
+        "event_type", "p_approx", q = 0.05)
+    }),
+
+    // streaming BH-FDR (batch replay of 5 batches): fifteenth readout
+    // off the same additive daily-count state (Pettitt panel -> BH);
+    // batch-exact because both stages are; same oracle
+    "stream_fdr" -> ((s, dir) => {
+      val vm = volState(s, dir)
+      vm.fdrControl(0.05)
     }),
 
     // streaming key concentration (batch replay of 5 micro-batches):
@@ -5893,6 +5931,94 @@ object SparkEntry {
              * d_days::DOUBLE + d_days::DOUBLE * d_days::DOUBLE)))
            AS DECIMAL(18,8)), 6)::DOUBLE AS p_approx
        FROM f ORDER BY event_type"""
+
+  /** BH step-up FDR control over the per-type Pettitt p panel: the
+    * pettitt readout as a CTE, ordinal rank with key tie-break, min
+    * envelope of p·m/rank over ranks at-or-above — shared by
+    * `stats_fdr_bh` and its streaming twin (both stages batch-exact).
+    */
+  private lazy val fdrOracleSql =
+    s"""WITH panel AS ($pettittOracleSql),
+       base AS (
+         SELECT CAST(event_type AS VARCHAR) AS key, p_approx::DOUBLE AS p
+         FROM panel WHERE p_approx IS NOT NULL),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base),
+       ranked AS (
+         SELECT a.key, a.p, CAST(count(*) AS BIGINT) AS rank
+         FROM base a JOIN base b
+           ON (b.p < a.p OR (b.p = a.p AND b.key <= a.key))
+         GROUP BY 1, 2),
+       rawv AS (
+         SELECT rank AS rj, p * m.m::DOUBLE / rank::DOUBLE AS raw
+         FROM ranked, m),
+       env AS (
+         SELECT r.key, r.p, r.rank, min(rawv.raw) AS env
+         FROM ranked r JOIN rawv ON rawv.rj >= r.rank
+         GROUP BY 1, 2, 3)
+       SELECT key, p, rank,
+         round(CAST(least(env, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE AS p_bh,
+         least(env, 1.0) <= 0.05 AS reject
+       FROM env ORDER BY key"""
+
+  /** Holt linear-smoothing replay: the A^e / A^e·c weight constants are
+    * EMBEDDED from the same [[graft.functions.Events.holtWeights]] run
+    * the Spark plan broadcasts, each weight·count term staged to
+    * DECIMAL(28,10) before the exact sum — shared by `events_holt` and
+    * its streaming twin (the recursion is linear in the additive daily
+    * counts).
+    */
+  private lazy val holtOracleSql: String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val rows = graft.functions.Events.holtWeights(0.5, 0.5, 64)
+      .map { case (e, v1, v2, w11, w12, w21, w22) =>
+        s"($e, ${d(v1)}, ${d(v2)}, ${d(w11)}, ${d(w12)}, ${d(w21)}, ${d(w22)})"
+      }.mkString(", ")
+    s"""WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       pw AS (SELECT * FROM (VALUES $rows)
+              AS t(e, v1, v2, w11, w12, w21, w22)),
+       idx AS (
+         SELECT event_type, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS t
+         FROM d),
+       mt AS (
+         SELECT event_type, max(t) AS tt, CAST(count(*) AS BIGINT) AS d_days,
+           max(CASE WHEN t = 1 THEN n END) AS y1,
+           max(CASE WHEN t = 2 THEN n END) AS y2
+         FROM idx GROUP BY 1),
+       terms AS (
+         SELECT idx.event_type,
+           sum(CAST(pw.v1 * idx.n AS DECIMAL(28,10))) AS sl,
+           sum(CAST(pw.v2 * idx.n AS DECIMAL(28,10))) AS sb
+         FROM idx JOIN mt ON idx.event_type = mt.event_type
+           JOIN pw ON pw.e = mt.tt - idx.t
+         WHERE idx.t >= 2 GROUP BY 1),
+       ini AS (
+         SELECT mt.event_type,
+           CAST(pw.w11 * mt.y1 AS DECIMAL(28,10))
+             + CAST(pw.w12 * (mt.y2 - mt.y1) AS DECIMAL(28,10)) AS il,
+           CAST(pw.w21 * mt.y1 AS DECIMAL(28,10))
+             + CAST(pw.w22 * (mt.y2 - mt.y1) AS DECIMAL(28,10)) AS ib
+         FROM mt JOIN pw ON pw.e = mt.tt - 1 WHERE mt.tt >= 2)
+       SELECT mt.event_type, mt.d_days,
+         CASE WHEN mt.tt = 1
+              THEN round(CAST(mt.y1 AS DECIMAL(28,10)), 6)::DOUBLE
+              ELSE round(CAST(terms.sl + ini.il AS DECIMAL(28,10)), 6)::DOUBLE
+         END AS level,
+         CASE WHEN mt.tt = 1 THEN NULL
+              ELSE round(CAST(terms.sb + ini.ib AS DECIMAL(28,10)), 6)::DOUBLE
+         END AS trend,
+         CASE WHEN mt.tt = 1 THEN NULL
+              ELSE round(CAST(terms.sl + ini.il + terms.sb + ini.ib
+                AS DECIMAL(28,10)), 6)::DOUBLE
+         END AS forecast
+       FROM mt LEFT JOIN terms ON mt.event_type = terms.event_type
+         LEFT JOIN ini ON mt.event_type = ini.event_type
+       ORDER BY mt.event_type"""
+  }
 
   /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
     * decimal-staged MAE/MAPE — shared by `events_forecast` and its
@@ -10838,6 +10964,10 @@ object SparkEntry {
     "events_sign_test" -> signTestOracleSql,
     "stream_sign_test" -> signTestOracleSql,
     "events_pettitt" -> pettittOracleSql,
+    "events_holt" -> holtOracleSql,
+    "stream_holt" -> holtOracleSql,
+    "stats_fdr_bh" -> fdrOracleSql,
+    "stream_fdr" -> fdrOracleSql,
     "stream_pettitt" -> pettittOracleSql,
 
     // Kaplan–Meier replay: same spans, same censor rule, same exact

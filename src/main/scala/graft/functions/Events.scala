@@ -572,6 +572,118 @@ object Events {
         (ewma < mean - spread || ewma > mean + spread).as("alarm"))
   }
 
+  /** Holt's linear (double-exponential) smoothing weights: entries of
+    * Aᵉ and Aᵉ·c for the state recurrence xₜ = A·xₜ₋₁ + c·yₜ with
+    * x = (level, trend), A = [[1−α, 1−α], [−αβ, 1−αβ]], c = (α, αβ)
+    * (the standard l/b recursion rewritten as one linear map). Shared by
+    * [[holtOfDaily]] and SparkEntry's oracle SQL so both engines consume
+    * the IDENTICAL double constants.
+    *
+    * Returns (e, v1, v2, w11, w12, w21, w22) for e = 0..maxE where
+    * v = Aᵉ·c and w = Aᵉ.
+    */
+  def holtWeights(alpha: Double, beta: Double,
+                  maxE: Int): IndexedSeq[(Int, Double, Double, Double, Double, Double, Double)] = {
+    val (a11, a12, a21, a22) = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    val (c1, c2) = (alpha, alpha * beta)
+    val out = IndexedSeq.newBuilder[(Int, Double, Double, Double, Double, Double, Double)]
+    var (w11, w12, w21, w22) = (1.0, 0.0, 0.0, 1.0) // A^0
+    var e = 0
+    while (e <= maxE) {
+      out += ((e, w11 * c1 + w12 * c2, w21 * c1 + w22 * c2, w11, w12, w21, w22))
+      val (n11, n12) = (w11 * a11 + w12 * a21, w11 * a12 + w12 * a22)
+      val (n21, n22) = (w21 * a11 + w22 * a21, w21 * a12 + w22 * a22)
+      w11 = n11; w12 = n12; w21 = n21; w22 = n22
+      e += 1
+    }
+    out.result()
+  }
+
+  /** Holt's linear trend smoothing over per-type daily volumes — the
+    * LEVEL + TREND state the seasonal-naive forecast audit and the EWMA
+    * chart both lack: [[seasonalForecast]] assumes pure periodicity and
+    * [[ewmaOfDaily]] tracks level only, so a steadily growing type reads
+    * "anomalous" forever; Holt carries an explicit trend term and its
+    * one-step forecast l + b is the standard short-horizon volume
+    * prediction. Initialized the textbook way (l₁ = y₁, b₁ = y₂ − y₁).
+    *
+    * Scale shape: the recursion is LINEAR in the (level, trend) state, so
+    * it unrolls exactly — x_T = A^{T−1}x₁ + Σ_{j≥2} A^{T−j}c·yⱼ — as a
+    * broadcast join of the bounded day table against the precomputed
+    * [[holtWeights]] power table (the [[ewmaOfDaily]] triangular-unroll
+    * pattern, one term per day instead of days²): zero data shuffles
+    * beyond the one count aggregation, nothing driver-side. Each
+    * double·count term is staged to DECIMAL(28,10) BEFORE the sum, so the
+    * summation is exact and order-free and any engine that consumes the
+    * same weight constants reproduces the readout bit-for-bit.
+    *
+    * Returns one row per event_type: (event_type, d_days, level, trend,
+    * forecast) at 6dp — state at the last observed day and the one-step
+    * forecast level+trend; trend/forecast NULL for a single-day series
+    * (no b₁ exists).
+    */
+  def holtDaily(df: DataFrame, typeCol: String = "event_type",
+                tsCol: String = "ts", alpha: Double = 0.5,
+                beta: Double = 0.5): DataFrame =
+    holtOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      alpha, beta)
+
+  /** [[holtDaily]]'s readout stage over an already-built (event_type,
+    * day, n) count table — exposed so the streaming
+    * [[graft.streaming.Streaming.VolumeMonitor]] reads the identical
+    * state off its accreted counts. `maxDays` bounds the precomputed
+    * power table (series longer than maxDays days are unsupported —
+    * raise it; the gate corpus spans one calendar month).
+    */
+  def holtOfDaily(dailyCounts: DataFrame, alpha: Double = 0.5,
+                  beta: Double = 0.5, maxDays: Int = 64): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "0 < alpha, beta < 1")
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val sq = daily.sparkSession
+    import sq.implicits._
+    val pw = holtWeights(alpha, beta, maxDays)
+      .toDF("__e", "__v1", "__v2", "__w11", "__w12", "__w21", "__w22")
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("n"),
+      row_number().over(wIdx).cast("long").as("__t"))
+    val mt = idx.groupBy(col("event_type")).agg(
+      max(col("__t")).as("__tt"), count(lit(1)).as("d_days"),
+      max(when(col("__t") === 1L, col("n"))).as("__y1"),
+      max(when(col("__t") === 2L, col("n"))).as("__y2"))
+    val terms = idx.filter(col("__t") >= 2L)
+      .join(broadcast(mt.select(col("event_type"), col("__tt"))), Seq("event_type"))
+      .join(broadcast(pw), col("__e") === col("__tt") - col("__t"))
+      .groupBy(col("event_type")).agg(
+        sum((col("__v1") * col("n")).cast(decT)).as("__sl"),
+        sum((col("__v2") * col("n")).cast(decT)).as("__sb"))
+    val ini = mt.filter(col("__tt") >= 2L)
+      .join(broadcast(pw), col("__e") === col("__tt") - 1L)
+      .select(col("event_type"),
+        ((col("__w11") * col("__y1")).cast(decT) +
+          (col("__w12") * (col("__y2") - col("__y1"))).cast(decT)).as("__il"),
+        ((col("__w21") * col("__y1")).cast(decT) +
+          (col("__w22") * (col("__y2") - col("__y1"))).cast(decT)).as("__ib"))
+    mt.join(terms, Seq("event_type"), "left")
+      .join(ini, Seq("event_type"), "left")
+      .select(col("event_type"), col("d_days"),
+        when(col("__tt") === 1L, round(col("__y1").cast(decT), 6).cast("double"))
+          .otherwise(round((col("__sl") + col("__il")).cast(decT), 6)
+            .cast("double")).as("level"),
+        when(col("__tt") === 1L, lit(null).cast("double"))
+          .otherwise(round((col("__sb") + col("__ib")).cast(decT), 6)
+            .cast("double")).as("trend"),
+        when(col("__tt") === 1L, lit(null).cast("double"))
+          .otherwise(round((col("__sl") + col("__il") + col("__sb") + col("__ib"))
+            .cast(decT), 6).cast("double")).as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope over daily volumes — the
     * DISTRIBUTION-FREE trend verdict next to the parametric OLS
     * [[graft.functions.Stats.trendTest]]: OLS assumes residual normality

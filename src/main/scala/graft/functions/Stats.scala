@@ -2524,4 +2524,61 @@ object Stats {
       .select(col("rep").cast("int").as("rep"),
         col("n_eff").cast("long").as("n_eff"), col("boot_sum"))
   }
+
+  /** Benjamini–Hochberg step-up FDR control over a panel of per-key
+    * p-values — the multiple-testing closer for the suite's test
+    * batteries: run one test per event type / per feature (Pettitt,
+    * Mann–Kendall, two-prop, …) and 1 in 20 null keys false-alarms at
+    * α = 0.05; BH caps the EXPECTED FALSE-DISCOVERY FRACTION of the
+    * reported set at `q` instead, the standard correction for "which of
+    * these k alarms are real" panels.
+    *
+    * Semantics: ordinal rank i over p ascending (ties broken by key, so
+    * the rank — and therefore the output — is deterministic), BH-adjusted
+    * value `p_bh(i) = min(1, min_{j ≥ i}(p(j)·m/j))` (the monotone
+    * step-up envelope), reject ⇔ p_bh ≤ q — equivalent to the classic
+    * "largest i with p(i) ≤ i·q/m" rule.
+    *
+    * Scale shape: the panel is one row per KEY (bounded by the test
+    * battery, not the data — the corpus passes happened upstream in the
+    * tests themselves), so both the rank and the step-up envelope come
+    * from triangular self-joins on the frozen panel (m² pairs over
+    * bounded m, the [[graft.functions.Events.mkOfDaily]] pattern) — no
+    * unpartitioned window, nothing data-proportional. `p·m/rank` forms
+    * in fixed double order from gate-canonical (already rounded) inputs,
+    * so the min-envelope picks among identical doubles in any engine.
+    *
+    * Returns one row per key with a non-NULL p:
+    * (key, p, rank, p_bh, reject) — p_bh at 6dp.
+    */
+  def bhAdjust(panel: DataFrame, keyCol: String, pCol: String,
+               q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, "0 < q < 1")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      panel.select(col(keyCol).cast("string").as("key"),
+          col(pCol).cast("double").as("p"))
+        .filter(col("p").isNotNull))
+    val m = base.agg(count(lit(1)).as("__m"))
+    val other = base.select(col("key").as("__kj"), col("p").as("__pj"))
+    // ordinal rank with deterministic key tie-break (1-based)
+    val ranked = base.join(other)
+      .filter(col("__pj") < col("p") ||
+        (col("__pj") === col("p") && col("__kj") <= col("key")))
+      .groupBy(col("key"), col("p"))
+      .agg(count(lit(1)).as("rank"))
+    val rother = ranked.crossJoin(broadcast(m))
+      .select(col("rank").as("__rj"),
+        (col("p") * col("__m").cast("double") / col("rank").cast("double"))
+          .as("__raw"))
+    // step-up envelope: min of p·m/rank over ranks at or above mine
+    ranked.join(rother, col("__rj") >= col("rank"))
+      .groupBy(col("key"), col("p"), col("rank"))
+      .agg(min(col("__raw")).as("__env"))
+      .select(col("key"), col("p"), col("rank"),
+        round(least(col("__env"), lit(1.0)).cast(dec8), 6)
+          .cast("double").as("p_bh"),
+        (least(col("__env"), lit(1.0)) <= q).as("reject"))
+      .orderBy(col("key"))
+  }
 }

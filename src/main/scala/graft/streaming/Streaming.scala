@@ -417,6 +417,30 @@ object Streaming {
       graft.functions.Events.pettittOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** fourteenth readout off the accreted count state: Holt's linear
+      * level+trend smoothing and one-step volume forecast
+      * ([[graft.functions.Events.holtOfDaily]]) — the recursion is
+      * linear in the daily counts, so the accreted state reads out the
+      * identical (level, trend, forecast); batch-exact by the same
+      * additivity
+      */
+    def holt(alpha: Double = 0.5, beta: Double = 0.5): DataFrame =
+      graft.functions.Events.holtOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        alpha, beta)
+
+    /** fifteenth readout: Benjamini–Hochberg FDR control
+      * ([[graft.functions.Stats.bhAdjust]]) across the per-type Pettitt
+      * changepoint p-values of the SAME accreted count state — "which of
+      * the panel's changepoint alarms survive multiple-testing control",
+      * live; batch-exact because both stages are
+      */
+    def fdrControl(q: Double = 0.05): DataFrame =
+      graft.functions.Stats.bhAdjust(
+        graft.functions.Events.pettittOfDaily(
+          daily.getOrElse(throw new IllegalStateException("no batches ingested"))),
+        "event_type", "p_approx", q)
+
     /** eighth readout off the accreted count state: the Ljung–Box
       * portmanteau Q ([[graft.functions.Events.ljungBoxOfDaily]]) — "is
       * the ACF's structure real or white noise", pooled across lags;

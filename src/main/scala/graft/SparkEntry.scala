@@ -204,6 +204,17 @@ object SparkEntry {
       m
     }
 
+  /** 2-readout family: per-arm (n, successes) pairs (month halves). */
+  private def propState(s: SparkSession, dir: String) =
+    ReplayCache.get(s, s"prop:$dir") {
+      val ev = events(s, dir)
+      val m = new graft.streaming.Streaming.ProportionMonitor(
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase")
+      (0 until 5).foreach(b => m.update(ev.filter(col("event_id") % 5 === b)))
+      m
+    }
+
   /** 2-readout family: joint (event_type, hour) counts. */
   private def miHrState(s: SparkSession, dir: String) =
     ReplayCache.get(s, s"mihr:$dir") {
@@ -240,6 +251,8 @@ object SparkEntry {
     "stream_retention" -> "retention", "stream_stickiness" -> "retention",
     "stream_kappa" -> "kappa", "stream_mcnemar" -> "kappa",
     "stream_cochranq" -> "cochran", "stream_fleiss" -> "cochran",
+    "stream_krippendorff" -> "cochran",
+    "stream_twoprop" -> "prop", "stream_power" -> "prop",
     "stream_welch" -> "welch", "stream_cohend" -> "welch",
     "stream_anova" -> "anova", "stream_tukey" -> "anova",
     "stream_jarque_bera" -> "normality", "stream_grubbs" -> "normality",
@@ -1235,6 +1248,25 @@ object SparkEntry {
         dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
         TextAnalysis.tokenCount(col("text")) >= 25,
         col("n_chars") <= 500))
+    }),
+
+    // Krippendorff's alpha over the same three-filter panel: the
+    // finite-sample-corrected reliability verdict next to curate_fleiss
+    // — observed vs expected pairwise disagreement off the SAME 1-row
+    // additive panel state, D_e products HUGEINT/decimal-staged
+    "curate_krippendorff" -> ((s, dir) => {
+      graft.functions.Curation.krippendorffAlpha(t(s, dir, "documents"), Seq(
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25,
+        col("n_chars") <= 500))
+    }),
+
+    // streaming Krippendorff (batch replay of 5 batches): third readout
+    // off the same additive panel state as stream_cochranq /
+    // stream_fleiss; same oracle
+    "stream_krippendorff" -> ((s, dir) => {
+      val cm = cochranState(s, dir)
+      cm.alphaReliability
     }),
 
     // streaming Fleiss (batch replay of 5 batches): second readout off
@@ -2816,6 +2848,14 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // vocabulary richness: Chao1 total-vocab estimate + Good-Turing
+    // unseen-token mass off the frequency-of-frequency row — "has the
+    // corpus vocabulary converged"; one token-count aggregation, then
+    // arithmetic on five exact integers
+    "text_vocab_richness" -> ((s, dir) => {
+      graft.functions.Curation.vocabRichness(docsNorm(s, dir), col("text"))
+    }),
+
     // Jaccard-threshold tuning curve: pairs/docs touched per candidate
     // threshold from ONE df-bounded candidate pass — replaces re-running
     // corpus dedup once per threshold guess
@@ -3927,12 +3967,24 @@ object SparkEntry {
     // exact count pairs are additive — the readout equals the batch
     // twoProportionZ; same oracle
     "stream_twoprop" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val pm = new graft.streaming.Streaming.ProportionMonitor(
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-      (0 until 5).foreach(b => pm.update(ev.filter(col("event_id") % 5 === b)))
+      val pm = propState(s, dir)
       pm.readout
+    }),
+
+    // sample-size planning for the next share experiment: second readout
+    // off the SAME additive per-arm count state — how many rows per arm
+    // re-detect the observed purchase-share move at alpha=.05 / 80% power
+    "stream_power" -> ((s, dir) => {
+      val pm = propState(s, dir)
+      pm.sampleSize()
+    }),
+
+    // batch twin of stream_power off the same arms as stats_twoprop
+    "stats_power_twoprop" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.powerTwoProp(
+        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
     }),
 
     // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
@@ -6217,6 +6269,115 @@ object SparkEntry {
     * one divide) — shared by `curate_cochranq` and `stream_cochranq`
     * (the 1-row panel state is additive).
     */
+  /** Krippendorff alpha replay: the SAME panel-count staging as the
+    * Cochran/Fleiss oracles, then D_o from exact integers and D_e from
+    * HUGEINT-staged total-vote products; alpha from the 6dp-rounded
+    * pieces — shared by `curate_krippendorff` and its streaming twin.
+    */
+  private lazy val krippendorffOracleSql =
+    s"""WITH norm AS (
+         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
+           $normSql AS nt
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, n_chars,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+         FROM norm),
+       f AS (
+         SELECT
+           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE npunct::DOUBLE / length(text) END) * 0.3
+             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
+           ntok >= 25 AS f2,
+           n_chars <= 500 AS f3
+         FROM c),
+       r AS (
+         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
+           + CASE WHEN f2 THEN 1 ELSE 0 END
+           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri
+         FROM f),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2
+         FROM r),
+       s AS (
+         SELECT n,
+           round(CAST((2 * (3 * sr - sr2))::DOUBLE
+             / (n::HUGEINT * 6)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS d_o,
+           round(CAST((2::HUGEINT * sr::HUGEINT
+               * (n::HUGEINT * 3 - sr::HUGEINT))::DOUBLE
+             / ((n::HUGEINT * 3) * (n::HUGEINT * 3 - 1))::DOUBLE
+             AS DECIMAL(18,8)), 6)::DOUBLE AS d_e
+         FROM a)
+       SELECT 3::BIGINT AS k, n, d_o, d_e,
+         CASE WHEN d_e <= 0.0 THEN NULL
+              ELSE round(CAST(1.0 - d_o / d_e AS DECIMAL(18,8)), 6)::DOUBLE
+         END AS alpha
+       FROM s"""
+
+  /** two-proportion sample-size plan: the same per-arm exact count pairs
+    * as the twoprop oracle, 6dp-rounded p's, and the z-sum-squared
+    * constant embedded from the IDENTICAL Scala value — shared by
+    * `stats_power_twoprop` and its streaming twin.
+    */
+  private lazy val powerOracleSql =
+    s"""WITH a AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+         b AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+         m AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+             round(CAST(a.x::DOUBLE / a.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
+             round(CAST(b.x::DOUBLE / b.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_b
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b, p_a, p_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE round(CAST(p_a - p_b AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS effect,
+           CASE WHEN n_a = 0 OR n_b = 0 OR p_a = p_b THEN NULL
+                ELSE CAST(ceil(CAST(
+                  CAST('${graft.functions.Stats.zSumSq80At05}' AS DOUBLE)
+                    * (p_a * (1.0 - p_a) + p_b * (1.0 - p_b))
+                    / ((p_a - p_b) * (p_a - p_b))
+                  AS DECIMAL(18,8))) AS BIGINT)
+           END AS n_per_arm
+         FROM m"""
+
+  /** vocabulary richness: token counts -> frequency-of-frequency row ->
+    * Chao1 (bias-corrected) and Good-Turing unseen mass from exact
+    * integers in fixed double order.
+    */
+  private lazy val vocabRichnessOracleSql =
+    s"""WITH norm AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+       tk AS (SELECT unnest(list_filter(toks, t -> len(t) > 0)) AS tok FROM norm),
+       tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       a AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         FROM tf)
+       SELECT n_tokens, distinct_tokens, f1, f2,
+         round(CAST(distinct_tokens::DOUBLE
+           + (f1 * (f1 - 1))::DOUBLE / (2.0 * (f2 + 1)::DOUBLE)
+           AS DECIMAL(18,8)), 6)::DOUBLE AS chao1,
+         CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL
+              ELSE round(CAST(f1::DOUBLE / n_tokens::DOUBLE
+                AS DECIMAL(18,8)), 6)::DOUBLE
+         END AS gt_unseen
+       FROM a"""
+
   private lazy val cochranOracleSql =
     s"""WITH norm AS (
          SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
@@ -10806,6 +10967,11 @@ object SparkEntry {
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive
     "stats_twoprop" -> twopropOracleSql,
+    "stats_power_twoprop" -> powerOracleSql,
+    "stream_power" -> powerOracleSql,
+    "curate_krippendorff" -> krippendorffOracleSql,
+    "stream_krippendorff" -> krippendorffOracleSql,
+    "text_vocab_richness" -> vocabRichnessOracleSql,
     "stream_twoprop" -> twopropOracleSql,
 
     // Spearman replay: same joint counts, same exact doubled-rank moments,

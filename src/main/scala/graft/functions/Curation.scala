@@ -284,6 +284,97 @@ object Curation {
           .cast(dec), 6).cast(DoubleType))
   }
 
+  /** Krippendorff's alpha across k paired boolean filters — the
+    * RELIABILITY number that completes the inter-rater family next to
+    * [[cochranQ]] (rates differ?) and [[fleissKappa]] (agree beyond
+    * chance?): alpha = 1 − D_o/D_e compares observed pairwise
+    * disagreement against the disagreement expected from the pooled
+    * value distribution WITHOUT replacement — the finite-sample
+    * correction kappa lacks, the standard "is this annotation panel
+    * usable at all" gate (α ≥ .8 reliable, ≥ .667 tentative).
+    *
+    * Scale shape: the IDENTICAL 1-row additive state as [[cochranQ]] /
+    * [[fleissKappa]] ([[cochranCounts]] — the
+    * [[graft.streaming.Streaming.CochranMonitor]] state, whose
+    * `alphaReliability` readout IS this statistic). For binary
+    * categories: per-item disagreeing ordered pairs sum to
+    * 2·(k·ΣR − ΣR²) — exact integers off the state row — so
+    * D_o = 2(kΣR − ΣR²)/(n·k(k−1)); the expected coincidence uses ALL
+    * n·k votes: D_e = 2·n₁·n₀/((nk)(nk−1)) with n₁ = ΣR (the products
+    * staged to DECIMAL(38,0) so 10¹²-document panels cannot overflow a
+    * long); alpha forms from the 6dp-rounded D_o/D_e pieces
+    * ([[fleissOfCounts]]'s discipline).
+    *
+    * Returns one row (k, n, d_o, d_e, alpha); alpha NULL when D_e = 0
+    * (unanimous votes everywhere, or fewer than two total votes — no
+    * variance to be reliable about).
+    */
+  def krippendorffAlpha(df: DataFrame, flags: Seq[Column]): DataFrame =
+    alphaOfCounts(cochranCounts(df, flags), flags.size)
+
+  /** [[krippendorffAlpha]]'s readout from a [[cochranCounts]] state row. */
+  def alphaOfCounts(counts: DataFrame, k: Int): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val big = DecimalType(38, 0)
+    val kl = k.toLong
+    val doNum = lit(2L) * (lit(kl) * col("__sr") - col("__sr2"))
+    val doDen = col("n").cast(big) * lit(kl * (kl - 1))
+    val votes = col("n").cast(big) * lit(kl)
+    val n1 = col("__sr").cast(big)
+    val deNum = lit(2L).cast(big) * n1 * (votes - n1)
+    val deDen = votes * (votes - lit(1L).cast(big))
+    val dO = round((doNum.cast(DoubleType) / doDen.cast(DoubleType)).cast(dec), 6)
+      .cast(DoubleType)
+    val dE = round((deNum.cast(DoubleType) / deDen.cast(DoubleType)).cast(dec), 6)
+      .cast(DoubleType)
+    counts
+      .select(lit(kl).as("k"), col("n"), dO.as("d_o"), dE.as("d_e"))
+      .withColumn("alpha",
+        when(col("d_e") <= 0.0, lit(null).cast(DoubleType))
+          .otherwise(round((lit(1.0) - col("d_o") / col("d_e")).cast(dec), 6)
+            .cast(DoubleType)))
+  }
+
+  /** Vocabulary richness of a text corpus — Chao1 total-vocabulary
+    * estimate and the Good–Turing unseen-token mass, the two numbers a
+    * tokenizer-training / corpus-sizing decision actually needs: Chao1
+    * (bias-corrected, D + f₁(f₁−1)/(2(f₂+1))) estimates how many MORE
+    * distinct tokens exist beyond the sample from the singleton/doubleton
+    * ratio, and f₁/N estimates the probability the NEXT token drawn is
+    * unseen — "is this corpus big enough that the vocabulary has
+    * converged".
+    *
+    * Scale shape: explode → one map-side-combined token-count aggregation
+    * (the only shuffle, at distinct-token cardinality, not corpus token
+    * count) → a second tiny aggregation of the frequency-of-frequency
+    * row; everything downstream is fixed-order arithmetic on five exact
+    * integers.
+    *
+    * Returns one row (n_tokens, distinct_tokens, f1, f2, chao1,
+    * gt_unseen) at 6dp.
+    */
+  def vocabRichness(df: DataFrame, textCol: Column): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val tf = df
+      .select(explode(TextAnalysis.tokens(textCol)).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    tf.agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("distinct_tokens"), col("f1"), col("f2"),
+        round((col("distinct_tokens").cast(DoubleType) +
+          (col("f1") * (col("f1") - lit(1L))).cast(DoubleType) /
+            (lit(2.0) * (col("f2") + lit(1L)).cast(DoubleType))).cast(dec), 6)
+          .cast(DoubleType).as("chao1"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(round((col("f1").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).cast(dec), 6)
+            .cast(DoubleType)).as("gt_unseen"))
+  }
+
   /** [[cochranQ]]'s readout from a [[cochranCounts]] state row. */
   def cochranOfCounts(counts: DataFrame, k: Int): DataFrame = {
     val dec = DecimalType(18, 8)

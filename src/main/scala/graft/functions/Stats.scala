@@ -2525,6 +2525,61 @@ object Stats {
         col("n_eff").cast("long").as("n_eff"), col("boot_sum"))
   }
 
+  /** (z_{α/2} + z_β)² for the conventional α = 0.05 two-sided, 80% power
+    * design — THE standard experiment-sizing constant (1.95996… +
+    * 0.84162…)². Exposed so [[powerTwoProp]]'s oracle SQL embeds the
+    * bit-identical double.
+    */
+  val zSumSq80At05: Double = {
+    val z = 1.959963984540054 + 0.8416212335729143
+    z * z
+  }
+
+  /** Two-proportion sample-size planning — the PROSPECTIVE companion of
+    * [[twoProportionZ]]: that test says whether the observed share moved;
+    * this says how many rows PER ARM the next experiment needs to detect
+    * the observed difference again at α = 0.05 / 80% power,
+    * n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/(p₁−p₂)² — the number a
+    * data-mix or filter A/B actually gets sized by.
+    *
+    * Scale shape: each arm collapses to its exact (n, successes) pair in
+    * ONE reduce (the [[propCounts]] state — additive, so the streaming
+    * [[graft.streaming.Streaming.ProportionMonitor]] reads the identical
+    * plan); the formula runs on the 6dp-rounded observed p's (both
+    * engines share those exactly — the [[fleissOfCounts]] discipline)
+    * with the z-sum-squared constant shared with the oracle.
+    *
+    * Returns one row (n_a, n_b, p_a, p_b, effect, n_per_arm); effect and
+    * n_per_arm NULL when either arm is empty or the observed shares tie
+    * (nothing to size against).
+    */
+  def powerTwoProp(a: DataFrame, bDf: DataFrame, successCol: Column,
+                   zSumSq: Double = zSumSq80At05): DataFrame =
+    powerOfCounts(propCounts(a, successCol, "a").crossJoin(
+      broadcast(propCounts(bDf, successCol, "b"))), zSumSq)
+
+  /** [[powerTwoProp]]'s formula stage over a joint [[propCounts]] row. */
+  def powerOfCounts(row: DataFrame, zSumSq: Double = zSumSq80At05): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pa = round((col("__px_a").cast("double") / col("__pn_a").cast("double"))
+      .cast(dec8), 6).cast("double")
+    val pb = round((col("__px_b").cast("double") / col("__pn_b").cast("double"))
+      .cast(dec8), 6).cast("double")
+    val m = row.select(col("__pn_a").as("n_a"), col("__pn_b").as("n_b"),
+      pa.as("p_a"), pb.as("p_b"))
+    m.select(col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise(round((col("p_a") - col("p_b")).cast(dec8), 6)
+          .cast("double")).as("effect"),
+      when(col("n_a") === 0L || col("n_b") === 0L ||
+          col("p_a") === col("p_b"), lit(null).cast("long"))
+        .otherwise(ceil((lit(zSumSq) *
+          (col("p_a") * (lit(1.0) - col("p_a")) +
+            col("p_b") * (lit(1.0) - col("p_b"))) /
+          ((col("p_a") - col("p_b")) * (col("p_a") - col("p_b"))))
+          .cast(dec8)).cast("long")).as("n_per_arm"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a panel of per-key
     * p-values — the multiple-testing closer for the suite's test
     * batteries: run one test per event type / per feature (Pettitt,

@@ -1099,6 +1099,16 @@ object Streaming {
     def readout: DataFrame = graft.functions.Stats.propOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** second readout off the SAME count state: the sample-size plan
+      * ([[graft.functions.Stats.powerOfCounts]]) — how many rows per arm
+      * the NEXT experiment needs to re-detect the observed share
+      * difference; equals the batch [[graft.functions.Stats.powerTwoProp]]
+      */
+    def sampleSize(zSumSq: Double = graft.functions.Stats.zSumSq80At05): DataFrame =
+      graft.functions.Stats.powerOfCounts(
+        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+        zSumSq)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 
@@ -1528,6 +1538,15 @@ object Streaming {
       * [[graft.functions.Curation.fleissKappa]] over everything seen
       */
     def agreement: DataFrame = graft.functions.Curation.fleissOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+      flags.size)
+
+    /** third readout off the SAME panel state: Krippendorff's alpha
+      * ([[graft.functions.Curation.alphaOfCounts]]) — the
+      * finite-sample-corrected reliability next to [[agreement]]; equals
+      * the batch [[graft.functions.Curation.krippendorffAlpha]]
+      */
+    def alphaReliability: DataFrame = graft.functions.Curation.alphaOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")),
       flags.size)
 

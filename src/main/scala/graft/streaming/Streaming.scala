@@ -15,6 +15,57 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  /** LSM-shaped keyed monitor state — the fix for the one remaining
+    * per-batch scale defect in the keyed monitors: folding a batch by
+    * `state.union(batch).groupBy(keys).agg(...)` re-aggregates (and
+    * re-materializes) the WHOLE accreted key table every micro-batch, so
+    * per-batch cost grows with history — O(total) per batch, the disease
+    * the round-11 LinkageMonitor fix cured for linkage. Here the state is
+    * instead a LIST of frozen per-batch aggregate deltas: `add` freezes
+    * only the batch's own (already batch-proportional) aggregate;
+    * `merged` re-aggregates the union once AT READOUT; and when the list
+    * exceeds `maxDeltas` frames a compaction folds them into one — so
+    * ingest work is batch-proportional, compaction amortizes to
+    * O(total / maxDeltas) per batch, and readout touches at most
+    * maxDeltas × |keys| rows. The readout value is identical to the
+    * eager fold (the combine is associative-commutative re-aggregation
+    * of the same rows); parity and checkpoint-restore specs pin it.
+    *
+    * `combine` must re-aggregate a frame with duplicate keys back to
+    * unique keys (same column names in, same out).
+    */
+  private[streaming] final class DeltaState(combine: DataFrame => DataFrame,
+                                            maxDeltas: Int = 8) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var deltas: List[DataFrame] = Nil
+
+    def isEmpty: Boolean = deltas.isEmpty
+
+    /** fold one batch-proportional aggregate frame into the state */
+    def add(batchAgg: DataFrame): Unit = {
+      deltas = bridge.freeze(batchAgg) :: deltas
+      if (deltas.size > maxDeltas)
+        deltas = List(bridge.freeze(combine(deltas.reduce(_ unionByName _))))
+    }
+
+    /** the unique-key state view (aggregates the pending deltas) */
+    def merged: DataFrame = deltas match {
+      case Nil => throw new IllegalStateException("no batches ingested")
+      case one :: Nil => one
+      case many => combine(many.reduce(_ unionByName _))
+    }
+
+    /** replace the state with one restored frame (checkpoint load) */
+    def reset(frame: Option[DataFrame]): Unit =
+      deltas = frame.toList
+
+    /** the state as a single frame for checkpointing (None when empty) */
+    def forSave: Option[DataFrame] =
+      if (deltas.isEmpty) None
+      else if (deltas.tail.isEmpty) Some(deltas.head)
+      else Some(combine(deltas.reduce(_ unionByName _)))
+  }
+
   /** Monitor-state checkpointing — the crash-recovery half of the
     * object-held-state monitors: the streaming source's own
     * `checkpointLocation` decides WHICH micro-batches replay after a
@@ -1128,37 +1179,35 @@ object Streaming {
     * [[foreachBatchMerge]]`(stream, sm.update)`.
     */
   class SpearmanMonitor(xCol: Column, yCol: Column) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var counts: Option[DataFrame] = None
+    // the (x, y) key table can approach ROW cardinality (continuous y):
+    // LSM delta state keeps per-batch work batch-proportional instead of
+    // re-aggregating the whole accreted pair table every micro-batch
+    private val counts = new DeltaState(
+      _.groupBy(col("__x"), col("__y")).agg(sum(col("__c")).as("__c")))
 
     /** fold one micro-batch's (x, y) counts into the keyed state */
-    def update(batch: DataFrame): Unit = {
-      val bc = batch.groupBy(xCol.as("__x"), yCol.as("__y"))
-        .agg(count(lit(1)).as("__c"))
-      counts = Some(bridge.freeze(counts match {
-        case None => bc
-        case Some(c) => c.unionByName(bc)
-          .groupBy(col("__x"), col("__y")).agg(sum(col("__c")).as("__c"))
-      }))
-    }
+    def update(batch: DataFrame): Unit =
+      counts.add(batch.groupBy(xCol.as("__x"), yCol.as("__y"))
+        .agg(count(lit(1)).as("__c")))
 
     /** current (n, rho) — equals the batch spearman */
-    def readout: DataFrame = graft.functions.Stats.spearmanOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def readout: DataFrame =
+      graft.functions.Stats.spearmanOfCounts(counts.merged)
 
     /** current (n, conc, disc, tau, z) — the concordance view of the SAME
       * joint-count state; equals the batch
       * [[graft.functions.Stats.kendallTau]] over everything seen
       */
-    def kendall: DataFrame = graft.functions.Stats.kendallOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def kendall: DataFrame =
+      graft.functions.Stats.kendallOfCounts(counts.merged)
 
     /** persist the count state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("counts" -> counts.forSave))
 
     /** restore count state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      counts = MonitorState.load(spark, dir, "counts")
+      counts.reset(MonitorState.load(spark, dir, "counts"))
   }
 
   /** Streaming Kaplan–Meier monitor — the live censoring-aware retention
@@ -1172,32 +1221,29 @@ object Streaming {
     * with [[foreachBatchMerge]]`(stream, sm.update)`.
     */
   class SurvivalMonitor(userCol: String = "user_id", tsCol: String = "ts") {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var spans: Option[DataFrame] = None
+    // |users| can be corpus-scale: LSM delta state (min/max spans merge
+    // associatively) keeps per-batch work batch-proportional
+    private val spans = new DeltaState(
+      _.groupBy(col("__u")).agg(min(col("__first")).as("__first"),
+        max(col("__last")).as("__last")))
 
     /** fold one micro-batch of raw events into the per-user span state */
-    def update(batch: DataFrame): Unit = {
-      val bs = batch.groupBy(col(userCol).as("__u"))
+    def update(batch: DataFrame): Unit =
+      spans.add(batch.groupBy(col(userCol).as("__u"))
         .agg(min(to_date(col(tsCol))).as("__first"),
-          max(to_date(col(tsCol))).as("__last"))
-      spans = Some(bridge.freeze(spans match {
-        case None => bs
-        case Some(s) => s.unionByName(bs).groupBy(col("__u"))
-          .agg(min(col("__first")).as("__first"), max(col("__last")).as("__last"))
-      }))
-    }
+          max(to_date(col(tsCol))).as("__last")))
 
     /** current (t_days, n_risk, d, c, survival) — equals the batch curve */
-    def curve(censorDays: Int = 7): DataFrame = graft.functions.Events.kmOfSpans(
-      spans.getOrElse(throw new IllegalStateException("no batches ingested")),
-      censorDays)
+    def curve(censorDays: Int = 7): DataFrame =
+      graft.functions.Events.kmOfSpans(spans.merged, censorDays)
 
     /** persist the span state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("spans" -> spans))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("spans" -> spans.forSave))
 
     /** restore span state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      spans = MonitorState.load(spark, dir, "spans")
+      spans.reset(MonitorState.load(spark, dir, "spans"))
   }
 
   /** Streaming embedding-covariance monitor — the live anisotropy /

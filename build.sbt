@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // WARN-level logging for every forked JVM (run/test here; bench children
+  // inherit the parent's -D flags via Bench.fork). Lives in conf/, NOT in
+  // src/main/resources: a library jar must not hijack downstream
+  // applications' logging configuration.
+  s"-Dlog4j2.configurationFile=file:${baseDirectory.value}/conf/log4j2.properties",
 )

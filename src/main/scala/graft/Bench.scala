@@ -253,13 +253,23 @@ object Bench {
     // driver gate
     case Nil =>
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "14").toInt
-      // slice by (replay family, name): readouts sharing a cached monitor
-      // state land in ONE child JVM, so the state builds once per slice —
-      // the layout field records the grouping explicitly
-      val allNames = SparkEntry.queries.keys.toSeq
-        .sortBy(n => (SparkEntry.benchFamilies.getOrElse(n, n), n))
-      val slices = allNames.grouped(sliceSize).toSeq
+      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "18").toInt
+      // FAMILY-ATOMIC slice packing: readouts sharing a cached monitor
+      // state (SparkEntry.benchFamilies) must land in ONE child JVM, or
+      // the second child rebuilds the state and inflates its slice. Plain
+      // grouped(n) over a family-sorted list still splits families at
+      // slice boundaries, so families pack next-fit in name order instead;
+      // a family larger than the cap gets its own (oversized) slice. The
+      // layout field records the final grouping explicitly.
+      val groups = SparkEntry.queries.keys.toSeq
+        .groupBy(n => SparkEntry.benchFamilies.getOrElse(n, n))
+        .toSeq.sortBy(_._1).map(_._2.sorted.toVector)
+      val slices: Seq[Seq[String]] =
+        groups.foldLeft(Vector.empty[Vector[String]]) { (acc, g) =>
+          if (acc.nonEmpty && acc.last.size + g.size <= sliceSize)
+            acc.init :+ (acc.last ++ g)
+          else acc :+ g
+        }
       // phase 1 owns the clock up to 72% of budget; solo to 88%; sf1 the rest
       val (phase1, untimed, layout) =
         runSlices(slices, sfDir, "sf", deadline = budgetSec * 0.72) match {
@@ -269,7 +279,7 @@ object Bench {
             // fallback keeps the gate alive, at reduced timing fidelity
             val spark = session()
             warmUp(spark)
-            val rs = timeQueries(spark, sfDir, allNames)
+            val rs = timeQueries(spark, sfDir, slices.flatten)
             spark.stop()
             (rs, Nil, Nil)
         }

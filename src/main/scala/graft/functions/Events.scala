@@ -669,12 +669,20 @@ object Events {
           (col("__w12") * (col("__y2") - col("__y1"))).cast(decT)).as("__il"),
         ((col("__w21") * col("__y1")).cast(decT) +
           (col("__w22") * (col("__y2") - col("__y1"))).cast(decT)).as("__ib"))
+    // LOUD over-length guard: a series longer than maxDays+1 days has no
+    // A^e row to initialize from — without this the init join returns no
+    // match and NULL would silently propagate through level/trend/forecast
+    val guarded = when(col("__tt") - 1L > maxDays,
+      raise_error(concat(lit("holtOfDaily: series for event_type="),
+        col("event_type"),
+        lit(s" spans more than ${maxDays + 1} observed days — raise maxDays"))))
     mt.join(terms, Seq("event_type"), "left")
       .join(ini, Seq("event_type"), "left")
       .select(col("event_type"), col("d_days"),
         when(col("__tt") === 1L, round(col("__y1").cast(decT), 6).cast("double"))
-          .otherwise(round((col("__sl") + col("__il")).cast(decT), 6)
-            .cast("double")).as("level"),
+          .otherwise(coalesce(guarded.cast("double"),
+            round((col("__sl") + col("__il")).cast(decT), 6)
+              .cast("double"))).as("level"),
         when(col("__tt") === 1L, lit(null).cast("double"))
           .otherwise(round((col("__sb") + col("__ib")).cast(decT), 6)
             .cast("double")).as("trend"),
@@ -1564,27 +1572,9 @@ object Events {
     * curve off its accreted span state.
     */
   def kmOfSpans(spans: DataFrame, censorDays: Int = 7): DataFrame = {
-    require(censorDays >= 0, "censorDays must be non-negative")
     val decL = org.apache.spark.sql.types.DecimalType(28, 12)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(
-      spans.select(col("__u"), col("__first"), col("__last")))
-    val end = frozen.agg(max(col("__last")).as("__end"))
-    val lifetimes = frozen.crossJoin(broadcast(end))
-      .select(datediff(col("__last"), col("__first")).as("__t"),
-        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
-      .groupBy(col("__t"))
-      .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("__d"),
-        sum(when(!col("__churn"), 1L).otherwise(0L)).as("__c"))
-    val tot = lifetimes.agg(sum(col("__d") + col("__c")).as("__n"))
-    // at-risk via the inclusive prefix scan: n_t = N − (everyone who
-    // exited at an earlier lifetime); ln factors and the extinction flag
-    // ride the same scan
-    val cum = graft.core.Scans.cumulative(
-      lifetimes.withColumn("__exit", col("__d") + col("__c")),
-      "__t", Seq("__exit"))
-    val staged = cum.crossJoin(broadcast(tot))
-      .withColumn("__nrisk", col("__n") - (col("cum___exit") - col("__exit")))
+    val staged = lifetableOfSpans(spans, censorDays)
       .withColumn("__lnf",
         when(col("__d") === 0L, lit(0.0).cast(decL))
           .when(col("__d") === col("__nrisk"), lit(0.0).cast(decL))
@@ -1601,6 +1591,77 @@ object Events {
       when(col("cum___dead") > 0L, lit(0.0))
         .otherwise(round(exp(col("cum___lnf").cast("double")).cast(dec8), 6)
           .cast("double")).as("survival"))
+  }
+
+  /** The bounded per-lifetime life table both survival readouts walk:
+    * (t, d, c, exit, cum exits, at-risk) off the per-user span state —
+    * the [[kmOfSpans]]/[[naOfSpans]] shared stage.
+    */
+  private def lifetableOfSpans(spans: DataFrame, censorDays: Int): DataFrame = {
+    require(censorDays >= 0, "censorDays must be non-negative")
+    val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      spans.select(col("__u"), col("__first"), col("__last")))
+    val end = frozen.agg(max(col("__last")).as("__end"))
+    val lifetimes = frozen.crossJoin(broadcast(end))
+      .select(datediff(col("__last"), col("__first")).as("__t"),
+        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__churn"), 1L).otherwise(0L)).as("__c"))
+    val tot = lifetimes.agg(sum(col("__d") + col("__c")).as("__n"))
+    // at-risk via the inclusive prefix scan: n_t = N − (everyone who
+    // exited at an earlier lifetime)
+    val cum = graft.core.Scans.cumulative(
+      lifetimes.withColumn("__exit", col("__d") + col("__c")),
+      "__t", Seq("__exit"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__nrisk", col("__n") - (col("cum___exit") - col("__exit")))
+  }
+
+  /** Nelson–Aalen cumulative hazard over raw events — the survival
+    * family's RATE view: [[kaplanMeier]] multiplies survival
+    * probabilities down, Nelson–Aalen SUMS the per-lifetime hazard
+    * d/n-at-risk up, so H(t) reads as expected cumulative churn events
+    * per user and a kink in its slope (a hazard spike at t = 7) is
+    * directly visible where the KM curve only shows a gentler drop. The
+    * standard companion estimator (and the one additive-in-time quantity
+    * regression-on-hazards builds on).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — per-user span state
+    * (additive min/max merge, the
+    * [[graft.streaming.Streaming.SurvivalMonitor]] state, whose `hazard`
+    * readout IS this), bounded life table, at-risk off the shared prefix
+    * scan, each d/n term staged to DECIMAL(28,12) BEFORE the cumulative
+    * sum so the walk is exact and order-free.
+    *
+    * Returns one row per observed lifetime: (t_days, n_risk, d, c,
+    * hazard, cum_hazard) at 6dp.
+    */
+  def nelsonAalen(df: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", censorDays: Int = 7): DataFrame =
+    naOfSpans(
+      df.groupBy(col(userCol).as("__u"))
+        .agg(min(to_date(col(tsCol))).as("__first"),
+          max(to_date(col(tsCol))).as("__last")),
+      censorDays)
+
+  /** [[nelsonAalen]]'s readout stage over a per-user span state. */
+  def naOfSpans(spans: DataFrame, censorDays: Int = 7): DataFrame = {
+    val decL = org.apache.spark.sql.types.DecimalType(28, 12)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val staged = lifetableOfSpans(spans, censorDays)
+      .withColumn("__hz",
+        when(col("__nrisk") === 0L, lit(0.0).cast(decL))
+          .otherwise((col("__d").cast("double") / col("__nrisk").cast("double"))
+            .cast(decL)))
+    val walked = graft.core.Scans.cumulative(
+      staged.select(col("__t"), col("__nrisk"), col("__d"), col("__c"),
+        col("__hz")),
+      "__t", Seq("__hz"))
+    walked.select(col("__t").as("t_days"), col("__nrisk").as("n_risk"),
+      col("__d").as("d"), col("__c").as("c"),
+      round(col("__hz").cast(dec8), 6).cast("double").as("hazard"),
+      round(col("cum___hz").cast(dec8), 6).cast("double").as("cum_hazard"))
   }
 
   /** Log-rank test between two cohorts' survival curves — "does cohort A

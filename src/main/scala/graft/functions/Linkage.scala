@@ -105,19 +105,43 @@ object Linkage {
       prefixLen, maxBlock)
     val cond = (col("__pL") === col("__pR")) +:
       rightBlocks.indices.map(i => col(s"__b${i}L") === col(s"__b${i}R"))
+    val maxLen = greatest(length(col("__nL")), length(col("__nR")), lit(1))
     index.join(r, cond.reduce(_ && _))
       // exact prefilter: levenshtein >= |lenA - lenB|, so any pair whose
-      // length gap alone puts it under minSim can skip the O(len^2) edit
+      // length gap alone puts it under minSim can skip the edit
       // computation without changing the result
       .filter(abs(length(col("__nL")) - length(col("__nR"))).cast("double")
-        <= (lit(1.0) - minSim) *
-          greatest(length(col("__nL")), length(col("__nR")), lit(1)).cast("double"))
+        <= (lit(1.0) - minSim) * maxLen.cast("double"))
+      // BANDED edit distance on the survivors: any pair whose 4dp-rounded
+      // similarity can still reach minSim has lev ≤ (1−minSim+0.00005)·
+      // maxlen, so the DP runs with a per-pair threshold k =
+      // floor((1−minSim)·maxlen + 1 + maxlen/16384) — the +1 plus the
+      // 1/16384 (> 0.00005) term strictly cover the half-up rounding
+      // margin at every length — in O(k·len) instead of O(len²), and
+      // returns −1 above k. −1 rows are EXACTLY the rows the similarity
+      // filter drops, so the candidate set is unchanged while the hot
+      // scoring loop (the dominant cost at sf1, where blocks hold the
+      // full name cross-product) drops ~len/k×.
+      .withColumn("__lev", levenshteinWithin(col("__nL"), col("__nR"),
+        floor(maxLen.cast("double") * lit(1.0 - minSim) + lit(1.0) +
+          maxLen.cast("double") / lit(16384.0)).cast("int")))
+      .filter(col("__lev") >= 0)
       .withColumn("name_sim",
-        round((lit(1.0) - levenshtein(col("__nL"), col("__nR")).cast("double") /
-            greatest(length(col("__nL")), length(col("__nR")), lit(1)).cast("double"))
+        round((lit(1.0) - col("__lev").cast("double") / maxLen.cast("double"))
           .cast(dec), 4).cast("double"))
       .filter(col("name_sim") >= minSim)
       .select(col("__idL").as(leftId), col("__idR").as(rightId), col("name_sim"))
+  }
+
+  /** Spark's threshold (banded) levenshtein — O(k·len) with early −1 above
+    * `k` — with a PER-PAIR threshold column: the `functions.levenshtein`
+    * Column API only exposes a constant Int, but the Catalyst expression
+    * accepts any integer expression.
+    */
+  private def levenshteinWithin(a: Column, b: Column, k: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(org.apache.spark.sql.catalyst.expressions.Levenshtein(
+      bridge.expression(a), bridge.expression(b), Some(bridge.expression(k))))
   }
 
   /** Resolution step over a [[blockedLink]] candidate table: each incoming

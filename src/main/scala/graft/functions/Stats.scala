@@ -477,6 +477,63 @@ object Stats {
     }.reduce(_.unionAll(_))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13 — Controlled
+    * experiments Using Pre-Experiment Data): the standard A/B
+    * sensitivity lever — regress the experiment metric y on a
+    * pre-experiment covariate x (same users, before exposure), replace y
+    * with y − θ(x − x̄), and the metric's variance drops by exactly ρ²
+    * while the treatment effect is untouched. θ and the achieved
+    * reduction are what an experimentation platform reports next to
+    * every sized test ([[powerTwoProp]]'s required n scales DOWN by
+    * 1 − ρ²).
+    *
+    * Scale shape: ONE map-side-combined pass to the SAME exact-decimal
+    * moment row as [[correlationMatrix]] (the
+    * [[graft.streaming.Streaming.CorrMonitor]] state — its `cuped`
+    * readout IS this), then fixed-double-order arithmetic on six
+    * numbers.
+    *
+    * Returns one row (n, theta, rho2, var_y, var_y_cuped): θ =
+    * cov(x,y)/var(x), ρ² the fraction of metric variance the covariate
+    * removes, and the population variances before/after adjustment;
+    * theta/rho2 NULL when var(x) is 0, var_y_cuped NULL when either
+    * variance degenerates.
+    */
+  def cuped(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    cupedOfMoments(org.apache.spark.sql.graftbridge.Bridge.freeze(
+      corrMoments(df, Seq(xCol, yCol))), Seq(xCol, yCol), xCol, yCol)
+
+  /** [[cuped]]'s formula stage over a [[corrMoments]] row (the streaming
+    * monitor's shared readout); `x`/`y` name two of the moment row's
+    * `cols`.
+    */
+  def cupedOfMoments(row: DataFrame, cols: Seq[String],
+                     x: String, y: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val xi = cols.indexOf(x)
+    val yi = cols.indexOf(y)
+    require(xi >= 0 && yi >= 0 && xi != yi,
+      s"cuped needs two distinct moment columns; got x=$x y=$y of $cols")
+    val (i, j) = if (xi < yi) (xi, yi) else (yi, xi)
+    val n = col("__n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    // n²-scaled moments: the shared factor cancels in θ and ρ², and the
+    // variances divide it back out explicitly — no per-row doubles anywhere
+    val cxy = n * d(s"__p${i}_$j") - d(s"__s$xi") * d(s"__s$yi")
+    val vx = n * d(s"__q$xi") - d(s"__s$xi") * d(s"__s$xi")
+    val vy = n * d(s"__q$yi") - d(s"__s$yi") * d(s"__s$yi")
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    row.select(col("__n").as("n"),
+      when(vx <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(cxy / vx)).as("theta"),
+      when(vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(cxy * cxy / (vx * vy))).as("rho2"),
+      r6(vy / (n * n)).as("var_y"),
+      when(vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(vy / (n * n) * (lit(1.0) - cxy * cxy / (vx * vy))))
+        .as("var_y_cuped"))
+  }
+
   /** Power-law (Pareto) exponent of per-key mass — the tail-shape number
     * next to [[giniConcentration]]'s area and [[keySkew]]'s whale factor:
     * the discrete MLE α̂ = 1 + m / Σ ln(xᵢ/(xmin−½)) over keys with
@@ -1594,6 +1651,60 @@ object Stats {
         .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
       col("__v"), col("__l")))
 
+  /** Two-sample Kolmogorov–Smirnov test — the ANY-difference-in-shape
+    * verdict the rest of the two-sample family only sees projections of:
+    * [[mannWhitney]]/[[brunnerMunzel]] read location, [[ansariBradley]]
+    * reads scale, but two arms can share both and still differ (bimodal
+    * vs unimodal quality scores after a filter change); D = sup|F_a −
+    * F_b| moves for ANY distributional gap. The standard
+    * distribution-equality check between a metric's arms.
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as
+    * [[rocAuc]]/[[mannWhitney]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose
+    * `distributionTest` readout IS this test); both arms' CDFs ride ONE
+    * deterministic-bucket prefix scan, the sup evaluates EXACTLY as the
+    * max over rows of the integer |cum_a·n_b − cum_b·n_a| (no per-row
+    * doubles), and only the final D/z/p divide in fixed double order. The
+    * two-sided p uses the standard asymptotic tail bound 2·e^{−2z²}
+    * (clamped to 1), evaluated from the ROUNDED d so both engines
+    * exponentiate the identical double.
+    *
+    * Returns one row (n_a, n_b, d, z, p_approx); NULL when either arm is
+    * empty.
+    */
+  def ksTwoSample(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    ksOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[ksTwoSample]]'s readout from a [[scoreCounts]] table — the stage
+    * the streaming monitor shares with the batch operator.
+    */
+  def ksOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
+    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum___p").cast(big) * col("n_b").cast(big) -
+          col("cum___n").cast(big) * col("n_a").cast(big)).as("__g"))
+      .groupBy(col("n_a"), col("n_b")).agg(max(col("__g")).as("__gm"))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    val d = when(empty, lit(null).cast("double"))
+      .otherwise(r6(col("__gm").cast("double") / (nad * nbd)))
+    val withD = agg.select(col("n_a"), col("n_b"), d.as("d"))
+    val z = col("d") * sqrt(nad * nbd / (nad + nbd))
+    withD.select(col("n_a"), col("n_b"), col("d"),
+      r6(z).as("z"),
+      r6(least(lit(2.0) * exp(lit(-2.0) * z * z), lit(1.0))).as("p_approx"))
+  }
+
   /** [[cliffsDelta]]'s readout from a [[scoreCounts]] table — the stage
     * the streaming monitor shares with the batch operator.
     */
@@ -1992,6 +2103,79 @@ object Stats {
           / sqrt(col("__pp") * (lit(1.0) - col("__pp"))
             * (lit(1.0) / col("__nad") + lit(1.0) / col("__nbd"))))
           .cast(dec8), 6).cast("double")).as("z"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified two-proportion test — the
+    * confounder-proof upgrade of [[twoProportionZ]]: pooling arms across
+    * strata whose baseline rates differ invites Simpson's paradox (a mix
+    * shift between weekday and weekend traffic can flip the pooled
+    * direction outright); CMH tests the arm effect WITHIN each stratum
+    * and combines the evidence, plus the MH common odds ratio as the
+    * pooled effect size. The standard guarded readout for any A/B whose
+    * traffic composition moves.
+    *
+    * Scale shape: ONE map-side-combined aggregation to the per-stratum
+    * 2×2 count table (bounded by |strata| — additive, the
+    * [[graft.streaming.Streaming.MhMonitor]] state), every per-stratum
+    * O−E / variance / odds term formed in fixed double order from exact
+    * integers and staged to DECIMAL(28,10) BEFORE the bounded sum
+    * (order-free), one final divide each.
+    *
+    * Returns one row (k_strata, n_a, n_b, chi2_mh, or_mh): chi2 NULL
+    * when the pooled variance is 0 (no stratum with both arms and both
+    * outcomes), or_mh NULL when no discordant-against pairs exist.
+    */
+  def mantelHaenszel(df: DataFrame, stratum: Column, armA: Column,
+                     success: Column): DataFrame =
+    mhOfCounts(stratumPropCounts(df, stratum, armA, success))
+
+  /** per-stratum additive 2×2 counts — the only pass that touches data */
+  def stratumPropCounts(df: DataFrame, stratum: Column, armA: Column,
+                        success: Column): DataFrame =
+    df.groupBy(stratum.as("__st")).agg(
+      sum(when(armA, 1L).otherwise(0L)).as("__na"),
+      sum(when(armA && success, 1L).otherwise(0L)).as("__xa"),
+      sum(when(!armA, 1L).otherwise(0L)).as("__nb"),
+      sum(when(!armA && success, 1L).otherwise(0L)).as("__xb"))
+
+  /** [[mantelHaenszel]]'s formula stage over a [[stratumPropCounts]]
+    * table — the readout the streaming monitor shares with the batch
+    * operator. Strata with fewer than 2 rows carry no within-stratum
+    * information and contribute 0 to every sum (the classic CMH
+    * convention — their variance term divides by N−1 = 0 otherwise).
+    */
+  def mhOfCounts(counts: DataFrame): DataFrame = {
+    val decT = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val nT = (col("__na") + col("__nb")).cast("double")
+    val m1 = (col("__xa") + col("__xb")).cast("double")
+    val nad = col("__na").cast("double")
+    val nbd = col("__nb").cast("double")
+    val xad = col("__xa").cast("double")
+    val xbd = col("__xb").cast("double")
+    val usable = col("__na") + col("__nb") >= 2L
+    val agg = counts.select(col("__na"), col("__nb"),
+        when(usable, (xad - nad * m1 / nT).cast(decT))
+          .otherwise(lit(0.0).cast(decT)).as("__oe"),
+        when(usable, (nad * nbd * m1 * (nT - m1) /
+          (nT * nT * (nT - lit(1.0)))).cast(decT))
+          .otherwise(lit(0.0).cast(decT)).as("__v"),
+        when(usable, (xad * (nbd - xbd) / nT).cast(decT))
+          .otherwise(lit(0.0).cast(decT)).as("__on"),
+        when(usable, (xbd * (nad - xad) / nT).cast(decT))
+          .otherwise(lit(0.0).cast(decT)).as("__od"))
+      .agg(count(lit(1)).as("k_strata"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+        sum(col("__oe")).as("__soe"), sum(col("__v")).as("__sv"),
+        sum(col("__on")).as("__son"), sum(col("__od")).as("__sod"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val soe = col("__soe").cast("double")
+    agg.select(col("k_strata"), col("n_a"), col("n_b"),
+      when(col("__sv").cast("double") <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(soe * soe / col("__sv").cast("double"))).as("chi2_mh"),
+      when(col("__sod").cast("double") <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(col("__son").cast("double")
+          / col("__sod").cast("double"))).as("or_mh"))
   }
 
   /** Spearman rank correlation between two numeric columns — the
@@ -2561,6 +2745,11 @@ object Stats {
   /** [[powerTwoProp]]'s formula stage over a joint [[propCounts]] row. */
   def powerOfCounts(row: DataFrame, zSumSq: Double = zSumSq80At05): DataFrame = {
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the pre-ceil stage needs 20 integral digits: a 6dp-rounded effect can
+    // be as small as 1e-6, putting n_per_arm near 4e12 — DECIMAL(18,8)'s 10
+    // integral digits would overflow to NULL (and diverge from an ANSI
+    // engine, which errors instead)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 8)
     val pa = round((col("__px_a").cast("double") / col("__pn_a").cast("double"))
       .cast(dec8), 6).cast("double")
     val pb = round((col("__px_b").cast("double") / col("__pn_b").cast("double"))
@@ -2577,7 +2766,7 @@ object Stats {
           (col("p_a") * (lit(1.0) - col("p_a")) +
             col("p_b") * (lit(1.0) - col("p_b"))) /
           ((col("p_a") - col("p_b")) * (col("p_a") - col("p_b"))))
-          .cast(dec8)).cast("long")).as("n_per_arm"))
+          .cast(dec28)).cast("long")).as("n_per_arm"))
   }
 
   /** Benjamini–Hochberg step-up FDR control over a panel of per-key
@@ -2599,7 +2788,9 @@ object Stats {
     * tests themselves), so both the rank and the step-up envelope come
     * from triangular self-joins on the frozen panel (m² pairs over
     * bounded m, the [[graft.functions.Events.mkOfDaily]] pattern) — no
-    * unpartitioned window, nothing data-proportional. `p·m/rank` forms
+    * unpartitioned window, nothing data-proportional. Boundedness is
+    * ENFORCED: panels wider than `maxPanel` rows and panels with
+    * duplicate keys fail loudly before the quadratic stages run. `p·m/rank` forms
     * in fixed double order from gate-canonical (already rounded) inputs,
     * so the min-envelope picks among identical doubles in any engine.
     *
@@ -2607,13 +2798,32 @@ object Stats {
     * (key, p, rank, p_bh, reject) — p_bh at 6dp.
     */
   def bhAdjust(panel: DataFrame, keyCol: String, pCol: String,
-               q: Double = 0.05): DataFrame = {
+               q: Double = 0.05, maxPanel: Int = 10000): DataFrame = {
     require(q > 0 && q < 1, "0 < q < 1")
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val base = org.apache.spark.sql.graftbridge.Bridge.freeze(
       panel.select(col(keyCol).cast("string").as("key"),
           col(pCol).cast("double").as("p"))
         .filter(col("p").isNotNull))
+    // HARD guards before the m² triangular joins (ONE bounded collect off
+    // the frozen panel). (1) The panel must be a TEST BATTERY — one p per
+    // key, bounded by the number of tests, never per-document: feeding a
+    // corpus-sized panel would silently go quadratic, so fail loudly and
+    // point at the override. (2) Duplicate keys would double-count each
+    // other in the ordinal rank (two equal-(key,p) rows both count the
+    // other via __kj <= key: duplicate ranks, no rank 1, a skewed m) —
+    // pre-aggregate to one p per key upstream instead.
+    val sizes = base.agg(count(lit(1)), count_distinct(col("key"))).head()
+    val (nRows, nKeys) = (sizes.getLong(0), sizes.getLong(1))
+    require(nRows <= maxPanel,
+      s"bhAdjust: panel has $nRows p-values (> maxPanel=$maxPanel); the " +
+        "rank/envelope stages are quadratic in the panel — this is a " +
+        "per-test-battery correction, not a per-document one. If the " +
+        "panel really is that wide, raise maxPanel explicitly.")
+    require(nKeys == nRows,
+      s"bhAdjust: ${nRows - nKeys} duplicate key(s) in the panel — the " +
+        "ordinal rank assumes one p per key; pre-aggregate duplicates " +
+        "before adjusting.")
     val m = base.agg(count(lit(1)).as("__m"))
     val other = base.select(col("key").as("__kj"), col("p").as("__pj"))
     // ordinal rank with deterministic key tie-break (1-based)

@@ -572,20 +572,36 @@ private object TokenWalk {
   * 1000000)` over the same token stream.
   */
 case class ClassifierMicroSum(child: Expression, salt: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_micro_sum"
 
   private val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  override def nullSafeEval(input: Any): Any = {
-    val lower = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  /** the whole-document walk — ONE body shared verbatim by the
+    * interpreted eval and the generated code (the md5 digest per token
+    * dominates; the codegen win is skipping the per-row interpreted
+    * dispatch/boxing, SignPack's tight-loop discipline)
+    */
+  def compute(s: UTF8String): Long = {
+    val lower = s.toLowerCase.getBytes
     var sum = 0L
     TokenWalk.foreachRun(lower) { (start, end) =>
       sum += Md5Util.hash60(lower, start, end - start, saltBytes) % 2000001L - 1000000L
     }
     sum
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // unlike a CodegenFallback (which materializes an InternalRow and
+    // boxes through Object eval), this stays a primitive-typed call
+    // inside the whole-stage pipeline
+    val ref = ctx.addReferenceObj("microSum", this, classOf[ClassifierMicroSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -597,13 +613,35 @@ case class ClassifierMicroSum(child: Expression, salt: String)
   * the number of [a-z0-9] runs of the lowercased bytes, 0 for empty/blank.
   */
 case class TokenCountExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_token_count"
 
   override def nullSafeEval(input: Any): Any =
     TokenWalk.foreachRun(input.asInstanceOf[UTF8String].toLowerCase.getBytes)((_, _) => ())
+
+  // the [a-z0-9] run count inlines fully — no digest, no helper object:
+  // pure generated Java inside the whole-stage pipeline
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |byte[] $b = $c.toLowerCase().getBytes();
+         |int $n = 0;
+         |int $i = 0;
+         |while ($i < $b.length) {
+         |  if (($b[$i] >= 'a' && $b[$i] <= 'z') || ($b[$i] >= '0' && $b[$i] <= '9')) {
+         |    $n++;
+         |    do { $i++; } while ($i < $b.length &&
+         |      (($b[$i] >= 'a' && $b[$i] <= 'z') || ($b[$i] >= '0' && $b[$i] <= '9')));
+         |  } else $i++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -625,7 +663,7 @@ case class TokenCountExpr(child: Expression)
   *                 ASCII class; Java regex \s is ASCII-only by default)
   */
 case class QualityScoreRaw(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_quality_raw"
@@ -649,8 +687,11 @@ case class QualityScoreRaw(child: Expression)
     false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[UTF8String]
+  /** both byte walks + the fixed-order formula — ONE body shared by the
+    * interpreted eval and the generated code (SignPack's tight-loop
+    * discipline; a primitive-typed call, no InternalRow materialization)
+    */
+  def compute(str: UTF8String): Double = {
     val raw = str.getBytes
     // one pass over the RAW bytes: code points + punctuation class
     var nChars = 0
@@ -684,6 +725,14 @@ case class QualityScoreRaw(child: Expression)
     val punctRatio =
       if (nChars == 0) 1.0 else npunct.toDouble / nChars.toDouble
     lenScore * 0.4 + stopRatio * 0.3 + (1.0 - punctRatio) * 0.3
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quality", this, classOf[QualityScoreRaw].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -334,40 +334,36 @@ object Streaming {
     * [[foreachBatchMerge]]`(stream, rm.update)`.
     */
   class RetentionMonitor(userCol: String = "user_id", tsCol: String = "ts") {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var activity: Option[DataFrame] = None
+    // the (user, day) activity key set approaches corpus cardinality: LSM
+    // delta state ([[DeltaState]]) keeps per-batch work batch-proportional
+    // instead of re-writing the whole accreted set every micro-batch
+    // (distinct IS the associative re-aggregation for a key SET)
+    private val activity = new DeltaState(_.distinct())
 
     /** fold one micro-batch of raw events into the activity state */
-    def update(batch: DataFrame): Unit = {
-      val ba = batch
+    def update(batch: DataFrame): Unit =
+      activity.add(batch
         .select(col(userCol), to_date(col(tsCol)).as("__day"))
-        .distinct()
-      activity = Some(bridge.freeze(activity match {
-        case None => ba
-        case Some(a) => a.unionByName(ba).distinct()
-      }))
-    }
+        .distinct())
 
     /** current (cohort_day, offset_days, active_users) table */
     def retention: DataFrame =
-      graft.functions.Events.retentionOfActivity(state, userCol)
+      graft.functions.Events.retentionOfActivity(activity.merged, userCol)
 
     /** current (day, dau, wau, stickiness) table — the second readout off
       * the same activity state (one state, both dashboard tables)
       */
     def stickiness(windowDays: Int = 7): DataFrame =
-      graft.functions.Events.stickinessOfActivity(state, userCol, windowDays)
-
-    private def state: DataFrame =
-      activity.getOrElse(throw new IllegalStateException("no batches ingested"))
+      graft.functions.Events.stickinessOfActivity(activity.merged, userCol,
+        windowDays)
 
     /** persist the activity state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
-      MonitorState.save(dir, Map("activity" -> activity))
+      MonitorState.save(dir, Map("activity" -> activity.forSave))
 
     /** restore activity state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      activity = MonitorState.load(spark, dir, "activity")
+      activity.reset(MonitorState.load(spark, dir, "activity"))
   }
 
   /** Streaming volume-anomaly monitor — maintain the (event_type, day)
@@ -575,35 +571,31 @@ object Streaming {
     * km.update)`.
     */
   class KeyCountMonitor(keyCol: String) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var counts: Option[DataFrame] = None
+    // |keys| can be corpus-scale (user ids): LSM delta state keeps
+    // per-batch work batch-proportional; the keyed sum is the associative
+    // re-aggregation
+    private val counts = new DeltaState(
+      _.groupBy(col("key")).agg(sum(col("cnt")).as("cnt")))
 
     /** fold one micro-batch of raw rows into the count state */
-    def update(batch: DataFrame): Unit = {
-      val bc = batch.groupBy(col(keyCol).cast("string").as("key"))
-        .agg(count(lit(1)).as("cnt"))
-      counts = Some(bridge.freeze(counts match {
-        case None => bc
-        case Some(c) => c.unionByName(bc)
-          .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
-      }))
-    }
-
-    private def state: DataFrame =
-      counts.getOrElse(throw new IllegalStateException("no batches ingested"))
+    def update(batch: DataFrame): Unit =
+      counts.add(batch.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt")))
 
     /** current whale-factor audit — equals the batch [[graft.functions.Stats.keySkew]] */
-    def skew(topK: Int = 20): DataFrame = graft.functions.Stats.keySkewOfCounts(state, topK)
+    def skew(topK: Int = 20): DataFrame =
+      graft.functions.Stats.keySkewOfCounts(counts.merged, topK)
 
     /** current exact Gini — equals the batch [[graft.functions.Stats.giniConcentration]] */
-    def gini(): DataFrame = graft.functions.Stats.giniOfCounts(state)
+    def gini(): DataFrame = graft.functions.Stats.giniOfCounts(counts.merged)
 
     /** persist the count state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("counts" -> counts.forSave))
 
     /** restore count state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      counts = MonitorState.load(spark, dir, "counts")
+      counts.reset(MonitorState.load(spark, dir, "counts"))
   }
 
   /** Streaming data-quality monitor — the continuous form of
@@ -861,6 +853,15 @@ object Streaming {
     def matrix: DataFrame = graft.functions.Stats.corrOfMoments(
       moments.getOrElse(throw new IllegalStateException("no batches ingested")), cols)
 
+    /** current CUPED θ / variance-reduction readout for covariate `x`
+      * against metric `y` — the second readout off the SAME 1-row moment
+      * state; equals the batch [[graft.functions.Stats.cuped]]
+      */
+    def cuped(x: String, y: String): DataFrame =
+      graft.functions.Stats.cupedOfMoments(
+        moments.getOrElse(throw new IllegalStateException("no batches ingested")),
+        cols, x, y)
+
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
 
@@ -1009,30 +1010,25 @@ object Streaming {
     * Wire with [[foreachBatchMerge]]`(stream, km.update)`.
     */
   class KruskalMonitor(groupCol: Column, valueCol: Column) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var counts: Option[DataFrame] = None
+    // the (value, group) key table can approach row cardinality
+    // (continuous values): LSM delta state keeps per-batch work
+    // batch-proportional instead of re-aggregating the accreted table
+    private val counts = new DeltaState(
+      _.groupBy(col("__v"), col("__g")).agg(sum(col("__c")).as("__c")))
 
     /** fold one micro-batch's (value, group) counts into the keyed state */
-    def update(batch: DataFrame): Unit = {
-      val bc = graft.functions.Stats.groupValueCounts(batch, groupCol, valueCol)
-      counts = Some(bridge.freeze(counts match {
-        case None => bc
-        case Some(c) => c.unionByName(bc)
-          .groupBy(col("__v"), col("__g")).agg(sum(col("__c")).as("__c"))
-      }))
-    }
+    def update(batch: DataFrame): Unit =
+      counts.add(graft.functions.Stats.groupValueCounts(batch, groupCol, valueCol))
 
     /** current (k, n, h) — equals the batch kruskalWallis */
-    def readout: DataFrame = graft.functions.Stats.kwOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def readout: DataFrame = graft.functions.Stats.kwOfCounts(counts.merged)
 
     /** second readout off the SAME (value, group) count state: the
       * Brown–Forsythe equal-spread test
       * ([[graft.functions.Stats.bfOfCounts]]) — equals the batch
       * [[graft.functions.Stats.leveneTest]] over everything seen
       */
-    def spread: DataFrame = graft.functions.Stats.bfOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def spread: DataFrame = graft.functions.Stats.bfOfCounts(counts.merged)
 
     /** third readout off the SAME count state (groups summed away): the
       * exact interpolated quantiles
@@ -1041,7 +1037,7 @@ object Streaming {
       */
     def quantiles(qs: Seq[Double]): DataFrame =
       graft.functions.Stats.quantilesOfCounts(
-        counts.getOrElse(throw new IllegalStateException("no batches ingested"))
+        counts.merged
           .groupBy(col("__v")).agg(sum(col("__c")).as("__c")), qs)
 
     /** fourth readout off the SAME count state: the Jonckheere–Terpstra
@@ -1050,23 +1046,22 @@ object Streaming {
       * question [[readout]]'s KW omnibus can't answer; equals the batch
       * [[graft.functions.Stats.jonckheereTerpstra]] over everything seen
       */
-    def trend: DataFrame = graft.functions.Stats.jtOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def trend: DataFrame = graft.functions.Stats.jtOfCounts(counts.merged)
 
     /** fifth readout off the SAME count state: Mood's median test
       * ([[graft.functions.Stats.moodOfCounts]]) — the outlier-proof
       * above/below-pooled-median dichotomy under [[readout]]'s KW;
       * equals the batch [[graft.functions.Stats.moodMedianTest]]
       */
-    def medianTest: DataFrame = graft.functions.Stats.moodOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def medianTest: DataFrame = graft.functions.Stats.moodOfCounts(counts.merged)
 
     /** persist the count state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("counts" -> counts.forSave))
 
     /** restore count state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      counts = MonitorState.load(spark, dir, "counts")
+      counts.reset(MonitorState.load(spark, dir, "counts"))
   }
 
   /** Streaming normality monitor — "is this metric still bell-shaped,
@@ -1168,6 +1163,45 @@ object Streaming {
       counts = MonitorState.load(spark, dir, "counts")
   }
 
+  /** Streaming Cochran–Mantel–Haenszel monitor — the live STRATIFIED A/B
+    * readout: per-stratum 2×2 counts are plain sums, so each micro-batch
+    * folds by keyed addition and the
+    * [[graft.functions.Stats.mhOfCounts]] readout EQUALS the batch
+    * [[graft.functions.Stats.mantelHaenszel]] over everything seen. This
+    * is [[ProportionMonitor]] with the Simpson's-paradox guard built in:
+    * when traffic composition drifts mid-experiment, the pooled z moves
+    * for the wrong reason while the CMH statistic keeps reading only the
+    * within-stratum effect. State is |strata| rows — bounded by the
+    * stratification, not the data. Wire with
+    * [[foreachBatchMerge]]`(stream, mm.update)`.
+    */
+  class MhMonitor(stratum: Column, armA: Column, success: Column) {
+    private val bridge = org.apache.spark.sql.graftbridge.Bridge
+    private var counts: Option[DataFrame] = None
+
+    /** fold one micro-batch's per-stratum 2×2 counts into the state */
+    def update(batch: DataFrame): Unit = {
+      val bc = graft.functions.Stats.stratumPropCounts(batch, stratum, armA, success)
+      counts = Some(bridge.freeze(counts match {
+        case None => bc
+        case Some(c) => c.unionByName(bc).groupBy(col("__st"))
+          .agg(sum(col("__na")).as("__na"), sum(col("__xa")).as("__xa"),
+            sum(col("__nb")).as("__nb"), sum(col("__xb")).as("__xb"))
+      }))
+    }
+
+    /** current (k_strata, n_a, n_b, chi2_mh, or_mh) — equals the batch one */
+    def readout: DataFrame = graft.functions.Stats.mhOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** persist the count state for crash-restart (call after update) */
+    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+
+    /** restore count state from a [[saveState]] checkpoint */
+    def restoreState(spark: SparkSession, dir: String): Unit =
+      counts = MonitorState.load(spark, dir, "counts")
+  }
+
   /** Streaming Spearman monitor — live MONOTONE-coupling drift: ranks are
     * global (a new value shifts every rank above it), so no rank moment
     * is additive — but the joint (x, y) count table IS additive per pair,
@@ -1236,6 +1270,13 @@ object Streaming {
     /** current (t_days, n_risk, d, c, survival) — equals the batch curve */
     def curve(censorDays: Int = 7): DataFrame =
       graft.functions.Events.kmOfSpans(spans.merged, censorDays)
+
+    /** current Nelson–Aalen cumulative hazard — the second readout off
+      * the SAME span state (one state, probability curve AND rate curve);
+      * equals the batch [[graft.functions.Events.nelsonAalen]]
+      */
+    def hazard(censorDays: Int = 7): DataFrame =
+      graft.functions.Events.naOfSpans(spans.merged, censorDays)
 
     /** persist the span state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
@@ -1431,78 +1472,75 @@ object Streaming {
     * [[foreachBatchMerge]]`(stream, am.update)`.
     */
   class AucMonitor(score: Column, label: Column) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var counts: Option[DataFrame] = None
+    // the per-score key table approaches row cardinality for continuous
+    // scores: LSM delta state keeps per-batch work batch-proportional
+    private val counts = new DeltaState(
+      _.groupBy(col("__s"))
+        .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n")))
 
     /** fold one micro-batch's per-score counts into the keyed state */
-    def update(batch: DataFrame): Unit = {
-      val bc = graft.functions.Stats.scoreCounts(batch, score, label)
-      counts = Some(bridge.freeze(counts match {
-        case None => bc
-        case Some(c) => c.unionByName(bc)
-          .groupBy(col("__s"))
-          .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n"))
-      }))
-    }
+    def update(batch: DataFrame): Unit =
+      counts.add(graft.functions.Stats.scoreCounts(batch, score, label))
 
     /** current (n_pos, n_neg, auc) row — equals the batch one */
-    def readout: DataFrame = graft.functions.Stats.aucOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def readout: DataFrame = graft.functions.Stats.aucOfCounts(counts.merged)
 
     /** current P/R/F1 operating points — equals the batch prCurve (the
       * same additive state answers both the ranking and the cut question)
       */
     def operatingPoints(thresholds: Seq[Double]): DataFrame =
-      graft.functions.Stats.prCurveOfCounts(
-        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
-        thresholds)
+      graft.functions.Stats.prCurveOfCounts(counts.merged, thresholds)
 
     /** current reliability (calibration) table — equals the batch one;
       * the third readout of the same state (rank, cut, calibration)
       */
     def calibration(width: Double): DataFrame =
-      graft.functions.Stats.reliabilityOfCounts(
-        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
-        width)
+      graft.functions.Stats.reliabilityOfCounts(counts.merged, width)
 
     /** current Mann–Whitney (n_a, n_b, u, z) with arm a = label-true
       * rows — equals the batch [[graft.functions.Stats.mannWhitney]]; the
       * fourth readout of the same state (is the rank separation
       * SIGNIFICANT, not just how large)
       */
-    def rankTest: DataFrame = graft.functions.Stats.mwuOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def rankTest: DataFrame = graft.functions.Stats.mwuOfCounts(counts.merged)
 
     /** fifth readout off the SAME count state: Cliff's delta dominance
       * effect size ([[graft.functions.Stats.cliffsOfCounts]]) — equals
       * the batch [[graft.functions.Stats.cliffsDelta]] over everything
       * seen
       */
-    def dominance: DataFrame = graft.functions.Stats.cliffsOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def dominance: DataFrame = graft.functions.Stats.cliffsOfCounts(counts.merged)
 
     /** sixth readout off the SAME count state: the Brunner–Munzel
       * stochastic-superiority test ([[graft.functions.Stats.bmOfCounts]])
       * — [[rankTest]] without its equal-shape assumption; equals the
       * batch [[graft.functions.Stats.brunnerMunzel]] over everything seen
       */
-    def superiority: DataFrame = graft.functions.Stats.bmOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def superiority: DataFrame = graft.functions.Stats.bmOfCounts(counts.merged)
 
     /** seventh readout off the SAME count state: the Ansari–Bradley
       * scale test ([[graft.functions.Stats.abOfCounts]]) — which arm is
       * more SPREAD, the dispersion question the location readouts can't
       * see; equals the batch [[graft.functions.Stats.ansariBradley]]
       */
-    def scaleTest: DataFrame = graft.functions.Stats.abOfCounts(
-      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def scaleTest: DataFrame = graft.functions.Stats.abOfCounts(counts.merged)
+
+    /** eighth readout off the SAME count state: the two-sample
+      * Kolmogorov–Smirnov statistic ([[graft.functions.Stats.ksOfCounts]])
+      * — the largest CDF gap between the arms' score DISTRIBUTIONS, the
+      * any-difference-in-shape verdict the rank/location/scale readouts
+      * each only see a projection of; equals the batch
+      * [[graft.functions.Stats.ksTwoSample]] over everything seen
+      */
+    def distributionTest: DataFrame = graft.functions.Stats.ksOfCounts(counts.merged)
 
     /** persist the count state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("counts" -> counts.forSave))
 
     /** restore count state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      counts = MonitorState.load(spark, dir, "counts")
+      counts.reset(MonitorState.load(spark, dir, "counts"))
   }
 
   /** Streaming filter-agreement monitor — live Cohen's kappa between two
@@ -2050,46 +2088,49 @@ object Streaming {
                           threshold: Double = 0.7, maxBucket: Int = 2000) {
     import graft.functions.Dedup
     private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var corpus: Option[DataFrame] = None
-    private var index: Option[DataFrame] = None
-    private var found: Option[DataFrame] = None
+    // all three states are APPEND-ONLY (batches carry disjoint ids and the
+    // match pairs are pair-local), so the LSM delta shape applies with the
+    // identity combine: `add` freezes only the batch's own delta where the
+    // round-12 shape re-froze the WHOLE accreted corpus/index/match tables
+    // every micro-batch — the one remaining O(corpus)-per-batch write in
+    // the ingestion path; compaction amortizes the occasional full fold
+    private def appendOnly = new DeltaState(df => df)
+    private val corpus = appendOnly
+    private val index = appendOnly
+    private val found = appendOnly
 
     /** match one micro-batch against the prior index, then absorb it.
       * The batch is signed ONCE (its index is frozen up front and reused
       * as both the match probe and the accretion delta), and the standing
       * corpus index is passed pre-materialized so the matching never
-      * re-writes O(corpus) state — per-batch work is batch-proportional
-      * except the state re-freeze itself (the checkpoint discipline).
+      * re-writes O(corpus) state — per-batch work is batch-proportional.
       */
     def update(batch: DataFrame): Unit = {
       val b = bridge.freeze(batch.select(col(idCol), col(textCol)))
       val bIdx = bridge.freeze(Dedup.minhashIndex(b, idCol, textCol, n, k, bands))
-      val newMatches = for (c <- corpus; idx <- index) yield
-        Dedup.minhashAgainstIndex(c, b, idCol, textCol, n, k, bands,
-          threshold, maxBucket, index = Some(idx), incomingIndex = Some(bIdx))
-      found = Some(bridge.freeze(newMatches match {
-        case Some(m) => found.map(_.unionByName(m)).getOrElse(m)
-        case None => found.getOrElse(emptyMatches(batch))
-      }))
-      corpus = Some(bridge.freeze(corpus.map(_.unionByName(b)).getOrElse(b)))
-      index = Some(bridge.freeze(index.map(_.unionByName(bIdx)).getOrElse(bIdx)))
+      if (corpus.isEmpty) found.add(emptyMatches(batch))
+      else found.add(Dedup.minhashAgainstIndex(corpus.merged, b, idCol, textCol,
+        n, k, bands, threshold, maxBucket,
+        index = Some(index.merged), incomingIndex = Some(bIdx)))
+      corpus.add(b)
+      index.add(bIdx)
     }
 
     /** all (new_id, match_id, jaccard) pairs found so far, where match_id
       * arrived in a strictly earlier micro-batch than new_id
       */
-    def matches: DataFrame = found.getOrElse(
-      throw new IllegalStateException("no micro-batch processed yet"))
+    def matches: DataFrame = found.merged
 
     /** persist corpus+index+matches for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir,
-      Map("corpus" -> corpus, "index" -> index, "found" -> found))
+      Map("corpus" -> corpus.forSave, "index" -> index.forSave,
+        "found" -> found.forSave))
 
     /** restore all three state tables from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit = {
-      corpus = MonitorState.load(spark, dir, "corpus")
-      index = MonitorState.load(spark, dir, "index")
-      found = MonitorState.load(spark, dir, "found")
+      corpus.reset(MonitorState.load(spark, dir, "corpus"))
+      index.reset(MonitorState.load(spark, dir, "index"))
+      found.reset(MonitorState.load(spark, dir, "found"))
     }
 
     private def emptyMatches(batch: DataFrame): DataFrame = {
@@ -2221,28 +2262,30 @@ object Streaming {
   class BasketMonitor(basketCol: String, itemCol: String,
                       minSupport: Long = 2, topN: Int = 20,
                       maxBasket: Int = 1000) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var items: Option[DataFrame] = None
+    // the (basket, item) key set is corpus-scale: LSM delta state keeps
+    // per-batch work batch-proportional (distinct is the associative
+    // re-aggregation for a key set)
+    private val items = new DeltaState(_.distinct())
 
     /** fold one micro-batch's distinct (basket, item) rows in */
-    def update(batch: DataFrame): Unit = {
-      val b = batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        .distinct()
-      items = Some(bridge.freeze(
-        items.map(_.unionByName(b).distinct()).getOrElse(b)))
-    }
+    def update(batch: DataFrame): Unit =
+      items.add(batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .distinct())
 
-    /** current association pairs — equals the batch basketPairs */
+    /** current association pairs — equals the batch basketPairs (merged
+      * re-distincts across deltas, so a re-delivered (basket, item) pair
+      * never double-counts)
+      */
     def pairs: DataFrame = graft.functions.Events.basketPairsOfItems(
-      items.getOrElse(throw new IllegalStateException("no batches ingested")),
-      minSupport, topN, maxBasket)
+      items.merged, minSupport, topN, maxBasket)
 
     /** persist the item state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("items" -> items))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("items" -> items.forSave))
 
     /** restore item state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      items = MonitorState.load(spark, dir, "items")
+      items.reset(MonitorState.load(spark, dir, "items"))
   }
 
   /** Streaming FK-integrity monitor — live referential-integrity audit
@@ -2297,33 +2340,32 @@ object Streaming {
     * [[foreachBatchMerge]]`(stream, lm.update)`.
     */
   class LtvMonitor(custCol: String, dateCol: String, amountCol: String) {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
     private val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
-    private var monthly: Option[DataFrame] = None
+    // |customers|×|months| keys are corpus-scale: LSM delta state keeps
+    // per-batch work batch-proportional; exact-decimal sums re-aggregate
+    // associatively (held at DECIMAL(28,2) so the schema is stable across
+    // compactions)
+    private val monthly = new DeltaState(
+      _.groupBy(col("__c"), col("__m")).agg(sum(col("__a"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("__a")))
 
     /** fold one micro-batch's per-(customer, month) revenue in */
-    def update(batch: DataFrame): Unit = {
-      val bm = batch.groupBy(col(custCol).as("__c"),
+    def update(batch: DataFrame): Unit =
+      monthly.add(batch.groupBy(col(custCol).as("__c"),
           trunc(col(dateCol), "month").as("__m"))
-        .agg(sum(col(amountCol).cast(dec2)).as("__a"))
-      monthly = Some(bridge.freeze(monthly match {
-        case None => bm
-        case Some(m) => m.unionByName(bm).groupBy(col("__c"), col("__m"))
-          .agg(sum(col("__a")).cast(
-            org.apache.spark.sql.types.DecimalType(28, 2)).as("__a"))
-      }))
-    }
+        .agg(sum(col(amountCol).cast(dec2)).as("__a")))
 
     /** current cohort LTV curve — equals the batch cohortLtv */
-    def curve: DataFrame = graft.functions.Events.cohortLtvOfMonthly(
-      monthly.getOrElse(throw new IllegalStateException("no batches ingested")))
+    def curve: DataFrame =
+      graft.functions.Events.cohortLtvOfMonthly(monthly.merged)
 
     /** persist the revenue state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("monthly" -> monthly))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("monthly" -> monthly.forSave))
 
     /** restore revenue state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      monthly = MonitorState.load(spark, dir, "monthly")
+      monthly.reset(MonitorState.load(spark, dir, "monthly"))
   }
 
   /** Run a dimensional merge per micro-batch: the streaming form of

@@ -92,6 +92,19 @@ class TextNativeParitySpec extends SparkSpec {
     assert(words === Seq(9L, 0L))
   }
 
+  test("the three text expressions are codegen (not CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit = Literal.create("abc", org.apache.spark.sql.types.StringType)
+    Seq(
+      graft.plans.ClassifierMicroSum(lit, "s"),
+      graft.plans.TokenCountExpr(lit),
+      graft.plans.QualityScoreRaw(lit)).foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.prettyName} must generate code (round-12 verdict directive 4)")
+    }
+  }
+
   test("null text: native expressions return null like the Column versions") {
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "text")
       .select(

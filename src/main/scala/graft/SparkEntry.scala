@@ -251,6 +251,15 @@ object SparkEntry {
       m
     }
 
+  /** 2-readout family: embedding covariance moment row (cov + Cronbach). */
+  private def covState(s: SparkSession, dir: String) =
+    ReplayCache.get(s, s"cov:$dir") {
+      val m = new graft.streaming.Streaming.CovMonitor("embedding", 0 to 7)
+      val emb = t(s, dir, "embeddings")
+      (0 until 3).foreach(b => m.update(emb.filter(col("vec_id") % 3 === b)))
+      m
+    }
+
   /** Query → shared-replay-family key, for every query whose monitor state
     * comes from [[ReplayCache]]. Bench packs its fresh-JVM slices
     * FAMILY-ATOMICALLY (a family never straddles a slice boundary; one
@@ -274,6 +283,8 @@ object SparkEntry {
     "stream_ks" -> "aucvalue",
     "stream_survival" -> "survival", "stream_hazard" -> "survival",
     "stream_corr" -> "corr", "stream_cuped" -> "corr",
+    "stream_cov" -> "cov", "stream_cronbach" -> "cov",
+    "stream_simpson" -> "keycount", "stream_cohenh" -> "prop",
     "stream_kruskal" -> "kruskal", "stream_jonckheere" -> "kruskal",
     "stream_mood_median" -> "kruskal", "stream_levene" -> "kruskal",
     "stream_quantile_exact" -> "kruskal",
@@ -1114,6 +1125,13 @@ object SparkEntry {
       km.gini()
     }),
 
+    // streaming Simpson concentration (the THIRD readout of the same
+    // per-user count state): live collision probability / effective-key
+    // count — equals the batch stats_simpson
+    "stream_simpson" -> ((s, dir) => {
+      keyCountState(s, dir).concentration()
+    }),
+
     // streaming cohort retention (batch replay of 5 micro-batches): the
     // activity-state design re-derives the exact batch rollup after every
     // batch, late back-dating included — streaming-mode parity in
@@ -1218,10 +1236,22 @@ object SparkEntry {
     // state reads out bit-identical to the one-pass corpus build — same
     // oracle as stats_embedding_cov
     "stream_cov" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cm = new graft.streaming.Streaming.CovMonitor("embedding", 0 to 7)
-      (0 until 5).foreach(b => cm.update(emb.filter(col("vec_id") % 5 === b)))
-      cm.matrix.orderBy(col("dim_i"), col("dim_j"))
+      covState(s, dir).matrix.orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // streaming Cronbach alpha (the SECOND readout of the same 1-row
+    // moment state): live internal-consistency over the arriving
+    // embedding dims — equals the batch stats_cronbach
+    "stream_cronbach" -> ((s, dir) => {
+      covState(s, dir).consistency
+    }),
+
+    // Cronbach's alpha over embedding dims 0-7: how much the dims measure
+    // ONE latent direction (the MRL-truncation / judge-agreement number)
+    // — one moment pass, fixed-order variance chain
+    "stats_cronbach" -> ((s, dir) => {
+      graft.functions.Vectors.cronbachAlpha(t(s, dir, "embeddings"),
+        "embedding", 0 to 7)
     }),
 
     // streaming AUC monitor (batch replay of 5 batches): per-score counts
@@ -2926,6 +2956,14 @@ object SparkEntry {
         .orderBy(col("threshold"))
     }),
 
+    // log-odds-ratio keyness: which tokens CHARACTERIZE the English docs
+    // against the rest (Haldane-smoothed log odds, top-20) — the
+    // vocabulary audit of a mixture or filter change
+    "text_keyness" -> ((s, dir) => {
+      graft.functions.Retrieval.keyness(docsNorm(s, dir), "text",
+        col("lang") === "en", topK = 20, minCount = 5)
+    }),
+
     // per-language OOV rate against the corpus's own top-20 vocabulary:
     // the tokenizer-fairness audit — one explode to the frozen
     // (lang, token, cnt) table, TakeOrdered vocab broadcast back
@@ -3447,6 +3485,13 @@ object SparkEntry {
     // the whale factor
     "stats_gini" -> ((s, dir) => {
       graft.functions.Stats.giniConcentration(events(s, dir), "user_id")
+    }),
+
+    // Simpson concentration over per-user event mass: the probability two
+    // random rows share a user, its diversity complement, and the
+    // effective-key count a sampling/dedup plan sizes against
+    "stats_simpson" -> ((s, dir) => {
+      graft.functions.Stats.simpsonConcentration(events(s, dir), "user_id")
     }),
 
     // range-partition boundary planner: deterministic md5 sample + the
@@ -4063,6 +4108,22 @@ object SparkEntry {
         col("event_type") === "purchase")
       (0 until 3).foreach(b => mm.update(ev.filter(col("event_id") % 3 === b)))
       mm.readout
+    }),
+
+    // Cohen's h effect size for the month-half purchase shares: how LARGE
+    // the share move is on the arcsine scale, next to stats_twoprop's "is
+    // it significant" — same additive per-arm count state
+    "stats_cohenh" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.cohenH(
+        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
+    }),
+
+    // streaming Cohen's h (the THIRD readout of the same per-arm count
+    // state): equals the batch stats_cohenh; same oracle
+    "stream_cohenh" -> ((s, dir) => {
+      propState(s, dir).effectSize
     }),
 
     // two-sample Kolmogorov–Smirnov: the any-difference-in-shape verdict
@@ -5457,6 +5518,101 @@ object SparkEntry {
               ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
               END AS survival
        FROM walked ORDER BY t_days"""
+
+
+  /** Simpson concentration replay: per-user counts, exact HUGEINT pair
+    * mass, fixed-order lambda/diversity/effective divides — shared by
+    * `stats_simpson` and `stream_simpson` (counts are additive).
+    */
+  private val simpsonOracleSql =
+    """WITH c AS (
+         SELECT user_id::VARCHAR AS key, count(*) AS cnt
+         FROM events GROUP BY 1),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           sum(cnt::HUGEINT * (cnt - 1)::HUGEINT) AS p2
+         FROM c)
+       SELECT n_keys, n,
+         CASE WHEN n < 2 THEN NULL
+              ELSE round(CAST(p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS simpson,
+         CASE WHEN n < 2 THEN NULL
+              ELSE round(CAST(1.0 - p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS diversity,
+         CASE WHEN n < 2 OR p2 = 0 THEN NULL
+              ELSE round(CAST(1.0 / (p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS effective_keys
+       FROM a"""
+
+  /** Cohen's h replay: the prop-count CTEs, arcsine formula on the
+    * 6dp-rounded p's, magnitude bands on the rounded |h| — shared by
+    * `stats_cohenh` and `stream_cohenh`.
+    */
+  private val cohenhOracleSql =
+    """WITH a AS (
+         SELECT count(*) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+         FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+       b AS (
+         SELECT count(*) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+         FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+       m AS (
+         SELECT a.n AS n_a, b.n AS n_b,
+           round(CAST(a.x::DOUBLE / a.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
+           round(CAST(b.x::DOUBLE / b.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_b
+         FROM a CROSS JOIN b),
+       hh AS (
+         SELECT n_a, n_b, p_a, p_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE round(CAST(2.0 * asin(sqrt(p_a)) - 2.0 * asin(sqrt(p_b))
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS h
+         FROM m)
+       SELECT n_a, n_b, p_a, p_b, h,
+         CASE WHEN h IS NULL THEN NULL
+              WHEN abs(h) < 0.2 THEN 'negligible'
+              WHEN abs(h) < 0.5 THEN 'small'
+              WHEN abs(h) < 0.8 THEN 'medium'
+              ELSE 'large' END AS magnitude
+       FROM hh"""
+
+  /** Cronbach replay: the covOracleSql exact-decimal moment row, item and
+    * total variances as the IDENTICAL left-associative chains the Scala
+    * expression folds, the k/(k-1) constant embedded as the same double —
+    * shared by `stats_cronbach` and `stream_cronbach`.
+    */
+  private def cronbachOracleSql(dims: Seq[Int]): String = {
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
+    val sumCols = dims.map(d =>
+      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
+    val pairCols = pairs.map { case (a, b) =>
+      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
+    }.mkString(",\n           ")
+    def cv(a: Int, b: Int) =
+      s"(p${a}_$b::DOUBLE / n - (s$a::DOUBLE / n) * (s$b::DOUBLE / n))"
+    val itemVar = dims.map(d => cv(d, d)).mkString(" + ")
+    val totalVar = pairs.map { case (a, b) =>
+      if (a == b) cv(a, b) else s"${cv(a, b)} * 2.0"
+    }.mkString(" + ")
+    val c = dims.size / (dims.size - 1.0)
+    s"""WITH a AS (
+         SELECT count(*) AS n,
+           $sumCols,
+           $pairCols
+         FROM embeddings WHERE embedding IS NOT NULL),
+       v AS (
+         SELECT n, $itemVar AS iv, $totalVar AS tv FROM a)
+       SELECT n, ${dims.size} AS k,
+         round(CAST(iv AS DECIMAL(18,8)), 6)::DOUBLE AS item_var,
+         round(CAST(tv AS DECIMAL(18,8)), 6)::DOUBLE AS total_var,
+         CASE WHEN tv <= 0.0 THEN NULL
+              ELSE round(CAST(CAST('$c' AS DOUBLE) * (1.0 - iv / tv)
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS alpha
+       FROM v"""
+  }
 
   /** Nelson–Aalen replay: the SAME life table as the survival oracle,
     * then d/n-at-risk staged to DECIMAL(28,12) before the cumulative sum
@@ -9894,6 +10050,34 @@ object SparkEntry {
              AS exp_recall
          FROM roll ORDER BY t""",
 
+    // keyness replay: one (token, target?) count table off the shared
+    // normalization, Haldane-smoothed log odds, top-20 by (log_odds desc,
+    // token); cnt_rest uses CASE WHEN NOT t so NULL targets mirror Spark's
+    // negated `when` (excluded from BOTH arms)
+    "text_keyness" ->
+      s"""WITH tk AS (
+           SELECT lang = 'en' AS t,
+             unnest(string_split($normSql, ' ')) AS tok
+           FROM documents),
+         c AS (
+           SELECT tok,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_target,
+             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_rest
+           FROM tk WHERE tok <> '' GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cnt_target) AS BIGINT) AS ta,
+             CAST(sum(cnt_rest) AS BIGINT) AS tb
+           FROM c)
+       SELECT token, cnt_target, cnt_rest, log_odds FROM (
+           SELECT tok AS token, cnt_target, cnt_rest,
+             round(CAST(
+               ln((cnt_target::DOUBLE + 0.5) / ((ta - cnt_target)::DOUBLE + 0.5))
+               - ln((cnt_rest::DOUBLE + 0.5) / ((tb - cnt_rest)::DOUBLE + 0.5))
+               AS DECIMAL(18,8)), 6)::DOUBLE AS log_odds
+           FROM c CROSS JOIN tot
+           WHERE cnt_target + cnt_rest >= 5)
+       ORDER BY log_odds DESC, token ASC LIMIT 20""",
+
     // OOV replay: same (lang, token, cnt) table, top-20 vocab, left join
     "text_oov" ->
       s"""WITH lt AS (
@@ -11237,6 +11421,12 @@ object SparkEntry {
     "stats_power_twoprop" -> powerOracleSql,
     "stream_power" -> powerOracleSql,
     "stats_mh" -> mhOracleSql,
+    "stats_cohenh" -> cohenhOracleSql,
+    "stream_cohenh" -> cohenhOracleSql,
+    "stats_simpson" -> simpsonOracleSql,
+    "stream_simpson" -> simpsonOracleSql,
+    "stats_cronbach" -> cronbachOracleSql(0 to 7),
+    "stream_cronbach" -> cronbachOracleSql(0 to 7),
     "stream_mh" -> mhOracleSql,
     "stats_ks2" -> ks2OracleSql,
     "stream_ks" -> ks2OracleSql,

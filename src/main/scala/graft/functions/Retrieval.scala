@@ -452,6 +452,49 @@ object Retrieval {
           .cast("double").as("oov_rate"))
   }
 
+  /** Log-odds-ratio keyness between a target slice of the corpus and the
+    * rest — the corpus-comparison question TF-IDF can't answer ("which
+    * tokens CHARACTERIZE the English docs / the kept set / this source,
+    * against everything else"): per token, lo = ln((a+½)/(A−a+½)) −
+    * ln((b+½)/(B−b+½)) with Haldane's ½ smoothing so zero counts stay
+    * finite — the standard keyness statistic of corpus linguistics, and
+    * the audit a mixture re-weighting or a filter change is judged by
+    * (what vocabulary did the change promote).
+    *
+    * Scale shape: ONE token explode to the (token, target?) count table
+    * (map-side combined), two broadcast totals, the formula per surviving
+    * token, TakeOrdered top-k — no shuffle beyond the one count
+    * aggregation. `minCount` drops the long tail whose smoothed odds are
+    * noise.
+    *
+    * Returns topK rows (token, cnt_target, cnt_rest, log_odds) by
+    * keyness-for-the-target descending (ties by token).
+    */
+  def keyness(docs: DataFrame, textCol: String, isTarget: Column,
+              topK: Int = 20, minCount: Long = 5): DataFrame = {
+    require(topK > 0 && minCount >= 0, "need topK > 0, minCount >= 0")
+    val dec8 = DecimalType(18, 8)
+    val counts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      docs.select(isTarget.as("__t"),
+          explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .groupBy(col("__tok"))
+        .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_target"),
+          sum(when(!col("__t"), 1L).otherwise(0L)).as("cnt_rest")))
+    val tot = counts.agg(sum(col("cnt_target")).as("__ta"),
+      sum(col("cnt_rest")).as("__tb"))
+    counts.filter(col("cnt_target") + col("cnt_rest") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("__tok").as("token"), col("cnt_target"), col("cnt_rest"),
+        round((log((col("cnt_target").cast("double") + lit(0.5)) /
+            ((col("__ta") - col("cnt_target")).cast("double") + lit(0.5))) -
+          log((col("cnt_rest").cast("double") + lit(0.5)) /
+            ((col("__tb") - col("cnt_rest")).cast("double") + lit(0.5))))
+          .cast(dec8), 6).cast("double").as("log_odds"))
+      .orderBy(col("log_odds").desc, col("token").asc)
+      .limit(topK)
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val tf = docs.select(col(idCol).as("__did"),

@@ -421,6 +421,46 @@ object Stats {
           .cast("double").as("gini"))
   }
 
+  /** Simpson concentration index over per-key event mass — the
+    * PROBABILITY view next to [[giniConcentration]]'s area and
+    * [[keySkew]]'s whale factor: λ = Σc(c−1)/(N(N−1)) is exactly the
+    * chance two random rows share a key, 1−λ the Gini–Simpson diversity,
+    * and 1/λ the "effective number of keys" — the single number a
+    * sampling or dedup plan sizes against ("this corpus behaves like
+    * ~1 200 equal hosts, not 40 000").
+    *
+    * Scale shape: ONE map-side-combined aggregation to the per-key count
+    * table (the additive [[graft.streaming.Streaming.KeyCountMonitor]]
+    * state — its `concentration` readout IS this), then one more to three
+    * exact DECIMAL(38,0) integers; the λ/diversity/effective divides run
+    * in fixed double order.
+    *
+    * Returns one row (n_keys, n, simpson, diversity, effective_keys);
+    * NULL simpson for n < 2, NULL effective_keys when λ = 0.
+    */
+  def simpsonConcentration(df: DataFrame, keyCol: String): DataFrame =
+    simpsonOfCounts(df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[simpsonConcentration]]'s readout from a (key, cnt) count table. */
+  def simpsonOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val agg = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n"),
+      sum(col("cnt").cast(big) * (col("cnt") - 1L).cast(big)).as("__p2"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val lam = col("__p2").cast("double") /
+      (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))
+    agg.select(col("n_keys"), col("n").cast("long").as("n"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise(r6(lam)).as("simpson"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise(r6(lit(1.0) - lam)).as("diversity"),
+      when(col("n") < 2L || col("__p2") === 0, lit(null).cast("double"))
+        .otherwise(r6(lit(1.0) / lam)).as("effective_keys"))
+  }
+
   /** Pearson correlation matrix over numeric columns — the feature-
     * engineering screen (collinear features, leaking proxies) and the
     * schema-drift companion (a correlation that moves between snapshots
@@ -2103,6 +2143,50 @@ object Stats {
           / sqrt(col("__pp") * (lit(1.0) - col("__pp"))
             * (lit(1.0) / col("__nad") + lit(1.0) / col("__nbd"))))
           .cast(dec8), 6).cast("double")).as("z"))
+  }
+
+  /** Cohen's h effect size for two proportions — the HOW-LARGE companion
+    * of [[twoProportionZ]] exactly as [[cliffsDelta]] companions
+    * [[mannWhitney]]: z says whether the share moved, h = 2·asin√p₁ −
+    * 2·asin√p₂ says how much on the variance-stabilized arcsine scale
+    * (where a 1-point move near 50% and near 99% read correctly as very
+    * different effects), unmoved by sample size. Reported with Cohen's
+    * conventional bands (small .2 / medium .5 / large .8) on the rounded
+    * |h| so the label is engine-stable.
+    *
+    * Scale shape: the IDENTICAL additive per-arm count state as
+    * [[twoProportionZ]]/[[powerTwoProp]] (the
+    * [[graft.streaming.Streaming.ProportionMonitor]] state, whose
+    * `effectSize` readout IS this); the formula runs on the 6dp-rounded
+    * observed p's both engines share exactly.
+    *
+    * Returns one row (n_a, n_b, p_a, p_b, h, magnitude); h NULL when
+    * either arm is empty.
+    */
+  def cohenH(a: DataFrame, bDf: DataFrame, successCol: Column): DataFrame =
+    cohenHOfCounts(propCounts(a, successCol, "a").crossJoin(
+      broadcast(propCounts(bDf, successCol, "b"))))
+
+  /** [[cohenH]]'s formula stage over a joint [[propCounts]] row. */
+  def cohenHOfCounts(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pa = round((col("__px_a").cast("double") / col("__pn_a").cast("double"))
+      .cast(dec8), 6).cast("double")
+    val pb = round((col("__px_b").cast("double") / col("__pn_b").cast("double"))
+      .cast(dec8), 6).cast("double")
+    val m = row.select(col("__pn_a").as("n_a"), col("__pn_b").as("n_b"),
+      pa.as("p_a"), pb.as("p_b"))
+    val h = round((lit(2.0) * asin(sqrt(col("p_a"))) -
+      lit(2.0) * asin(sqrt(col("p_b")))).cast(dec8), 6).cast("double")
+    m.select(col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double")).otherwise(h).as("h"))
+      .withColumn("magnitude",
+        when(col("h").isNull, lit(null).cast("string"))
+          .when(abs(col("h")) < 0.2, lit("negligible"))
+          .when(abs(col("h")) < 0.5, lit("small"))
+          .when(abs(col("h")) < 0.8, lit("medium"))
+          .otherwise(lit("large")))
   }
 
   /** Cochran–Mantel–Haenszel stratified two-proportion test — the

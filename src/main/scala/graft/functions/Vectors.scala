@@ -445,6 +445,52 @@ object Vectors {
         .cast("double").as("cov"))
   }
 
+  /** Cronbach's alpha over a set of embedding dimensions — the internal-
+    * consistency readout of the covariance state: α = k/(k−1)·(1 −
+    * Σvarᵢ/var(Σxᵢ)) reads how much the selected dims measure ONE latent
+    * direction (α near 1: the dims are redundant — an MRL truncation or a
+    * PCA fold loses little; α near 0: each dim carries independent
+    * signal). The same number a labeling pipeline reads over k judge
+    * scores per document ("do the judges agree enough to average").
+    *
+    * Scale shape: the corpus is touched ONLY by [[covMoments]]' one
+    * scan+reduce (the additive [[graft.streaming.Streaming.CovMonitor]]
+    * state — its `consistency` readout IS this); every variance and
+    * covariance forms from the exact decimal sums in [[covOfMoments]]'
+    * operation order, and the Σ chains fold left-to-right in dim order so
+    * any engine replays the identical doubles.
+    *
+    * Returns one row (n, k, item_var, total_var, alpha); alpha NULL when
+    * the total variance degenerates.
+    */
+  def cronbachAlpha(corpus: DataFrame, vecCol: String,
+                    dims: Seq[Int]): DataFrame =
+    cronbachOfMoments(covMoments(corpus, vecCol, dims), dims)
+
+  /** [[cronbachAlpha]]'s formula stage over a [[covMoments]] state row. */
+  def cronbachOfMoments(row: DataFrame, dims: Seq[Int]): DataFrame = {
+    require(dims.size >= 2, "cronbach needs at least two dims")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val n = col("__n").cast("double")
+    def s(d: Int) = col(s"__s$d").cast("double")
+    def p(a: Int, b: Int) =
+      col(s"__p${math.min(a, b)}_${math.max(a, b)}").cast("double")
+    // covOfMoments' exact operation order: sxy/n − (sx/n)(sy/n)
+    def cv(a: Int, b: Int): Column = p(a, b) / n - (s(a) / n) * (s(b) / n)
+    val itemVar = dims.map(d => cv(d, d)).reduce(_ + _)
+    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
+    val totalVar = pairs.map { case (a, b) =>
+      if (a == b) cv(a, b) else cv(a, b) * lit(2.0)
+    }.reduce(_ + _)
+    val k = dims.size.toDouble
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    row.select(col("__n").as("n"), lit(dims.size).as("k"),
+      r6(itemVar).as("item_var"), r6(totalVar).as("total_var"),
+      when(totalVar <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(lit(k / (k - 1.0)) * (lit(1.0) - itemVar / totalVar)))
+        .as("alpha"))
+  }
+
   /** Top principal component by power iteration over the
     * [[covarianceMatrix]] — the one-vector PCA an embedding audit wants:
     * the dominant direction's eigenvalue against the total variance says

@@ -589,6 +589,13 @@ object Streaming {
     /** current exact Gini — equals the batch [[graft.functions.Stats.giniConcentration]] */
     def gini(): DataFrame = graft.functions.Stats.giniOfCounts(counts.merged)
 
+    /** current Simpson concentration / effective-key count — the third
+      * readout off the SAME count state; equals the batch
+      * [[graft.functions.Stats.simpsonConcentration]]
+      */
+    def concentration(): DataFrame =
+      graft.functions.Stats.simpsonOfCounts(counts.merged)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
       MonitorState.save(dir, Map("counts" -> counts.forSave))
@@ -1155,6 +1162,14 @@ object Streaming {
         counts.getOrElse(throw new IllegalStateException("no batches ingested")),
         zSumSq)
 
+    /** third readout off the SAME count state: Cohen's h effect size
+      * ([[graft.functions.Stats.cohenHOfCounts]]) — how LARGE the share
+      * move is on the arcsine scale; equals the batch
+      * [[graft.functions.Stats.cohenH]]
+      */
+    def effectSize: DataFrame = graft.functions.Stats.cohenHOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 
@@ -1316,6 +1331,14 @@ object Streaming {
     /** current covariance submatrix — equals the batch one */
     def matrix: DataFrame = graft.functions.Vectors.covOfMoments(
       moments.getOrElse(throw new IllegalStateException("no batches ingested")), dims)
+
+    /** current Cronbach internal-consistency readout — the second readout
+      * off the SAME 1-row moment state; equals the batch
+      * [[graft.functions.Vectors.cronbachAlpha]]
+      */
+    def consistency: DataFrame = graft.functions.Vectors.cronbachOfMoments(
+      moments.getOrElse(throw new IllegalStateException("no batches ingested")),
+      dims)
 
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))

@@ -177,6 +177,58 @@ class Round13Spec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  // ------------------------------------------------- batch-2 operators
+  test("simpsonConcentration: hand-computed keys") {
+    // a,a,a,b: lambda = 3*2/(4*3) = 0.5; diversity .5; effective 2
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val r = graft.functions.Stats.simpsonConcentration(df, "k").collect()(0)
+    assert(r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("simpson") === 0.5)
+    assert(r.getAs[Double]("diversity") === 0.5)
+    assert(r.getAs[Double]("effective_keys") === 2.0)
+  }
+
+  test("KeyCountMonitor.concentration equals the batch simpson") {
+    val ev = table("events")
+    val km = new Streaming.KeyCountMonitor("user_id")
+    (0 until 3).foreach(b => km.update(ev.filter(col("event_id") % 3 === b)))
+    assert(km.concentration().collect()(0) ===
+      graft.functions.Stats.simpsonConcentration(ev, "user_id").collect()(0))
+  }
+
+  test("cohenH: p=.25 vs p=.75 reads h = -pi/3, large") {
+    val a = (Seq(true) ++ Seq.fill(3)(false)).toDF("s")
+    val b = (Seq.fill(3)(true) ++ Seq(false)).toDF("s")
+    val r = Stats.cohenH(a, b, col("s")).collect()(0)
+    val h = 2.0 * math.asin(math.sqrt(0.25)) - 2.0 * math.asin(math.sqrt(0.75))
+    assert(r.getAs[Double]("h") === math.rint(h * 1e6) / 1e6)
+    assert(r.getAs[String]("magnitude") === "large")
+  }
+
+  test("cronbachAlpha: duplicated item reads 1, independent items read 0") {
+    val dup = Seq(Seq(1.0, 1.0), Seq(2.0, 2.0), Seq(3.0, 3.0)).toDF("v")
+    val r1 = graft.functions.Vectors.cronbachAlpha(dup, "v", Seq(0, 1)).collect()(0)
+    assert(r1.getAs[Double]("alpha") === 1.0)
+    val ind = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0), Seq(0.0, 0.0))
+      .toDF("v")
+    val r2 = graft.functions.Vectors.cronbachAlpha(ind, "v", Seq(0, 1)).collect()(0)
+    assert(r2.getAs[Double]("alpha") === 0.0)
+  }
+
+  test("keyness: hand-computed Haldane log odds, ordered") {
+    val docs = Seq(("apple apple banana", true), ("banana banana cherry", false))
+      .toDF("text", "t")
+    val rows = graft.functions.Retrieval.keyness(docs, "text", col("t"),
+      topK = 10, minCount = 1).collect()
+    assert(rows.map(_.getAs[String]("token")).toSeq ===
+      Seq("apple", "banana", "cherry"))
+    val loApple = math.log(2.5 / 1.5) - math.log(0.5 / 3.5)
+    assert(rows(0).getAs[Double]("log_odds") === math.rint(loApple * 1e6) / 1e6)
+    assert(rows(0).getAs[Long]("cnt_target") === 2L)
+    assert(rows(0).getAs[Long]("cnt_rest") === 0L)
+  }
+
   // ------------------------------------------------- LSM compaction pin
   test("KeyCountMonitor: 10 batches (past maxDeltas compaction) equal one batch") {
     val ev = table("events")

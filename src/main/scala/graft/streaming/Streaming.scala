@@ -55,9 +55,14 @@ object Streaming {
       case many => combine(many.reduce(_ unionByName _))
     }
 
-    /** replace the state with one restored frame (checkpoint load) */
+    /** replace the state with one restored frame (checkpoint load). The
+      * frame is FROZEN here: a restored state is typically a live parquet
+      * scan of the checkpoint directory, and the next `saveState`
+      * overwrite would delete the very files a lazy delta still reads —
+      * freezing decouples the state from the checkpoint's storage.
+      */
     def reset(frame: Option[DataFrame]): Unit =
-      deltas = frame.toList
+      deltas = frame.map(bridge.freeze).toList
 
     /** the state as a single frame for checkpointing (None when empty) */
     def forSave: Option[DataFrame] =

@@ -110,13 +110,13 @@ class ScaleSpec extends SparkSpec {
     assert(scd.current.select("user_key").distinct().count() == scd.current.count())
   }
 
-  test("streaming monitors: K batches keep flat state plans (no lineage growth)") {
+  test("streaming monitors: K batches keep bounded state plans (eager or LSM)") {
     val rm = new graft.streaming.Streaming.RetentionMonitor("user_id", "ts")
     val vm = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
     def sizeOf(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collect { case p => p }.size
     var rSizes, vSizes = Vector.empty[Int]
-    (1 to 8).foreach { b =>
+    (1 to 10).foreach { b =>
       val batch = spark.range(0, 100).select(
         (col("id") % 20).as("user_id"),
         concat(lit("t"), col("id") % 3).as("event_type"),
@@ -126,14 +126,20 @@ class ScaleSpec extends SparkSpec {
       rSizes :+= sizeOf(rm.retention)
       vSizes :+= sizeOf(vm.anomalies())
     }
-    // state re-freezes per batch: the readout plan must not grow with K
-    assert(rSizes.distinct.size == 1,
-      s"retention readout must stay flat across batches, got $rSizes")
+    // VolumeMonitor folds eagerly per batch: flat plan forever
     assert(vSizes.distinct.size == 1,
       s"anomaly readout must stay flat across batches, got $vSizes")
-    // and the accreted state is correct: 8 days of 20 users / 3 types
-    assert(rm.retention.agg(sum("active_users")).head().getLong(0) == 8 * 20)
-    assert(vm.anomalies().count() == 8 * 3)
+    // RetentionMonitor is LSM-shaped (DeltaState, maxDeltas = 8): the
+    // readout plan grows one frozen delta per batch UNTIL compaction at
+    // batch 9 folds the list back to one frame — bounded by the delta
+    // window, never by history
+    assert(rSizes(8) == rSizes(0) && rSizes(9) == rSizes(1),
+      s"compaction at maxDeltas must reset the readout plan, got $rSizes")
+    assert(rSizes.max == rSizes(7),
+      s"plan growth must be bounded by the delta window, got $rSizes")
+    // and the accreted state is correct: 10 days of 20 users / 3 types
+    assert(rm.retention.agg(sum("active_users")).head().getLong(0) == 10 * 20)
+    assert(vm.anomalies().count() == 10 * 3)
   }
 
   test("fact tables: 10 sequential merges keep a flat plan; ensure deltas are materialized leaves") {

@@ -229,6 +229,36 @@ class Round13Spec extends SparkSpec {
     assert(rows(0).getAs[Long]("cnt_rest") === 0L)
   }
 
+  // ------------------------------------ replay batch-count independence
+  // The bench gate builds every replayed family state from 3 micro-batches
+  // where round 12 used 5 — legitimate ONLY because these monitors are
+  // additive (readout = f(total folded state)). Pin it: 2-batch, 5-batch
+  // and single-batch replays must read out identically.
+  test("additive monitors: readouts are batch-count independent (3 vs 5 replay)") {
+    val ev = table("events")
+    def splits(n: Int) = (0 until n).map(b => ev.filter(col("event_id") % n === b))
+    def vol(n: Int) = {
+      val m = new Streaming.VolumeMonitor("event_type", "ts")
+      splits(n).foreach(m.update)
+      m.anomalies().orderBy(col("event_type"), col("day")).collect().toSeq
+    }
+    assert(vol(2) === vol(5))
+    def auc(n: Int) = {
+      val m = new Streaming.AucMonitor(col("value"), col("event_type") === "click")
+      splits(n).foreach(m.update)
+      m.readout.collect().toSeq
+    }
+    assert(auc(1) === auc(5))
+    def prop(n: Int) = {
+      val m = new Streaming.ProportionMonitor(
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase")
+      splits(n).foreach(m.update)
+      m.readout.collect().toSeq
+    }
+    assert(prop(2) === prop(5))
+  }
+
   // ------------------------------------------------- LSM compaction pin
   test("KeyCountMonitor: 10 batches (past maxDeltas compaction) equal one batch") {
     val ev = table("events")

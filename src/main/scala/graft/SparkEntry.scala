@@ -280,7 +280,8 @@ object SparkEntry {
     "stream_reliability" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
     "stream_brunner_munzel" -> "aucvalue", "stream_ansari" -> "aucvalue",
-    "stream_ks" -> "aucvalue",
+    "stream_ks" -> "aucvalue", "stream_cvm" -> "aucvalue",
+    "stream_ad" -> "aucvalue", "stream_wasserstein" -> "aucvalue",
     "stream_survival" -> "survival", "stream_hazard" -> "survival",
     "stream_corr" -> "corr", "stream_cuped" -> "corr",
     "stream_cov" -> "cov", "stream_cronbach" -> "cov",
@@ -4144,6 +4145,60 @@ object SparkEntry {
       am.distributionTest
     }),
 
+    // two-sample Cramér–von Mises: the INTEGRATED squared CDF gap between
+    // the click and purchase value distributions — the
+    // everywhere-slightly-off drift KS's single sup point can miss;
+    // exact-decimal term staging off the same ONE prefix scan
+    "stats_cvm" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.cramerVonMises(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming CvM (the NINTH readout of the same aucvalue count state):
+    // equals the batch stats_cvm; same oracle
+    "stream_cvm" -> ((s, dir) => {
+      aucValueState(s, dir).shapeTest
+    }),
+
+    // two-sample Anderson–Darling: the TAIL-weighted member of the
+    // distribution-equality family — each squared CDF gap divided by
+    // F(1−F), so contamination living in the extreme quantiles moves A²
+    // where KS and CvM stay flat
+    "stats_ad" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.andersonDarling2(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // streaming AD (the TENTH readout of the same aucvalue count state):
+    // equals the batch stats_ad; same oracle
+    "stream_ad" -> ((s, dir) => {
+      aucValueState(s, dir).tailTest
+    }),
+
+    // bucketed 1-D Wasserstein-1: how FAR apart the click and purchase
+    // value distributions are, in value units — the trendable drift
+    // magnitude next to the family's p-values; config-bounded bucket
+    // table, triangular next-bucket join, no window
+    "stats_wasserstein" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Stats.wasserstein1(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", width = 10.0)
+    }),
+
+    // streaming W1 (the ELEVENTH readout of the same aucvalue count
+    // state): equals the batch stats_wasserstein; same oracle
+    "stream_wasserstein" -> ((s, dir) => {
+      aucValueState(s, dir).transportDistance(10.0)
+    }),
+
     // batch twin of stream_power off the same arms as stats_twoprop
     "stats_power_twoprop" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -5772,6 +5827,137 @@ object SparkEntry {
          round(CAST(least(2.0 * exp(-2.0 * zr * zr), 1.0)
            AS DECIMAL(18,8)), 6)::DOUBLE AS p_approx
        FROM z"""
+
+  /** two-sample Cramér–von Mises replay: the ks2 oracle's per-value count
+    * CTEs, each distinct value's exact HUGEINT CDF gap squared in fixed
+    * double order and DECIMAL(28,10)-staged before the sum, then T and
+    * Anderson's null-moment standardization from the ROUNDED t — shared
+    * by `stats_cvm` and `stream_cvm`.
+    */
+  private val cvmOracleSql =
+    """WITH u AS (
+         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+         FROM u GROUP BY 1),
+       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
+         FROM c),
+       cum AS (
+         SELECT p, n,
+           sum(p) OVER (ORDER BY v) AS cp, sum(n) OVER (ORDER BY v) AS cn
+         FROM c),
+       f AS (
+         SELECT na, nb, p, n,
+           (cp * nb - cn * na)::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS fd
+         FROM cum CROSS JOIN tot),
+       terms AS (
+         SELECT na, nb,
+           CAST((p + n)::DOUBLE * fd * fd AS DECIMAL(28,10)) AS term
+         FROM f),
+       s AS (SELECT na, nb, sum(term) AS st FROM terms GROUP BY 1, 2),
+       tstage AS (
+         SELECT na, nb,
+           CASE WHEN na = 0 OR nb = 0 THEN NULL
+                ELSE round(CAST((na::DOUBLE * nb::DOUBLE
+                    / ((na + nb)::DOUBLE * (na + nb)::DOUBLE)) * st::DOUBLE
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS t
+         FROM s),
+       m AS (
+         SELECT na, nb, t,
+           (1.0 + 1.0 / (na + nb)::DOUBLE) / 6.0 AS et,
+           (((na + nb)::DOUBLE + 1.0)
+             / (45.0 * (na + nb)::DOUBLE * (na + nb)::DOUBLE))
+           * ((4.0 * na::DOUBLE * nb::DOUBLE * (na + nb)::DOUBLE
+               - 3.0 * (na::DOUBLE * na::DOUBLE + nb::DOUBLE * nb::DOUBLE)
+               - 2.0 * na::DOUBLE * nb::DOUBLE)
+             / (4.0 * na::DOUBLE * nb::DOUBLE)) AS vt
+         FROM tstage)
+       SELECT na AS n_a, nb AS n_b, t,
+         CASE WHEN t IS NULL OR vt <= 0.0 THEN NULL
+              ELSE round(CAST((t - et) / sqrt(vt) AS DECIMAL(18,8)), 6)::DOUBLE
+         END AS z
+       FROM m"""
+
+  /** two-sample Anderson–Darling replay: the ks2 oracle's per-value count
+    * CTEs, the interior values' tail-weighted squared gaps in fixed
+    * double order (each factor ≤ N) DECIMAL(28,10)-staged before the
+    * sum, ONE divide by na·nb — shared by `stats_ad` and `stream_ad`.
+    */
+  private val adOracleSql =
+    """WITH u AS (
+         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+         FROM u GROUP BY 1),
+       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
+         FROM c),
+       cum AS (
+         SELECT p, n,
+           sum(p) OVER (ORDER BY v) AS cp, sum(n) OVER (ORDER BY v) AS cn
+         FROM c),
+       f AS (
+         SELECT na, nb, p, n,
+           ((na + nb) * cp - na * (cp + cn))::DOUBLE AS gd,
+           (cp + cn)::DOUBLE AS bd
+         FROM cum CROSS JOIN tot
+         WHERE cp + cn < na + nb),
+       terms AS (
+         SELECT na, nb,
+           CAST((p + n)::DOUBLE * (gd / bd)
+             * (gd / ((na + nb)::DOUBLE - bd)) AS DECIMAL(28,10)) AS term
+         FROM f),
+       s AS (SELECT na, nb, sum(term) AS st FROM terms GROUP BY 1, 2)
+       SELECT na AS n_a, nb AS n_b,
+         CASE WHEN na = 0 OR nb = 0 OR st IS NULL THEN NULL
+              ELSE round(CAST(st::DOUBLE / (na::DOUBLE * nb::DOUBLE)
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS a2
+       FROM s"""
+
+  /** bucketed Wasserstein-1 replay: the ks2 oracle's per-value counts
+    * re-bucketed at width 10, cumulative counts in bucket order, each
+    * present bucket's span to its next present neighbor times the exact
+    * HUGEINT CDF gap (DECIMAL(28,10)-staged before the sum) — shared by
+    * `stats_wasserstein` and `stream_wasserstein`.
+    */
+  private val w1OracleSql =
+    """WITH u AS (
+         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
+         FROM u GROUP BY 1),
+       cb AS (
+         SELECT CAST(floor(v / 10.0) AS BIGINT) AS b,
+           CAST(sum(p) AS BIGINT) AS p, CAST(sum(n) AS BIGINT) AS n
+         FROM c GROUP BY 1),
+       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
+         FROM cb),
+       cum AS (
+         SELECT b,
+           sum(p) OVER (ORDER BY b) AS cp, sum(n) OVER (ORDER BY b) AS cn,
+           lead(b) OVER (ORDER BY b) AS nx
+         FROM cb),
+       terms AS (
+         SELECT na, nb,
+           CAST(((nx - b)::DOUBLE * 10.0)
+             * (abs(cp * nb - cn * na)::DOUBLE
+               / (na::DOUBLE * nb::DOUBLE)) AS DECIMAL(28,10)) AS term
+         FROM cum CROSS JOIN tot
+         WHERE nx IS NOT NULL),
+       s AS (SELECT sum(term) AS st FROM terms)
+       SELECT na AS n_a, nb AS n_b,
+         CASE WHEN na = 0 OR nb = 0 THEN NULL
+              ELSE round(CAST(coalesce(st, 0)::DOUBLE
+                AS DECIMAL(18,8)), 6)::DOUBLE END AS w1
+       FROM s CROSS JOIN tot"""
 
   /** EWMA control-chart replay (daily counts, exact moments, unrolled
     * recursion via triangular self-join with decimal-staged terms,
@@ -11430,6 +11616,12 @@ object SparkEntry {
     "stream_mh" -> mhOracleSql,
     "stats_ks2" -> ks2OracleSql,
     "stream_ks" -> ks2OracleSql,
+    "stats_cvm" -> cvmOracleSql,
+    "stream_cvm" -> cvmOracleSql,
+    "stats_ad" -> adOracleSql,
+    "stream_ad" -> adOracleSql,
+    "stats_wasserstein" -> w1OracleSql,
+    "stream_wasserstein" -> w1OracleSql,
     "curate_krippendorff" -> krippendorffOracleSql,
     "stream_krippendorff" -> krippendorffOracleSql,
     "text_vocab_richness" -> vocabRichnessOracleSql,

@@ -1774,6 +1774,205 @@ object Stats {
           .otherwise("large"))
   }
 
+  /** Two-sample Cramér–von Mises test — [[ksTwoSample]]'s INTEGRATED
+    * sibling: where KS reads only the single largest CDF gap, T averages
+    * the SQUARED gap over every observation, so many moderate departures
+    * (a distribution that is slightly off everywhere — the classic
+    * drift-after-requantization shape) move T long before any one point
+    * gap grows large enough to move D. The standard companion check when
+    * a KS verdict looks marginal.
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as
+    * [[rocAuc]]/[[mannWhitney]]/[[ksTwoSample]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose `shapeTest`
+    * readout IS this test); both CDFs ride the ONE deterministic-bucket
+    * prefix scan, each distinct value's gap `cum_a·n_b − cum_b·n_a` is an
+    * exact DECIMAL(38,0) integer, the squared-gap term evaluates in fixed
+    * double order and stages in DECIMAL(28,10) BEFORE the sum (exact,
+    * order-free decimal addition — engine-reproducible), and only the
+    * final T and its standardization run as fixed-order doubles. The z
+    * uses Anderson's exact null moments E[T] = (1 + 1/N)/6 and
+    * Var[T] = (N+1)/(45N²) · (4mnN − 3(m²+n²) − 2mn)/(4mn), evaluated
+    * from the ROUNDED t so both engines standardize the identical double.
+    *
+    * Returns one row (n_a, n_b, t, z); NULL when either arm is empty (z
+    * also NULL when the null variance is non-positive — degenerate N).
+    */
+  def cramerVonMises(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    cvmOfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[cramerVonMises]]'s readout from a [[scoreCounts]] table — the
+    * stage the streaming monitor shares with the batch operator.
+    */
+  def cvmOfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
+    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val gd = (col("cum___p").cast(big) * col("n_b").cast(big) -
+      col("cum___n").cast(big) * col("n_a").cast(big)).cast("double")
+    val fd = gd / (nad * nbd)
+    val agg = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        ((col("__p") + col("__n")).cast("double") * fd * fd)
+          .cast(dec10).as("__t"))
+      .groupBy(col("n_a"), col("n_b")).agg(sum(col("__t")).as("__ts"))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val nd = nad + nbd
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    val t = when(empty, lit(null).cast("double"))
+      .otherwise(r6((nad * nbd / (nd * nd)) * col("__ts").cast("double")))
+    val withT = agg.select(col("n_a"), col("n_b"), t.as("t"))
+    val et = (lit(1.0) + lit(1.0) / nd) / lit(6.0)
+    val vt = ((nd + lit(1.0)) / (lit(45.0) * nd * nd)) *
+      ((lit(4.0) * nad * nbd * nd - lit(3.0) * (nad * nad + nbd * nbd) -
+        lit(2.0) * nad * nbd) / (lit(4.0) * nad * nbd))
+    withT.select(col("n_a"), col("n_b"), col("t"),
+      when(col("t").isNull || vt <= 0.0, lit(null).cast("double"))
+        .otherwise(r6((col("t") - et) / sqrt(vt))).as("z"))
+  }
+
+  /** Two-sample Anderson–Darling test — the TAIL-weighted member of the
+    * distribution-equality family: [[ksTwoSample]] weights every CDF gap
+    * equally and [[cramerVonMises]] integrates it uniformly, so both are
+    * near-blind to gaps out in the tails where F(1−F) → 0; A² divides
+    * each squared gap by exactly that factor, making it the test that
+    * catches a contamination living only in the extreme quantiles (the
+    * truncated-vs-heavy-tail quality-score case both siblings pass).
+    *
+    * Scale shape: the IDENTICAL additive per-value count state as its
+    * siblings (the [[graft.streaming.Streaming.AucMonitor]] state, whose
+    * `tailTest` readout IS this test); the per-value gap `N·cum_a − n_a·B`
+    * is an exact DECIMAL(38,0) integer off the same ONE prefix scan, each
+    * term evaluates as fixed-order doubles `w · (g/B) · (g/(N−B))`
+    * (factored so every intermediate stays ≤ N — no double overflow at
+    * any data scale) and stages in DECIMAL(28,10) BEFORE the sum; ONE
+    * IEEE divide by n_a·n_b at the end. Pettitt's k=2 form with the
+    * right-continuous tie convention (the B_i = N top value drops out
+    * exactly, its gap being identically zero).
+    *
+    * Returns one row (n_a, n_b, a2); NULL when either arm is empty or
+    * every row is one tied value (no interior CDF point).
+    */
+  def andersonDarling2(a: DataFrame, bDf: DataFrame, valueCol: String): DataFrame =
+    ad2OfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")))
+
+  /** [[andersonDarling2]]'s readout from a [[scoreCounts]] table — the
+    * stage the streaming monitor shares with the batch operator.
+    */
+  def ad2OfCounts(counts: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
+    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val nTot = (col("n_a") + col("n_b")).cast(big)
+    val bTot = (col("cum___p") + col("cum___n")).cast(big)
+    val gd = (nTot * col("cum___p").cast(big) -
+      col("n_a").cast(big) * bTot).cast("double")
+    val bd = bTot.cast("double")
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    val agg = cum.crossJoin(broadcast(tot))
+      .filter(col("cum___p") + col("cum___n") < col("n_a") + col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("__p") + col("__n")).cast("double") * (gd / bd) *
+          (gd / (nd - bd))).cast(dec10).as("__t"))
+      .groupBy(col("n_a"), col("n_b")).agg(sum(col("__t")).as("__ts"))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    agg.select(col("n_a"), col("n_b"),
+      when(empty || col("__ts").isNull, lit(null).cast("double"))
+        .otherwise(r6(col("__ts").cast("double") / (nad * nbd))).as("a2"))
+  }
+
+  /** Bucketed 1-D Wasserstein-1 (earth-mover's) distance between two
+    * numeric samples — the family's DISTANCE, not test: KS/CvM/A² answer
+    * "are these the same distribution", W₁ = ∫|F_a − F_b| answers "how
+    * FAR apart are they, in the value's own units" — the number a drift
+    * dashboard trends and alerts on (a 0.3-point mean shift reads as
+    * W₁ ≈ 0.3), comparable across days because it has units, where a
+    * p-value at 10⁹ rows is always ~0. Resolution is `width` — the same
+    * fixed-bucket discipline as [[populationStability]]/the histogram
+    * quantiles, so the post-scan table is bounded by value-range/width
+    * (CONFIG), never by rows or distinct values.
+    *
+    * Scale shape: the per-value count state re-buckets in ONE extra
+    * bounded aggregation (still additive — the
+    * [[graft.streaming.Streaming.AucMonitor]] `transportDistance` readout
+    * IS this distance); cumulative counts ride the deterministic-bucket
+    * prefix scan; each present bucket's next-present neighbor comes from
+    * a triangular join on the CONFIG-bounded bucket table (no window, no
+    * single-partition sort); the per-gap contribution
+    * `(next−b)·width · |cum_a·n_b − cum_b·n_a|/(n_a·n_b)` evaluates in
+    * fixed double order off the exact DECIMAL(38,0) gap and stages in
+    * DECIMAL(28,10) BEFORE the sum. The top bucket's CDF gap is
+    * identically zero, so dropping the no-next row is exact, not an
+    * approximation.
+    *
+    * Returns one row (n_a, n_b, w1); NULL when either arm is empty; 0.0
+    * when all mass shares one bucket.
+    */
+  def wasserstein1(a: DataFrame, bDf: DataFrame, valueCol: String,
+                   width: Double): DataFrame =
+    w1OfCounts(scoreCounts(
+      a.select(col(valueCol).as("__v"), lit(true).as("__l"))
+        .unionByName(bDf.select(col(valueCol).as("__v"), lit(false).as("__l"))),
+      col("__v"), col("__l")), width)
+
+  /** [[wasserstein1]]'s readout from a [[scoreCounts]] table — the stage
+    * the streaming monitor shares with the batch operator.
+    */
+  def w1OfCounts(counts: DataFrame, width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    // re-bucket the per-value state to the config-bounded resolution
+    val bins = counts
+      .select(floor(col("__s") / width).cast("long").as("__b"),
+        col("__p"), col("__n"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n"))
+    val cum = graft.core.Scans.cumulative(bins, "__b", Seq("__p", "__n"))
+    val tot = bins.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    // next present bucket via a triangular join on the bounded bin table
+    val nxt = cum.as("a")
+      .join(bins.select(col("__b").as("__b2")).as("b"),
+        col("b.__b2") > col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"), col("a.cum___p").as("cum___p"),
+        col("a.cum___n").as("cum___n"))
+      .agg(min(col("b.__b2")).as("__nx"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val absD = abs(col("cum___p").cast(big) * col("n_b").cast(big) -
+      col("cum___n").cast(big) * col("n_a").cast(big)).cast("double")
+    // aggregate without a groupBy so the one-bucket case still yields a
+    // row (W₁ = 0.0), then attach the totals
+    val agg = nxt.filter(col("__nx").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select((((col("__nx") - col("__b")).cast("double") * lit(width)) *
+        (absD / (nad * nbd))).cast(dec10).as("__t"))
+      .agg(sum(col("__t")).as("__ts"))
+      .crossJoin(broadcast(tot))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    agg.select(col("n_a"), col("n_b"),
+      when(empty, lit(null).cast("double"))
+        .otherwise(r6(coalesce(col("__ts"), lit(0).cast(dec10))
+          .cast("double"))).as("w1"))
+  }
+
   /** Kruskal–Wallis H test of a numeric column across k groups — the
     * NONPARAMETRIC twin of [[anovaF]] (and the k-group generalization of
     * [[mannWhitney]]): "do these cohorts draw from the same

@@ -1562,6 +1562,33 @@ object Streaming {
       */
     def distributionTest: DataFrame = graft.functions.Stats.ksOfCounts(counts.merged)
 
+    /** ninth readout off the SAME count state: the two-sample
+      * Cramér–von Mises statistic ([[graft.functions.Stats.cvmOfCounts]])
+      * — the squared CDF gap INTEGRATED over every observation, the
+      * everywhere-slightly-off drift [[distributionTest]]'s single sup
+      * point can miss; equals the batch
+      * [[graft.functions.Stats.cramerVonMises]] over everything seen
+      */
+    def shapeTest: DataFrame = graft.functions.Stats.cvmOfCounts(counts.merged)
+
+    /** tenth readout off the SAME count state: the two-sample
+      * Anderson–Darling statistic ([[graft.functions.Stats.ad2OfCounts]])
+      * — the tail-weighted member of the family, catching contamination
+      * that lives only in the extreme quantiles; equals the batch
+      * [[graft.functions.Stats.andersonDarling2]] over everything seen
+      */
+    def tailTest: DataFrame = graft.functions.Stats.ad2OfCounts(counts.merged)
+
+    /** eleventh readout off the SAME count state: the bucketed 1-D
+      * Wasserstein-1 distance ([[graft.functions.Stats.w1OfCounts]]) —
+      * how FAR apart the arms' distributions are in the value's own
+      * units, the trendable drift magnitude next to the family's
+      * p-values; equals the batch [[graft.functions.Stats.wasserstein1]]
+      * over everything seen
+      */
+    def transportDistance(width: Double): DataFrame =
+      graft.functions.Stats.w1OfCounts(counts.merged, width)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
       MonitorState.save(dir, Map("counts" -> counts.forSave))

@@ -275,7 +275,7 @@ object SparkEntry {
     "stream_wilcoxon" -> "vol", "stream_sign_test" -> "vol",
     "stream_friedman" -> "vol", "stream_page_trend" -> "vol",
     "stream_pettitt" -> "vol", "stream_holt" -> "vol",
-    "stream_fdr" -> "vol",
+    "stream_fdr" -> "vol", "stream_padjust" -> "vol",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
@@ -292,9 +292,11 @@ object SparkEntry {
     "stream_key_skew" -> "keycount", "stream_gini" -> "keycount",
     "stream_retention" -> "retention", "stream_stickiness" -> "retention",
     "stream_kappa" -> "kappa", "stream_mcnemar" -> "kappa",
+    "stream_gwet" -> "kappa",
     "stream_cochranq" -> "cochran", "stream_fleiss" -> "cochran",
     "stream_krippendorff" -> "cochran",
     "stream_twoprop" -> "prop", "stream_power" -> "prop",
+    "stream_riskratio" -> "prop",
     "stream_welch" -> "welch", "stream_cohend" -> "welch",
     "stream_anova" -> "anova", "stream_tukey" -> "anova",
     "stream_jarque_bera" -> "normality", "stream_grubbs" -> "normality",
@@ -1109,6 +1111,22 @@ object SparkEntry {
     "stream_fdr" -> ((s, dir) => {
       val vm = volState(s, dir)
       vm.fdrControl(0.05)
+    }),
+
+    // Bonferroni / Holm / Benjamini–Yekutieli over the same per-type
+    // Pettitt changepoint panel as stats_fdr_bh: the FWER and
+    // dependence-robust corrections next to BH — bounded-panel
+    // triangular envelopes, decimal-staged harmonic constant
+    "stats_padjust" -> ((s, dir) => {
+      graft.functions.Stats.padjust(
+        graft.functions.Events.pettitt(events(s, dir), "event_type", "ts"),
+        "event_type", "p_approx")
+    }),
+
+    // streaming adjustment family (sixteenth readout of the same additive
+    // daily-count state): equals the batch stats_padjust; same oracle
+    "stream_padjust" -> ((s, dir) => {
+      volState(s, dir).familywiseControl
     }),
 
     // streaming key concentration (batch replay of 5 micro-batches):
@@ -2261,6 +2279,21 @@ object SparkEntry {
       graft.functions.Curation.mcnemar(docsNorm(s, dir),
         dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
         TextAnalysis.tokenCount(col("text")) >= 25)
+    }),
+
+    // Scott's pi + Gwet's AC1 on the same two filters: the
+    // prevalence-robust agreement pair that stays calibrated where
+    // kappa's paradox bites — same 2×2 confusion row
+    "curate_gwet" -> ((s, dir) => {
+      graft.functions.Curation.chanceRobustAgreement(docsNorm(s, dir),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        TextAnalysis.tokenCount(col("text")) >= 25)
+    }),
+
+    // streaming pi/AC1 (the THIRD readout of the same confusion state):
+    // equals the batch curate_gwet; same oracle
+    "stream_gwet" -> ((s, dir) => {
+      kappaState(s, dir).chanceRobustAgreement
     }),
 
     // exact ROC-AUC of the classifier micro-sum against the quality label:
@@ -4127,6 +4160,22 @@ object SparkEntry {
       propState(s, dir).effectSize
     }),
 
+    // relative risk + odds ratio with 95% log CIs for the month-half
+    // purchase shares: the ratio-scale effect next to stats_twoprop's z
+    // and stats_cohenh's arcsine h — same additive per-arm count state
+    "stats_riskratio" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.riskRatio(
+        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
+    }),
+
+    // streaming RR/OR (the FOURTH readout of the same per-arm count
+    // state): equals the batch stats_riskratio; same oracle
+    "stream_riskratio" -> ((s, dir) => {
+      propState(s, dir).ratioEffect
+    }),
+
     // two-sample Kolmogorov–Smirnov: the any-difference-in-shape verdict
     // between the click and purchase value distributions — exact integer
     // sup-gap off ONE prefix scan over the shared per-value count state
@@ -5217,6 +5266,60 @@ object SparkEntry {
                   / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
                   AS DECIMAL(18,8)), 6)::DOUBLE END AS z
          FROM m"""
+
+  /** relative-risk / odds-ratio replay: the twoprop oracle's exact per-arm
+    * count pairs, Katz and Woolf log intervals in fixed double order
+    * (ln/exp over identical IEEE doubles), every cell-zero case NULL —
+    * shared by `stats_riskratio` and `stream_riskratio`.
+    */
+  private val rrOracleSql =
+    """WITH a AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+         b AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+         m AS (
+           SELECT a.n AS na, b.n AS nb, a.x AS xa, b.x AS xb,
+             a.n::DOUBLE AS nad, b.n::DOUBLE AS nbd,
+             a.x::DOUBLE AS xad, b.x::DOUBLE AS xbd,
+             (a.n - a.x)::DOUBLE AS qad, (b.n - b.x)::DOUBLE AS qbd
+           FROM a CROSS JOIN b),
+         f AS (
+           SELECT na, nb, xa, xb, nad, nbd, xad, xbd,
+             na = 0 OR nb = 0 OR xa = 0 OR xb = 0 AS rrbad,
+             na = 0 OR nb = 0 OR xa = 0 OR xb = 0
+               OR xa = na OR xb = nb AS orbad,
+             (xad / nad) / (xbd / nbd) AS rr,
+             sqrt(1.0 / xad - 1.0 / nad + 1.0 / xbd - 1.0 / nbd) AS serr,
+             (xad * qbd) / (xbd * qad) AS orr,
+             sqrt(1.0 / xad + 1.0 / qad + 1.0 / xbd + 1.0 / qbd) AS seor
+           FROM m)
+         SELECT na AS n_a, nb AS n_b,
+           round(CAST(xad / nad AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
+           round(CAST(xbd / nbd AS DECIMAL(18,8)), 6)::DOUBLE AS p_b,
+           CASE WHEN rrbad THEN NULL
+                ELSE round(CAST(rr AS DECIMAL(18,8)), 6)::DOUBLE END AS rr,
+           CASE WHEN rrbad THEN NULL
+                ELSE round(CAST(exp(ln(rr) - 1.959964 * serr)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS rr_lo,
+           CASE WHEN rrbad THEN NULL
+                ELSE round(CAST(exp(ln(rr) + 1.959964 * serr)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS rr_hi,
+           CASE WHEN orbad THEN NULL
+                ELSE round(CAST(orr AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS odds_ratio,
+           CASE WHEN orbad THEN NULL
+                ELSE round(CAST(exp(ln(orr) - 1.959964 * seor)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS or_lo,
+           CASE WHEN orbad THEN NULL
+                ELSE round(CAST(exp(ln(orr) + 1.959964 * seor)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS or_hi
+         FROM f"""
 
   /** Spearman replay (joint counts, marginal doubled ranks off inclusive
     * cumulatives, exact-integer rank moments, fixed-order
@@ -6617,6 +6720,49 @@ object SparkEntry {
          least(env, 1.0) <= 0.05 AS reject
        FROM env ORDER BY key"""
 
+  /** Bonferroni/Holm/BY replay over the same Pettitt panel: the fdr
+    * oracle's ordinal rank, a step-DOWN max envelope for Holm, BH's
+    * step-UP min envelope inflated by the decimal-staged harmonic
+    * constant for BY — shared by `stats_padjust` and `stream_padjust`.
+    */
+  private lazy val padjustOracleSql =
+    s"""WITH panel AS ($pettittOracleSql),
+       base AS (
+         SELECT CAST(event_type AS VARCHAR) AS key, p_approx::DOUBLE AS p
+         FROM panel WHERE p_approx IS NOT NULL),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base),
+       ranked AS (
+         SELECT a.key, a.p, CAST(count(*) AS BIGINT) AS rank
+         FROM base a JOIN base b
+           ON (b.p < a.p OR (b.p = a.p AND b.key <= a.key))
+         GROUP BY 1, 2),
+       cm AS (
+         SELECT sum(CAST(1.0 / rank::DOUBLE AS DECIMAL(28,10))) AS cm
+         FROM ranked),
+       hraw AS (
+         SELECT rank AS rj, (m.m - rank + 1)::DOUBLE * p AS rawh
+         FROM ranked, m),
+       byraw AS (
+         SELECT rank AS rj,
+           p * (m.m::DOUBLE * cm.cm::DOUBLE) / rank::DOUBLE AS rawby
+         FROM ranked, m, cm),
+       henv AS (
+         SELECT r.key, max(hraw.rawh) AS envh
+         FROM ranked r JOIN hraw ON hraw.rj <= r.rank GROUP BY 1),
+       byenv AS (
+         SELECT r.key, min(byraw.rawby) AS envby
+         FROM ranked r JOIN byraw ON byraw.rj >= r.rank GROUP BY 1)
+       SELECT r.key, r.p, r.rank,
+         round(CAST(least(r.p * m.m::DOUBLE, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
+           AS p_bonf,
+         round(CAST(least(henv.envh, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
+           AS p_holm,
+         round(CAST(least(byenv.envby, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
+           AS p_by
+       FROM ranked r JOIN henv ON henv.key = r.key
+         JOIN byenv ON byenv.key = r.key, m
+       ORDER BY r.key"""
+
   /** Holt linear-smoothing replay: the A^e / A^e·c weight constants are
     * EMBEDDED from the same [[graft.functions.Events.holtWeights]] run
     * the Spark plan broadcasts, each weight·count term staged to
@@ -6848,6 +6994,37 @@ object SparkEntry {
          round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
            ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
        FROM p"""
+
+  /** Scott's π / Gwet's AC1 replay (same confusion-row CTE as kappa; the
+    * pooled trait prevalence feeds both chance terms, po and the chance
+    * terms 6dp-rounded BEFORE the index forms) — shared by `curate_gwet`
+    * and `stream_gwet` (the confusion row is the additive KappaMonitor
+    * state).
+    */
+  private lazy val gwetOracleSql = confusionCteSql +
+    """,
+       r AS (
+         SELECT n,
+           round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
+           ((n11 + n10)::DOUBLE / n::DOUBLE
+             + (n11 + n01)::DOUBLE / n::DOUBLE) / 2.0 AS pib
+         FROM k),
+       r2 AS (
+         SELECT n, po,
+           round(CAST(pib * pib + (1.0 - pib) * (1.0 - pib)
+             AS DECIMAL(18,8)), 6)::DOUBLE AS pe_scott,
+           round(CAST(2.0 * pib * (1.0 - pib)
+             AS DECIMAL(18,8)), 6)::DOUBLE AS pe_gwet
+         FROM r)
+       SELECT n, po, pe_scott,
+         round(CAST(CASE WHEN pe_scott >= 1.0 THEN 0.0
+           ELSE (po - pe_scott) / (1.0 - pe_scott) END
+           AS DECIMAL(18,8)), 6)::DOUBLE AS scott_pi,
+         pe_gwet,
+         round(CAST(CASE WHEN pe_gwet >= 1.0 THEN 0.0
+           ELSE (po - pe_gwet) / (1.0 - pe_gwet) END
+           AS DECIMAL(18,8)), 6)::DOUBLE AS gwet_ac1
+       FROM r2"""
 
   /** McNemar replay (same confusion-row CTE as kappa; signed z over the
     * discordant pair, Edwards-corrected χ² clamped at 0) — shared by
@@ -9895,6 +10072,10 @@ object SparkEntry {
     "stream_kappa" -> kappaOracleSql,
     // McNemar replay: same confusion CTE, asymmetry readout
     "curate_mcnemar" -> mcnemarOracleSql,
+    // Scott's pi / Gwet's AC1 replay: same confusion CTE, pooled-marginal
+    // chance terms
+    "curate_gwet" -> gwetOracleSql,
+    "stream_gwet" -> gwetOracleSql,
     "stream_mcnemar" -> mcnemarOracleSql,
     // Cochran's Q replay: three-filter panel, exact-integer Q
     "curate_cochranq" -> cochranOracleSql,
@@ -11604,6 +11785,8 @@ object SparkEntry {
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive
     "stats_twoprop" -> twopropOracleSql,
+    "stats_riskratio" -> rrOracleSql,
+    "stream_riskratio" -> rrOracleSql,
     "stats_power_twoprop" -> powerOracleSql,
     "stream_power" -> powerOracleSql,
     "stats_mh" -> mhOracleSql,
@@ -11787,6 +11970,8 @@ object SparkEntry {
     "stream_holt" -> holtOracleSql,
     "stats_fdr_bh" -> fdrOracleSql,
     "stream_fdr" -> fdrOracleSql,
+    "stats_padjust" -> padjustOracleSql,
+    "stream_padjust" -> padjustOracleSql,
     "stream_pettitt" -> pettittOracleSql,
 
     // Kaplan–Meier replay: same spans, same censor rule, same exact

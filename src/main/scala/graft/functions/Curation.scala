@@ -173,6 +173,59 @@ object Curation {
           .cast(dec), 6).cast(DoubleType))
   }
 
+  /** Scott's π and Gwet's AC1 on the same paired filters — the
+    * PREVALENCE-robust agreement pair read next to [[raterAgreement]]'s
+    * kappa: κ's chance term uses each rater's OWN marginal, so two
+    * filters that both keep 95% of a clean corpus score a near-zero κ
+    * from near-perfect agreement (the kappa paradox), exactly when a
+    * curation pipeline is healthiest. π replaces the chance term with
+    * the POOLED marginal (π̄² + (1−π̄)² — one shared trait prevalence),
+    * AC1 with 2π̄(1−π̄) (chance-agreement only on the coin-flippable
+    * mass), which stays calibrated at extreme keep rates. κ, π, and AC1
+    * agreeing is the all-clear; κ low while AC1 is high is the paradox
+    * signature, not a real disagreement.
+    *
+    * Scale shape: the IDENTICAL one-row additive confusion state as
+    * kappa/McNemar ([[confusionCounts]] — the
+    * [[graft.streaming.Streaming.KappaMonitor]] state, whose
+    * `chanceRobustAgreement` readout IS this); everything after the one
+    * scan+reduce is fixed-order arithmetic on four longs, with po and
+    * both chance terms 6dp-rounded BEFORE the index forms so the labels
+    * are engine-stable.
+    *
+    * Returns one row: (n, po, pe_scott, scott_pi, pe_gwet, gwet_ac1);
+    * indexes read 0 when their chance term saturates at 1.
+    */
+  def chanceRobustAgreement(df: DataFrame, flagA: Column,
+                            flagB: Column): DataFrame =
+    gwetOfCounts(confusionCounts(df, flagA, flagB))
+
+  /** [[chanceRobustAgreement]]'s readout from a [[confusionCounts]] state
+    * row.
+    */
+  def gwetOfCounts(counts: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val nD = col("n").cast(DoubleType)
+    def r6(x: Column) = round(x.cast(dec), 6).cast(DoubleType)
+    val po = r6((col("n11") + col("n00")).cast(DoubleType) / nD)
+    // pooled trait prevalence: the mean of the two raters' true shares
+    val piBar = ((col("n11") + col("n10")).cast(DoubleType) / nD +
+      (col("n11") + col("n01")).cast(DoubleType) / nD) / lit(2.0)
+    val peScott = r6(piBar * piBar + (lit(1.0) - piBar) * (lit(1.0) - piBar))
+    val peGwet = r6(lit(2.0) * piBar * (lit(1.0) - piBar))
+    counts
+      .select(col("n"), po.as("po"), peScott.as("pe_scott"),
+        peGwet.as("pe_gwet"))
+      .select(col("n"), col("po"), col("pe_scott"),
+        r6(when(col("pe_scott") >= 1.0, lit(0.0))
+          .otherwise((col("po") - col("pe_scott")) /
+            (lit(1.0) - col("pe_scott")))).as("scott_pi"),
+        col("pe_gwet"),
+        r6(when(col("pe_gwet") >= 1.0, lit(0.0))
+          .otherwise((col("po") - col("pe_gwet")) /
+            (lit(1.0) - col("pe_gwet")))).as("gwet_ac1"))
+  }
+
   /** McNemar's test on the same paired filters — the DIRECTION audit
     * [[raterAgreement]] can't give: kappa says how much two filters
     * agree, McNemar asks whether the disagreement is SYMMETRIC — of the

@@ -2388,6 +2388,67 @@ object Stats {
           .otherwise(lit("large")))
   }
 
+  /** Relative risk and odds ratio with 95% log-scale confidence
+    * intervals — the EPIDEMIOLOGY-grade effect readout of the two-arm
+    * binary family: [[twoProportionZ]] says the rate moved, [[cohenH]]
+    * says how far on the arcsine scale, this says how far as a RATIO
+    * ("arm A converts 1.8× as often, CI [1.6, 2.1]") — the number a
+    * launch review actually debates, with the interval that tells you
+    * whether 1.8× could still be 1.0×. RR via the Katz log interval, OR
+    * via Woolf's; both NULL (never a fake ∞/0) when a defining cell is
+    * empty.
+    *
+    * Scale shape: the IDENTICAL additive per-arm count state as
+    * [[twoProportionZ]]/[[cohenH]]/[[powerTwoProp]] (the
+    * [[graft.streaming.Streaming.ProportionMonitor]] state, whose
+    * `ratioEffect` readout IS this); every ratio/interval forms in fixed
+    * double order from the four exact counts — zero data shuffle, and
+    * ln/exp evaluate from identical doubles in any IEEE engine.
+    *
+    * Returns one row (n_a, n_b, p_a, p_b, rr, rr_lo, rr_hi, odds_ratio,
+    * or_lo, or_hi) at 6dp; rr columns NULL when either arm is empty or
+    * either success count is 0, odds columns NULL when any 2×2 cell
+    * is 0.
+    */
+  def riskRatio(a: DataFrame, bDf: DataFrame, successCol: Column): DataFrame =
+    rrOfCounts(propCounts(a, successCol, "a").crossJoin(
+      broadcast(propCounts(bDf, successCol, "b"))))
+
+  /** [[riskRatio]]'s formula stage over a joint [[propCounts]] row. */
+  def rrOfCounts(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val z95 = lit(1.959964)
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    val na = col("__pn_a").cast("double")
+    val nb = col("__pn_b").cast("double")
+    val xa = col("__px_a").cast("double")
+    val xb = col("__px_b").cast("double")
+    val qa = (col("__pn_a") - col("__px_a")).cast("double")
+    val qb = (col("__pn_b") - col("__px_b")).cast("double")
+    val pa = r6(xa / na)
+    val pb = r6(xb / nb)
+    val rr = (xa / na) / (xb / nb)
+    val seRr = sqrt(lit(1.0) / xa - lit(1.0) / na +
+      lit(1.0) / xb - lit(1.0) / nb)
+    val orr = (xa * qb) / (xb * qa)
+    val seOr = sqrt(lit(1.0) / xa + lit(1.0) / qa +
+      lit(1.0) / xb + lit(1.0) / qb)
+    val rrBad = col("__pn_a") === 0L || col("__pn_b") === 0L ||
+      col("__px_a") === 0L || col("__px_b") === 0L
+    val orBad = rrBad || col("__px_a") === col("__pn_a") ||
+      col("__px_b") === col("__pn_b")
+    def guard(bad: Column, x: Column) =
+      when(bad, lit(null).cast("double")).otherwise(r6(x))
+    row.select(col("__pn_a").as("n_a"), col("__pn_b").as("n_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      guard(rrBad, rr).as("rr"),
+      guard(rrBad, exp(log(rr) - z95 * seRr)).as("rr_lo"),
+      guard(rrBad, exp(log(rr) + z95 * seRr)).as("rr_hi"),
+      guard(orBad, orr).as("odds_ratio"),
+      guard(orBad, exp(log(orr) - z95 * seOr)).as("or_lo"),
+      guard(orBad, exp(log(orr) + z95 * seOr)).as("or_hi"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified two-proportion test — the
     * confounder-proof upgrade of [[twoProportionZ]]: pooling arms across
     * strata whose baseline rates differ invites Simpson's paradox (a mix
@@ -3127,6 +3188,84 @@ object Stats {
         round(least(col("__env"), lit(1.0)).cast(dec8), 6)
           .cast("double").as("p_bh"),
         (least(col("__env"), lit(1.0)) <= q).as("reject"))
+      .orderBy(col("key"))
+  }
+
+  /** The classical multiplicity-adjustment family over the same per-key
+    * p-value panel as [[bhAdjust]] — the FWER side of the correction
+    * menu: Bonferroni (`min(1, p·m)` — the blunt bound), Holm's step-down
+    * (`max_{j≤i} min(1, (m−j+1)·p₍ⱼ₎)` — uniformly tighter than
+    * Bonferroni at the SAME familywise guarantee, the default when any
+    * false alarm is expensive), and Benjamini–Yekutieli (BH's envelope
+    * inflated by the harmonic constant c(m) = Σ 1/k — FDR control that
+    * stays valid under ARBITRARY dependence between the panel's tests,
+    * the honest choice when the per-type statistics share a corpus).
+    * Read next to [[bhAdjust]]: BH for "which alarms do I triage", Holm
+    * for "which do I page on", BY when the tests are entangled.
+    *
+    * Scale shape and guards IDENTICAL to [[bhAdjust]] (one bounded
+    * collect enforces panel width and key uniqueness before anything
+    * quadratic): ordinal rank and both envelopes ride triangular joins
+    * on the frozen ≤`maxPanel`-row panel (step-UP min for BY, step-DOWN
+    * max for Holm); the harmonic c(m) sums DECIMAL(28,10)-staged 1/rank
+    * terms over the bounded panel (order-free, engine-exact); every
+    * adjusted value forms in fixed double order.
+    *
+    * Returns one row per key with a non-NULL p:
+    * (key, p, rank, p_bonf, p_holm, p_by) — adjusted values at 6dp.
+    */
+  def padjust(panel: DataFrame, keyCol: String, pCol: String,
+              maxPanel: Int = 10000): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val base = bridge.freeze(
+      panel.select(col(keyCol).cast("string").as("key"),
+          col(pCol).cast("double").as("p"))
+        .filter(col("p").isNotNull))
+    val sizes = base.agg(count(lit(1)), count_distinct(col("key"))).head()
+    val (nRows, nKeys) = (sizes.getLong(0), sizes.getLong(1))
+    require(nRows <= maxPanel,
+      s"padjust: panel has $nRows p-values (> maxPanel=$maxPanel); the " +
+        "rank/envelope stages are quadratic in the panel — this is a " +
+        "per-test-battery correction, not a per-document one. If the " +
+        "panel really is that wide, raise maxPanel explicitly.")
+    require(nKeys == nRows,
+      s"padjust: ${nRows - nKeys} duplicate key(s) in the panel — the " +
+        "ordinal rank assumes one p per key; pre-aggregate duplicates " +
+        "before adjusting.")
+    val m = base.agg(count(lit(1)).as("__m"))
+    val other = base.select(col("key").as("__kj"), col("p").as("__pj"))
+    val ranked = bridge.freeze(base.join(other)
+      .filter(col("__pj") < col("p") ||
+        (col("__pj") === col("p") && col("__kj") <= col("key")))
+      .groupBy(col("key"), col("p"))
+      .agg(count(lit(1)).as("rank"))
+      .crossJoin(broadcast(m)))
+    // harmonic constant c(m) = Σ 1/k over the panel's ranks, staged in
+    // decimal so the bounded sum is order-free
+    val cm = broadcast(ranked.agg(
+      sum((lit(1.0) / col("rank").cast("double")).cast(dec10)).as("__cm")))
+    val md = col("__m").cast("double")
+    val holmRaw = ranked.select(col("rank").as("__rj"),
+      ((col("__m") - col("rank") + lit(1L)).cast("double") * col("p"))
+        .as("__rawh"))
+    val byRaw = ranked.crossJoin(cm)
+      .select(col("rank").as("__rj"),
+        (col("p") * (md * col("__cm").cast("double")) /
+          col("rank").cast("double")).as("__rawby"))
+    // Holm: step-DOWN max over ranks at or below mine
+    val holmEnv = ranked.join(holmRaw, col("__rj") <= col("rank"))
+      .groupBy(col("key")).agg(max(col("__rawh")).as("__envh"))
+    // BY: step-UP min over ranks at or above mine
+    val byEnv = ranked.join(byRaw, col("__rj") >= col("rank"))
+      .groupBy(col("key")).agg(min(col("__rawby")).as("__envby"))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast("double")
+    ranked.join(holmEnv, Seq("key")).join(byEnv, Seq("key"))
+      .select(col("key"), col("p"), col("rank"),
+        r6(least(col("p") * md, lit(1.0))).as("p_bonf"),
+        r6(least(col("__envh"), lit(1.0))).as("p_holm"),
+        r6(least(col("__envby"), lit(1.0))).as("p_by"))
       .orderBy(col("key"))
   }
 }

@@ -493,6 +493,18 @@ object Streaming {
           daily.getOrElse(throw new IllegalStateException("no batches ingested"))),
         "event_type", "p_approx", q)
 
+    /** sixteenth readout: the Bonferroni/Holm/Benjamini–Yekutieli
+      * adjustment family ([[graft.functions.Stats.padjust]]) across the
+      * SAME per-type Pettitt changepoint panel — the FWER and
+      * dependence-robust corrections next to [[fdrControl]]'s BH;
+      * batch-exact because both stages are
+      */
+    def familywiseControl: DataFrame =
+      graft.functions.Stats.padjust(
+        graft.functions.Events.pettittOfDaily(
+          daily.getOrElse(throw new IllegalStateException("no batches ingested"))),
+        "event_type", "p_approx")
+
     /** eighth readout off the accreted count state: the Ljung–Box
       * portmanteau Q ([[graft.functions.Events.ljungBoxOfDaily]]) — "is
       * the ACF's structure real or white noise", pooled across lags;
@@ -1175,6 +1187,15 @@ object Streaming {
     def effectSize: DataFrame = graft.functions.Stats.cohenHOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** fourth readout off the SAME count state: relative risk and odds
+      * ratio with 95% log-scale intervals
+      * ([[graft.functions.Stats.rrOfCounts]]) — the ratio-scale effect a
+      * launch review debates; equals the batch
+      * [[graft.functions.Stats.riskRatio]]
+      */
+    def ratioEffect: DataFrame = graft.functions.Stats.rrOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("counts" -> counts))
 
@@ -1634,6 +1655,15 @@ object Streaming {
       * [[graft.functions.Curation.mcnemar]] over everything seen
       */
     def disagreement: DataFrame = graft.functions.Curation.mcnemarOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** third readout off the SAME confusion state: Scott's π and Gwet's
+      * AC1 ([[graft.functions.Curation.gwetOfCounts]]) — the
+      * prevalence-robust agreement pair that stays calibrated where
+      * kappa's paradox bites; equals the batch
+      * [[graft.functions.Curation.chanceRobustAgreement]]
+      */
+    def chanceRobustAgreement: DataFrame = graft.functions.Curation.gwetOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the confusion state for crash-restart (call after update) */

@@ -270,6 +270,7 @@ object SparkEntry {
   val benchFamilies: Map[String, String] = Map(
     "stream_anomaly" -> "vol", "stream_forecast" -> "vol",
     "stream_cusum" -> "vol", "stream_ewma" -> "vol",
+    "stream_burstiness" -> "vol",
     "stream_mannkendall" -> "vol", "stream_acf" -> "vol",
     "stream_ljung_box" -> "vol", "stream_durbin_watson" -> "vol",
     "stream_wilcoxon" -> "vol", "stream_sign_test" -> "vol",
@@ -299,6 +300,7 @@ object SparkEntry {
     "stream_riskratio" -> "prop",
     "stream_welch" -> "welch", "stream_cohend" -> "welch",
     "stream_anova" -> "anova", "stream_tukey" -> "anova",
+    "stream_bartlett" -> "anova",
     "stream_jarque_bera" -> "normality", "stream_grubbs" -> "normality",
     "stream_mi" -> "mihr", "stream_theilu" -> "mihr")
 
@@ -851,6 +853,19 @@ object SparkEntry {
       val vm = volState(s, dir)
       vm.ewma(lambda = 0.2, limitSigmas = 3.0)
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // burstiness profile: each type's daily-volume Fano factor + CV² —
+    // the dispersion context the CUSUM/EWMA limits on this same state
+    // should be tuned against; one aggregation of the bounded day table
+    "events_burstiness" -> ((s, dir) => {
+      graft.functions.Events.burstiness(events(s, dir), "event_type", "ts")
+    }),
+
+    // streaming burstiness (seventeenth readout of the same additive
+    // daily-count state): equals the batch events_burstiness; same oracle
+    "stream_burstiness" -> ((s, dir) => {
+      volState(s, dir).burstiness
     }),
 
     // Mann-Kendall trend + Theil-Sen slope: the distribution-free trend
@@ -2225,6 +2240,20 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
       graft.functions.Curation.jsDivergence(vOld, vNew, "text")
+    }),
+
+    // TVD + Hellinger + Bhattacharyya between the same two corpus
+    // versions as curate_jsd: the rest of the f-divergence menu off the
+    // same vocabulary-bounded count table — TVD bounds any classifier's
+    // distinguishing power, Hellinger weights rare tokens correctly,
+    // Bhattacharyya composes across independent slices
+    "curate_hellinger" -> ((s, dir) => {
+      val docs = docsNorm(s, dir)
+      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
+      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      graft.functions.Curation.distributionDistances(vOld, vNew, "text")
     }),
 
     // per-language score calibration: z-normalized quality so one global
@@ -3905,6 +3934,21 @@ object SparkEntry {
       am.pairwise
     }),
 
+    // Bartlett's variance-homogeneity test across the event types: the
+    // ANOVA family's own equal-variance assumption checked from the SAME
+    // k-row moment table — read next to stats_levene (Bartlett has more
+    // power near normality, Levene is tail-robust)
+    "stats_bartlett" -> ((s, dir) => {
+      graft.functions.Stats.bartlettTest(events(s, dir),
+        col("event_type"), col("value"))
+    }),
+
+    // streaming Bartlett (the THIRD readout of the same additive
+    // group-moment state): equals the batch stats_bartlett; same oracle
+    "stream_bartlett" -> ((s, dir) => {
+      anovaState(s, dir).varianceHomogeneity
+    }),
+
     // Mann–Whitney U: does click stochastically dominate purchase on VALUE
     // — the nonparametric twin of stats_welch via the rocAuc machinery:
     // ONE reduce to the per-value count table, prefix-scan cumulatives,
@@ -4714,6 +4758,49 @@ object SparkEntry {
            CASE WHEN ssb + ssw <= 0.0 THEN NULL
                 ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
                 END AS eta2
+         FROM m"""
+
+  /** Bartlett replay (same per-group exact moments as anova; each group's
+    * (n−1)·ln s² and 1/(n−1) terms decimal-staged before the k-row sums,
+    * χ² and the Bartlett correction in fixed double order) — shared by
+    * `stats_bartlett` and `stream_bartlett` (the group-moment state is
+    * the additive AnovaMonitor state).
+    */
+  private val bartlettOracleSql =
+    """WITH g AS (
+           SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
+             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT n,
+             CASE WHEN n < 2 OR (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                    / (n - 1)::DOUBLE <= 0.0 THEN NULL
+                  ELSE CAST((n - 1)::DOUBLE
+                    * ln((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                      / (n - 1)::DOUBLE) AS DECIMAL(28,10)) END AS lv,
+             CAST(1.0 / (n - 1)::DOUBLE AS DECIMAL(28,10)) AS inv,
+             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
+               AS DECIMAL(28,10)) AS w
+           FROM g),
+         a AS (
+           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(lv) AS slv, sum(inv) AS sinv, sum(w) AS ssw,
+             sum(CASE WHEN lv IS NULL THEN 1 ELSE 0 END) AS bad
+           FROM t),
+         m AS (
+           SELECT k, nn, bad,
+             ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE) AS sp2,
+             CASE WHEN k < 2 OR ssw::DOUBLE <= 0.0 THEN NULL
+                  ELSE ((nn::DOUBLE - k::DOUBLE)
+                      * ln(ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE))
+                      - slv::DOUBLE)
+                    / (1.0 + (sinv::DOUBLE - 1.0 / (nn::DOUBLE - k::DOUBLE))
+                      / (3.0 * (k::DOUBLE - 1.0))) END AS stat
+           FROM a)
+         SELECT k, nn AS n,
+           CASE WHEN k < 2 OR bad > 0 OR sp2 <= 0.0 THEN NULL
+                ELSE round(CAST(stat AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS chi2
          FROM m"""
 
   /** Tukey HSD replay (same per-group exact moments as anova, pooled MSW,
@@ -6102,6 +6189,38 @@ object SparkEntry {
          round(CAST(mean + spread AS DECIMAL(18,8)), 4)::DOUBLE AS ucl,
          (ewma < mean - spread OR ewma > mean + spread) AS alarm
        FROM f ORDER BY event_type, day"""
+
+  /** burstiness replay (daily counts, per-type exact (d, Σn, Σn²)
+    * moments, Fano = var/mean and CV² in fixed double order) — shared by
+    * `events_burstiness` and `stream_burstiness` (daily counts are
+    * additive, so the accreted VolumeMonitor state equals the one-pass
+    * count table).
+    */
+  private val burstinessOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS d_days,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
+         FROM d GROUP BY 1),
+       f AS (
+         SELECT event_type, d_days, n_total,
+           n_total::DOUBLE / d_days AS mean,
+           greatest(s2::DOUBLE / d_days
+             - (n_total::DOUBLE / d_days) * (n_total::DOUBLE / d_days),
+             0.0) AS vr
+         FROM st)
+       SELECT event_type, d_days, n_total,
+         round(CAST(mean AS DECIMAL(18,8)), 6)::DOUBLE AS mean_daily,
+         CASE WHEN mean <= 0.0 THEN NULL
+              ELSE round(CAST(vr / mean AS DECIMAL(18,8)), 6)::DOUBLE
+         END AS fano,
+         CASE WHEN mean <= 0.0 THEN NULL
+              ELSE round(CAST(vr / (mean * mean) AS DECIMAL(18,8)), 6)::DOUBLE
+         END AS cv2
+       FROM f ORDER BY event_type"""
 
   /** Mann–Kendall + Theil–Sen replay (daily counts, triangular day-pair
     * join for S and the slope pool, exact-integer tie terms,
@@ -9200,6 +9319,51 @@ object SparkEntry {
            round(CAST(sum(trm) AS DECIMAL(18,8)), 6)::DOUBLE AS jsd
          FROM t GROUP BY 1, 2, 3""",
 
+    // TVD/Hellinger/Bhattacharyya replay: the jsd oracle's smoothed
+    // per-token p/q, |p-q| and sqrt(pq) decimal-staged before the
+    // vocabulary sums, identical clamps on the readouts
+    "curate_hellinger" ->
+      s"""WITH o AS (
+           SELECT text FROM documents WHERE doc_id % 10 != 9),
+         nb AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
+           FROM documents WHERE doc_id % 10 != 0),
+         tk AS (
+           SELECT tok, FALSE AS isb FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
+           UNION ALL
+           SELECT tok, TRUE AS isb FROM (
+             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
+         c AS (
+           SELECT tok, sum(CASE WHEN NOT isb THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN isb THEN 1 ELSE 0 END) AS cb
+           FROM tk GROUP BY tok),
+         st AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+             count(*) AS v
+           FROM c),
+         x AS (
+           SELECT ta, tb, v,
+             (CAST(ca AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + v) AS p,
+             (CAST(cb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + v) AS q
+           FROM c CROSS JOIN st),
+         t AS (
+           SELECT ta, tb, v,
+             CAST(abs(p - q) AS DECIMAL(28,12)) AS tv,
+             CAST(sqrt(p * q) AS DECIMAL(28,12)) AS bc
+           FROM x),
+         s AS (
+           SELECT ta, tb, v, sum(tv) AS tvs, sum(bc) AS bcs
+           FROM t GROUP BY 1, 2, 3)
+         SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
+           round(CAST(0.5 * tvs::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS tvd,
+           round(CAST(sqrt(greatest(1.0 - bcs::DOUBLE, 0.0))
+             AS DECIMAL(18,8)), 6)::DOUBLE AS hellinger,
+           CASE WHEN bcs::DOUBLE <= 0.0 THEN NULL
+                ELSE round(CAST(greatest(-ln(bcs::DOUBLE), 0.0)
+                  AS DECIMAL(18,8)), 6)::DOUBLE END AS bhattacharyya
+         FROM s""",
+
     // calibration replay: decimal-exact Σq/Σq², one-division moments, z
     "curate_score_calibrate" ->
       s"""WITH q AS (
@@ -11750,6 +11914,8 @@ object SparkEntry {
     // within/between terms, same fixed-order F; state additive per group
     "stats_anova" -> anovaOracleSql,
     "stream_anova" -> anovaOracleSql,
+    "stats_bartlett" -> bartlettOracleSql,
+    "stream_bartlett" -> bartlettOracleSql,
     // Tukey replay: same group moments, pooled MSW, pairwise q
     "stats_tukey" -> tukeyOracleSql,
     "stream_tukey" -> tukeyOracleSql,
@@ -11938,6 +12104,8 @@ object SparkEntry {
     // fixed-order time-varying limits; daily counts are additive
     "events_ewma" -> ewmaOracleSql,
     "stream_ewma" -> ewmaOracleSql,
+    "events_burstiness" -> burstinessOracleSql,
+    "stream_burstiness" -> burstinessOracleSql,
     "events_mannkendall" -> mannKendallOracleSql,
     "stream_mannkendall" -> mannKendallOracleSql,
     "events_acf" -> acfOracleSql,

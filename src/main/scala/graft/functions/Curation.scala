@@ -885,6 +885,65 @@ object Curation {
         round(col("__jsd").cast(DecimalType(18, 8)), 6).cast("double").as("jsd"))
   }
 
+  /** Total-variation, Hellinger, and Bhattacharyya distances between two
+    * corpora's token distributions — the rest of the f-divergence menu
+    * next to [[jsDivergence]], because each answers a different drift
+    * question: TVD = ½Σ|p−q| is the OPERATIONAL bound ("no classifier
+    * can tell the corpora apart more often than TVD above chance" — the
+    * number to gate a swap on), Hellinger = √(1−Σ√(pq)) is the metric
+    * that scales correctly for RARE tokens (|p−q| under-weights a token
+    * going 1e-6 → 1e-4; √p−√q doesn't), and the Bhattacharyya distance
+    * −ln Σ√(pq) is the additive-over-independent-slices form
+    * classification-error bounds compose with. Same add-one smoothing
+    * over the union vocabulary as JSD, so the four numbers share one
+    * scale story.
+    *
+    * Scale shape: IDENTICAL to [[jsDivergence]] — both corpora collapse
+    * to ONE shared per-token count table (bounded by vocabulary, never
+    * tokens); each token's |p−q| and √(pq) terms evaluate in fixed
+    * double order and stage in DECIMAL(28,12) BEFORE the vocabulary sums
+    * (order-free); the three readouts are fixed-order arithmetic on the
+    * two exact sums (Σ√(pq) ≤ 1 by Cauchy–Schwarz; the 12dp staging can
+    * carry it a hair past 1, so both engines clamp identically).
+    *
+    * Returns one row (n_tok_a, n_tok_b, vocab, tvd, hellinger,
+    * bhattacharyya) at 6dp.
+    */
+  def distributionDistances(aDf: DataFrame, bDf: DataFrame,
+                            textCol: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val dec8 = DecimalType(18, 8)
+    def toks(df: DataFrame, isB: Boolean) =
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("__tok"),
+          lit(isB).as("__b"))
+        .filter(col("__tok") =!= "")
+    val counts = toks(aDf, isB = false).unionByName(toks(bDf, isB = true))
+      .groupBy(col("__tok")).agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val stats = counts.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"), count(lit(1)).as("__v"))
+    def r6(x: Column) = round(x.cast(dec8), 6).cast(DoubleType)
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__p", (col("__ca").cast("double") + lit(1.0))
+        / (col("__ta").cast("double") + col("__v")))
+      .withColumn("__q", (col("__cb").cast("double") + lit(1.0))
+        / (col("__tb").cast("double") + col("__v")))
+      .select(col("__ta"), col("__tb"), col("__v"),
+        abs(col("__p") - col("__q")).cast(dec).as("__tv"),
+        sqrt(col("__p") * col("__q")).cast(dec).as("__bc"))
+      .groupBy(col("__ta"), col("__tb"), col("__v"))
+      .agg(sum(col("__tv")).as("__tvs"), sum(col("__bc")).as("__bcs"))
+      .select(col("__ta").as("n_tok_a"), col("__tb").as("n_tok_b"),
+        col("__v").as("vocab"),
+        r6(lit(0.5) * col("__tvs").cast("double")).as("tvd"),
+        r6(sqrt(greatest(lit(1.0) - col("__bcs").cast("double"),
+          lit(0.0)))).as("hellinger"),
+        when(col("__bcs").cast("double") <= 0.0, lit(null).cast("double"))
+          .otherwise(r6(greatest(-log(col("__bcs").cast("double")),
+            lit(0.0)))).as("bhattacharyya"))
+  }
+
   /** Curate documents by their domain's statistics: a document is kept iff
     * its domain has at least `minDocs` documents, mean quality at least
     * `minMeanQuality`, duplication at most `maxDupFrac`, and is not on the

@@ -443,6 +443,58 @@ object Events {
           .cast("double").as("frac"))
   }
 
+  /** Burstiness profile of each event type's daily volume — the Fano
+    * factor (variance-to-mean ratio of daily counts) and squared
+    * coefficient of variation, the two standard dispersion indexes read
+    * BEFORE any of the daily-count alarms are tuned: a Poisson-like
+    * arrival stream reads Fano ≈ 1 (CUSUM/EWMA limits at default k work
+    * as designed), Fano ≫ 1 is the bursty/clumped regime where mean-based
+    * control limits false-alarm on every campaign spike, Fano ≪ 1 is
+    * metronomic (batch jobs pretending to be organic traffic). CV² gives
+    * the same verdict scale-free for comparing types whose volumes differ
+    * by orders of magnitude.
+    *
+    * Scale shape: ONE aggregation of the |types|×|days| count table to
+    * per-type (d, Σn, Σn²) — exact integer/decimal sums, additive across
+    * micro-batches (the [[graft.streaming.Streaming.VolumeMonitor]]
+    * `burstiness` readout IS this); the moments and both ratios evaluate
+    * in fixed double order per type. Zero data shuffle beyond the daily
+    * rollup the whole family shares.
+    *
+    * Returns one row per event_type: (event_type, d_days, n_total,
+    * mean_daily, fano, cv2) at 6dp; ratios NULL when the mean is 0.
+    */
+  def burstiness(df: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame =
+    burstinessOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[burstiness]]'s readout over an already-built (event_type, day, n)
+    * count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's
+    * dispersion equals the batch one).
+    */
+  def burstinessOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val stats = dailyCounts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d_days"), sum(col("n")).as("n_total"),
+        sum(col("n").cast(dec15) * col("n").cast(dec15)).as("__s2"))
+    val mean = col("n_total").cast("double") / col("d_days")
+    val vr = greatest(
+      col("__s2").cast("double") / col("d_days") - mean * mean, lit(0.0))
+    def r6(x: org.apache.spark.sql.Column) =
+      round(x.cast(dec8), 6).cast("double")
+    stats.select(col("event_type"), col("d_days"), col("n_total"),
+        r6(mean).as("mean_daily"),
+        when(mean <= 0.0, lit(null).cast("double"))
+          .otherwise(r6(vr / mean)).as("fano"),
+        when(mean <= 0.0, lit(null).cast("double"))
+          .otherwise(r6(vr / (mean * mean))).as("cv2"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM change-point detection over daily volumes (Page 1954) — the
     * drift alarm [[dailyAnomalies]]'s per-day z-test cannot raise: a
     * volume that creeps up 0.8σ every day never crosses a 2σ spike

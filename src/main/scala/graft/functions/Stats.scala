@@ -1373,6 +1373,64 @@ object Stats {
           .cast(dec8), 6).cast("double")).as("eta2"))
   }
 
+  /** Bartlett's test of variance homogeneity across k groups — the
+    * moment-based sibling of [[leveneTest]] on the ANOVA family's OWN
+    * assumption: the F (and Tukey's pooled MSW) presume every group
+    * shares one variance; Bartlett tests exactly that from the same
+    * sufficient statistics, with more power than Levene when the data
+    * are near-normal (and the classic sensitivity to heavy tails — read
+    * the two together: Bartlett alarms alone on kurtosis, both alarm on
+    * real heteroscedasticity).
+    *
+    * Scale shape: the IDENTICAL k-row additive moment state as
+    * [[anovaF]]/[[tukeyHsd]] (the
+    * [[graft.streaming.Streaming.AnovaMonitor]] state, whose
+    * `varianceHomogeneity` readout IS this test); each group's
+    * (nᵢ−1)·ln(s²ᵢ) and 1/(nᵢ−1) terms evaluate in fixed double order
+    * from the exact decimal sums and stage in DECIMAL(28,10) BEFORE the
+    * k-row sums (order-free), then the χ² and its Bartlett correction
+    * form as fixed-order doubles.
+    *
+    * Returns one row (k, n, chi2) with df = k−1 implied; chi2 NULL when
+    * k < 2, any group has n < 2, or any group variance is 0 (ln
+    * undefined — a degenerate group, not evidence).
+    */
+  def bartlettTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    bartlettOfGroupMoments(groupMoments(df, groupCol, valueCol))
+
+  /** [[bartlettTest]]'s readout from an already-built per-group moment
+    * table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def bartlettOfGroupMoments(tab: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d(c: String) = col(c).cast("double")
+    val vi = (d("__gq") - d("__gs") * d("__gs") / d("__gn")) /
+      (col("__gn") - lit(1L)).cast("double")
+    val terms = tab.select(col("__gn"),
+      when(col("__gn") < 2L || vi <= 0.0, lit(null).cast(dec))
+        .otherwise(((col("__gn") - lit(1L)).cast("double") * log(vi))
+          .cast(dec)).as("__lv"),
+      (lit(1.0) / (col("__gn") - lit(1L)).cast("double")).cast(dec)
+        .as("__inv"),
+      (d("__gq") - d("__gs") * d("__gs") / d("__gn")).cast(dec).as("__w"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("__gn")).as("n"),
+      sum(col("__lv")).as("__slv"), sum(col("__inv")).as("__sinv"),
+      sum(col("__w")).as("__ssw"),
+      sum(when(col("__lv").isNull, 1L).otherwise(0L)).as("__bad"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val sp2 = col("__ssw").cast("double") / (nd - kd)
+    val stat = ((nd - kd) * log(sp2) - col("__slv").cast("double")) /
+      (lit(1.0) + (col("__sinv").cast("double") -
+        lit(1.0) / (nd - kd)) / (lit(3.0) * (kd - lit(1.0))))
+    agg.select(col("k"), col("n"),
+      when(col("k") < 2L || col("__bad") > 0L || sp2 <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(stat.cast(dec8), 6).cast("double")).as("chi2"))
+  }
+
   /** Tukey HSD pairwise comparisons after [[anovaF]] — the "WHICH groups
     * differ" readout the omnibus F deliberately doesn't give: one
     * significant F over k sources says at least one mean moved, this

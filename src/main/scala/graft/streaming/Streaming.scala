@@ -493,6 +493,16 @@ object Streaming {
           daily.getOrElse(throw new IllegalStateException("no batches ingested"))),
         "event_type", "p_approx", q)
 
+    /** seventeenth readout off the accreted count state: the per-type
+      * burstiness profile ([[graft.functions.Events.burstinessOfDaily]])
+      * — Fano factor and CV² of the daily volumes, the dispersion
+      * context every other alarm on this state should be tuned against;
+      * batch-exact by the same additivity
+      */
+    def burstiness: DataFrame =
+      graft.functions.Events.burstinessOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** sixteenth readout: the Bonferroni/Holm/Benjamini–Yekutieli
       * adjustment family ([[graft.functions.Stats.padjust]]) across the
       * SAME per-type Pettitt changepoint panel — the FWER and
@@ -1014,6 +1024,17 @@ object Streaming {
       */
     def pairwise: DataFrame = graft.functions.Stats.tukeyOfGroupMoments(
       moments.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** third readout off the SAME group-moment state: Bartlett's
+      * variance-homogeneity test
+      * ([[graft.functions.Stats.bartlettOfGroupMoments]]) — is the
+      * equal-variance assumption the F and the pooled-MSW pairs lean on
+      * still holding, live; equals the batch
+      * [[graft.functions.Stats.bartlettTest]] over everything seen
+      */
+    def varianceHomogeneity: DataFrame =
+      graft.functions.Stats.bartlettOfGroupMoments(
+        moments.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))

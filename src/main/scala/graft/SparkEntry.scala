@@ -277,6 +277,7 @@ object SparkEntry {
     "stream_friedman" -> "vol", "stream_page_trend" -> "vol",
     "stream_pettitt" -> "vol", "stream_holt" -> "vol",
     "stream_fdr" -> "vol", "stream_padjust" -> "vol",
+    "stream_page_hinkley" -> "vol", "stream_mase" -> "vol",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
@@ -302,6 +303,7 @@ object SparkEntry {
     "stream_anova" -> "anova", "stream_tukey" -> "anova",
     "stream_bartlett" -> "anova",
     "stream_jarque_bera" -> "normality", "stream_grubbs" -> "normality",
+    "stream_dagostino" -> "normality",
     "stream_mi" -> "mihr", "stream_theilu" -> "mihr")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -3764,6 +3766,41 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Page–Hinkley drift detection: each day scored against the RUNNING
+    // mean of everything before it (CUSUM's training-free sibling) —
+    // exact-integer prefix mean, deviations decimal-staged before the
+    // two keyed prefix windows on the bounded count table
+    "events_page_hinkley" -> ((s, dir) => {
+      graft.functions.Events.pageHinkley(events(s, dir), "event_type", "ts",
+          delta = 0.5, lambda = 20.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // streaming Page–Hinkley (batch replay of 5 batches): eighteenth
+    // readout off the same additive daily-count state as stream_cusum —
+    // equals the batch alarms; same oracle
+    "stream_page_hinkley" -> ((s, dir) => {
+      volState(s, dir).pageHinkley(delta = 0.5, lambda = 20.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // MASE forecast accuracy: the seasonal-naive forecast's MAE scaled by
+    // the one-step-naive MAE on the same series — the cross-type-
+    // comparable accuracy bar; calendar-bounded equi-join + ONE keyed lag
+    // window on the bounded count table, exact integers to the end
+    "events_mase" -> ((s, dir) => {
+      graft.functions.Events.maseDaily(events(s, dir), "event_type", "ts",
+          period = 7)
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming MASE (batch replay of 5 batches): nineteenth readout off
+    // the same additive daily-count state as stream_forecast — equals the
+    // batch audit; same oracle
+    "stream_mase" -> ((s, dir) => {
+      volState(s, dir).mase(period = 7).orderBy(col("event_type"))
+    }),
+
     // per-user cadence audit: ONE user-keyed lag window for inter-event
     // gaps, ONE rollup to the |users|-row profile, exact moment staging —
     // the bot screen (metronomic gaps) before user data enters a mix
@@ -4136,6 +4173,21 @@ object SparkEntry {
     "stream_grubbs" -> ((s, dir) => {
       val nm = normalityState(s, dir)
       nm.extremes
+    }),
+
+    // D'Agostino's K² omnibus normality test: JB's small-sample-honest
+    // sibling — the same additive power-sum row, skewness through the
+    // Johnson Su asinh and kurtosis through the Anscombe–Glynn cube root
+    // before squaring, closed-form χ²(2) p
+    "stats_dagostino" -> ((s, dir) =>
+      graft.functions.Stats.dagostinoK2(events(s, dir), col("value"))),
+
+    // streaming D'Agostino (batch replay of 5 batches): third readout off
+    // the same additive moment state as stream_jarque_bera /
+    // stream_grubbs; same oracle
+    "stream_dagostino" -> ((s, dir) => {
+      val nm = normalityState(s, dir)
+      nm.omnibus
     }),
 
     // two-proportion z: did the PURCHASE SHARE of traffic move between the
@@ -5240,6 +5292,93 @@ object SparkEntry {
              END AS p
          FROM f"""
 
+  /** D'Agostino K² replay (same exact moment row, Johnson Su z for
+    * skewness, Anscombe–Glynn cube-root z for kurtosis, χ²(2) p) —
+    * shared by `stats_dagostino` and `stream_dagostino` (the state is
+    * additive). Every arithmetic stage mirrors the Column tree
+    * operation-for-operation so the engines agree at 6dp.
+    */
+  private val dagostinoOracleSql =
+    """WITH mo AS (
+           SELECT count("value") AS n,
+             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
+             sum(CAST("value" AS DECIMAL(8,2))
+               * CAST("value" AS DECIMAL(8,2))) AS s2,
+             sum(CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
+               * CAST("value" AS DECIMAL(8,2))) AS s3,
+             sum(CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
+               * CAST(CAST("value" AS DECIMAL(8,2))
+                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))) AS s4
+           FROM events),
+         e AS (
+           SELECT n, n::DOUBLE AS nd, s1::DOUBLE / n::DOUBLE AS m,
+             s2::DOUBLE / n::DOUBLE AS e2,
+             s3::DOUBLE / n::DOUBLE AS e3, s4::DOUBLE / n::DOUBLE AS e4
+           FROM mo),
+         c AS (
+           SELECT n, nd, m, e2 - m * m AS m2,
+             e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+             e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+           FROM e),
+         st AS (
+           SELECT n, nd, m2, m3 / (m2 * sqrt(m2)) AS g1,
+             m4 / (m2 * m2) AS b2
+           FROM c),
+         sk AS (
+           SELECT *,
+             g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+             -1.0 + sqrt(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0)
+               * (nd + 1.0) * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               - 1.0)) AS w2
+           FROM st),
+         k1 AS (
+           SELECT *, y / sqrt(2.0 / (w2 - 1.0)) AS ya,
+             1.0 / sqrt(ln(sqrt(w2))) AS dl
+           FROM sk),
+         k2s AS (
+           SELECT *, dl * ln(ya + sqrt(ya * ya + 1.0)) AS z_skew FROM k1),
+         ku AS (
+           SELECT *,
+             (b2 - 3.0 * (nd - 1.0) / (nd + 1.0)) /
+               sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0) /
+                 ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))) AS xk,
+             6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0)) *
+               sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+                 / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+           FROM k2s),
+         aa AS (
+           SELECT *,
+             6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))
+               AS a
+           FROM ku),
+         zz AS (
+           SELECT *, ((1.0 - 2.0 / (9.0 * a)) -
+               cbrt((1.0 - 2.0 / a) /
+                 (1.0 + xk * sqrt(2.0 / (a - 4.0))))) /
+               sqrt(2.0 / (9.0 * a)) AS z_kurt
+           FROM aa),
+         fin AS (
+           SELECT *, z_skew * z_skew + z_kurt * z_kurt AS k2 FROM zz)
+         SELECT n,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(g1 AS DECIMAL(18,8)), 6)::DOUBLE END AS skewness,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(b2 - 3.0 AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS kurtosis,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(z_skew AS DECIMAL(18,8)), 6)::DOUBLE END AS z_skew,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(z_kurt AS DECIMAL(18,8)), 6)::DOUBLE END AS z_kurt,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(k2 AS DECIMAL(18,8)), 6)::DOUBLE END AS k2,
+           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
+             ELSE round(CAST(exp(-k2 / 2.0) AS DECIMAL(18,8)), 6)::DOUBLE
+             END AS p
+         FROM fin"""
+
   /** Grubbs replay (same exact moment row incl. min/max, sample sd,
     * studentized max distance, 'low' wins ties) — shared by
     * `stats_grubbs` and `stream_grubbs` (the state is additive).
@@ -5722,6 +5861,37 @@ object SparkEntry {
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE AS cusum,
          round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE > 3.0 AS alarm
        FROM sres ORDER BY event_type, day"""
+
+  /** Page–Hinkley replay: daily counts, exact-integer prefix mean,
+    * decimal-staged deviations, prefix sum then prefix min — shared by
+    * `events_page_hinkley` and its streaming twin `stream_page_hinkley`
+    * (daily counts are additive).
+    */
+  private val pageHinkleyOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       x AS (
+         SELECT event_type, day, n,
+           CAST(n - CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             - 0.5 AS DECIMAL(18,8)) AS x
+         FROM d),
+       p AS (
+         SELECT *, sum(x) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+         FROM x),
+       s AS (
+         SELECT event_type, day, n,
+           m - min(m) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+         FROM p)
+       SELECT event_type, day, n,
+         round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE AS ph,
+         round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE > 20.0 AS alarm
+       FROM s ORDER BY event_type, day"""
 
   /** Kaplan–Meier replay (per-user day spans, churn = last activity more
     * than censorDays before corpus end, inclusive cumulative exits for
@@ -6962,6 +7132,41 @@ object SparkEntry {
          round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
            / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
        FROM j GROUP BY event_type ORDER BY event_type"""
+
+  /** MASE replay: daily counts, lag-7 calendar self-join for the
+    * seasonal errors, ONE keyed lag window for the naive scale, exact
+    * integers to the three final divisions — shared by `events_mase`
+    * and its streaming twin `stream_mase` (daily counts are additive).
+    */
+  private val maseOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       fc AS (
+         SELECT a.event_type, count(*) AS n_fc,
+           CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sae_fc
+         FROM d a JOIN d b
+           ON a.event_type = b.event_type AND b.day = a.day - 7
+         GROUP BY 1),
+       nv AS (
+         SELECT event_type, count(*) AS n_naive,
+           CAST(sum(abs(n - prev)) AS BIGINT) AS sae_nv
+         FROM (
+           SELECT event_type, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+           FROM d)
+         WHERE prev IS NOT NULL GROUP BY 1)
+       SELECT fc.event_type, n_fc, n_naive,
+         round(CAST(CAST(sae_fc AS DOUBLE) / CAST(n_fc AS DOUBLE)
+           AS DECIMAL(18,8)), 4)::DOUBLE AS mae_fc,
+         round(CAST(CAST(sae_nv AS DOUBLE) / CAST(n_naive AS DOUBLE)
+           AS DECIMAL(18,8)), 4)::DOUBLE AS mae_naive,
+         CASE WHEN sae_nv = 0 THEN NULL
+           ELSE round(CAST(CAST(sae_fc AS DOUBLE) / CAST(n_fc AS DOUBLE)
+             / (CAST(sae_nv AS DOUBLE) / CAST(n_naive AS DOUBLE))
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS mase
+       FROM fc JOIN nv ON fc.event_type = nv.event_type
+       ORDER BY fc.event_type"""
 
   /** exact-Gini replay (count-of-counts, cumulative self-join, decimal
     * trapezoid) — shared by `stats_gini` and `stream_gini` (per-key counts
@@ -11947,6 +12152,10 @@ object SparkEntry {
     "stream_jarque_bera" -> jarqueBeraOracleSql,
     "stats_grubbs" -> grubbsOracleSql,
     "stream_grubbs" -> grubbsOracleSql,
+    // D'Agostino K² replay: same additive power-sum row, Johnson Su +
+    // Anscombe-Glynn z's mirrored operation-for-operation
+    "stats_dagostino" -> dagostinoOracleSql,
+    "stream_dagostino" -> dagostinoOracleSql,
 
     // two-proportion replay: same exact per-arm counts, same fixed-order
     // pooled-SE z; the count state is additive
@@ -12098,6 +12307,16 @@ object SparkEntry {
     // CUSUM replay — shared with the streaming twin (additive counts)
     "events_cusum" -> cusumOracleSql,
     "stream_cusum" -> cusumOracleSql,
+
+    // Page-Hinkley replay — shared with the streaming twin (additive
+    // counts; prefix mean + decimal-staged prefix scans)
+    "events_page_hinkley" -> pageHinkleyOracleSql,
+    "stream_page_hinkley" -> pageHinkleyOracleSql,
+
+    // MASE replay — shared with the streaming twin (additive counts;
+    // lag-7 self-join errors scaled by the one-step-naive lag errors)
+    "events_mase" -> maseOracleSql,
+    "stream_mase" -> maseOracleSql,
 
     // EWMA replay: same daily counts and exact moments, same unrolled
     // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same

@@ -552,6 +552,61 @@ object Events {
       .withColumn("alarm", col("cusum") > threshold)
   }
 
+  /** Page–Hinkley drift detection over per-type daily volumes (Page 1954,
+    * the sequential form; Hinkley 1971) — [[cusumOfDaily]]'s
+    * training-free sibling: CUSUM standardizes each day against the
+    * GLOBAL mean+σ (which needs the whole series, and which a long slow
+    * drift contaminates), while Page–Hinkley scores each day against the
+    * RUNNING mean of only what came before it — the change-of-level
+    * alarm that works from day one and keeps working as the series
+    * drifts. mₜ = Σᵢ≤ₜ(xᵢ − x̄ᵢ − δ) with x̄ᵢ the mean of the first i
+    * days; PHₜ = mₜ − minᵢ≤ₜ mᵢ; alarm when PHₜ > λ.
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * count table; the running mean is an exact-integer prefix sum
+    * divided once, and each deviation is decimal-staged BEFORE the two
+    * keyed prefix windows (sum, then min), so window summation order
+    * cannot perturb the statistic — the [[cusumOfDaily]] discipline.
+    * Reference scope: pygrametl has no drift detection — beyond-
+    * reference, next to the CUSUM/EWMA volume-alarm family.
+    *
+    * Returns (event_type, day, n, ph, alarm) at 4dp, alarm comparing the
+    * ROUNDED statistic to `lambda`. δ is in raw-count units (the
+    * magnitude of drift to tolerate); λ likewise.
+    */
+  def pageHinkley(df: DataFrame, typeCol: String, tsCol: String,
+                  delta: Double = 0.5, lambda: Double = 20.0): DataFrame =
+    phOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      delta, lambda)
+
+  /** [[pageHinkley]]'s statistic over an already-built (event_type, day,
+    * n) count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's
+    * Page–Hinkley equals the batch one once all of a day's events have
+    * landed).
+    */
+  def phOfDaily(dailyCounts: DataFrame, delta: Double = 0.5,
+                lambda: Double = 20.0): DataFrame = {
+    require(delta >= 0 && lambda > 0, "delta >= 0, lambda > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val runMean = sum(col("n")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    daily
+      .withColumn("__x", (col("n") - runMean - lit(delta)).cast(dec))
+      .withColumn("__m", sum(col("__x")).over(w))
+      .withColumn("__ph", col("__m") - min(col("__m")).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("__ph").cast(dec), 4).cast("double").as("ph"))
+      .withColumn("alarm", col("ph") > lambda)
+  }
+
   /** EWMA control chart over per-type daily volumes — the SMALL-shift
     * detector between [[anomaliesOfDaily]] (single-day spikes) and
     * [[cusumOfDaily]] (accumulated creep): the exponentially weighted
@@ -1925,6 +1980,72 @@ object Events {
         round((sum((col("__ae").cast("double") / col("__n")).cast(dec))
             .cast("double") / count(lit(1))).cast(dec), 4)
           .cast("double").as("mape"))
+  }
+
+  /** MASE — mean absolute SCALED error (Hyndman & Koehler 2006) of the
+    * seasonal-naive forecast: [[seasonalForecast]] reports MAE/MAPE, but
+    * neither compares across types whose volumes differ 100× (MAE is in
+    * raw counts; MAPE explodes near zero). MASE divides the seasonal
+    * forecast's MAE by the one-step-naive MAE on the SAME series, so
+    * every type reads on one scale — "MASE < 1" means the last-week
+    * lookup beats just repeating yesterday, the standard admission bar
+    * any fancier forecaster must clear.
+    *
+    * Scale shape: the raw stream collapses ONCE to the bounded
+    * |types|×|days| count table; the seasonal errors come from
+    * [[forecastOfDaily]]'s calendar-bounded equi-join of that tiny frame
+    * with itself, the naive scale from ONE keyed lag window over it —
+    * exact-integer absolute errors until the three final divisions.
+    * Reference scope: pygrametl has no forecasting — beyond-reference,
+    * next to the seasonal-forecast audit.
+    *
+    * Returns one row per type: (event_type, n_fc, n_naive, mae_fc,
+    * mae_naive, mase) — mase NULL when the naive error is 0 (a
+    * perfectly flat series has nothing to scale by); types with fewer
+    * than 2 observed days or no day with a `period`-lagged match drop.
+    */
+  def maseDaily(df: DataFrame, typeCol: String, tsCol: String,
+                period: Int = 7): DataFrame =
+    maseOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      period)
+
+  /** [[maseDaily]]'s scoring stage over an already-built (event_type,
+    * day, n) count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's MASE
+    * equals the batch one once all of a day's events have landed).
+    */
+  def maseOfDaily(dailyCounts: DataFrame, period: Int = 7): DataFrame = {
+    require(period > 0, "period must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val base = daily.select(col("event_type"), col("day").as("__bday"),
+      col("n").as("__f"))
+    val fc = daily
+      .withColumn("__lookup", date_sub(col("day"), period))
+      .join(base, Seq("event_type")).filter(col("__lookup") === col("__bday"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_fc"),
+        sum(abs(col("n") - col("__f"))).as("__sae_fc"))
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val nv = daily
+      .withColumn("__prev", lag(col("n"), 1).over(wLag))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("n") - col("__prev"))).as("__sae_nv"))
+    val maeFc = col("__sae_fc").cast("double") / col("n_fc").cast("double")
+    val maeNv = col("__sae_nv").cast("double") / col("n_naive").cast("double")
+    fc.join(nv, Seq("event_type"))
+      .select(col("event_type"), col("n_fc"), col("n_naive"),
+        round(maeFc.cast(dec), 4).cast("double").as("mae_fc"),
+        round(maeNv.cast(dec), 4).cast("double").as("mae_naive"),
+        when(col("__sae_nv") === 0, lit(null).cast("double"))
+          .otherwise(round((maeFc / maeNv).cast(dec), 6).cast("double"))
+          .as("mase"))
   }
 
   /** Entry-path analysis: each user's first `depth` event types (ordered

@@ -2288,6 +2288,110 @@ object Stats {
         .as("side"))
   }
 
+  /** D'Agostino's K² omnibus normality test (D'Agostino, Belanger &
+    * D'Agostino Jr 1990) — [[jarqueBera]]'s small-sample-honest sibling:
+    * JB compares raw skewness/kurtosis against their ASYMPTOTIC normal
+    * laws (accurate only for n in the thousands); K² first transforms
+    * each moment to an exactly-studentized z (Johnson Su for skewness,
+    * Anscombe–Glynn for kurtosis) whose null distribution is close to
+    * N(0,1) at realistic n, then sums the squares — the normality verdict
+    * scipy.stats.normaltest reports, and the two z's localize WHICH
+    * moment broke (asymmetry vs tails) where JB only says "not normal".
+    *
+    * Scale shape: the IDENTICAL additive exact-decimal power-sum row as
+    * [[jarqueBera]]/[[grubbsTest]] (the
+    * [[graft.streaming.Streaming.NormalityMonitor]] state, whose
+    * `omnibus` readout IS this test); everything after the one-row
+    * reduce is fixed-order double arithmetic on seven numbers. Zero data
+    * shuffle. Reference scope: pygrametl has no statistics surface —
+    * beyond-reference, next to the JB/Grubbs data-quality family.
+    *
+    * Returns one row (n, skewness, kurtosis, z_skew, z_kurt, k2, p) —
+    * kurtosis is the excess form (b₂−3) matching [[jarqueBera]]'s
+    * output; p is the closed-form χ²(2) tail exp(−K²/2). NULL statistics
+    * when n < 9 (the Anscombe–Glynn transform needs n ≥ 9 for A > 4) or
+    * the spread degenerates.
+    */
+  def dagostinoK2(df: DataFrame, valueCol: Column): DataFrame =
+    k2OfMoments(normalityMoments(df, valueCol))
+
+  /** [[dagostinoK2]]'s formula stage over an already-built moment row —
+    * the readout path the streaming monitor shares with the batch
+    * operator. Central moments in [[jbOfMoments]]'s fixed double order;
+    * then Y·√((n+1)(n+3)/(6(n−2))) through the Johnson Su asinh for
+    * z_skew, and b₂ studentized through Anscombe–Glynn's Wilson–Hilferty
+    * cube root for z_kurt.
+    */
+  def k2OfMoments(row: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    def d0(c: String) = col(c).cast("double")
+    val n0 = d0("__jn")
+    val m = d0("__j1") / n0
+    val e2 = d0("__j2") / n0
+    val e3 = d0("__j3") / n0
+    val e4 = d0("__j4") / n0
+    val m2e = e2 - m * m
+    val m3e = e3 - lit(3.0) * m * e2 + lit(2.0) * m * m * m
+    val m4e = e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
+      lit(3.0) * m * m * m * m
+    // the moment row collapses to four scalars BEFORE the z transforms:
+    // Catalyst doesn't CSE the shared m₂/m₃/m₄ subtrees, and inlining
+    // them into the six deep output expressions blows the codegen method
+    // limit — freezing the 1-row intermediate keeps every stage compiled
+    val mid = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      row.select(col("__jn"), m2e.as("__m2"),
+        (m3e / (m2e * sqrt(m2e))).as("__g1"),
+        (m4e / (m2e * m2e)).as("__b2")))
+    val n = col("__jn").cast("double")
+    val m2 = col("__m2")
+    val g1 = col("__g1")
+    val b2 = col("__b2")
+    // skewness: Y studentized exactly, then the Johnson Su fit
+    // (D'Agostino 1970) — z = δ·asinh(Y/α) with asinh spelled via ln so
+    // the oracle's expression tree is operation-for-operation identical
+    val y = g1 * sqrt((n + lit(1.0)) * (n + lit(3.0)) /
+      (lit(6.0) * (n - lit(2.0))))
+    val beta2 = lit(3.0) * (n * n + lit(27.0) * n - lit(70.0)) *
+      (n + lit(1.0)) * (n + lit(3.0)) /
+      ((n - lit(2.0)) * (n + lit(5.0)) * (n + lit(7.0)) * (n + lit(9.0)))
+    val w2 = lit(-1.0) + sqrt(lit(2.0) * (beta2 - lit(1.0)))
+    val dl = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - lit(1.0)))
+    val ya = y / alpha
+    val zSkew = dl * log(ya + sqrt(ya * ya + lit(1.0)))
+    // kurtosis: b₂ studentized against its exact mean/variance, then the
+    // Anscombe–Glynn (1983) Wilson–Hilferty cube-root normalization
+    val eb2 = lit(3.0) * (n - lit(1.0)) / (n + lit(1.0))
+    val vb2 = lit(24.0) * n * (n - lit(2.0)) * (n - lit(3.0)) /
+      ((n + lit(1.0)) * (n + lit(1.0)) * (n + lit(3.0)) * (n + lit(5.0)))
+    val xk = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6.0) * (n * n - lit(5.0) * n + lit(2.0)) /
+      ((n + lit(7.0)) * (n + lit(9.0))) *
+      sqrt(lit(6.0) * (n + lit(3.0)) * (n + lit(5.0)) /
+        (n * (n - lit(2.0)) * (n - lit(3.0))))
+    val a = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val zKurt = ((lit(1.0) - lit(2.0) / (lit(9.0) * a)) -
+      cbrt((lit(1.0) - lit(2.0) / a) /
+        (lit(1.0) + xk * sqrt(lit(2.0) / (a - lit(4.0)))))) /
+      sqrt(lit(2.0) / (lit(9.0) * a))
+    // second 1-row stage: k2 and p would each re-inline BOTH z trees
+    // (Catalyst does not CSE across output columns), so the z's freeze
+    // to plain columns before the final readout
+    val mid2 = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      mid.select(col("__jn"), m2.as("__m2v"), g1.as("__g1v"),
+        b2.as("__b2v"), zSkew.as("__zs"), zKurt.as("__zk")))
+    val k2 = col("__zs") * col("__zs") + col("__zk") * col("__zk")
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("__jn") < 9L || col("__m2v") <= 0.0 || isnull(col("__m2v"))
+    def nn(c: Column) = when(bad, lit(null).cast("double")).otherwise(r6(c))
+    mid2.select(col("__jn").as("n"),
+      nn(col("__g1v")).as("skewness"),
+      nn(col("__b2v") - lit(3.0)).as("kurtosis"),
+      nn(col("__zs")).as("z_skew"), nn(col("__zk")).as("z_kurt"),
+      nn(k2).as("k2"), nn(exp(-k2 / lit(2.0))).as("p"))
+  }
+
   /** Brown–Forsythe test of equal SPREAD across k groups (Levene's test
     * with median centers — the robust standard form): [[anovaF]] and
     * [[kruskalWallis]] ask whether the cohorts' LEVELS differ; this asks

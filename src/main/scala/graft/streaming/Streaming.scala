@@ -440,6 +440,26 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         slack, threshold)
 
+    /** Page–Hinkley drift readout off the accreted count state
+      * ([[graft.functions.Events.phOfDaily]]) — the running-mean change
+      * detector next to the global-mean CUSUM; additivity makes it
+      * batch-exact once a day's events land
+      */
+    def pageHinkley(delta: Double = 0.5, lambda: Double = 20.0): DataFrame =
+      graft.functions.Events.phOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        delta, lambda)
+
+    /** MASE forecast-accuracy readout off the accreted count state
+      * ([[graft.functions.Events.maseOfDaily]]) — the scaled companion
+      * of [[forecast]]'s raw MAE/MAPE audit; additivity makes it
+      * batch-exact once a day's events land
+      */
+    def mase(period: Int = 7): DataFrame =
+      graft.functions.Events.maseOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        period)
+
     /** fifth readout off the accreted count state: the Mann–Kendall
       * monotonic-trend verdict + Theil–Sen slope
       * ([[graft.functions.Events.mkOfDaily]]) — the distribution-free
@@ -1152,6 +1172,12 @@ object Streaming {
       * the batch [[graft.functions.Stats.grubbsTest]]
       */
     def extremes: DataFrame = graft.functions.Stats.grubbsOfMoments(state)
+
+    /** third readout off the SAME moment state: D'Agostino's K² omnibus
+      * normality test ([[graft.functions.Stats.k2OfMoments]]) — equals
+      * the batch [[graft.functions.Stats.dagostinoK2]]
+      */
+    def omnibus: DataFrame = graft.functions.Stats.k2OfMoments(state)
 
     /** persist the moment state for crash-restart (call after update) */
     def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))

@@ -2994,6 +2994,14 @@ object SparkEntry {
       graft.functions.Curation.vocabRichness(docsNorm(s, dir), col("text"))
     }),
 
+    // Zipf's-law fit: weighted OLS of ln(freq) on ln(midpoint rank) over
+    // the frequency-of-frequency table — the power-law fingerprint that
+    // moves when boilerplate floods a crawl; one token aggregation, then
+    // a triangular join on the tiny count-of-counts frame
+    "text_zipf" -> ((s, dir) => {
+      graft.functions.Curation.zipfFit(docsNorm(s, dir), col("text"))
+    }),
+
     // Jaccard-threshold tuning curve: pairs/docs touched per candidate
     // threshold from ONE df-bounded candidate pass — replaces re-running
     // corpus dedup once per threshold guess
@@ -4214,6 +4222,27 @@ object SparkEntry {
     "stream_power" -> ((s, dir) => {
       val pm = propState(s, dir)
       pm.sampleSize()
+    }),
+
+    // Cochran–Armitage trend test: does the purchase SHARE rise
+    // monotonically across the month's weeks — the ordered-proportions
+    // test a plain chi-square wastes power on; ONE rollup to the 5-row
+    // (week, n, successes) table, exact staged moments, fixed-order z
+    "stats_cochran_armitage" -> ((s, dir) => {
+      graft.functions.Stats.cochranArmitage(events(s, dir),
+        floor((dayofmonth(col("ts")) - 1) / 7),
+        col("event_type") === "purchase")
+    }),
+
+    // capture-recapture population estimate: how many distinct users
+    // EXIST given what the month's two halves each saw — union with
+    // presence tags, ONE key-cardinality aggregation, Chapman's
+    // bias-corrected estimate + SE on three exact integers
+    "stats_capture" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.captureRecapture(
+        ev.filter(half), ev.filter(!half), col("user_id"))
     }),
 
     // Cochran–Mantel–Haenszel stratified two-proportion: the same
@@ -7483,6 +7512,107 @@ object SparkEntry {
                 AS DECIMAL(18,8)), 6)::DOUBLE
          END AS gt_unseen
        FROM a"""
+
+  /** Zipf fit: token counts -> count-of-counts -> midpoint ranks via the
+    * triangular join -> weighted OLS of ln(freq) on ln(rank), every
+    * moment decimal-staged and every double op mirroring the Column tree.
+    */
+  private lazy val zipfOracleSql =
+    s"""WITH norm AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+       tk AS (SELECT unnest(list_filter(toks, t -> len(t) > 0)) AS tok FROM norm),
+       tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       coc AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM tf GROUP BY 1),
+       rk AS (
+         SELECT a.c, a.nk,
+           coalesce(sum(b.nk), 0)::DOUBLE + (a.nk::DOUBLE + 1.0) / 2.0 AS r
+         FROM coc a LEFT JOIN coc b ON b.c > a.c
+         GROUP BY a.c, a.nk),
+       mo AS (
+         SELECT CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS BIGINT) AS n_tokens,
+           CAST(sum(nk) AS BIGINT) AS vocab,
+           count(*) AS groups,
+           sum(CAST(nk * ln(r) AS DECIMAL(28,10))) AS swx,
+           sum(CAST(nk * ln(c::DOUBLE) AS DECIMAL(28,10))) AS swy,
+           sum(CAST(nk * ln(r) * ln(r) AS DECIMAL(28,10))) AS swxx,
+           sum(CAST(nk * ln(c::DOUBLE) * ln(c::DOUBLE) AS DECIMAL(28,10)))
+             AS swyy,
+           sum(CAST(nk * ln(r) * ln(c::DOUBLE) AS DECIMAL(28,10))) AS swxy
+         FROM rk),
+       f AS (
+         SELECT *, vocab::DOUBLE AS w,
+           swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE / vocab::DOUBLE AS sxx,
+           swyy::DOUBLE - swy::DOUBLE * swy::DOUBLE / vocab::DOUBLE AS syy
+         FROM mo),
+       g AS (
+         SELECT *, (swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE / w) / sxx
+           AS slope
+         FROM f)
+       SELECT n_tokens, vocab, groups,
+         CASE WHEN groups < 2 THEN NULL
+           ELSE round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE END AS slope,
+         CASE WHEN groups < 2 THEN NULL
+           ELSE round(CAST(swy::DOUBLE / w - slope * swx::DOUBLE / w
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS intercept,
+         CASE WHEN groups < 2 THEN NULL
+           ELSE round(CAST(slope * slope * sxx / syy
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS r2
+       FROM g"""
+
+  /** Cochran–Armitage replay: week-of-month scored proportions, exact
+    * DECIMAL(38,0)-staged moments, fixed-order z.
+    */
+  private val cochranArmitageOracleSql =
+    """WITH c AS (
+         SELECT CAST(floor((day(ts) - 1) / 7.0) AS BIGINT) AS w,
+           count(*) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       a AS (
+         SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS x,
+           sum(CAST(w AS DECIMAL(38,0)) * x) AS swx,
+           sum(CAST(w AS DECIMAL(38,0)) * n) AS swn,
+           sum(CAST(w AS DECIMAL(38,0)) * w * n) AS snww
+         FROM c)
+       SELECT k, n, x,
+         CASE WHEN k < 2 OR x = 0 OR x = n THEN NULL
+           ELSE round(CAST(
+             (swx::DOUBLE - x::DOUBLE / n::DOUBLE * swn::DOUBLE)
+             / sqrt(x::DOUBLE / n::DOUBLE * (1.0 - x::DOUBLE / n::DOUBLE)
+               * (snww::DOUBLE - swn::DOUBLE * swn::DOUBLE / n::DOUBLE))
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+       FROM a"""
+
+  /** capture-recapture replay: distinct users per month half, overlap
+    * join, Chapman's estimate + SE from exact DECIMAL(38,0)-staged
+    * products in fixed double order.
+    */
+  private val captureOracleSql =
+    """WITH a AS (
+         SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+         WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+       b AS (
+         SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+         WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+       t AS (SELECT
+         (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM a JOIN b USING (k)) AS m)
+       SELECT n_a, n_b, m,
+         round(CAST(
+           CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * CAST(n_b + 1 AS DECIMAL(38,0))
+             AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
+           AS DECIMAL(28,8)), 4)::DOUBLE AS n_hat,
+         round(CAST(sqrt(
+             CAST(CAST(n_a + 1 AS DECIMAL(38,0))
+               * CAST(n_b + 1 AS DECIMAL(38,0)) AS DOUBLE)
+             * CAST(CAST(n_a - m AS DECIMAL(38,0))
+               * CAST(n_b - m AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(m + 1 AS DECIMAL(38,0)) * CAST(m + 1 AS DECIMAL(38,0))
+               * CAST(m + 2 AS DECIMAL(38,0)) AS DOUBLE))
+           AS DECIMAL(28,8)), 4)::DOUBLE AS se
+       FROM t"""
 
   private lazy val cochranOracleSql =
     s"""WITH norm AS (
@@ -12183,6 +12313,9 @@ object SparkEntry {
     "curate_krippendorff" -> krippendorffOracleSql,
     "stream_krippendorff" -> krippendorffOracleSql,
     "text_vocab_richness" -> vocabRichnessOracleSql,
+    "text_zipf" -> zipfOracleSql,
+    "stats_cochran_armitage" -> cochranArmitageOracleSql,
+    "stats_capture" -> captureOracleSql,
     "stream_twoprop" -> twopropOracleSql,
 
     // Spearman replay: same joint counts, same exact doubled-rank moments,

@@ -428,6 +428,73 @@ object Curation {
             .cast(DoubleType)).as("gt_unseen"))
   }
 
+  /** Zipf's-law fit of the corpus token-frequency distribution — the
+    * power-law companion of [[vocabRichness]]: weighted least squares of
+    * ln(frequency) on ln(rank) gives the Zipf slope (natural text reads
+    * ≈ −1; templated/boilerplate-heavy corpora flatten toward 0,
+    * deduplication failures steepen it) and the fit r² says whether a
+    * power law describes the corpus at all — the one-number fingerprint
+    * that moves when scraped boilerplate floods a crawl snapshot.
+    *
+    * Scale shape: explode → ONE map-side-combined token-count
+    * aggregation (the only corpus-proportional shuffle, at distinct-token
+    * cardinality) → the frequency-of-frequency table (bounded by the
+    * number of DISTINCT count values, ≲ √corpus even in theory). Tied
+    * ranks collapse to each count-group's midpoint rank (the standard
+    * tie treatment) computed by a triangular join on that tiny frozen
+    * frame — the [[graft.functions.Stats]] Gini discipline, no
+    * unpartitioned window — and the weighted OLS moments are
+    * decimal-staged per group BEFORE the order-independent sums.
+    *
+    * Returns one row (n_tokens, vocab, groups, slope, intercept, r2) at
+    * 6dp; slope/intercept/r2 NULL when fewer than 2 distinct frequency
+    * values exist (a degenerate corpus has no line to fit).
+    */
+  def zipfFit(df: DataFrame, textCol: Column): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val dec8 = DecimalType(18, 8)
+    val dec38 = DecimalType(38, 0)
+    val tf = df
+      .select(explode(TextAnalysis.tokens(textCol)).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val coc = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      tf.groupBy(col("__c")).agg(count(lit(1)).as("__nk")))
+    val higher = coc.select(col("__c").as("__hc"), col("__nk").as("__hnk"))
+    // tokens with count c occupy ranks (before, before + nk]; the
+    // group's OLS point is the midpoint rank before + (nk + 1)/2
+    val ranked = coc.join(higher, col("__hc") > col("__c"), "left")
+      .groupBy(col("__c"), col("__nk"))
+      .agg(coalesce(sum(col("__hnk")), lit(0L)).as("__before"))
+      .select(col("__c"), col("__nk"),
+        (col("__before").cast(DoubleType) +
+          (col("__nk").cast(DoubleType) + lit(1.0)) / lit(2.0)).as("__r"))
+    val x = log(col("__r"))
+    val y = log(col("__c").cast(DoubleType))
+    val mo = ranked.agg(
+      sum(col("__c").cast(dec38) * col("__nk")).cast("long").as("n_tokens"),
+      sum(col("__nk")).as("vocab"),
+      count(lit(1)).as("groups"),
+      sum((col("__nk") * x).cast(dec)).as("__swx"),
+      sum((col("__nk") * y).cast(dec)).as("__swy"),
+      sum((col("__nk") * x * x).cast(dec)).as("__swxx"),
+      sum((col("__nk") * y * y).cast(dec)).as("__swyy"),
+      sum((col("__nk") * x * y).cast(dec)).as("__swxy"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val w = col("vocab").cast(DoubleType)
+    val sxx = d("__swxx") - d("__swx") * d("__swx") / w
+    val syy = d("__swyy") - d("__swy") * d("__swy") / w
+    val slope = (d("__swxy") - d("__swx") * d("__swy") / w) / sxx
+    val intercept = d("__swy") / w - slope * d("__swx") / w
+    val r2 = slope * slope * sxx / syy
+    def r6(c: Column) = round(c.cast(dec8), 6).cast(DoubleType)
+    val bad = col("groups") < 2L
+    def nn(c: Column) = when(bad, lit(null).cast(DoubleType)).otherwise(r6(c))
+    mo.select(col("n_tokens"), col("vocab"), col("groups"),
+      nn(slope).as("slope"), nn(intercept).as("intercept"),
+      nn(r2).as("r2"))
+  }
+
   /** [[cochranQ]]'s readout from a [[cochranCounts]] state row. */
   def cochranOfCounts(counts: DataFrame, k: Int): DataFrame = {
     val dec = DecimalType(18, 8)

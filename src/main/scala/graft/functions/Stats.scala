@@ -2684,6 +2684,94 @@ object Stats {
           / col("__sod").cast("double"))).as("or_mh"))
   }
 
+  /** Cochran–Armitage trend test — "does the success PROPORTION rise (or
+    * fall) monotonically across ORDERED groups": the proportions sibling
+    * of [[graft.functions.Events]]' Jonckheere/Page ordered-medians
+    * tests, and the right test where a plain chi-square wastes power by
+    * ignoring the ordering (conversion share by week, keep-rate by
+    * quality decile). z > 0 reads "share rises with the score".
+    *
+    * Scale shape: the corpus collapses ONCE to the (score, n, successes)
+    * count table — bounded by the number of ordered groups, additive —
+    * then ONE tiny aggregation of exact-integer moments (Σwx, Σwn, Σnw²
+    * DECIMAL(38,0)-staged so planetary-scale cells can't overflow) and
+    * the z in fixed double order. Zero data shuffle beyond the group
+    * rollup. Reference scope: pygrametl has no statistics surface —
+    * beyond-reference, next to the two-proportion/CMH family.
+    *
+    * Returns one row (k, n, x, z) — z NULL when fewer than 2 groups or
+    * the pooled share degenerates to 0 or 1 (no variance to test).
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      successCol: Column): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.groupBy(scoreCol.cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("__x"))
+    val agg = counts.agg(
+      count(lit(1)).as("k"), sum(col("__n")).as("n"), sum(col("__x")).as("x"),
+      sum(col("__w").cast(dec38) * col("__x")).as("__swx"),
+      sum(col("__w").cast(dec38) * col("__n")).as("__swn"),
+      sum(col("__w").cast(dec38) * col("__w") * col("__n")).as("__snww"))
+    def d(c: String) = col(c).cast("double")
+    val pbar = d("x") / d("n")
+    val t = d("__swx") - pbar * d("__swn")
+    val v = pbar * (lit(1.0) - pbar) *
+      (d("__snww") - d("__swn") * d("__swn") / d("n"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("k") < 2L || col("x") === 0L || col("x") === col("n")
+    agg.select(col("k"), col("n"), col("x"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(t / sqrt(v))).as("z"))
+  }
+
+  /** Capture–recapture population estimate (Lincoln–Petersen with
+    * Chapman's bias correction) — "how many distinct keys EXIST, given
+    * what two overlapping samples each saw": mark the keys of sample A,
+    * count how many of sample B's keys were re-captured, and the overlap
+    * rate scales up to the unseen total. The corpus-coverage readout a
+    * crawl/user-base needs that [[graft.functions.Curation]]'s Chao1
+    * (frequency-of-frequency) answers only for token-like data — here
+    * the two samples can be any two time windows, crawls, or sources.
+    *
+    * Scale shape: both samples union with presence tags into ONE
+    * key-cardinality aggregation (max per tag — the only shuffle), then
+    * ONE reduce to the exact (n_a, n_b, m) triple; Chapman's estimate
+    * and its SE are fixed-order arithmetic on those three integers with
+    * DECIMAL(38,0)-staged products. Reference scope: pygrametl has no
+    * estimators — beyond-reference, next to the dedup/coverage family.
+    *
+    * Returns one row (n_a, n_b, m, n_hat, se) — n̂ = (n_a+1)(n_b+1)/(m+1)
+    * − 1 (finite even at zero overlap; Chapman's correction), SE from
+    * the standard hypergeometric variance.
+    */
+  def captureRecapture(a: DataFrame, bDf: DataFrame,
+                       keyCol: Column): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 8)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tagged = a.select(keyCol.cast("string").as("__k"),
+        lit(1L).as("__ina"), lit(0L).as("__inb"))
+      .unionByName(bDf.select(keyCol.cast("string").as("__k"),
+        lit(0L).as("__ina"), lit(1L).as("__inb")))
+    val presence = tagged.groupBy(col("__k"))
+      .agg(max(col("__ina")).as("__a"), max(col("__inb")).as("__b"))
+    val agg = presence.agg(
+      sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"),
+      sum(col("__a") * col("__b")).as("m"))
+    val va = ((col("n_a") + 1L).cast(dec38) * (col("n_b") + 1L).cast(dec38))
+      .cast("double")
+    val vb = ((col("n_a") - col("m")).cast(dec38) *
+      (col("n_b") - col("m")).cast(dec38)).cast("double")
+    val den = ((col("m") + 1L).cast(dec38) * (col("m") + 1L).cast(dec38) *
+      (col("m") + 2L).cast(dec38)).cast("double")
+    val nHat = va / (col("m") + 1L).cast("double") - lit(1.0)
+    def r4(c: Column) = round(c.cast(dec28), 4).cast("double")
+    agg.select(col("n_a"), col("n_b"), col("m"),
+      r4(nHat).as("n_hat"), r4(sqrt(va * vb / den)).as("se"))
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * MONOTONE-relationship readout next to the Pearson
     * [[correlationMatrix]]: Pearson asks "linear", Spearman asks "does y

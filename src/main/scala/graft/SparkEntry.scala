@@ -278,8 +278,10 @@ object SparkEntry {
     "stream_pettitt" -> "vol", "stream_holt" -> "vol",
     "stream_fdr" -> "vol", "stream_padjust" -> "vol",
     "stream_page_hinkley" -> "vol", "stream_mase" -> "vol",
+    "stream_runs" -> "vol",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
+    "stream_gains" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
     "stream_brunner_munzel" -> "aucvalue", "stream_ansari" -> "aucvalue",
     "stream_ks" -> "aucvalue", "stream_cvm" -> "aucvalue",
@@ -291,6 +293,7 @@ object SparkEntry {
     "stream_kruskal" -> "kruskal", "stream_jonckheere" -> "kruskal",
     "stream_mood_median" -> "kruskal", "stream_levene" -> "kruskal",
     "stream_quantile_exact" -> "kruskal",
+    "stream_trimmed" -> "kruskal", "stream_mad" -> "kruskal",
     "stream_key_skew" -> "keycount", "stream_gini" -> "keycount",
     "stream_retention" -> "retention", "stream_stickiness" -> "retention",
     "stream_kappa" -> "kappa", "stream_mcnemar" -> "kappa",
@@ -1296,6 +1299,24 @@ object SparkEntry {
     "stream_auc" -> ((s, dir) => {
       val am = aucDocsState(s, dir)
       am.readout
+    }),
+
+    // cumulative gains/lift table: top-k/10 curation budgets scored
+    // against the classifier — decile boundary rows via two
+    // conditional-min order stats on the top-first prefix scan of the
+    // same per-score count table curate_auc reduces
+    "curate_gains" -> ((s, dir) => {
+      graft.functions.Stats.gainsCurve(docsNorm(s, dir),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        deciles = 10)
+    }),
+
+    // streaming gains (batch replay of 5 batches): fourth readout off the
+    // same additive per-score state as stream_auc — equals the batch
+    // curate_gains; same oracle
+    "stream_gains" -> ((s, dir) => {
+      aucDocsState(s, dir).gains(deciles = 10)
     }),
 
     // streaming P/R operating points (batch replay of 5 batches): the SAME
@@ -3809,6 +3830,21 @@ object SparkEntry {
       volState(s, dir).mase(period = 7).orderBy(col("event_type"))
     }),
 
+    // Wald-Wolfowitz runs test: is each type's daily series random around
+    // its median — the iid assumption check under the CUSUM/EWMA alarms;
+    // partitioned-rank median, ONE keyed lag window, exact-integer z
+    "events_runs" -> ((s, dir) => {
+      graft.functions.Events.runsTest(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming runs test (batch replay of 5 batches): twentieth readout
+    // off the same additive daily-count state — equals the batch
+    // verdicts; same oracle
+    "stream_runs" -> ((s, dir) => {
+      volState(s, dir).runs.orderBy(col("event_type"))
+    }),
+
     // per-user cadence audit: ONE user-keyed lag window for inter-event
     // gaps, ONE rollup to the |users|-row profile, exact moment staging —
     // the bot screen (metronomic gaps) before user data enters a mix
@@ -4154,6 +4190,33 @@ object SparkEntry {
     "stream_quantile_exact" -> ((s, dir) => {
       val km = kruskalState(s, dir)
       km.quantiles(Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
+    // robust trimmed mean of VALUE: cut ⌊0.1n⌋ per tail on the same
+    // count table — interval arithmetic on the prefix scan, mean vs
+    // trimmed_mean IS the contamination readout
+    "stats_trimmed" -> ((s, dir) => {
+      graft.functions.Stats.trimmedMean(events(s, dir), col("value"),
+        trim = 0.1)
+    }),
+
+    // streaming trimmed mean (batch replay of 5 batches): fourth readout
+    // off the same count state as stream_quantile_exact; same oracle
+    "stream_trimmed" -> ((s, dir) => {
+      kruskalState(s, dir).trimmed(trim = 0.1)
+    }),
+
+    // median absolute deviation of VALUE: the robust scale next to the
+    // trimmed mean's robust location — two bounded-median extractions,
+    // normal-consistent 1.4826·mad against sigma
+    "stats_mad" -> ((s, dir) => {
+      graft.functions.Stats.madScale(events(s, dir), col("value"))
+    }),
+
+    // streaming MAD (batch replay of 5 batches): fifth readout off the
+    // same count state; same oracle
+    "stream_mad" -> ((s, dir) => {
+      kruskalState(s, dir).scale
     }),
 
     // Jarque-Bera normality: is VALUE even bell-shaped — one additive
@@ -5269,6 +5332,78 @@ object SparkEntry {
              6)::DOUBLE AS value
          FROM r ORDER BY q"""
 
+  /** trimmed-mean replay: per-value counts, prefix scan, interval-clamp
+    * kept weights, decimal-staged value x weight products — shared by
+    * `stats_trimmed` and `stream_trimmed` (per-value counts are
+    * additive).
+    */
+  private val trimmedOracleSql =
+    """WITH c AS (
+         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1),
+       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+             FROM c),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       g AS (SELECT n, CAST(floor(n::DOUBLE * 0.1) AS BIGINT) AS g FROM t),
+       k AS (
+         SELECT n, g,
+           greatest(least(cm, n - g) - greatest(cm - c, g), 0) AS kept,
+           v, c
+         FROM s CROSS JOIN g),
+       a AS (
+         SELECT n, g,
+           sum(CAST(v::DOUBLE * kept::DOUBLE AS DECIMAL(28,10))) AS sv,
+           CAST(sum(kept) AS BIGINT) AS ks,
+           sum(CAST(v::DOUBLE * c::DOUBLE AS DECIMAL(28,10))) AS av
+         FROM k GROUP BY n, g)
+       SELECT n, g AS cut, ks AS kept,
+         round(CAST(av::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+           AS mean,
+         CASE WHEN ks <= 0 THEN NULL
+           ELSE round(CAST(sv::DOUBLE / ks::DOUBLE AS DECIMAL(18,8)),
+             6)::DOUBLE END AS trimmed_mean
+       FROM a"""
+
+  /** MAD replay: two interpolated medians over bounded count tables (the
+    * quantile-oracle machinery twice, the second over |v - med| counts)
+    * — shared by `stats_mad` and `stream_mad` (counts are additive).
+    */
+  private val madOracleSql =
+    """WITH c AS (
+         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1),
+       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+             FROM c),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       j AS (SELECT n, (n::DOUBLE - 1.0) * 0.5 AS pos FROM t),
+       m AS (SELECT n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+               pos - floor(pos) AS frac FROM j),
+       r1 AS (
+         SELECT m.n, m.frac,
+           min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
+           min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
+             END)::DOUBLE AS xhi
+         FROM m CROSS JOIN s GROUP BY 1, 2),
+       med AS (SELECT n, xlo + (xhi - xlo) * frac AS med FROM r1),
+       d AS (
+         SELECT abs(c.v::DOUBLE - med.med) AS v, CAST(sum(c.c) AS BIGINT) AS c
+         FROM c CROSS JOIN med GROUP BY 1),
+       ds AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+              FROM d),
+       r2 AS (
+         SELECT m.n, m.frac,
+           min(CASE WHEN ds.cm >= m.lo THEN ds.v END)::DOUBLE AS xlo,
+           min(CASE WHEN ds.cm >= least(m.lo + 1, m.n) THEN ds.v
+             END)::DOUBLE AS xhi
+         FROM m CROSS JOIN ds GROUP BY 1, 2),
+       mad AS (SELECT n, xlo + (xhi - xlo) * frac AS mad FROM r2)
+       SELECT mad.n,
+         round(CAST(med AS DECIMAL(18,8)), 6)::DOUBLE AS median,
+         round(CAST(mad AS DECIMAL(18,8)), 6)::DOUBLE AS mad,
+         round(CAST(mad * 1.4826022185056018 AS DECIMAL(18,8)), 6)::DOUBLE
+           AS mad_normal
+       FROM mad CROSS JOIN med"""
+
   /** Jarque–Bera replay (exact DECIMAL(8,2)-staged power sums, fixed
     * double-order central moments, closed-form χ²(2) p) — shared by
     * `stats_jarque_bera` and `stream_jarque_bera` (sums are additive).
@@ -5921,6 +6056,58 @@ object SparkEntry {
          round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE AS ph,
          round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE > 20.0 AS alarm
        FROM s ORDER BY event_type, day"""
+
+  /** runs-test replay: daily counts, partitioned-rank median (low/high
+    * middle positions via conditional max), keyed lag for run starts,
+    * exact-integer z — shared by `events_runs` and its streaming twin
+    * `stream_runs` (daily counts are additive).
+    */
+  private val runsOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       rk AS (
+         SELECT event_type, day, n,
+           row_number() OVER (PARTITION BY event_type ORDER BY n, day)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS dd
+         FROM d),
+       med AS (
+         SELECT event_type,
+           (max(CASE WHEN rn = CAST(floor((dd::DOUBLE + 1.0) / 2.0)
+                  AS BIGINT) THEN n END)
+            + max(CASE WHEN rn = CAST(floor(dd::DOUBLE / 2.0) AS BIGINT) + 1
+                  THEN n END))::DOUBLE / 2.0 AS med
+         FROM rk GROUP BY 1),
+       sg AS (
+         SELECT d.event_type, d.day, d.n > med AS sgn,
+           lag(d.n > med, 1) OVER (PARTITION BY d.event_type
+             ORDER BY d.day) AS prev
+         FROM d JOIN med ON d.event_type = med.event_type
+         WHERE d.n::DOUBLE <> med),
+       a AS (
+         SELECT event_type,
+           CAST(sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+           CAST(sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS BIGINT) AS n_minus,
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+             AS BIGINT) AS runs
+         FROM sg GROUP BY 1),
+       f AS (
+         SELECT *,
+           CAST(CAST(2 AS DECIMAL(38,0)) * n_plus * n_minus AS DOUBLE)
+             AS tab,
+           (n_plus + n_minus)::DOUBLE AS nt
+         FROM a)
+       SELECT event_type, n_plus, n_minus, runs,
+         CASE WHEN n_plus = 0 OR n_minus = 0
+                OR tab * (tab - n_plus::DOUBLE - n_minus::DOUBLE)
+                  / (nt * nt * (nt - 1.0)) <= 0.0 THEN NULL
+           ELSE round(CAST(
+             (runs::DOUBLE - (tab / nt + 1.0))
+             / sqrt(tab * (tab - n_plus::DOUBLE - n_minus::DOUBLE)
+               / (nt * nt * (nt - 1.0)))
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
+       FROM f ORDER BY event_type"""
 
   /** Kaplan–Meier replay (per-user day spans, churn = last activity more
     * than censorDays before corpus end, inclusive cumulative exits for
@@ -7922,6 +8109,79 @@ object SparkEntry {
              ELSE round(CAST(u2::DOUBLE / (2.0::DOUBLE * np::DOUBLE * nneg::DOUBLE)
                AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
          FROM u"""
+
+  /** gains/lift replay: the same classifier score + quality label count
+    * table as the AUC oracle, cumulated top-first, decile boundary rows
+    * via conditional mins — shared by `curate_gains` and `stream_gains`
+    * (the per-score counts are additive).
+    */
+  private lazy val gainsOracleSql =
+    s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         counts AS (
+           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+           FROM j GROUP BY s),
+         cum AS (
+           SELECT s, p, nn,
+             CAST(sum(p) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cp,
+             CAST(sum(p + nn) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ct
+           FROM counts),
+         tot AS (
+           SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn
+           FROM counts),
+         dec AS (SELECT unnest(generate_series(1, 10)) AS d),
+         sel AS (
+           SELECT dec.d AS decile, tp, tn,
+             min(CASE WHEN ct >= CAST(floor((((tp + tn) * dec.d)::DOUBLE + 9.0)
+                   / 10.0) AS BIGINT) THEN ct END) AS n_cum,
+             min(CASE WHEN ct >= CAST(floor((((tp + tn) * dec.d)::DOUBLE + 9.0)
+                   / 10.0) AS BIGINT) THEN cp END) AS pos_cum
+           FROM cum CROSS JOIN dec CROSS JOIN tot
+           GROUP BY dec.d, tp, tn)
+         SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_cum AS BIGINT) AS n_cum, CAST(pos_cum AS BIGINT) AS pos_cum,
+           CASE WHEN tp = 0 THEN NULL
+             ELSE round(CAST(pos_cum::DOUBLE / tp::DOUBLE AS DECIMAL(18,8)),
+               6)::DOUBLE END AS gain,
+           CASE WHEN tp = 0 THEN NULL
+             ELSE round(CAST(pos_cum::DOUBLE / tp::DOUBLE
+               / (n_cum::DOUBLE / (tp::DOUBLE + tn::DOUBLE))
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS lift
+         FROM sel ORDER BY decile"""
 
   /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
     * per-term decimal staging — shared by the batch operator and its
@@ -10590,6 +10850,10 @@ object SparkEntry {
     // additive per-score counts: the monitor's folded state equals the
     // one-pass table — identical replay
     "stream_auc" -> aucOracleSql,
+    // gains/lift replay: same score+label counts, top-first cumulation,
+    // decile boundary rows via conditional mins
+    "curate_gains" -> gainsOracleSql,
+    "stream_gains" -> gainsOracleSql,
 
     // P/R/F1 replay: same score and label replays, per-threshold
     // conditional sums unpivoted, integer-exact F1
@@ -12276,6 +12540,12 @@ object SparkEntry {
     "stream_levene" -> leveneOracleSql,
     // exact-quantile replay: same count state, order-stat interpolation
     "stats_quantile_exact" -> quantileExactOracleSql,
+    // robust location/scale replay: same additive count state as the
+    // exact quantiles (trimmed = interval clamps, mad = two medians)
+    "stats_trimmed" -> trimmedOracleSql,
+    "stream_trimmed" -> trimmedOracleSql,
+    "stats_mad" -> madOracleSql,
+    "stream_mad" -> madOracleSql,
     "stream_quantile_exact" -> quantileExactOracleSql,
     // Jarque-Bera / Grubbs replay: same additive power-sum + extremes row
     "stats_jarque_bera" -> jarqueBeraOracleSql,
@@ -12450,6 +12720,11 @@ object SparkEntry {
     // lag-7 self-join errors scaled by the one-step-naive lag errors)
     "events_mase" -> maseOracleSql,
     "stream_mase" -> maseOracleSql,
+
+    // runs-test replay — shared with the streaming twin (additive counts;
+    // partitioned-rank median, keyed lag run starts, exact-integer z)
+    "events_runs" -> runsOracleSql,
+    "stream_runs" -> runsOracleSql,
 
     // EWMA replay: same daily counts and exact moments, same unrolled
     // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same

@@ -607,6 +607,84 @@ object Events {
       .withColumn("alarm", col("ph") > lambda)
   }
 
+  /** Wald–Wolfowitz runs test over per-type daily volumes — "is the
+    * series RANDOM around its median at all": too FEW runs of
+    * above/below-median days means clustering (regime shifts, weekly
+    * batches landing in blocks), too MANY means oscillation (a retry
+    * loop alternating with backoff) — the distribution-free randomness
+    * verdict that belongs BEFORE anyone reads the CUSUM/EWMA alarms,
+    * whose iid-around-the-mean assumption this is the test of.
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * count table; the per-type median is two conditional order
+    * statistics off a PARTITIONED rank (the [[graft.functions.Stats]]
+    * mood-median discipline), runs count with ONE keyed lag window, and
+    * the z forms from three exact integers with the 2ab product
+    * DECIMAL(38,0)-staged. Days equal to the median drop (the standard
+    * treatment).
+    *
+    * Returns one row per type: (event_type, n_plus, n_minus, runs, z) —
+    * z NULL when either side is empty or the variance degenerates;
+    * negative z reads "too few runs" (clustering).
+    */
+  def runsTest(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    runsOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[runsTest]]'s statistic over an already-built (event_type, day, n)
+    * count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's runs
+    * verdict equals the batch one once all of a day's events have
+    * landed).
+    */
+  def runsOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n"), col("day"))
+    val ranked = daily.withColumn("__rn", row_number().over(wRank))
+    val cnt = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__d"))
+    val loPos = floor((col("__d").cast("double") + lit(1.0)) / lit(2.0))
+      .cast("long")
+    val hiPos = floor(col("__d").cast("double") / lit(2.0)).cast("long") +
+      lit(1L)
+    val medt = ranked.join(broadcast(cnt), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("__rn") === loPos, col("n"))).as("__m1"),
+        max(when(col("__rn") === hiPos, col("n"))).as("__m2"))
+      .select(col("event_type"),
+        ((col("__m1") + col("__m2")).cast("double") / lit(2.0)).as("__med"))
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val agg = daily.join(broadcast(medt), Seq("event_type"))
+      .filter(col("n").cast("double") =!= col("__med"))
+      .withColumn("__sgn", col("n").cast("double") > col("__med"))
+      .withColumn("__prev", lag(col("__sgn"), 1).over(wLag))
+      .withColumn("__start",
+        when(col("__prev").isNull || col("__prev") =!= col("__sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("__sgn"), 1L).otherwise(0L)).as("n_plus"),
+        sum(when(!col("__sgn"), 1L).otherwise(0L)).as("n_minus"),
+        sum(col("__start")).as("runs"))
+    val tab = (lit(2L).cast(dec38) * col("n_plus") * col("n_minus"))
+      .cast("double")
+    val nTot = (col("n_plus") + col("n_minus")).cast("double")
+    val mu = tab / nTot + lit(1.0)
+    val v = tab * (tab - col("n_plus").cast("double") -
+      col("n_minus").cast("double")) / (nTot * nTot * (nTot - lit(1.0)))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(dec8), 6).cast("double")
+    val bad = col("n_plus") === 0L || col("n_minus") === 0L
+    agg.select(col("event_type"), col("n_plus"), col("n_minus"), col("runs"),
+      when(bad || v <= 0.0, lit(null).cast("double"))
+        .otherwise(r6((col("runs").cast("double") - mu) / sqrt(v))).as("z"))
+  }
+
   /** EWMA control chart over per-type daily volumes — the SMALL-shift
     * detector between [[anomaliesOfDaily]] (single-day spikes) and
     * [[cusumOfDaily]] (accumulated creep): the exponentially weighted

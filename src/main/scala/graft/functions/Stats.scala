@@ -2167,6 +2167,183 @@ object Stats {
       .orderBy(col("q"))
   }
 
+  /** Trimmed mean — the robust location estimate between the mean (one
+    * corrupt row moves it) and the median (throws away 98% of the data's
+    * precision): cut the lowest and highest ⌊trim·n⌋ observations and
+    * average the rest, scipy `trim_mean` semantics. The pair (mean,
+    * trimmed_mean) IS the outlier-contamination readout — a gap between
+    * them says the tails are doing the talking.
+    *
+    * Scale shape: the corpus collapses ONCE to the per-value count table
+    * (the summed [[graft.streaming.Streaming.KruskalMonitor]] state,
+    * whose `trimmed` readout IS this statistic); each value's kept
+    * weight is interval arithmetic on the deterministic-bucket prefix
+    * scan ([[graft.core.Scans.cumulative]]) — min/max clamps of exact
+    * integers, value×weight products decimal-staged BEFORE the sum.
+    * Zero row-level work after the count rollup.
+    *
+    * Returns one row (n, cut, kept, mean, trimmed_mean) at 6dp;
+    * trimmed_mean NULL when the trim leaves nothing (kept ≤ 0); empty
+    * input yields zero rows.
+    */
+  def trimmedMean(df: DataFrame, valueCol: Column,
+                  trim: Double = 0.1): DataFrame =
+    trimmedOfCounts(
+      df.filter(valueCol.isNotNull)
+        .groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")), trim)
+
+  /** [[trimmedMean]]'s readout from an already-built (__v, __c) count
+    * table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def trimmedOfCounts(counts: DataFrame, trim: Double = 0.1): DataFrame = {
+    require(trim >= 0 && trim < 0.5, "0 <= trim < 0.5")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val cum = graft.core.Scans.cumulative(c, "__v", Seq("__c"))
+    val tot = broadcast(c.agg(sum(col("__c")).as("__n")))
+    val g = floor(col("__n").cast("double") * lit(trim)).cast("long")
+    val cumPrev = col("cum___c") - col("__c")
+    val kept = greatest(
+      least(col("cum___c"), col("__n") - g) - greatest(cumPrev, g), lit(0L))
+    def d(s: String) = col(s).cast("double")
+    cum.crossJoin(tot)
+      .select(col("__n"), g.as("__g"),
+        (col("__v").cast("double") * kept.cast("double")).cast(decS)
+          .as("__sv"),
+        kept.as("__kc"),
+        (col("__v").cast("double") * col("__c").cast("double")).cast(decS)
+          .as("__av"))
+      .groupBy(col("__n"), col("__g"))
+      .agg(sum(col("__sv")).as("__svs"), sum(col("__kc")).as("__ks"),
+        sum(col("__av")).as("__avs"))
+      .select(col("__n").as("n"), col("__g").as("cut"), col("__ks").as("kept"),
+        round((d("__avs") / d("__n")).cast(dec8), 6).cast("double").as("mean"),
+        when(col("__ks") <= 0L, lit(null).cast("double"))
+          .otherwise(round((d("__svs") / d("__ks")).cast(dec8), 6)
+            .cast("double")).as("trimmed_mean"))
+  }
+
+  /** Median absolute deviation — the robust SCALE estimate next to
+    * [[trimmedMean]]'s robust location: mad = median(|x − median(x)|),
+    * immune to the outliers that inflate a standard deviation, with the
+    * normal-consistent form 1.4826·mad reading directly against σ (the
+    * robust z-score denominator every data-quality screen wants).
+    *
+    * Scale shape: TWO median extractions, both on bounded count tables —
+    * the per-value counts (the summed
+    * [[graft.streaming.Streaming.KruskalMonitor]] state, whose `scale`
+    * readout IS this statistic), then the |v − med| deviation counts
+    * derived from that same frame (one broadcast join, regrouped at
+    * deviation cardinality ≤ value cardinality). Each median is
+    * [[quantilesOfCounts]]' two conditional order statistics on the
+    * deterministic-bucket prefix scan. No row-level second pass.
+    *
+    * Returns one row (n, median, mad, mad_normal) at 6dp; empty input
+    * yields zero rows.
+    */
+  def madScale(df: DataFrame, valueCol: Column): DataFrame =
+    madOfCounts(
+      df.filter(valueCol.isNotNull)
+        .groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")))
+
+  /** [[madScale]]'s readout from an already-built (__v, __c) count table
+    * — the stage the streaming monitor shares with the batch operator.
+    */
+  def madOfCounts(counts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // interpolated median of a (__v, __c) count table: (n, med) 1-row
+    def medianOf(cc: DataFrame): DataFrame = {
+      val cum = graft.core.Scans.cumulative(cc, "__v", Seq("__c"))
+      val tot = broadcast(cc.agg(sum(col("__c")).as("__n")))
+      val pos = (col("__n").cast("double") - lit(1.0)) * lit(0.5)
+      val lo = floor(pos).cast("long") + lit(1L)
+      val frac = pos - floor(pos)
+      cum.crossJoin(tot)
+        .groupBy(col("__n"), frac.as("__frac"))
+        .agg(
+          min(when(col("cum___c") >= lo, col("__v"))).cast("double")
+            .as("__xlo"),
+          min(when(col("cum___c") >= least(lo + lit(1L), col("__n")),
+            col("__v"))).cast("double").as("__xhi"))
+        .select(col("__n"),
+          (col("__xlo") + (col("__xhi") - col("__xlo")) * col("__frac"))
+            .as("__med"))
+    }
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    val m1 = org.apache.spark.sql.graftbridge.Bridge.freeze(medianOf(c))
+    val devs = c.crossJoin(broadcast(m1))
+      .groupBy(abs(col("__v").cast("double") - col("__med")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    def r6(cc: Column) = round(cc.cast(dec8), 6).cast("double")
+    medianOf(devs).select(col("__n").as("n"), col("__med").as("__mad"))
+      .crossJoin(broadcast(m1.select(col("__med"))))
+      .select(col("n"), r6(col("__med")).as("median"),
+        r6(col("__mad")).as("mad"),
+        r6(col("__mad") * lit(1.4826022185056018)).as("mad_normal"))
+  }
+
+  /** Cumulative gains / lift table — "if I keep only the top k/10 of
+    * documents by classifier score, what share of the true positives do
+    * I capture, and how much better is that than random": the
+    * budget-facing readout next to [[rocAuc]] (one number, no budget)
+    * and [[prCurve]] (fixed cuts, no budget) — curation IS a budget
+    * decision, and this is the curve it reads.
+    *
+    * Scale shape: the SAME additive per-score count state as
+    * [[aucOfCounts]] (the [[graft.streaming.Streaming.AucMonitor]]
+    * state, whose `gains` readout IS this table), cumulated top-first on
+    * the deterministic-bucket prefix scan; each decile's row is two
+    * conditional-min order statistics (both cumulatives are monotone
+    * along the scan, so min-over-qualifying reads the boundary row)
+    * against a broadcast decile frame. Zero row-level work.
+    *
+    * Returns one row per decile: (decile, n_cum, pos_cum, gain, lift) at
+    * 6dp — gain = captured-positive share, lift = gain over the random
+    * baseline n_cum/n; NULL gain/lift when no positives exist. Decile
+    * cuts are ⌈k·n/deciles⌉ (exact below 2⁵³ rows). Empty input yields
+    * zero rows.
+    */
+  def gainsCurve(df: DataFrame, score: Column, label: Column,
+                 deciles: Int = 10): DataFrame =
+    gainsOfCounts(scoreCounts(df, score, label), deciles)
+
+  /** [[gainsCurve]]'s readout from a [[scoreCounts]] table — the stage
+    * the streaming monitor shares with the batch operator.
+    */
+  def gainsOfCounts(counts: DataFrame, deciles: Int = 10): DataFrame = {
+    require(deciles >= 2 && deciles <= 100, "2 <= deciles <= 100")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // negate the score so the ascending prefix scan cumulates TOP-first
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      counts.select((-col("__s").cast("double")).as("__k"),
+        col("__p"), col("__n")))
+    val cum = graft.core.Scans.cumulative(c, "__k", Seq("__p", "__n"))
+    val tot = broadcast(c.agg(sum(col("__p")).as("__tp"),
+      sum(col("__n")).as("__tn")))
+    val dfr = broadcast(c.sparkSession.range(1, deciles + 1)
+      .select(col("id").as("__dec")))
+    val bigN = col("__tp") + col("__tn")
+    val cut = floor(((bigN * col("__dec")).cast("double") +
+      lit((deciles - 1).toDouble)) / lit(deciles.toDouble)).cast("long")
+    val cumtot = col("cum___p") + col("cum___n")
+    def d(s: String) = col(s).cast("double")
+    cum.crossJoin(dfr).crossJoin(tot)
+      .groupBy(col("__dec"), col("__tp"), col("__tn"))
+      .agg(min(when(cumtot >= cut, cumtot)).as("n_cum"),
+        min(when(cumtot >= cut, col("cum___p"))).as("pos_cum"))
+      .select(col("__dec").as("decile"), col("n_cum"), col("pos_cum"),
+        when(col("__tp") === 0L, lit(null).cast("double"))
+          .otherwise(round((d("pos_cum") / d("__tp")).cast(dec8), 6)
+            .cast("double")).as("gain"),
+        when(col("__tp") === 0L, lit(null).cast("double"))
+          .otherwise(round((d("pos_cum") / d("__tp") /
+            (d("n_cum") / (d("__tp") + d("__tn")))).cast(dec8), 6)
+            .cast("double")).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Jarque–Bera normality test — "is this metric even bell-shaped":
     * every z-score alarm ([[graft.functions.Events.anomaliesOfDaily]],
     * the EWMA chart) and every t/F test upstream quietly assumes rough

@@ -460,6 +460,15 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         period)
 
+    /** Wald–Wolfowitz randomness readout off the accreted count state
+      * ([[graft.functions.Events.runsOfDaily]]) — is the daily series
+      * iid around its median at all, the assumption check under the
+      * CUSUM/EWMA alarms; additivity makes it batch-exact
+      */
+    def runs: DataFrame =
+      graft.functions.Events.runsOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** fifth readout off the accreted count state: the Mann–Kendall
       * monotonic-trend verdict + Theil–Sen slope
       * ([[graft.functions.Events.mkOfDaily]]) — the distribution-free
@@ -1105,6 +1114,25 @@ object Streaming {
         counts.merged
           .groupBy(col("__v")).agg(sum(col("__c")).as("__c")), qs)
 
+    /** fourth readout off the SAME count state (groups summed away): the
+      * robust trimmed mean ([[graft.functions.Stats.trimmedOfCounts]]) —
+      * equals the batch [[graft.functions.Stats.trimmedMean]]
+      */
+    def trimmed(trim: Double = 0.1): DataFrame =
+      graft.functions.Stats.trimmedOfCounts(
+        counts.merged
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__c")), trim)
+
+    /** fifth readout off the SAME count state (groups summed away): the
+      * median-absolute-deviation robust scale
+      * ([[graft.functions.Stats.madOfCounts]]) — equals the batch
+      * [[graft.functions.Stats.madScale]]
+      */
+    def scale: DataFrame =
+      graft.functions.Stats.madOfCounts(
+        counts.merged
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__c")))
+
     /** fourth readout off the SAME count state: the Jonckheere–Terpstra
       * ordered-alternative trend ([[graft.functions.Stats.jtOfCounts]]) —
       * "do the groups INCREASE along their ordering", the directed
@@ -1586,6 +1614,14 @@ object Streaming {
       */
     def operatingPoints(thresholds: Seq[Double]): DataFrame =
       graft.functions.Stats.prCurveOfCounts(counts.merged, thresholds)
+
+    /** current cumulative gains/lift table
+      * ([[graft.functions.Stats.gainsOfCounts]]) — equals the batch
+      * [[graft.functions.Stats.gainsCurve]]; the budget readout off the
+      * same additive per-score state
+      */
+    def gains(deciles: Int = 10): DataFrame =
+      graft.functions.Stats.gainsOfCounts(counts.merged, deciles)
 
     /** current reliability (calibration) table — equals the batch one;
       * the third readout of the same state (rank, cut, calibration)

@@ -278,15 +278,16 @@ object SparkEntry {
     "stream_pettitt" -> "vol", "stream_holt" -> "vol",
     "stream_fdr" -> "vol", "stream_padjust" -> "vol",
     "stream_page_hinkley" -> "vol", "stream_mase" -> "vol",
-    "stream_runs" -> "vol",
+    "stream_runs" -> "vol", "stream_pchart" -> "vol",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
-    "stream_gains" -> "aucdocs",
+    "stream_gains" -> "aucdocs", "stream_confusion" -> "aucdocs",
     "stream_mwu" -> "aucvalue", "stream_cliffs" -> "aucvalue",
     "stream_brunner_munzel" -> "aucvalue", "stream_ansari" -> "aucvalue",
     "stream_ks" -> "aucvalue", "stream_cvm" -> "aucvalue",
     "stream_ad" -> "aucvalue", "stream_wasserstein" -> "aucvalue",
     "stream_survival" -> "survival", "stream_hazard" -> "survival",
+    "stream_survival_summary" -> "survival",
     "stream_corr" -> "corr", "stream_cuped" -> "corr",
     "stream_cov" -> "cov", "stream_cronbach" -> "cov",
     "stream_simpson" -> "keycount", "stream_cohenh" -> "prop",
@@ -294,6 +295,7 @@ object SparkEntry {
     "stream_mood_median" -> "kruskal", "stream_levene" -> "kruskal",
     "stream_quantile_exact" -> "kruskal",
     "stream_trimmed" -> "kruskal", "stream_mad" -> "kruskal",
+    "stream_shape" -> "kruskal",
     "stream_key_skew" -> "keycount", "stream_gini" -> "keycount",
     "stream_retention" -> "retention", "stream_stickiness" -> "retention",
     "stream_kappa" -> "kappa", "stream_mcnemar" -> "kappa",
@@ -821,6 +823,20 @@ object SparkEntry {
       survivalState(s, dir).hazard(censorDays = 7).orderBy(col("t_days"))
     }),
 
+    // survival-time quartiles: the lifetimes at which 25/50/75% of users
+    // have churned — conditional mins against the rounded KM curve; a
+    // NULL median reads "censoring dominates"
+    "events_survival_summary" -> ((s, dir) => {
+      graft.functions.Events.survivalSummary(events(s, dir), "user_id", "ts",
+        censorDays = 7)
+    }),
+
+    // streaming survival summary: THIRD readout of the same per-user span
+    // state; equals the batch events_survival_summary — same oracle
+    "stream_survival_summary" -> ((s, dir) => {
+      survivalState(s, dir).summary(censorDays = 7)
+    }),
+
     // Nelson–Aalen cumulative hazard over raw events: H(t) = Σ d/n-at-risk
     // off the same bounded life table as events_survival — hazard spikes
     // read directly where the KM curve only bends
@@ -1317,6 +1333,24 @@ object SparkEntry {
     // curate_gains; same oracle
     "stream_gains" -> ((s, dir) => {
       aucDocsState(s, dir).gains(deciles = 10)
+    }),
+
+    // confusion-matrix metrics at the zero cut: MCC / balanced accuracy /
+    // Youden's J — the class-imbalance-honest admission numbers P/R/F1
+    // can't see (they ignore the true negatives); four conditional sums
+    // on the same per-score count table
+    "curate_confusion" -> ((s, dir) => {
+      graft.functions.Stats.confusionMetrics(docsNorm(s, dir),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
+        threshold = 0.0)
+    }),
+
+    // streaming confusion metrics (batch replay of 5 batches): fifth
+    // readout off the same additive per-score state as stream_auc —
+    // equals the batch curate_confusion; same oracle
+    "stream_confusion" -> ((s, dir) => {
+      aucDocsState(s, dir).confusion(threshold = 0.0)
     }),
 
     // streaming P/R operating points (batch replay of 5 batches): the SAME
@@ -3845,6 +3879,22 @@ object SparkEntry {
       volState(s, dir).runs.orderBy(col("event_type"))
     }),
 
+    // p-chart on the daily purchase SHARE: per-day control limits
+    // p̄ ± 3√(p̄(1−p̄)/n_t) — the composition alarm next to the count
+    // alarms, limits widening on thin days instead of false-alarming
+    "events_pchart" -> ((s, dir) => {
+      graft.functions.Events.pChart(events(s, dir), "event_type", "ts",
+          targetType = "purchase", sigmas = 3.0)
+        .orderBy(col("day"))
+    }),
+
+    // streaming p-chart (batch replay of 5 batches): twenty-first readout
+    // off the same additive daily-count state — equals the batch chart;
+    // same oracle
+    "stream_pchart" -> ((s, dir) => {
+      volState(s, dir).pchart("purchase", sigmas = 3.0).orderBy(col("day"))
+    }),
+
     // per-user cadence audit: ONE user-keyed lag window for inter-event
     // gaps, ONE rollup to the |users|-row profile, exact moment staging —
     // the bot screen (metronomic gaps) before user data enters a mix
@@ -4217,6 +4267,19 @@ object SparkEntry {
     // same count state; same oracle
     "stream_mad" -> ((s, dir) => {
       kruskalState(s, dir).scale
+    }),
+
+    // robust quartile shape of VALUE: IQR + Bowley skewness + quartile
+    // dispersion — the shape fingerprint that stays meaningful where
+    // moment-based skew/kurtosis saturate; one quantile pass, pivoted
+    "stats_shape" -> ((s, dir) => {
+      graft.functions.Stats.robustShape(events(s, dir), col("value"))
+    }),
+
+    // streaming quartile shape (batch replay of 5 batches): sixth readout
+    // off the same count state; same oracle
+    "stream_shape" -> ((s, dir) => {
+      kruskalState(s, dir).shape
     }),
 
     // Jarque-Bera normality: is VALUE even bell-shaped — one additive
@@ -5364,6 +5427,51 @@ object SparkEntry {
              6)::DOUBLE END AS trimmed_mean
        FROM a"""
 
+  /** quartile-shape replay: the quantile-oracle machinery at (.25, .5,
+    * .75), pivoted, ratios over the rounded quartiles — shared by
+    * `stats_shape` and `stream_shape` (counts are additive).
+    */
+  private val shapeOracleSql =
+    """WITH c AS (
+         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1),
+       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
+             FROM c),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+       j AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos
+             FROM qs CROSS JOIN t),
+       m AS (
+         SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
+           pos - floor(pos) AS frac
+         FROM j),
+       r AS (
+         SELECT m.q, m.n, m.frac,
+           min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
+           min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
+             END)::DOUBLE AS xhi
+         FROM m CROSS JOIN s GROUP BY 1, 2, 3),
+       v AS (
+         SELECT q, n,
+           round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
+             6)::DOUBLE AS value
+         FROM r),
+       p AS (
+         SELECT max(n) AS n,
+           max(CASE WHEN q = 0.25 THEN value END) AS q1,
+           max(CASE WHEN q = 0.5 THEN value END) AS q2,
+           max(CASE WHEN q = 0.75 THEN value END) AS q3
+         FROM v)
+       SELECT CAST(n AS BIGINT) AS n, q1, q2 AS median, q3,
+         round(CAST(q3 - q1 AS DECIMAL(18,8)), 6)::DOUBLE AS iqr,
+         CASE WHEN q3 - q1 = 0.0 THEN NULL
+           ELSE round(CAST((q3 + q1 - 2.0 * q2) / (q3 - q1)
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS bowley,
+         CASE WHEN q3 + q1 = 0.0 THEN NULL
+           ELSE round(CAST((q3 - q1) / (q3 + q1)
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS qcd
+       FROM p"""
+
   /** MAD replay: two interpolated medians over bounded count tables (the
     * quantile-oracle machinery twice, the second over |v - med| counts)
     * — shared by `stats_mad` and `stream_mad` (counts are additive).
@@ -6109,6 +6217,37 @@ object SparkEntry {
              AS DECIMAL(18,8)), 6)::DOUBLE END AS z
        FROM f ORDER BY event_type"""
 
+  /** p-chart replay: per-day (n, purchases), broadcast center, per-day
+    * clamped limits, alarm on the UNROUNDED share — shared by
+    * `events_pchart` and its streaming twin `stream_pchart` (daily
+    * counts are additive).
+    */
+  private val pchartOracleSql =
+    """WITH d AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(x) AS BIGINT) AS tx FROM d),
+       f AS (
+         SELECT day, n, x,
+           x::DOUBLE / n::DOUBLE AS phat,
+           tx::DOUBLE / tn::DOUBLE AS center,
+           3.0 * sqrt(tx::DOUBLE / tn::DOUBLE
+             * (1.0 - tx::DOUBLE / tn::DOUBLE) / n::DOUBLE) AS spread
+         FROM d CROSS JOIN t)
+       SELECT day, n, x,
+         round(CAST(phat AS DECIMAL(18,8)), 6)::DOUBLE AS p_hat,
+         round(CAST(center AS DECIMAL(18,8)), 6)::DOUBLE AS center,
+         round(CAST(greatest(center - spread, 0.0) AS DECIMAL(18,8)),
+           6)::DOUBLE AS lcl,
+         round(CAST(least(center + spread, 1.0) AS DECIMAL(18,8)),
+           6)::DOUBLE AS ucl,
+         (phat < greatest(center - spread, 0.0)
+           OR phat > least(center + spread, 1.0)) AS alarm
+       FROM f ORDER BY day"""
+
   /** Kaplan–Meier replay (per-user day spans, churn = last activity more
     * than censorDays before corpus end, inclusive cumulative exits for
     * at-risk counts, decimal-staged ln factors summed exactly then exp'd,
@@ -6149,6 +6288,53 @@ object SparkEntry {
               ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
               END AS survival
        FROM walked ORDER BY t_days"""
+
+  /** survival-summary replay: the KM-curve chain, then conditional mins
+    * against the rounded survival column — shared by
+    * `events_survival_summary` and its streaming twin (spans merge by
+    * min/max).
+    */
+  private val survivalSummaryOracleSql =
+    """WITH spans AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+         FROM events GROUP BY 1),
+       e AS (SELECT max(l) AS endd FROM spans),
+       lt AS (
+         SELECT datediff('day', f, l) AS t,
+           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 0 ELSE 1 END)
+             AS BIGINT) AS c
+         FROM spans CROSS JOIN e GROUP BY 1),
+       tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM lt),
+       cum AS (
+         SELECT t, d, c,
+           n - (CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) - (d + c)) AS nrisk
+         FROM lt CROSS JOIN tot),
+       staged AS (
+         SELECT t, d, c, nrisk,
+           CASE WHEN d = 0 OR d = nrisk THEN CAST(0.0 AS DECIMAL(28,12))
+                ELSE CAST(ln(1.0 - d::DOUBLE / nrisk::DOUBLE)
+                  AS DECIMAL(28,12)) END AS lnf,
+           CASE WHEN d = nrisk THEN 1 ELSE 0 END AS dead
+         FROM cum),
+       walked AS (
+         SELECT t, d, c,
+           sum(lnf) OVER (ORDER BY t) AS cln,
+           CAST(sum(dead) OVER (ORDER BY t) AS BIGINT) AS cdead
+         FROM staged),
+       curve AS (
+         SELECT t, d, c,
+           CASE WHEN cdead > 0 THEN 0.0
+                ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)),
+                  6)::DOUBLE END AS survival
+         FROM walked)
+       SELECT CAST(sum(d + c) AS BIGINT) AS n_users,
+         CAST(min(CASE WHEN survival <= 0.75 THEN t END) AS BIGINT) AS t25,
+         CAST(min(CASE WHEN survival <= 0.5 THEN t END) AS BIGINT)
+           AS median_t,
+         CAST(min(CASE WHEN survival <= 0.25 THEN t END) AS BIGINT) AS t75
+       FROM curve"""
 
 
   /** Simpson concentration replay: per-user counts, exact HUGEINT pair
@@ -8182,6 +8368,84 @@ object SparkEntry {
                / (n_cum::DOUBLE / (tp::DOUBLE + tn::DOUBLE))
                AS DECIMAL(18,8)), 6)::DOUBLE END AS lift
          FROM sel ORDER BY decile"""
+
+  /** confusion-metrics replay: the same score+label count table as the
+    * AUC oracle, four conditional sums at the zero cut, MCC numerator
+    * exact in DECIMAL(38,0) — shared by `curate_confusion` and
+    * `stream_confusion` (the per-score counts are additive).
+    */
+  private lazy val confusionOracleSql =
+    s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         lab AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         sc AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) AS s
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+         counts AS (
+           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+           FROM j GROUP BY s),
+         a AS (
+           SELECT
+             CAST(sum(CASE WHEN s >= 0.0 THEN p ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= 0.0 THEN nn ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < 0.0 THEN p ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s < 0.0 THEN nn ELSE 0 END) AS BIGINT) AS tn
+           FROM counts),
+         f AS (
+           SELECT *,
+             tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE) AS tpr,
+             tn::DOUBLE / (tn::DOUBLE + fp::DOUBLE) AS tnr
+           FROM a)
+         SELECT CAST(0.0 AS DOUBLE) AS threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fn = 0 AND tn + fp = 0 THEN NULL
+             ELSE round(CAST((tp::DOUBLE + tn::DOUBLE)
+               / (tp::DOUBLE + fp::DOUBLE + fn::DOUBLE + tn::DOUBLE)
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS acc,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE round(CAST(tpr AS DECIMAL(18,8)), 6)::DOUBLE END AS tpr,
+           CASE WHEN tn + fp = 0 THEN NULL
+             ELSE round(CAST(tnr AS DECIMAL(18,8)), 6)::DOUBLE END AS tnr,
+           CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
+             ELSE round(CAST((tpr + tnr) / 2.0 AS DECIMAL(18,8)),
+               6)::DOUBLE END AS balanced_acc,
+           CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
+             ELSE round(CAST(tpr + tnr - 1.0 AS DECIMAL(18,8)),
+               6)::DOUBLE END AS youden_j,
+           CASE WHEN tp + fn = 0 OR tn + fp = 0 OR tp + fp = 0
+                  OR tn + fn = 0 THEN NULL
+             ELSE round(CAST(
+               CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                 - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+               / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+                 * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE))
+               AS DECIMAL(18,8)), 6)::DOUBLE END AS mcc
+         FROM f"""
 
   /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
     * per-term decimal staging — shared by the batch operator and its
@@ -10854,6 +11118,10 @@ object SparkEntry {
     // decile boundary rows via conditional mins
     "curate_gains" -> gainsOracleSql,
     "stream_gains" -> gainsOracleSql,
+    // confusion-metrics replay: same counts, four conditional sums at
+    // the zero cut, exact MCC numerator
+    "curate_confusion" -> confusionOracleSql,
+    "stream_confusion" -> confusionOracleSql,
 
     // P/R/F1 replay: same score and label replays, per-threshold
     // conditional sums unpivoted, integer-exact F1
@@ -12546,6 +12814,8 @@ object SparkEntry {
     "stream_trimmed" -> trimmedOracleSql,
     "stats_mad" -> madOracleSql,
     "stream_mad" -> madOracleSql,
+    "stats_shape" -> shapeOracleSql,
+    "stream_shape" -> shapeOracleSql,
     "stream_quantile_exact" -> quantileExactOracleSql,
     // Jarque-Bera / Grubbs replay: same additive power-sum + extremes row
     "stats_jarque_bera" -> jarqueBeraOracleSql,
@@ -12726,6 +12996,11 @@ object SparkEntry {
     "events_runs" -> runsOracleSql,
     "stream_runs" -> runsOracleSql,
 
+    // p-chart replay — shared with the streaming twin (additive counts;
+    // per-day rate limits off the broadcast center)
+    "events_pchart" -> pchartOracleSql,
+    "stream_pchart" -> pchartOracleSql,
+
     // EWMA replay: same daily counts and exact moments, same unrolled
     // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same
     // fixed-order time-varying limits; daily counts are additive
@@ -12775,6 +13050,10 @@ object SparkEntry {
     "stream_survival" -> survivalOracleSql,
     "events_hazard" -> hazardOracleSql,
     "stream_hazard" -> hazardOracleSql,
+    // survival-summary replay: the KM chain + conditional mins on the
+    // rounded curve (spans merge by min/max)
+    "events_survival_summary" -> survivalSummaryOracleSql,
+    "stream_survival_summary" -> survivalSummaryOracleSql,
 
     // log-rank replay: same per-arm spans against the shared corpus end,
     // same pooled risk sets, same decimal-staged O−E / variance terms

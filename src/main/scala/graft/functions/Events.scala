@@ -685,6 +685,62 @@ object Events {
         .otherwise(r6((col("runs").cast("double") - mu) / sqrt(v))).as("z"))
   }
 
+  /** p-chart: per-day control limits on a RATE — the share of daily
+    * volume landing in `targetType` (purchase share, filter keep-rate,
+    * error rate) charted against p̄ ± L·√(p̄(1−p̄)/nₜ). The CUSUM/EWMA
+    * family watches COUNTS; a day can pass every volume alarm while its
+    * composition quietly breaks — this is the composition alarm, with
+    * per-day limits that rightly widen on thin days instead of
+    * false-alarming them.
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * count table (the [[graft.streaming.Streaming.VolumeMonitor]] state,
+    * whose `pchart` readout IS this chart), regrouped to |days| rows;
+    * the center is one broadcast total, limits are fixed-order doubles,
+    * and the alarm compares the UNROUNDED share against the UNROUNDED
+    * clamped limits (the [[ewmaOfDaily]] boundary discipline).
+    *
+    * Returns (day, n, x, p_hat, center, lcl, ucl, alarm) at 6dp, ordered
+    * by the caller.
+    */
+  def pChart(df: DataFrame, typeCol: String, tsCol: String,
+             targetType: String, sigmas: Double = 3.0): DataFrame =
+    pchartOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      targetType, sigmas)
+
+  /** [[pChart]]'s chart stage over an already-built (event_type, day, n)
+    * count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's chart
+    * equals the batch one once a day's events have landed).
+    */
+  def pchartOfDaily(dailyCounts: DataFrame, targetType: String,
+                    sigmas: Double = 3.0): DataFrame = {
+    require(sigmas > 0, "sigmas must be positive")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byDay = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.groupBy(col("day"))
+        .agg(sum(col("n")).as("n"),
+          sum(when(col("event_type") === targetType, col("n"))
+            .otherwise(0L)).as("x")))
+    val tot = broadcast(byDay.agg(sum(col("n")).as("__tn"),
+      sum(col("x")).as("__tx")))
+    val center = col("__tx").cast("double") / col("__tn").cast("double")
+    val spread = lit(sigmas) *
+      sqrt(center * (lit(1.0) - center) / col("n").cast("double"))
+    val phat = col("x").cast("double") / col("n").cast("double")
+    val lcl = greatest(center - spread, lit(0.0))
+    val ucl = least(center + spread, lit(1.0))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(dec8), 6).cast("double")
+    byDay.crossJoin(tot)
+      .select(col("day"), col("n"), col("x"),
+        r6(phat).as("p_hat"), r6(center).as("center"),
+        r6(lcl).as("lcl"), r6(ucl).as("ucl"),
+        (phat < lcl || phat > ucl).as("alarm"))
+  }
+
   /** EWMA control chart over per-type daily volumes — the SMALL-shift
     * detector between [[anomaliesOfDaily]] (single-day spikes) and
     * [[cusumOfDaily]] (accumulated creep): the exponentially weighted
@@ -1829,6 +1885,42 @@ object Events {
         .agg(min(to_date(col(tsCol))).as("__first"),
           max(to_date(col(tsCol))).as("__last")),
       censorDays)
+
+  /** Survival-time quantiles off the Kaplan–Meier curve — the three
+    * numbers a retention review actually quotes: the lifetimes at which
+    * 25% / 50% / 75% of users have churned (t_q = min{t : S(t) ≤ 1−q},
+    * the standard KM quantile). A NULL median is itself the finding —
+    * censoring dominates and most users outlive the observation window.
+    *
+    * Scale shape: ONE aggregation of [[kmOfSpans]]' bounded curve
+    * (conditional mins against the already-rounded survival column, so
+    * engines agree at the 6dp boundary); the curve itself rides the
+    * per-user span state (the
+    * [[graft.streaming.Streaming.SurvivalMonitor]] state, whose
+    * `summary` readout IS this row). Reference scope: pygrametl has no
+    * survival analysis — beyond-reference, next to the KM/Nelson–Aalen
+    * family.
+    *
+    * Returns one row (n_users, t25, median_t, t75) in lifetime days.
+    */
+  def survivalSummary(df: DataFrame, userCol: String, tsCol: String,
+                      censorDays: Int = 7): DataFrame =
+    summaryOfSpans(
+      df.groupBy(col(userCol).as("__u"))
+        .agg(min(to_date(col(tsCol))).as("__first"),
+          max(to_date(col(tsCol))).as("__last")),
+      censorDays)
+
+  /** [[survivalSummary]]'s readout stage over a per-user span state. */
+  def summaryOfSpans(spans: DataFrame, censorDays: Int = 7): DataFrame =
+    kmOfSpans(spans, censorDays).agg(
+      sum(col("d") + col("c")).as("n_users"),
+      min(when(col("survival") <= 0.75, col("t_days"))).cast("long")
+        .as("t25"),
+      min(when(col("survival") <= 0.5, col("t_days"))).cast("long")
+        .as("median_t"),
+      min(when(col("survival") <= 0.25, col("t_days"))).cast("long")
+        .as("t75"))
 
   /** [[nelsonAalen]]'s readout stage over a per-user span state. */
   def naOfSpans(spans: DataFrame, censorDays: Int = 7): DataFrame = {

@@ -2344,6 +2344,114 @@ object Stats {
       .orderBy(col("decile"))
   }
 
+  /** Full confusion-matrix metrics of a score cut — the numbers
+    * [[prCurve]]'s P/R/F1 can't see because they ignore the true
+    * negatives: MCC (the single correlation-grade summary that stays
+    * honest under class imbalance, where accuracy and even F1 flatter),
+    * balanced accuracy, and Youden's J (the cut-quality measure ROC
+    * analysis optimizes). The classifier-admission readout before a
+    * filter ships.
+    *
+    * Scale shape: four conditional sums over the SAME additive per-score
+    * count state as [[aucOfCounts]] (the
+    * [[graft.streaming.Streaming.AucMonitor]] state, whose `confusion`
+    * readout IS this row); the MCC numerator forms exactly in
+    * DECIMAL(38,0), the denominator and rates in fixed double order.
+    * Zero data shuffle beyond the count rollup.
+    *
+    * Returns one row (threshold, tp, fp, fn, tn, acc, tpr, tnr,
+    * balanced_acc, youden_j, mcc) at 6dp — rate-derived metrics NULL
+    * when their class margin is empty; MCC NULL when any margin is
+    * empty (the undefined-0/0 case, reported as unknown rather than a
+    * fake 0).
+    */
+  def confusionMetrics(df: DataFrame, score: Column, label: Column,
+                       threshold: Double): DataFrame =
+    confusionOfCounts(scoreCounts(df, score, label), threshold)
+
+  /** [[confusionMetrics]]' readout from a [[scoreCounts]] table — the
+    * stage the streaming monitor shares with the batch operator.
+    */
+  def confusionOfCounts(counts: DataFrame, threshold: Double): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val row = counts.agg(
+      sum(when(col("__s") >= threshold, col("__p")).otherwise(0L)).as("tp"),
+      sum(when(col("__s") >= threshold, col("__n")).otherwise(0L)).as("fp"),
+      sum(when(col("__s") < threshold, col("__p")).otherwise(0L)).as("fn"),
+      sum(when(col("__s") < threshold, col("__n")).otherwise(0L)).as("tn"))
+    def d(s: String) = col(s).cast("double")
+    val tpr = d("tp") / (d("tp") + d("fn"))
+    val tnr = d("tn") / (d("tn") + d("fp"))
+    val acc = (d("tp") + d("tn")) /
+      (d("tp") + d("fp") + d("fn") + d("tn"))
+    val num = (col("tp").cast(dec38) * col("tn") -
+      col("fp").cast(dec38) * col("fn")).cast("double")
+    val den = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+      (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val posEmpty = col("tp") + col("fn") === 0L
+    val negEmpty = col("tn") + col("fp") === 0L
+    val marginEmpty = posEmpty || negEmpty ||
+      col("tp") + col("fp") === 0L || col("tn") + col("fn") === 0L
+    def nn(bad: Column, c: Column) =
+      when(bad, lit(null).cast("double")).otherwise(r6(c))
+    row.select(lit(threshold).as("threshold"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      nn(posEmpty && negEmpty, acc).as("acc"),
+      nn(posEmpty, tpr).as("tpr"), nn(negEmpty, tnr).as("tnr"),
+      nn(posEmpty || negEmpty, (tpr + tnr) / lit(2.0)).as("balanced_acc"),
+      nn(posEmpty || negEmpty, tpr + tnr - lit(1.0)).as("youden_j"),
+      nn(marginEmpty, num / den).as("mcc"))
+  }
+
+  /** Robust distribution shape off the quartiles — IQR (the robust
+    * spread), Bowley's quartile skewness (sign and strength of asymmetry
+    * without a 3rd moment for one outlier to own), and the quartile
+    * coefficient of dispersion (scale-free spread, comparable across
+    * metrics): the three-number shape fingerprint that stays meaningful
+    * on exactly the heavy-tailed data where [[jarqueBera]]'s moments
+    * saturate.
+    *
+    * Scale shape: ONE [[quantilesOfCounts]] pass at (0.25, 0.5, 0.75)
+    * over the per-value count table (the summed
+    * [[graft.streaming.Streaming.KruskalMonitor]] state, whose `shape`
+    * readout IS this row), pivoted by conditional max; derived ratios
+    * form from the already-rounded quartiles so engines agree at the
+    * boundary.
+    *
+    * Returns one row (n, q1, median, q3, iqr, bowley, qcd) at 6dp —
+    * bowley NULL when IQR is 0, qcd NULL when q1 + q3 is 0.
+    */
+  def robustShape(df: DataFrame, valueCol: Column): DataFrame =
+    shapeOfCounts(
+      df.filter(valueCol.isNotNull)
+        .groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__c")))
+
+  /** [[robustShape]]'s readout from an already-built (__v, __c) count
+    * table — the stage the streaming monitor shares with the batch
+    * operator.
+    */
+  def shapeOfCounts(counts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val row = quantilesOfCounts(counts, Seq(0.25, 0.5, 0.75)).agg(
+      max(col("n")).as("n"),
+      max(when(col("q") === 0.25, col("value"))).as("__q1"),
+      max(when(col("q") === 0.5, col("value"))).as("__q2"),
+      max(when(col("q") === 0.75, col("value"))).as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    val bowley = (col("__q3") + col("__q1") - lit(2.0) * col("__q2")) /
+      (col("__q3") - col("__q1"))
+    val qcd = (col("__q3") - col("__q1")) / (col("__q3") + col("__q1"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    row.select(col("n"), col("__q1").as("q1"), col("__q2").as("median"),
+      col("__q3").as("q3"), r6(iqr).as("iqr"),
+      when(col("__q3") - col("__q1") === 0.0, lit(null).cast("double"))
+        .otherwise(r6(bowley)).as("bowley"),
+      when(col("__q3") + col("__q1") === 0.0, lit(null).cast("double"))
+        .otherwise(r6(qcd)).as("qcd"))
+  }
+
   /** Jarque–Bera normality test — "is this metric even bell-shaped":
     * every z-score alarm ([[graft.functions.Events.anomaliesOfDaily]],
     * the EWMA chart) and every t/F test upstream quietly assumes rough

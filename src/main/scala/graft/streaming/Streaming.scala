@@ -469,6 +469,16 @@ object Streaming {
       graft.functions.Events.runsOfDaily(
         daily.getOrElse(throw new IllegalStateException("no batches ingested")))
 
+    /** p-chart readout off the accreted count state
+      * ([[graft.functions.Events.pchartOfDaily]]) — per-day control
+      * limits on the `targetType` SHARE of daily volume, the composition
+      * alarm next to the count alarms; additivity makes it batch-exact
+      */
+    def pchart(targetType: String, sigmas: Double = 3.0): DataFrame =
+      graft.functions.Events.pchartOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")),
+        targetType, sigmas)
+
     /** fifth readout off the accreted count state: the Mann–Kendall
       * monotonic-trend verdict + Theil–Sen slope
       * ([[graft.functions.Events.mkOfDaily]]) — the distribution-free
@@ -1133,6 +1143,15 @@ object Streaming {
         counts.merged
           .groupBy(col("__v")).agg(sum(col("__c")).as("__c")))
 
+    /** sixth readout off the SAME count state (groups summed away): the
+      * quartile shape row ([[graft.functions.Stats.shapeOfCounts]]) —
+      * equals the batch [[graft.functions.Stats.robustShape]]
+      */
+    def shape: DataFrame =
+      graft.functions.Stats.shapeOfCounts(
+        counts.merged
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__c")))
+
     /** fourth readout off the SAME count state: the Jonckheere–Terpstra
       * ordered-alternative trend ([[graft.functions.Stats.jtOfCounts]]) —
       * "do the groups INCREASE along their ordering", the directed
@@ -1394,6 +1413,13 @@ object Streaming {
     def hazard(censorDays: Int = 7): DataFrame =
       graft.functions.Events.naOfSpans(spans.merged, censorDays)
 
+    /** current survival-time quantiles — the third readout off the SAME
+      * span state (the numbers a retention review quotes); equals the
+      * batch [[graft.functions.Events.survivalSummary]]
+      */
+    def summary(censorDays: Int = 7): DataFrame =
+      graft.functions.Events.summaryOfSpans(spans.merged, censorDays)
+
     /** persist the span state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
       MonitorState.save(dir, Map("spans" -> spans.forSave))
@@ -1622,6 +1648,14 @@ object Streaming {
       */
     def gains(deciles: Int = 10): DataFrame =
       graft.functions.Stats.gainsOfCounts(counts.merged, deciles)
+
+    /** current confusion-matrix metrics at a cut
+      * ([[graft.functions.Stats.confusionOfCounts]]) — equals the batch
+      * [[graft.functions.Stats.confusionMetrics]]; MCC/balanced-accuracy
+      * off the same additive per-score state
+      */
+    def confusion(threshold: Double): DataFrame =
+      graft.functions.Stats.confusionOfCounts(counts.merged, threshold)
 
     /** current reliability (calibration) table — equals the batch one;
       * the third readout of the same state (rank, cut, calibration)

@@ -279,6 +279,7 @@ object SparkEntry {
     "stream_fdr" -> "vol", "stream_padjust" -> "vol",
     "stream_page_hinkley" -> "vol", "stream_mase" -> "vol",
     "stream_runs" -> "vol", "stream_pchart" -> "vol",
+    "stream_mix_evenness" -> "vol", "stream_sprt" -> "prop",
     "stream_auc" -> "aucdocs", "stream_pr_curve" -> "aucdocs",
     "stream_reliability" -> "aucdocs",
     "stream_gains" -> "aucdocs", "stream_confusion" -> "aucdocs",
@@ -1351,6 +1352,17 @@ object SparkEntry {
     // equals the batch curate_confusion; same oracle
     "stream_confusion" -> ((s, dir) => {
       aucDocsState(s, dir).confusion(threshold = 0.0)
+    }),
+
+    // expected calibration error: is the 4dp quality score honest as a
+    // probability of the classifier's verdict — bin-weighted
+    // |confidence − accuracy| gap (ECE) + worst bin (MCE) off one
+    // bounded-bin aggregation
+    "curate_ece" -> ((s, dir) => {
+      graft.functions.Stats.calibrationError(docsNorm(s, dir),
+        dround(TextAnalysis.qualityScoreRaw(col("text")), 4),
+        TextAnalysis.classifierMicroSum(col("text"), "clf-v1") >= 0L,
+        bins = 10)
     }),
 
     // streaming P/R operating points (batch replay of 5 batches): the SAME
@@ -3895,6 +3907,21 @@ object SparkEntry {
       volState(s, dir).pchart("purchase", sigmas = 3.0).orderBy(col("day"))
     }),
 
+    // daily mix evenness: normalized type-composition entropy per day —
+    // the diversity trend next to the p-chart's single-type alarm;
+    // per-term decimal staging on the bounded count table
+    "events_mix_evenness" -> ((s, dir) => {
+      graft.functions.Events.mixEvenness(events(s, dir), "event_type", "ts")
+        .orderBy(col("day"))
+    }),
+
+    // streaming mix evenness (batch replay of 5 batches): twenty-second
+    // readout off the same additive daily-count state — equals the batch
+    // trend; same oracle
+    "stream_mix_evenness" -> ((s, dir) => {
+      volState(s, dir).evenness.orderBy(col("day"))
+    }),
+
     // per-user cadence audit: ONE user-keyed lag window for inter-event
     // gaps, ONE rollup to the |users|-row profile, exact moment staging —
     // the bot screen (metronomic gaps) before user data enters a mix
@@ -4340,6 +4367,23 @@ object SparkEntry {
     "stream_twoprop" -> ((s, dir) => {
       val pm = propState(s, dir)
       pm.readout
+    }),
+
+    // Wald SPRT on the live window's purchase share: the peek-proof
+    // stopping rule (p=0.18 vs p=0.22 at alpha=.05, beta=.2) — LLR +
+    // Wald boundaries off ONE exact count pair
+    "stats_sprt" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+      graft.functions.Stats.sprt(ev.filter(!half),
+        col("event_type") === "purchase", p0 = 0.18, p1 = 0.22)
+    }),
+
+    // streaming SPRT (batch replay of 5 batches): third readout off the
+    // same additive per-arm count state as stream_twoprop — equals the
+    // batch stats_sprt; same oracle
+    "stream_sprt" -> ((s, dir) => {
+      propState(s, dir).sequential(p0 = 0.18, p1 = 0.22)
     }),
 
     // sample-size planning for the next share experiment: second readout
@@ -6247,6 +6291,59 @@ object SparkEntry {
          (phat < greatest(center - spread, 0.0)
            OR phat > least(center + spread, 1.0)) AS alarm
        FROM f ORDER BY day"""
+
+  /** mix-evenness replay: daily type counts, per-term decimal-staged
+    * −p·ln(p), one divide by ln(k) — shared by `events_mix_evenness` and
+    * its streaming twin `stream_mix_evenness` (daily counts are
+    * additive).
+    */
+  private val evennessOracleSql =
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       t AS (SELECT day, CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
+             FROM d GROUP BY 1),
+       terms AS (
+         SELECT d.day, t.k, t.nn,
+           CAST(-(d.n::DOUBLE / t.nn::DOUBLE
+             * ln(d.n::DOUBLE / t.nn::DOUBLE)) AS DECIMAL(28,10)) AS term
+         FROM d JOIN t ON d.day = t.day),
+       a AS (SELECT day, k, nn, sum(term) AS h FROM terms GROUP BY 1, 2, 3)
+       SELECT day, k, nn AS n,
+         round(CAST(h::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS entropy,
+         CASE WHEN k < 2 THEN NULL
+           ELSE round(CAST(h::DOUBLE / ln(k::DOUBLE) AS DECIMAL(18,8)),
+             6)::DOUBLE END AS evenness
+       FROM a ORDER BY day"""
+
+  /** SPRT replay: the live window's exact (n, x) pair, in-engine log
+    * ratios, Wald boundaries, decision on the UNROUNDED llr — shared by
+    * `stats_sprt` and its streaming twin `stream_sprt` (the count pair
+    * is additive).
+    */
+  private val sprtOracleSql =
+    """WITH b AS (
+         SELECT count(*) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+         FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+       f AS (
+         SELECT n, x,
+           x::DOUBLE * ln(0.22::DOUBLE / 0.18::DOUBLE)
+             + (n::DOUBLE - x::DOUBLE)
+               * ln((1.0::DOUBLE - 0.22::DOUBLE)
+                 / (1.0::DOUBLE - 0.18::DOUBLE)) AS llr,
+           ln((1.0::DOUBLE - 0.2::DOUBLE) / 0.05::DOUBLE) AS upper,
+           ln(0.2::DOUBLE / (1.0::DOUBLE - 0.05::DOUBLE)) AS lower
+         FROM b)
+       SELECT n, x,
+         round(CAST(llr AS DECIMAL(18,8)), 6)::DOUBLE AS llr,
+         round(CAST(upper AS DECIMAL(18,8)), 6)::DOUBLE AS upper,
+         round(CAST(lower AS DECIMAL(18,8)), 6)::DOUBLE AS lower,
+         CASE WHEN llr >= upper THEN 'accept_h1'
+              WHEN llr <= lower THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+       FROM f"""
 
   /** Kaplan–Meier replay (per-user day spans, churn = last activity more
     * than censorDays before corpus end, inclusive cumulative exits for
@@ -8446,6 +8543,64 @@ object SparkEntry {
                  * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE))
                AS DECIMAL(18,8)), 6)::DOUBLE END AS mcc
          FROM f"""
+
+  /** ECE replay: 4dp quality score as probability, classifier verdict as
+    * label, decile bins with decimal-staged probability sums and ECE
+    * terms — the batch operator's oracle (bounded-bin state).
+    */
+  private lazy val eceOracleSql =
+    s"""WITH norm AS (
+           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
+             $normSql AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, text,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
+           FROM norm),
+         pr AS (
+           SELECT doc_id,
+             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
+               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
+               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE npunct::DOUBLE / length(text) END) * 0.3
+               AS DECIMAL(18,8)), 4)::DOUBLE AS p
+           FROM c),
+         tk AS (
+           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
+           FROM norm),
+         w AS (
+           SELECT doc_id,
+             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
+               AS BIGINT) AS s
+           FROM tk GROUP BY doc_id),
+         lab AS (
+           SELECT norm.doc_id, coalesce(w.s, 0) >= 0 AS y
+           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
+         j AS (
+           SELECT pr.p, lab.y FROM pr JOIN lab ON pr.doc_id = lab.doc_id),
+         binned AS (
+           SELECT greatest(least(CAST(floor(p * 10.0) AS BIGINT), 9), 0)
+               AS b,
+             count(*) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             sum(CAST(p AS DECIMAL(28,10))) AS sp
+           FROM j GROUP BY 1),
+         g AS (
+           SELECT n,
+             CAST(n::DOUBLE * abs(x::DOUBLE / n::DOUBLE
+               - sp::DOUBLE / n::DOUBLE) AS DECIMAL(28,10)) AS term,
+             abs(x::DOUBLE / n::DOUBLE - sp::DOUBLE / n::DOUBLE) AS gap
+           FROM binned),
+         a AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(term) AS es,
+             max(gap) AS mce FROM g)
+         SELECT 10 AS bins, nn AS n,
+           round(CAST(es::DOUBLE / nn::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+             AS ece,
+           round(CAST(mce AS DECIMAL(18,8)), 6)::DOUBLE AS mce
+         FROM a"""
 
   /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
     * per-term decimal staging — shared by the batch operator and its
@@ -11122,6 +11277,9 @@ object SparkEntry {
     // the zero cut, exact MCC numerator
     "curate_confusion" -> confusionOracleSql,
     "stream_confusion" -> confusionOracleSql,
+    // ECE replay: 4dp quality probability vs classifier verdict, decile
+    // bins with staged sums
+    "curate_ece" -> eceOracleSql,
 
     // P/R/F1 replay: same score and label replays, per-threshold
     // conditional sums unpivoted, integer-exact F1
@@ -13000,6 +13158,16 @@ object SparkEntry {
     // per-day rate limits off the broadcast center)
     "events_pchart" -> pchartOracleSql,
     "stream_pchart" -> pchartOracleSql,
+
+    // mix-evenness replay — shared with the streaming twin (additive
+    // counts; per-term staged entropy, one divide by ln k)
+    "events_mix_evenness" -> evennessOracleSql,
+    "stream_mix_evenness" -> evennessOracleSql,
+
+    // SPRT replay — shared with the streaming twin (the count pair is
+    // additive; in-engine log ratios, Wald bounds)
+    "stats_sprt" -> sprtOracleSql,
+    "stream_sprt" -> sprtOracleSql,
 
     // EWMA replay: same daily counts and exact moments, same unrolled
     // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same

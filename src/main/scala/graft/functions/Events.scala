@@ -646,21 +646,21 @@ object Events {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("n"), col("day"))
     val ranked = daily.withColumn("__rn", row_number().over(wRank))
-    val cnt = daily.groupBy(col("event_type"))
+    val cnt = daily.groupBy(col("event_type").as("__cty"))
       .agg(count(lit(1)).as("__d"))
     val loPos = floor((col("__d").cast("double") + lit(1.0)) / lit(2.0))
       .cast("long")
     val hiPos = floor(col("__d").cast("double") / lit(2.0)).cast("long") +
       lit(1L)
-    val medt = ranked.join(broadcast(cnt), Seq("event_type"))
+    val medt = ranked.join(broadcast(cnt), col("event_type") === col("__cty"))
       .groupBy(col("event_type"))
       .agg(max(when(col("__rn") === loPos, col("n"))).as("__m1"),
         max(when(col("__rn") === hiPos, col("n"))).as("__m2"))
-      .select(col("event_type"),
+      .select(col("event_type").as("__mty"),
         ((col("__m1") + col("__m2")).cast("double") / lit(2.0)).as("__med"))
     val wLag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day"))
-    val agg = daily.join(broadcast(medt), Seq("event_type"))
+    val agg = daily.join(broadcast(medt), col("event_type") === col("__mty"))
       .filter(col("n").cast("double") =!= col("__med"))
       .withColumn("__sgn", col("n").cast("double") > col("__med"))
       .withColumn("__prev", lag(col("__sgn"), 1).over(wLag))
@@ -739,6 +739,53 @@ object Events {
         r6(phat).as("p_hat"), r6(center).as("center"),
         r6(lcl).as("lcl"), r6(ucl).as("ucl"),
         (phat < lcl || phat > ucl).as("alarm"))
+  }
+
+  /** Daily event-type mix evenness — Shannon entropy of each day's type
+    * composition normalized by ln(types present): 1.0 reads "perfectly
+    * balanced mix", a slide toward 0 reads "one type is eating the day"
+    * — the composition-DIVERSITY trend next to [[pchartOfDaily]]'s
+    * single-type share alarm, and the early smell of a producer stuck in
+    * a loop or a source gone silent.
+    *
+    * Scale shape: the raw stream collapses ONCE to the |types|×|days|
+    * count table; per-day totals broadcast back, each −p·ln(p) term
+    * decimal-staged BEFORE the per-day sum (order independence), one
+    * divide by ln(k). Zero row-level second pass.
+    *
+    * Returns one row per day: (day, k, n, entropy, evenness) at 6dp —
+    * evenness NULL on single-type days (no mix to grade).
+    */
+  def mixEvenness(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    evennessOfDaily(
+      df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[mixEvenness]]'s rollup over an already-built (event_type, day, n)
+    * count table — the [[graft.streaming.Streaming.VolumeMonitor]]
+    * readout (daily counts are additive, so the accreted state's
+    * evenness equals the batch one once a day's events have landed).
+    */
+  def evennessOfDaily(dailyCounts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      dailyCounts.select(col("event_type"), col("day"), col("n")))
+    val byDay = daily.groupBy(col("day").as("__bday"))
+      .agg(sum(col("n")).as("__N"), count(lit(1)).as("k"))
+    val share = col("n").cast("double") / col("__N").cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(dec8), 6).cast("double")
+    daily.join(broadcast(byDay), col("day") === col("__bday"))
+      .select(col("day"), col("k"), col("__N"),
+        (-(share * log(share))).cast(decS).as("__term"))
+      .groupBy(col("day"), col("k"), col("__N"))
+      .agg(sum(col("__term")).as("__h"))
+      .select(col("day"), col("k"), col("__N").as("n"),
+        r6(col("__h").cast("double")).as("entropy"),
+        when(col("k") < 2L, lit(null).cast("double"))
+          .otherwise(r6(col("__h").cast("double") /
+            log(col("k").cast("double")))).as("evenness"))
   }
 
   /** EWMA control chart over per-type daily volumes — the SMALL-shift
@@ -2191,11 +2238,12 @@ object Events {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val daily = org.apache.spark.sql.graftbridge.Bridge.freeze(
       dailyCounts.select(col("event_type"), col("day"), col("n")))
-    val base = daily.select(col("event_type"), col("day").as("__bday"),
-      col("n").as("__f"))
+    val base = daily.select(col("event_type").as("__bty"),
+      col("day").as("__bday"), col("n").as("__f"))
     val fc = daily
       .withColumn("__lookup", date_sub(col("day"), period))
-      .join(base, Seq("event_type")).filter(col("__lookup") === col("__bday"))
+      .join(base, col("event_type") === col("__bty") &&
+        col("__lookup") === col("__bday"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_fc"),
         sum(abs(col("n") - col("__f"))).as("__sae_fc"))

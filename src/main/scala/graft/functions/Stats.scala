@@ -3648,6 +3648,104 @@ object Stats {
           .cast(dec28)).cast("long")).as("n_per_arm"))
   }
 
+  /** Wald's sequential probability ratio test (SPRT, 1945) — the test
+    * built for STREAMS: [[twoProportionZ]] answers "is the share moved,
+    * on everything so far" but offers no stopping rule a peeking analyst
+    * doesn't invalidate; the SPRT's log-likelihood ratio against two
+    * explicit hypotheses (p = p0 vs p = p1) carries Wald boundaries that
+    * hold the α/β error budget no matter how often the monitor is read —
+    * the correct "can we stop the experiment yet" readout for a live
+    * pipeline.
+    *
+    * Scale shape: the arm collapses to ONE exact (n, successes) pair
+    * (the additive [[graft.streaming.Streaming.ProportionMonitor]]
+    * state, whose `sequential` readout IS this test); the LLR and both
+    * boundaries are fixed-order double arithmetic on two integers with
+    * in-engine logs. Zero data shuffle. Reference scope: pygrametl has
+    * no statistics surface — beyond-reference, next to the two-
+    * proportion/power family.
+    *
+    * Returns one row (n, x, llr, upper, lower, decision) at 6dp —
+    * decision compares the UNROUNDED llr against the UNROUNDED Wald
+    * bounds: 'accept_h1' (the share IS p1-like), 'accept_h0', or
+    * 'continue' (keep collecting).
+    */
+  def sprt(df: DataFrame, successCol: Column, p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.2): DataFrame =
+    sprtOfCounts(propCounts(df, successCol, "b"), p0, p1, alpha, beta)
+
+  /** [[sprt]]'s readout from an already-built 1-row (__pn_b, __px_b)
+    * count pair — the stage the streaming monitor shares with the batch
+    * operator (the monitor tests its SECOND arm, the live window).
+    */
+  def sprtOfCounts(row: DataFrame, p0: Double, p1: Double,
+                   alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "0 < p0, p1 < 1 and p0 != p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "0 < alpha, beta < 1")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val n = col("__pn_b").cast("double")
+    val x = col("__px_b").cast("double")
+    val llr = x * log(lit(p1) / lit(p0)) +
+      (n - x) * log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val upper = log((lit(1.0) - lit(beta)) / lit(alpha))
+    val lower = log(lit(beta) / (lit(1.0) - lit(alpha)))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    row.select(col("__pn_b").as("n"), col("__px_b").as("x"),
+      r6(llr).as("llr"), r6(upper).as("upper"), r6(lower).as("lower"),
+      when(llr >= upper, lit("accept_h1"))
+        .when(llr <= lower, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Expected calibration error — "when the scorer says 0.8, is it right
+    * 80% of the time": [[reliability]] prints the calibration TABLE;
+    * this is the one-number summary (ECE, the bin-weighted |confidence −
+    * accuracy| gap) plus the worst bin (MCE) — the quality-score
+    * admission check before its thresholds are treated as probabilities
+    * in a curation budget.
+    *
+    * Scale shape: ONE map-side-combined aggregation to ≤ `bins` rows
+    * (count, positives, decimal-staged probability sum per bin — an
+    * additive state), broadcast total, fixed-order gap arithmetic with
+    * the bin terms decimal-staged before the order-independent ECE sum.
+    *
+    * Returns one row (bins, n, ece, mce) at 6dp; zero rows on empty
+    * input. `probCol` must already live in [0, 1] — values are clamped
+    * into the edge bins, not rejected.
+    */
+  def calibrationError(df: DataFrame, probCol: Column, labelCol: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "2 <= bins <= 1000")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val base = df.select(probCol.cast("double").as("__p"),
+        labelCol.cast("boolean").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val binned = org.apache.spark.sql.graftbridge.Bridge.freeze(base
+      .select(greatest(least(floor(col("__p") * lit(bins.toDouble))
+        .cast("long"), lit((bins - 1).toLong)), lit(0L)).as("__b"),
+        col("__p"), col("__y"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__x"),
+        sum(col("__p").cast(decS)).as("__sp")))
+    val gap = abs(col("__x").cast("double") / col("__n").cast("double") -
+      col("__sp").cast("double") / col("__n").cast("double"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    // the bin terms n_b·gap_b never reference the grand total, so ECE
+    // reduces in ONE aggregation over the bounded bin table — no join
+    binned
+      .select(col("__n"), (col("__n").cast("double") * gap).cast(decS)
+        .as("__term"), gap.as("__gap"))
+      .agg(sum(col("__n")).as("n"), sum(col("__term")).as("__es"),
+        max(col("__gap")).as("__mce"))
+      .select(lit(bins).as("bins"), col("n"),
+        r6(col("__es").cast("double") / col("n").cast("double")).as("ece"),
+        r6(col("__mce")).as("mce"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a panel of per-key
     * p-values — the multiple-testing closer for the suite's test
     * batteries: run one test per event type / per feature (Pettitt,

@@ -479,6 +479,15 @@ object Streaming {
         daily.getOrElse(throw new IllegalStateException("no batches ingested")),
         targetType, sigmas)
 
+    /** mix-evenness readout off the accreted count state
+      * ([[graft.functions.Events.evennessOfDaily]]) — each day's
+      * normalized type-composition entropy, the diversity trend next to
+      * the p-chart's single-type alarm; additivity makes it batch-exact
+      */
+    def evenness: DataFrame =
+      graft.functions.Events.evennessOfDaily(
+        daily.getOrElse(throw new IllegalStateException("no batches ingested")))
+
     /** fifth readout off the accreted count state: the Mann–Kendall
       * monotonic-trend verdict + Theil–Sen slope
       * ([[graft.functions.Events.mkOfDaily]]) — the distribution-free
@@ -1262,6 +1271,17 @@ object Streaming {
     /** current (n_a, n_b, p_a, p_b, z) — equals the batch twoProportionZ */
     def readout: DataFrame = graft.functions.Stats.propOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** Wald SPRT readout on the LIVE arm (arm B) — the peek-proof
+      * stopping rule off the SAME additive count state
+      * ([[graft.functions.Stats.sprtOfCounts]]); equals the batch
+      * [[graft.functions.Stats.sprt]] over arm B's rows
+      */
+    def sequential(p0: Double, p1: Double, alpha: Double = 0.05,
+                   beta: Double = 0.2): DataFrame =
+      graft.functions.Stats.sprtOfCounts(
+        counts.getOrElse(throw new IllegalStateException("no batches ingested")),
+        p0, p1, alpha, beta)
 
     /** second readout off the SAME count state: the sample-size plan
       * ([[graft.functions.Stats.powerOfCounts]]) — how many rows per arm

@@ -298,6 +298,7 @@ object SparkEntry {
     "stream_trimmed" -> "kruskal", "stream_mad" -> "kruskal",
     "stream_shape" -> "kruskal",
     "stream_key_skew" -> "keycount", "stream_gini" -> "keycount",
+    "stream_hill" -> "keycount",
     "stream_retention" -> "retention", "stream_stickiness" -> "retention",
     "stream_kappa" -> "kappa", "stream_mcnemar" -> "kappa",
     "stream_gwet" -> "kappa",
@@ -1179,6 +1180,27 @@ object SparkEntry {
     "stream_gini" -> ((s, dir) => {
       val km = keyCountState(s, dir)
       km.gini()
+    }),
+
+    // Hill tail index over per-user event volumes: WHAT power law the
+    // whale tail follows (alpha <= 1 reads "the mean doesn't converge")
+    // — descending ranks off the Gini triangular join, top-k interval
+    // clamps, decimal-staged log moments
+    "stats_hill" -> ((s, dir) => {
+      graft.functions.Stats.hillTail(events(s, dir), "user_id", k = 100)
+    }),
+
+    // streaming Hill tail (the FOURTH readout of the same per-user count
+    // state): equals the batch stats_hill; same oracle
+    "stream_hill" -> ((s, dir) => {
+      keyCountState(s, dir).tail(k = 100)
+    }),
+
+    // effective sample size / design effect of a value-weighted sample:
+    // how much statistical information the weighted rows actually carry
+    // — one aggregation of staged weight moments, Kish ESS + deff + CV
+    "stats_ess" -> ((s, dir) => {
+      graft.functions.Stats.designEffect(events(s, dir), col("value"))
     }),
 
     // streaming Simpson concentration (the THIRD readout of the same
@@ -4426,6 +4448,30 @@ object SparkEntry {
         col("event_type") === "purchase")
     }),
 
+    // Breslow-Day homogeneity: does the month-half effect DIFFER by user
+    // segment — the assumption check under stats_mh's pooled OR; per-
+    // stratum expected cells from the admissible quadratic root, staged
+    // chi-square terms
+    "stats_breslow_day" -> ((s, dir) => {
+      graft.functions.Stats.breslowDay(events(s, dir),
+        col("user_id") % 4,
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase")
+    }),
+
+    // streaming Breslow-Day (batch replay of 3 id-keyed batches): second
+    // readout off the same additive per-stratum 2x2 state as stream_mh —
+    // equals the batch stats_breslow_day; same oracle
+    "stream_breslow_day" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mm = new graft.streaming.Streaming.MhMonitor(
+        col("user_id") % 4,
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase")
+      (0 until 3).foreach(b => mm.update(ev.filter(col("event_id") % 3 === b)))
+      mm.homogeneity
+    }),
+
     // streaming CMH (batch replay of 3 id-keyed batches): per-stratum 2x2
     // counts are additive, so the folded state reads out equal to the
     // batch mantelHaenszel — same oracle
@@ -6649,6 +6695,124 @@ object SparkEntry {
          CASE WHEN sod::DOUBLE <= 0.0 THEN NULL
               ELSE round(CAST(son::DOUBLE / sod::DOUBLE
                 AS DECIMAL(18,8)), 6)::DOUBLE END AS or_mh
+       FROM a"""
+
+  /** Breslow–Day replay: the same per-stratum 2×2 table, the MH pooled
+    * OR, each stratum's expected cell from the admissible quadratic
+    * root, staged chi-square terms — shared by `stats_breslow_day` and
+    * its streaming twin (per-stratum counts are additive).
+    */
+  private val bdOracleSql =
+    """WITH c0 AS (
+         SELECT user_id % 4 AS st,
+           CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS arma,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+         FROM events),
+       c AS (
+         SELECT st,
+           CAST(sum(arma) AS BIGINT) AS na,
+           CAST(sum(arma * succ) AS BIGINT) AS xa,
+           CAST(sum(1 - arma) AS BIGINT) AS nb,
+           CAST(sum((1 - arma) * succ) AS BIGINT) AS xb
+         FROM c0 GROUP BY 1),
+       p AS (
+         SELECT
+           sum(CAST(CAST(CAST(xa AS DECIMAL(15,0))
+             * CAST(nb - xb AS DECIMAL(15,0)) AS DOUBLE)
+             / (na + nb)::DOUBLE AS DECIMAL(28,10))) AS son,
+           sum(CAST(CAST(CAST(na - xa AS DECIMAL(15,0))
+             * CAST(xb AS DECIMAL(15,0)) AS DOUBLE)
+             / (na + nb)::DOUBLE AS DECIMAL(28,10))) AS sod
+         FROM c),
+       pp AS (SELECT son::DOUBLE / sod::DOUBLE AS psi FROM p),
+       bd AS (
+         SELECT c.st, c.xa::DOUBLE AS a, c.na::DOUBLE AS n1,
+           c.nb::DOUBLE AS n2, (c.xa + c.xb)::DOUBLE AS m1, pp.psi
+         FROM c CROSS JOIN pp),
+       e AS (
+         SELECT *, psi - 1.0 AS qa,
+           -(psi * (n1 + m1) + (n2 - m1)) AS qb,
+           psi * n1 * m1 AS qc
+         FROM bd),
+       r AS (SELECT *, sqrt(qb * qb - 4.0 * qa * qc) AS disc FROM e),
+       x AS (
+         SELECT *,
+           CASE WHEN qa = 0.0 THEN -qc / qb
+                WHEN (-qb - disc) / (2.0 * qa) >= greatest(0.0, m1 - n2)
+                 AND (-qb - disc) / (2.0 * qa) <= least(n1, m1)
+                THEN (-qb - disc) / (2.0 * qa)
+                ELSE (-qb + disc) / (2.0 * qa) END AS ev
+         FROM r),
+       g AS (
+         SELECT psi,
+           CAST((a - ev) * (a - ev)
+             / (1.0 / (1.0 / ev + 1.0 / (n1 - ev) + 1.0 / (m1 - ev)
+               + 1.0 / (n2 - m1 + ev))) AS DECIMAL(28,10)) AS term
+         FROM x),
+       agg AS (
+         SELECT psi, count(*) AS k_strata, sum(term) AS chi
+         FROM g GROUP BY 1)
+       SELECT CAST(k_strata AS BIGINT) AS k_strata,
+         CAST(k_strata - 1 AS BIGINT) AS df,
+         CASE WHEN k_strata < 2 OR psi IS NULL OR psi <= 0.0
+                OR isnan(psi) THEN NULL
+           ELSE round(CAST(chi::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS chi2_bd
+       FROM agg"""
+
+  /** Hill tail-index replay: per-key counts, count-of-counts, Gini
+    * triangular ranks, top-k interval clamps, staged log moments —
+    * shared by `stats_hill` and its streaming twin (counts are
+    * additive).
+    */
+  private val hillOracleSql =
+    """WITH kc AS (
+         SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM events GROUP BY 1),
+       coc AS (SELECT cnt AS c, CAST(count(*) AS BIGINT) AS nk
+               FROM kc GROUP BY 1),
+       rk AS (
+         SELECT a.c, a.nk,
+           coalesce(CAST(sum(b.nk) AS BIGINT), 0) AS bef
+         FROM coc a LEFT JOIN coc b ON b.c > a.c
+         GROUP BY a.c, a.nk),
+       agg AS (
+         SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+           sum(CAST(greatest(least(bef + nk, 100) - bef, 0)::DOUBLE
+             * ln(c::DOUBLE) AS DECIMAL(28,10))) AS slog,
+           CAST(max(CASE WHEN bef + nk >= 101 THEN c END) AS BIGINT) AS xk1
+         FROM rk)
+       SELECT n_keys, 100 AS k, xk1 AS threshold,
+         CASE WHEN n_keys < 101 OR xk1 IS NULL
+                OR slog::DOUBLE / 100.0 - ln(xk1::DOUBLE) <= 0.0 THEN NULL
+           ELSE round(CAST(1.0 / (slog::DOUBLE / 100.0 - ln(xk1::DOUBLE))
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS alpha
+       FROM agg"""
+
+  /** ESS / design-effect replay: staged weight moments, Kish ratios in
+    * fixed double order — the batch operator's oracle.
+    */
+  private val essOracleSql =
+    """WITH f AS (
+         SELECT CAST(value AS DOUBLE) AS w FROM events
+         WHERE value IS NOT NULL AND CAST(value AS DOUBLE) > 0.0),
+       a AS (
+         SELECT count(*) AS n,
+           sum(CAST(w AS DECIMAL(28,10))) AS sw,
+           sum(CAST(w * w AS DECIMAL(28,10))) AS sw2
+         FROM f)
+       SELECT CAST(n AS BIGINT) AS n,
+         CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(sw::DOUBLE * sw::DOUBLE / sw2::DOUBLE
+             AS DECIMAL(18,8)), 6)::DOUBLE END AS ess,
+         CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(n::DOUBLE * sw2::DOUBLE
+             / (sw::DOUBLE * sw::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
+           END AS deff,
+         CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(sqrt(greatest(n::DOUBLE * sw2::DOUBLE
+             / (sw::DOUBLE * sw::DOUBLE) - 1.0, 0.0)) AS DECIMAL(18,8)),
+             6)::DOUBLE END AS weight_cv
        FROM a"""
 
   /** two-sample KS replay: the mwu oracle's per-value count CTEs, the
@@ -13168,6 +13332,19 @@ object SparkEntry {
     // additive; in-engine log ratios, Wald bounds)
     "stats_sprt" -> sprtOracleSql,
     "stream_sprt" -> sprtOracleSql,
+
+    // Breslow-Day replay — shared with the streaming twin (per-stratum
+    // 2x2 counts are additive; admissible quadratic root per stratum)
+    "stats_breslow_day" -> bdOracleSql,
+    "stream_breslow_day" -> bdOracleSql,
+
+    // Hill tail replay — shared with the streaming twin (per-key counts
+    // are additive; Gini triangular ranks + top-k interval clamps)
+    "stats_hill" -> hillOracleSql,
+    "stream_hill" -> hillOracleSql,
+
+    // ESS / design-effect replay (staged weight moments, Kish ratios)
+    "stats_ess" -> essOracleSql,
 
     // EWMA replay: same daily counts and exact moments, same unrolled
     // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same

@@ -2969,6 +2969,80 @@ object Stats {
           / col("__sod").cast("double"))).as("or_mh"))
   }
 
+  /** Breslow–Day homogeneity test — the admission check under
+    * [[mantelHaenszel]]: CMH pools the strata ASSUMING one common odds
+    * ratio; Breslow–Day tests that assumption ("does the effect itself
+    * differ by segment" — the formal interaction readout). A large χ²_BD
+    * says the pooled or_mh is averaging away a real per-segment story.
+    *
+    * Scale shape: the SAME bounded per-stratum 2×2 count state as
+    * [[mhOfCounts]] (the [[graft.streaming.Streaming.MhMonitor]] state,
+    * whose `homogeneity` readout IS this test); the common OR broadcasts
+    * back, each stratum's expected cell is the admissible root of the
+    * textbook quadratic (both roots formed in fixed double order, CASE
+    * picks the one inside the margin box), and the χ² terms are
+    * decimal-staged before the order-independent sum.
+    *
+    * Returns one row (k_strata, df, chi2_bd) at 6dp — NULL when fewer
+    * than 2 strata or the common OR degenerates (a zero margin).
+    */
+  def breslowDay(df: DataFrame, stratum: Column, armA: Column,
+                 success: Column): DataFrame =
+    bdOfCounts(stratumPropCounts(df, stratum, armA, success))
+
+  /** [[breslowDay]]'s readout from an already-built per-stratum
+    * (__st, __na, __xa, __nb, __xb) count table — the stage the
+    * streaming monitor shares with the batch operator.
+    */
+  def bdOfCounts(counts: DataFrame): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec15 = org.apache.spark.sql.types.DecimalType(15, 0)
+    val c = org.apache.spark.sql.graftbridge.Bridge.freeze(counts)
+    // common OR: the Mantel–Haenszel pooled estimate over the same table
+    val dn = (col("__na") + col("__nb")).cast("double")
+    val orRow = broadcast(org.apache.spark.sql.graftbridge.Bridge.freeze(c
+      .select(
+        (col("__xa").cast(dec15) * (col("__nb") - col("__xb")).cast(dec15))
+          .cast("double").divide(dn).cast(decS).as("__on"),
+        ((col("__na") - col("__xa")).cast(dec15) * col("__xb").cast(dec15))
+          .cast("double").divide(dn).cast(decS).as("__od"))
+      .agg(sum(col("__on")).as("__son"), sum(col("__od")).as("__sod"))
+      .select((col("__son").cast("double") / col("__sod").cast("double"))
+        .as("__psi"))))
+    val a = col("__xa").cast("double")
+    val n1 = col("__na").cast("double")
+    val n2 = col("__nb").cast("double")
+    val m1 = (col("__xa") + col("__xb")).cast("double")
+    val psi = col("__psi")
+    // (ψ−1)E² − [ψ(n1+m1) + (n2−m1)]E + ψ·n1·m1 = 0; E = a when the
+    // stratum's own OR equals ψ, so a homogeneous table reads χ² = 0
+    val qa = psi - lit(1.0)
+    val qb = -(psi * (n1 + m1) + (n2 - m1))
+    val qc = psi * n1 * m1
+    val disc = sqrt(qb * qb - lit(4.0) * qa * qc)
+    val r1 = (-qb - disc) / (lit(2.0) * qa)
+    val r2 = (-qb + disc) / (lit(2.0) * qa)
+    val eLo = greatest(lit(0.0), m1 - n2)
+    val eHi = least(n1, m1)
+    val e = when(qa === 0.0, -qc / qb)
+      .when(r1 >= eLo && r1 <= eHi, r1)
+      .otherwise(r2)
+    val v = lit(1.0) / (lit(1.0) / e + lit(1.0) / (n1 - e) +
+      lit(1.0) / (m1 - e) + lit(1.0) / (n2 - m1 + e))
+    val agg = c.crossJoin(orRow)
+      .select(col("__st"), ((a - e) * (a - e) / v).cast(decS).as("__t"),
+        col("__psi"))
+      .groupBy(col("__psi"))
+      .agg(count(lit(1)).as("k_strata"), sum(col("__t")).as("__chi"))
+    def r6(cc: Column) = round(cc.cast(dec8), 6).cast("double")
+    val bad = col("k_strata") < 2L || isnull(col("__psi")) ||
+      col("__psi") <= 0.0 || isnan(col("__psi"))
+    agg.select(col("k_strata"), (col("k_strata") - 1L).as("df"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(col("__chi").cast("double"))).as("chi2_bd"))
+  }
+
   /** Cochran–Armitage trend test — "does the success PROPORTION rise (or
     * fall) monotonically across ORDERED groups": the proportions sibling
     * of [[graft.functions.Events]]' Jonckheere/Page ordered-medians
@@ -3646,6 +3720,99 @@ object Stats {
             col("p_b") * (lit(1.0) - col("p_b"))) /
           ((col("p_a") - col("p_b")) * (col("p_a") - col("p_b"))))
           .cast(dec28)).cast("long")).as("n_per_arm"))
+  }
+
+  /** Hill tail-index estimator over per-key volumes — "HOW heavy is the
+    * heavy tail": [[giniConcentration]] and [[keySkew]] say the mass is
+    * concentrated; the Hill α says what POWER LAW the tail follows
+    * (α ≤ 1 reads "the mean is dominated by whales and doesn't converge"
+    * — the number that decides whether per-key caps are a nicety or a
+    * necessity). α̂ = [mean(ln xᵢ) over the top k − ln x₍ₖ₊₁₎]⁻¹, the
+    * classic MLE on the k largest order statistics.
+    *
+    * Scale shape: the SAME per-key count state as [[giniOfCounts]] (the
+    * [[graft.streaming.Streaming.KeyCountMonitor]] state, whose `tail`
+    * readout IS this estimate) collapses to the count-of-counts frame
+    * (bounded by distinct volumes); descending ranks come from the Gini
+    * triangular join, the top-k overlap weights are [[trimmedOfCounts]]'
+    * interval clamps, and the log moments are decimal-staged before the
+    * order-independent sum.
+    *
+    * Returns one row (n_keys, k, threshold, alpha) at 6dp — NULL alpha
+    * when fewer than k+1 keys exist or the top k all tie the threshold
+    * (no spread to fit).
+    */
+  def hillTail(df: DataFrame, keyCol: String, k: Int = 100): DataFrame =
+    hillOfCounts(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt")), k)
+
+  /** [[hillTail]]'s readout from an already-built (key, cnt) count table
+    * — the stage the streaming monitor shares with the batch operator.
+    */
+  def hillOfCounts(counts: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val coc = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      counts.select(col("cnt").as("__c"))
+        .groupBy(col("__c")).agg(count(lit(1)).as("__nk")))
+    val higher = coc.select(col("__c").as("__hc"), col("__nk").as("__hnk"))
+    // descending ranks: keys with volume c occupy (before, before + nk]
+    val ranked = coc.join(higher, col("__hc") > col("__c"), "left")
+      .groupBy(col("__c"), col("__nk"))
+      .agg(coalesce(sum(col("__hnk")), lit(0L)).as("__before"))
+    val w = greatest(
+      least(col("__before") + col("__nk"), lit(k.toLong)) - col("__before"),
+      lit(0L))
+    val agg = ranked.agg(
+      sum(col("__nk")).as("n_keys"),
+      sum((w.cast("double") * log(col("__c").cast("double"))).cast(decS))
+        .as("__slog"),
+      max(when(col("__before") + col("__nk") >= lit((k + 1).toLong),
+        col("__c"))).as("__xk1"))
+    val inv = col("__slog").cast("double") / lit(k.toDouble) -
+      log(col("__xk1").cast("double"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    agg.select(col("n_keys"), lit(k).as("k"), col("__xk1").as("threshold"),
+      when(col("n_keys") < (k + 1).toLong || isnull(col("__xk1")) ||
+          inv <= 0.0, lit(null).cast("double"))
+        .otherwise(r6(lit(1.0) / inv)).as("alpha"))
+  }
+
+  /** Effective sample size and design effect of a weighted sample —
+    * "these n weighted rows carry the statistical information of how
+    * many unweighted ones": the admission check on ANY importance-
+    * weighted mixture (DSIR weights, dedup survivorship weights) before
+    * its metrics are trusted — ESS = (Σw)²/Σw² (Kish), deff = n/ESS,
+    * weight CV rides along as the why.
+    *
+    * Scale shape: ONE map-side-combined aggregation of decimal-staged
+    * weight moments; fixed-order ratios on three numbers. Non-positive
+    * and NULL weights drop (they carry no sampling information).
+    *
+    * Returns one row (n, ess, deff, weight_cv) at 6dp; zero rows
+    * becomes (0, NULL, NULL, NULL).
+    */
+  def designEffect(df: DataFrame, weightCol: Column): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val decS = org.apache.spark.sql.types.DecimalType(28, 10)
+    val wd = weightCol.cast("double")
+    val agg = df.filter(wd.isNotNull && wd > 0.0)
+      .agg(count(lit(1)).as("n"),
+        sum(wd.cast(decS)).as("__sw"),
+        sum((wd * wd).cast(decS)).as("__sw2"))
+    def d(s: String) = col(s).cast("double")
+    val ess = d("__sw") * d("__sw") / d("__sw2")
+    val deff = d("n") * d("__sw2") / (d("__sw") * d("__sw"))
+    def r6(c: Column) = round(c.cast(dec8), 6).cast("double")
+    val bad = col("n") === 0L
+    agg.select(col("n"),
+      when(bad, lit(null).cast("double")).otherwise(r6(ess)).as("ess"),
+      when(bad, lit(null).cast("double")).otherwise(r6(deff)).as("deff"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(sqrt(greatest(deff - lit(1.0), lit(0.0)))))
+        .as("weight_cv"))
   }
 
   /** Wald's sequential probability ratio test (SPRT, 1945) — the test

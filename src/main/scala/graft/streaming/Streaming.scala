@@ -671,6 +671,13 @@ object Streaming {
     def concentration(): DataFrame =
       graft.functions.Stats.simpsonOfCounts(counts.merged)
 
+    /** current Hill tail index — the fourth readout off the SAME count
+      * state (how heavy is the whale tail, as a power-law exponent);
+      * equals the batch [[graft.functions.Stats.hillTail]]
+      */
+    def tail(k: Int = 100): DataFrame =
+      graft.functions.Stats.hillOfCounts(counts.merged, k)
+
     /** persist the count state for crash-restart (call after update) */
     def saveState(dir: String): Unit =
       MonitorState.save(dir, Map("counts" -> counts.forSave))
@@ -1347,6 +1354,14 @@ object Streaming {
 
     /** current (k_strata, n_a, n_b, chi2_mh, or_mh) — equals the batch one */
     def readout: DataFrame = graft.functions.Stats.mhOfCounts(
+      counts.getOrElse(throw new IllegalStateException("no batches ingested")))
+
+    /** Breslow–Day homogeneity readout off the SAME per-stratum 2×2
+      * state ([[graft.functions.Stats.bdOfCounts]]) — does the effect
+      * itself differ by stratum, the assumption `readout`'s pooled OR
+      * makes; equals the batch [[graft.functions.Stats.breslowDay]]
+      */
+    def homogeneity: DataFrame = graft.functions.Stats.bdOfCounts(
       counts.getOrElse(throw new IllegalStateException("no batches ingested")))
 
     /** persist the count state for crash-restart (call after update) */

@@ -253,7 +253,12 @@ object Bench {
     // driver gate
     case Nil =>
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "18").toInt
+      // 26 (was 18): at 416 queries the ~38 s/slice JVM+warmup overhead
+      // dominated the sf phase (24 slices × 38 s ≈ 15 min of pure
+      // startup); fewer, larger slices buy the budget headroom back and
+      // let the 22-readout vol family pack WITH neighbors instead of
+      // forcing an oversized solo slice
+      val sliceSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE_SIZE", "26").toInt
       // FAMILY-ATOMIC slice packing: readouts sharing a cached monitor
       // state (SparkEntry.benchFamilies) must land in ONE child JVM, or
       // the second child rebuilds the state and inflates its slice. Plain

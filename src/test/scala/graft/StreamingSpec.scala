@@ -254,20 +254,20 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
 
     // uninterrupted ingest: every batch trips maxMeanList=4, so the final
-    // quantizer is the ceil(n/4) lowest-id vectors and mean list length
-    // stays bounded (~4) no matter how many batches arrived
+    // quantizer is the ceil(sqrt(n)) lowest-id vectors — the balanced
+    // sqrt-split (probe cost AND re-route cost both subquadratic)
     val full = new Streaming.IvfIndexIngest("vec_id", "v",
       nCentroids = 16, nProbe = 4, maxMeanList = 4)
     run(full, 0 until 4)
-    assert(full.centroidCount == math.ceil(n / 4.0).toLong,
-      s"final quantizer must hold ceil(n/4) centroids, got ${full.centroidCount}")
+    assert(full.centroidCount == math.ceil(math.sqrt(n.toDouble)).toLong,
+      s"final quantizer must hold ceil(sqrt(n)) centroids, got ${full.centroidCount}")
     val expected = top(full)
     assert(expected.groupBy(_._1).forall(_._2.size == 5))
 
     // closed form: identical to routing EVERYTHING onto that final
     // quantizer in one shot (intermediate compactions must be erased)
     val oneShot = new Streaming.IvfIndexIngest("vec_id", "v",
-      nCentroids = math.ceil(n / 4.0).toInt, nProbe = 4)
+      nCentroids = math.ceil(math.sqrt(n.toDouble)).toInt, nProbe = 4)
     oneShot.update(e) // first batch IS the whole corpus; lowest ids seed
     assert(top(oneShot) == expected,
       "compacted lifecycle must equal one-shot routing onto the final quantizer")

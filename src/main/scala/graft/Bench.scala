@@ -102,7 +102,9 @@ object Bench {
     val keep = SparkEntry.pinnedReplayRddIds
     spark.sparkContext.getPersistentRDDs.values
       .filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = false))
-    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "400").toLong
+    // 250 (was 400): at 416 queries the inter-query settle alone cost
+    // ~3 min of the 45-min budget; 250 ms still lets the cleaner drain
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "250").toLong
     System.gc()
     Thread.sleep(settleMs / 2)
     System.gc() // second pass collects objects only freed by cleaner work above
@@ -304,7 +306,10 @@ object Bench {
     */
   private def runSoloAudit(phase1: Seq[(String, Double)], sfDir: String,
                            forked: Boolean, deadline: Double): (Seq[(String, Double)], String) = {
-    val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "15").toInt
+    // 12 (was 15): each solo JVM costs ~30 s of startup against the wall
+    // budget; the 13th-15th heaviest queries are already covered by their
+    // slice timings and the sf1 pairing keeps its own top-15
+    val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "12").toInt
     if (!forked || soloN <= 0) return (phase1, "")
     if (elapsedSec > deadline) { truncated = true; return (phase1, "") }
     val targets = phase1.sortBy(-_._2).take(soloN).map(_._1).sorted

@@ -1241,11 +1241,12 @@ object SparkEntry {
     }),
 
     // streaming ANN ingestion WITH index compaction (batch replay of 4
-    // micro-batches, maxMeanList=4): every batch trips the mean-list
-    // threshold, so the coarse quantizer re-widens to ceil(sqrt(n))
-    // lowest-id vectors and the lists re-route — the final index is every
-    // vector routed onto the final quantizer (closed form the oracle
-    // replays); the sqrt split keeps probe cost O(sqrt n) and the
+    // micro-batches, maxMeanList=4): mid-stream compactions trip
+    // GEOMETRICALLY (mean-list bar exceeded AND index doubled — amortized
+    // O(sqrt n)/vector ingest), and seal() closes the stream with the
+    // deterministic re-route onto the ceil(sqrt(n)) lowest-id vectors of
+    // the whole corpus — the batch-boundary-independent closed form the
+    // oracle replays; the sqrt split keeps probe cost O(sqrt n) and the
     // re-route subquadratic (the old n/4 quantizer measured 36x at 10x)
     "stream_ann_compact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1253,6 +1254,7 @@ object SparkEntry {
       val ing = new graft.streaming.Streaming.IvfIndexIngest(
         "vec_id", "v", nCentroids = 16, nProbe = 4, maxMeanList = 4)
       (0 until 4).foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
+      ing.seal()
       ing.topK(e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -6746,15 +6748,20 @@ object SparkEntry {
          FROM r),
        g AS (
          SELECT psi,
-           CAST((a - ev) * (a - ev)
-             / (1.0 / (1.0 / ev + 1.0 / (n1 - ev) + 1.0 / (m1 - ev)
-               + 1.0 / (n2 - m1 + ev))) AS DECIMAL(28,10)) AS term
+           CASE WHEN m1 > 0.0 AND m1 < n1 + n2 AND n1 > 0.0 AND n2 > 0.0
+             THEN CAST((a - ev) * (a - ev)
+               / (1.0 / (1.0 / ev + 1.0 / (n1 - ev) + 1.0 / (m1 - ev)
+                 + 1.0 / (n2 - m1 + ev))) AS DECIMAL(28,10)) END AS term,
+           CASE WHEN m1 > 0.0 AND m1 < n1 + n2 AND n1 > 0.0 AND n2 > 0.0
+             THEN 1 ELSE 0 END AS u
          FROM x),
        agg AS (
-         SELECT psi, count(*) AS k_strata, sum(term) AS chi
+         SELECT psi, sum(u) AS k_strata, count(*) - sum(u) AS dropped,
+           sum(term) AS chi
          FROM g GROUP BY 1)
        SELECT CAST(k_strata AS BIGINT) AS k_strata,
          CAST(k_strata - 1 AS BIGINT) AS df,
+         CAST(dropped AS BIGINT) AS dropped_strata,
          CASE WHEN k_strata < 2 OR psi IS NULL OR psi <= 0.0
                 OR isnan(psi) THEN NULL
            ELSE round(CAST(chi::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
@@ -6796,7 +6803,8 @@ object SparkEntry {
   private val essOracleSql =
     """WITH f AS (
          SELECT CAST(value AS DOUBLE) AS w FROM events
-         WHERE value IS NOT NULL AND CAST(value AS DOUBLE) > 0.0),
+         WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+           AND CAST(value AS DOUBLE) > 0.0),
        a AS (
          SELECT count(*) AS n,
            sum(CAST(w AS DECIMAL(28,10))) AS sw,
@@ -8202,7 +8210,10 @@ object SparkEntry {
            count(*) AS n,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              AS BIGINT) AS x
-         FROM events GROUP BY 1),
+         FROM events
+         WHERE floor((day(ts) - 1) / 7.0) IS NOT NULL
+           AND (event_type = 'purchase') IS NOT NULL
+         GROUP BY 1),
        a AS (
          SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
            CAST(sum(x) AS BIGINT) AS x,

@@ -3030,15 +3030,29 @@ object Stats {
       .otherwise(r2)
     val v = lit(1.0) / (lit(1.0) / e + lit(1.0) / (n1 - e) +
       lit(1.0) / (m1 - e) + lit(1.0) / (n2 - m1 + e))
+    // a stratum with a degenerate margin (no successes, no failures, or a
+    // single arm) pins E to the box boundary, so 1/e or 1/(m1-e) is
+    // infinite and the term is 0/0 = NaN — which Spark's NaN→DECIMAL cast
+    // turns into NULL (sum silently drops it) while DuckDB ERRORS on the
+    // same cast. Such strata carry no homogeneity information: exclude
+    // them from BOTH the χ² and k_strata, and report them as
+    // dropped_strata so the exclusion is visible in the readout.
+    val usable = m1 > 0.0 && m1 < n1 + n2 && n1 > 0.0 && n2 > 0.0
     val agg = c.crossJoin(orRow)
-      .select(col("__st"), ((a - e) * (a - e) / v).cast(decS).as("__t"),
+      .select(col("__st"),
+        when(usable, ((a - e) * (a - e) / v).cast(decS))
+          .otherwise(lit(null).cast(decS)).as("__t"),
+        when(usable, 1L).otherwise(0L).as("__u"),
         col("__psi"))
       .groupBy(col("__psi"))
-      .agg(count(lit(1)).as("k_strata"), sum(col("__t")).as("__chi"))
+      .agg(sum(col("__u")).as("k_strata"),
+        (count(lit(1)) - sum(col("__u"))).as("dropped_strata"),
+        sum(col("__t")).as("__chi"))
     def r6(cc: Column) = round(cc.cast(dec8), 6).cast("double")
     val bad = col("k_strata") < 2L || isnull(col("__psi")) ||
       col("__psi") <= 0.0 || isnan(col("__psi"))
     agg.select(col("k_strata"), (col("k_strata") - 1L).as("df"),
+      col("dropped_strata"),
       when(bad, lit(null).cast("double"))
         .otherwise(r6(col("__chi").cast("double"))).as("chi2_bd"))
   }
@@ -3060,12 +3074,20 @@ object Stats {
     *
     * Returns one row (k, n, x, z) — z NULL when fewer than 2 groups or
     * the pooled share degenerates to 0 or 1 (no variance to test).
+    *
+    * Rows where the score or the success flag is NULL are dropped before
+    * grouping (a NULL-key group would otherwise null its moment terms
+    * out of Σwx/Σwn/Σnw² while still inflating n and x — a silent bias).
+    * Scores are REQUIRED to be integer-valued: the cast to long is a
+    * group-label normalization, not a binning rule — fractional scores
+    * must be floored/bucketed explicitly by the caller.
     */
   def cochranArmitage(df: DataFrame, scoreCol: Column,
                       successCol: Column): DataFrame = {
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val counts = df.groupBy(scoreCol.cast("long").as("__w"))
+    val counts = df.filter(scoreCol.isNotNull && successCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("__w"))
       .agg(count(lit(1)).as("__n"),
         sum(when(successCol, 1L).otherwise(0L)).as("__x"))
     val agg = counts.agg(
@@ -3798,7 +3820,10 @@ object Stats {
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val decS = org.apache.spark.sql.types.DecimalType(28, 10)
     val wd = weightCol.cast("double")
-    val agg = df.filter(wd.isNotNull && wd > 0.0)
+    // explicit !isnan: Spark's `wd > 0.0` drops NaN but DuckDB's NaN
+    // compares greater than any number and would keep it — spell the drop
+    // out in BOTH engines so a NaN weight can't diverge them
+    val agg = df.filter(wd.isNotNull && !isnan(wd) && wd > 0.0)
       .agg(count(lit(1)).as("n"),
         sum(wd.cast(decS)).as("__sw"),
         sum((wd * wd).cast(decS)).as("__sw2"))

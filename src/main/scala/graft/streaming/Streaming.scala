@@ -2411,13 +2411,22 @@ object Streaming {
     private var index: Option[DataFrame] = None
     private var nIndexed: Long = 0L
     private var nCent: Long = trainedCounted.map(_._2).getOrElse(0L)
+    // index size at the last compaction — the amortization anchor: once
+    // √n outgrows maxMeanList the bar alone would trip on EVERY batch
+    // (each a full n·√n re-route); requiring the index to have DOUBLED
+    // since the last compaction keeps compactions geometric, so lifetime
+    // re-route cost stays O(n·√n) total instead of per-batch
+    private var lastCompactN: Long = 0L
 
     /** effective centroid count — grows when compaction trips */
     def centroidCount: Long = nCent
 
     /** route one micro-batch onto the frozen quantizer and absorb it;
-      * when `maxMeanList` > 0 and the mean inverted-list length exceeds
-      * it, [[compact]] re-clusters before returning
+      * when `maxMeanList` > 0, the mean inverted-list length exceeds it,
+      * AND the index has doubled since the last compaction (the
+      * amortization guard), [[compact]] re-clusters before returning.
+      * Call [[seal]] when the ingest closes to reach the deterministic,
+      * batch-boundary-independent final state.
       */
     def update(batch: DataFrame): Unit = {
       if (centroids.isEmpty) {
@@ -2432,8 +2441,19 @@ object Streaming {
       val (idx, n) = bridge.freezeCounted(
         index.map(_.unionByName(routed)).getOrElse(routed))
       index = Some(idx); nIndexed = n
-      if (maxMeanList > 0 && nIndexed > nCent * maxMeanList) compact()
+      if (maxMeanList > 0 && nIndexed > nCent * maxMeanList &&
+        nIndexed >= 2L * math.max(lastCompactN, 1L)) compact()
     }
+
+    /** Closing compaction — restores the history-independent final state
+      * the amortized trip gives up: if the mean-list bar is exceeded at
+      * close, one last [[compact]] re-routes everything onto the lowest
+      * ceil(√n) ids of the WHOLE corpus, so the sealed index is identical
+      * no matter how the stream was batched (the closed form the oracle
+      * replays). A no-op when the bar holds or compaction is disabled.
+      */
+    def seal(): Unit =
+      if (maxMeanList > 0 && nIndexed > nCent * maxMeanList) compact()
 
     /** Index compaction — the BALANCED-growth guarantee over a long
       * ingest: a monotone index under a FIXED quantizer grows each
@@ -2449,13 +2469,16 @@ object Streaming {
       * re-route costs n·√n assignments instead of the n²/maxMeanList a
       * proportional (n/maxMeanList) quantizer would force: total ingest
       * stays subquadratic (a fixed-ratio quantizer measured 36× wall at
-      * 10× data on this very query; √n reads ~1×). The final state is
-      * history-independent: the last batch always re-trips (n > 4√n for
-      * n > 16), so the closing quantizer is the lowest ceil(√n) ids of
-      * the WHOLE corpus regardless of batch boundaries.
+      * 10× data on this very query; √n reads ~1×). Mid-stream trips are
+      * GEOMETRIC (the index must double since the last compaction — see
+      * [[update]]), so steady-state ingest amortizes to O(√n) per vector;
+      * the history-independent final state comes from [[seal]], whose
+      * closing re-route lands on the lowest ceil(√n) ids of the WHOLE
+      * corpus regardless of batch boundaries.
       */
     def compact(): Unit = {
       val idx = index.getOrElse(return)
+      lastCompactN = nIndexed
       val target = math.max(1L,
         math.ceil(math.sqrt(nIndexed.toDouble)).toLong).min(Int.MaxValue)
       val (c2, n2) = bridge.freezeCounted(idx
@@ -2488,6 +2511,9 @@ object Streaming {
       centroids = MonitorState.load(spark, dir, "centroids")
       nIndexed = index.map(_.count()).getOrElse(0L)
       nCent = centroids.map(_.count()).getOrElse(0L)
+      // conservative anchor: next mid-stream compaction at 2× the restored
+      // size — correctness is unaffected ([[seal]] fixes the final state)
+      lastCompactN = nIndexed
     }
   }
 

@@ -33,6 +33,21 @@ class CoverageTrendSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("cochranArmitage: NULL score/success rows drop, not silently bias") {
+    // same hand-computed table as above plus a NULL-score row and a
+    // NULL-success row — they must not inflate n/x or null the moments
+    val rows = Seq.tabulate(12) { i =>
+      val w = i / 4; val j = i % 4
+      (Option(w.toLong), Option(j < w + 1))
+    } ++ Seq((None: Option[Long], Option(true)),
+      (Option(0L), None: Option[Boolean]))
+    val df = rows.toDF("w", "s")
+    val r = Stats.cochranArmitage(df, col("w"), col("s")).collect()(0)
+    assert(r.getAs[Long]("n") === 12L)
+    assert(r.getAs[Long]("x") === 6L)
+    assert(r.getAs[Double]("z") === math.rint(2.0 / math.sqrt(2.0) * 1e6) / 1e6)
+  }
+
   // ----------------------------------------------- capture–recapture
   test("captureRecapture: Chapman estimate and SE on a hand pair") {
     // A={1,2,3,4} B={3,4,5}: n_hat = 5*4/3-1 = 5.6667

@@ -253,12 +253,14 @@ class StreamingSpec extends SparkSpec {
       ing.topK(q, "vec_id", "v", k = 5).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
 
-    // uninterrupted ingest: every batch trips maxMeanList=4, so the final
-    // quantizer is the ceil(sqrt(n)) lowest-id vectors — the balanced
-    // sqrt-split (probe cost AND re-route cost both subquadratic)
+    // uninterrupted ingest: mid-stream compactions are geometric
+    // (amortized), and seal() closes with the deterministic re-route, so
+    // the final quantizer is the ceil(sqrt(n)) lowest-id vectors — the
+    // balanced sqrt-split (probe cost AND re-route cost subquadratic)
     val full = new Streaming.IvfIndexIngest("vec_id", "v",
       nCentroids = 16, nProbe = 4, maxMeanList = 4)
     run(full, 0 until 4)
+    full.seal()
     assert(full.centroidCount == math.ceil(math.sqrt(n.toDouble)).toLong,
       s"final quantizer must hold ceil(sqrt(n)) centroids, got ${full.centroidCount}")
     val expected = top(full)
@@ -283,6 +285,7 @@ class StreamingSpec extends SparkSpec {
       nCentroids = 16, nProbe = 4, maxMeanList = 4)
     resumed.restoreState(spark, ckpt)
     run(resumed, 2 until 4)
+    resumed.seal()
     assert(top(resumed) == expected,
       "restored monitor must finish the ingest identically")
   }

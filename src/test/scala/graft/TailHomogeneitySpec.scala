@@ -34,6 +34,19 @@ class TailHomogeneitySpec extends SparkSpec {
     assert(r.getAs[Double]("chi2_bd") > 10.0)
   }
 
+  test("breslowDay: a zero-margin stratum drops (counted), not NaN-poisons") {
+    // stratum 1 has NO successes in either arm (m1 = 0): its expected
+    // cell sits on the box boundary (v = 0, term 0/0) — it must be
+    // EXCLUDED and REPORTED, with the usable strata's chi2 intact
+    val good = Seq((0, 10, 30, 5, 30), (2, 12, 30, 6, 30))
+    val withDegenerate = strataDf(good :+ (1, 0, 30, 0, 30))
+    val r = Stats.breslowDay(withDegenerate,
+      col("st"), col("arm"), col("y")).collect()(0)
+    assert(r.getAs[Long]("k_strata") === 2L)
+    assert(r.getAs[Long]("dropped_strata") === 1L)
+    assert(!r.isNullAt(r.fieldIndex("chi2_bd")))
+  }
+
   test("MhMonitor.homogeneity equals the batch over replayed events") {
     val ev = table("events")
     val mm = new Streaming.MhMonitor(col("user_id") % 4,
@@ -98,6 +111,15 @@ class TailHomogeneitySpec extends SparkSpec {
   test("designEffect: non-positive weights drop before the moments") {
     val r = Stats.designEffect(Seq(1.0, 0.0, -2.0, 1.0).toDF("w"), col("w"))
       .collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Double]("deff") === 1.0)
+  }
+
+  test("designEffect: NaN weights drop like non-positive ones") {
+    // Spark's `w > 0` drops NaN but DuckDB's would keep it (NaN sorts
+    // high there) — the explicit !isnan guard keeps both engines aligned
+    val r = Stats.designEffect(
+      Seq(1.0, Double.NaN, 1.0).toDF("w"), col("w")).collect()(0)
     assert(r.getAs[Long]("n") === 2L)
     assert(r.getAs[Double]("deff") === 1.0)
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,13 +61,19 @@ case class DotProduct(left: Expression, right: Expression)
   * minima in a single pass (k× fewer UTF8 hashes than the HOF version).
   */
 case class MinHashSignature(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an empty shingle set has no signature — null even off a non-null child
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** whole-document signature — ONE body shared by the interpreted eval
+    * and the generated code (the xxhash64 digests dominate; the codegen
+    * win is staying a primitive-typed call inside the whole-stage
+    * pipeline instead of a CodegenFallback's InternalRow + boxed eval)
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     if (m == 0) return null
     val out = new Array[Long](k)
@@ -85,6 +91,17 @@ case class MinHashSignature(child: Expression, k: Int)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $ref.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -139,13 +156,14 @@ object Md5Util {
   * vote loop. Oracle-reproducible (see Md5Util).
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** one md5 digest per token + the vote fold — shared by the
+    * interpreted eval and the generated primitive-typed call */
+  def compute(arr: ArrayData): Long = {
     val m = arr.numElements()
     val votes = new Array[Int](60)
     var t = 0
@@ -167,6 +185,14 @@ case class SimHash64(child: Expression)
     res
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -182,7 +208,7 @@ case class SimHash64(child: Expression)
   * `list_dot_product` in the DuckDB oracle.
   */
 case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sign_lsh"
@@ -200,8 +226,9 @@ case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
       }
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** per-plane dot + sign fold against the cached weight matrix — shared
+    * by the interpreted eval and the generated primitive-typed call */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val w = weights(n)
     var bucket = 0L
@@ -215,6 +242,14 @@ case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
       p += 1
     }
     bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLshBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -232,7 +267,7 @@ case class SignLshBucket(child: Expression, planes: Int, offset: Int = 0)
   * products accumulate left-to-right, bit-identical to `list_dot_product`.
   */
 case class RandomProjection(child: Expression, k: Int, offset: Int = 0)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_random_projection"
@@ -248,8 +283,9 @@ case class RandomProjection(child: Expression, k: Int, offset: Int = 0)
       }
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** the k projected dot products — shared by the interpreted eval and
+    * the generated primitive-typed call */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val w = weights(n)
     val out = new Array[Any](k)
@@ -265,6 +301,14 @@ case class RandomProjection(child: Expression, k: Int, offset: Int = 0)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randProj", this, classOf[RandomProjection].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -276,13 +320,14 @@ case class RandomProjection(child: Expression, k: Int, offset: Int = 0)
   * `array_distinct` chain it replaces, evaluated as one pass.
   */
 case class NgramShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** distinct first-occurrence shingles — shared by the interpreted eval
+    * and the generated primitive-typed call */
+  def compute(toks: ArrayData): ArrayData = {
     val m = toks.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (m < n) {
@@ -303,6 +348,14 @@ case class NgramShingles(child: Expression, n: Int)
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[NgramShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -312,7 +365,7 @@ case class NgramShingles(child: Expression, n: Int)
   * before the exact (expensive) shingle-set Jaccard.
   */
 case class SigMatchFraction(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sigmatch"
@@ -327,6 +380,22 @@ case class SigMatchFraction(left: Expression, right: Expression)
     while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
     eq.toDouble / n
   }
+
+  // the whole comparison inlines — pure generated Java, no helper object
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : (double) $eq / $n;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -434,15 +503,16 @@ case class HammingDistance(left: Expression, right: Expression)
   * caller lowers `minShared` to 1.
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
   private val emptyResult = new GenericArrayData(Array.empty[Any])
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** gram hashes + sliding minima + first-occurrence dedup — shared by
+    * the interpreted eval and the generated primitive-typed call */
+  def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < k) return emptyResult
     val nGrams = n - k + 1
@@ -480,6 +550,14 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -495,13 +573,14 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   * counts.
   */
 case class TopNgramFraction(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_top_ngram_frac"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** the gram-count pass — shared by the interpreted eval and the
+    * generated primitive-typed call */
+  def compute(toks: ArrayData): Double = {
     val m = toks.numElements()
     val nGrams = m - n + 1
     if (nGrams < 2) return 0.0
@@ -522,6 +601,14 @@ case class TopNgramFraction(child: Expression, n: Int)
       i += 1
     }
     (best - 1).toDouble / (nGrams - 1).toDouble
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topNgram", this, classOf[TopNgramFraction].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

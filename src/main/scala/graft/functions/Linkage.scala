@@ -133,16 +133,15 @@ object Linkage {
       .select(col("__idL").as(leftId), col("__idR").as(rightId), col("name_sim"))
   }
 
-  /** Spark's threshold (banded) levenshtein — O(k·len) with early −1 above
-    * `k` — with a PER-PAIR threshold column: the `functions.levenshtein`
-    * Column API only exposes a constant Int, but the Catalyst expression
-    * accepts any integer expression.
+  /** Threshold levenshtein with a PER-PAIR threshold column — the native
+    * [[graft.plans.LevenshteinStripped]]: value-identical to Spark's banded
+    * `Levenshtein(a, b, Some(k))` (exact distance when ≤ k, −1 above), with
+    * common prefix/suffix stripping first, so blocked candidates sharing
+    * long name affixes (the dominant case inside an entity block) pay a
+    * few DP cells instead of k·len.
     */
-  private def levenshteinWithin(a: Column, b: Column, k: Column): Column = {
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
-    bridge.column(org.apache.spark.sql.catalyst.expressions.Levenshtein(
-      bridge.expression(a), bridge.expression(b), Some(bridge.expression(k))))
-  }
+  private def levenshteinWithin(a: Column, b: Column, k: Column): Column =
+    graft.plans.NativeFunctions.levenshteinStripped(a, b, k)
 
   /** Resolution step over a [[blockedLink]] candidate table: each incoming
     * row takes its best-scoring dimension match (ties to the smallest

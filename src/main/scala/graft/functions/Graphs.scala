@@ -135,15 +135,22 @@ object Graphs {
     val deg = bridge.freeze(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val centers = deg.filter(col("deg") <= maxDegree).select(col("src"))
-    val thru = bridge.freeze(edges.join(centers, Seq("src")))
+    // carry each endpoint's degree THROUGH the path join instead of
+    // joining (id → deg) back onto the candidate pairs afterwards: deg is
+    // node-proportional, so at 10× corpus those two post-joins cross
+    // Spark's broadcast threshold and degrade to sort-merge joins over the
+    // full candidate set (measured: the old shape read ~5× wall at 10×
+    // data; with the degree riding along, first() reads it per group for
+    // free — it is constant within an (id_a, id_b) group by construction)
+    val thru = bridge.freeze(edges.join(centers, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("__dd")), Seq("dst")))
     val cand = thru.as("x").join(thru.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .groupBy(col("x.dst").as("id_a"), col("y.dst").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        first(col("x.__dd")).as("deg_a"), first(col("y.__dd")).as("deg_b"))
     val existing = edges.select(col("src").as("id_a"), col("dst").as("id_b"))
     cand.join(existing, Seq("id_a", "id_b"), "left_anti")
-      .join(deg.select(col("src").as("id_a"), col("deg").as("deg_a")), Seq("id_a"))
-      .join(deg.select(col("src").as("id_b"), col("deg").as("deg_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("common"),
         col("deg_a"), col("deg_b"),
         expr("(1000 * common) div (deg_a + deg_b - common)").as("jaccard_pm"))

@@ -840,8 +840,9 @@ object Dedup {
     * document length, so it must only ever run pair-proportionally — the
     * pair ids semi-join the corpus first ([[graft.functions.Retrieval.rouge2]]'s
     * fetch discipline), and the pair set is frozen so an expensive upstream
-    * candidate generator computes once. Codegen'd `levenshtein` builtin —
-    * no UDF.
+    * candidate generator computes once. Scoring is the codegen'd
+    * affix-stripping [[graft.plans.LevenshteinStripped]] kernel bounded at
+    * max(len) (exact — the bound can never truncate) — no UDF.
     *
     * Returns (aId, bId, edit_dist, edit_sim) with edit_sim in [0,1].
     */
@@ -858,8 +859,15 @@ object Dedup {
     val scored = p
       .join(txt.select(col("__id").as("__ida"), col("__t").as("__ta")), Seq("__ida"))
       .join(txt.select(col("__id").as("__idb"), col("__t").as("__tb")), Seq("__idb"))
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("__mx", greatest(length(col("__ta")), length(col("__tb"))))
+      // exact distance via the affix-stripping kernel: lev <= max(len)
+      // always, so bounding at __mx never truncates — near-dup pairs
+      // share long prefixes/suffixes, which the strip removes before the
+      // DP (round-14: the unbounded builtin ran the full len x len matrix
+      // on every pair)
+      .withColumn("edit_dist", graft.plans.NativeFunctions
+        .levenshteinStripped(col("__ta"), col("__tb"), col("__mx"))
+        .cast("long"))
     scored.select(col("__ida").as(aId), col("__idb").as(bId), col("edit_dist"),
       round(when(col("__mx") === 0, lit(1.0))
         .otherwise(lit(1.0) - col("edit_dist").cast("double") / col("__mx").cast("double"))

@@ -115,16 +115,37 @@ object Bench {
     * sf0.01, ~0.3 s quiet) timed inside a child JVM. Its absolute value is
     * irrelevant; the SPREAD across the run's children measures machine
     * pressure during the run and goes into the artifact's `canary` section.
+    * A canary that FAILS (e.g. a missing canary dir) returns NaN and is
+    * omitted from the artifact — recording its time-to-failure would plant
+    * a near-zero min sample and falsely inflate driftMax.
     */
   private def timeCanary(spark: SparkSession): Double = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", "/root/testdata/sf0.01")
     val t0 = System.nanoTime()
-    try SparkEntry.queries("q1_agg")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    val failed =
+      try { SparkEntry.queries("q1_agg")(spark, dir)
+        .write.format("noop").mode("overwrite").save(); false }
+      catch { case _: Throwable => true }
     val sec = (System.nanoTime() - t0) / 1e9
     releaseTransients(spark)
-    math.round(sec * 1000) / 1000.0
+    if (failed) Double.NaN else math.round(sec * 1000) / 1000.0
+  }
+
+  /** drops failed (NaN) canary samples before they reach a child's JSON */
+  private def canaryEntries(samples: (String, Double)*): Seq[(String, Double)] =
+    samples.filterNot(_._2.isNaN)
+
+  /** Planning hints from the committed per-round bench tables
+    * (tools/gen_bench_hints.py): `name` → expected solo-ish seconds at
+    * sf0.1 (element-wise min across rounds — de-noised of ambient load),
+    * `name@sf1` → expected seconds at the 10× dataset. Consumed by the
+    * thin-by-default slice packing and the pair-leg watchdog caps. A
+    * missing/unreadable file degrades to the hint-free protocol.
+    */
+  private lazy val hints: Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HINTS", "tools/bench_hints.json")
+    try parseSlice(java.nio.file.Paths.get(path)).toMap
+    catch { case _: Throwable => Map.empty }
   }
 
   /** Untimed inter-query cleanup: unpersist whatever the query cached, then
@@ -161,6 +182,45 @@ object Bench {
       releaseTransients(spark)
       name -> math.round(sec * 1000) / 1000.0
     }
+
+  /** Times one query with an optional per-leg watchdog cap: the action runs
+    * on a worker thread inside its own job group with interrupt-on-cancel;
+    * past `capSec` the group is cancelled and -1.0 is recorded — the
+    * pair-child protocol's "this leg was aborted, not slow" sentinel. The
+    * cap is 6× the leg's committed time, so it only trips on a genuine
+    * wedge or an extreme storm — never on the ≤2× ambient days the canary
+    * routinely records.
+    */
+  private def timeLegCapped(spark: SparkSession, sfDir: String, name: String,
+                            capSec: Option[Double]): Double = capSec match {
+    case None => timeQueries(spark, sfDir, Seq(name)).head._2
+    case Some(cap) =>
+      val sc = spark.sparkContext
+      val group = s"graft-leg-$name"
+      val t0 = System.nanoTime()
+      val worker = new Thread(() => {
+        sc.setJobGroup(group, s"pair leg $name", interruptOnCancel = true)
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] leg $name failed: ${e.getMessage}")
+        } finally sc.clearJobGroup()
+      }, s"graft-leg-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(math.round(cap * 1000))
+      if (worker.isAlive) {
+        System.err.println(f"[bench] leg $name exceeded its $cap%.0fs cap; aborting leg")
+        sc.cancelJobGroup(group)
+        worker.join(30000)
+        releaseTransients(spark)
+        -1.0
+      } else {
+        val sec = (System.nanoTime() - t0) / 1e9
+        releaseTransients(spark)
+        math.round(sec * 1000) / 1000.0
+      }
+  }
 
   // ----------------------------------------------------------------- fork
   /** Re-invokes this class in a fresh JVM with the parent's own classpath
@@ -220,7 +280,8 @@ object Bench {
   private val sf1Pinned: Seq[String] = Seq(
     "stream_dedup_index", "link_customers", "link_resolve", "stream_link",
     "dedup_containment", "dedup_minhash_eval", "stream_bootstrap",
-    "stream_spearman", "graph_jaccard", "events_rfm", "events_survival")
+    "stream_spearman", "graph_jaccard", "graph_degree_hist",
+    "events_rfm", "events_survival")
 
   /** One short progress line per completed fork: even a run killed by an
     * external timeout leaves a parseable latest-state line in a log TAIL.
@@ -286,24 +347,43 @@ object Bench {
       val results = timeQueries(spark, sfDir, names)
       val c1 = timeCanary(spark)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        toJsonMap(results ++ Seq("__canary" -> c0, "__canary_end" -> c1)))
+        toJsonMap(results ++ canaryEntries("__canary" -> c0, "__canary_end" -> c1)))
       spark.stop()
 
     // child: time each name at the base dir THEN the sf1 dir, same JVM —
     // paired numbers share identical JVM/JIT/cleaner conditions, so their
-    // ratio is meaningful even if both carry the same additive noise
+    // ratio is meaningful even if both carry the same additive noise.
+    // Round-15 hardening: each LEG runs under a per-query watchdog cap
+    // (6× its committed hint, min 60 s; generous for unknowns) so one
+    // wedged/storm-hit leg costs its own pair only, not the whole sf1
+    // window (round-14: one 202 s leg consumed the window for 10 pairs) —
+    // an aborted leg records -1 (evidence: aborted, not slow). And each
+    // leg is followed by its own canary sample (`__leg:<q>@<side>`) so a
+    // load spike landing BETWEEN the two legs of a pair is identifiable
+    // per-leg in the artifact instead of contaminating the ratio silently.
     case "--pair" :: out :: baseDir :: sf1Dir :: names =>
       val spark = session()
       warmUp(spark)
       val c0 = timeCanary(spark)
+      // cap floor (default 60 s; env-overridable so a spec/local run can
+      // demonstrate the abort path without a real 60 s wedge)
+      val capMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEG_CAP_MIN_S", "60").toDouble
       val pairs = names.sorted.flatMap { name =>
-        val b = timeQueries(spark, baseDir, Seq(name)).head._2
-        val s = timeQueries(spark, sf1Dir, Seq(name)).head._2
-        Seq(s"$name@base" -> b, s"$name@sf1" -> s)
+        val b = timeLegCapped(spark, baseDir, name,
+          hints.get(name).map(h => math.max(capMin, 6.0 * h)))
+        val cb = timeCanary(spark)
+        val s = timeLegCapped(spark, sf1Dir, name,
+          hints.get(s"$name@sf1").map(h => math.max(capMin, 6.0 * h))
+            // no committed sf1 number: corpus-proportional queries can
+            // legitimately read ~10× base, so the fallback cap is wide
+            .orElse(hints.get(name).map(h => math.max(2 * capMin, 30.0 * h))))
+        val cs = timeCanary(spark)
+        Seq(s"$name@base" -> b, s"$name@sf1" -> s) ++
+          canaryEntries(s"__leg:$name@base" -> cb, s"__leg:$name@sf1" -> cs)
       }
       val c1 = timeCanary(spark)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        toJsonMap(pairs ++ Seq("__canary" -> c0, "__canary_end" -> c1)))
+        toJsonMap(pairs ++ canaryEntries("__canary" -> c0, "__canary_end" -> c1)))
       spark.stop()
 
     // child: synthesize the 10x dataset
@@ -343,49 +423,73 @@ object Bench {
             acc.init :+ (acc.last ++ g)
           else acc :+ g
         }
-      val slices: Seq[Seq[String]] = pack(groups, sliceSize)
+      // THIN-BY-DEFAULT (round-15): the committed hints split the suite —
+      // a family whose every member measured ≤ thinMax solo-ish seconds in
+      // prior rounds packs into 4× jumbo slices with a 60 ms settle from
+      // the START (sub-second readouts don't need a 250 ms double-GC
+      // settle each; the full protocol is reserved for the heavy tail,
+      // whose top-12 the solo audit re-times anyway). This is what fits
+      // phase 1 in ~45% of budget quiet instead of ~59%, so a ~1.4×
+      // ambient day stops cannibalizing the sf1/solo phases (round-14's
+      // official run: 105 untimed, 5/15 sf1 pairs). Heavy slices run
+      // FIRST: if the clock dies mid-phase the untimed tail is the cheap
+      // readouts, and the solo/sf1 target sets are already measured.
+      val thinMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_THIN_MAX_S", "2.0").toDouble
+      val (fastGroups, heavyGroups) = groups.partition(
+        g => g.forall(n => hints.get(n).exists(_ <= thinMax)))
+      val heavySlices = pack(heavyGroups, sliceSize)
+      val fastSlices = pack(fastGroups, sliceSize * 4)
+      val slices: Seq[Seq[String]] = heavySlices ++ fastSlices
 
-      // ---- phase 1: slices. Soft deadline 60% — a NORMAL full pass
-      // measures ~59% of the default budget (r13: 16 slices ≈ 1560 s;
-      // r14 first gate: ~105 s/slice × 17), so the soft deadline only
-      // trips when the run is genuinely behind (ambient spike, heavier
-      // suite). Past it the remaining slices re-pack 3× with a 60 ms
-      // settle (thinning, not skipping; the family-sorted tail is the
-      // sub-second text_*/stream_* readout set, exactly where a short
-      // settle costs the least fidelity); hard deadline 70% so sf1
+      // Soft deadline 60% (a normal full pass now lands well under it;
+      // it only trips when the run is genuinely behind — ambient spike,
+      // heavier suite). Past it the remaining slices re-pack 3× with a
+      // 60 ms settle (thinning, not skipping); hard deadline 70% so sf1
       // keeps a guaranteed ≥20% window.
       val softDeadline = budgetSec * 0.60
       val hardDeadline = budgetSec * 0.70
       var thinnedNames: Seq[String] = Nil
+      // one-JVM fallback when forking is unavailable (e.g. launched under
+      // a layered classloader where java.class.path lacks the app jar):
+      // keeps the gate alive, at reduced timing fidelity
+      def inProcess(names: Seq[String]): Seq[(String, Double)] = {
+        val spark = session()
+        warmUp(spark)
+        val rs = timeQueries(spark, sfDir, names)
+        spark.stop()
+        rs
+      }
       val (phase1, untimed, layout) =
-        runSlices(slices, sfDir, "sf", deadline = softDeadline) match {
-          case Some((rs0, skipped0)) =>
-            if (skipped0.isEmpty) (rs0, Nil, slices)
-            else {
-              // thin mode: jumbo slices amortize JVM startup, short settle
-              val famGroups = skipped0
-                .groupBy(n => SparkEntry.benchFamilies.getOrElse(n, n))
-                .toSeq.sortBy(_._1).map(_._2.sorted.toVector)
-              val jumbo = pack(famGroups, sliceSize * 3)
-              thinnedNames = skipped0.sorted
-              runSlices(jumbo, sfDir, "sfthin", deadline = hardDeadline,
-                extraEnv = Map("SPARK_GRAFT_BENCH_SETTLE_MS" -> "60")) match {
-                case Some((rs1, skipped1)) =>
-                  if (skipped1.nonEmpty) truncated = true
-                  (rs0 ++ rs1, skipped1, slices)
-                case None =>
-                  truncated = true
-                  (rs0, skipped0, slices)
-              }
+        runSlices(heavySlices, sfDir, "sf", deadline = softDeadline) match {
+          case None => (inProcess(slices.flatten), Nil, Nil)
+          case Some((rsHeavy, skHeavy)) =>
+            runSlices(fastSlices, sfDir, "sffast", deadline = softDeadline,
+              extraEnv = Map("SPARK_GRAFT_BENCH_SETTLE_MS" -> "60")) match {
+              case None => // fast fork died: finish the remainder in-process
+                (rsHeavy ++ inProcess((skHeavy ++ fastSlices.flatten).sorted),
+                  Nil, slices)
+              case Some((rsFast, skFast)) =>
+                val rs0 = rsHeavy ++ rsFast
+                val skipped0 = skHeavy ++ skFast
+                if (skipped0.isEmpty) (rs0, Nil, slices)
+                else {
+                  // deadline thinning: jumbo slices amortize JVM startup
+                  val famGroups = skipped0
+                    .groupBy(n => SparkEntry.benchFamilies.getOrElse(n, n))
+                    .toSeq.sortBy(_._1).map(_._2.sorted.toVector)
+                  val jumbo = pack(famGroups, sliceSize * 3)
+                  thinnedNames = skipped0.sorted
+                  runSlices(jumbo, sfDir, "sfthin", deadline = hardDeadline,
+                    extraEnv = Map("SPARK_GRAFT_BENCH_SETTLE_MS" -> "60")) match {
+                    case Some((rs1, skipped1)) =>
+                      if (skipped1.nonEmpty) truncated = true
+                      (rs0 ++ rs1, skipped1, slices)
+                    case None =>
+                      truncated = true
+                      (rs0, skipped0, slices)
+                  }
+                }
             }
-          case None => // fork unavailable (e.g. launched under a layered
-            // classloader where java.class.path lacks the app jar): one-JVM
-            // fallback keeps the gate alive, at reduced timing fidelity
-            val spark = session()
-            warmUp(spark)
-            val rs = timeQueries(spark, sfDir, slices.flatten)
-            spark.stop()
-            (rs, Nil, Nil)
         }
 
       // ---- phase 2: sf1 pairs FIRST (round-13: this section is the
@@ -401,7 +505,10 @@ object Bench {
         else s""","untimed":${untimed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       val thinnedJson = if (thinnedNames.isEmpty) ""
         else s""","thinned":${thinnedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      emit(results, sfDir, layout, sf1Json + soloJson + untimedJson + thinnedJson)
+      val thinDefaultJson =
+        s""","thinDefaultCount":${fastGroups.map(_.size).sum}"""
+      emit(results, sfDir, layout,
+        sf1Json + soloJson + untimedJson + thinnedJson + thinDefaultJson)
   }
 
   /** Phase 3: re-time the N slowest phase-1 queries ONE PER FRESH JVM.
@@ -467,7 +574,11 @@ object Bench {
                             deadline: Double): String =
     try {
       if (elapsedSec > deadline) { truncated = true; return "" }
-      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "15").toInt
+      // n counts MEASURED-heaviest pairs BEYOND the pinned list (round-14
+      // ADVICE: take(max(n, pinned.size)) let pinning displace the
+      // measured top, losing sf1 evidence for new scale regressions) —
+      // the section is sized pinned.size + n, default 12 + 6 = 18 pairs
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_N", "6").toInt
       val pairSlice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_SLICE", "5").toInt
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_DIR", "target/bench_sf1")
       if (!graft.tools.ScaleData.isGenerated(sf1Dir, sfDir)) {
@@ -496,9 +607,10 @@ object Bench {
       }
       val measured = results.sortBy(-_._2).map(_._1)
       val pinned = sf1Pinned.filter(SparkEntry.queries.contains)
-      val top0 = (pinned ++ measured).distinct.take(math.max(n, pinned.size)).sorted
+      val top0 = (pinned ++ measured).distinct.take(pinned.size + n).sorted
       val pairGroups = top0.grouped(math.max(1, pairSlice)).toSeq
       val acc = Seq.newBuilder[(String, Double)]
+      val legCanaries = Seq.newBuilder[(String, Double)]
       var ok = true
       var ranGroups = 0
       pairGroups.zipWithIndex.foreach { case (names, i) =>
@@ -510,8 +622,13 @@ object Bench {
           val good = code == 0 && java.nio.file.Files.exists(out) &&
             java.nio.file.Files.size(out) > 2
           if (good) {
-            val (canary, qs) = parseSlice(out).partition(_._1.startsWith("__"))
+            // __leg:<q>@<side> samples attribute ambient pressure PER LEG
+            // inside each pair; plain __canary* samples feed the run-wide
+            // canary section as before
+            val (legs, rest) = parseSlice(out).partition(_._1.startsWith("__leg:"))
+            val (canary, qs) = rest.partition(_._1.startsWith("__"))
             canarySamples ++= canary.map(_._2)
+            legCanaries ++= legs.map { case (k, v) => k.stripPrefix("__leg:") -> v }
             acc ++= qs
             ranGroups += 1
             progress("sf1", i + 1, pairGroups.size, acc.result().map(_._2).sum)
@@ -529,13 +646,23 @@ object Bench {
         val m = acc.result().toMap
         val sf1 = top.map(q => q -> m(s"$q@sf1"))
         val bases = top.map(q => q -> m(s"$q@base"))
+        // a -1 leg was aborted by its per-leg watchdog cap: the pair's
+        // ratio is recorded as -1 (aborted, not slow) and excluded from
+        // worstRatio — the abort is its own, explicit evidence
         val ratios = top.map { q =>
-          q -> math.round(m(s"$q@sf1") / math.max(m(s"$q@base"), 0.001) * 100) / 100.0
+          val (b, s) = (m(s"$q@base"), m(s"$q@sf1"))
+          q -> (if (b < 0 || s < 0) -1.0
+                else math.round(s / math.max(b, 0.001) * 100) / 100.0)
         }
-        val worst = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+        val real = ratios.map(_._2).filter(_ >= 0)
+        val worst = if (real.isEmpty) 0.0 else real.max
+        val legJson = {
+          val ls = legCanaries.result()
+          if (ls.isEmpty) "" else s""","legCanary":${toJsonMap(ls)}"""
+        }
         s""","sf1":{"dir":"$sf1Dir","copies":10,"queries":${toJsonMap(sf1)},""" +
           s""""basePaired":${toJsonMap(bases)},""" +
-          s""""ratioVsBase":${toJsonMap(ratios)},"worstRatio":$worst}"""
+          s""""ratioVsBase":${toJsonMap(ratios)},"worstRatio":$worst$legJson}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
@@ -565,9 +692,15 @@ object Bench {
       .map(s => s.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val canary = canaryJson
+    val notes = {
+      val ns = SparkEntry.benchNotes.toSeq.sortBy(_._1)
+      if (ns.isEmpty) "" else ns
+        .map { case (k, v) => "\"" + k + "\":\"" + v.replace('"', '\'') + "\"" }
+        .mkString(""","notes":{""", ",", "}")
+    }
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${toJsonMap(results)},"sf":"$sfDir","truncated":$truncated,""" +
-      s""""slices":$layout$extra$canary}"""
+      s""""slices":$layout$extra$canary$notes}"""
     // the full per-query artifact: stdout rides a log pipe that keeps only
     // a ~2000-char TAIL, so the big map goes to a durable file (commit it
     // per round) and to stdout first (for humans reading the whole log)

@@ -91,6 +91,18 @@ object SparkEntry {
   /** see [[ReplayCache.pinnedIds]] (consumed by graft.Bench) */
   def pinnedReplayRddIds: Set[Int] = ReplayCache.pinnedIds
 
+  /** Per-query workload annotations emitted verbatim into the bench
+    * artifact's `notes` section — a gate query whose benched workload
+    * deliberately differs from the operator's full-corpus default must
+    * say so IN the artifact, not only in code comments (round-14 ADVICE:
+    * dedup_containment's half-sample made round-over-round timings
+    * non-comparable with no marker in the artifact itself).
+    */
+  def benchNotes: Map[String, String] = Map(
+    "dedup_containment" -> ("gate query runs the deterministic doc_id % 2 = 0 " +
+      "half-sample since round 14 (operator stays full-corpus via the " +
+      "graph_* consumers); timings before r14 are not comparable"))
+
   // Every family state replays 3 id-keyed micro-batches. The monitors here
   // are all ADDITIVE (readout = f(total folded state), proven
   // batch-count-independent by StreamingSpec's parity tests), so 3 batches

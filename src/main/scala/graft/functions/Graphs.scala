@@ -119,13 +119,23 @@ object Graphs {
     * permille — `(1000·common) div (deg_a + deg_b − common)` — exact and
     * engine-reproducible.
     *
-    * Scale shape: the edge frame freezes once and feeds center-filtered
-    * self-join + degree lookups; the self-join is keyed on the center node
-    * with the hub cap bounding per-key fan-out at maxDegree², and the
-    * candidate aggregation is map-side combined on the (a, b) key. The
-    * anti-join against existing edges is one more keyed shuffle. Never an
-    * all-pairs step. Returns (id_a, id_b, common, deg_a, deg_b, jaccard_pm)
-    * with id_a < id_b.
+    * Scale shape: the edge frame freezes once; each eligible center's
+    * neighborhood collapses to ONE row holding a sorted array of
+    * (neighbor, degree) structs — bounded at maxDegree entries by the hub
+    * cap — and the length-2 paths expand ARRAY-LOCALLY from that row
+    * (pairs of array positions i < j), streaming straight into the
+    * map-side-combined (a, b) aggregation. No row-level self-join: the
+    * old wedge shape sort-merge-joined the path frame against itself,
+    * holding two sorted copies of every (center, neighbor) row — the one
+    * working set in the family that spilled under memory pressure at 10×
+    * data (round-14: 1.5× quiet but 2.4–5.6× under mild ambient load).
+    * The array form's biggest shuffle payload is one row per center with
+    * ≤ maxDegree struct entries, and each endpoint's degree rides inside
+    * the struct, so no node-proportional (id → deg) join ever touches the
+    * candidate set (that post-join crossing the broadcast threshold was
+    * the round-14 10× cliff). The anti-join against existing edges is one
+    * more keyed shuffle. Never an all-pairs step. Returns
+    * (id_a, id_b, common, deg_a, deg_b, jaccard_pm) with id_a < id_b.
     */
   def neighborJaccard(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxDegree: Long = 64L): DataFrame = {
@@ -135,20 +145,25 @@ object Graphs {
     val deg = bridge.freeze(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val centers = deg.filter(col("deg") <= maxDegree).select(col("src"))
-    // carry each endpoint's degree THROUGH the path join instead of
-    // joining (id → deg) back onto the candidate pairs afterwards: deg is
-    // node-proportional, so at 10× corpus those two post-joins cross
-    // Spark's broadcast threshold and degrade to sort-merge joins over the
-    // full candidate set (measured: the old shape read ~5× wall at 10×
-    // data; with the degree riding along, first() reads it per group for
-    // free — it is constant within an (id_a, id_b) group by construction)
-    val thru = bridge.freeze(edges.join(centers, Seq("src"))
-      .join(deg.select(col("src").as("dst"), col("deg").as("__dd")), Seq("dst")))
-    val cand = thru.as("x").join(thru.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .groupBy(col("x.dst").as("id_a"), col("y.dst").as("id_b"))
+    // one row per center: neighbors sorted by id (struct sort is
+    // lexicographic and dst is unique within a center, so the order — and
+    // therefore every emitted pair — is deterministic regardless of
+    // collect_list's arrival order), each carrying its own full degree
+    val nbrs = edges.join(centers, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("__dd")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("__dd")))).as("__ns"))
+    // array-local pair expansion: positions i < j of the sorted array give
+    // exactly the dst_i < dst_j wedge pairs the old self-join produced
+    val cand = nbrs
+      .select(explode(expr(
+        "flatten(transform(__ns, (x, i) -> " +
+          "transform(slice(__ns, i + 2, size(__ns)), y -> " +
+          "struct(x.dst as id_a, y.dst as id_b, " +
+          "x.__dd as deg_a, y.__dd as deg_b))))")).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"),
-        first(col("x.__dd")).as("deg_a"), first(col("y.__dd")).as("deg_b"))
+        first(col("__p.deg_a")).as("deg_a"), first(col("__p.deg_b")).as("deg_b"))
     val existing = edges.select(col("src").as("id_a"), col("dst").as("id_b"))
     cand.join(existing, Seq("id_a", "id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), col("common"),

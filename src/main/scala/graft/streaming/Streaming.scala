@@ -2501,19 +2501,31 @@ object Streaming {
         Vectors.probeCentroids(queries, qId, qVec, centroids.get, nProbe), idx, k)
     }
 
-    /** persist index + quantizer for crash-restart (call after update) */
+    /** persist index + quantizer + the compaction anchor for crash-restart
+      * (call after update) — lastCompactN travels with the checkpoint so a
+      * resumed ingest keeps the ORIGINAL geometric schedule: anchoring at
+      * the restored size instead would defer the next compaction to 2× the
+      * restore point, letting mean list length exceed the maxMeanList bound
+      * well past the pre-crash trajectory during a long resumed ingest
+      */
     def saveState(dir: String): Unit =
-      MonitorState.save(dir, Map("index" -> index, "centroids" -> centroids))
+      MonitorState.save(dir, Map("index" -> index, "centroids" -> centroids,
+        "meta" -> index.map(ix => ix.sparkSession.range(1)
+          .select(lit(lastCompactN).as("lastCompactN")))))
 
-    /** restore index + quantizer from a [[saveState]] checkpoint */
+    /** restore index + quantizer + compaction anchor from a [[saveState]]
+      * checkpoint
+      */
     def restoreState(spark: SparkSession, dir: String): Unit = {
       index = MonitorState.load(spark, dir, "index")
       centroids = MonitorState.load(spark, dir, "centroids")
       nIndexed = index.map(_.count()).getOrElse(0L)
       nCent = centroids.map(_.count()).getOrElse(0L)
-      // conservative anchor: next mid-stream compaction at 2× the restored
-      // size — correctness is unaffected ([[seal]] fixes the final state)
-      lastCompactN = nIndexed
+      lastCompactN = MonitorState.load(spark, dir, "meta")
+        .map(_.select(col("lastCompactN")).head().getLong(0))
+        // legacy checkpoint without meta: conservative 2×-restored anchor
+        // (correctness unaffected either way — [[seal]] fixes final state)
+        .getOrElse(nIndexed)
     }
   }
 

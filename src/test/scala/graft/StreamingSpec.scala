@@ -284,7 +284,22 @@ class StreamingSpec extends SparkSpec {
     val resumed = new Streaming.IvfIndexIngest("vec_id", "v",
       nCentroids = 16, nProbe = 4, maxMeanList = 4)
     resumed.restoreState(spark, ckpt)
-    run(resumed, 2 until 4)
+    // the compaction anchor travels WITH the checkpoint: the resumed
+    // monitor's mid-stream compaction schedule (centroid count after each
+    // remaining batch, BEFORE seal erases history) must equal the
+    // uninterrupted run's — an anchor approximated from the restored index
+    // size would defer the next trip to 2x the restore point and diverge
+    // here, letting mean list length drift past maxMeanList mid-ingest
+    val fullTrace = {
+      val f2 = new Streaming.IvfIndexIngest("vec_id", "v",
+        nCentroids = 16, nProbe = 4, maxMeanList = 4)
+      (0 until 4).map { b => f2.update(e.filter(col("vec_id") % 4 === b)); f2.centroidCount }
+    }
+    val resumedTrace = (2 until 4).map { b =>
+      resumed.update(e.filter(col("vec_id") % 4 === b)); resumed.centroidCount
+    }
+    assert(resumedTrace == fullTrace.drop(2),
+      s"restored compaction schedule must match uninterrupted: $resumedTrace vs $fullTrace")
     resumed.seal()
     assert(top(resumed) == expected,
       "restored monitor must finish the ingest identically")

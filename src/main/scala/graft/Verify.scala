@@ -59,9 +59,23 @@ object Verify {
     // never leave a truncated json in place of a complete one)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    // STALENESS GUARD for resume: an out-dir is only resumable if its
+    // existing oracle_sql.json EQUALS the current one — the oracle map is
+    // the gate's definition, so equality proves the prior dumps came from
+    // the same gate (and any prior dump that passes the same oracle is a
+    // correct result even across code-internal changes). A differing or
+    // absent oracle json means the out-dir predates a gate change: every
+    // dump there is suspect, so resume is disabled and mode("overwrite")
+    // rewrites all of them.
+    val resumable = resume && Files.exists(oraclePath) &&
+      Files.readString(oraclePath) == json
+    if (resume && !resumable && Files.exists(oraclePath))
+      System.err.println("[verify] existing out-dir has a DIFFERENT oracle " +
+        "map — stale gate; resume disabled, re-dumping everything")
     val tmp = Paths.get(s"$outDir/oracle_sql.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, Paths.get(s"$outDir/oracle_sql.json"),
+    Files.move(tmp, oraclePath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 
@@ -72,7 +86,7 @@ object Verify {
     var done = 0
     selected.foreach { case (name, fn) =>
       val marker = Paths.get(s"$outDir/$name/_SUCCESS")
-      if (resume && Files.exists(marker)) { skipped += 1; written += 1 }
+      if (resumable && Files.exists(marker)) { skipped += 1; written += 1 }
       else try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

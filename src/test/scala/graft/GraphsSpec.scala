@@ -70,6 +70,37 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.neighborJaccard(pairs, maxDegree = 4).count() == 0)
   }
 
+  test("neighborJaccard: equals a brute-force reference on random graphs") {
+    import spark.implicits._
+    // pins the array-local wedge expansion (sorted neighbor arrays,
+    // positions i < j) against an independent driver-side solve — full
+    // degrees in the denominator, common counted only through centers
+    // with degree ≤ maxDegree, existing edges excluded
+    val rng = new scala.util.Random(15)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val maxDeg = 4L + trial
+      val raw = Seq.fill(n * 3)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val expected = (for {
+        (c, nbrs) <- adj.toSeq if nbrs.size <= maxDeg
+        a <- nbrs; b <- nbrs if a < b
+      } yield (a, b)).groupBy(identity).map { case ((a, b), ws) =>
+        (a, b) -> (ws.size.toLong, adj(a).size.toLong, adj(b).size.toLong)
+      }.filter { case ((a, b), _) => !adj(a).contains(b) }
+        .map { case ((a, b), (common, da, db)) =>
+          (a, b) -> ((common, da, db, 1000 * common / (da + db - common)))
+        }
+      val got = Graphs.neighborJaccard(raw.toDF("id_a", "id_b"), maxDegree = maxDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == expected, s"trial $trial (${raw.size} edges): got $got\nexpected $expected")
+    }
+  }
+
   private implicit class ToSorted(a: Array[(Long, Long)]) {
     def toSortedMap: scala.collection.immutable.SortedMap[Long, Long] =
       scala.collection.immutable.SortedMap(a: _*)

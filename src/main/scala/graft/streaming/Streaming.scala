@@ -23,13 +23,18 @@ object Streaming {
     * the round-11 LinkageMonitor fix cured for linkage. Here the state is
     * instead a LIST of frozen per-batch aggregate deltas: `add` freezes
     * only the batch's own (already batch-proportional) aggregate;
-    * `merged` re-aggregates the union once AT READOUT; and when the list
-    * exceeds `maxDeltas` frames a compaction folds them into one — so
-    * ingest work is batch-proportional, compaction amortizes to
-    * O(total / maxDeltas) per batch, and readout touches at most
-    * maxDeltas × |keys| rows. The readout value is identical to the
-    * eager fold (the combine is associative-commutative re-aggregation
-    * of the same rows); parity and checkpoint-restore specs pin it.
+    * `merged` re-aggregates the union once AT READOUT; and runs merge
+    * GEOMETRICALLY (size-tiered, the LSM discipline: the newest run folds
+    * into its neighbor while it is at least as large, so run sizes grow
+    * geometrically down the list and each row is rewritten O(log batches)
+    * times over the whole ingest — the previous every-maxDeltas full fold
+    * rewrote the accreted state O(batches/maxDeltas) times, which for
+    * append-only corpus-scale states is quadratic-in-k write volume).
+    * `maxDeltas` stays as a hard cap on live runs (readout plan width).
+    * The readout value is identical to the eager fold for ANY fold
+    * grouping (the combine is associative-commutative re-aggregation of
+    * the same rows — the property the old periodic fold already relied
+    * on); parity and checkpoint-restore specs pin it.
     *
     * `combine` must re-aggregate a frame with duplicate keys back to
     * unique keys (same column names in, same out).
@@ -37,19 +42,42 @@ object Streaming {
   private[streaming] final class DeltaState(combine: DataFrame => DataFrame,
                                             maxDeltas: Int = 8) {
     private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var deltas: List[DataFrame] = Nil
+    // newest first; each run carries its materialized row count (free at
+    // freeze time) — the geometric merge policy is driven by run sizes
+    private var deltas: List[(DataFrame, Long)] = Nil
 
     def isEmpty: Boolean = deltas.isEmpty
 
     /** fold one batch-proportional aggregate frame into the state */
     def add(batchAgg: DataFrame): Unit = {
-      deltas = bridge.freeze(batchAgg) :: deltas
-      if (deltas.size > maxDeltas)
-        deltas = List(bridge.freeze(combine(deltas.reduce(_ unionByName _))))
+      val (df, n) = bridge.freezeCounted(batchAgg)
+      addFrozen(df, n)
+    }
+
+    /** like [[add]] for a frame the caller ALREADY froze and counted
+      * (freezeCounted) — skips the second, redundant checkpoint copy
+      */
+    def addFrozen(frozenDelta: DataFrame, rows: Long): Unit = {
+      deltas = (frozenDelta, rows) :: deltas
+      // size-tiered merge: fold the newest run down while it has grown to
+      // its neighbor's size (binary-counter pattern → O(log k) live runs,
+      // O(n log k) lifetime write volume). For bounded combines the merge
+      // output is bound-sized, so this is at most a bound-sized rewrite.
+      while (deltas.sizeIs > 1 && deltas(0)._2 >= deltas(1)._2)
+        mergeTopTwo()
+      // hard cap regardless of sizes (protects readout plan width)
+      while (deltas.sizeIs > maxDeltas)
+        mergeTopTwo()
+    }
+
+    private def mergeTopTwo(): Unit = deltas match {
+      case (a, _) :: (b, _) :: rest =>
+        deltas = bridge.freezeCounted(combine(a.unionByName(b))) :: rest
+      case _ => ()
     }
 
     /** the unique-key state view (aggregates the pending deltas) */
-    def merged: DataFrame = deltas match {
+    def merged: DataFrame = deltas.map(_._1) match {
       case Nil => throw new IllegalStateException("no batches ingested")
       case one :: Nil => one
       case many => combine(many.reduce(_ unionByName _))
@@ -62,13 +90,13 @@ object Streaming {
       * freezing decouples the state from the checkpoint's storage.
       */
     def reset(frame: Option[DataFrame]): Unit =
-      deltas = frame.map(bridge.freeze).toList
+      deltas = frame.map(bridge.freezeCounted).toList
 
     /** the state as a single frame for checkpointing (None when empty) */
     def forSave: Option[DataFrame] =
       if (deltas.isEmpty) None
-      else if (deltas.tail.isEmpty) Some(deltas.head)
-      else Some(combine(deltas.reduce(_ unionByName _)))
+      else if (deltas.tail.isEmpty) Some(deltas.head._1)
+      else Some(combine(deltas.map(_._1).reduce(_ unionByName _)))
   }
 
   /** Monitor-state checkpointing — the crash-recovery half of the
@@ -2343,14 +2371,15 @@ object Streaming {
       * re-writes O(corpus) state — per-batch work is batch-proportional.
       */
     def update(batch: DataFrame): Unit = {
-      val b = bridge.freeze(batch.select(col(idCol), col(textCol)))
-      val bIdx = bridge.freeze(Dedup.minhashIndex(b, idCol, textCol, n, k, bands))
+      val (b, nb) = bridge.freezeCounted(batch.select(col(idCol), col(textCol)))
+      val (bIdx, ni) = bridge.freezeCounted(
+        Dedup.minhashIndex(b, idCol, textCol, n, k, bands))
       if (corpus.isEmpty) found.add(emptyMatches(batch))
       else found.add(Dedup.minhashAgainstIndex(corpus.merged, b, idCol, textCol,
         n, k, bands, threshold, maxBucket,
         index = Some(index.merged), incomingIndex = Some(bIdx)))
-      corpus.add(b)
-      index.add(bIdx)
+      corpus.addFrozen(b, nb)
+      index.addFrozen(bIdx, ni)
     }
 
     /** all (new_id, match_id, jaccard) pairs found so far, where match_id
@@ -2395,8 +2424,15 @@ object Streaming {
     * `trained`.
     *
     * State is the routed index (cluster, id, vector, norm) — the standing
-    * vector table of a serving tier; it re-freezes per batch so lineage
-    * stays flat.
+    * vector table of a serving tier. The index is APPEND-ONLY between
+    * compactions (each batch's routed rows carry fresh ids), so it holds
+    * the [[DeltaState]] LSM shape with the identity combine: `update`
+    * freezes only the batch's own routed delta — per-batch write cost is
+    * batch-proportional, where the round-14 shape re-checkpointed the
+    * WHOLE accreted index every micro-batch (O(corpus) writes per batch,
+    * quadratic over a long ingest). Probes read the ≤ maxDeltas-way delta
+    * union; compaction and the occasional delta fold amortize the full
+    * rewrites.
     */
   class IvfIndexIngest(idCol: String, vecCol: String,
                        nCentroids: Int = 16, nProbe: Int = 4,
@@ -2408,7 +2444,7 @@ object Streaming {
       .select(col("cluster").as("__centid"), col("centroid").as("__centv"))
       .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv"))))))
     private var centroids: Option[DataFrame] = trainedCounted.map(_._1)
-    private var index: Option[DataFrame] = None
+    private val index = new DeltaState(df => df)
     private var nIndexed: Long = 0L
     private var nCent: Long = trainedCounted.map(_._2).getOrElse(0L)
     // index size at the last compaction — the amortization anchor: once
@@ -2437,10 +2473,11 @@ object Streaming {
           .withColumn("__centn", sqrt(Vectors.dot(col("__centv"), col("__centv")))))
         centroids = Some(c); nCent = n
       }
-      val routed = Vectors.routeToCentroids(batch, idCol, vecCol, centroids.get)
-      val (idx, n) = bridge.freezeCounted(
-        index.map(_.unionByName(routed)).getOrElse(routed))
-      index = Some(idx); nIndexed = n
+      // freeze + count ONLY the batch's routed delta (batch-proportional);
+      // the accreted index is the delta union, never rewritten here
+      val (routed, nB) = bridge.freezeCounted(
+        Vectors.routeToCentroids(batch, idCol, vecCol, centroids.get))
+      index.addFrozen(routed, nB); nIndexed += nB
       if (maxMeanList > 0 && nIndexed > nCent * maxMeanList &&
         nIndexed >= 2L * math.max(lastCompactN, 1L)) compact()
     }
@@ -2477,7 +2514,8 @@ object Streaming {
       * corpus regardless of batch boundaries.
       */
     def compact(): Unit = {
-      val idx = index.getOrElse(return)
+      if (index.isEmpty) return
+      val idx = index.merged
       lastCompactN = nIndexed
       val target = math.max(1L,
         math.ceil(math.sqrt(nIndexed.toDouble)).toLong).min(Int.MaxValue)
@@ -2488,17 +2526,20 @@ object Streaming {
       val rerouted = Vectors.routeToCentroids(
         idx.select(col("__cid"), col("__cv")), "__cid", "__cv", c2)
       centroids = Some(c2); nCent = n2
-      index = Some(bridge.freeze(rerouted))
+      // the re-route rewrites everything anyway: reset the LSM to one delta
+      index.reset(Some(rerouted))
     }
 
     /** exact-cosine top-k of each query over its probed clusters of the
-      * accreted index: (query_id, neighbor_id, cosine, rank)
+      * accreted index (the ≤ maxDeltas-way delta union):
+      * (query_id, neighbor_id, cosine, rank)
       */
     def topK(queries: DataFrame, qId: String, qVec: String, k: Int): DataFrame = {
-      val idx = index.getOrElse(
-        throw new IllegalStateException("no micro-batch ingested yet"))
+      if (index.isEmpty)
+        throw new IllegalStateException("no micro-batch ingested yet")
       Vectors.probedTopK(
-        Vectors.probeCentroids(queries, qId, qVec, centroids.get, nProbe), idx, k)
+        Vectors.probeCentroids(queries, qId, qVec, centroids.get, nProbe),
+        index.merged, k)
     }
 
     /** persist index + quantizer + the compaction anchor for crash-restart
@@ -2509,17 +2550,19 @@ object Streaming {
       * well past the pre-crash trajectory during a long resumed ingest
       */
     def saveState(dir: String): Unit =
-      MonitorState.save(dir, Map("index" -> index, "centroids" -> centroids,
-        "meta" -> index.map(ix => ix.sparkSession.range(1)
+      MonitorState.save(dir, Map("index" -> index.forSave,
+        "centroids" -> centroids,
+        "meta" -> index.forSave.map(ix => ix.sparkSession.range(1)
           .select(lit(lastCompactN).as("lastCompactN")))))
 
     /** restore index + quantizer + compaction anchor from a [[saveState]]
       * checkpoint
       */
     def restoreState(spark: SparkSession, dir: String): Unit = {
-      index = MonitorState.load(spark, dir, "index")
+      val loaded = MonitorState.load(spark, dir, "index")
+      index.reset(loaded)
       centroids = MonitorState.load(spark, dir, "centroids")
-      nIndexed = index.map(_.count()).getOrElse(0L)
+      nIndexed = if (index.isEmpty) 0L else index.merged.count()
       nCent = centroids.map(_.count()).getOrElse(0L)
       lastCompactN = MonitorState.load(spark, dir, "meta")
         .map(_.select(col("lastCompactN")).head().getLong(0))

@@ -129,14 +129,25 @@ class ScaleSpec extends SparkSpec {
     // VolumeMonitor folds eagerly per batch: flat plan forever
     assert(vSizes.distinct.size == 1,
       s"anomaly readout must stay flat across batches, got $vSizes")
-    // RetentionMonitor is LSM-shaped (DeltaState, maxDeltas = 8): the
-    // readout plan grows one frozen delta per batch UNTIL compaction at
-    // batch 9 folds the list back to one frame — bounded by the delta
-    // window, never by history
-    assert(rSizes(8) == rSizes(0) && rSizes(9) == rSizes(1),
-      s"compaction at maxDeltas must reset the readout plan, got $rSizes")
-    assert(rSizes.max == rSizes(7),
-      s"plan growth must be bounded by the delta window, got $rSizes")
+    // RetentionMonitor is LSM-shaped (DeltaState, maxDeltas = 8, GEOMETRIC
+    // size-tiered folds since round 15): live-run count follows the
+    // binary-counter pattern — equal-size runs merge on arrival, so the
+    // readout plan OSCILLATES with popcount(batches) instead of growing —
+    // and is bounded by the delta window, never by history. The plan for
+    // a single live run (the post-merge floor, seen whenever the counter
+    // collapses) must recur, and no batch may exceed the maxDeltas width.
+    // with equal-size batches, live runs after batch b = popcount(b)
+    // (binary-counter merging), so the readout plan size must be a pure
+    // function of popcount(b) — any history-proportional growth breaks this
+    val byRuns = (1 to 10).zip(rSizes)
+      .groupBy { case (b, _) => Integer.bitCount(b) }
+      .map { case (p, xs) => p -> xs.map(_._2).distinct }
+    assert(byRuns.values.forall(_.size == 1),
+      s"plan size must be a function of live-run count, got $rSizes")
+    // more live runs → strictly wider (but still window-bounded) plan
+    val ordered = byRuns.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted && ordered.distinct == ordered,
+      s"plan width must grow only with live runs, got $rSizes")
     // and the accreted state is correct: 10 days of 20 users / 3 types
     assert(rm.retention.agg(sum("active_users")).head().getLong(0) == 10 * 20)
     assert(vm.anomalies().count() == 10 * 3)

@@ -10,6 +10,7 @@ import graft.functions.{Dedup, Layout, Packing, Pii, Sampling, TextAnalysis, Vec
 import graft.sources.Sources
 import graft.tables._
 
+
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the training-data operators, each with a DuckDB-runnable
   * oracle in `oracleSql` where the semantics are SQL-expressible
@@ -18,78 +19,8 @@ import graft.tables._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Schema-adaptive events read — see [[graft.sources.EventsReader]]. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    graft.sources.EventsReader.read(s, dir)
-
-  /** Exact decimal money sums: per-row products of 2dp prices and 2dp rates
-    * are exact 4dp decimals, so summing in DECIMAL(18,4) is exact and both
-    * engines round identically — double sums differ in final-ulp by
-    * summation order, which flips round() at boundaries.
-    */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))), scale).cast(DoubleType)
-
-  /** decimal-staged rounding for derived doubles: canonicalizes the value at
-    * 8 decimal places before rounding so Spark and external engines agree at
-    * the rounding boundary.
-    */
-  private def dround(c: Column, scale: Int): Column =
-    round(c.cast(org.apache.spark.sql.types.DecimalType(18, 8)), scale).cast(DoubleType)
-
-  /** normalized-token helper reused by several text queries */
-  private def docsNorm(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-
-  // =================================================================
-  // replayed-monitor cache
-  // =================================================================
-
-  /** Per-JVM cache of fully-replayed streaming-monitor states.
-    *
-    * Several gate queries are different READOUTS of one additive monitor
-    * state (e.g. 13 stream_* queries share the VolumeMonitor daily-count
-    * table; stream_auc / stream_pr_curve / stream_reliability share the
-    * AucMonitor per-score counts). Each monitor's `update` materializes its
-    * state eagerly (Bridge.freeze localCheckpoint), so replaying the same 5
-    * batches once per readout re-runs identical jobs N times. This cache
-    * builds each family's state ONCE per (Spark application, sf dir) and
-    * hands every readout the same frozen monitor — exactly the steady-state
-    * shape in production, where one monitor instance serves all its
-    * readouts. Readouts are pure (no state mutation), so results are
-    * bit-identical to the uncached build; the parity specs in StreamingSpec
-    * still exercise fresh per-test monitors.
-    *
-    * Keyed by applicationId so a cached state can never leak across Spark
-    * sessions (tests spin up/stop several per JVM); state per family is a
-    * bounded count table, so retained memory is trivial.
-    */
-  private object ReplayCache {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
-    private val pinned =
-      scala.collection.concurrent.TrieMap.empty[Int, Unit]
-    /** RDD ids persisted while building cached states — a bench harness
-      * that unpersists transients between timed queries must SKIP these:
-      * the states are localCheckpointed (lineage truncated), so their
-      * blocks cannot be recomputed once dropped.
-      */
-    def pinnedIds: Set[Int] = pinned.keySet.toSet
-    def get[M <: AnyRef](s: SparkSession, key: String)(build: => M): M =
-      cache.getOrElseUpdate((s.sparkContext.applicationId, key), {
-        val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-        val m = build
-        (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
-          .foreach(id => pinned.put(id, ()))
-        m
-      }).asInstanceOf[M]
-  }
-
-  /** see [[ReplayCache.pinnedIds]] (consumed by graft.Bench) */
-  def pinnedReplayRddIds: Set[Int] = ReplayCache.pinnedIds
+  /** see [[EntryShared.ReplayCache]] (consumed by graft.Bench) */
+  def pinnedReplayRddIds: Set[Int] = EntryShared.ReplayCache.pinnedIds
 
   /** Per-query workload annotations emitted verbatim into the bench
     * artifact's `notes` section — a gate query whose benched workload
@@ -102,175 +33,6 @@ object SparkEntry {
     "dedup_containment" -> ("gate query runs the deterministic doc_id % 2 = 0 " +
       "half-sample since round 14 (operator stays full-corpus via the " +
       "graph_* consumers); timings before r14 are not comparable"))
-
-  // Every family state replays 3 id-keyed micro-batches. The monitors here
-  // are all ADDITIVE (readout = f(total folded state), proven
-  // batch-count-independent by StreamingSpec's parity tests), so 3 batches
-  // produce bit-identical readouts to 5 while the shared state builds ~40%
-  // cheaper per gate JVM; order-SENSITIVE monitors (lateness watermark,
-  // dedup index arrival order) keep their 5-batch replays below.
-
-  /** 15-readout family: daily volume counts over events, 3 batches by id. */
-  private def volState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"vol:$dir") {
-      val m = new graft.streaming.Streaming.VolumeMonitor("event_type", "ts")
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 3-readout family: per-score classifier counts over documents. */
-  private def aucDocsState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"aucdocs:$dir") {
-      val docs = t(s, dir, "documents")
-      val m = new graft.streaming.Streaming.AucMonitor(
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
-      (0 until 3).foreach(b => m.update(docs.filter(col("doc_id") % 3 === b)))
-      m
-    }
-
-  /** 4-readout family: per-value click-vs-purchase counts over events. */
-  private def aucValueState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"aucvalue:$dir") {
-      val ev = events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-      val m = new graft.streaming.Streaming.AucMonitor(
-        col("value"), col("event_type") === "click")
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 5-readout family: per-(value,group) counts over events. */
-  private def kruskalState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"kruskal:$dir") {
-      val m = new graft.streaming.Streaming.KruskalMonitor(
-        col("event_type"), col("value"))
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: per-user event counts. */
-  private def keyCountState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"keycount:$dir") {
-      val m = new graft.streaming.Streaming.KeyCountMonitor("user_id")
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: per-user first/last-day spans. */
-  private def retentionState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"retention:$dir") {
-      val m = new graft.streaming.Streaming.RetentionMonitor("user_id", "ts")
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: 2x2 filter-agreement confusion row over documents. */
-  private def kappaState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"kappa:$dir") {
-      val docs = t(s, dir, "documents")
-      val m = new graft.streaming.Streaming.KappaMonitor(
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25)
-      (0 until 3).foreach(b => m.update(docs.filter(col("doc_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: 3-rater panel counts over documents. */
-  private def cochranState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"cochran:$dir") {
-      val docs = t(s, dir, "documents")
-      val m = new graft.streaming.Streaming.CochranMonitor(Seq(
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25,
-        col("n_chars") <= 500))
-      (0 until 3).foreach(b => m.update(docs.filter(col("doc_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: purchase-arm moments vs the frozen click control. */
-  private def welchState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"welch:$dir") {
-      val ev = events(s, dir)
-      val m = new graft.streaming.Streaming.WelchMonitor(
-        ev.filter(col("event_type") === "click").select(col("value")), "value")
-      (0 until 3).foreach(b => m.update(
-        ev.filter(col("event_type") === "purchase" && col("event_id") % 3 === b)
-          .select(col("value"))))
-      m
-    }
-
-  /** 2-readout family: per-group moment rows over events. */
-  private def anovaState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"anova:$dir") {
-      val m = new graft.streaming.Streaming.AnovaMonitor(
-        col("event_type"), col("value"))
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: power sums + extremes of value. */
-  private def normalityState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"normality:$dir") {
-      val m = new graft.streaming.Streaming.NormalityMonitor(col("value"))
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: per-arm (n, successes) pairs (month halves). */
-  private def propState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"prop:$dir") {
-      val ev = events(s, dir)
-      val m = new graft.streaming.Streaming.ProportionMonitor(
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: joint (event_type, hour) counts. */
-  private def miHrState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"mihr:$dir") {
-      val ev = events(s, dir)
-        .select(col("event_type"), hour(col("ts")).as("hr"), col("event_id"))
-      val m = new graft.streaming.Streaming.MiMonitor("event_type", "hr")
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: per-user (first, last) day spans (KM + Nelson–Aalen). */
-  private def survivalState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"survival:$dir") {
-      val m = new graft.streaming.Streaming.SurvivalMonitor("user_id", "ts")
-      val ev = events(s, dir)
-      (0 until 3).foreach(b => m.update(ev.filter(col("event_id") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: exact-decimal lineitem moment row (corr + CUPED). */
-  private def corrState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"corr:$dir") {
-      val m = new graft.streaming.Streaming.CorrMonitor(
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
-      val li = t(s, dir, "lineitem")
-      (0 until 3).foreach(b => m.update(li.filter(col("l_orderkey") % 3 === b)))
-      m
-    }
-
-  /** 2-readout family: embedding covariance moment row (cov + Cronbach). */
-  private def covState(s: SparkSession, dir: String) =
-    ReplayCache.get(s, s"cov:$dir") {
-      val m = new graft.streaming.Streaming.CovMonitor("embedding", 0 to 7)
-      val emb = t(s, dir, "embeddings")
-      (0 until 3).foreach(b => m.update(emb.filter(col("vec_id") % 3 === b)))
-      m
-    }
 
   /** Query → shared-replay-family key, for every query whose monitor state
     * comes from [[ReplayCache]]. Bench packs its fresh-JVM slices
@@ -334,14153 +96,9 @@ object SparkEntry {
   // =================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ tableQueries ++ trainingQueries
-
-  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ROLLUP hierarchy with grouping ids: (flag,status) → flag → grand
-    // total in ONE pass — Spark expands the grouping sets BEFORE the
-    // aggregation, so the whole hierarchy is still a single
-    // map-side-combined shuffle, not three scans
-    "agg_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
-        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // CUBE: all four grouping sets (both, each alone, grand total) in the
-    // same single-shuffle Expand plan — the slice-and-dice twin of
-    // agg_rollup
-    "agg_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
-        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // §2.8 aggregations: the reference's Sum/Count/CountDistinct/Avg/Max/Min
-    // (pygrametl/aggregators.py) as one grouped plan (TPC-H Q1 shape).
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          round(sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-            .cast(DoubleType) / count(lit(1)), 6).as("avg_disc"),
-          count(lit(1)).as("count_order"),
-          count_distinct(col("l_orderkey")).as("distinct_orders"),
-          round(max(col("l_extendedprice")), 2).as("max_price"),
-          round(min(col("l_extendedprice")), 2).as("min_price"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // §7.5 flagship star-schema load: resolve keys through dims, aggregate.
-    "fact_load" -> ((s, dir) => {
-      val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
-      val orders = t(s, dir, "orders"); val lineitem = t(s, dir, "lineitem")
-      // nation is bounded (25 rows at every scale) -> always broadcast;
-      // the customer-derived dim is unbounded -> size-gated hint only
-      val custDim = customer.join(broadcast(nation),
-        customer("c_nationkey") === nation("n_nationkey"))
-        .select(col("c_custkey"), col("n_name"))
-      val facts = lineitem
-        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(graft.core.Joins.maybeBroadcast(custDim), orders("o_custkey") === custDim("c_custkey"))
-        .select(col("n_name").as("nation"),
-          year(col("o_orderdate")).as("year"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      facts.groupBy(col("nation"), col("year"))
-        .agg(dsum(col("revenue")).as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("nation"), col("year"))
-    }),
-
-    // §2.3 project/copy/rename (pygrametl/__init__.py:106-187)
-    "proj_project" -> ((s, dir) => {
-      Nm.project(t(s, dir, "customer"), Seq("id", "name", "segment"),
-        Map("id" -> "c_custkey", "name" -> "c_name", "segment" -> "c_mktsegment"))
-        .orderBy(col("id"))
-    }),
-
-    // §2.3 setdefaults (pygrametl/__init__.py:356-382)
-    "proj_setdefaults" -> ((s, dir) => {
-      val withNulls = t(s, dir, "customer")
-        .select(col("c_custkey"),
-          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("acctbal"),
-          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("segment"))
-      Nm.setDefaults(withNulls, Map("acctbal" -> 0.0, "segment" -> "UNKNOWN"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.3 copy (old column fans out to new) + renamefromto + toupper
-    // (pygrametl/__init__.py:130-187, 633-642)
-    "proj_copy_rename" -> ((s, dir) => {
-      val c = Nm.copy(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-        "name_copy" -> "c_name")
-      val r = Nm.renameFromTo(c, Map("c_mktsegment" -> "segment"))
-      r.select(col("c_custkey"),
-        Converters.toUpper(col("name_copy")).as("name_upper"), col("segment"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.4 getdbfriendlystr / getstrornullvalue / ymdparser
-    // (pygrametl/__init__.py:226-269, 475-495)
-    "fn_str_helpers" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_orderkey"),
-        Converters.getDbFriendlyStr(col("o_orderstatus") === "O").as("open_flag"),
-        Converters.getStrOrNullValue(nullif(col("o_orderpriority"), lit("1-URGENT")), "none").as("prio_or_none"),
-        Converters.ymd(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("od"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.3 TransformingSource: ordered whole-frame transforms (datasources.py:430-448)
-    "src_transforming" -> ((s, dir) => {
-      Sources.transforming(t(s, dir, "customer"),
-        _.filter(col("c_acctbal") > 0),
-        _.withColumn("bal_half", dround(col("c_acctbal") / 2, 2)))
-        .select(col("c_custkey"), col("bal_half"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.8 AggregatingStep collapsed to a grouped plan (steps.py:467-561)
-    "agg_step" -> ((s, dir) => {
-      graft.functions.Aggregators.aggregate(t(s, dir, "lineitem"), Seq("l_returnflag"),
-        Seq(dsum(col("l_quantity")).as("qty"),
-          count_distinct(col("l_suppkey")).as("n_supp"),
-          round(max(col("l_extendedprice")), 2).as("max_price")))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // §2.3 ConditionalStep routing: both branches kept, tagged (steps.py:390-422)
-    "steps_conditional" -> ((s, dir) => {
-      val (hot, cold) = graft.steps.Steps.conditional(
-        t(s, dir, "orders"), col("o_totalprice") > 150000)
-      hot.withColumn("branch", lit("high"))
-        .unionByName(cold.withColumn("branch", lit("low")))
-        .select(col("o_orderkey"), col("branch"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.4 converters: cast-or-default (pygrametl/__init__.py:190-337)
-    "fn_converters" -> ((s, dir) => {
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        Converters.getInt(col("o_orderpriority"), lit(-1)).as("prio_int"),
-        Converters.getInt(substring(col("o_orderpriority"), 1, 1), lit(-1)).as("prio_digit"),
-        Converters.getDate(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("order_date"),
-        Converters.getBool(when(col("o_orderstatus") === "O", "1").otherwise("xyz"), lit(false)).as("is_open"),
-        Converters.getStrippedStr(concat(lit("  "), col("o_orderstatus"), lit(" "))).as("status"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.4 datereader/datetimereader: custom-format parser factories with a
-    // lenient default (pygrametl/__init__.py:519-558)
-    "fn_datereader" -> ((s, dir) => {
-      val rd = Converters.dateReader("dd/MM/yyyy")
-      val rdDef = Converters.dateReader("dd/MM/yyyy",
-        lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
-      val rt = Converters.datetimeReader("dd/MM/yyyy HH:mm")
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        rd(date_format(col("o_orderdate"), "dd/MM/yyyy")).as("d_roundtrip"),
-        rdDef(col("o_orderpriority")).as("d_bad"),
-        rt(concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 12:30")))
-          .as("ts_custom"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.4 datespan date-dimension generator (pygrametl/__init__.py:561-630)
-    "fn_datespan" -> ((s, dir) => DateSpan(s, "1995-01-01", "1995-12-31").orderBy(col("dateid"))),
-
-    // §2.4 datespan configurability: strings/ints dicts + expander callback
-    // (pygrametl/__init__.py:561-630 — `strings`, `ints`, `expander`)
-    "fn_datespan_custom" -> ((s, dir) => {
-      DateSpan(s, "1997-06-01", "1997-08-31",
-        strings = Seq("date" -> "yyyy-MM-dd", "monthname" -> "MMMM"),
-        ints = Seq("year" -> (year(_)), "month" -> (month(_))),
-        expander = Some((d, df) => df.withColumn("is_weekend", dayofweek(d).isin(1, 7))))
-        .orderBy(col("dateid"))
-    }),
-
-    // bloom-filter pre-pruned semi join (scale extension): the small side's
-    // keys fold into a bounded bloom that kills non-matching fact rows in
-    // the scan stage, before the join shuffle; exact semi join verifies
-    // survivors, so the result equals the plain semi join bit-for-bit
-    "join_bloom_semi" -> ((s, dir) => {
-      val urgent = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
-      graft.core.Joins.bloomSemiJoin(t(s, dir, "lineitem"), urgent,
-        "l_orderkey", "o_orderkey", expectedItems = 1L << 17, fpp = 0.01)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    // §2.3 FilteringSource (datasources.py:668-686)
-    "src_filtering" -> ((s, dir) => {
-      Sources.filtering(t(s, dir, "lineitem"),
-        col("l_quantity") > 30 && col("l_discount") <= 0.05)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    // §2.3 MappingSource: per-column functions (datasources.py:404-427)
-    "src_mapping" -> ((s, dir) => {
-      Sources.mapping(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal")),
-        Map("c_name" -> (c => upper(c)),
-            "c_acctbal" -> (c => round(c * 2, 2))))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.3 ValueMappingStep: dictionary translation (steps.py:207-256)
-    "src_valuemapping" -> ((s, dir) => {
-      Sources.valueMapping(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-        "status_name", "o_orderstatus",
-        Map("O" -> "open", "F" -> "finished", "P" -> "pending"), "other")
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.8 UnionSource with differing schemas (datasources.py:689-705)
-    "src_union" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val hi = c.filter(col("c_acctbal") >= 5000)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      val lo = c.filter(col("c_acctbal") < 5000)
-        .select(col("c_custkey"), col("c_name"))
-      Sources.union(hi, lo).orderBy(col("c_custkey"))
-    }),
-
-    // §2.8 RoundRobinSource: interleave == union + round-robin repartition
-    // (datasources.py:708-738; row order is not semantic in a set engine)
-    "src_roundrobin" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      Sources.roundRobin(8,
-        o.filter(col("o_orderstatus") === "O"),
-        o.filter(col("o_orderstatus") === "F"),
-        o.filter(col("o_orderstatus") === "P"))
-        .select(col("o_orderkey"), col("o_orderstatus"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // §2.8 SQLTransformingSource: stage + declarative SQL (datasources.py:451-606)
-    "src_sqltransforming" -> ((s, dir) => {
-      Sources.sqlTransforming(t(s, dir, "lineitem"), "staged_lineitem",
-        """SELECT l_returnflag,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
-             count(*) AS n
-           FROM staged_lineitem WHERE l_discount > 0.02
-           GROUP BY l_returnflag ORDER BY l_returnflag""")
-    }),
-
-    // §2.8 SQLTransformingSource per-batch mode (datasources.py:536-606,
-    // perbatch=True): the staged query runs once per batch — aggregations
-    // aggregate per batch, intentionally different from the whole-input mode
-    "src_sqltransforming_batch" -> ((s, dir) => {
-      Sources.sqlTransformingPerBatch(t(s, dir, "lineitem"), "staged_li_batch",
-        """SELECT l_returnflag,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
-             count(*) AS n
-           FROM staged_li_batch WHERE l_discount > 0.02
-           GROUP BY l_returnflag""",
-        col("l_linenumber"))
-        .orderBy(col("batch"), col("l_returnflag"))
-    }),
-
-    // §2.8 CrossTabbingSource: pivot (datasources.py:609-665). Explicit pivot
-    // values keep the plan single-pass (no distinct pre-scan) — required at scale.
-    "src_crosstab" -> ((s, dir) => {
-      Sources.crossTab(t(s, dir, "orders")
-            .withColumn("o_totalprice", col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 4))),
-          "o_orderpriority", "o_orderstatus", "o_totalprice", colValues = Seq("F", "O", "P"))
-        .select(col("o_orderpriority"),
-          round(col("F"), 2).cast(DoubleType).as("F"),
-          round(col("O"), 2).cast(DoubleType).as("O"),
-          round(col("P"), 2).cast(DoubleType).as("P"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // §2.5 HashJoiningSource: broadcast inner equi join, src2 wins collisions
-    // (datasources.py:296-332)
-    "join_hash" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").withColumnRenamed("c_nationkey", "nkey")
-      val nat = t(s, dir, "nation").withColumnRenamed("n_nationkey", "nkey")
-      Sources.hashJoining(cust, "nkey", nat, "nkey")
-        .select(col("c_custkey"), col("c_name"), col("n_name"), col("n_regionkey"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.5 MergeJoiningSource: large-large sort-merge join (datasources.py:335-401)
-    "join_merge" -> ((s, dir) => {
-      Sources.mergeJoining(t(s, dir, "lineitem"),
-          t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
-        .groupBy(col("o_orderstatus"))
-        .agg(dsum(col("l_extendedprice")).as("price_sum"), count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    // §2.5 semi/anti joins (ensure's building blocks)
-    "join_semi" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
-    }),
-    "join_anti" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
-    }),
-
-    // §2.10 skew-safe salted join: hot keys spread over salt buckets, small
-    // side replicated — row-identical to the plain join the oracle runs
-    "join_skew_salted" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val userDim = ev.select(col("user_id")).distinct()
-        .withColumn("user_tag", concat(lit("u"), col("user_id")))
-      Partitioners.saltedJoin(ev.select(col("user_id"), col("value")), userDim, "user_id", 8)
-        .groupBy(col("user_id"), col("user_tag"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-        .orderBy(col("user_id"))
-    }),
-
-    // §2.8 top-k per group (window row_number <= k)
-    "agg_topk" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rank"))
-        .orderBy(col("o_orderpriority"), col("rank"))
-    }),
-
-    // §2.11 custom Aggregator[IN,BUF,OUT] extension point (geometric mean)
-    "agg_geomean" -> ((s, dir) => {
-      val gm = udaf(graft.functions.GeometricMean)
-      t(s, dir, "orders").groupBy(col("o_orderstatus"))
-        .agg(round(gm(col("o_totalprice")), 2).as("geo_mean"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    // multimodal resize: real decode -> nearest-neighbor resample -> real
-    // BMP re-encode; the oracle recomputes the resampled means from the
-    // generation rule (a wrong index mapping or row order fails the hash)
-    "mm_resize" -> ((s, dir) => {
-      graft.multimodal.Multimodal.resizeImages(
-        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")), 4, 4)
-        .select(col("doc_id"), col("width"), col("height"),
-          col("mean_gray")) // binary content checked by spec round-trip
-        .orderBy(col("doc_id"))
-    }),
-
-    // §2.11 deepest aggregate extension: TypedImperativeAggregate sketch
-    // (Misra-Gries heavy hitters; exact here because the token domain — 20
-    // stopwords — fits the capacity, which is what the oracle verifies; at
-    // scale it degrades to the eps=1/capacity guarantee with fixed-size
-    // partial sketches shuffling instead of raw rows)
-    "agg_freq_tokens" -> ((s, dir) => {
-      val stop = Seq("the", "and", "of", "to", "a", "der", "und", "das", "ist", "nicht",
-        "le", "et", "les", "des", "une", "el", "los", "y", "las", "una")
-      val toks = docsNorm(s, dir).select(col("source"),
-        explode(filter(TextAnalysis.tokens(col("text")),
-          t => t.isin(stop.map(lit(_)): _*))).as("tok"))
-      toks.groupBy(col("source"))
-        .agg(graft.plans.SketchFunctions.freqItems(col("tok"), 64).as("sketch"))
-        .select(col("source"), explode(col("sketch")).as("e"))
-        .select(col("source"), col("e.token").as("token"), col("e.cnt").as("cnt"))
-        .orderBy(col("source"), col("cnt").desc, col("token"))
-    }),
-
-    // scalar JSON access over the events props column
-    "fn_json" -> ((s, dir) => {
-      events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-        .orderBy(col("event_id"))
-    }),
-
-    // §2.9→extension: event-time tumbling window aggregation (the batch form
-    // of the Structured Streaming windowed agg; same plan shape)
-    "stream_window_agg" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("value_sum"))
-        .orderBy(col("wstart"), col("event_type"))
-    }),
-
-    // streaming ingestion dedup (batch twin): re-delivered events collapse to
-    // one row per event_id; the streaming form bounds state by watermark
-    // (graft.streaming.Streaming.dedup — dropDuplicatesWithinWatermark)
-    "stream_dedup" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val redelivered = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
-      graft.streaming.Streaming.dedup(redelivered, "ts", "1 hour", Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy(col("event_id"))
-    }),
-
-    // streaming curation: quality/langid filters (stateless) + content-
-    // fingerprint dedup with watermark-bounded state — the continuous
-    // ingestion form of pipeline_curate; batch twin here, streaming-mode
-    // parity in StreamingSpec
-    "stream_curate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("ts", timestamp_micros((col("doc_id") + 1) * lit(60000000L)))
-      graft.streaming.Streaming.curate(docs, "text", "ts", "1 hour",
-        minQuality = 0.3, langs = Seq("en", "de"))
-        .select(col("fp"), col("lang_pred"))
-        .orderBy(col("fp"))
-    }),
-
-    // streaming incremental dedup: 5 ordered micro-batches (doc_id % 5)
-    // each matched against the MinHash index accreted from prior batches,
-    // then absorbed — the ingestion steady state; streaming-mode parity in
-    // StreamingSpec (high-recall 32x2 bands, so the oracle is the exact
-    // cross-batch Jaccard over strictly-earlier batches)
-    "stream_dedup_index" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val dd = new graft.streaming.Streaming.MinHashIndexDedup(
-        "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.8)
-      (0 until 5).foreach(b => dd.update(docs.filter(col("doc_id") % 5 === b)))
-      dd.matches.orderBy(col("new_id"), col("match_id"))
-    }),
-
-    // streaming incremental connected components (batch replay of 4 pair
-    // slices): each batch contracts through the current labels and solves
-    // a batch-sized graph — the final labeling equals the from-scratch
-    // solve over all pairs, which is exactly what the oracle computes
-    "stream_components" -> ((s, dir) => {
-      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8)
-      val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(pairs)
-      val cm = new graft.streaming.Streaming.ComponentMonitor()
-      (0 until 4).foreach(b =>
-        cm.update(frozen.filter((col("id_a") + col("id_b")) % 4 === b)))
-      cm.components
-        .select(col("node").as("doc_id"), col("label").as("cluster"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // streaming cardinality (batch replay of 5 ordered micro-batches):
-    // per-batch HLL sketches max-merged into constant-size state — by
-    // mergeability the final estimate equals the full-corpus sketch, which
-    // is exactly what the oracle computes
-    "stream_cardinality" -> ((s, dir) => {
-      val toks = docsNorm(s, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      val cm = new graft.streaming.Streaming.CardinalityMonitor("token", b = 8)
-      (0 until 5).foreach(b => cm.update(toks.filter(col("doc_id") % 5 === b)))
-      cm.estimate
-    }),
-
-    // streaming volume-anomaly monitor (batch replay of 5 micro-batches):
-    // additive count state makes the accreted table exactly the batch count
-    // table, so verdicts are bit-identical — streaming-mode parity in
-    // StreamingSpec
-    "stream_anomaly" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.anomalies().orderBy(col("event_type"), col("day"))
-    }),
-
-    // second readout off the SAME volume-monitor count state: daily counts
-    // are additive, so the accreted seasonal-naive forecast audit equals
-    // the batch events_forecast — identical oracle
-    "stream_forecast" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.forecast(period = 7).orderBy(col("event_type"))
-    }),
-
-    // third readout off the SAME state: the CUSUM creep alarm — additive
-    // counts make it batch-exact, identical oracle
-    "stream_cusum" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.cusum(slack = 0.5, threshold = 3.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // Kaplan–Meier survival over user lifetimes: retention with CENSORING
-    // done right — per-user min/max spans, bounded per-lifetime table,
-    // at-risk counts and the survival product both via the deterministic
-    // prefix scan (exact ln-factor sums, one exp), no unpartitioned window
-    "events_survival" -> ((s, dir) => {
-      graft.functions.Events.kaplanMeier(events(s, dir), "user_id", "ts",
-          censorDays = 7)
-        .orderBy(col("t_days"))
-    }),
-
-    // streaming Kaplan–Meier (batch replay of 5 batches): per-user spans
-    // merge by min/max, so the accreted state reads out the identical
-    // curve — including churn-vs-censor against the advancing corpus end;
-    // same oracle
-    "stream_survival" -> ((s, dir) => {
-      survivalState(s, dir).curve(censorDays = 7).orderBy(col("t_days"))
-    }),
-
-    // streaming Nelson–Aalen cumulative hazard: the SECOND readout of the
-    // same per-user span state — the rate view next to stream_survival's
-    // probability view; equals the batch events_hazard
-    "stream_hazard" -> ((s, dir) => {
-      survivalState(s, dir).hazard(censorDays = 7).orderBy(col("t_days"))
-    }),
-
-    // survival-time quartiles: the lifetimes at which 25/50/75% of users
-    // have churned — conditional mins against the rounded KM curve; a
-    // NULL median reads "censoring dominates"
-    "events_survival_summary" -> ((s, dir) => {
-      graft.functions.Events.survivalSummary(events(s, dir), "user_id", "ts",
-        censorDays = 7)
-    }),
-
-    // streaming survival summary: THIRD readout of the same per-user span
-    // state; equals the batch events_survival_summary — same oracle
-    "stream_survival_summary" -> ((s, dir) => {
-      survivalState(s, dir).summary(censorDays = 7)
-    }),
-
-    // Nelson–Aalen cumulative hazard over raw events: H(t) = Σ d/n-at-risk
-    // off the same bounded life table as events_survival — hazard spikes
-    // read directly where the KM curve only bends
-    "events_hazard" -> ((s, dir) => {
-      graft.functions.Events.nelsonAalen(events(s, dir), "user_id", "ts",
-          censorDays = 7)
-        .orderBy(col("t_days"))
-    }),
-
-    // log-rank test: do even/odd user cohorts churn differently — the
-    // survival family's hypothesis test; per-arm at-risk counts off ONE
-    // shared prefix scan, hypergeometric O−E / variance terms from exact
-    // integers decimal-staged before the bounded sum
-    "events_logrank" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Events.logRank(
-        ev.filter(col("user_id") % 2 === 0), ev.filter(col("user_id") % 2 === 1),
-        "user_id", "ts", censorDays = 7)
-    }),
-
-    // EWMA control chart: the small-sustained-shift detector between the
-    // per-day z (events_anomaly) and the creep alarm (events_cusum) — the
-    // recursion unrolls exactly as a triangular self-join on the bounded
-    // day table, terms decimal-staged, time-varying limits in fixed order
-    "events_ewma" -> ((s, dir) => {
-      graft.functions.Events.ewmaDaily(events(s, dir), "event_type", "ts",
-          lambda = 0.2, limitSigmas = 3.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // streaming EWMA (batch replay of 5 batches): fourth readout off the
-    // same additive daily-count state as stream_anomaly / stream_forecast
-    // / stream_cusum — equals the batch chart; same oracle
-    "stream_ewma" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.ewma(lambda = 0.2, limitSigmas = 3.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // burstiness profile: each type's daily-volume Fano factor + CV² —
-    // the dispersion context the CUSUM/EWMA limits on this same state
-    // should be tuned against; one aggregation of the bounded day table
-    "events_burstiness" -> ((s, dir) => {
-      graft.functions.Events.burstiness(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming burstiness (seventeenth readout of the same additive
-    // daily-count state): equals the batch events_burstiness; same oracle
-    "stream_burstiness" -> ((s, dir) => {
-      volState(s, dir).burstiness
-    }),
-
-    // Mann-Kendall trend + Theil-Sen slope: the distribution-free trend
-    // verdict next to the parametric stats_trend — pair directions and
-    // the median pairwise slope off the triangular day-pair join on the
-    // bounded daily count table, exact-integer S and tie terms,
-    // continuity-corrected z in fixed double order
-    "events_mannkendall" -> ((s, dir) => {
-      graft.functions.Events.mannKendall(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Mann-Kendall (batch replay of 5 batches): fifth readout
-    // off the same additive daily-count state as stream_anomaly /
-    // stream_cusum / stream_ewma — equals the batch verdicts; same oracle
-    "stream_mannkendall" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.trend
-    }),
-
-    // daily-volume autocorrelation at lags 1..7: the seasonality /
-    // momentum fingerprint — lag pairs via broadcast range x bounded day
-    // table, decimal-staged cross products, exact-moment denominator
-    "events_acf" -> ((s, dir) => {
-      graft.functions.Events.acfDaily(events(s, dir), "event_type", "ts",
-        maxLag = 7)
-    }),
-
-    // streaming ACF (batch replay of 5 batches): sixth readout off the
-    // same additive daily-count state — equals the batch ACF; same oracle
-    "stream_acf" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.autocorrelation(maxLag = 7)
-    }),
-
-    // Ljung-Box white-noise test: is the daily-volume ACF's structure
-    // real — Q pools the 7 lag correlations off the same bounded day
-    // table; n falls out of the dense pair index, terms decimal-staged
-    "events_ljung_box" -> ((s, dir) => {
-      graft.functions.Events.ljungBox(events(s, dir), "event_type", "ts",
-        maxLag = 7)
-    }),
-
-    // streaming Ljung-Box (batch replay of 5 batches): eighth readout off
-    // the same additive daily-count state — equals the batch Q; same
-    // oracle
-    "stream_ljung_box" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.whiteNoise(maxLag = 7)
-    }),
-
-    // Durbin-Watson on the detrended daily volumes: do residuals around
-    // the per-type OLS line lean on each other — five-moment exact row,
-    // fixed-order residuals, lag-1 self-join, decimal-staged quadratics
-    "events_durbin_watson" -> ((s, dir) => {
-      graft.functions.Events.durbinWatson(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Durbin-Watson (batch replay of 5 batches): ninth readout
-    // off the same additive daily-count state — equals the batch DW;
-    // same oracle
-    "stream_durbin_watson" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.residualAutocorr
-    }),
-
-    // Wilcoxon signed-rank on paired daily volumes (click vs view): day
-    // by day, does one type out-fire the other — zero diffs drop, |d|
-    // ranks are doubled-integer order stats off the prefix scan, exact
-    // tie correction, fixed-order z
-    "events_wilcoxon" -> ((s, dir) => {
-      graft.functions.Events.wilcoxonSignedRank(events(s, dir),
-        "click", "view", "event_type", "ts")
-    }),
-
-    // streaming Wilcoxon (batch replay of 5 batches): tenth readout off
-    // the same additive daily-count state — equals the batch test; same
-    // oracle
-    "stream_wilcoxon" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.pairedShift("click", "view")
-    }),
-
-    // sign test over the same paired daily diffs: the assumption-free
-    // floor under events_wilcoxon — exact (n, n_pos) counts, z in fixed
-    // double order, no continuity correction
-    "events_sign_test" -> ((s, dir) => {
-      graft.functions.Events.signTest(events(s, dir),
-        "click", "view", "event_type", "ts")
-    }),
-
-    // streaming sign test (batch replay of 5 batches): eleventh readout
-    // off the same additive daily-count state; same oracle
-    "stream_sign_test" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.pairedSign("click", "view")
-    }),
-
-    // RFM segmentation of order customers: recency/frequency/monetary
-    // quintile scores against the population's own exact interpolated
-    // cuts (broadcast), 4x-expansion scoring passes, deterministic
-    // corpus-max anchor date
-    "events_rfm" -> ((s, dir) => {
-      graft.functions.Events.rfmSegments(t(s, dir, "orders"),
-          "o_custkey", "o_orderdate", "o_totalprice")
-        .orderBy(col("o_custkey"))
-    }),
-
-    // market-basket pair mining over order lines: distinct (order, part)
-    // frame frozen once, capped basket self-join for pairs, broadcast
-    // supports, top-20 by unrounded lift with id tie-break
-    "events_basket" -> ((s, dir) => {
-      graft.functions.Events.basketPairs(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2, topN = 20)
-        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
-    }),
-
-    // cohort LTV: cumulative revenue per first-order-month cohort by
-    // month age — exact decimal money, cohort-partitioned running sum
-    "events_cohort_ltv" -> ((s, dir) => {
-      graft.functions.Events.cohortLtv(t(s, dir, "orders"),
-          "o_custkey", "o_orderdate", "o_totalprice")
-        .orderBy(col("cohort_month"), col("age_months"))
-    }),
-
-    // FK audit: lineitem -> orders referential integrity both ways in one
-    // verdict row (orphan lines AND childless orders), off the two
-    // distinct-key tables — zero row-level joins
-    "audit_fk_orphans" -> ((s, dir) => {
-      graft.functions.Audits.fkAudit(
-        t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey")
-    }),
-
-    // aggregate reconciliation: o_totalprice vs the exact-decimal rollup
-    // of its lines (extprice·(1−disc)·(1+tax)) at a 1-cent tolerance —
-    // the trust gate before loading the batch
-    "audit_reconcile" -> ((s, dir) => {
-      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
-      val dec4 = org.apache.spark.sql.types.DecimalType(8, 4)
-      graft.functions.Audits.reconcileSum(
-        t(s, dir, "orders"), "o_orderkey", col("o_totalprice"),
-        t(s, dir, "lineitem"), "l_orderkey",
-        col("l_extendedprice").cast(dec2)
-          * (lit(1) - col("l_discount").cast(dec4))
-          * (lit(1) + col("l_tax").cast(dec4)),
-        tol = 0.01)
-    }),
-
-    // streaming basket monitor (batch replay of 5 PART-keyed batches —
-    // an order's lines scatter across batches, so re-pairing off the
-    // accreted distinct frame is what's being proven); same oracle
-    "stream_basket" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val bm = new graft.streaming.Streaming.BasketMonitor(
-        "l_orderkey", "l_partkey", minSupport = 2, topN = 20)
-      (0 until 5).foreach(b => bm.update(li.filter(col("l_partkey") % 5 === b)))
-      bm.pairs.orderBy(col("lift").desc, col("item_a"), col("item_b"))
-    }),
-
-    // streaming FK audit (batch replay of 5 batches): parent key set
-    // frozen once, additive child key counts; same oracle
-    "stream_fk_audit" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val fm = new graft.streaming.Streaming.FkAuditMonitor(
-        t(s, dir, "orders"), "o_orderkey", "l_orderkey")
-      (0 until 5).foreach(b => fm.update(li.filter(col("l_linenumber") % 5 === b)))
-      fm.readout
-    }),
-
-    // streaming cohort LTV (batch replay of 5 batches): additive
-    // per-(customer, month) decimal revenue, first months re-derived per
-    // readout so late-arriving earlier orders reassign cohorts; same
-    // oracle
-    "stream_cohort_ltv" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val lm = new graft.streaming.Streaming.LtvMonitor(
-        "o_custkey", "o_orderdate", "o_totalprice")
-      (0 until 5).foreach(b => lm.update(o.filter(col("o_orderkey") % 5 === b)))
-      lm.curve.orderBy(col("cohort_month"), col("age_months"))
-    }),
-
-    // Friedman rank test + Kendall's W: do the event types order the
-    // same way day after day — days as blocks, within-day midranks from
-    // the k²-per-day cell join, exact doubled-rank sums and tie term,
-    // fixed-order chi²/W
-    "events_friedman" -> ((s, dir) => {
-      graft.functions.Events.friedmanTest(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Friedman/W (batch replay of 5 batches): twelfth readout
-    // off the same additive daily-count state; same oracle
-    "stream_friedman" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.concordance
-    }),
-
-    // Page's L ordered trend: do daily volumes INCREASE along the types'
-    // ordering, day after day — the directed companion of events_friedman
-    // over the same within-day midranks; L exact, closed-form E/Var z
-    "events_page_trend" -> ((s, dir) => {
-      graft.functions.Events.pageTrendTest(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Page trend (batch replay of 5 batches): thirteenth
-    // readout off the same additive daily-count state; same oracle
-    "stream_page_trend" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.pageTrend
-    }),
-
-    // Pettitt changepoint: WHICH day the volume regime shifted — per-day
-    // vote sums off the bounded day-pair join, partitioned prefix U_t,
-    // exact-integer K with first-day tie-break, fixed-order approximate p
-    "events_pettitt" -> ((s, dir) => {
-      graft.functions.Events.pettitt(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Pettitt (batch replay of 5 batches): seventh readout off
-    // the same additive daily-count state — equals the batch verdicts;
-    // same oracle
-    "stream_pettitt" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.changepoint
-    }),
-
-    // Holt's linear level+trend smoothing + one-step volume forecast:
-    // the LINEAR recursion unrolls exactly as a broadcast join of the
-    // bounded day table against precomputed A^e weight constants
-    // (matrix-power form of the l/b recurrence), each weight·count term
-    // decimal-staged so the sum is exact and order-free
-    "events_holt" -> ((s, dir) => {
-      graft.functions.Events.holtDaily(events(s, dir), "event_type", "ts")
-    }),
-
-    // streaming Holt (batch replay of 5 batches): fourteenth readout off
-    // the same additive daily-count state — the recursion is linear in
-    // the counts, so the accreted state reads out identically; same
-    // oracle
-    "stream_holt" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.holt()
-    }),
-
-    // Benjamini-Hochberg FDR control across the per-type Pettitt
-    // changepoint p-values: ordinal rank and the step-up min envelope
-    // p_bh = min(1, min_{j>=i} p_j·m/j) via triangular self-joins on the
-    // bounded panel (deterministic key tie-break) — which of the panel's
-    // alarms survive multiple-testing control at q = 0.05
-    "stats_fdr_bh" -> ((s, dir) => {
-      graft.functions.Stats.bhAdjust(
-        graft.functions.Events.pettitt(events(s, dir), "event_type", "ts"),
-        "event_type", "p_approx", q = 0.05)
-    }),
-
-    // streaming BH-FDR (batch replay of 5 batches): fifteenth readout
-    // off the same additive daily-count state (Pettitt panel -> BH);
-    // batch-exact because both stages are; same oracle
-    "stream_fdr" -> ((s, dir) => {
-      val vm = volState(s, dir)
-      vm.fdrControl(0.05)
-    }),
-
-    // Bonferroni / Holm / Benjamini–Yekutieli over the same per-type
-    // Pettitt changepoint panel as stats_fdr_bh: the FWER and
-    // dependence-robust corrections next to BH — bounded-panel
-    // triangular envelopes, decimal-staged harmonic constant
-    "stats_padjust" -> ((s, dir) => {
-      graft.functions.Stats.padjust(
-        graft.functions.Events.pettitt(events(s, dir), "event_type", "ts"),
-        "event_type", "p_approx")
-    }),
-
-    // streaming adjustment family (sixteenth readout of the same additive
-    // daily-count state): equals the batch stats_padjust; same oracle
-    "stream_padjust" -> ((s, dir) => {
-      volState(s, dir).familywiseControl
-    }),
-
-    // streaming key concentration (batch replay of 5 micro-batches):
-    // per-key counts are additive, so BOTH readouts off the one accreted
-    // count state equal their batch twins — whale-factor top-k and exact
-    // Gini; parity + restore in StreamingSpec
-    "stream_key_skew" -> ((s, dir) => {
-      val km = keyCountState(s, dir)
-      km.skew(topK = 20).orderBy(col("cnt").desc, col("key").asc)
-    }),
-
-    // second readout off the SAME key-count state: the exact Gini
-    "stream_gini" -> ((s, dir) => {
-      val km = keyCountState(s, dir)
-      km.gini()
-    }),
-
-    // Hill tail index over per-user event volumes: WHAT power law the
-    // whale tail follows (alpha <= 1 reads "the mean doesn't converge")
-    // — descending ranks off the Gini triangular join, top-k interval
-    // clamps, decimal-staged log moments
-    "stats_hill" -> ((s, dir) => {
-      graft.functions.Stats.hillTail(events(s, dir), "user_id", k = 100)
-    }),
-
-    // streaming Hill tail (the FOURTH readout of the same per-user count
-    // state): equals the batch stats_hill; same oracle
-    "stream_hill" -> ((s, dir) => {
-      keyCountState(s, dir).tail(k = 100)
-    }),
-
-    // effective sample size / design effect of a value-weighted sample:
-    // how much statistical information the weighted rows actually carry
-    // — one aggregation of staged weight moments, Kish ESS + deff + CV
-    "stats_ess" -> ((s, dir) => {
-      graft.functions.Stats.designEffect(events(s, dir), col("value"))
-    }),
-
-    // streaming Simpson concentration (the THIRD readout of the same
-    // per-user count state): live collision probability / effective-key
-    // count — equals the batch stats_simpson
-    "stream_simpson" -> ((s, dir) => {
-      keyCountState(s, dir).concentration()
-    }),
-
-    // streaming cohort retention (batch replay of 5 micro-batches): the
-    // activity-state design re-derives the exact batch rollup after every
-    // batch, late back-dating included — streaming-mode parity in
-    // StreamingSpec
-    "stream_retention" -> ((s, dir) => {
-      val rm = retentionState(s, dir)
-      rm.retention.orderBy(col("cohort_day"), col("offset_days"))
-    }),
-
-    // second readout off the SAME retention-monitor activity state: the
-    // DAU/WAU stickiness table — one accreted state, both dashboards
-    "stream_stickiness" -> ((s, dir) => {
-      val rm = retentionState(s, dir)
-      rm.stickiness().orderBy(col("day"))
-    }),
-
-    // streaming ANN index ingestion (batch replay of 4 ordered micro-
-    // batches): the coarse quantizer freezes on the first batch, every
-    // batch routes at scan speed onto it and accretes into the IVF index,
-    // queries probe 4 clusters — streaming-mode parity in StreamingSpec
-    "stream_ann_ingest" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val ing = new graft.streaming.Streaming.IvfIndexIngest(
-        "vec_id", "v", nCentroids = 16, nProbe = 4)
-      (0 until 4).foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
-      ing.topK(e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // streaming ANN ingestion WITH index compaction (batch replay of 4
-    // micro-batches, maxMeanList=4): mid-stream compactions trip
-    // GEOMETRICALLY (mean-list bar exceeded AND index doubled — amortized
-    // O(sqrt n)/vector ingest), and seal() closes the stream with the
-    // deterministic re-route onto the ceil(sqrt(n)) lowest-id vectors of
-    // the whole corpus — the batch-boundary-independent closed form the
-    // oracle replays; the sqrt split keeps probe cost O(sqrt n) and the
-    // re-route subquadratic (the old n/4 quantizer measured 36x at 10x)
-    "stream_ann_compact" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val ing = new graft.streaming.Streaming.IvfIndexIngest(
-        "vec_id", "v", nCentroids = 16, nProbe = 4, maxMeanList = 4)
-      (0 until 4).foreach(b => ing.update(e.filter(col("vec_id") % 4 === b)))
-      ing.seal()
-      ing.topK(e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // streaming contamination monitor (batch replay of 5 train batches):
-    // the benchmark fingerprint index freezes once, each batch matches
-    // batch-proportionally — accreted hits equal the batch contamination
-    "stream_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cm = new graft.streaming.Streaming.ContaminationMonitor(
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        "doc_id", "text", minShared = 3)
-      val train = docs.filter(col("doc_id") % 10 =!= 0)
-      (0 until 5).foreach(b => cm.update(train.filter(col("doc_id") % 5 === b)))
-      cm.matches.orderBy(col("train_id"), col("bench_id"))
-    }),
-
-    // streaming quantile monitor (batch replay of 5 micro-batches):
-    // fixed-width histogram state is additive and value-range-bounded, so
-    // the accreted bin table IS the corpus histogram and the threshold
-    // picks are bit-identical to the batch scan
-    "stream_quantile" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val qm = new graft.streaming.Streaming.QuantileMonitor("value", width = 10.0)
-      (0 until 5).foreach(b => qm.update(ev.filter(col("event_id") % 5 === b)))
-      qm.quantiles(Seq(0.5, 0.9, 0.99)).orderBy(col("q"))
-    }),
-
-    // streaming transition monitor (batch replay of 5 DAY-RANGE batches —
-    // per-user time-ordered, the monitor's arrival contract): hop counts
-    // accrete additively with the per-user last event carried across the
-    // batch boundary, so the matrix equals the batch transitions over all
-    // events — streaming-mode parity in StreamingSpec
-    "stream_transitions" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val tm = new graft.streaming.Streaming.TransitionMonitor(
-        "user_id", "event_type", "ts", "event_id")
-      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
-      (0 until 6).foreach(b =>
-        tm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
-      tm.matrix.orderBy(col("from_type"), col("to_type"))
-    }),
-
-    // streaming inter-arrival monitor (batch replay of 5 time-ordered
-    // batches): carried last event per (user,type) closes cross-batch
-    // gaps exactly once — same oracle as the batch operator
-    "stream_interarrival" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val im = new graft.streaming.Streaming.InterarrivalMonitor(
-        "user_id", "event_type", "ts", "event_id",
-        widthSeconds = 600L, capBuckets = 144)
-      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
-      (0 until 6).foreach(b =>
-        im.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
-      im.histogram.orderBy(col("event_type"), col("gap_bucket"))
-    }),
-
-    // streaming covariance monitor (batch replay of 5 batches): the moment
-    // row is a LINEAR sketch (count + exact decimal sums), so the folded
-    // state reads out bit-identical to the one-pass corpus build — same
-    // oracle as stats_embedding_cov
-    "stream_cov" -> ((s, dir) => {
-      covState(s, dir).matrix.orderBy(col("dim_i"), col("dim_j"))
-    }),
-
-    // streaming Cronbach alpha (the SECOND readout of the same 1-row
-    // moment state): live internal-consistency over the arriving
-    // embedding dims — equals the batch stats_cronbach
-    "stream_cronbach" -> ((s, dir) => {
-      covState(s, dir).consistency
-    }),
-
-    // Cronbach's alpha over embedding dims 0-7: how much the dims measure
-    // ONE latent direction (the MRL-truncation / judge-agreement number)
-    // — one moment pass, fixed-order variance chain
-    "stats_cronbach" -> ((s, dir) => {
-      graft.functions.Vectors.cronbachAlpha(t(s, dir, "embeddings"),
-        "embedding", 0 to 7)
-    }),
-
-    // streaming AUC monitor (batch replay of 5 batches): per-score counts
-    // fold additively, the rank-sum readout equals the batch AUC — same
-    // oracle as curate_auc
-    "stream_auc" -> ((s, dir) => {
-      val am = aucDocsState(s, dir)
-      am.readout
-    }),
-
-    // cumulative gains/lift table: top-k/10 curation budgets scored
-    // against the classifier — decile boundary rows via two
-    // conditional-min order stats on the top-first prefix scan of the
-    // same per-score count table curate_auc reduces
-    "curate_gains" -> ((s, dir) => {
-      graft.functions.Stats.gainsCurve(docsNorm(s, dir),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        deciles = 10)
-    }),
-
-    // streaming gains (batch replay of 5 batches): fourth readout off the
-    // same additive per-score state as stream_auc — equals the batch
-    // curate_gains; same oracle
-    "stream_gains" -> ((s, dir) => {
-      aucDocsState(s, dir).gains(deciles = 10)
-    }),
-
-    // confusion-matrix metrics at the zero cut: MCC / balanced accuracy /
-    // Youden's J — the class-imbalance-honest admission numbers P/R/F1
-    // can't see (they ignore the true negatives); four conditional sums
-    // on the same per-score count table
-    "curate_confusion" -> ((s, dir) => {
-      graft.functions.Stats.confusionMetrics(docsNorm(s, dir),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        threshold = 0.0)
-    }),
-
-    // streaming confusion metrics (batch replay of 5 batches): fifth
-    // readout off the same additive per-score state as stream_auc —
-    // equals the batch curate_confusion; same oracle
-    "stream_confusion" -> ((s, dir) => {
-      aucDocsState(s, dir).confusion(threshold = 0.0)
-    }),
-
-    // expected calibration error: is the 4dp quality score honest as a
-    // probability of the classifier's verdict — bin-weighted
-    // |confidence − accuracy| gap (ECE) + worst bin (MCE) off one
-    // bounded-bin aggregation
-    "curate_ece" -> ((s, dir) => {
-      graft.functions.Stats.calibrationError(docsNorm(s, dir),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1") >= 0L,
-        bins = 10)
-    }),
-
-    // streaming P/R operating points (batch replay of 5 batches): the SAME
-    // additive per-score state as stream_auc, read out at the three cuts —
-    // same oracle as curate_pr_curve
-    "stream_pr_curve" -> ((s, dir) => {
-      val am = aucDocsState(s, dir)
-      am.operatingPoints(Seq(-2000000.0, 0.0, 2000000.0))
-        .orderBy(col("threshold"))
-    }),
-
-    // streaming reliability (batch replay of 5 batches): the third readout
-    // of the stream_auc state — binning commutes with counting, so the
-    // calibration table equals the batch one; same oracle
-    "stream_reliability" -> ((s, dir) => {
-      val am = aucDocsState(s, dir)
-      am.calibration(width = 2000000.0).orderBy(col("bin"))
-    }),
-
-    // streaming kappa monitor (batch replay of 5 batches): the 2×2
-    // confusion row folds by plain addition, the readout equals the batch
-    // kappa — same oracle as curate_kappa
-    "stream_kappa" -> ((s, dir) => {
-      val km = kappaState(s, dir)
-      km.readout
-    }),
-
-    // streaming McNemar (batch replay of 5 batches): second readout off
-    // the same additive confusion state as stream_kappa — equals the
-    // batch test; same oracle as curate_mcnemar
-    "stream_mcnemar" -> ((s, dir) => {
-      val km = kappaState(s, dir)
-      km.disagreement
-    }),
-
-    // Cochran's Q across the three-filter panel (quality rule, token
-    // floor, length cap): do the filters keep at the same rate given the
-    // documents' own keep-ability — exact-integer numerator/denominator
-    // off ONE scan+reduce, the k-way generalization of curate_mcnemar
-    "curate_cochranq" -> ((s, dir) => {
-      graft.functions.Curation.cochranQ(t(s, dir, "documents"), Seq(
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25,
-        col("n_chars") <= 500))
-    }),
-
-    // streaming Cochran's Q (batch replay of 5 batches): the 1-row panel
-    // state folds by plain addition — equals the batch Q; same oracle
-    "stream_cochranq" -> ((s, dir) => {
-      val cm = cochranState(s, dir)
-      cm.readout
-    }),
-
-    // Fleiss' kappa over the same three-filter panel: beyond-chance
-    // AGREEMENT next to curate_cochranq's rate test — exact-integer P-bar
-    // off the same 1-row state, kappa from 6dp-rounded pieces
-    "curate_fleiss" -> ((s, dir) => {
-      graft.functions.Curation.fleissKappa(t(s, dir, "documents"), Seq(
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25,
-        col("n_chars") <= 500))
-    }),
-
-    // Krippendorff's alpha over the same three-filter panel: the
-    // finite-sample-corrected reliability verdict next to curate_fleiss
-    // — observed vs expected pairwise disagreement off the SAME 1-row
-    // additive panel state, D_e products HUGEINT/decimal-staged
-    "curate_krippendorff" -> ((s, dir) => {
-      graft.functions.Curation.krippendorffAlpha(t(s, dir, "documents"), Seq(
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25,
-        col("n_chars") <= 500))
-    }),
-
-    // streaming Krippendorff (batch replay of 5 batches): third readout
-    // off the same additive panel state as stream_cochranq /
-    // stream_fleiss; same oracle
-    "stream_krippendorff" -> ((s, dir) => {
-      val cm = cochranState(s, dir)
-      cm.alphaReliability
-    }),
-
-    // streaming Fleiss (batch replay of 5 batches): second readout off
-    // the same additive panel state as stream_cochranq — equals the
-    // batch kappa; same oracle
-    "stream_fleiss" -> ((s, dir) => {
-      val cm = cochranState(s, dir)
-      cm.agreement
-    }),
-
-    // streaming mixture monitor (batch replay of 5 batches): per-group
-    // token masses fold additively, the readout derives the same τ-sampling
-    // rate table the batch sampler computes over all rows seen
-    "stream_mixture" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val mm = new graft.streaming.Streaming.MixtureMonitor("lang",
-        TextAnalysis.tokenCount(col("text")))
-      (0 until 5).foreach(b => mm.update(docs.filter(col("doc_id") % 5 === b)))
-      mm.rates(alpha = 0.7, budgetFrac = 0.5).orderBy(col("lang"))
-    }),
-
-    // streaming MI monitor (batch replay of 5 time-ordered batches): joint
-    // counts are additive per key, so the folded state reads out equal to
-    // the batch MI — same oracle as stats_mi
-    "stream_mi" -> ((s, dir) => {
-      // joint counts are order-free, so batch by id — covers every row
-      // for ANY time span
-      val mm = miHrState(s, dir)
-      mm.readout
-    }),
-
-    // streaming Count-Min monitor (batch replay of 5 batches): the CMS is
-    // a LINEAR sketch, so the accreted cells are bit-identical to the
-    // one-pass corpus build — same oracle as sketch_cms
-    "stream_cms" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      def toks(d: DataFrame) = d
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      val cm = new graft.streaming.Streaming.CmsMonitor("token", depth = 4, width = 512)
-      (0 until 5).foreach(b => cm.update(toks(docs.filter(col("doc_id") % 5 === b))))
-      val truec = toks(docs).groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
-      val top = truec.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
-      cm.estimate(top, "token").join(top, Seq("token"))
-        .select(col("token"), col("true_cnt"), col("cms_est"))
-        .orderBy(col("token"))
-    }),
-
-    // stream-static enrichment monitor (batch replay of 5 batches): the
-    // customer dimension freezes once and every micro-batch broadcast-joins
-    // it; additive per-segment totals equal the one-shot batch join+rollup
-    "stream_enrich" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val em = new graft.streaming.Streaming.EnrichMonitor(
-        t(s, dir, "customer"), "c_custkey", "c_mktsegment", "user_id", "value")
-      (0 until 5).foreach(b => em.update(ev.filter(col("event_id") % 5 === b)))
-      em.result.orderBy(col("segment"))
-    }),
-
-    // streaming lateness monitor (batch replay of 5 id-keyed batches, so
-    // arrival order scrambles event time): per-type counts of rows older
-    // than the carried high-watermark minus 1 hour — the rows a
-    // watermarked operator would drop; sizes the watermark before losses
-    "stream_late" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val lm = new graft.streaming.Streaming.LatenessMonitor("event_type", "ts", "1 HOUR")
-      (0 until 5).foreach(b => lm.update(ev.filter(col("event_id") % 5 === b)))
-      lm.lateCounts.orderBy(col("event_type"))
-    }),
-
-    // streaming entry-path monitor (batch replay of 5 DAY-RANGE batches —
-    // the per-user time-ordered arrival contract): carried prefixes
-    // re-cut at depth equal the batch entryPaths over the full stream
-    "stream_paths" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val pm = new graft.streaming.Streaming.PathMonitor(
-        "user_id", "event_type", "ts", "event_id", depth = 3)
-      // 6 buckets: day 31 lands in bucket 5 — never silently dropped
-      (0 until 6).foreach(b =>
-        pm.update(ev.filter(floor((dayofmonth(col("ts")) - 1) / 6) === b)))
-      pm.paths.orderBy(col("path"))
-    }),
-
-    // session windows (gap-based) — streaming-capable sessionization
-    "stream_sessionize" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("n_events"), col("value_sum"))
-        .orderBy(col("user_id"), col("session_start"))
-    })
-  )
-
-  private def tableQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // §2.6 Dimension.ensure: seeded dim + bulk lookup-or-insert with
-    // MAX(key)+1-style key assignment (tables.py:374-425, 234-243)
-    "dim_ensure" -> ((s, dir) => {
-      val part = t(s, dir, "part")
-      val dim = new Dimension("brand_dim", "brand_key", Seq("p_brand"), Seq("p_brand"))
-      dim.init(part.select(lit(0L).as("brand_key"), col("p_brand")).limit(0))
-      // seed batch, then the full load — two sequential ensures; keys stay
-      // dense in p_brand order (dense_rank equivalence on distinct members)
-      dim.ensure(part.filter(col("p_size") < 25).select(col("p_brand")))
-      dim.ensure(part.select(col("p_partkey"), col("p_brand")))
-        .select(col("p_partkey"), col("brand_key"), col("p_brand"))
-        .orderBy(col("p_partkey"))
-    }),
-
-    // §2.6 rowexpander: enrichment computed ONLY for genuinely new members
-    // (tables.py:156-165, 374-398 — the lazy-expansion optimization); seeded
-    // members keep their seed-time value, so the oracle distinguishes the
-    // two paths
-    "dim_ensure_expander" -> ((s, dir) => {
-      val part = t(s, dir, "part")
-      val dim = new Dimension("brand_dim_x", "brand_key", Seq("p_brand", "brand_len"), Seq("p_brand"))
-      dim.init(part.select(lit(0L).as("brand_key"), col("p_brand"), lit(0).as("brand_len")).limit(0))
-      // seed batch: expander stamps -1 (proves later batches don't recompute it)
-      dim.ensure(part.filter(col("p_size") < 25).select(col("p_brand")),
-        rowexpander = _.withColumn("brand_len", lit(-1)))
-      // full load: only NEW members get the real expansion
-      dim.ensure(part.select(col("p_brand")),
-        rowexpander = _.withColumn("brand_len", length(col("p_brand"))))
-      dim.current.orderBy(col("brand_key"))
-    }),
-
-    // §2.5 getbyvals: partial attribute conjunction (tables.py:295-327)
-    "dim_getbyvals" -> ((s, dir) => {
-      val dim = new Dimension("cdim_gv", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
-      dim.init(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      dim.getByVals(Map("c_mktsegment" -> "BUILDING")).orderBy(col("c_custkey"))
-    }),
-
-    // §2.5 getbykey: full row by key, all-NULL attributes on miss (tables.py:272-287)
-    "dim_getbykey" -> ((s, dir) => {
-      val dim = new Dimension("cdim_gk", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
-      dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      dim.getByKey(t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey")))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.5 getbykey through namemapping: the probe's physical column name is
-    // translated like every other API (tables.py:272-287)
-    "dim_getbykey_nm" -> ((s, dir) => {
-      val dim = new Dimension("cdim_gknm", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
-      dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      dim.getByKey(t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey").as("cust_id")),
-        namemapping = Map("c_custkey" -> "cust_id"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // §2.5 FactTable.lookup: composite-key fetch, NULL measures on miss
-    // (tables.py:2214-2230)
-    "fact_lookup" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
-        .agg(dsum(col("l_extendedprice")).as("price_sum"), count(lit(1)).as("n_lines"))
-      val fact = new FactTable("order_rev_l", Seq("l_orderkey"), Seq("price_sum", "n_lines"))
-      fact.init(rev)
-      fact.lookup(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
-        .select((col("o_orderkey") * 2).as("l_orderkey")))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    // §2.5 Dimension.lookup with default id on miss (tables.py:245-264)
-    "dim_lookup" -> ((s, dir) => {
-      val dim = new Dimension("cust_dim", "c_custkey", Seq("c_name", "c_mktsegment"), Seq("c_name"))
-      dim.init(t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      dim.lookup(t(s, dir, "customer").select(col("c_name")))
-        .select(col("c_name"), col("c_custkey"))
-        .orderBy(col("c_name"))
-    }),
-
-    // role-playing dimension: ONE nation dimension played as customer
-    // nation and supplier nation via namemapping on the SAME getByKey API
-    // (the pygrametl role-playing idiom, tables.py:272-287 namemapping) —
-    // two broadcast-joined lookups, no dimension duplication
-    "dim_roleplay" -> ((s, dir) => {
-      val dim = new Dimension("nation_rp", "n_nationkey",
-        Seq("n_name", "n_regionkey"), Seq("n_name"))
-      dim.init(t(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
-      val probe = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("c_nationkey"), col("s_nationkey"))
-      val asCust = dim.getByKey(probe, Map("n_nationkey" -> "c_nationkey"))
-        .withColumnRenamed("n_name", "cust_nation")
-        .drop("n_regionkey", "n_nationkey")
-      dim.getByKey(asCust, Map("n_nationkey" -> "s_nationkey"))
-        .withColumnRenamed("n_name", "supp_nation")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("cust_nation"), col("supp_nation"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    // §2.7 SCD type 1: two-phase load — seed from the first half of the
-    // events stream, then scdensure the second half (overwrites + inserts)
-    // (tables.py:689-902)
-    "dim_scd1" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val dim = new TypeOneScdDimension("user_dim", "user_key",
-        Seq("user_id", "event_type"), Seq("user_id"), Seq("event_type"))
-      dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type")).limit(0))
-      val half = 5000L
-      dim.scdensure(ev.filter(col("event_id") < half)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
-        struct(col("ts"), col("event_id")))
-      dim.scdensure(ev.filter(col("event_id") >= half)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
-        struct(col("ts"), col("event_id")))
-      dim.current.orderBy(col("user_key"))
-    }),
-
-    // §2.7 SCD type 2: full version history from the events stream in one
-    // batch scdensure (multi-change-per-member batches supported)
-    // (tables.py:904-1711)
-    "dim_scd2" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val dim = scd2UserDim(s, dir)
-      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
-        .orderBy(col("user_key"))
-    }),
-
-    // §2.7 closecurrent: close every member's open version at a fixed end
-    // time (tables.py:1530-1553)
-    "dim_scd2_closed" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val dim = scd2UserDim(s, dir)
-      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
-      dim.closeCurrent(lit("2026-01-01 00:00:00").cast(TimestampType))
-      dim.current.orderBy(col("user_key"))
-    }),
-
-    // §2.5 as-of (temporal point-in-interval) join: find the version valid
-    // at probe time (tables.py:1555-1711 lookupasof)
-    "scd_asof" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val dim = scd2UserDim(s, dir)
-      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
-      val probe = ev.filter(col("event_id") % 7 === 0)
-        .select(col("event_id"), col("user_id"),
-          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
-      dim.lookupAsOf(probe, col("pts"))
-        .select(col("event_id"), col("user_key"))
-        .orderBy(col("event_id"))
-    }),
-
-    // §2.6 SnowflakedDimension: topological bulk ensure through
-    // region←nation←customer (tables.py:1721-2133)
-    "snowflake_ensure" -> ((s, dir) => {
-      val input = t(s, dir, "customer")
-        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
-      val regionDim = new Dimension("region_dim", "r_key", Seq("r_name"), Seq("r_name"))
-      val nationDim = new Dimension("nation_dim", "n_key", Seq("n_name", "r_key"), Seq("n_name"))
-      val custDim = new Dimension("cust_dim2", "cu_key", Seq("c_name", "n_key"), Seq("c_name"))
-      regionDim.init(input.select(lit(0L).as("r_key"), col("r_name")).limit(0))
-      nationDim.init(input.select(lit(0L).as("n_key"), col("n_name"), lit(0L).as("r_key")).limit(0))
-      custDim.init(input.select(lit(0L).as("cu_key"), col("c_name"), lit(0L).as("n_key")).limit(0))
-      val flake = new SnowflakedDimension(Seq(
-        custDim -> Seq(nationDim), nationDim -> Seq(regionDim)))
-      flake.ensure(input)
-        .select(col("c_name"), col("cu_key"), col("n_key"), col("r_key"))
-        .orderBy(col("cu_key"))
-    }),
-
-    // §2.5 snowflake lookup/rowlookup: NATURAL-JOIN full-row fetch across all
-    // levels (tables.py:1811-1883)
-    "snowflake_lookup" -> ((s, dir) => {
-      val input = t(s, dir, "customer")
-        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
-      val regionDim = new Dimension("region_dim_l", "r_key", Seq("r_name"), Seq("r_name"))
-      val nationDim = new Dimension("nation_dim_l", "n_key", Seq("n_name", "r_key"), Seq("n_name"))
-      val custDim = new Dimension("cust_dim_l", "cu_key", Seq("c_name", "n_key"), Seq("c_name"))
-      regionDim.init(input.select(lit(0L).as("r_key"), col("r_name")).limit(0))
-      nationDim.init(input.select(lit(0L).as("n_key"), col("n_name"), lit(0L).as("r_key")).limit(0))
-      custDim.init(input.select(lit(0L).as("cu_key"), col("c_name"), lit(0L).as("n_key")).limit(0))
-      val flake = new SnowflakedDimension(Seq(
-        custDim -> Seq(nationDim), nationDim -> Seq(regionDim)))
-      flake.ensure(input)
-      flake.lookupFullRow(custDim.current.select(col("cu_key")))
-        .select(col("cu_key"), col("c_name"), col("n_key"), col("n_name"),
-          col("r_key"), col("r_name"))
-        .orderBy(col("cu_key"))
-    }),
-
-    // §2.6/2.7 SnowflakedDimension.scdensure: ensure the non-root levels
-    // (event-type dim), then SCD2 at the snowflake root keyed by the child's
-    // surrogate key (tables.py:2105-2133 — SCD only at the root)
-    "snowflake_scdensure" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val etypeDim = new Dimension("etype_dim", "etype_key", Seq("event_type"), Seq("event_type"))
-      etypeDim.init(ev.select(lit(0L).as("etype_key"), col("event_type")).limit(0))
-      val rootScd = new ScdDimension("user_scd_sf", "user_key",
-        Seq("user_id", "etype_key", "version", "valid_from", "valid_to"),
-        Seq("user_id"), "version", "valid_from", "valid_to",
-        maxTo = lit(null).cast(TimestampType))
-      rootScd.init(ev.select(lit(0L).as("user_key"), col("user_id"), lit(0L).as("etype_key"),
-        lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
-      val flake = new SnowflakedDimension(Seq(rootScd -> Seq(etypeDim)))
-      flake.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"))
-        .orderBy(col("user_key"))
-    }),
-
-    // §2.7 SCD2 srcdate semantics (tables.py:1349-1368): a changed source
-    // date forces a new version even when attributes are unchanged; plus
-    // minfrom=(None,) — the first version of a member opens at NULL
-    // (tables.py:1311-1318)
-    "dim_scd2_srcdate" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val dim = new ScdDimension("user_scd_sd", "user_key",
-        Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
-        Seq("user_id"), "version", "valid_from", "valid_to",
-        maxTo = lit(null).cast(TimestampType),
-        minFrom = Some(lit(null)))
-      dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
-        lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
-      dim.scdensure(ev.select(col("user_id"), col("event_type"), col("ts")), col("ts"),
-        newVersionOnNewFrom = true)
-        .orderBy(col("user_key"))
-    }),
-
-    // §2.6 FactTable.ensure with compare=true validation (tables.py:2238-2271).
-    // The derived aggregate is materialized once: init state, the compare
-    // scan and the anti-join all read the same blocks instead of re-running
-    // the 600k-row aggregation per consumer (the engine only owns persistence
-    // of MUTATION products; init state persistence is the caller's).
-    "fact_ensure" -> ((s, dir) => {
-      val rev = org.apache.spark.sql.graftbridge.Bridge.freeze(
-        t(s, dir, "lineitem").groupBy(col("l_orderkey"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-            count(lit(1)).as("n_lines")))
-      val fact = new FactTable("order_rev", Seq("l_orderkey"), Seq("revenue", "n_lines"))
-      fact.init(rev.filter(col("l_orderkey") % 3 === 0))
-      fact.ensure(rev, compare = true)
-      fact.current.orderBy(col("l_orderkey"))
-    }),
-
-    // §2.6 AccumulatingSnapshotFactTable: MERGE-style upsert where incoming
-    // NULLs never clobber stored values (tables.py:2359-2505)
-    "fact_accumulating" -> ((s, dir) => {
-      val fact = new AccumulatingSnapshotFactTable("order_progress",
-        Seq("o_orderkey"), Seq("ship_year"), Seq("total", "line_rev"))
-      fact.init(t(s, dir, "orders").select(col("o_orderkey"),
-        lit(null).cast(IntegerType).as("ship_year"),
-        col("o_totalprice").as("total"),
-        lit(null).cast(DoubleType).as("line_rev")))
-      val updates = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("o_orderkey"))
-        .agg(year(max(col("l_shipdate"))).as("ship_year"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("line_rev"))
-        .withColumn("total", lit(null).cast(DoubleType))
-      fact.merge(updates)
-      fact.current.orderBy(col("o_orderkey"))
-    })
-  )
-
-  private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // the end-to-end training-data story: quality-score + language-id +
-    // exact-dedup composed into one curation plan (filter early, dedup on
-    // the fingerprint, keep the lowest doc_id per duplicate group) — the
-    // operators are combinators, so the whole pipeline is a single Catalyst
-    // plan with pushdown across every stage
-    "pipeline_curate" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(
-        col("doc_id"), col("text"), col("source"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"),
-        TextAnalysis.langId(col("text")).as("lang"))
-      val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.3)
-      Dedup.exact(kept, "text", "doc_id")
-        .select(col("doc_id"), col("source"), col("quality"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // end-to-end training-data preparation in ONE declarative plan:
-    // quality filter → exact dedup → language-mixture rebalance → split
-    // assignment → sequence-pack addressing of the train split. Catalyst
-    // fuses the scan-speed stages; the only shuffles are the dedup hash
-    // partition and the per-shard packing window — the full 100 TB
-    // curation-to-serving path as a single lineage
-    "pipeline_train_prep" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"),
-          dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"))
-        .filter(col("quality") >= 0.3)
-      val deduped = Dedup.exact(scored, "text", "doc_id")
-      val mixed = Sampling.mixtureSample(deduped, "lang", "doc_id",
-        TextAnalysis.tokenCount(col("text")),
-        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
-        budgetFrac = 0.6, salt = "prep-v1")
-        .filter(col("kept"))
-      val train = mixed.withColumn("split", Sampling.splitAssign(col("doc_id"),
-          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "prep-v1"))
-        .filter(col("split") === "train")
-      Packing.packPlan(train, "doc_id", col("n_tokens"), shards = 16, ctxLen = 512)
-        .orderBy(col("doc_id"))
-    }),
-
-    // exact dedup (hash-groupBy on content fingerprint)
-    "dedup_exact" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // MinHash+LSH near-dup pairs, verified by exact Jaccard — the oracle is
-    // the exact n-gram-Jaccard pair set (LSH recall at j>=0.8 with 32 bands
-    // of 2 rows is 1-(1-j²)³² ≈ 1-1e-14: exhaustive on this S-curve)
-    "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // triangle density of the near-dup graph: clique-shaped template
-    // families vs chain-shaped incidental overlap — two edge-set equi-joins
-    "dedup_triangles" -> ((s, dir) => {
-      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8)
-      Dedup.triangleCounts(pairs, "id_a", "id_b")
-        .orderBy(col("node"))
-    }),
-
-    // exact edit-distance verification of the fuzzy candidates: normalized
-    // Levenshtein similarity over ONLY the pair set (codegen'd builtin,
-    // pair-proportional text fetch) — the final check before dropping docs
-    "dedup_edit_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8)
-      Dedup.editVerify(pairs, "id_a", "id_b", docs, "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // SimHash near-dup pairs (hamming <= 3 via 4x16-bit chunk pigeonhole).
-    // md5-derived 60-bit hashes — the oracle reproduces the fingerprints and
-    // verifies by exhaustive bit_count(xor) over all pairs.
-    "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // winnowed rolling-hash fingerprints (MOSS winnowing): partial-overlap
-    // pairs whole-document hashing cannot see — one shuffle keyed by
-    // fingerprint, degenerate fingerprints capped
-    "dedup_winnow" -> ((s, dir) => {
-      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 4, window = 4, minShared = 5, maxDocsPerFp = 100)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // benchmark decontamination: training docs sharing winnowed fingerprints
-    // with the (held-out) benchmark subset — cross-dataset partial-overlap
-    // containment, one equi-shuffle on the fingerprint
-    "dedup_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.contamination(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        minShared = 3)
-        .orderBy(col("train_id"), col("bench_id"))
-    }),
-
-    // doc-in-doc containment: candidate pairs from rare shingles (df ≤ 64 —
-    // the maxBucket discipline), exact containment |A∩B|/min(|A|,|B|) — the
-    // asymmetric near-dup measure that catches quotes/wrappers/partial
-    // mirrors Jaccard misses; one frozen (id, shingle) frame feeds both
-    // candidate generation and the size denominators
-    // GATE SAMPLING CONTRACT (the dedup_minhash_eval discipline): the
-    // operator itself is full-corpus; the gate query runs it on the
-    // deterministic half-sample doc_id % 2 = 0. Containment output is
-    // corpus-proportional BY CONSTRUCTION (r13 scale check: 14x wall at
-    // 10x data at 1.40/row — honest linearity, but a gate query whose
-    // cost grows with every sf bump would eventually own the bench
-    // budget); the half-sample keeps the same candidate shapes at ~1/4
-    // the pair volume while the full-corpus path stays covered by
-    // graph_degree_hist / graph_jaccard, which consume containmentPairs
-    // over the whole documents table.
-    "dedup_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(
-          docsNorm(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          n = 3, maxDf = 64, minShared = 2, minContain = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // near-dup graph clustering: connected components (iterative min-label
-    // propagation, one equi-shuffle per round) over the MinHash pair set —
-    // pairwise evidence becomes per-document keep/drop decisions
-    "dedup_clusters" -> ((s, dir) => {
-      Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8))
-        .orderBy(col("doc_id"))
-    }),
-
-    // per-document novelty: fraction of k-gram positions duplicated
-    // anywhere in the corpus — one frozen gram frame, one digest
-    // aggregation, per-doc rollups; the memorization-risk ranking
-    "text_novelty" -> ((s, dir) => {
-      graft.functions.Dedup.noveltyScores(docsNorm(s, dir), "doc_id", "text", k = 8)
-        .orderBy(col("doc_id"))
-    }),
-
-    // categorical entropy of the event-type column: the one-number
-    // balance audit off the bounded value-count table
-    "stats_entropy" -> ((s, dir) => {
-      graft.functions.Stats.categoricalEntropy(events(s, dir), "event_type")
-    }),
-
-    // mutual information event_type × hour-of-day: the dependence audit
-    // entropy can't see — ONE aggregation to the bounded joint table,
-    // exact-integer ln ratios, decimal-staged sums
-    "stats_mi" -> ((s, dir) => {
-      graft.functions.Stats.mutualInformation(
-        events(s, dir).select(col("event_type"), hour(col("ts")).as("hr")),
-        "event_type", "hr")
-    }),
-
-    // Theil's U: WHICH WAY does the type-hour dependence run — both
-    // directional uncertainty coefficients off the same joint-count
-    // table, one divide each of the rounded MI/entropy pieces
-    "stats_theilu" -> ((s, dir) => {
-      graft.functions.Stats.theilU(
-        events(s, dir).select(col("event_type"), hour(col("ts")).as("hr")),
-        "event_type", "hr")
-    }),
-
-    // streaming Theil's U (batch replay of 5 batches): third readout off
-    // the same additive joint-count state as stream_mi / stream_cramers
-    // — equals the batch coefficients; same oracle
-    "stream_theilu" -> ((s, dir) => {
-      val mm = miHrState(s, dir)
-      mm.uncertainty
-    }),
-
-    // Cramér's V: how strongly is event TYPE coupled to WEEKDAY — the
-    // [0,1] effect size next to stats_mi on the same joint-count shape;
-    // absent cells contribute their expected count via the margins cross
-    // join, (O−E)²/E terms decimal-staged before the bounded r×c sum
-    "stats_cramers" -> ((s, dir) => {
-      graft.functions.Stats.cramersV(
-        events(s, dir).select(col("event_type"),
-          dayofweek(col("ts")).as("dow")),
-        "event_type", "dow")
-    }),
-
-    // streaming Cramér's V (batch replay of 5 batches): the SAME additive
-    // joint-count state as stream_mi, read out through
-    // MiMonitor.association — equals the batch cramersV; same oracle
-    "stream_cramers" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_type"),
-        dayofweek(col("ts")).as("dow"), col("event_id"))
-      val mm = new graft.streaming.Streaming.MiMonitor("event_type", "dow")
-      (0 until 5).foreach(b => mm.update(ev.filter(col("event_id") % 5 === b)))
-      mm.association
-    }),
-
-    // cluster-size distribution: the after-clustering audit (is dup mass
-    // a few template whales or many small pairs) — two bounded rollups
-    // over the cluster labeling
-    "dedup_cluster_stats" -> ((s, dir) => {
-      graft.functions.Dedup.clusterSizeStats(
-          Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, k = 64, bands = 32, threshold = 0.8)))
-        .orderBy(col("size"))
-    }),
-
-    // cluster collapse, content-aware: keep each near-dup cluster's
-    // longest member (ties → smallest id), emit the drop list — token
-    // counts fetched only for cluster members, winner per cluster from ONE
-    // max_by aggregation, the corpus never shuffles
-    "dedup_keep_best" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.keepBest(
-        Dedup.clusters(Dedup.minhashPairs(docs, "doc_id", "text",
-          n = 3, k = 64, bands = 32, threshold = 0.8)),
-        docs, "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-
-    // duplicate-aware sampling weights (soft dedup): 1/cluster-size weight
-    // + deterministic one-per-cluster-in-expectation keep — sizes from the
-    // pair graph, the corpus takes one left join + scan-speed arithmetic
-    "sample_dedup_weight" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.duplicateWeights(
-        Dedup.clusters(Dedup.minhashPairs(docs, "doc_id", "text",
-          n = 3, k = 64, bands = 32, threshold = 0.8)),
-        docs, "doc_id", salt = "dupw-v1")
-        .orderBy(col("doc_id"))
-    }),
-
-    // PageRank centrality of the near-dup graph (template-mass signal):
-    // 3 damped rounds in scaled-integer arithmetic — exact floor-divide
-    // longs, so ranks are engine-reproducible; each round is one keyed
-    // join + one keyed aggregation over the pair graph, never the corpus
-    "graph_pagerank" -> ((s, dir) => {
-      graft.functions.Graphs.pageRankScaled(
-        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 64, bands = 32, threshold = 0.8),
-        iterations = 3)
-        .orderBy(col("node"))
-    }),
-
-    // degree distribution of the shared-boilerplate graph (low-containment
-    // edges chain through common phrases, unlike the near-dup cliques):
-    // the template-mass diagnostic — two keyed aggregations, output
-    // bounded by max degree
-    "graph_degree_hist" -> ((s, dir) => {
-      graft.functions.Graphs.degreeHistogram(
-        Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, maxDf = 64, minShared = 2, minContain = 0.08))
-        .orderBy(col("degree"))
-    }),
-
-    // neighborhood-Jaccard link prediction: non-edge pairs sharing common
-    // neighbors, scored in exact permille — recovers pairs the candidate
-    // screen missed; hub-capped length-2 path join, never all-pairs
-    "graph_jaccard" -> ((s, dir) => {
-      graft.functions.Graphs.neighborJaccard(
-        Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, maxDf = 64, minShared = 2, minContain = 0.08),
-        maxDegree = 64L)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // chunk-level exact dedup (paragraph-granularity generalized to fixed
-    // 10-token windows): duplicated chunks with occurrence/document counts —
-    // one shuffle keyed by the chunk digest
-    "dedup_chunk" -> ((s, dir) => {
-      Dedup.chunkDups(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
-        .orderBy(col("chunk_fp"))
-    }),
-
-    // PII detection + redaction (emails / IPv4 / phone) — pure codegen'd
-    // regexp expressions at scan speed. The corpus carries no organic PII,
-    // so the fixture injects deterministic spans keyed by doc_id; the
-    // oracle builds the identical fixture and re-runs the identical
-    // patterns, value-checking counts and the redacted-text digest.
-    "text_pii" -> ((s, dir) => {
-      val ptext = concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact u"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
-            lit(".25"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" call 555-123-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
-      t(s, dir, "documents").select(col("doc_id"),
-        Pii.emailCount(ptext).as("n_email"),
-        Pii.ipv4Count(ptext).as("n_ip"),
-        Pii.phoneCount(ptext).as("n_phone"),
-        md5(Pii.redact(ptext)).as("red_fp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // PII exposure rates by source: the compliance column of the trust
-    // table — scan-speed detection over the injected fixture, one rollup
-    // to |sources| rows
-    "curate_pii_by_source" -> ((s, dir) => {
-      val ptext = concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact u"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
-            lit(".25"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" call 555-123-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0,
-          concat(lit(" card "), (lit(1000000000000000L) +
-            ((col("doc_id") % 100000) * 9999991L + col("doc_id"))).cast("string")))
-          .otherwise(lit("")))
-      graft.functions.Curation.piiBySource(t(s, dir, "documents"), "source", ptext)
-        .orderBy(col("source"))
-    }),
-
-    // pairwise cosine histogram over a deterministic md5 sample: the
-    // embedding threshold-selection evidence — (n/mod)^2 bounded pairs
-    "sim_dist_hist" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.cosineHistogram(e, "vec_id", "v", width = 0.1, sampleMod = 4)
-        .orderBy(col("bin"))
-    }),
-
-    // two-stage card-number PII: regex finds card-SHAPED candidates, a
-    // fixed 16-term Luhn fold (pure codegen, no UDF) confirms them — both
-    // engines compute the checksum, so validity is data-derived, not
-    // planted. Redaction is shape-conservative.
-    "text_pii_cards" -> ((s, dir) => {
-      val plain = (lit(1000000000000000L) +
-        ((col("doc_id") % 100000) * 9999991L + col("doc_id"))).cast("string")
-      val g = (lit(1000000000000000L) +
-        ((col("doc_id") % 100000) * 1234567L + col("doc_id") * 3)).cast("string")
-      val grouped = concat_ws("-", substring(g, 1, 4), substring(g, 5, 4),
-        substring(g, 9, 4), substring(g, 13, 4))
-      val ptext = concat(col("text"),
-        when(col("doc_id") % 4 === 0, concat(lit(" card "), plain)).otherwise(lit("")),
-        when(col("doc_id") % 6 === 0, concat(lit(" acct "), grouped)).otherwise(lit("")))
-      t(s, dir, "documents").select(col("doc_id"),
-        Pii.cardCandidateCount(ptext).as("n_candidates"),
-        Pii.cardCount(ptext).as("n_valid"),
-        md5(Pii.redactCards(ptext)).as("red_fp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // sequence packing: deterministic (shard, pack, offset) addresses via a
-    // per-shard running token total — hash-partitioned windows, no global sort
-    "pack_sequences" -> ((s, dir) => {
-      Packing.packPlan(t(s, dir, "documents"), "doc_id",
-        TextAnalysis.tokenCount(col("text")), shards = 32, ctxLen = 512)
-        .orderBy(col("doc_id"))
-    }),
-
-    // deterministic hash-bucket split assignment (train/val/test membership
-    // that never reshuffles across runs/engines/scales)
-    "sample_split" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        Sampling.hashBucket(col("doc_id"), 10000, "v1").as("bucket"),
-        Sampling.splitAssign(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1").as("split"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // leakage-safe splitting: near-dup clusters move between train/val/test
-    // atomically — the split key is the component label, not the doc id
-    "sample_split_leakage_safe" -> ((s, dir) => {
-      Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        n = 3, k = 64, bands = 32, threshold = 0.8, salt = "v1")
-        .orderBy(col("doc_id"))
-    }),
-
-    // temporal embargo split: train on the first 80% of calendar days, drop
-    // a 1-day embargo band, test on the rest — the time-leakage twin of the
-    // cluster-atomic split; cut derived from the day-grain calendar and
-    // broadcast back, rows classify at scan speed
-    "sample_temporal_split" -> ((s, dir) => {
-      Sampling.temporalSplit(events(s, dir), "ts")
-        .select(col("event_id"), col("split"))
-        .orderBy(col("event_id"))
-    }),
-
-    // stratified deterministic sampling: per-source quota in hash order
-    // (data-mixing quotas, reproducible)
-    "sample_stratified" -> ((s, dir) => {
-      Sampling.stratifiedSample(t(s, dir, "documents"), Seq("source"), "doc_id", 5, "v1")
-        .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // weighted reservoir sampling (Efraimidis–Spirakis A-ES): per-language
-    // top-20 by ln(u)/w with w = token count — documents drawn proportional
-    // to token mass, deterministically, one shuffle on the group key
-    "sample_weighted" -> ((s, dir) => {
-      val docs = docsNorm(s, dir).withColumn("n_tokens",
-        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"))
-      Sampling.weightedSample(docs, Seq("lang"), "doc_id",
-          col("n_tokens"), k = 20, salt = "wsample")
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("sample_rank"))
-        .orderBy(col("lang"), col("sample_rank"))
-    }),
-
-    // deterministic Gumbel-top-k: exact softmax(4·quality) draw without
-    // replacement via invTemp·score − ln(−ln(u)) keys over md5-derived u —
-    // temperature-controlled quality selection, scan-speed + TakeOrdered
-    "sample_gumbel" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        round(TextAnalysis.qualityScoreRaw(col("text"))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
-          .cast(DoubleType).as("q"))
-      Sampling.gumbelTopK(scored, "doc_id", col("q"), k = 50,
-          invTemp = 4.0, salt = "g-v1")
-        .orderBy(col("gumbel_key").desc, col("doc_id"))
-    }),
-
-    // streaming Gumbel selection (batch replay of 5 micro-batches):
-    // deterministic keys make top-k(state ∪ batch) equal the global
-    // top-k — constant k-row state; identical oracle
-    "stream_gumbel" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        round(TextAnalysis.qualityScoreRaw(col("text"))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 4)
-          .cast(DoubleType).as("q"))
-      val gm = new graft.streaming.Streaming.GumbelTopKMonitor(
-        "doc_id", "q", k = 50, invTemp = 4.0, salt = "g-v1")
-      (0 until 5).foreach(b => gm.update(scored.filter(col("doc_id") % 5 === b)))
-      gm.selected.orderBy(col("gumbel_key").desc, col("doc_id"))
-    }),
-
-    // matryoshka truncation eval: rank by the FIRST-16-dims cosine, grade
-    // against full-dim truth with the same ln-discount nDCG — "how much
-    // ranking quality does the 4x cheaper prefix retain"
-    "sim_mrl_ndcg" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val queries = e.filter(col("vec_id") < 10)
-      val truth = Vectors.bruteForceTopK(queries, e, "vec_id", "v", "vec_id", "v", k = 20)
-        .select(col("query_id"), col("neighbor_id"),
-          greatest(col("cosine"), lit(0.0)).as("rel"), col("rank"))
-      val trunc = e.select(col("vec_id"), slice(col("v"), 1, 16).as("v"))
-      val ranked = Vectors.bruteForceTopK(
-          trunc.filter(col("vec_id") < 10), trunc, "vec_id", "v", "vec_id", "v", k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      Vectors.ndcgOfRanking(ranked, truth, k = 10).orderBy(col("query_id"))
-    }),
-
-    // domain-level statistics: the per-source trust table (doc count, mean
-    // quality, exact-dup rate, mean length) — one aggregation to |domains|
-    // rows, the table a web-scale curation pass broadcasts
-    "curate_domains" -> ((s, dir) => {
-      graft.functions.Curation.domainStats(docsNorm(s, dir), "source", "text")
-        .orderBy(col("source"))
-    }),
-
-    // cross-source shingle-overlap matrix: near-mirror detection between
-    // crawl sources — shingle-keyed self-join, |sources|²-row output
-    "curate_source_overlap" -> ((s, dir) => {
-      graft.functions.Curation.sourceOverlap(docsNorm(s, dir), "source", "text")
-        .orderBy(col("source_a"), col("source_b"))
-    }),
-
-    // corpus snapshot diff (recrawl CDC): two deterministic versions of the
-    // corpus — v_old drops ids ≡9 (mod 10), v_new drops ids ≡0 and edits
-    // ids ≡5 — classified added/removed/changed/unchanged by ONE full outer
-    // join of (id, fingerprint) pairs
-    "curate_snapshot_diff" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
-      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" revised"))).otherwise(col("text")))
-      graft.functions.Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-
-    // token drift between the same two snapshots: top KL(new‖old)
-    // contributors — the injected 'revised' token must surface
-    "curate_token_drift" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
-      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" revised"))).otherwise(col("text")))
-      graft.functions.Curation.tokenDrift(vOld, vNew, "text", k = 15)
-        .orderBy(col("token"))
-    }),
-
-    // Jensen–Shannon divergence between the same corpus slices as
-    // curate_token_drift: the single symmetric bounded drift number next
-    // to the top-k KL contributors — ONE shared vocab-bounded count table,
-    // per-token terms decimal-staged before the vocabulary sum
-    "curate_jsd" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
-      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" revised"))).otherwise(col("text")))
-      graft.functions.Curation.jsDivergence(vOld, vNew, "text")
-    }),
-
-    // TVD + Hellinger + Bhattacharyya between the same two corpus
-    // versions as curate_jsd: the rest of the f-divergence menu off the
-    // same vocabulary-bounded count table — TVD bounds any classifier's
-    // distinguishing power, Hellinger weights rare tokens correctly,
-    // Bhattacharyya composes across independent slices
-    "curate_hellinger" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val vOld = docs.filter(col("doc_id") % 10 =!= 9)
-      val vNew = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" revised"))).otherwise(col("text")))
-      graft.functions.Curation.distributionDistances(vOld, vNew, "text")
-    }),
-
-    // per-language score calibration: z-normalized quality so one global
-    // threshold treats every language slice fairly
-    "curate_score_calibrate" -> ((s, dir) => {
-      graft.functions.Curation.calibrateScores(docsNorm(s, dir), "lang",
-          TextAnalysis.qualityScoreRaw(col("text")))
-        .select(col("doc_id"), col("lang"), col("group_mean"),
-          col("group_std"), col("z_score"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // token-budget mixture planning: per-source keep rates to hit a global
-    // token budget under target weights expressed as integer PARTS (exactly
-    // representable doubles, so the normalized share is one IEEE divide both
-    // engines compute bit-identically). src0 upweighted (exercises the
-    // availability cap + shortfall), src1 starved, the rest even.
-    "curate_mixture_plan" -> ((s, dir) => {
-      val weights = Map("src0" -> 60.0, "src1" -> 1.0) ++
-        (2 until 20).map(i => s"src$i" -> 8.0).toMap
-      graft.functions.Curation.mixturePlan(docsNorm(s, dir), "source", "text",
-          weights, budgetTokens = 100000L)
-        .orderBy(col("source"))
-    }),
-
-    // declarative rule-based curation: first-violated-rule annotation +
-    // kept flag, all rules in ONE scan-speed projection — the per-rule
-    // rejection audit every production filter ships (rule order = priority)
-    "curate_rules" -> ((s, dir) => {
-      val (annotated, _) = graft.functions.Curation.ruleCurate(docsNorm(s, dir), Seq(
-        "empty" -> (TextAnalysis.tokenCount(col("text")) === 0),
-        "too_short" -> (TextAnalysis.tokenCount(col("text")) < 25),
-        "too_long" -> (col("n_chars") > 900),
-        "cjk_excluded" -> (col("lang") === "zh")))
-      annotated.select(col("doc_id"), col("violated_rule"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Cohen's kappa between the heuristic-quality filter and the length
-    // rule: ONE scan+reduce to the 2×2 confusion row, κ from the rounded
-    // po/pe pieces — the filter-agreement audit before swapping filters
-    "curate_kappa" -> ((s, dir) => {
-      graft.functions.Curation.raterAgreement(docsNorm(s, dir),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25)
-    }),
-
-    // McNemar's paired-disagreement test on the same two filters: is the
-    // disagreement ASYMMETRIC (one filter systematically stricter) —
-    // signed z + Edwards-corrected chi2 off the same 2×2 confusion row
-    "curate_mcnemar" -> ((s, dir) => {
-      graft.functions.Curation.mcnemar(docsNorm(s, dir),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25)
-    }),
-
-    // Scott's pi + Gwet's AC1 on the same two filters: the
-    // prevalence-robust agreement pair that stays calibrated where
-    // kappa's paradox bites — same 2×2 confusion row
-    "curate_gwet" -> ((s, dir) => {
-      graft.functions.Curation.chanceRobustAgreement(docsNorm(s, dir),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        TextAnalysis.tokenCount(col("text")) >= 25)
-    }),
-
-    // streaming pi/AC1 (the THIRD readout of the same confusion state):
-    // equals the batch curate_gwet; same oracle
-    "stream_gwet" -> ((s, dir) => {
-      kappaState(s, dir).chanceRobustAgreement
-    }),
-
-    // exact ROC-AUC of the classifier micro-sum against the quality label:
-    // rank-sum identity over the bounded per-score count table, cumulative
-    // negatives via the distributed prefix scan — threshold-free filter eval
-    "curate_auc" -> ((s, dir) => {
-      graft.functions.Stats.rocAuc(docsNorm(s, dir),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5)
-    }),
-
-    // P/R/F1 operating points at three candidate cuts: each threshold is
-    // three more conditional sums in the SAME single scan+reduce; F1 forms
-    // from exact integers, one divide each
-    "curate_pr_curve" -> ((s, dir) => {
-      graft.functions.Stats.prCurve(docsNorm(s, dir),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        thresholds = Seq(-2000000.0, 0.0, 2000000.0))
-        .orderBy(col("threshold"))
-    }),
-
-    // reliability diagram: micro-sum bins vs observed positive rate — does
-    // the margin MEAN a probability, or only rank; one bounded aggregation
-    "curate_reliability" -> ((s, dir) => {
-      graft.functions.Stats.reliability(docsNorm(s, dir),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1"),
-        dround(TextAnalysis.qualityScoreRaw(col("text")), 4) >= 0.5,
-        width = 2000000.0)
-        .orderBy(col("bin"))
-    }),
-
-    // per-domain document cap: keep the 20 longest docs per source (ties
-    // to smaller id) — the at-most-N-pages-per-host crawl rule; ONE
-    // domain-keyed ranking window, no joins
-    "curate_host_cap" -> ((s, dir) => {
-      graft.functions.Curation.capPerDomain(docsNorm(s, dir), "source",
-          "doc_id", TextAnalysis.tokenCount(col("text")), cap = 20)
-        .orderBy(col("doc_id"))
-    }),
-
-    // declared-vs-detected language agreement matrix: scan-speed langid,
-    // ONE aggregation to the bounded |langs|² matrix, broadcast totals —
-    // the mislabeled-metadata audit before mixing by declared language
-    "curate_lang_mismatch" -> ((s, dir) => {
-      graft.functions.Curation.langMismatch(docsNorm(s, dir), "lang", "text")
-        .orderBy(col("declared"), col("detected"))
-    }),
-
-    // per-column completeness profile: every counter from ONE corpus pass
-    // (frozen 1-row wide agg, stacked to |cols| rows) — nulls and empties
-    // injected deterministically so the audit has real signal
-    "stats_null_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang")).as("lang"),
-        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")).as("text"),
-        col("source"))
-      graft.functions.Stats.nullProfile(d, Seq("lang", "text", "source"))
-        .orderBy(col("col_name"))
-    }),
-
-    // streaming twin: per-column counters are additive, so the accreted
-    // profile equals the batch one — identical oracle
-    "stream_null_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("lang")).as("lang"),
-        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")).as("text"),
-        col("source"))
-      val npm = new graft.streaming.Streaming.NullProfileMonitor(Seq("lang", "text", "source"))
-      (0 until 5).foreach(b => npm.update(d.filter(col("doc_id") % 5 === b)))
-      npm.profile.orderBy(col("col_name"))
-    }),
-
-    // per-(source, lang) data card: doc counts, token volume, mean
-    // quality, exact-dup rate — per-doc signals at scan speed, ONE
-    // fingerprint aggregation for dup flags, ONE rollup to the slice
-    // table; boilerplate injected on doc_id % 17 so dup detection has
-    // real positives
-    "curate_datacard" -> ((s, dir) => {
-      val ptext = when(col("doc_id") % 17 === 0,
-        lit("standard boilerplate footer all rights reserved"))
-        .otherwise(col("text"))
-      graft.functions.Curation.dataCard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("source"), col("lang"), ptext.as("text")),
-          "doc_id", "text", Seq("source", "lang"))
-        .orderBy(col("source"), col("lang"))
-    }),
-
-    // URL canonicalization dedup: five synthesized variants per logical
-    // page (case, default port, trailing slash + fragment, tracking
-    // params, https) collapse through the scan-speed regex canonicalizer
-    // into dup groups — both engines run the same rewrites
-    "curate_url_canon" -> ((s, dir) => {
-      val grp = expr("doc_id div 5")
-      val host = concat(lit("s"), (grp % 20).cast("string"), lit(".example.com"))
-      val k = grp.cast("string")
-      val url =
-        when(col("doc_id") % 5 === 0,
-          concat(lit("http://"), host, lit("/docs/"), k, lit("?id="), k))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("HTTP://"), upper(host), lit(":80/docs/"), k, lit("?id="), k))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("http://"), host, lit("/docs/"), k, lit("/?id="), k, lit("#frag")))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("http://"), host, lit("/docs/"), k,
-            lit("?utm_source=feed&utm_campaign=x&id="), k))
-        .otherwise(
-          concat(lit("https://"), host, lit(":443/docs/"), k, lit("?id="), k))
-      graft.functions.Curation.urlDupGroups(
-          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
-          "doc_id", "url")
-        .orderBy(col("canonical_url"))
-    }),
-
-    // boilerplate n-gram audit: trigrams repeated across >= 5 distinct
-    // docs — ONE explode, two-level hash agg (per-doc counts make docs
-    // distinct before the rollup, so df is a plain count)
-    "curate_boilerplate" -> ((s, dir) => {
-      graft.functions.Curation.boilerplateNgrams(docsNorm(s, dir),
-          "doc_id", "text", n = 3, minDf = 5)
-        .orderBy(col("ngram"))
-    }),
-
-    // padding-waste audit across candidate context lengths: the
-    // seqLen-planning table that quantifies the packing argument — one
-    // map-side-combined aggregation per candidate, exact long arithmetic
-    "pack_padding_audit" -> ((s, dir) => {
-      graft.functions.Packing.paddingAudit(docsNorm(s, dir),
-          TextAnalysis.tokenCount(col("text")), Seq(64, 128, 256))
-        .orderBy(col("ctx_len"))
-    }),
-
-    // length-bucketed inference batching: docs dealt md5-deterministically
-    // into batchSize-row batches WITHIN a token-length bin (md5 sub-shards
-    // bound per-partition window state) — per-batch padding report
-    "pack_length_buckets" -> ((s, dir) => {
-      Packing.lengthBucketStats(
-          Packing.lengthBuckets(docsNorm(s, dir), "doc_id",
-            TextAnalysis.tokenCount(col("text")),
-            width = 16, batchSize = 8, shards = 4))
-        .orderBy(col("bin"), col("shard"), col("batch"))
-    }),
-
-    // curation BY domain: annotate every document with its domain verdict
-    // (quality floor, duplication ceiling, blocklist) — broadcast join of
-    // the stats table back onto the scan, the corpus itself never shuffles
-    "curate_by_domain" -> ((s, dir) => {
-      graft.functions.Curation.curateByDomain(docsNorm(s, dir), "source", "text",
-          minMeanQuality = 0.63, maxDupFrac = 0.2, minDocs = 10,
-          blocklist = Seq("spamnet"))
-        .select(col("doc_id"), col("source"), col("mean_quality"),
-          col("dup_frac"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // SparkSessionExtensions surface: the native Catalyst expressions
-    // callable from PURE SQL — registered into the live session the way
-    // spark.sql.extensions=graft.plans.GraftExtensions would at startup
-    "fn_sql_extensions" -> ((s, dir) => {
-      graft.plans.GraftExtensions.register(s)
-      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
-      t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .createOrReplaceTempView("graft_emb")
-      s.sql("""
-        SELECT d.doc_id,
-          size(graft_shingles(split(trim(regexp_replace(regexp_replace(lower(d.text),
-            '[^a-z0-9]+', ' '), ' +', ' ')), ' '), 3)) AS n_shingles,
-          CAST(round(CAST(graft_dot(e.v, e.v) AS DECIMAL(18,8)), 4) AS DOUBLE) AS self_dot
-        FROM graft_docs d JOIN graft_emb e ON d.doc_id = e.vec_id
-        ORDER BY d.doc_id""")
-    }),
-
-    // hot-band detection + bucketed point-in-interval join: per-type hot
-    // bounded-radius nearest alignment: each click to its nearest purchase
-    // within 1h for the same user — 3-bucket explode + keyed equi-join +
-    // min(struct) resolution, never a per-user range join
-    "join_nearest" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("cts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("pts"))
-      graft.core.Joins.nearestJoin(clicks, "cts", "click_id",
-          purchases, "pts", "purchase_id",
-          maxDistance = 3600000000L, keys = Seq("user_id"))
-        .orderBy(col("user_id"), col("click_id"))
-    }),
-
-    // band join |a.value − b.value| ≤ tol with no equi key beyond the type:
-    // tol-sized buckets, probe side explodes ×3, shuffled hash join + exact
-    // predicate — never a nested-loop; a 1/101 probe slice bands against
-    // the full stream
-    "join_band" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val probes = ev.filter(col("event_id") % 101 === 0)
-        .select(col("event_id").as("probe_id"), col("event_type").as("probe_type"),
-          col("value").as("probe_value"))
-      val base = ev.select(col("event_id").as("match_id"),
-        col("event_type").as("match_type"), col("value").as("match_value"))
-      graft.core.Joins.bandJoin(probes, "probe_value", base, "match_value",
-          tol = 0.05, keys = Seq("probe_type" -> "match_type"))
-        .filter(col("probe_id") =!= col("match_id"))
-        .select(col("probe_id"), col("match_id"), col("probe_value"), col("match_value"))
-        .orderBy(col("probe_id"), col("match_id"))
-    }),
-
-    // generic as-of join (merge_asof/aj): each purchase picks the user's
-    // most recent click at-or-before it — union-tag + ONE user-keyed carry
-    // window, never a per-key range join; 2h staleness tolerance exercised
-    "join_asof" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
-          col("value").as("click_value"))
-      graft.core.Joins.asofJoin(purchases, "event_id", clicks, "click_id",
-          "user_id", "ts", Seq("click_id", "click_value"),
-          toleranceSeconds = Some(7200L))
-        .orderBy(col("event_id"))
-    }),
-
-    // value bands (all-integer threshold, anti-join islands over the
-    // bounded bin table), then events tagged by EVERY type's band they fall
-    // in — the no-equi-key range join as a bucket equi-join, never a BNLJ
-    "join_interval" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val bands = graft.functions.Stats.hotBands(ev, "event_type", "value",
-          width = 10.0, num = 12, den = 10)
-        .select(col("event_type").as("band_type"),
-          (col("band_lo_bin") * 10.0 + 2.5).as("lo"),
-          ((col("band_hi_bin") + 1) * 10.0 - 2.5).as("hi"))
-      graft.core.Joins.intervalJoin(
-          ev.select(col("event_id"), col("event_type"), col("value")),
-          "value", bands, "lo", "hi", width = 10.0)
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("band_type"), col("lo"), col("hi"))
-        .orderBy(col("event_id"), col("band_type"))
-    }),
-
-    // interval-overlap join: per-user daily click spans vs view spans —
-    // the no-equi-key overlap predicate decomposed into a bucket equi-join
-    // (1h buckets, exact integer arithmetic) with the responsibility-bucket
-    // rule emitting each overlapping pair exactly once, never a BNLJ
-    "join_overlap" -> ((s, dir) => {
-      val ev = events(s, dir)
-      def spans(tpe: String, p: String) =
-        ev.filter(col("event_type") === tpe)
-          .groupBy(col("user_id"), to_date(col("ts")).as(s"${p}_day"))
-          .agg(min(unix_micros(col("ts"))).as(s"${p}_lo"),
-            (max(unix_micros(col("ts"))) + 1).as(s"${p}_hi"))
-      graft.core.Joins.overlapJoin(
-          spans("click", "c"), "c_lo", "c_hi",
-          spans("view", "v"), "v_lo", "v_hi",
-          width = 3600000000.0, keys = Seq("user_id"))
-        .select(col("user_id"), col("c_day"), col("v_day"),
-          col("c_lo"), col("c_hi"), col("v_lo"), col("v_hi"))
-        .orderBy(col("user_id"), col("c_day"), col("v_day"))
-    }),
-
-    // CCNet perplexity buckets: unigram-LM scores cut into head/middle/tail
-    // at each LANGUAGE's own histogram terciles — per-group thresholds
-    // broadcast back, integer-bin compares, the corpus shuffles only for
-    // the LM scoring pass itself
-    "curate_ppl_buckets" -> ((s, dir) => {
-      graft.functions.Curation.perplexityBuckets(docsNorm(s, dir), "doc_id",
-          "text", "lang", width = 0.005, qLow = 0.33, qHigh = 0.66)
-        .orderBy(col("doc_id"))
-    }),
-
-    // embedding-cosine near-dup pairs: exact brute-force (oracle baseline)
-    "dedup_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-        .withColumn("na", Vectors.norm(col("va")))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        .withColumn("nb", Vectors.norm(col("vb")))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cosine", Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("id_a"), col("id_b"), dround(col("cosine"), 4).as("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // sign-LSH bucketed cosine near-dup — the 100 TB scale path (one shuffle
-    // on the bucket id). md5-derived planes → the oracle reproduces buckets
-    // AND the exact cosine verification.
-    "dedup_cosine_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Dedup.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.4, planes = 4)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // brute-force cosine top-k similarity search (ANN exactness baseline)
-    "sim_bruteforce" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v", k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // LSH-bucketed ANN top-k (multi-probe) — scale path; md5-derived planes
-    // make the whole pipeline (buckets, probes, ranks) oracle-reproducible
-    "sim_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.annTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
-        k = 5, planes = 4)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // IVF-bucketed ANN top-k: nearest-centroid partitioning (one shuffle
-    // keyed by cluster), nProbe-cluster search — the inverted-file scale
-    // path; deterministic sampled centroids keep it oracle-reproducible
-    "sim_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
-        k = 5, nCentroids = 16, nProbe = 4)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // ANN quality as data: per-query recall of the LSH ANN against the exact
-    // brute-force top-k — both pipelines oracle-reproducible, so the recall
-    // itself is value-checked cross-engine (floor asserted in VectorsSpec)
-    "sim_ann_recall" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val q = e.filter(col("vec_id") < 10)
-      val ann = Vectors.annTopK(q, e, "vec_id", "v", "vec_id", "v", k = 5, planes = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val brute = Vectors.bruteForceTopK(q, e, "vec_id", "v", "vec_id", "v", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = brute.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          dround(coalesce(col("hits"), lit(0L)) / lit(5.0), 4).as("recall"))
-        .orderBy(col("query_id"))
-    }),
-
-    // deterministic k-means coarse quantizer (2 Lloyd rounds, decimal-exact
-    // means): the trained-centroid path for IVF; the oracle replays both
-    // rounds — a drifted mean or flipped boundary assignment fails the hash
-    "sim_kmeans" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.kMeansAssign(e, "vec_id", "v",
-        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
-        .orderBy(col("vec_id"))
-    }),
-
-    // cluster-quality audit: per-cluster cohesion (mean within-cluster d²)
-    // vs separation (nearest-other-centroid d²) off the trained k-means —
-    // one corpus aggregation + a k×k centroid self-join
-    "sim_cluster_quality" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.clusterQuality(e, "vec_id", "v",
-        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
-        .orderBy(col("cluster"))
-    }),
-
-    // embedding-health profile: per-dimension mean/std/range from ONE
-    // explode + map-side-combined aggregation to dim rows — dead dims,
-    // exploding activations and snapshot drift read straight off it
-    "stats_embedding_profile" -> ((s, dir) => {
-      Vectors.dimensionProfile(
-        t(s, dir, "embeddings")
-          .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v")), "v")
-        .orderBy(col("dim"))
-    }),
-
-    // covariance submatrix of the first 8 embedding dims: redundant-
-    // capacity audit — ONE scan+reduce with a column per pair (zero row
-    // expansion), decimal-staged exact sums, stack-unpivoted pair table
-    "stats_embedding_cov" -> ((s, dir) => {
-      Vectors.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 0 to 7)
-        .orderBy(col("dim_i"), col("dim_j"))
-    }),
-
-    // embedding snapshot drift: per-dimension profile deltas between the
-    // deterministic old slice (vec_id ≢ 0 mod 10) and a new snapshot where
-    // vectors ≡ 0 mod 5 picked up a 1.1× re-scale — the re-embedding
-    // regression that must surface as mean_shift/std_ratio
-    "curate_embedding_drift" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val oldSnap = e.filter(col("vec_id") % 10 =!= 0).select(col("v"))
-      val newSnap = e
-        .select(when(col("vec_id") % 5 === 0,
-            transform(col("v"), x => x * lit(1.1))).otherwise(col("v")).as("v"))
-      Vectors.profileDrift(oldSnap, newSnap, "v").orderBy(col("dim"))
-    }),
-
-    // semantic-stratified sampling: k-means cluster quotas — the diversity
-    // draw that keeps every embedding-space mode represented (uniform
-    // sampling over-draws the densest mode); md5-ranked within cluster
-    "sample_semantic" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val assigned = Vectors.kMeansAssign(e, "vec_id", "v",
-        Vectors.kMeans(e, "vec_id", "v", k = 8, iters = 2))
-      Sampling.stratifiedSample(assigned.select(col("vec_id"), col("cluster")),
-          Seq("cluster"), "vec_id", maxPerGroup = 10, salt = "sem")
-        .orderBy(col("cluster"), col("vec_id"))
-    }),
-
-    // greedy k-center coreset (coverage-maximizing data selection): each
-    // round folds min-distance over the broadcast selected set and picks
-    // the farthest vector with ONE max_by aggregation — k scans, no
-    // pairwise matrix
-    "sim_coreset" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.kCenterCoreset(e, "vec_id", "v", k = 4)
-        .orderBy(col("rank"))
-    }),
-
-    // symmetric int8 embedding quantization + reconstruction error — the
-    // vector-compression step; floor-bias rounding is engine-identical
-    "sim_quantize" -> ((s, dir) => {
-      // scale and codes staged as columns: every downstream lambda reads an
-      // attribute (O(1) per element) instead of re-evaluating the O(dim)
-      // scale expression per element
-      t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("__v"))
-        .withColumn("scale", Vectors.int8Scale(col("__v")))
-        .withColumn("__q", Vectors.int8QuantizeWith(col("__v"), col("scale")))
-        .select(col("vec_id"), col("scale"),
-          md5(concat_ws(",", transform(col("__q"), q => q.cast("string")))).as("q_fp"),
-          dround(Vectors.int8ErrorWith(col("__v"), col("__q"), col("scale")), 6).as("err"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // PQ-ADC ANN top-k: per-subspace deterministic codebooks (decimal-exact
-    // Lloyd), corpus compressed to m codes, asymmetric distance = exact
-    // decimal sum of per-subspace table lookups — the oracle retrains all
-    // sixteen codebooks, re-encodes, and replays the ADC ranking
-    "sim_ann_pq" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
-        k = 5, dim = 64, m = 16, kSub = 32, iters = 1)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // IVFADC — the canonical web-scale ANN shape: sampled coarse quantizer
-    // prunes candidates to nProbe clusters (equi-join on cluster id), PQ
-    // asymmetric distances rank only survivors; fully oracle-replayed
-    "sim_ann_ivfpq" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
-        k = 5, dim = 64, m = 16, kSub = 32, iters = 1, nCoarse = 16, nProbe = 4)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // deterministic negatives for contrastive training: md5-hash-ordered
-    // draw excluding each query's exact top-5 neighbors and itself
-    "sim_negatives" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.negativeSample(e.filter(col("vec_id") < 10), e, "vec_id", "v",
-        "vec_id", "v", k = 5, excludeK = 5, salt = "neg-v1")
-        .orderBy(col("query_id"), col("neg_rank"))
-    }),
-
-    // two-stage retrieval: PQ-ADC shortlist (25 candidates) → exact cosine
-    // rerank of ONLY the shortlist — full vectors fetched candidate-
-    // proportionally, the compressed scan does the corpus-wide work
-    "sim_ann_rerank" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.pqRerankTopK(e.filter(col("vec_id") < 10), e, "vec_id", "v", "vec_id", "v",
-        k = 5, shortlist = 25, dim = 64, m = 16, kSub = 32, iters = 1)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // hashing-trick linear classifier (fasttext-style curation filter):
-    // md5-derived integer micro-weights, exact LONG fold → margin; the
-    // keep/drop decision is engine-identical by construction
-    "text_classifier" -> ((s, dir) => {
-      // one fold per row: margin and keep derive from the staged micro_sum
-      // (keep ⇔ micro_sum > 0 — sigmoid-free decision, see classifierMargin)
-      docsNorm(s, dir).select(col("doc_id"),
-        TextAnalysis.classifierMicroSum(col("text"), "clf-v1").as("micro_sum"),
-        TextAnalysis.tokenCount(col("text")).as("__n"))
-        .select(col("doc_id"), col("micro_sum"),
-          dround(when(col("__n") === 0, 0.0).otherwise(
-            col("micro_sum").cast("double") / (col("__n").cast("double") * 1000000.0)), 6)
-            .as("margin"),
-          (col("micro_sum") > 0).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // BPE merge scoring (tokenizer vocabulary induction): corpus-wide
-    // adjacent-pair counts, top 50 — map-side combine keeps the shuffle at
-    // distinct-pair cardinality
-    "text_bpe_pairs" -> ((s, dir) => {
-      docsNorm(s, dir)
-        .select(explode(TextAnalysis.tokenPairs(col("text"))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(50) // TakeOrderedAndProject: per-partition top-k, no global sort
-    }),
-
-    // deterministic per-epoch global shuffle: scan-speed md5 sort keys +
-    // shard assignment — the dataloader re-deal that never sorts or
-    // shuffles the corpus itself
-    "sample_epoch_shuffle" -> ((s, dir) => {
-      Sampling.epochShuffle(docsNorm(s, dir), "doc_id", epoch = 3, nShards = 8)
-        .orderBy(col("doc_id"))
-    }),
-
-    // iterative BPE training (the real tokenizer trainer): ONE corpus pass
-    // to the word-type table, then 6 merge rounds each a vocabulary-sized
-    // pair aggregation + 1-row argmax + scan-speed replace
-    "text_bpe_train" -> ((s, dir) => {
-      TextAnalysis.bpeTrain(docsNorm(s, dir), "text", nMerges = 6)
-        .orderBy(col("step"))
-    }),
-
-    // tokenizer APPLY: encode the corpus with the 6 trained merges — the
-    // merge table is driver-side metadata (≤6 rows), the encode itself is
-    // ONE codegen'd chained-replace projection over the word-TYPE table
-    "text_bpe_apply" -> ((s, dir) => {
-      val merges = TextAnalysis.bpeTrain(docsNorm(s, dir), "text", nMerges = 6)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeApply(docsNorm(s, dir), "text", merges)
-        .orderBy(col("symbol"))
-    }),
-
-    // deterministic data-mixture sampling: language-rebalancing rates from
-    // one tiny per-group aggregation, membership a pure integer compare —
-    // re-mixes 100 TB without shuffling the data
-    "sample_mixture" -> ((s, dir) => {
-      Sampling.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
-        TextAnalysis.tokenCount(col("text")),
-        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
-        budgetFrac = 0.5, salt = "mix-v1")
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("rate_bp"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // temperature-scaled mixture (τ-sampling, α=0.7): target shares come
-    // FROM the corpus as mass^α/Σmass^α — same two-job shape as
-    // sample_mixture, membership a pure integer compare, zero data shuffle
-    "sample_temperature" -> ((s, dir) => {
-      Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
-        TextAnalysis.tokenCount(col("text")), alpha = 0.7,
-        budgetFrac = 0.5, salt = "temp-v1")
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("share_bp"), col("rate_bp"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Z-order (Morton) layout: customer key × order day interleaved into a
-    // space-filling-curve file assignment — per-file min/max bounds stay
-    // tight on BOTH dimensions, the data-skipping property that lets a
-    // 100 TB scan prune files on either predicate; assignment is scan-speed
-    // (pure bit arithmetic, no sort)
-    "layout_zorder" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      Layout.zorderStats(o,
-        (col("o_custkey") % 256).cast("long"),
-        (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")) % 256)
-          .cast("long"),
-        bits = 8, files = 16)
-        .orderBy(col("file_id"))
-    }),
-
-    // size-balanced shard assignment: serpentine deal over the size-sorted
-    // corpus via the distributed dense-ordinal assigner (no single-partition
-    // window) — bounds every shard's token total to within one document of
-    // optimal, for downstream loader balance
-    "shard_balanced" -> ((s, dir) => {
-      val d = docsNorm(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      Layout.shardStats(Layout.shardBalanced(d, "doc_id", "n_tokens", 8), "n_tokens")
-        .orderBy(col("shard"))
-    }),
-
-    // small-files compaction planner: files under 300 bytes binned into
-    // ~2000-byte groups by the serpentine deal (distributed ordinals);
-    // healthy files keep group −1 — the OPTIMIZE maintenance pass
-    "layout_compaction" -> ((s, dir) => {
-      Layout.compactionPlan(
-          t(s, dir, "documents").select(col("doc_id").as("file_id"), col("n_chars")),
-          "file_id", "n_chars", targetBytes = 2000L, minBytes = 300L)
-        .orderBy(col("file_id"))
-    }),
-
-    // top principal component by power iteration: corpus touched only by
-    // the covariance scan+reduce; 10 fixed-order IEEE iterations on the
-    // 8×8 matrix — the anisotropy audit ahead of MRL truncation
-    "sim_pca" -> ((s, dir) => {
-      Vectors.topComponent(t(s, dir, "embeddings"), "embedding", 0 to 7,
-          iters = 10)
-        .orderBy(col("dim"))
-    }),
-
-    // Johnson–Lindenstrauss random projection 64→16 dims with the md5-derived
-    // plane family (same derivation as sign-LSH, values kept): the
-    // dimensionality-reduction step ahead of clustering/ANN at 100 TB;
-    // distortion = scaled projected-norm ratio, the JL guarantee as data
-    "sim_projection" -> ((s, dir) => {
-      val k = 16
-      t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("__v"))
-        .withColumn("__p", graft.plans.NativeFunctions.randomProjection(col("__v"), k))
-        .select(col("vec_id"),
-          md5(concat_ws(",", transform(col("__p"),
-            x => floor(x * 10000 + lit(0.5)).cast("long").cast("string")))).as("p_fp"),
-          dround(sqrt(lit(12.0 / k)) * Vectors.norm(col("__p")) / Vectors.norm(col("__v")), 4)
-            .as("distortion"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // corpus document-frequency scoring: per-token df over the whole corpus
-    // (map-side-combined token shuffle), joined back per document — mean df
-    // and rare-token count are the rarity/specificity signals curation
-    // filters cut on; exact integer semantics, no transcendental drift
-    "text_docfreq" -> ((s, dir) => {
-      val docs = docsNorm(s, dir).select(col("doc_id"),
-        array_distinct(TextAnalysis.tokens(col("text"))).as("__toks"))
-      val toks = docs.select(col("doc_id"), explode(col("__toks")).as("tok"))
-        .filter(col("tok") =!= "")
-      val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-      val scored = toks.join(dfTab, "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct"),
-          dround(sum(col("__df")).cast(DoubleType) / count(lit(1)), 4).as("mean_df"),
-          sum(when(col("__df") <= lit(2), 1L).otherwise(0L)).as("n_rare"))
-      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          coalesce(col("mean_df"), lit(0.0)).as("mean_df"),
-          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // vocabulary-growth (Heaps-law) curve: per-ingestion-bucket new-type
-    // counts and running totals — the vocab-saturation audit before fixing
-    // a tokenizer vocab size; one explode, two map-side-combined
-    // aggregations, window only over the |buckets|-row frame
-    "text_vocab_growth" -> ((s, dir) => {
-      graft.functions.Retrieval.vocabGrowth(docsNorm(s, dir), "doc_id", "text",
-          bucketDocs = 50)
-        .orderBy(col("bucket"))
-    }),
-
-    // vocabulary richness: Chao1 total-vocab estimate + Good-Turing
-    // unseen-token mass off the frequency-of-frequency row — "has the
-    // corpus vocabulary converged"; one token-count aggregation, then
-    // arithmetic on five exact integers
-    "text_vocab_richness" -> ((s, dir) => {
-      graft.functions.Curation.vocabRichness(docsNorm(s, dir), col("text"))
-    }),
-
-    // Zipf's-law fit: weighted OLS of ln(freq) on ln(midpoint rank) over
-    // the frequency-of-frequency table — the power-law fingerprint that
-    // moves when boilerplate floods a crawl; one token aggregation, then
-    // a triangular join on the tiny count-of-counts frame
-    "text_zipf" -> ((s, dir) => {
-      graft.functions.Curation.zipfFit(docsNorm(s, dir), col("text"))
-    }),
-
-    // Jaccard-threshold tuning curve: pairs/docs touched per candidate
-    // threshold from ONE df-bounded candidate pass — replaces re-running
-    // corpus dedup once per threshold guess
-    "dedup_threshold_curve" -> ((s, dir) => {
-      graft.functions.Dedup.thresholdCurve(docsNorm(s, dir), "doc_id", "text",
-          thresholds = Seq(0.3, 0.5, 0.7, 0.8, 0.9))
-        .orderBy(col("threshold"))
-    }),
-
-    // MinHash/LSH parameter evaluation: measured recall/precision of a
-    // (k=16, b=4, r=4) banding against exact Jaccard over the df-bounded
-    // candidate universe, next to the S-curve expectation — md5-derived
-    // signatures so BOTH engines band identically. Runs on a DETERMINISTIC
-    // HALF-SAMPLE of the corpus (doc_id % 2 — the operator's own contract:
-    // parameter evaluation is a calibration you run on a representative
-    // sample, then configure minhashPairs for the full corpus): recall /
-    // precision estimates are statistically identical, while the frozen
-    // pair universe + 16-column signature aggregation — the query's peak
-    // working set, which made its 10x wall time swing run-to-run — drops
-    // ~4x
-    "dedup_minhash_eval" -> ((s, dir) => {
-      graft.functions.Dedup.minhashEval(
-          docsNorm(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          thresholds = Seq(0.3, 0.5, 0.7, 0.8), n = 3, k = 16, bands = 4)
-        .orderBy(col("threshold"))
-    }),
-
-    // log-odds-ratio keyness: which tokens CHARACTERIZE the English docs
-    // against the rest (Haldane-smoothed log odds, top-20) — the
-    // vocabulary audit of a mixture or filter change
-    "text_keyness" -> ((s, dir) => {
-      graft.functions.Retrieval.keyness(docsNorm(s, dir), "text",
-        col("lang") === "en", topK = 20, minCount = 5)
-    }),
-
-    // per-language OOV rate against the corpus's own top-20 vocabulary:
-    // the tokenizer-fairness audit — one explode to the frozen
-    // (lang, token, cnt) table, TakeOrdered vocab broadcast back
-    "text_oov" -> ((s, dir) => {
-      graft.functions.Retrieval.oovRate(docsNorm(s, dir), "text", "lang",
-          vocabSize = 20)
-        .orderBy(col("lang"))
-    }),
-
-    // incremental dedup: an incoming batch matched against the standing
-    // corpus through a persistable MinHash index — candidates from a
-    // batch-proportional band-key join, exact Jaccard only for survivors;
-    // the steady-state ingestion path at 100 TB (32 bands x 2 rows: recall
-    // ~= 1 at j>=0.8, so the oracle is the exact cross-set Jaccard pairs)
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = docsNorm(s, dir)
-      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-      val incoming = docs.filter(col("doc_id") % 5 === 0)
-      Dedup.minhashAgainstIndex(corpus, incoming, "doc_id", "text",
-        n = 3, k = 64, bands = 32, threshold = 0.8)
-        .orderBy(col("new_id"), col("match_id"))
-    }),
-
-    // repetition scoring (Gopher-style filters): top-bigram fraction +
-    // duplicate-token fraction — pure per-row signals, scan-speed
-    "text_repetition" -> ((s, dir) => {
-      docsNorm(s, dir).select(col("doc_id"),
-        dround(TextAnalysis.topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
-        dround(TextAnalysis.dupTokenFraction(col("text")), 4).as("dup_token_frac"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // language id (stopword n-gram heuristic)
-    "text_langid" -> ((s, dir) => {
-      docsNorm(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // language-ID confusion matrix: the predictor's quality report card
-    // against the corpus's labeled lang — joint (truth, predicted) counts
-    // with the per-truth share, two keyed aggregations on bounded tables
-    "text_lang_confusion" -> ((s, dir) => {
-      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-      val conf = docsNorm(s, dir)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
-      val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
-      conf.join(tot, Seq("lang"))
-        .select(col("lang"), col("lang_pred"), col("n"),
-          round((col("n").cast("double") / col("__t").cast("double"))
-            .cast(dec8), 6).cast("double").as("share"))
-        .orderBy(col("lang"), col("lang_pred"))
-    }),
-
-    // document quality scoring (length / stopword density / punctuation)
-    "text_quality" -> ((s, dir) => {
-      docsNorm(s, dir).select(col("doc_id"),
-          dround(TextAnalysis.qualityScoreRaw(col("text")), 4).as("quality"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Flesch reading ease: vowel-group syllables, [.!?]+ sentences — the
-    // readability member of the quality stack, scan-speed
-    "text_readability" -> ((s, dir) => {
-      docsNorm(s, dir).select(col("doc_id"),
-          TextAnalysis.readabilityScore(col("text")).as("flesch"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // HTML -> text extraction: script/style payloads dropped WITH their
-    // contents, comments and tags stripped, entities decoded, whitespace
-    // collapsed — one fixed regex chain at scan speed, RE2-replayable;
-    // documents wrapped in synthesized markup so the extraction has real
-    // work to undo
-    "text_html_strip" -> ((s, dir) => {
-      val html = concat(
-        lit("<html><head><script type=\"text/javascript\">var x = 1;</script>"),
-        lit("<style>.a{color:red}</style></head><body><h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        when(col("doc_id") % 3 === 0,
-          lit(" &amp; more &lt;tags&gt;")).otherwise(lit("")),
-        lit("</p><!-- trailer --></body></html>"))
-      t(s, dir, "documents").select(col("doc_id"),
-          TextAnalysis.htmlTagCount(html).as("n_tags"),
-          length(TextAnalysis.stripHtml(html)).cast("long").as("n_chars_text"),
-          md5(TextAnalysis.stripHtml(html)).as("text_fp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // code-vs-prose routing signal: capped symbol density + capped
-    // programming-keyword density, scan-speed regex counting; a code
-    // snippet injected on doc_id % 9 gives the detector real positives,
-    // and is_code compares on the ROUNDED score so both engines agree at
-    // the boundary
-    "text_code" -> ((s, dir) => {
-      val ptext = concat(col("text"),
-        when(col("doc_id") % 9 === 0,
-          lit(" def load(x): return parse(x); var n = {}; import os"))
-          .otherwise(lit("")))
-      t(s, dir, "documents").select(col("doc_id"),
-          TextAnalysis.codeSymbolCount(ptext).as("n_sym"),
-          TextAnalysis.codeKeywordCount(ptext).as("n_kw"),
-          dround(TextAnalysis.codeScoreRaw(ptext), 4).as("code_score"))
-        .withColumn("is_code", col("code_score") >= 0.2)
-        .orderBy(col("doc_id"))
-    }),
-
-    // token counting (whitespace + BPE-ish estimate)
-    "text_tokens" -> ((s, dir) => {
-      docsNorm(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.tokenEstimate(col("text")).as("n_tokens_est"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // tokenizer fertility by detected language: BPE-ish tokens per char —
-    // the per-language cost profile that decides sampling weights before a
-    // tokenizer/vocab change; map-side-combined rollup to |langs| rows
-    "text_fertility" -> ((s, dir) => {
-      docsNorm(s, dir)
-        .select(TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.tokenEstimate(col("text")).as("__tok"),
-          length(col("text")).as("__chars"))
-        .groupBy(col("lang_pred"))
-        .agg(count(lit(1)).as("docs"),
-          sum(col("__tok")).as("total_tokens"),
-          sum(col("__chars")).as("total_chars"),
-          dround(sum(col("__tok")).cast(DoubleType) / sum(col("__chars")), 6)
-            .as("fertility"))
-        .orderBy(col("lang_pred"))
-    }),
-
-    // multimodal: REAL decode of real containers (ImageIO BMP, AudioSystem
-    // WAV, demuxed frame container) synthesized deterministically per row —
-    // the oracle recomputes every decoded feature from the generation rule,
-    // so a wrong header offset / row padding / sample width fails the match
-    "mm_features" -> ((s, dir) => {
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
-        .orderBy(col("doc_id"))
-    }),
-
-    // video frame sampling + per-frame decode/score: every sampled frame
-    // is a REAL BMP decoded through the pooled ImageIO reader; stats come
-    // from decoded pixels only (the oracle replays the generation rule)
-    "mm_frames" -> ((s, dir) => {
-      graft.multimodal.Multimodal.frameFeatures(
-        graft.multimodal.Multimodal.sampleFrames(
-          graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))))
-        .orderBy(col("doc_id"), col("frame_no"))
-    }),
-
-    // scene-cut detection: per-frame aHash (REAL decode, exact integer
-    // threshold) then ONE video-keyed lag window — hamming between
-    // consecutive frames, pixels never shuffle; threshold 16 of 64 bits
-    "mm_scenecut" -> ((s, dir) => {
-      graft.multimodal.Multimodal.sceneCuts(
-        graft.multimodal.Multimodal.sampleFrames(
-          graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))),
-        threshold = 16)
-        .orderBy(col("doc_id"), col("frame_no"))
-    }),
-
-    // per-video shot summary: the clip-level curation readout (static card /
-    // strobing garbage / motion energy) — one bounded rollup over sceneCuts
-    "mm_shot_summary" -> ((s, dir) => {
-      graft.multimodal.Multimodal.shotSummary(
-        graft.multimodal.Multimodal.sceneCuts(
-          graft.multimodal.Multimodal.sampleFrames(
-            graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))),
-          threshold = 16))
-        .orderBy(col("doc_id"))
-    }),
-
-    // audio curation: energy-based VAD over BOTH codec families (real
-    // AudioSystem decode: linear PCM8 widened to 16-bit, µ-law expanded) —
-    // the oracle replays sample synthesis, G.711 companding, integer frame
-    // energies and the floor-mean threshold exactly
-    "mm_audio_vad" -> ((s, dir) => {
-      graft.multimodal.Multimodal.audioVad(
-        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")))
-        .orderBy(col("doc_id"))
-    }),
-
-    // audio resample: decimate-by-4 with real decode of both codec
-    // families, µ-law requantized to unsigned 8-bit by floor division —
-    // the oracle replays synthesis, companding and the decimation exactly
-    "mm_audio_resample" -> ((s, dir) => {
-      graft.multimodal.Multimodal.resampleAudio(
-        graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents")), factor = 4)
-        .select(col("doc_id"), col("out_rate"), col("n_samples"),
-          col("mean")) // binary content checked by spec round-trip
-        .orderBy(col("doc_id"))
-    }),
-
-    // image near-dup pairs by perceptual aHash: REAL decode (mixed
-    // BMP/PNG) → exact-integer mean-threshold bits → 4×16-bit pigeonhole
-    // bands → equi-join candidates → bit_count(xor) verify; deterministic
-    // +128-shifted BMP copies give the detector genuine near-dups
-    "mm_image_dedup" -> ((s, dir) => {
-      val media = graft.multimodal.Multimodal.mediaTable(t(s, dir, "documents"))
-      val all = media.unionByName(graft.multimodal.Multimodal.perturbedCopies(media))
-      graft.multimodal.Multimodal.imageDupPairs(
-          graft.multimodal.Multimodal.imageHashes(all), maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // SemDeDup (arXiv:2303.09540): k-means clusters the embedding space
-    // (deterministic decimal-exact quantizer), exact cosine only WITHIN
-    // clusters — Σ|cluster|² instead of all-pairs; the oracle replays the
-    // full two-round Lloyd training AND the within-cluster pair scan
-    "dedup_semantic" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Dedup.semanticPairs(e, "vec_id", "v", k = 8, iters = 2, threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // BM25 ranked retrieval: query-term-filtered token stream (candidate
-    // set proportional to the QUERY, not the corpus), broadcast df/stats,
-    // decimal-exact per-document score sums, TakeOrderedAndProject top-k
-    "search_bm25" -> ((s, dir) => {
-      graft.functions.Retrieval.bm25TopK(docsNorm(s, dir), "doc_id", "text",
-        Seq("hash", "join", "merge"), k = 20)
-        .orderBy(col("score").desc, col("doc_id"))
-    }),
-
-    // Dirichlet query-likelihood ranking: the LM ranker next to
-    // search_bm25 — full smoothed score for EVERY document via the
-    // sparse decomposition (query-filtered tf sum + broadcast query
-    // constant − |q|·ln(dl+μ)), decimal-exact per-document totals
-    "search_query_likelihood" -> ((s, dir) => {
-      graft.functions.Retrieval.queryLikelihoodTopK(docsNorm(s, dir),
-        "doc_id", "text", Seq("hash", "join", "merge"), k = 20, mu = 1000.0)
-        .orderBy(col("score").desc, col("doc_id"))
-    }),
-
-    // hybrid retrieval: BM25 lexical top-50 fused with exact-cosine vector
-    // top-50 by reciprocal-rank fusion — the production RAG merge; fusion
-    // joins two bounded lists, never the corpus
-    "search_hybrid_rrf" -> ((s, dir) => {
-      import graft.functions.Retrieval
-      val text = Retrieval.bm25TopK(docsNorm(s, dir), "doc_id", "text",
-        Seq("hash", "join", "merge"), k = 50)
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val vec = Vectors.bruteForceTopK(e.filter(col("vec_id") === 0), e,
-        "vec_id", "v", "vec_id", "v", k = 50)
-      Retrieval.rrfFuse(
-        Retrieval.rankByScore(text, "doc_id", "score", "rank_text"),
-        "doc_id", "rank_text",
-        vec.select(col("neighbor_id"), col("rank").as("rank_vec")),
-        "neighbor_id", "rank_vec",
-        k0 = 60, k = 20)
-        .withColumnsRenamed(Map("rank_a" -> "rank_text", "rank_b" -> "rank_vec"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-    }),
-
-    // binary (sign-bit) Hamming top-k: the 32x-compressed serving path —
-    // sign-packed words (codegen'd XOR+popcount distance), query side
-    // broadcast, per-query top-k with id tie-break
-    "sim_hamming" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.hammingTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "v", "vec_id", "v", k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Hamming top-m candidates reranked by exact cosine on only m·|Q|
-    // float pairs — binary-scan cost, exact-cosine order
-    "sim_hamming_rerank" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.hammingRerankTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "v", "vec_id", "v", m = 40, k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // nDCG@10 of the int8-quantized ranking vs exact-cosine truth: recall
-    // says WHETHER true neighbors appear, this says whether they appear in
-    // ORDER — ln-discount DCG (both engines' ln agrees), pooled top-20
-    // judgments, rel 0 outside the pool
-    "sim_ndcg" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val queries = e.filter(col("vec_id") < 10)
-      val truth = Vectors.bruteForceTopK(queries, e, "vec_id", "v", "vec_id", "v", k = 20)
-        .select(col("query_id"), col("neighbor_id"),
-          greatest(col("cosine"), lit(0.0)).as("rel"), col("rank"))
-      val dequant = e.withColumn("scale", Vectors.int8Scale(col("v")))
-        .withColumn("__q", Vectors.int8QuantizeWith(col("v"), col("scale")))
-        .select(col("vec_id"),
-          transform(col("__q"), x => x.cast(DoubleType) * col("scale")).as("v"))
-      val ranked = Vectors.bruteForceTopK(queries, dequant, "vec_id", "v", "vec_id", "v", k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      Vectors.ndcgOfRanking(ranked, truth, k = 10).orderBy(col("query_id"))
-    }),
-
-    // greedy per-source token-budget trim: keep each source's BEST docs
-    // until the budget is spent — one source-keyed window over the
-    // rounded-quality order, running total, boundary-exact keep rule
-    "curate_budget_trim" -> ((s, dir) => {
-      graft.functions.Curation.budgetTrim(docsNorm(s, dir), "source", "doc_id",
-          TextAnalysis.tokenCount(col("text")),
-          TextAnalysis.qualityScoreRaw(col("text")), budget = 800L)
-        .orderBy(col("doc_id"))
-    }),
-
-    // MMR diversity re-ranking: one brute-cosine pass to the frozen top-20
-    // candidate frame, then 5 selection rounds of λ·rel − (1−λ)·maxSim
-    // over it (broadcast selected vectors, decimal-staged scores, ties to
-    // smaller id) — the RAG result-diversification stage
-    "search_mmr" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      Vectors.mmrTopK(e, "vec_id", "v", queryId = 0L, candK = 20, k = 5,
-          lambda = 0.7)
-        .orderBy(col("rank"))
-    }),
-
-    // unigram LM log-prob scoring (KenLM-style perplexity proxy): add-one
-    // smoothed counts trained on the corpus itself, per-doc mean log-prob —
-    // ln is bit-identical across engines, sums staged in decimal
-    "text_lm_score" -> ((s, dir) => {
-      graft.functions.Retrieval.unigramLogProb(docsNorm(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-
-    // histogram quantiles for curation-threshold selection: ONE map-side
-    // combined aggregation touches the data; cumulative counts come from a
-    // bounded bin×bin self-join, never an unpartitioned window
-    "stats_quantile_hist" -> ((s, dir) => {
-      graft.functions.Stats.histogramQuantiles(events(s, dir), "value",
-        width = 10.0, qs = Seq(0.5, 0.9, 0.99))
-        .orderBy(col("q"))
-    }),
-
-    // pre-shuffle key-skew audit: |keys|-row count table (frozen), 1-row
-    // broadcast totals, TakeOrdered top-k — the whale-factor diagnostic
-    // run before keying a 100 TB shuffle
-    "stats_key_skew" -> ((s, dir) => {
-      graft.functions.Stats.keySkew(events(s, dir), "user_id", topK = 20)
-        .orderBy(col("cnt").desc, col("key").asc)
-    }),
-
-    // record linkage: incoming customers (every 4th, every 8th with a
-    // perturbed name) fuzzy-matched against the dimension — block on
-    // (nation, 3-char normalized-name prefix), score survivors by
-    // normalized edit similarity; the ER front door to `ensure`
-    "link_customers" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val incoming = c.filter(col("c_custkey") % 4 === 0)
-        .select((col("c_custkey") + 1000000L).as("in_id"),
-          when(col("c_custkey") % 8 === 0,
-            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
-            .otherwise(col("c_name")).as("in_name"),
-          col("c_nationkey").as("in_nation"))
-      graft.functions.Linkage.blockedLink(
-          c.select(col("c_custkey"), col("c_name"), col("c_nationkey")), incoming,
-          "c_custkey", "in_id", "c_name", "in_name",
-          Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
-        .orderBy(col("c_custkey"), col("in_id"))
-    }),
-
-    // streaming linkage (batch replay of 5 micro-batches): dimension
-    // frozen once, each batch blocks+scores against it, matches accrete —
-    // pair-local scores make the accreted table equal the batch link;
-    // identical oracle
-    "stream_link" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val incoming = c.filter(col("c_custkey") % 4 === 0)
-        .select((col("c_custkey") + 1000000L).as("in_id"),
-          when(col("c_custkey") % 8 === 0,
-            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
-            .otherwise(col("c_name")).as("in_name"),
-          col("c_nationkey").as("in_nation"))
-      val lm = new graft.streaming.Streaming.LinkageMonitor(
-        c.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
-        "c_custkey", "c_name", "in_id", "in_name",
-        Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
-      (0 until 5).foreach(b => lm.update(incoming.filter(col("in_id") % 5 === b)))
-      lm.matches.orderBy(col("c_custkey"), col("in_id"))
-    }),
-
-    // resolution step: per-incoming best match (ties to smallest key) or
-    // NEW — the decision table `ensure` consumes; brand-new synthetic
-    // customers exercise the unmatched path
-    "link_resolve" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val perturbed = c.filter(col("c_custkey") % 4 === 0)
-        .select((col("c_custkey") + 1000000L).as("in_id"),
-          when(col("c_custkey") % 8 === 0,
-            concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("x")))
-            .otherwise(col("c_name")).as("in_name"),
-          col("c_nationkey").as("in_nation"))
-      val fresh = c.filter(col("c_custkey") % 10 === 0)
-        .select((col("c_custkey") + 2000000L).as("in_id"),
-          concat(lit("Newco "), col("c_custkey").cast("string")).as("in_name"),
-          col("c_nationkey").as("in_nation"))
-      val incoming = perturbed.unionByName(fresh)
-      val links = graft.functions.Linkage.blockedLink(
-        c.select(col("c_custkey"), col("c_name"), col("c_nationkey")), incoming,
-        "c_custkey", "in_id", "c_name", "in_name",
-        Seq("c_nationkey" -> "in_nation"), prefixLen = 3, minSim = 0.9)
-      graft.functions.Linkage.resolveBest(links, incoming, "c_custkey", "in_id")
-        .orderBy(col("in_id"))
-    }),
-
-    // Pearson correlation matrix: every pairwise moment from ONE
-    // map-side-combined pass with DECIMAL(15,4)-exact sums, the textbook
-    // formula in fixed double order — the collinearity/joint-drift screen
-    "stats_corr" -> ((s, dir) => {
-      graft.functions.Stats.correlationMatrix(t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .orderBy(col("col_a"), col("col_b"))
-    }),
-
-    // streaming correlation (batch replay of 5 micro-batches): every
-    // Pearson moment is exact-decimal ADDITIVE, so the accreted 1-row
-    // state yields a bit-identical matrix — identical oracle
-    "stream_corr" -> ((s, dir) => {
-      corrState(s, dir).matrix.orderBy(col("col_a"), col("col_b"))
-    }),
-
-    // streaming CUPED (the SECOND readout of the same 1-row moment state):
-    // live θ and variance-reduction for sizing the next experiment off a
-    // pre-period covariate — equals the batch stats_cuped
-    "stream_cuped" -> ((s, dir) => {
-      corrState(s, dir).cuped("l_quantity", "l_extendedprice")
-    }),
-
-    // CUPED variance reduction (Deng et al. WSDM'13): θ = cov(x,y)/var(x)
-    // and the ρ² variance cut from ONE exact-decimal moment pass —
-    // quantity as the pre-period covariate for the price metric
-    "stats_cuped" -> ((s, dir) => {
-      graft.functions.Stats.cuped(t(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice")
-    }),
-
-    // Spearman rank correlation: the monotone-coupling readout next to
-    // stats_corr — ONE groupBy to the joint (quantity, price) count table,
-    // marginal ranks from the deterministic-bucket prefix scan, exact
-    // integer doubled-rank moments, fixed-order Pearson-on-ranks formula;
-    // NO row-level join anywhere
-    "stats_spearman" -> ((s, dir) => {
-      graft.functions.Stats.spearman(t(s, dir, "lineitem"),
-        col("l_quantity"), col("l_extendedprice"))
-    }),
-
-    // streaming Spearman (batch replay of 5 batches): ranks are global and
-    // non-additive, but the joint count table IS additive per pair — the
-    // readout equals the batch spearman; same oracle
-    "stream_spearman" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val sm = new graft.streaming.Streaming.SpearmanMonitor(
-        col("l_quantity"), col("l_extendedprice"))
-      (0 until 5).foreach(b => sm.update(li.filter(col("l_orderkey") % 5 === b)))
-      sm.readout
-    }),
-
-    // Kendall's tau-b: the concordance view next to stats_spearman — ONE
-    // groupBy to the bounded (quantity, price-bin) joint count table,
-    // concordant/discordant mass from the triangular cell-pair join on
-    // that table (cells^2, never rows^2), exact-integer tie terms, scipy's
-    // tie-corrected z in fixed double order
-    "stats_kendall" -> ((s, dir) => {
-      graft.functions.Stats.kendallTau(t(s, dir, "lineitem"),
-        col("l_quantity"), floor(col("l_extendedprice") / 5000))
-    }),
-
-    // streaming Kendall (batch replay of 5 batches): concordance is
-    // global and non-additive, but the joint count table IS additive —
-    // the SAME SpearmanMonitor state reads out the batch tau; same oracle
-    "stream_kendall" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val sm = new graft.streaming.Streaming.SpearmanMonitor(
-        col("l_quantity"), floor(col("l_extendedprice") / 5000))
-      (0 until 5).foreach(b => sm.update(li.filter(col("l_orderkey") % 5 === b)))
-      sm.kendall
-    }),
-
-    // power-law exponent of events-per-user: the tail-shape number next
-    // to Gini and the whale factor — CSN discrete MLE over the count
-    // table, decimal-staged ln terms
-    "stats_powerlaw" -> ((s, dir) => {
-      graft.functions.Stats.powerLawAlpha(events(s, dir), "user_id", xmin = 2)
-    }),
-
-    // joint 2-D histogram of quantity x price: the correlation matrix's
-    // visual companion — one aggregation to the bounded bin x bin table
-    "stats_hist2d" -> ((s, dir) => {
-      graft.functions.Stats.histogram2d(t(s, dir, "lineitem"),
-          "l_quantity", "l_extendedprice", xWidth = 10.0, yWidth = 20000.0)
-        .orderBy(col("x_bin"), col("y_bin"))
-    }),
-
-    // Benford first-digit audit: digits via the BIGINT string (engine-
-    // identical), one aggregation to 9 rows, ln(1+1/d)/ln(10) expected —
-    // the fabricated-numbers screen on a metrics column
-    "stats_benford" -> ((s, dir) => {
-      graft.functions.Stats.benfordAudit(events(s, dir), "value")
-        .orderBy(col("digit"))
-    }),
-
-    // streaming twin: digit counts are additive — identical oracle
-    "stream_benford" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val bm = new graft.streaming.Streaming.BenfordMonitor("value")
-      (0 until 5).foreach(b => bm.update(ev.filter(col("event_id") % 5 === b)))
-      bm.audit.orderBy(col("digit"))
-    }),
-
-    // exact Gini concentration of events per user: count table →
-    // count-of-counts (bounded), cumulative self-join, DECIMAL(38,0)
-    // trapezoid terms, ONE double divide — the inequality audit next to
-    // the whale factor
-    "stats_gini" -> ((s, dir) => {
-      graft.functions.Stats.giniConcentration(events(s, dir), "user_id")
-    }),
-
-    // Simpson concentration over per-user event mass: the probability two
-    // random rows share a user, its diversity complement, and the
-    // effective-key count a sampling/dedup plan sizes against
-    "stats_simpson" -> ((s, dir) => {
-      graft.functions.Stats.simpsonConcentration(events(s, dir), "user_id")
-    }),
-
-    // range-partition boundary planner: deterministic md5 sample + the
-    // bounded histogram-quantile pick — RangePartitioner prep with no
-    // global sort and no driver-side sample collect
-    "layout_range_bounds" -> ((s, dir) => {
-      graft.functions.Layout.rangeBounds(events(s, dir), "value", "event_id",
-          nParts = 8, width = 5.0, sampleFrac = 0.05)
-        .orderBy(col("q"))
-    }),
-
-    // Count-Min sketch: 4×512 md5-derived counters over the token stream
-    // (ONE map-side-combined aggregation to a kilobyte sketch), point
-    // queries for the 20 most frequent tokens — est ≥ true always
-    "sketch_cms" -> ((s, dir) => {
-      val toks = docsNorm(s, dir)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      // ONE corpus explode: the vocabulary-sized count table (frozen) feeds
-      // the weighted sketch build, the top-k cut AND the verification join —
-      // building the sketch from the raw stream would explode the corpus a
-      // second time for the same cells
-      val truec = org.apache.spark.sql.graftbridge.Bridge.freeze(
-        toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt")))
-      val sk = graft.functions.Stats.countMinSketchOfCounts(
-        truec, "token", "true_cnt", depth = 4, width = 512)
-      val top = truec.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
-      graft.functions.Stats.countMinEstimate(sk, top, "token", depth = 4, width = 512)
-        .join(top, Seq("token"))
-        .select(col("token"), col("true_cnt"), col("cms_est"))
-        .orderBy(col("token"))
-    }),
-
-    // deterministic Bloom membership: bits from the ordering customers,
-    // every customer probed — no false negatives, false positives at the
-    // classic rate; the exact flag rides alongside for the FPR audit
-    "sketch_bloom" -> ((s, dir) => {
-      val keys = org.apache.spark.sql.graftbridge.Bridge.freeze(
-        t(s, dir, "orders").select(col("o_custkey").as("key")).distinct())
-      val bits = graft.functions.Stats.bloomBits(keys, "key", m = 4096, k = 3)
-      val probe = t(s, dir, "customer").select(col("c_custkey"))
-      graft.functions.Stats.bloomProbe(bits, probe, "c_custkey", m = 4096, k = 3)
-        .join(keys, col("c_custkey") === col("key"), "left")
-        .select(col("c_custkey"), col("might_present"),
-          col("key").isNotNull.as("actually_present"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // HyperLogLog distinct-token cardinality: md5-derived registers (unlike
-    // approx_count_distinct, engine-reproducible bit-for-bit), ONE map-side
-    // combined max aggregation to 256 rows, exact-integer harmonic staging;
-    // exact count alongside for the error audit
-    "sketch_hll" -> ((s, dir) => {
-      val toks = docsNorm(s, dir)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      graft.functions.Stats.hllEstimate(
-          graft.functions.Stats.hllRegisters(toks, "token", b = 8), b = 8)
-        .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
-    }),
-
-    // sketch-algebra corpus overlap: |A|, |B|, |A∪B| (register-max merge)
-    // and inclusion-exclusion |A∩B| of two vocabularies from three 256-long
-    // sketches — cross-crawl overlap WITHOUT a corpus×corpus join
-    "sketch_hll_overlap" -> ((s, dir) => {
-      val toks = docsNorm(s, dir)
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      graft.functions.Stats.hllOverlap(
-        toks.filter(col("doc_id") % 2 === 0),
-        toks.filter(col("doc_id") % 3 === 0), "token", b = 8)
-    }),
-
-    // strictly-ordered funnel: per-user earliest view→click→signup→purchase
-    // chain — k user-keyed aggregations of type-filtered slices, no
-    // per-user sort, no raw-stream self-join
-    "events_funnel" -> ((s, dir) => {
-      graft.functions.Events.funnel(events(s, dir), "user_id", "event_type", "ts",
-        Seq("view", "click", "signup", "purchase"))
-        .orderBy(col("user_id"))
-    }),
-
-    // cohort retention: first-activity-day cohorts × day offsets — the
-    // engagement dashboard table; rollup lands on |cohorts|×|offsets| rows
-    // regardless of stream size
-    "events_retention" -> ((s, dir) => {
-      graft.functions.Events.retention(events(s, dir), "user_id", "ts")
-        .orderBy(col("cohort_day"), col("offset_days"))
-    }),
-
-    // last-touch attribution: each purchase credited to the most recent
-    // preceding non-purchase event in the user's stream — one user-keyed
-    // window, |types|-row rollup
-    "events_attribution" -> ((s, dir) => {
-      graft.functions.Events.lastTouchAttribution(events(s, dir),
-          "user_id", "event_type", "ts", "event_id", convType = "purchase")
-        .orderBy(col("touch_type"))
-    }),
-
-    // batch sessionization (gaps-and-islands, 30-min gap): one user-keyed
-    // window + keyed rollup — the batch twin of stream_sessionize
-    "events_sessionize" -> ((s, dir) => {
-      graft.functions.Events.sessionize(events(s, dir), "user_id", "ts",
-          "event_id", gapMinutes = 30)
-        .orderBy(col("user_id"), col("session_id"))
-    }),
-
-    // volume-anomaly scan: per-type daily z-scores off the |types|×|days|
-    // count table — collector outages and runaway producers flag here
-    "events_anomaly" -> ((s, dir) => {
-      graft.functions.Events.dailyAnomalies(events(s, dir), "event_type", "ts")
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // rolling daily volume: trailing-7-observed-day mean per type — the
-    // window runs over the |types|×|days| count table, never raw events
-    "events_rolling" -> ((s, dir) => {
-      graft.functions.Events.rollingDailyStats(events(s, dir), "event_type", "ts")
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // DAU/WAU stickiness: trailing-window distinct counts via the linear
-    // vote-explode (no day-range self-join of the stream); |days|-row output
-    "events_stickiness" -> ((s, dir) => {
-      graft.functions.Events.stickiness(events(s, dir), "user_id", "ts")
-        .orderBy(col("day"))
-    }),
-
-    // funnel latency: per-transition conversion time (count, decimal-staged
-    // mean, histogram p50) off the frozen one-row-per-user funnel table —
-    // the "where does the funnel stall" readout
-    "events_funnel_latency" -> ((s, dir) => {
-      graft.functions.Events.funnelLatency(events(s, dir), "user_id",
-          "event_type", "ts", Seq("view", "click", "signup", "purchase"))
-        .orderBy(col("step"))
-    }),
-
-    // next-event Markov transition matrix: one user-keyed lead window +
-    // rollup to |types|² rows; row probabilities P(to|from) from broadcast
-    // row totals
-    "events_transitions" -> ((s, dir) => {
-      graft.functions.Events.transitions(events(s, dir),
-          "user_id", "event_type", "ts", "event_id")
-        .orderBy(col("from_type"), col("to_type"))
-    }),
-
-    // seasonal-naive forecast audit: each (type, day) predicted by the
-    // volume 7 days earlier, MAE/MAPE per type — the baseline every
-    // anomaly model must beat; one daily rollup + a calendar-bounded
-    // self-join of the frozen tiny frame
-    "events_forecast" -> ((s, dir) => {
-      graft.functions.Events.seasonalForecast(events(s, dir),
-          "event_type", "ts", period = 7)
-        .orderBy(col("event_type"))
-    }),
-
-    // daily new-vs-returning split: distinct activity frame, one
-    // user-keyed min for first days, |days|-row rollup
-    "events_new_returning" -> ((s, dir) => {
-      graft.functions.Events.newVsReturning(events(s, dir), "user_id", "ts")
-        .orderBy(col("day"))
-    }),
-
-    // lag-1..7 autocorrelation of daily volumes: the seasonality detector
-    // behind the forecast's period — calendar-shifted self-joins of the
-    // bounded daily table, exact moments, fixed-order Pearson
-    "events_autocorr" -> ((s, dir) => {
-      graft.functions.Events.dailyAutocorr(events(s, dir), "event_type", "ts",
-          maxLag = 7)
-        .orderBy(col("event_type"), col("lag"))
-    }),
-
-    // association lift between event types: distinct (user, type) frame,
-    // user-keyed pair join bounded by types-per-user, exact integer
-    // cross-products with one divide — the market-basket readout
-    "events_lift" -> ((s, dir) => {
-      graft.functions.Events.typeLift(events(s, dir), "user_id", "event_type")
-        .orderBy(col("type_a"), col("type_b"))
-    }),
-
-    // k-NN label vote: do the embeddings encode the labels — top-5
-    // exact-cosine neighbors vote, majority (ties to smallest label)
-    // against the query's own label
-    "sim_knn_acc" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
-          col("label"))
-      graft.functions.Vectors.knnLabelEval(e, "vec_id", "v", "label",
-          e.filter(col("vec_id") < 50), k = 5)
-        .orderBy(col("query_id"))
-    }),
-
-    // hour-of-day profile per type: the diurnal-shape audit — one
-    // aggregation to the |types|x24 table, broadcast totals
-    "events_hourly" -> ((s, dir) => {
-      graft.functions.Events.hourlyProfile(events(s, dir), "event_type", "ts")
-        .orderBy(col("event_type"), col("hour"))
-    }),
-
-    // CUSUM creep detection: standardized daily deviations minus slack,
-    // prefix identity S_t = P_t - min(0, min P_j) as two keyed windows
-    // over the bounded count table, deviations decimal-staged BEFORE the
-    // window sums — the slow-drift alarm the per-day z-test cannot raise
-    "events_cusum" -> ((s, dir) => {
-      graft.functions.Events.cusum(events(s, dir), "event_type", "ts",
-          slack = 0.5, threshold = 3.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // Page–Hinkley drift detection: each day scored against the RUNNING
-    // mean of everything before it (CUSUM's training-free sibling) —
-    // exact-integer prefix mean, deviations decimal-staged before the
-    // two keyed prefix windows on the bounded count table
-    "events_page_hinkley" -> ((s, dir) => {
-      graft.functions.Events.pageHinkley(events(s, dir), "event_type", "ts",
-          delta = 0.5, lambda = 20.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // streaming Page–Hinkley (batch replay of 5 batches): eighteenth
-    // readout off the same additive daily-count state as stream_cusum —
-    // equals the batch alarms; same oracle
-    "stream_page_hinkley" -> ((s, dir) => {
-      volState(s, dir).pageHinkley(delta = 0.5, lambda = 20.0)
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    // MASE forecast accuracy: the seasonal-naive forecast's MAE scaled by
-    // the one-step-naive MAE on the same series — the cross-type-
-    // comparable accuracy bar; calendar-bounded equi-join + ONE keyed lag
-    // window on the bounded count table, exact integers to the end
-    "events_mase" -> ((s, dir) => {
-      graft.functions.Events.maseDaily(events(s, dir), "event_type", "ts",
-          period = 7)
-        .orderBy(col("event_type"))
-    }),
-
-    // streaming MASE (batch replay of 5 batches): nineteenth readout off
-    // the same additive daily-count state as stream_forecast — equals the
-    // batch audit; same oracle
-    "stream_mase" -> ((s, dir) => {
-      volState(s, dir).mase(period = 7).orderBy(col("event_type"))
-    }),
-
-    // Wald-Wolfowitz runs test: is each type's daily series random around
-    // its median — the iid assumption check under the CUSUM/EWMA alarms;
-    // partitioned-rank median, ONE keyed lag window, exact-integer z
-    "events_runs" -> ((s, dir) => {
-      graft.functions.Events.runsTest(events(s, dir), "event_type", "ts")
-        .orderBy(col("event_type"))
-    }),
-
-    // streaming runs test (batch replay of 5 batches): twentieth readout
-    // off the same additive daily-count state — equals the batch
-    // verdicts; same oracle
-    "stream_runs" -> ((s, dir) => {
-      volState(s, dir).runs.orderBy(col("event_type"))
-    }),
-
-    // p-chart on the daily purchase SHARE: per-day control limits
-    // p̄ ± 3√(p̄(1−p̄)/n_t) — the composition alarm next to the count
-    // alarms, limits widening on thin days instead of false-alarming
-    "events_pchart" -> ((s, dir) => {
-      graft.functions.Events.pChart(events(s, dir), "event_type", "ts",
-          targetType = "purchase", sigmas = 3.0)
-        .orderBy(col("day"))
-    }),
-
-    // streaming p-chart (batch replay of 5 batches): twenty-first readout
-    // off the same additive daily-count state — equals the batch chart;
-    // same oracle
-    "stream_pchart" -> ((s, dir) => {
-      volState(s, dir).pchart("purchase", sigmas = 3.0).orderBy(col("day"))
-    }),
-
-    // daily mix evenness: normalized type-composition entropy per day —
-    // the diversity trend next to the p-chart's single-type alarm;
-    // per-term decimal staging on the bounded count table
-    "events_mix_evenness" -> ((s, dir) => {
-      graft.functions.Events.mixEvenness(events(s, dir), "event_type", "ts")
-        .orderBy(col("day"))
-    }),
-
-    // streaming mix evenness (batch replay of 5 batches): twenty-second
-    // readout off the same additive daily-count state — equals the batch
-    // trend; same oracle
-    "stream_mix_evenness" -> ((s, dir) => {
-      volState(s, dir).evenness.orderBy(col("day"))
-    }),
-
-    // per-user cadence audit: ONE user-keyed lag window for inter-event
-    // gaps, ONE rollup to the |users|-row profile, exact moment staging —
-    // the bot screen (metronomic gaps) before user data enters a mix
-    "events_cadence" -> ((s, dir) => {
-      graft.functions.Events.cadence(events(s, dir), "user_id", "ts", "event_id")
-        .orderBy(col("user_id"))
-    }),
-
-    // inter-arrival distribution: 10-minute-bucket histogram of gaps
-    // between a user's consecutive same-type events — ONE (user,type)-keyed
-    // lag window + ONE bounded rollup; the retry-storm / polling-bug shape
-    "events_interarrival" -> ((s, dir) => {
-      graft.functions.Events.interarrivalHistogram(events(s, dir),
-          "user_id", "event_type", "ts", "event_id",
-          widthSeconds = 600L, capBuckets = 144)
-        .orderBy(col("event_type"), col("gap_bucket"))
-    }),
-
-    // entry-path analysis: each user's first-3 event-type prefix counted
-    // across users — ONE user-keyed window, rows beyond depth dropped
-    // before the bounded per-user rollup
-    "events_paths" -> ((s, dir) => {
-      graft.functions.Events.entryPaths(events(s, dir),
-          "user_id", "event_type", "ts", "event_id", depth = 3)
-        .orderBy(col("path"))
-    }),
-
-    // two-sample KS drift at bin-edge resolution: click-vs-purchase value
-    // distributions — bounded bin tables, cumulative self-join CDFs,
-    // exact decimal cross-products, ONE output row
-    "stats_ks_drift" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.ksDrift(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value", width = 5.0)
-    }),
-
-    // chi-square categorical drift: did the event-type MIX shift between
-    // the first and second half of the month — each side collapses to a
-    // |types|-row count table, χ² terms in exact-integer-staged expected
-    // counts, one output row (the categorical leg of the drift triangle
-    // next to KS (numeric) and token KL)
-    "stats_chisq_drift" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.chisqDrift(
-        ev.filter(half).select(col("event_type")),
-        ev.filter(!half).select(col("event_type")),
-        "event_type")
-    }),
-
-    // PSI drift: click-vs-purchase value distributions at 5-unit bins —
-    // the retrain trigger score; bounded bin tables, add-one smoothing,
-    // decimal-staged (pa−pb)·ln(pa/pb) terms, ONE output row
-    "stats_psi_drift" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.psiDrift(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value", width = 5.0)
-    }),
-
-    // streaming PSI drift (batch replay of 5 batches): the reference bin
-    // table is frozen once, the stream side's bin counts are additive —
-    // the readout equals the batch psiDrift; same oracle
-    "stream_psi" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val pm = new graft.streaming.Streaming.PsiMonitor(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        "value", width = 5.0)
-      (0 until 5).foreach(b => pm.update(
-        ev.filter(col("event_type") === "purchase" && col("event_id") % 5 === b)
-          .select(col("value"))))
-      pm.drift
-    }),
-
-    // Welch's unequal-variance t-test: is the click-vs-purchase mean VALUE
-    // difference real — each arm collapses to its exact-decimal (n, Σx, Σx²)
-    // moment row in ONE map-side-combined pass, t and Welch–Satterthwaite
-    // dof in fixed double order; ONE output row, zero data shuffle
-    "stats_welch" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.welchTTest(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Welch monitor (batch replay of 5 batches): the control
-    // arm's moment row is frozen once, the treatment side's (n, Σx, Σx²)
-    // state is exact-decimal ADDITIVE — the readout equals the batch
-    // welchTTest; same oracle
-    "stream_welch" -> ((s, dir) => {
-      val wm = welchState(s, dir)
-      wm.readout
-    }),
-
-    // Cohen's d + Hedges' g: the EFFECT SIZE next to stats_welch's t —
-    // how many pooled standard deviations apart are the arms, off the
-    // same exact (n, Σx, Σx²) moment rows, fixed-order pooled variance
-    "stats_cohend" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.cohensD(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Cohen's d (batch replay of 5 batches): second readout off
-    // the same additive moment state as stream_welch — equals the batch
-    // effect size; same oracle
-    "stream_cohend" -> ((s, dir) => {
-      val wm = welchState(s, dir)
-      wm.effectSize
-    }),
-
-    // OLS trend test: is the event VALUE drifting across the month — the
-    // whole regression of value on day-of-month collapses to ONE exact-
-    // decimal (n, Σx, Σy, Σxy, Σx², Σy²) moment row, slope/r²/t in fixed
-    // double order; ONE output row, zero data shuffle
-    "stats_trend" -> ((s, dir) => {
-      graft.functions.Stats.trendTest(events(s, dir),
-        dayofmonth(col("ts")), col("value"))
-    }),
-
-    // streaming trend monitor (batch replay of 5 batches): every
-    // regression moment is exact-decimal ADDITIVE, so the accreted 1-row
-    // state reads out the identical slope/r²/t; same oracle
-    "stream_trend" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val tm = new graft.streaming.Streaming.TrendMonitor(
-        dayofmonth(col("ts")), col("value"))
-      (0 until 5).foreach(b => tm.update(ev.filter(col("event_id") % 5 === b)))
-      tm.readout
-    }),
-
-    // one-way ANOVA F: do the event TYPES share a mean value — ONE groupBy
-    // to the bounded k-row (n, Σx, Σx²) moment table, within/between terms
-    // decimal-staged before the k-row sum, F and eta² in fixed double
-    // order; ONE output row, one shuffle (the groupBy)
-    "stats_anova" -> ((s, dir) => {
-      graft.functions.Stats.anovaF(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming ANOVA monitor (batch replay of 5 batches): the per-group
-    // moment table is additive PER GROUP, so the group-wise re-summed
-    // state reads out the identical F; same oracle
-    "stream_anova" -> ((s, dir) => {
-      val am = anovaState(s, dir)
-      am.readout
-    }),
-
-    // Tukey HSD: WHICH event types differ after the stats_anova omnibus F
-    // — every pair's studentized-range q off one pooled MSW, via the
-    // triangular k x k join on the same bounded group-moment table
-    "stats_tukey" -> ((s, dir) => {
-      graft.functions.Stats.tukeyHsd(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Tukey (batch replay of 5 batches): second readout off the
-    // same additive group-moment state as stream_anova — equals the batch
-    // pairwise table; same oracle
-    "stream_tukey" -> ((s, dir) => {
-      val am = anovaState(s, dir)
-      am.pairwise
-    }),
-
-    // Bartlett's variance-homogeneity test across the event types: the
-    // ANOVA family's own equal-variance assumption checked from the SAME
-    // k-row moment table — read next to stats_levene (Bartlett has more
-    // power near normality, Levene is tail-robust)
-    "stats_bartlett" -> ((s, dir) => {
-      graft.functions.Stats.bartlettTest(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Bartlett (the THIRD readout of the same additive
-    // group-moment state): equals the batch stats_bartlett; same oracle
-    "stream_bartlett" -> ((s, dir) => {
-      anovaState(s, dir).varianceHomogeneity
-    }),
-
-    // Mann–Whitney U: does click stochastically dominate purchase on VALUE
-    // — the nonparametric twin of stats_welch via the rocAuc machinery:
-    // ONE reduce to the per-value count table, prefix-scan cumulatives,
-    // exact-integer doubled U and tie term, fixed-order tie-corrected z
-    "stats_mwu" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.mannWhitney(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Mann–Whitney (batch replay of 5 batches): the SAME
-    // additive per-score count state as stream_auc, read out through
-    // AucMonitor.rankTest — equals the batch mannWhitney; same oracle
-    "stream_mwu" -> ((s, dir) => {
-      val am = aucValueState(s, dir)
-      am.rankTest
-    }),
-
-    // Cliff's delta: stats_mwu's EFFECT SIZE — P(a>b) − P(b>a) off the
-    // same per-value count table and exact doubled U, with Romano's
-    // conventional magnitude band on the rounded |δ|
-    "stats_cliffs" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.cliffsDelta(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Cliff's delta (batch replay of 5 batches): fifth readout
-    // off the same additive per-score count state as stream_auc /
-    // stream_mwu — equals the batch effect size; same oracle
-    "stream_cliffs" -> ((s, dir) => {
-      val am = aucValueState(s, dir)
-      am.dominance
-    }),
-
-    // Brunner-Munzel: stats_mwu without its equal-shape assumption —
-    // stochastic superiority P(a<b)+half-ties with separate per-arm
-    // placement variances (exact integer D-moments off ONE prefix scan)
-    // and a Welch-Satterthwaite df
-    "stats_brunner_munzel" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.brunnerMunzel(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Brunner-Munzel (batch replay of 5 batches): sixth readout
-    // off the same additive per-score count state as stream_auc; same
-    // oracle
-    "stream_brunner_munzel" -> ((s, dir) => {
-      val am = aucValueState(s, dir)
-      am.superiority
-    }),
-
-    // Ansari-Bradley scale test: is click's VALUE more spread than
-    // purchase's — end-in scores with exact closed-form block sums off
-    // the same per-value count table, tie-correct generalized z
-    "stats_ansari" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.ansariBradley(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming Ansari-Bradley (batch replay of 5 batches): seventh
-    // readout off the same additive per-score count state; same oracle
-    "stream_ansari" -> ((s, dir) => {
-      val am = aucValueState(s, dir)
-      am.scaleTest
-    }),
-
-    // Kruskal–Wallis H: do the event TYPES draw value from ONE distribution
-    // — rank-based ANOVA over the per-(value,type) count table, average
-    // ranks via the deterministic-bucket prefix scan, exact-integer doubled
-    // rank sums and tie term, per-group R²/n decimal-staged before the sum
-    "stats_kruskal" -> ((s, dir) => {
-      graft.functions.Stats.kruskalWallis(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Kruskal–Wallis (batch replay of 5 batches): the
-    // per-(value,group) count state is additive PER PAIR — the readout
-    // equals the batch kruskalWallis; same oracle
-    "stream_kruskal" -> ((s, dir) => {
-      val km = kruskalState(s, dir)
-      km.readout
-    }),
-
-    // Jonckheere-Terpstra ordered-alternative trend: do values INCREASE
-    // along the event types' ordering — the directed cousin of
-    // stats_kruskal over the SAME (value,type) count table; pairwise MWU
-    // mass via the triangular cell-pair join, J - E[J] = S/2 makes the z
-    // the tau-b z with its full tie correction
-    "stats_jonckheere" -> ((s, dir) => {
-      graft.functions.Stats.jonckheereTerpstra(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Jonckheere-Terpstra (batch replay of 5 batches): fourth
-    // readout off the SAME additive KruskalMonitor count state; same
-    // oracle
-    "stream_jonckheere" -> ((s, dir) => {
-      val km = kruskalState(s, dir)
-      km.trend
-    }),
-
-    // Mood's median test: does each event type land above the POOLED
-    // median value at the same rate — the outlier-proof floor under
-    // stats_kruskal over the same count table; exact interpolated grand
-    // median, 2×k chi² with exact-integer E staging
-    "stats_mood_median" -> ((s, dir) => {
-      graft.functions.Stats.moodMedianTest(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Mood's median (batch replay of 5 batches): fifth readout
-    // off the SAME additive KruskalMonitor count state; same oracle
-    "stream_mood_median" -> ((s, dir) => {
-      val km = kruskalState(s, dir)
-      km.medianTest
-    }),
-
-    // Brown-Forsythe equal-spread test: do the event types have the same
-    // VARIABILITY of value (the check stats_anova's pooled variance
-    // quietly assumes) — per-group medians as conditional-min order stats
-    // off the bounded (value,type) count table, |x-med| moments
-    // decimal-staged, then the exact anova F stage over the deviations
-    "stats_levene" -> ((s, dir) => {
-      graft.functions.Stats.leveneTest(events(s, dir),
-        col("event_type"), col("value"))
-    }),
-
-    // streaming Brown-Forsythe (batch replay of 5 batches): second
-    // readout off the same pair-additive count state as stream_kruskal —
-    // equals the batch test; same oracle
-    "stream_levene" -> ((s, dir) => {
-      val km = kruskalState(s, dir)
-      km.spread
-    }),
-
-    // exact interpolated quantiles of VALUE: the percentile contract
-    // without a global sort — conditional-min order stats against the
-    // prefix-scanned count table, quantile_cont interpolation
-    "stats_quantile_exact" -> ((s, dir) => {
-      graft.functions.Stats.exactQuantiles(events(s, dir), col("value"),
-        Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
-    }),
-
-    // streaming exact quantiles (batch replay of 5 batches): third
-    // readout off the same pair-additive count state as stream_kruskal /
-    // stream_levene — equals the batch quantiles; same oracle
-    "stream_quantile_exact" -> ((s, dir) => {
-      val km = kruskalState(s, dir)
-      km.quantiles(Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
-    }),
-
-    // robust trimmed mean of VALUE: cut ⌊0.1n⌋ per tail on the same
-    // count table — interval arithmetic on the prefix scan, mean vs
-    // trimmed_mean IS the contamination readout
-    "stats_trimmed" -> ((s, dir) => {
-      graft.functions.Stats.trimmedMean(events(s, dir), col("value"),
-        trim = 0.1)
-    }),
-
-    // streaming trimmed mean (batch replay of 5 batches): fourth readout
-    // off the same count state as stream_quantile_exact; same oracle
-    "stream_trimmed" -> ((s, dir) => {
-      kruskalState(s, dir).trimmed(trim = 0.1)
-    }),
-
-    // median absolute deviation of VALUE: the robust scale next to the
-    // trimmed mean's robust location — two bounded-median extractions,
-    // normal-consistent 1.4826·mad against sigma
-    "stats_mad" -> ((s, dir) => {
-      graft.functions.Stats.madScale(events(s, dir), col("value"))
-    }),
-
-    // streaming MAD (batch replay of 5 batches): fifth readout off the
-    // same count state; same oracle
-    "stream_mad" -> ((s, dir) => {
-      kruskalState(s, dir).scale
-    }),
-
-    // robust quartile shape of VALUE: IQR + Bowley skewness + quartile
-    // dispersion — the shape fingerprint that stays meaningful where
-    // moment-based skew/kurtosis saturate; one quantile pass, pivoted
-    "stats_shape" -> ((s, dir) => {
-      graft.functions.Stats.robustShape(events(s, dir), col("value"))
-    }),
-
-    // streaming quartile shape (batch replay of 5 batches): sixth readout
-    // off the same count state; same oracle
-    "stream_shape" -> ((s, dir) => {
-      kruskalState(s, dir).shape
-    }),
-
-    // Jarque-Bera normality: is VALUE even bell-shaped — one additive
-    // exact-decimal power-sum row (n..Σx⁴ at DECIMAL(8,2) staging), fixed
-    // double order skew/kurtosis/JB, closed-form χ²(2) p = exp(−JB/2)
-    "stats_jarque_bera" -> ((s, dir) =>
-      graft.functions.Stats.jarqueBera(events(s, dir), col("value"))),
-
-    // streaming normality monitor (batch replay of 5 batches): power sums
-    // ADD, extremes merge by min/max — the readout equals the batch
-    // jarqueBera; same oracle
-    "stream_jarque_bera" -> ((s, dir) => {
-      val nm = normalityState(s, dir)
-      nm.readout
-    }),
-
-    // Grubbs extreme-outlier statistic: is the single most extreme VALUE
-    // too far out to be chance — same additive moment row (min/max ride
-    // along), studentized max distance in fixed double order
-    "stats_grubbs" -> ((s, dir) =>
-      graft.functions.Stats.grubbsTest(events(s, dir), col("value"))),
-
-    // streaming Grubbs (batch replay of 5 batches): second readout off
-    // the same additive moment state as stream_jarque_bera; same oracle
-    "stream_grubbs" -> ((s, dir) => {
-      val nm = normalityState(s, dir)
-      nm.extremes
-    }),
-
-    // D'Agostino's K² omnibus normality test: JB's small-sample-honest
-    // sibling — the same additive power-sum row, skewness through the
-    // Johnson Su asinh and kurtosis through the Anscombe–Glynn cube root
-    // before squaring, closed-form χ²(2) p
-    "stats_dagostino" -> ((s, dir) =>
-      graft.functions.Stats.dagostinoK2(events(s, dir), col("value"))),
-
-    // streaming D'Agostino (batch replay of 5 batches): third readout off
-    // the same additive moment state as stream_jarque_bera /
-    // stream_grubbs; same oracle
-    "stream_dagostino" -> ((s, dir) => {
-      val nm = normalityState(s, dir)
-      nm.omnibus
-    }),
-
-    // two-proportion z: did the PURCHASE SHARE of traffic move between the
-    // month's halves — each arm collapses to its exact (n, successes) pair
-    // in ONE reduce, pooled-SE z in fixed double order; zero data shuffle
-    "stats_twoprop" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.twoProportionZ(
-        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
-    }),
-
-    // streaming proportion monitor (batch replay of 5 batches): both arms'
-    // exact count pairs are additive — the readout equals the batch
-    // twoProportionZ; same oracle
-    "stream_twoprop" -> ((s, dir) => {
-      val pm = propState(s, dir)
-      pm.readout
-    }),
-
-    // Wald SPRT on the live window's purchase share: the peek-proof
-    // stopping rule (p=0.18 vs p=0.22 at alpha=.05, beta=.2) — LLR +
-    // Wald boundaries off ONE exact count pair
-    "stats_sprt" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.sprt(ev.filter(!half),
-        col("event_type") === "purchase", p0 = 0.18, p1 = 0.22)
-    }),
-
-    // streaming SPRT (batch replay of 5 batches): third readout off the
-    // same additive per-arm count state as stream_twoprop — equals the
-    // batch stats_sprt; same oracle
-    "stream_sprt" -> ((s, dir) => {
-      propState(s, dir).sequential(p0 = 0.18, p1 = 0.22)
-    }),
-
-    // sample-size planning for the next share experiment: second readout
-    // off the SAME additive per-arm count state — how many rows per arm
-    // re-detect the observed purchase-share move at alpha=.05 / 80% power
-    "stream_power" -> ((s, dir) => {
-      val pm = propState(s, dir)
-      pm.sampleSize()
-    }),
-
-    // Cochran–Armitage trend test: does the purchase SHARE rise
-    // monotonically across the month's weeks — the ordered-proportions
-    // test a plain chi-square wastes power on; ONE rollup to the 5-row
-    // (week, n, successes) table, exact staged moments, fixed-order z
-    "stats_cochran_armitage" -> ((s, dir) => {
-      graft.functions.Stats.cochranArmitage(events(s, dir),
-        floor((dayofmonth(col("ts")) - 1) / 7),
-        col("event_type") === "purchase")
-    }),
-
-    // capture-recapture population estimate: how many distinct users
-    // EXIST given what the month's two halves each saw — union with
-    // presence tags, ONE key-cardinality aggregation, Chapman's
-    // bias-corrected estimate + SE on three exact integers
-    "stats_capture" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.captureRecapture(
-        ev.filter(half), ev.filter(!half), col("user_id"))
-    }),
-
-    // Cochran–Mantel–Haenszel stratified two-proportion: the same
-    // month-half arms as stats_twoprop tested WITHIN user segments
-    // (user_id % 4) and combined — the Simpson's-paradox-proof readout;
-    // one aggregation to the per-stratum 2x2 table, staged sums
-    "stats_mh" -> ((s, dir) => {
-      graft.functions.Stats.mantelHaenszel(events(s, dir),
-        col("user_id") % 4,
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-    }),
-
-    // Breslow-Day homogeneity: does the month-half effect DIFFER by user
-    // segment — the assumption check under stats_mh's pooled OR; per-
-    // stratum expected cells from the admissible quadratic root, staged
-    // chi-square terms
-    "stats_breslow_day" -> ((s, dir) => {
-      graft.functions.Stats.breslowDay(events(s, dir),
-        col("user_id") % 4,
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-    }),
-
-    // streaming Breslow-Day (batch replay of 3 id-keyed batches): second
-    // readout off the same additive per-stratum 2x2 state as stream_mh —
-    // equals the batch stats_breslow_day; same oracle
-    "stream_breslow_day" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val mm = new graft.streaming.Streaming.MhMonitor(
-        col("user_id") % 4,
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-      (0 until 3).foreach(b => mm.update(ev.filter(col("event_id") % 3 === b)))
-      mm.homogeneity
-    }),
-
-    // streaming CMH (batch replay of 3 id-keyed batches): per-stratum 2x2
-    // counts are additive, so the folded state reads out equal to the
-    // batch mantelHaenszel — same oracle
-    "stream_mh" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val mm = new graft.streaming.Streaming.MhMonitor(
-        col("user_id") % 4,
-        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
-        col("event_type") === "purchase")
-      (0 until 3).foreach(b => mm.update(ev.filter(col("event_id") % 3 === b)))
-      mm.readout
-    }),
-
-    // Cohen's h effect size for the month-half purchase shares: how LARGE
-    // the share move is on the arcsine scale, next to stats_twoprop's "is
-    // it significant" — same additive per-arm count state
-    "stats_cohenh" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.cohenH(
-        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
-    }),
-
-    // streaming Cohen's h (the THIRD readout of the same per-arm count
-    // state): equals the batch stats_cohenh; same oracle
-    "stream_cohenh" -> ((s, dir) => {
-      propState(s, dir).effectSize
-    }),
-
-    // relative risk + odds ratio with 95% log CIs for the month-half
-    // purchase shares: the ratio-scale effect next to stats_twoprop's z
-    // and stats_cohenh's arcsine h — same additive per-arm count state
-    "stats_riskratio" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.riskRatio(
-        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
-    }),
-
-    // streaming RR/OR (the FOURTH readout of the same per-arm count
-    // state): equals the batch stats_riskratio; same oracle
-    "stream_riskratio" -> ((s, dir) => {
-      propState(s, dir).ratioEffect
-    }),
-
-    // two-sample Kolmogorov–Smirnov: the any-difference-in-shape verdict
-    // between the click and purchase value distributions — exact integer
-    // sup-gap off ONE prefix scan over the shared per-value count state
-    "stats_ks2" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.ksTwoSample(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming KS (the EIGHTH readout of the same aucvalue count state):
-    // equals the batch stats_ks2; same oracle
-    "stream_ks" -> ((s, dir) => {
-      val am = aucValueState(s, dir)
-      am.distributionTest
-    }),
-
-    // two-sample Cramér–von Mises: the INTEGRATED squared CDF gap between
-    // the click and purchase value distributions — the
-    // everywhere-slightly-off drift KS's single sup point can miss;
-    // exact-decimal term staging off the same ONE prefix scan
-    "stats_cvm" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.cramerVonMises(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming CvM (the NINTH readout of the same aucvalue count state):
-    // equals the batch stats_cvm; same oracle
-    "stream_cvm" -> ((s, dir) => {
-      aucValueState(s, dir).shapeTest
-    }),
-
-    // two-sample Anderson–Darling: the TAIL-weighted member of the
-    // distribution-equality family — each squared CDF gap divided by
-    // F(1−F), so contamination living in the extreme quantiles moves A²
-    // where KS and CvM stay flat
-    "stats_ad" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.andersonDarling2(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value")
-    }),
-
-    // streaming AD (the TENTH readout of the same aucvalue count state):
-    // equals the batch stats_ad; same oracle
-    "stream_ad" -> ((s, dir) => {
-      aucValueState(s, dir).tailTest
-    }),
-
-    // bucketed 1-D Wasserstein-1: how FAR apart the click and purchase
-    // value distributions are, in value units — the trendable drift
-    // magnitude next to the family's p-values; config-bounded bucket
-    // table, triangular next-bucket join, no window
-    "stats_wasserstein" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.functions.Stats.wasserstein1(
-        ev.filter(col("event_type") === "click").select(col("value")),
-        ev.filter(col("event_type") === "purchase").select(col("value")),
-        "value", width = 10.0)
-    }),
-
-    // streaming W1 (the ELEVENTH readout of the same aucvalue count
-    // state): equals the batch stats_wasserstein; same oracle
-    "stream_wasserstein" -> ((s, dir) => {
-      aucValueState(s, dir).transportDistance(10.0)
-    }),
-
-    // batch twin of stream_power off the same arms as stats_twoprop
-    "stats_power_twoprop" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val half = to_date(col("ts")) <= lit("2024-01-15").cast("date")
-      graft.functions.Stats.powerTwoProp(
-        ev.filter(half), ev.filter(!half), col("event_type") === "purchase")
-    }),
-
-    // Poisson bootstrap (Chamandy et al. 2012): CI for the mean order value
-    // without resampling-by-index — every replicate is two more agg columns
-    // in ONE scan+reduce, weights are hash-derived Poisson(1) draws, sums
-    // exact in decimal; 16 replicate means come back as 16 rows
-    "stats_bootstrap" -> ((s, dir) => {
-      graft.functions.Stats.poissonBootstrap(
-          t(s, dir, "orders"), "o_orderkey", "o_totalprice", replicates = 16)
-        .select(col("rep"), col("n_eff"),
-          dround(col("boot_sum").cast(DoubleType) / col("n_eff"), 4).as("boot_mean"))
-        .orderBy(col("rep"))
-    }),
-
-    // streaming bootstrap monitor (batch replay of 5 batches): id-derived
-    // weights make the replicate moments a LINEAR sketch, so the folded
-    // state reads out identical to the corpus CI — same oracle
-    "stream_bootstrap" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val bm = new graft.streaming.Streaming.BootstrapMonitor(
-        "o_orderkey", "o_totalprice", replicates = 16)
-      (0 until 5).foreach(b => bm.update(o.filter(col("o_orderkey") % 5 === b)))
-      bm.readout
-        .select(col("rep"), col("n_eff"),
-          dround(col("boot_sum").cast(DoubleType) / col("n_eff"), 4).as("boot_mean"))
-        .orderBy(col("rep"))
-    }),
-
-    // per-group quantiles: each event type's own p50/p90 value threshold —
-    // adaptive per-slice cuts from ONE raw aggregation, group-partitioned
-    // windows only
-    "stats_quantile_by_type" -> ((s, dir) => {
-      graft.functions.Stats.groupedHistogramQuantiles(events(s, dir),
-          "event_type", "value", width = 10.0, qs = Seq(0.5, 0.9))
-        .orderBy(col("event_type"), col("q"))
-    }),
-
-    // winsorization: clamp event values into each type's own [p05, p95]
-    // histogram band — thresholds broadcast, the clamp is scan-speed
-    "stats_winsorize" -> ((s, dir) => {
-      graft.functions.Stats.winsorize(events(s, dir), "event_type", "value",
-          width = 10.0, lowQ = 0.05, highQ = 0.95)
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("value_clipped"), col("clip_lo"), col("clip_hi"))
-        .orderBy(col("event_id"))
-    }),
-
-    // sliding-window chunking with overlap (RAG prep): stride-spaced
-    // full-width chunks, last start clamped to the doc boundary; pure
-    // per-row expressions — zero shuffles, scan-speed
-    "chunk_overlap" -> ((s, dir) => {
-      graft.functions.Packing.slidingChunks(docsNorm(s, dir), "doc_id", "text",
-        window = 32, stride = 24)
-        .orderBy(col("doc_id"), col("chunk"))
-    }),
-
-    // token-entropy quality signal: information density per document —
-    // boilerplate/repetition collapses it; decimal-staged terms, doc-keyed
-    // shuffles only
-    "text_entropy" -> ((s, dir) => {
-      graft.functions.Retrieval.tokenEntropyScores(docsNorm(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-
-    // bigram LM with stupid backoff: train on the 90% slice, score all —
-    // held-out docs hit unseen bigrams and exercise the backoff; the
-    // stronger perplexity-proxy filter (transition probabilities)
-    "text_lm_bigram" -> ((s, dir) => {
-      graft.functions.Retrieval.bigramLogProb(docsNorm(s, dir), "doc_id", "text",
-        isTrain = col("doc_id") % 10 =!= 0)
-        .orderBy(col("doc_id"))
-    }),
-
-    // DSIR importance scoring: target = the English slice, raw = the whole
-    // corpus; one token aggregation trains BOTH unigram models, scoring is
-    // an equi-join back on the token — domain-targeted data selection that
-    // re-weighs 100 TB with two corpus passes
-    "text_dsir" -> ((s, dir) => {
-      graft.functions.Retrieval.dsirScore(docsNorm(s, dir), "doc_id", "text",
-        isTarget = col("lang") === "en")
-        .orderBy(col("doc_id"))
-    }),
-
-    // exact duplicated-span extraction (substring-level dedup): maximal
-    // token spans covered by corpus-repeated 8-grams, merged per document
-    // by gaps-and-islands — the span-cut shape of suffix-array dedup with
-    // only a gram aggregation, an equi-join, and per-doc windows
-    "dedup_spans" -> ((s, dir) => {
-      Dedup.duplicateSpans(docsNorm(s, dir), "doc_id", "text", k = 8)
-        .orderBy(col("doc_id"), col("span_start"))
-    }),
-
-    // apply the substring-dedup cut: drop every token covered by a
-    // corpus-repeated span, reassemble the survivors per document — one
-    // anti-join on (doc, pos) + per-doc aggregation, shuffles on doc id only
-    "dedup_spans_cut" -> ((s, dir) => {
-      Dedup.cutSpans(docsNorm(s, dir), "doc_id", "text", k = 8)
-        .orderBy(col("doc_id"))
-    }),
-
-    // TF-IDF keyword extraction: top-3 salient terms per document; df
-    // derives from the (doc, token) counts, the cut is a per-document
-    // window — never an unpartitioned sort
-    "text_tfidf" -> ((s, dir) => {
-      graft.functions.Retrieval.tfidfKeywords(docsNorm(s, dir), "doc_id", "text",
-        perDoc = 3)
-        .orderBy(col("doc_id"), col("rank"))
-    }),
-
-    // PMI collocations: top word pairs by pointwise mutual information —
-    // two explode aggregations, vocabulary-keyed probability joins,
-    // one-row total broadcasts, TakeOrdered cut
-    "text_pmi" -> ((s, dir) => {
-      graft.functions.Retrieval.collocations(docsNorm(s, dir), "text",
-        minCount = 5, topK = 50)
-    }),
-
-    // decontamination report: ROUGE-2 strength of every flagged
-    // train/bench overlap pair — clipped-bigram precision/recall/F1, each
-    // an exact-integer ratio; gram work is pair-proportional (semi-join
-    // before bigram build)
-    "text_rouge" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.contamination(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        minShared = 3)
-      graft.functions.Retrieval.rouge2(pairs, "train_id", "bench_id",
-        docs, "doc_id", "text")
-        .orderBy(col("train_id"), col("bench_id"))
-    })
-  )
-
-  /** SCD2 user dimension over the events table (shared by dim_scd2/scd_asof) */
-  private def scd2UserDim(s: SparkSession, dir: String): ScdDimension = {
-    val ev = events(s, dir)
-    val dim = new ScdDimension("user_scd", "user_key",
-      Seq("user_id", "event_type", "version", "valid_from", "valid_to"),
-      Seq("user_id"), "version", "valid_from", "valid_to",
-      maxTo = lit(null).cast(TimestampType))
-    dim.init(ev.select(lit(0L).as("user_key"), col("user_id"), col("event_type"),
-      lit(1).as("version"), col("ts").as("valid_from"), col("ts").as("valid_to")).limit(0))
-    dim
-  }
-
-  // =================================================================
-  // oracle SQL (DuckDB)
-  // =================================================================
-
-  /** normalized-token SQL fragment shared by the text oracles */
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
-
-  /** HLL estimator constant alpha_256·256²·2^60 — computed by the IDENTICAL
-    * Scala expression Stats.hllEstimate folds, then inlined into the oracle
-    * as one literal (Double.toString round-trips, so both engines divide by
-    * the same bit pattern instead of replaying operation order).
-    */
-  private val hllC = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * math.pow(2, 60)
-
-  /** shared oracle fragment: the exact-Jaccard 3-shingle near-dup pair graph
-    * (the minhashPairs replay the cluster oracles use), as the CTE chain
-    * norm/sh/pairs/edges — interpolate inside a WITH [RECURSIVE] list.
-    */
-  /** winnowed-fingerprint contamination replay (shared by the batch query
-    * and its streaming twin — the monitor's accreted matches equal the
-    * batch solve because the benchmark index is fixed and train batches
-    * partition the train set)
-    */
-  private lazy val contaminationOracleSql: String =
-    s"""WITH norm AS (
-         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-       g AS (
-         SELECT doc_id, CASE WHEN len(toks) >= 4
-           THEN list_transform(range(0, len(toks)-3),
-             i -> array_to_string(toks[i+1:i+4], ' '))
-           ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-       h AS (
-         SELECT doc_id, list_transform(grams,
-           g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
-       w AS (
-         SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-           ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-             j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
-       f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-       bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
-       bcap AS (
-         SELECT bench_id, fp FROM (
-           SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
-         WHERE cnt <= 100),
-       tf AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
-       p AS (
-         SELECT train_id, bench_id, count(*) AS shared
-         FROM tf JOIN bcap USING (fp) GROUP BY 1, 2)
-       SELECT train_id, bench_id, shared FROM p WHERE shared >= 3
-       ORDER BY train_id, bench_id"""
-
-  /** BPE-training oracle: the 6 merge rounds unrolled (the k-means-oracle
-    * unroll discipline) — each round re-derives the weighted pair counts
-    * from the previous round's `||`-delimited symbol strings, takes the
-    * (count desc, pair asc) argmax, and applies the identical non-regex
-    * `replace` of `|a||b|` → `|ab|`.
-    */
-  /** shared CTE chain for the BPE oracles: word-type table `w`, char-split
-    * `s0`, then per-round (pair-count `p_k`, argmax `b_k`, replace `s_k`).
-    * `s<nMerges>` is the fully-encoded word-type table.
-    */
-  private def bpeRoundsCtes(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { k =>
-      s"""p$k AS (
-           SELECT pr, CAST(sum(cnt) AS BIGINT) AS pc FROM (
-             SELECT cnt, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END) AS pr
-             FROM (SELECT cnt, list_filter(string_split(s, '||'), x -> x <> '') AS l
-                   FROM s${k - 1}))
-           GROUP BY pr),
-         b$k AS (
-           SELECT $k AS step, split_part(pr, ' ', 1) AS a,
-             split_part(pr, ' ', 2) AS b, pc
-           FROM p$k ORDER BY pc DESC, pr LIMIT 1),
-         s$k AS (
-           SELECT cnt, replace(s, '|' || a || '||' || b || '|',
-             '|' || a || b || '|') AS s
-           FROM s${k - 1} CROSS JOIN b$k)"""
-    }.mkString(",\n       ")
-    s"""w AS (
-         SELECT tok, count(*) AS cnt FROM (
-           SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
-         WHERE tok <> '' GROUP BY tok),
-       s0 AS (
-         SELECT cnt, '||' || array_to_string(
-           list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)), '||')
-           || '||' AS s FROM w),
-       $rounds"""
-  }
-
-  private def bpeTrainOracleSql(nMerges: Int): String = {
-    val union = (1 to nMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH ${bpeRoundsCtes(nMerges)}
-       SELECT step, a AS merge_left, b AS merge_right, a || b AS merged,
-         pc AS pair_count
-       FROM ($union) ORDER BY step"""
-  }
-
-  /** encode stage: replay the same merge rounds, then unnest the final
-    * symbol strings — `s` is in bijection with the word type (symbols
-    * concatenate back to the word), so count(DISTINCT s) = word types.
-    */
-  /** per-column completeness replay over the doctored documents frame —
-    * shared by `stats_null_profile` and its streaming twin
-    * `stream_null_profile` (counters are additive).
-    */
-  private val nullProfileOracleSql =
-    """WITH d AS (
-         SELECT doc_id,
-           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
-           CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text,
-           source
-         FROM documents),
-       a AS (
-         SELECT count(*) AS n,
-           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl_lang,
-           sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS em_lang,
-           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nl_text,
-           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS em_text,
-           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nl_source,
-           sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS em_source
-         FROM d),
-       stacked AS (
-         SELECT 'lang' AS col_name, n AS n_rows,
-           CAST(coalesce(nl_lang, 0) AS BIGINT) AS n_null,
-           CAST(coalesce(em_lang, 0) AS BIGINT) AS n_empty FROM a
-         UNION ALL
-         SELECT 'text', n, CAST(coalesce(nl_text, 0) AS BIGINT),
-           CAST(coalesce(em_text, 0) AS BIGINT) FROM a
-         UNION ALL
-         SELECT 'source', n, CAST(coalesce(nl_source, 0) AS BIGINT),
-           CAST(coalesce(em_source, 0) AS BIGINT) FROM a)
-       SELECT col_name, n_rows, n_null, n_empty,
-         round(CAST(CASE WHEN n_rows = 0 THEN 0.0
-           ELSE n_null::DOUBLE / n_rows END AS DECIMAL(18,8)), 4)::DOUBLE
-           AS null_frac
-       FROM stacked ORDER BY col_name"""
-
-  /** correlation replay (exact decimal moments, fixed-order double
-    * formula) — shared by `stats_corr` and `stream_corr` (moments are
-    * additive).
-    */
-  private val corrOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(19,4))) AS s0,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS q0,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s1,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS q1,
-             sum(CAST(l_discount AS DECIMAL(19,4))) AS s2,
-             sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS q2,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p01,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p02,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p12
-           FROM lineitem),
-         b AS (
-           SELECT n, n::DOUBLE AS nd,
-             s0::DOUBLE AS s0, q0::DOUBLE AS q0, s1::DOUBLE AS s1,
-             q1::DOUBLE AS q1, s2::DOUBLE AS s2, q2::DOUBLE AS q2,
-             p01::DOUBLE AS p01, p02::DOUBLE AS p02, p12::DOUBLE AS p12
-           FROM a),
-         c AS (
-           SELECT n,
-             nd * p01 - s0 * s1 AS n01, nd * p02 - s0 * s2 AS n02,
-             nd * p12 - s1 * s2 AS n12,
-             nd * q0 - s0 * s0 AS v0, nd * q1 - s1 * s1 AS v1,
-             nd * q2 - s2 * s2 AS v2
-           FROM b)
-         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
-           round(CAST(CASE WHEN v0 <= 0.0 OR v1 <= 0.0 THEN 0.0
-             ELSE n01 / (sqrt(v0) * sqrt(v1)) END AS DECIMAL(18,8)), 6)::DOUBLE AS corr
-         FROM c
-         UNION ALL
-         SELECT 'l_quantity', 'l_discount', n,
-           round(CAST(CASE WHEN v0 <= 0.0 OR v2 <= 0.0 THEN 0.0
-             ELSE n02 / (sqrt(v0) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
-         FROM c
-         UNION ALL
-         SELECT 'l_extendedprice', 'l_discount', n,
-           round(CAST(CASE WHEN v1 <= 0.0 OR v2 <= 0.0 THEN 0.0
-             ELSE n12 / (sqrt(v1) * sqrt(v2)) END AS DECIMAL(18,8)), 6)::DOUBLE
-         FROM c
-         ORDER BY col_a, col_b"""
-
-  /** Welch t-test replay (exact decimal per-arm moments, fixed-order
-    * double formula for t and the Welch–Satterthwaite dof) — shared by
-    * `stats_welch` and `stream_welch` (moments are additive).
-    */
-  private val welchOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events WHERE event_type = 'click'),
-         b AS (
-           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events WHERE event_type = 'purchase'),
-         m AS (
-           SELECT a.n AS n_a, b.n AS n_b,
-             a.s::DOUBLE / a.n::DOUBLE AS ma, b.s::DOUBLE / b.n::DOUBLE AS mb,
-             ((a.q::DOUBLE - a.s::DOUBLE * a.s::DOUBLE / a.n::DOUBLE)
-               / (a.n::DOUBLE - 1.0)) / a.n::DOUBLE AS va,
-             ((b.q::DOUBLE - b.s::DOUBLE * b.s::DOUBLE / b.n::DOUBLE)
-               / (b.n::DOUBLE - 1.0)) / b.n::DOUBLE AS vb
-           FROM a CROSS JOIN b)
-         SELECT n_a, n_b,
-           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
-           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
-           round(CAST((ma - mb) / sqrt(va + vb) AS DECIMAL(18,8)), 6)::DOUBLE AS t,
-           round(CAST((va + vb) * (va + vb)
-               / (va * va / (n_a::DOUBLE - 1.0) + vb * vb / (n_b::DOUBLE - 1.0))
-             AS DECIMAL(18,8)), 4)::DOUBLE AS df
-         FROM m"""
-
-  /** Cohen's d / Hedges' g replay (same exact per-arm moments as welch,
-    * pooled variance, fixed-order d and g) — shared by `stats_cohend`
-    * and `stream_cohend` (moments are additive).
-    */
-  private val cohendOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events WHERE event_type = 'click'),
-         b AS (
-           SELECT count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events WHERE event_type = 'purchase'),
-         m AS (
-           SELECT a.n AS n_a, b.n AS n_b,
-             a.s::DOUBLE / a.n::DOUBLE AS ma, b.s::DOUBLE / b.n::DOUBLE AS mb,
-             ((a.q::DOUBLE - a.s::DOUBLE * a.s::DOUBLE / a.n::DOUBLE)
-               + (b.q::DOUBLE - b.s::DOUBLE * b.s::DOUBLE / b.n::DOUBLE))
-               / (a.n::DOUBLE + b.n::DOUBLE - 2.0) AS sp2,
-             1.0 - 3.0 / (4.0 * (a.n::DOUBLE + b.n::DOUBLE) - 9.0) AS j
-           FROM a CROSS JOIN b)
-         SELECT n_a, n_b,
-           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
-           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
-           CASE WHEN n_a + n_b <= 2 OR sp2 <= 0.0 THEN NULL
-                ELSE round(CAST((ma - mb) / sqrt(sp2) AS DECIMAL(18,8)),
-                  6)::DOUBLE END AS d,
-           CASE WHEN n_a + n_b <= 2 OR sp2 <= 0.0 THEN NULL
-                ELSE round(CAST((ma - mb) / sqrt(sp2) * j AS DECIMAL(18,8)),
-                  6)::DOUBLE END AS g
-         FROM m"""
-
-  /** OLS trend replay (exact decimal regression moments, fixed-order
-    * double formulas for slope/intercept/r²/t) — shared by `stats_trend`
-    * and `stream_trend` (moments are additive).
-    */
-  private val trendOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n,
-             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))) AS sx,
-             sum(CAST(value AS DECIMAL(15,4))) AS sy,
-             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))
-               * CAST(value AS DECIMAL(15,4))) AS sxy,
-             sum(CAST(datepart('day', ts) AS DECIMAL(15,4))
-               * CAST(datepart('day', ts) AS DECIMAL(15,4))) AS sxx,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS syy
-           FROM events),
-         m AS (
-           SELECT n,
-             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cxy,
-             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS cxx,
-             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy,
-             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
-           FROM a),
-         s AS (
-           SELECT n, cxy, cxx, sxd, syd, cxy / cxx AS slope,
-             CASE WHEN cxx <= 0.0 OR cyy <= 0.0 THEN 0.0
-                  ELSE cxy * cxy / (cxx * cyy) END AS r2
-           FROM m)
-         SELECT n,
-           round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE AS slope,
-           round(CAST((syd - slope * sxd) / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             AS intercept,
-           round(CAST(r2 AS DECIMAL(18,8)), 6)::DOUBLE AS r2,
-           CASE WHEN n <= 2 OR r2 >= 1.0 THEN NULL
-                ELSE round(CAST(sign(cxy) * sqrt(r2 * (n::DOUBLE - 2.0) / (1.0 - r2))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS t
-         FROM s"""
-
-  /** one-way ANOVA replay (exact decimal per-group moments, per-group
-    * terms decimal-staged before the k-row sum, fixed-order F/eta²) —
-    * shared by `stats_anova` and `stream_anova` (the moment table is
-    * additive per group).
-    */
-  private val anovaOracleSql =
-    """WITH g AS (
-           SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events GROUP BY 1),
-         t AS (
-           SELECT n, s,
-             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
-               AS DECIMAL(28,10)) AS w,
-             CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE AS DECIMAL(28,10)) AS b
-           FROM g),
-         a AS (
-           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(s) AS ss,
-             sum(w) AS ssw, sum(b) AS bp
-           FROM t),
-         m AS (
-           SELECT k, nn, ssw::DOUBLE AS ssw,
-             bp::DOUBLE - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb
-           FROM a)
-         SELECT k, nn AS n, k - 1 AS df1, nn - k AS df2,
-           CASE WHEN k <= 1 OR nn <= k OR ssw <= 0.0 THEN NULL
-                ELSE round(CAST(ssb / (k - 1)::DOUBLE / (ssw / (nn - k)::DOUBLE)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS f,
-           CASE WHEN ssb + ssw <= 0.0 THEN NULL
-                ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
-                END AS eta2
-         FROM m"""
-
-  /** Bartlett replay (same per-group exact moments as anova; each group's
-    * (n−1)·ln s² and 1/(n−1) terms decimal-staged before the k-row sums,
-    * χ² and the Bartlett correction in fixed double order) — shared by
-    * `stats_bartlett` and `stream_bartlett` (the group-moment state is
-    * the additive AnovaMonitor state).
-    */
-  private val bartlettOracleSql =
-    """WITH g AS (
-           SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS q
-           FROM events GROUP BY 1),
-         t AS (
-           SELECT n,
-             CASE WHEN n < 2 OR (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-                    / (n - 1)::DOUBLE <= 0.0 THEN NULL
-                  ELSE CAST((n - 1)::DOUBLE
-                    * ln((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-                      / (n - 1)::DOUBLE) AS DECIMAL(28,10)) END AS lv,
-             CAST(1.0 / (n - 1)::DOUBLE AS DECIMAL(28,10)) AS inv,
-             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
-               AS DECIMAL(28,10)) AS w
-           FROM g),
-         a AS (
-           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
-             sum(lv) AS slv, sum(inv) AS sinv, sum(w) AS ssw,
-             sum(CASE WHEN lv IS NULL THEN 1 ELSE 0 END) AS bad
-           FROM t),
-         m AS (
-           SELECT k, nn, bad,
-             ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE) AS sp2,
-             CASE WHEN k < 2 OR ssw::DOUBLE <= 0.0 THEN NULL
-                  ELSE ((nn::DOUBLE - k::DOUBLE)
-                      * ln(ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE))
-                      - slv::DOUBLE)
-                    / (1.0 + (sinv::DOUBLE - 1.0 / (nn::DOUBLE - k::DOUBLE))
-                      / (3.0 * (k::DOUBLE - 1.0))) END AS stat
-           FROM a)
-         SELECT k, nn AS n,
-           CASE WHEN k < 2 OR bad > 0 OR sp2 <= 0.0 THEN NULL
-                ELSE round(CAST(stat AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS chi2
-         FROM m"""
-
-  /** Tukey HSD replay (same per-group exact moments as anova, pooled MSW,
-    * triangular pair join, fixed-order Tukey–Kramer q) — shared by
-    * `stats_tukey` and `stream_tukey` (the group-moment state is the
-    * additive AnovaMonitor state).
-    */
-  private val tukeyOracleSql =
-    """WITH g AS (
-           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(value AS DECIMAL(15,4))) AS s,
-             sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4)))
-               AS q
-           FROM events GROUP BY 1),
-         t AS (
-           SELECT n,
-             CAST(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
-               AS DECIMAL(28,10)) AS w
-           FROM g),
-         a AS (
-           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(w) AS ssw
-           FROM t),
-         p AS (
-           SELECT ga.event_type AS group_a, gb.event_type AS group_b,
-             ga.n AS na, gb.n AS nb,
-             ga.s::DOUBLE / ga.n::DOUBLE AS ma,
-             gb.s::DOUBLE / gb.n::DOUBLE AS mb,
-             k, nn, ssw::DOUBLE AS ssw
-           FROM g ga JOIN g gb ON ga.event_type < gb.event_type
-             CROSS JOIN a),
-         f AS (
-           SELECT group_a, group_b, na, nb, ma, mb, k, nn, ssw,
-             ssw / (nn - k)::DOUBLE AS msw
-           FROM p)
-         SELECT group_a, group_b, na AS n_a, nb AS n_b,
-           round(CAST(ma AS DECIMAL(18,8)), 6)::DOUBLE AS mean_a,
-           round(CAST(mb AS DECIMAL(18,8)), 6)::DOUBLE AS mean_b,
-           round(CAST(ma - mb AS DECIMAL(18,8)), 6)::DOUBLE AS diff,
-           CASE WHEN nn <= k OR ssw <= 0.0 THEN NULL
-                ELSE round(CAST(abs(ma - mb)
-                  / sqrt(msw / 2.0 * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS q
-         FROM f ORDER BY group_a, group_b"""
-
-  /** Mann–Whitney replay (per-value counts, inclusive cumulative b-side,
-    * exact-integer doubled U and Σ(t³−t) tie term, fixed-order z) —
-    * shared by `stats_mwu` and `stream_mwu` (counts are additive).
-    */
-  private val mwuOracleSql =
-    """WITH u AS (
-           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-         c AS (
-           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-           FROM u GROUP BY 1),
-         s AS (SELECT p, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn FROM c),
-         t AS (
-           SELECT p, n,
-             p::DECIMAL(38,0) * (2 * (cn - n) + n)::DECIMAL(38,0) AS u2,
-             (p+n)::DECIMAL(38,0) * (p+n)::DECIMAL(38,0) * (p+n)::DECIMAL(38,0)
-               - (p+n)::DECIMAL(38,0) AS t3
-           FROM s),
-         a AS (
-           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
-             sum(u2) AS u2s, sum(t3) AS ts
-           FROM t),
-         m AS (
-           SELECT n_a, n_b, u2s::DOUBLE AS u2d, ts::DOUBLE AS tsd,
-             n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd, (n_a + n_b)::DOUBLE AS nd
-           FROM a)
-         SELECT n_a, n_b,
-           round(CAST(u2d / 2.0 AS DECIMAL(28,8)), 4)::DOUBLE AS u,
-           CASE WHEN n_a = 0 OR n_b = 0
-                  OR (nd + 1.0) - tsd / (nd * (nd - 1.0)) <= 0.0 THEN NULL
-                ELSE round(CAST((u2d - nad * nbd)
-                  / (2.0 * sqrt(nad * nbd / 12.0
-                    * ((nd + 1.0) - tsd / (nd * (nd - 1.0)))))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-         FROM m"""
-
-  /** Brunner–Munzel replay (same per-value counts as mwu, BOTH inclusive
-    * cumulatives, doubled combined midranks and per-arm D gaps as exact
-    * integers, placement variances and the Welch–Satterthwaite df in
-    * fixed double order) — shared by `stats_brunner_munzel` and
-    * `stream_brunner_munzel` (the count state is the additive AucMonitor
-    * state).
-    */
-  private val brunnerMunzelOracleSql =
-    """WITH u AS (
-           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-         c AS (
-           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-           FROM u GROUP BY 1),
-         s AS (
-           SELECT p, n,
-             CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
-             CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn
-           FROM c),
-         t AS (
-           SELECT p, n,
-             (2 * (cp - p + cn - n) + p + n + 1)::DECIMAL(38,0) AS r2,
-             (2 * (cn - n) + n)::DECIMAL(38,0) AS da,
-             (2 * (cp - p) + p)::DECIMAL(38,0) AS db
-           FROM s),
-         a AS (
-           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
-             sum(p::DECIMAL(38,0) * r2) AS ar2, sum(n::DECIMAL(38,0) * r2) AS br2,
-             sum(p::DECIMAL(38,0) * da) AS ad1,
-             sum(p::DECIMAL(38,0) * da * da) AS ad2,
-             sum(n::DECIMAL(38,0) * db) AS bd1,
-             sum(n::DECIMAL(38,0) * db * db) AS bd2
-           FROM t),
-         m AS (
-           SELECT n_a, n_b, n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd,
-             ar2::DOUBLE AS ar2d, br2::DOUBLE AS br2d,
-             (ad2::DOUBLE - ad1::DOUBLE * ad1::DOUBLE / n_a::DOUBLE)
-               / (4.0 * (n_a::DOUBLE - 1.0)) AS sx,
-             (bd2::DOUBLE - bd1::DOUBLE * bd1::DOUBLE / n_b::DOUBLE)
-               / (4.0 * (n_b::DOUBLE - 1.0)) AS sy
-           FROM a),
-         f AS (
-           SELECT n_a, n_b, nad, nbd, sx, sy,
-             nad * sx + nbd * sy AS dv,
-             br2d / nbd - ar2d / nad AS gap2,
-             (br2d / nbd - (nbd + 1.0)) / 2.0 / nad AS ph
-           FROM m)
-         SELECT n_a, n_b,
-           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-                ELSE round(CAST(ph AS DECIMAL(18,8)), 6)::DOUBLE END AS p_hat,
-           CASE WHEN n_a < 2 OR n_b < 2 OR dv <= 0.0 THEN NULL
-                ELSE round(CAST(nad * nbd * (gap2 / 2.0)
-                  / ((nad + nbd) * sqrt(dv)) AS DECIMAL(18,8)), 6)::DOUBLE
-                END AS w,
-           CASE WHEN n_a < 2 OR n_b < 2 OR dv <= 0.0 THEN NULL
-                ELSE round(CAST(dv * dv
-                  / ((nad * sx) * (nad * sx) / (nad - 1.0)
-                    + (nbd * sy) * (nbd * sy) / (nbd - 1.0))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS df
-         FROM f"""
-
-  /** Ansari–Bradley replay — same per-value counts, closed-form doubled
-    * block score sums against the end-in ramp (three exact integer
-    * terms), DECIMAL(28,10)-staged per-block fractions, tie-correct
-    * generalized z in fixed double order. Shared by `stats_ansari` and
-    * `stream_ansari` (the count state is the additive AucMonitor state).
-    */
-  private val ansariOracleSql =
-    """WITH u AS (
-           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-         c AS (
-           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-           FROM u GROUP BY 1),
-         s AS (
-           SELECT p, n,
-             CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
-             CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn
-           FROM c),
-         tot AS (
-           SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_a,
-             CAST(coalesce(sum(n), 0) AS BIGINT) AS n_b
-           FROM c),
-         blk AS (
-           SELECT p, n, (p + n)::DECIMAL(38,0) AS t,
-             ((cp - p + cn - n) + 1)::DECIMAL(38,0) AS lo,
-             ((cp - p + cn - n) + p + n)::DECIMAL(38,0) AS hi,
-             (n_a + n_b)::DECIMAL(38,0) AS nn,
-             CAST(floor((n_a + n_b + 1)::DOUBLE / 2.0) AS BIGINT)::DECIMAL(38,0) AS fh
-           FROM s CROSS JOIN tot),
-         s2t AS (
-           SELECT p, n, t,
-             (CASE WHEN lo <= least(hi, fh)
-               THEN (lo + least(hi, fh)) * (least(hi, fh) - lo + 1)
-               ELSE 0::DECIMAL(38,0) END
-              + CASE WHEN greatest(lo, fh + 1) <= hi
-               THEN 2 * (nn + 1) * (hi - greatest(lo, fh + 1) + 1)
-                 - (greatest(lo, fh + 1) + hi) * (hi - greatest(lo, fh + 1) + 1)
-               ELSE 0::DECIMAL(38,0) END) AS s2
-           FROM blk),
-         staged AS (
-           SELECT
-             CAST(CAST(p::DECIMAL(38,0) * s2 AS DOUBLE) / (2.0 * t::DOUBLE)
-               AS DECIMAL(28,10)) AS abx,
-             s2,
-             CAST(CAST(s2 * s2 AS DOUBLE) / (4.0 * t::DOUBLE)
-               AS DECIMAL(28,10)) AS sq
-           FROM s2t),
-         agg AS (
-           SELECT sum(abx) AS ab, sum(s2) AS ss2, sum(sq) AS ssq FROM staged),
-         m AS (
-           SELECT n_a, n_b, ab::DOUBLE AS abd,
-             n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd,
-             (n_a::DOUBLE + n_b::DOUBLE) AS nd,
-             ss2::DOUBLE / 2.0 / (n_a::DOUBLE + n_b::DOUBLE) AS sbar,
-             ssq::DOUBLE AS ssqd
-           FROM agg CROSS JOIN tot)
-         SELECT n_a, n_b,
-           CASE WHEN n_a = 0 THEN NULL
-                ELSE round(CAST(abd AS DECIMAL(18,8)), 6)::DOUBLE END AS ab,
-           CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 3
-                  OR nad * nbd * (ssqd - nd * sbar * sbar) / (nd * (nd - 1.0)) <= 0.0
-                THEN NULL
-                ELSE round(CAST((abd - nad * sbar)
-                  / sqrt(nad * nbd * (ssqd - nd * sbar * sbar) / (nd * (nd - 1.0)))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-         FROM m"""
-
-  /** Cliff's delta replay (same per-value counts and exact doubled U as
-    * mwu, one divide, Romano band off the rounded |δ|) — shared by
-    * `stats_cliffs` and `stream_cliffs` (the count state is the additive
-    * AucMonitor state).
-    */
-  private val cliffsOracleSql =
-    """WITH u AS (
-           SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-         c AS (
-           SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-             CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-           FROM u GROUP BY 1),
-         s AS (SELECT p, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn FROM c),
-         t AS (
-           SELECT p, n,
-             p::DECIMAL(38,0) * (2 * (cn - n) + n)::DECIMAL(38,0) AS u2
-           FROM s),
-         a AS (
-           SELECT CAST(sum(p) AS BIGINT) AS n_a, CAST(sum(n) AS BIGINT) AS n_b,
-             sum(u2) AS u2s
-           FROM t),
-         f AS (
-           SELECT n_a, n_b,
-             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-                  ELSE round(CAST(u2s::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
-                    - 1.0 AS DECIMAL(18,8)), 6)::DOUBLE END AS delta
-           FROM a)
-         SELECT n_a, n_b, delta,
-           CASE WHEN delta IS NULL THEN NULL
-                WHEN abs(delta) < 0.147 THEN 'negligible'
-                WHEN abs(delta) < 0.33 THEN 'small'
-                WHEN abs(delta) < 0.474 THEN 'medium'
-                ELSE 'large' END AS magnitude
-         FROM f"""
-
-  /** Kruskal–Wallis replay (per-(value,group) counts, inclusive
-    * cumulative totals for doubled average ranks, exact-integer rank sums
-    * and Σ(t³−t), per-group terms decimal-staged, fixed-order H with tie
-    * correction) — shared by `stats_kruskal` and `stream_kruskal`.
-    */
-  private val kruskalOracleSql =
-    """WITH c AS (
-           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         t AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
-         s AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS ct FROM t),
-         r AS (SELECT v, (2 * (ct - t) + t + 1)::DECIMAL(38,0) AS r2 FROM s),
-         g AS (
-           SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n,
-             sum(c.c::DECIMAL(38,0) * r.r2) AS rr2
-           FROM c JOIN r USING (v) GROUP BY 1),
-         term AS (
-           SELECT n, CAST((rr2::DOUBLE / 2.0) * (rr2::DOUBLE / 2.0) / n::DOUBLE
-             AS DECIMAL(28,10)) AS tm
-           FROM g),
-         tot AS (
-           SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(tm) AS st
-           FROM term),
-         tie AS (
-           SELECT sum(t::DECIMAL(38,0) * t::DECIMAL(38,0) * t::DECIMAL(38,0)
-             - t::DECIMAL(38,0)) AS ts
-           FROM t),
-         m AS (
-           SELECT k, nn,
-             12.0 / (nn::DOUBLE * (nn::DOUBLE + 1.0)) * st::DOUBLE
-               - 3.0 * (nn::DOUBLE + 1.0) AS h,
-             1.0 - ts::DOUBLE
-               / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) AS corr
-           FROM tot CROSS JOIN tie)
-         SELECT k, nn AS n,
-           CASE WHEN k <= 1 OR corr <= 0.0 THEN NULL
-                ELSE round(CAST(h / corr AS DECIMAL(18,8)), 6)::DOUBLE END AS h
-         FROM m"""
-
-  /** exact-quantile replay (per-value counts, inclusive cumulative,
-    * conditional-min order statistics, quantile_cont interpolation in
-    * fixed double order) — shared by `stats_quantile_exact` and
-    * `stream_quantile_exact` (the count state is the summed additive
-    * KruskalMonitor state).
-    */
-  /** Mood's median test replay — exact interpolated grand median (the
-    * quantile contract at q = 0.5), per-type above/not-above split, 2×k
-    * χ² with exact-integer E staging and DECIMAL(28,10) term sums.
-    * Shared by `stats_mood_median` and `stream_mood_median` (the count
-    * table is the additive KruskalMonitor state).
-    */
-  private val moodOracleSql =
-    """WITH gv AS (
-           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
-           FROM events
-           WHERE value IS NOT NULL AND event_type IS NOT NULL
-           GROUP BY 1, 2),
-         vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM gv GROUP BY 1),
-         s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-               FROM vt),
-         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vt),
-         j AS (SELECT n, (n::DOUBLE - 1.0) * 0.5 AS pos FROM t),
-         mm AS (
-           SELECT n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-             pos - floor(pos) AS frac
-           FROM j),
-         r AS (
-           SELECT mm.frac,
-             min(CASE WHEN s.cm >= mm.lo THEN s.v END)::DOUBLE AS xlo,
-             min(CASE WHEN s.cm >= least(mm.lo + 1, mm.n) THEN s.v
-               END)::DOUBLE AS xhi
-           FROM mm CROSS JOIN s GROUP BY 1),
-         med AS (
-           SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-             6)::DOUBLE AS m
-           FROM r),
-         gp AS (
-           SELECT g,
-             CAST(sum(CASE WHEN v > m THEN c ELSE 0 END) AS BIGINT) AS a,
-             CAST(sum(CASE WHEN v <= m THEN c ELSE 0 END) AS BIGINT) AS b,
-             min(m) AS m
-           FROM gv CROSS JOIN med GROUP BY 1),
-         tot AS (
-           SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
-           FROM gp),
-         terms AS (
-           SELECT k, ta, tb, gp.m,
-             CAST((
-               (a::DOUBLE - ((a + b)::DECIMAL(38,0) * ta)::DOUBLE
-                 / (ta + tb)::DOUBLE)
-               * (a::DOUBLE - ((a + b)::DECIMAL(38,0) * ta)::DOUBLE
-                 / (ta + tb)::DOUBLE)
-               / (((a + b)::DECIMAL(38,0) * ta)::DOUBLE / (ta + tb)::DOUBLE)
-               + (b::DOUBLE - ((a + b)::DECIMAL(38,0) * tb)::DOUBLE
-                 / (ta + tb)::DOUBLE)
-               * (b::DOUBLE - ((a + b)::DECIMAL(38,0) * tb)::DOUBLE
-                 / (ta + tb)::DOUBLE)
-               / (((a + b)::DECIMAL(38,0) * tb)::DOUBLE / (ta + tb)::DOUBLE)
-             ) AS DECIMAL(28,10)) AS term
-           FROM gp CROSS JOIN tot),
-         agg AS (
-           SELECT min(k) AS k, min(ta + tb) AS n, min(ta) AS ta,
-             min(tb) AS tb, min(m) AS gm, sum(term) AS chi
-           FROM terms)
-         SELECT n, k,
-           round(CAST(gm AS DECIMAL(18,8)), 6)::DOUBLE AS grand_median,
-           CASE WHEN k < 2 OR ta = 0 OR tb = 0 THEN NULL
-                ELSE round(CAST(chi AS DECIMAL(18,8)), 6)::DOUBLE END AS chi2
-         FROM agg"""
-
-  private val quantileExactOracleSql =
-    """WITH c AS (
-           SELECT value AS v, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1),
-         s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-               FROM c),
-         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-         qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
-         j AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos
-               FROM qs CROSS JOIN t),
-         m AS (
-           SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-             pos - floor(pos) AS frac
-           FROM j),
-         r AS (
-           SELECT m.q, m.n, m.frac,
-             min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
-             min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
-               END)::DOUBLE AS xhi
-           FROM m CROSS JOIN s GROUP BY 1, 2, 3)
-         SELECT q, n,
-           round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-             6)::DOUBLE AS value
-         FROM r ORDER BY q"""
-
-  /** trimmed-mean replay: per-value counts, prefix scan, interval-clamp
-    * kept weights, decimal-staged value x weight products — shared by
-    * `stats_trimmed` and `stream_trimmed` (per-value counts are
-    * additive).
-    */
-  private val trimmedOracleSql =
-    """WITH c AS (
-         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
-         FROM events GROUP BY 1),
-       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-             FROM c),
-       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-       g AS (SELECT n, CAST(floor(n::DOUBLE * 0.1) AS BIGINT) AS g FROM t),
-       k AS (
-         SELECT n, g,
-           greatest(least(cm, n - g) - greatest(cm - c, g), 0) AS kept,
-           v, c
-         FROM s CROSS JOIN g),
-       a AS (
-         SELECT n, g,
-           sum(CAST(v::DOUBLE * kept::DOUBLE AS DECIMAL(28,10))) AS sv,
-           CAST(sum(kept) AS BIGINT) AS ks,
-           sum(CAST(v::DOUBLE * c::DOUBLE AS DECIMAL(28,10))) AS av
-         FROM k GROUP BY n, g)
-       SELECT n, g AS cut, ks AS kept,
-         round(CAST(av::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-           AS mean,
-         CASE WHEN ks <= 0 THEN NULL
-           ELSE round(CAST(sv::DOUBLE / ks::DOUBLE AS DECIMAL(18,8)),
-             6)::DOUBLE END AS trimmed_mean
-       FROM a"""
-
-  /** quartile-shape replay: the quantile-oracle machinery at (.25, .5,
-    * .75), pivoted, ratios over the rounded quartiles — shared by
-    * `stats_shape` and `stream_shape` (counts are additive).
-    */
-  private val shapeOracleSql =
-    """WITH c AS (
-         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
-         FROM events GROUP BY 1),
-       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-             FROM c),
-       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-       qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
-       j AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos
-             FROM qs CROSS JOIN t),
-       m AS (
-         SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-           pos - floor(pos) AS frac
-         FROM j),
-       r AS (
-         SELECT m.q, m.n, m.frac,
-           min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
-           min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
-             END)::DOUBLE AS xhi
-         FROM m CROSS JOIN s GROUP BY 1, 2, 3),
-       v AS (
-         SELECT q, n,
-           round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-             6)::DOUBLE AS value
-         FROM r),
-       p AS (
-         SELECT max(n) AS n,
-           max(CASE WHEN q = 0.25 THEN value END) AS q1,
-           max(CASE WHEN q = 0.5 THEN value END) AS q2,
-           max(CASE WHEN q = 0.75 THEN value END) AS q3
-         FROM v)
-       SELECT CAST(n AS BIGINT) AS n, q1, q2 AS median, q3,
-         round(CAST(q3 - q1 AS DECIMAL(18,8)), 6)::DOUBLE AS iqr,
-         CASE WHEN q3 - q1 = 0.0 THEN NULL
-           ELSE round(CAST((q3 + q1 - 2.0 * q2) / (q3 - q1)
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS bowley,
-         CASE WHEN q3 + q1 = 0.0 THEN NULL
-           ELSE round(CAST((q3 - q1) / (q3 + q1)
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS qcd
-       FROM p"""
-
-  /** MAD replay: two interpolated medians over bounded count tables (the
-    * quantile-oracle machinery twice, the second over |v - med| counts)
-    * — shared by `stats_mad` and `stream_mad` (counts are additive).
-    */
-  private val madOracleSql =
-    """WITH c AS (
-         SELECT value AS v, CAST(count(*) AS BIGINT) AS c
-         FROM events GROUP BY 1),
-       s AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-             FROM c),
-       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-       j AS (SELECT n, (n::DOUBLE - 1.0) * 0.5 AS pos FROM t),
-       m AS (SELECT n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-               pos - floor(pos) AS frac FROM j),
-       r1 AS (
-         SELECT m.n, m.frac,
-           min(CASE WHEN s.cm >= m.lo THEN s.v END)::DOUBLE AS xlo,
-           min(CASE WHEN s.cm >= least(m.lo + 1, m.n) THEN s.v
-             END)::DOUBLE AS xhi
-         FROM m CROSS JOIN s GROUP BY 1, 2),
-       med AS (SELECT n, xlo + (xhi - xlo) * frac AS med FROM r1),
-       d AS (
-         SELECT abs(c.v::DOUBLE - med.med) AS v, CAST(sum(c.c) AS BIGINT) AS c
-         FROM c CROSS JOIN med GROUP BY 1),
-       ds AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-              FROM d),
-       r2 AS (
-         SELECT m.n, m.frac,
-           min(CASE WHEN ds.cm >= m.lo THEN ds.v END)::DOUBLE AS xlo,
-           min(CASE WHEN ds.cm >= least(m.lo + 1, m.n) THEN ds.v
-             END)::DOUBLE AS xhi
-         FROM m CROSS JOIN ds GROUP BY 1, 2),
-       mad AS (SELECT n, xlo + (xhi - xlo) * frac AS mad FROM r2)
-       SELECT mad.n,
-         round(CAST(med AS DECIMAL(18,8)), 6)::DOUBLE AS median,
-         round(CAST(mad AS DECIMAL(18,8)), 6)::DOUBLE AS mad,
-         round(CAST(mad * 1.4826022185056018 AS DECIMAL(18,8)), 6)::DOUBLE
-           AS mad_normal
-       FROM mad CROSS JOIN med"""
-
-  /** Jarque–Bera replay (exact DECIMAL(8,2)-staged power sums, fixed
-    * double-order central moments, closed-form χ²(2) p) — shared by
-    * `stats_jarque_bera` and `stream_jarque_bera` (sums are additive).
-    */
-  private val jarqueBeraOracleSql =
-    """WITH mo AS (
-           SELECT count("value") AS n,
-             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
-             sum(CAST("value" AS DECIMAL(8,2))
-               * CAST("value" AS DECIMAL(8,2))) AS s2,
-             -- the square re-staged to DECIMAL(19,4) puts the 3rd/4th-power
-             -- products in DuckDB's hugeint lane (int64 raws overflow);
-             -- lossless, so the sums stay exact and equal Spark's decimals
-             sum(CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
-               * CAST("value" AS DECIMAL(8,2))) AS s3,
-             sum(CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
-               * CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))) AS s4
-           FROM events),
-         e AS (
-           SELECT n, s1::DOUBLE / n::DOUBLE AS m, s2::DOUBLE / n::DOUBLE AS e2,
-             s3::DOUBLE / n::DOUBLE AS e3, s4::DOUBLE / n::DOUBLE AS e4
-           FROM mo),
-         c AS (
-           SELECT n, m, e2 - m * m AS m2,
-             e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
-             e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
-           FROM e),
-         st AS (
-           SELECT n, m, m2, m3 / (m2 * sqrt(m2)) AS skew,
-             m4 / (m2 * m2) - 3.0 AS kurt
-           FROM c),
-         f AS (
-           SELECT n, m, m2, skew, kurt,
-             n::DOUBLE / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb
-           FROM st)
-         SELECT n, round(CAST(m AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
-           CASE WHEN m2 <= 0.0 THEN NULL
-             ELSE round(CAST(sqrt(m2) AS DECIMAL(18,8)), 6)::DOUBLE END AS sd,
-           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(skew AS DECIMAL(18,8)), 6)::DOUBLE END AS skewness,
-           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(kurt AS DECIMAL(18,8)), 6)::DOUBLE END AS kurtosis,
-           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(jb AS DECIMAL(18,8)), 6)::DOUBLE END AS jb,
-           CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(exp(-jb / 2.0) AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS p
-         FROM f"""
-
-  /** D'Agostino K² replay (same exact moment row, Johnson Su z for
-    * skewness, Anscombe–Glynn cube-root z for kurtosis, χ²(2) p) —
-    * shared by `stats_dagostino` and `stream_dagostino` (the state is
-    * additive). Every arithmetic stage mirrors the Column tree
-    * operation-for-operation so the engines agree at 6dp.
-    */
-  private val dagostinoOracleSql =
-    """WITH mo AS (
-           SELECT count("value") AS n,
-             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
-             sum(CAST("value" AS DECIMAL(8,2))
-               * CAST("value" AS DECIMAL(8,2))) AS s2,
-             sum(CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
-               * CAST("value" AS DECIMAL(8,2))) AS s3,
-             sum(CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))
-               * CAST(CAST("value" AS DECIMAL(8,2))
-                 * CAST("value" AS DECIMAL(8,2)) AS DECIMAL(19,4))) AS s4
-           FROM events),
-         e AS (
-           SELECT n, n::DOUBLE AS nd, s1::DOUBLE / n::DOUBLE AS m,
-             s2::DOUBLE / n::DOUBLE AS e2,
-             s3::DOUBLE / n::DOUBLE AS e3, s4::DOUBLE / n::DOUBLE AS e4
-           FROM mo),
-         c AS (
-           SELECT n, nd, m, e2 - m * m AS m2,
-             e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
-             e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
-           FROM e),
-         st AS (
-           SELECT n, nd, m2, m3 / (m2 * sqrt(m2)) AS g1,
-             m4 / (m2 * m2) AS b2
-           FROM c),
-         sk AS (
-           SELECT *,
-             g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
-             -1.0 + sqrt(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0)
-               * (nd + 1.0) * (nd + 3.0)
-               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
-               - 1.0)) AS w2
-           FROM st),
-         k1 AS (
-           SELECT *, y / sqrt(2.0 / (w2 - 1.0)) AS ya,
-             1.0 / sqrt(ln(sqrt(w2))) AS dl
-           FROM sk),
-         k2s AS (
-           SELECT *, dl * ln(ya + sqrt(ya * ya + 1.0)) AS z_skew FROM k1),
-         ku AS (
-           SELECT *,
-             (b2 - 3.0 * (nd - 1.0) / (nd + 1.0)) /
-               sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0) /
-                 ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))) AS xk,
-             6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0)) *
-               sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
-                 / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
-           FROM k2s),
-         aa AS (
-           SELECT *,
-             6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))
-               AS a
-           FROM ku),
-         zz AS (
-           SELECT *, ((1.0 - 2.0 / (9.0 * a)) -
-               cbrt((1.0 - 2.0 / a) /
-                 (1.0 + xk * sqrt(2.0 / (a - 4.0))))) /
-               sqrt(2.0 / (9.0 * a)) AS z_kurt
-           FROM aa),
-         fin AS (
-           SELECT *, z_skew * z_skew + z_kurt * z_kurt AS k2 FROM zz)
-         SELECT n,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(g1 AS DECIMAL(18,8)), 6)::DOUBLE END AS skewness,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(b2 - 3.0 AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS kurtosis,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(z_skew AS DECIMAL(18,8)), 6)::DOUBLE END AS z_skew,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(z_kurt AS DECIMAL(18,8)), 6)::DOUBLE END AS z_kurt,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(k2 AS DECIMAL(18,8)), 6)::DOUBLE END AS k2,
-           CASE WHEN n < 9 OR m2 <= 0.0 THEN NULL
-             ELSE round(CAST(exp(-k2 / 2.0) AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS p
-         FROM fin"""
-
-  /** Grubbs replay (same exact moment row incl. min/max, sample sd,
-    * studentized max distance, 'low' wins ties) — shared by
-    * `stats_grubbs` and `stream_grubbs` (the state is additive).
-    */
-  private val grubbsOracleSql =
-    """WITH mo AS (
-           SELECT count("value") AS n,
-             sum(CAST("value" AS DECIMAL(8,2))) AS s1,
-             sum(CAST("value" AS DECIMAL(8,2))
-               * CAST("value" AS DECIMAL(8,2))) AS s2,
-             min(CAST("value" AS DECIMAL(8,2))) AS lo,
-             max(CAST("value" AS DECIMAL(8,2))) AS hi
-           FROM events),
-         d AS (
-           SELECT n, s1::DOUBLE / n::DOUBLE AS m,
-             sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
-               / (n::DOUBLE - 1.0)) AS s,
-             lo::DOUBLE AS lo, hi::DOUBLE AS hi
-           FROM mo),
-         g AS (
-           SELECT n, m, s, (m - lo) / s AS gl, (hi - m) / s AS gh
-           FROM d)
-         SELECT n, round(CAST(m AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
-           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
-             ELSE round(CAST(s AS DECIMAL(18,8)), 6)::DOUBLE END AS sd,
-           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
-             ELSE round(CAST(greatest(gl, gh) AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS g,
-           CASE WHEN n < 3 OR s IS NULL OR s <= 0.0 THEN NULL
-             WHEN gl >= gh THEN 'low' ELSE 'high' END AS side
-         FROM g"""
-
-  /** Brown–Forsythe replay (same (value,group) counts as kruskal,
-    * per-group conditional-min order-stat medians off a partitioned
-    * cumulative, decimal-staged |x−med| moments, then the exact anova F
-    * stage) — shared by `stats_levene` and `stream_levene` (the count
-    * state is the additive KruskalMonitor state).
-    */
-  private val leveneOracleSql =
-    """WITH c AS (
-           SELECT value AS v, event_type AS g, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         cum AS (
-           SELECT g, v, c,
-             CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm
-           FROM c),
-         ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-         med AS (
-           SELECT cum.g,
-             (min(CASE WHEN cm >= (n + 1) // 2 THEN v END)::DOUBLE
-              + min(CASE WHEN cm >= n // 2 + 1 THEN v END)::DOUBLE) / 2.0
-               AS med
-           FROM cum JOIN ng ON cum.g = ng.g GROUP BY cum.g),
-         z AS (
-           SELECT c.g, c.c, abs(c.v::DOUBLE - med.med) AS z
-           FROM c JOIN med ON c.g = med.g),
-         gm AS (
-           SELECT g, CAST(sum(c) AS BIGINT) AS gn,
-             sum(CAST(c::DOUBLE * z AS DECIMAL(28,10))) AS gs,
-             sum(CAST(c::DOUBLE * z * z AS DECIMAL(28,10))) AS gq
-           FROM z GROUP BY 1),
-         t AS (
-           SELECT gn, gs,
-             CAST(gq::DOUBLE - gs::DOUBLE * gs::DOUBLE / gn::DOUBLE
-               AS DECIMAL(28,10)) AS w,
-             CAST(gs::DOUBLE * gs::DOUBLE / gn::DOUBLE AS DECIMAL(28,10)) AS b
-           FROM gm),
-         a AS (
-           SELECT count(*) AS k, CAST(sum(gn) AS BIGINT) AS nn, sum(gs) AS ss,
-             sum(w) AS ssw, sum(b) AS bp
-           FROM t),
-         m AS (
-           SELECT k, nn, ssw::DOUBLE AS ssw,
-             bp::DOUBLE - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssb
-           FROM a)
-         SELECT k, nn AS n, k - 1 AS df1, nn - k AS df2,
-           CASE WHEN k <= 1 OR nn <= k OR ssw <= 0.0 THEN NULL
-                ELSE round(CAST(ssb / (k - 1)::DOUBLE / (ssw / (nn - k)::DOUBLE)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS f,
-           CASE WHEN ssb + ssw <= 0.0 THEN NULL
-                ELSE round(CAST(ssb / (ssb + ssw) AS DECIMAL(18,8)), 6)::DOUBLE
-                END AS eta2
-         FROM m"""
-
-  /** two-proportion replay (exact per-arm counts, fixed-order pooled-SE
-    * z) — shared by `stats_twoprop` and `stream_twoprop` (counts are
-    * additive).
-    */
-  private val twopropOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
-         b AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-         m AS (
-           SELECT a.n AS n_a, b.n AS n_b,
-             a.x::DOUBLE / a.n::DOUBLE AS pa, b.x::DOUBLE / b.n::DOUBLE AS pb,
-             (a.x + b.x)::DOUBLE / (a.n + b.n)::DOUBLE AS pp,
-             a.n::DOUBLE AS nad, b.n::DOUBLE AS nbd
-           FROM a CROSS JOIN b)
-         SELECT n_a, n_b,
-           round(CAST(pa AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
-           round(CAST(pb AS DECIMAL(18,8)), 6)::DOUBLE AS p_b,
-           CASE WHEN n_a = 0 OR n_b = 0 OR pp <= 0.0 OR pp >= 1.0 THEN NULL
-                ELSE round(CAST((pa - pb)
-                  / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-         FROM m"""
-
-  /** relative-risk / odds-ratio replay: the twoprop oracle's exact per-arm
-    * count pairs, Katz and Woolf log intervals in fixed double order
-    * (ln/exp over identical IEEE doubles), every cell-zero case NULL —
-    * shared by `stats_riskratio` and `stream_riskratio`.
-    */
-  private val rrOracleSql =
-    """WITH a AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
-         b AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-         m AS (
-           SELECT a.n AS na, b.n AS nb, a.x AS xa, b.x AS xb,
-             a.n::DOUBLE AS nad, b.n::DOUBLE AS nbd,
-             a.x::DOUBLE AS xad, b.x::DOUBLE AS xbd,
-             (a.n - a.x)::DOUBLE AS qad, (b.n - b.x)::DOUBLE AS qbd
-           FROM a CROSS JOIN b),
-         f AS (
-           SELECT na, nb, xa, xb, nad, nbd, xad, xbd,
-             na = 0 OR nb = 0 OR xa = 0 OR xb = 0 AS rrbad,
-             na = 0 OR nb = 0 OR xa = 0 OR xb = 0
-               OR xa = na OR xb = nb AS orbad,
-             (xad / nad) / (xbd / nbd) AS rr,
-             sqrt(1.0 / xad - 1.0 / nad + 1.0 / xbd - 1.0 / nbd) AS serr,
-             (xad * qbd) / (xbd * qad) AS orr,
-             sqrt(1.0 / xad + 1.0 / qad + 1.0 / xbd + 1.0 / qbd) AS seor
-           FROM m)
-         SELECT na AS n_a, nb AS n_b,
-           round(CAST(xad / nad AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
-           round(CAST(xbd / nbd AS DECIMAL(18,8)), 6)::DOUBLE AS p_b,
-           CASE WHEN rrbad THEN NULL
-                ELSE round(CAST(rr AS DECIMAL(18,8)), 6)::DOUBLE END AS rr,
-           CASE WHEN rrbad THEN NULL
-                ELSE round(CAST(exp(ln(rr) - 1.959964 * serr)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS rr_lo,
-           CASE WHEN rrbad THEN NULL
-                ELSE round(CAST(exp(ln(rr) + 1.959964 * serr)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS rr_hi,
-           CASE WHEN orbad THEN NULL
-                ELSE round(CAST(orr AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS odds_ratio,
-           CASE WHEN orbad THEN NULL
-                ELSE round(CAST(exp(ln(orr) - 1.959964 * seor)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS or_lo,
-           CASE WHEN orbad THEN NULL
-                ELSE round(CAST(exp(ln(orr) + 1.959964 * seor)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS or_hi
-         FROM f"""
-
-  /** Spearman replay (joint counts, marginal doubled ranks off inclusive
-    * cumulatives, exact-integer rank moments, fixed-order
-    * Pearson-on-ranks) — shared by `stats_spearman` and `stream_spearman`
-    * (the joint count table is additive).
-    */
-  private val spearmanOracleSql =
-    """WITH j AS (
-           SELECT l_quantity AS x, l_extendedprice AS y,
-             CAST(count(*) AS BIGINT) AS c
-           FROM lineitem GROUP BY 1, 2),
-         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         rx AS (
-           SELECT x, (2 * (CAST(sum(t) OVER (ORDER BY x) AS BIGINT) - t)
-             + t + 1)::DECIMAL(38,0) AS rx2
-           FROM tx),
-         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         ry AS (
-           SELECT y, (2 * (CAST(sum(t) OVER (ORDER BY y) AS BIGINT) - t)
-             + t + 1)::DECIMAL(38,0) AS ry2
-           FROM ty),
-         m AS (
-           SELECT CAST(sum(c) AS BIGINT) AS n,
-             sum(c::DECIMAL(38,0) * rx2) AS sx, sum(c::DECIMAL(38,0) * ry2) AS sy,
-             sum(c::DECIMAL(38,0) * rx2 * rx2) AS sxx,
-             sum(c::DECIMAL(38,0) * ry2 * ry2) AS syy,
-             sum(c::DECIMAL(38,0) * rx2 * ry2) AS sxy
-           FROM j JOIN rx USING (x) JOIN ry USING (y)),
-         f AS (
-           SELECT n,
-             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
-             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS va,
-             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vb
-           FROM m)
-         SELECT n,
-           round(CAST(CASE WHEN va <= 0.0 OR vb <= 0.0 THEN 0.0
-             ELSE num / (sqrt(va) * sqrt(vb)) END AS DECIMAL(18,8)), 6)::DOUBLE
-             AS rho
-         FROM f"""
-
-  /** Kendall tau-b replay (bounded joint counts, triangular cell-pair
-    * join for concordant/discordant mass, exact-integer tie terms,
-    * scipy's tie-corrected variance in fixed double order) — shared by
-    * `stats_kendall` and `stream_kendall` (the joint count table is the
-    * SAME additive SpearmanMonitor state).
-    */
-  private val kendallOracleSql =
-    """WITH j AS (
-           SELECT l_quantity AS x, floor(l_extendedprice / 5000) AS y,
-             CAST(count(*) AS BIGINT) AS c
-           FROM lineitem GROUP BY 1, 2),
-         cd AS (
-           SELECT
-             coalesce(sum(CASE WHEN a.y < b.y
-               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
-               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS conc,
-             coalesce(sum(CASE WHEN a.y > b.y
-               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
-               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS disc
-           FROM j a JOIN j b ON a.x < b.x),
-         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         ttx AS (
-           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_x,
-             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_x,
-             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_x
-           FROM tx),
-         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         tty AS (
-           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_y,
-             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_y,
-             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_y
-           FROM ty),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
-         m AS (
-           SELECT n, conc, disc, tt_x, tv_x, t3_x, tt_y, tv_y, t3_y,
-             n::DECIMAL(38,0) * (n - 1) AS two_n0,
-             (conc::DOUBLE - disc::DOUBLE) AS s,
-             CAST(n::DECIMAL(38,0) * (n - 1) * (2 * n + 5) AS DOUBLE) AS v0,
-             n::DOUBLE AS nd
-           FROM cd CROSS JOIN ttx CROSS JOIN tty CROSS JOIN tot),
-         f AS (
-           SELECT n, conc, disc, two_n0, tt_x, tt_y, s,
-             (two_n0 - tt_x) * (two_n0 - tt_y) AS denom2,
-             (v0 - tv_x::DOUBLE - tv_y::DOUBLE) / 18.0
-               + (tt_x::DOUBLE * tt_y::DOUBLE) / (2.0 * nd * (nd - 1.0))
-               + (t3_x::DOUBLE * t3_y::DOUBLE)
-                 / (9.0 * nd * (nd - 1.0) * (nd - 2.0)) AS var_s
-           FROM m)
-         SELECT n, conc::BIGINT AS conc, disc::BIGINT AS disc,
-           round(CAST(CASE WHEN n < 2 OR denom2 <= 0 THEN 0.0
-             ELSE 2.0 * s / sqrt(denom2::DOUBLE) END AS DECIMAL(18,8)),
-             6)::DOUBLE AS tau,
-           CASE WHEN n < 3 OR var_s <= 0.0 THEN NULL
-                ELSE round(CAST(s / sqrt(var_s) AS DECIMAL(18,8)),
-                  6)::DOUBLE END AS z
-         FROM f"""
-
-  /** Jonckheere–Terpstra replay — identical machinery to
-    * [[kendallOracleSql]] with x = event_type (groups in natural order),
-    * y = value: J = (P + S)/2 off the exact-integer pair masses, z = the
-    * tau-b tie-corrected z. Shared by `stats_jonckheere` and
-    * `stream_jonckheere` (the count table is the SAME additive
-    * KruskalMonitor state).
-    */
-  private val jonckheereOracleSql =
-    """WITH j AS (
-           SELECT event_type AS x, value AS y, CAST(count(*) AS BIGINT) AS c
-           FROM events
-           WHERE event_type IS NOT NULL AND value IS NOT NULL
-           GROUP BY 1, 2),
-         cd AS (
-           SELECT
-             coalesce(sum(CASE WHEN a.y < b.y
-               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
-               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS conc,
-             coalesce(sum(CASE WHEN a.y > b.y
-               THEN a.c::DECIMAL(38,0) * b.c::DECIMAL(38,0)
-               ELSE 0::DECIMAL(38,0) END), 0::DECIMAL(38,0)) AS disc
-           FROM j a JOIN j b ON a.x < b.x),
-         tx AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         ttx AS (
-           SELECT CAST(count(*) AS BIGINT) AS k,
-             sum(t::DECIMAL(38,0) * (t - 1)) AS tt_x,
-             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_x,
-             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_x
-           FROM tx),
-         ty AS (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
-         tty AS (
-           SELECT sum(t::DECIMAL(38,0) * (t - 1)) AS tt_y,
-             sum(t::DECIMAL(38,0) * (t - 1) * (2 * t + 5)) AS tv_y,
-             sum(t::DECIMAL(38,0) * (t - 1) * (t - 2)) AS t3_y
-           FROM ty),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
-         m AS (
-           SELECT n, k, conc, disc, tt_x, tv_x, t3_x, tt_y, tv_y, t3_y,
-             CAST(n::DECIMAL(38,0) * (n - 1) - tt_x AS DOUBLE) AS p2,
-             (conc - disc)::DOUBLE AS s,
-             CAST(n::DECIMAL(38,0) * (n - 1) * (2 * n + 5) AS DOUBLE) AS v0,
-             n::DOUBLE AS nd
-           FROM cd CROSS JOIN ttx CROSS JOIN tty CROSS JOIN tot),
-         f AS (
-           SELECT n, k, p2, s,
-             (v0 - tv_x::DOUBLE - tv_y::DOUBLE) / 18.0
-               + (tt_x::DOUBLE * tt_y::DOUBLE) / (2.0 * nd * (nd - 1.0))
-               + (t3_x::DOUBLE * t3_y::DOUBLE)
-                 / (9.0 * nd * (nd - 1.0) * (nd - 2.0)) AS var_s
-           FROM m)
-         SELECT n, k,
-           round(CAST((p2 / 2.0 + s) / 2.0 AS DECIMAL(18,8)), 6)::DOUBLE AS j,
-           CASE WHEN n < 3 OR var_s <= 0.0 THEN NULL
-                ELSE round(CAST(s / sqrt(var_s) AS DECIMAL(18,8)),
-                  6)::DOUBLE END AS z
-         FROM f"""
-
-  /** Cramér's V replay (joint counts, full r×c contingency via margins
-    * cross join so absent cells contribute E, exact-integer E staging,
-    * decimal-staged (O−E)²/E terms, fixed-order V) — shared by
-    * `stats_cramers` and `stream_cramers` (joint counts are additive).
-    * Engine weekday encodings differ (Spark 1-7, DuckDB 0-6) but V only
-    * sees the PARTITION, never the labels.
-    */
-  private val cramersOracleSql =
-    """WITH j AS (
-           SELECT event_type AS x, EXTRACT(dow FROM ts) AS y,
-             CAST(count(*) AS BIGINT) AS cxy
-           FROM events GROUP BY 1, 2),
-         mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM j GROUP BY 1),
-         my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM j GROUP BY 1),
-         tot AS (
-           SELECT CAST(sum(cxy) AS BIGINT) AS n, count(DISTINCT x) AS r,
-             count(DISTINCT y) AS c
-           FROM j),
-         cells AS (
-           SELECT n, r, c, coalesce(cxy, 0) AS o,
-             CAST(cx::DECIMAL(38,0) * cy::DECIMAL(38,0) AS DOUBLE)
-               / n::DOUBLE AS e
-           FROM mx CROSS JOIN my LEFT JOIN j USING (x, y) CROSS JOIN tot),
-         t AS (
-           SELECT n, r, c,
-             CAST((o::DOUBLE - e) * (o::DOUBLE - e) / e AS DECIMAL(28,10)) AS trm
-           FROM cells),
-         a AS (SELECT n, r, c, sum(trm) AS chi2 FROM t GROUP BY 1, 2, 3)
-         SELECT n, r, c,
-           round(CAST(chi2 AS DECIMAL(18,8)), 6)::DOUBLE AS chi2,
-           CASE WHEN least(r, c) <= 1 OR n = 0 THEN NULL
-                ELSE round(CAST(sqrt(chi2::DOUBLE
-                  / (n::DOUBLE * (least(r, c) - 1)::DOUBLE))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS v
-         FROM a"""
-
-  /** Gumbel-top-k replay (quality chain, md5 uniform, -ln(-ln(u))
-    * keys) — shared by `sample_gumbel` and `stream_gumbel`.
-    */
-  private val gumbelOracleSql =
-    s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         q AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                   ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS score
-           FROM c),
-         g AS (
-           SELECT doc_id, score,
-             round(CAST(4.0 * score + -ln(-ln(
-               ((('0x'||substr(md5(doc_id::VARCHAR || 'g-v1'),1,15))::BIGINT + 1)::DOUBLE)
-                 / 1152921504606846976.0))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS gumbel_key
-           FROM q)
-         SELECT doc_id, score, gumbel_key FROM g
-         ORDER BY gumbel_key DESC, doc_id LIMIT 50"""
-
-  /** Benford replay — shared by `stats_benford` and `stream_benford`
-    * (digit counts are additive).
-    */
-  private val benfordOracleSql =
-    """WITH v AS (
-           SELECT CAST(floor(value) AS BIGINT) AS n FROM events
-           WHERE floor(value) >= 1),
-         d AS (
-           SELECT CAST(substr(n::VARCHAR, 1, 1) AS INT) AS digit,
-             count(*) AS n
-           FROM v GROUP BY 1),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
-         g AS (SELECT unnest(generate_series(1, 9)) AS digit),
-         b AS (
-           SELECT g.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
-             round(CAST(coalesce(d.n, 0)::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE
-               AS obs_frac,
-             round(CAST(ln(1.0 + 1.0 / g.digit) / ln(10.0) AS DECIMAL(18,8)), 6)::DOUBLE
-               AS exp_frac
-           FROM g LEFT JOIN d ON g.digit = d.digit CROSS JOIN t)
-         SELECT digit, n, obs_frac, exp_frac,
-           round(CAST(obs_frac - exp_frac AS DECIMAL(18,8)), 6)::DOUBLE AS dev
-         FROM b ORDER BY digit"""
-
-  /** linkage replay (normalization, (nation, prefix) block, levenshtein
-    * similarity) — shared by `link_customers` and `stream_link`.
-    */
-  private val linkOracleSql =
-    """WITH l AS (
-         SELECT c_custkey,
-           trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n,
-           c_nationkey
-         FROM customer),
-       rsrc AS (
-         SELECT c_custkey + 1000000 AS in_id,
-           CASE WHEN c_custkey % 8 = 0
-             THEN substr(c_name, 1, length(c_name) - 1) || 'x'
-             ELSE c_name END AS nm,
-           c_nationkey AS in_nation
-         FROM customer WHERE c_custkey % 4 = 0),
-       r AS (
-         SELECT in_id,
-           trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ', 'g')) AS n,
-           in_nation
-         FROM rsrc),
-       j AS (
-         SELECT l.c_custkey, r.in_id,
-           round(CAST(1.0 - levenshtein(l.n, r.n)::DOUBLE
-             / greatest(length(l.n), length(r.n), 1) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS name_sim
-         FROM l JOIN r ON substr(l.n, 1, 3) = substr(r.n, 1, 3)
-           AND l.c_nationkey = r.in_nation)
-       SELECT c_custkey, in_id, name_sim FROM j WHERE name_sim >= 0.9
-       ORDER BY c_custkey, in_id"""
-
-  /** CUSUM replay: daily counts, the events_anomaly mean/std chain,
-    * decimal-staged deviations, two ordered windows for the prefix
-    * identity — shared by `events_cusum` and its streaming twin
-    * `stream_cusum` (daily counts are additive).
-    */
-  private val cusumOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       st AS (
-         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
-           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-         FROM d GROUP BY 1),
-       ms AS (
-         SELECT event_type, s::DOUBLE / dd AS mean,
-           sqrt(greatest(s2::DOUBLE / dd
-             - (s::DOUBLE / dd) * (s::DOUBLE / dd), 0.0)) AS std
-         FROM st),
-       x AS (
-         SELECT d.event_type, d.day, d.n,
-           CAST((CASE WHEN std = 0.0 THEN 0.0
-             ELSE (d.n - mean) / std END) - 0.5 AS DECIMAL(18,8)) AS x
-         FROM d JOIN ms USING (event_type)),
-       p AS (
-         SELECT *, sum(x) OVER (PARTITION BY event_type ORDER BY day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-         FROM x),
-       sres AS (
-         SELECT event_type, day, n,
-           p - least(CAST(0 AS DECIMAL(18,8)),
-             min(p) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
-         FROM p)
-       SELECT event_type, day, n,
-         round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE AS cusum,
-         round(CAST(s AS DECIMAL(18,8)), 4)::DOUBLE > 3.0 AS alarm
-       FROM sres ORDER BY event_type, day"""
-
-  /** Page–Hinkley replay: daily counts, exact-integer prefix mean,
-    * decimal-staged deviations, prefix sum then prefix min — shared by
-    * `events_page_hinkley` and its streaming twin `stream_page_hinkley`
-    * (daily counts are additive).
-    */
-  private val pageHinkleyOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       x AS (
-         SELECT event_type, day, n,
-           CAST(n - CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             - 0.5 AS DECIMAL(18,8)) AS x
-         FROM d),
-       p AS (
-         SELECT *, sum(x) OVER (PARTITION BY event_type ORDER BY day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
-         FROM x),
-       s AS (
-         SELECT event_type, day, n,
-           m - min(m) OVER (PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
-         FROM p)
-       SELECT event_type, day, n,
-         round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE AS ph,
-         round(CAST(ph AS DECIMAL(18,8)), 4)::DOUBLE > 20.0 AS alarm
-       FROM s ORDER BY event_type, day"""
-
-  /** runs-test replay: daily counts, partitioned-rank median (low/high
-    * middle positions via conditional max), keyed lag for run starts,
-    * exact-integer z — shared by `events_runs` and its streaming twin
-    * `stream_runs` (daily counts are additive).
-    */
-  private val runsOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       rk AS (
-         SELECT event_type, day, n,
-           row_number() OVER (PARTITION BY event_type ORDER BY n, day)
-             AS rn,
-           count(*) OVER (PARTITION BY event_type) AS dd
-         FROM d),
-       med AS (
-         SELECT event_type,
-           (max(CASE WHEN rn = CAST(floor((dd::DOUBLE + 1.0) / 2.0)
-                  AS BIGINT) THEN n END)
-            + max(CASE WHEN rn = CAST(floor(dd::DOUBLE / 2.0) AS BIGINT) + 1
-                  THEN n END))::DOUBLE / 2.0 AS med
-         FROM rk GROUP BY 1),
-       sg AS (
-         SELECT d.event_type, d.day, d.n > med AS sgn,
-           lag(d.n > med, 1) OVER (PARTITION BY d.event_type
-             ORDER BY d.day) AS prev
-         FROM d JOIN med ON d.event_type = med.event_type
-         WHERE d.n::DOUBLE <> med),
-       a AS (
-         SELECT event_type,
-           CAST(sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
-           CAST(sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS BIGINT) AS n_minus,
-           CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
-             AS BIGINT) AS runs
-         FROM sg GROUP BY 1),
-       f AS (
-         SELECT *,
-           CAST(CAST(2 AS DECIMAL(38,0)) * n_plus * n_minus AS DOUBLE)
-             AS tab,
-           (n_plus + n_minus)::DOUBLE AS nt
-         FROM a)
-       SELECT event_type, n_plus, n_minus, runs,
-         CASE WHEN n_plus = 0 OR n_minus = 0
-                OR tab * (tab - n_plus::DOUBLE - n_minus::DOUBLE)
-                  / (nt * nt * (nt - 1.0)) <= 0.0 THEN NULL
-           ELSE round(CAST(
-             (runs::DOUBLE - (tab / nt + 1.0))
-             / sqrt(tab * (tab - n_plus::DOUBLE - n_minus::DOUBLE)
-               / (nt * nt * (nt - 1.0)))
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-       FROM f ORDER BY event_type"""
-
-  /** p-chart replay: per-day (n, purchases), broadcast center, per-day
-    * clamped limits, alarm on the UNROUNDED share — shared by
-    * `events_pchart` and its streaming twin `stream_pchart` (daily
-    * counts are additive).
-    */
-  private val pchartOracleSql =
-    """WITH d AS (
-         SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS x
-         FROM events GROUP BY 1),
-       t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
-               CAST(sum(x) AS BIGINT) AS tx FROM d),
-       f AS (
-         SELECT day, n, x,
-           x::DOUBLE / n::DOUBLE AS phat,
-           tx::DOUBLE / tn::DOUBLE AS center,
-           3.0 * sqrt(tx::DOUBLE / tn::DOUBLE
-             * (1.0 - tx::DOUBLE / tn::DOUBLE) / n::DOUBLE) AS spread
-         FROM d CROSS JOIN t)
-       SELECT day, n, x,
-         round(CAST(phat AS DECIMAL(18,8)), 6)::DOUBLE AS p_hat,
-         round(CAST(center AS DECIMAL(18,8)), 6)::DOUBLE AS center,
-         round(CAST(greatest(center - spread, 0.0) AS DECIMAL(18,8)),
-           6)::DOUBLE AS lcl,
-         round(CAST(least(center + spread, 1.0) AS DECIMAL(18,8)),
-           6)::DOUBLE AS ucl,
-         (phat < greatest(center - spread, 0.0)
-           OR phat > least(center + spread, 1.0)) AS alarm
-       FROM f ORDER BY day"""
-
-  /** mix-evenness replay: daily type counts, per-term decimal-staged
-    * −p·ln(p), one divide by ln(k) — shared by `events_mix_evenness` and
-    * its streaming twin `stream_mix_evenness` (daily counts are
-    * additive).
-    */
-  private val evennessOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       t AS (SELECT day, CAST(sum(n) AS BIGINT) AS nn, count(*) AS k
-             FROM d GROUP BY 1),
-       terms AS (
-         SELECT d.day, t.k, t.nn,
-           CAST(-(d.n::DOUBLE / t.nn::DOUBLE
-             * ln(d.n::DOUBLE / t.nn::DOUBLE)) AS DECIMAL(28,10)) AS term
-         FROM d JOIN t ON d.day = t.day),
-       a AS (SELECT day, k, nn, sum(term) AS h FROM terms GROUP BY 1, 2, 3)
-       SELECT day, k, nn AS n,
-         round(CAST(h::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS entropy,
-         CASE WHEN k < 2 THEN NULL
-           ELSE round(CAST(h::DOUBLE / ln(k::DOUBLE) AS DECIMAL(18,8)),
-             6)::DOUBLE END AS evenness
-       FROM a ORDER BY day"""
-
-  /** SPRT replay: the live window's exact (n, x) pair, in-engine log
-    * ratios, Wald boundaries, decision on the UNROUNDED llr — shared by
-    * `stats_sprt` and its streaming twin `stream_sprt` (the count pair
-    * is additive).
-    */
-  private val sprtOracleSql =
-    """WITH b AS (
-         SELECT count(*) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS x
-         FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-       f AS (
-         SELECT n, x,
-           x::DOUBLE * ln(0.22::DOUBLE / 0.18::DOUBLE)
-             + (n::DOUBLE - x::DOUBLE)
-               * ln((1.0::DOUBLE - 0.22::DOUBLE)
-                 / (1.0::DOUBLE - 0.18::DOUBLE)) AS llr,
-           ln((1.0::DOUBLE - 0.2::DOUBLE) / 0.05::DOUBLE) AS upper,
-           ln(0.2::DOUBLE / (1.0::DOUBLE - 0.05::DOUBLE)) AS lower
-         FROM b)
-       SELECT n, x,
-         round(CAST(llr AS DECIMAL(18,8)), 6)::DOUBLE AS llr,
-         round(CAST(upper AS DECIMAL(18,8)), 6)::DOUBLE AS upper,
-         round(CAST(lower AS DECIMAL(18,8)), 6)::DOUBLE AS lower,
-         CASE WHEN llr >= upper THEN 'accept_h1'
-              WHEN llr <= lower THEN 'accept_h0'
-              ELSE 'continue' END AS decision
-       FROM f"""
-
-  /** Kaplan–Meier replay (per-user day spans, churn = last activity more
-    * than censorDays before corpus end, inclusive cumulative exits for
-    * at-risk counts, decimal-staged ln factors summed exactly then exp'd,
-    * extinction flag instead of ln(0)) — shared by `events_survival` and
-    * `stream_survival` (spans merge by min/max).
-    */
-  private val survivalOracleSql =
-    """WITH spans AS (
-         SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-         FROM events GROUP BY 1),
-       e AS (SELECT max(l) AS endd FROM spans),
-       lt AS (
-         SELECT datediff('day', f, l) AS t,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 1 ELSE 0 END)
-             AS BIGINT) AS d,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 0 ELSE 1 END)
-             AS BIGINT) AS c
-         FROM spans CROSS JOIN e GROUP BY 1),
-       tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM lt),
-       cum AS (
-         SELECT t, d, c,
-           n - (CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) - (d + c)) AS nrisk
-         FROM lt CROSS JOIN tot),
-       staged AS (
-         SELECT t, d, c, nrisk,
-           CASE WHEN d = 0 OR d = nrisk THEN CAST(0.0 AS DECIMAL(28,12))
-                ELSE CAST(ln(1.0 - d::DOUBLE / nrisk::DOUBLE)
-                  AS DECIMAL(28,12)) END AS lnf,
-           CASE WHEN d = nrisk THEN 1 ELSE 0 END AS dead
-         FROM cum),
-       walked AS (
-         SELECT t, nrisk, d, c,
-           sum(lnf) OVER (ORDER BY t) AS cln,
-           CAST(sum(dead) OVER (ORDER BY t) AS BIGINT) AS cdead
-         FROM staged)
-       SELECT t AS t_days, nrisk AS n_risk, d, c,
-         CASE WHEN cdead > 0 THEN 0.0
-              ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS survival
-       FROM walked ORDER BY t_days"""
-
-  /** survival-summary replay: the KM-curve chain, then conditional mins
-    * against the rounded survival column — shared by
-    * `events_survival_summary` and its streaming twin (spans merge by
-    * min/max).
-    */
-  private val survivalSummaryOracleSql =
-    """WITH spans AS (
-         SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-         FROM events GROUP BY 1),
-       e AS (SELECT max(l) AS endd FROM spans),
-       lt AS (
-         SELECT datediff('day', f, l) AS t,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 1 ELSE 0 END)
-             AS BIGINT) AS d,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 0 ELSE 1 END)
-             AS BIGINT) AS c
-         FROM spans CROSS JOIN e GROUP BY 1),
-       tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM lt),
-       cum AS (
-         SELECT t, d, c,
-           n - (CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) - (d + c)) AS nrisk
-         FROM lt CROSS JOIN tot),
-       staged AS (
-         SELECT t, d, c, nrisk,
-           CASE WHEN d = 0 OR d = nrisk THEN CAST(0.0 AS DECIMAL(28,12))
-                ELSE CAST(ln(1.0 - d::DOUBLE / nrisk::DOUBLE)
-                  AS DECIMAL(28,12)) END AS lnf,
-           CASE WHEN d = nrisk THEN 1 ELSE 0 END AS dead
-         FROM cum),
-       walked AS (
-         SELECT t, d, c,
-           sum(lnf) OVER (ORDER BY t) AS cln,
-           CAST(sum(dead) OVER (ORDER BY t) AS BIGINT) AS cdead
-         FROM staged),
-       curve AS (
-         SELECT t, d, c,
-           CASE WHEN cdead > 0 THEN 0.0
-                ELSE round(CAST(exp(cln::DOUBLE) AS DECIMAL(18,8)),
-                  6)::DOUBLE END AS survival
-         FROM walked)
-       SELECT CAST(sum(d + c) AS BIGINT) AS n_users,
-         CAST(min(CASE WHEN survival <= 0.75 THEN t END) AS BIGINT) AS t25,
-         CAST(min(CASE WHEN survival <= 0.5 THEN t END) AS BIGINT)
-           AS median_t,
-         CAST(min(CASE WHEN survival <= 0.25 THEN t END) AS BIGINT) AS t75
-       FROM curve"""
-
-
-  /** Simpson concentration replay: per-user counts, exact HUGEINT pair
-    * mass, fixed-order lambda/diversity/effective divides — shared by
-    * `stats_simpson` and `stream_simpson` (counts are additive).
-    */
-  private val simpsonOracleSql =
-    """WITH c AS (
-         SELECT user_id::VARCHAR AS key, count(*) AS cnt
-         FROM events GROUP BY 1),
-       a AS (
-         SELECT CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(cnt) AS BIGINT) AS n,
-           sum(cnt::HUGEINT * (cnt - 1)::HUGEINT) AS p2
-         FROM c)
-       SELECT n_keys, n,
-         CASE WHEN n < 2 THEN NULL
-              ELSE round(CAST(p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS simpson,
-         CASE WHEN n < 2 THEN NULL
-              ELSE round(CAST(1.0 - p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS diversity,
-         CASE WHEN n < 2 OR p2 = 0 THEN NULL
-              ELSE round(CAST(1.0 / (p2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS effective_keys
-       FROM a"""
-
-  /** Cohen's h replay: the prop-count CTEs, arcsine formula on the
-    * 6dp-rounded p's, magnitude bands on the rounded |h| — shared by
-    * `stats_cohenh` and `stream_cohenh`.
-    */
-  private val cohenhOracleSql =
-    """WITH a AS (
-         SELECT count(*) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS x
-         FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
-       b AS (
-         SELECT count(*) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS x
-         FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-       m AS (
-         SELECT a.n AS n_a, b.n AS n_b,
-           round(CAST(a.x::DOUBLE / a.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
-           round(CAST(b.x::DOUBLE / b.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_b
-         FROM a CROSS JOIN b),
-       hh AS (
-         SELECT n_a, n_b, p_a, p_b,
-           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-                ELSE round(CAST(2.0 * asin(sqrt(p_a)) - 2.0 * asin(sqrt(p_b))
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS h
-         FROM m)
-       SELECT n_a, n_b, p_a, p_b, h,
-         CASE WHEN h IS NULL THEN NULL
-              WHEN abs(h) < 0.2 THEN 'negligible'
-              WHEN abs(h) < 0.5 THEN 'small'
-              WHEN abs(h) < 0.8 THEN 'medium'
-              ELSE 'large' END AS magnitude
-       FROM hh"""
-
-  /** Cronbach replay: the covOracleSql exact-decimal moment row, item and
-    * total variances as the IDENTICAL left-associative chains the Scala
-    * expression folds, the k/(k-1) constant embedded as the same double —
-    * shared by `stats_cronbach` and `stream_cronbach`.
-    */
-  private def cronbachOracleSql(dims: Seq[Int]): String = {
-    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
-    val sumCols = dims.map(d =>
-      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
-    val pairCols = pairs.map { case (a, b) =>
-      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
-    }.mkString(",\n           ")
-    def cv(a: Int, b: Int) =
-      s"(p${a}_$b::DOUBLE / n - (s$a::DOUBLE / n) * (s$b::DOUBLE / n))"
-    val itemVar = dims.map(d => cv(d, d)).mkString(" + ")
-    val totalVar = pairs.map { case (a, b) =>
-      if (a == b) cv(a, b) else s"${cv(a, b)} * 2.0"
-    }.mkString(" + ")
-    val c = dims.size / (dims.size - 1.0)
-    s"""WITH a AS (
-         SELECT count(*) AS n,
-           $sumCols,
-           $pairCols
-         FROM embeddings WHERE embedding IS NOT NULL),
-       v AS (
-         SELECT n, $itemVar AS iv, $totalVar AS tv FROM a)
-       SELECT n, ${dims.size} AS k,
-         round(CAST(iv AS DECIMAL(18,8)), 6)::DOUBLE AS item_var,
-         round(CAST(tv AS DECIMAL(18,8)), 6)::DOUBLE AS total_var,
-         CASE WHEN tv <= 0.0 THEN NULL
-              ELSE round(CAST(CAST('$c' AS DOUBLE) * (1.0 - iv / tv)
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS alpha
-       FROM v"""
-  }
-
-  /** Nelson–Aalen replay: the SAME life table as the survival oracle,
-    * then d/n-at-risk staged to DECIMAL(28,12) before the cumulative sum
-    * — shared by `events_hazard` and `stream_hazard` (spans merge by
-    * min/max).
-    */
-  private val hazardOracleSql =
-    """WITH spans AS (
-         SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-         FROM events GROUP BY 1),
-       e AS (SELECT max(l) AS endd FROM spans),
-       lt AS (
-         SELECT datediff('day', f, l) AS t,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 1 ELSE 0 END)
-             AS BIGINT) AS d,
-           CAST(sum(CASE WHEN datediff('day', l, endd) > 7 THEN 0 ELSE 1 END)
-             AS BIGINT) AS c
-         FROM spans CROSS JOIN e GROUP BY 1),
-       tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM lt),
-       cum AS (
-         SELECT t, d, c,
-           n - (CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) - (d + c)) AS nrisk
-         FROM lt CROSS JOIN tot),
-       staged AS (
-         SELECT t, d, c, nrisk,
-           CASE WHEN nrisk = 0 THEN CAST(0.0 AS DECIMAL(28,12))
-                ELSE CAST(d::DOUBLE / nrisk::DOUBLE AS DECIMAL(28,12))
-                END AS hz
-         FROM cum),
-       walked AS (
-         SELECT t, nrisk, d, c, hz, sum(hz) OVER (ORDER BY t) AS chz
-         FROM staged)
-       SELECT t AS t_days, nrisk AS n_risk, d, c,
-         round(CAST(hz AS DECIMAL(18,8)), 6)::DOUBLE AS hazard,
-         round(CAST(chz AS DECIMAL(18,8)), 6)::DOUBLE AS cum_hazard
-       FROM walked ORDER BY t_days"""
-
-  /** CUPED replay: the corr oracle's exact-decimal moment CTE restricted
-    * to the (quantity, price) pair, then the fixed-order θ/ρ²/variance
-    * chain — shared by `stats_cuped` and `stream_cuped` (moments are
-    * additive).
-    */
-  private val cupedOracleSql =
-    """WITH a AS (
-         SELECT count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(19,4))) AS s0,
-           sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS q0,
-           sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s1,
-           sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS q1,
-           sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p01
-         FROM lineitem),
-       b AS (
-         SELECT n, n::DOUBLE AS nd, s0::DOUBLE AS s0, q0::DOUBLE AS q0,
-           s1::DOUBLE AS s1, q1::DOUBLE AS q1, p01::DOUBLE AS p01
-         FROM a),
-       c AS (
-         SELECT n, nd,
-           nd * p01 - s0 * s1 AS cxy,
-           nd * q0 - s0 * s0 AS vx,
-           nd * q1 - s1 * s1 AS vy
-         FROM b)
-       SELECT n,
-         CASE WHEN vx <= 0.0 THEN NULL
-              ELSE round(CAST(cxy / vx AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS theta,
-         CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL
-              ELSE round(CAST(cxy * cxy / (vx * vy) AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS rho2,
-         round(CAST(vy / (nd * nd) AS DECIMAL(18,8)), 6)::DOUBLE AS var_y,
-         CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL
-              ELSE round(CAST(vy / (nd * nd) * (1.0 - cxy * cxy / (vx * vy))
-                AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS var_y_cuped
-       FROM c"""
-
-  /** CMH replay: per-stratum 2x2 counts, fixed-order O−E / variance /
-    * odds terms staged to DECIMAL(28,10) before the bounded sums — shared
-    * by `stats_mh` and `stream_mh` (counts are additive).
-    */
-  private val mhOracleSql =
-    """WITH c0 AS (
-         SELECT user_id % 4 AS st,
-           CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS arma,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
-         FROM events),
-       c AS (
-         SELECT st,
-           CAST(sum(arma) AS BIGINT) AS na,
-           CAST(sum(arma * succ) AS BIGINT) AS xa,
-           CAST(sum(1 - arma) AS BIGINT) AS nb,
-           CAST(sum((1 - arma) * succ) AS BIGINT) AS xb
-         FROM c0 GROUP BY 1),
-       t AS (
-         SELECT na, nb,
-           CASE WHEN na + nb >= 2 THEN CAST(
-             xa::DOUBLE - na::DOUBLE * (xa + xb)::DOUBLE / (na + nb)::DOUBLE
-             AS DECIMAL(28,10)) ELSE CAST(0.0 AS DECIMAL(28,10)) END AS oe,
-           CASE WHEN na + nb >= 2 THEN CAST(
-             na::DOUBLE * nb::DOUBLE * (xa + xb)::DOUBLE
-               * ((na + nb)::DOUBLE - (xa + xb)::DOUBLE)
-               / ((na + nb)::DOUBLE * (na + nb)::DOUBLE
-                 * ((na + nb)::DOUBLE - 1.0))
-             AS DECIMAL(28,10)) ELSE CAST(0.0 AS DECIMAL(28,10)) END AS v,
-           CASE WHEN na + nb >= 2 THEN CAST(
-             xa::DOUBLE * (nb::DOUBLE - xb::DOUBLE) / (na + nb)::DOUBLE
-             AS DECIMAL(28,10)) ELSE CAST(0.0 AS DECIMAL(28,10)) END AS odn,
-           CASE WHEN na + nb >= 2 THEN CAST(
-             xb::DOUBLE * (na::DOUBLE - xa::DOUBLE) / (na + nb)::DOUBLE
-             AS DECIMAL(28,10)) ELSE CAST(0.0 AS DECIMAL(28,10)) END AS od2
-         FROM c),
-       a AS (
-         SELECT CAST(count(*) AS BIGINT) AS k_strata,
-           CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
-           sum(oe) AS soe, sum(v) AS sv, sum(odn) AS son, sum(od2) AS sod
-         FROM t)
-       SELECT k_strata, n_a, n_b,
-         CASE WHEN sv::DOUBLE <= 0.0 THEN NULL
-              ELSE round(CAST(soe::DOUBLE * soe::DOUBLE / sv::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS chi2_mh,
-         CASE WHEN sod::DOUBLE <= 0.0 THEN NULL
-              ELSE round(CAST(son::DOUBLE / sod::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS or_mh
-       FROM a"""
-
-  /** Breslow–Day replay: the same per-stratum 2×2 table, the MH pooled
-    * OR, each stratum's expected cell from the admissible quadratic
-    * root, staged chi-square terms — shared by `stats_breslow_day` and
-    * its streaming twin (per-stratum counts are additive).
-    */
-  private val bdOracleSql =
-    """WITH c0 AS (
-         SELECT user_id % 4 AS st,
-           CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS arma,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
-         FROM events),
-       c AS (
-         SELECT st,
-           CAST(sum(arma) AS BIGINT) AS na,
-           CAST(sum(arma * succ) AS BIGINT) AS xa,
-           CAST(sum(1 - arma) AS BIGINT) AS nb,
-           CAST(sum((1 - arma) * succ) AS BIGINT) AS xb
-         FROM c0 GROUP BY 1),
-       p AS (
-         SELECT
-           sum(CAST(CAST(CAST(xa AS DECIMAL(15,0))
-             * CAST(nb - xb AS DECIMAL(15,0)) AS DOUBLE)
-             / (na + nb)::DOUBLE AS DECIMAL(28,10))) AS son,
-           sum(CAST(CAST(CAST(na - xa AS DECIMAL(15,0))
-             * CAST(xb AS DECIMAL(15,0)) AS DOUBLE)
-             / (na + nb)::DOUBLE AS DECIMAL(28,10))) AS sod
-         FROM c),
-       pp AS (SELECT son::DOUBLE / sod::DOUBLE AS psi FROM p),
-       bd AS (
-         SELECT c.st, c.xa::DOUBLE AS a, c.na::DOUBLE AS n1,
-           c.nb::DOUBLE AS n2, (c.xa + c.xb)::DOUBLE AS m1, pp.psi
-         FROM c CROSS JOIN pp),
-       e AS (
-         SELECT *, psi - 1.0 AS qa,
-           -(psi * (n1 + m1) + (n2 - m1)) AS qb,
-           psi * n1 * m1 AS qc
-         FROM bd),
-       r AS (SELECT *, sqrt(qb * qb - 4.0 * qa * qc) AS disc FROM e),
-       x AS (
-         SELECT *,
-           CASE WHEN qa = 0.0 THEN -qc / qb
-                WHEN (-qb - disc) / (2.0 * qa) >= greatest(0.0, m1 - n2)
-                 AND (-qb - disc) / (2.0 * qa) <= least(n1, m1)
-                THEN (-qb - disc) / (2.0 * qa)
-                ELSE (-qb + disc) / (2.0 * qa) END AS ev
-         FROM r),
-       g AS (
-         SELECT psi,
-           CASE WHEN m1 > 0.0 AND m1 < n1 + n2 AND n1 > 0.0 AND n2 > 0.0
-             THEN CAST((a - ev) * (a - ev)
-               / (1.0 / (1.0 / ev + 1.0 / (n1 - ev) + 1.0 / (m1 - ev)
-                 + 1.0 / (n2 - m1 + ev))) AS DECIMAL(28,10)) END AS term,
-           CASE WHEN m1 > 0.0 AND m1 < n1 + n2 AND n1 > 0.0 AND n2 > 0.0
-             THEN 1 ELSE 0 END AS u
-         FROM x),
-       agg AS (
-         SELECT psi, sum(u) AS k_strata, count(*) - sum(u) AS dropped,
-           sum(term) AS chi
-         FROM g GROUP BY 1)
-       SELECT CAST(k_strata AS BIGINT) AS k_strata,
-         CAST(k_strata - 1 AS BIGINT) AS df,
-         CAST(dropped AS BIGINT) AS dropped_strata,
-         CASE WHEN k_strata < 2 OR psi IS NULL OR psi <= 0.0
-                OR isnan(psi) THEN NULL
-           ELSE round(CAST(chi::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS chi2_bd
-       FROM agg"""
-
-  /** Hill tail-index replay: per-key counts, count-of-counts, Gini
-    * triangular ranks, top-k interval clamps, staged log moments —
-    * shared by `stats_hill` and its streaming twin (counts are
-    * additive).
-    */
-  private val hillOracleSql =
-    """WITH kc AS (
-         SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
-         FROM events GROUP BY 1),
-       coc AS (SELECT cnt AS c, CAST(count(*) AS BIGINT) AS nk
-               FROM kc GROUP BY 1),
-       rk AS (
-         SELECT a.c, a.nk,
-           coalesce(CAST(sum(b.nk) AS BIGINT), 0) AS bef
-         FROM coc a LEFT JOIN coc b ON b.c > a.c
-         GROUP BY a.c, a.nk),
-       agg AS (
-         SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
-           sum(CAST(greatest(least(bef + nk, 100) - bef, 0)::DOUBLE
-             * ln(c::DOUBLE) AS DECIMAL(28,10))) AS slog,
-           CAST(max(CASE WHEN bef + nk >= 101 THEN c END) AS BIGINT) AS xk1
-         FROM rk)
-       SELECT n_keys, 100 AS k, xk1 AS threshold,
-         CASE WHEN n_keys < 101 OR xk1 IS NULL
-                OR slog::DOUBLE / 100.0 - ln(xk1::DOUBLE) <= 0.0 THEN NULL
-           ELSE round(CAST(1.0 / (slog::DOUBLE / 100.0 - ln(xk1::DOUBLE))
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS alpha
-       FROM agg"""
-
-  /** ESS / design-effect replay: staged weight moments, Kish ratios in
-    * fixed double order — the batch operator's oracle.
-    */
-  private val essOracleSql =
-    """WITH f AS (
-         SELECT CAST(value AS DOUBLE) AS w FROM events
-         WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
-           AND CAST(value AS DOUBLE) > 0.0),
-       a AS (
-         SELECT count(*) AS n,
-           sum(CAST(w AS DECIMAL(28,10))) AS sw,
-           sum(CAST(w * w AS DECIMAL(28,10))) AS sw2
-         FROM f)
-       SELECT CAST(n AS BIGINT) AS n,
-         CASE WHEN n = 0 THEN NULL
-           ELSE round(CAST(sw::DOUBLE * sw::DOUBLE / sw2::DOUBLE
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS ess,
-         CASE WHEN n = 0 THEN NULL
-           ELSE round(CAST(n::DOUBLE * sw2::DOUBLE
-             / (sw::DOUBLE * sw::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS deff,
-         CASE WHEN n = 0 THEN NULL
-           ELSE round(CAST(sqrt(greatest(n::DOUBLE * sw2::DOUBLE
-             / (sw::DOUBLE * sw::DOUBLE) - 1.0, 0.0)) AS DECIMAL(18,8)),
-             6)::DOUBLE END AS weight_cv
-       FROM a"""
-
-  /** two-sample KS replay: the mwu oracle's per-value count CTEs, the
-    * exact integer sup-gap via HUGEINT cross-products, then the d/z/p
-    * chain from the ROUNDED d — shared by `stats_ks2` and `stream_ks`.
-    */
-  private val ks2OracleSql =
-    """WITH u AS (
-         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-         UNION ALL
-         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-       c AS (
-         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-         FROM u GROUP BY 1),
-       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
-         FROM c),
-       g AS (
-         SELECT abs(sum(p) OVER (ORDER BY v) * nb
-           - sum(n) OVER (ORDER BY v) * na) AS gap
-         FROM c CROSS JOIN tot),
-       m AS (SELECT max(gap) AS gm FROM g),
-       dstage AS (
-         SELECT na, nb,
-           CASE WHEN na = 0 OR nb = 0 THEN NULL
-                ELSE round(CAST(gm::DOUBLE / (na::DOUBLE * nb::DOUBLE)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS d
-         FROM m CROSS JOIN tot),
-       z AS (
-         SELECT na, nb, d,
-           d * sqrt(na::DOUBLE * nb::DOUBLE / (na::DOUBLE + nb::DOUBLE)) AS zr
-         FROM dstage)
-       SELECT na AS n_a, nb AS n_b, d,
-         round(CAST(zr AS DECIMAL(18,8)), 6)::DOUBLE AS z,
-         round(CAST(least(2.0 * exp(-2.0 * zr * zr), 1.0)
-           AS DECIMAL(18,8)), 6)::DOUBLE AS p_approx
-       FROM z"""
-
-  /** two-sample Cramér–von Mises replay: the ks2 oracle's per-value count
-    * CTEs, each distinct value's exact HUGEINT CDF gap squared in fixed
-    * double order and DECIMAL(28,10)-staged before the sum, then T and
-    * Anderson's null-moment standardization from the ROUNDED t — shared
-    * by `stats_cvm` and `stream_cvm`.
-    */
-  private val cvmOracleSql =
-    """WITH u AS (
-         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-         UNION ALL
-         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-       c AS (
-         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-         FROM u GROUP BY 1),
-       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
-         FROM c),
-       cum AS (
-         SELECT p, n,
-           sum(p) OVER (ORDER BY v) AS cp, sum(n) OVER (ORDER BY v) AS cn
-         FROM c),
-       f AS (
-         SELECT na, nb, p, n,
-           (cp * nb - cn * na)::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS fd
-         FROM cum CROSS JOIN tot),
-       terms AS (
-         SELECT na, nb,
-           CAST((p + n)::DOUBLE * fd * fd AS DECIMAL(28,10)) AS term
-         FROM f),
-       s AS (SELECT na, nb, sum(term) AS st FROM terms GROUP BY 1, 2),
-       tstage AS (
-         SELECT na, nb,
-           CASE WHEN na = 0 OR nb = 0 THEN NULL
-                ELSE round(CAST((na::DOUBLE * nb::DOUBLE
-                    / ((na + nb)::DOUBLE * (na + nb)::DOUBLE)) * st::DOUBLE
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS t
-         FROM s),
-       m AS (
-         SELECT na, nb, t,
-           (1.0 + 1.0 / (na + nb)::DOUBLE) / 6.0 AS et,
-           (((na + nb)::DOUBLE + 1.0)
-             / (45.0 * (na + nb)::DOUBLE * (na + nb)::DOUBLE))
-           * ((4.0 * na::DOUBLE * nb::DOUBLE * (na + nb)::DOUBLE
-               - 3.0 * (na::DOUBLE * na::DOUBLE + nb::DOUBLE * nb::DOUBLE)
-               - 2.0 * na::DOUBLE * nb::DOUBLE)
-             / (4.0 * na::DOUBLE * nb::DOUBLE)) AS vt
-         FROM tstage)
-       SELECT na AS n_a, nb AS n_b, t,
-         CASE WHEN t IS NULL OR vt <= 0.0 THEN NULL
-              ELSE round(CAST((t - et) / sqrt(vt) AS DECIMAL(18,8)), 6)::DOUBLE
-         END AS z
-       FROM m"""
-
-  /** two-sample Anderson–Darling replay: the ks2 oracle's per-value count
-    * CTEs, the interior values' tail-weighted squared gaps in fixed
-    * double order (each factor ≤ N) DECIMAL(28,10)-staged before the
-    * sum, ONE divide by na·nb — shared by `stats_ad` and `stream_ad`.
-    */
-  private val adOracleSql =
-    """WITH u AS (
-         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-         UNION ALL
-         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-       c AS (
-         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-         FROM u GROUP BY 1),
-       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
-         FROM c),
-       cum AS (
-         SELECT p, n,
-           sum(p) OVER (ORDER BY v) AS cp, sum(n) OVER (ORDER BY v) AS cn
-         FROM c),
-       f AS (
-         SELECT na, nb, p, n,
-           ((na + nb) * cp - na * (cp + cn))::DOUBLE AS gd,
-           (cp + cn)::DOUBLE AS bd
-         FROM cum CROSS JOIN tot
-         WHERE cp + cn < na + nb),
-       terms AS (
-         SELECT na, nb,
-           CAST((p + n)::DOUBLE * (gd / bd)
-             * (gd / ((na + nb)::DOUBLE - bd)) AS DECIMAL(28,10)) AS term
-         FROM f),
-       s AS (SELECT na, nb, sum(term) AS st FROM terms GROUP BY 1, 2)
-       SELECT na AS n_a, nb AS n_b,
-         CASE WHEN na = 0 OR nb = 0 OR st IS NULL THEN NULL
-              ELSE round(CAST(st::DOUBLE / (na::DOUBLE * nb::DOUBLE)
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS a2
-       FROM s"""
-
-  /** bucketed Wasserstein-1 replay: the ks2 oracle's per-value counts
-    * re-bucketed at width 10, cumulative counts in bucket order, each
-    * present bucket's span to its next present neighbor times the exact
-    * HUGEINT CDF gap (DECIMAL(28,10)-staged before the sum) — shared by
-    * `stats_wasserstein` and `stream_wasserstein`.
-    */
-  private val w1OracleSql =
-    """WITH u AS (
-         SELECT value AS v, TRUE AS l FROM events WHERE event_type = 'click'
-         UNION ALL
-         SELECT value, FALSE FROM events WHERE event_type = 'purchase'),
-       c AS (
-         SELECT v, CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
-           CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS n
-         FROM u GROUP BY 1),
-       cb AS (
-         SELECT CAST(floor(v / 10.0) AS BIGINT) AS b,
-           CAST(sum(p) AS BIGINT) AS p, CAST(sum(n) AS BIGINT) AS n
-         FROM c GROUP BY 1),
-       tot AS (SELECT CAST(sum(p) AS BIGINT) AS na, CAST(sum(n) AS BIGINT) AS nb
-         FROM cb),
-       cum AS (
-         SELECT b,
-           sum(p) OVER (ORDER BY b) AS cp, sum(n) OVER (ORDER BY b) AS cn,
-           lead(b) OVER (ORDER BY b) AS nx
-         FROM cb),
-       terms AS (
-         SELECT na, nb,
-           CAST(((nx - b)::DOUBLE * 10.0)
-             * (abs(cp * nb - cn * na)::DOUBLE
-               / (na::DOUBLE * nb::DOUBLE)) AS DECIMAL(28,10)) AS term
-         FROM cum CROSS JOIN tot
-         WHERE nx IS NOT NULL),
-       s AS (SELECT sum(term) AS st FROM terms)
-       SELECT na AS n_a, nb AS n_b,
-         CASE WHEN na = 0 OR nb = 0 THEN NULL
-              ELSE round(CAST(coalesce(st, 0)::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS w1
-       FROM s CROSS JOIN tot"""
-
-  /** EWMA control-chart replay (daily counts, exact moments, unrolled
-    * recursion via triangular self-join with decimal-staged terms,
-    * fixed-order limits) — shared by `events_ewma` and `stream_ewma`.
-    */
-  private val ewmaOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       st AS (
-         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
-           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-         FROM d GROUP BY 1),
-       ms AS (
-         SELECT event_type, s::DOUBLE / dd AS mean,
-           sqrt(greatest(s2::DOUBLE / dd
-             - (s::DOUBLE / dd) * (s::DOUBLE / dd), 0.0)) AS std
-         FROM st),
-       idx AS (
-         SELECT event_type, day, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       z AS (
-         SELECT a.event_type, a.day, a.n, a.t,
-           sum(CAST(0.2 * pow(0.8, a.t - b.t) * b.n AS DECIMAL(28,10))) AS zs
-         FROM idx a JOIN idx b
-           ON a.event_type = b.event_type AND b.t <= a.t
-         GROUP BY 1, 2, 3, 4),
-       f AS (
-         SELECT z.event_type, day, n,
-           mean * pow(0.8, t) + zs::DOUBLE AS ewma,
-           3.0 * std * sqrt(0.2 / (2.0 - 0.2) * (1.0 - pow(0.8, 2 * t))) AS spread,
-           mean
-         FROM z JOIN ms ON z.event_type = ms.event_type)
-       SELECT event_type, day, n,
-         round(CAST(ewma AS DECIMAL(18,8)), 4)::DOUBLE AS ewma,
-         round(CAST(mean - spread AS DECIMAL(18,8)), 4)::DOUBLE AS lcl,
-         round(CAST(mean + spread AS DECIMAL(18,8)), 4)::DOUBLE AS ucl,
-         (ewma < mean - spread OR ewma > mean + spread) AS alarm
-       FROM f ORDER BY event_type, day"""
-
-  /** burstiness replay (daily counts, per-type exact (d, Σn, Σn²)
-    * moments, Fano = var/mean and CV² in fixed double order) — shared by
-    * `events_burstiness` and `stream_burstiness` (daily counts are
-    * additive, so the accreted VolumeMonitor state equals the one-pass
-    * count table).
-    */
-  private val burstinessOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       st AS (
-         SELECT event_type, count(*) AS d_days,
-           CAST(sum(n) AS BIGINT) AS n_total,
-           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-         FROM d GROUP BY 1),
-       f AS (
-         SELECT event_type, d_days, n_total,
-           n_total::DOUBLE / d_days AS mean,
-           greatest(s2::DOUBLE / d_days
-             - (n_total::DOUBLE / d_days) * (n_total::DOUBLE / d_days),
-             0.0) AS vr
-         FROM st)
-       SELECT event_type, d_days, n_total,
-         round(CAST(mean AS DECIMAL(18,8)), 6)::DOUBLE AS mean_daily,
-         CASE WHEN mean <= 0.0 THEN NULL
-              ELSE round(CAST(vr / mean AS DECIMAL(18,8)), 6)::DOUBLE
-         END AS fano,
-         CASE WHEN mean <= 0.0 THEN NULL
-              ELSE round(CAST(vr / (mean * mean) AS DECIMAL(18,8)), 6)::DOUBLE
-         END AS cv2
-       FROM f ORDER BY event_type"""
-
-  /** Mann–Kendall + Theil–Sen replay (daily counts, triangular day-pair
-    * join for S and the slope pool, exact-integer tie terms,
-    * continuity-corrected z in fixed double order, exact median slope) —
-    * shared by `events_mannkendall` and `stream_mannkendall` (daily
-    * counts are additive, so the accreted VolumeMonitor state equals the
-    * one-pass count table).
-    */
-  private val mannKendallOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       p AS (
-         SELECT a.event_type,
-           CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn,
-           (b.n - a.n)::DOUBLE / date_diff('day', a.day, b.day)::DOUBLE
-             AS slope
-         FROM d a JOIN d b
-           ON a.event_type = b.event_type AND a.day < b.day),
-       s AS (
-         SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s,
-           quantile_cont(slope, 0.5) AS slope
-         FROM p GROUP BY 1),
-       dd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d_days
-              FROM d GROUP BY 1),
-       ties AS (
-         SELECT event_type,
-           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tv
-         FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
-               FROM d GROUP BY 1, 2) q
-         GROUP BY 1),
-       f AS (
-         SELECT dd.event_type, d_days, coalesce(s, 0) AS s, slope,
-           (d_days * (d_days - 1) * (2 * d_days + 5) - tv)::DOUBLE / 18.0
-             AS var_s
-         FROM dd LEFT JOIN s ON dd.event_type = s.event_type
-                 JOIN ties ON dd.event_type = ties.event_type)
-       SELECT event_type, d_days, s,
-         CASE WHEN var_s <= 0.0 THEN NULL
-              WHEN s = 0 THEN 0.0
-              ELSE round(CAST(
-                (s - CASE WHEN s > 0 THEN 1 ELSE -1 END)::DOUBLE
-                  / sqrt(var_s) AS DECIMAL(18,8)), 6)::DOUBLE END AS z,
-         round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE AS slope
-       FROM f ORDER BY event_type"""
-
-  /** daily-volume ACF replay (daily counts, positional index, broadcast
-    * lag range join, decimal-staged cross products, exact-moment
-    * denominator) — shared by `events_acf` and `stream_acf` (daily
-    * counts are additive).
-    */
-  private val acfOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       st AS (
-         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
-           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-         FROM d GROUP BY 1),
-       idx AS (
-         SELECT event_type, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
-       p AS (
-         SELECT a.event_type, l.lag AS lag,
-           CAST((a.n::DOUBLE - st.s::DOUBLE / st.dd)
-             * (b.n::DOUBLE - st.s::DOUBLE / st.dd) AS DECIMAL(28,10)) AS num,
-           st.s2::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.dd AS den
-         FROM idx a CROSS JOIN lags l
-           JOIN idx b ON a.event_type = b.event_type AND b.t = a.t - l.lag
-           JOIN st ON a.event_type = st.event_type),
-       agg AS (
-         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-           sum(num) AS nm, min(den) AS dn
-         FROM p GROUP BY 1, 2)
-       SELECT event_type, lag, n_pairs,
-         CASE WHEN dn <= 0.0 THEN NULL
-              ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS r
-       FROM agg ORDER BY event_type, lag"""
-
-  /** Ljung–Box replay (the ACF replay verbatim, then each lag's
-    * r²/(n−k) decimal-staged before the k-row sum, Q in fixed double
-    * order; n_days from the dense pair index) — shared by
-    * `events_ljung_box` and `stream_ljung_box` (daily counts are
-    * additive).
-    */
-  private val ljungBoxOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       st AS (
-         SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS s,
-           sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-         FROM d GROUP BY 1),
-       idx AS (
-         SELECT event_type, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
-       p AS (
-         SELECT a.event_type, l.lag AS lag,
-           CAST((a.n::DOUBLE - st.s::DOUBLE / st.dd)
-             * (b.n::DOUBLE - st.s::DOUBLE / st.dd) AS DECIMAL(28,10)) AS num,
-           st.s2::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.dd AS den
-         FROM idx a CROSS JOIN lags l
-           JOIN idx b ON a.event_type = b.event_type AND b.t = a.t - l.lag
-           JOIN st ON a.event_type = st.event_type),
-       agg AS (
-         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-           sum(num) AS nm, min(den) AS dn
-         FROM p GROUP BY 1, 2),
-       acf AS (
-         SELECT event_type, lag, n_pairs,
-           CASE WHEN dn <= 0.0 THEN NULL
-                ELSE round(CAST(nm::DOUBLE / dn AS DECIMAL(18,8)), 6)::DOUBLE
-                END AS r
-         FROM agg),
-       tm AS (
-         SELECT event_type, n_pairs + lag AS dd,
-           CASE WHEN r IS NULL THEN NULL
-                ELSE CAST(r * r / n_pairs::DOUBLE AS DECIMAL(28,10)) END AS tm
-         FROM acf),
-       g AS (
-         SELECT event_type, max(dd) AS n_days,
-           CAST(count(tm) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS lags,
-           sum(tm) AS st
-         FROM tm GROUP BY 1)
-       SELECT event_type, n_days, m,
-         CASE WHEN lags != 7 OR m != lags THEN NULL
-              ELSE round(CAST(n_days::DOUBLE * (n_days::DOUBLE + 2.0)
-                * st::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE END AS q
-       FROM g ORDER BY event_type"""
-
-  /** Durbin–Watson replay (daily counts, per-type five-moment OLS fit,
-    * fixed-order residuals, lag-1 self-join on the dense index,
-    * decimal-staged quadratic sums) — shared by `events_durbin_watson`
-    * and `stream_durbin_watson` (daily counts are additive).
-    */
-  private val durbinWatsonOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       idx AS (
-         SELECT event_type, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       mo AS (
-         SELECT event_type, count(*) AS dd,
-           sum(t::DECIMAL(15,0)) AS st, sum(n::DECIMAL(15,0)) AS sy,
-           sum(t::DECIMAL(15,0) * n::DECIMAL(15,0)) AS sty,
-           sum(t::DECIMAL(15,0) * t::DECIMAL(15,0)) AS stt
-         FROM idx GROUP BY 1),
-       fit AS (
-         SELECT event_type, dd,
-           dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE AS det,
-           (dd::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
-             / (dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE) AS b,
-           (sy::DOUBLE - (dd::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
-             / (dd::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
-             * st::DOUBLE) / dd::DOUBLE AS a
-         FROM mo),
-       res AS (
-         SELECT i.event_type, i.t, f.dd, f.det, f.b,
-           i.n::DOUBLE - (f.a + f.b * i.t::DOUBLE) AS e
-         FROM idx i JOIN fit f ON i.event_type = f.event_type),
-       nm AS (
-         SELECT a.event_type,
-           sum(CAST((a.e - p.e) * (a.e - p.e) AS DECIMAL(28,10))) AS num
-         FROM res a JOIN res p
-           ON a.event_type = p.event_type AND p.t = a.t - 1
-         GROUP BY 1),
-       dn AS (
-         SELECT event_type, min(dd) AS dd, min(det) AS det, min(b) AS b,
-           sum(CAST(e * e AS DECIMAL(28,10))) AS den
-         FROM res GROUP BY 1)
-       SELECT dn.event_type, dd AS n_days,
-         CASE WHEN dd < 3 OR det <= 0.0 THEN NULL
-              ELSE round(CAST(b AS DECIMAL(18,8)), 6)::DOUBLE END AS slope,
-         CASE WHEN dd < 3 OR det <= 0.0 OR den::DOUBLE <= 0.0
-                OR nm.num IS NULL THEN NULL
-              ELSE round(CAST(nm.num::DOUBLE / dn.den::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS dw
-       FROM dn LEFT JOIN nm ON dn.event_type = nm.event_type
-       ORDER BY dn.event_type"""
-
-  /** Wilcoxon signed-rank replay (paired day diffs with absent days as
-    * 0, zero-drop, doubled average ranks off the inclusive cumulative,
-    * exact tie term, fixed-order z) — shared by `events_wilcoxon` and
-    * `stream_wilcoxon` (daily counts are additive).
-    */
-  /** Market-basket replay — distinct (order, part) frame, ≤1000-item
-    * basket cap, pair self-join, supports, unrounded-lift top-20 with id
-    * tie-break. Shared by `events_basket`.
-    */
-  private val basketOracleSql =
-    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-       sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 1000),
-       cap AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)),
-       nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM cap),
-       supp AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM cap GROUP BY 1),
-       pr AS (
-         SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS support
-         FROM cap a JOIN cap b ON a.b = b.b AND a.i < b.i
-         GROUP BY 1, 2 HAVING count(*) >= 2),
-       sc AS (
-         SELECT item_a, item_b, support, sa.s AS support_a, sb.s AS support_b,
-           (support::DOUBLE * n::DOUBLE) / (sa.s::DOUBLE * sb.s::DOUBLE) AS lf
-         FROM pr JOIN supp sa ON sa.i = item_a JOIN supp sb ON sb.i = item_b
-         CROSS JOIN nb)
-       SELECT item_a, item_b, support, support_a, support_b,
-         round(CAST(support::DOUBLE / support_a::DOUBLE AS DECIMAL(18,8)),
-           6)::DOUBLE AS confidence,
-         round(CAST(lf AS DECIMAL(18,8)), 6)::DOUBLE AS lift
-       FROM (SELECT * FROM sc ORDER BY lf DESC, item_a, item_b LIMIT 20)
-       ORDER BY lift DESC, item_a, item_b"""
-
-  /** Cohort LTV replay — first-order-month cohorts, month-offset ages,
-    * exact decimal revenue, cohort-partitioned running sum. Shared by
-    * `events_cohort_ltv`.
-    */
-  private val cohortLtvOracleSql =
-    """WITH o AS (
-         SELECT o_custkey AS c, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS a
-         FROM orders),
-       f AS (SELECT c, min(m) AS cohort_month FROM o GROUP BY 1),
-       aged AS (
-         SELECT o.c, o.a, f.cohort_month,
-           CAST(date_diff('month', f.cohort_month, o.m) AS BIGINT) AS age_months
-         FROM o JOIN f USING (c)),
-       g AS (
-         SELECT cohort_month, age_months,
-           CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
-           CAST(sum(a) AS DECIMAL(28,2)) AS rev
-         FROM aged GROUP BY 1, 2)
-       SELECT cohort_month, age_months, n_customers, rev::DOUBLE AS revenue,
-         CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_months)
-           AS DECIMAL(28,2))::DOUBLE AS cum_revenue
-       FROM g ORDER BY cohort_month, age_months"""
-
-  /** FK audit replay — distinct-key tables full-outer joined, both-way
-    * verdicts in one row. Shared by `audit_fk_orphans`.
-    */
-  private val fkAuditOracleSql =
-    """WITH ck AS (
-         SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS rws
-         FROM lineitem GROUP BY 1),
-       pk AS (SELECT DISTINCT o_orderkey AS k, 1 AS p FROM orders),
-       j AS (SELECT ck.rws, pk.p FROM ck FULL OUTER JOIN pk ON ck.k = pk.k)
-       SELECT CAST(coalesce(sum(rws), 0) AS BIGINT) AS n_child_rows,
-         CAST(sum(CASE WHEN rws IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_child_keys,
-         CAST(coalesce(sum(CASE WHEN p IS NULL THEN rws END), 0) AS BIGINT) AS n_orphan_rows,
-         CAST(sum(CASE WHEN p IS NULL AND rws IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
-         CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parent_keys,
-         CAST(sum(CASE WHEN p IS NOT NULL AND rws IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
-         CASE WHEN coalesce(sum(rws), 0) = 0 THEN NULL
-              ELSE round(CAST(coalesce(sum(CASE WHEN p IS NULL THEN rws END), 0)::DOUBLE
-                / coalesce(sum(rws), 0)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS orphan_rate
-       FROM j"""
-
-  /** Reconciliation replay — exact-decimal child rollups, both sides
-    * staged to DECIMAL(28,4) before the diff, 1-cent tolerance verdicts.
-    * Shared by `audit_reconcile`.
-    */
-  private val reconcileOracleSql =
-    """WITH cs AS (
-         SELECT l_orderkey AS k,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(8,4)))
-             * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(28,4)) AS s
-         FROM lineitem GROUP BY 1),
-       p AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(28,4)) AS v
-             FROM orders),
-       j AS (SELECT v, s, abs(v - s) AS diff FROM p LEFT JOIN cs USING (k))
-       SELECT CAST(count(*) AS BIGINT) AS n_parent,
-         CAST(sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_children,
-         CAST(sum(CASE WHEN diff <= CAST(0.01 AS DECIMAL(28,4)) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-         CAST(sum(CASE WHEN diff > CAST(0.01 AS DECIMAL(28,4)) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
-         CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_children,
-         round(CAST(max(diff) AS DECIMAL(18,2)), 2)::DOUBLE AS max_abs_diff
-       FROM j"""
-
-  /** RFM replay — per-customer (last, count, exact-decimal sum) row,
-    * the exact interpolated quintile-cut block per metric, correlated
-    * strictly-greater counts for the 1–5 scores. Anchors on the corpus
-    * max order date. Shared by `events_rfm`.
-    */
-  private val rfmOracleSql =
-    """WITH per AS (
-         SELECT o_custkey, max(o_orderdate) AS last_o,
-           CAST(count(*) AS BIGINT) AS frequency,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS msum
-         FROM orders GROUP BY 1),
-       anch AS (SELECT max(last_o) AS anchor FROM per),
-       base AS (
-         SELECT o_custkey,
-           CAST(date_diff('day', CAST(last_o AS DATE), CAST(anchor AS DATE))
-             AS BIGINT) AS recency_days,
-           frequency, msum::DOUBLE AS monetary
-         FROM per CROSS JOIN anch),
-       rcnt AS (SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
-                FROM base GROUP BY 1),
-       rs AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM rcnt),
-       rt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rcnt),
-       qq AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
-       rj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN rt),
-       rm AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-                pos - floor(pos) AS frac FROM rj),
-       rr AS (SELECT rm.q, rm.frac,
-                min(CASE WHEN rs.cm >= rm.lo THEN rs.v END)::DOUBLE AS xlo,
-                min(CASE WHEN rs.cm >= least(rm.lo + 1, rm.n) THEN rs.v
-                  END)::DOUBLE AS xhi
-              FROM rm CROSS JOIN rs GROUP BY 1, 2),
-       rc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-                6)::DOUBLE AS v FROM rr),
-       fcnt AS (SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c
-                FROM base GROUP BY 1),
-       fs AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM fcnt),
-       ft AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM fcnt),
-       fj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN ft),
-       fm AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-                pos - floor(pos) AS frac FROM fj),
-       fr AS (SELECT fm.q, fm.frac,
-                min(CASE WHEN fs.cm >= fm.lo THEN fs.v END)::DOUBLE AS xlo,
-                min(CASE WHEN fs.cm >= least(fm.lo + 1, fm.n) THEN fs.v
-                  END)::DOUBLE AS xhi
-              FROM fm CROSS JOIN fs GROUP BY 1, 2),
-       fc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-                6)::DOUBLE AS v FROM fr),
-       mcnt AS (SELECT monetary AS v, CAST(count(*) AS BIGINT) AS c
-                FROM base GROUP BY 1),
-       ms AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm FROM mcnt),
-       mt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mcnt),
-       mj AS (SELECT q, n, (n::DOUBLE - 1.0) * q AS pos FROM qq CROSS JOIN mt),
-       mq AS (SELECT q, n, CAST(floor(pos) AS BIGINT) + 1 AS lo,
-                pos - floor(pos) AS frac FROM mj),
-       mr AS (SELECT mq.q, mq.frac,
-                min(CASE WHEN ms.cm >= mq.lo THEN ms.v END)::DOUBLE AS xlo,
-                min(CASE WHEN ms.cm >= least(mq.lo + 1, mq.n) THEN ms.v
-                  END)::DOUBLE AS xhi
-              FROM mq CROSS JOIN ms GROUP BY 1, 2),
-       mc AS (SELECT round(CAST(xlo + (xhi - xlo) * frac AS DECIMAL(18,8)),
-                6)::DOUBLE AS v FROM mr),
-       sc AS (
-         SELECT b.o_custkey, b.recency_days, b.frequency,
-           round(CAST(b.monetary AS DECIMAL(18,8)), 2)::DOUBLE AS monetary,
-           5 - (SELECT count(*) FROM rc WHERE b.recency_days > rc.v) AS r_score,
-           1 + (SELECT count(*) FROM fc WHERE b.frequency > fc.v) AS f_score,
-           1 + (SELECT count(*) FROM mc WHERE b.monetary > mc.v) AS m_score
-         FROM base b)
-       SELECT o_custkey, recency_days, frequency, monetary,
-         CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
-         CAST(m_score AS BIGINT) AS m_score,
-         CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
-       FROM sc ORDER BY o_custkey"""
-
-  /** Friedman + Kendall's W replay — daily volumes, completed grid
-    * (absent type-days count 0), within-day midranks via the per-day
-    * (value, count) self-join, exact doubled-rank sums and Σ(t³−t) tie
-    * term, χ²/W in fixed double order. Shared by `events_friedman` and
-    * `stream_friedman` (daily counts are the additive VolumeMonitor
-    * state).
-    */
-  private val friedmanOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       types AS (SELECT DISTINCT event_type FROM d),
-       days AS (SELECT DISTINCT day FROM d),
-       grid AS (
-         SELECT days.day AS b, types.event_type AS t,
-           coalesce(d.n, 0) AS x
-         FROM days CROSS JOIN types
-         LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type),
-       bx AS (
-         SELECT b, x, CAST(count(*) AS BIGINT) AS cnt
-         FROM grid GROUP BY 1, 2),
-       rk AS (
-         SELECT a.b, a.x,
-           2 * coalesce(sum(l.cnt), 0) + a.cnt + 1 AS r2
-         FROM bx a LEFT JOIN bx l ON l.b = a.b AND l.x < a.x
-         GROUP BY a.b, a.x, a.cnt),
-       pt AS (
-         SELECT g.t, sum(rk.r2::DECIMAL(38,0)) AS rs
-         FROM grid g JOIN rk ON rk.b = g.b AND rk.x = g.x
-         GROUP BY g.t),
-       ss AS (
-         SELECT CAST(count(*) AS BIGINT) AS k,
-           sum(rs * rs) AS ss4 FROM pt),
-       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
-       tie AS (
-         SELECT sum(cnt::DECIMAL(38,0) * cnt * cnt - cnt) AS tt FROM bx),
-       m AS (
-         SELECT n_days, k,
-           3.0 * ss4::DOUBLE / (n_days::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0))
-             - 3.0 * n_days::DOUBLE * (k::DOUBLE + 1.0) AS chi_u,
-           1.0 - tt::DOUBLE
-             / (n_days::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1.0)) AS c
-         FROM ss CROSS JOIN nb CROSS JOIN tie)
-       SELECT n_days, k,
-         CASE WHEN k < 2 OR n_days < 1 OR c <= 0.0 THEN NULL
-              ELSE round(CAST(chi_u / c AS DECIMAL(18,8)), 6)::DOUBLE END AS chi2,
-         CASE WHEN k < 2 OR n_days < 1 OR c <= 0.0 THEN NULL
-              ELSE round(CAST(chi_u / c / (n_days::DOUBLE * (k::DOUBLE - 1.0))
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS w
-       FROM m"""
-
-  /** Page's L replay — same completed grid and within-day midranks as
-    * [[friedmanOracleSql]], ordering index via the k² type self-join,
-    * L = Σ j·Rⱼ exact, closed-form E/Var z in fixed double order. Shared
-    * by `events_page_trend` and `stream_page_trend`.
-    */
-  private val pageOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       types AS (SELECT DISTINCT event_type FROM d),
-       days AS (SELECT DISTINCT day FROM d),
-       grid AS (
-         SELECT days.day AS b, types.event_type AS t,
-           coalesce(d.n, 0) AS x
-         FROM days CROSS JOIN types
-         LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type),
-       bx AS (
-         SELECT b, x, CAST(count(*) AS BIGINT) AS cnt
-         FROM grid GROUP BY 1, 2),
-       rk AS (
-         SELECT a.b, a.x,
-           2 * coalesce(sum(l.cnt), 0) + a.cnt + 1 AS r2
-         FROM bx a LEFT JOIN bx l ON l.b = a.b AND l.x < a.x
-         GROUP BY a.b, a.x, a.cnt),
-       pt AS (
-         SELECT g.t, sum(rk.r2::DECIMAL(38,0)) AS rs
-         FROM grid g JOIN rk ON rk.b = g.b AND rk.x = g.x
-         GROUP BY g.t),
-       jx AS (
-         SELECT a.t, a.rs, CAST(count(*) AS BIGINT) AS j
-         FROM pt a JOIN pt b ON b.t <= a.t
-         GROUP BY a.t, a.rs),
-       agg AS (
-         SELECT CAST(count(*) AS BIGINT) AS k,
-           sum(j::DECIMAL(38,0) * rs) AS l2 FROM jx),
-       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
-       m AS (
-         SELECT n_days, k, l2::DOUBLE / 2.0 AS l,
-           n_days::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0) * (k::DOUBLE + 1.0)
-             / 4.0 AS e,
-           n_days::DOUBLE * k::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
-             * (k::DOUBLE * k::DOUBLE - 1.0) / 144.0 AS v
-         FROM agg CROSS JOIN nb)
-       SELECT n_days, k,
-         round(CAST(l AS DECIMAL(18,8)), 6)::DOUBLE AS l,
-         CASE WHEN k < 2 OR n_days < 1 OR v <= 0.0 THEN NULL
-              ELSE round(CAST((l - e) / sqrt(v) AS DECIMAL(18,8)),
-                6)::DOUBLE END AS z
-       FROM m"""
-
-  private val wilcoxonOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       a AS (SELECT day, n FROM d WHERE event_type = 'click'),
-       b AS (SELECT day, n FROM d WHERE event_type = 'view'),
-       df AS (
-         SELECT coalesce(a.n, 0) - coalesce(b.n, 0) AS dd
-         FROM a FULL OUTER JOIN b ON a.day = b.day),
-       t AS (
-         SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS c,
-           CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
-         FROM df GROUP BY 1),
-       nz AS (
-         SELECT v, c, p, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cm
-         FROM t WHERE v > 0),
-       r AS (
-         SELECT c, p, (2 * (cm - c) + c + 1)::DECIMAL(38,0) AS r2 FROM nz),
-       ag AS (
-         SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n,
-           sum(p::DECIMAL(38,0) * r2) AS w2,
-           sum(c::DECIMAL(38,0) * c::DECIMAL(38,0) * c::DECIMAL(38,0)
-             - c::DECIMAL(38,0)) AS ts
-         FROM r),
-       tot AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_days FROM t)
-       SELECT n_days, n,
-         CASE WHEN n = 0 THEN NULL
-           ELSE round(CAST(w2::DOUBLE / 2.0 AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS w_plus,
-         CASE WHEN n < 2
-                OR (n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0)
-                  / 24.0 - ts::DOUBLE / 48.0) <= 0.0 THEN NULL
-           ELSE round(CAST(
-             (w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0)
-             / sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0)
-               / 24.0 - ts::DOUBLE / 48.0) AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS z
-       FROM ag CROSS JOIN tot"""
-
-  /** Sign-test replay (same paired day diffs and zero-drop, exact
-    * (n, n_pos) counts, fixed-order z without continuity correction) —
-    * shared by `events_sign_test` and `stream_sign_test`.
-    */
-  private val signTestOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       a AS (SELECT day, n FROM d WHERE event_type = 'click'),
-       b AS (SELECT day, n FROM d WHERE event_type = 'view'),
-       df AS (
-         SELECT coalesce(a.n, 0) - coalesce(b.n, 0) AS dd
-         FROM a FULL OUTER JOIN b ON a.day = b.day),
-       t AS (
-         SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS c,
-           CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
-         FROM df GROUP BY 1),
-       nz AS (
-         SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n,
-           coalesce(CAST(sum(p) AS BIGINT), 0) AS np
-         FROM t WHERE v > 0),
-       tot AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_days FROM t)
-       SELECT n_days, n, np AS n_pos, n - np AS n_neg,
-         CASE WHEN n = 0 THEN NULL
-           ELSE round(CAST((2.0 * np::DOUBLE - n::DOUBLE) / sqrt(n::DOUBLE)
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-       FROM nz CROSS JOIN tot"""
-
-  /** Pettitt changepoint replay (daily counts, day-pair vote sums,
-    * partitioned prefix U, exact-integer K with first-day tie-break,
-    * fixed-order approximate p) — shared by `events_pettitt` and
-    * `stream_pettitt` (daily counts are additive).
-    */
-  private val pettittOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       idx AS (
-         SELECT event_type, day, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       votes AS (
-         SELECT a.event_type, a.day, a.t,
-           CAST(sum(CASE WHEN a.n > b.n THEN 1 WHEN a.n < b.n THEN -1
-             ELSE 0 END) AS BIGINT) AS v
-         FROM idx a JOIN idx b
-           ON a.event_type = b.event_type AND a.t <> b.t
-         GROUP BY 1, 2, 3),
-       dd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d_days
-              FROM d GROUP BY 1),
-       u AS (
-         SELECT event_type, day, t,
-           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY t
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u
-         FROM votes),
-       uf AS (
-         SELECT u.event_type, u.day, u.t, u.u, dd.d_days
-         FROM u JOIN dd ON u.event_type = dd.event_type
-         WHERE u.t < dd.d_days),
-       k AS (
-         SELECT event_type, d_days, CAST(max(abs(u)) AS BIGINT) AS k_stat
-         FROM uf GROUP BY 1, 2),
-       att AS (
-         SELECT uf.event_type, k.k_stat, arg_min(uf.day, uf.t) AS change_day
-         FROM uf JOIN k ON uf.event_type = k.event_type
-           AND abs(uf.u) = k.k_stat
-         GROUP BY 1, 2),
-       f AS (
-         SELECT dd.event_type, dd.d_days, coalesce(att.k_stat, 0) AS k_stat,
-           att.change_day
-         FROM dd LEFT JOIN att ON dd.event_type = att.event_type)
-       SELECT event_type, d_days, k_stat, change_day,
-         round(CAST(least(1.0, 2.0 * exp(-6.0 * k_stat::DOUBLE
-           * k_stat::DOUBLE / (d_days::DOUBLE * d_days::DOUBLE
-             * d_days::DOUBLE + d_days::DOUBLE * d_days::DOUBLE)))
-           AS DECIMAL(18,8)), 6)::DOUBLE AS p_approx
-       FROM f ORDER BY event_type"""
-
-  /** BH step-up FDR control over the per-type Pettitt p panel: the
-    * pettitt readout as a CTE, ordinal rank with key tie-break, min
-    * envelope of p·m/rank over ranks at-or-above — shared by
-    * `stats_fdr_bh` and its streaming twin (both stages batch-exact).
-    */
-  private lazy val fdrOracleSql =
-    s"""WITH panel AS ($pettittOracleSql),
-       base AS (
-         SELECT CAST(event_type AS VARCHAR) AS key, p_approx::DOUBLE AS p
-         FROM panel WHERE p_approx IS NOT NULL),
-       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base),
-       ranked AS (
-         SELECT a.key, a.p, CAST(count(*) AS BIGINT) AS rank
-         FROM base a JOIN base b
-           ON (b.p < a.p OR (b.p = a.p AND b.key <= a.key))
-         GROUP BY 1, 2),
-       rawv AS (
-         SELECT rank AS rj, p * m.m::DOUBLE / rank::DOUBLE AS raw
-         FROM ranked, m),
-       env AS (
-         SELECT r.key, r.p, r.rank, min(rawv.raw) AS env
-         FROM ranked r JOIN rawv ON rawv.rj >= r.rank
-         GROUP BY 1, 2, 3)
-       SELECT key, p, rank,
-         round(CAST(least(env, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE AS p_bh,
-         least(env, 1.0) <= 0.05 AS reject
-       FROM env ORDER BY key"""
-
-  /** Bonferroni/Holm/BY replay over the same Pettitt panel: the fdr
-    * oracle's ordinal rank, a step-DOWN max envelope for Holm, BH's
-    * step-UP min envelope inflated by the decimal-staged harmonic
-    * constant for BY — shared by `stats_padjust` and `stream_padjust`.
-    */
-  private lazy val padjustOracleSql =
-    s"""WITH panel AS ($pettittOracleSql),
-       base AS (
-         SELECT CAST(event_type AS VARCHAR) AS key, p_approx::DOUBLE AS p
-         FROM panel WHERE p_approx IS NOT NULL),
-       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base),
-       ranked AS (
-         SELECT a.key, a.p, CAST(count(*) AS BIGINT) AS rank
-         FROM base a JOIN base b
-           ON (b.p < a.p OR (b.p = a.p AND b.key <= a.key))
-         GROUP BY 1, 2),
-       cm AS (
-         SELECT sum(CAST(1.0 / rank::DOUBLE AS DECIMAL(28,10))) AS cm
-         FROM ranked),
-       hraw AS (
-         SELECT rank AS rj, (m.m - rank + 1)::DOUBLE * p AS rawh
-         FROM ranked, m),
-       byraw AS (
-         SELECT rank AS rj,
-           p * (m.m::DOUBLE * cm.cm::DOUBLE) / rank::DOUBLE AS rawby
-         FROM ranked, m, cm),
-       henv AS (
-         SELECT r.key, max(hraw.rawh) AS envh
-         FROM ranked r JOIN hraw ON hraw.rj <= r.rank GROUP BY 1),
-       byenv AS (
-         SELECT r.key, min(byraw.rawby) AS envby
-         FROM ranked r JOIN byraw ON byraw.rj >= r.rank GROUP BY 1)
-       SELECT r.key, r.p, r.rank,
-         round(CAST(least(r.p * m.m::DOUBLE, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
-           AS p_bonf,
-         round(CAST(least(henv.envh, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
-           AS p_holm,
-         round(CAST(least(byenv.envby, 1.0) AS DECIMAL(18,8)), 6)::DOUBLE
-           AS p_by
-       FROM ranked r JOIN henv ON henv.key = r.key
-         JOIN byenv ON byenv.key = r.key, m
-       ORDER BY r.key"""
-
-  /** Holt linear-smoothing replay: the A^e / A^e·c weight constants are
-    * EMBEDDED from the same [[graft.functions.Events.holtWeights]] run
-    * the Spark plan broadcasts, each weight·count term staged to
-    * DECIMAL(28,10) before the exact sum — shared by `events_holt` and
-    * its streaming twin (the recursion is linear in the additive daily
-    * counts).
-    */
-  private lazy val holtOracleSql: String = {
-    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
-    val rows = graft.functions.Events.holtWeights(0.5, 0.5, 64)
-      .map { case (e, v1, v2, w11, w12, w21, w22) =>
-        s"($e, ${d(v1)}, ${d(v2)}, ${d(w11)}, ${d(w12)}, ${d(w21)}, ${d(w22)})"
-      }.mkString(", ")
-    s"""WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2),
-       pw AS (SELECT * FROM (VALUES $rows)
-              AS t(e, v1, v2, w11, w12, w21, w22)),
-       idx AS (
-         SELECT event_type, n,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-             AS BIGINT) AS t
-         FROM d),
-       mt AS (
-         SELECT event_type, max(t) AS tt, CAST(count(*) AS BIGINT) AS d_days,
-           max(CASE WHEN t = 1 THEN n END) AS y1,
-           max(CASE WHEN t = 2 THEN n END) AS y2
-         FROM idx GROUP BY 1),
-       terms AS (
-         SELECT idx.event_type,
-           sum(CAST(pw.v1 * idx.n AS DECIMAL(28,10))) AS sl,
-           sum(CAST(pw.v2 * idx.n AS DECIMAL(28,10))) AS sb
-         FROM idx JOIN mt ON idx.event_type = mt.event_type
-           JOIN pw ON pw.e = mt.tt - idx.t
-         WHERE idx.t >= 2 GROUP BY 1),
-       ini AS (
-         SELECT mt.event_type,
-           CAST(pw.w11 * mt.y1 AS DECIMAL(28,10))
-             + CAST(pw.w12 * (mt.y2 - mt.y1) AS DECIMAL(28,10)) AS il,
-           CAST(pw.w21 * mt.y1 AS DECIMAL(28,10))
-             + CAST(pw.w22 * (mt.y2 - mt.y1) AS DECIMAL(28,10)) AS ib
-         FROM mt JOIN pw ON pw.e = mt.tt - 1 WHERE mt.tt >= 2)
-       SELECT mt.event_type, mt.d_days,
-         CASE WHEN mt.tt = 1
-              THEN round(CAST(mt.y1 AS DECIMAL(28,10)), 6)::DOUBLE
-              ELSE round(CAST(terms.sl + ini.il AS DECIMAL(28,10)), 6)::DOUBLE
-         END AS level,
-         CASE WHEN mt.tt = 1 THEN NULL
-              ELSE round(CAST(terms.sb + ini.ib AS DECIMAL(28,10)), 6)::DOUBLE
-         END AS trend,
-         CASE WHEN mt.tt = 1 THEN NULL
-              ELSE round(CAST(terms.sl + ini.il + terms.sb + ini.ib
-                AS DECIMAL(28,10)), 6)::DOUBLE
-         END AS forecast
-       FROM mt LEFT JOIN terms ON mt.event_type = terms.event_type
-         LEFT JOIN ini ON mt.event_type = ini.event_type
-       ORDER BY mt.event_type"""
-  }
-
-  /** seasonal-naive forecast replay: daily counts, lag-7 self-join,
-    * decimal-staged MAE/MAPE — shared by `events_forecast` and its
-    * streaming twin `stream_forecast` (daily counts are additive, so the
-    * accreted state equals the one-pass count table).
-    */
-  private val forecastOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       j AS (
-         SELECT a.event_type, a.n, b.n AS f, abs(a.n - b.n) AS ae
-         FROM d a JOIN d b
-           ON a.event_type = b.event_type
-          AND b.day = a.day - 7)
-       SELECT event_type, count(*) AS n_days,
-         round(CAST(CAST(sum(ae) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-           AS mae,
-         round(CAST(CAST(sum(CAST(ae::DOUBLE / n AS DECIMAL(18,8))) AS DOUBLE)
-           / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mape
-       FROM j GROUP BY event_type ORDER BY event_type"""
-
-  /** MASE replay: daily counts, lag-7 calendar self-join for the
-    * seasonal errors, ONE keyed lag window for the naive scale, exact
-    * integers to the three final divisions — shared by `events_mase`
-    * and its streaming twin `stream_mase` (daily counts are additive).
-    */
-  private val maseOracleSql =
-    """WITH d AS (
-         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-         FROM events GROUP BY 1, 2),
-       fc AS (
-         SELECT a.event_type, count(*) AS n_fc,
-           CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sae_fc
-         FROM d a JOIN d b
-           ON a.event_type = b.event_type AND b.day = a.day - 7
-         GROUP BY 1),
-       nv AS (
-         SELECT event_type, count(*) AS n_naive,
-           CAST(sum(abs(n - prev)) AS BIGINT) AS sae_nv
-         FROM (
-           SELECT event_type, n,
-             lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
-           FROM d)
-         WHERE prev IS NOT NULL GROUP BY 1)
-       SELECT fc.event_type, n_fc, n_naive,
-         round(CAST(CAST(sae_fc AS DOUBLE) / CAST(n_fc AS DOUBLE)
-           AS DECIMAL(18,8)), 4)::DOUBLE AS mae_fc,
-         round(CAST(CAST(sae_nv AS DOUBLE) / CAST(n_naive AS DOUBLE)
-           AS DECIMAL(18,8)), 4)::DOUBLE AS mae_naive,
-         CASE WHEN sae_nv = 0 THEN NULL
-           ELSE round(CAST(CAST(sae_fc AS DOUBLE) / CAST(n_fc AS DOUBLE)
-             / (CAST(sae_nv AS DOUBLE) / CAST(n_naive AS DOUBLE))
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS mase
-       FROM fc JOIN nv ON fc.event_type = nv.event_type
-       ORDER BY fc.event_type"""
-
-  /** exact-Gini replay (count-of-counts, cumulative self-join, decimal
-    * trapezoid) — shared by `stats_gini` and `stream_gini` (per-key counts
-    * are additive, so the accreted state equals the one-pass table).
-    */
-  private val giniOracleSql =
-    """WITH counts AS (
-         SELECT user_id, count(*) AS c FROM events GROUP BY 1),
-       coc AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
-       cum AS (
-         SELECT a.c, a.nk,
-           CAST(sum(CAST(b.c AS DECIMAL(38,0)) * b.nk) AS DECIMAL(38,0)) AS cm
-         FROM coc a JOIN coc b ON b.c <= a.c GROUP BY a.c, a.nk),
-       s AS (
-         SELECT CAST(sum(CAST(nk AS DECIMAL(38,0)) *
-           (cm * 2 - CAST(c AS DECIMAL(38,0)) * nk)) AS DECIMAL(38,0)) AS t
-         FROM cum),
-       tot AS (
-         SELECT CAST(sum(nk) AS BIGINT) AS keys,
-           CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS DECIMAL(38,0)) AS m
-         FROM coc)
-       SELECT keys AS n_keys, CAST(m AS BIGINT) AS total,
-         round(CAST(1.0 - CAST(t AS DOUBLE) /
-           (CAST(keys AS DOUBLE) * CAST(m AS DOUBLE)) AS DECIMAL(18,8)), 6)::DOUBLE
-           AS gini
-       FROM tot CROSS JOIN s"""
-
-  /** key-skew replay (count table, totals, top-k) — shared by
-    * `stats_key_skew` and `stream_key_skew` (same additivity argument).
-    */
-  private val keySkewOracleSql =
-    """WITH c AS (
-         SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
-         FROM events GROUP BY 1),
-       t AS (
-         SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS keys,
-           CAST(max(cnt) AS BIGINT) AS mx
-         FROM c)
-       SELECT key, cnt,
-         round(CAST(cnt::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS share,
-         CAST(keys AS BIGINT) AS n_keys,
-         round(CAST(mx::DOUBLE * keys / tot AS DECIMAL(18,8)), 4)::DOUBLE
-           AS skew
-       FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 20"""
-
-  private def bpeApplyOracleSql(nMerges: Int): String =
-    s"""WITH ${bpeRoundsCtes(nMerges)}
-       SELECT sym AS symbol, CAST(sum(cnt) AS BIGINT) AS total_count,
-         CAST(count(DISTINCT s) AS BIGINT) AS n_word_types
-       FROM (
-         SELECT cnt, s,
-           unnest(list_filter(string_split(s, '||'), x -> x <> '')) AS sym
-         FROM s$nMerges)
-       GROUP BY sym ORDER BY symbol"""
-
-  /** CMS replay: md5-derived 4×512 counters over the token stream, top-20
-    * point queries — shared by `sketch_cms` and its streaming twin
-    * `stream_cms` (the sketch is linear, so the accreted cells equal the
-    * one-pass build bit-for-bit).
-    */
-  private val cmsOracleSql =
-    s"""WITH tk AS (
-         SELECT tok FROM (
-           SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
-         WHERE tok <> ''),
-       js AS (SELECT unnest(range(0, 4)) AS j),
-       h AS (
-         SELECT tok, j,
-           ('0x'||substr(md5(tok || 'cms' || j::VARCHAR),1,15))::BIGINT % 512 AS pos
-         FROM tk CROSS JOIN js),
-       cnt AS (SELECT j, pos, count(*) AS c FROM h GROUP BY j, pos),
-       truec AS (SELECT tok, count(*) AS true_cnt FROM tk GROUP BY tok),
-       top AS (SELECT tok, true_cnt FROM truec ORDER BY true_cnt DESC, tok LIMIT 20),
-       look AS (
-         SELECT t.tok, js.j,
-           ('0x'||substr(md5(t.tok || 'cms' || js.j::VARCHAR),1,15))::BIGINT % 512 AS pos
-         FROM top t CROSS JOIN js),
-       est AS (
-         SELECT tok, min(coalesce(c, 0)) AS cms_est
-         FROM look LEFT JOIN cnt USING (j, pos) GROUP BY tok)
-       SELECT top.tok AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
-         CAST(cms_est AS BIGINT) AS cms_est
-       FROM top JOIN est USING (tok) ORDER BY token"""
-
-  /** entry-path replay: ranking window + per-user ordered list rollup —
-    * shared by `events_paths` and its streaming twin `stream_paths`.
-    */
-  private val entryPathsOracleSql =
-    """WITH r AS (
-         SELECT user_id, event_type,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS rn
-         FROM events),
-       p AS (
-         SELECT user_id,
-           array_to_string(list(event_type ORDER BY rn), '>') AS path,
-           CAST(max(rn) AS INT) AS depth
-         FROM r WHERE rn <= 3 GROUP BY user_id)
-       SELECT path, depth, count(*) AS n_users
-       FROM p GROUP BY path, depth ORDER BY path"""
-
-  /** kappa oracle: quality-score and token-count flag replays into the 2×2
-    * confusion row, po/pe rounded before κ — shared by the batch operator
-    * and its streaming twin (additive confusion counts)
-    */
-  /** shared confusion-row CTE chain (quality-score and token-count filter
-    * replays down to the 2×2 row `k`) — the state both `kappa` and
-    * `mcnemar` oracles read.
-    */
-  private lazy val confusionCteSql =
-    s"""WITH norm AS (
-         SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-           $normSql AS nt
-         FROM documents),
-       c AS (
-         SELECT doc_id, text,
-           CASE WHEN length(nt) = 0 THEN 0
-                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-         FROM norm),
-       f AS (
-         SELECT
-           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                           ELSE npunct::DOUBLE / length(text) END) * 0.3
-             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS a,
-           ntok >= 25 AS b
-         FROM c),
-       k AS (
-         SELECT count(*) AS n,
-           sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
-           sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
-           sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
-           sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
-         FROM f)"""
-
-  private lazy val kappaOracleSql = confusionCteSql +
-    """,
-       p AS (
-         SELECT n, n11, n10, n01, n00,
-           round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
-           round(CAST(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
-             + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)
-             AS DECIMAL(18,8)), 6)::DOUBLE AS pe
-         FROM k)
-       SELECT n, n11, n10, n01, n00, po, pe,
-         round(CAST(CASE WHEN pe >= 1.0 THEN 0.0
-           ELSE (po - pe) / (1.0 - pe) END AS DECIMAL(18,8)), 6)::DOUBLE AS kappa
-       FROM p"""
-
-  /** Scott's π / Gwet's AC1 replay (same confusion-row CTE as kappa; the
-    * pooled trait prevalence feeds both chance terms, po and the chance
-    * terms 6dp-rounded BEFORE the index forms) — shared by `curate_gwet`
-    * and `stream_gwet` (the confusion row is the additive KappaMonitor
-    * state).
-    */
-  private lazy val gwetOracleSql = confusionCteSql +
-    """,
-       r AS (
-         SELECT n,
-           round(CAST((n11 + n00)::DOUBLE / n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS po,
-           ((n11 + n10)::DOUBLE / n::DOUBLE
-             + (n11 + n01)::DOUBLE / n::DOUBLE) / 2.0 AS pib
-         FROM k),
-       r2 AS (
-         SELECT n, po,
-           round(CAST(pib * pib + (1.0 - pib) * (1.0 - pib)
-             AS DECIMAL(18,8)), 6)::DOUBLE AS pe_scott,
-           round(CAST(2.0 * pib * (1.0 - pib)
-             AS DECIMAL(18,8)), 6)::DOUBLE AS pe_gwet
-         FROM r)
-       SELECT n, po, pe_scott,
-         round(CAST(CASE WHEN pe_scott >= 1.0 THEN 0.0
-           ELSE (po - pe_scott) / (1.0 - pe_scott) END
-           AS DECIMAL(18,8)), 6)::DOUBLE AS scott_pi,
-         pe_gwet,
-         round(CAST(CASE WHEN pe_gwet >= 1.0 THEN 0.0
-           ELSE (po - pe_gwet) / (1.0 - pe_gwet) END
-           AS DECIMAL(18,8)), 6)::DOUBLE AS gwet_ac1
-       FROM r2"""
-
-  /** McNemar replay (same confusion-row CTE as kappa; signed z over the
-    * discordant pair, Edwards-corrected χ² clamped at 0) — shared by
-    * `curate_mcnemar` and `stream_mcnemar` (the confusion row is the
-    * additive KappaMonitor state).
-    */
-  private lazy val mcnemarOracleSql = confusionCteSql +
-    """
-       SELECT n, n10, n01,
-         CASE WHEN n10 + n01 = 0 THEN NULL
-              ELSE round(CAST((n10 - n01)::DOUBLE
-                / sqrt((n10 + n01)::DOUBLE) AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS z,
-         CASE WHEN n10 + n01 = 0 THEN NULL
-              ELSE round(CAST(
-                greatest(abs(n10 - n01)::DOUBLE - 1.0, 0.0)
-                  * greatest(abs(n10 - n01)::DOUBLE - 1.0, 0.0)
-                  / (n10 + n01)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-              END AS chi2
-       FROM k"""
-
-  /** Cochran's Q replay (same quality/token filter replays plus the
-    * length cap, per-row R_i, exact-integer numerator and denominator,
-    * one divide) — shared by `curate_cochranq` and `stream_cochranq`
-    * (the 1-row panel state is additive).
-    */
-  /** Krippendorff alpha replay: the SAME panel-count staging as the
-    * Cochran/Fleiss oracles, then D_o from exact integers and D_e from
-    * HUGEINT-staged total-vote products; alpha from the 6dp-rounded
-    * pieces — shared by `curate_krippendorff` and its streaming twin.
-    */
-  private lazy val krippendorffOracleSql =
-    s"""WITH norm AS (
-         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
-           $normSql AS nt
-         FROM documents),
-       c AS (
-         SELECT doc_id, text, n_chars,
-           CASE WHEN length(nt) = 0 THEN 0
-                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-         FROM norm),
-       f AS (
-         SELECT
-           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                           ELSE npunct::DOUBLE / length(text) END) * 0.3
-             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
-           ntok >= 25 AS f2,
-           n_chars <= 500 AS f3
-         FROM c),
-       r AS (
-         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
-           + CASE WHEN f2 THEN 1 ELSE 0 END
-           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri
-         FROM f),
-       a AS (
-         SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2
-         FROM r),
-       s AS (
-         SELECT n,
-           round(CAST((2 * (3 * sr - sr2))::DOUBLE
-             / (n::HUGEINT * 6)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS d_o,
-           round(CAST((2::HUGEINT * sr::HUGEINT
-               * (n::HUGEINT * 3 - sr::HUGEINT))::DOUBLE
-             / ((n::HUGEINT * 3) * (n::HUGEINT * 3 - 1))::DOUBLE
-             AS DECIMAL(18,8)), 6)::DOUBLE AS d_e
-         FROM a)
-       SELECT 3::BIGINT AS k, n, d_o, d_e,
-         CASE WHEN d_e <= 0.0 THEN NULL
-              ELSE round(CAST(1.0 - d_o / d_e AS DECIMAL(18,8)), 6)::DOUBLE
-         END AS alpha
-       FROM s"""
-
-  /** two-proportion sample-size plan: the same per-arm exact count pairs
-    * as the twoprop oracle, 6dp-rounded p's, and the z-sum-squared
-    * constant embedded from the IDENTICAL Scala value — shared by
-    * `stats_power_twoprop` and its streaming twin.
-    */
-  private lazy val powerOracleSql =
-    s"""WITH a AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
-         b AS (
-           SELECT count(*) AS n,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS x
-           FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-         m AS (
-           SELECT a.n AS n_a, b.n AS n_b,
-             round(CAST(a.x::DOUBLE / a.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_a,
-             round(CAST(b.x::DOUBLE / b.n::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS p_b
-           FROM a CROSS JOIN b)
-         SELECT n_a, n_b, p_a, p_b,
-           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-                ELSE round(CAST(p_a - p_b AS DECIMAL(18,8)), 6)::DOUBLE
-           END AS effect,
-           CASE WHEN n_a = 0 OR n_b = 0 OR p_a = p_b THEN NULL
-                ELSE CAST(ceil(CAST(
-                  CAST('${graft.functions.Stats.zSumSq80At05}' AS DOUBLE)
-                    * (p_a * (1.0 - p_a) + p_b * (1.0 - p_b))
-                    / ((p_a - p_b) * (p_a - p_b))
-                  AS DECIMAL(28,8))) AS BIGINT)
-           END AS n_per_arm
-         FROM m"""
-
-  /** vocabulary richness: token counts -> frequency-of-frequency row ->
-    * Chao1 (bias-corrected) and Good-Turing unseen mass from exact
-    * integers in fixed double order.
-    */
-  private lazy val vocabRichnessOracleSql =
-    s"""WITH norm AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
-       tk AS (SELECT unnest(list_filter(toks, t -> len(t) > 0)) AS tok FROM norm),
-       tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
-       a AS (
-         SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS distinct_tokens,
-           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-         FROM tf)
-       SELECT n_tokens, distinct_tokens, f1, f2,
-         round(CAST(distinct_tokens::DOUBLE
-           + (f1 * (f1 - 1))::DOUBLE / (2.0 * (f2 + 1)::DOUBLE)
-           AS DECIMAL(18,8)), 6)::DOUBLE AS chao1,
-         CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL
-              ELSE round(CAST(f1::DOUBLE / n_tokens::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE
-         END AS gt_unseen
-       FROM a"""
-
-  /** Zipf fit: token counts -> count-of-counts -> midpoint ranks via the
-    * triangular join -> weighted OLS of ln(freq) on ln(rank), every
-    * moment decimal-staged and every double op mirroring the Column tree.
-    */
-  private lazy val zipfOracleSql =
-    s"""WITH norm AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
-       tk AS (SELECT unnest(list_filter(toks, t -> len(t) > 0)) AS tok FROM norm),
-       tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
-       coc AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM tf GROUP BY 1),
-       rk AS (
-         SELECT a.c, a.nk,
-           coalesce(sum(b.nk), 0)::DOUBLE + (a.nk::DOUBLE + 1.0) / 2.0 AS r
-         FROM coc a LEFT JOIN coc b ON b.c > a.c
-         GROUP BY a.c, a.nk),
-       mo AS (
-         SELECT CAST(sum(CAST(c AS DECIMAL(38,0)) * nk) AS BIGINT) AS n_tokens,
-           CAST(sum(nk) AS BIGINT) AS vocab,
-           count(*) AS groups,
-           sum(CAST(nk * ln(r) AS DECIMAL(28,10))) AS swx,
-           sum(CAST(nk * ln(c::DOUBLE) AS DECIMAL(28,10))) AS swy,
-           sum(CAST(nk * ln(r) * ln(r) AS DECIMAL(28,10))) AS swxx,
-           sum(CAST(nk * ln(c::DOUBLE) * ln(c::DOUBLE) AS DECIMAL(28,10)))
-             AS swyy,
-           sum(CAST(nk * ln(r) * ln(c::DOUBLE) AS DECIMAL(28,10))) AS swxy
-         FROM rk),
-       f AS (
-         SELECT *, vocab::DOUBLE AS w,
-           swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE / vocab::DOUBLE AS sxx,
-           swyy::DOUBLE - swy::DOUBLE * swy::DOUBLE / vocab::DOUBLE AS syy
-         FROM mo),
-       g AS (
-         SELECT *, (swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE / w) / sxx
-           AS slope
-         FROM f)
-       SELECT n_tokens, vocab, groups,
-         CASE WHEN groups < 2 THEN NULL
-           ELSE round(CAST(slope AS DECIMAL(18,8)), 6)::DOUBLE END AS slope,
-         CASE WHEN groups < 2 THEN NULL
-           ELSE round(CAST(swy::DOUBLE / w - slope * swx::DOUBLE / w
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS intercept,
-         CASE WHEN groups < 2 THEN NULL
-           ELSE round(CAST(slope * slope * sxx / syy
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS r2
-       FROM g"""
-
-  /** Cochran–Armitage replay: week-of-month scored proportions, exact
-    * DECIMAL(38,0)-staged moments, fixed-order z.
-    */
-  private val cochranArmitageOracleSql =
-    """WITH c AS (
-         SELECT CAST(floor((day(ts) - 1) / 7.0) AS BIGINT) AS w,
-           count(*) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS x
-         FROM events
-         WHERE floor((day(ts) - 1) / 7.0) IS NOT NULL
-           AND (event_type = 'purchase') IS NOT NULL
-         GROUP BY 1),
-       a AS (
-         SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
-           CAST(sum(x) AS BIGINT) AS x,
-           sum(CAST(w AS DECIMAL(38,0)) * x) AS swx,
-           sum(CAST(w AS DECIMAL(38,0)) * n) AS swn,
-           sum(CAST(w AS DECIMAL(38,0)) * w * n) AS snww
-         FROM c)
-       SELECT k, n, x,
-         CASE WHEN k < 2 OR x = 0 OR x = n THEN NULL
-           ELSE round(CAST(
-             (swx::DOUBLE - x::DOUBLE / n::DOUBLE * swn::DOUBLE)
-             / sqrt(x::DOUBLE / n::DOUBLE * (1.0 - x::DOUBLE / n::DOUBLE)
-               * (snww::DOUBLE - swn::DOUBLE * swn::DOUBLE / n::DOUBLE))
-             AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-       FROM a"""
-
-  /** capture-recapture replay: distinct users per month half, overlap
-    * join, Chapman's estimate + SE from exact DECIMAL(38,0)-staged
-    * products in fixed double order.
-    */
-  private val captureOracleSql =
-    """WITH a AS (
-         SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
-         WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
-       b AS (
-         SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
-         WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
-       t AS (SELECT
-         (SELECT count(*) FROM a) AS n_a,
-         (SELECT count(*) FROM b) AS n_b,
-         (SELECT count(*) FROM a JOIN b USING (k)) AS m)
-       SELECT n_a, n_b, m,
-         round(CAST(
-           CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * CAST(n_b + 1 AS DECIMAL(38,0))
-             AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
-           AS DECIMAL(28,8)), 4)::DOUBLE AS n_hat,
-         round(CAST(sqrt(
-             CAST(CAST(n_a + 1 AS DECIMAL(38,0))
-               * CAST(n_b + 1 AS DECIMAL(38,0)) AS DOUBLE)
-             * CAST(CAST(n_a - m AS DECIMAL(38,0))
-               * CAST(n_b - m AS DECIMAL(38,0)) AS DOUBLE)
-             / CAST(CAST(m + 1 AS DECIMAL(38,0)) * CAST(m + 1 AS DECIMAL(38,0))
-               * CAST(m + 2 AS DECIMAL(38,0)) AS DOUBLE))
-           AS DECIMAL(28,8)), 4)::DOUBLE AS se
-       FROM t"""
-
-  private lazy val cochranOracleSql =
-    s"""WITH norm AS (
-         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
-           $normSql AS nt
-         FROM documents),
-       c AS (
-         SELECT doc_id, text, n_chars,
-           CASE WHEN length(nt) = 0 THEN 0
-                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-         FROM norm),
-       f AS (
-         SELECT
-           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                           ELSE npunct::DOUBLE / length(text) END) * 0.3
-             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
-           ntok >= 25 AS f2,
-           n_chars <= 500 AS f3
-         FROM c),
-       r AS (
-         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
-           + CASE WHEN f2 THEN 1 ELSE 0 END
-           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri, f1, f2, f3
-         FROM f),
-       a AS (
-         SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2,
-           CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-           CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-           CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
-         FROM r),
-       m AS (
-         SELECT n, 3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr AS num,
-           3 * sr - sr2 AS den
-         FROM a)
-       SELECT 3::BIGINT AS k, n, 2::BIGINT AS df,
-         CASE WHEN den <= 0 THEN NULL
-              ELSE round(CAST(2.0 * num::DOUBLE / den::DOUBLE
-                AS DECIMAL(18,8)), 6)::DOUBLE END AS q
-       FROM m"""
-
-  /** Fleiss' kappa replay (same three-filter panel state as cochran,
-    * exact-integer P-bar, fixed-order P-e, kappa from rounded pieces) —
-    * shared by `curate_fleiss` and `stream_fleiss`.
-    */
-  private lazy val fleissOracleSql =
-    s"""WITH norm AS (
-         SELECT doc_id, text, n_chars, string_split($normSql, ' ') AS toks,
-           $normSql AS nt
-         FROM documents),
-       c AS (
-         SELECT doc_id, text, n_chars,
-           CASE WHEN length(nt) = 0 THEN 0
-                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-           len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-         FROM norm),
-       f AS (
-         SELECT
-           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                           ELSE npunct::DOUBLE / length(text) END) * 0.3
-             AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS f1,
-           ntok >= 25 AS f2,
-           n_chars <= 500 AS f3
-         FROM c),
-       r AS (
-         SELECT (CASE WHEN f1 THEN 1 ELSE 0 END
-           + CASE WHEN f2 THEN 1 ELSE 0 END
-           + CASE WHEN f3 THEN 1 ELSE 0 END) AS ri
-         FROM f),
-       a AS (
-         SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(ri) AS BIGINT) AS sr, CAST(sum(ri * ri) AS BIGINT) AS sr2
-         FROM r),
-       m AS (
-         SELECT n,
-           round(CAST((2 * sr2 - 6 * sr + n * 6)::DOUBLE / (n * 6)::DOUBLE
-             AS DECIMAL(18,8)), 6)::DOUBLE AS p_bar,
-           round(CAST((sr::DOUBLE / (n::DOUBLE * 3.0))
-               * (sr::DOUBLE / (n::DOUBLE * 3.0))
-             + (1.0 - sr::DOUBLE / (n::DOUBLE * 3.0))
-               * (1.0 - sr::DOUBLE / (n::DOUBLE * 3.0))
-             AS DECIMAL(18,8)), 6)::DOUBLE AS p_e
-         FROM a)
-       SELECT 3::BIGINT AS k, n, p_bar, p_e,
-         round(CAST(CASE WHEN p_e >= 1.0 THEN 0.0
-           ELSE (p_bar - p_e) / (1.0 - p_e) END AS DECIMAL(18,8)),
-           6)::DOUBLE AS kappa
-       FROM m"""
-
-  /** P/R/F1 oracle: score/label replays, per-threshold conditional
-    * sums unpivoted, integer-exact F1 — shared by the batch operator
-    * and the streaming operating-points readout
-    */
-  private lazy val prCurveOracleSql =
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         k AS (
-           SELECT
-             sum(CASE WHEN y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp0,
-             sum(CASE WHEN NOT y AND s >= -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp0,
-             sum(CASE WHEN y AND s < -2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn0,
-             sum(CASE WHEN y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS tp1,
-             sum(CASE WHEN NOT y AND s >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp1,
-             sum(CASE WHEN y AND s < 0.0 THEN 1 ELSE 0 END)::BIGINT AS fn1,
-             sum(CASE WHEN y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS tp2,
-             sum(CASE WHEN NOT y AND s >= 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fp2,
-             sum(CASE WHEN y AND s < 2000000.0 THEN 1 ELSE 0 END)::BIGINT AS fn2
-           FROM j),
-         u AS (
-           SELECT -2000000.0::DOUBLE AS threshold, tp0 AS tp, fp0 AS fp, fn0 AS fn FROM k
-           UNION ALL SELECT 0.0::DOUBLE, tp1, fp1, fn1 FROM k
-           UNION ALL SELECT 2000000.0::DOUBLE, tp2, fp2, fn2 FROM k)
-         SELECT threshold, tp, fp, fn,
-           CASE WHEN tp + fp = 0 THEN NULL
-             ELSE round(CAST(tp::DOUBLE / (tp + fp)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS prec,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE round(CAST(tp::DOUBLE / (tp + fn)::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             END AS recall,
-           CASE WHEN 2*tp + fp + fn = 0 THEN NULL
-             ELSE round(CAST((2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS f1
-         FROM u ORDER BY threshold"""
-
-  /** bootstrap oracle: same md5 buckets, same inverse-CDF weight
-    * thresholds, exact decimal weighted sums — shared by the batch
-    * operator and its streaming twin (linear replicate moments)
-    */
-  /** PSI oracle: same bin tables, add-one smoothing, fixed-order
-    * (pa−pb)·ln(pa/pb) terms decimal-staged before the sum — shared by the
-    * batch operator and its streaming twin (additive bin counts)
-    */
-  private lazy val psiOracleSql =
-      """WITH a AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS ca
-           FROM events WHERE event_type = 'click' GROUP BY 1),
-         b AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cb
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         j AS (
-           SELECT coalesce(a.bin, b.bin) AS bin,
-             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-           FROM a FULL OUTER JOIN b ON a.bin = b.bin),
-         t AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-             count(*) AS k FROM j),
-         terms AS (
-           SELECT na, nb,
-             CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,10)) AS term
-           FROM (
-             SELECT na, nb,
-               (ca + 1)::DOUBLE / (na + k)::DOUBLE AS pa,
-               (cb + 1)::DOUBLE / (nb + k)::DOUBLE AS pb
-             FROM j CROSS JOIN t))
-         SELECT count(*) AS n_bins, na AS n_a, nb AS n_b,
-           round(sum(term), 6)::DOUBLE AS psi
-         FROM terms GROUP BY na, nb"""
-
-  private lazy val bootOracleSql =
-      """WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
-         w AS (
-           SELECT rep, o_totalprice,
-             ('0x'||substr(md5(o_orderkey::VARCHAR || 'boot' || rep::VARCHAR),1,15))::BIGINT
-               % 1000000000 AS bkt
-           FROM orders CROSS JOIN reps),
-         wt AS (
-           SELECT rep, o_totalprice,
-             CASE WHEN bkt < 367879441 THEN 0 WHEN bkt < 735758882 THEN 1
-                  WHEN bkt < 919698603 THEN 2 WHEN bkt < 981011843 THEN 3
-                  WHEN bkt < 996340153 THEN 4 WHEN bkt < 999405815 THEN 5
-                  WHEN bkt < 999916759 THEN 6 ELSE 7 END AS w
-           FROM w)
-         SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
-           round(CAST(CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-             / sum(w) AS DECIMAL(18,8)), 4)::DOUBLE AS boot_mean
-         FROM wt GROUP BY rep ORDER BY rep"""
-
-  /** reliability oracle: score/label replays binned at the fixed width,
-    * one rate divide per bin — shared by the batch operator and the
-    * streaming calibration readout
-    */
-  private lazy val reliabilityOracleSql =
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT floor(sc.s::DOUBLE / 2000000.0::DOUBLE)::BIGINT AS bin, lab.y
-           FROM sc JOIN lab ON sc.doc_id = lab.doc_id)
-         SELECT bin, bin * 2000000.0::DOUBLE AS lo, count(*) AS n,
-           sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-           round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
-             AS DECIMAL(18,8)), 6)::DOUBLE AS rate
-         FROM j GROUP BY bin ORDER BY bin"""
-
-  /** AUC oracle: micro-sum and quality-label replays into the per-score
-    * count table, rank-sum with HUGEINT-exact doubled U — shared by the
-    * batch operator and its streaming twin (additive per-score counts)
-    */
-  private lazy val aucOracleSql =
-    s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         counts AS (
-           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
-             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
-           FROM j GROUP BY s),
-         cum AS (
-           SELECT p, nn, sum(nn) OVER (ORDER BY s
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
-           FROM counts),
-         u AS (
-           SELECT sum(p::HUGEINT * (2*(cn - nn) + nn)::HUGEINT) AS u2,
-             sum(p) AS np, sum(nn) AS nneg
-           FROM cum)
-         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-           CASE WHEN np = 0 OR nneg = 0 THEN NULL
-             ELSE round(CAST(u2::DOUBLE / (2.0::DOUBLE * np::DOUBLE * nneg::DOUBLE)
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS auc
-         FROM u"""
-
-  /** gains/lift replay: the same classifier score + quality label count
-    * table as the AUC oracle, cumulated top-first, decile boundary rows
-    * via conditional mins — shared by `curate_gains` and `stream_gains`
-    * (the per-score counts are additive).
-    */
-  private lazy val gainsOracleSql =
-    s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         counts AS (
-           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
-             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
-           FROM j GROUP BY s),
-         cum AS (
-           SELECT s, p, nn,
-             CAST(sum(p) OVER (ORDER BY s DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cp,
-             CAST(sum(p + nn) OVER (ORDER BY s DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS ct
-           FROM counts),
-         tot AS (
-           SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn
-           FROM counts),
-         dec AS (SELECT unnest(generate_series(1, 10)) AS d),
-         sel AS (
-           SELECT dec.d AS decile, tp, tn,
-             min(CASE WHEN ct >= CAST(floor((((tp + tn) * dec.d)::DOUBLE + 9.0)
-                   / 10.0) AS BIGINT) THEN ct END) AS n_cum,
-             min(CASE WHEN ct >= CAST(floor((((tp + tn) * dec.d)::DOUBLE + 9.0)
-                   / 10.0) AS BIGINT) THEN cp END) AS pos_cum
-           FROM cum CROSS JOIN dec CROSS JOIN tot
-           GROUP BY dec.d, tp, tn)
-         SELECT CAST(decile AS BIGINT) AS decile,
-           CAST(n_cum AS BIGINT) AS n_cum, CAST(pos_cum AS BIGINT) AS pos_cum,
-           CASE WHEN tp = 0 THEN NULL
-             ELSE round(CAST(pos_cum::DOUBLE / tp::DOUBLE AS DECIMAL(18,8)),
-               6)::DOUBLE END AS gain,
-           CASE WHEN tp = 0 THEN NULL
-             ELSE round(CAST(pos_cum::DOUBLE / tp::DOUBLE
-               / (n_cum::DOUBLE / (tp::DOUBLE + tn::DOUBLE))
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS lift
-         FROM sel ORDER BY decile"""
-
-  /** confusion-metrics replay: the same score+label count table as the
-    * AUC oracle, four conditional sums at the zero cut, MCC numerator
-    * exact in DECIMAL(38,0) — shared by `curate_confusion` and
-    * `stream_confusion` (the per-score counts are additive).
-    */
-  private lazy val confusionOracleSql =
-    s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         lab AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE >= 0.5 AS y
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         sc AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) AS s
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (SELECT sc.s, lab.y FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-         counts AS (
-           SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
-             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
-           FROM j GROUP BY s),
-         a AS (
-           SELECT
-             CAST(sum(CASE WHEN s >= 0.0 THEN p ELSE 0 END) AS BIGINT) AS tp,
-             CAST(sum(CASE WHEN s >= 0.0 THEN nn ELSE 0 END) AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN s < 0.0 THEN p ELSE 0 END) AS BIGINT) AS fn,
-             CAST(sum(CASE WHEN s < 0.0 THEN nn ELSE 0 END) AS BIGINT) AS tn
-           FROM counts),
-         f AS (
-           SELECT *,
-             tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE) AS tpr,
-             tn::DOUBLE / (tn::DOUBLE + fp::DOUBLE) AS tnr
-           FROM a)
-         SELECT CAST(0.0 AS DOUBLE) AS threshold, tp, fp, fn, tn,
-           CASE WHEN tp + fn = 0 AND tn + fp = 0 THEN NULL
-             ELSE round(CAST((tp::DOUBLE + tn::DOUBLE)
-               / (tp::DOUBLE + fp::DOUBLE + fn::DOUBLE + tn::DOUBLE)
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS acc,
-           CASE WHEN tp + fn = 0 THEN NULL
-             ELSE round(CAST(tpr AS DECIMAL(18,8)), 6)::DOUBLE END AS tpr,
-           CASE WHEN tn + fp = 0 THEN NULL
-             ELSE round(CAST(tnr AS DECIMAL(18,8)), 6)::DOUBLE END AS tnr,
-           CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
-             ELSE round(CAST((tpr + tnr) / 2.0 AS DECIMAL(18,8)),
-               6)::DOUBLE END AS balanced_acc,
-           CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
-             ELSE round(CAST(tpr + tnr - 1.0 AS DECIMAL(18,8)),
-               6)::DOUBLE END AS youden_j,
-           CASE WHEN tp + fn = 0 OR tn + fp = 0 OR tp + fp = 0
-                  OR tn + fn = 0 THEN NULL
-             ELSE round(CAST(
-               CAST(CAST(tp AS DECIMAL(38,0)) * tn
-                 - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
-               / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
-                 * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE))
-               AS DECIMAL(18,8)), 6)::DOUBLE END AS mcc
-         FROM f"""
-
-  /** ECE replay: 4dp quality score as probability, classifier verdict as
-    * label, decile bins with decimal-staged probability sums and ECE
-    * terms — the batch operator's oracle (bounded-bin state).
-    */
-  private lazy val eceOracleSql =
-    s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         pr AS (
-           SELECT doc_id,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS p
-           FROM c),
-         tk AS (
-           SELECT doc_id, unnest(list_filter(toks, t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS s
-           FROM tk GROUP BY doc_id),
-         lab AS (
-           SELECT norm.doc_id, coalesce(w.s, 0) >= 0 AS y
-           FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id),
-         j AS (
-           SELECT pr.p, lab.y FROM pr JOIN lab ON pr.doc_id = lab.doc_id),
-         binned AS (
-           SELECT greatest(least(CAST(floor(p * 10.0) AS BIGINT), 9), 0)
-               AS b,
-             count(*) AS n,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x,
-             sum(CAST(p AS DECIMAL(28,10))) AS sp
-           FROM j GROUP BY 1),
-         g AS (
-           SELECT n,
-             CAST(n::DOUBLE * abs(x::DOUBLE / n::DOUBLE
-               - sp::DOUBLE / n::DOUBLE) AS DECIMAL(28,10)) AS term,
-             abs(x::DOUBLE / n::DOUBLE - sp::DOUBLE / n::DOUBLE) AS gap
-           FROM binned),
-         a AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(term) AS es,
-             max(gap) AS mce FROM g)
-         SELECT 10 AS bins, nn AS n,
-           round(CAST(es::DOUBLE / nn::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             AS ece,
-           round(CAST(mce AS DECIMAL(18,8)), 6)::DOUBLE AS mce
-         FROM a"""
-
-  /** MI oracle: joint/marginal count tables, exact-integer ln ratios,
-    * per-term decimal staging — shared by the batch operator and its
-    * streaming twin (additive joint counts fold to the same table)
-    */
-  private val miOracleSql =
-    """WITH j AS (
-         SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
-         FROM events GROUP BY 1, 2),
-       mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
-       my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
-       t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
-       ex AS (
-         SELECT n, count(*) AS kx,
-           -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
-             AS DECIMAL(18,8))) AS hx
-         FROM mx CROSS JOIN t GROUP BY n),
-       ey AS (
-         SELECT n, count(*) AS ky,
-           -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
-             AS DECIMAL(18,8))) AS hy
-         FROM my CROSS JOIN t GROUP BY n),
-       m0 AS (
-         SELECT n, sum(CAST((cxy::DOUBLE / n)
-             * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
-             AS DECIMAL(18,8))) AS mm
-         FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
-       o AS (
-         SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
-           round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
-           round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
-           round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
-         FROM m0 JOIN ex USING (n) JOIN ey USING (n))
-       SELECT n, n_x, n_y, h_x, h_y, mi,
-         round(CAST(CASE WHEN h_x * h_y <= 0.0 THEN 0.0
-           ELSE mi / sqrt(h_x * h_y) END AS DECIMAL(18,8)), 6)::DOUBLE AS nmi
-       FROM o"""
-
-  /** Theil's U replay (same joint-count chain as mi, both directional
-    * coefficients from the rounded pieces) — shared by `stats_theilu`
-    * and `stream_theilu` (joint counts are additive).
-    */
-  private val theilUOracleSql =
-    """WITH j AS (
-         SELECT event_type AS x, hour(ts) AS y, count(*) AS cxy
-         FROM events GROUP BY 1, 2),
-       mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
-       my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
-       t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
-       ex AS (
-         SELECT n, count(*) AS kx,
-           -sum(CAST((cx::DOUBLE / n) * ln(cx::DOUBLE / n)
-             AS DECIMAL(18,8))) AS hx
-         FROM mx CROSS JOIN t GROUP BY n),
-       ey AS (
-         SELECT n, count(*) AS ky,
-           -sum(CAST((cy::DOUBLE / n) * ln(cy::DOUBLE / n)
-             AS DECIMAL(18,8))) AS hy
-         FROM my CROSS JOIN t GROUP BY n),
-       m0 AS (
-         SELECT n, sum(CAST((cxy::DOUBLE / n)
-             * ln((cxy * n)::DOUBLE / (cx * cy)::DOUBLE)
-             AS DECIMAL(18,8))) AS mm
-         FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n),
-       o AS (
-         SELECT n, CAST(kx AS BIGINT) AS n_x, CAST(ky AS BIGINT) AS n_y,
-           round(CAST(hx AS DECIMAL(18,8)), 6)::DOUBLE AS h_x,
-           round(CAST(hy AS DECIMAL(18,8)), 6)::DOUBLE AS h_y,
-           round(CAST(mm AS DECIMAL(18,8)), 6)::DOUBLE AS mi
-         FROM m0 JOIN ex USING (n) JOIN ey USING (n))
-       SELECT n, n_x, n_y, h_x, h_y, mi,
-         round(CAST(CASE WHEN h_x <= 0.0 THEN 0.0
-           ELSE mi / h_x END AS DECIMAL(18,8)), 6)::DOUBLE AS u_xy,
-         round(CAST(CASE WHEN h_y <= 0.0 THEN 0.0
-           ELSE mi / h_y END AS DECIMAL(18,8)), 6)::DOUBLE AS u_yx
-       FROM o"""
-
-  /** inter-arrival oracle: (user,type)-keyed lag gaps, capped integer
-    * floor-divide buckets — shared by the batch operator and its
-    * streaming twin (carried-last-event parity)
-    */
-  private val interarrivalOracleSql =
-    """WITH g AS (
-         SELECT event_type,
-           epoch_us(ts) - lag(epoch_us(ts)) OVER (
-             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
-         FROM events),
-       b AS (
-         SELECT event_type,
-           CAST(least(gap // 600000000, 144) AS BIGINT) AS gap_bucket
-         FROM g WHERE gap IS NOT NULL)
-       SELECT event_type, gap_bucket,
-         CAST(gap_bucket * 600 AS BIGINT) AS lo_s, count(*) AS n_gaps
-       FROM b GROUP BY 1, 2 ORDER BY event_type, gap_bucket"""
-
-  private val nearDupEdgesSql =
-    s"""norm AS (
-         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-       sh AS (
-         SELECT doc_id,
-           list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(0, len(toks) - 2),
-               i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-         FROM norm),
-       pairs AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-       edges AS (
-         SELECT id_a AS src, id_b AS dst FROM pairs
-         UNION SELECT id_b, id_a FROM pairs)"""
-
-  /** symmetrized edge set of the shared-boilerplate graph: the
-    * containmentPairs screen (df ≤ 64 shingles, ≥ 2 shared, staged-decimal
-    * containment ≥ 0.08) — low-containment edges chain through common
-    * phrases, giving the graph genuine distance-2 structure the near-dup
-    * cliques lack
-    */
-  private val boilerplateEdgesSql =
-    s"""norm AS (
-         SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-       sh0 AS (
-         SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(0, len(toks) - 2),
-               i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
-         FROM norm),
-       sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
-       dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
-       bcand AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         JOIN dfreq d ON d.sh = a.sh
-         WHERE d.df <= 64
-         GROUP BY 1, 2 HAVING count(*) >= 2),
-       bpairs AS (
-         SELECT id_a, id_b FROM bcand
-         JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         WHERE round(CAST(shared::DOUBLE / least(sa.sz, sb.sz)
-           AS DECIMAL(18,8)), 6) >= 0.08),
-       edges AS (
-         SELECT id_a AS src, id_b AS dst FROM bpairs
-         UNION SELECT id_b, id_a FROM bpairs)"""
-
-  /** Covariance-submatrix oracle: one aggregate row with a DECIMAL(30,10)
-    * sum per dim and per pair (the identical staging the Spark side uses),
-    * unioned out to the (dim_i, dim_j) table with the same divide order.
-    */
-  private def covOracleSql(dims: Seq[Int]): String = {
-    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
-    val sumCols = dims.map(d =>
-      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
-    val pairCols = pairs.map { case (a, b) =>
-      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
-    }.mkString(",\n           ")
-    val branches = pairs.map { case (a, b) =>
-      s"SELECT $a AS dim_i, $b AS dim_j, n, s$a AS sx, s$b AS sy, p${a}_$b AS sxy FROM a"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH a AS (
-         SELECT count(*) AS n,
-           $sumCols,
-           $pairCols
-         FROM embeddings WHERE embedding IS NOT NULL),
-       l AS (
-           $branches)
-       SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j, n,
-         round(CAST(CAST(sx AS DOUBLE) / n AS DECIMAL(18,8)), 6)::DOUBLE AS mean_i,
-         round(CAST(CAST(sy AS DOUBLE) / n AS DECIMAL(18,8)), 6)::DOUBLE AS mean_j,
-         round(CAST(CAST(sxy AS DOUBLE) / n
-           - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
-           AS DECIMAL(18,8)), 6)::DOUBLE AS cov
-       FROM l ORDER BY dim_i, dim_j"""
-  }
-
-  /** Power-iteration PCA oracle: the covOracleSql exact-decimal covariance
-    * (6dp-rounded — the values the Spark driver iterates on), then `iters`
-    * unrolled matvec+normalize steps as EXPLICIT left-associative IEEE
-    * chains (the same fixed order Vectors.topComponent folds in), Rayleigh
-    * eigenvalue, first-dim sign fix, engine-rounded output.
-    */
-  private def pcaOracleSql(dims: Seq[Int], iters: Int): String = {
-    val k = dims.size
-    val pairs = for (a <- dims; b <- dims if a <= b) yield (a, b)
-    val sumCols = dims.map(d =>
-      s"sum(CAST(embedding[${d + 1}]::DOUBLE AS DECIMAL(30,10))) AS s$d").mkString(",\n           ")
-    val pairCols = pairs.map { case (a, b) =>
-      s"sum(CAST(embedding[${a + 1}]::DOUBLE * embedding[${b + 1}]::DOUBLE AS DECIMAL(30,10))) AS p${a}_$b"
-    }.mkString(",\n           ")
-    def cn(a: Int, b: Int) = if (a <= b) s"c${a}_$b" else s"c${b}_$a"
-    val covCols = pairs.map { case (a, b) =>
-      s"round(CAST(CAST(p${a}_$b AS DOUBLE) / n - (CAST(s$a AS DOUBLE) / n) * (CAST(s$b AS DOUBLE) / n) AS DECIMAL(18,8)), 6)::DOUBLE AS ${cn(a, b)}"
-    }.mkString(",\n           ")
-    def wExprs = dims.indices.map { i =>
-      val terms = dims.indices.map(j => s"${cn(dims(i), dims(j))}*v$j").mkString(" + ")
-      s"$terms AS w$i"
-    }.mkString(",\n             ")
-    val ssq = dims.indices.map(i => s"w$i*w$i").mkString(" + ")
-    val vN = dims.indices.map(i => s"w$i/sqrt($ssq) AS v$i").mkString(",\n             ")
-    val i0 = dims.indices.map(i => s"1.0::DOUBLE/sqrt($k.0::DOUBLE) AS v$i").mkString(", ")
-    val iterCtes = (1 to iters).map { t =>
-      val src = if (t == 1) "i0" else s"n${t - 1}"
-      s"""w$t AS (SELECT $wExprs FROM $src CROSS JOIN c),
-         n$t AS (SELECT $vN FROM w$t)"""
-    }.mkString(",\n         ")
-    val vCarry = dims.indices.map(i => s"v$i").mkString(", ")
-    val lam = dims.indices.map(i => s"v$i*w$i").mkString(" + ")
-    val branches = dims.zipWithIndex.map { case (d, i) =>
-      s"SELECT $d AS dim, CASE WHEN v0 < 0.0::DOUBLE THEN -v$i ELSE v$i END AS ld, lam FROM l"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH a AS (
-         SELECT count(*) AS n,
-           $sumCols,
-           $pairCols
-         FROM embeddings WHERE embedding IS NOT NULL),
-       c AS (
-         SELECT n,
-           $covCols
-         FROM a),
-       i0 AS (SELECT $i0),
-       $iterCtes,
-       f AS (SELECT $vCarry, $wExprs FROM n$iters CROSS JOIN c),
-       l AS (SELECT $vCarry, $lam AS lam FROM f),
-       u AS (
-           $branches)
-       SELECT CAST(dim AS INTEGER) AS dim,
-         round(CAST(ld AS DECIMAL(18,8)), 6)::DOUBLE AS loading,
-         round(CAST(lam AS DECIMAL(18,8)), 6)::DOUBLE AS eigenvalue
-       FROM u ORDER BY dim"""
-  }
-
-  /** PQ-ADC oracle: retrains all four per-subspace codebooks (id-seeded
-    * init, one Lloyd round, decimal-exact means — the sim_kmeans replay,
-    * once per subspace), re-encodes the corpus, rebuilds the query distance
-    * tables and replays the decimal-sum ADC ranking. Generated by the same
-    * loop the Spark side uses, so sub-count/slice bounds can't drift.
-    */
-  private def pqOracleSql: String = {
-    val (m, subDim, kSub) = (16, 4, 32)
-    s"""WITH e AS (
-         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       ${pqSubCtes(m, subDim, kSub)},
-       allp AS (${pqPairUnion(m)}),
-       agg AS (
-         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid)
-       SELECT qid AS query_id, cid AS neighbor_id,
-         round(ad2, 4)::DOUBLE AS d2, rank
-       FROM (
-         SELECT qid, cid, ad2,
-           row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
-         FROM agg)
-       WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  private def pqPairUnion(m: Int): String =
-    (0 until m).map(s => s"SELECT * FROM pair_$s").mkString(" UNION ALL ")
-
-  /** the per-subspace PQ replay blocks (codebook training, encoding, query
-    * distance tables, candidate pairs), shared by the sim_ann_pq and
-    * sim_ann_ivfpq oracles; expects a CTE `e(vec_id, v)` in scope
-    */
-  private def pqSubCtes(m: Int, subDim: Int, kSub: Int): String =
-    (0 until m).map { s =>
-      val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
-      val d2 = (v: String) =>
-        s"list_dot_product($v, $v) - 2*list_dot_product($v, cv) + list_dot_product(cv, cv)"
-      s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-         c0_$s AS (SELECT vec_id AS cluster, sv AS cv FROM sub$s ORDER BY vec_id LIMIT $kSub),
-         a1_$s AS (
-           SELECT vec_id, sv, cluster FROM (
-             SELECT sub$s.vec_id, sub$s.sv, c0_$s.cluster,
-               row_number() OVER (PARTITION BY sub$s.vec_id
-                 ORDER BY ${d2("sv")} ASC, cluster ASC) AS rn
-             FROM sub$s CROSS JOIN c0_$s) WHERE rn = 1),
-         c1_$s AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
-                   FROM a1_$s)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         code_$s AS (
-           SELECT vec_id, cluster AS code FROM (
-             SELECT sub$s.vec_id, c1_$s.cluster,
-               row_number() OVER (PARTITION BY sub$s.vec_id
-                 ORDER BY ${d2("sv")} ASC, cluster ASC) AS rn
-             FROM sub$s CROSS JOIN c1_$s) WHERE rn = 1),
-         dt_$s AS (
-           SELECT q.vec_id AS qid, c1_$s.cluster AS code,
-             CAST(${d2("q.sv")} AS DECIMAL(18,8)) AS d2
-           FROM (SELECT * FROM sub$s WHERE vec_id < 10) q CROSS JOIN c1_$s),
-         pair_$s AS (
-           SELECT dt.qid, code_$s.vec_id AS cid, dt.d2
-           FROM code_$s JOIN dt_$s dt ON code_$s.code = dt.code)"""
-    }.mkString(",\n")
-
-  /** rerank oracle: the shared PQ replay produces the 25-wide shortlist,
-    * then exact cosine over shortlisted (qid, cid) pairs picks the final 5
-    */
-  private def pqRerankOracleSql: String = {
-    val (m, subDim, kSub, shortlist) = (16, 4, 32, 25)
-    s"""WITH e AS (
-         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       ${pqSubCtes(m, subDim, kSub)},
-       allp AS (${pqPairUnion(m)}),
-       agg AS (
-         SELECT qid, cid, sum(d2) AS ad2 FROM allp WHERE qid <> cid GROUP BY qid, cid),
-       short AS (
-         SELECT qid, cid FROM (
-           SELECT qid, cid,
-             row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
-           FROM agg)
-         WHERE rank <= $shortlist),
-       rer AS (
-         SELECT s.qid, s.cid,
-           CAST(list_dot_product(q.v, c.v)
-             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-             AS DECIMAL(18,8)) AS cos
-         FROM short s
-         JOIN e q ON q.vec_id = s.qid
-         JOIN e c ON c.vec_id = s.cid)
-       SELECT qid AS query_id, cid AS neighbor_id,
-         round(cos, 4)::DOUBLE AS cosine, rank
-       FROM (
-         SELECT qid, cid, cos,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
-         FROM rer)
-       WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** IVFADC oracle: deterministic sampled coarse quantizer (euclidean
-    * routing) prunes candidates to the query's nProbe clusters, then the
-    * shared PQ replay ranks them by decimal ADC sums.
-    */
-  private def ivfPqOracleSql: String = {
-    val (m, subDim, kSub, nCoarse, nProbe) = (16, 4, 32, 16, 4)
-    val d2c = (v: String) =>
-      s"list_dot_product($v, $v) - 2*list_dot_product($v, cv) + list_dot_product(cv, cv)"
-    s"""WITH e AS (
-         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       co AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT $nCoarse),
-       ca AS (
-         SELECT vec_id, cluster FROM (
-           SELECT e.vec_id, co.cluster,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${d2c("e.v")} ASC, cluster ASC) AS rn
-           FROM e CROSS JOIN co) WHERE rn = 1),
-       qp AS (
-         SELECT vec_id AS qid, cluster FROM (
-           SELECT e.vec_id, co.cluster,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${d2c("e.v")} ASC, cluster ASC) AS rn
-           FROM e CROSS JOIN co WHERE e.vec_id < 10) WHERE rn <= $nProbe),
-       cand AS (
-         SELECT qp.qid, ca.vec_id AS cid FROM qp JOIN ca ON qp.cluster = ca.cluster),
-       ${pqSubCtes(m, subDim, kSub)},
-       allp AS (${pqPairUnion(m)}),
-       agg AS (
-         SELECT a.qid, a.cid, sum(a.d2) AS ad2
-         FROM allp a JOIN cand c ON a.qid = c.qid AND a.cid = c.cid
-         WHERE a.qid <> a.cid GROUP BY a.qid, a.cid)
-       SELECT qid AS query_id, cid AS neighbor_id,
-         round(ad2, 4)::DOUBLE AS d2, rank
-       FROM (
-         SELECT qid, cid, ad2,
-           row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, cid ASC) AS rank
-         FROM agg)
-       WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
-
-  /** SCD2-from-events SQL fragment shared by dim_scd2/scd_asof oracles */
-  private val scd2Sql =
-    """dedup AS (
-         SELECT user_id, event_type, ts,
-           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
-           row_number() OVER w AS rn
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-       kept AS (SELECT user_id, event_type, ts FROM dedup WHERE rn = 1 OR chg = 1),
-       ver AS (
-         SELECT user_id, event_type,
-           CAST(row_number() OVER w2 AS INTEGER) AS version,
-           ts AS valid_from,
-           lead(ts) OVER w2 AS valid_to
-         FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
-       keyed AS (
-         SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, *
-         FROM ver)"""
-
-  def oracleSql: Map[String, String] = Map(
-
-    // cube replay: all four grouping sets, same grouping ids
-    "agg_cube" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-         CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
-         count(*) AS n
-         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
-
-    // rollup replay: same grouping sets, same grouping ids
-    "agg_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-         CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
-         count(*) AS n
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
-         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
-         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
-         round(sum(CAST(l_discount AS DECIMAL(18,4)))::DOUBLE / count(*), 6) AS avg_disc,
-         count(*) AS count_order,
-         count(DISTINCT l_orderkey) AS distinct_orders,
-         round(max(l_extendedprice), 2) AS max_price,
-         round(min(l_extendedprice), 2) AS min_price
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
-
-    "fact_load" ->
-      """SELECT n.n_name AS nation, year(o.o_orderdate) AS year,
-         round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
-         count(*) AS n_items
-         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN nation n ON c.c_nationkey = n.n_nationkey
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "proj_project" ->
-      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
-         FROM customer ORDER BY id""",
-
-    "proj_setdefaults" ->
-      """SELECT c_custkey,
-         coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal,
-         coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, 'UNKNOWN') AS segment
-         FROM customer ORDER BY c_custkey""",
-
-    "proj_copy_rename" ->
-      """SELECT c_custkey, upper(c_name) AS name_upper, c_mktsegment AS segment
-         FROM customer ORDER BY c_custkey""",
-
-    "fn_str_helpers" ->
-      """SELECT o_orderkey,
-         CASE WHEN o_orderstatus = 'O' THEN '1' ELSE '0' END AS open_flag,
-         coalesce(nullif(o_orderpriority, '1-URGENT'), 'none') AS prio_or_none,
-         TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS od
-         FROM orders ORDER BY o_orderkey""",
-
-    "src_transforming" ->
-      """SELECT c_custkey, round(CAST(c_acctbal / 2 AS DECIMAL(18,8)), 2)::DOUBLE AS bal_half
-         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""",
-
-    "agg_step" ->
-      """SELECT l_returnflag,
-         round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty,
-         count(DISTINCT l_suppkey) AS n_supp,
-         round(max(l_extendedprice), 2) AS max_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "steps_conditional" ->
-      """SELECT o_orderkey,
-         CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS branch
-         FROM orders ORDER BY o_orderkey""",
-
-    "dim_ensure_expander" ->
-      """WITH seed AS (
-           SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_key, -1 AS brand_len
-           FROM (SELECT DISTINCT p_brand FROM part WHERE p_size < 25)),
-         newm AS (
-           SELECT p_brand FROM (SELECT DISTINCT p_brand FROM part)
-           WHERE p_brand NOT IN (SELECT p_brand FROM seed)),
-         newk AS (
-           SELECT p_brand,
-             (SELECT coalesce(max(brand_key), 0) FROM seed)
-               + row_number() OVER (ORDER BY p_brand) AS brand_key,
-             CAST(length(p_brand) AS INTEGER) AS brand_len
-           FROM newm)
-         SELECT brand_key, p_brand, brand_len FROM seed
-         UNION ALL SELECT brand_key, p_brand, brand_len FROM newk
-         ORDER BY brand_key""",
-
-    "dim_getbyvals" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
-
-    "dim_getbykey" ->
-      """SELECT p.c_custkey, d.c_name, d.c_mktsegment
-         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) p
-         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) d USING (c_custkey)
-         ORDER BY p.c_custkey""",
-
-    "dim_getbykey_nm" ->
-      """SELECT p.c_custkey, d.c_name, d.c_mktsegment
-         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) p
-         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) d USING (c_custkey)
-         ORDER BY p.c_custkey""",
-
-    "fact_lookup" ->
-      """WITH rev AS (
-           SELECT l_orderkey,
-             round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS price_sum,
-             count(*) AS n_lines
-           FROM lineitem GROUP BY l_orderkey),
-         probe AS (
-           SELECT o_orderkey * 2 AS l_orderkey FROM orders WHERE o_orderkey % 4 = 0)
-         SELECT p.l_orderkey, r.price_sum, r.n_lines
-         FROM probe p LEFT JOIN rev r USING (l_orderkey)
-         ORDER BY p.l_orderkey""",
-
-    "snowflake_lookup" ->
-      """WITH input AS (
-           SELECT c.c_name, c.c_acctbal, n.n_name, r.r_name
-           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-           JOIN region r ON n.n_regionkey = r.r_regionkey),
-         rk AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS r_key
-                FROM (SELECT DISTINCT r_name FROM input)),
-         nk AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS n_key
-                FROM (SELECT DISTINCT n_name FROM input)),
-         ck AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS cu_key
-                FROM (SELECT DISTINCT c_name FROM input))
-         SELECT ck.cu_key, i.c_name, nk.n_key, i.n_name, rk.r_key, i.r_name
-         FROM input i JOIN ck USING (c_name) JOIN nk USING (n_name) JOIN rk USING (r_name)
-         ORDER BY ck.cu_key""",
-
-    "fn_converters" ->
-      """SELECT o_orderkey,
-         coalesce(TRY_CAST(o_orderpriority AS INTEGER), -1) AS prio_int,
-         coalesce(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER), -1) AS prio_digit,
-         TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
-         coalesce(CASE WHEN o_orderstatus = 'O' THEN true ELSE NULL END, false) AS is_open,
-         trim('  ' || o_orderstatus || ' ') AS status
-         FROM orders ORDER BY o_orderkey""",
-
-    "fn_datereader" ->
-      """SELECT o_orderkey,
-         try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS d_roundtrip,
-         coalesce(try_strptime(o_orderpriority, '%d/%m/%Y')::DATE, DATE '1970-01-01') AS d_bad,
-         try_strptime(strftime(o_orderdate, '%d/%m/%Y') || ' 12:30', '%d/%m/%Y %H:%M') AS ts_custom
-         FROM orders ORDER BY o_orderkey""",
-
-    "fn_datespan" ->
-      """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS dateid,
-         strftime(d, '%Y-%m-%d') AS date,
-         year(d) AS year, month(d) AS month, day(d) AS day,
-         dayofweek(d) + 1 AS weekday, quarter(d) AS quarter
-         FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)
-         ORDER BY dateid""",
-
-    "fn_datespan_custom" ->
-      """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS dateid,
-         strftime(d, '%Y-%m-%d') AS date, strftime(d, '%B') AS monthname,
-         year(d) AS year, month(d) AS month,
-         dayofweek(d) IN (0, 6) AS is_weekend
-         FROM (SELECT unnest(generate_series(DATE '1997-06-01', DATE '1997-08-31', INTERVAL 1 DAY))::DATE AS d)
-         ORDER BY dateid""",
-
-    "join_bloom_semi" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE l_orderkey IN
-           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "src_filtering" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
-         WHERE l_quantity > 30 AND l_discount <= 0.05
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "src_mapping" ->
-      """SELECT c_custkey, upper(c_name) AS c_name, round(c_acctbal * 2, 2) AS c_acctbal
-         FROM customer ORDER BY c_custkey""",
-
-    "src_valuemapping" ->
-      """SELECT o_orderkey, o_orderstatus,
-         coalesce(CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
-                  WHEN 'P' THEN 'pending' END, 'other') AS status_name
-         FROM orders ORDER BY o_orderkey""",
-
-    "src_union" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 5000
-         UNION ALL
-         SELECT c_custkey, c_name, NULL FROM customer WHERE c_acctbal < 5000
-         ORDER BY c_custkey""",
-
-    "src_roundrobin" ->
-      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey""",
-
-    "src_sqltransforming" ->
-      """SELECT l_returnflag, round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty, count(*) AS n
-         FROM lineitem WHERE l_discount > 0.02
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "src_sqltransforming_batch" ->
-      """SELECT l_returnflag,
-           round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty,
-           count(*) AS n, l_linenumber AS batch
-         FROM lineitem WHERE l_discount > 0.02
-         GROUP BY l_returnflag, l_linenumber
-         ORDER BY batch, l_returnflag""",
-
-    "src_crosstab" ->
-      """SELECT o_orderpriority,
-         round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "F",
-         round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "O",
-         round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2)::DOUBLE AS "P"
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    "join_hash" ->
-      """SELECT c.c_custkey, c.c_name, n.n_name, n.n_regionkey
-         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-         ORDER BY c.c_custkey""",
-
-    "join_merge" ->
-      """SELECT o.o_orderstatus, round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS price_sum, count(*) AS n
-         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         GROUP BY 1 ORDER BY 1""",
-
-    "join_semi" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-         ORDER BY c_custkey""",
-
-    "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-         ORDER BY c_custkey""",
-
-    "join_skew_salted" ->
-      """SELECT e.user_id, 'u' || e.user_id AS user_tag, count(*) AS n,
-         round(sum(CAST(e.value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
-         FROM events e
-         GROUP BY e.user_id ORDER BY e.user_id""",
-
-    "agg_topk" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice,
-         CAST(row_number() OVER (PARTITION BY o_orderpriority
-           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
-         FROM orders QUALIFY rank <= 3 ORDER BY o_orderpriority, rank""",
-
-    "agg_geomean" ->
-      """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geo_mean
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-
-    "agg_freq_tokens" ->
-      s"""WITH norm AS (
-           SELECT source, string_split($normSql, ' ') AS toks FROM documents),
-         t AS (
-           SELECT source, unnest(list_filter(toks, w -> w IN
-             ('the','and','of','to','a','der','und','das','ist','nicht',
-              'le','et','les','des','une','el','los','y','las','una'))) AS token
-           FROM norm)
-         SELECT source, token, count(*) AS cnt
-         FROM t GROUP BY source, token ORDER BY source, cnt DESC, token""",
-
-    "fn_json" ->
-      """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
-         FROM events ORDER BY event_id""",
-
-    "stream_window_agg" ->
-      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
-         count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "stream_dedup" ->
-      """SELECT DISTINCT event_id, user_id, event_type
-         FROM (SELECT event_id, user_id, event_type FROM events
-               UNION ALL
-               SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0)
-         ORDER BY event_id""",
-
-    "stream_curate" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks, $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text, nt,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         scored AS (
-           SELECT md5(nt) AS fp,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(s_en * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS quality,
-             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                  ELSE 'fr' END AS lang
-           FROM c)
-         SELECT DISTINCT fp, lang AS lang_pred FROM scored
-         WHERE quality >= 0.3 AND lang IN ('en', 'de')
-         ORDER BY fp""",
-
-    // lateness replay: batch index = event_id % 5, per-batch prior
-    // high-watermark from the smaller-index batches, count under cutoff
-    "stream_late" ->
-      """WITH b AS (
-           SELECT event_type, ts, event_id % 5 AS bi FROM events),
-         m AS (SELECT bi, max(ts) AS mx FROM b GROUP BY 1),
-         pm AS (
-           SELECT a.bi, max(bm.mx) AS prior
-           FROM (SELECT DISTINCT bi FROM b) a JOIN m bm ON bm.bi < a.bi
-           GROUP BY a.bi)
-         SELECT event_type, count(*) AS n_late
-         FROM b JOIN pm ON b.bi = pm.bi
-         WHERE b.ts < pm.prior - INTERVAL 1 HOUR
-         GROUP BY 1 ORDER BY 1""",
-
-    // stream-static enrichment replay: additive segment totals equal the
-    // one-shot batch join+rollup (enrichment is stateless, sums exact)
-    "stream_enrich" ->
-      """SELECT c_mktsegment AS segment, count(*) AS n,
-           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
-         FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-
-    "stream_sessionize" ->
-      """WITH flagged AS (
-           SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                  >= INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events),
-         sessions AS (
-           SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
-           FROM flagged)
-         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS value_sum
-         FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
-
-    "dim_ensure" ->
-      """WITH seed AS (
-           SELECT p_brand, dense_rank() OVER (ORDER BY p_brand) AS brand_key
-           FROM (SELECT DISTINCT p_brand FROM part WHERE p_size < 25)),
-         new_members AS (
-           SELECT DISTINCT p_brand FROM part
-           WHERE p_brand NOT IN (SELECT p_brand FROM seed)),
-         keyed_new AS (
-           SELECT p_brand,
-             (SELECT coalesce(max(brand_key), 0) FROM seed) + row_number() OVER (ORDER BY p_brand) AS brand_key
-           FROM new_members),
-         dim AS (SELECT * FROM seed UNION ALL SELECT * FROM keyed_new)
-         SELECT p.p_partkey, d.brand_key, p.p_brand
-         FROM part p JOIN dim d ON p.p_brand = d.p_brand
-         ORDER BY p.p_partkey""",
-
-    "dim_lookup" ->
-      """SELECT c.c_name, coalesce(d.c_custkey, -1) AS c_custkey
-         FROM customer c
-         LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) d
-           ON c.c_name = d.c_name
-         ORDER BY c.c_name""",
-
-    // role-playing replay: the same nation table joined twice under its
-    // two roles
-    "dim_roleplay" ->
-      """SELECT l.l_orderkey, l.l_linenumber,
-           nc.n_name AS cust_nation, ns.n_name AS supp_nation
-         FROM lineitem l
-         JOIN orders o ON l.l_orderkey = o.o_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
-         WHERE l.l_orderkey % 50 = 0
-         ORDER BY l.l_orderkey, l.l_linenumber""",
-
-    "dim_scd1" ->
-      """WITH p1 AS (
-           SELECT user_id, event_type FROM events WHERE event_id < 5000
-           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
-         seed AS (
-           SELECT row_number() OVER (ORDER BY user_id) AS user_key, user_id, event_type FROM p1),
-         p2 AS (
-           SELECT user_id, event_type FROM events WHERE event_id >= 5000
-           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
-         newm AS (
-           SELECT user_id, event_type FROM p2
-           WHERE user_id NOT IN (SELECT user_id FROM seed)),
-         newk AS (
-           SELECT (SELECT coalesce(max(user_key), 0) FROM seed)
-             + row_number() OVER (ORDER BY user_id) AS user_key, user_id, event_type
-           FROM newm),
-         dim AS (SELECT * FROM seed UNION ALL SELECT * FROM newk)
-         SELECT d.user_key, d.user_id, coalesce(p2.event_type, d.event_type) AS event_type
-         FROM dim d LEFT JOIN p2 ON d.user_id = p2.user_id
-         ORDER BY d.user_key""",
-
-    "dim_scd2" ->
-      s"""WITH $scd2Sql
-         SELECT user_key, user_id, event_type, version, valid_from, valid_to
-         FROM keyed ORDER BY user_key""",
-
-    "dim_scd2_closed" ->
-      s"""WITH $scd2Sql
-         SELECT user_key, user_id, event_type, version, valid_from,
-           coalesce(valid_to, TIMESTAMP '2026-01-01 00:00:00') AS valid_to
-         FROM keyed ORDER BY user_key""",
-
-    "scd_asof" ->
-      s"""WITH $scd2Sql,
-         probe AS (
-           SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS pts
-           FROM events WHERE event_id % 7 = 0)
-         SELECT p.event_id, coalesce(k.user_key, -1) AS user_key
-         FROM probe p LEFT JOIN keyed k ON p.user_id = k.user_id
-           AND k.valid_from <= p.pts AND (k.valid_to IS NULL OR p.pts < k.valid_to)
-         QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY k.version DESC NULLS LAST) = 1
-         ORDER BY p.event_id""",
-
-    "snowflake_scdensure" ->
-      """WITH ek AS (
-           SELECT event_type, row_number() OVER (ORDER BY event_type) AS etype_key
-           FROM (SELECT DISTINCT event_type FROM events)),
-         ev2 AS (SELECT e.user_id, ek.etype_key, e.ts FROM events e JOIN ek USING (event_type)),
-         dedup AS (
-           SELECT user_id, etype_key, ts,
-             CASE WHEN lag(etype_key) OVER w IS DISTINCT FROM etype_key THEN 1 ELSE 0 END AS chg,
-             row_number() OVER w AS rn
-           FROM ev2 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         kept AS (SELECT user_id, etype_key, ts FROM dedup WHERE rn = 1 OR chg = 1),
-         ver AS (
-           SELECT user_id, etype_key,
-             CAST(row_number() OVER w2 AS INTEGER) AS version,
-             ts AS valid_from, lead(ts) OVER w2 AS valid_to
-           FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
-         keyed AS (SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, * FROM ver)
-         SELECT user_key, user_id, etype_key, version, valid_from, valid_to
-         FROM keyed ORDER BY user_key""",
-
-    "dim_scd2_srcdate" ->
-      """WITH ver AS (
-           SELECT user_id, event_type,
-             CAST(row_number() OVER w AS INTEGER) AS version,
-             CASE WHEN row_number() OVER w = 1 THEN NULL ELSE ts END AS valid_from,
-             lead(ts) OVER w AS valid_to
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         keyed AS (SELECT row_number() OVER (ORDER BY user_id, version) AS user_key, * FROM ver)
-         SELECT user_key, user_id, event_type, version, valid_from, valid_to
-         FROM keyed ORDER BY user_key""",
-
-    "snowflake_ensure" ->
-      """WITH input AS (
-           SELECT c.c_name, c.c_acctbal, n.n_name, r.r_name
-           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-           JOIN region r ON n.n_regionkey = r.r_regionkey),
-         rk AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS r_key
-                FROM (SELECT DISTINCT r_name FROM input)),
-         nk AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS n_key
-                FROM (SELECT DISTINCT n_name FROM input)),
-         ck AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS cu_key
-                FROM (SELECT DISTINCT c_name FROM input))
-         SELECT i.c_name, ck.cu_key, nk.n_key, rk.r_key
-         FROM input i JOIN ck USING (c_name) JOIN nk USING (n_name) JOIN rk USING (r_name)
-         ORDER BY ck.cu_key""",
-
-    "fact_ensure" ->
-      """SELECT l_orderkey,
-         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
-         count(*) AS n_lines
-         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
-
-    "fact_accumulating" ->
-      """WITH init AS (
-           SELECT o_orderkey, CAST(NULL AS INTEGER) AS ship_year,
-             o_totalprice AS total, CAST(NULL AS DOUBLE) AS line_rev
-           FROM orders),
-         upd AS (
-           SELECT l_orderkey AS o_orderkey, year(max(l_shipdate)) AS ship_year,
-             CAST(NULL AS DOUBLE) AS total,
-             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS line_rev
-           FROM lineitem GROUP BY 1)
-         SELECT coalesce(i.o_orderkey, u.o_orderkey) AS o_orderkey,
-           coalesce(u.ship_year, i.ship_year) AS ship_year,
-           coalesce(u.total, i.total) AS total,
-           coalesce(u.line_rev, i.line_rev) AS line_rev
-         FROM init i FULL OUTER JOIN upd u ON i.o_orderkey = u.o_orderkey
-         ORDER BY 1""",
-
-    "pipeline_curate" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, source, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text, source, nt,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
-           FROM norm),
-         scored AS (
-           SELECT doc_id, source, nt,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3 AS DECIMAL(18,8)), 4)::DOUBLE AS quality,
-             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                  ELSE 'fr' END AS lang
-           FROM c),
-         kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.3),
-         fpd AS (
-           SELECT doc_id, source, quality,
-             row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
-           FROM kept)
-         SELECT doc_id, source, quality FROM fpd WHERE rn = 1 ORDER BY doc_id""",
-
-    "pipeline_train_prep" ->
-      s"""WITH c AS (
-           SELECT doc_id, text, lang, nt,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM (SELECT doc_id, text, lang, $normSql AS nt,
-                   string_split($normSql, ' ') AS toks FROM documents)),
-         q AS (
-           SELECT doc_id, lang, nt, n_tokens,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN n_tokens = 0 THEN 0.0
-                       ELSE least(nstop * 5.0 / n_tokens, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS quality
-           FROM c),
-         f AS (SELECT * FROM q WHERE quality >= 0.3),
-         dd AS (
-           SELECT doc_id, lang, n_tokens FROM (
-             SELECT doc_id, lang, n_tokens,
-               row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
-             FROM f) WHERE rn = 1),
-         g AS (SELECT lang, sum(n_tokens) AS gt FROM dd GROUP BY lang),
-         tt AS (SELECT sum(gt) AS tt FROM g),
-         r AS (
-           SELECT lang, CAST(floor(least(1.0::DOUBLE,
-             0.6::DOUBLE * (CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
-               WHEN 'es' THEN 0.15::DOUBLE WHEN 'fr' THEN 0.1::DOUBLE
-               WHEN 'zh' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
-             * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE) AS BIGINT) AS rate_bp
-           FROM g CROSS JOIN tt),
-         kept AS (
-           SELECT dd.doc_id, dd.n_tokens FROM dd JOIN r ON dd.lang = r.lang
-           WHERE ('0x'||substr(md5(dd.doc_id::VARCHAR || 'prep-v1'),1,15))::BIGINT % 10000
-             < r.rate_bp),
-         train AS (
-           SELECT doc_id, n_tokens FROM kept
-           WHERE ('0x'||substr(md5(doc_id::VARCHAR || 'prep-v1'),1,15))::BIGINT % 10000 < 9000),
-         sh AS (
-           SELECT doc_id,
-             ('0x'||substr(md5(doc_id::VARCHAR || 'pack'),1,15))::BIGINT % 16 AS shard,
-             n_tokens AS n_tok
-           FROM train),
-         w AS (
-           SELECT doc_id, shard, n_tok,
-             (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT AS strt
-           FROM sh)
-         SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
-           strt // 512 AS pack, strt % 512 AS off
-         FROM w ORDER BY doc_id""",
-
-    "dedup_exact" ->
-      s"""WITH fp AS (
-           SELECT doc_id, md5($normSql) AS fp,
-             row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
-           FROM documents)
-         SELECT doc_id, fp FROM fp WHERE rn = 1 ORDER BY doc_id""",
-
-    "dedup_minhash" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) AS jac
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(jac, 4) AS jaccard
-         FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""",
-
-    // triangle replay: oriented edges, apex wedge join, closing-edge semi
-    "dedup_triangles" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         e AS (
-           SELECT a.doc_id AS u, b.doc_id AS v
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         tri AS (
-           SELECT w1.u AS a, w1.v AS b, w2.v AS c
-           FROM e w1 JOIN e w2 ON w1.u = w2.u AND w1.v < w2.v
-           WHERE EXISTS (SELECT 1 FROM e ce WHERE ce.u = w1.v AND ce.v = w2.v)),
-         pn AS (
-           SELECT node, count(*) AS n_triangles FROM (
-             SELECT a AS node FROM tri
-             UNION ALL SELECT b FROM tri
-             UNION ALL SELECT c FROM tri)
-           GROUP BY node),
-         nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
-         SELECT node, CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
-         FROM nodes LEFT JOIN pn USING (node) ORDER BY node""",
-
-    // edit verification over the same pair set: DuckDB's levenshtein on the
-    // normalized text, similarity as one double division
-    "dedup_edit_verify" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
-         SELECT id_a, id_b,
-           CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
-           round(CAST(CASE WHEN greatest(length(na.nt), length(nb.nt)) = 0 THEN 1.0
-             ELSE 1.0 - levenshtein(na.nt, nb.nt)::DOUBLE
-               / greatest(length(na.nt), length(nb.nt)) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS edit_sim
-         FROM pairs
-         JOIN norm na ON na.doc_id = id_a
-         JOIN norm nb ON nb.doc_id = id_b
-         ORDER BY id_a, id_b""",
-
-    "dedup_cosine" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         p AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
-         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
-
-    "dedup_winnow" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 4
-             THEN list_transform(range(0, len(toks)-3),
-               i -> array_to_string(toks[i+1:i+4], ' '))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         h AS (
-           SELECT doc_id, list_transform(grams,
-             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM g),
-         w AS (
-           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
-         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         capped AS (
-           SELECT doc_id, fp FROM (
-             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM f)
-           WHERE cnt <= 100),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-           FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, shared FROM p WHERE shared >= 5
-         ORDER BY id_a, id_b""",
-
-    "dedup_contamination" -> contaminationOracleSql,
-
-    // streaming contamination replay: the benchmark index is fixed and the
-    // 5 train batches partition the train set, so the accreted matches are
-    // exactly the batch contamination — the oracle is shared verbatim
-    "stream_contamination" -> contaminationOracleSql,
-
-    // containment replay: the same distinct (id, shingle) sets, the df ≤ 64
-    // rare-shingle candidate cap, shared counts, and min-size containment —
-    // on the gate's documented deterministic half-sample (doc_id % 2 = 0)
-    "dedup_containment" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
-           WHERE doc_id % 2 = 0),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
-           FROM norm),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
-         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
-         cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           JOIN dfreq d ON d.sh = a.sh
-           WHERE d.df <= 64
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-         scored AS (
-           SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
-             round(CAST(shared::DOUBLE / least(sa.sz, sb.sz)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS containment,
-             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
-           FROM cand JOIN sizes sa ON id_a = sa.doc_id
-                     JOIN sizes sb ON id_b = sb.doc_id)
-         SELECT * FROM scored WHERE containment >= 0.5
-         ORDER BY id_a, id_b""",
-
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-         SELECT node AS doc_id, least(node, min(r)) AS cluster,
-           CASE WHEN least(node, min(r)) = node THEN 1 ELSE 0 END AS keep
-         FROM reach GROUP BY node ORDER BY doc_id""",
-
-    // novelty replay: the spans gram machinery, duplicated-digest set,
-    // per-doc rollups, rounded fractions (novelty from the ROUNDED frac)
-    "text_novelty" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 8
-             THEN list_transform(range(0, len(toks)-7),
-               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         x AS (SELECT doc_id, unnest(grams) AS gg FROM g),
-         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
-         cnts AS (SELECT doc_id, count(*) AS n_grams FROM x GROUP BY 1),
-         dups AS (
-           SELECT doc_id, count(*) AS n_dup
-           FROM x SEMI JOIN f USING (gg) GROUP BY 1),
-         j AS (
-           SELECT d.doc_id,
-             CAST(coalesce(cnts.n_grams, 0) AS BIGINT) AS n_grams,
-             CAST(coalesce(dups.n_dup, 0) AS BIGINT) AS n_dup_grams
-           FROM documents d
-           LEFT JOIN cnts ON d.doc_id = cnts.doc_id
-           LEFT JOIN dups ON d.doc_id = dups.doc_id),
-         sel AS (
-           SELECT doc_id, n_grams, n_dup_grams,
-             round(CAST(CASE WHEN n_grams = 0 THEN 0.0
-               ELSE n_dup_grams::DOUBLE / n_grams END AS DECIMAL(18,8)), 4)::DOUBLE
-               AS dup_frac
-           FROM j)
-         SELECT doc_id, n_grams, n_dup_grams, dup_frac,
-           round(CAST(1.0 - dup_frac AS DECIMAL(18,8)), 4)::DOUBLE AS novelty
-         FROM sel ORDER BY doc_id""",
-
-    // entropy replay: value counts, per-term decimal staging, same
-    // normalization by ln(#values) of the rounded entropy
-    "stats_entropy" ->
-      """WITH c AS (
-           SELECT event_type AS v, count(*) AS c FROM events GROUP BY 1),
-         t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM c),
-         terms AS (
-           SELECT n, k,
-             CAST((c::DOUBLE / n) * ln(c::DOUBLE / n) AS DECIMAL(18,8)) AS tt
-           FROM c CROSS JOIN t),
-         h AS (SELECT n, k, sum(tt) AS s FROM terms GROUP BY n, k),
-         e AS (
-           SELECT n, CAST(k AS BIGINT) AS n_values,
-             round(CAST(-s AS DECIMAL(18,8)), 6)::DOUBLE AS entropy
-           FROM h)
-         SELECT n, n_values, entropy,
-           round(CAST(CASE WHEN n_values <= 1 THEN 0.0
-             ELSE entropy / ln(n_values::DOUBLE) END AS DECIMAL(18,8)), 6)::DOUBLE
-             AS norm_entropy
-         FROM e""",
-
-    // MI replay: same joint/marginal tables, exact-integer ln ratios,
-    // per-term decimal staging, same divide order on the rounded pieces
-    "stats_mi" -> miOracleSql,
-    "stats_theilu" -> theilUOracleSql,
-    "stream_theilu" -> theilUOracleSql,
-    // additive joint counts: the monitor's folded state equals the
-    // one-pass table — identical replay
-    "stream_mi" -> miOracleSql,
-    // linear moment sketch: folded state reads out bit-identical
-    "stream_cov" -> covOracleSql(0 to 7),
-
-    // cluster-stats replay: the dedup_clusters transitive closure, then
-    // per-cluster sizes and the count-of-counts rollup
-    "dedup_cluster_stats" ->
-      s"""WITH RECURSIVE norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         lab AS (
-           SELECT node AS doc_id, least(node, min(r)) AS cluster
-           FROM reach GROUP BY node),
-         sz AS (SELECT cluster, count(*) AS s FROM lab GROUP BY 1)
-         SELECT CAST(s AS BIGINT) AS size, count(*) AS n_clusters,
-           CAST(s * count(*) AS BIGINT) AS n_docs
-         FROM sz GROUP BY s ORDER BY size""",
-
-    // soft-dedup replay: components from the recursive reach, 1/size
-    // weights, same ⌊buckets/n + ½⌋ keep threshold over the corpus
-    "sample_dedup_weight" ->
-      s"""WITH RECURSIVE $nearDupEdgesSql,
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         lab AS (
-           SELECT node AS doc_id, least(node, min(r)) AS cluster
-           FROM reach GROUP BY node),
-         sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1),
-         mem AS (SELECT lab.doc_id, lab.cluster, sz.n
-                 FROM lab JOIN sz USING (cluster)),
-         al AS (
-           SELECT d.doc_id, coalesce(mem.cluster, d.doc_id) AS cluster,
-             coalesce(mem.n, 1) AS n_members
-           FROM documents d LEFT JOIN mem ON d.doc_id = mem.doc_id)
-         SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
-           round(CAST(1.0::DOUBLE / n_members::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE
-             AS weight,
-           CAST(floor(10000.0::DOUBLE / n_members::DOUBLE + 0.5::DOUBLE)
-             AS BIGINT) AS rate_bp,
-           ('0x'||substr(md5(doc_id::VARCHAR || 'dupw-v1'),1,15))::BIGINT % 10000
-             < floor(10000.0::DOUBLE / n_members::DOUBLE + 0.5::DOUBLE) AS kept
-         FROM al ORDER BY doc_id""",
-
-    // cluster collapse replay: components from the recursive reach, winner
-    // per cluster = most tokens then smallest id, emit the non-winners
-    "dedup_keep_best" ->
-      s"""WITH RECURSIVE $nearDupEdgesSql,
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         lab AS (
-           SELECT node AS doc_id, least(node, min(r)) AS cluster
-           FROM reach GROUP BY node),
-         tok AS (
-           SELECT doc_id,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok
-           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
-         m AS (SELECT lab.doc_id, lab.cluster, tok.ntok
-               FROM lab JOIN tok USING (doc_id)),
-         w AS (SELECT cluster, doc_id AS kept_doc FROM (
-             SELECT cluster, doc_id,
-               row_number() OVER (PARTITION BY cluster
-                 ORDER BY ntok DESC, doc_id ASC) AS rn
-             FROM m) WHERE rn = 1),
-         cnt AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
-         SELECT m.doc_id, m.cluster, w.kept_doc, cnt.n_members
-         FROM m JOIN w USING (cluster) JOIN cnt USING (cluster)
-         WHERE m.doc_id <> w.kept_doc ORDER BY m.doc_id""",
-
-    // PageRank replay: 3 unrolled damped rounds of exact scaled-integer
-    // floor-divide arithmetic over the symmetrized pair graph
-    "graph_pagerank" ->
-      s"""WITH $nearDupEdgesSql,
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-         r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS "rank" FROM deg),
-         i1 AS (SELECT ed.dst AS node,
-             CAST(150000000 AS BIGINT)
-               + (85 * CAST(sum(r0."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
-           FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
-         i2 AS (SELECT ed.dst AS node,
-             CAST(150000000 AS BIGINT)
-               + (85 * CAST(sum(i1."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
-           FROM ed JOIN i1 ON ed.src = i1.node GROUP BY ed.dst),
-         i3 AS (SELECT ed.dst AS node,
-             CAST(150000000 AS BIGINT)
-               + (85 * CAST(sum(i2."rank" // ed.deg) AS BIGINT)) // 100 AS "rank"
-           FROM ed JOIN i2 ON ed.src = i2.node GROUP BY ed.dst)
-         SELECT node, "rank" FROM i3 ORDER BY node""",
-
-    // degree-histogram replay: same containment pair screen, symmetrized,
-    // two aggregations
-    "graph_degree_hist" ->
-      s"""WITH $boilerplateEdgesSql,
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
-         SELECT CAST(deg AS BIGINT) AS degree, count(*) AS n_nodes
-         FROM deg GROUP BY deg ORDER BY degree""",
-
-    // neighbor-Jaccard replay: hub-capped length-2 paths, anti-join against
-    // existing edges, exact permille floor division
-    "graph_jaccard" ->
-      s"""WITH $boilerplateEdgesSql,
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         centers AS (SELECT src FROM deg WHERE deg <= 64),
-         thru AS (SELECT e.src, e.dst FROM edges e JOIN centers c USING (src)),
-         cand AS (
-           SELECT x.dst AS id_a, y.dst AS id_b, count(*) AS common
-           FROM thru x JOIN thru y ON x.src = y.src AND x.dst < y.dst
-           GROUP BY x.dst, y.dst),
-         newp AS (
-           SELECT c.* FROM cand c
-           LEFT JOIN edges e ON e.src = c.id_a AND e.dst = c.id_b
-           WHERE e.src IS NULL)
-         SELECT n.id_a, n.id_b, CAST(n.common AS BIGINT) AS common,
-           CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
-           CAST((1000 * n.common) // (da.deg + db.deg - n.common) AS BIGINT)
-             AS jaccard_pm
-         FROM newp n JOIN deg da ON da.src = n.id_a JOIN deg db ON db.src = n.id_b
-         ORDER BY n.id_a, n.id_b""",
-
-    // temporal-split replay: same day calendar, same ceil(0.8·n) cut rank
-    // (identical IEEE double product, so the boundary day agrees), same
-    // embargo band arithmetic
-    "sample_temporal_split" ->
-      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
-         cut AS (
-           SELECT day AS cut_day FROM (
-             SELECT day, row_number() OVER (ORDER BY day) AS rn,
-               count(*) OVER () AS n FROM d)
-           WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
-         SELECT event_id,
-           CASE WHEN CAST(ts AS DATE) <= cut_day THEN 'train'
-                WHEN CAST(ts AS DATE) <= cut_day + INTERVAL 1 DAY THEN 'embargo'
-                ELSE 'test' END AS split
-         FROM events CROSS JOIN cut ORDER BY event_id""",
-
-    // leakage-safe split replay: cluster labels from the recursive reach,
-    // split buckets hashed on the LABEL so components move atomically
-    "sample_split_leakage_safe" ->
-      s"""WITH RECURSIVE norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         lab AS (
-           SELECT node AS doc_id, least(node, min(r)) AS cluster
-           FROM reach GROUP BY node),
-         keyed AS (
-           SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
-           FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
-         b AS (
-           SELECT doc_id, cluster,
-             ('0x'||substr(md5(cluster::VARCHAR || 'v1'),1,15))::BIGINT % 10000 AS bucket
-           FROM keyed)
-         SELECT doc_id, cluster,
-           CASE WHEN bucket < 8000 THEN 'train'
-                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
-         FROM b ORDER BY doc_id""",
-
-    "dedup_chunk" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         c AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 10
-             THEN list_transform(range(0, len(toks)//10),
-               i -> array_to_string(toks[i*10+1:i*10+10], ' '))
-             ELSE CAST([] AS VARCHAR[]) END AS chunks FROM norm),
-         x AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
-         g AS (
-           SELECT md5(chunk) AS chunk_fp, count(*) AS n_occ,
-             count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
-           FROM x GROUP BY 1)
-         SELECT chunk_fp, n_occ, n_docs, min_doc FROM g
-         WHERE n_occ > 1 ORDER BY chunk_fp""",
-
-    "text_pii" ->
-      """WITH p AS (
-           SELECT doc_id, text
-             || CASE WHEN doc_id % 3 = 0
-                THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.25' ELSE '' END
-             || CASE WHEN doc_id % 7 = 0
-                THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
-             AS ptext
-           FROM documents)
-         SELECT doc_id,
-           len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-           len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
-           len(regexp_extract_all(ptext, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_fp
-         FROM p ORDER BY doc_id""",
-
-    // pii-by-source replay: the combined fixture, RE2 counts, the Luhn
-    // fold for cards, one rollup per source
-    "curate_pii_by_source" ->
-      """WITH p AS (
-           SELECT doc_id, source, text
-             || CASE WHEN doc_id % 3 = 0
-                THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.25' ELSE '' END
-             || CASE WHEN doc_id % 7 = 0
-                THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
-             || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
-                  (1000000000000000 + ((doc_id % 100000) * 9999991 + doc_id))::VARCHAR
-                ELSE '' END
-             AS ptext
-           FROM documents),
-         cand AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(ptext,
-               '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b')) AS c
-           FROM p),
-         lu AS (
-           SELECT doc_id, c,
-             sum(CASE WHEN (17 - i) % 2 = 0
-                 THEN CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
-                 ELSE dg END) AS s
-           FROM (
-             SELECT doc_id, c, i,
-               CAST(substr(regexp_replace(c, '[- ]', '', 'g'), i, 1) AS INT) AS dg
-             FROM cand CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i))
-           GROUP BY doc_id, c),
-         cards AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
-           FROM lu GROUP BY doc_id),
-         per AS (
-           SELECT p.source,
-             len(regexp_extract_all(ptext,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
-             len(regexp_extract_all(ptext,
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
-             len(regexp_extract_all(ptext, '\b\d{3}-\d{3}-\d{4}\b')) AS np,
-             coalesce(cards.nc, 0) AS nc
-           FROM p LEFT JOIN cards ON p.doc_id = cards.doc_id),
-         agg AS (
-           SELECT source, count(*) AS n_docs,
-             CAST(sum(ne) AS BIGINT) AS n_email, CAST(sum(ni) AS BIGINT) AS n_ip,
-             CAST(sum(np) AS BIGINT) AS n_phone, CAST(sum(nc) AS BIGINT) AS n_card
-           FROM per GROUP BY source)
-         SELECT source, n_docs, n_email, n_ip, n_phone, n_card,
-           round(CAST((n_email + n_ip + n_phone + n_card)::DOUBLE * 1000.0
-             / n_docs AS DECIMAL(18,8)), 4)::DOUBLE AS pii_per_1k
-         FROM agg ORDER BY source""",
-
-    // cosine-histogram replay: same md5 sample, rounded cosine, bin
-    // floors and shares
-    "sim_dist_hist" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         s AS (
-           SELECT vec_id, v FROM e
-           WHERE ('0x'||substr(md5(vec_id::VARCHAR || 'dh'),1,15))::BIGINT % 4 = 0),
-         pr AS (
-           SELECT CAST(floor(
-             round(CAST(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE / 0.1) AS BIGINT) AS bin
-           FROM s a JOIN s b ON a.vec_id < b.vec_id),
-         b AS (SELECT bin, count(*) AS n FROM pr GROUP BY 1),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
-         SELECT bin, bin * CAST(0.1 AS DOUBLE) AS lo, n,
-           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
-         FROM b CROSS JOIN t ORDER BY bin""",
-
-    // card replay: the same synthesized candidates, RE2 extraction, and
-    // the identical 16-term Luhn fold via a generate_series cross join
-    "text_pii_cards" ->
-      """WITH p AS (
-           SELECT doc_id, text
-             || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
-                  (1000000000000000 + ((doc_id % 100000) * 9999991 + doc_id))::VARCHAR
-                ELSE '' END
-             || CASE WHEN doc_id % 6 = 0 THEN ' acct ' ||
-                  substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 1, 4)
-                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 5, 4)
-                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 9, 4)
-                  || '-' || substr((1000000000000000 + ((doc_id % 100000) * 1234567 + doc_id * 3))::VARCHAR, 13, 4)
-                ELSE '' END
-             AS ptext
-           FROM documents),
-         cand AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(ptext, '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b'))
-               AS c
-           FROM p),
-         norm AS (
-           SELECT doc_id, c, regexp_replace(c, '[- ]', '', 'g') AS d FROM cand),
-         lu AS (
-           SELECT doc_id, c,
-             sum(CASE WHEN (17 - i) % 2 = 0
-                 THEN CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
-                 ELSE dg END) AS s
-           FROM (
-             SELECT doc_id, c, i, CAST(substr(d, i, 1) AS INT) AS dg
-             FROM norm CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i))
-           GROUP BY doc_id, c),
-         agg AS (
-           SELECT doc_id, count(*) AS n_candidates,
-             CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-           FROM lu GROUP BY doc_id)
-         SELECT p.doc_id,
-           coalesce(n_candidates, 0)::BIGINT AS n_candidates,
-           coalesce(n_valid, 0)::BIGINT AS n_valid,
-           md5(regexp_replace(ptext,
-             '\b(\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b', '<CARD>', 'g')) AS red_fp
-         FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
-         ORDER BY p.doc_id""",
-
-    "pack_sequences" ->
-      s"""WITH d AS (
-           SELECT doc_id,
-             ('0x'||substr(md5(doc_id::VARCHAR || 'pack'),1,15))::BIGINT % 32 AS shard,
-             CASE WHEN length($normSql) = 0 THEN 0
-                  ELSE length($normSql) - length(replace($normSql, ' ', '')) + 1
-             END AS n_tok
-           FROM documents),
-         w AS (
-           SELECT doc_id, shard, n_tok,
-             (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT AS strt
-           FROM d)
-         SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
-           strt // 512 AS pack, strt % 512 AS off
-         FROM w ORDER BY doc_id""",
-
-    "sample_split" ->
-      """WITH b AS (
-           SELECT doc_id,
-             ('0x'||substr(md5(doc_id::VARCHAR || 'v1'),1,15))::BIGINT % 10000 AS bucket
-           FROM documents)
-         SELECT doc_id, bucket,
-           CASE WHEN bucket < 8000 THEN 'train'
-                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
-         FROM b ORDER BY doc_id""",
-
-    "sample_stratified" ->
-      """WITH h AS (
-           SELECT doc_id, source,
-             ('0x'||substr(md5(doc_id::VARCHAR || 'v1'),1,15))::BIGINT AS hv
-           FROM documents)
-         SELECT doc_id, source FROM (
-           SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
-           FROM h)
-         WHERE rn <= 5 ORDER BY doc_id""",
-
-    // A-ES weighted sampling: u = (hash60+1)/2^60, rank key ln(u)/w staged
-    // in DECIMAL(18,8) with id tiebreak (the tfidf ranking discipline)
-    "sample_weighted" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang, $normSql AS nt FROM documents),
-         tc AS (
-           SELECT doc_id, lang,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok
-           FROM d),
-         w AS (
-           SELECT doc_id, lang, ntok,
-             CAST(ln(((('0x'||substr(md5(doc_id::VARCHAR || 'wsample'),1,15))::BIGINT
-                 + 1)::DOUBLE) / 1152921504606846976.0) / ntok::DOUBLE
-               AS DECIMAL(18,8)) AS wk
-           FROM tc WHERE ntok > 0)
-         SELECT doc_id, lang, CAST(ntok AS BIGINT) AS n_tokens,
-           CAST(rn AS BIGINT) AS sample_rank
-         FROM (
-           SELECT doc_id, lang, ntok,
-             row_number() OVER (PARTITION BY lang ORDER BY wk DESC, doc_id ASC) AS rn
-           FROM w)
-         WHERE rn <= 20 ORDER BY lang, rn""",
-
-    // gumbel replay: the text_quality chain, the same md5 uniform and
-    // -ln(-ln(u)) perturbation, identical 4*q + g operation order;
-    // deterministic keys make the streaming twin share it verbatim
-    "sample_gumbel" -> gumbelOracleSql,
-    "stream_gumbel" -> gumbelOracleSql,
-
-    // snapshot diff: same deterministic v_old/v_new construction, md5 of
-    // the normalized text as the content fingerprint
-    "curate_snapshot_diff" ->
-      s"""WITH o AS (
-           SELECT doc_id, md5($normSql) AS old_fp FROM documents
-           WHERE doc_id % 10 != 9),
-         base AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
-           FROM documents WHERE doc_id % 10 != 0),
-         n AS (SELECT doc_id, md5($normSql) AS new_fp FROM base)
-         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.doc_id IS NULL THEN 'added'
-                WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN old_fp != new_fp THEN 'changed'
-                ELSE 'unchanged' END AS status,
-           old_fp, new_fp
-         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id""",
-
-    // drift replay: one union-tagged token aggregation, add-one smoothing
-    // over the joint vocabulary, decimal-staged contributions, top-15
-    "curate_token_drift" ->
-      s"""WITH o AS (
-           SELECT text FROM documents WHERE doc_id % 10 != 9),
-         nb AS (
-           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
-           FROM documents WHERE doc_id % 10 != 0),
-         tk AS (
-           SELECT tok, FALSE AS isnew FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
-           UNION ALL
-           SELECT tok, TRUE AS isnew FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
-         c AS (
-           SELECT tok, sum(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS c_old,
-             sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS c_new
-           FROM tk GROUP BY tok),
-         st AS (
-           SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
-             CAST(sum(c_new) AS BIGINT) AS t_new, count(*) AS v FROM c),
-         x AS (
-           SELECT tok, c_old, c_new,
-             CAST(((CAST(c_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + v))
-               * ln(((CAST(c_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + v))
-                   / ((CAST(c_old AS DOUBLE) + 1.0) / (CAST(t_old AS DOUBLE) + v)))
-               AS DECIMAL(18,8)) AS contrib
-           FROM c CROSS JOIN st)
-         SELECT token, c_old, c_new, contrib FROM (
-           SELECT tok AS token, CAST(c_old AS BIGINT) AS c_old,
-             CAST(c_new AS BIGINT) AS c_new,
-             round(contrib, 6)::DOUBLE AS contrib
-           FROM x ORDER BY x.contrib DESC, tok ASC LIMIT 15)
-         ORDER BY token""",
-
-    // JSD replay: same shared count table, same smoothed p/q/m and
-    // fixed-order ½p·ln(p/m)+½q·ln(q/m) terms decimal-staged before the sum
-    "curate_jsd" ->
-      s"""WITH o AS (
-           SELECT text FROM documents WHERE doc_id % 10 != 9),
-         nb AS (
-           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
-           FROM documents WHERE doc_id % 10 != 0),
-         tk AS (
-           SELECT tok, FALSE AS isb FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
-           UNION ALL
-           SELECT tok, TRUE AS isb FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
-         c AS (
-           SELECT tok, sum(CASE WHEN NOT isb THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN isb THEN 1 ELSE 0 END) AS cb
-           FROM tk GROUP BY tok),
-         st AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
-             count(*) AS v
-           FROM c),
-         x AS (
-           SELECT ta, tb, v,
-             (CAST(ca AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + v) AS p,
-             (CAST(cb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + v) AS q
-           FROM c CROSS JOIN st),
-         t AS (
-           SELECT ta, tb, v,
-             CAST(0.5 * p * ln(p / ((p + q) / 2.0))
-               + 0.5 * q * ln(q / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS trm
-           FROM x)
-         SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
-           round(CAST(sum(trm) AS DECIMAL(18,8)), 6)::DOUBLE AS jsd
-         FROM t GROUP BY 1, 2, 3""",
-
-    // TVD/Hellinger/Bhattacharyya replay: the jsd oracle's smoothed
-    // per-token p/q, |p-q| and sqrt(pq) decimal-staged before the
-    // vocabulary sums, identical clamps on the readouts
-    "curate_hellinger" ->
-      s"""WITH o AS (
-           SELECT text FROM documents WHERE doc_id % 10 != 9),
-         nb AS (
-           SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
-           FROM documents WHERE doc_id % 10 != 0),
-         tk AS (
-           SELECT tok, FALSE AS isb FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM o) WHERE tok <> ''
-           UNION ALL
-           SELECT tok, TRUE AS isb FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM nb) WHERE tok <> ''),
-         c AS (
-           SELECT tok, sum(CASE WHEN NOT isb THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN isb THEN 1 ELSE 0 END) AS cb
-           FROM tk GROUP BY tok),
-         st AS (
-           SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
-             count(*) AS v
-           FROM c),
-         x AS (
-           SELECT ta, tb, v,
-             (CAST(ca AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + v) AS p,
-             (CAST(cb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + v) AS q
-           FROM c CROSS JOIN st),
-         t AS (
-           SELECT ta, tb, v,
-             CAST(abs(p - q) AS DECIMAL(28,12)) AS tv,
-             CAST(sqrt(p * q) AS DECIMAL(28,12)) AS bc
-           FROM x),
-         s AS (
-           SELECT ta, tb, v, sum(tv) AS tvs, sum(bc) AS bcs
-           FROM t GROUP BY 1, 2, 3)
-         SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
-           round(CAST(0.5 * tvs::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS tvd,
-           round(CAST(sqrt(greatest(1.0 - bcs::DOUBLE, 0.0))
-             AS DECIMAL(18,8)), 6)::DOUBLE AS hellinger,
-           CASE WHEN bcs::DOUBLE <= 0.0 THEN NULL
-                ELSE round(CAST(greatest(-ln(bcs::DOUBLE), 0.0)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS bhattacharyya
-         FROM s""",
-
-    // calibration replay: decimal-exact Σq/Σq², one-division moments, z
-    "curate_score_calibrate" ->
-      s"""WITH q AS (
-           SELECT doc_id, lang,
-             CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0
-                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)) AS ql
-           FROM (
-             SELECT doc_id, lang, text,
-               CASE WHEN length(nt) = 0 THEN 0
-                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-               len(list_filter(string_split(nt, ' '),
-                 w -> w IN ('the','and','of','to','a'))) AS nstop,
-               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                 AS npunct
-             FROM (SELECT doc_id, lang, text, $normSql AS nt FROM documents))),
-         m AS (
-           SELECT lang, count(*) AS n, sum(ql) AS s, sum(ql * ql) AS s2
-           FROM q GROUP BY lang),
-         mm AS (
-           SELECT lang,
-             round(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,8)), 4)::DOUBLE
-               AS group_mean,
-             round(CAST(sqrt(greatest(CAST(s2 AS DOUBLE) / n
-               - pow(CAST(s AS DOUBLE) / n, 2), 0.0)) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS group_std
-           FROM m)
-         SELECT doc_id, q.lang, group_mean, group_std,
-           round(CAST(CASE WHEN group_std = 0.0 THEN 0.0
-             ELSE (CAST(ql AS DOUBLE) - group_mean) / group_std END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS z_score
-         FROM q JOIN mm ON q.lang = mm.lang ORDER BY doc_id""",
-
-    // mixture-plan replay: same parts weights, decimal-exact weight total,
-    // one IEEE divide per share, availability cap + shortfall
-    "curate_mixture_plan" ->
-      s"""WITH avail AS (
-           SELECT source,
-             CAST(sum(CASE WHEN length(nt) = 0 THEN 0
-                      ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END)
-               AS BIGINT) AS avail_tokens
-           FROM (SELECT source, $normSql AS nt FROM documents) GROUP BY source),
-         w AS (
-           SELECT 'src0' AS src, 60.0 AS wt UNION ALL SELECT 'src1', 1.0
-           ${(2 until 20).map(i => s"UNION ALL SELECT 'src$i', 8.0").mkString(" ")}),
-         j AS (
-           SELECT a.source, a.avail_tokens, w.wt AS w
-           FROM avail a JOIN w ON a.source = w.src),
-         t AS (
-           SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS wtot FROM j),
-         p AS (
-           SELECT j.source, j.avail_tokens,
-             CAST(floor(j.w / t.wtot * 100000) AS BIGINT) AS target_tokens
-           FROM j, t)
-         SELECT source, avail_tokens, target_tokens,
-           least(target_tokens, avail_tokens) AS planned_tokens,
-           round(CAST(least(target_tokens, avail_tokens)::DOUBLE
-               / greatest(avail_tokens, 1) AS DECIMAL(18,8)), 6)::DOUBLE
-             AS keep_rate,
-           target_tokens - least(target_tokens, avail_tokens) AS shortfall
-         FROM p ORDER BY source""",
-
-    // per-domain trust table: decimal-staged quality mean, exact-int dup
-    // fraction, mean token count
-    "curate_domains" ->
-      s"""WITH q AS (
-           SELECT source,
-             CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0
-                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)) AS ql,
-             ntok, md5(nt) AS fp
-           FROM (
-             SELECT source, text, nt,
-               CASE WHEN length(nt) = 0 THEN 0
-                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-               len(list_filter(string_split(nt, ' '),
-                 w -> w IN ('the','and','of','to','a'))) AS nstop,
-               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                 AS npunct
-             FROM (SELECT source, text, $normSql AS nt FROM documents)))
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           round(CAST(CAST(sum(ql) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS mean_quality,
-           round(CAST((count(*) - count(DISTINCT fp))::DOUBLE / count(*)
-             AS DECIMAL(18,8)), 4)::DOUBLE AS dup_frac,
-           round(CAST(sum(ntok)::DOUBLE / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS mean_tokens
-         FROM q GROUP BY source ORDER BY source""",
-
-    // domain verdict annotation: every document joined to its domain's
-    // stats row, kept iff the domain clears the floors/ceilings/blocklist
-    "curate_by_domain" ->
-      s"""WITH q AS (
-           SELECT doc_id, source,
-             CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0
-                       ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                             ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)) AS ql,
-             md5(nt) AS fp
-           FROM (
-             SELECT doc_id, source, text, nt,
-               CASE WHEN length(nt) = 0 THEN 0
-                    ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-               len(list_filter(string_split(nt, ' '),
-                 w -> w IN ('the','and','of','to','a'))) AS nstop,
-               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                 AS npunct
-             FROM (SELECT doc_id, source, text, $normSql AS nt FROM documents))),
-         st AS (
-           SELECT source, count(*) AS n_docs,
-             round(CAST(CAST(sum(ql) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS mean_quality,
-             round(CAST((count(*) - count(DISTINCT fp))::DOUBLE / count(*)
-               AS DECIMAL(18,8)), 4)::DOUBLE AS dup_frac
-           FROM q GROUP BY source)
-         SELECT doc_id, source, mean_quality, dup_frac,
-           (n_docs >= 10 AND mean_quality >= 0.63 AND dup_frac <= 0.2
-             AND source != 'spamnet') AS kept
-         FROM q JOIN st USING (source) ORDER BY doc_id""",
-
-    // extensions replay: shingle counts from the norm chain, self dot from
-    // list_dot_product — the SQL-surface smoke over two native expressions
-    "fn_sql_extensions" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         d AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-         SELECT sh.doc_id, CAST(len(sh.s) AS INTEGER) AS n_shingles,
-           round(CAST(list_dot_product(d.v, d.v) AS DECIMAL(18,8)), 4)::DOUBLE AS self_dot
-         FROM sh JOIN d ON sh.doc_id = d.vec_id ORDER BY sh.doc_id""",
-
-    // interval-join replay: integer-exact hot-bin threshold, island starts
-    // nearest replay: naive per-user range join + (distance, id) rank —
-    // the reference semantics the bucketed plan must reproduce exactly
-    "join_nearest" ->
-      """WITH c AS (
-           SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
-           FROM events WHERE event_type = 'click'),
-         p AS (
-           SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
-           FROM events WHERE event_type = 'purchase'),
-         j AS (
-           SELECT c.user_id, click_id, purchase_id, abs(cts - pts) AS distance,
-             row_number() OVER (PARTITION BY c.user_id, click_id
-               ORDER BY abs(cts - pts), purchase_id) AS rn
-           FROM c JOIN p ON c.user_id = p.user_id
-           WHERE abs(cts - pts) <= 3600000000)
-         SELECT user_id, click_id, purchase_id, distance
-         FROM j WHERE rn = 1 ORDER BY user_id, click_id""",
-
-    // as-of replay: the same union-tag + user-keyed IGNORE NULLS carry
-    // window (quotes sort before probes at equal ts, largest click id wins
-    // ties), the same 2h staleness void
-    "join_asof" ->
-      """WITH un AS (
-           SELECT user_id, ts, 0 AS tag, event_id AS ord,
-             CAST(NULL AS BIGINT) AS pid, event_id AS q_id, value AS q_val,
-             ts AS q_ts
-           FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT user_id, ts, 1 AS tag, CAST(NULL AS BIGINT) AS ord,
-             event_id AS pid, NULL, NULL, NULL
-           FROM events WHERE event_type = 'purchase'),
-         w AS (
-           SELECT *,
-             last_value(q_id IGNORE NULLS) OVER win AS c_id,
-             last_value(q_val IGNORE NULLS) OVER win AS c_val,
-             last_value(q_ts IGNORE NULLS) OVER win AS c_ts
-           FROM un
-           WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, ord
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         f AS (
-           SELECT *, c_ts IS NOT NULL
-             AND epoch_us(ts) - epoch_us(c_ts) <= 7200::BIGINT * 1000000 AS ok
-           FROM w WHERE tag = 1)
-         SELECT pid AS event_id, user_id, ts,
-           CASE WHEN ok THEN c_id END AS click_id,
-           CASE WHEN ok THEN c_val END AS click_value,
-           CASE WHEN ok THEN c_ts END AS quote_time
-         FROM f ORDER BY event_id""",
-
-    // via the absent-predecessor anti-join, nearest-start assignment, then
-    // the plain inequality join DuckDB can afford at oracle scale
-    "join_interval" ->
-      """WITH b AS (
-           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events GROUP BY 1, 2),
-         tot AS (
-           SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nb
-           FROM b GROUP BY 1),
-         hot AS (
-           SELECT b.event_type, bin FROM b JOIN tot USING (event_type)
-           WHERE cnt * 10 * nb >= 12 * total),
-         starts AS (
-           SELECT h.event_type, h.bin FROM hot h
-           LEFT JOIN hot p ON p.event_type = h.event_type AND p.bin = h.bin - 1
-           WHERE p.bin IS NULL),
-         assigned AS (
-           SELECT h.event_type, h.bin, max(s.bin) AS s
-           FROM hot h JOIN starts s
-             ON s.event_type = h.event_type AND s.bin <= h.bin
-           GROUP BY h.event_type, h.bin),
-         bands AS (
-           SELECT event_type AS band_type,
-             s * CAST(10.0 AS DOUBLE) + CAST(2.5 AS DOUBLE) AS lo,
-             (max(bin) + 1) * CAST(10.0 AS DOUBLE) - CAST(2.5 AS DOUBLE) AS hi
-           FROM assigned GROUP BY event_type, s)
-         SELECT e.event_id, e.event_type, e.value, band_type, lo, hi
-         FROM events e JOIN bands ON e.value >= lo AND e.value < hi
-         ORDER BY event_id, band_type""",
-
-    // overlap replay: per-user daily spans, then the plain overlap theta
-    // join DuckDB can afford at oracle scale
-    "join_overlap" ->
-      """WITH c AS (
-           SELECT user_id, CAST(ts AS DATE) AS c_day,
-             min(epoch_us(ts)) AS c_lo, max(epoch_us(ts)) + 1 AS c_hi
-           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-         v AS (
-           SELECT user_id, CAST(ts AS DATE) AS v_day,
-             min(epoch_us(ts)) AS v_lo, max(epoch_us(ts)) + 1 AS v_hi
-           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-         SELECT c.user_id, c_day, v_day, c_lo, c_hi, v_lo, v_hi
-         FROM c JOIN v ON c.user_id = v.user_id
-           AND c_lo < v_hi AND v_lo < c_hi
-         ORDER BY c.user_id, c_day, v_day""",
-
-    // CCNet bucket replay: the text_lm_score chain, then per-language
-    // histogram tercile bins and integer-bin head/middle/tail labels
-    "curate_ppl_buckets" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         tk AS (
-           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok <> ''),
-         c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-         st AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
-         sc AS (
-           SELECT doc_id, count(*) AS n_tokens,
-             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS avg_logprob
-           FROM (
-             SELECT doc_id,
-               CAST(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + v))
-                 AS DECIMAL(18,8)) AS lp
-             FROM tk JOIN c USING (tok) CROSS JOIN st) GROUP BY doc_id),
-         scg AS (
-           SELECT sc.doc_id, dd.lang, sc.n_tokens, sc.avg_logprob,
-             CAST(floor(sc.avg_logprob / 0.005) AS BIGINT) AS bin
-           FROM sc JOIN documents dd USING (doc_id)),
-         b AS (SELECT lang, bin, count(*) AS cnt FROM scg GROUP BY 1, 2),
-         cum AS (
-           SELECT a.lang, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.lang = a.lang AND b2.bin <= a.bin
-           GROUP BY a.lang, a.bin),
-         tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
-         qs(q) AS (VALUES (CAST(0.33 AS DOUBLE)), (CAST(0.66 AS DOUBLE))),
-         pick AS (
-           SELECT lang, q, bin FROM (
-             SELECT e.lang, q, bin,
-               row_number() OVER (PARTITION BY e.lang, q ORDER BY bin ASC) AS rn
-             FROM qs JOIN (SELECT cum.lang, bin, cum_count, total
-                           FROM cum JOIN tot ON cum.lang = tot.lang) e
-               ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1),
-         th AS (
-           SELECT lang,
-             min(CASE WHEN q = CAST(0.33 AS DOUBLE) THEN bin END) AS b_lo,
-             min(CASE WHEN q = CAST(0.66 AS DOUBLE) THEN bin END) AS b_hi
-           FROM pick GROUP BY lang)
-         SELECT scg.doc_id, scg.lang, scg.n_tokens, scg.avg_logprob,
-           CASE WHEN scg.bin <= th.b_lo THEN 'tail'
-                WHEN scg.bin <= th.b_hi THEN 'middle'
-                ELSE 'head' END AS bucket
-         FROM scg JOIN th USING (lang) ORDER BY scg.doc_id""",
-
-    "text_repetition" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-1, 0)),
-             i -> array_to_string(toks[i+1:i+2], ' ')) AS bg FROM norm),
-         m AS (
-           SELECT doc_id, toks, bg,
-             list_max(list_transform(list_distinct(bg),
-               b -> len(list_filter(bg, x -> x = b)))) AS mx FROM g)
-         SELECT doc_id,
-           round(CAST(CASE WHEN len(bg) < 2 THEN 0 ELSE (mx - 1) / (len(bg) - 1) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS top_bigram_frac,
-           round(CAST(CASE WHEN len(toks) = 0 THEN 0
-             ELSE 1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS dup_token_frac
-         FROM m ORDER BY doc_id""",
-
-    "dedup_simhash" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         h AS (
-           SELECT doc_id,
-             list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-           FROM norm),
-         fp AS (
-           SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 60), j ->
-               CASE WHEN list_sum(list_transform(hs, hh ->
-                      CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                    THEN (1::BIGINT << j::INTEGER) ELSE 0::BIGINT END)) AS BIGINT) AS f
-           FROM h)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.f, b.f)) <= 3
-         ORDER BY id_a, id_b""",
-
-    "dedup_cosine_lsh" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         w AS (
-           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
-             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
-               / 10000.0 - 0.5)) AS wv
-           FROM range(0, 4) t(p)),
-         b AS (
-           SELECT vec_id, v,
-             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
-                          THEN (1::BIGINT << (3 - w.p)::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
-              FROM w) AS bucket
-           FROM e e2),
-         p AS (
-           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-             list_dot_product(a.v, b2.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
-           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-         SELECT id_a, id_b, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
-         FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
-
-    "sim_ann_lsh" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         w AS (
-           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
-             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
-               / 10000.0 - 0.5)) AS wv
-           FROM range(0, 8) t(p)),
-         cb AS (
-           SELECT e2.vec_id, e2.v, tt.t,
-             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
-                          THEN (1::BIGINT << (3 - (w.p - tt.t * 4))::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
-              FROM w WHERE w.p >= tt.t * 4 AND w.p < tt.t * 4 + 4) AS bucket
-           FROM e e2 CROSS JOIN range(0, 2) tt(t)),
-         probes AS (
-           SELECT q.vec_id, q.v, q.t,
-             unnest(list_distinct(list_concat([q.bucket],
-               list_transform(range(0, 4), i -> xor(q.bucket, (1::BIGINT << i::INTEGER)))))) AS bucket
-           FROM cb q WHERE q.vec_id < 10),
-         j AS (
-           SELECT DISTINCT p2.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(p2.v, c.v)
-               / (sqrt(list_dot_product(p2.v, p2.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM probes p2 JOIN cb c ON p2.t = c.t AND p2.bucket = c.bucket AND p2.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
-
-    "sim_ann_recall" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         w AS (
-           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
-             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
-               / 10000.0 - 0.5)) AS wv
-           FROM range(0, 8) t(p)),
-         cb AS (
-           SELECT e2.vec_id, e2.v, tt.t,
-             (SELECT CAST(sum(CASE WHEN list_dot_product(e2.v, w.wv) >= 0
-                          THEN (1::BIGINT << (3 - (w.p - tt.t * 4))::INTEGER) ELSE 0::BIGINT END) AS BIGINT)
-              FROM w WHERE w.p >= tt.t * 4 AND w.p < tt.t * 4 + 4) AS bucket
-           FROM e e2 CROSS JOIN range(0, 2) tt(t)),
-         probes AS (
-           SELECT q.vec_id, q.v, q.t,
-             unnest(list_distinct(list_concat([q.bucket],
-               list_transform(range(0, 4), i -> xor(q.bucket, (1::BIGINT << i::INTEGER)))))) AS bucket
-           FROM cb q WHERE q.vec_id < 10),
-         j AS (
-           SELECT DISTINCT p2.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(p2.v, c.v)
-               / (sqrt(list_dot_product(p2.v, p2.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM probes p2 JOIN cb c ON p2.t = c.t AND p2.bucket = c.bucket AND p2.vec_id != c.vec_id),
-         ann AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM j QUALIFY rank <= 5),
-         bp AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         brute AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM bp QUALIFY rank <= 5),
-         h AS (
-           SELECT b.query_id, count(*) AS hits
-           FROM brute b JOIN ann a
-             ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
-           GROUP BY b.query_id)
-         SELECT q.vec_id AS query_id,
-           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           round(CAST(coalesce(h.hits, 0) / 5.0 AS DECIMAL(18,8)), 4)::DOUBLE AS recall
-         FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 10) q
-         LEFT JOIN h ON q.vec_id = h.query_id
-         ORDER BY query_id""",
-
-    "sim_kmeans" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         a1 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c0.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
-                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
-             FROM e CROSS JOIN c0) WHERE rn = 1),
-         c1 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         a2 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c1.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
-                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
-             FROM e CROSS JOIN c1) WHERE rn = 1),
-         c2 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
-             GROUP BY cluster, dim) GROUP BY cluster)
-         SELECT vec_id, cluster, round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS d2 FROM (
-           SELECT e.vec_id, c2.cluster,
-             list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-               + list_dot_product(c2.cv, c2.cv) AS d2,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-                 + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
-           FROM e CROSS JOIN c2) WHERE rn = 1 ORDER BY vec_id""",
-
-    // cluster-quality replay: the sim_kmeans training chain, assignment
-    // with the same rounded d², decimal-staged cohesion mean, and the k×k
-    // separation scan with the identical (d², cluster) tie-break
-    "sim_cluster_quality" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         a1 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c0.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
-                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
-             FROM e CROSS JOIN c0) WHERE rn = 1),
-         c1 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         a2 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c1.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
-                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
-             FROM e CROSS JOIN c1) WHERE rn = 1),
-         c2 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         asg AS (
-           SELECT vec_id, cluster, round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS d2 FROM (
-             SELECT e.vec_id, c2.cluster,
-               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-                 + list_dot_product(c2.cv, c2.cv) AS d2,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
-             FROM e CROSS JOIN c2) WHERE rn = 1),
-         coh AS (
-           SELECT cluster, count(*) AS n,
-             round(CAST(sum(d2::DECIMAL(18,4))::DOUBLE / count(*)
-               AS DECIMAL(18,8)), 4)::DOUBLE AS mean_d2
-           FROM asg GROUP BY cluster),
-         sep AS (
-           SELECT cluster, nn_cluster,
-             round(CAST(d2 AS DECIMAL(18,8)), 4)::DOUBLE AS nn_d2 FROM (
-             SELECT a.cluster, b.cluster AS nn_cluster,
-               list_dot_product(a.cv, a.cv) - 2*list_dot_product(a.cv, b.cv)
-                 + list_dot_product(b.cv, b.cv) AS d2,
-               row_number() OVER (PARTITION BY a.cluster ORDER BY
-                 list_dot_product(a.cv, a.cv) - 2*list_dot_product(a.cv, b.cv)
-                   + list_dot_product(b.cv, b.cv) ASC, b.cluster ASC) AS rn
-             FROM c2 a JOIN c2 b ON a.cluster <> b.cluster) WHERE rn = 1)
-         SELECT coh.cluster, n, mean_d2, nn_cluster, nn_d2
-         FROM coh JOIN sep ON coh.cluster = sep.cluster ORDER BY coh.cluster""",
-
-    "sim_quantize" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         s AS (
-           SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
-         q AS (
-           SELECT vec_id, v, scale, list_transform(v,
-             x -> CASE WHEN scale = 0 THEN 0
-                  ELSE CAST(floor(x/scale + 0.5) AS INT) END) AS qi
-           FROM s),
-         r AS (
-           SELECT vec_id, scale, qi,
-             list_transform(range(1, len(v)+1), i -> v[i] - qi[i]*scale) AS res
-           FROM q)
-         SELECT vec_id, scale,
-           md5(array_to_string(list_transform(qi, x -> x::VARCHAR), ',')) AS q_fp,
-           round(CAST(list_dot_product(res, res) AS DECIMAL(18,8)), 6)::DOUBLE AS err
-         FROM r ORDER BY vec_id""",
-
-    "sim_ann_pq" -> pqOracleSql,
-
-    "sim_ann_ivfpq" -> ivfPqOracleSql,
-    "sim_ann_rerank" -> pqRerankOracleSql,
-
-    "text_classifier" ->
-      s"""WITH norm AS (
-           SELECT doc_id, $normSql AS nt FROM documents),
-         toks AS (
-           SELECT doc_id, unnest(list_filter(string_split(nt, ' '), t -> len(t) > 0)) AS tok
-           FROM norm),
-         w AS (
-           SELECT doc_id,
-             CAST(sum(('0x'||substr(md5(tok || 'clf-v1'),1,15))::BIGINT % 2000001 - 1000000)
-               AS BIGINT) AS micro_sum,
-             count(*) AS n
-           FROM toks GROUP BY doc_id)
-         SELECT norm.doc_id,
-           coalesce(w.micro_sum, 0) AS micro_sum,
-           round(CAST(CASE WHEN w.n IS NULL THEN 0.0
-             ELSE w.micro_sum::DOUBLE / (w.n::DOUBLE * 1000000.0::DOUBLE) END
-             AS DECIMAL(18,8)), 6)::DOUBLE AS margin,
-           coalesce(w.micro_sum, 0) > 0 AS keep
-         FROM norm LEFT JOIN w ON norm.doc_id = w.doc_id
-         ORDER BY norm.doc_id""",
-
-    // PMI replay: same unigram/bigram counts, the identical
-    // (cnt·Nu²)/(Nbi·ca·cb) operation order through ln, same cut
-    "text_pmi" ->
-      s"""WITH norm AS (
-           SELECT doc_id, list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
-           FROM documents),
-         tok AS (
-           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
-           FROM norm),
-         uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY tok),
-         nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
-         bi0 AS (
-           SELECT a.tok AS ta, b.tok AS tb, a.tok || ' ' || b.tok AS pair
-           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-         nb AS (SELECT count(*) AS nb FROM bi0),
-         bi AS (
-           SELECT pair, min(ta) AS ta, min(tb) AS tb, count(*) AS cnt
-           FROM bi0 GROUP BY pair HAVING count(*) >= 5)
-         SELECT pair, cnt,
-           round(CAST(ln((cnt::DOUBLE * nu.nu * nu.nu)
-               / (nb.nb::DOUBLE * ua.cu * ub.cu)) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS pmi
-         FROM bi JOIN uni ua ON bi.ta = ua.tok
-                 JOIN uni ub ON bi.tb = ub.tok
-                 CROSS JOIN nu CROSS JOIN nb
-         ORDER BY pmi DESC, pair LIMIT 50""",
-
-    "text_bpe_pairs" ->
-      s"""WITH norm AS (
-           SELECT doc_id, list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
-           FROM documents),
-         tok AS (
-           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
-           FROM norm),
-         p AS (
-           SELECT a.tok || ' ' || b.tok AS pair
-           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
-         SELECT pair, count(*) AS cnt FROM p
-         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
-
-    "text_bpe_train" -> bpeTrainOracleSql(6),
-    "text_bpe_apply" -> bpeApplyOracleSql(6),
-
-    // host-cap replay: same per-source ranking by token count
-    "curate_host_cap" ->
-      s"""WITH t AS (
-           SELECT doc_id, source,
-             len(list_filter(string_split($normSql, ' '), x -> x <> ''))
-               AS n_toks
-           FROM documents),
-         r AS (
-           SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source
-               ORDER BY n_toks DESC, doc_id) AS rank
-           FROM t)
-         SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
-         FROM r WHERE rank <= 20 ORDER BY doc_id""",
-
-    // lang-mismatch replay: the langid CASE per doc with its declared
-    // label, matrix rollup, per-declared totals
-    "curate_lang_mismatch" ->
-      s"""WITH norm AS (
-           SELECT lang AS declared, string_split($normSql, ' ') AS toks
-           FROM documents),
-         sc AS (
-           SELECT declared,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
-           FROM norm),
-         det AS (
-           SELECT declared,
-             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                  ELSE 'fr' END AS detected
-           FROM sc),
-         pairs AS (
-           SELECT declared, detected, count(*) AS n FROM det GROUP BY 1, 2),
-         tot AS (
-           SELECT declared, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
-         SELECT declared, detected, n,
-           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 4)::DOUBLE AS frac,
-           declared = detected AS agree
-         FROM pairs JOIN tot USING (declared)
-         ORDER BY declared, detected""",
-
-    // null-profile replay: one wide aggregation over the doctored frame,
-    // stacked per column; counters are additive so the streaming twin
-    // shares it verbatim
-    "stats_null_profile" -> nullProfileOracleSql,
-    "stream_null_profile" -> nullProfileOracleSql,
-
-    // data-card replay: the text_quality chain per doc plus md5 content
-    // fingerprints, corpus-wide dup counts, then the slice rollup
-    "curate_datacard" ->
-      s"""WITH base AS (
-           SELECT doc_id, source, lang,
-             CASE WHEN doc_id % 17 = 0
-               THEN 'standard boilerplate footer all rights reserved'
-               ELSE text END AS text
-           FROM documents),
-         norm AS (
-           SELECT doc_id, source, lang, text,
-             string_split($normSql, ' ') AS toks, $normSql AS nt
-           FROM base),
-         c AS (
-           SELECT doc_id, source, lang,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-               AS npunct,
-             length(text) AS tl,
-             md5(nt) AS fp
-           FROM norm),
-         q AS (
-           SELECT doc_id, source, lang, ntok, fp,
-             round(CAST(least(tl / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0
-                  ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN tl = 0 THEN 1.0
-                  ELSE npunct::DOUBLE / tl END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS quality
-           FROM c),
-         fpc AS (SELECT fp, count(*) AS n FROM q GROUP BY 1)
-         SELECT source, lang, count(*) AS n_docs,
-           CAST(sum(ntok) AS BIGINT) AS total_tokens,
-           round(CAST(CAST(sum(ntok) AS DOUBLE) / count(*)
-             AS DECIMAL(18,8)), 2)::DOUBLE AS avg_tokens,
-           round(CAST(CAST(sum(CAST(quality AS DECIMAL(18,8))) AS DOUBLE)
-             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS mean_quality,
-           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-           round(CAST(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*) AS DECIMAL(18,8)), 4)::DOUBLE AS dup_rate
-         FROM q JOIN fpc USING (fp)
-         GROUP BY source, lang ORDER BY source, lang""",
-
-    // URL canonicalization replay: the same variant synthesis and the
-    // same regex rewrites (RE2 syntax, \1-style backrefs are not needed)
-    "curate_url_canon" ->
-      """WITH u AS (
-           SELECT doc_id,
-             CASE doc_id % 5
-               WHEN 0 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
-                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
-                 || '?id=' || (doc_id // 5)::VARCHAR
-               WHEN 1 THEN 'HTTP://' || upper('s' || ((doc_id // 5) % 20)::VARCHAR
-                 || '.example.com') || ':80/docs/' || (doc_id // 5)::VARCHAR
-                 || '?id=' || (doc_id // 5)::VARCHAR
-               WHEN 2 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
-                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
-                 || '/?id=' || (doc_id // 5)::VARCHAR || '#frag'
-               WHEN 3 THEN 'http://s' || ((doc_id // 5) % 20)::VARCHAR
-                 || '.example.com/docs/' || (doc_id // 5)::VARCHAR
-                 || '?utm_source=feed&utm_campaign=x&id=' || (doc_id // 5)::VARCHAR
-               ELSE 'https://s' || ((doc_id // 5) % 20)::VARCHAR
-                 || '.example.com:443/docs/' || (doc_id // 5)::VARCHAR
-                 || '?id=' || (doc_id // 5)::VARCHAR
-             END AS url
-           FROM documents),
-         c AS (
-           SELECT doc_id,
-             regexp_replace(lower(regexp_extract(trim(url),
-               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '')
-             || regexp_replace(regexp_extract(regexp_replace(trim(url),
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1), '/+$', '')
-             || CASE WHEN regexp_extract(trim(url), '[?&]id=([0-9]+)', 1) = ''
-                THEN '' ELSE '?id=' || regexp_extract(trim(url), '[?&]id=([0-9]+)', 1)
-                END AS canonical_url
-           FROM u)
-         SELECT canonical_url, count(*) AS n_variants,
-           min(doc_id) AS keep_id
-         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
-
-    // boilerplate replay: same explode + two-level aggregation
-    "curate_boilerplate" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, unnest(CASE WHEN len(toks) < 3
-               THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS ngram
-           FROM norm),
-         pd AS (SELECT ngram, doc_id, count(*) AS occ FROM g GROUP BY 1, 2),
-         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
-         SELECT ngram, count(*) AS df, CAST(sum(occ) AS BIGINT) AS occ,
-           round(CAST(count(*)::DOUBLE / n AS DECIMAL(18,8)), 4)::DOUBLE
-             AS frac_docs
-         FROM pd CROSS JOIN nd GROUP BY ngram, n
-         HAVING count(*) >= 5 ORDER BY ngram""",
-
-    // rule replay: the same first-violated CASE chain over the same
-    // scan-speed signals
-    "curate_rules" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang, n_chars, $normSql AS nt FROM documents),
-         t AS (
-           SELECT doc_id, lang, n_chars,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS tok
-           FROM d)
-         SELECT doc_id,
-           CASE WHEN tok = 0 THEN 'empty'
-                WHEN tok < 25 THEN 'too_short'
-                WHEN n_chars > 900 THEN 'too_long'
-                WHEN lang = 'zh' THEN 'cjk_excluded'
-                ELSE NULL END AS violated_rule,
-           (CASE WHEN tok = 0 THEN 'empty'
-                WHEN tok < 25 THEN 'too_short'
-                WHEN n_chars > 900 THEN 'too_long'
-                WHEN lang = 'zh' THEN 'cjk_excluded'
-                ELSE NULL END) IS NULL AS kept
-         FROM t ORDER BY doc_id""",
-
-    // padding replay: same per-candidate clamp/pad sums and staged ratio
-    "pack_padding_audit" ->
-      s"""WITH d AS (
-           SELECT CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS t
-           FROM (SELECT $normSql AS nt FROM documents)),
-         c(ctx) AS (VALUES (64), (128), (256)),
-         agg AS (
-           SELECT ctx, count(*) AS n_docs,
-             CAST(sum(t) AS BIGINT) AS total_tokens,
-             CAST(sum(CASE WHEN t <= 0 THEN 0
-               ELSE ctx - least(t, ctx) END) AS BIGINT) AS padded_tokens,
-             CAST(sum(CASE WHEN t <= 0 THEN 0
-               ELSE least(t, ctx) END) AS BIGINT) AS kept
-           FROM d CROSS JOIN c GROUP BY ctx)
-         SELECT ctx AS ctx_len, n_docs, total_tokens, padded_tokens,
-           round(CAST(padded_tokens::DOUBLE
-               / greatest(kept + padded_tokens, 1) AS DECIMAL(18,8)), 6)::DOUBLE
-             AS pad_frac
-         FROM agg ORDER BY ctx_len""",
-
-    // length-bucket replay: same bins, md5 shard + order, windowed batch
-    // ordinals, per-batch padding arithmetic
-    "pack_length_buckets" ->
-      s"""WITH d AS (
-           SELECT doc_id,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tok
-           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
-         b AS (
-           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_tok // 16 AS bin,
-             ('0x'||substr(md5(doc_id::VARCHAR || 'lb'),1,15))::BIGINT % 4 AS shard,
-             md5(doc_id::VARCHAR || 'lb') AS h
-           FROM d),
-         r AS (
-           SELECT *, row_number() OVER (PARTITION BY bin, shard
-             ORDER BY h, doc_id) - 1 AS rn
-           FROM b),
-         p AS (SELECT n_tok, bin, shard, rn // 8 AS batch FROM r)
-         SELECT CAST(bin AS BIGINT) AS bin, CAST(shard AS BIGINT) AS shard,
-           CAST(batch AS BIGINT) AS batch, count(*) AS n_rows,
-           CAST(max(n_tok) AS BIGINT) AS max_tok,
-           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
-           round(CAST(CASE WHEN count(*) * max(n_tok) = 0 THEN 0.0
-             ELSE CAST(count(*) * max(n_tok) - sum(n_tok) AS DOUBLE)
-               / (count(*) * max(n_tok)) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS pad_frac
-         FROM p GROUP BY bin, shard, batch ORDER BY bin, shard, batch""",
-
-    // epoch-shuffle replay: the same md5-derived shard and order keys
-    "sample_epoch_shuffle" ->
-      """SELECT doc_id, 3 AS epoch,
-           CAST(('0x'||substr(md5(doc_id::VARCHAR || 'epoch3-shard'),1,15))::BIGINT
-             % 8 AS INTEGER) AS shard,
-           ('0x'||substr(md5(doc_id::VARCHAR || 'epoch3-order'),1,15))::BIGINT
-             AS sort_key
-         FROM documents ORDER BY doc_id""",
-
-    "sample_mixture" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
-           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
-         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
-         t AS (SELECT sum(gt) AS tt FROM g),
-         r AS (
-           SELECT lang, CAST(floor(least(1.0::DOUBLE,
-             0.5::DOUBLE * (CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'de' THEN 0.15::DOUBLE
-               WHEN 'es' THEN 0.15::DOUBLE WHEN 'fr' THEN 0.1::DOUBLE
-               WHEN 'zh' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
-             * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE) AS BIGINT) AS rate_bp
-           FROM g CROSS JOIN t)
-         SELECT d.doc_id, d.lang, d.n_tokens, r.rate_bp,
-           ('0x'||substr(md5(d.doc_id::VARCHAR || 'mix-v1'),1,15))::BIGINT % 10000 < r.rate_bp
-             AS kept
-         FROM d JOIN r ON d.lang = r.lang
-         ORDER BY doc_id""",
-
-    // kappa replay: the text_quality score replay and the token-count rule
-    // feed the same 2×2 confusion row; po/pe round before κ forms
-    "curate_kappa" -> kappaOracleSql,
-    // additive confusion counts: the monitor's folded state equals the
-    // one-pass row — identical replay
-    "stream_kappa" -> kappaOracleSql,
-    // McNemar replay: same confusion CTE, asymmetry readout
-    "curate_mcnemar" -> mcnemarOracleSql,
-    // Scott's pi / Gwet's AC1 replay: same confusion CTE, pooled-marginal
-    // chance terms
-    "curate_gwet" -> gwetOracleSql,
-    "stream_gwet" -> gwetOracleSql,
-    "stream_mcnemar" -> mcnemarOracleSql,
-    // Cochran's Q replay: three-filter panel, exact-integer Q
-    "curate_cochranq" -> cochranOracleSql,
-    "stream_cochranq" -> cochranOracleSql,
-    // Fleiss replay: same panel state, beyond-chance agreement
-    "curate_fleiss" -> fleissOracleSql,
-    "stream_fleiss" -> fleissOracleSql,
-
-    // AUC replay: micro-sum and quality-label replays feed the same
-    // per-score count table; cumulative window is fine at oracle scale,
-    // HUGEINT keeps the doubled U exact
-    "curate_auc" -> aucOracleSql,
-    // additive per-score counts: the monitor's folded state equals the
-    // one-pass table — identical replay
-    "stream_auc" -> aucOracleSql,
-    // gains/lift replay: same score+label counts, top-first cumulation,
-    // decile boundary rows via conditional mins
-    "curate_gains" -> gainsOracleSql,
-    "stream_gains" -> gainsOracleSql,
-    // confusion-metrics replay: same counts, four conditional sums at
-    // the zero cut, exact MCC numerator
-    "curate_confusion" -> confusionOracleSql,
-    "stream_confusion" -> confusionOracleSql,
-    // ECE replay: 4dp quality probability vs classifier verdict, decile
-    // bins with staged sums
-    "curate_ece" -> eceOracleSql,
-
-    // P/R/F1 replay: same score and label replays, per-threshold
-    // conditional sums unpivoted, integer-exact F1
-    "curate_pr_curve" -> prCurveOracleSql,
-    // same additive per-score state, same cuts — identical replay
-    "stream_pr_curve" -> prCurveOracleSql,
-
-    // reliability replay: same bins (IEEE floor of the exact micro-sum over
-    // the width), same rate divide
-    "curate_reliability" -> reliabilityOracleSql,
-    // the same additive score-count state, binned — identical replay
-    "stream_reliability" -> reliabilityOracleSql,
-
-    // τ-sampling replay: same per-group token masses, pow staged in
-    // DECIMAL(28,8) before the order-independent denominator sum, same
-    // share/rate arithmetic and floor(x·bp + 0.5) threshold rounding
-    "sample_temperature" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
-           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
-         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
-         p AS (SELECT lang, gt,
-             CAST(pow(gt::DOUBLE, 0.7::DOUBLE) AS DECIMAL(28,8)) AS pw FROM g),
-         t AS (SELECT sum(gt) AS tt, sum(pw) AS pt FROM p),
-         r AS (
-           SELECT lang,
-             CAST(floor((pw::DOUBLE / pt::DOUBLE) * 10000 + 0.5::DOUBLE)
-               AS BIGINT) AS share_bp,
-             CAST(floor(least(1.0::DOUBLE,
-               0.5::DOUBLE * (pw::DOUBLE / pt::DOUBLE)
-                 * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE)
-               AS BIGINT) AS rate_bp
-           FROM p CROSS JOIN t)
-         SELECT d.doc_id, d.lang, d.n_tokens, r.share_bp, r.rate_bp,
-           ('0x'||substr(md5(d.doc_id::VARCHAR || 'temp-v1'),1,15))::BIGINT % 10000 < r.rate_bp
-             AS kept
-         FROM d JOIN r ON d.lang = r.lang
-         ORDER BY doc_id""",
-
-    // additive masses: the monitor's folded state feeds the same rate
-    // arithmetic — group-level replay of the τ-sampling table
-    "stream_mixture" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
-           FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
-         g AS (SELECT lang, sum(n_tokens) AS gt FROM d GROUP BY lang),
-         p AS (SELECT lang, gt,
-             CAST(pow(gt::DOUBLE, 0.7::DOUBLE) AS DECIMAL(28,8)) AS pw FROM g),
-         t AS (SELECT sum(gt) AS tt, sum(pw) AS pt FROM p)
-         SELECT lang, CAST(gt AS BIGINT) AS mass,
-           CAST(floor((pw::DOUBLE / pt::DOUBLE) * 10000 + 0.5::DOUBLE)
-             AS BIGINT) AS share_bp,
-           CAST(floor(least(1.0::DOUBLE,
-             0.5::DOUBLE * (pw::DOUBLE / pt::DOUBLE)
-               * tt::DOUBLE / gt::DOUBLE) * 10000 + 0.5::DOUBLE)
-             AS BIGINT) AS rate_bp
-         FROM p CROSS JOIN t
-         ORDER BY lang""",
-
-    "dedup_incremental" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT n.doc_id AS new_id, c.doc_id AS match_id,
-             len(list_intersect(n.s, c.s))::DOUBLE
-               / len(list_distinct(list_concat(n.s, c.s))) AS jac
-           FROM sh n JOIN sh c
-             ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
-         SELECT new_id, match_id, round(jac, 4) AS jaccard
-         FROM pairs WHERE jac >= 0.8 ORDER BY new_id, match_id""",
-
-    // ordered-batch replay: a pair is found iff the match arrived in a
-    // strictly earlier batch (batch = doc_id % 5) and exact jaccard >= 0.8
-    "stream_dedup_index" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-           FROM norm),
-         pairs AS (
-           SELECT n.doc_id AS new_id, c.doc_id AS match_id,
-             len(list_intersect(n.s, c.s))::DOUBLE
-               / len(list_distinct(list_concat(n.s, c.s))) AS jac
-           FROM sh n JOIN sh c
-             ON (n.doc_id % 5) > (c.doc_id % 5))
-         SELECT new_id, match_id, round(jac, 4) AS jaccard
-         FROM pairs WHERE jac >= 0.8 ORDER BY new_id, match_id""",
-
-    "layout_zorder" ->
-      """WITH o AS (
-           SELECT (o_custkey % 256)::BIGINT AS x,
-             (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256)::BIGINT AS y
-           FROM orders),
-         z AS (
-           SELECT x, y, list_sum(list_transform(range(0, 8), i ->
-             (((x >> i::INTEGER) & 1) << (2*i)::INTEGER)
-               + (((y >> i::INTEGER) & 1) << (2*i+1)::INTEGER)))::BIGINT AS zv
-           FROM o)
-         SELECT (zv >> 12)::BIGINT AS file_id, count(*) AS n_rows,
-           min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
-         FROM z GROUP BY file_id ORDER BY file_id""",
-
-    "shard_balanced" ->
-      s"""WITH d AS (
-           SELECT doc_id,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
-           FROM (SELECT doc_id, $normSql AS nt FROM documents)),
-         o AS (
-           SELECT n_tokens,
-             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS ord
-           FROM d),
-         a AS (
-           SELECT n_tokens,
-             CASE WHEN ord % 16 < 8 THEN ord % 16 ELSE 15 - (ord % 16) END AS shard
-           FROM o)
-         SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
-           CAST(sum(n_tokens) AS BIGINT) AS total_size
-         FROM a GROUP BY shard ORDER BY shard""",
-
-    // compaction replay: small-file filter, ceil-divide group count off the
-    // 1-row total, the same descending-size serpentine deal
-    "layout_compaction" ->
-      """WITH f AS (SELECT doc_id AS file_id, n_chars FROM documents),
-         s AS (SELECT file_id, n_chars FROM f WHERE n_chars < 300),
-         t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM s),
-         g AS (SELECT greatest((tot + 2000 - 1) // 2000, 1) AS ng FROM t),
-         o AS (
-           SELECT file_id, n_chars,
-             row_number() OVER (ORDER BY n_chars DESC, file_id) - 1 AS ord
-           FROM s),
-         p AS (
-           SELECT file_id, CAST(n_chars AS BIGINT) AS bytes,
-             CAST(CASE WHEN ord % (2*ng) < ng THEN ord % (2*ng)
-                  ELSE 2*ng - 1 - (ord % (2*ng)) END AS INTEGER) AS group_id
-           FROM o CROSS JOIN g)
-         SELECT file_id, bytes, group_id FROM p
-         UNION ALL
-         SELECT file_id, CAST(n_chars AS BIGINT) AS bytes,
-           CAST(-1 AS INTEGER) AS group_id
-         FROM f WHERE n_chars >= 300
-         ORDER BY file_id""",
-
-    "sim_projection" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         w AS (
-           SELECT p, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), d ->
-             ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 10000)
-               / 10000.0 - 0.5)) AS wv
-           FROM range(0, 16) t(p)),
-         pr AS (
-           SELECT vec_id, v,
-             (SELECT list(list_dot_product(e2.v, w.wv) ORDER BY w.p) FROM w) AS proj
-           FROM e e2)
-         SELECT vec_id,
-           md5(array_to_string(list_transform(proj,
-             x -> CAST(CAST(floor(x*10000 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS p_fp,
-           round(CAST(sqrt(12.0/16) * sqrt(list_dot_product(proj, proj))
-             / sqrt(list_dot_product(v, v)) AS DECIMAL(18,8)), 4)::DOUBLE AS distortion
-         FROM pr ORDER BY vec_id""",
-
-    "text_docfreq" ->
-      s"""WITH d AS (
-           SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS toks FROM documents),
-         tkf AS (
-           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok <> ''),
-         df AS (SELECT tok, count(*) AS df FROM tkf GROUP BY tok),
-         sc AS (
-           SELECT doc_id, count(*) AS n_distinct,
-             round(CAST(CAST(sum(df.df) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS mean_df,
-             CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-           FROM tkf JOIN df USING (tok) GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_distinct, 0) AS n_distinct,
-           coalesce(sc.mean_df, 0.0) AS mean_df, coalesce(sc.n_rare, 0) AS n_rare
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
-
-    // vocab-growth replay: same id buckets, first-bucket-per-type counts,
-    // occurrence mass, and running totals over the bucket frame
-    "text_vocab_growth" ->
-      s"""WITH tk AS (
-           SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket, tok FROM (
-             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-             FROM documents)
-           WHERE tok <> ''),
-         firsts AS (SELECT tok, min(bucket) AS bucket FROM tk GROUP BY tok),
-         nt AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY 1),
-         mass AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY 1)
-         SELECT m.bucket, m.n_tokens,
-           CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
-           CAST(sum(m.n_tokens) OVER (ORDER BY m.bucket) AS BIGINT) AS cum_tokens,
-           CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY m.bucket) AS BIGINT)
-             AS cum_types
-         FROM mass m LEFT JOIN nt ON m.bucket = nt.bucket
-         ORDER BY m.bucket""",
-
-    // threshold-curve replay: the containment candidate/scoring chain with
-    // the filters opened, swept over the threshold list
-    "dedup_threshold_curve" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
-           FROM norm),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
-         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
-         cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           JOIN dfreq d ON d.sh = a.sh
-           WHERE d.df <= 64
-           GROUP BY 1, 2),
-         scored AS (
-           SELECT id_a, id_b,
-             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
-           FROM cand JOIN sizes sa ON id_a = sa.doc_id
-                     JOIN sizes sb ON id_b = sb.doc_id),
-         ths(t) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-           (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
-         p2 AS (
-           SELECT ths.t, s.id_a AS pa, s.id_a AS d
-           FROM ths LEFT JOIN scored s ON s.jaccard >= ths.t
-           UNION ALL
-           SELECT ths.t, s.id_a, s.id_b
-           FROM ths LEFT JOIN scored s ON s.jaccard >= ths.t)
-         SELECT t AS threshold, CAST(count(pa) // 2 AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT d) AS BIGINT) AS n_docs
-         FROM p2 GROUP BY t ORDER BY t""",
-
-    // minhash-eval replay: the threshold-curve truth CTEs over the SAME
-    // deterministic half-sample, then md5 signatures (min over shingles
-    // per seed), index-prefixed band keys, band-collision hits, and the
-    // same decimal-staged rollup; the S-curve evaluates as the identical
-    // left-assoc multiplication chain
-    "dedup_minhash_eval" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
-           WHERE doc_id % 2 = 0),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
-           FROM norm),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
-         dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1),
-         cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-           FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           JOIN dfreq d ON d.sh = a.sh
-           WHERE d.df <= 64
-           GROUP BY 1, 2
-           HAVING count(*) >= 2),
-         scored AS (
-           SELECT id_a, id_b,
-             round(CAST(shared::DOUBLE / (sa.sz + sb.sz - shared)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS jaccard
-           FROM cand JOIN sizes sa ON id_a = sa.doc_id
-                     JOIN sizes sb ON id_b = sb.doc_id),
-         ids AS (
-           SELECT id_a AS id FROM scored UNION SELECT id_b FROM scored),
-         sig AS (
-           SELECT s.doc_id, g.i,
-             min(('0x'||substr(md5(s.sh || '#' || g.i::VARCHAR),1,15))::BIGINT)
-               AS m
-           FROM sh0 s JOIN ids ON s.doc_id = ids.id
-           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
-           GROUP BY s.doc_id, g.i),
-         bk AS (
-           SELECT doc_id, (i // 4)::VARCHAR || ':' ||
-             array_to_string(list(m::VARCHAR ORDER BY i), ',') AS bk
-           FROM sig GROUP BY doc_id, i // 4),
-         hits AS (
-           SELECT DISTINCT s.id_a, s.id_b
-           FROM scored s JOIN bk x ON x.doc_id = s.id_a
-             JOIN bk y ON y.doc_id = s.id_b AND y.bk = x.bk),
-         ev AS (
-           SELECT s.id_a, s.id_b, s.jaccard,
-             h.id_a IS NOT NULL AS caught,
-             1.0 - s.jaccard * s.jaccard * s.jaccard * s.jaccard AS q
-           FROM scored s LEFT JOIN hits h
-             ON s.id_a = h.id_a AND s.id_b = h.id_b),
-         ths(t) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-           (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE))),
-         roll AS (
-           SELECT t,
-             sum(CASE WHEN jaccard >= t THEN 1 ELSE 0 END) AS n_true,
-             sum(CASE WHEN jaccard >= t AND caught THEN 1 ELSE 0 END) AS n_caught,
-             sum(CASE WHEN caught THEN 1 ELSE 0 END) AS n_candidates,
-             sum(CASE WHEN jaccard >= t
-                 THEN CAST(1.0 - q * q * q * q AS DECIMAL(18,8)) END) AS se
-           FROM ths CROSS JOIN ev GROUP BY t)
-         SELECT t AS threshold,
-           CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
-           CAST(coalesce(n_caught, 0) AS BIGINT) AS n_caught,
-           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
-           round(CAST(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
-             ELSE n_caught::DOUBLE / n_true END AS DECIMAL(18,8)), 4)::DOUBLE
-             AS recall,
-           round(CAST(CASE WHEN coalesce(n_candidates, 0) = 0 THEN 0.0
-             ELSE n_caught::DOUBLE / n_candidates END AS DECIMAL(18,8)), 4)::DOUBLE
-             AS precision,
-           round(CAST(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
-             ELSE CAST(se AS DOUBLE) / n_true END AS DECIMAL(18,8)), 4)::DOUBLE
-             AS exp_recall
-         FROM roll ORDER BY t""",
-
-    // keyness replay: one (token, target?) count table off the shared
-    // normalization, Haldane-smoothed log odds, top-20 by (log_odds desc,
-    // token); cnt_rest uses CASE WHEN NOT t so NULL targets mirror Spark's
-    // negated `when` (excluded from BOTH arms)
-    "text_keyness" ->
-      s"""WITH tk AS (
-           SELECT lang = 'en' AS t,
-             unnest(string_split($normSql, ' ')) AS tok
-           FROM documents),
-         c AS (
-           SELECT tok,
-             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_target,
-             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_rest
-           FROM tk WHERE tok <> '' GROUP BY 1),
-         tot AS (
-           SELECT CAST(sum(cnt_target) AS BIGINT) AS ta,
-             CAST(sum(cnt_rest) AS BIGINT) AS tb
-           FROM c)
-       SELECT token, cnt_target, cnt_rest, log_odds FROM (
-           SELECT tok AS token, cnt_target, cnt_rest,
-             round(CAST(
-               ln((cnt_target::DOUBLE + 0.5) / ((ta - cnt_target)::DOUBLE + 0.5))
-               - ln((cnt_rest::DOUBLE + 0.5) / ((tb - cnt_rest)::DOUBLE + 0.5))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS log_odds
-           FROM c CROSS JOIN tot
-           WHERE cnt_target + cnt_rest >= 5)
-       ORDER BY log_odds DESC, token ASC LIMIT 20""",
-
-    // OOV replay: same (lang, token, cnt) table, top-20 vocab, left join
-    "text_oov" ->
-      s"""WITH lt AS (
-           SELECT lang, tok, count(*) AS cnt FROM (
-             SELECT lang, unnest(string_split($normSql, ' ')) AS tok
-             FROM documents)
-           WHERE tok <> '' GROUP BY 1, 2),
-         v AS (
-           SELECT tok FROM (
-             SELECT tok, sum(cnt) AS c FROM lt GROUP BY tok
-             ORDER BY c DESC, tok LIMIT 20)),
-         agg AS (
-           SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-             CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE cnt END)
-               AS BIGINT) AS n_oov
-           FROM lt GROUP BY lang)
-         SELECT lang, n_tokens, n_oov,
-           round(CAST(n_oov::DOUBLE / n_tokens AS DECIMAL(18,8)), 6)::DOUBLE
-             AS oov_rate
-         FROM agg ORDER BY lang""",
-
-    "sim_bruteforce" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id < 10),
-         p AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""",
-
-    // profile replay: decimal-staged dimension sums, the E[x^2]-E[x]^2
-    // variance with the identical fixed operation order
-    "stats_embedding_profile" ->
-      """WITH e AS (
-           SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         x AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
-         SELECT CAST(dim - 1 AS INTEGER) AS dim, count(*) AS n,
-           round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
-             AS DECIMAL(18,8)), 6)::DOUBLE AS mean,
-           round(CAST(sqrt(greatest(
-               sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
-                 - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
-                   * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
-             AS DECIMAL(18,8)), 6)::DOUBLE AS std,
-           min(x) AS lo, max(x) AS hi
-         FROM x GROUP BY dim ORDER BY dim""",
-
-    // covariance replay: same per-pair exact decimal sums (generated by
-    // the same dims loop the Spark side uses), same divide order
-    "stats_embedding_cov" -> covOracleSql(0 to 7),
-
-    // PCA replay: covariance replay, then 10 unrolled fixed-order
-    // matvec+normalize chains — bit-identical IEEE on both engines
-    "sim_pca" -> pcaOracleSql(0 to 7, iters = 10),
-
-    // drift replay: the profile replay twice (old slice, perturbed new
-    // snapshot), deltas on the already-rounded 6dp values
-    "curate_embedding_drift" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         o AS (SELECT v FROM e WHERE vec_id % 10 <> 0),
-         nw AS (
-           SELECT CASE WHEN vec_id % 5 = 0
-             THEN list_transform(v, x -> x * 1.1) ELSE v END AS v FROM e),
-         po AS (
-           SELECT CAST(dim - 1 AS INTEGER) AS dim,
-             round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS old_mean,
-             round(CAST(sqrt(greatest(
-                 sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
-                   - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
-                     * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS old_std
-           FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM o)
-           GROUP BY dim),
-         pn AS (
-           SELECT CAST(dim - 1 AS INTEGER) AS dim,
-             round(CAST(sum(x::DECIMAL(30,10))::DOUBLE / count(*)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS new_mean,
-             round(CAST(sqrt(greatest(
-                 sum((x*x)::DECIMAL(30,10))::DOUBLE / count(*)
-                   - (sum(x::DECIMAL(30,10))::DOUBLE / count(*))
-                     * (sum(x::DECIMAL(30,10))::DOUBLE / count(*)), 0.0))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS new_std
-           FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM nw)
-           GROUP BY dim)
-         SELECT po.dim, old_mean, new_mean,
-           round(CAST(new_mean - old_mean AS DECIMAL(18,8)), 6)::DOUBLE AS mean_shift,
-           old_std, new_std,
-           CASE WHEN old_std = 0 THEN NULL
-             ELSE round(CAST(new_std / old_std AS DECIMAL(18,8)), 6)::DOUBLE END
-             AS std_ratio
-         FROM po JOIN pn ON po.dim = pn.dim ORDER BY po.dim""",
-
-    // semantic-sampling replay: the sim_kmeans assignment chain through the
-    // trained centroids, then md5-ranked per-cluster quotas
-    "sample_semantic" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         a1 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c0.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
-                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
-             FROM e CROSS JOIN c0) WHERE rn = 1),
-         c1 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         a2 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c1.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
-                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
-             FROM e CROSS JOIN c1) WHERE rn = 1),
-         c2 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         fin AS (
-           SELECT vec_id, cluster FROM (
-             SELECT e.vec_id, c2.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
-             FROM e CROSS JOIN c2) WHERE rn = 1),
-         h AS (
-           SELECT vec_id, cluster,
-             ('0x'||substr(md5(vec_id::VARCHAR || 'sem'),1,15))::BIGINT AS hv
-           FROM fin)
-         SELECT vec_id, cluster FROM (
-           SELECT vec_id, cluster,
-             row_number() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rn
-           FROM h) WHERE rn <= 10 ORDER BY cluster, vec_id""",
-
-    // coreset replay: 3 unrolled Gonzalez rounds — min over the selected
-    // set chains through least() (min is exact, so chaining equals the
-    // fresh fold), farthest pick by (dmin DESC, vec_id)
-    "sim_coreset" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
-         d1 AS (
-           SELECT e.vec_id, e.v,
-             list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.v)
-               + list_dot_product(c0.v, c0.v) AS dmin
-           FROM e CROSS JOIN c0),
-         c1 AS (SELECT vec_id, v, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
-         d2 AS (
-           SELECT d1.vec_id, d1.v,
-             least(d1.dmin,
-               list_dot_product(d1.v, d1.v) - 2*list_dot_product(d1.v, c1.v)
-                 + list_dot_product(c1.v, c1.v)) AS dmin
-           FROM d1 CROSS JOIN c1),
-         c2 AS (SELECT vec_id, v, dmin FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
-         d3 AS (
-           SELECT d2.vec_id, d2.v,
-             least(d2.dmin,
-               list_dot_product(d2.v, d2.v) - 2*list_dot_product(d2.v, c2.v)
-                 + list_dot_product(c2.v, c2.v)) AS dmin
-           FROM d2 CROSS JOIN c2),
-         c3 AS (SELECT vec_id, v, dmin FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1)
-         SELECT 1 AS "rank", vec_id, 0.0 AS d2 FROM c0
-         UNION ALL SELECT 2, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c1
-         UNION ALL SELECT 3, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c2
-         UNION ALL SELECT 4, vec_id, round(CAST(dmin AS DECIMAL(18,8)), 4)::DOUBLE FROM c3
-         ORDER BY "rank"""",
-
-    // negatives replay: md5-bucketed per-query candidate pool (16 buckets,
-    // 4 probes), pool-local top-5 cosine exclusion, md5-hash-ordered draw
-    "sim_negatives" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id < 10),
-         cand AS (
-           SELECT vec_id AS cid, v,
-             ('0x'||substr(md5(vec_id::VARCHAR || 'neg-v1|b'),1,15))::BIGINT % 16 AS b
-           FROM e),
-         qp AS (
-           SELECT q.vec_id AS qid, q.v,
-             (('0x'||substr(md5(q.vec_id::VARCHAR || 'neg-v1|q'),1,15))::BIGINT % 16 + j) % 16 AS b
-           FROM q CROSS JOIN range(0, 4) t(j)),
-         pool AS (
-           SELECT qp.qid, cand.cid,
-             list_dot_product(qp.v, cand.v)
-               / (sqrt(list_dot_product(qp.v, qp.v)) * sqrt(list_dot_product(cand.v, cand.v))) AS cos,
-             ('0x'||substr(md5(qp.qid::VARCHAR || '_' || cand.cid::VARCHAR || 'neg-v1'),1,15))::BIGINT AS h
-           FROM qp JOIN cand USING (b) WHERE qp.qid != cand.cid),
-         kept AS (
-           SELECT qid, cid, h FROM (
-             SELECT qid, cid, h, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS nr
-             FROM pool) WHERE nr > 5)
-         SELECT qid AS query_id, cid AS negative_id, CAST(rn AS BIGINT) AS neg_rank
-         FROM (
-           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY h ASC, cid ASC) AS rn
-           FROM kept)
-         WHERE rn <= 5 ORDER BY query_id, neg_rank""",
-
-    // frame replay: video rows (doc_id%3=2), 4 frames each, frame BMP is
-    // 246 bytes (8x8 24-bit + 54-byte header), pixels from the generation
-    // rule the decoder provably inverts (MultimodalSpec)
-    "mm_frames" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
-         px AS (
-           SELECT doc_id, frame_no, list_transform(range(0, 64),
-             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
-           FROM f)
-         SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
-           246 AS n_bytes,
-           list_sum(g) / 64.0 / 255.0 AS mean_px,
-           list_max(g) / 255.0 AS max_px
-         FROM px ORDER BY doc_id, frame_no""",
-
-    // scene-cut replay: aHash bits from the pixel formula (exact integer
-    // threshold px·64 ≥ Σpx), consecutive-frame self-join, bit_count(xor)
-    "mm_scenecut" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
-         px AS (
-           SELECT doc_id, frame_no, list_transform(range(0, 64),
-             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
-           FROM f),
-         h AS (
-           SELECT doc_id, frame_no,
-             list_sum(list_transform(range(0, 32),
-               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
-                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS lo,
-             list_sum(list_transform(range(32, 64),
-               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
-                 THEN (1::BIGINT << (i-32)) ELSE 0::BIGINT END))::BIGINT AS hi
-           FROM px),
-         p AS (
-           SELECT a.doc_id, a.frame_no,
-             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-           FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.frame_no = a.frame_no - 1)
-         SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
-           CAST(hamming AS INTEGER) AS hamming, hamming >= 16 AS is_cut
-         FROM p ORDER BY doc_id, frame_no""",
-
-    // shot-summary replay: the scene-cut replay's pair table rolled up per
-    // video, mean as one exact-integer divide
-    "mm_shot_summary" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-         f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_no FROM d),
-         px AS (
-           SELECT doc_id, frame_no, list_transform(range(0, 64),
-             i -> (doc_id*31 + frame_no*17 + (i%8)*7 + (i//8)*13) % 256) AS g
-           FROM f),
-         h AS (
-           SELECT doc_id, frame_no,
-             list_sum(list_transform(range(0, 32),
-               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
-                 THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS lo,
-             list_sum(list_transform(range(32, 64),
-               i -> CASE WHEN g[i+1]*64 >= list_sum(g)
-                 THEN (1::BIGINT << (i-32)) ELSE 0::BIGINT END))::BIGINT AS hi
-           FROM px),
-         p AS (
-           SELECT a.doc_id,
-             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-           FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.frame_no = a.frame_no - 1)
-         SELECT doc_id, count(*) AS n_pairs,
-           sum(CASE WHEN hamming >= 16 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
-           round(CAST(sum(hamming)::DOUBLE / count(*)::DOUBLE
-             AS DECIMAL(18,8)), 4)::DOUBLE AS mean_hamming
-         FROM p GROUP BY doc_id ORDER BY doc_id""",
-
-    "mm_features" ->
-      """WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
-         img AS (
-           SELECT doc_id, list_transform(range(0, 64),
-             i -> (doc_id*31 + (i%8)*7 + (i//8)*13) % 256) AS g
-           FROM d WHERE m = 0),
-         aud AS (
-           SELECT doc_id, list_transform(range(0, 256),
-             i -> (doc_id*7 + i*3) % 256) AS s
-           FROM d WHERE m = 1 AND doc_id % 6 = 1),
-         -- mu-law rows: replay G.711 encode->decode in exact integer
-         -- arithmetic (AudioSystem's ULAW expansion is bit-identical to
-         -- this closed form, probed over all 256 codes)
-         audu AS (
-           SELECT doc_id, sum(dec) AS sdec, max(dec) AS mdec FROM (
-             SELECT doc_id,
-               CASE WHEN pcm < 0 THEN -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
-                    ELSE ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132 END AS dec
-             FROM (
-               SELECT doc_id, pcm, mag,
-                 CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
-                      WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
-                      WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
-                      WHEN mag>=256 THEN 1 ELSE 0 END AS e
-               FROM (
-                 SELECT doc_id, pcm, least(abs(pcm)+132, 32635) AS mag FROM (
-                   SELECT doc_id, ((doc_id*7 + i*3) % 256 - 128) * 256 AS pcm
-                   FROM (SELECT doc_id, unnest(range(0, 256)) AS i
-                         FROM d WHERE m = 1 AND doc_id % 6 = 4)))))
-           GROUP BY doc_id),
-         vid AS (
-           SELECT doc_id, list_transform(range(0, 4), f ->
-             list_sum(list_transform(range(0, 64),
-               i -> (doc_id*31 + f*17 + (i%8)*7 + (i//8)*13) % 256)) / 64.0 / 255.0) AS fm
-           FROM d WHERE m = 2),
-         u AS (
-           -- image container alternates: BMP (246 bytes) for doc_id%6=0,
-           -- stored-deflate PNG (closed-form 140 bytes at 8x8 gray) for
-           -- doc_id%6=3; decoded pixels — and so f0..f3 — are identical
-           SELECT doc_id, 'image' AS kind,
-             CASE WHEN doc_id % 6 = 0 THEN 246 ELSE 140 END AS n_bytes,
-             8.0 AS f0, 8.0 AS f1,
-             list_sum(g)/64.0/255.0 AS f2, list_max(g)/255.0 AS f3 FROM img
-           UNION ALL
-           SELECT doc_id, 'audio', 300, 8000.0, 256.0,
-             list_sum(s)/256.0/255.0, list_max(s)/255.0 FROM aud
-           UNION ALL
-           SELECT doc_id, 'audio', 302, 8000.0, 256.0,
-             sdec/256.0/32768.0, mdec/32768.0 FROM audu
-           UNION ALL
-           SELECT doc_id, 'video', 1008, 4.0, 8.0,
-             fm[1], (fm[1]+fm[2]+fm[3]+fm[4])/4.0 FROM vid)
-         SELECT doc_id, kind, CAST(n_bytes AS INTEGER) AS n_bytes,
-           CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
-           CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3
-         FROM u ORDER BY doc_id""",
-
-    // VAD replay: synthesize both codec families' 16-bit sample streams
-    // (PCM8 widened; µ-law encode→decode in exact integer arithmetic),
-    // integer frame energies, floor-mean threshold, rising-edge segments
-    "mm_audio_vad" ->
-      """WITH a AS (
-           SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
-           WHERE doc_id % 3 = 1),
-         pcm AS (
-           SELECT doc_id, i, ((doc_id*7 + i*3) % 256 - 128) * 256 AS pcm FROM a),
-         ex AS (
-           SELECT doc_id, i, pcm, mag,
-             CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
-                  WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
-                  WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
-                  WHEN mag>=256 THEN 1 ELSE 0 END AS e
-           FROM (SELECT doc_id, i, pcm, least(abs(pcm)+132, 32635) AS mag FROM pcm)),
-         v AS (
-           SELECT doc_id, i,
-             CASE WHEN doc_id % 6 = 1 THEN pcm
-                  WHEN pcm < 0 THEN -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
-                  ELSE ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132 END AS v
-           FROM ex),
-         fr AS (
-           SELECT doc_id, i // 32 AS f, sum(v*v) AS en FROM v GROUP BY 1, 2),
-         th AS (
-           SELECT doc_id, sum(en) // count(*) AS theta, count(*) AS nf
-           FROM fr GROUP BY 1),
-         act AS (
-           SELECT fr.doc_id, f, en > theta AS a,
-             lag(en > theta) OVER (PARTITION BY fr.doc_id ORDER BY f) AS pa,
-             nf
-           FROM fr JOIN th USING (doc_id))
-         SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
-           CAST(count(*) FILTER (a) AS INTEGER) AS n_active,
-           CAST(count(*) FILTER (a AND (pa IS NULL OR NOT pa)) AS INTEGER)
-             AS n_segments,
-           round(count(*) FILTER (a) / nf::DOUBLE, 4) AS speech_ratio
-         FROM act GROUP BY doc_id, nf ORDER BY doc_id""",
-
-    // resample replay: synthesis + companding + decimation, floor-division
-    // requantize for the µ-law rows
-    // aHash replay: the pixel generation rule (+128 shift on perturbed
-    // copies), exact-integer mean threshold px·64 >= Σ, 64 bits into two
-    // longs, the same 4-band candidates and bit_count(xor) verify
-    "mm_image_dedup" ->
-      """WITH ids AS (
-           SELECT doc_id AS d, doc_id AS src, 0 AS pert FROM documents
-           WHERE doc_id % 3 = 0
-           UNION ALL
-           SELECT doc_id + 1000000, doc_id, 1 FROM documents
-           WHERE doc_id % 30 = 0),
-         px AS (
-           SELECT d, src, pert, unnest(generate_series(0, 63)) AS i FROM ids),
-         v AS (
-           SELECT d, i,
-             CASE WHEN pert = 1 AND i = 0
-               THEN ((src * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 + 128) % 256
-               ELSE (src * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 END AS v
-           FROM px),
-         s AS (SELECT d, CAST(sum(v) AS BIGINT) AS tot FROM v GROUP BY d),
-         bits AS (
-           SELECT v.d, i, CASE WHEN v * 64 >= tot THEN 1 ELSE 0 END AS b
-           FROM v JOIN s ON v.d = s.d),
-         h AS (
-           SELECT d,
-             CAST(sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32))
-               ELSE 0 END) AS BIGINT) AS hi,
-             CAST(sum(CASE WHEN i < 32 THEN b * (1::BIGINT << i)
-               ELSE 0 END) AS BIGINT) AS lo
-           FROM bits GROUP BY d),
-         bands AS (
-           SELECT d, j,
-             CASE j WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-                  WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
-           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
-         cand AS (
-           SELECT DISTINCT a.d AS id_a, b.d AS id_b
-           FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.d < b.d),
-         pr AS (
-           SELECT id_a, id_b,
-             bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hamming
-           FROM cand JOIN h ha ON ha.d = id_a JOIN h hb ON hb.d = id_b)
-         SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-         FROM pr WHERE hamming <= 3 ORDER BY id_a, id_b""",
-
-    "mm_audio_resample" ->
-      """WITH a AS (
-           SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
-           WHERE doc_id % 3 = 1),
-         k AS (
-           SELECT doc_id, i, ((doc_id*7 + i*3) % 256) AS s8 FROM a
-           WHERE i % 4 = 0),
-         ex AS (
-           SELECT doc_id, i, s8, pcm, mag,
-             CASE WHEN mag>=16384 THEN 7 WHEN mag>=8192 THEN 6
-                  WHEN mag>=4096 THEN 5 WHEN mag>=2048 THEN 4
-                  WHEN mag>=1024 THEN 3 WHEN mag>=512 THEN 2
-                  WHEN mag>=256 THEN 1 ELSE 0 END AS e
-           FROM (SELECT doc_id, i, s8, (s8 - 128) * 256 AS pcm,
-                   least(abs((s8 - 128) * 256)+132, 32635) AS mag FROM k)),
-         dec AS (
-           SELECT doc_id, s8, pcm,
-             CASE WHEN pcm < 0 THEN
-                    -(((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132)
-                  ELSE
-                    ((((mag >> (e+3)) % 16) * 8 + 132) << e) - 132
-             END AS d
-           FROM ex),
-         v AS (
-           -- >> 8 is arithmetic shift = FLOOR division by 256; integer '//'
-           -- truncates toward zero on negatives, so floor explicitly
-           SELECT doc_id,
-             CASE WHEN doc_id % 6 = 1 THEN s8
-                  ELSE CAST(floor(d / 256.0) AS BIGINT) + 128 END AS v8
-           FROM dec)
-         SELECT doc_id, CAST(2000 AS INTEGER) AS out_rate,
-           CAST(64 AS INTEGER) AS n_samples,
-           sum(v8)/64.0/255.0 AS mean
-         FROM v GROUP BY doc_id ORDER BY doc_id""",
-
-    "sim_ann_ivf" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         cents AS (
-           SELECT vec_id AS centid, v AS centv FROM e ORDER BY vec_id LIMIT 16),
-         cassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c) WHERE cr = 1),
-         qassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
-         j AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
-
-    // replay: quantizer = 16 lowest ids of the FIRST batch (vec_id % 4 = 0),
-    // every vector cosine-routed to its nearest centroid, queries probe 4
-    // Hamming replay: distance IS the count of sign mismatches, so the
-    // oracle verifies from the definition without reproducing the packing
-    "sim_hamming" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-         j AS (
-           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-             CAST(len(list_filter(range(1, len(q.qv) + 1),
-               i -> (q.qv[i] > 0) != (e.v[i] > 0))) AS BIGINT) AS hamming
-           FROM q CROSS JOIN e WHERE q.qid != e.vec_id)
-         SELECT query_id, neighbor_id, hamming,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
-         FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
-
-    "sim_hamming_rerank" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-         j AS (
-           SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-             CAST(len(list_filter(range(1, len(q.qv) + 1),
-               i -> (q.qv[i] > 0) != (e.v[i] > 0))) AS BIGINT) AS hamming
-           FROM q CROSS JOIN e WHERE q.qid != e.vec_id),
-         cand AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY hamming, neighbor_id) AS r
-             FROM j) WHERE r <= 40),
-         sc AS (
-           SELECT c.query_id, c.neighbor_id,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-           FROM cand c JOIN e a ON a.vec_id = c.query_id
-             JOIN e b ON b.vec_id = c.neighbor_id)
-         SELECT query_id, neighbor_id,
-           round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank""",
-
-    "stream_ann_ingest" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         cents AS (
-           SELECT vec_id AS centid, v AS centv FROM e
-           WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
-         cassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c) WHERE cr = 1),
-         qassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
-         j AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
-
-    // compaction lifecycle closed form: the LAST batch always trips the
-    // maxMeanList=4 threshold (n > 4*sqrt(n) for n > 16), and compaction
-    // re-routes EVERYTHING onto the new quantizer, erasing all
-    // intermediate routing — so the final index is every vector assigned
-    // to the ceil(sqrt(n)) lowest-id vectors, exactly what this SQL
-    // replays
-    "stream_ann_compact" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         ranked AS (
-           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn,
-             count(*) OVER () AS n FROM e),
-         cents AS (
-           SELECT vec_id AS centid, v AS centv FROM ranked
-           WHERE rn <= ceil(sqrt(n))),
-         cassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c) WHERE cr = 1),
-         qassign AS (
-           SELECT vec_id, v, centid AS cluster FROM (
-             SELECT e.vec_id, e.v, c.centid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, c.centv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))) DESC,
-                 c.centid) AS cr
-             FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE cr <= 4),
-         j AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM qassign q JOIN cassign c ON q.cluster = c.cluster AND q.vec_id != c.vec_id)
-         SELECT query_id, neighbor_id, round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE AS cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         FROM j QUALIFY rank <= 5 ORDER BY query_id, rank""",
-
-    "mm_resize" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-         r AS (SELECT doc_id, list_transform(range(0, 16),
-               i -> (doc_id*31 + ((i%4)*2)*7 + ((i//4)*2)*13) % 256) AS g FROM d)
-         SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
-           list_sum(g)/16.0/255.0 AS mean_gray
-         FROM r ORDER BY doc_id""",
-
-    "text_langid" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sc AS (
-           SELECT doc_id,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
-           FROM norm)
-         SELECT doc_id,
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                ELSE 'fr' END AS lang_pred
-         FROM sc ORDER BY doc_id""",
-
-    // confusion replay: the text_langid predictor CTE joined back to the
-    // labeled truth, joint counts + per-truth share
-    "text_lang_confusion" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         sc AS (
-           SELECT doc_id,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
-           FROM norm),
-         pred AS (
-           SELECT doc_id,
-             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                  ELSE 'fr' END AS lang_pred
-           FROM sc),
-         j AS (
-           SELECT d.lang, p.lang_pred FROM documents d
-           JOIN pred p USING (doc_id)),
-         conf AS (
-           SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-           FROM j GROUP BY 1, 2),
-         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM conf GROUP BY 1)
-         SELECT conf.lang, lang_pred, n,
-           round(CAST(n::DOUBLE / t::DOUBLE AS DECIMAL(18,8)), 6)::DOUBLE AS share
-         FROM conf JOIN tot USING (lang) ORDER BY 1, 2""",
-
-    "text_quality" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm)
-         SELECT doc_id,
-           round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-             + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-             + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                           ELSE npunct::DOUBLE / length(text) END) * 0.3 AS DECIMAL(18,8)), 4)::DOUBLE AS quality
-         FROM c ORDER BY doc_id""",
-
-    // readability replay: same token count, same [.!?]+ and vowel-group
-    // counts, identical operation order through the Flesch formula
-    "text_readability" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, $normSql AS nt FROM documents),
-         c AS (
-           SELECT doc_id,
-             CAST(CASE WHEN length(nt) = 0 THEN 0
-               ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS DOUBLE) AS w,
-             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
-             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y
-           FROM norm)
-         SELECT doc_id,
-           round(CAST(CASE WHEN w > 0
-             THEN 206.835 - 1.015 * (w / s) - 84.6 * (y / w) END
-             AS DECIMAL(18,8)), 3)::DOUBLE AS flesch
-         FROM c ORDER BY doc_id""",
-
-    // html-strip replay: the same wrapping, the same ordered regex chain
-    // (script/style/comments before tags, entities after), same collapse
-    "text_html_strip" ->
-      """WITH p AS (
-           SELECT doc_id,
-             '<html><head><script type="text/javascript">var x = 1;</script><style>.a{color:red}</style></head><body><h1>Doc '
-             || doc_id::VARCHAR || '</h1><p>' || text ||
-             CASE WHEN doc_id % 3 = 0 THEN ' &amp; more &lt;tags&gt;' ELSE '' END
-             || '</p><!-- trailer --></body></html>' AS h
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-             len(regexp_extract_all(h, '<[A-Za-z/][^>]*>')) AS n_tags,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                     '(?s)<!--.*?-->', ' ', 'g'),
-                   '<[^>]+>', ' ', 'g'),
-                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
-               '\s+', ' ', 'g')) AS t
-           FROM p)
-         SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
-           CAST(length(t) AS BIGINT) AS n_chars_text, md5(t) AS text_fp
-         FROM s ORDER BY doc_id""",
-
-    // code-detect replay: same symbol strip count, keyword extraction, and
-    // capped-density formula in the identical operation order
-    "text_code" ->
-      s"""WITH p AS (
-           SELECT doc_id, text ||
-             CASE WHEN doc_id % 9 = 0
-               THEN ' def load(x): return parse(x); var n = {}; import os'
-               ELSE '' END AS text
-           FROM documents),
-         norm AS (
-           SELECT doc_id, text, $normSql AS nt FROM p),
-         c AS (
-           SELECT doc_id,
-             length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g'))
-               AS n_sym,
-             len(regexp_extract_all(text,
-               '\\b(def|return|import|class|function|var|const|void|null|printf|lambda)\\b'))
-               AS n_kw,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             length(text) AS tl
-           FROM norm),
-         sc AS (
-           SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
-             CAST(n_kw AS BIGINT) AS n_kw,
-             round(CAST(
-               (CASE WHEN tl = 0 THEN 0.0
-                 ELSE least(n_sym * 10.0 / tl, 1.0) END) * 0.6
-               + (CASE WHEN ntok = 0 THEN 0.0
-                 ELSE least(n_kw * 10.0 / ntok, 1.0) END) * 0.4
-               AS DECIMAL(18,8)), 4)::DOUBLE AS code_score
-           FROM c)
-         SELECT doc_id, n_sym, n_kw, code_score,
-           code_score >= 0.2 AS is_code
-         FROM sc ORDER BY doc_id""",
-
-    "text_tokens" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, $normSql AS nt FROM documents)
-         SELECT doc_id,
-           CASE WHEN length(nt) = 0 THEN 0
-                ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens,
-           (length(text) - length(replace(text, ' ', ''))) +
-             CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_est
-         FROM norm ORDER BY doc_id""",
-
-    // fertility replay: langid CASE + token estimate + char length, rolled
-    // up per predicted language with the same decimal-staged ratio
-    "text_fertility" ->
-      s"""WITH norm AS (
-           SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents),
-         sc AS (
-           SELECT doc_id, text,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','das','ist','nicht'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','les','des','une'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','los','y','las','una'))) AS s_es
-           FROM norm),
-         l AS (
-           SELECT
-             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                  ELSE 'fr' END AS lang_pred,
-             (length(text) - length(replace(text, ' ', ''))) +
-               CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT) AS tok,
-             length(text) AS chars
-           FROM sc)
-         SELECT lang_pred, count(*) AS docs,
-           CAST(sum(tok) AS BIGINT) AS total_tokens,
-           CAST(sum(chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(tok)::DOUBLE / sum(chars) AS DECIMAL(18,8)), 6)::DOUBLE
-             AS fertility
-         FROM l GROUP BY 1 ORDER BY 1""",
-
-    // SemDeDup: replay the full 2-round decimal-exact Lloyd training (the
-    // sim_kmeans chain), assign every vector to its final centroid, then the
-    // within-cluster exact-cosine pair scan
-    "dedup_semantic" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         a1 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c0.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.cv)
-                   + list_dot_product(c0.cv, c0.cv) ASC, c0.cluster ASC) AS rn
-             FROM e CROSS JOIN c0) WHERE rn = 1),
-         c1 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         a2 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c1.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.cv)
-                   + list_dot_product(c1.cv, c1.cv) ASC, c1.cluster ASC) AS rn
-             FROM e CROSS JOIN c1) WHERE rn = 1),
-         c2 AS (
-           SELECT cluster, list(cx ORDER BY dim) AS cv FROM (
-             SELECT cluster, dim, sum(x::DECIMAL(30,10))::DOUBLE / count(*) AS cx
-             FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
-             GROUP BY cluster, dim) GROUP BY cluster),
-         a3 AS (
-           SELECT vec_id, v, cluster FROM (
-             SELECT e.vec_id, e.v, c2.cluster,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c2.cv)
-                   + list_dot_product(c2.cv, c2.cv) ASC, c2.cluster ASC) AS rn
-             FROM e CROSS JOIN c2) WHERE rn = 1)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
-           round(CAST(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS DECIMAL(18,8)), 4)::DOUBLE AS cosine
-         FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-         ORDER BY id_a, id_b""",
-
-    // BM25: tf filtered to the query terms, df over the tf table, Lucene
-    // idf; every fractional literal that is INEXACT in binary (2.2, 1.2) is
-    // CAST to DOUBLE so DuckDB's decimal literals don't diverge from
-    // Spark's double arithmetic; per-term scores staged in DECIMAL(18,8)
-    "search_bm25" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
-         lens AS (
-           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
-         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM lens),
-         tf AS (
-           SELECT doc_id, tok, count(*) AS tf
-           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok),
-         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         per AS (
-           SELECT tf.doc_id,
-             CAST(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-               * (tf * CAST(2.2 AS DOUBLE))
-               / (tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75
-                 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))
-               AS DECIMAL(18,8)) AS sd
-           FROM tf JOIN lens USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats),
-         sc AS (
-           SELECT doc_id, sum(sd) AS score, count(*) AS n_terms FROM per GROUP BY doc_id)
-         SELECT doc_id, round(score, 4)::DOUBLE AS score, n_terms FROM (
-           SELECT doc_id, score, n_terms FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-         ORDER BY score DESC, doc_id""",
-
-    // query-likelihood replay: same tokenization as bm25, sparse Dirichlet
-    // decomposition — per-present-term ln(1 + tf·T/(μ·cf)) decimal sums,
-    // the 1-row query constant, and the −|q|·ln(dl+μ) length term, ranked
-    // on the exact decimal score with id tie-break
-    "search_query_likelihood" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
-         lens AS (
-           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
-         stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM lens),
-         qt AS (
-           SELECT doc_id, tok
-           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok IN ('hash', 'join', 'merge')),
-         cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM qt GROUP BY 1),
-         qc AS (
-           SELECT CAST(count(*) AS BIGINT) AS nq,
-             coalesce(sum(CAST(ln(1000.0 * CAST(cf AS DOUBLE)
-               / CAST(tt AS DOUBLE)) AS DECIMAL(18,8))),
-               CAST(0 AS DECIMAL(18,8))) AS qc
-           FROM cf CROSS JOIN stats),
-         tf AS (
-           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-           FROM qt GROUP BY 1, 2),
-         per AS (
-           SELECT tf.doc_id,
-             CAST(ln(CAST(tf AS DOUBLE) * CAST(tt AS DOUBLE)
-               / (1000.0 * CAST(cf AS DOUBLE)) + 1.0) AS DECIMAL(18,8)) AS sd
-           FROM tf JOIN cf USING (tok) CROSS JOIN stats),
-         mm AS (
-           SELECT doc_id, sum(sd) AS m, CAST(count(*) AS BIGINT) AS nhit
-           FROM per GROUP BY 1),
-         sc AS (
-           SELECT lens.doc_id,
-             coalesce(mm.m, CAST(0 AS DECIMAL(18,8))) + qc.qc
-               - CAST(CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 1000.0)
-                 AS DECIMAL(18,8)) AS score,
-             coalesce(nhit, 0) AS n_hit
-           FROM lens LEFT JOIN mm USING (doc_id) CROSS JOIN qc)
-         SELECT doc_id, round(score, 4)::DOUBLE AS score,
-           CAST(n_hit AS BIGINT) AS n_hit
-         FROM (SELECT doc_id, score, n_hit FROM sc
-               ORDER BY score DESC, doc_id LIMIT 20)
-         ORDER BY score DESC, doc_id""",
-
-    // hybrid fusion replay: the bm25 chain at k=50 ranked on its ROUNDED
-    // output scores, the exact-cosine chain for query vector 0 at k=50,
-    // then 1/(60+rank) reciprocal terms in the same fixed order
-    // matryoshka replay: full-dim truth pool, FIRST-16-dims ranking, the
-    // same ln-discount nDCG
-    "sim_mrl_ndcg" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id < 10),
-         tp AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         truth AS (
-           SELECT query_id, neighbor_id,
-             greatest(round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE, 0.0) AS rel,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           FROM tp QUALIFY rnk <= 20),
-         tr AS (SELECT vec_id, v[1:16] AS v FROM e),
-         qt AS (SELECT * FROM tr WHERE vec_id < 10),
-         rp AS (
-           SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(qt.v, c.v)
-               / (sqrt(list_dot_product(qt.v, qt.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM qt CROSS JOIN tr c WHERE qt.vec_id != c.vec_id),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           FROM rp QUALIFY rnk <= 10),
-         dcg AS (
-           SELECT r.query_id,
-             CAST(sum(CAST(coalesce(t.rel, 0.0) / ln(r.rnk + 1.0)
-               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS d
-           FROM ranked r LEFT JOIN truth t
-             ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
-           GROUP BY r.query_id),
-         idcg AS (
-           SELECT query_id,
-             CAST(sum(CAST(rel / ln(rnk + 1.0) AS DECIMAL(18,8)))
-               AS DECIMAL(18,8)) AS i
-           FROM truth WHERE rnk <= 10 GROUP BY query_id)
-         SELECT d.query_id, round(d.d, 4)::DOUBLE AS dcg,
-           round(i.i, 4)::DOUBLE AS idcg,
-           round(CAST(CASE WHEN i.i = 0 THEN 0.0
-             ELSE CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS ndcg
-         FROM dcg d JOIN idcg i ON d.query_id = i.query_id
-         ORDER BY d.query_id""",
-
-    // nDCG replay: exact-cosine truth pool (top-20), int8 dequantized
-    // ranking (top-10), the same ln-discount sums and one final divide
-    "sim_ndcg" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id < 10),
-         tp AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         truth AS (
-           SELECT query_id, neighbor_id,
-             greatest(round(CAST(cos AS DECIMAL(18,8)), 4)::DOUBLE, 0.0) AS rel,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           FROM tp QUALIFY rnk <= 20),
-         dq AS (
-           SELECT vec_id, list_transform(range(1, len(v)+1), i ->
-             (CASE WHEN scale = 0 THEN 0
-               ELSE CAST(floor(v[i]/scale + 0.5) AS INT) END)::DOUBLE * scale) AS v
-           FROM (SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e)),
-         rp AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN dq c WHERE q.vec_id != c.vec_id),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-           FROM rp QUALIFY rnk <= 10),
-         dcg AS (
-           SELECT r.query_id,
-             CAST(sum(CAST(coalesce(t.rel, 0.0) / ln(r.rnk + 1.0)
-               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS d
-           FROM ranked r LEFT JOIN truth t
-             ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
-           GROUP BY r.query_id),
-         idcg AS (
-           SELECT query_id,
-             CAST(sum(CAST(rel / ln(rnk + 1.0) AS DECIMAL(18,8)))
-               AS DECIMAL(18,8)) AS i
-           FROM truth WHERE rnk <= 10 GROUP BY query_id)
-         SELECT d.query_id, round(d.d, 4)::DOUBLE AS dcg,
-           round(i.i, 4)::DOUBLE AS idcg,
-           round(CAST(CASE WHEN i.i = 0 THEN 0.0
-             ELSE CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS ndcg
-         FROM dcg d JOIN idcg i ON d.query_id = i.query_id
-         ORDER BY d.query_id""",
-
-    // budget-trim replay: the text_quality chain, one per-source running
-    // window over the rounded-quality order, boundary-exact keep rule
-    "curate_budget_trim" ->
-      s"""WITH norm AS (
-           SELECT doc_id, source, text, string_split($normSql, ' ') AS toks,
-             $normSql AS nt
-           FROM documents),
-         c AS (
-           SELECT doc_id, source, text,
-             CASE WHEN length(nt) = 0 THEN 0
-                  ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
-             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS nstop,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS npunct
-           FROM norm),
-         sc AS (
-           SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
-             round(CAST(least(length(text) / 500.0, 1.0) * 0.4
-               + (CASE WHEN ntok = 0 THEN 0.0 ELSE least(nstop * 5.0 / ntok, 1.0) END) * 0.3
-               + (1.0 - CASE WHEN length(text) = 0 THEN 1.0
-                   ELSE npunct::DOUBLE / length(text) END) * 0.3
-               AS DECIMAL(18,8)), 4)::DOUBLE AS score
-           FROM c),
-         w AS (
-           SELECT doc_id, source, n_tokens, score,
-             (sum(n_tokens) OVER (PARTITION BY source
-                ORDER BY score DESC, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens)::BIGINT AS cum_before
-           FROM sc)
-         SELECT doc_id, source, n_tokens, score, cum_before,
-           cum_before < 800 AS kept
-         FROM w ORDER BY doc_id""",
-
-    // MMR replay: brute-cosine top-20, then five unrolled selection
-    // rounds — msim as max of per-selected ROUNDED cosines, the same
-    // 0.7·rel − (1.0 − 0.7)·msim operation order, ties to smaller id
-    "search_mmr" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         qv AS (SELECT v FROM e WHERE vec_id = 0),
-         cand AS (
-           SELECT e.vec_id, e.v,
-             round(CAST(list_dot_product(e.v, qv.v)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE AS rel
-           FROM e CROSS JOIN qv WHERE e.vec_id <> 0
-           ORDER BY rel DESC, e.vec_id LIMIT 20),
-         s1 AS (
-           SELECT vec_id, v, rel,
-             round(CAST(0.7 * rel AS DECIMAL(18,8)), 6)::DOUBLE AS score
-           FROM cand ORDER BY score DESC, vec_id LIMIT 1),
-         d2 AS (
-           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
-             max(round(CAST(list_dot_product(c.v, s.v)
-               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
-           FROM cand c CROSS JOIN s1 s
-           WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
-           GROUP BY c.vec_id, c.rel),
-         s2 AS (
-           SELECT vec_id, v, rel,
-             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
-           FROM d2 ORDER BY score DESC, vec_id LIMIT 1),
-         sel2 AS (SELECT vec_id, v FROM s1 UNION ALL SELECT vec_id, v FROM s2),
-         d3 AS (
-           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
-             max(round(CAST(list_dot_product(c.v, s.v)
-               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
-           FROM cand c CROSS JOIN sel2 s
-           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
-           GROUP BY c.vec_id, c.rel),
-         s3 AS (
-           SELECT vec_id, v, rel,
-             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
-           FROM d3 ORDER BY score DESC, vec_id LIMIT 1),
-         sel3 AS (SELECT vec_id, v FROM sel2 UNION ALL SELECT vec_id, v FROM s3),
-         d4 AS (
-           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
-             max(round(CAST(list_dot_product(c.v, s.v)
-               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
-           FROM cand c CROSS JOIN sel3 s
-           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
-           GROUP BY c.vec_id, c.rel),
-         s4 AS (
-           SELECT vec_id, v, rel,
-             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
-           FROM d4 ORDER BY score DESC, vec_id LIMIT 1),
-         sel4 AS (SELECT vec_id, v FROM sel3 UNION ALL SELECT vec_id, v FROM s4),
-         d5 AS (
-           SELECT c.vec_id, any_value(c.v) AS v, c.rel,
-             max(round(CAST(list_dot_product(c.v, s.v)
-               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))
-               AS DECIMAL(18,8)), 6)::DOUBLE) AS msim
-           FROM cand c CROSS JOIN sel4 s
-           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
-           GROUP BY c.vec_id, c.rel),
-         s5 AS (
-           SELECT vec_id, v, rel,
-             round(CAST(0.7 * rel - (1.0 - 0.7) * msim AS DECIMAL(18,8)), 6)::DOUBLE AS score
-           FROM d5 ORDER BY score DESC, vec_id LIMIT 1)
-         SELECT 1 AS "rank", vec_id, rel, score FROM s1
-         UNION ALL SELECT 2, vec_id, rel, score FROM s2
-         UNION ALL SELECT 3, vec_id, rel, score FROM s3
-         UNION ALL SELECT 4, vec_id, rel, score FROM s4
-         UNION ALL SELECT 5, vec_id, rel, score FROM s5
-         ORDER BY "rank"""",
-
-    "search_hybrid_rrf" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
-         lens AS (
-           SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS dl FROM d),
-         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM lens),
-         tf AS (
-           SELECT doc_id, tok, count(*) AS tf
-           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok),
-         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         per AS (
-           SELECT tf.doc_id,
-             CAST(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-               * (tf * CAST(2.2 AS DOUBLE))
-               / (tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75
-                 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))
-               AS DECIMAL(18,8)) AS sd
-           FROM tf JOIN lens USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats),
-         sc AS (
-           SELECT doc_id, sum(sd) AS score FROM per GROUP BY doc_id),
-         bm AS (
-           SELECT doc_id, round(score, 4)::DOUBLE AS rscore FROM (
-             SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
-         bmr AS (
-           SELECT doc_id, CAST(row_number() OVER (ORDER BY rscore DESC, doc_id)
-             AS INTEGER) AS rank_text FROM bm),
-         e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id = 0),
-         p AS (
-           SELECT c.vec_id AS nid,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         vr AS (
-           SELECT nid, CAST(row_number() OVER (ORDER BY cos DESC, nid)
-             AS INTEGER) AS rank_vec FROM p QUALIFY rank_vec <= 50)
-         SELECT doc_id, rank_text, rank_vec, rrf FROM (
-           SELECT coalesce(bmr.doc_id, vr.nid) AS doc_id, rank_text, rank_vec,
-             round(CAST(
-               (CASE WHEN rank_text IS NULL THEN 0.0
-                     ELSE 1.0 / (60.0 + CAST(rank_text AS DOUBLE)) END)
-               + (CASE WHEN rank_vec IS NULL THEN 0.0
-                       ELSE 1.0 / (60.0 + CAST(rank_vec AS DOUBLE)) END)
-               AS DECIMAL(18,8)), 6)::DOUBLE AS rrf
-           FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.nid)
-         ORDER BY rrf DESC, doc_id LIMIT 20""",
-
-    // unigram LM scoring: add-one smoothed corpus counts, per-token ln
-    // staged in DECIMAL(18,8) (ln is bit-identical across engines), exact
-    // sum, one double division, decimal-staged rounding
-    "text_lm_score" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         tk AS (
-           SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok <> ''),
-         c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-         st AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
-         sc AS (
-           SELECT doc_id, count(*) AS n_tokens,
-             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS avg_logprob
-           FROM (
-             SELECT doc_id,
-               CAST(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + v))
-                 AS DECIMAL(18,8)) AS lp
-             FROM tk JOIN c USING (tok) CROSS JOIN st) GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
-           coalesce(sc.avg_logprob, 0.0) AS avg_logprob
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
-
-    // histogram quantiles: fixed-width bins (one aggregation), cumulative
-    // counts from the bounded bin self-join, first bin reaching q*N; the
-    // inexact 0.99 is CAST to DOUBLE so both engines compare the same value
-    "stats_quantile_hist" ->
-      """WITH b AS (
-           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events GROUP BY 1),
-         cum AS (
-           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
-         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
-         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
-         SELECT q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
-           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
-         FROM (
-           SELECT q, bin, cum_count, total,
-             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
-           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
-         ORDER BY q""",
-
-    // key-skew replay: count table, totals, top-k cut; counts are
-    // additive so the streaming twin shares it verbatim
-    "stats_key_skew" -> keySkewOracleSql,
-    "stream_key_skew" -> keySkewOracleSql,
-
-    // linkage replay: same normalization, (nation, prefix) block, and
-    // levenshtein similarity with the identical operation order (every
-    // block is far under the cap, so the capped and uncapped plans
-    // agree); the streaming twin shares it (dimension frozen, incoming
-    // additive, scores pair-local)
-    "link_customers" -> linkOracleSql,
-    "stream_link" -> linkOracleSql,
-
-    // resolution replay: the linkage chain over perturbed + brand-new
-    // incoming rows, per-incoming argmax (ties to smallest key), left
-    // join so unmatched rows resolve as new
-    "link_resolve" ->
-      """WITH l AS (
-           SELECT c_custkey,
-             trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n,
-             c_nationkey
-           FROM customer),
-         rsrc AS (
-           SELECT c_custkey + 1000000 AS in_id,
-             CASE WHEN c_custkey % 8 = 0
-               THEN substr(c_name, 1, length(c_name) - 1) || 'x'
-               ELSE c_name END AS nm,
-             c_nationkey AS in_nation
-           FROM customer WHERE c_custkey % 4 = 0
-           UNION ALL
-           SELECT c_custkey + 2000000, 'Newco ' || c_custkey::VARCHAR,
-             c_nationkey
-           FROM customer WHERE c_custkey % 10 = 0),
-         r AS (
-           SELECT in_id,
-             trim(regexp_replace(lower(nm), '[^a-z0-9]+', ' ', 'g')) AS n,
-             in_nation
-           FROM rsrc),
-         j AS (
-           SELECT l.c_custkey, r.in_id,
-             round(CAST(1.0 - levenshtein(l.n, r.n)::DOUBLE
-               / greatest(length(l.n), length(r.n), 1) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS name_sim
-           FROM l JOIN r ON substr(l.n, 1, 3) = substr(r.n, 1, 3)
-             AND l.c_nationkey = r.in_nation),
-         best AS (
-           SELECT in_id, c_custkey AS resolved_c_custkey, name_sim AS best_sim,
-             row_number() OVER (PARTITION BY in_id
-               ORDER BY name_sim DESC, c_custkey ASC) AS rn
-           FROM j WHERE name_sim >= 0.9)
-         SELECT r.in_id, b.resolved_c_custkey, b.best_sim,
-           b.resolved_c_custkey IS NULL AS is_new
-         FROM r LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (in_id)
-         ORDER BY r.in_id""",
-
-    // correlation replay: the same exact decimal moments from one pass,
-    // the same fixed-order double formula; moments are additive so the
-    // streaming twin shares it verbatim
-    "stats_corr" -> corrOracleSql,
-    "stats_cuped" -> cupedOracleSql,
-    "stream_cuped" -> cupedOracleSql,
-    "stream_corr" -> corrOracleSql,
-
-    // Welch replay: same exact per-arm decimal moments, same fixed-order
-    // t / dof formula; the stream side's moment state is additive
-    "stats_welch" -> welchOracleSql,
-    "stream_welch" -> welchOracleSql,
-    // Cohen's d replay: same per-arm moments, pooled-variance effect size
-    "stats_cohend" -> cohendOracleSql,
-    "stream_cohend" -> cohendOracleSql,
-
-    // OLS trend replay: same exact decimal regression moments, same
-    // fixed-order slope/r²/t formulas; the moment state is additive
-    "stats_trend" -> trendOracleSql,
-    "stream_trend" -> trendOracleSql,
-
-    // ANOVA replay: same per-group exact moments, same decimal-staged
-    // within/between terms, same fixed-order F; state additive per group
-    "stats_anova" -> anovaOracleSql,
-    "stream_anova" -> anovaOracleSql,
-    "stats_bartlett" -> bartlettOracleSql,
-    "stream_bartlett" -> bartlettOracleSql,
-    // Tukey replay: same group moments, pooled MSW, pairwise q
-    "stats_tukey" -> tukeyOracleSql,
-    "stream_tukey" -> tukeyOracleSql,
-
-    // Mann–Whitney replay: same per-value counts and exact-integer U /
-    // tie terms, same fixed-order z; the count state is additive
-    "stats_mwu" -> mwuOracleSql,
-    "stream_mwu" -> mwuOracleSql,
-    "stats_brunner_munzel" -> brunnerMunzelOracleSql,
-    "stream_brunner_munzel" -> brunnerMunzelOracleSql,
-    "stats_ansari" -> ansariOracleSql,
-    "stream_ansari" -> ansariOracleSql,
-    // Cliff's delta replay: same count state, dominance effect size
-    "stats_cliffs" -> cliffsOracleSql,
-    "stream_cliffs" -> cliffsOracleSql,
-
-    // Kruskal–Wallis replay: same (value,group) counts, same exact rank
-    // sums / tie term, same fixed-order H; state additive per pair
-    "stats_kruskal" -> kruskalOracleSql,
-    "stream_kruskal" -> kruskalOracleSql,
-    // Brown-Forsythe replay: same count state, deviation-moment F
-    "stats_levene" -> leveneOracleSql,
-    "stream_levene" -> leveneOracleSql,
-    // exact-quantile replay: same count state, order-stat interpolation
-    "stats_quantile_exact" -> quantileExactOracleSql,
-    // robust location/scale replay: same additive count state as the
-    // exact quantiles (trimmed = interval clamps, mad = two medians)
-    "stats_trimmed" -> trimmedOracleSql,
-    "stream_trimmed" -> trimmedOracleSql,
-    "stats_mad" -> madOracleSql,
-    "stream_mad" -> madOracleSql,
-    "stats_shape" -> shapeOracleSql,
-    "stream_shape" -> shapeOracleSql,
-    "stream_quantile_exact" -> quantileExactOracleSql,
-    // Jarque-Bera / Grubbs replay: same additive power-sum + extremes row
-    "stats_jarque_bera" -> jarqueBeraOracleSql,
-    "stream_jarque_bera" -> jarqueBeraOracleSql,
-    "stats_grubbs" -> grubbsOracleSql,
-    "stream_grubbs" -> grubbsOracleSql,
-    // D'Agostino K² replay: same additive power-sum row, Johnson Su +
-    // Anscombe-Glynn z's mirrored operation-for-operation
-    "stats_dagostino" -> dagostinoOracleSql,
-    "stream_dagostino" -> dagostinoOracleSql,
-
-    // two-proportion replay: same exact per-arm counts, same fixed-order
-    // pooled-SE z; the count state is additive
-    "stats_twoprop" -> twopropOracleSql,
-    "stats_riskratio" -> rrOracleSql,
-    "stream_riskratio" -> rrOracleSql,
-    "stats_power_twoprop" -> powerOracleSql,
-    "stream_power" -> powerOracleSql,
-    "stats_mh" -> mhOracleSql,
-    "stats_cohenh" -> cohenhOracleSql,
-    "stream_cohenh" -> cohenhOracleSql,
-    "stats_simpson" -> simpsonOracleSql,
-    "stream_simpson" -> simpsonOracleSql,
-    "stats_cronbach" -> cronbachOracleSql(0 to 7),
-    "stream_cronbach" -> cronbachOracleSql(0 to 7),
-    "stream_mh" -> mhOracleSql,
-    "stats_ks2" -> ks2OracleSql,
-    "stream_ks" -> ks2OracleSql,
-    "stats_cvm" -> cvmOracleSql,
-    "stream_cvm" -> cvmOracleSql,
-    "stats_ad" -> adOracleSql,
-    "stream_ad" -> adOracleSql,
-    "stats_wasserstein" -> w1OracleSql,
-    "stream_wasserstein" -> w1OracleSql,
-    "curate_krippendorff" -> krippendorffOracleSql,
-    "stream_krippendorff" -> krippendorffOracleSql,
-    "text_vocab_richness" -> vocabRichnessOracleSql,
-    "text_zipf" -> zipfOracleSql,
-    "stats_cochran_armitage" -> cochranArmitageOracleSql,
-    "stats_capture" -> captureOracleSql,
-    "stream_twoprop" -> twopropOracleSql,
-
-    // Spearman replay: same joint counts, same exact doubled-rank moments,
-    // same fixed-order formula; the joint count state is additive
-    "stats_spearman" -> spearmanOracleSql,
-    "stats_kendall" -> kendallOracleSql,
-    "stream_kendall" -> kendallOracleSql,
-    "stats_jonckheere" -> jonckheereOracleSql,
-    "stream_jonckheere" -> jonckheereOracleSql,
-    "stats_mood_median" -> moodOracleSql,
-    "stream_mood_median" -> moodOracleSql,
-    "stream_spearman" -> spearmanOracleSql,
-
-    // Cramér's V replay: same joint counts, full contingency incl. absent
-    // cells, same staged terms and fixed-order V; joint state additive
-    "stats_cramers" -> cramersOracleSql,
-    "stream_cramers" -> cramersOracleSql,
-
-    // new-vs-returning replay: distinct activity, per-user min day,
-    // daily rollup
-    "events_new_returning" ->
-      """WITH a AS (
-           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
-         f AS (SELECT u, min(day) AS fd FROM a GROUP BY 1)
-         SELECT day, count(*) AS n_active,
-           CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-           CAST(count(*) - sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_returning
-         FROM a JOIN f USING (u) GROUP BY day ORDER BY day""",
-
-    // autocorr replay: daily counts, lag-shifted self-joins, the same
-    // exact moments and fixed-order Pearson
-    "events_autocorr" ->
-      """WITH d AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-           FROM events GROUP BY 1, 2),
-         lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
-         j AS (
-           SELECT a.event_type, l.lag, a.n AS x, b.n AS y
-           FROM d a CROSS JOIN lags l
-           JOIN d b ON b.event_type = a.event_type
-             AND b.day = a.day - CAST(l.lag AS INTEGER)),
-         m AS (
-           SELECT event_type, lag, count(*) AS n_days,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             sum(x::DECIMAL(15,0) * x::DECIMAL(15,0)) AS qx,
-             sum(y::DECIMAL(15,0) * y::DECIMAL(15,0)) AS qy,
-             sum(x::DECIMAL(15,0) * y::DECIMAL(15,0)) AS p
-           FROM j GROUP BY 1, 2),
-         c AS (
-           SELECT event_type, lag, n_days,
-             n_days::DOUBLE * p::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
-             n_days::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
-             n_days::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy
-           FROM m)
-         SELECT event_type, CAST(lag AS INTEGER) AS lag, n_days,
-           round(CAST(CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN 0.0
-             ELSE num / (sqrt(vx) * sqrt(vy)) END AS DECIMAL(18,8)), 4)::DOUBLE
-             AS autocorr
-         FROM c ORDER BY event_type, lag""",
-
-    // lift replay: distinct (user, type), user-keyed pair join, the same
-    // integer cross-products and single divide
-    "events_lift" ->
-      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
-         n AS (SELECT count(DISTINCT u) AS nu FROM ut),
-         pt AS (SELECT t, count(*) AS c FROM ut GROUP BY 1),
-         p AS (
-           SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
-           FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
-           GROUP BY 1, 2)
-         SELECT type_a, type_b, n_ab,
-           round(CAST(CAST(n_ab::DECIMAL(38,0) * nu AS DOUBLE)
-             / CAST(ca.c::DECIMAL(38,0) * cb.c AS DOUBLE) AS DECIMAL(18,8)), 4)::DOUBLE
-             AS lift
-         FROM p JOIN pt ca ON ca.t = type_a JOIN pt cb ON cb.t = type_b
-         CROSS JOIN n
-         ORDER BY type_a, type_b""",
-
-    // knn replay: brute top-5, label votes, majority with ties to the
-    // smallest label, verdict against the query's own label
-    "sim_knn_acc" ->
-      """WITH e AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
-           FROM embeddings),
-         q AS (SELECT * FROM e WHERE vec_id < 50),
-         p AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             c.label AS nl,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM q CROSS JOIN e c WHERE q.vec_id != c.vec_id),
-         topk AS (
-           SELECT query_id, nl,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-           FROM p QUALIFY rn <= 5),
-         v AS (SELECT query_id, nl, count(*) AS cv FROM topk GROUP BY 1, 2),
-         b AS (
-           SELECT query_id, nl AS pred_label, cv AS n_votes,
-             row_number() OVER (PARTITION BY query_id ORDER BY cv DESC, nl ASC) AS rn
-           FROM v)
-         SELECT b.query_id, q.label AS true_label, b.pred_label,
-           CAST(b.n_votes AS BIGINT) AS n_votes,
-           q.label = b.pred_label AS correct
-         FROM b JOIN q ON q.vec_id = b.query_id WHERE b.rn = 1
-         ORDER BY b.query_id""",
-
-    // hourly-profile replay: hour() under the pinned-UTC session, same
-    // rollup and decimal-staged shares
-    "events_hourly" ->
-      """WITH c AS (
-           SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
-             count(*) AS n
-           FROM events GROUP BY 1, 2),
-         t AS (
-           SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
-         SELECT c.event_type, c.hour, c.n,
-           round(CAST(c.n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
-         FROM c JOIN t USING (event_type)
-         ORDER BY event_type, hour""",
-
-    // CUSUM replay — shared with the streaming twin (additive counts)
-    "events_cusum" -> cusumOracleSql,
-    "stream_cusum" -> cusumOracleSql,
-
-    // Page-Hinkley replay — shared with the streaming twin (additive
-    // counts; prefix mean + decimal-staged prefix scans)
-    "events_page_hinkley" -> pageHinkleyOracleSql,
-    "stream_page_hinkley" -> pageHinkleyOracleSql,
-
-    // MASE replay — shared with the streaming twin (additive counts;
-    // lag-7 self-join errors scaled by the one-step-naive lag errors)
-    "events_mase" -> maseOracleSql,
-    "stream_mase" -> maseOracleSql,
-
-    // runs-test replay — shared with the streaming twin (additive counts;
-    // partitioned-rank median, keyed lag run starts, exact-integer z)
-    "events_runs" -> runsOracleSql,
-    "stream_runs" -> runsOracleSql,
-
-    // p-chart replay — shared with the streaming twin (additive counts;
-    // per-day rate limits off the broadcast center)
-    "events_pchart" -> pchartOracleSql,
-    "stream_pchart" -> pchartOracleSql,
-
-    // mix-evenness replay — shared with the streaming twin (additive
-    // counts; per-term staged entropy, one divide by ln k)
-    "events_mix_evenness" -> evennessOracleSql,
-    "stream_mix_evenness" -> evennessOracleSql,
-
-    // SPRT replay — shared with the streaming twin (the count pair is
-    // additive; in-engine log ratios, Wald bounds)
-    "stats_sprt" -> sprtOracleSql,
-    "stream_sprt" -> sprtOracleSql,
-
-    // Breslow-Day replay — shared with the streaming twin (per-stratum
-    // 2x2 counts are additive; admissible quadratic root per stratum)
-    "stats_breslow_day" -> bdOracleSql,
-    "stream_breslow_day" -> bdOracleSql,
-
-    // Hill tail replay — shared with the streaming twin (per-key counts
-    // are additive; Gini triangular ranks + top-k interval clamps)
-    "stats_hill" -> hillOracleSql,
-    "stream_hill" -> hillOracleSql,
-
-    // ESS / design-effect replay (staged weight moments, Kish ratios)
-    "stats_ess" -> essOracleSql,
-
-    // EWMA replay: same daily counts and exact moments, same unrolled
-    // λ(1−λ)^(t−j)x_j terms decimal-staged before the sum, same
-    // fixed-order time-varying limits; daily counts are additive
-    "events_ewma" -> ewmaOracleSql,
-    "stream_ewma" -> ewmaOracleSql,
-    "events_burstiness" -> burstinessOracleSql,
-    "stream_burstiness" -> burstinessOracleSql,
-    "events_mannkendall" -> mannKendallOracleSql,
-    "stream_mannkendall" -> mannKendallOracleSql,
-    "events_acf" -> acfOracleSql,
-    "stream_acf" -> acfOracleSql,
-    // Ljung-Box replay: ACF replay + pooled Q off the same day table
-    "events_ljung_box" -> ljungBoxOracleSql,
-    "stream_ljung_box" -> ljungBoxOracleSql,
-    // Durbin-Watson replay: OLS fit + residual lag join off the day table
-    "events_durbin_watson" -> durbinWatsonOracleSql,
-    "stream_durbin_watson" -> durbinWatsonOracleSql,
-    // Wilcoxon / sign replay: same paired day-diff table, zero-drop
-    "events_wilcoxon" -> wilcoxonOracleSql,
-    "stream_wilcoxon" -> wilcoxonOracleSql,
-    "events_friedman" -> friedmanOracleSql,
-    "stream_friedman" -> friedmanOracleSql,
-    "events_rfm" -> rfmOracleSql,
-    "events_basket" -> basketOracleSql,
-    "stream_basket" -> basketOracleSql,
-    "events_cohort_ltv" -> cohortLtvOracleSql,
-    "stream_cohort_ltv" -> cohortLtvOracleSql,
-    "audit_fk_orphans" -> fkAuditOracleSql,
-    "stream_fk_audit" -> fkAuditOracleSql,
-    "audit_reconcile" -> reconcileOracleSql,
-    "events_page_trend" -> pageOracleSql,
-    "stream_page_trend" -> pageOracleSql,
-    "events_sign_test" -> signTestOracleSql,
-    "stream_sign_test" -> signTestOracleSql,
-    "events_pettitt" -> pettittOracleSql,
-    "events_holt" -> holtOracleSql,
-    "stream_holt" -> holtOracleSql,
-    "stats_fdr_bh" -> fdrOracleSql,
-    "stream_fdr" -> fdrOracleSql,
-    "stats_padjust" -> padjustOracleSql,
-    "stream_padjust" -> padjustOracleSql,
-    "stream_pettitt" -> pettittOracleSql,
-
-    // Kaplan–Meier replay: same spans, same censor rule, same exact
-    // at-risk cumulatives and ln-factor sums; spans merge by min/max
-    "events_survival" -> survivalOracleSql,
-    "stream_survival" -> survivalOracleSql,
-    "events_hazard" -> hazardOracleSql,
-    "stream_hazard" -> hazardOracleSql,
-    // survival-summary replay: the KM chain + conditional mins on the
-    // rounded curve (spans merge by min/max)
-    "events_survival_summary" -> survivalSummaryOracleSql,
-    "stream_survival_summary" -> survivalSummaryOracleSql,
-
-    // log-rank replay: same per-arm spans against the shared corpus end,
-    // same pooled risk sets, same decimal-staged O−E / variance terms
-    "events_logrank" ->
-      """WITH spans AS (
-           SELECT user_id, user_id % 2 = 0 AS a,
-             min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-           FROM events GROUP BY 1, 2),
-         e AS (SELECT max(l) AS endd FROM spans),
-         lt AS (
-           SELECT datediff('day', f, l) AS t,
-             CAST(sum(CASE WHEN a AND datediff('day', l, endd) > 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-             CAST(sum(CASE WHEN a AND datediff('day', l, endd) <= 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-             CAST(sum(CASE WHEN NOT a AND datediff('day', l, endd) > 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-             CAST(sum(CASE WHEN NOT a AND datediff('day', l, endd) <= 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS c2
-           FROM spans CROSS JOIN e GROUP BY 1),
-         tot AS (
-           SELECT CAST(sum(d1 + c1) AS BIGINT) AS nn1,
-             CAST(sum(d2 + c2) AS BIGINT) AS nn2
-           FROM lt),
-         cum AS (
-           SELECT t, d1, d2,
-             nn1 - (CAST(sum(d1 + c1) OVER (ORDER BY t) AS BIGINT) - (d1 + c1))
-               AS n1,
-             nn2 - (CAST(sum(d2 + c2) OVER (ORDER BY t) AS BIGINT) - (d2 + c2))
-               AS n2,
-             nn1, nn2
-           FROM lt CROSS JOIN tot),
-         terms AS (
-           SELECT nn1, nn2, d1,
-             CASE WHEN d1 + d2 = 0 THEN CAST(0.0 AS DECIMAL(28,10))
-                  ELSE CAST(n1::DOUBLE * (d1 + d2)::DOUBLE / (n1 + n2)::DOUBLE
-                    AS DECIMAL(28,10)) END AS et,
-             CASE WHEN d1 + d2 = 0 OR n1 + n2 <= 1 THEN CAST(0.0 AS DECIMAL(28,10))
-                  ELSE CAST((d1 + d2)::DOUBLE
-                    * (n1::DOUBLE / (n1 + n2)::DOUBLE)
-                    * (n2::DOUBLE / (n1 + n2)::DOUBLE)
-                    * (((n1 + n2)::DOUBLE - (d1 + d2)::DOUBLE)
-                      / ((n1 + n2)::DOUBLE - 1.0))
-                    AS DECIMAL(28,10)) END AS vt
-           FROM cum),
-         a2 AS (
-           SELECT nn1, nn2, CAST(sum(d1) AS BIGINT) AS o_a, sum(et) AS ee,
-             sum(vt) AS vv
-           FROM terms GROUP BY 1, 2)
-         SELECT nn1 AS n_a, nn2 AS n_b, o_a,
-           round(CAST(ee AS DECIMAL(18,8)), 4)::DOUBLE AS e_a,
-           CASE WHEN vv::DOUBLE <= 0.0 THEN NULL
-                ELSE round(CAST((o_a::DOUBLE - ee::DOUBLE) / sqrt(vv::DOUBLE)
-                  AS DECIMAL(18,8)), 6)::DOUBLE END AS z
-         FROM a2""",
-
-    // power-law replay: count table, tail filter, decimal-staged ln sum,
-    // one divide
-    "stats_powerlaw" ->
-      """WITH c AS (
-           SELECT user_id, count(*) AS c FROM events GROUP BY 1),
-         tail AS (SELECT c FROM c WHERE c >= 2),
-         a AS (
-           SELECT count(*) AS n_tail,
-             sum(CAST(ln(c::DOUBLE / (2.0 - 0.5)) AS DECIMAL(18,8))) AS s
-           FROM tail)
-         SELECT CAST(2 AS BIGINT) AS xmin, n_tail,
-           round(CAST(CASE WHEN s IS NULL OR s = 0 THEN 0.0
-             ELSE 1.0 + n_tail::DOUBLE / CAST(s AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS alpha
-         FROM a""",
-
-    // hist2d replay: same bin floors, rollup, broadcast-total shares
-    "stats_hist2d" ->
-      """WITH b AS (
-           SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS x_bin,
-             CAST(floor(l_extendedprice / 20000.0) AS BIGINT) AS y_bin,
-             count(*) AS n
-           FROM lineitem GROUP BY 1, 2),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
-         SELECT x_bin, y_bin, n,
-           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS frac
-         FROM b CROSS JOIN t ORDER BY x_bin, y_bin""",
-
-    // Benford replay: BIGINT-string first digits, 9-row rollup, the same
-    // ln(1+1/d)/ln(10) expected frequencies and rounded deviations;
-    // digit counts are additive so the streaming twin shares it
-    "stats_benford" -> benfordOracleSql,
-    "stream_benford" -> benfordOracleSql,
-
-    // Gini replay: count-of-counts, cumulative mass self-join, the same
-    // decimal-staged trapezoid and single final divide; counts are
-    // additive so the streaming twin shares it verbatim
-    "stats_gini" -> giniOracleSql,
-    "stream_gini" -> giniOracleSql,
-
-    // range-bounds replay: the deterministic md5 sample filter, then the
-    // stats_quantile_hist pick at the 7 interior octile points
-    "layout_range_bounds" ->
-      """WITH s AS (
-           SELECT value FROM events
-           WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR) || 'range-v1'),1,15))::BIGINT
-                 % 10000 < 500),
-         b AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM s GROUP BY 1),
-         cum AS (
-           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
-         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
-         qs(q) AS (VALUES (CAST(0.125 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
-           (CAST(0.375 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-           (CAST(0.625 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
-           (CAST(0.875 AS DOUBLE)))
-         SELECT q, bin, bin * CAST(5.0 AS DOUBLE) AS lo,
-           (bin + 1) * CAST(5.0 AS DOUBLE) AS hi, cum_count, total
-         FROM (
-           SELECT q, bin, cum_count, total,
-             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
-           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
-         ORDER BY q""",
-
-    // streaming quantile replay: additive bin state == the one-pass corpus
-    // histogram, so the batch SQL is identical to stats_quantile_hist
-    "stream_quantile" ->
-      """WITH b AS (
-           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events GROUP BY 1),
-         cum AS (
-           SELECT a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY a.bin),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
-         e AS (SELECT bin, cum_count, total FROM cum CROSS JOIN tot),
-         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
-         SELECT q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
-           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
-         FROM (
-           SELECT q, bin, cum_count, total,
-             row_number() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
-           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
-         ORDER BY q""",
-
-    // funnel replay: chained strictly-after mins per user
-    "events_funnel" ->
-      """WITH s1 AS (
-           SELECT user_id, min(ts) AS step_1_ts FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (
-           SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e
-           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_1_ts
-           WHERE e.event_type = 'click' GROUP BY e.user_id),
-         s3 AS (
-           SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e
-           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_2_ts
-           WHERE e.event_type = 'signup' GROUP BY e.user_id),
-         s4 AS (
-           SELECT e.user_id, min(e.ts) AS step_4_ts FROM events e
-           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.step_3_ts
-           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-         SELECT u.user_id, step_1_ts, step_2_ts, step_3_ts, step_4_ts,
-           CAST(CASE WHEN step_4_ts IS NOT NULL THEN 4
-                WHEN step_3_ts IS NOT NULL THEN 3
-                WHEN step_2_ts IS NOT NULL THEN 2
-                WHEN step_1_ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
-             AS steps_completed
-         FROM (SELECT DISTINCT user_id FROM events) u
-         LEFT JOIN s1 ON u.user_id = s1.user_id
-         LEFT JOIN s2 ON u.user_id = s2.user_id
-         LEFT JOIN s3 ON u.user_id = s3.user_id
-         LEFT JOIN s4 ON u.user_id = s4.user_id
-         ORDER BY u.user_id""",
-
-    // funnel-latency replay: the funnel steps, per-transition integer
-    // second diffs, decimal-staged means, and the grouped histogram p50
-    // (1h bins) with the same first-qualifying-bin pick
-    "events_funnel_latency" ->
-      """WITH s1 AS (
-           SELECT user_id, min(ts) AS step_1_ts FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (
-           SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e
-           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_1_ts
-           WHERE e.event_type = 'click' GROUP BY e.user_id),
-         s3 AS (
-           SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e
-           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_2_ts
-           WHERE e.event_type = 'signup' GROUP BY e.user_id),
-         s4 AS (
-           SELECT e.user_id, min(e.ts) AS step_4_ts FROM events e
-           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.step_3_ts
-           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
-         lat AS (
-           SELECT 1 AS step, 'view->click' AS transition,
-             (epoch_us(step_2_ts) - epoch_us(step_1_ts)) // 1000000 AS secs
-           FROM s2 JOIN s1 USING (user_id)
-           UNION ALL
-           SELECT 2, 'click->signup',
-             (epoch_us(step_3_ts) - epoch_us(step_2_ts)) // 1000000
-           FROM s3 JOIN s2 USING (user_id)
-           UNION ALL
-           SELECT 3, 'signup->purchase',
-             (epoch_us(step_4_ts) - epoch_us(step_3_ts)) // 1000000
-           FROM s4 JOIN s3 USING (user_id)),
-         st AS (
-           SELECT step, transition, count(*) AS n_users,
-             round(CAST(CAST(sum(secs) AS DOUBLE) / count(*)
-               AS DECIMAL(18,8)), 2)::DOUBLE AS mean_secs
-           FROM lat GROUP BY 1, 2),
-         b AS (
-           SELECT transition, CAST(floor(secs / 3600.0) AS BIGINT) AS bin,
-             count(*) AS cnt
-           FROM lat GROUP BY 1, 2),
-         cum AS (
-           SELECT a.transition, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.transition = a.transition AND b2.bin <= a.bin
-           GROUP BY 1, 2),
-         tot AS (SELECT transition, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
-         pick AS (
-           SELECT transition, (bin + 1) * 3600.0 AS p50_secs,
-             row_number() OVER (PARTITION BY transition ORDER BY bin ASC) AS rn
-           FROM cum JOIN tot USING (transition)
-           WHERE CAST(cum_count AS DOUBLE) >= 0.5 * total)
-         SELECT st.step, st.transition, st.n_users, st.mean_secs, p.p50_secs
-         FROM st JOIN pick p ON st.transition = p.transition AND p.rn = 1
-         ORDER BY st.step""",
-
-    // retention replay: distinct (user, day) activity, min-day cohorts,
-    // offset rollup
-    "events_retention" ->
-      """WITH a AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
-         SELECT c.cohort_day,
-           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
-           count(DISTINCT a.user_id) AS active_users
-         FROM a JOIN c ON a.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // attribution replay: the identical user-keyed IGNORE NULLS window with
-    // the same (ts, event_id) tie-break
-    "events_attribution" ->
-      """WITH w AS (
-           SELECT event_type,
-             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                 IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-           FROM events)
-         SELECT coalesce(touch, 'none') AS touch_type, count(*) AS conversions
-         FROM w WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY 1""",
-
-    // streaming anomaly replay: accreted additive counts equal the batch
-    // count table, so the oracle is the batch anomaly SQL verbatim
-    "stream_anomaly" ->
-      """WITH daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-           FROM events GROUP BY 1, 2),
-         st AS (
-           SELECT event_type, count(*) AS d, CAST(sum(n) AS BIGINT) AS s,
-             sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-           FROM daily GROUP BY 1),
-         j AS (
-           SELECT daily.event_type, day, n,
-             s::DOUBLE / d AS mean,
-             sqrt(greatest(s2::DOUBLE / d
-               - (s::DOUBLE / d) * (s::DOUBLE / d), 0.0)) AS std
-           FROM daily JOIN st USING (event_type))
-         SELECT event_type, day, n,
-           round(CAST(CASE WHEN std = 0 THEN 0.0
-             ELSE (n - mean) / std END AS DECIMAL(18,8)), 4)::DOUBLE AS z,
-           (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
-             AS is_anomaly
-         FROM j ORDER BY event_type, day""",
-
-    // streaming retention replay: the monitor's accreted activity state is
-    // the distinct (user, day) of the full stream, so the oracle is the
-    // batch retention SQL verbatim
-    "stream_retention" ->
-      """WITH a AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
-         SELECT c.cohort_day,
-           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
-           count(DISTINCT a.user_id) AS active_users
-         FROM a JOIN c ON a.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // sessionize replay: same lag-flag + running-sum windows over the same
-    // (ts, event_id) sort, same rollup
-    "events_sessionize" ->
-      """WITH f AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts, 1) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
-               THEN 1 ELSE 0 END AS nw
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (
-           SELECT user_id, ts,
-             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-           FROM f)
-         SELECT user_id, session_id, min(ts) AS session_start,
-           max(ts) AS session_end, count(*) AS n_events
-         FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""",
-
-    // anomaly replay: same count table, same exact-staged moments, same
-    // fixed z operation order
-    "events_anomaly" ->
-      """WITH daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-           FROM events GROUP BY 1, 2),
-         st AS (
-           SELECT event_type, count(*) AS d, CAST(sum(n) AS BIGINT) AS s,
-             sum(n::DECIMAL(15,0) * n::DECIMAL(15,0)) AS s2
-           FROM daily GROUP BY 1),
-         j AS (
-           SELECT daily.event_type, day, n,
-             s::DOUBLE / d AS mean,
-             sqrt(greatest(s2::DOUBLE / d
-               - (s::DOUBLE / d) * (s::DOUBLE / d), 0.0)) AS std
-           FROM daily JOIN st USING (event_type))
-         SELECT event_type, day, n,
-           round(CAST(CASE WHEN std = 0 THEN 0.0
-             ELSE (n - mean) / std END AS DECIMAL(18,8)), 4)::DOUBLE AS z,
-           (CASE WHEN std = 0 THEN 0.0 ELSE abs((n - mean) / std) END) > 2.0
-             AS is_anomaly
-         FROM j ORDER BY event_type, day""",
-
-    // PSI replay: same bin tables, add-one smoothing, fixed-order
-    // (pa−pb)·ln(pa/pb) terms decimal-staged before the sum
-    "stats_psi_drift" -> psiOracleSql,
-    // additive stream-side bin counts: folded state reads out identically
-    "stream_psi" -> psiOracleSql,
-
-    // Poisson bootstrap replay: same md5 buckets, same inverse-CDF weight
-    // thresholds, exact decimal weighted sums, one divide + staged round
-    "stats_bootstrap" -> bootOracleSql,
-    // linear replicate moments: folded state reads out identically
-    "stream_bootstrap" -> bootOracleSql,
-
-    // KS replay: same bins, same cumulative self-join, same exact decimal
-    // cross-difference and single division
-    "stats_ks_drift" ->
-      """WITH a AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events WHERE event_type = 'click' GROUP BY 1),
-         b AS (
-           SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         edges AS (SELECT bin FROM a UNION SELECT bin FROM b),
-         ca AS (
-           SELECT e.bin, CAST(coalesce(sum(a.cnt), 0) AS BIGINT) AS ca
-           FROM edges e LEFT JOIN a ON a.bin <= e.bin GROUP BY e.bin),
-         cb AS (
-           SELECT e.bin, CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS cb
-           FROM edges e LEFT JOIN b ON b.bin <= e.bin GROUP BY e.bin),
-         na AS (SELECT CAST(sum(cnt) AS BIGINT) AS na FROM a),
-         nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM b)
-         SELECT
-           round(CAST(CAST(max(abs(ca.ca::DECIMAL(18,0) * nb.nb::DECIMAL(18,0)
-               - cb.cb::DECIMAL(18,0) * na.na::DECIMAL(18,0))) AS DOUBLE)
-             / (na.na::DOUBLE * nb.nb) AS DECIMAL(18,8)), 6)::DOUBLE AS ks,
-           na.na AS n_a, nb.nb AS n_b
-         FROM ca JOIN cb USING (bin) CROSS JOIN na CROSS JOIN nb
-         GROUP BY na.na, nb.nb""",
-
-    // transitions replay: the same user-keyed lead pairs, rollup, and
-    // broadcast row-total probability divide
-    "events_transitions" ->
-      """WITH h AS (
-           SELECT event_type AS from_type,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS to_type
-           FROM events),
-         c AS (
-           SELECT from_type, to_type, count(*) AS n FROM h
-           WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
-         SELECT c.from_type, c.to_type, n,
-           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
-         FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
-
-    // forecast replay: daily counts, lag-7 self-join, decimal-staged MAPE
-    "events_forecast" -> forecastOracleSql,
-    // daily counts are additive across batches, so the accreted forecast
-    // audit equals the batch one — identical oracle
-    "stream_forecast" -> forecastOracleSql,
-
-    // cadence replay: same lag window, exact moment staging, the same
-    // E[x2]-E[x]2 order and rounded-column robotic compare
-    "events_cadence" ->
-      """WITH g AS (
-           SELECT user_id,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS gap
-           FROM events),
-         p AS (
-           SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
-             CAST(sum(gap) AS BIGINT) AS s,
-             CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
-               AS DECIMAL(38,0)) AS s2
-           FROM g GROUP BY user_id
-           HAVING count(gap) >= 1),
-         m AS (
-           SELECT user_id, n_events, n_gaps,
-             round(CAST(CAST(s AS DOUBLE) / n_gaps / 1000000.0
-               AS DECIMAL(18,8)), 2)::DOUBLE AS mean_gap_s,
-             round(CAST(sqrt(greatest(
-               CAST(s2 AS DOUBLE) / n_gaps
-                 - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps),
-               0.0)) / 1000000.0 AS DECIMAL(18,8)), 2)::DOUBLE AS std_gap_s
-           FROM p)
-         SELECT user_id, n_events, n_gaps, mean_gap_s, std_gap_s,
-           n_gaps >= 10 AND std_gap_s < mean_gap_s * 0.1 AS robotic
-         FROM m ORDER BY user_id""",
-
-    // inter-arrival replay: same (user,type)-keyed lag, capped integer
-    // floor-divide buckets
-    "events_interarrival" -> interarrivalOracleSql,
-    // with per-user time-ordered batches the carried last event closes
-    // cross-batch gaps exactly once — identical oracle
-    "stream_interarrival" -> interarrivalOracleSql,
-
-    // band-join replay: the exact |a−b| ≤ tol predicate over the plain
-    // join (DuckDB can afford the nested loop at oracle scale)
-    "join_band" ->
-      """SELECT a.event_id AS probe_id, b.event_id AS match_id,
-           a.value AS probe_value, b.value AS match_value
-         FROM events a JOIN events b
-           ON a.event_type = b.event_type
-           AND abs(a.value - b.value) <= 0.05
-         WHERE a.event_id % 101 = 0 AND a.event_id <> b.event_id
-         ORDER BY probe_id, match_id""",
-
-    // entry-path replay: same ranking window, per-user ordered list join
-    "events_paths" -> entryPathsOracleSql,
-    // with per-user time-ordered batches the carried prefix re-cut at
-    // depth equals the batch entryPaths — identical oracle
-    "stream_paths" -> entryPathsOracleSql,
-
-    // streaming transitions replay: with per-user time-ordered batches the
-    // carried last event contributes exactly the boundary hop, so the
-    // accreted matrix equals the batch transitions over the full stream
-    "stream_transitions" ->
-      """WITH h AS (
-           SELECT event_type AS from_type,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS to_type
-           FROM events),
-         c AS (
-           SELECT from_type, to_type, count(*) AS n FROM h
-           WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
-         SELECT c.from_type, c.to_type, n,
-           round(CAST(n::DOUBLE / tot AS DECIMAL(18,8)), 6)::DOUBLE AS p
-         FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""",
-
-    // chi-square replay: same per-side count tables, the same exact-integer
-    // expected-count staging (one double divide per E), fixed (O−E)²/E
-    // operation order, per-category terms decimal-staged before the sum
-    "stats_chisq_drift" ->
-      """WITH a AS (
-           SELECT event_type AS cat, count(*) AS oa FROM events
-           WHERE CAST(ts AS DATE) <= DATE '2024-01-15' GROUP BY 1),
-         b AS (
-           SELECT event_type AS cat, count(*) AS ob FROM events
-           WHERE CAST(ts AS DATE) > DATE '2024-01-15' GROUP BY 1),
-         j AS (
-           SELECT coalesce(a.cat, b.cat) AS cat,
-             coalesce(oa, 0) AS oa, coalesce(ob, 0) AS ob
-           FROM a FULL OUTER JOIN b ON a.cat = b.cat),
-         tot AS (
-           SELECT CAST(sum(oa) AS BIGINT) AS na, CAST(sum(ob) AS BIGINT) AS nb
-           FROM j),
-         terms AS (
-           SELECT na, nb,
-             CAST((oa::DOUBLE - e_a) * (oa::DOUBLE - e_a) / e_a
-               + (ob::DOUBLE - e_b) * (ob::DOUBLE - e_b) / e_b
-               AS DECIMAL(28,10)) AS t
-           FROM (
-             SELECT oa, ob, na, nb,
-               CAST(na::DECIMAL(38,0) * (oa + ob)::DECIMAL(38,0) AS DOUBLE)
-                 / CAST((na + nb)::DECIMAL(38,0) AS DOUBLE) AS e_a,
-               CAST(nb::DECIMAL(38,0) * (oa + ob)::DECIMAL(38,0) AS DOUBLE)
-                 / CAST((na + nb)::DECIMAL(38,0) AS DOUBLE) AS e_b
-             FROM j CROSS JOIN tot))
-         SELECT count(*) AS n_categories, na AS n_a, nb AS n_b,
-           CAST(count(*) - 1 AS BIGINT) AS dof,
-           round(sum(t), 6)::DOUBLE AS chi2
-         FROM terms GROUP BY na, nb""",
-
-    // rolling replay: same count table, same rows-semantics trailing window
-    "events_rolling" ->
-      """WITH daily AS (
-           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-           FROM events GROUP BY 1, 2)
-         SELECT event_type, day, n,
-           count(*) OVER w AS trail_days,
-           round(CAST(sum(n) OVER w::DOUBLE / count(*) OVER w
-             AS DECIMAL(18,8)), 4)::DOUBLE AS trail_mean
-         FROM daily
-         WINDOW w AS (PARTITION BY event_type ORDER BY day
-                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-         ORDER BY event_type, day""",
-
-    // streaming stickiness replay: the accreted activity state is the
-    // distinct (user, day) of the full stream, so the batch SQL replays it
-    "stream_stickiness" ->
-      """WITH a AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-         days AS (SELECT DISTINCT day FROM a),
-         c AS (
-           SELECT DISTINCT a.user_id, d.day FROM a
-           JOIN days d ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY),
-         wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY day),
-         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day)
-         SELECT dau.day, dau.dau, wau.wau,
-           round(CAST(dau.dau::DOUBLE / wau.wau AS DECIMAL(18,8)), 6)::DOUBLE
-             AS stickiness
-         FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
-
-    // stickiness replay: same vote-explode via a day-range join (equivalent
-    // set), distinct rollups, decimal-staged ratio
-    "events_stickiness" ->
-      """WITH a AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-         days AS (SELECT DISTINCT day FROM a),
-         c AS (
-           SELECT DISTINCT a.user_id, d.day FROM a
-           JOIN days d ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY),
-         wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY day),
-         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day)
-         SELECT dau.day, dau.dau, wau.wau,
-           round(CAST(dau.dau::DOUBLE / wau.wau AS DECIMAL(18,8)), 6)::DOUBLE
-             AS stickiness
-         FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
-
-    // overlap replay: the same 3-shingle sets per (source, shingle), the
-    // same ordered self-join and Jaccard denominators
-    "curate_source_overlap" ->
-      s"""WITH norm AS (
-           SELECT source, string_split($normSql, ' ') AS toks FROM documents),
-         sh0 AS (
-           SELECT source AS src, unnest(list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(range(0, len(toks) - 2),
-                 i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS sh
-           FROM norm),
-         sh AS (SELECT DISTINCT src, sh FROM sh0),
-         sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
-         p AS (
-           SELECT a.src AS source_a, b.src AS source_b,
-             count(*) AS shared_shingles
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
-           GROUP BY 1, 2)
-         SELECT source_a, source_b, shared_shingles,
-           round(CAST(shared_shingles::DOUBLE
-               / (sa.n + sb.n - shared_shingles) AS DECIMAL(18,8)), 6)::DOUBLE
-             AS jaccard
-         FROM p JOIN sizes sa ON p.source_a = sa.src
-                JOIN sizes sb ON p.source_b = sb.src
-         ORDER BY source_a, source_b""",
-
-    // CMS replay: same md5 row-hashes, counter build, min-of-4 lookup
-    "sketch_cms" -> cmsOracleSql,
-    // the streaming monitor accretes the SAME linear sketch (cells are
-    // additive), so the batch replay is the identical oracle
-    "stream_cms" -> cmsOracleSql,
-
-    // bloom replay: same md5 positions, all-k-set membership, exact flag
-    "sketch_bloom" ->
-      """WITH ks AS (SELECT DISTINCT o_custkey AS key FROM orders),
-         js AS (SELECT unnest(range(0, 3)) AS j),
-         bits AS (
-           SELECT DISTINCT
-             ('0x'||substr(md5(CAST(key AS VARCHAR) || 'bloom' || j::VARCHAR),1,15))::BIGINT
-               % 4096 AS pos
-           FROM ks CROSS JOIN js),
-         probe AS (SELECT DISTINCT c_custkey FROM customer),
-         pp AS (
-           SELECT c_custkey,
-             ('0x'||substr(md5(CAST(c_custkey AS VARCHAR) || 'bloom' || j::VARCHAR),1,15))::BIGINT
-               % 4096 AS pos
-           FROM probe CROSS JOIN js),
-         m AS (
-           SELECT c_custkey, count(*) AS n,
-             sum(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
-               AS hit
-           FROM pp GROUP BY 1)
-         SELECT c_custkey, (hit = n) AS might_present,
-           (c_custkey IN (SELECT key FROM ks)) AS actually_present
-         FROM m ORDER BY c_custkey""",
-
-    // HLL replay: the same md5-derived 60-bit hash split into bucket and
-    // sub-stream word, trailing-zero ranks via bit_count((w & -w) - 1), register-max,
-    // exact-integer harmonic staging, the identical alpha·m²·2^60 literal
-    // overlap replay: the hll chain three times (A-slice, B-slice, and the
-    // register-wise max union), then inclusion-exclusion on the estimates
-    "sketch_hll_overlap" ->
-      s"""WITH tk AS (
-           SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
-           WHERE tok <> ''),
-         ha AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h
-                FROM tk WHERE doc_id % 2 = 0),
-         hb AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h
-                FROM tk WHERE doc_id % 3 = 0),
-         ra0 AS (
-           SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-             ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END) AS reg
-           FROM ha GROUP BY 1),
-         rb0 AS (
-           SELECT h % 256 AS bucket, max(CASE WHEN h // 256 = 0 THEN 53
-             ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END) AS reg
-           FROM hb GROUP BY 1),
-         buckets AS (SELECT unnest(range(0, 256)) AS bucket),
-         ra AS (SELECT b.bucket, coalesce(ra0.reg, 0) AS reg
-                FROM buckets b LEFT JOIN ra0 USING (bucket)),
-         rb AS (SELECT b.bucket, coalesce(rb0.reg, 0) AS reg
-                FROM buckets b LEFT JOIN rb0 USING (bucket)),
-         ru AS (SELECT ra.bucket, greatest(ra.reg, rb.reg) AS reg
-                FROM ra JOIN rb USING (bucket)),
-         ea AS (
-           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
-               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
-               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_a
-           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
-                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM ra)),
-         eb AS (
-           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
-               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
-               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_b
-           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
-                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM rb)),
-         eu AS (
-           SELECT round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0 AND z > 0
-               THEN 256.0 * ln(256.0 / CAST(z AS DOUBLE))
-               ELSE ($hllC / CAST(s AS DOUBLE)) END AS DECIMAL(38,6)), 2)::DOUBLE AS est_union
-           FROM (SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
-                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z FROM ru))
-         SELECT est_a, est_b, est_union,
-           round(CAST(est_a + est_b - est_union AS DECIMAL(38,6)), 2)::DOUBLE
-             AS est_intersection
-         FROM ea CROSS JOIN eb CROSS JOIN eu""",
-
-    "sketch_hll" ->
-      s"""WITH tk AS (
-           SELECT tok FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
-           WHERE tok <> ''),
-         h AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h FROM tk),
-         rr AS (
-           SELECT h % 256 AS bucket,
-             CASE WHEN h // 256 = 0 THEN 53
-                  ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END AS rho
-           FROM h),
-         regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
-         regs AS (
-           SELECT b.bucket, coalesce(regs0.reg, 0) AS reg
-           FROM (SELECT unnest(range(0, 256)) AS bucket) b
-           LEFT JOIN regs0 USING (bucket)),
-         agg AS (
-           SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
-             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
-           FROM regs),
-         est AS (
-           SELECT 256 AS m, zero_registers,
-             round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0
-                              AND zero_registers > 0
-                         THEN 256.0 * ln(256.0 / CAST(zero_registers AS DOUBLE))
-                         ELSE ($hllC / CAST(s AS DOUBLE)) END
-               AS DECIMAL(38,6)), 2)::DOUBLE AS est_distinct
-           FROM agg)
-         SELECT est.m, est.zero_registers, est.est_distinct, x.exact_distinct
-         FROM est CROSS JOIN
-           (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tk) x""",
-
-    // incremental-CC replay: order-independence means the accreted labeling
-    // equals the one-shot recursive reach over the full pair set
-    "stream_components" ->
-      s"""WITH RECURSIVE $nearDupEdgesSql,
-         reach(node, r) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-         SELECT node AS doc_id, least(node, min(r)) AS cluster
-         FROM reach GROUP BY node ORDER BY doc_id""",
-
-    // streaming HLL replay: mergeability means the accreted registers equal
-    // the one-pass corpus sketch — identical chain, no exact-count column
-    "stream_cardinality" ->
-      s"""WITH tk AS (
-           SELECT tok FROM (
-             SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
-           WHERE tok <> ''),
-         h AS (SELECT ('0x' || substr(md5(tok || 'hll'), 1, 15))::BIGINT AS h FROM tk),
-         rr AS (
-           SELECT h % 256 AS bucket,
-             CASE WHEN h // 256 = 0 THEN 53
-                  ELSE CAST(bit_count(((h // 256) & (-(h // 256))) - 1) AS INTEGER) + 1 END AS rho
-           FROM h),
-         regs0 AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY bucket),
-         regs AS (
-           SELECT b.bucket, coalesce(regs0.reg, 0) AS reg
-           FROM (SELECT unnest(range(0, 256)) AS bucket) b
-           LEFT JOIN regs0 USING (bucket)),
-         agg AS (
-           SELECT CAST(sum(1::BIGINT << (60 - reg)) AS DECIMAL(38,0)) AS s,
-             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
-           FROM regs)
-         SELECT 256 AS m, zero_registers,
-           round(CAST(CASE WHEN ($hllC / CAST(s AS DOUBLE)) <= 640.0
-                            AND zero_registers > 0
-                       THEN 256.0 * ln(256.0 / CAST(zero_registers AS DOUBLE))
-                       ELSE ($hllC / CAST(s AS DOUBLE)) END
-             AS DECIMAL(38,6)), 2)::DOUBLE AS est_distinct
-         FROM agg""",
-
-    // winsorize replay: per-type quantile picks → clamp
-    "stats_winsorize" ->
-      """WITH b AS (
-           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events GROUP BY 1, 2),
-         cum AS (
-           SELECT a.event_type, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.event_type = a.event_type AND b2.bin <= a.bin
-           GROUP BY a.event_type, a.bin),
-         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
-         e AS (SELECT cum.event_type, bin, cum_count, total
-               FROM cum JOIN tot ON cum.event_type = tot.event_type),
-         qs(q) AS (VALUES (CAST(0.05 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
-         pick AS (
-           SELECT event_type, q, bin FROM (
-             SELECT event_type, q, bin,
-               row_number() OVER (PARTITION BY event_type, q ORDER BY bin ASC) AS rn
-             FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1),
-         bounds AS (
-           SELECT event_type,
-             min(CASE WHEN q = 0.05 THEN bin * 10.0 END) AS clip_lo,
-             min(CASE WHEN q = 0.95 THEN (bin + 1) * 10.0 END) AS clip_hi
-           FROM pick GROUP BY event_type)
-         SELECT event_id, ev.event_type, value,
-           least(greatest(value, clip_lo), clip_hi) AS value_clipped,
-           clip_lo, clip_hi
-         FROM events ev JOIN bounds ON ev.event_type = bounds.event_type
-         ORDER BY event_id""",
-
-    "stats_quantile_by_type" ->
-      """WITH b AS (
-           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
-           FROM events GROUP BY 1, 2),
-         cum AS (
-           SELECT a.event_type, a.bin, CAST(sum(b2.cnt) AS BIGINT) AS cum_count
-           FROM b a JOIN b b2 ON b2.event_type = a.event_type AND b2.bin <= a.bin
-           GROUP BY a.event_type, a.bin),
-         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM b GROUP BY 1),
-         e AS (SELECT cum.event_type, bin, cum_count, total
-               FROM cum JOIN tot ON cum.event_type = tot.event_type),
-         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
-         SELECT event_type, q, bin, bin * CAST(10.0 AS DOUBLE) AS lo,
-           (bin + 1) * CAST(10.0 AS DOUBLE) AS hi, cum_count, total
-         FROM (
-           SELECT event_type, q, bin, cum_count, total,
-             row_number() OVER (PARTITION BY event_type, q ORDER BY bin ASC) AS rn
-           FROM qs JOIN e ON CAST(cum_count AS DOUBLE) >= q * total) WHERE rn = 1
-         ORDER BY event_type, q""",
-
-    // sliding-window chunking: stride-spaced starts, last start clamped to
-    // n-window (always full-width), DuckDB list_slice mirrors Spark slice
-    "chunk_overlap" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks, $normSql AS nt FROM documents),
-         n AS (
-           SELECT doc_id, toks,
-             CASE WHEN length(nt) = 0 THEN 0 ELSE len(toks) END AS n FROM d),
-         x AS (
-           SELECT doc_id, toks, n,
-             unnest(range(0, CAST(floor(CAST(greatest(n - 32, 0) AS DOUBLE) / 24.0) AS BIGINT)
-               + CASE WHEN greatest(n - 32, 0) % 24 > 0 THEN 2 ELSE 1 END)) AS chunk
-           FROM n WHERE n > 0),
-         c AS (
-           SELECT doc_id, chunk, least(chunk * 24, greatest(n - 32, 0)) AS start,
-             list_slice(toks, least(chunk * 24, greatest(n - 32, 0)) + 1,
-               least(chunk * 24, greatest(n - 32, 0)) + 32) AS ct
-           FROM x)
-         SELECT doc_id, chunk, start, len(ct) AS n_tok,
-           md5(array_to_string(ct, ' ')) AS fp
-         FROM c ORDER BY doc_id, chunk""",
-
-    // entropy replay: per-(doc, token) counts, decimal-staged −(c/n)ln(c/n)
-    "text_entropy" ->
-      s"""WITH tk AS (
-           SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-             FROM documents)
-           WHERE tok <> ''),
-         tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
-         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
-         sc AS (
-           SELECT doc_id, max(n) AS n_tokens,
-             round(CAST(-sum(term) AS DECIMAL(18,8)), 4)::DOUBLE AS entropy
-           FROM (
-             SELECT tf.doc_id, n.n,
-               CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
-                 AS DECIMAL(18,8)) AS term
-             FROM tf JOIN n ON tf.doc_id = n.doc_id)
-           GROUP BY doc_id)
-         SELECT documents.doc_id,
-           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-           coalesce(entropy, 0.0) AS entropy
-         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
-         ORDER BY documents.doc_id""",
-
-    // bigram LM replay: seen bigram = exact count ratio, unseen = 0.4×
-    // add-one unigram; DECIMAL-staged transition logs
-    "text_lm_bigram" ->
-      s"""WITH d AS (
-           SELECT doc_id, doc_id % 10 != 0 AS tr,
-             list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS toks
-           FROM documents),
-         bgl AS (
-           SELECT doc_id, tr, CASE WHEN len(toks) >= 2
-             THEN list_transform(range(0, len(toks)-1),
-               i -> toks[i+1] || ' ' || toks[i+2])
-             ELSE CAST([] AS VARCHAR[]) END AS bgs FROM d),
-         px AS (
-           SELECT doc_id, tr, bg, split_part(bg, ' ', 1) AS a,
-             split_part(bg, ' ', 2) AS b
-           FROM (SELECT doc_id, tr, unnest(bgs) AS bg FROM bgl)),
-         cab AS (SELECT bg, count(*) AS cab FROM px WHERE tr GROUP BY bg),
-         ca AS (SELECT a, count(*) AS ca FROM px WHERE tr GROUP BY a),
-         uni AS (
-           SELECT tok AS b, count(*) AS cb
-           FROM (SELECT unnest(toks) AS tok FROM d WHERE tr) GROUP BY tok),
-         st AS (SELECT CAST(sum(cb) AS BIGINT) AS t, count(*) AS v FROM uni),
-         sc AS (
-           SELECT doc_id, count(*) AS n_transitions,
-             round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS avg_logprob
-           FROM (
-             SELECT doc_id,
-               CAST(CASE WHEN cab IS NOT NULL AND ca IS NOT NULL
-                 THEN ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))
-                 ELSE ln(0.4 * (CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)
-                   / (CAST(t AS DOUBLE) + v)) END
-                 AS DECIMAL(18,8)) AS lp
-             FROM px LEFT JOIN cab USING (bg) LEFT JOIN ca USING (a)
-             LEFT JOIN uni USING (b) CROSS JOIN st)
-           GROUP BY doc_id)
-         SELECT documents.doc_id,
-           CAST(coalesce(n_transitions, 0) AS BIGINT) AS n_transitions,
-           coalesce(avg_logprob, 0.0) AS avg_logprob
-         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
-         ORDER BY documents.doc_id""",
-
-    // DSIR importance scoring: one token pass counts both models (target =
-    // conditional sum), per-token ln-ratio staged in DECIMAL(18,8), exact
-    // sum, one double division — the text_lm_score discipline twice over
-    "text_dsir" ->
-      s"""WITH d AS (
-           SELECT doc_id, lang = 'en' AS tgt, string_split($normSql, ' ') AS toks
-           FROM documents),
-         tk AS (
-           SELECT doc_id, tgt, tok
-           FROM (SELECT doc_id, tgt, unnest(toks) AS tok FROM d) WHERE tok <> ''),
-         c AS (
-           SELECT tok, count(*) AS cr,
-             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
-           FROM tk GROUP BY tok),
-         st AS (
-           SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
-             count(*) AS v FROM c),
-         sc AS (
-           SELECT doc_id, count(*) AS n_tokens,
-             round(CAST(CAST(sum(lr) AS DOUBLE) / count(*) AS DECIMAL(18,8)), 4)::DOUBLE
-               AS dsir_score
-           FROM (
-             SELECT doc_id,
-               CAST(ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + v))
-                  - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + v))
-                 AS DECIMAL(18,8)) AS lr
-             FROM tk JOIN c USING (tok) CROSS JOIN st)
-           GROUP BY doc_id)
-         SELECT documents.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-           coalesce(dsir_score, 0.0) AS dsir_score,
-           coalesce(dsir_score, 0.0) > 0.0 AS kept
-         FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id
-         ORDER BY documents.doc_id""",
-
-    // duplicated-span extraction: rolling 8-gram md5 digests, global
-    // count>1 filter, per-document gaps-and-islands (pos - row_number)
-    "dedup_spans" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 8
-             THEN list_transform(range(0, len(toks)-7),
-               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         x AS (
-           SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
-             unnest(grams) AS gg FROM g),
-         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
-         i AS (
-           SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM x SEMI JOIN f USING (gg))
-         SELECT doc_id, min(pos) AS span_start,
-           max(pos) - min(pos) + 8 AS span_tokens
-         FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
-
-    // the cut applied: covered positions from the span set, anti-join on
-    // (doc, pos), ordered list re-aggregation
-    "dedup_spans_cut" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 8
-             THEN list_transform(range(0, len(toks)-7),
-               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         x AS (
-           SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
-             unnest(grams) AS gg FROM g),
-         f AS (SELECT gg FROM x GROUP BY gg HAVING count(*) > 1),
-         i AS (
-           SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM x SEMI JOIN f USING (gg)),
-         s AS (
-           SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS s1
-           FROM i GROUP BY doc_id, grp),
-         cov AS (
-           SELECT DISTINCT doc_id, pos FROM (
-             SELECT doc_id, unnest(range(s0, s1 + 1)) AS pos FROM s)),
-         tk AS (
-           SELECT doc_id, pos - 1 AS pos, tok FROM (
-             SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-               unnest(toks) AS tok FROM norm)
-           WHERE tok <> ''),
-         kept AS (
-           SELECT doc_id,
-             array_to_string(array_agg(tok ORDER BY pos), ' ') AS clean_text,
-             count(*) AS n_kept
-           FROM tk ANTI JOIN cov USING (doc_id, pos)
-           GROUP BY doc_id),
-         tot AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
-           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-           CAST(coalesce(nt, 0) - coalesce(n_kept, 0) AS BIGINT) AS n_cut
-         FROM documents d
-         LEFT JOIN tot ON d.doc_id = tot.doc_id
-         LEFT JOIN kept ON d.doc_id = kept.doc_id
-         ORDER BY d.doc_id""",
-
-    // TF-IDF keywords: df = (doc, token)-count rows per token, ranking by
-    // the decimal-staged score then term, per-document window top-3
-    "text_tfidf" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         tf AS (
-           SELECT doc_id, tok, count(*) AS tf
-           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-           WHERE tok <> '' GROUP BY doc_id, tok),
-         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
-         sc AS (
-           SELECT doc_id, tok, tf,
-             CAST(CAST(tf AS DOUBLE)
-               * ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
-               AS DECIMAL(18,8)) AS sd
-           FROM tf JOIN dft USING (tok) CROSS JOIN n)
-         SELECT doc_id, tok AS term, tf, round(sd, 4)::DOUBLE AS tfidf, rank
-         FROM (
-           SELECT doc_id, tok, tf, sd,
-             row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, tok ASC) AS rank
-           FROM sc)
-         WHERE rank <= 3 ORDER BY doc_id, rank""",
-
-    // ROUGE-2 over the contamination pair set: clipped bigram counts,
-    // P/R/F1 each ONE double division of exact longs (F1 = 2·clip/(|A|+|B|))
-    "text_rouge" ->
-      s"""WITH norm AS (
-           SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-         gg AS (
-           SELECT doc_id, CASE WHEN len(toks) >= 4
-             THEN list_transform(range(0, len(toks)-3),
-               i -> array_to_string(toks[i+1:i+4], ' '))
-             ELSE CAST([] AS VARCHAR[]) END AS grams FROM norm),
-         h AS (
-           SELECT doc_id, list_transform(grams,
-             g2 -> ('0x'||substr(md5(g2),1,15))::BIGINT) AS hs FROM gg),
-         w AS (
-           SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-             ELSE list_distinct(list_transform(range(0, greatest(len(hs)-4,0)+1),
-               j -> list_min(hs[j+1:j+4]))) END AS fps FROM h),
-         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         bf AS (SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 10 = 0),
-         bcap AS (
-           SELECT bench_id, fp FROM (
-             SELECT bench_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM bf)
-           WHERE cnt <= 100),
-         tf2 AS (SELECT doc_id AS train_id, fp FROM f WHERE doc_id % 10 != 0),
-         p AS (
-           SELECT train_id, bench_id FROM (
-             SELECT train_id, bench_id, count(*) AS shared
-             FROM tf2 JOIN bcap USING (fp) GROUP BY 1, 2)
-           WHERE shared >= 3),
-         bg AS (
-           SELECT doc_id, big, count(*) AS c FROM (
-             SELECT doc_id, unnest(CASE WHEN len(lf) >= 2
-               THEN list_transform(range(0, len(lf)-1),
-                 i -> lf[i+1] || ' ' || lf[i+2])
-               ELSE CAST([] AS VARCHAR[]) END) AS big
-             FROM (SELECT doc_id,
-                     list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS lf
-                   FROM documents))
-           GROUP BY doc_id, big),
-         cl AS (
-           SELECT train_id, bench_id, sum(least(a.c, b.c)) AS clip
-           FROM p
-           JOIN bg a ON a.doc_id = p.train_id
-           JOIN bg b ON b.doc_id = p.bench_id AND b.big = a.big
-           GROUP BY train_id, bench_id),
-         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM bg GROUP BY doc_id)
-         SELECT train_id, bench_id,
-           round(CAST(CASE WHEN coalesce(ta.tot, 0) = 0 THEN 0.0
-             ELSE CAST(coalesce(clip, 0) AS DOUBLE) / CAST(ta.tot AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_p,
-           round(CAST(CASE WHEN coalesce(tb.tot, 0) = 0 THEN 0.0
-             ELSE CAST(coalesce(clip, 0) AS DOUBLE) / CAST(tb.tot AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_r,
-           round(CAST(CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0) = 0 THEN 0.0
-             ELSE CAST(2 * coalesce(clip, 0) AS DOUBLE)
-               / CAST(coalesce(ta.tot, 0) + coalesce(tb.tot, 0) AS DOUBLE) END
-             AS DECIMAL(18,8)), 4)::DOUBLE AS rouge2_f
-         FROM p
-         LEFT JOIN cl USING (train_id, bench_id)
-         LEFT JOIN tot ta ON ta.doc_id = p.train_id
-         LEFT JOIN tot tb ON tb.doc_id = p.bench_id
-         ORDER BY train_id, bench_id"""
-  )
+    QueriesCore.m ++ QueriesTables.m ++
+      QueriesTrainingA.m ++ QueriesTrainingB.m
+
+  def oracleSql: Map[String, String] =
+    OracleSqlA.m ++ OracleSqlB.m ++ OracleSqlC.m ++ OracleSqlD.m
 }

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Scans {
 
+  /** Deterministic compute-rebalance (round 16, guide §2.6 stragglers):
+    * hash-repartition `df` by `key` to 2× the session's default
+    * parallelism IFF its physical scan would run on fewer tasks than the
+    * session has cores. CPU-heavy per-row operators (tokenize/shingle
+    * explodes, signature hashing, codebook distances) call this so a
+    * few-file local input parallelizes across all cores, while a
+    * corpus-scale input — already ≥ cores partitions from its file
+    * splits — passes through UNTOUCHED: scale-adaptive, no always-on
+    * payload shuffle. Keyed hash partitioning, never round-robin, so
+    * task retries reproduce the same row placement (SPARK-38388).
+    *
+    * Only call on scan-stage frames (projections/filters over a source or
+    * a frozen leaf): probing partition count forces physical planning,
+    * and under AQE a frame with upstream exchanges would materialize
+    * those stages eagerly here.
+    */
+  def balancedForCompute(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(2 * p, key)
+  }
+
   /** Exact distributed running totals of `sumCols` in `orderCol` order —
     * the scale-safe replacement for an unpartitioned cumulative window.
     *
@@ -55,22 +77,48 @@ object Scans {
     require(df.schema(orderCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"cumulative needs a numeric order key, got ${df.schema(orderCol).dataType}")
+    // Round 16 (guide §2.4 / §1.2): materialize the walked frame ONCE and
+    // size the scan from its REAL row count. The frame used to feed four
+    // subtrees lazily (the quantile probe, the per-partition totals, the
+    // windowed body, and through it the final join) — every reference
+    // re-ran whatever aggregation built it, and the duplicated subtree
+    // ballooned readout plans (stream_hazard read 225 physical nodes,
+    // plans/r16). ensureFrozenCounted is a no-op for already-frozen
+    // inputs (monitor states, pre-frozen count tables), so callers that
+    // freeze first pay nothing extra. With the count in hand the scan is
+    // scale-ADAPTIVE: a few-hundred-row life/count table takes parts=1 —
+    // no approxQuantile pass, no range machinery, one tiny partitioned
+    // window — while a genuinely large frozen frame still fans out
+    // (spark.graft.scan.rowsPerPartition rows per task, default 256k,
+    // capped at the session's shuffle parallelism). Result-identical for
+    // ANY parts (associative integral/decimal sums, see above).
+    val (f, n) = org.apache.spark.sql.graftbridge.Bridge.ensureFrozenCounted(df)
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+        val rowsPer = df.sparkSession.conf
+          .get("spark.graft.scan.rowsPerPartition", "262144").toLong
+        math.max(1L, math.min(cap.toLong, (n + rowsPer - 1) / rowsPer)).toInt
+      }
     val probs = (1 until parts).map(_.toDouble / parts).toArray
     val bounds: Array[Double] =
       if (parts <= 1) Array.empty
-      else df.select(col(orderCol).cast("double").as("__k"))
+      else f.select(col(orderCol).cast("double").as("__k"))
         .stat.approxQuantile("__k", probs, 0.01).distinct.sorted
     val key = col(orderCol).cast("double")
     val pid: Column =
-      if (bounds.isEmpty) lit(0)
+      // one-bucket case: the bucket id must stay NON-FOLDABLE — a lit(0)
+      // constant-folds out of the window's partitionSpec and leaves the
+      // banned unpartitioned WindowExec shape (WindowAudit); hashing the
+      // key into one bucket is always 0, never foldable, and trivially
+      // satisfies the contiguous-range invariant
+      if (bounds.isEmpty) pmod(xxhash64(key), lit(1L)).cast("int")
       else bounds.zipWithIndex.tail
         .foldLeft(when(key <= bounds(0), 0)) { case (acc, (b, i)) =>
           acc.when(key <= b, i)
         }.otherwise(bounds.length)
-    val rp = df.withColumn("__pid", pid).repartition(parts, col("__pid"))
+    val rp = f.withColumn("__pid", pid).repartition(parts, col("__pid"))
     // per-partition totals: ≤ `parts` rows from here on
     val totals = rp.groupBy(col("__pid"))
       .agg(sum(col(sumCols.head)).as(s"__t_${sumCols.head}"),

@@ -173,14 +173,24 @@ object Dedup {
 
     val idxB = idx.select(col(idCol).as("__idc"),
       posexplode(col("__bands")).as(Seq("__b", "__bk")))
+    val incB = inc.select(col(idCol).as("__idn"),
+      posexplode(col("__bands")).as(Seq("__b", "__bk")))
     // cap degenerate corpus buckets (boilerplate content) — bounds the
-    // per-batch join fan-out the same way minhashPairs bounds the self-join
+    // per-batch join fan-out the same way minhashPairs bounds the
+    // self-join. Round 16 (guide §2.3): the cap is computed ONLY for the
+    // buckets this batch actually probes — the old window shuffled the
+    // WHOLE accreted index banding every micro-batch (O(corpus) per
+    // batch, the one corpus-proportional shuffle left in the ingest
+    // path); the broadcast semi-join on the batch's own (band, key) set
+    // keeps the shuffled population batch-proportional while still
+    // counting each probed bucket's FULL size, so every bucket's
+    // kept/dropped verdict — and the match set — is unchanged.
+    val probed = broadcast(incB.select(col("__b"), col("__bk")).distinct())
     val idxCapped = idxB
+      .join(probed, Seq("__b", "__bk"), "left_semi")
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"), col("__bk"))))
       .filter(col("__cnt") <= maxBucket)
       .select(col("__b"), col("__bk"), col("__idc"))
-    val incB = inc.select(col(idCol).as("__idn"),
-      posexplode(col("__bands")).as(Seq("__b", "__bk")))
 
     val candidates = incB.join(idxCapped, Seq("__b", "__bk"))
       .filter(col("__idn") =!= col("__idc"))

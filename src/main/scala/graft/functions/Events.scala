@@ -1679,25 +1679,27 @@ object Events {
         datediff(col("__asof"), col("__last")).cast("long").as("recency_days"),
         col("frequency"),
         col("__msum").cast("double").as("monetary")))
+    // each metric's 4 quintile cuts collapse to ONE broadcast array row
+    // (round 16): the previous shape crossJoined the 4-row cut table per
+    // metric (4× row expansion) and re-grouped the whole customer frame —
+    // three extra shuffles of the result per query. Counting cuts
+    // strictly below the metric is order-free, so an array-local count
+    // against the broadcast array is value-identical (boundary ties still
+    // land low; a NULL cut — empty input — counts 0 both ways, and
+    // collect_list dropping NULLs preserves exactly that).
     def cuts(metric: String, out: String): DataFrame = broadcast(
       graft.functions.Stats.quantilesOfCounts(
         base.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c")), qs)
-        .select(col("value").as(out)))
-    // one 4×-expansion pass per metric: count cuts strictly below the
-    // customer's metric, regroup — scores stay 1..5, boundary ties low
-    val keep = Seq(custCol, "recency_days", "frequency", "monetary")
-    def score(in: DataFrame, metric: String, cutCol: String,
-              out: String, invert: Boolean): DataFrame = {
-      val prev = in.columns.filterNot(_ == cutCol).map(col)
-      val cnt = sum(when(col(metric) > col(cutCol), 1L).otherwise(0L))
-      in.crossJoin(cuts(metric, cutCol))
-        .groupBy(prev: _*)
-        .agg((if (invert) lit(5L) - cnt else cnt + lit(1L)).as(out))
-    }
-    val scored = score(score(score(base,
-      "recency_days", "__rc", "r_score", invert = true),
-      "frequency", "__fc", "f_score", invert = false),
-      "monetary", "__mc", "m_score", invert = false)
+        .agg(collect_list(col("value")).as(out)))
+    def cnt(metric: String, cutCol: String): org.apache.spark.sql.Column =
+      size(filter(col(cutCol), c => col(metric) > c)).cast("long")
+    val scored = base
+      .crossJoin(cuts("recency_days", "__rc"))
+      .crossJoin(cuts("frequency", "__fc"))
+      .crossJoin(cuts("monetary", "__mc"))
+      .withColumn("r_score", lit(5L) - cnt("recency_days", "__rc"))
+      .withColumn("f_score", cnt("frequency", "__fc") + lit(1L))
+      .withColumn("m_score", cnt("monetary", "__mc") + lit(1L))
     scored.select(col(custCol), col("recency_days"), col("frequency"),
       round(col("monetary").cast(org.apache.spark.sql.types.DecimalType(18, 8)), 2)
         .cast("double").as("monetary"),
@@ -1887,23 +1889,39 @@ object Events {
     */
   private def lifetableOfSpans(spans: DataFrame, censorDays: Int): DataFrame = {
     require(censorDays >= 0, "censorDays must be non-negative")
-    val frozen = org.apache.spark.sql.graftbridge.Bridge.freeze(
+    // ensureFrozen: a monitor readout hands in an already-frozen span
+    // state — re-checkpointing it cost one redundant materialization job
+    // per readout (round 16)
+    val frozen = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(
       spans.select(col("__u"), col("__first"), col("__last")))
     val end = frozen.agg(max(col("__last")).as("__end"))
-    val lifetimes = frozen.crossJoin(broadcast(end))
-      .select(datediff(col("__last"), col("__first")).as("__t"),
-        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
-      .groupBy(col("__t"))
-      .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("__d"),
-        sum(when(!col("__churn"), 1L).otherwise(0L)).as("__c"))
+    // The life table is bounded by DISTINCT lifetimes (days), never users.
+    // Freeze it (round 16): the lazy groupBy fed four downstream subtrees
+    // (totals, the scan's quantile probe + window branch, the final join),
+    // so every readout re-aggregated the span state 4× and the physical
+    // plan ballooned to 225 nodes (plans/r16/stream_hazard_before.txt);
+    // one tiny materialization makes every reference a leaf scan, and the
+    // known count lets Scans.cumulative size itself from the data.
+    val lifetimes = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      frozen.crossJoin(broadcast(end))
+        .select(datediff(col("__last"), col("__first")).as("__t"),
+          (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
+        .groupBy(col("__t"))
+        .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("__d"),
+          sum(when(!col("__churn"), 1L).otherwise(0L)).as("__c")))
     val tot = lifetimes.agg(sum(col("__d") + col("__c")).as("__n"))
     // at-risk via the inclusive prefix scan: n_t = N − (everyone who
     // exited at an earlier lifetime)
     val cum = graft.core.Scans.cumulative(
       lifetimes.withColumn("__exit", col("__d") + col("__c")),
       "__t", Seq("__exit"))
-    cum.crossJoin(broadcast(tot))
-      .withColumn("__nrisk", col("__n") - (col("cum___exit") - col("__exit")))
+    // frozen on return (same bound as lifetimes): both readout walks
+    // (kmOfSpans' ln-factor scan, naOfSpans' hazard scan) feed this frame
+    // into a SECOND Scans.cumulative — a leaf keeps that walk on the
+    // known-count fast path instead of re-running this one's machinery
+    org.apache.spark.sql.graftbridge.Bridge.freeze(
+      cum.crossJoin(broadcast(tot))
+        .withColumn("__nrisk", col("__n") - (col("cum___exit") - col("__exit"))))
   }
 
   /** Nelson–Aalen cumulative hazard over raw events — the survival

@@ -228,10 +228,16 @@ object Retrieval {
         explode(TextAnalysis.tokenPairs(col(textCol))).as("__bg"))
       .withColumn("__a", substring_index(col("__bg"), " ", 1))
       .withColumn("__b", substring_index(col("__bg"), " ", -1))
-    val bgCounts = pairs.filter(col("__tr"))
-      .groupBy(col("__bg")).agg(count(lit(1)).as("__cab"))
-    val prefCounts = pairs.filter(col("__tr"))
-      .groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+    // the bigram count table is frozen (vocabulary-sized) and the PREFIX
+    // counts re-aggregate from it (round 16): Σ_b count(a,b) = count(a·),
+    // exactly the old per-row prefix aggregation — which re-tokenized the
+    // whole corpus for a second time just to count prefixes
+    val bgCounts = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      pairs.filter(col("__tr"))
+        .groupBy(col("__bg")).agg(count(lit(1)).as("__cab")))
+    val prefCounts = bgCounts
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__a"))
+      .agg(sum(col("__cab")).as("__ca"))
     val uniCounts = docs.filter(isTrain)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__b"))
       .filter(col("__b") =!= "")

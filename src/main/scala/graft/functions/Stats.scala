@@ -840,9 +840,12 @@ object Stats {
 
   /** [[rocAuc]]'s readout from a [[scoreCounts]] table. */
   def aucOfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__n"))
     cum
       .select(col("__p"), col("__n"),
         (col("__p").cast(big) *
@@ -1527,10 +1530,13 @@ object Stats {
     * shares with the batch operator.
     */
   def mwuOfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val decU = org.apache.spark.sql.types.DecimalType(28, 8)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__n"))
     val tie = (col("__p") + col("__n")).cast(big)
     val agg = cum
       .select(col("__p"), col("__n"),
@@ -1589,9 +1595,12 @@ object Stats {
     * shares with the batch operator.
     */
   def bmOfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__p", "__n"))
     // doubled combined midrank 2R = 2·(below both arms) + t + 1, and the
     // doubled combined-minus-within gaps Dₐ = 2R − 2rₐ = 2·belowᵦ + cᵦ
     // (the other arm's mass at/under this value) — all exact integers
@@ -1781,10 +1790,13 @@ object Stats {
     * the streaming monitor shares with the batch operator.
     */
   def ksOfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
-    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__p", "__n"))
+    val tot = __fc.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
     val agg = cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         abs(col("cum___p").cast(big) * col("n_b").cast(big) -
@@ -1809,7 +1821,10 @@ object Stats {
   def cliffsOfCounts(counts: DataFrame): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__n"))
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__n"))
     val agg = cum
       .select(col("__p"), col("__n"),
         (col("__p").cast(big) *
@@ -1866,11 +1881,14 @@ object Stats {
     * stage the streaming monitor shares with the batch operator.
     */
   def cvmOfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
-    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__p", "__n"))
+    val tot = __fc.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
     val nad = col("n_a").cast("double")
     val nbd = col("n_b").cast("double")
     val gd = (col("cum___p").cast(big) * col("n_b").cast(big) -
@@ -1928,11 +1946,14 @@ object Stats {
     * stage the streaming monitor shares with the batch operator.
     */
   def ad2OfCounts(counts: DataFrame): DataFrame = {
+    // input frozen once (round 16): it feeds the prefix scan AND the
+    // totals aggregation (no-op for an already-frozen monitor state)
+    val __fc = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
-    val cum = graft.core.Scans.cumulative(counts, "__s", Seq("__p", "__n"))
-    val tot = counts.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
+    val cum = graft.core.Scans.cumulative(__fc, "__s", Seq("__p", "__n"))
+    val tot = __fc.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
     val nTot = (col("n_a") + col("n_b")).cast(big)
     val bTot = (col("cum___p") + col("cum___n")).cast(big)
     val gd = (nTot * col("cum___p").cast(big) -
@@ -1996,12 +2017,14 @@ object Stats {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
     val dec10 = org.apache.spark.sql.types.DecimalType(28, 10)
-    // re-bucket the per-value state to the config-bounded resolution
-    val bins = counts
+    // re-bucket the per-value state to the config-bounded resolution;
+    // frozen once (round 16): the bin table feeds the scan, the totals
+    // AND the next-bucket triangular join
+    val bins = org.apache.spark.sql.graftbridge.Bridge.freeze(counts
       .select(floor(col("__s") / width).cast("long").as("__b"),
         col("__p"), col("__n"))
       .groupBy(col("__b"))
-      .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n"))
+      .agg(sum(col("__p")).as("__p"), sum(col("__n")).as("__n")))
     val cum = graft.core.Scans.cumulative(bins, "__b", Seq("__p", "__n"))
     val tot = bins.agg(sum(col("__p")).as("n_a"), sum(col("__n")).as("n_b"))
     // next present bucket via a triangular join on the bounded bin table
@@ -2065,11 +2088,16 @@ object Stats {
     * count table — the stage the streaming monitor shares with the batch
     * operator.
     */
-  def kwOfCounts(counts: DataFrame): DataFrame = {
+  def kwOfCounts(counts0: DataFrame): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
-    val t = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    // input frozen once (round 16): it feeds the per-value rollup AND the
+    // rank join; the rollup is frozen too — it feeds the scan and the tie
+    // term (both no-ops for already-frozen frames)
+    val counts = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(counts0)
+    val t = org.apache.spark.sql.graftbridge.Bridge.freeze(
+      counts.groupBy(col("__v")).agg(sum(col("__c")).as("__t")))
     // doubled average rank of each value: 2r = 2·(strictly below) + t + 1
     val r = graft.core.Scans.cumulative(t, "__v", Seq("__t"))
       .select(col("__v"),
@@ -3184,9 +3212,12 @@ object Stats {
     * count table — the stage the streaming monitor shares with the batch
     * operator.
     */
-  def spearmanOfCounts(joint: DataFrame): DataFrame = {
+  def spearmanOfCounts(joint0: DataFrame): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    // the joint table feeds BOTH rank tables and the ranked join (round
+    // 16): frozen once, or the aggregation that built it runs three times
+    val joint = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(joint0)
     def rankTable(keyCol: String, out: String): DataFrame = {
       val t = joint.groupBy(col(keyCol)).agg(sum(col("__c")).as("__t"))
       graft.core.Scans.cumulative(t, keyCol, Seq("__t"))
@@ -3258,7 +3289,8 @@ object Stats {
     // the bounded cell table feeds both sides of the pair join, both
     // marginal tie tables and the total — frozen, or the corpus count
     // aggregation (the only pass that touches the data) runs five times
-    val j = org.apache.spark.sql.graftbridge.Bridge.freeze(joint)
+    // (ensureFrozen: an already-frozen monitor state passes through)
+    val j = org.apache.spark.sql.graftbridge.Bridge.ensureFrozen(joint)
     val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"),
       col("__c").cast(big).as("__ca"))
     val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"),

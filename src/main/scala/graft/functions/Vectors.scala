@@ -235,8 +235,11 @@ object Vectors {
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
              k: Int = 8, iters: Int = 2): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val vecs = corpus.select(col(idCol).as("__vid"),
-      col(vecCol).cast("array<double>").as("__v"))
+    // materialized + rebalanced once (round 16): the seed probe and every
+    // Lloyd iteration re-scanned the corpus otherwise
+    val vecs = bridge.freeze(graft.core.Scans.balancedForCompute(
+      corpus.select(col(idCol).as("__vid"),
+        col(vecCol).cast("array<double>").as("__v")), col("__vid")))
     var centroids = bridge.freeze(vecs.orderBy(col("__vid")).limit(k)
       .select(col("__vid").as("cluster"), col("__v").as("centroid")))
     for (_ <- 1 to iters) {
@@ -831,13 +834,22 @@ object Vectors {
     * always broadcastable.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame =
+    pqTrainOfSubs(frozenSubs(corpus, idCol, vecCol, dim, m),
+      corpus, idCol, k, iters)
+
+  /** [[pqTrain]] over an already-materialized subvector frame — the stage
+    * split that lets [[pqTopK]]/[[ivfPqTopK]] explode the corpus ONCE and
+    * reuse the frame for training AND encoding (round 16: the train
+    * iterations, the init join and the encode each re-scanned and
+    * re-exploded the corpus — 3-4 full passes per query).
+    */
+  private def pqTrainOfSubs(subs: DataFrame, seedSrc: DataFrame,
+                            idCol: String, k: Int, iters: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val subs = subspaceExplode(corpus, idCol, vecCol, dim, m)
     // init: the k lowest-id vectors seed every subspace's codebook (labels
     // keep the seed id) — the same id-seeded init as [[kMeans]], per subspace
-    val seedIds = corpus.select(col(idCol).as("__vid")).orderBy(col("__vid")).limit(k)
+    val seedIds = seedSrc.select(col(idCol).as("__vid")).orderBy(col("__vid")).limit(k)
     var centroids = bridge.freeze(subs.join(broadcast(seedIds), Seq("__vid"))
       .select(col("sub"), col("__vid").as("cluster"), col("__sv").as("centroid")))
     // all m subspaces train in ONE fused plan per round: a single broadcast
@@ -865,6 +877,30 @@ object Vectors {
       slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*)
     df.select(col(idCol).as("__vid"), posexplode(slices).as(Seq("sub", "__sv")))
   }
+
+  /** The materialized corpus subvector frame the PQ pipeline reuses:
+    * compact (id, vec) rows rebalance BEFORE the explode (scale-adaptive,
+    * [[graft.core.Scans.balancedForCompute]] — a no-op when the scan
+    * already parallelizes), then the exploded (id, sub, subvector) frame
+    * freezes so codebook training and encoding ride materialized blocks
+    * instead of re-scanning the corpus per pass.
+    */
+  private def frozenSubs(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    org.apache.spark.sql.graftbridge.Bridge.freeze(
+      subspaceExplode(
+        graft.core.Scans.balancedForCompute(
+          corpus.select(col(idCol), col(vecCol)), col(idCol)),
+        idCol, vecCol, dim, m))
+  }
+
+  /** [[pqEncode]] over an already-materialized subvector frame (keeps the
+    * internal `__vid` id name; callers rename).
+    */
+  private def pqEncodeOfSubs(subs: DataFrame, codebook: DataFrame): DataFrame =
+    assignSub(subs, codebook)
+      .select(col("__vid"), col("sub"), col("cluster").as("code"))
 
   /** per-(sub, vector) nearest sub-centroid (ties → smallest cluster label):
     * the same argmin fold as [[assignClusters]], keyed per subspace — the
@@ -912,9 +948,11 @@ object Vectors {
              qId: String, qVec: String, cId: String, cVec: String,
              k: Int, dim: Int, m: Int = 8, kSub: Int = 16,
              iters: Int = 1): DataFrame = {
-    val codebook = pqTrain(corpus, cId, cVec, dim, m, kSub, iters)
-    val codes = pqEncode(corpus, cId, cVec, dim, m, codebook)
-      .select(col(cId).as("__cid"), col("sub"), col("code"))
+    // one corpus explode feeds training AND encoding (round 16)
+    val subs = frozenSubs(corpus, cId, cVec, dim, m)
+    val codebook = pqTrainOfSubs(subs, corpus, cId, kSub, iters)
+    val codes = pqEncodeOfSubs(subs, codebook)
+      .select(col("__vid").as("__cid"), col("sub"), col("code"))
 
     // per-query distance table to every sub-centroid: |Q|·m·kSub rows
     val dtab = subspaceExplode(queries, qId, qVec, dim, m)
@@ -968,16 +1006,20 @@ object Vectors {
     // the corpus assignment ([[assignClusters]]'s shuffle-free argmin fold —
     // the corpus is routed at scan speed), equi-joined on cluster
     val corpusRouted = assignClusters(
-      corpus.select(col(cId).as("__vid"), col(cVec).cast("array<double>").as("__v")),
+      graft.core.Scans.balancedForCompute(
+        corpus.select(col(cId).as("__vid"), col(cVec).cast("array<double>").as("__v")),
+        col("__vid")),
       coarseSrc)
       .select(col("__vid").as("__cid"), col("cluster"))
     val cand = route(queries, qId, qVec, "__qid", nProbe)
       .join(corpusRouted, Seq("cluster"))
       .select(col("__qid"), col("__cid"))
 
-    val codebook = pqTrain(corpus, cId, cVec, dim, m, kSub, iters)
-    val codes = pqEncode(corpus, cId, cVec, dim, m, codebook)
-      .select(col(cId).as("__cid"), col("sub"), col("code"))
+    // one corpus explode feeds training AND encoding (round 16)
+    val subs = frozenSubs(corpus, cId, cVec, dim, m)
+    val codebook = pqTrainOfSubs(subs, corpus, cId, kSub, iters)
+    val codes = pqEncodeOfSubs(subs, codebook)
+      .select(col("__vid").as("__cid"), col("sub"), col("code"))
     val dtab = subspaceExplode(queries, qId, qVec, dim, m)
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("__d2",

@@ -32,8 +32,55 @@ object Bridge {
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count() // the one job: computes, persists, truncates lineage, counts
+    frozenCounts.put(rdd.id, n)
     (spark.internalCreateDataFrame(rdd, df.schema), n)
   }
 
   def freeze(df: DataFrame): DataFrame = freezeCounted(df)._1
+
+  // ------------------------------------------------------------------
+  // materialized-size introspection (round 16, guide §2: partitioning
+  // should derive from input size, not a constant)
+  // ------------------------------------------------------------------
+
+  /** rdd id → row count for every frame this JVM froze. An entry is one
+    * (Int, Long) pair per freeze — bounded by freezes per JVM, never by
+    * data — so no eviction is needed.
+    */
+  private val frozenCounts =
+    scala.collection.concurrent.TrieMap.empty[Int, Long]
+
+  /** An upper bound on `df`'s row count, if `df` is a frame produced by
+    * [[freezeCounted]] in this JVM — possibly under cheap row-local
+    * wrappers (Project/Filter/SubqueryAlias only; anything else returns
+    * None). Free: no job runs. Exact for Project/SubqueryAlias chains;
+    * a Filter only removes rows, so the bound stays valid for partition
+    * sizing. Lets downstream operators size their partitioning from the
+    * REAL input instead of a config constant.
+    */
+  def knownCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def leaf(p: LogicalPlan): Option[Long] = p match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => frozenCounts.get(l.rdd.id)
+      case pr: Project => leaf(pr.child)
+      case f: Filter => leaf(f.child)
+      case a: SubqueryAlias => leaf(a.child)
+      case _ => None
+    }
+    leaf(df.queryExecution.analyzed)
+  }
+
+  /** [[freezeCounted]] unless `df` already IS a frozen frame (modulo
+    * projections) — avoids re-checkpointing a frame a caller or a monitor
+    * state froze moments ago (one redundant materialization job per call
+    * otherwise).
+    */
+  def ensureFrozenCounted(df: DataFrame): (DataFrame, Long) =
+    knownCount(df) match {
+      case Some(n) => (df, n)
+      case None => freezeCounted(df)
+    }
+
+  def ensureFrozen(df: DataFrame): DataFrame = ensureFrozenCounted(df)._1
 }

@@ -284,6 +284,37 @@ class DedupSpec extends SparkSpec {
     assert(inline.forall { case (n, c) => n % 5 == 0 && c % 5 != 0 })
   }
 
+  test("minhashAgainstIndex: probed-bucket cap equals the corpus-wide cap (round 16)") {
+    import spark.implicits._
+    // 4 identical boilerplate docs in the corpus form a degenerate band
+    // bucket; with maxBucket = 3 that bucket must be dropped even though
+    // the cap is now counted only over PROBED buckets — an incoming
+    // identical doc probes it, the count (4 > 3) excludes it, and the doc
+    // matches nothing. A 2-member near-dup bucket stays under the cap and
+    // still matches.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+      (5L, "entirely different content about distributed query engines at scale yes"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, boiler),
+      (11L, "entirely different content about distributed query engines at scale no"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashAgainstIndex(corpus, incoming, "doc_id",
+        "text", n = 3, k = 64, bands = 32, threshold = 0.5, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(3)
+    assert(!capped.exists(_._1 == 10L),
+      "the over-cap boilerplate bucket must generate no candidates")
+    assert(capped.contains((11L, 5L)),
+      "an under-cap bucket must still match across the split")
+    // with the cap open, the boilerplate matches reappear — proving the
+    // cap (not the probe restriction) is what excluded them
+    val open = run(2000)
+    assert(Set(1L, 2L, 3L, 4L).subsetOf(open.filter(_._1 == 10L).map(_._2)))
+  }
+
   test("triangleCounts: cliques count, chains don't, each triangle once") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, each node in 3), a chain 5-6-7 (0 triangles)

@@ -501,4 +501,44 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hybrid == got)
   }
+
+  test("Bridge.knownCount: frozen frames report their size; anything else None (round 16)") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val raw = spark.range(0, 100).select(col("id").as("k"), (col("id") % 5).as("v"))
+    assert(bridge.knownCount(raw).isEmpty, "a lazy frame has no known count")
+    val (frozen, n) = bridge.freezeCounted(raw)
+    assert(n == 100L)
+    assert(bridge.knownCount(frozen).contains(100L))
+    // row-local wrappers pass through: Project exactly, Filter as an upper bound
+    assert(bridge.knownCount(frozen.select(col("k"))).contains(100L))
+    assert(bridge.knownCount(frozen.filter(col("v") === 0)).contains(100L))
+    // an aggregation breaks the chain — no free count
+    assert(bridge.knownCount(frozen.groupBy(col("v")).count()).isEmpty)
+    // ensureFrozen is a PASSTHROUGH for a frozen frame (no re-checkpoint:
+    // the returned plan still scans the same materialized leaf)...
+    val again = bridge.ensureFrozen(frozen)
+    assert(again.queryExecution.analyzed eq frozen.queryExecution.analyzed)
+    // ...and freezes anything else
+    assert(bridge.knownCount(bridge.ensureFrozen(raw)).contains(100L))
+  }
+
+  test("Scans.cumulative: known-count fast path (parts from data) is bit-identical (round 16)") {
+    import graft.core.Scans
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val df = spark.range(0, 500)
+      .select((col("id") * 37 % 1009).as("k"), (col("id") % 13).as("a"))
+    // reference: explicit multi-partition scan over the lazy frame
+    def rows(d: org.apache.spark.sql.DataFrame) = d.select(col("k"), col("cum_a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val ref = rows(Scans.cumulative(df, "k", Seq("a"), numPartitions = 5))
+    // a frozen input rides the known-count fast path: 500 rows < one
+    // rowsPerPartition quantum → parts = 1, no quantile probe — results
+    // must be bit-identical (associative integral sums)
+    val frozen = bridge.freeze(df)
+    assert(rows(Scans.cumulative(frozen, "k", Seq("a"))) == ref)
+    // a large-count frozen frame still fans out: force tiny quanta
+    spark.conf.set("spark.graft.scan.rowsPerPartition", "100")
+    try assert(rows(Scans.cumulative(frozen, "k", Seq("a"))) == ref)
+    finally spark.conf.unset("spark.graft.scan.rowsPerPartition")
+  }
 }

@@ -235,11 +235,14 @@ object Vectors {
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
              k: Int = 8, iters: Int = 2): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    // materialized + rebalanced once (round 16): the seed probe and every
-    // Lloyd iteration re-scanned the corpus otherwise
-    val vecs = bridge.freeze(graft.core.Scans.balancedForCompute(
+    // materialized once (round 16): the seed probe and every Lloyd
+    // iteration re-scanned the corpus otherwise. No pre-explode rebalance
+    // here: measured at sf0.1, the extra exchange cost ~2× the query
+    // (tiny frames, 64 near-empty tasks per downstream stage) while a
+    // corpus-scale input is already split-parallel at the scan.
+    val vecs = bridge.freeze(
       corpus.select(col(idCol).as("__vid"),
-        col(vecCol).cast("array<double>").as("__v")), col("__vid")))
+        col(vecCol).cast("array<double>").as("__v")))
     var centroids = bridge.freeze(vecs.orderBy(col("__vid")).limit(k)
       .select(col("__vid").as("cluster"), col("__v").as("centroid")))
     for (_ <- 1 to iters) {

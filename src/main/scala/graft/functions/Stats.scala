@@ -3704,7 +3704,14 @@ object Stats {
       Seq(sum(w).as(s"__n$r"),
         sum(w.cast(wDec) * col(valueCol).cast(vDec)).as(s"__s$r"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    // `replicates` md5 draws per ROW are CPU, not I/O: a few-file local
+    // scan would fold them on 1-2 tasks (measured: one 3.1 s task for
+    // stats_bootstrap at sf0.1). Rebalance pre-fold — a no-op when the
+    // scan already has ≥ cores partitions; decimal partial sums are
+    // associative, so the fold is layout-independent (guide §2.6).
+    graft.core.Scans.balancedForCompute(
+        df.select(col(idCol), col(valueCol)), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** [[poissonBootstrap]]'s readout from a [[bootMoments]] state row. */

@@ -67,12 +67,17 @@ object ProfileQuery {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // same warmup as Bench so the first timed query is JIT-comparable
+    // same warmup as Bench so the first timed query is JIT-comparable;
+    // dataset overridable off this machine (ADVICE r16: a hardcoded path
+    // silently skipped the warmup elsewhere), and failures are reported
+    // instead of swallowed
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Seq("q1_agg", "dim_lookup").foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      try graft.SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[profile] warmup $q failed (timings may be cold): $e") }
     }
     Thread.sleep(500)
     def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)

@@ -32,7 +32,7 @@ object Bridge {
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count() // the one job: computes, persists, truncates lineage, counts
-    frozenCounts.put(rdd.id, n)
+    frozenCounts.put((spark.sparkContext.applicationId, rdd.id), n)
     (spark.internalCreateDataFrame(rdd, df.schema), n)
   }
 
@@ -43,12 +43,14 @@ object Bridge {
   // should derive from input size, not a constant)
   // ------------------------------------------------------------------
 
-  /** rdd id → row count for every frame this JVM froze. An entry is one
-    * (Int, Long) pair per freeze — bounded by freezes per JVM, never by
-    * data — so no eviction is needed.
+  /** (applicationId, rdd id) → row count for every frame this JVM froze.
+    * One small pair per freeze — bounded by freezes per JVM, never by
+    * data — so no eviction is needed. Keyed by application so a later
+    * SparkContext (rdd ids restart at 0) can never alias a stale entry
+    * and make [[knownCount]] report a bogus count (round 17, ADVICE).
     */
   private val frozenCounts =
-    scala.collection.concurrent.TrieMap.empty[Int, Long]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
 
   /** An upper bound on `df`'s row count, if `df` is a frame produced by
     * [[freezeCounted]] in this JVM — possibly under cheap row-local
@@ -60,9 +62,10 @@ object Bridge {
     */
   def knownCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    val appId = df.sparkSession.sparkContext.applicationId
     @annotation.tailrec
     def leaf(p: LogicalPlan): Option[Long] = p match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => frozenCounts.get(l.rdd.id)
+      case l: org.apache.spark.sql.execution.LogicalRDD => frozenCounts.get((appId, l.rdd.id))
       case pr: Project => leaf(pr.child)
       case f: Filter => leaf(f.child)
       case a: SubqueryAlias => leaf(a.child)

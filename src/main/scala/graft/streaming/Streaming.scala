@@ -22,65 +22,93 @@ object Streaming {
     * per-batch cost grows with history — O(total) per batch, the disease
     * the round-11 LinkageMonitor fix cured for linkage. Here the state is
     * instead a LIST of frozen per-batch aggregate deltas: `add` freezes
-    * only the batch's own (already batch-proportional) aggregate;
-    * `merged` re-aggregates the union once AT READOUT; and runs merge
-    * GEOMETRICALLY (size-tiered, the LSM discipline: the newest run folds
-    * into its neighbor while it is at least as large, so run sizes grow
-    * geometrically down the list and each row is rewritten O(log batches)
-    * times over the whole ingest — the previous every-maxDeltas full fold
-    * rewrote the accreted state O(batches/maxDeltas) times, which for
-    * append-only corpus-scale states is quadratic-in-k write volume).
-    * `maxDeltas` stays as a hard cap on live runs (readout plan width).
-    * The readout value is identical to the eager fold for ANY fold
-    * grouping (the combine is associative-commutative re-aggregation of
-    * the same rows — the property the old periodic fold already relied
-    * on); parity and checkpoint-restore specs pin it.
+    * only the batch's own (already batch-proportional) aggregate —
+    * OVERLAPPED on a helper thread, so independent per-batch jobs
+    * back-fill idle cores instead of serializing on the driver (guide
+    * §2.6; a replayed monitor's five batch aggregations are independent
+    * Spark jobs); `merged` re-aggregates the union once AT READOUT; and
+    * runs compact SIZE-TIERED (round 17): nothing merges until the run
+    * count exceeds `maxDeltas`, then the adjacent pair with the smallest
+    * combined size folds — equal-sized runs pair first, so the
+    * binary-counter amortization (each row rewritten O(log batches) times
+    * over the whole ingest) emerges lazily, while a bounded replay
+    * (≤ maxDeltas batches) never pays a merge job at all. The readout
+    * value is identical for ANY fold grouping (the combine is
+    * associative-commutative re-aggregation of the same rows — the
+    * property the old eager fold already relied on); parity and
+    * checkpoint-restore specs pin it.
     *
     * `combine` must re-aggregate a frame with duplicate keys back to
     * unique keys (same column names in, same out).
+    *
+    * Threading: all public methods are caller-thread only (the monitor
+    * discipline); only the freeze of `add`'s batch aggregate runs
+    * off-thread, and every read path drains those first, so state reads
+    * and saved checkpoints always see every prior `add`. The helper
+    * thread is spawned per add (inherits the caller's job group, so a
+    * watchdog's cancelJobGroup still reaches these jobs) and a global
+    * gate bounds the overlap.
     */
   private[streaming] final class DeltaState(combine: DataFrame => DataFrame,
                                             maxDeltas: Int = 8) {
     private val bridge = org.apache.spark.sql.graftbridge.Bridge
     // newest first; each run carries its materialized row count (free at
-    // freeze time) — the geometric merge policy is driven by run sizes
+    // freeze time) — the size-tiered compaction is driven by run sizes
     private var deltas: List[(DataFrame, Long)] = Nil
+    // batch freezes in flight, oldest first — folded in ADD ORDER at
+    // drain, so the state's union order stays deterministic no matter
+    // which helper finishes first
+    private val pending =
+      scala.collection.mutable.Queue.empty[DeltaState.Async]
 
-    def isEmpty: Boolean = deltas.isEmpty
+    def isEmpty: Boolean = pending.isEmpty && deltas.isEmpty
 
-    /** fold one batch-proportional aggregate frame into the state */
-    def add(batchAgg: DataFrame): Unit = {
-      val (df, n) = bridge.freezeCounted(batchAgg)
-      addFrozen(df, n)
-    }
+    /** fold one batch-proportional aggregate frame into the state; the
+      * materialization job overlaps with whatever the caller does next
+      */
+    def add(batchAgg: DataFrame): Unit =
+      if (inlineStateFreeze.get) fold(bridge.freezeCounted(batchAgg))
+      else {
+        pending.enqueue(new DeltaState.Async(batchAgg))
+        // bound the in-flight tail so an unbounded ingest can't accrete
+        // unmaterialized plans
+        if (pending.size > maxDeltas) fold(pending.dequeue().await())
+      }
 
     /** like [[add]] for a frame the caller ALREADY froze and counted
       * (freezeCounted) — skips the second, redundant checkpoint copy
       */
     def addFrozen(frozenDelta: DataFrame, rows: Long): Unit = {
-      deltas = (frozenDelta, rows) :: deltas
-      // size-tiered merge: fold the newest run down while it has grown to
-      // its neighbor's size (binary-counter pattern → O(log k) live runs,
-      // O(n log k) lifetime write volume). For bounded combines the merge
-      // output is bound-sized, so this is at most a bound-sized rewrite.
-      while (deltas.sizeIs > 1 && deltas(0)._2 >= deltas(1)._2)
-        mergeTopTwo()
-      // hard cap regardless of sizes (protects readout plan width)
-      while (deltas.sizeIs > maxDeltas)
-        mergeTopTwo()
+      drain()
+      fold((frozenDelta, rows))
     }
 
-    private def mergeTopTwo(): Unit = deltas match {
-      case (a, _) :: (b, _) :: rest =>
-        deltas = bridge.freezeCounted(combine(a.unionByName(b))) :: rest
-      case _ => ()
+    private def drain(): Unit =
+      while (pending.nonEmpty) fold(pending.dequeue().await())
+
+    private def fold(run: (DataFrame, Long)): Unit = {
+      deltas = run :: deltas
+      // compact only past the cap: merge the adjacent pair with the
+      // smallest combined size (adjacency keeps the deterministic union
+      // order; the combine itself is order-insensitive)
+      while (deltas.sizeIs > maxDeltas) {
+        val idx = deltas.sliding(2).zipWithIndex
+          .minBy { case (p, _) => p.head._2 + p(1)._2 }._2
+        val (pre, rest) = deltas.splitAt(idx)
+        val mergedRun =
+          bridge.freezeCounted(combine(rest.head._1.unionByName(rest(1)._1)))
+        deltas = pre ::: mergedRun :: rest.drop(2)
+      }
     }
 
     /** the unique-key state view (aggregates the pending deltas) */
-    def merged: DataFrame = deltas.map(_._1) match {
-      case Nil => throw new IllegalStateException("no batches ingested")
-      case one :: Nil => one
-      case many => combine(many.reduce(_ unionByName _))
+    def merged: DataFrame = {
+      drain()
+      deltas.map(_._1) match {
+        case Nil => throw new IllegalStateException("no batches ingested")
+        case one :: Nil => one
+        case many => combine(many.reduce(_ unionByName _))
+      }
     }
 
     /** replace the state with one restored frame (checkpoint load). The
@@ -89,14 +117,62 @@ object Streaming {
       * overwrite would delete the very files a lazy delta still reads —
       * freezing decouples the state from the checkpoint's storage.
       */
-    def reset(frame: Option[DataFrame]): Unit =
+    def reset(frame: Option[DataFrame]): Unit = {
+      drain()
       deltas = frame.map(bridge.freezeCounted).toList
+    }
 
     /** the state as a single frame for checkpointing (None when empty) */
-    def forSave: Option[DataFrame] =
+    def forSave: Option[DataFrame] = {
+      drain()
       if (deltas.isEmpty) None
       else if (deltas.tail.isEmpty) Some(deltas.head._1)
       else Some(combine(deltas.map(_._1).reduce(_ unionByName _)))
+    }
+  }
+
+  /** When true on the calling thread, monitor-state adds materialize
+    * INLINE instead of on a helper thread. State caches that account
+    * pinned RDD ids by diffing `getPersistentRDDs` around a build
+    * (SparkEntry.ReplayCache) must set this for the build's duration:
+    * an overlapped freeze finishing after the diff would leave its
+    * checkpointed blocks unpinned, and a bench harness's inter-query
+    * unpersist sweep would drop blocks the cached state still needs
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next reader).
+    */
+  val inlineStateFreeze: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private[streaming] object DeltaState {
+    /** at most this many freeze jobs overlap JVM-wide — enough to fill a
+      * stage tail, not enough to thrash the scheduler (guide §2.6)
+      */
+    private val gate = new java.util.concurrent.Semaphore(4)
+
+    /** one freeze job on its own thread. A fresh Thread (not a pool)
+      * inherits the caller's SparkContext local properties — job group,
+      * description — so cancellation and UI labels behave exactly as if
+      * the caller ran the job itself.
+      */
+    private[streaming] final class Async(batchAgg: DataFrame) {
+      @volatile private var result: Either[Throwable, (DataFrame, Long)] = _
+      private val t = new Thread(() => {
+        gate.acquire()
+        try result = Right(org.apache.spark.sql.graftbridge.Bridge.freezeCounted(batchAgg))
+        catch { case e: Throwable => result = Left(e) }
+        finally gate.release()
+      }, "graft-delta-freeze")
+      t.setDaemon(true)
+      t.start()
+
+      def await(): (DataFrame, Long) = {
+        t.join()
+        result match {
+          case Right(r) => r
+          case Left(e) => throw e
+        }
+      }
+    }
   }
 
   /** Monitor-state checkpointing — the crash-recovery half of the
@@ -1645,32 +1721,32 @@ object Streaming {
     */
   class BootstrapMonitor(idCol: String, valueCol: String,
                          replicates: Int = 16, salt: String = "boot") {
-    private val bridge = org.apache.spark.sql.graftbridge.Bridge
-    private var moments: Option[DataFrame] = None
+    // 1-row additive moment state: column-wise decimal sums fold any
+    // grouping of batches to the same exact values, so the per-batch
+    // moment rows ride DeltaState (round 17) — each batch's fold job
+    // overlaps the next batch's plan instead of chaining one
+    // union-agg-freeze per update on the driver
+    private val moments = new DeltaState(d => {
+      val summed = d.columns.map(c => sum(col(c)).as(c))
+      d.agg(summed.head, summed.tail: _*)
+    })
 
     /** fold one micro-batch's replicate moments into the 1-row state */
-    def update(batch: DataFrame): Unit = {
-      val bm = graft.functions.Stats.bootMoments(batch, idCol, valueCol,
-        replicates, salt)
-      moments = Some(bridge.freeze(moments match {
-        case None => bm
-        case Some(m) =>
-          val summed = m.columns.map(c => sum(col(c)).as(c))
-          m.unionByName(bm).agg(summed.head, summed.tail: _*)
-      }))
-    }
+    def update(batch: DataFrame): Unit =
+      moments.add(graft.functions.Stats.bootMoments(batch, idCol, valueCol,
+        replicates, salt))
 
     /** current (rep, n_eff, boot_sum) table — equals the batch one */
     def readout: DataFrame = graft.functions.Stats.bootOfMoments(
-      moments.getOrElse(throw new IllegalStateException("no batches ingested")),
-      replicates)
+      moments.merged, replicates)
 
     /** persist the moment state for crash-restart (call after update) */
-    def saveState(dir: String): Unit = MonitorState.save(dir, Map("moments" -> moments))
+    def saveState(dir: String): Unit =
+      MonitorState.save(dir, Map("moments" -> moments.forSave))
 
     /** restore moment state from a [[saveState]] checkpoint */
     def restoreState(spark: SparkSession, dir: String): Unit =
-      moments = MonitorState.load(spark, dir, "moments")
+      moments.reset(MonitorState.load(spark, dir, "moments"))
   }
 
   /** Streaming ROC-AUC monitor — live ranking quality of a filter score as
